@@ -1,0 +1,54 @@
+"""Pure-numpy mergeable sketch kernels (no Spark dependency).
+
+Registry maps magic byte -> class so generic merge UDFs can deserialize any
+sketch family from a binary column.
+"""
+
+from .bloom import BloomFilter
+from .cms import CountMinSketch, CountSketch
+from .hll import HyperLogLog
+from .kll import KLL
+from .samplers import BottomKSampler, HopsSampler
+from .tdigest import TDigest
+from . import base, hashing
+
+SKETCH_REGISTRY = {
+    cls.MAGIC: cls
+    for cls in (BloomFilter, CountMinSketch, CountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest)
+}
+
+
+def from_bytes(buf: bytes):
+    """Deserialize any registered sketch from its binary blob."""
+    magic = buf[0]
+    try:
+        cls = SKETCH_REGISTRY[magic]
+    except KeyError:
+        raise ValueError(f"unknown sketch magic {magic}") from None
+    return cls.from_bytes(buf)
+
+
+def merge_blobs(blobs) -> bytes:
+    """Merge an iterable of serialized sketch states of one family."""
+    it = iter(blobs)
+    acc = from_bytes(next(it))
+    for b in it:
+        acc = acc.merge(from_bytes(b))
+    return acc.to_bytes()
+
+
+__all__ = [
+    "BloomFilter",
+    "CountMinSketch",
+    "CountSketch",
+    "HyperLogLog",
+    "KLL",
+    "HopsSampler",
+    "BottomKSampler",
+    "TDigest",
+    "SKETCH_REGISTRY",
+    "from_bytes",
+    "merge_blobs",
+    "base",
+    "hashing",
+]

@@ -1,0 +1,146 @@
+"""Count-min sketch and (signed) count-sketch: mergeable frequency estimators.
+
+Count-min: Cormode–Muthukrishnan; overestimate-only, err <= eps*N w.p. >= 1-delta
+with width w = ceil(e/eps), depth d = ceil(ln(1/delta)).
+
+Count-sketch: Charikar; unbiased, estimate = median of signed row values,
+sized ``w = 2^ceil(log2(3/eps^2)), d = ceil(ln(1/delta))`` like the
+reference's fromEpsDelta (estimators/CountSketch.java:134-159). Merge is
+elementwise add with shape/seed checks (estimators/CountSketch.java:94-103,
+232-241). Counters are int64 — the reference's int32 saturating variant
+(estimators/IntCountSketch.java:233-246) breaks strict merge associativity at
+extremes, so we deliberately use int64 (documented deviation, SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import base
+from .hashing import hash64
+
+_U64 = np.uint64
+_MAGIC_CMS = 2
+_MAGIC_CS = 3
+
+
+def _row_buckets(keys: np.ndarray, seed: int, depth: int, width: int) -> np.ndarray:
+    """(depth, len(keys)) bucket indices, one independent hash per row."""
+    return np.stack([hash64(keys, seed + 1000003 * r) % _U64(width) for r in range(depth)]).astype(np.int64)
+
+
+class CountMinSketch:
+    MAGIC = _MAGIC_CMS
+    __slots__ = ("depth", "width", "seed", "table", "total")
+
+    def __init__(self, depth: int, width: int, seed: int, table: np.ndarray | None = None, total: int = 0):
+        self.depth = int(depth)
+        self.width = int(width)
+        self.seed = int(seed)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64) if table is None else table
+        self.total = int(total)
+
+    @classmethod
+    def from_eps_delta(cls, eps: float, delta: float, seed: int) -> "CountMinSketch":
+        width = max(8, math.ceil(math.e / eps))
+        depth = max(1, math.ceil(math.log(1.0 / delta)))
+        return cls(depth, width, seed)
+
+    def update(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(keys) == 0:
+            return
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        if counts is None:
+            for r in range(self.depth):
+                self.table[r] += np.bincount(buckets[r], minlength=self.width)
+            self.total += len(keys)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+            for r in range(self.depth):
+                self.table[r] += np.bincount(buckets[r], weights=counts, minlength=self.width).astype(np.int64)
+            self.total += int(counts.sum())
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        ests = np.stack([self.table[r][buckets[r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        base.check_same_type(self, other)
+        base.check_compatible(
+            "CountMinSketch",
+            {"d": self.depth, "w": self.width, "seed": self.seed},
+            {"d": other.depth, "w": other.width, "seed": other.seed},
+        )
+        return CountMinSketch(self.depth, self.width, self.seed, self.table + other.table, self.total + other.total)
+
+    def to_bytes(self) -> bytes:
+        return base.pack(_MAGIC_CMS, [self.depth, self.width, self.seed, self.total], [self.table.ravel()])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CountMinSketch":
+        magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
+        base.expect_magic(magic, _MAGIC_CMS, "CountMinSketch")
+        return cls(depth, width, seed, flat.reshape(depth, width), total)
+
+
+class CountSketch:
+    """Signed count-sketch (reference parity: estimators/CountSketch.java)."""
+
+    MAGIC = _MAGIC_CS
+    __slots__ = ("depth", "width", "seed", "table", "total")
+
+    def __init__(self, depth: int, width: int, seed: int, table: np.ndarray | None = None, total: int = 0):
+        self.depth = int(depth)
+        self.width = int(width)
+        self.seed = int(seed)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64) if table is None else table
+        self.total = int(total)
+
+    @classmethod
+    def from_eps_delta(cls, eps: float, delta: float, seed: int) -> "CountSketch":
+        # w = next pow2 >= 3/eps^2, d = ceil(ln(1/delta)) — CountSketch.java:134-159
+        width = 1 << max(3, math.ceil(math.log2(3.0 / (eps * eps))))
+        depth = max(1, math.ceil(math.log(1.0 / delta)))
+        return cls(depth, width, seed)
+
+    def _signs(self, keys: np.ndarray, row: int) -> np.ndarray:
+        h = hash64(keys, self.seed + 7 + 1000003 * row)
+        return ((h & _U64(1)).astype(np.int64) << 1) - 1  # ±1
+
+    def update(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(keys) == 0:
+            return
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        c = np.ones(len(keys), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            signed = c * self._signs(keys, r)
+            self.table[r] += np.bincount(buckets[r], weights=signed, minlength=self.width).astype(np.int64)
+        self.total += int(c.sum())
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        ests = np.stack(
+            [self.table[r][buckets[r]] * self._signs(keys, r) for r in range(self.depth)]
+        )
+        return np.median(ests, axis=0)
+
+    def merge(self, other: "CountSketch") -> "CountSketch":
+        base.check_same_type(self, other)
+        base.check_compatible(
+            "CountSketch",
+            {"d": self.depth, "w": self.width, "seed": self.seed},
+            {"d": other.depth, "w": other.width, "seed": other.seed},
+        )
+        return CountSketch(self.depth, self.width, self.seed, self.table + other.table, self.total + other.total)
+
+    def to_bytes(self) -> bytes:
+        return base.pack(_MAGIC_CS, [self.depth, self.width, self.seed, self.total], [self.table.ravel()])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CountSketch":
+        magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
+        base.expect_magic(magic, _MAGIC_CS, "CountSketch")
+        return cls(depth, width, seed, flat.reshape(depth, width), total)

@@ -1,0 +1,148 @@
+"""KLL quantile sketch (Karnin–Lang–Liberty 2016), mergeable.
+
+Compactor-based: level h holds items of weight 2^h; a level over capacity is
+sorted and every other item (random offset) is promoted one level up.
+Capacities decay geometrically (c = 2/3) from k at the top level, giving
+rank error eps = O(1/k) with high probability. The offset bit comes from a
+seeded SplitMix64 counter so builds are deterministic and resumable; merge
+order does NOT change the error bound (but may change exact bytes — the
+merge-law test for KLL asserts the rank-error contract, not byte equality).
+
+Replaces the reference's HOPS/BottomK rank estimation path
+(estimators/HOPS.java:117-136) as the primary quantile sketch per north_rule;
+DKW-style rank checks mirror SamplingSketchExperiment.java:92-110.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import base
+from .hashing import splitmix64
+
+_MAGIC = 5
+_C = 2.0 / 3.0
+
+
+class KLL:
+    MAGIC = _MAGIC
+    __slots__ = ("k", "seed", "n", "compactions", "levels")
+
+    def __init__(self, k: int = 200, seed: int = 0, n: int = 0, compactions: int = 0, levels: list[np.ndarray] | None = None):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.seed = int(seed)
+        self.n = int(n)
+        self.compactions = int(compactions)
+        self.levels: list[np.ndarray] = levels if levels is not None else [np.empty(0, dtype=np.float64)]
+
+    # --- internals ---------------------------------------------------------
+    def _cap(self, h: int) -> int:
+        height = len(self.levels)
+        return max(2, int(np.ceil(self.k * (_C ** (height - 1 - h)))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _size(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def _offset_bit(self) -> int:
+        x = (self.seed * 0x9E3779B9 + self.compactions) & 0xFFFFFFFFFFFFFFFF
+        bit = int(splitmix64(np.asarray([x], dtype=np.uint64))[0] & np.uint64(1))
+        self.compactions += 1
+        return bit
+
+    def _compress(self) -> None:
+        while self._size() > self._total_cap():
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) > self._cap(h):
+                    buf = np.sort(self.levels[h])
+                    if len(buf) % 2 == 1:
+                        # keep one item at this level, compact the even rest
+                        keep, buf = buf[:1], buf[1:]
+                    else:
+                        keep = np.empty(0, dtype=np.float64)
+                    promoted = buf[self._offset_bit() :: 2]
+                    self.levels[h] = keep
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                    break
+            else:
+                break  # nothing individually over cap; tolerate slight overshoot
+
+    # --- public API ----------------------------------------------------------
+    def update(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        # feed in chunks so level 0 never balloons past its cap by much
+        chunk = max(self._cap(0), 64)
+        for i in range(0, len(values), chunk):
+            self.levels[0] = np.concatenate([self.levels[0], values[i : i + chunk]])
+            self.n += len(values[i : i + chunk])
+            self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        base.check_same_type(self, other)
+        base.check_compatible("KLL", {"k": self.k, "seed": self.seed}, {"k": other.k, "seed": other.seed})
+        height = max(len(self.levels), len(other.levels))
+        levels = []
+        for h in range(height):
+            a = self.levels[h] if h < len(self.levels) else np.empty(0, dtype=np.float64)
+            b = other.levels[h] if h < len(other.levels) else np.empty(0, dtype=np.float64)
+            levels.append(np.concatenate([a, b]))
+        out = KLL(self.k, self.seed, self.n + other.n, self.compactions + other.compactions, levels)
+        out._compress()
+        return out
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, weights = [], []
+        for h, lv in enumerate(self.levels):
+            if len(lv):
+                vals.append(lv)
+                weights.append(np.full(len(lv), 1 << h, dtype=np.int64))
+        if not vals:
+            return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def rank(self, x: float) -> float:
+        """Estimated number of items <= x."""
+        v, w = self._weighted_items()
+        return float(w[v <= x].sum())
+
+    def quantile(self, q: float) -> float:
+        """Estimated q-quantile (0 <= q <= 1)."""
+        v, w = self._weighted_items()
+        if len(v) == 0:
+            return float("nan")
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.asarray([self.quantile(q) for q in qs], dtype=np.float64)
+
+    def to_bytes(self) -> bytes:
+        lengths = np.asarray([len(lv) for lv in self.levels], dtype=np.int64)
+        flat = np.concatenate(self.levels) if self._size() else np.empty(0, dtype=np.float64)
+        return base.pack(_MAGIC, [self.k, self.seed, self.n, self.compactions], [lengths, flat])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "KLL":
+        magic, (k, seed, n, compactions), (lengths, flat) = base.unpack(buf)
+        base.expect_magic(magic, _MAGIC, "KLL")
+        levels, off = [], 0
+        for ln in lengths:
+            levels.append(flat[off : off + int(ln)].copy())
+            off += int(ln)
+        if not levels:
+            levels = [np.empty(0, dtype=np.float64)]
+        return cls(k, seed, n, compactions, levels)

@@ -1,0 +1,258 @@
+"""Error-bound + serialization unit tests for the pure-numpy sketch kernels.
+
+Mirrors the reference's accuracy-experiment methodology
+(SamplingSketchExperiment.java:92-110, ConfidenceExperiment.java:40-77):
+empirical Bloom FPR <= configured p (+slack), CMS overestimate-only within
+eps*N, HLL within the 1.04/sqrt(m) envelope, KLL/t-digest rank error <= eps.
+"""
+
+import numpy as np
+import pytest
+
+from hierarchical_bloom_filter_index_spark.sketches import (
+    BloomFilter,
+    BottomKSampler,
+    CountMinSketch,
+    CountSketch,
+    HopsSampler,
+    HyperLogLog,
+    KLL,
+    TDigest,
+    from_bytes,
+)
+from hierarchical_bloom_filter_index_spark.sketches.base import MergeError
+from hierarchical_bloom_filter_index_spark.sketches.hashing import (
+    bit_length_u64,
+    hash64,
+    pack_ngrams_u64,
+    splitmix64,
+)
+
+RNG = np.random.default_rng(42)
+
+
+# --------------------------------------------------------------------------
+# hashing
+# --------------------------------------------------------------------------
+def test_splitmix_deterministic_and_uniform():
+    x = np.arange(100_000, dtype=np.uint64)
+    h1, h2 = splitmix64(x), splitmix64(x)
+    assert np.array_equal(h1, h2)
+    # top bit should be ~50/50
+    frac = (h1 >> np.uint64(63)).mean()
+    assert 0.49 < frac < 0.51
+
+
+def test_hash64_seed_independence():
+    x = np.arange(10_000, dtype=np.uint64)
+    a, b = hash64(x, 1), hash64(x, 2)
+    assert (a == b).mean() < 0.001
+
+
+def test_bit_length_exact():
+    vals = np.array([0, 1, 2, 3, 4, 255, 256, 2**52, 2**63, 2**64 - 1], dtype=np.uint64)
+    expected = np.array([v.bit_length() for v in vals.tolist()])
+    assert np.array_equal(bit_length_u64(vals), expected)
+
+
+def test_pack_ngrams():
+    toks = np.array([1, 2, 3, 4], dtype=np.int32)
+    grams = pack_ngrams_u64(toks, 2, base_bits=21)
+    assert len(grams) == 3
+    assert grams[0] == (1 << 21) | 2
+    assert len(pack_ngrams_u64(np.array([7], dtype=np.int32), 2)) == 0
+
+
+# --------------------------------------------------------------------------
+# Bloom
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("p", [0.01, 0.05])
+def test_bloom_fpr_bound(p):
+    n = 20_000
+    present = RNG.integers(0, 2**62, n, dtype=np.int64)
+    bf = BloomFilter.for_capacity(n, p, seed=7)
+    bf.update(present)
+    assert bf.contains(present).all()  # zero false negatives
+    absent = RNG.integers(2**62, 2**63, 50_000, dtype=np.int64)
+    fpr = bf.contains(absent).mean()
+    assert fpr <= p * 1.5 + 3 * np.sqrt(p / 50_000)
+
+
+def test_bloom_fill_metadata():
+    n = 5_000
+    keys = np.arange(n, dtype=np.int64)
+    bf = BloomFilter.for_capacity(n, 0.01, seed=1)
+    bf.update(keys)
+    est = bf.estimate_distinct()
+    assert abs(est - n) / n < 0.05
+    assert 0 < bf.fill_fpr() < 0.05
+
+
+def test_bloom_roundtrip_and_merge():
+    a = BloomFilter.for_capacity(1000, 0.01, seed=3)
+    b = BloomFilter.for_capacity(1000, 0.01, seed=3)
+    ka = np.arange(0, 500, dtype=np.int64)
+    kb = np.arange(500, 1000, dtype=np.int64)
+    a.update(ka)
+    b.update(kb)
+    m = a.merge(b)
+    assert m.contains(ka).all() and m.contains(kb).all()
+    rt = BloomFilter.from_bytes(m.to_bytes())
+    assert np.array_equal(rt.words, m.words) and rt.n_added == m.n_added
+    with pytest.raises(MergeError):
+        a.merge(BloomFilter.for_capacity(2000, 0.01, seed=3))
+    with pytest.raises(MergeError):
+        a.merge(BloomFilter(a.m, a.k, seed=4))
+
+
+# --------------------------------------------------------------------------
+# CMS / CountSketch
+# --------------------------------------------------------------------------
+def _zipf_stream(n, vocab, s=1.2):
+    ranks = np.arange(1, vocab + 1)
+    probs = ranks ** (-s)
+    probs /= probs.sum()
+    return RNG.choice(vocab, size=n, p=probs).astype(np.int64)
+
+
+def test_cms_bound():
+    eps, delta = 0.005, 0.01
+    stream = _zipf_stream(200_000, 5_000)
+    cms = CountMinSketch.from_eps_delta(eps, delta, seed=11)
+    cms.update(stream)
+    true = np.bincount(stream, minlength=5_000)
+    probe = np.arange(5_000, dtype=np.int64)
+    est = cms.estimate(probe)
+    assert (est >= true).all()  # overestimate-only
+    viol = (est - true > eps * len(stream)).mean()
+    assert viol <= delta
+
+
+def test_count_sketch_bound():
+    eps, delta = 0.02, 0.01
+    stream = _zipf_stream(100_000, 2_000)
+    cs = CountSketch.from_eps_delta(eps, delta, seed=13)
+    cs.update(stream)
+    true = np.bincount(stream, minlength=2_000)
+    probe = np.arange(2_000, dtype=np.int64)
+    est = cs.estimate(probe)
+    l2 = np.sqrt((true.astype(np.float64) ** 2).sum())
+    viol = (np.abs(est - true) > eps * l2).mean()
+    assert viol <= 2 * delta
+
+
+def test_cms_weighted_update_matches_unit():
+    keys = np.array([5, 9, 5, 5, 9, 1], dtype=np.int64)
+    a = CountMinSketch(4, 128, seed=2)
+    a.update(keys)
+    b = CountMinSketch(4, 128, seed=2)
+    b.update(np.array([5, 9, 1], dtype=np.int64), np.array([3, 2, 1]))
+    assert np.array_equal(a.table, b.table) and a.total == b.total
+
+
+# --------------------------------------------------------------------------
+# HLL
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("true_n", [100, 10_000, 500_000])
+def test_hll_envelope(true_n):
+    hll = HyperLogLog(p=14, seed=5)
+    keys = RNG.integers(0, 2**63, true_n, dtype=np.int64)
+    hll.update(keys)
+    hll.update(keys[: true_n // 2])  # duplicates must not change cardinality
+    est = hll.estimate()
+    rel = abs(est - true_n) / true_n
+    assert rel <= 4 * hll.rel_error(), f"rel err {rel} vs bound {4 * hll.rel_error()}"
+
+
+def test_hll_roundtrip():
+    hll = HyperLogLog(p=10, seed=5)
+    hll.update(np.arange(1000, dtype=np.int64))
+    rt = HyperLogLog.from_bytes(hll.to_bytes())
+    assert np.array_equal(rt.regs, hll.regs)
+    assert rt.estimate() == hll.estimate()
+
+
+# --------------------------------------------------------------------------
+# KLL / t-digest
+# --------------------------------------------------------------------------
+def test_kll_rank_error():
+    n = 200_000
+    data = RNG.normal(0, 1, n)
+    kll = KLL(k=200, seed=9)
+    kll.update(data)
+    assert kll.n == n
+    data_sorted = np.sort(data)
+    for q in [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]:
+        est = kll.quantile(q)
+        true_rank = np.searchsorted(data_sorted, est) / n
+        assert abs(true_rank - q) <= 0.025, f"q={q}: rank err {abs(true_rank - q)}"
+
+
+def test_kll_roundtrip():
+    kll = KLL(k=64, seed=9)
+    kll.update(RNG.uniform(0, 1, 10_000))
+    rt = KLL.from_bytes(kll.to_bytes())
+    assert rt.n == kll.n
+    for q in (0.1, 0.5, 0.9):
+        assert rt.quantile(q) == kll.quantile(q)
+
+
+def test_tdigest_rank_error():
+    n = 200_000
+    data = RNG.exponential(2.0, n)
+    td = TDigest(delta=100)
+    td.update(data)
+    data_sorted = np.sort(data)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        est = td.quantile(q)
+        true_rank = np.searchsorted(data_sorted, est) / n
+        assert abs(true_rank - q) <= 0.02, f"q={q}: rank err {abs(true_rank - q)}"
+
+
+def test_tdigest_roundtrip():
+    td = TDigest(delta=50)
+    td.update(RNG.uniform(0, 100, 5_000))
+    rt = TDigest.from_bytes(td.to_bytes())
+    assert rt.quantile(0.5) == pytest.approx(td.quantile(0.5))
+
+
+# --------------------------------------------------------------------------
+# samplers
+# --------------------------------------------------------------------------
+def test_hops_representatives_are_real_keys():
+    keys = RNG.integers(0, 2**62, 50_000, dtype=np.int64).astype(np.uint64)
+    h = HopsSampler(b=8, seed=21)
+    h.update(keys)
+    reps = h.representatives()
+    assert h.occupancy() == len(reps) > 200
+    assert np.isin(reps, keys).all()
+
+
+def test_bottomk_uniform_distinct_sample():
+    keys = np.arange(100_000, dtype=np.int64)
+    bk = BottomKSampler(k=512, seed=31)
+    bk.update(keys)
+    bk.update(keys[:50])  # duplicates don't distort
+    assert len(bk.sample()) == 512
+    est = bk.estimate_distinct()
+    assert abs(est - 100_000) / 100_000 < 0.15
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+def test_registry_dispatch():
+    objs = [
+        BloomFilter.for_capacity(100, 0.01, seed=1),
+        CountMinSketch(3, 64, seed=1),
+        CountSketch(3, 64, seed=1),
+        HyperLogLog(p=6, seed=1),
+        KLL(k=16, seed=1),
+        HopsSampler(b=4, seed=1),
+        BottomKSampler(k=8, seed=1),
+        TDigest(delta=25),
+    ]
+    for o in objs:
+        o.update(np.arange(50, dtype=np.int64))
+        rt = from_bytes(o.to_bytes())
+        assert type(rt) is type(o)
