@@ -1,38 +1,492 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family (SURVEY.md §2) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL twin for every query whose semantics are SQL-expressible. Sketch
+*estimate* queries (CMS/HLL/KLL/t-digest/LSH) are deliberately oracle-free —
+their contracts are error bounds, verified in tests/ — while every
+exact-answer path (pattern search, membership, dedup, text, windowed aggs)
+is oracle-checked bit-for-bit.
+
+Shared tokenizer: tokens = UTF codepoints of documents.text — the same
+definition in Spark built-ins and DuckDB SQL, so both engines see the same
+(doc_id, tokens, n_tok, source) corpus.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.functions import with_positions, window_id
+from hierarchical_bloom_filter_index_spark.operators import (
+    build_index,
+    pattern_search,
+    window_membership,
+)
+from hierarchical_bloom_filter_index_spark.operators import dedup as D
+from hierarchical_bloom_filter_index_spark.operators import similarity as S
+from hierarchical_bloom_filter_index_spark.operators import text as T
+from hierarchical_bloom_filter_index_spark.operators.aggregates import (
+    collect_sketch,
+    grouped_sketches,
+    sketch_aggregate,
+)
+from hierarchical_bloom_filter_index_spark.sketches import (
+    CountMinSketch,
+    HyperLogLog,
+    KLL,
+    TDigest,
+)
+
+CFG = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42)
+
+PAT_PRESENT = [ord(c) for c in "data merge"]
+PAT_MISSING = [ord(c) for c in "data merge"[:4] + "\x01" + "data merge"[5:]]
+PAT_RARE = [ord(c) for c in "slow fast table"]
+PROBE_TOKENS = [32, 97, 101, 115, 116]
+QUANTILES = [0.25, 0.5, 0.75]
+MOD, BASE = 1_000_000_007, 131
+
+_CACHE: dict[tuple[str, str], object] = {}
 
 
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("corpus", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = C.corpus_from_documents(spark, sf_dir).cache()
+    return _CACHE[key]
+
+
+def _index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_index(_corpus(spark, sf_dir), CFG).cache()
+    return _CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared oracle fragments
+# ---------------------------------------------------------------------------
+CORPUS_CTE = """corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS tokens,
+         CAST(length(text) AS INT) AS n_tok,
+         source
+  FROM documents
+)"""
+
+
+def _pat_sql(pattern: list[int]) -> str:
+    return "[" + ", ".join(str(int(t)) for t in pattern) + "]"
+
+
+# DuckDB 1.0 can't lateral-join the generate_series TABLE function on a
+# column, but the scalar list form unnest(generate_series(1, col)) works.
+POS_CTE = """pos AS (
+  SELECT doc_id, source, tokens, n_tok,
+         unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i
+  FROM corpus
+)"""
+
+
+def _pattern_oracle(pattern: list[int]) -> str:
+    m = len(pattern)
+    return f"""WITH {CORPUS_CTE}
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE tokens[i : i + {m} - 1] = {_pat_sql(pattern)}"""
+
+
+def _occ(col: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"((length({col}) - length(replace({col}, '{esc}', ''))) // {len(needle)})"
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+def q_pattern(pattern: list[int]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return pattern_search(_corpus(spark, sf_dir), _index(spark, sf_dir), CFG, pattern)
+
+    return run
+
+
+def q_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_membership(_corpus(spark, sf_dir), _index(spark, sf_dir), CFG, ord("q"))
+
+
+def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = with_positions(_corpus(spark, sf_dir))
+    parts = []
+    for L in (CFG.deepest, CFG.deepest - 1):
+        span = CFG.span(L)
+        parts.append(
+            pos.groupBy("doc_id", window_id("pos", span).alias("w_id"))
+            .agg(F.countDistinct("token").alias("n_distinct"))
+            .select("doc_id", F.lit(L).alias("level"), "w_id", "n_distinct")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corp = _corpus(spark, sf_dir)
+    grams = corp.filter(F.size("tokens") >= 2).select(
+        F.explode(
+            F.expr(
+                # Spark array[] is 0-based (DuckDB's is 1-based — oracle differs)
+                "transform(sequence(0, size(tokens) - 2), "
+                "i -> concat(cast(tokens[i] as string), '|', cast(tokens[i + 1] as string)))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+def q_token_freq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = with_positions(_corpus(spark, sf_dir))
+    return (
+        pos.filter(F.col("token").isin(PROBE_TOKENS))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_distinct_by_source_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = with_positions(_corpus(spark, sf_dir))
+    return pos.groupBy("source").agg(F.countDistinct("token").alias("n_distinct"))
+
+
+def q_doclen_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corp = _corpus(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_tok")
+    ranked = corp.select(
+        "source", "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("cnt"),
+    )
+    qs = corp.sparkSession.createDataFrame([(q,) for q in QUANTILES], "q double")
+    return (
+        ranked.crossJoin(qs)
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("cnt")))
+        .select("source", "q", F.col("n_tok").alias("val"))
+    )
+
+
+def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard_x1e6", F.expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
+        .filter(F.col("jaccard_x1e6") >= 400000)
+        .select("doc_a", "doc_b", "jaccard_x1e6")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    stop_terms = [f" {w} " for w in T.STOPWORDS]
+    occ_sum = " + ".join(
+        f"((length(text) - length(replace(text, '{t}', ''))) div {len(t)})" for t in stop_terms
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("cast(length(text) as int)").alias("n_chars"),
+        F.expr("cast(size(split(text, ' ')) as int)").alias("n_words"),
+        F.expr(
+            "((length(text) - size(split(text, ' ')) + 1) * 10000) div size(split(text, ' '))"
+        ).alias("avg_word_len_x1e4"),
+        F.expr(f"(({occ_sum}) * 10000) div size(split(text, ' '))").alias("stopword_ratio_x1e4"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(T.lang_id_column().alias("guess"))
+        .groupBy("guess")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.token_count_column().alias("n_bpe"))
+
+
+def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"), F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+
+
+def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.with_global_offsets(_corpus(spark, sf_dir)).select("doc_id", "doc_offset")
+
+
+# --- sketch-estimate queries (oracle-free: bound contracts live in tests/) --
+def q_cms_freq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    cms = collect_sketch(
+        sketch_aggregate(
+            _corpus(spark, sf_dir), "tokens",
+            lambda: CountMinSketch.from_eps_delta(0.0005, 0.01, seed=CFG.seed),
+            values_are_arrays=True,
+        )
+    )
+    keys = np.asarray(PROBE_TOKENS, dtype=np.int64)
+    est = cms.estimate(keys)
+    return spark.createDataFrame(
+        [(int(t), int(e)) for t, e in zip(PROBE_TOKENS, est)], "token int, est long"
+    )
+
+
+def q_hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_src = grouped_sketches(
+        sketch_aggregate(
+            _corpus(spark, sf_dir), "tokens", lambda: HyperLogLog(p=13, seed=CFG.seed),
+            group_cols=("source",), values_are_arrays=True,
+        )
+    )
+    rows = [(src, int(round(sk.estimate()))) for (src,), sk in sorted(by_src.items())]
+    return spark.createDataFrame(rows, "source string, est long")
+
+
+def q_kll_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kll = collect_sketch(
+        sketch_aggregate(_corpus(spark, sf_dir), "n_tok", lambda: KLL(k=200, seed=CFG.seed))
+    )
+    return spark.createDataFrame(
+        [(q, float(kll.quantile(q))) for q in QUANTILES], "q double, est double"
+    )
+
+
+def q_tdigest_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = collect_sketch(
+        sketch_aggregate(_corpus(spark, sf_dir), "n_tok", lambda: TDigest(delta=100))
+    )
+    return spark.createDataFrame(
+        [(q, float(td.quantile(q))) for q in QUANTILES], "q double, est double"
+    )
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4, n_perm=128, bands=32)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
+    return S.cosine_topk(emb, qids, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
+    return S.lsh_topk(emb, qids, k=5, n_planes=4, n_tables=16)
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = T.winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+    return fps.select("doc_id", F.size("fps").alias("n_fps"))
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hierarchical-Bloom-routed exact pattern search at sf0.001."""
+    return q_pattern(PAT_PRESENT)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # HBI core (SURVEY §2.1/2.3/2.4)
+        "hbi_pattern_present": q_pattern(PAT_PRESENT),
+        "hbi_pattern_missing": q_pattern(PAT_MISSING),
+        "hbi_pattern_rare": q_pattern(PAT_RARE),
+        "window_membership": q_window_membership,
+        "window_distinct_rollup": q_window_distinct_rollup,
+        "global_offsets": q_global_offsets,
+        # frequency / cardinality / quantiles (SURVEY §2.5)
+        "bigram_topk": q_bigram_topk,
+        "token_freq_by_source": q_token_freq_by_source,
+        "distinct_by_source_exact": q_distinct_by_source_exact,
+        "doclen_quantiles_exact": q_doclen_quantiles_exact,
+        "cms_freq_probes": q_cms_freq_probes,
+        "hll_distinct_by_source": q_hll_distinct_by_source,
+        "kll_doclen_quantiles": q_kll_doclen_quantiles,
+        "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
+        # dedup / text / similarity (training-data pipeline)
+        "dedup_exact_pairs": q_dedup_exact_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "text_quality": q_text_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "token_count": q_token_count,
+        "positional_fingerprint": q_positional_fingerprint,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        # relational / streaming-ish
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    probe_list = ", ".join(str(t) for t in PROBE_TOKENS)
+    stop_occ = " + ".join(_occ("text", f" {w} ") for w in T.STOPWORDS)
+    punct_occ = " + ".join(_occ("text", p) for p in [".", ",", ";", ":", "!", "?"])
+    langs = list(T.LANG_MARKERS)
+    lang_scores = {
+        lang: " + ".join(_occ("text", mk) for mk in T.LANG_MARKERS[lang]) for lang in langs
+    }
+    score_cols = ", ".join(f"({expr}) AS s_{lang.replace('.', '')}" for lang, expr in lang_scores.items())
+    greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    first_max = " ".join(f"WHEN s_{l} = g THEN '{l}'" for l in langs)
+
+    return {
+        "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
+        "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
+        "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
+        "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
+SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
+FROM pos WHERE tokens[i] = {ord("q")}""",
+        "window_distinct_rollup": f"""WITH {CORPUS_CTE}, {POS_CTE}
+SELECT doc_id, CAST({CFG.deepest} AS INT) AS level,
+       CAST((i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,
+       CAST(COUNT(DISTINCT tokens[i]) AS BIGINT) AS n_distinct
+FROM pos GROUP BY 1, 2, 3
+UNION ALL
+SELECT doc_id, CAST({CFG.deepest - 1} AS INT) AS level,
+       CAST((i - 1) // {CFG.span(CFG.deepest - 1)} AS BIGINT) AS w_id,
+       CAST(COUNT(DISTINCT tokens[i]) AS BIGINT) AS n_distinct
+FROM pos GROUP BY 1, 2, 3""",
+        "global_offsets": f"""WITH {CORPUS_CTE}
+SELECT doc_id,
+       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
+FROM corpus""",
+        "bigram_topk": f"""WITH {CORPUS_CTE}
+SELECT CAST(tokens[i] AS VARCHAR) || '|' || CAST(tokens[i + 1] AS VARCHAR) AS gram,
+       COUNT(*) AS cnt
+FROM (SELECT tokens, unnest(generate_series(1, CAST(n_tok - 1 AS BIGINT))) AS i FROM corpus)
+GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT 20""",
+        "token_freq_by_source": f"""WITH {CORPUS_CTE}, {POS_CTE}
+SELECT source, CAST(tokens[i] AS INT) AS token, COUNT(*) AS cnt
+FROM pos WHERE tokens[i] IN ({probe_list}) GROUP BY 1, 2""",
+        "distinct_by_source_exact": f"""WITH {CORPUS_CTE}, {POS_CTE}
+SELECT source, CAST(COUNT(DISTINCT tokens[i]) AS BIGINT) AS n_distinct
+FROM pos GROUP BY 1""",
+        "doclen_quantiles_exact": f"""WITH {CORPUS_CTE},
+ranked AS (
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM corpus),
+qs AS (SELECT unnest([{", ".join(str(q) for q in QUANTILES)}]) AS q)
+SELECT source, q, CAST(n_tok AS INT) AS val
+FROM ranked, qs WHERE rn = CAST(ceil(q * cnt) AS BIGINT)""",
+        "dedup_exact_pairs": """SELECT CAST(a.doc_id AS VARCHAR) AS doc_a, CAST(b.doc_id AS VARCHAR) AS doc_b
+FROM documents a JOIN documents b
+  ON a.text = b.text AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)""",
+        "dedup_jaccard_pairs": """WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
+        FROM documents)
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST((i * 1000000) // (sa.sz + sb.sz - i) AS BIGINT) AS jaccard_x1e6
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
+        "text_quality": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+  CAST(((length(text) - len(string_split(text, ' ')) + 1) * 10000) // len(string_split(text, ' ')) AS BIGINT) AS avg_word_len_x1e4,
+  CAST((({stop_occ}) * 10000) // len(string_split(text, ' ')) AS BIGINT) AS stopword_ratio_x1e4
+FROM documents""",
+        "lang_id_counts": f"""WITH scored AS (
+  SELECT {score_cols} FROM documents
+), tagged AS (
+  SELECT CASE WHEN g = 0 THEN 'unknown' ELSE (CASE {first_max} END) END AS guess
+  FROM (SELECT *, {greatest} AS g FROM scored)
+)
+SELECT guess, COUNT(*) AS cnt FROM tagged GROUP BY 1""",
+        "token_count": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(len(string_split(text, ' ')) + {punct_occ} AS INT) AS n_bpe
+FROM documents""",
+        "positional_fingerprint": f"""WITH RECURSIVE pw(j, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT j + 1, (v * {BASE}) % {MOD} FROM pw WHERE j < (SELECT MAX(length(text)) FROM documents)
+)
+SELECT doc_id,
+       CAST(SUM(ascii(substr(text, CAST(i AS INT), 1)) * pw.v) % {MOD} AS BIGINT) AS fp
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+      FROM documents)
+JOIN pw ON pw.j = length(text) - i
+GROUP BY 1""",
+        "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY 1, 2""",
+    }

@@ -1,0 +1,98 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline: sketch-build throughput (tokens/sec) of the hierarchical Bloom
+index over the documents-derived corpus at $SPARK_GRAFT_SF_DIR, plus
+wall-times of the representative query suite. value = total bench seconds.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  HBI_BENCH_QUERIES   (optional comma list to restrict)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hbi-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+
+    # --- headline: index build throughput -----------------------------------
+    corpus = E._corpus(spark, sf_dir)
+    n_tokens = corpus.agg(F.sum("n_tok")).first()[0]
+    t0 = time.time()
+    index = E._index(spark, sf_dir)
+    index.count()  # materialize the cached sketch table
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    tokens_per_sec = n_tokens / build_sec if build_sec > 0 else float("inf")
+
+    wanted = os.environ.get("HBI_BENCH_QUERIES")
+    names = wanted.split(",") if wanted else [
+        "hbi_pattern_present",
+        "hbi_pattern_missing",
+        "hbi_pattern_rare",
+        "window_membership",
+        "bigram_topk",
+        "cms_freq_probes",
+        "hll_distinct_by_source",
+        "kll_doclen_quantiles",
+        "dedup_jaccard_pairs",
+        "minhash_lsh_neardup",
+        "ann_cosine_topk",
+        "text_quality",
+    ]
+    qmap = E.queries()
+    for name in names:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(time.time() - total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "hbi_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "tokens_indexed": int(n_tokens),
+                "index_build_tokens_per_sec": round(tokens_per_sec),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Corpus construction: the input_hint table (doc_id, tokens:array<int32>,
+n_tok:int32, source:string).
+
+Two producers:
+
+* ``corpus_from_documents`` — deterministic codepoint tokenization of the
+  driver testdata ``documents`` table (shared definition with the DuckDB
+  oracles, so results are comparable bit-for-bit).
+* ``generate_corpus`` — seeded synthetic corpus mirroring the reference's
+  generator families (datagenerators/Generator.java:27-75 uniform/Zipf,
+  MarkovChainGenerator.java, AdversarialGenerators.java:14-93 blocks +
+  De Bruijn), generated **distributed**: a range of doc ids is partitioned
+  and each executor synthesizes its own docs from per-doc seeds — no driver
+  materialization, so it scales to any SF.
+
+Also ``with_global_offsets``: a scale-safe exclusive prefix sum of n_tok in
+doc order (two-pass: per-partition subtotals -> driver prefix -> broadcast),
+avoiding the single-partition shuffle a naive
+``sum() over (order by doc_id rows unbounded preceding)`` would cost.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import HbiConfig
+from .functions import codepoint_tokens
+from .sketches.hashing import splitmix64
+
+CORPUS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+# FIXTURES.md §1 regimes; zipf1.5 docs are ~10x longer => skewed `source`,
+# exercising the explicit repartition/salting path.
+SOURCES = ("uniform", "zipf1.0", "zipf1.5", "markov", "debruijn", "blocks")
+_DOCS_PER_SF = 20_000  # docs at SF=1 per source
+
+
+def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenized corpus derived from the driver's documents table:
+    tokens = UTF codepoints of text (engine-agnostic, oracle-shareable)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        codepoint_tokens("text").alias("tokens"),
+        F.length("text").cast("int").alias("n_tok"),
+        F.col("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic generator (deterministic, distributed)
+# ---------------------------------------------------------------------------
+def _doc_seed(global_seed: int, source: str, idx: int) -> int:
+    h = np.asarray([hash_source(source) ^ (global_seed * 0x9E3779B1) ^ idx], dtype=np.uint64)
+    return int(splitmix64(h)[0])
+
+
+def hash_source(source: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in source.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _zipf_tokens(rng: np.random.Generator, n: int, vocab: int, s: float) -> np.ndarray:
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks**-s)
+    cdf /= cdf[-1]
+    return np.searchsorted(cdf, rng.random(n)).astype(np.int32)
+
+
+def _markov_tokens(rng: np.random.Generator, n: int, vocab: int, seed: int) -> np.ndarray:
+    # order-1 chain with a seeded sparse transition structure: from state v,
+    # next is one of 8 deterministic successors chosen by a seeded hash
+    succ = (
+        splitmix64((np.arange(vocab, dtype=np.uint64)[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64)[None, :]) ^ np.uint64(seed))
+        % np.uint64(vocab)
+    ).astype(np.int32)
+    out = np.empty(n, dtype=np.int32)
+    state = int(rng.integers(0, vocab))
+    choices = rng.integers(0, 8, n)
+    for i in range(n):
+        state = succ[state, choices[i]]
+        out[i] = state
+    return out
+
+
+def _debruijn_tokens(n: int, sigma: int = 4, k: int = 6, offset: int = 0) -> np.ndarray:
+    # standard greedy ("prefer-largest") De Bruijn sequence B(sigma, k):
+    # every k-gram occurs exactly once (AdversarialGenerators.java:42-93)
+    a = [0] * (sigma * k)
+    seq: list[int] = []
+
+    def db(t: int, p: int) -> None:
+        if t > k:
+            if k % p == 0:
+                seq.extend(a[1 : p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, sigma):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    full = np.asarray(seq, dtype=np.int32)
+    reps = int(np.ceil((offset + n) / len(full)))
+    return np.tile(full, max(1, reps))[offset : offset + n]
+
+
+def _blocks_tokens(rng: np.random.Generator, n: int, vocab: int = 16, block: int = 32) -> np.ndarray:
+    # alternating homogeneous blocks (AdversarialGenerators.java:14-40)
+    n_blocks = n // block + 2
+    symbols = rng.integers(0, vocab, n_blocks).astype(np.int32)
+    return np.repeat(symbols, block)[:n]
+
+
+def generate_doc_tokens(source: str, idx: int, seed: int, vocab: int = 4096) -> np.ndarray:
+    """Deterministic token array for one (source, idx) doc — pure function."""
+    dseed = _doc_seed(seed, source, idx)
+    rng = np.random.default_rng(dseed)
+    n = int(rng.integers(64, 513))
+    if source == "uniform":
+        return rng.integers(0, vocab, n).astype(np.int32)
+    if source == "zipf1.0":
+        return _zipf_tokens(rng, n, vocab, 1.0)
+    if source == "zipf1.5":
+        return _zipf_tokens(rng, n * 10, vocab, 1.5)  # 10x longer: skew
+    if source == "markov":
+        return _markov_tokens(rng, n, 256, dseed)
+    if source == "debruijn":
+        return _debruijn_tokens(n, 4, 6, offset=int(rng.integers(0, 4096)))
+    if source == "blocks":
+        return _blocks_tokens(rng, n)
+    raise ValueError(f"unknown source {source}")
+
+
+def generate_corpus(
+    spark: SparkSession,
+    sf: float = 0.01,
+    seed: int = 42,
+    vocab: int = 4096,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus at scale factor ``sf``.
+
+    spark.range partitions the id space; each executor synthesizes its own
+    rows inside mapInPandas (Arrow-batched). At 1000 executors this generates
+    any SF with zero driver memory — the pattern a 100 TB fixture build needs.
+    """
+    docs_per_source = max(4, int(_DOCS_PER_SF * sf))
+    total = docs_per_source * len(SOURCES)
+    n_partitions = n_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, total, 1, n_partitions)
+
+    sources = list(SOURCES)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gid in pdf["id"]:
+                src = sources[int(gid) % len(sources)]
+                idx = int(gid) // len(sources)
+                toks = generate_doc_tokens(src, idx, seed, vocab)
+                rows.append((f"{src}-{idx:08d}", toks, len(toks), src))
+            out = pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"])
+            yield out
+
+    return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# global position axis
+# ---------------------------------------------------------------------------
+def with_global_offsets(df: DataFrame, order_col: str = "doc_id") -> DataFrame:
+    """Add ``doc_offset`` = exclusive prefix-sum of n_tok in ``order_col``
+    order, computed without a single-partition window.
+
+    Pass 1: range-partition + sort by key, count per-partition token totals
+    (tiny collect: one row per partition). Pass 2: broadcast the partition
+    prefix, add in-partition cumulative sums via mapInPandas. This is the
+    distributed analog of the reference's global stream counter
+    (PMIndex/HBI.java:215-267 `counter`).
+    """
+    spark = df.sparkSession
+    n_part = max(df.rdd.getNumPartitions(), 1)
+    arranged = df.repartitionByRange(n_part, F.col(order_col)).sortWithinPartitions(order_col)
+    arranged = arranged.withColumn("_pid", F.spark_partition_id())
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in arranged.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    prefix = {}
+    acc = 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += int(totals[pid])
+    bprefix = spark.sparkContext.broadcast(prefix)
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in arranged.schema.fields if f.name != "_pid")
+    out_schema += ", doc_offset long"
+
+    def add_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        running = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = int(bprefix.value.get(int(pdf["_pid"].iloc[0]), 0))
+            csum = pdf["n_tok"].cumsum()
+            pdf = pdf.copy()
+            pdf["doc_offset"] = running + csum.shift(1, fill_value=0).astype("int64")
+            running += int(pdf["n_tok"].sum())
+            yield pdf.drop(columns=["_pid"])
+
+    return arranged.mapInPandas(add_offsets, schema=out_schema)

@@ -1,0 +1,23 @@
+from .build import build_index, compact_index, index_stats, level_params, level_seed
+from .probe import probe_blobs
+from .route import (
+    brute_force_search,
+    deepest_usable_level,
+    pattern_keys,
+    pattern_search,
+    window_membership,
+)
+
+__all__ = [
+    "build_index",
+    "compact_index",
+    "index_stats",
+    "level_params",
+    "level_seed",
+    "probe_blobs",
+    "brute_force_search",
+    "deepest_usable_level",
+    "pattern_keys",
+    "pattern_search",
+    "window_membership",
+]

@@ -1,0 +1,232 @@
+"""Hierarchical Bloom index build — the rebuild of insert/append/createTree
+(PMIndex/HBI.java:215-267, tree/ImplicitTree.java:56-76) as a vectorized
+Spark pipeline.
+
+Output: the **sketch table** — one row per (doc_id?, level, w_id) holding a
+serialized Bloom filter over that dyadic window's tokens (or n-gram ids),
+plus metadata (n_items, bits_set, fill FPR feed the cost model, mirroring
+membership/BloomFilter.java:52-66).
+
+Scale design (the part that must survive 100 TB):
+
+* axis='doc' (per-document windows): every document's tokens live in ONE
+  corpus row, so every (doc, level, w) filter is built by exactly one task —
+  the build is a single mapInPandas pass with **zero shuffle**. All hashing
+  and bit-setting is batched numpy across every window in the Arrow batch at
+  once (one bitwise_or.at per level per batch, not per window).
+* axis='global' (one token stream, reference parity): windows cross document
+  boundaries, so partials are merged per (level, w_id) via
+  groupBy().applyInPandas (two-phase partial+final). Because documents are
+  range-partitioned by doc order first, a window's partials land in at most
+  two partitions — the shuffle moves ~|sketch table| bytes, not ~|data|.
+
+Filters at one level share (m, k, seed), so probing N windows for T pattern
+tokens is one vectorized gather, and level L-1 could be OR-rolled-up from
+level L children — we still build all levels in one data pass because the
+pass is token-bound, not level-bound (levels only add hashing, no extra scan).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import HbiConfig
+from ..sketches.bloom import BloomFilter, design
+from ..sketches.hashing import pack_ngrams_u64, popcount_u64
+
+DOC_INDEX_SCHEMA = "doc_id string, level int, w_id long, bloom binary, n_items long, bits_set long"
+GLOBAL_INDEX_SCHEMA = "level int, w_id long, bloom binary, n_items long, bits_set long"
+
+
+def level_params(cfg: HbiConfig) -> dict[int, tuple[int, int]]:
+    """(m, k) per level; seed depends on (cfg.seed, level) so levels are
+    independent hash families but all filters within a level are mergeable."""
+    return {L: design(cfg.bloom_capacity(L), cfg.fpr) for L in cfg.levels}
+
+
+def level_seed(cfg: HbiConfig, level: int) -> int:
+    return cfg.seed * 1_000_003 + level
+
+
+def _batch_keys(tokens_list, cfg: HbiConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch of token arrays into (doc_idx, pos, key) numpy arrays.
+
+    Keys are raw tokens (ngram=1) or packed n-gram ids; pos is the position
+    of the key's FIRST symbol (n-gram i covers positions [i, i+n-1], we index
+    it at i — matching the reference's n-gram-at-position semantics,
+    search/Pattern.java:29-45).
+    """
+    doc_idx_parts, pos_parts, key_parts = [], [], []
+    for i, toks in enumerate(tokens_list):
+        arr = np.asarray(toks, dtype=np.int64)
+        if cfg.ngram == 1:
+            keys = arr.astype(np.uint64)
+        else:
+            keys = pack_ngrams_u64(arr, cfg.ngram, cfg.ngram_base_bits)
+        if len(keys) == 0:
+            continue
+        doc_idx_parts.append(np.full(len(keys), i, dtype=np.int64))
+        pos_parts.append(np.arange(len(keys), dtype=np.int64))
+        key_parts.append(keys)
+    if not key_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint64)
+    return np.concatenate(doc_idx_parts), np.concatenate(pos_parts), np.concatenate(key_parts)
+
+
+def _build_level_filters(
+    group_ids: np.ndarray, n_groups: int, keys: np.ndarray, m: int, k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build n_groups Bloom filters at once: one vectorized scatter.
+
+    Returns (words matrix (n_groups, n_words) uint64, n_items per group).
+    """
+    proto = BloomFilter(m, k, seed)
+    n_words = len(proto.words)
+    big = np.zeros((n_groups, n_words), dtype=np.uint64)
+    pos = proto._positions(keys)  # (n_keys, k) bit positions, shared family
+    rows = np.repeat(group_ids, k)
+    flat = pos.ravel()
+    np.bitwise_or.at(big, (rows, (flat >> np.uint64(6)).astype(np.int64)), np.uint64(1) << (flat & np.uint64(63)))
+    n_items = np.bincount(group_ids, minlength=n_groups)
+    return big, n_items
+
+
+def build_index(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    """Build the hierarchical sketch table from a corpus DataFrame."""
+    if cfg.axis == "doc":
+        return _build_doc_axis(corpus, cfg)
+    return _build_global_axis(corpus, cfg)
+
+
+def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    params = level_params(cfg)
+    levels = cfg.levels
+    spans = {L: cfg.span(L) for L in levels}
+    seeds = {L: level_seed(cfg, L) for L in levels}
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            doc_idx, pos, keys = _batch_keys(pdf["tokens"], cfg)
+            if len(keys) == 0:
+                continue
+            out_doc, out_level, out_w, out_blob, out_n, out_bits = [], [], [], [], [], []
+            for L in levels:
+                m, k = params[L]
+                w = pos >> np.uint64(int(np.log2(spans[L])))
+                composite = doc_idx * (1 << 40) + w  # doc-local windows: w < 2^40
+                uniq, group_ids = np.unique(composite, return_inverse=True)
+                words, n_items = _build_level_filters(group_ids, len(uniq), keys, m, k, seeds[L])
+                u_doc = (uniq >> 40).astype(np.int64)
+                u_w = (uniq & ((1 << 40) - 1)).astype(np.int64)
+                for g in range(len(uniq)):
+                    bf = BloomFilter(m, k, seeds[L], words[g], int(n_items[g]))
+                    out_doc.append(doc_ids[u_doc[g]])
+                    out_level.append(L)
+                    out_w.append(int(u_w[g]))
+                    out_blob.append(bf.to_bytes())
+                    out_n.append(int(n_items[g]))
+                    out_bits.append(popcount_u64(words[g]))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "level": out_level, "w_id": out_w,
+                 "bloom": out_blob, "n_items": out_n, "bits_set": out_bits}
+            )
+
+    return corpus.mapInPandas(build, schema=DOC_INDEX_SCHEMA)
+
+
+def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    """Global stream axis: requires doc_offset (see corpus.with_global_offsets)."""
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    params = level_params(cfg)
+    levels = cfg.levels
+    spans = {L: cfg.span(L) for L in levels}
+    seeds = {L: level_seed(cfg, L) for L in levels}
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            offsets = pdf["doc_offset"].to_numpy()
+            doc_idx, pos, keys = _batch_keys(pdf["tokens"], cfg)
+            if len(keys) == 0:
+                continue
+            gpos = (offsets[doc_idx] + pos).astype(np.uint64)
+            out = {c: [] for c in ("level", "w_id", "bloom", "n_items", "bits_set")}
+            for L in levels:
+                m, k = params[L]
+                w = (gpos >> np.uint64(int(np.log2(spans[L])))).astype(np.int64)
+                uniq, group_ids = np.unique(w, return_inverse=True)
+                words, n_items = _build_level_filters(group_ids, len(uniq), keys, m, k, seeds[L])
+                for g in range(len(uniq)):
+                    bf = BloomFilter(m, k, seeds[L], words[g], int(n_items[g]))
+                    out["level"].append(L)
+                    out["w_id"].append(int(uniq[g]))
+                    out["bloom"].append(bf.to_bytes())
+                    out["n_items"].append(int(n_items[g]))
+                    out["bits_set"].append(popcount_u64(words[g]))
+            yield pd.DataFrame(out)
+
+    partial_df = corpus.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf
+        acc = BloomFilter.from_bytes(pdf["bloom"].iloc[0])
+        for b in pdf["bloom"].iloc[1:]:
+            acc = acc.merge(BloomFilter.from_bytes(b))
+        return pd.DataFrame(
+            {"level": [pdf["level"].iloc[0]], "w_id": [pdf["w_id"].iloc[0]],
+             "bloom": [acc.to_bytes()], "n_items": [acc.n_added],
+             "bits_set": [acc.bits_set()]}
+        )
+
+    # final merge: only windows straddling partition boundaries have >1 partial
+    return partial_df.groupBy("level", "w_id").applyInPandas(merge_group, schema=GLOBAL_INDEX_SCHEMA)
+
+
+def index_stats(index: DataFrame, cfg: HbiConfig) -> pd.DataFrame:
+    """Per-level summary feeding the cost model: window count, avg fill FPR.
+
+    Pure relational aggregation over metadata columns — no blob reads
+    (the analog of the reference's per-level fill-FPR lookups,
+    membership/BloomFilter.java:52-57).
+    """
+    params = level_params(cfg)
+    rows = (
+        index.groupBy("level")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.avg("bits_set").alias("avg_bits"),
+            F.sum("n_items").alias("total_items"),
+            F.avg("n_items").alias("avg_items"),
+        )
+        .collect()
+    )
+    recs = []
+    for r in rows:
+        m, k = params[r["level"]]
+        rho = r["avg_bits"] / m
+        recs.append(
+            {"level": r["level"], "n_windows": r["n_windows"], "m": m, "k": k,
+             "span": cfg.span(r["level"]), "avg_fill": rho, "fill_fpr": rho**k,
+             "total_items": r["total_items"], "avg_items": r["avg_items"]}
+        )
+    return pd.DataFrame(recs).sort_values("level").reset_index(drop=True)
+
+
+def compact_index(index: DataFrame, drop_below_level: int) -> DataFrame:
+    """Memory policy: drop the coarsest levels (level < lp), the rebuild of
+    dropFiltersUpToLp (tree/ImplicitTree.java:112-122, PMIndex/HBI.java:288-323).
+    A predicate — Catalyst prunes the dropped rows at scan time."""
+    return index.filter(F.col("level") >= drop_below_level)

@@ -1,0 +1,260 @@
+"""Deduplication operators for large-scale training corpora.
+
+Beyond reference parity (SURVEY is an index/sketch library), these are the
+document-level dedup primitives a 100 TB pipeline needs, built on the same
+kernel toolbox:
+
+* exact duplicates            — hash groupBy (one shuffle of 8-byte keys)
+* n-gram Jaccard (exact)      — shingle co-occurrence join; the oracle
+* MinHash + LSH banding       — the scale path: candidates meet only inside
+                                 tiny band buckets, never all-pairs
+* SimHash                     — Hamming-ball near-dup via chunk banding
+
+Scale notes: all-pairs comparisons only ever happen WITHIN an LSH bucket or
+between exact-Jaccard candidates that already share a shingle. The shuffles
+move (key, doc_id) pairs, not documents. Signatures are computed in one
+Arrow-batched numpy pass per partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..sketches.hashing import hash64, splitmix64
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+def char_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Distinct char n-gram hashes of a string, vectorized (bytes -> packed
+    uint64 windows -> splitmix). n <= 8 so a shingle packs into one word."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+    packed = np.zeros(len(win), dtype=np.uint64)
+    for i in range(n):
+        packed = (packed << _U64(8)) | win[:, i]
+    return np.unique(splitmix64(packed))
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (dup_key, n_dups, doc_ids),
+    keyed by xxhash64 so the shuffle carries 8-byte keys, not documents."""
+    return (
+        docs.select(F.xxhash64(text_col).alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the oracle; quadratic only within shared shingles)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with char-n-gram Jaccard >= threshold.
+
+    Exact: |A∩B| via a co-occurrence self-join on shingle hash, |A∪B| from
+    set sizes. Pairs sharing no shingle never materialize.
+    """
+    def shingles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                h = char_shingle_hashes(txt, n)
+                ids.extend([did] * len(h))
+                hs.extend(h.astype(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "sh": hs})
+
+    sh = docs.select(id_col, text_col).mapInPandas(shingles, schema="doc_id string, sh long")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = 128,
+    shingle_n: int = 5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>): sig[i] = min over shingles of h_i(shingle).
+
+    Vectorized: one (n_shingles, n_perm) hash matrix per doc via seeded
+    SplitMix64 re-mixing of the base shingle hashes — no per-row Python.
+    """
+    perm_seeds = splitmix64(np.arange(n_perm, dtype=np.uint64) ^ _U64(seed * 0x9E3779B1))
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                h = char_shingle_hashes(txt, shingle_n)
+                # h_i(x) = splitmix(x ^ seed_i): (n_shingles, n_perm)
+                mat = splitmix64(h[:, None] ^ perm_seeds[None, :])
+                out_ids.append(did)
+                out_sigs.append(mat.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(sigs, schema="doc_id string, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
+
+    bands * rows = n_perm; candidate pairs collide on at least one band hash
+    (P[candidate] ~= 1-(1-j^rows)^bands). Survivors are re-checked with the
+    EXACT shingle Jaccard, so false-positive candidates never reach the
+    output — only LSH false negatives (missed pairs) remain, which the recall
+    test bounds. Scale: bucket join shuffles (band_hash, doc_id) only.
+    """
+    rows = n_perm // bands
+    sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col).cache()
+    band_cols = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ])
+    ).alias("bs")
+    buckets = sig.select("doc_id", band_cols).select("doc_id", "bs.band", "bs.bh")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, 0.0 + 1e-9, shingle_n, text_col, id_col).withColumnRenamed(
+        "jaccard", "j"
+    )
+    return (
+        cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+        .filter(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.col("j").alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_signatures(
+    docs: DataFrame, shingle_n: int = 4, seed: int = 7, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of shingle hashes."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                h = hash64(char_shingle_hashes(txt, shingle_n), seed)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                word = _U64(0)
+                for i in np.where(acc > 0)[0]:
+                    word |= _U64(1) << _U64(int(i))
+                ids.append(did)
+                out.append(np.int64(word.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(sig, schema="doc_id string, simhash long")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    shingle_n: int = 4,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming via chunk banding:
+    split 64 bits into max_hamming+1 chunks — any pair within distance d
+    agrees exactly on >= 1 chunk (pigeonhole), so candidates collide on a
+    (chunk_id, chunk_value) bucket; exact Hamming re-check after."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash_signatures(docs, shingle_n, seed, text_col, id_col).cache()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk", "ch.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand.select("doc_a", "doc_b", "hamming")

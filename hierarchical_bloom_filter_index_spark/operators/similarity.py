@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: the baseline/oracle. Per
+  partition, one numpy matmul against the broadcast query matrix produces a
+  PARTIAL top-k; only n_partitions*k tiny rows shuffle to the final top-k.
+  At 100 TB this is the classic map-side-combine shape: the crossJoin never
+  materializes.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets candidates,
+  exact re-rank inside buckets; recall measured against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..sketches.hashing import splitmix64
+
+
+def _topk_schema() -> str:
+    return "query_id long, vec_id long, score double"
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector (excluding itself):
+    (query_id, vec_id, score), score = cosine similarity in float64.
+
+    Queries are collected (small by contract) and broadcast; candidates never
+    leave their partitions until reduced to per-partition top-k.
+    """
+    spark = embeddings.sparkSession
+    qrows = embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame([], _topk_schema())
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = qn @ mat.T  # (n_queries, n_batch)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids_)):
+                s = sims[qi]
+                mask = ids != qids_[qi]
+                cand_idx = np.where(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = cand_idx[np.argsort(-s[cand_idx], kind="stable")[:k]]
+                out_q.extend([qids_[qi]] * len(take))
+                out_v.extend(ids[take])
+                out_s.extend(s[take])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "score": out_s})
+
+    partials = embeddings.select(id_col, vec_col).mapInPandas(partial, schema=_topk_schema())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    seed: int = 123,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH signature per vector as a long bucket id."""
+    spark = embeddings.sparkSession
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    # deterministic gaussian planes from seeded splitmix stream
+    u = splitmix64(np.arange(2 * n_planes * dim, dtype=np.uint64) ^ np.uint64(seed * 0x9E3779B1))
+    uniform = (u.astype(np.float64) + 0.5) / 2.0**64
+    g = np.sqrt(-2.0 * np.log(uniform[: n_planes * dim])) * np.cos(
+        2.0 * np.pi * uniform[n_planes * dim :]
+    )
+    planes = g.reshape(n_planes, dim)
+    bp = spark.sparkContext.broadcast(planes)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ P.T) > 0  # (n, n_planes)
+            bucket = np.zeros(len(mat), dtype=np.int64)
+            for i in range(P.shape[0]):
+                bucket |= bits[:, i].astype(np.int64) << i
+            out = pdf[[id_col]].copy()
+            out["bucket"] = bucket
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(sig, schema=f"{id_col} long, bucket long")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: union of ``n_tables`` hyperplane-LSH bucket
+    probes, exact re-rank of the candidate union. Recall < 1 possible (missed
+    neighbors); tests measure it vs cosine_topk."""
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signatures(embeddings, n_planes, seed=1000 + t, id_col=id_col, vec_col=vec_col)
+        q = sig.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
+            F.col(id_col).alias("query_id"), "bucket"
+        )
+        c = sig.join(q, on="bucket", how="inner").select("query_id", id_col)
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.filter(F.col("query_id") != F.col(id_col)).distinct()
+
+    # exact re-rank of candidates only (broadcast the query matrix again)
+    spark = embeddings.sparkSession
+    qrows = embeddings.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(id_col, vec_col).collect()
+    qmap = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in qrows}
+    for qid in qmap:
+        qmap[qid] = qmap[qid] / np.linalg.norm(qmap[qid])
+    bq = spark.sparkContext.broadcast(qmap)
+
+    joined = cands.join(embeddings.select(id_col, vec_col), on=id_col, how="inner")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = np.asarray(
+                [float(qm[q] @ m) for q, m in zip(pdf["query_id"], mat)], dtype=np.float64
+            )
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf[id_col], "score": scores}
+            )
+
+    scored = joined.mapInPandas(rerank, schema=_topk_schema())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )

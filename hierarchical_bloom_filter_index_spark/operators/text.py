@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines: quality scoring, language ID,
+token counting, fingerprinting.
+
+Everything here that feeds an oracle-checked query is built ONLY from
+engine-agnostic primitives (length/split/replace/integer math) so the same
+definition is expressible in ANSI SQL; ratios are emitted as scaled integers
+(floor(x*10^4)) to avoid cross-engine float-rounding drift. Heavier
+operators (winnowing fingerprints) are numpy-vectorized Arrow stages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..sketches.hashing import splitmix64
+
+# tiny per-language stopword markers (synthetic-data-friendly demo heuristic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " das "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "zh": [" de ", " shi ", " le "],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+_MOD = 1_000_000_007
+_BASE = 131
+
+
+def occurrences(text_col, needle: str) -> Column:
+    """Occurrence count of a literal substring — (len(t)-len(replace))/len(n),
+    identical semantics in Spark and ANSI SQL."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return ((F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit("")))) / len(needle)).cast("int")
+
+
+def word_count(text_col) -> Column:
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(t, " "))
+
+
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """Quality metrics as scaled-int columns (all JVM built-ins):
+    n_chars, n_words, avg word length x10^4, stopword ratio x10^4."""
+    t = F.col(text_col)
+    n_words = word_count(text_col)
+    stop_hits = None
+    for w in STOPWORDS:
+        occ = occurrences(text_col, f" {w} ")
+        stop_hits = occ if stop_hits is None else stop_hits + occ
+    return [
+        F.length(t).cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        F.floor((F.length(t) - n_words + 1) * 10_000 / n_words).cast("long").alias("avg_word_len_x1e4"),
+        F.floor(stop_hits * 10_000 / n_words).cast("long").alias("stopword_ratio_x1e4"),
+    ]
+
+
+def lang_id_column(text_col: str = "text") -> Column:
+    """Marker-count argmax language guess (ties broken by language order) —
+    a CASE/GREATEST cascade expressible identically in SQL."""
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for mk in markers:
+            occ = occurrences(text_col, mk)
+            s = occ if s is None else s + occ
+        scores[lang] = s
+    langs = list(LANG_MARKERS)
+    best = scores[langs[0]]
+    guess = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = scores[lang] > best
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return F.when(best > 0, guess).otherwise(F.lit("unknown"))
+
+
+def token_count_column(text_col: str = "text") -> Column:
+    """BPE-ish cost proxy: whitespace words + punctuation marks, each
+    punctuation char counted as its own token (engine-agnostic)."""
+    punct = [".", ",", ";", ":", "!", "?"]
+    n = word_count(text_col)
+    for p in punct:
+        n = n + occurrences(text_col, p)
+    return n.cast("int")
+
+
+def positional_fingerprint_column(text_col: str = "text") -> Column:
+    """Order-sensitive polynomial fingerprint over codepoints:
+    h = sum(c_i * base^(n-1-i)) mod p == fold(h*base + c_i) — the rolling-hash
+    identity, computed as a left fold in both engines (F.aggregate here,
+    recursive power table in the SQL oracle)."""
+    t = F.col(text_col)
+    return F.aggregate(
+        F.transform(F.split(t, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _BASE + c) % _MOD,
+    ).alias("fingerprint")
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): k-gram rolling hashes, per-window minima
+    — the document fingerprint set used for plagiarism/near-dup detection.
+    Guarantee: any shared substring of length >= k+window-1 shares a
+    fingerprint. Vectorized numpy sliding windows per Arrow batch."""
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                if len(b) < k:
+                    ids.append(did)
+                    fps.append(np.empty(0, dtype=np.int64))
+                    continue
+                grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+                packed = np.zeros(len(grams), dtype=np.uint64)
+                for i in range(k):
+                    packed = packed * np.uint64(257) + grams[:, i]
+                h = splitmix64(packed)
+                if len(h) <= window:
+                    sel = np.asarray([h.min()], dtype=np.uint64)
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = np.unique(wins.min(axis=1))
+                ids.append(did)
+                fps.append(sel.astype(np.int64))
+            yield pd.DataFrame({"doc_id": ids, "fps": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(fp, schema="doc_id string, fps array<long>")

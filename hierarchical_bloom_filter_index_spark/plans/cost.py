@@ -1,0 +1,88 @@
+"""Cost-based start-level selection — application-level planning, the rebuild
+of the reference's optimizer (estimators/LevelCostMinimizer.java:15-55,
+estimators/CostFunctionMaxProb.java, utilities/MathUtils.java:112-157).
+
+Not a Catalyst rule: it chooses which DataFrame cascade to run (SURVEY §4.1).
+All inputs are tiny broadcastable summaries: per-level index stats
+(operators.build.index_stats) and per-token frequency estimates (from a CMS
+or an exact frequency table).
+
+Model (iid token model, the CostFunctionMaxProb analog):
+  P(key t present in a window of span s) ~= 1 - (1 - p_t)^s, inflated by the
+  level's achieved fill FPR beta_L (membership/BloomFilter.java:52-57).
+  Expected surviving windows at level L:
+      E[L] = n_windows(L) * prod_t min(1, hit(t, 2*span_L) + beta_L)
+  (2*span because the probe unions a window with its right neighbor).
+  Descending from level Lp costs
+      cost(Lp) = sum_{L=Lp..deepest} probe_cost * E_probe_rows(L)
+               + verify_cost * span_deepest * E[deepest]
+  with E_probe_rows(Lp) = n_windows(Lp) (the seed level probes every window,
+  IntervalScanner.java:43-56 seeds all 2^Lp frames) and
+  E_probe_rows(L>Lp) = 2 * E[L-1] (children of survivors).
+
+choose_start_level returns argmin — the pruningLevel/minCostLp closed form
+over summaries instead of per-node descent.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def closed_form_pruning_level(
+    conf: float, p_min: float, n_levels: int, tree_span: int, bloom_fpr: float = 0.0
+) -> int:
+    """Reference closed form (utilities/MathUtils.java:112-157): shallowest
+    level whose interval is unlikely (at confidence ``conf``) to contain a
+    token of probability ``p_min`` by chance, padded by the Bloom FPR."""
+    for L in range(n_levels):
+        span = tree_span >> L
+        hit = 1.0 - (1.0 - p_min) ** span + bloom_fpr
+        if hit < 1.0 - conf:
+            return L
+    return n_levels - 1
+
+
+def expected_survivors(
+    stats: pd.DataFrame, key_probs: np.ndarray, level: int
+) -> float:
+    row = stats[stats["level"] == level].iloc[0]
+    span = row["span"]
+    beta = row["fill_fpr"]
+    hit = 1.0 - np.power(1.0 - np.minimum(key_probs, 1.0), 2 * span)
+    per_window = float(np.prod(np.minimum(1.0, hit + beta)))
+    return row["n_windows"] * per_window
+
+
+def choose_start_level(
+    stats: pd.DataFrame,
+    key_probs: np.ndarray,
+    pattern_len: int,
+    probe_cost: float = 1.0,
+    verify_cost: float = 0.25,
+) -> int:
+    """argmin over seed levels of expected probe rows + verification work.
+
+    ``key_probs``: per-distinct-pattern-key occurrence probability (frequency
+    / total tokens), from CMS estimates or an exact frequency table —
+    the estimateALl role (estimators/CSEstimator.java:84-91).
+    """
+    usable = stats[stats["span"] >= max(1, pattern_len)]
+    if len(usable) == 0:
+        return 0
+    deepest = int(usable["level"].max())
+    best_level, best_cost = 0, math.inf
+    for lp in range(deepest + 1):
+        cost = probe_cost * float(stats[stats["level"] == lp].iloc[0]["n_windows"])
+        e_prev = expected_survivors(stats, key_probs, lp)
+        for L in range(lp + 1, deepest + 1):
+            cost += probe_cost * 2.0 * e_prev
+            e_prev = min(2.0 * e_prev, expected_survivors(stats, key_probs, L))
+        span_d = int(stats[stats["level"] == deepest].iloc[0]["span"])
+        cost += verify_cost * span_d * e_prev
+        if cost < best_cost:
+            best_level, best_cost = lp, cost
+    return best_level

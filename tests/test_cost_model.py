@@ -1,0 +1,58 @@
+"""Cost-model unit tests (pure python — no Spark needed)."""
+
+import numpy as np
+import pandas as pd
+
+from hierarchical_bloom_filter_index_spark.plans.cost import (
+    choose_start_level,
+    closed_form_pruning_level,
+    expected_survivors,
+)
+
+
+def _stats(tree_span=1024, leaf_span=32, n_trees=100, fill=0.3, k=5):
+    rows = []
+    L = 0
+    span = tree_span
+    while span >= leaf_span:
+        rows.append(
+            {"level": L, "n_windows": n_trees * (tree_span // span), "m": 1000, "k": k,
+             "span": span, "avg_fill": fill, "fill_fpr": fill**k,
+             "total_items": n_trees * tree_span, "avg_items": span}
+        )
+        L += 1
+        span >>= 1
+    return pd.DataFrame(rows)
+
+
+def test_closed_form_monotone_in_pmin():
+    # rarer tokens (smaller p_min) allow shallower (coarser) start levels
+    lvl_common = closed_form_pruning_level(0.95, 0.1, 6, 1024)
+    lvl_rare = closed_form_pruning_level(0.95, 0.00001, 6, 1024)
+    assert lvl_rare <= lvl_common
+
+
+def test_expected_survivors_decreasing_with_depth_for_rare_keys():
+    stats = _stats()
+    probs = np.asarray([1e-5, 1e-5, 1e-5])
+    e0 = expected_survivors(stats, probs, 0)
+    e_deep = expected_survivors(stats, probs, int(stats["level"].max()))
+    # rare keys: deeper levels have more windows but far lower hit prob each
+    assert e_deep < stats[stats["level"] == stats["level"].max()].iloc[0]["n_windows"]
+    assert e0 <= stats.iloc[0]["n_windows"]
+
+
+def test_choose_start_level_common_vs_rare():
+    stats = _stats()
+    rare = choose_start_level(stats, np.asarray([1e-6] * 4), pattern_len=8)
+    common = choose_start_level(stats, np.asarray([0.5] * 4), pattern_len=8)
+    # rare tokens prune at coarse levels: seed near the root and let the
+    # cascade cut; ubiquitous tokens never prune, so seeding at the deepest
+    # usable level skips pointless intermediate probes — the same direction
+    # as the reference's MostFreqPruning (higher pMin => deeper Lp,
+    # search/MostFreqPruning.java:31-52)
+    assert rare == 0
+    assert common == int(stats["level"].max())
+    # respects the pattern-length descent guard: span(L) >= m forces level 0
+    deep_guarded = choose_start_level(stats, np.asarray([1e-6]), pattern_len=1024)
+    assert deep_guarded == 0

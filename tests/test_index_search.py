@@ -1,0 +1,142 @@
+"""End-to-end index tests: build -> route -> verify == brute force, on the
+reference's three query classes (missing / rare / uniform), mirroring the
+differential methodology of HBIDatasetBenchmark.compared
+(HBIDatasetBenchmark.java:106-182)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.operators import (
+    brute_force_search,
+    build_index,
+    compact_index,
+    index_stats,
+    pattern_search,
+    window_membership,
+)
+
+CFG = HbiConfig(tree_span=512, leaf_span=32, fpr=0.05, vocab=4096, seed=42)
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    df = C.generate_corpus(spark, sf=0.002, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, small_corpus):
+    idx = build_index(small_corpus, CFG).cache()
+    idx.count()
+    return idx
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["pos"]) for r in df.collect())
+
+
+def _sample_patterns(small_corpus, plen, n=5):
+    """uniform-class queries: contiguous slices of real docs (present)."""
+    rows = small_corpus.filter(F.col("n_tok") >= plen + 8).orderBy("doc_id").limit(n).collect()
+    pats = []
+    for i, r in enumerate(rows):
+        start = (i * 13) % (r["n_tok"] - plen)
+        pats.append(r["tokens"][start : start + plen])
+    return pats
+
+
+def test_index_has_all_levels(small_index):
+    levels = sorted(r["level"] for r in small_index.select("level").distinct().collect())
+    assert levels == CFG.levels
+
+
+@pytest.mark.parametrize("plen", [4, 16, 64])
+def test_uniform_queries_match_bruteforce(spark, small_corpus, small_index, plen):
+    for pat in _sample_patterns(small_corpus, plen, n=3):
+        got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
+        exp = _rows(brute_force_search(small_corpus, pat))
+        assert got == exp and len(exp) >= 1
+
+
+def test_missing_queries_return_empty(spark, small_corpus, small_index):
+    # missing-class: real slice with one token mutated out of vocab
+    for pat in _sample_patterns(small_corpus, 12, n=3):
+        pat = list(pat)
+        pat[len(pat) // 2] = 99_999  # out-of-vocab => guaranteed absent
+        got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
+        assert got == []
+
+
+def test_rare_queries(spark, small_corpus, small_index):
+    # rare-class: slice from the zipf tail doc (low-frequency tokens)
+    row = small_corpus.filter(F.col("source") == "uniform").orderBy("doc_id").first()
+    pat = row["tokens"][-24:]
+    got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
+    exp = _rows(brute_force_search(small_corpus, pat))
+    assert got == exp
+
+
+def test_start_level_override_does_not_change_answers(spark, small_corpus, small_index):
+    pat = _sample_patterns(small_corpus, 8, n=1)[0]
+    exp = _rows(brute_force_search(small_corpus, pat))
+    for lvl in (0, 2, CFG.deepest):
+        got = _rows(pattern_search(small_corpus, small_index, CFG, pat, start_level=lvl))
+        assert got == exp
+
+
+def test_pattern_longer_than_tree_span_falls_back(spark, small_corpus, small_index):
+    row = small_corpus.filter(F.col("n_tok") > CFG.tree_span + 32).first()
+    if row is None:
+        pytest.skip("no doc longer than tree_span at this SF")
+    pat = row["tokens"][3 : 3 + CFG.tree_span + 8]
+    got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
+    exp = _rows(brute_force_search(small_corpus, pat))
+    assert got == exp and len(exp) >= 1
+
+
+def test_window_membership_exact(spark, small_corpus, small_index):
+    row = small_corpus.orderBy("doc_id").first()
+    token = row["tokens"][7]
+    got = sorted((r["doc_id"], r["w_id"]) for r in
+                 window_membership(small_corpus, small_index, CFG, token).collect())
+    # exact oracle in python over collected corpus
+    span = CFG.leaf_span
+    exp = []
+    for r in small_corpus.collect():
+        toks = np.asarray(r["tokens"])
+        for w in np.unique(np.where(toks == token)[0] // span):
+            exp.append((r["doc_id"], int(w)))
+    assert got == sorted(exp) and len(exp) >= 1
+
+
+def test_compact_index_drops_coarse_levels_only(spark, small_corpus, small_index):
+    compacted = compact_index(small_index, 2)
+    levels = sorted(r["level"] for r in compacted.select("level").distinct().collect())
+    assert levels == [L for L in CFG.levels if L >= 2]
+    # queries still exact when coarse levels are dropped (start at level 2)
+    pat = _sample_patterns(small_corpus, 8, n=1)[0]
+    got = _rows(pattern_search(small_corpus, compacted, CFG, pat, start_level=2))
+    exp = _rows(brute_force_search(small_corpus, pat))
+    assert got == exp
+
+
+def test_index_stats_shape(spark, small_index):
+    stats = index_stats(small_index, CFG)
+    assert list(stats["level"]) == CFG.levels
+    assert (stats["fill_fpr"] < 0.7).all()
+    assert (stats["n_windows"].diff().dropna() > 0).all()  # finer => more windows
+
+
+def test_global_axis_build_merges_partials(spark, small_corpus):
+    cfg = CFG.with_(axis="global")
+    idx = build_index(small_corpus.repartition(6), cfg)
+    rows = idx.groupBy("level", "w_id").count().filter("count > 1").count()
+    assert rows == 0  # merged: one row per (level, w_id)
+    # token totals per level equal corpus token count
+    total = small_corpus.agg(F.sum("n_tok")).first()[0]
+    per_level = {r["level"]: r["s"] for r in idx.groupBy("level").agg(F.sum("n_items").alias("s")).collect()}
+    assert all(v == total for v in per_level.values())

@@ -1,0 +1,178 @@
+"""Training-data pipeline operators: dedup (exact/jaccard/minhash/simhash),
+similarity search (brute-force + LSH recall), text analysis, multimodal
+plumbing — each validated against an exact local computation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators import dedup as D
+from hierarchical_bloom_filter_index_spark.operators import multimodal as M
+from hierarchical_bloom_filter_index_spark.operators import similarity as S
+from hierarchical_bloom_filter_index_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "source"
+    )
+    # inject known duplicates + near-duplicates
+    d0 = base.limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            ("dup-1", d0["text"], d0["lang"], "inj"),
+            ("dup-2", d0["text"], d0["lang"], "inj"),
+            ("near-1", d0["text"][:-8] + " changed", d0["lang"], "inj"),
+        ],
+        "doc_id string, text string, lang string, source string",
+    )
+    df = base.unionByName(extra).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+def test_exact_duplicates(spark, docs):
+    groups = D.exact_duplicates(docs).collect()
+    dup_ids = {tuple(g["doc_ids"]) for g in groups}
+    d0 = docs.filter(F.col("doc_id") == "dup-1").first()
+    target = sorted([r["doc_id"] for r in docs.filter(F.col("text") == d0["text"]).collect()])
+    assert tuple(target) in dup_ids
+    assert all(g["n_dups"] == len(g["doc_ids"]) > 1 for g in groups)
+
+
+def _local_jaccard(a: str, b: str, n=5):
+    ha = set(D.char_shingle_hashes(a, n).tolist())
+    hb = set(D.char_shingle_hashes(b, n).tolist())
+    return len(ha & hb) / len(ha | hb)
+
+
+def test_ngram_jaccard_exact_vs_local(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, 0.8).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # local brute force over all pairs
+    ids = sorted(texts)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _local_jaccard(texts[a], texts[b])
+            if j >= 0.8:
+                expected[(a, b)] = j
+    assert set(pairs) == set(expected)
+    for k, v in pairs.items():
+        assert abs(v - expected[k]) < 1e-6
+    assert any("dup-1" in k or "dup-2" in k for k in pairs)  # injected dups found
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs, 0.8, n_perm=128, bands=32).collect()}
+    assert lsh <= exact or lsh == exact  # exact-verified: no false positives
+    recall = len(lsh & exact) / max(1, len(exact))
+    assert recall >= 0.9, f"LSH recall {recall} (found {len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = D.simhash_near_pairs(docs, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact duplicates have identical simhash => hamming 0: must be present
+    assert ("dup-1", "dup-2") in got
+    for r in pairs:
+        assert 0 <= r["hamming"] <= 3
+
+
+# --------------------------------------------------------------------------
+# similarity
+# --------------------------------------------------------------------------
+def test_cosine_topk_matches_numpy(spark, emb):
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    got = S.cosine_topk(emb, qids, k=5).collect()
+    rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+    for q in qids:
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        order = np.argsort(-sims, kind="stable")
+        expect = [int(ids[i]) for i in order if ids[i] != q][:5]
+        gq = sorted(by_q[q])
+        assert [v for _, v, _ in gq] == expect
+        # scores are true cosine (rounded 6dp)
+        for rank, vid, score in gq:
+            assert abs(score - float(sims[ids == vid][0])) < 1e-5
+
+
+def test_lsh_topk_recall(spark, emb):
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    exact = S.cosine_topk(emb, qids, k=5).collect()
+    approx = S.lsh_topk(emb, qids, k=5, n_planes=4, n_tables=16).collect()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"LSH ANN recall {recall}"
+
+
+# --------------------------------------------------------------------------
+# text
+# --------------------------------------------------------------------------
+def test_quality_and_token_count_vs_python(spark, docs):
+    out = docs.select("doc_id", "text", *T.quality_columns(), T.token_count_column().alias("n_bpe")).collect()
+    for r in out[:20]:
+        words = r["text"].split(" ")
+        assert r["n_words"] == len(words)
+        assert r["n_chars"] == len(r["text"])
+        stop = sum(r["text"].count(f" {w} ") for w in T.STOPWORDS)
+        assert r["stopword_ratio_x1e4"] == int(stop * 10_000 / len(words))
+
+
+def test_positional_fingerprint_vs_python(spark, docs):
+    out = docs.select("doc_id", "text", T.positional_fingerprint_column().alias("fp")).collect()
+    for r in out[:10]:
+        h = 0
+        for ch in r["text"]:
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        assert r["fp"] == h
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    a = "xxxxxx THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG yyyyy"
+    b = "zzz THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG wwwwwww"
+    df = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+    fps = {r["doc_id"]: set(r["fps"]) for r in T.winnowing_fingerprints(df, k=8, window=4).collect()}
+    assert fps["a"] & fps["b"], "shared >=k+w-1 substring must share a fingerprint"
+
+
+def test_lang_id_runs(spark, docs):
+    out = docs.select(T.lang_id_column().alias("guess")).groupBy("guess").count().collect()
+    assert sum(r["count"] for r in out) == docs.count()
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+def test_multimodal_features_deterministic(spark):
+    media = M.synthesize_media(spark, n=24, seed=3)
+    f1 = {r["media_id"]: list(r["feature"]) for r in M.extract_features(media, dim=16).collect()}
+    f2 = {r["media_id"]: list(r["feature"]) for r in M.extract_features(media.repartition(7), dim=16).collect()}
+    assert f1 == f2  # partitioning-invariant
+    assert all(len(v) == 16 for v in f1.values())
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert {"image", "audio", "video"} == set(kinds.values())
+    with pytest.raises(NotImplementedError):
+        M.extract_features(media, dim=16, decode_backend="real").collect()
