@@ -24,6 +24,8 @@ from hierarchical_bloom_filter_index_spark import corpus as C
 from hierarchical_bloom_filter_index_spark.functions import with_positions, window_id
 from hierarchical_bloom_filter_index_spark.operators import (
     build_index,
+    frequency_summary,
+    index_stats,
     pattern_search,
     window_membership,
 )
@@ -117,9 +119,24 @@ def _occ(col: str, needle: str) -> str:
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
+def _planner_inputs(spark: SparkSession, sf_dir: str):
+    """(frequency CMS, per-level stats) for cost-based start-level selection,
+    built once per sf_dir (the reference's estimator + HbiStats role)."""
+    key = ("planner", sf_dir)
+    if key not in _CACHE:
+        freq = frequency_summary(_corpus(spark, sf_dir), CFG)
+        stats = index_stats(_index(spark, sf_dir), CFG)
+        _CACHE[key] = (freq, stats)
+    return _CACHE[key]
+
+
 def q_pattern(pattern: list[int]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return pattern_search(_corpus(spark, sf_dir), _index(spark, sf_dir), CFG, pattern)
+        freq, stats = _planner_inputs(spark, sf_dir)
+        return pattern_search(
+            _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, pattern,
+            start_level="auto", freq=freq, stats=stats,
+        )
 
     return run
 
@@ -271,6 +288,76 @@ def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.with_global_offsets(_corpus(spark, sf_dir)).select("doc_id", "doc_offset")
 
 
+def q_index_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window geometry of the built sketch table — checkable in SQL because
+    every dyadic window in [0, ceil(n_tok/span)) holds >= 1 token."""
+    return (
+        _index(spark, sf_dir)
+        .groupBy("level")
+        .agg(F.count("*").alias("n_windows"), F.sum("n_items").alias("total_items"))
+    )
+
+
+def q_global_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens per global leaf window (the one-stream axis of the reference)."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+
+    corp = with_global_offsets(_corpus(spark, sf_dir))
+    cfg = CFG.with_(axis="global")
+    idx = build_index(corp, cfg)
+    return (
+        idx.filter(F.col("level") == CFG.deepest)
+        .select("w_id", F.col("n_items").alias("n_tokens"))
+    )
+
+
+def q_bottomk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k distinct-token sample (hash order) — rows-only
+    check; determinism itself is the contract (same seed => same sample)."""
+    from hierarchical_bloom_filter_index_spark.sketches import BottomKSampler
+
+    bk = collect_sketch(
+        sketch_aggregate(
+            _corpus(spark, sf_dir), "tokens", lambda: BottomKSampler(k=32, seed=CFG.seed),
+            values_are_arrays=True,
+        )
+    )
+    return spark.createDataFrame([(int(t),) for t in sorted(bk.sample())], "token long")
+
+
+def q_hops_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hierarchical_bloom_filter_index_spark.sketches import HopsSampler
+
+    h = collect_sketch(
+        sketch_aggregate(
+            _corpus(spark, sf_dir), "tokens", lambda: HopsSampler(b=6, seed=CFG.seed),
+            values_are_arrays=True,
+        )
+    )
+    return spark.createDataFrame(
+        [(int(t),) for t in sorted(h.representatives())], "token long"
+    )
+
+
+def q_countsketch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.sketches import CountSketch
+
+    cs = collect_sketch(
+        sketch_aggregate(
+            _corpus(spark, sf_dir), "tokens",
+            lambda: CountSketch.from_eps_delta(0.001, 0.01, seed=CFG.seed),
+            values_are_arrays=True,
+        )
+    )
+    keys = np.asarray(PROBE_TOKENS, dtype=np.int64)
+    est = cs.estimate(keys)
+    return spark.createDataFrame(
+        [(int(t), float(e)) for t, e in zip(PROBE_TOKENS, est)], "token int, est double"
+    )
+
+
 # --- sketch-estimate queries (oracle-free: bound contracts live in tests/) --
 def q_cms_freq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -319,7 +406,9 @@ def q_tdigest_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4, n_perm=128, bands=32)
+    # rows=8 per band: candidate probability ~ j^8 per band — keeps the
+    # candidate set near-dup-sized even on this highly self-similar corpus
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8, n_perm=128, bands=16)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,13 +449,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_membership": q_window_membership,
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
+        "index_geometry": q_index_geometry,
+        "global_window_counts": q_global_window_counts,
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
         "token_freq_by_source": q_token_freq_by_source,
         "distinct_by_source_exact": q_distinct_by_source_exact,
         "doclen_quantiles_exact": q_doclen_quantiles_exact,
         "cms_freq_probes": q_cms_freq_probes,
+        "countsketch_probes": q_countsketch_probes,
         "hll_distinct_by_source": q_hll_distinct_by_source,
+        "bottomk_tokens": q_bottomk_tokens,
+        "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
         # dedup / text / similarity (training-data pipeline)
@@ -415,6 +509,22 @@ SELECT doc_id, CAST({CFG.deepest - 1} AS INT) AS level,
        CAST((i - 1) // {CFG.span(CFG.deepest - 1)} AS BIGINT) AS w_id,
        CAST(COUNT(DISTINCT tokens[i]) AS BIGINT) AS n_distinct
 FROM pos GROUP BY 1, 2, 3""",
+        "index_geometry": f"""WITH {CORPUS_CTE},
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
+SELECT CAST(lv.level AS INT) AS level,
+       CAST(SUM((n_tok + span - 1) // span) AS BIGINT) AS n_windows,
+       CAST(SUM(n_tok) AS BIGINT) AS total_items
+FROM corpus, lv GROUP BY 1""",
+        "global_window_counts": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+)
+SELECT CAST((o + i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,
+       COUNT(*) AS n_tokens
+FROM (SELECT o, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+GROUP BY 1""",
         "global_offsets": f"""WITH {CORPUS_CTE}
 SELECT doc_id,
        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset

@@ -63,10 +63,19 @@ def main() -> None:
         "cms_freq_probes",
         "hll_distinct_by_source",
         "kll_doclen_quantiles",
-        "dedup_jaccard_pairs",
+        # dedup_jaccard_pairs (the exact all-co-occurring-pairs oracle) is
+        # deliberately NOT in the bench: on this tiny-vocab synthetic corpus
+        # nearly every doc pair shares shingles, so the exact join is
+        # quadratic — the LSH path below is the scale answer
         "minhash_lsh_neardup",
+        "simhash_neardup",
         "ann_cosine_topk",
         "text_quality",
+        "token_count",
+        "positional_fingerprint",
+        "window_distinct_rollup",
+        "global_offsets",
+        "events_hourly",
     ]
     qmap = E.queries()
     for name in names:

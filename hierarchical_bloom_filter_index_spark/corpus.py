@@ -41,8 +41,17 @@ _DOCS_PER_SF = 20_000  # docs at SF=1 per source
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenized corpus derived from the driver's documents table:
-    tokens = UTF codepoints of text (engine-agnostic, oracle-shareable)."""
+    tokens = UTF codepoints of text (engine-agnostic, oracle-shareable).
+
+    The testdata parquet is a single row group, which Spark reads as ONE
+    partition — that would serialize every downstream Arrow stage. Repartition
+    to the session's parallelism up front (cheap: the table is small relative
+    to the work per token; at real scale the source is already many files and
+    this becomes a no-op coalesce guard)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         codepoint_tokens("text").alias("tokens"),

@@ -3,6 +3,7 @@ from .probe import probe_blobs
 from .route import (
     brute_force_search,
     deepest_usable_level,
+    frequency_summary,
     pattern_keys,
     pattern_search,
     window_membership,
@@ -17,6 +18,7 @@ __all__ = [
     "probe_blobs",
     "brute_force_search",
     "deepest_usable_level",
+    "frequency_summary",
     "pattern_keys",
     "pattern_search",
     "window_membership",

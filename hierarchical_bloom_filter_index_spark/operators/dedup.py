@@ -175,14 +175,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, 0.0 + 1e-9, shingle_n, text_col, id_col).withColumnRenamed(
-        "jaccard", "j"
+    # exact verification of CANDIDATE PAIRS ONLY — never the all-pairs join
+    # (that would defeat LSH at scale): pull both texts per candidate pair,
+    # compute true shingle Jaccard in one Arrow stage.
+    texts = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttxt"))
+    paired = (
+        cand.join(texts.withColumnRenamed("_tid", "doc_a").withColumnRenamed("_ttxt", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("_tid", "doc_b").withColumnRenamed("_ttxt", "text_b"), "doc_b")
     )
-    return (
-        cand.join(exact, on=["doc_a", "doc_b"], how="inner")
-        .filter(F.col("j") >= threshold)
-        .select("doc_a", "doc_b", F.col("j").alias("jaccard"))
-    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            js = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                ha = char_shingle_hashes(ta, shingle_n)
+                hb = char_shingle_hashes(tb, shingle_n)
+                inter = len(np.intersect1d(ha, hb, assume_unique=True))
+                js.append(inter / (len(ha) + len(hb) - inter))
+            out = pdf[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = np.round(np.asarray(js), 6)
+            yield out[np.asarray(js) >= threshold]
+
+    return paired.mapInPandas(verify, schema="doc_a string, doc_b string, jaccard double")
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import HbiConfig
 from ..functions import subsequence_positions
@@ -67,43 +67,69 @@ def _probe_level(
 ) -> DataFrame:
     """Filter sketch rows at one level to surviving windows.
 
-    Input columns: [doc_id?], w_id, bloom, nbloom (nbloom nullable).
-    Output: surviving [doc_id?], w_id.
+    One vectorized Arrow stage probes every window for every pattern key and
+    emits a TINY (doc_id?, w_id, anchor_ok, key bitmask) row per window; the
+    neighbor-union condition (all keys in filter(w) ∪ filter(w+1)) is then a
+    JVM-side ``lead()`` over the masks — no blob self-join, the serialized
+    filters are read exactly once per level. Patterns with more than 64
+    distinct keys prune on the first 64 (a subset of constraints — still a
+    sound superset of candidates; verification stays exact).
     """
     key_list = keys.astype(np.uint64)
+    if len(key_list) > 62:  # mask must fit a positive int64 literal
+        a = np.uint64(anchor)
+        rest = key_list[key_list != a][:61]
+        key_list = np.concatenate([[a], rest]).astype(np.uint64)
+        key_list.sort()
     anchor_idx = int(np.searchsorted(key_list, np.uint64(anchor)))
-    out_schema = "doc_id string, w_id long" if doc_axis else "w_id long"
+    full_mask = (1 << len(key_list)) - 1
+    id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
+    mask_schema = ("doc_id string, " if doc_axis else "") + "w_id long, anchor_ok boolean, mask long"
 
     def probe(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            blobs = pdf["bloom"].tolist()
-            in_self = probe_blobs(blobs, key_list)  # (n, n_keys)
-            has_nbr = pdf["nbloom"].notna().to_numpy()
-            in_union = in_self.copy()
-            if has_nbr.any():
-                nbr_blobs = pdf.loc[has_nbr, "nbloom"].tolist()
-                in_union[has_nbr] |= probe_blobs(nbr_blobs, key_list)
-            ok = in_self[:, anchor_idx] & in_union.all(axis=1)
-            cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
-            yield pdf.loc[ok, cols]
+            hits = probe_blobs(pdf["bloom"].tolist(), key_list)  # (n, n_keys)
+            mask = (hits.astype(np.uint64) << np.arange(len(key_list), dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = pdf[id_cols].copy()
+            out["anchor_ok"] = hits[:, anchor_idx]
+            out["mask"] = mask.astype(np.int64)
+            yield out
 
-    return level_rows.mapInPandas(probe, schema=out_schema)
-
-
-def _level_with_neighbors(index: DataFrame, level: int, doc_axis: bool) -> DataFrame:
-    """Sketch rows at ``level`` joined with their right-neighbor blob
-    (w_id + 1), needed for the union probe. Self-join keyed on (doc?, w_id)."""
-    base = index.filter(F.col("level") == level)
-    keys = (["doc_id"] if doc_axis else []) + ["w_id"]
-    left = base.select(*keys, "bloom")
-    right = base.select(
-        *(["doc_id"] if doc_axis else []),
-        (F.col("w_id") - 1).alias("w_id"),
-        F.col("bloom").alias("nbloom"),
+    masks = level_rows.mapInPandas(probe, schema=mask_schema)
+    w = Window.partitionBy("doc_id" if doc_axis else F.lit(1)).orderBy("w_id")
+    nxt_mask = F.when(F.lead("w_id").over(w) == F.col("w_id") + 1, F.lead("mask").over(w)).otherwise(F.lit(0))
+    return (
+        masks.withColumn("umask", F.col("mask").bitwiseOR(nxt_mask))
+        .filter(F.col("anchor_ok") & (F.col("umask").bitwiseAND(F.lit(full_mask)) == F.lit(full_mask)))
+        .select(*id_cols)
     )
-    return left.join(right, on=keys, how="left")
+
+
+def _level_rows(index: DataFrame, level: int, doc_axis: bool) -> DataFrame:
+    cols = (["doc_id"] if doc_axis else []) + ["w_id", "bloom"]
+    return index.filter(F.col("level") == level).select(*cols)
+
+
+def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
+    """Global CMS over token keys — the reference's frequency estimator role
+    (estimators/CSEstimator.java), feeding the cost model's key
+    probabilities. Built once per corpus, ~100 KB, broadcastable."""
+    from ..sketches.cms import CountMinSketch
+    from .aggregates import collect_sketch, sketch_aggregate
+
+    if cfg.ngram != 1:
+        raise NotImplementedError("frequency summary over n-gram keys: pack keys first")
+    return collect_sketch(
+        sketch_aggregate(
+            corpus, "tokens",
+            lambda: CountMinSketch.from_eps_delta(1e-4, 0.01, seed=cfg.seed + 99),
+            values_are_arrays=True,
+        )
+    )
 
 
 def pattern_search(
@@ -111,14 +137,22 @@ def pattern_search(
     index: DataFrame,
     cfg: HbiConfig,
     pattern: list[int],
-    start_level: int | None = None,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
 ) -> DataFrame:
     """Exact match positions of ``pattern``: (doc_id, pos), 0-based.
 
     The full report() lifecycle: route through the Bloom hierarchy from
-    ``start_level`` (default: cost-model choice if stats available, else 0),
-    then verify surviving windows exactly. Returns positions identical to a
-    brute-force scan — Bloom false positives only cost verification work.
+    ``start_level``, then verify surviving windows exactly. Returns positions
+    identical to a brute-force scan — Bloom false positives only cost
+    verification work.
+
+    start_level: int to pin; "auto" to let the cost model choose from a
+    frequency summary (``freq``: CountMinSketch from frequency_summary) and
+    per-level index stats (``stats``: from operators.build.index_stats) —
+    the minCostLp path (estimators/LevelCostMinimizer.java:15-55); None
+    seeds at the root (CostFunctionDefaultRoot behavior).
     """
     if cfg.axis != "doc":
         raise NotImplementedError("pattern_search currently routes on the doc axis")
@@ -128,20 +162,49 @@ def pattern_search(
     if cfg.ngram > 1 and m < cfg.ngram:
         # no pattern n-gram exists — the index cannot prune; exact scan
         return brute_force_search(corpus, pattern)
+    if m > cfg.tree_span:
+        # a match can span >2 windows even at the coarsest level, so the
+        # neighbor-union probe is no longer a sound candidate test
+        # (pattern-length guard, search/BlockSearch.java:50-64) — exact scan
+        return brute_force_search(corpus, pattern)
     keys, anchor = pattern_keys(pattern, cfg)
     deepest = deepest_usable_level(cfg, m)
-    first = 0 if start_level is None else max(0, min(start_level, deepest))
+    if start_level == "auto" and freq is not None and stats is not None:
+        from ..plans.cost import choose_start_level
+
+        probs = freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
+        first = max(0, min(choose_start_level(stats, probs, m), deepest))
+    elif isinstance(start_level, int):
+        first = max(0, min(start_level, deepest))
+    else:
+        first = 0
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
+    # Each level is materialized (cached + counted): the count enables
+    # early-exit when the frontier dies (the reference's DFS stops naturally;
+    # our set-oriented cascade must check) and justifies an explicit
+    # broadcast of the small candidate frontier into the next level's
+    # semi-join — candidates shrink monotonically, scans don't.
+    spark = corpus.sparkSession
     survivors: DataFrame | None = None
     for L in range(first, deepest + 1):
-        rows = _level_with_neighbors(index, L, doc_axis=True)
+        rows = _level_rows(index, L, doc_axis=True)
         if survivors is not None:
+            # probe set = children {2w, 2w+1} PLUS 2w+2: the right neighbor of
+            # the last child, whose mask the union test of 2w+1 needs even
+            # when window w+1 itself was pruned (straddling-match soundness)
             children = survivors.select(
-                "doc_id", F.explode(F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1)).alias("w_id")
-            )
-            rows = rows.join(children, on=["doc_id", "w_id"], how="left_semi")
+                "doc_id",
+                F.explode(
+                    F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
+                ).alias("w_id"),
+            ).distinct()
+            rows = rows.join(F.broadcast(children), on=["doc_id", "w_id"], how="left_semi")
         survivors = _probe_level(rows, keys, anchor, doc_axis=True)
+        if L < deepest:
+            survivors = survivors.persist()
+            if survivors.count() == 0:
+                return spark.createDataFrame([], MATCH_SCHEMA)
 
     # --- exact verification (JVM-side, codegen) -----------------------------
     span = cfg.span(deepest)

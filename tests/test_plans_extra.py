@@ -1,0 +1,60 @@
+"""Design helpers, solvers, and the Markov cost model."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.plans.design import (
+    bisection,
+    block_length_for_target,
+    design_buckets_chebyshev,
+    newton_with_fallback,
+    required_sample_size_dkw,
+)
+from hierarchical_bloom_filter_index_spark.plans.markov import MarkovModel, bigram_counts
+
+
+def test_dkw_sample_size():
+    n = required_sample_size_dkw(0.05, 0.05)
+    assert n == math.ceil(math.log(2 / 0.05) / (2 * 0.05**2)) == 738
+    with pytest.raises(ValueError):
+        required_sample_size_dkw(0, 0.1)
+
+
+def test_chebyshev_buckets_monotone():
+    assert design_buckets_chebyshev(10_000, 0.05, 0.05) <= design_buckets_chebyshev(10_000, 0.01, 0.05)
+
+
+def test_bisection_and_newton():
+    root = bisection(lambda x: x * x - 2, 0, 2)
+    assert abs(root - math.sqrt(2)) < 1e-6
+    root2 = newton_with_fallback(lambda x: x * x - 2, lambda x: 2 * x, 1.0, 0, 2)
+    assert abs(root2 - math.sqrt(2)) < 1e-6
+    # newton diverging outside bracket falls back to bisection
+    root3 = newton_with_fallback(lambda x: x**3 - 2, lambda x: 1e-12, 1.0, 0, 2)
+    assert abs(root3 - 2 ** (1 / 3)) < 1e-5
+
+
+def test_block_length_solver_matches_equation():
+    probs = [0.01, 0.02, 0.005]
+    b = block_length_for_target(probs, 0.5)
+    val = math.prod(1 - (1 - p) ** b for p in probs)
+    assert abs(val - 0.5) < 1e-4
+    # monotone: higher target needs longer blocks
+    assert block_length_for_target(probs, 0.9) > b
+
+
+def test_markov_model_fit_and_probs(spark):
+    # deterministic alternating corpus: 1->2->1->2...
+    docs = [("d%d" % i, [1, 2] * 50, 100, "s") for i in range(8)]
+    df = spark.createDataFrame(docs, C.CORPUS_SCHEMA)
+    bi = {(r["prev"], r["cur"]): r["cnt"] for r in bigram_counts(df).collect()}
+    assert bi[(1, 2)] == 8 * 50 and bi[(2, 1)] == 8 * 49
+    model = MarkovModel.fit(df)
+    assert model.occurrence_prob([1, 2, 1, 2]) == pytest.approx(0.5, abs=1e-6)
+    assert model.occurrence_prob([1, 1]) == 0.0  # never observed
+    assert model.occurrence_prob([7]) == 0.0  # unseen token
+    assert 0.99 < model.window_hit_prob([1, 2], 100) <= 1.0
