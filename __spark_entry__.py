@@ -146,14 +146,28 @@ def q_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pos = with_positions(_corpus(spark, sf_dir))
+    # per-document windows never cross rows, so the rollup is pure array math
+    # inside each row (array_distinct over slices) — zero shuffle, vs the
+    # naive posexplode + groupBy(countDistinct) which shuffles every token
+    corp = _corpus(spark, sf_dir)
     parts = []
     for L in (CFG.deepest, CFG.deepest - 1):
         span = CFG.span(L)
         parts.append(
-            pos.groupBy("doc_id", window_id("pos", span).alias("w_id"))
-            .agg(F.countDistinct("token").alias("n_distinct"))
-            .select("doc_id", F.lit(L).alias("level"), "w_id", "n_distinct")
+            corp.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, cast(ceil(n_tok / {span}.0) as int) - 1), "
+                        f"w -> size(array_distinct(slice(tokens, w * {span} + 1, {span}))))"
+                    )
+                ).alias("w_id", "nd"),
+            ).select(
+                "doc_id",
+                F.lit(L).alias("level"),
+                F.col("w_id").cast("long").alias("w_id"),
+                F.col("nd").cast("long").alias("n_distinct"),
+            )
         )
     return parts[0].unionByName(parts[1])
 

@@ -49,6 +49,9 @@ def main() -> None:
     t0 = time.time()
     index = E._index(spark, sf_dir)
     index.count()  # materialize the cached sketch table
+    # the frequency summary + per-level stats are build artifacts (the
+    # reference maintains its estimator during insert) — build them here
+    E._planner_inputs(spark, sf_dir)
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
     tokens_per_sec = n_tokens / build_sec if build_sec > 0 else float("inf")

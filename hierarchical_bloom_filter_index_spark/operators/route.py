@@ -123,10 +123,12 @@ def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
 
     if cfg.ngram != 1:
         raise NotImplementedError("frequency summary over n-gram keys: pack keys first")
+    # eps=1e-3 keeps the summary ~100 KB; the cost model only needs coarse
+    # occurrence probabilities, not tight counts
     return collect_sketch(
         sketch_aggregate(
             corpus, "tokens",
-            lambda: CountMinSketch.from_eps_delta(1e-4, 0.01, seed=cfg.seed + 99),
+            lambda: CountMinSketch.from_eps_delta(1e-3, 0.01, seed=cfg.seed + 99),
             values_are_arrays=True,
         )
     )
@@ -187,12 +189,18 @@ def pattern_search(
     # semi-join — candidates shrink monotonically, scans don't.
     spark = corpus.sparkSession
     survivors: DataFrame | None = None
+    persisted: list[DataFrame] = []
+
+    def _release(keep_last: bool = False) -> None:
+        for p in persisted[: -1 if keep_last else None]:
+            p.unpersist()
+
     for L in range(first, deepest + 1):
         rows = _level_rows(index, L, doc_axis=True)
         if survivors is not None:
-            # probe set = children {2w, 2w+1} PLUS 2w+2: the right neighbor of
-            # the last child, whose mask the union test of 2w+1 needs even
-            # when window w+1 itself was pruned (straddling-match soundness)
+            # probe set = children {2w, 2w+1} PLUS 2w+2: the right neighbor
+            # of the last child, whose mask the union test of 2w+1 needs
+            # even when window w+1 itself was pruned (straddling soundness)
             children = survivors.select(
                 "doc_id",
                 F.explode(
@@ -200,17 +208,33 @@ def pattern_search(
                 ).alias("w_id"),
             ).distinct()
             rows = rows.join(F.broadcast(children), on=["doc_id", "w_id"], how="left_semi")
-        survivors = _probe_level(rows, keys, anchor, doc_axis=True)
-        if L < deepest:
-            survivors = survivors.persist()
-            if survivors.count() == 0:
-                return spark.createDataFrame([], MATCH_SCHEMA)
+        survivors = _probe_level(rows, keys, anchor, doc_axis=True).persist()
+        persisted.append(survivors)
+        if survivors.count() == 0:
+            _release()
+            return spark.createDataFrame([], MATCH_SCHEMA)
+
+    # Materialize the final (small, Bloom-pruned) candidate set on the
+    # driver: cuts the cached-cascade lineage so every intermediate persist
+    # is released NOW, not when the caller finishes consuming the result.
+    # Candidates are bounded by pruning; if a degenerate pattern keeps
+    # millions of windows alive, keep the DataFrame path (no driver OOM).
+    final_rows = None
+    if survivors.count() <= 2_000_000:
+        by_doc: dict[str, list[int]] = {}
+        for r in survivors.collect():
+            by_doc.setdefault(r["doc_id"], []).append(r["w_id"])
+        final_rows = list(by_doc.items())
+        cand = spark.createDataFrame(final_rows, "doc_id string, wids array<long>")
+        _release()
+    else:
+        cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
+        _release(keep_last=True)
 
     # --- exact verification (JVM-side, codegen) -----------------------------
     span = cfg.span(deepest)
-    cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
     verified = (
-        corpus.join(cand, on="doc_id", how="inner")
+        corpus.join(F.broadcast(cand) if final_rows is not None else cand, on="doc_id", how="inner")
         .select(
             "doc_id",
             F.filter(
