@@ -372,6 +372,38 @@ def q_countsketch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_state_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming applyInPandasWithState: run the corpus through a
+    file-source stream (availableNow) maintaining a per-source HLL state;
+    return the final per-source counters (SQL-checkable) — the estimate and
+    state bytes are covered by tests/test_stateful_streaming.py."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.sketches import HyperLogLog
+    from hierarchical_bloom_filter_index_spark.streaming.stateful import sketch_state_stream
+
+    workdir = tempfile.mkdtemp(prefix="hbi_stream_q_")
+    inp, chk, out = (f"{workdir}/{d}" for d in ("in", "chk", "out"))
+    _corpus(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(C.CORPUS_SCHEMA).parquet(inp)
+    updated = sketch_state_stream(
+        stream, factory=lambda: HyperLogLog(p=12, seed=CFG.seed), estimate=lambda sk: sk.estimate()
+    )
+    q = (
+        updated.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"))
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_docs", "n_tokens")
+    )
+
+
 # --- sketch-estimate queries (oracle-free: bound contracts live in tests/) --
 def q_cms_freq_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -489,8 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        # relational / streaming-ish
+        # relational / streaming
         "events_hourly": q_events_hourly,
+        "streaming_state_by_source": q_streaming_state_by_source,
     }
 
 
@@ -613,4 +646,7 @@ GROUP BY 1""",
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY 1, 2""",
+        "streaming_state_by_source": """SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1""",
     }
