@@ -26,6 +26,7 @@ class HbiConfig:
     seed: int = 42
     ngram: int = 1              # n-gram unit indexed (1 = raw tokens)
     ngram_base_bits: int = 21   # bits per symbol when packing n-grams
+    stride: int = 1             # index every stride-th n-gram (PMIndex/HBI.java:45 strides)
     axis: str = "doc"           # 'doc': per-document positions; 'global': one stream
 
     def __post_init__(self):
@@ -37,6 +38,8 @@ class HbiConfig:
             raise ValueError("fpr must be in (0,1)")
         if self.ngram < 1 or self.ngram * self.ngram_base_bits > 64:
             raise ValueError("invalid ngram / base bits")
+        if self.stride < 1 or (self.stride > 1 and self.stride > self.ngram):
+            raise ValueError("stride must be 1 or in [2, ngram]")
         if self.axis not in ("doc", "global"):
             raise ValueError("axis must be 'doc' or 'global'")
 

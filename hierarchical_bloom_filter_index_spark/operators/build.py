@@ -69,8 +69,16 @@ def _batch_keys(tokens_list, cfg: HbiConfig) -> tuple[np.ndarray, np.ndarray, np
             keys = pack_ngrams_u64(arr, cfg.ngram, cfg.ngram_base_bits)
         if len(keys) == 0:
             continue
+        pos = np.arange(len(keys), dtype=np.int64)
+        if cfg.stride > 1:
+            # strided indexing: keep n-grams starting at positions = 0 mod
+            # stride — the reference's every-n-th-n-gram key-space reduction
+            # (PMIndex/HBI.java:45,421). Positions stay TRUE positions so
+            # window ids remain correct.
+            keys = keys[:: cfg.stride]
+            pos = pos[:: cfg.stride]
         doc_idx_parts.append(np.full(len(keys), i, dtype=np.int64))
-        pos_parts.append(np.arange(len(keys), dtype=np.int64))
+        pos_parts.append(pos)
         key_parts.append(keys)
     if not key_parts:
         e = np.empty(0, dtype=np.int64)

@@ -53,6 +53,35 @@ def pattern_keys(pattern: list[int], cfg: HbiConfig) -> tuple[np.ndarray, int]:
     return np.unique(keys), anchor
 
 
+def pattern_probe_plan(pattern: list[int], cfg: HbiConfig):
+    """(key_union, anchor_key|None, alignment key sets) for probing.
+
+    stride == 1: one alignment = the full distinct key set, anchored on the
+    first key (in-window condition is exact for the match's start window).
+
+    stride > 1 (strided index, PMIndex/HBI.java:45,421 + the strided probe of
+    search/BlockSearch.java:142-155): only n-grams starting at positions
+    = 0 mod stride are indexed. A match at offset p contributes exactly the
+    pattern n-grams of ONE alignment class o = (-p) mod stride, so a window
+    is a sound candidate iff SOME alignment's full key set is present in the
+    window∪neighbor union. The anchor condition is dropped (the first
+    indexed gram may start in the neighbor window).
+    """
+    grams, anchor = pattern_keys(pattern, cfg)
+    if cfg.stride == 1:
+        return grams, anchor, [np.unique(grams)]
+    arr = np.asarray(pattern, dtype=np.int64)
+    seq = pack_ngrams_u64(arr, cfg.ngram, cfg.ngram_base_bits)
+    aligns = []
+    for o in range(cfg.stride):
+        ks = seq[o :: cfg.stride]
+        if len(ks) == 0:
+            return None, None, None  # some alignment has no indexed gram: no pruning possible
+        aligns.append(np.unique(ks))
+    union = np.unique(np.concatenate(aligns))
+    return union, None, aligns
+
+
 def deepest_usable_level(cfg: HbiConfig, m: int) -> int:
     """Never descend below span < pattern length (the descent guard,
     search/BlockSearch.java:50-64, estimators/LevelCostMinimizer.java:32)."""
@@ -63,7 +92,11 @@ def deepest_usable_level(cfg: HbiConfig, m: int) -> int:
 
 
 def _probe_level(
-    level_rows: DataFrame, keys: np.ndarray, anchor: int, doc_axis: bool
+    level_rows: DataFrame,
+    keys: np.ndarray,
+    anchor: int | None,
+    doc_axis: bool,
+    align_keys: list[np.ndarray] | None = None,
 ) -> DataFrame:
     """Filter sketch rows at one level to surviving windows.
 
@@ -71,18 +104,33 @@ def _probe_level(
     emits a TINY (doc_id?, w_id, anchor_ok, key bitmask) row per window; the
     neighbor-union condition (all keys in filter(w) ∪ filter(w+1)) is then a
     JVM-side ``lead()`` over the masks — no blob self-join, the serialized
-    filters are read exactly once per level. Patterns with more than 64
-    distinct keys prune on the first 64 (a subset of constraints — still a
+    filters are read exactly once per level. Patterns with more than 62
+    distinct keys prune on the first 62 (a subset of constraints — still a
     sound superset of candidates; verification stays exact).
+
+    ``align_keys``: alignment classes for the strided index — a window
+    survives when ANY class's full key set is in the union (OR of ANDs).
     """
     key_list = keys.astype(np.uint64)
     if len(key_list) > 62:  # mask must fit a positive int64 literal
-        a = np.uint64(anchor)
-        rest = key_list[key_list != a][:61]
-        key_list = np.concatenate([[a], rest]).astype(np.uint64)
+        if anchor is not None:
+            a = np.uint64(anchor)
+            rest = key_list[key_list != a][:61]
+            key_list = np.concatenate([[a], rest]).astype(np.uint64)
+        else:
+            key_list = key_list[:62]
         key_list.sort()
-    anchor_idx = int(np.searchsorted(key_list, np.uint64(anchor)))
-    full_mask = (1 << len(key_list)) - 1
+    retained = set(key_list.tolist())
+    if align_keys is None:
+        align_keys = [key_list]
+    align_masks = []
+    for ks in align_keys:
+        mask = 0
+        for kv in ks.astype(np.uint64):
+            if int(kv) in retained:  # dropped keys weaken (never break) pruning
+                mask |= 1 << int(np.searchsorted(key_list, kv))
+        align_masks.append(mask)
+    anchor_idx = int(np.searchsorted(key_list, np.uint64(anchor))) if anchor is not None else -1
     id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
     mask_schema = ("doc_id string, " if doc_axis else "") + "w_id long, anchor_ok boolean, mask long"
 
@@ -95,16 +143,20 @@ def _probe_level(
                 axis=1, dtype=np.uint64
             )
             out = pdf[id_cols].copy()
-            out["anchor_ok"] = hits[:, anchor_idx]
+            out["anchor_ok"] = hits[:, anchor_idx] if anchor_idx >= 0 else True
             out["mask"] = mask.astype(np.int64)
             yield out
 
     masks = level_rows.mapInPandas(probe, schema=mask_schema)
     w = Window.partitionBy("doc_id" if doc_axis else F.lit(1)).orderBy("w_id")
     nxt_mask = F.when(F.lead("w_id").over(w) == F.col("w_id") + 1, F.lead("mask").over(w)).otherwise(F.lit(0))
+    align_cond = None
+    for am in align_masks:
+        c = F.col("umask").bitwiseAND(F.lit(am)) == F.lit(am)
+        align_cond = c if align_cond is None else (align_cond | c)
     return (
         masks.withColumn("umask", F.col("mask").bitwiseOR(nxt_mask))
-        .filter(F.col("anchor_ok") & (F.col("umask").bitwiseAND(F.lit(full_mask)) == F.lit(full_mask)))
+        .filter(F.col("anchor_ok") & align_cond)
         .select(*id_cols)
     )
 
@@ -169,7 +221,11 @@ def pattern_search(
         # neighbor-union probe is no longer a sound candidate test
         # (pattern-length guard, search/BlockSearch.java:50-64) — exact scan
         return brute_force_search(corpus, pattern)
-    keys, anchor = pattern_keys(pattern, cfg)
+    keys, anchor, aligns = pattern_probe_plan(pattern, cfg)
+    if keys is None:
+        # strided index and the pattern is too short to guarantee an indexed
+        # n-gram under every alignment — the index cannot prune
+        return brute_force_search(corpus, pattern)
     deepest = deepest_usable_level(cfg, m)
     if start_level == "auto" and freq is not None and stats is not None:
         from ..plans.cost import choose_start_level
@@ -208,7 +264,7 @@ def pattern_search(
                 ).alias("w_id"),
             ).distinct()
             rows = rows.join(F.broadcast(children), on=["doc_id", "w_id"], how="left_semi")
-        survivors = _probe_level(rows, keys, anchor, doc_axis=True).persist()
+        survivors = _probe_level(rows, keys, anchor, doc_axis=True, align_keys=aligns).persist()
         persisted.append(survivors)
         if survivors.count() == 0:
             _release()
