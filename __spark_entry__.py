@@ -372,6 +372,25 @@ def q_countsketch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAT_GLOBAL = [ord(c) for c in "spark "]
+
+
+def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern search over the ONE concatenated token stream (docs in doc_id
+    order) — the reference's true semantics; matches may cross doc
+    boundaries. Exact global positions."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators import global_pattern_search
+
+    key = ("gcorpus", sf_dir)
+    if key not in _CACHE:
+        gcorp = with_global_offsets(_corpus(spark, sf_dir)).cache()
+        gidx = build_index(gcorp, CFG.with_(axis="global")).cache()
+        _CACHE[key] = (gcorp, gidx)
+    gcorp, gidx = _CACHE[key]
+    return global_pattern_search(gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL)
+
+
 def q_streaming_state_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming applyInPandasWithState: run the corpus through a
     file-source stream (availableNow) maintaining a per-source HLL state;
@@ -497,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_offsets": q_global_offsets,
         "index_geometry": q_index_geometry,
         "global_window_counts": q_global_window_counts,
+        "hbi_global_pattern": q_global_pattern,
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
         "token_freq_by_source": q_token_freq_by_source,
@@ -572,6 +592,20 @@ SELECT CAST((o + i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,
        COUNT(*) AS n_tokens
 FROM (SELECT o, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
 GROUP BY 1""",
+        "hbi_global_pattern": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+)
+SELECT f0.g AS gpos
+FROM flat f0
+{" ".join(f"JOIN flat f{j} ON f{j}.g = f0.g + {j} AND f{j}.t = {PAT_GLOBAL[j]}" for j in range(1, len(PAT_GLOBAL)))}
+WHERE f0.t = {PAT_GLOBAL[0]}""",
         "global_offsets": f"""WITH {CORPUS_CTE}
 SELECT doc_id,
        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset

@@ -4,7 +4,9 @@ from .route import (
     brute_force_search,
     deepest_usable_level,
     frequency_summary,
+    global_pattern_search,
     pattern_keys,
+    pattern_probe_plan,
     pattern_search,
     window_membership,
 )

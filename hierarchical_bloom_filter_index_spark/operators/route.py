@@ -148,17 +148,25 @@ def _probe_level(
             yield out
 
     masks = level_rows.mapInPandas(probe, schema=mask_schema)
-    w = Window.partitionBy("doc_id" if doc_axis else F.lit(1)).orderBy("w_id")
-    nxt_mask = F.when(F.lead("w_id").over(w) == F.col("w_id") + 1, F.lead("mask").over(w)).otherwise(F.lit(0))
+    if doc_axis:
+        # neighbor mask via lead(): shuffle keyed by doc_id — scalable (one
+        # doc's windows are few)
+        w = Window.partitionBy("doc_id").orderBy("w_id")
+        nxt = F.when(F.lead("w_id").over(w) == F.col("w_id") + 1, F.lead("mask").over(w)).otherwise(F.lit(0))
+        combined = masks.withColumn("umask", F.col("mask").bitwiseOR(nxt))
+    else:
+        # global axis: a single-partition window over ALL windows would not
+        # scale — combine neighbors with a hash self-join on w_id+1 instead
+        nbr = masks.select((F.col("w_id") - 1).alias("w_id"), F.col("mask").alias("nmask"))
+        combined = (
+            masks.join(nbr, on="w_id", how="left")
+            .withColumn("umask", F.col("mask").bitwiseOR(F.coalesce(F.col("nmask"), F.lit(0))))
+        )
     align_cond = None
     for am in align_masks:
         c = F.col("umask").bitwiseAND(F.lit(am)) == F.lit(am)
         align_cond = c if align_cond is None else (align_cond | c)
-    return (
-        masks.withColumn("umask", F.col("mask").bitwiseOR(nxt_mask))
-        .filter(F.col("anchor_ok") & align_cond)
-        .select(*id_cols)
-    )
+    return combined.filter(F.col("anchor_ok") & align_cond).select(*id_cols)
 
 
 def _level_rows(index: DataFrame, level: int, doc_axis: bool) -> DataFrame:
@@ -307,6 +315,131 @@ def brute_force_search(corpus: DataFrame, pattern: list[int]) -> DataFrame:
     """The exact oracle (role of PMIndex/RegexIndex.java): scan every doc."""
     return corpus.select(
         "doc_id", F.explode(subsequence_positions("tokens", pattern)).alias("pos")
+    )
+
+
+def _stitched_corpus(corpus: DataFrame, m: int) -> DataFrame:
+    """Each doc + the first (m-1) tokens of the NEXT doc in stream order —
+    the verification substrate for cross-document matches on the global
+    stream axis. Requires doc_offset. The next doc is found by an equi-join
+    on doc_offset + n_tok (no window function, scales)."""
+    nxt = corpus.select(
+        F.col("doc_offset").alias("_next_off"),
+        F.slice("tokens", 1, m - 1).alias("_next_prefix"),
+    )
+    return (
+        corpus.join(nxt, on=corpus["doc_offset"] + corpus["n_tok"] == nxt["_next_off"], how="left")
+        .drop("_next_off")
+        .withColumn(
+            "stitched",
+            F.when(F.col("_next_prefix").isNotNull(), F.concat("tokens", "_next_prefix")).otherwise(
+                F.col("tokens")
+            ),
+        )
+        .drop("_next_prefix")
+    )
+
+
+def global_pattern_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    start_level: int | None = None,
+) -> DataFrame:
+    """Exact GLOBAL match positions of ``pattern`` over the one concatenated
+    token stream (docs in doc_id order) — the reference's actual semantics
+    (one stream, matches may cross document boundaries). Returns (gpos long).
+
+    Requires a global-axis index (cfg.axis == 'global'); the corpus gains
+    doc_offset if missing. Routing is the same neighbor-union cascade, with
+    the neighbor combine as a w_id hash join (no single-partition window);
+    verification stitches each doc with the next doc's (m-1)-token prefix.
+    """
+    if cfg.axis != "global":
+        raise ValueError("global_pattern_search needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        # the global build indexes n-grams WITHIN each doc; a cross-boundary
+        # match would contain unindexed n-grams and could be wrongly pruned.
+        # Token keys (ngram=1) are indexed at every true global position.
+        raise NotImplementedError("global-axis search requires a token-keyed index (ngram=1)")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    stitched = _stitched_corpus(corpus, m) if m > 1 else corpus.withColumn("stitched", F.col("tokens"))
+    if (cfg.ngram > 1 and m < cfg.ngram) or m > cfg.tree_span:
+        return stitched.select(
+            F.explode(subsequence_positions("stitched", pattern)).alias("p"),
+            "doc_offset", "n_tok",
+        ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
+    keys, anchor, aligns = pattern_probe_plan(pattern, cfg)
+    if keys is None:
+        return stitched.select(
+            F.explode(subsequence_positions("stitched", pattern)).alias("p"),
+            "doc_offset", "n_tok",
+        ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
+    deepest = deepest_usable_level(cfg, m)
+    first = 0 if start_level is None else max(0, min(start_level, deepest))
+    spark = corpus.sparkSession
+
+    survivors: DataFrame | None = None
+    persisted: list[DataFrame] = []
+    for L in range(first, deepest + 1):
+        rows = _level_rows(index, L, doc_axis=False)
+        if survivors is not None:
+            children = survivors.select(
+                F.explode(
+                    F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
+                ).alias("w_id")
+            ).distinct()
+            rows = rows.join(F.broadcast(children), on="w_id", how="left_semi")
+        survivors = _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns).persist()
+        persisted.append(survivors)
+        if survivors.count() == 0:
+            for p in persisted:
+                p.unpersist()
+            return spark.createDataFrame([], "gpos long")
+
+    span = cfg.span(deepest)
+    wids = sorted(r["w_id"] for r in survivors.collect())
+    for p in persisted:
+        p.unpersist()
+    wid_df = F.broadcast(spark.createDataFrame([(w,) for w in wids], "w_id long"))
+
+    # candidate docs: any doc whose start-position range intersects a
+    # surviving window — explode the doc's own window range (few per doc)
+    doc_windows = stitched.select(
+        "doc_offset", "n_tok", "stitched",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    cand_docs = (
+        doc_windows.join(wid_df, on="w_id", how="inner")
+        .groupBy("doc_offset", "n_tok", "stitched")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    # verify: start position i (0-based, within THIS doc), match may run into
+    # the stitched prefix; keep only starts whose global window survived
+    return (
+        cand_docs.select(
+            "doc_offset",
+            F.explode(
+                F.filter(
+                    subsequence_positions("stitched", pattern),
+                    lambda i: (i < F.col("n_tok"))
+                    & F.array_contains("wids", ((F.col("doc_offset") + i) / span).cast("long")),
+                )
+            ).alias("p"),
+        )
+        .select((F.col("doc_offset") + F.col("p")).alias("gpos"))
     )
 
 

@@ -1,0 +1,74 @@
+"""Global-axis pattern search: one concatenated stream, matches may cross
+document boundaries (the reference's actual semantics — one token stream)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+from hierarchical_bloom_filter_index_spark.operators import build_index, global_pattern_search
+
+CFG_G = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=33, axis="global")
+
+
+def _global_stream(corp_rows):
+    rows = sorted(corp_rows, key=lambda r: r["doc_id"])
+    out = []
+    for r in rows:
+        out.extend(r["tokens"])
+    return np.asarray(out, dtype=np.int64)
+
+
+def _brute(stream: np.ndarray, pattern) -> list[int]:
+    pat = np.asarray(pattern, dtype=np.int64)
+    if len(stream) < len(pat):
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(stream, len(pat))
+    return np.where((win == pat).all(axis=1))[0].tolist()
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=33)).cache()
+    corp.count()
+    idx = build_index(corp, CFG_G).cache()
+    idx.count()
+    stream = _global_stream(corp.collect())
+    return corp, idx, stream
+
+
+def test_global_search_matches_stream_bruteforce(spark, setup):
+    corp, idx, stream = setup
+    for start in (1000, 5000, 12345):
+        pat = stream[start : start + 12].tolist()
+        got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, pat).collect())
+        assert got == _brute(stream, pat)
+        assert start in got
+
+
+def test_global_search_cross_document_match(spark, setup):
+    corp, idx, stream = setup
+    # construct a pattern straddling a doc boundary: take tokens around the
+    # second doc's offset
+    row2 = corp.orderBy("doc_id").limit(2).collect()[1]
+    b = row2["doc_offset"]
+    pat = stream[b - 5 : b + 5].tolist()  # 5 tokens from doc1 + 5 from doc2
+    got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, pat).collect())
+    assert got == _brute(stream, pat)
+    assert (b - 5) in got, "cross-document match must be found"
+
+
+def test_global_search_missing(spark, setup):
+    corp, idx, stream = setup
+    pat = stream[100:110].tolist()
+    pat[5] = 99_999
+    assert global_pattern_search(corp, idx, CFG_G, pat).count() == 0
+
+
+def test_global_search_single_token(spark, setup):
+    corp, idx, stream = setup
+    tok = int(stream[7])
+    got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, [tok]).collect())
+    assert got == _brute(stream, [tok])
