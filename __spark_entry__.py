@@ -291,6 +291,24 @@ def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
 
 
+def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational coverage: broadcast-joined fact/dim aggregate with
+    integer-exact measures (float sums are order-dependent across engines)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+                li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
@@ -542,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         # relational / streaming
+        "orders_lineitem_join": q_orders_lineitem_join,
         "events_hourly": q_events_hourly,
         "streaming_state_by_source": q_streaming_state_by_source,
     }
@@ -677,6 +696,12 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
       FROM documents)
 JOIN pw ON pw.j = length(text) - i
 GROUP BY 1""",
+        "orders_lineitem_join": """SELECT o.o_orderpriority, l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MIN(l.l_shipdate) AS first_ship, MAX(l.l_shipdate) AS last_ship
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2""",
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY 1, 2""",
