@@ -1,0 +1,62 @@
+"""Property-based merge-law tests (hypothesis): for arbitrary streams and
+arbitrary partitionings, distributed-style merge == whole-stream state for
+the exactly-mergeable sketch families."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from hierarchical_bloom_filter_index_spark.sketches import (
+    BloomFilter,
+    BottomKSampler,
+    CountMinSketch,
+    HopsSampler,
+    HyperLogLog,
+)
+
+streams = st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400)
+cuts = st.lists(st.integers(min_value=0, max_value=400), min_size=0, max_size=5)
+
+
+def _split(arr: np.ndarray, cut_points):
+    cuts_sorted = sorted(set(min(c, len(arr)) for c in cut_points))
+    return np.split(arr, cuts_sorted)
+
+
+FACTORIES = [
+    ("bloom", lambda: BloomFilter.for_capacity(500, 0.02, seed=9), lambda s: s.words.tobytes()),
+    ("cms", lambda: CountMinSketch(3, 256, seed=9), lambda s: s.table.tobytes()),
+    ("hll", lambda: HyperLogLog(p=8, seed=9), lambda s: s.regs.tobytes()),
+    ("hops", lambda: HopsSampler(b=5, seed=9), lambda s: s.rep_prio.tobytes() + s.rep_key.tobytes()),
+    ("bottomk", lambda: BottomKSampler(k=32, seed=9), lambda s: s.prios.tobytes()),
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(stream=streams, cut_points=cuts)
+def test_partition_merge_equals_whole(stream, cut_points):
+    arr = np.asarray(stream, dtype=np.int64)
+    for name, factory, state in FACTORIES:
+        whole = factory()
+        if len(arr):
+            whole.update(arr)
+        acc = None
+        for part in _split(arr, cut_points):
+            s = factory()
+            if len(part):
+                s.update(part)
+            acc = s if acc is None else acc.merge(s)
+        if acc is None:
+            acc = factory()
+        assert state(acc) == state(whole), name
+
+
+@settings(max_examples=15, deadline=None)
+@given(stream=streams)
+def test_serialization_roundtrip_preserves_state(stream):
+    arr = np.asarray(stream, dtype=np.int64)
+    for name, factory, state in FACTORIES:
+        s = factory()
+        if len(arr):
+            s.update(arr)
+        rt = type(s).from_bytes(s.to_bytes())
+        assert state(rt) == state(s), name
