@@ -52,13 +52,16 @@ def level_seed(cfg: HbiConfig, level: int) -> int:
     return cfg.seed * 1_000_003 + level
 
 
-def _batch_keys(tokens_list, cfg: HbiConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_keys(
+    tokens_list, cfg: HbiConfig, apply_stride: bool = True, max_starts=None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Flatten a batch of token arrays into (doc_idx, pos, key) numpy arrays.
 
     Keys are raw tokens (ngram=1) or packed n-gram ids; pos is the position
     of the key's FIRST symbol (n-gram i covers positions [i, i+n-1], we index
     it at i — matching the reference's n-gram-at-position semantics,
-    search/Pattern.java:29-45).
+    search/Pattern.java:29-45). ``max_starts[i]`` caps key starts for row i
+    (global axis feeds stitched arrays whose tail belongs to the next doc).
     """
     doc_idx_parts, pos_parts, key_parts = [], [], []
     for i, toks in enumerate(tokens_list):
@@ -67,10 +70,12 @@ def _batch_keys(tokens_list, cfg: HbiConfig) -> tuple[np.ndarray, np.ndarray, np
             keys = arr.astype(np.uint64)
         else:
             keys = pack_ngrams_u64(arr, cfg.ngram, cfg.ngram_base_bits)
+        if max_starts is not None:
+            keys = keys[: int(max_starts[i])]
         if len(keys) == 0:
             continue
         pos = np.arange(len(keys), dtype=np.int64)
-        if cfg.stride > 1:
+        if cfg.stride > 1 and apply_stride:
             # strided indexing: keep n-grams starting at positions = 0 mod
             # stride — the reference's every-n-th-n-gram key-space reduction
             # (PMIndex/HBI.java:45,421). Positions stay TRUE positions so
@@ -166,11 +171,30 @@ def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
 
 
 def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
-    """Global stream axis: requires doc_offset (see corpus.with_global_offsets)."""
+    """Global stream axis: requires doc_offset (see corpus.with_global_offsets).
+
+    For n-gram keys the stream has no document boundaries, so each doc is
+    stitched with the next doc's (n-1)-token prefix before n-gramming: every
+    global n-gram (including boundary-crossing ones) is indexed exactly once,
+    at its true global start. Striding is applied on GLOBAL positions."""
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
+    if cfg.ngram > 1:
+        nxt = corpus.select(
+            F.col("doc_offset").alias("_noff"),
+            F.slice("tokens", 1, cfg.ngram - 1).alias("_npfx"),
+        )
+        corpus = (
+            corpus.join(nxt, on=corpus["doc_offset"] + corpus["n_tok"] == nxt["_noff"], how="left")
+            .drop("_noff")
+            .withColumn(
+                "tokens",
+                F.when(F.col("_npfx").isNotNull(), F.concat("tokens", "_npfx")).otherwise(F.col("tokens")),
+            )
+            .drop("_npfx")
+        )
     params = level_params(cfg)
     levels = cfg.levels
     spans = {L: cfg.span(L) for L in levels}
@@ -181,10 +205,20 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
             if len(pdf) == 0:
                 continue
             offsets = pdf["doc_offset"].to_numpy()
-            doc_idx, pos, keys = _batch_keys(pdf["tokens"], cfg)
+            # stride applies to GLOBAL positions, selected after offsetting;
+            # key starts are capped at n_tok (stitched tails belong to the
+            # next doc, which indexes them itself)
+            doc_idx, pos, keys = _batch_keys(
+                pdf["tokens"], cfg, apply_stride=False, max_starts=pdf["n_tok"].to_numpy()
+            )
             if len(keys) == 0:
                 continue
             gpos = (offsets[doc_idx] + pos).astype(np.uint64)
+            if cfg.stride > 1:
+                sel = (gpos % np.uint64(cfg.stride)) == 0
+                gpos, keys = gpos[sel], keys[sel]
+                if len(keys) == 0:
+                    continue
             out = {c: [] for c in ("level", "w_id", "bloom", "n_items", "bits_set")}
             for L in levels:
                 m, k = params[L]

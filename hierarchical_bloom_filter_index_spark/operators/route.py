@@ -358,11 +358,8 @@ def global_pattern_search(
     """
     if cfg.axis != "global":
         raise ValueError("global_pattern_search needs cfg.axis='global'")
-    if cfg.ngram != 1:
-        # the global build indexes n-grams WITHIN each doc; a cross-boundary
-        # match would contain unindexed n-grams and could be wrongly pruned.
-        # Token keys (ngram=1) are indexed at every true global position.
-        raise NotImplementedError("global-axis search requires a token-keyed index (ngram=1)")
+    # n-gram keys are safe here: the global build stitches each doc with the
+    # next doc's (n-1)-token prefix, so boundary-crossing n-grams ARE indexed
     m = len(pattern)
     if m == 0:
         raise ValueError("empty pattern")
