@@ -59,6 +59,9 @@ _CACHE: dict[tuple[str, str], object] = {}
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("corpus", sf_dir)
     if key not in _CACHE:
+        # AQE regenerates full plan strings on every re-plan; deep cascades'
+        # plan text can OOM a small driver heap unless capped (runtime conf)
+        spark.conf.set("spark.sql.maxPlanStringLength", str(512 * 1024))
         _CACHE[key] = C.corpus_from_documents(spark, sf_dir).cache()
     return _CACHE[key]
 
@@ -376,10 +379,13 @@ def q_countsketch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hierarchical_bloom_filter_index_spark.sketches import CountSketch
 
+    # eps=0.02 -> width 2^13: count-sketch width grows as 3/eps^2, so tight
+    # eps values explode the per-partition partial state (0.001 would be a
+    # 168 MB table per partial)
     cs = collect_sketch(
         sketch_aggregate(
             _corpus(spark, sf_dir), "tokens",
-            lambda: CountSketch.from_eps_delta(0.001, 0.01, seed=CFG.seed),
+            lambda: CountSketch.from_eps_delta(0.02, 0.01, seed=CFG.seed),
             values_are_arrays=True,
         )
     )

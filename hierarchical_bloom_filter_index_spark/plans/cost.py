@@ -46,6 +46,29 @@ def closed_form_pruning_level(
     return n_levels - 1
 
 
+def ie_all_present_prob(key_probs: np.ndarray, span: int, order: int = 2) -> float:
+    """P(every key appears in a window of ``span`` iid tokens) via truncated
+    inclusion-exclusion over the absence events (estimators/CostFunctionIE.java:
+    6-30 analog; utilities/MathUtils.java HF_* algebra).
+
+    P(all present) = 1 - P(union of absences); absence_i has prob
+    (1 - p_i)^span, joint absences multiply the complements. Odd truncation
+    orders lower-bound, even orders upper-bound (Bonferroni).
+    """
+    from itertools import combinations
+
+    probs = np.minimum(np.asarray(key_probs, dtype=np.float64), 1.0)
+    k = len(probs)
+    total = 0.0
+    for r in range(1, min(order, k) + 1):
+        layer = 0.0
+        for subset in combinations(range(k), r):
+            # joint absence of a key subset: none of their mass appears
+            layer += max(0.0, 1.0 - probs[list(subset)].sum()) ** span
+        total += layer if r % 2 == 1 else -layer
+    return float(np.clip(1.0 - total, 0.0, 1.0))
+
+
 def expected_survivors(
     stats: pd.DataFrame, key_probs: np.ndarray, level: int
 ) -> float:

@@ -28,6 +28,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deep lazy cascades can render plan strings big enough to OOM small
+        # driver heaps when AQE logs plan changes — cap the rendered length
+        .config("spark.sql.maxPlanStringLength", str(512 * 1024))
         .config("spark.ui.enabled", os.environ.get("HBI_UI", "false"))
     )
     if shuffle_partitions is None:

@@ -7,7 +7,27 @@ from hierarchical_bloom_filter_index_spark.plans.cost import (
     choose_start_level,
     closed_form_pruning_level,
     expected_survivors,
+    ie_all_present_prob,
 )
+
+
+def test_ie_all_present_prob_bonferroni():
+    probs = np.asarray([0.01, 0.02, 0.005])
+    span = 100
+    # exact under independence-of-positions model via monte carlo
+    rng = np.random.default_rng(0)
+    vocab_p = np.concatenate([probs, [1 - probs.sum()]])
+    hits = 0
+    trials = 4000
+    for _ in range(trials):
+        draw = rng.choice(4, size=span, p=vocab_p)
+        if all((draw == i).any() for i in range(3)):
+            hits += 1
+    mc = hits / trials
+    lower = ie_all_present_prob(probs, span, order=1)   # odd order: lower bound
+    upper = ie_all_present_prob(probs, span, order=2)   # even order: upper bound
+    assert lower - 0.03 <= mc <= upper + 0.03
+    assert ie_all_present_prob(probs, span, order=3) <= upper + 1e-9
 
 
 def _stats(tree_span=1024, leaf_span=32, n_trees=100, fill=0.3, k=5):

@@ -1,0 +1,138 @@
+"""Per-sketch error-bound compliance at $SPARK_GRAFT_SF_DIR (BASELINE.json
+headline: "per-sketch error-bound compliance (Bloom FPR, CMS eps, HLL/KLL
+rel-err) ... at SF=0.1"). Runs each sketch through the REAL distributed
+two-phase aggregation over the documents-derived corpus and checks its
+estimate against the exact Spark aggregation. Prints one JSON line.
+
+Usage: python verify_bounds.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.operators.aggregates import (
+        collect_sketch,
+        sketch_aggregate,
+    )
+    from hierarchical_bloom_filter_index_spark.sketches import (
+        BloomFilter,
+        CountMinSketch,
+        HyperLogLog,
+        KLL,
+        TDigest,
+    )
+
+    corp = C.corpus_from_documents(spark, sf_dir).cache()
+    tokens = corp.select(F.explode("tokens").alias("t")).cache()
+    n_total = tokens.count()
+    exact_counts = {r["t"]: r["c"] for r in tokens.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    exact_distinct = len(exact_counts)
+    lens = np.sort(np.asarray([r["n_tok"] for r in corp.select("n_tok").collect()]))
+    out: dict = {"sf_dir": sf_dir, "n_tokens": int(n_total), "n_distinct": exact_distinct}
+
+    # Bloom: distributed build over distinct tokens, empirical FPR on absent keys
+    p = 0.01
+    bloom = collect_sketch(
+        sketch_aggregate(corp, "tokens",
+                         lambda: BloomFilter.for_capacity(max(exact_distinct, 64), p, seed=1),
+                         values_are_arrays=True)
+    )
+    present = np.asarray(list(exact_counts), dtype=np.int64)
+    absent = np.arange(10_000, 60_000, dtype=np.int64)
+    absent = absent[~np.isin(absent, present)]
+    fpr = float(bloom.contains(absent).mean())
+    out["bloom"] = {"configured_fpr": p, "empirical_fpr": round(fpr, 6),
+                    "false_negatives": int((~bloom.contains(present)).sum()),
+                    "pass": bool(fpr <= 1.5 * p and bloom.contains(present).all())}
+
+    # CMS: overestimate-only within eps*N
+    eps, delta = 0.001, 0.01
+    cms = collect_sketch(
+        sketch_aggregate(corp, "tokens",
+                         lambda: CountMinSketch.from_eps_delta(eps, delta, seed=2),
+                         values_are_arrays=True)
+    )
+    keys = present
+    est = cms.estimate(keys)
+    true = np.asarray([exact_counts[k] for k in keys])
+    under = int((est < true).sum())
+    viol = float((est - true > eps * n_total).mean())
+    out["cms"] = {"eps": eps, "delta": delta, "underestimates": under,
+                  "viol_rate": round(viol, 6), "pass": bool(under == 0 and viol <= delta)}
+
+    # HLL: within the 1.04/sqrt(m) envelope (4 sigma)
+    hll = collect_sketch(
+        sketch_aggregate(corp, "tokens", lambda: HyperLogLog(p=14, seed=3), values_are_arrays=True)
+    )
+    rel = abs(hll.estimate() - exact_distinct) / exact_distinct
+    out["hll"] = {"estimate": round(hll.estimate(), 1), "exact": exact_distinct,
+                  "rel_err": round(rel, 6), "bound_4sigma": round(4 * hll.rel_error(), 6),
+                  "pass": bool(rel <= 4 * hll.rel_error())}
+
+    # KLL / t-digest: tie-aware rank error at fixture quantiles
+    kll = collect_sketch(sketch_aggregate(corp, "n_tok", lambda: KLL(k=200, seed=4)))
+    td = collect_sketch(sketch_aggregate(corp, "n_tok", lambda: TDigest(delta=100)))
+    n = len(lens)
+    for name, sk, bound in (("kll", kll, 0.02), ("tdigest", td, 0.02)):
+        worst = 0.0
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            v = sk.quantile(q)
+            lo = np.searchsorted(lens, v, side="left") / n
+            hi = np.searchsorted(lens, v, side="right") / n
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            worst = max(worst, err)
+        out[name] = {"worst_rank_err": round(worst, 6), "bound": bound, "pass": bool(worst <= bound)}
+
+    # synthetic corpus (vocab 4096, skewed sources): a meaningful distinct
+    # space for the cardinality/frequency sketches
+    syn = C.generate_corpus(spark, sf=0.05, seed=42).cache()
+    syn_tokens = syn.select(F.explode("tokens").alias("t"))
+    syn_exact = {r["t"]: r["c"] for r in syn_tokens.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    syn_total = sum(syn_exact.values())
+    hll2 = collect_sketch(
+        sketch_aggregate(syn, "tokens", lambda: HyperLogLog(p=14, seed=3), values_are_arrays=True)
+    )
+    rel2 = abs(hll2.estimate() - len(syn_exact)) / len(syn_exact)
+    cms2 = collect_sketch(
+        sketch_aggregate(syn, "tokens",
+                         lambda: CountMinSketch.from_eps_delta(0.0005, 0.01, seed=2),
+                         values_are_arrays=True)
+    )
+    skeys = np.asarray(list(syn_exact), dtype=np.int64)
+    sest = cms2.estimate(skeys)
+    strue = np.asarray([syn_exact[k] for k in skeys])
+    out["synthetic"] = {
+        "n_tokens": int(syn_total), "n_distinct": len(syn_exact),
+        "hll_rel_err": round(rel2, 6), "hll_bound_4sigma": round(4 * hll2.rel_error(), 6),
+        "cms_underestimates": int((sest < strue).sum()),
+        "cms_viol_rate": round(float((sest - strue > 0.0005 * syn_total).mean()), 6),
+        "pass": bool(rel2 <= 4 * hll2.rel_error() and (sest >= strue).all()
+                     and float((sest - strue > 0.0005 * syn_total).mean()) <= 0.01),
+    }
+
+    out["all_pass"] = all(v["pass"] for v in out.values() if isinstance(v, dict) and "pass" in v)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
