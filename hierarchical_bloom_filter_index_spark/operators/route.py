@@ -97,6 +97,7 @@ def _probe_level(
     anchor: int | None,
     doc_axis: bool,
     align_keys: list[np.ndarray] | None = None,
+    probe_counter=None,
 ) -> DataFrame:
     """Filter sketch rows at one level to surviving windows.
 
@@ -138,6 +139,8 @@ def _probe_level(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if probe_counter is not None:
+                probe_counter.add(len(pdf))  # Bloom-probe counter (HbiStats analog)
             hits = probe_blobs(pdf["bloom"].tolist(), key_list)  # (n, n_keys)
             mask = (hits.astype(np.uint64) << np.arange(len(key_list), dtype=np.uint64)[None, :]).sum(
                 axis=1, dtype=np.uint64
@@ -202,8 +205,13 @@ def pattern_search(
     start_level: int | str | None = None,
     freq=None,
     stats=None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact match positions of ``pattern``: (doc_id, pos), 0-based.
+
+    Pass a dict as ``stats_out`` to receive query statistics (the HbiStats
+    role, PMIndex/HbiStats.java:57-159): chosen start level, windows probed
+    and survivors per level, candidate docs verified.
 
     The full report() lifecycle: route through the Bloom hierarchy from
     ``start_level``, then verify surviving windows exactly. Returns positions
@@ -254,6 +262,10 @@ def pattern_search(
     spark = corpus.sparkSession
     survivors: DataFrame | None = None
     persisted: list[DataFrame] = []
+    if stats_out is not None:
+        stats_out.update({"start_level": first, "deepest": deepest,
+                          "windows_probed": {}, "survivors": {}})
+    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
 
     def _release(keep_last: bool = False) -> None:
         for p in persisted[: -1 if keep_last else None]:
@@ -272,9 +284,17 @@ def pattern_search(
                 ).alias("w_id"),
             ).distinct()
             rows = rows.join(F.broadcast(children), on=["doc_id", "w_id"], how="left_semi")
-        survivors = _probe_level(rows, keys, anchor, doc_axis=True, align_keys=aligns).persist()
+        if probe_counter is not None:
+            probe_counter.value = 0
+        survivors = _probe_level(
+            rows, keys, anchor, doc_axis=True, align_keys=aligns, probe_counter=probe_counter
+        ).persist()
         persisted.append(survivors)
-        if survivors.count() == 0:
+        n_surv = survivors.count()
+        if stats_out is not None:
+            stats_out["windows_probed"][L] = probe_counter.value
+            stats_out["survivors"][L] = n_surv
+        if n_surv == 0:
             _release()
             return spark.createDataFrame([], MATCH_SCHEMA)
 
@@ -289,6 +309,8 @@ def pattern_search(
         for r in survivors.collect():
             by_doc.setdefault(r["doc_id"], []).append(r["w_id"])
         final_rows = list(by_doc.items())
+        if stats_out is not None:
+            stats_out["candidate_docs"] = len(final_rows)
         cand = spark.createDataFrame(final_rows, "doc_id string, wids array<long>")
         _release()
     else:

@@ -39,6 +39,26 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_index_bucketed(index: DataFrame, table: str, n_buckets: int = 64) -> None:
+    """Persist the sketch table partitioned by level AND bucketed+sorted by
+    w_id: repeated candidate joins against one level read pre-clustered
+    buckets, so the big (index) side of the join needs no Exchange — the
+    co-located-join strategy for a long-lived index at 100 TB (Iceberg's
+    bucket partition transform plays this role on a real catalog)."""
+    (
+        index.write.mode("overwrite")
+        .partitionBy("level")
+        .bucketBy(n_buckets, "w_id")
+        .sortBy("w_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_index_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 def _config_dict(cfg: HbiConfig) -> dict:
     return {
         "tree_span": cfg.tree_span, "leaf_span": cfg.leaf_span, "fpr": cfg.fpr,

@@ -60,6 +60,35 @@ def test_verification_is_whole_stage_codegen(spark, tmp_path):
     assert "MapInPandas" not in plan  # exact verify is pure JVM
 
 
+def test_bucketed_index_scan_is_co_located(spark, tmp_path):
+    """The persisted sketch table bucketed by w_id joins without an Exchange
+    on the (big) index side — only the probe side shuffles."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_bloom_filter_index_spark.sources.io import (
+        read_index_table,
+        write_index_bucketed,
+    )
+
+    corp = C.generate_corpus(spark, sf=0.001, seed=2)
+    idx = build_index(corp, CFG)
+    write_index_bucketed(idx, "hbi_idx_bucketed_test", n_buckets=8)
+    try:
+        with_bucket_off = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tbl = read_index_table(spark, "hbi_idx_bucketed_test").filter(f"level = {CFG.deepest}")
+        probe = spark.range(0, 50).select(F.col("id").alias("w_id"))
+        plan = _plan(tbl.join(probe, "w_id", "left_semi"))
+        assert "Bucketed: true" in plan, plan
+        # at most the probe side shuffles; the index scan feeds the join
+        # directly from its buckets
+        scan_part = plan.split("Exchange")[0]
+        assert "Scan parquet" in scan_part or plan.index("Bucketed: true") < plan.index("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_bucket_off)
+        spark.sql("DROP TABLE IF EXISTS hbi_idx_bucketed_test")
+
+
 def test_filter_pushdown_on_corpus_source(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     q = docs.filter(F.col("source") == "src1").select("doc_id")
