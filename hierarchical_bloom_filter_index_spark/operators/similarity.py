@@ -115,6 +115,53 @@ def hyperplane_signatures(
     return embeddings.select(id_col, vec_col).mapInPandas(sig, schema=f"{id_col} long, bucket long")
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos >= threshold)
+    via hyperplane-LSH bucketing + exact re-scoring of candidate pairs only
+    — the embedding analog of MinHash near-dup for training-data dedup.
+
+    Recall < 1 is possible (LSH misses); candidates are exactly re-scored so
+    there are no false positives. All-pairs work is bounded by bucket sizes.
+    """
+    cands = None
+    for t in range(n_tables):
+        sig = hyperplane_signatures(embeddings, n_planes, seed=7000 + t, id_col=id_col, vec_col=vec_col)
+        a, b = sig.alias("a"), sig.alias("b")
+        c = (
+            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    paired = (
+        cands.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "vb"), "id_b")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            vb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            va = va / np.linalg.norm(va, axis=1, keepdims=True)
+            vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+            cos = (va * vb).sum(axis=1)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["cosine"] = np.round(cos, 6)
+            yield out[cos >= threshold]
+
+    return paired.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

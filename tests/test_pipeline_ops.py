@@ -176,3 +176,27 @@ def test_multimodal_features_deterministic(spark):
     assert {"image", "audio", "video"} == set(kinds.values())
     with pytest.raises(NotImplementedError):
         M.extract_features(media, dim=16, decode_backend="real").collect()
+
+
+def test_embedding_neardup_pairs(spark, emb):
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in S.embedding_neardup_pairs(emb, threshold=0.7, n_planes=4, n_tables=16).collect()}
+    rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    exact = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            if sims[i, j] >= 0.7:
+                exact[(a, b)] = sims[i, j]
+    # exact re-scoring: no false positives
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-5
+    # decent recall on this data
+    if exact:
+        assert len(got) / len(exact) >= 0.7, f"recall {len(got)}/{len(exact)}"
