@@ -179,9 +179,16 @@ def test_multimodal_features_deterministic(spark):
 
 
 def test_embedding_neardup_pairs(spark, emb):
+    # the synthetic embeddings are near-orthogonal (max pairwise cos ~0.51),
+    # so inject known near-duplicates to exercise recall
+    base = emb.select("vec_id", "embedding")
+    twins = base.orderBy("vec_id").limit(3).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    emb2 = base.unionByName(twins)
     got = {(r["id_a"], r["id_b"]): r["cosine"]
-           for r in S.embedding_neardup_pairs(emb, threshold=0.7, n_planes=4, n_tables=16).collect()}
-    rows = emb.collect()
+           for r in S.embedding_neardup_pairs(emb2, threshold=0.7, n_planes=4, n_tables=16).collect()}
+    rows = emb2.collect()
     ids = np.asarray([r["vec_id"] for r in rows])
     mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -197,6 +204,9 @@ def test_embedding_neardup_pairs(spark, emb):
     assert set(got) <= set(exact)
     for k, v in got.items():
         assert abs(v - exact[k]) < 1e-5
-    # decent recall on this data
-    if exact:
-        assert len(got) / len(exact) >= 0.7, f"recall {len(got)}/{len(exact)}"
+    # the injected identical twins (cos=1.0) MUST all be found (every LSH
+    # table buckets identical vectors together)
+    assert len(exact) >= 3
+    twins_found = sum(1 for (a, b) in got if b - a == 100_000)
+    assert twins_found == 3, f"identical twins found: {twins_found}/3"
+    assert len(got) / len(exact) >= 0.7, f"recall {len(got)}/{len(exact)}"
