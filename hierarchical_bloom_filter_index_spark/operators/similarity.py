@@ -115,6 +115,115 @@ def hyperplane_signatures(
     return embeddings.select(id_col, vec_col).mapInPandas(sig, schema=f"{id_col} long, bucket long")
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 12,
+    seed: int = 77,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a driver-side sample — the coarse
+    quantizer of an IVF index. At 100 TB the sample is a tiny fraction;
+    training cost is independent of corpus size."""
+    sample = embeddings.select(vec_col).limit(sample_rows).collect()
+    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)  # cosine assignment
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id): nearest-centroid partition of the vectors — the IVF
+    inverted lists. One Arrow-batched matmul per partition; at scale the
+    output is written partitioned by list_id so queries prune to nprobe
+    lists' files."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            out = pdf[[id_col]].copy()
+            out["list_id"] = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=f"{id_col} long, list_id int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` inverted lists whose
+    centroids are nearest each query; exact cosine re-rank within them.
+    Recall < 1 possible (a true neighbor may live in an unprobed list)."""
+    spark = embeddings.sparkSession
+    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col)
+    lists = ivf_assign(embeddings, cents, id_col, vec_col)
+    qrows = embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(cents @ qv))[:nprobe]
+        for lid in order:
+            probe_rows.append((int(r[id_col]), int(lid)))
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, list_id int"))
+    cand = (
+        lists.join(probes, on="list_id", how="inner")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    qmap = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in qrows}
+    for q in qmap:
+        qmap[q] = qmap[q] / np.linalg.norm(qmap[q])
+    bq = spark.sparkContext.broadcast(qmap)
+    joined = cand.join(embeddings.select(id_col, vec_col), on=id_col, how="inner")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = np.asarray([float(qm[q] @ m) for q, m in zip(pdf["query_id"], mat)])
+            yield pd.DataFrame({"query_id": pdf["query_id"], "vec_id": pdf[id_col], "score": scores})
+
+    scored = joined.mapInPandas(rerank, schema=_topk_schema())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

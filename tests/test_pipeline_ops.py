@@ -210,3 +210,17 @@ def test_embedding_neardup_pairs(spark, emb):
     twins_found = sum(1 for (a, b) in got if b - a == 100_000)
     assert twins_found == 3, f"identical twins found: {twins_found}/3"
     assert len(got) / len(exact) >= 0.7, f"recall {len(got)}/{len(exact)}"
+
+
+def test_ivf_topk_recall(spark, emb):
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(5).collect()]
+    exact = S.cosine_topk(emb, qids, k=5).collect()
+    approx = S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=6).collect()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # determinism: same seeds => same result
+    again = S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=6).collect()
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in approx} == \
+           {(r["query_id"], r["vec_id"], r["rank"]) for r in again}
