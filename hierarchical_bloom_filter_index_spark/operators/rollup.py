@@ -1,0 +1,97 @@
+"""Dyadic sketch rollup: derive every coarser level from the leaf level by
+MERGING child sketches — no second pass over the tokens.
+
+SURVEY §2.7: "the dyadic level hierarchy IS a rollup over window granularity
+... build level L by merging the two child sketches of level L+1 instead of
+re-scanning the data per level." Bloom filters can't roll up here because
+each level is sized differently (merge requires identical (m,k)); HLL/CMS
+share parameters across levels, so parent = merge(children) exactly equals a
+from-scratch build of the parent window (merge law), and each rollup step
+touches only sketch rows (|windows at level L+1|), never the corpus.
+
+At 100 TB this is the difference between L scans of the data and ONE scan
+plus L-1 scans of an ever-halving sketch table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import HbiConfig
+from ..sketches import from_bytes
+
+HLL_INDEX_SCHEMA = "doc_id string, level int, w_id long, sketch binary"
+
+
+def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
+    """Approximate-distinct index: one HLL per (doc, level, window), built
+    leaf-first then rolled up. Answers 'how many distinct tokens in window
+    W at level L' within the 1.04/sqrt(2^p) envelope."""
+    from ..sketches.hll import HyperLogLog
+
+    leaf_span = cfg.leaf_span
+    deepest = cfg.deepest
+    seed = cfg.seed + 7
+
+    def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_w, out_sk = [], [], []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                arr = np.asarray(toks, dtype=np.int64)
+                for w in range(0, (len(arr) + leaf_span - 1) // leaf_span):
+                    sk = HyperLogLog(p=p, seed=seed)
+                    sk.update(arr[w * leaf_span : (w + 1) * leaf_span])
+                    out_doc.append(did)
+                    out_w.append(w)
+                    out_sk.append(sk.to_bytes())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "level": deepest, "w_id": out_w, "sketch": out_sk}
+            )
+
+    leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
+
+    def merge_children(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = from_bytes(bytes(pdf["sketch"].iloc[0]))
+        for b in pdf["sketch"].iloc[1:]:
+            acc = acc.merge(from_bytes(bytes(b)))
+        out = pdf.iloc[[0]].copy()
+        out["sketch"] = [acc.to_bytes()]
+        return out
+
+    levels = [leaf]
+    cur = leaf
+    for L in range(deepest - 1, -1, -1):
+        # parent window = merge of its (at most 2) children — sketch rows only
+        cur = (
+            cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
+            .groupBy("doc_id", "level", "w_id")
+            .applyInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:
+    """(doc_id, w_id, est_distinct) at one level — deserialization batched."""
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [float(from_bytes(bytes(b)).estimate()) for b in pdf["sketch"]]
+            out = pdf[["doc_id", "w_id"]].copy()
+            out["est_distinct"] = vals
+            yield out
+
+    return hll_index.filter(F.col("level") == level).mapInPandas(
+        est, schema="doc_id string, w_id long, est_distinct double"
+    )
