@@ -346,6 +346,20 @@ def q_global_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-per-window via the dyadic HLL rollup index
+    (coarse levels merged from children, no token rescan)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_hll_window_index,
+        window_distinct_estimates,
+    )
+
+    idx = build_hll_window_index(_corpus(spark, sf_dir), CFG, p=12)
+    return window_distinct_estimates(idx, 0).select(
+        "doc_id", "w_id", F.round("est_distinct", 3).alias("est_distinct")
+    )
+
+
 def q_bottomk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k distinct-token sample (hash order) — rows-only
     check; determinism itself is the contract (same seed => same sample)."""
@@ -561,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_probes": q_countsketch_probes,
         "hll_distinct_by_source": q_hll_distinct_by_source,
         "bottomk_tokens": q_bottomk_tokens,
+        "hll_window_rollup": q_hll_window_rollup,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
