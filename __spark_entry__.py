@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hierarchical_bloom_filter_index_spark.config import HbiConfig
 from hierarchical_bloom_filter_index_spark import corpus as C
-from hierarchical_bloom_filter_index_spark.functions import with_positions, window_id
+from hierarchical_bloom_filter_index_spark.functions import with_positions
 from hierarchical_bloom_filter_index_spark.operators import (
     build_index,
     frequency_summary,

@@ -1,5 +1,6 @@
 from .build import build_index, compact_index, index_stats, level_params, level_seed
 from .probe import probe_blobs
+from .rollup import build_hll_window_index, window_distinct_estimates
 from .route import (
     brute_force_search,
     deepest_usable_level,
@@ -18,6 +19,8 @@ __all__ = [
     "level_params",
     "level_seed",
     "probe_blobs",
+    "build_hll_window_index",
+    "window_distinct_estimates",
     "brute_force_search",
     "deepest_usable_level",
     "frequency_summary",
