@@ -49,7 +49,12 @@ def level_params(cfg: HbiConfig) -> dict[int, tuple[int, int]]:
 
 
 def level_seed(cfg: HbiConfig, level: int) -> int:
-    return cfg.seed * 1_000_003 + level
+    """All levels share one hash family: each key is hashed ONCE per batch
+    and every level derives its bit positions from the same (h1, h2) pair
+    (different modulus per level). Per-filter FPR is unchanged — only a weak
+    cross-level FP correlation appears, which the exact verification absorbs
+    (sketches cost, never answers)."""
+    return cfg.seed * 1_000_003
 
 
 def _batch_keys(
@@ -92,10 +97,18 @@ def _batch_keys(
 
 
 def _build_level_filters(
-    group_ids: np.ndarray, n_groups: int, keys: np.ndarray, m: int, k: int, seed: int
+    group_ids: np.ndarray,
+    n_groups: int,
+    keys: np.ndarray,
+    m: int,
+    k: int,
+    seed: int,
+    hashes: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build n_groups Bloom filters at once: one vectorized scatter.
 
+    ``hashes``: optional precomputed (h1, h2) for the keys — levels share the
+    hash family, so the caller hashes each key once per batch.
     Returns (words matrix (n_groups, n_words) uint64, n_items per group).
     """
     proto = BloomFilter(m, k, seed)
@@ -110,7 +123,10 @@ def _build_level_filters(
     chunk = max(1, 262_144 // max(1, k))
     for s in range(0, len(keys), chunk):
         sl = slice(s, s + chunk)
-        flat = proto._positions(keys[sl]).ravel()
+        if hashes is not None:
+            flat = proto.positions_from_hashes(hashes[0][sl], hashes[1][sl]).ravel()
+        else:
+            flat = proto._positions(keys[sl]).ravel()
         lin = (
             np.repeat(group_ids[sl].astype(np.int64), k) * n_words
             + (flat >> np.uint64(6)).astype(np.int64)
@@ -122,6 +138,19 @@ def _build_level_filters(
         np.bitwise_or.at(big, lin_s[starts], np.bitwise_or.reduceat(masks[order], starts))
     n_items = np.bincount(group_ids, minlength=n_groups)
     return big.reshape(n_groups, n_words), n_items
+
+
+def _monotone_groups(composite: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique values, group ids) for a NON-DECREASING array — O(n) boundary
+    detection instead of np.unique's O(n log n) sort. Window ids are
+    monotone within each doc and docs are emitted in batch order, so both
+    axes' composites qualify."""
+    if len(composite) == 0:
+        return composite, np.empty(0, dtype=np.int64)
+    changed = composite[1:] != composite[:-1]
+    uniq = composite[np.flatnonzero(np.concatenate(([True], changed)))]
+    group_ids = np.cumsum(np.concatenate(([0], changed.astype(np.int64))))
+    return uniq, group_ids
 
 
 def build_index(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
@@ -145,13 +174,16 @@ def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
             doc_idx, pos, keys = _batch_keys(pdf["tokens"], cfg)
             if len(keys) == 0:
                 continue
+            shared_hashes = BloomFilter(8, 1, seeds[levels[0]])._hashes(keys)
             out_doc, out_level, out_w, out_blob, out_n, out_bits = [], [], [], [], [], []
             for L in levels:
                 m, k = params[L]
                 w = pos >> np.uint64(int(np.log2(spans[L])))
                 composite = doc_idx * (1 << 40) + w  # doc-local windows: w < 2^40
-                uniq, group_ids = np.unique(composite, return_inverse=True)
-                words, n_items = _build_level_filters(group_ids, len(uniq), keys, m, k, seeds[L])
+                uniq, group_ids = _monotone_groups(composite)
+                words, n_items = _build_level_filters(
+                    group_ids, len(uniq), keys, m, k, seeds[L], hashes=shared_hashes
+                )
                 u_doc = (uniq >> 40).astype(np.int64)
                 u_w = (uniq & ((1 << 40) - 1)).astype(np.int64)
                 for g in range(len(uniq)):
@@ -219,12 +251,15 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
                 gpos, keys = gpos[sel], keys[sel]
                 if len(keys) == 0:
                     continue
+            shared_hashes = BloomFilter(8, 1, seeds[levels[0]])._hashes(keys)
             out = {c: [] for c in ("level", "w_id", "bloom", "n_items", "bits_set")}
             for L in levels:
                 m, k = params[L]
                 w = (gpos >> np.uint64(int(np.log2(spans[L])))).astype(np.int64)
-                uniq, group_ids = np.unique(w, return_inverse=True)
-                words, n_items = _build_level_filters(group_ids, len(uniq), keys, m, k, seeds[L])
+                uniq, group_ids = _monotone_groups(w)
+                words, n_items = _build_level_filters(
+                    group_ids, len(uniq), keys, m, k, seeds[L], hashes=shared_hashes
+                )
                 for g in range(len(uniq)):
                     bf = BloomFilter(m, k, seeds[L], words[g], int(n_items[g]))
                     out["level"].append(L)

@@ -53,10 +53,20 @@ class BloomFilter:
         m, k = design(n, p)
         return cls(m, k, seed)
 
-    def _positions(self, keys: np.ndarray) -> np.ndarray:
-        """(len(keys), k) bit positions via double hashing (vectorized)."""
+    def _hashes(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(h1, h2) double-hashing bases — reusable across filters that share
+        this seed (e.g. all levels of the hierarchical index hash each key
+        once; per-filter positions then differ only by the modulus)."""
         h1 = hash64(keys, self.seed)
         h2 = hash64(keys, self.seed ^ _STRIDE_SEED_XOR) | _U64(1)  # odd stride
+        return h1, h2
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(len(keys), k) bit positions via double hashing (vectorized)."""
+        h1, h2 = self._hashes(keys)
+        return self.positions_from_hashes(h1, h2)
+
+    def positions_from_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         return (h1[:, None] + i * h2[:, None]) % _U64(self.m)
 
