@@ -81,6 +81,11 @@ def main() -> None:
         "events_hourly",
     ]
     qmap = E.queries()
+    # one throwaway routed query: first execution in a session pays codegen +
+    # python-worker + shuffle warmup that no later query repeats
+    t0 = time.time()
+    qmap["hbi_pattern_rare"](spark, sf_dir).count()
+    timings["warmup_query"] = round(time.time() - t0, 3)
     reps = int(os.environ.get("HBI_BENCH_REPS", "2"))
     for name in names:
         best, n = float("inf"), 0

@@ -24,6 +24,13 @@ Filters at one level share (m, k, seed), so probing N windows for T pattern
 tokens is one vectorized gather, and level L-1 could be OR-rolled-up from
 level L children — we still build all levels in one data pass because the
 pass is token-bound, not level-bound (levels only add hashing, no extra scan).
+
+Task-retry determinism (SURVEY §7.4): every stage here is a pure function of
+its input partition — a retried task recomputes identical sketch rows and
+Spark's shuffle/commit protocol replaces (never duplicates) its output, so
+speculative execution and retries cannot double-count. The only stateful
+writes are the checkpointed shards in sources/io.py, which are atomic per
+shard and idempotent by lineage marker.
 """
 
 from __future__ import annotations
