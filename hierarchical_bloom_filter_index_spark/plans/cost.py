@@ -70,13 +70,23 @@ def ie_all_present_prob(key_probs: np.ndarray, span: int, order: int = 2) -> flo
 
 
 def expected_survivors(
-    stats: pd.DataFrame, key_probs: np.ndarray, level: int
+    stats: pd.DataFrame, key_probs: np.ndarray, level: int, model: str = "iid"
 ) -> float:
+    """Expected surviving windows at a level.
+
+    model='iid': per-key independent presence (CostFunctionMaxProb's product
+    form); model='ie': truncated inclusion-exclusion over joint absences
+    (CostFunctionIE) — tighter when keys share probability mass.
+    """
     row = stats[stats["level"] == level].iloc[0]
     span = row["span"]
     beta = row["fill_fpr"]
-    hit = 1.0 - np.power(1.0 - np.minimum(key_probs, 1.0), 2 * span)
-    per_window = float(np.prod(np.minimum(1.0, hit + beta)))
+    if model == "ie" and len(key_probs) <= 12:  # subsets grow combinatorially
+        per_window = min(1.0, ie_all_present_prob(key_probs, 2 * int(span), order=2)
+                         + beta * len(key_probs))
+    else:
+        hit = 1.0 - np.power(1.0 - np.minimum(key_probs, 1.0), 2 * span)
+        per_window = float(np.prod(np.minimum(1.0, hit + beta)))
     return row["n_windows"] * per_window
 
 
@@ -86,6 +96,7 @@ def choose_start_level(
     pattern_len: int,
     probe_cost: float = 1.0,
     verify_cost: float = 0.25,
+    model: str = "iid",
 ) -> int:
     """argmin over seed levels of expected probe rows + verification work.
 
@@ -100,10 +111,10 @@ def choose_start_level(
     best_level, best_cost = 0, math.inf
     for lp in range(deepest + 1):
         cost = probe_cost * float(stats[stats["level"] == lp].iloc[0]["n_windows"])
-        e_prev = expected_survivors(stats, key_probs, lp)
+        e_prev = expected_survivors(stats, key_probs, lp, model)
         for L in range(lp + 1, deepest + 1):
             cost += probe_cost * 2.0 * e_prev
-            e_prev = min(2.0 * e_prev, expected_survivors(stats, key_probs, L))
+            e_prev = min(2.0 * e_prev, expected_survivors(stats, key_probs, L, model))
         span_d = int(stats[stats["level"] == deepest].iloc[0]["span"])
         cost += verify_cost * span_d * e_prev
         if cost < best_cost:

@@ -76,3 +76,17 @@ def test_choose_start_level_common_vs_rare():
     # respects the pattern-length descent guard: span(L) >= m forces level 0
     deep_guarded = choose_start_level(stats, np.asarray([1e-6]), pattern_len=1024)
     assert deep_guarded == 0
+
+
+def test_ie_model_usable_in_planner():
+    stats = _stats()
+    probs = np.asarray([0.02, 0.03, 0.01])
+    lvl_iid = choose_start_level(stats, probs, pattern_len=8, model="iid")
+    lvl_ie = choose_start_level(stats, probs, pattern_len=8, model="ie")
+    assert 0 <= lvl_ie <= int(stats["level"].max())
+    # IE's joint-absence terms only tighten (reduce) the per-window hit
+    # probability, so its seed level is never deeper than iid's
+    assert lvl_ie <= lvl_iid
+    # IE falls back to iid past its subset limit (no blowup for long patterns)
+    many = np.full(20, 0.01)
+    assert choose_start_level(stats, many, 8, model="ie") == choose_start_level(stats, many, 8, model="iid")
