@@ -160,9 +160,13 @@ def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             corp.select(
                 "doc_id",
                 F.posexplode(
+                    # guard: sequence(0, -1) on an empty doc would DESCEND and
+                    # emit phantom windows the oracle doesn't have
                     F.expr(
+                        f"case when n_tok > 0 then "
                         f"transform(sequence(0, cast(ceil(n_tok / {span}.0) as int) - 1), "
-                        f"w -> size(array_distinct(slice(tokens, w * {span} + 1, {span}))))"
+                        f"w -> size(array_distinct(slice(tokens, w * {span} + 1, {span})))) "
+                        f"else array() end"
                     )
                 ).alias("w_id", "nd"),
             ).select(
@@ -238,7 +242,13 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+                # guard: docs shorter than 5 chars have no 5-gram shingles;
+                # sequence(1, negative) would DESCEND and emit phantom ones
+                F.expr(
+                    "case when length(text) >= 5 then "
+                    "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) "
+                    "else array() end"
+                )
             )
         ).alias("sh"),
     )
@@ -655,7 +665,7 @@ flat AS (
   SELECT o + i - 1 AS g, tokens[i] AS t
   FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
 )
-SELECT f0.g AS gpos
+SELECT CAST(f0.g AS BIGINT) AS gpos
 FROM flat f0
 {" ".join(f"JOIN flat f{j} ON f{j}.g = f0.g + {j} AND f{j}.t = {PAT_GLOBAL[j]}" for j in range(1, len(PAT_GLOBAL)))}
 WHERE f0.t = {PAT_GLOBAL[0]}""",

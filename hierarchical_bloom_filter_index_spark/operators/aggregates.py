@@ -91,7 +91,7 @@ def sketch_aggregate(
         return partial_df.groupBy(*group_cols).applyInPandas(merge_pdf, schema=schema)
 
     # global: tree fan-in on a bucket column, halving rounds
-    cur = partial_df.withColumn("_b", F.abs(F.hash(F.monotonically_increasing_id())) % fanout)
+    cur = partial_df.withColumn("_b", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(fanout)))
     bucket_schema = "_b int, sketch binary"
 
     def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

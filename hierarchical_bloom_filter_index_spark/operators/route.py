@@ -37,6 +37,11 @@ from .probe import probe_blobs
 
 MATCH_SCHEMA = "doc_id string, pos int"
 
+# Cap on driver-side materialization of surviving candidates (bytes, not
+# rows: 2M Row objects of long doc_ids is GB-scale on a small driver heap).
+# Above the cap the cascade keeps the DataFrame path — no driver OOM ever.
+DRIVER_MATERIALIZE_BYTES = 64 << 20
+
 
 def pattern_keys(pattern: list[int], cfg: HbiConfig) -> tuple[np.ndarray, int]:
     """(distinct probe keys, anchor key) for a token pattern
@@ -302,9 +307,12 @@ def pattern_search(
     # driver: cuts the cached-cascade lineage so every intermediate persist
     # is released NOW, not when the caller finishes consuming the result.
     # Candidates are bounded by pruning; if a degenerate pattern keeps
-    # millions of windows alive, keep the DataFrame path (no driver OOM).
+    # too many windows alive (byte-based cap), keep the DataFrame path
+    # (no driver OOM).
     final_rows = None
-    if survivors.count() <= 2_000_000:
+    sample = survivors.first() if n_surv else None
+    per_row = 80 + (2 * len(sample["doc_id"]) if sample is not None else 0)
+    if n_surv <= DRIVER_MATERIALIZE_BYTES // per_row:
         by_doc: dict[str, list[int]] = {}
         for r in survivors.collect():
             by_doc.setdefault(r["doc_id"], []).append(r["w_id"])
@@ -418,16 +426,26 @@ def global_pattern_search(
             rows = rows.join(F.broadcast(children), on="w_id", how="left_semi")
         survivors = _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns).persist()
         persisted.append(survivors)
-        if survivors.count() == 0:
+        n_surv = survivors.count()
+        if n_surv == 0:
             for p in persisted:
                 p.unpersist()
             return spark.createDataFrame([], "gpos long")
 
     span = cfg.span(deepest)
-    wids = sorted(r["w_id"] for r in survivors.collect())
-    for p in persisted:
-        p.unpersist()
-    wid_df = F.broadcast(spark.createDataFrame([(w,) for w in wids], "w_id long"))
+    # Guarded driver materialization (byte-based cap): collecting the small
+    # Bloom-pruned frontier cuts the cached-cascade lineage and broadcasts
+    # it; a degenerate pattern that keeps millions of windows alive stays a
+    # DataFrame and joins by shuffle instead — never an unbounded collect.
+    if n_surv <= DRIVER_MATERIALIZE_BYTES // 40:  # (w_id long) rows
+        wids = sorted(r["w_id"] for r in survivors.collect())
+        for p in persisted:
+            p.unpersist()
+        wid_df = F.broadcast(spark.createDataFrame([(w,) for w in wids], "w_id long"))
+    else:
+        for p in persisted[:-1]:
+            p.unpersist()
+        wid_df = survivors.select("w_id")
 
     # candidate docs: any doc whose start-position range intersects a
     # surviving window — explode the doc's own window range (few per doc)

@@ -108,14 +108,23 @@ def choose_start_level(
     if len(usable) == 0:
         return 0
     deepest = int(usable["level"].max())
-    best_level, best_cost = 0, math.inf
-    for lp in range(deepest + 1):
+    # iterate only levels actually present in stats: a compacted index
+    # (compact_index / apply_memory_policy) drops coarse levels, and a
+    # missing-level lookup would otherwise raise IndexError
+    present = sorted(int(l) for l in stats["level"] if int(l) <= deepest)
+    if not present:
+        return 0
+    best_level, best_cost = present[0], math.inf
+    for i, lp in enumerate(present):
         cost = probe_cost * float(stats[stats["level"] == lp].iloc[0]["n_windows"])
         e_prev = expected_survivors(stats, key_probs, lp, model)
-        for L in range(lp + 1, deepest + 1):
-            cost += probe_cost * 2.0 * e_prev
-            e_prev = min(2.0 * e_prev, expected_survivors(stats, key_probs, L, model))
-        span_d = int(stats[stats["level"] == deepest].iloc[0]["span"])
+        prev_level = lp
+        for L in present[i + 1 :]:
+            fanout = float(2 ** (L - prev_level))  # children per survivor across the gap
+            cost += probe_cost * fanout * e_prev
+            e_prev = min(fanout * e_prev, expected_survivors(stats, key_probs, L, model))
+            prev_level = L
+        span_d = int(stats[stats["level"] == present[-1]].iloc[0]["span"])
         cost += verify_cost * span_d * e_prev
         if cost < best_cost:
             best_level, best_cost = lp, cost

@@ -110,7 +110,9 @@ def build_index_checkpointed(
             json.dump(want, f, indent=1, sort_keys=True)
 
     lineage = _read_lineage(path)
-    sharded = corpus.withColumn("_shard", F.abs(F.xxhash64("doc_id")) % n_shards)
+    # pmod, not abs+%: abs(Long.MIN_VALUE) stays negative (or throws under
+    # ANSI), which would silently drop that doc from every shard
+    sharded = corpus.withColumn("_shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
     for shard in range(n_shards):
         if str(shard) in lineage["shards"]:
             continue
