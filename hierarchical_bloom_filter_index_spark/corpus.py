@@ -14,9 +14,9 @@ Two producers:
   materialization, so it scales to any SF.
 
 Also ``with_global_offsets``: a scale-safe exclusive prefix sum of n_tok in
-doc order (two-pass: per-partition subtotals -> driver prefix -> broadcast),
-avoiding the single-partition shuffle a naive
-``sum() over (order by doc_id rows unbounded preceding)`` would cost.
+doc order (deterministic range buckets -> per-bucket subtotals -> driver
+prefix -> per-bucket window sum), avoiding the single-partition shuffle a
+naive ``sum() over (order by doc_id rows unbounded preceding)`` would cost.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .config import HbiConfig
 from .functions import codepoint_tokens
@@ -185,45 +185,75 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 # global position axis
 # ---------------------------------------------------------------------------
-def with_global_offsets(df: DataFrame, order_col: str = "doc_id") -> DataFrame:
-    """Add ``doc_offset`` = exclusive prefix-sum of n_tok in ``order_col``
-    order, computed without a single-partition window.
+def _bucket_boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list:
+    """Deterministic range-bucket boundaries for ``order_col``: a seeded
+    hash-threshold sample (pure column function — identical keys every run),
+    sorted, thinned to n_buckets-1 cut points. Sample size is bounded
+    (~32 keys per bucket) regardless of table size."""
+    n = df.count()
+    target = n_buckets * 32
+    rate_ppm = max(1, min(1_000_000, (1_000_000 * target) // max(1, n)))
+    keys = sorted(
+        r[0]
+        for r in df.filter(F.pmod(F.xxhash64(order_col), F.lit(1_000_000)) < rate_ppm)
+        .select(order_col)
+        .collect()
+    )
+    if not keys:
+        return []
+    step = max(1, len(keys) // n_buckets)
+    return keys[step::step][: n_buckets - 1]
 
-    Pass 1: range-partition + sort by key, count per-partition token totals
-    (tiny collect: one row per partition). Pass 2: broadcast the partition
-    prefix, add in-partition cumulative sums via mapInPandas. This is the
-    distributed analog of the reference's global stream counter
-    (PMIndex/HBI.java:215-267 `counter`).
+
+def with_global_offsets(
+    df: DataFrame, order_col: str = "doc_id", start: int = 0, n_buckets: int | None = None
+) -> DataFrame:
+    """Add ``doc_offset`` = ``start`` + exclusive prefix-sum of n_tok in
+    ``order_col`` order, computed without a single-partition window.
+
+    Every step is a pure function of the row values — NOT of physical
+    partition ids — so re-executing the plan (second action, lost executor,
+    evicted cache) always reproduces identical offsets. (The earlier
+    repartitionByRange + spark_partition_id design was unsound: Spark's
+    RangePartitioner re-samples per job, so partition contents could differ
+    between the totals job and the offsets job.)
+
+    1. Deterministic range buckets: boundaries from a seeded hash sample of
+       ``order_col``; bucket(row) = #boundaries <= key (ordered by key).
+    2. Per-bucket token totals -> driver prefix (one tiny collect).
+    3. doc_offset = bucket prefix (broadcast join) + within-bucket exclusive
+       window sum, each bucket ~ |table|/n_buckets rows — no global sort.
+
+    This is the distributed analog of the reference's global stream counter
+    (PMIndex/HBI.java:215-267 `counter`). ``order_col`` must be unique per
+    row (doc_id is). ``start`` continues an existing stream (incremental
+    append on the global axis).
     """
     spark = df.sparkSession
-    n_part = max(df.rdd.getNumPartitions(), 1)
-    arranged = df.repartitionByRange(n_part, F.col(order_col)).sortWithinPartitions(order_col)
-    arranged = arranged.withColumn("_pid", F.spark_partition_id())
+    n_buckets = n_buckets or max(df.rdd.getNumPartitions(), 1)
+    boundaries = _bucket_boundaries(df, order_col, n_buckets) if n_buckets > 1 else []
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    with_b = df.withColumn("_bucket", bucket)
     totals = {
-        r["_pid"]: r["tot"]
-        for r in arranged.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
+        int(r["_bucket"]): int(r["tot"])
+        for r in with_b.groupBy("_bucket").agg(F.sum("n_tok").alias("tot")).collect()
     }
-    prefix = {}
-    acc = 0
-    for pid in sorted(totals):
-        prefix[pid] = acc
-        acc += int(totals[pid])
-    bprefix = spark.sparkContext.broadcast(prefix)
-
-    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in arranged.schema.fields if f.name != "_pid")
-    out_schema += ", doc_offset long"
-
-    def add_offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if running is None:
-                running = int(bprefix.value.get(int(pdf["_pid"].iloc[0]), 0))
-            csum = pdf["n_tok"].cumsum()
-            pdf = pdf.copy()
-            pdf["doc_offset"] = running + csum.shift(1, fill_value=0).astype("int64")
-            running += int(pdf["n_tok"].sum())
-            yield pdf.drop(columns=["_pid"])
-
-    return arranged.mapInPandas(add_offsets, schema=out_schema)
+    prefix, acc = {}, int(start)
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    pref_df = spark.createDataFrame(
+        [(b, p) for b, p in sorted(prefix.items())] or [(0, int(start))], "_bucket int, _base long"
+    )
+    w = Window.partitionBy("_bucket").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        with_b.join(F.broadcast(pref_df), on="_bucket")
+        .withColumn(
+            "doc_offset", (F.col("_base") + F.coalesce(F.sum("n_tok").over(w), F.lit(0))).cast("long")
+        )
+        .drop("_bucket", "_base")
+    )

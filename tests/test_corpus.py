@@ -64,6 +64,44 @@ def test_with_global_offsets(spark):
         acc += r["n_tok"]
 
 
+def test_with_global_offsets_stable_across_actions_and_partitioning(spark):
+    """Offsets must be a pure function of row values: re-executing the SAME
+    uncached plan (two actions) and changing the input partitioning must both
+    reproduce identical offsets. Regression for the spark_partition_id-based
+    design, where a re-sampled RangePartitioner could silently shift every
+    offset between jobs."""
+    df = C.generate_corpus(spark, sf=0.002, seed=9, n_partitions=5)
+    out = C.with_global_offsets(df)  # NOT cached: each action re-executes
+    a = {r["doc_id"]: r["doc_offset"] for r in out.collect()}
+    b = {r["doc_id"]: r["doc_offset"] for r in out.collect()}
+    assert a == b
+    repart = C.with_global_offsets(df.repartition(3), n_buckets=2)
+    c = {r["doc_id"]: r["doc_offset"] for r in repart.collect()}
+    assert a == c
+    # exclusive-prefix correctness independently of bucket count
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["doc_offset"] == acc
+        acc += r["n_tok"]
+
+
+def test_with_global_offsets_start_continuation(spark):
+    """start= continues an existing stream: offsets of an appended batch
+    equal the full-corpus offsets of the same docs."""
+    full = C.generate_corpus(spark, sf=0.002, seed=4)
+    old = full.filter(F.col("doc_id") < "u")   # doc_ids sort: prefix split
+    new = full.filter(F.col("doc_id") >= "u")
+    total_old = old.agg(F.sum("n_tok")).first()[0]
+    whole = {r["doc_id"]: r["doc_offset"] for r in C.with_global_offsets(full).collect()}
+    cont = {
+        r["doc_id"]: r["doc_offset"]
+        for r in C.with_global_offsets(new, start=int(total_old)).collect()
+    }
+    for did, off in cont.items():
+        assert whole[did] == off
+
+
 def test_functions_window_and_positions(spark):
     df = spark.createDataFrame([("d1", [10, 20, 30, 40, 50], 5, "s")], C.CORPUS_SCHEMA)
     pos = with_positions(df).select("pos", "token", window_id("pos", 2).alias("w")).collect()
