@@ -185,6 +185,62 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 # global position axis
 # ---------------------------------------------------------------------------
+def stitch_stream_tail(corpus: DataFrame, need: int, out_col: str = "stitched") -> DataFrame:
+    """``out_col`` = each doc's tokens + the next ``need`` tokens of the
+    concatenated stream — accumulated across however many FOLLOWING documents
+    it takes (a single short doc in between must not break a spanning n-gram
+    or match). Requires ``doc_offset``.
+
+    Successors are found by equi-joins on doc_offset (no window function —
+    scales); the number of rounds is bounded by ceil(need / min nonempty doc
+    length), and each round processes only the still-unfinished rows, so for
+    realistic corpora this is ONE join. Empty docs are skipped (they share
+    their successor's offset and carry no tokens).
+    """
+    if need <= 0:
+        return corpus.withColumn(out_col, F.col("tokens"))
+    min_n = corpus.filter(F.col("n_tok") > 0).agg(F.min("n_tok")).first()[0]
+    rounds = 1 if not min_n else -(-need // int(min_n))  # ceil
+    succ = corpus.filter(F.col("n_tok") > 0).select(
+        F.col("doc_offset").alias("_s_off"),
+        F.slice("tokens", 1, need).alias("_s_toks"),  # only the head is ever used
+        F.col("n_tok").alias("_s_n"),
+    )
+    cur = corpus.withColumn("_tail", F.array().cast("array<int>")).withColumn(
+        "_end", (F.col("doc_offset") + F.col("n_tok")).cast("long")
+    )
+    parts: list[DataFrame] = []
+    for _ in range(max(1, rounds)):
+        joined = cur.join(succ, cur["_end"] == succ["_s_off"], "left")
+        ext = (
+            joined.withColumn(
+                "_tail",
+                F.when(
+                    F.col("_s_toks").isNotNull(),
+                    F.concat(
+                        F.col("_tail"),
+                        F.slice(F.col("_s_toks"), F.lit(1), F.lit(need) - F.size("_tail")),
+                    ),
+                ).otherwise(F.col("_tail")),
+            )
+            .withColumn(
+                "_end",
+                F.when(F.col("_s_n").isNotNull(), F.col("_end") + F.col("_s_n")).otherwise(
+                    F.col("_end")
+                ),
+            )
+            .withColumn("_done", F.col("_s_toks").isNull() | (F.size("_tail") >= need))
+            .drop("_s_off", "_s_toks", "_s_n")
+        )
+        parts.append(ext.filter(F.col("_done")).drop("_done"))
+        cur = ext.filter(~F.col("_done")).drop("_done")
+    parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(out_col, F.concat("tokens", "_tail")).drop("_tail", "_end")
+
+
 def _bucket_boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list:
     """Deterministic range-bucket boundaries for ``order_col``: a seeded
     hash-threshold sample (pure column function — identical keys every run),

@@ -213,27 +213,19 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
     """Global stream axis: requires doc_offset (see corpus.with_global_offsets).
 
     For n-gram keys the stream has no document boundaries, so each doc is
-    stitched with the next doc's (n-1)-token prefix before n-gramming: every
-    global n-gram (including boundary-crossing ones) is indexed exactly once,
-    at its true global start. Striding is applied on GLOBAL positions."""
+    stitched with the next (n-1) tokens of the FOLLOWING stream — accumulated
+    across multiple successor docs when they are shorter than n-1
+    (corpus.stitch_stream_tail) — before n-gramming: every global n-gram
+    (including boundary-crossing ones) is indexed exactly once, at its true
+    global start. Striding is applied on GLOBAL positions."""
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
     if cfg.ngram > 1:
-        nxt = corpus.select(
-            F.col("doc_offset").alias("_noff"),
-            F.slice("tokens", 1, cfg.ngram - 1).alias("_npfx"),
-        )
-        corpus = (
-            corpus.join(nxt, on=corpus["doc_offset"] + corpus["n_tok"] == nxt["_noff"], how="left")
-            .drop("_noff")
-            .withColumn(
-                "tokens",
-                F.when(F.col("_npfx").isNotNull(), F.concat("tokens", "_npfx")).otherwise(F.col("tokens")),
-            )
-            .drop("_npfx")
-        )
+        from ..corpus import stitch_stream_tail
+
+        corpus = stitch_stream_tail(corpus, cfg.ngram - 1, out_col="tokens")
     params = level_params(cfg)
     levels = cfg.levels
     spans = {L: cfg.span(L) for L in levels}

@@ -349,25 +349,15 @@ def brute_force_search(corpus: DataFrame, pattern: list[int]) -> DataFrame:
 
 
 def _stitched_corpus(corpus: DataFrame, m: int) -> DataFrame:
-    """Each doc + the first (m-1) tokens of the NEXT doc in stream order —
+    """Each doc + the next (m-1) tokens of the FOLLOWING stream — accumulated
+    across multiple successor docs when an intervening doc is shorter than
+    m-1 (a match may run through a whole short doc into the one after it) —
     the verification substrate for cross-document matches on the global
-    stream axis. Requires doc_offset. The next doc is found by an equi-join
-    on doc_offset + n_tok (no window function, scales)."""
-    nxt = corpus.select(
-        F.col("doc_offset").alias("_next_off"),
-        F.slice("tokens", 1, m - 1).alias("_next_prefix"),
-    )
-    return (
-        corpus.join(nxt, on=corpus["doc_offset"] + corpus["n_tok"] == nxt["_next_off"], how="left")
-        .drop("_next_off")
-        .withColumn(
-            "stitched",
-            F.when(F.col("_next_prefix").isNotNull(), F.concat("tokens", "_next_prefix")).otherwise(
-                F.col("tokens")
-            ),
-        )
-        .drop("_next_prefix")
-    )
+    stream axis. Requires doc_offset. Delegates to corpus.stitch_stream_tail
+    (equi-joins on offsets, no window function, scales)."""
+    from ..corpus import stitch_stream_tail
+
+    return stitch_stream_tail(corpus, m - 1, out_col="stitched")
 
 
 def global_pattern_search(

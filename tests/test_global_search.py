@@ -72,3 +72,53 @@ def test_global_search_single_token(spark, setup):
     tok = int(stream[7])
     got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, [tok]).collect())
     assert got == _brute(stream, [tok])
+
+
+def _mini_corpus(spark, docs):
+    rows = [(f"d{i:02d}", toks, len(toks), "s") for i, toks in enumerate(docs)]
+    return with_global_offsets(spark.createDataFrame(rows, C.CORPUS_SCHEMA))
+
+
+def test_match_spanning_three_docs(spark):
+    """A match running from doc A through ALL of a short doc B into doc C
+    must be found: the stitch must accumulate successor docs until m-1
+    tokens, not stop at the immediate neighbor (soundness regression)."""
+    docs = [
+        [5, 6, 7, 8],        # match starts here (gpos 2)
+        [9],                 # 1-token doc, entirely inside the match
+        [10, 11, 12, 13],
+        [9],                 # another short doc
+        [7],                 # match 2 starts here (gpos 10), spans 3 docs
+        [8],
+        [9, 10, 11, 2, 3],
+    ]
+    corp = _mini_corpus(spark, docs).cache()
+    cfg = HbiConfig(tree_span=8, leaf_span=2, fpr=0.01, vocab=64, seed=3, axis="global")
+    idx = build_index(corp, cfg).cache()
+    pattern = [7, 8, 9, 10, 11]
+    got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, cfg, pattern).collect())
+    stream = _global_stream(corp.collect())
+    assert got == _brute(stream, pattern)
+    assert got == [2, 10]  # the two 3-doc spanning matches
+    corp.unpersist(); idx.unpersist()
+
+
+def test_ngram_index_spanning_three_docs(spark):
+    """Boundary n-grams crossing a shorter-than-(n-1) doc must be INDEXED
+    (build-side stitch), or the cascade would prune a true match."""
+    docs = [
+        [5, 6, 7, 8],
+        [9],
+        [10, 11, 12, 13, 1, 2],
+    ]
+    corp = _mini_corpus(spark, docs).cache()
+    cfg = HbiConfig(
+        tree_span=8, leaf_span=2, fpr=0.01, vocab=64, seed=5, axis="global",
+        ngram=3, ngram_base_bits=8,
+    )
+    idx = build_index(corp, cfg).cache()
+    pattern = [8, 9, 10, 11]  # its first 3-gram [8,9,10] spans all three docs
+    got = sorted(r["gpos"] for r in global_pattern_search(corp, idx, cfg, pattern).collect())
+    stream = _global_stream(corp.collect())
+    assert got == _brute(stream, pattern) == [3]
+    corp.unpersist(); idx.unpersist()
