@@ -211,6 +211,7 @@ def pattern_search(
     freq=None,
     stats=None,
     stats_out: dict | None = None,
+    markov=None,
 ) -> DataFrame:
     """Exact match positions of ``pattern``: (doc_id, pos), 0-based.
 
@@ -228,6 +229,13 @@ def pattern_search(
     per-level index stats (``stats``: from operators.build.index_stats) —
     the minCostLp path (estimators/LevelCostMinimizer.java:15-55); None
     seeds at the root (CostFunctionDefaultRoot behavior).
+
+    Pass ``markov`` (a plans.markov.MarkovModel fitted on the corpus) to
+    price survivors with the bigram chain instead of the iid model
+    (CostFunctionMarkov, estimators/CostFunctionMarkov.java:29-93) —
+    auto-selected whenever the snapshot is supplied; much tighter on
+    autocorrelated corpora. Sketches never affect answers, only cost, so
+    every model choice returns identical matches.
     """
     if cfg.axis != "doc":
         raise NotImplementedError("pattern_search currently routes on the doc axis")
@@ -248,11 +256,17 @@ def pattern_search(
         # n-gram under every alignment — the index cannot prune
         return brute_force_search(corpus, pattern)
     deepest = deepest_usable_level(cfg, m)
-    if start_level == "auto" and freq is not None and stats is not None:
+    if start_level == "auto" and stats is not None and (freq is not None or markov is not None):
         from ..plans.cost import choose_start_level
 
-        probs = freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
-        first = max(0, min(choose_start_level(stats, probs, m), deepest))
+        probs = (
+            freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
+            if freq is not None
+            else np.zeros(len(keys))
+        )
+        model = "markov" if markov is not None else "iid"
+        chosen = choose_start_level(stats, probs, m, model=model, markov=markov, pattern=pattern)
+        first = max(0, min(chosen, deepest))
     elif isinstance(start_level, int):
         first = max(0, min(start_level, deepest))
     else:

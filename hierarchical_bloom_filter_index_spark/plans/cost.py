@@ -97,13 +97,35 @@ def choose_start_level(
     probe_cost: float = 1.0,
     verify_cost: float = 0.25,
     model: str = "iid",
+    markov=None,
+    pattern: list[int] | None = None,
 ) -> int:
     """argmin over seed levels of expected probe rows + verification work.
 
     ``key_probs``: per-distinct-pattern-key occurrence probability (frequency
     / total tokens), from CMS estimates or an exact frequency table —
     the estimateALl role (estimators/CSEstimator.java:84-91).
+
+    model='markov' (the CostFunctionMarkov analog,
+    estimators/CostFunctionMarkov.java:29-93,107-174): survivor counts come
+    from the corpus bigram chain's pattern-occurrence probability instead of
+    per-key iid presence — far tighter on autocorrelated corpora (the
+    markov/blocks regimes), where iid badly over-prices survivors. Requires
+    ``markov`` (a plans.markov.MarkovModel) and the raw token ``pattern``.
     """
+    if model == "markov":
+        if markov is None or pattern is None:
+            raise ValueError("model='markov' requires markov= and pattern=")
+        from .markov import markov_expected_survivors
+
+        def esurv(level: int) -> float:
+            return markov_expected_survivors(markov, pattern, stats, level)
+
+    else:
+
+        def esurv(level: int) -> float:
+            return expected_survivors(stats, key_probs, level, model)
+
     usable = stats[stats["span"] >= max(1, pattern_len)]
     if len(usable) == 0:
         return 0
@@ -117,12 +139,12 @@ def choose_start_level(
     best_level, best_cost = present[0], math.inf
     for i, lp in enumerate(present):
         cost = probe_cost * float(stats[stats["level"] == lp].iloc[0]["n_windows"])
-        e_prev = expected_survivors(stats, key_probs, lp, model)
+        e_prev = esurv(lp)
         prev_level = lp
         for L in present[i + 1 :]:
             fanout = float(2 ** (L - prev_level))  # children per survivor across the gap
             cost += probe_cost * fanout * e_prev
-            e_prev = min(fanout * e_prev, expected_survivors(stats, key_probs, L, model))
+            e_prev = min(fanout * e_prev, esurv(L))
             prev_level = L
         span_d = int(stats[stats["level"] == present[-1]].iloc[0]["span"])
         cost += verify_cost * span_d * e_prev

@@ -51,3 +51,62 @@ def test_expected_survivors_tracks_reality(spark):
     p_common = freq.estimate(np.asarray(common, dtype=np.int64)) / freq.total
     p_rare = freq.estimate(np.asarray(rare, dtype=np.int64)) / freq.total
     assert expected_survivors(stats, p_rare, 0) <= expected_survivors(stats, p_common, 0)
+
+
+def test_markov_model_beats_iid_on_blocks(spark):
+    """On the autocorrelated blocks fixture (32-token homogeneous runs), the
+    bigram-chain survivor model must (a) predict leaf survivors much closer
+    to reality than iid for a block-boundary pattern, and (b) choose a start
+    level whose measured probe total is no worse — the ConfidenceExperiment
+    methodology applied to CostFunctionMarkov."""
+    from hierarchical_bloom_filter_index_spark.plans.markov import (
+        MarkovModel,
+        markov_expected_survivors,
+    )
+    from hierarchical_bloom_filter_index_spark.plans.cost import choose_start_level
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=64, seed=11)
+    corp = C.generate_corpus(spark, sf=0.003, seed=11).filter(F.col("source") == "blocks").cache()
+    idx = build_index(corp, cfg).cache()
+    stats = index_stats(idx, cfg)
+    freq = frequency_summary(corp, cfg)
+    model = MarkovModel.fit(corp)
+
+    # a real block-boundary pattern [a,a,b,b]: tokens individually common,
+    # the SEQUENCE rare (only at block boundaries)
+    doc = corp.filter(F.col("n_tok") >= 96).orderBy("doc_id").first()
+    toks = doc["tokens"]
+    i = next(j for j in range(1, len(toks) - 2) if toks[j] != toks[j + 1])
+    pat = [toks[i - 1], toks[i], toks[i + 1], toks[i + 2]]
+    assert pat[0] == pat[1] != pat[2] == pat[3]
+
+    keys, _ = pattern_keys(pat, cfg)
+    probs = freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
+    deep = int(stats["level"].max())
+
+    sout: dict = {}
+    pattern_search(corp, idx, cfg, pat, start_level=0, stats_out=sout).count()
+    actual = sout["survivors"][deep]
+    pred_iid = expected_survivors(stats, probs, deep)
+    pred_mkv = markov_expected_survivors(model, pat, stats, deep)
+    err = lambda p: abs(np.log((p + 1.0) / (actual + 1.0)))
+    assert err(pred_mkv) < err(pred_iid), (
+        f"markov {pred_mkv:.1f} vs iid {pred_iid:.1f}, actual {actual}"
+    )
+
+    # planner quality: run the cascade from each model's chosen seed level
+    lvl_mkv = choose_start_level(stats, probs, len(pat), model="markov",
+                                 markov=model, pattern=pat)
+    lvl_iid = choose_start_level(stats, probs, len(pat), model="iid")
+    def probed(lvl):
+        so: dict = {}
+        pattern_search(corp, idx, cfg, pat, start_level=lvl, stats_out=so).count()
+        return sum(so["windows_probed"].values())
+    assert probed(lvl_mkv) <= probed(lvl_iid)
+
+    # the markov= route through pattern_search returns identical matches
+    a = sorted(map(tuple, pattern_search(corp, idx, cfg, pat, start_level="auto",
+                                         freq=freq, stats=stats, markov=model).collect()))
+    b = sorted(map(tuple, pattern_search(corp, idx, cfg, pat, start_level=0).collect()))
+    assert a == b
+    corp.unpersist(); idx.unpersist()

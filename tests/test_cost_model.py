@@ -90,3 +90,51 @@ def test_ie_model_usable_in_planner():
     # IE falls back to iid past its subset limit (no blowup for long patterns)
     many = np.full(20, 0.01)
     assert choose_start_level(stats, many, 8, model="ie") == choose_start_level(stats, many, 8, model="iid")
+
+
+def test_markov_model_wired_into_planner():
+    """model='markov' prices survivors with the bigram chain
+    (CostFunctionMarkov role): a pattern the chain forbids predicts ~zero
+    survivors even when its tokens are individually common — the case where
+    the iid model is maximally wrong."""
+    from hierarchical_bloom_filter_index_spark.plans.markov import (
+        MarkovModel,
+        markov_expected_survivors,
+    )
+
+    stats = _stats()
+    # 2-state chain with strong self-transitions: [0, 1] almost never occurs
+    vocab = np.asarray([0, 1])
+    pi = np.asarray([0.5, 0.5])
+    t = np.asarray([[0.999, 0.001], [0.001, 0.999]])
+    model = MarkovModel(vocab, pi, t)
+    pattern = [0, 1, 1, 1]
+    probs = np.asarray([0.5, 0.5])  # what the iid model sees: common tokens
+
+    deep = int(stats["level"].max())
+    e_iid = expected_survivors(stats, probs, deep)
+    e_mkv = markov_expected_survivors(model, pattern, stats, deep)
+    assert e_mkv < 0.1 * e_iid  # chain knows the pattern is rare; iid doesn't
+
+    lvl = choose_start_level(stats, probs, pattern_len=4, model="markov",
+                             markov=model, pattern=pattern)
+    assert 0 <= lvl <= deep
+    # strong early pruning => the markov planner never seeds deeper than iid
+    lvl_iid = choose_start_level(stats, probs, pattern_len=4, model="iid")
+    assert lvl <= lvl_iid
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_start_level(stats, probs, 4, model="markov")  # missing inputs
+
+
+def test_choose_start_level_on_compacted_stats():
+    """Memory-policy compaction drops coarse levels from stats; the planner
+    must skip them (regression: IndexError on missing level lookups)."""
+    stats = _stats()
+    compacted = stats[stats["level"] >= 2].reset_index(drop=True)
+    lvl = choose_start_level(compacted, np.asarray([1e-6] * 4), pattern_len=8)
+    assert lvl >= 2  # can only choose levels that still exist
+    lvl2 = choose_start_level(compacted, np.asarray([0.5] * 4), pattern_len=8)
+    assert 2 <= lvl2 <= int(stats["level"].max())
