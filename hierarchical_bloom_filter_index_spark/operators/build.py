@@ -270,20 +270,29 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
 
     partial_df = corpus.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 1:
-            return pdf
-        acc = BloomFilter.from_bytes(pdf["bloom"].iloc[0])
-        for b in pdf["bloom"].iloc[1:]:
-            acc = acc.merge(BloomFilter.from_bytes(b))
-        return pd.DataFrame(
-            {"level": [pdf["level"].iloc[0]], "w_id": [pdf["w_id"].iloc[0]],
-             "bloom": [acc.to_bytes()], "n_items": [acc.n_added],
-             "bits_set": [acc.bits_set()]}
-        )
-
     # final merge: only windows straddling partition boundaries have >1 partial
-    return partial_df.groupBy("level", "w_id").applyInPandas(merge_group, schema=GLOBAL_INDEX_SCHEMA)
+    return merge_global_rows(partial_df)
+
+
+def _merge_bloom_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf) == 1:
+        return pdf
+    acc = BloomFilter.from_bytes(pdf["bloom"].iloc[0])
+    for b in pdf["bloom"].iloc[1:]:
+        acc = acc.merge(BloomFilter.from_bytes(b))
+    return pd.DataFrame(
+        {"level": [pdf["level"].iloc[0]], "w_id": [pdf["w_id"].iloc[0]],
+         "bloom": [acc.to_bytes()], "n_items": [acc.n_added],
+         "bits_set": [acc.bits_set()]}
+    )
+
+
+def merge_global_rows(rows: DataFrame) -> DataFrame:
+    """OR-merge global sketch rows sharing (level, w_id) — order-independent
+    and byte-exact (Bloom merge law), so partial tables from different passes
+    (partition partials, incremental appends) combine into exactly the rows a
+    from-scratch build would produce."""
+    return rows.groupBy("level", "w_id").applyInPandas(_merge_bloom_group, schema=GLOBAL_INDEX_SCHEMA)
 
 
 def index_stats(index: DataFrame, cfg: HbiConfig) -> pd.DataFrame:

@@ -10,6 +10,13 @@ continuous ingestion:
 * append_increment  — index new documents; on the doc axis the new sketch
   rows are simply unioned (windows are per-document, no overlap with old
   rows). This is insert() at batch granularity.
+* append_increment_global — insert() on the ONE-STREAM axis
+  (PMIndex/HBI.java:215-267): new docs continue the stream from the stored
+  offset (GlobalStreamState.total_tokens); the carried stream tail re-creates
+  the boundary-crossing n-grams the previous build could not index (no
+  successor yet), and only windows at/after the boundary are re-merged — the
+  resulting sketch table is BYTE-EQUAL to a from-scratch rebuild (Bloom merge
+  law), while touching O(|batch| + boundary) rows instead of O(|stream|).
 * expire            — drop whole windows older than a horizon (the w_id
   predicate analog of whole-tree eviction; on Iceberg this is a
   partition-drop / snapshot-expiry metadata operation).
@@ -20,21 +27,122 @@ continuous ingestion:
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import HbiConfig
-from ..corpus import CORPUS_SCHEMA
-from ..operators.build import build_index
+from ..corpus import CORPUS_SCHEMA, with_global_offsets
+from ..operators.build import build_index, merge_global_rows
 
 
 def append_increment(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig) -> DataFrame:
     """insert(): extend the sketch table with newly arrived documents."""
     if cfg.axis != "doc":
         raise NotImplementedError(
-            "incremental append on the global axis requires offset continuation; "
-            "rebuild with build_index for now"
+            "use append_increment_global (offset continuation + boundary re-merge) "
+            "for the one-stream axis"
         )
     return index.unionByName(build_index(new_docs, cfg))
+
+
+@dataclass
+class GlobalStreamState:
+    """Where the global stream left off: token count so far + the last
+    (ngram-1) stream tokens (the starts the previous build could not index
+    because they had no successor yet). The distributed analog of the
+    reference's stream counter + ring buffer (PMIndex/HBI.java:215-267,
+    tree/StreamBuffer.java)."""
+
+    total_tokens: int = 0
+    tail: list[int] = field(default_factory=list)
+
+
+def stream_state(corpus: DataFrame, cfg: HbiConfig) -> GlobalStreamState:
+    """Compute the continuation state of an already-indexed corpus. ``corpus``
+    needs doc_offset (with_global_offsets). One tiny agg + one tiny collect
+    (only the last ngram-1 tokens' docs)."""
+    total = corpus.agg(F.sum("n_tok")).first()[0] or 0
+    need = cfg.ngram - 1
+    tail: list[int] = []
+    if need > 0 and total > 0:
+        rows = (
+            corpus.filter(F.col("doc_offset") + F.col("n_tok") > total - need)
+            .orderBy("doc_offset")
+            .select("tokens")
+            .collect()
+        )
+        stream_end: list[int] = []
+        for r in rows:
+            stream_end.extend(r["tokens"])
+        tail = stream_end[-need:] if len(stream_end) >= need else stream_end
+    return GlobalStreamState(int(total), tail)
+
+
+def append_increment_global(
+    index: DataFrame,
+    new_docs: DataFrame,
+    cfg: HbiConfig,
+    state: GlobalStreamState,
+) -> tuple[DataFrame, GlobalStreamState]:
+    """insert() on the global axis: continue the stream at
+    ``state.total_tokens``, index the batch (plus the carried boundary tail),
+    and re-merge ONLY the windows at/after the boundary. Returns
+    (new_index, new_state); new_index is byte-equal to a from-scratch
+    build over old+new docs (Bloom merge is associative/commutative and
+    old/new key instances partition disjointly).
+
+    Stream order is doc_id order within each batch, batches in arrival
+    order — the caller appends batches whose doc_ids sort after the already
+    indexed ones if it needs a reproducible global doc order.
+    """
+    if cfg.axis != "global":
+        raise ValueError("append_increment_global needs cfg.axis='global'")
+    spark = new_docs.sparkSession
+    if new_docs.rdd.isEmpty():
+        return index, state
+    batch = with_global_offsets(new_docs, start=state.total_tokens)
+    boundary_start = state.total_tokens - len(state.tail)
+    if state.tail:
+        # synthetic doc holding the old stream's last (ngram-1) tokens at
+        # their true global positions: its starts are exactly the ones the
+        # previous build could not index (no successor existed yet)
+        synth = spark.createDataFrame(
+            [("\x00boundary", state.tail, len(state.tail), "boundary", boundary_start)],
+            CORPUS_SCHEMA + ", doc_offset long",
+        )
+        batch_for_build = synth.unionByName(batch)
+    else:
+        batch_for_build = batch
+    new_rows = build_index(batch_for_build, cfg)
+
+    # windows strictly before the boundary cannot receive new keys — pass
+    # them through untouched (at scale: partition pruning, no rewrite);
+    # everything at/after the boundary is re-merged with the batch rows
+    log2_tree = int(math.log2(cfg.tree_span))
+    cutoff = F.expr(
+        f"shiftright(CAST({int(boundary_start)} AS BIGINT), {log2_tree} - level)"
+    )
+    untouched = index.filter(F.col("w_id") < cutoff)
+    touched = index.filter(F.col("w_id") >= cutoff).unionByName(new_rows)
+    new_index = untouched.unionByName(merge_global_rows(touched))
+
+    new_total = state.total_tokens + (batch.agg(F.sum("n_tok")).first()[0] or 0)
+    need = cfg.ngram - 1
+    new_tail: list[int] = []
+    if need > 0:
+        rows = (
+            batch.filter(F.col("doc_offset") + F.col("n_tok") > new_total - need)
+            .orderBy("doc_offset")
+            .select("tokens")
+            .collect()
+        )
+        stream_end: list[int] = list(state.tail)
+        for r in rows:
+            stream_end.extend(r["tokens"])
+        new_tail = stream_end[-need:] if len(stream_end) >= need else stream_end
+    return new_index, GlobalStreamState(int(new_total), new_tail)
 
 
 def expire(index: DataFrame, cfg: HbiConfig, min_leaf_w_id: int) -> DataFrame:

@@ -75,3 +75,79 @@ def test_structured_streaming_foreachbatch(spark, tmp_path):
     gs = sorted((r["doc_id"], r["level"], r["w_id"]) for r in got.collect())
     es = sorted((r["doc_id"], r["level"], r["w_id"]) for r in expected.collect())
     assert gs == es
+
+
+def _gstate(df):
+    return sorted(
+        (r["level"], r["w_id"], bytes(r["bloom"]), r["n_items"], r["bits_set"])
+        for r in df.select("level", "w_id", "bloom", "n_items", "bits_set").collect()
+    )
+
+
+@pytest.mark.parametrize("ngram", [1, 3])
+def test_append_increment_global_equals_rebuild(spark, ngram):
+    """Offset continuation + boundary re-merge must reproduce the
+    from-scratch global index byte-for-byte (insert() parity,
+    PMIndex/HBI.java:215-267), including boundary-crossing n-grams the first
+    build could not see."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        append_increment_global,
+        stream_state,
+    )
+
+    cfg = HbiConfig(
+        tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=9, axis="global",
+        ngram=ngram, ngram_base_bits=21 if ngram == 1 else 12,
+    )
+    full = C.generate_corpus(spark, sf=0.002, seed=21).cache()
+    old = full.filter(F.col("doc_id") < "u").cache()     # doc_id-order prefix
+    new = full.filter(F.col("doc_id") >= "u").cache()
+
+    old_corp = with_global_offsets(old).cache()
+    idx0 = build_index(old_corp, cfg)
+    st0 = stream_state(old_corp, cfg)
+    assert st0.total_tokens == old.agg(F.sum("n_tok")).first()[0]
+    assert len(st0.tail) == (ngram - 1 if ngram > 1 else 0)
+
+    idx1, st1 = append_increment_global(idx0, new, cfg, st0)
+    rebuilt = build_index(with_global_offsets(full), cfg)
+    assert _gstate(idx1) == _gstate(rebuilt)
+    assert st1.total_tokens == full.agg(F.sum("n_tok")).first()[0]
+
+    # appending an empty batch is the identity
+    empty = spark.createDataFrame([], C.CORPUS_SCHEMA)
+    idx2, st2 = append_increment_global(idx1, empty, cfg, st1)
+    assert st2.total_tokens == st1.total_tokens
+    for df in (full, old, new, old_corp):
+        df.unpersist()
+
+
+def test_append_increment_global_short_boundary_docs(spark):
+    """Boundary docs shorter than ngram-1: the carried tail spans multiple
+    old docs and the batch's first docs are tiny — equality must hold."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        append_increment_global,
+        stream_state,
+    )
+
+    cfg = HbiConfig(tree_span=16, leaf_span=4, fpr=0.02, vocab=64, seed=5,
+                    axis="global", ngram=3, ngram_base_bits=8)
+    docs = [
+        ("a0", [1, 2, 3, 4, 5], 5, "s"),
+        ("a1", [6], 1, "s"),
+        ("a2", [7], 1, "s"),     # old stream ends in two 1-token docs
+        ("b0", [8], 1, "s"),
+        ("b1", [9, 10, 11, 12], 4, "s"),
+    ]
+    full = spark.createDataFrame(docs, C.CORPUS_SCHEMA)
+    old = full.filter(F.col("doc_id") < "b")
+    new = full.filter(F.col("doc_id") >= "b")
+    old_corp = with_global_offsets(old)
+    idx0 = build_index(old_corp, cfg)
+    st0 = stream_state(old_corp, cfg)
+    assert st0.tail == [6, 7]    # spans docs a1+a2
+    idx1, _ = append_increment_global(idx0, new, cfg, st0)
+    rebuilt = build_index(with_global_offsets(full), cfg)
+    assert _gstate(idx1) == _gstate(rebuilt)
