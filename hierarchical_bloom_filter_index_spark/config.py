@@ -28,6 +28,18 @@ class HbiConfig:
     ngram_base_bits: int = 21   # bits per symbol when packing n-grams
     stride: int = 1             # index every stride-th n-gram (PMIndex/HBI.java:45 strides)
     axis: str = "doc"           # 'doc': per-document positions; 'global': one stream
+    # uniform_bloom: ONE shared (m,k) for every level, designed for the
+    # capacity of level ``uniform_level``. Parents can then be OR-rolled-up
+    # from children (operators.build.build_index_rollup): ONE data pass +
+    # log-depth sketch-table passes. The design-level choice is the tradeoff:
+    #   uniform_level=0 (coarsest): every level keeps its design FPR, leaves
+    #     overspend memory, blobs are big — rollup shuffles cost more;
+    #   uniform_level=deepest (leaf-sized, the reference's layout): blobs are
+    #     tiny and the rollup is nearly free, but coarse filters saturate —
+    #     they stop pruning (the cost model sees fill_fpr -> 1 and seeds
+    #     deeper), never return wrong answers (verification is exact).
+    uniform_bloom: bool = False
+    uniform_level: int = 0      # level whose capacity sizes the shared (m,k)
 
     def __post_init__(self):
         if not _is_pow2(self.tree_span) or not _is_pow2(self.leaf_span):

@@ -1,4 +1,12 @@
-from .build import build_index, compact_index, index_stats, level_params, level_seed
+from .build import (
+    build_index,
+    build_index_rollup,
+    compact_index,
+    index_stats,
+    level_params,
+    level_seed,
+    merge_global_rows,
+)
 from .probe import probe_blobs
 from .rollup import build_hll_window_index, window_distinct_estimates
 from .route import (
@@ -14,6 +22,8 @@ from .route import (
 
 __all__ = [
     "build_index",
+    "build_index_rollup",
+    "merge_global_rows",
     "compact_index",
     "index_stats",
     "level_params",

@@ -51,7 +51,17 @@ GLOBAL_INDEX_SCHEMA = "level int, w_id long, bloom binary, n_items long, bits_se
 
 def level_params(cfg: HbiConfig) -> dict[int, tuple[int, int]]:
     """(m, k) per level; seed depends on (cfg.seed, level) so levels are
-    independent hash families but all filters within a level are mergeable."""
+    independent hash families but all filters within a level are mergeable.
+
+    uniform_bloom: one shared (m,k) sized for cfg.uniform_level's capacity —
+    parents become OR-mergeable from children (build_index_rollup). Designed
+    at level 0 every level keeps its FPR (leaves overspend memory); designed
+    at the deepest level blobs are leaf-sized (cheap rollup, coarse levels
+    saturate and just stop pruning)."""
+    if cfg.uniform_bloom:
+        L0 = min(max(cfg.uniform_level, 0), cfg.deepest)
+        m, k = design(cfg.bloom_capacity(L0), cfg.fpr)
+        return {L: (m, k) for L in cfg.levels}
     return {L: design(cfg.bloom_capacity(L), cfg.fpr) for L in cfg.levels}
 
 
@@ -167,9 +177,9 @@ def build_index(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
     return _build_global_axis(corpus, cfg)
 
 
-def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | None = None) -> DataFrame:
     params = level_params(cfg)
-    levels = cfg.levels
+    levels = cfg.levels if levels is None else levels
     spans = {L: cfg.span(L) for L in levels}
     seeds = {L: level_seed(cfg, L) for L in levels}
 
@@ -209,7 +219,7 @@ def _build_doc_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
     return corpus.mapInPandas(build, schema=DOC_INDEX_SCHEMA)
 
 
-def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+def _build_global_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | None = None) -> DataFrame:
     """Global stream axis: requires doc_offset (see corpus.with_global_offsets).
 
     For n-gram keys the stream has no document boundaries, so each doc is
@@ -227,7 +237,7 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
 
         corpus = stitch_stream_tail(corpus, cfg.ngram - 1, out_col="tokens")
     params = level_params(cfg)
-    levels = cfg.levels
+    levels = cfg.levels if levels is None else levels
     spans = {L: cfg.span(L) for L in levels}
     seeds = {L: level_seed(cfg, L) for L in levels}
 
@@ -275,16 +285,17 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
 
 
 def _merge_bloom_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OR-merge all Bloom rows of one group; id columns come from row 0."""
     if len(pdf) == 1:
         return pdf
     acc = BloomFilter.from_bytes(pdf["bloom"].iloc[0])
     for b in pdf["bloom"].iloc[1:]:
         acc = acc.merge(BloomFilter.from_bytes(b))
-    return pd.DataFrame(
-        {"level": [pdf["level"].iloc[0]], "w_id": [pdf["w_id"].iloc[0]],
-         "bloom": [acc.to_bytes()], "n_items": [acc.n_added],
-         "bits_set": [acc.bits_set()]}
-    )
+    out = pdf.iloc[[0]].copy()
+    out["bloom"] = [acc.to_bytes()]
+    out["n_items"] = [acc.n_added]
+    out["bits_set"] = [acc.bits_set()]
+    return out
 
 
 def merge_global_rows(rows: DataFrame) -> DataFrame:
@@ -293,6 +304,100 @@ def merge_global_rows(rows: DataFrame) -> DataFrame:
     (partition partials, incremental appends) combine into exactly the rows a
     from-scratch build would produce."""
     return rows.groupBy("level", "w_id").applyInPandas(_merge_bloom_group, schema=GLOBAL_INDEX_SCHEMA)
+
+
+def build_index_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    """Single-pass hierarchical build: ONE data pass builds only the leaf
+    level; every coarser level is OR-rolled-up from its two children's sketch
+    rows (the dyadic hierarchy IS a rollup, SURVEY §2.7 /
+    tree/TreeLayout.java:21-35). Requires cfg.uniform_bloom: parents can only
+    OR children when every level shares (m, k) (and the hash family, which
+    all levels share already).
+
+    Byte-equal to build_index under the same config (merge-law: a parent
+    window's scratch filter inserts exactly the union of its children's key
+    instances). Each rollup pass touches only |windows at level L+1| sketch
+    rows — at 100 TB: one token scan + log-depth passes over an ever-halving
+    sketch table, instead of hashing every token once per level.
+    """
+    if not cfg.uniform_bloom:
+        raise ValueError("build_index_rollup requires uniform_bloom=True "
+                         "(parent = OR(children) needs one shared (m, k))")
+    from pyspark import StorageLevel
+
+    doc_axis = cfg.axis == "doc"
+    leaf = (
+        _build_doc_axis(corpus, cfg, levels=[cfg.deepest])
+        if doc_axis
+        else _build_global_axis(corpus, cfg, levels=[cfg.deepest])
+    )
+    schema = DOC_INDEX_SCHEMA if doc_axis else GLOBAL_INDEX_SCHEMA
+    # Each level feeds BOTH the next rollup pass and the output union, so
+    # levels are persisted during construction (or the one data pass would
+    # re-run once per level); the assembled index is materialized, then the
+    # per-level scaffolding is released. Everything here is a pure function
+    # of the corpus — a later eviction costs recompute time, never answers.
+    frames = [leaf.persist(StorageLevel.MEMORY_AND_DISK)]
+    cur = frames[0]
+    for L in range(cfg.deepest - 1, -1, -1):
+        cur = _rollup_pass(cur, doc_axis, L, schema).persist(StorageLevel.MEMORY_AND_DISK)
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for f in frames:
+        f.unpersist()
+    return out
+
+
+def _rollup_pass(cur: DataFrame, doc_axis: bool, L: int, schema: str) -> DataFrame:
+    """One rollup step: parent(w) = OR of children {2w, 2w+1}.
+
+    The grouping is a JVM hash aggregation (collect_list of the <=2 child
+    blobs + summed n_items) — map-side combinable, no Python per group; the
+    OR itself is ONE vectorized Arrow stage per batch (np.bitwise_or.reduceat
+    over the stacked child word matrix)."""
+    keys = (["doc_id"] if doc_axis else []) + ["w_id"]
+    grouped = (
+        cur.select(
+            *(["doc_id"] if doc_axis else []),
+            (F.col("w_id") / 2).cast("long").alias("w_id"),
+            "bloom",
+            "n_items",
+        )
+        .groupBy(*keys)
+        .agg(F.collect_list("bloom").alias("_children"), F.sum("n_items").alias("n_items"))
+    )
+
+    def orup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .probe import words_matrix
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            all_blobs: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, ch in enumerate(pdf["_children"]):
+                all_blobs.extend(bytes(b) for b in ch)
+                counts[i] = len(ch)
+            words, proto = words_matrix(all_blobs)
+            bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            ored = np.bitwise_or.reduceat(words, bounds, axis=0)
+            blobs, bits = [], []
+            for i in range(len(pdf)):
+                bf = BloomFilter(proto.m, proto.k, proto.seed, ored[i], int(pdf["n_items"].iloc[i]))
+                blobs.append(bf.to_bytes())
+                bits.append(popcount_u64(ored[i]))
+            res = pdf[keys].copy()
+            res["level"] = L
+            res["bloom"] = blobs
+            res["n_items"] = pdf["n_items"].astype("int64")
+            res["bits_set"] = bits
+            yield res[([c for c in ("doc_id",) if doc_axis] + ["level", "w_id", "bloom", "n_items", "bits_set"])]
+
+    return grouped.mapInPandas(orup, schema=schema)
 
 
 def index_stats(index: DataFrame, cfg: HbiConfig) -> pd.DataFrame:

@@ -64,6 +64,7 @@ def _config_dict(cfg: HbiConfig) -> dict:
         "tree_span": cfg.tree_span, "leaf_span": cfg.leaf_span, "fpr": cfg.fpr,
         "vocab": cfg.vocab, "seed": cfg.seed, "ngram": cfg.ngram,
         "ngram_base_bits": cfg.ngram_base_bits, "axis": cfg.axis,
+        "uniform_bloom": cfg.uniform_bloom, "uniform_level": cfg.uniform_level,
     }
 
 

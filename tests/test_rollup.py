@@ -59,3 +59,65 @@ def test_all_levels_present_with_halving_windows(spark, built):
     assert sorted(counts) == CFG.levels
     for L in range(1, CFG.deepest + 1):
         assert counts[L] >= counts[L - 1]
+
+
+def test_bloom_rollup_equals_scratch_build(spark):
+    """uniform_bloom: parents OR-rolled from children must be BYTE-equal to
+    the from-scratch multi-level build (Bloom merge law + shared hash
+    family), and a non-uniform config must refuse to roll up."""
+    from hierarchical_bloom_filter_index_spark.operators.build import (
+        build_index,
+        build_index_rollup,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        brute_force_search,
+        pattern_search,
+    )
+
+    cfg = CFG.with_(uniform_bloom=True)
+    corp = C.generate_corpus(spark, sf=0.002, seed=12).cache()
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["level"], r["w_id"], bytes(r["bloom"]), r["n_items"], r["bits_set"])
+            for r in df.collect()
+        )
+
+    scratch = build_index(corp, cfg)
+    rolled = build_index_rollup(corp, cfg)
+    assert rows(scratch) == rows(rolled)
+
+    with pytest.raises(ValueError):
+        build_index_rollup(corp, CFG)  # per-level (m,k): cannot OR children
+
+    # the rolled index answers exactly
+    doc = corp.filter(F.col("n_tok") >= 64).orderBy("doc_id").first()
+    pat = doc["tokens"][10:22]
+    got = sorted(map(tuple, pattern_search(corp, rolled, cfg, pat).collect()))
+    exp = sorted(map(tuple, brute_force_search(corp, pat).collect()))
+    assert got == exp and len(exp) > 0
+    rolled.unpersist()
+    corp.unpersist()
+
+
+def test_bloom_rollup_global_axis(spark):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.build import (
+        build_index,
+        build_index_rollup,
+    )
+
+    cfg = CFG.with_(uniform_bloom=True, axis="global")
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=13)).cache()
+
+    def rows(df):
+        return sorted(
+            (r["level"], r["w_id"], bytes(r["bloom"]), r["n_items"], r["bits_set"])
+            for r in df.collect()
+        )
+
+    scratch = build_index(corp, cfg)
+    rolled = build_index_rollup(corp, cfg)
+    assert rows(scratch) == rows(rolled)
+    rolled.unpersist()
+    corp.unpersist()
