@@ -212,6 +212,7 @@ def pattern_search(
     stats=None,
     stats_out: dict | None = None,
     markov=None,
+    model: str | None = None,
 ) -> DataFrame:
     """Exact match positions of ``pattern``: (doc_id, pos), 0-based.
 
@@ -257,15 +258,24 @@ def pattern_search(
         return brute_force_search(corpus, pattern)
     deepest = deepest_usable_level(cfg, m)
     if start_level == "auto" and stats is not None and (freq is not None or markov is not None):
-        from ..plans.cost import choose_start_level
+        from ..plans.cost import choose_start_level, choose_start_level_multilevel
 
         probs = (
             freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
             if freq is not None
             else np.zeros(len(keys))
         )
-        model = "markov" if markov is not None else "iid"
-        chosen = choose_start_level(stats, probs, m, model=model, markov=markov, pattern=pattern)
+        mdl = model or ("markov" if markov is not None else "iid")
+        if mdl == "multilevel":
+            # per-key levels (search/MultiLevelPruning.java:23-32): seed at
+            # the min; the per-key assignment is surfaced in stats_out
+            chosen, per_key = choose_start_level_multilevel(stats, probs, m)
+            if stats_out is not None:
+                stats_out["per_key_levels"] = {
+                    int(k): int(lv) for k, lv in zip(keys.tolist(), per_key.tolist())
+                }
+        else:
+            chosen = choose_start_level(stats, probs, m, model=mdl, markov=markov, pattern=pattern)
         first = max(0, min(chosen, deepest))
     elif isinstance(start_level, int):
         first = max(0, min(start_level, deepest))

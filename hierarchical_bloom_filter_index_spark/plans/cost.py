@@ -69,6 +69,48 @@ def ie_all_present_prob(key_probs: np.ndarray, span: int, order: int = 2) -> flo
     return float(np.clip(1.0 - total, 0.0, 1.0))
 
 
+def per_key_pruning_levels(
+    stats: pd.DataFrame, key_probs: np.ndarray, conf: float = 0.95
+) -> np.ndarray:
+    """Per-key pruning level (search/MultiLevelPruning.java:23-32): for EACH
+    pattern key independently, the shallowest present level at which a
+    neighbor-union window (2*span tokens) is unlikely — at confidence
+    ``conf`` — to contain the key by chance, padded by that level's achieved
+    fill FPR. Rare keys land shallow (they prune big windows already);
+    ubiquitous keys land at the deepest level (they never prune)."""
+    levels = sorted(int(l) for l in stats["level"])
+    out = np.full(len(key_probs), levels[-1], dtype=np.int64)
+    for i, p in enumerate(np.minimum(np.asarray(key_probs, dtype=np.float64), 1.0)):
+        for L in levels:
+            row = stats[stats["level"] == L].iloc[0]
+            hit = 1.0 - (1.0 - p) ** (2 * int(row["span"])) + float(row["fill_fpr"])
+            if hit < 1.0 - conf:
+                out[i] = L
+                break
+    return out
+
+
+def choose_start_level_multilevel(
+    stats: pd.DataFrame,
+    key_probs: np.ndarray,
+    pattern_len: int,
+    conf: float = 0.95,
+) -> tuple[int, np.ndarray]:
+    """MultiLevelPruning seed choice: assign every key its own pruning level
+    and seed the cascade at the MINIMUM (shallowest) of them — the rarest
+    key already cuts the frontier there, long before the frequent keys'
+    levels are reached. Contrast with the MostFreqPruning single-level rule
+    (closed_form_pruning_level on the most frequent key), which the most
+    common key drags to the deepest level on mixed-frequency patterns,
+    probing every window there. Returns (start_level, per-key levels)."""
+    usable = stats[stats["span"] >= max(1, pattern_len)]
+    if len(usable) == 0:
+        return 0, np.zeros(len(key_probs), dtype=np.int64)
+    deepest = int(usable["level"].max())
+    lv = per_key_pruning_levels(stats, key_probs, conf)
+    return int(min(int(lv.min()), deepest)), np.minimum(lv, deepest)
+
+
 def expected_survivors(
     stats: pd.DataFrame, key_probs: np.ndarray, level: int, model: str = "iid"
 ) -> float:

@@ -95,3 +95,70 @@ def test_filter_pushdown_on_corpus_source(spark):
     plan = _plan(q)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "source" in pushed[0]
+
+
+def test_multilevel_pruning_beats_single_level_on_mixed_pattern(spark):
+    """Per-token level assignment (search/MultiLevelPruning.java:23-32): on a
+    pattern mixing a ubiquitous key with a rare one, the single-level
+    MostFreqPruning rule is dragged to the deepest level by the frequent key
+    (probing every leaf window), while the multilevel rule seeds at the rare
+    key's shallow level and probes measurably fewer windows — with identical
+    exact matches."""
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.operators import (
+        brute_force_search,
+        frequency_summary,
+        index_stats,
+        pattern_search,
+    )
+    from hierarchical_bloom_filter_index_spark.plans.cost import (
+        choose_start_level_multilevel,
+        closed_form_pruning_level,
+        per_key_pruning_levels,
+    )
+
+    # 64 docs of 256x token 7; two docs also carry the rare token 99
+    docs = []
+    for i in range(64):
+        toks = [7] * 256
+        if i in (5, 40):
+            toks[100] = 99
+        docs.append((f"d{i:03d}", toks, 256, "s"))
+    corp = spark.createDataFrame(docs, C.CORPUS_SCHEMA).repartition(4).cache()
+    idx = build_index(corp, CFG).cache()
+    stats = index_stats(idx, CFG)
+    freq = frequency_summary(corp, CFG)
+    pat = [7, 99]
+    probs = freq.estimate(np.asarray(pat, dtype=np.int64)) / max(1, freq.total)
+
+    per_key = per_key_pruning_levels(stats, probs)
+    assert per_key[0] == int(stats["level"].max())  # ubiquitous key: never prunes
+    assert per_key[1] <= 1                          # rare key: prunes near the root
+    ml_level, _ = choose_start_level_multilevel(stats, probs, len(pat))
+    single_level = closed_form_pruning_level(
+        0.95, float(probs.max()), len(stats), CFG.tree_span, float(stats["fill_fpr"].mean())
+    )
+    assert ml_level < single_level  # mixed pattern: multilevel seeds shallower
+
+    def probed(lvl):
+        so: dict = {}
+        res = sorted(map(tuple, pattern_search(corp, idx, CFG, pat, start_level=lvl,
+                                               stats_out=so).collect()))
+        return sum(so["windows_probed"].values()), res
+
+    n_ml, res_ml = probed(ml_level)
+    n_single, res_single = probed(single_level)
+    exp = sorted(map(tuple, brute_force_search(corp, pat).collect()))
+    assert res_ml == res_single == exp and len(exp) == 2
+    assert n_ml < n_single, f"multilevel probed {n_ml}, single {n_single}"
+
+    # the model='multilevel' route records per-key levels in stats_out
+    so: dict = {}
+    res = sorted(map(tuple, pattern_search(
+        corp, idx, CFG, pat, start_level="auto", freq=freq, stats=stats,
+        model="multilevel", stats_out=so).collect()))
+    assert res == exp
+    assert so["start_level"] == ml_level
+    assert so["per_key_levels"] == {7: int(per_key[0]), 99: int(per_key[1])}
+    corp.unpersist(); idx.unpersist()
