@@ -552,8 +552,53 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded fingerprint SET — fully oracle-checked (the polynomial
+    k-gram hash + sliding-min selection is engine-agnostic integer math)."""
     fps = T.winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
-    return fps.select("doc_id", F.size("fps").alias("n_fps"))
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def _winnowing_oracle(k: int = 8, window: int = 4) -> str:
+    # nested Horner over LEAD(): ((c0*B + c1) % P)*B + c2 ... matching the
+    # numpy kernel's per-step mod exactly (int64-safe in both engines)
+    h = "CAST(c AS BIGINT)"
+    for j in range(1, k):
+        h = f"(({h}) * {BASE} + lead(c, {j}) OVER w) % {MOD}"
+    return f"""WITH chars AS (
+  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS c,
+         length(text) AS n
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, i, n - {k} + 1 AS n_grams,
+         {h} AS h
+  FROM chars
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY i <= n - {k} + 1
+),
+mins AS (
+  SELECT doc_id, n_grams, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m
+  FROM grams
+)
+SELECT DISTINCT doc_id, CAST(m AS BIGINT) AS fp
+FROM mins WHERE i <= GREATEST(1, n_grams - {window} + 1)"""
+
+
+def q_hll_rollup_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window geometry of the rolled-up HLL index at EVERY level — exact and
+    SQL-checkable (each level's windows are 0..ceil(n_tok/span)-1), so the
+    rollup's (doc_id, level, w_id) sets are oracle-verified even though its
+    estimates are bound-checked in tests."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_hll_window_index,
+    )
+
+    idx = build_hll_window_index(_corpus(spark, sf_dir), CFG, p=12)
+    return idx.select("doc_id", "level", "w_id")
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_source": q_hll_distinct_by_source,
         "bottomk_tokens": q_bottomk_tokens,
         "hll_window_rollup": q_hll_window_rollup,
+        "hll_rollup_geometry": q_hll_rollup_geometry,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
@@ -752,4 +798,10 @@ FROM events GROUP BY 1, 2""",
         "streaming_state_by_source": """SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1""",
+        "winnowing_fingerprints": _winnowing_oracle(8, 4),
+        "hll_rollup_geometry": f"""WITH {CORPUS_CTE},
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
+SELECT doc_id, CAST(lv.level AS INT) AS level,
+       CAST(unnest(generate_series(0, CAST((n_tok + span - 1) // span - 1 AS BIGINT))) AS BIGINT) AS w_id
+FROM corpus, lv WHERE n_tok > 0""",
     }

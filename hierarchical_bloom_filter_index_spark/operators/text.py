@@ -16,8 +16,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..sketches.hashing import splitmix64
-
 # tiny per-language stopword markers (synthetic-data-friendly demo heuristic)
 LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of "],
@@ -115,24 +113,28 @@ def winnowing_fingerprints(
     """Winnowing (Schleimer et al.): k-gram rolling hashes, per-window minima
     — the document fingerprint set used for plagiarism/near-dup detection.
     Guarantee: any shared substring of length >= k+window-1 shares a
-    fingerprint. Vectorized numpy sliding windows per Arrow batch."""
+    fingerprint. Vectorized numpy sliding windows per Arrow batch.
+
+    The k-gram hash is the paper's polynomial rolling hash — Horner over
+    CODEPOINTS mod 1e9+7 — deliberately engine-agnostic so the whole operator
+    has an exact ANSI-SQL twin (nested Horner over LEAD() + sliding MIN);
+    docs shorter than k contribute no fingerprints."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
-                if len(b) < k:
+                cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                if len(cp) < k:
                     ids.append(did)
                     fps.append(np.empty(0, dtype=np.int64))
                     continue
-                grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-                packed = np.zeros(len(grams), dtype=np.uint64)
-                for i in range(k):
-                    packed = packed * np.uint64(257) + grams[:, i]
-                h = splitmix64(packed)
+                grams = np.lib.stride_tricks.sliding_window_view(cp, k)
+                h = grams[:, 0].copy()
+                for i in range(1, k):  # Horner with a mod per step: stays in int64
+                    h = (h * _BASE + grams[:, i]) % _MOD
                 if len(h) <= window:
-                    sel = np.asarray([h.min()], dtype=np.uint64)
+                    sel = np.asarray([h.min()], dtype=np.int64)
                 else:
                     wins = np.lib.stride_tricks.sliding_window_view(h, window)
                     sel = np.unique(wins.min(axis=1))
