@@ -1,12 +1,17 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is REAL and tested — schemas, Arrow batch shapes,
-partition-preserving mapInPandas stages, deterministic fake features. The
-actual codecs are STUBBED (``decode_backend='fake'`` is the only backend in
-this container; ``'real'`` raises NotImplementedError) because no
-image/audio libraries ship here. Swapping in PIL/torchaudio later only
-replaces the ``_decode_*`` internals; every signature, schema, and batch
-contract stays fixed.
+partition-preserving mapInPandas stages, deterministic fake features.
+
+Decode backends:
+* ``'fake'``  — payload interpreted as raw bytes (the original stub).
+* ``'numpy'`` — REAL encoded formats decoded end-to-end with pure numpy:
+  P6 PPM images (the netpbm binary format) and PCM16 RIFF/WAVE audio,
+  including header parsing and round-trip encoders for fixtures. Video
+  remains honestly stubbed (no container parser here): NotImplementedError.
+* ``'real'``  — reserved for PIL/av/torchaudio when available:
+  NotImplementedError in this container.
+Every signature, schema, and batch contract is identical across backends.
 """
 
 from __future__ import annotations
@@ -59,6 +64,105 @@ def synthesize_media(spark, n: int = 64, seed: int = 42, n_partitions: int = 4) 
     return spark.range(0, n, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real pure-numpy codecs (PPM P6 images, PCM16 WAV audio)
+# ---------------------------------------------------------------------------
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """P6 (binary) PPM encoder: HxWx3 uint8 -> netpbm payload."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects HxWx3 uint8")
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 PPM decoder (pure numpy): parses the 3-field header (whitespace +
+    '#' comments per the netpbm spec) and returns HxWx3 uint8."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal PCM16 mono RIFF/WAVE encoder: int16 samples -> payload."""
+    import struct
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 RIFF/WAVE decoder (pure numpy): walks the chunk list, returns
+    (int16 samples, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, int(sample_rate)
+
+
+def synthesize_encoded_media(spark, n: int = 48, seed: int = 42, n_partitions: int = 4) -> DataFrame:
+    """Fixture table whose payloads are REAL encoded formats (P6 PPM images,
+    PCM16 WAV audio) — drives the 'numpy' backend end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(seed * 7_777_777 + mid)
+                if mid % 2 == 0:
+                    w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    rows.append((mid, "image", encode_ppm(img), w, h, 0, 1, f"cam{mid % 4}"))
+                else:
+                    sr = 16_000
+                    nsamp = int(rng.integers(64, 1024))
+                    samples = rng.integers(-32768, 32768, nsamp).astype(np.int16)
+                    rows.append((mid, "audio", encode_wav(samples, sr), 0, 0, sr, nsamp, f"mic{mid % 4}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "width", "height",
+                         "sample_rate", "n_frames", "source"],
+            )
+
+    return spark.range(0, n, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decode: interpret payload as raw HxWx3 uint8 (deterministic fake).
     A real backend would decode JPEG/PNG here."""
@@ -86,11 +190,15 @@ def extract_features(
     Partition-preserving mapInPandas: no shuffle, payload bytes never leave
     their executor — at 100 TB the features (dim * 4 bytes) are the only
     thing downstream stages move.
+
+    decode_backend='numpy' decodes REAL formats (P6 PPM / PCM16 WAV) with the
+    pure-numpy codecs above; 'fake' treats payloads as raw bytes; 'real'
+    stays NotImplementedError until PIL/av/torchaudio exist here.
     """
-    if decode_backend != "fake":
+    if decode_backend not in ("fake", "numpy"):
         raise NotImplementedError(
-            "real media codecs are not available in this container; "
-            "plug PIL/av/torchaudio into _decode_* and pass decode_backend='fake' until then"
+            "media codec libraries are not available in this container; "
+            "use decode_backend='numpy' (PPM/WAV) or 'fake' (raw bytes)"
         )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -98,7 +206,14 @@ def extract_features(
             ids, kinds, vecs = [], [], []
             for r in pdf.itertuples(index=False):
                 raw = np.frombuffer(r.payload, dtype=np.uint8)
-                if r.kind == "image":
+                if decode_backend == "numpy":
+                    if r.kind == "image":
+                        arr = decode_ppm(bytes(r.payload))
+                    elif r.kind == "audio":
+                        arr, _sr = decode_wav(bytes(r.payload))
+                    else:
+                        raise NotImplementedError("no pure-numpy video container parser")
+                elif r.kind == "image":
                     arr = _decode_image_fake(r.payload, r.width, r.height)
                 elif r.kind == "video":
                     # frame-sample: first/middle/last frame bytes

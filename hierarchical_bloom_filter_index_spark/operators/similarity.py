@@ -122,11 +122,23 @@ def train_ivf_centroids(
     iters: int = 12,
     seed: int = 77,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic Lloyd k-means on a driver-side sample — the coarse
     quantizer of an IVF index. At 100 TB the sample is a tiny fraction;
-    training cost is independent of corpus size."""
-    sample = embeddings.select(vec_col).limit(sample_rows).collect()
+    training cost is independent of corpus size.
+
+    The sample is the ``sample_rows`` lowest id-hashes (TakeOrdered, no full
+    sort) — a pure function of row VALUES, so retraining yields identical
+    centroids under any partitioning (a bare .limit() would not: it takes
+    whichever partitions answer first)."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), F.col(id_col))
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
     mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -183,7 +195,7 @@ def ivf_topk(
     centroids are nearest each query; exact cosine re-rank within them.
     Recall < 1 possible (a true neighbor may live in an unprobed list)."""
     spark = embeddings.sparkSession
-    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col)
+    cents = train_ivf_centroids(embeddings, n_centroids, vec_col=vec_col, id_col=id_col)
     lists = ivf_assign(embeddings, cents, id_col, vec_col)
     qrows = embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec_col).collect()
     probe_rows = []

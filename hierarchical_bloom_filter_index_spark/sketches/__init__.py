@@ -5,7 +5,7 @@ sketch family from a binary column.
 """
 
 from .bloom import BloomFilter
-from .cms import CountMinSketch, CountSketch
+from .cms import CountMinSketch, CountSketch, IntCountSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .samplers import BottomKSampler, HopsSampler
@@ -14,7 +14,7 @@ from . import base, hashing
 
 SKETCH_REGISTRY = {
     cls.MAGIC: cls
-    for cls in (BloomFilter, CountMinSketch, CountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest)
+    for cls in (BloomFilter, CountMinSketch, CountSketch, IntCountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest)
 }
 
 
@@ -41,6 +41,7 @@ __all__ = [
     "BloomFilter",
     "CountMinSketch",
     "CountSketch",
+    "IntCountSketch",
     "HyperLogLog",
     "KLL",
     "HopsSampler",

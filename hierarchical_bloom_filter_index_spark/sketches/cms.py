@@ -7,9 +7,12 @@ Count-sketch: Charikar; unbiased, estimate = median of signed row values,
 sized ``w = 2^ceil(log2(3/eps^2)), d = ceil(ln(1/delta))`` like the
 reference's fromEpsDelta (estimators/CountSketch.java:134-159). Merge is
 elementwise add with shape/seed checks (estimators/CountSketch.java:94-103,
-232-241). Counters are int64 — the reference's int32 saturating variant
-(estimators/IntCountSketch.java:233-246) breaks strict merge associativity at
-extremes, so we deliberately use int64 (documented deviation, SURVEY §7.4).
+232-241). CountSketch counters are int64 (the safe default); IntCountSketch
+is the reference-parity int32 SATURATING variant
+(estimators/IntCountSketch.java:233-246) — half the memory/shuffle bytes, and
+like the reference it trades strict merge associativity at the ±2^31
+extremes (saturation clamps; once a cell pins, order can matter). Use it
+when counters provably stay far from the rails.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ from .hashing import hash64
 _U64 = np.uint64
 _MAGIC_CMS = 2
 _MAGIC_CS = 3
+_MAGIC_ICS = 9
+_I32_MIN, _I32_MAX = np.int32(-(2**31)), np.int32(2**31 - 1)
 
 
 def _row_buckets(keys: np.ndarray, seed: int, depth: int, width: int) -> np.ndarray:
@@ -143,4 +148,59 @@ class CountSketch:
     def from_bytes(cls, buf: bytes) -> "CountSketch":
         magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_CS, "CountSketch")
+        return cls(depth, width, seed, flat.reshape(depth, width), total)
+
+
+class IntCountSketch(CountSketch):
+    """int32 SATURATING count-sketch — reference parity with
+    estimators/IntCountSketch.java:233-246. Same hashes/signs/median as
+    CountSketch (estimates agree exactly until a cell saturates), but cells
+    clamp at ±(2^31-1)/−2^31 instead of widening: half the state bytes per
+    partial, at the documented cost of merge associativity at the rails."""
+
+    MAGIC = _MAGIC_ICS
+
+    def __init__(self, depth: int, width: int, seed: int, table: np.ndarray | None = None, total: int = 0):
+        super().__init__(depth, width, seed, table, total)
+        if table is None:
+            self.table = np.zeros((self.depth, self.width), dtype=np.int32)
+
+    @classmethod
+    def from_eps_delta(cls, eps: float, delta: float, seed: int) -> "IntCountSketch":
+        width = 1 << max(3, math.ceil(math.log2(3.0 / (eps * eps))))
+        depth = max(1, math.ceil(math.log(1.0 / delta)))
+        return cls(depth, width, seed)
+
+    @staticmethod
+    def _saturate(wide: np.ndarray) -> np.ndarray:
+        return np.clip(wide, int(_I32_MIN), int(_I32_MAX)).astype(np.int32)
+
+    def update(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(keys) == 0:
+            return
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        c = np.ones(len(keys), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            signed = c * self._signs(keys, r)
+            delta = np.bincount(buckets[r], weights=signed, minlength=self.width).astype(np.int64)
+            self.table[r] = self._saturate(self.table[r].astype(np.int64) + delta)
+        self.total += int(c.sum())
+
+    def merge(self, other: "IntCountSketch") -> "IntCountSketch":
+        base.check_same_type(self, other)
+        base.check_compatible(
+            "IntCountSketch",
+            {"d": self.depth, "w": self.width, "seed": self.seed},
+            {"d": other.depth, "w": other.width, "seed": other.seed},
+        )
+        table = self._saturate(self.table.astype(np.int64) + other.table.astype(np.int64))
+        return IntCountSketch(self.depth, self.width, self.seed, table, self.total + other.total)
+
+    def to_bytes(self) -> bytes:
+        return base.pack(_MAGIC_ICS, [self.depth, self.width, self.seed, self.total], [self.table.ravel()])
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "IntCountSketch":
+        magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
+        base.expect_magic(magic, _MAGIC_ICS, "IntCountSketch")
         return cls(depth, width, seed, flat.reshape(depth, width), total)

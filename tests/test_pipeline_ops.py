@@ -224,3 +224,55 @@ def test_ivf_topk_recall(spark, emb):
     again = S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=6).collect()
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in approx} == \
            {(r["query_id"], r["vec_id"], r["rank"]) for r in again}
+
+
+def test_numpy_codecs_roundtrip():
+    """Real encoded formats, pure numpy: P6 PPM and PCM16 WAV round-trip
+    bit-exactly (header parsing included — comments, word alignment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(img)), img)
+    # header with a comment line still parses
+    payload = M.encode_ppm(img)
+    commented = b"P6\n# fixture\n" + payload[3:]
+    assert np.array_equal(M.decode_ppm(commented), img)
+
+    samples = rng.integers(-32768, 32768, 777).astype(np.int16)
+    back, sr = M.decode_wav(M.encode_wav(samples, 16_000))
+    assert sr == 16_000 and np.array_equal(back, samples)
+
+    import pytest
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_multimodal_numpy_backend_end_to_end(spark):
+    """decode_backend='numpy' drives REAL encoded payloads through the same
+    Spark plumbing: features are partition-invariant and video stays an
+    honest NotImplementedError."""
+    media = M.synthesize_encoded_media(spark, n=24, seed=7)
+    f1 = {r["media_id"]: list(r["feature"])
+          for r in M.extract_features(media, dim=16, decode_backend="numpy").collect()}
+    f2 = {r["media_id"]: list(r["feature"])
+          for r in M.extract_features(media.repartition(5), dim=16, decode_backend="numpy").collect()}
+    assert f1 == f2 and len(f1) == 24
+    vids = M.synthesize_media(spark, n=6, seed=7).filter("kind = 'video'")
+    with pytest.raises(Exception):  # Py4J wraps the executor's NotImplementedError
+        M.extract_features(vids, dim=8, decode_backend="numpy").collect()
+
+
+def test_ivf_centroids_deterministic_across_partitioning(spark):
+    """The quantizer's training sample is value-hash-ordered, so retraining
+    under a different partitioning yields IDENTICAL centroids (regression:
+    a bare .limit() sampled whichever partitions answered first)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = S.train_ivf_centroids(emb, n_centroids=8, sample_rows=256)
+    c2 = S.train_ivf_centroids(emb.repartition(7), n_centroids=8, sample_rows=256)
+    c3 = S.train_ivf_centroids(emb.coalesce(1), n_centroids=8, sample_rows=256)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)

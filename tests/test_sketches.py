@@ -256,3 +256,61 @@ def test_registry_dispatch():
         o.update(np.arange(50, dtype=np.int64))
         rt = from_bytes(o.to_bytes())
         assert type(rt) is type(o)
+
+
+def test_int_count_sketch_parity_and_saturation():
+    """IntCountSketch (estimators/IntCountSketch.java:233-246 parity): same
+    estimates as the int64 CountSketch away from the rails, half the state
+    bytes, and SATURATING (never wrapping) arithmetic at ±2^31."""
+    from hierarchical_bloom_filter_index_spark.sketches import (
+        CountSketch,
+        IntCountSketch,
+        from_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 500, 20_000).astype(np.int64)
+    a64, a32 = CountSketch(5, 1 << 12, seed=3), IntCountSketch(5, 1 << 12, seed=3)
+    a64.update(keys)
+    a32.update(keys)
+    probe = np.arange(50, dtype=np.int64)
+    assert np.array_equal(a64.estimate(probe), a32.estimate(probe))
+    assert a32.table.dtype == np.int32
+    assert a32.to_bytes() != a64.to_bytes()  # distinct wire format (magic 9)
+    rt = from_bytes(a32.to_bytes())
+    assert isinstance(rt, IntCountSketch) and np.array_equal(rt.table, a32.table)
+
+    # saturation: a near-max cell clamps instead of wrapping, on update and merge
+    big = IntCountSketch(1, 8, seed=1)
+    big.table[0, :] = 2**31 - 5
+    k = np.asarray([0], dtype=np.int64)
+    big.update(k, counts=np.asarray([10**12]))
+    assert big.table.min() >= -(2**31) and big.table.max() == 2**31 - 1
+    m = big.merge(big)
+    assert m.table.max() == 2**31 - 1 and m.table.min() >= -(2**31)
+
+    # merge incompatibility still enforced
+    import pytest
+    from hierarchical_bloom_filter_index_spark.sketches.base import MergeError
+
+    with pytest.raises(MergeError):
+        a32.merge(IntCountSketch(5, 1 << 12, seed=4))
+    with pytest.raises(MergeError):
+        a32.merge(a64)  # int32 and int64 families never merge silently
+
+
+def test_int_count_sketch_shuffled_merge_order():
+    """Away from the rails, IntCountSketch merge is order-independent
+    byte-for-byte (the same shuffled-merge law the other sketches obey)."""
+    from hierarchical_bloom_filter_index_spark.sketches import IntCountSketch, merge_blobs
+
+    rng = np.random.default_rng(6)
+    parts = []
+    for i in range(8):
+        sk = IntCountSketch(4, 1 << 10, seed=2)
+        sk.update(rng.integers(0, 1000, 5000).astype(np.int64))
+        parts.append(sk.to_bytes())
+    a = merge_blobs(parts)
+    order = rng.permutation(len(parts))
+    b = merge_blobs([parts[i] for i in order])
+    assert a == b
