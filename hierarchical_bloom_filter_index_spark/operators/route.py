@@ -281,6 +281,11 @@ def pattern_search(
         first = max(0, min(start_level, deepest))
     else:
         first = 0
+    if stats is not None and len(stats):
+        # compacted index (memory policy): levels below min(stats.level) have
+        # no sketch rows — seeding there would probe an empty frontier and
+        # wrongly return no matches
+        first = max(first, int(stats["level"].min()))
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
     # Each level is materialized (cached + counted): the count enables

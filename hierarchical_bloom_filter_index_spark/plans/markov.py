@@ -96,8 +96,80 @@ class MarkovModel:
         return 1.0 - (1.0 - min(p_occ, 1.0)) ** slots
 
 
-def markov_expected_survivors(model: MarkovModel, pattern: list[int], stats: pd.DataFrame, level: int) -> float:
-    """Expected surviving windows at a level under the Markov model — the
+class NgramModel:
+    """Variable-order Markov model — the reference's NgramModel with context
+    backoff (PMIndex/NgramModel.java:54-70+): P(t | context) conditions on
+    the LONGEST context whose count snapshot exists, backing off suffix by
+    suffix down to the unigram. ``order`` is the maximum context length.
+
+    Exposes the same ``occurrence_prob`` / ``window_hit_prob`` surface as
+    MarkovModel, so ``choose_start_level(model='markov', markov=NgramModel)``
+    prices survivors with it unchanged.
+    """
+
+    def __init__(self, counts: dict[tuple[int, ...], int], order: int, total: int):
+        self.counts = counts
+        self.order = int(order)
+        self.total = max(1, int(total))
+
+    @classmethod
+    def fit(cls, corpus: DataFrame, order: int = 2, max_rows_per_n: int = 200_000) -> "NgramModel":
+        """Distributed n-gram counting for n = 1..order+1 (explode of sliced
+        token arrays -> groupBy, map-side combined); the snapshot keeps the
+        ``max_rows_per_n`` most frequent grams per n so the driver state is
+        bounded regardless of corpus size (missing grams back off)."""
+        counts: dict[tuple[int, ...], int] = {}
+        total = 0
+        for n in range(1, order + 2):
+            grams = corpus.filter(F.size("tokens") >= n).select(
+                F.explode(
+                    F.expr(f"transform(sequence(0, size(tokens) - {n}), i -> slice(tokens, i + 1, {n}))")
+                ).alias("g")
+            )
+            rows = (
+                grams.groupBy("g").agg(F.count("*").alias("c"))
+                .orderBy(F.desc("c"))
+                .limit(max_rows_per_n)
+                .collect()
+            )
+            for r in rows:
+                counts[tuple(int(t) for t in r["g"])] = int(r["c"])
+            if n == 1:
+                total = int(sum(r["c"] for r in rows))
+        return cls(counts, order, total)
+
+    def cond_prob(self, context: tuple[int, ...], t: int) -> float:
+        """MLE P(t | context) with longest-context backoff."""
+        for L in range(min(self.order, len(context)), 0, -1):
+            ctx = tuple(context[-L:])
+            den = self.counts.get(ctx)
+            if den:
+                num = self.counts.get(ctx + (int(t),))
+                if num:
+                    return num / den
+                # context seen but continuation unseen: back off to a shorter
+                # context rather than declaring impossibility (snapshot is topK)
+        return self.counts.get((int(t),), 0) / self.total
+
+    def occurrence_prob(self, pattern: list[int]) -> float:
+        if not pattern:
+            return 0.0
+        p = self.counts.get((int(pattern[0]),), 0) / self.total
+        for i in range(1, len(pattern)):
+            if p == 0.0:
+                return 0.0
+            p *= self.cond_prob(tuple(int(x) for x in pattern[:i]), int(pattern[i]))
+        return float(min(p, 1.0))
+
+    def window_hit_prob(self, pattern: list[int], span: int) -> float:
+        p_occ = self.occurrence_prob(pattern)
+        slots = max(1, span - len(pattern) + 1)
+        return 1.0 - (1.0 - min(p_occ, 1.0)) ** slots
+
+
+def markov_expected_survivors(model, pattern: list[int], stats: pd.DataFrame, level: int) -> float:
+    """Expected surviving windows at a level under a chain model (MarkovModel
+    or variable-order NgramModel — anything with window_hit_prob) — the
     CostFunctionMarkov analog of plans.cost.expected_survivors."""
     row = stats[stats["level"] == level].iloc[0]
     hit = model.window_hit_prob(pattern, 2 * int(row["span"])) + float(row["fill_fpr"])

@@ -57,3 +57,26 @@ def apply_memory_policy(index, stats: pd.DataFrame, freq, sampler, q: float = 0.
     p_low = low_quantile_token_prob(freq, sampler, q)
     lp = choose_drop_level(stats, p_low, conf)
     return compact_index(index, lp), lp
+
+
+def predictive_drop_level(cfg, freq, sampler, q: float = 0.05, conf: float = 0.95) -> int:
+    """PREDICTIVE policy decision: choose lp from a frequency summary +
+    sampler of a PRIOR corpus sample, BEFORE any index exists — the closed
+    form uses the design FPR since no achieved fill is measurable yet
+    (PMIndex/HBI.java:288-337 MemPolicy.PREDICTIVE)."""
+    p_low = low_quantile_token_prob(freq, sampler, q)
+    return closed_form_pruning_level(conf, max(p_low, 1e-12), cfg.n_levels, cfg.tree_span, cfg.fpr)
+
+
+def predictive_build(corpus, cfg, freq, sampler, q: float = 0.05, conf: float = 0.95):
+    """PREDICTIVE policy end-to-end: the dropped coarse levels are NEVER
+    BUILT — the data pass hashes and scatters only levels >= lp (vs
+    REACTIVE's build-everything-then-filter). Returns (index, lp); the index
+    rows equal compact_index(build_index(corpus, cfg), lp) exactly.
+    """
+    from ..operators.build import _build_doc_axis, _build_global_axis
+
+    lp = predictive_drop_level(cfg, freq, sampler, q, conf)
+    levels = [L for L in cfg.levels if L >= lp]
+    builder = _build_doc_axis if cfg.axis == "doc" else _build_global_axis
+    return builder(corpus, cfg, levels=levels), lp

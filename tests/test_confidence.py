@@ -110,3 +110,40 @@ def test_markov_model_beats_iid_on_blocks(spark):
     b = sorted(map(tuple, pattern_search(corp, idx, cfg, pat, start_level=0).collect()))
     assert a == b
     corp.unpersist(); idx.unpersist()
+
+
+def test_variable_order_ngram_model_fits_and_plans(spark):
+    """NgramModel (variable-order context, the reference's NgramModel role):
+    distributed fit, longer-context probabilities sharper than order-1 on
+    autocorrelated data, and drop-in use as the planner's chain model."""
+    from hierarchical_bloom_filter_index_spark.plans.markov import (
+        MarkovModel,
+        NgramModel,
+    )
+    from hierarchical_bloom_filter_index_spark.plans.cost import choose_start_level
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=64, seed=19)
+    corp = C.generate_corpus(spark, sf=0.003, seed=19).filter(F.col("source") == "blocks").cache()
+    idx = build_index(corp, cfg).cache()
+    stats = index_stats(idx, cfg)
+    m2 = NgramModel.fit(corp, order=2)
+    m1 = MarkovModel.fit(corp)
+
+    doc = corp.filter(F.col("n_tok") >= 96).orderBy("doc_id").first()
+    toks = doc["tokens"]
+    pat = list(toks[:4])  # an in-block run: actually occurs
+    assert m2.occurrence_prob(pat) > 0
+    # inside a homogeneous run, [a,a] -> a is near-certain; order-2 context
+    # must price the run at least as high as order-1 (it can only sharpen)
+    run = list(toks[:3])
+    assert m2.occurrence_prob(run) >= 0.9 * m1.occurrence_prob(run)
+
+    keys, _ = pattern_keys(pat, cfg)
+    lvl = choose_start_level(stats, np.zeros(len(keys)), len(pat),
+                             model="markov", markov=m2, pattern=pat)
+    assert 0 <= lvl <= int(stats["level"].max())
+    got = sorted(map(tuple, pattern_search(corp, idx, cfg, pat, start_level="auto",
+                                           stats=stats, markov=m2).collect()))
+    exp = sorted(map(tuple, pattern_search(corp, idx, cfg, pat, start_level=0).collect()))
+    assert got == exp and len(exp) > 0
+    corp.unpersist(); idx.unpersist()

@@ -61,3 +61,64 @@ def test_choose_drop_level_monotone():
     stats = pd.DataFrame(rows)
     # more common low-quantile tokens => coarse levels less useful => higher lp
     assert choose_drop_level(stats, 0.05) >= choose_drop_level(stats, 1e-7)
+
+
+def test_predictive_build_never_materializes_dropped_levels(spark):
+    """PREDICTIVE policy: lp is decided from a prior sample and the coarse
+    levels are never built — rows equal REACTIVE's build-then-compact
+    exactly, and auto-planned search on the compacted stats stays exact
+    (regression: seeding below min present level returned no matches)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        brute_force_search,
+        build_index,
+        frequency_summary,
+        index_stats,
+        pattern_search,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.aggregates import (
+        collect_sketch,
+        sketch_aggregate,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.build import compact_index
+    from hierarchical_bloom_filter_index_spark.plans.policy import predictive_build
+    from hierarchical_bloom_filter_index_spark.sketches import HopsSampler
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=31).cache()
+    freq = frequency_summary(corp, CFG)
+    sampler = collect_sketch(
+        sketch_aggregate(corp, "tokens", lambda: HopsSampler(b=6, seed=CFG.seed),
+                         values_are_arrays=True)
+    )
+    # q=0.95: plan for the common-token regime — coarse windows provably
+    # reject nothing for them, so lp lands > 0 and those levels are skipped
+    idx_pred, lp = predictive_build(corp, CFG, freq, sampler, q=0.95)
+    assert lp > 0
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["level"], r["w_id"], bytes(r["bloom"]))
+            for r in df.select("doc_id", "level", "w_id", "bloom").collect()
+        )
+
+    reactive = compact_index(build_index(corp, CFG), lp)  # same lp, built fully
+    assert rows(idx_pred) == rows(reactive)
+    assert idx_pred.agg(F.min("level")).first()[0] == lp
+
+    # auto-planned search against the compacted index: stats reflect only
+    # the surviving levels; the seed level is clamped to them
+    idx_pred = idx_pred.cache()
+    stats = index_stats(idx_pred, CFG)
+    doc = corp.filter(F.col("n_tok") >= 64).orderBy("doc_id").first()
+    pat = doc["tokens"][5:17]
+    sout: dict = {}
+    got = sorted(map(tuple, pattern_search(
+        corp, idx_pred, CFG, pat, start_level="auto", freq=freq, stats=stats,
+        stats_out=sout).collect()))
+    exp = sorted(map(tuple, brute_force_search(corp, pat).collect()))
+    assert got == exp and len(exp) > 0
+    assert sout["start_level"] >= lp
+    # even a pinned start level below lp must not lose matches
+    got0 = sorted(map(tuple, pattern_search(
+        corp, idx_pred, CFG, pat, start_level=0, stats=stats).collect()))
+    assert got0 == exp
+    idx_pred.unpersist(); corp.unpersist()

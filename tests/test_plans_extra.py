@@ -58,3 +58,24 @@ def test_markov_model_fit_and_probs(spark):
     assert model.occurrence_prob([1, 1]) == 0.0  # never observed
     assert model.occurrence_prob([7]) == 0.0  # unseen token
     assert 0.99 < model.window_hit_prob([1, 2], 100) <= 1.0
+
+
+def test_ngram_model_backoff_pure():
+    """Variable-order NgramModel: longest-context conditioning with suffix
+    backoff (PMIndex/NgramModel.java role), no Spark needed."""
+    from hierarchical_bloom_filter_index_spark.plans.markov import NgramModel
+
+    # corpus: "1 2 3" x90 + "1 2 4" x10  (order-2 context disambiguates)
+    counts = {
+        (1,): 100, (2,): 100, (3,): 90, (4,): 10,
+        (1, 2): 100, (2, 3): 90, (2, 4): 10,
+        (1, 2, 3): 90, (1, 2, 4): 10,
+    }
+    m = NgramModel(counts, order=2, total=300)
+    assert abs(m.cond_prob((1, 2), 3) - 0.9) < 1e-12      # full context
+    assert abs(m.cond_prob((9, 2), 3) - 0.9) < 1e-12      # backoff to (2,)
+    assert abs(m.cond_prob((9, 9), 3) - 90 / 300) < 1e-12  # unigram fallback
+    p = m.occurrence_prob([1, 2, 3])
+    assert abs(p - (100 / 300) * 1.0 * 0.9) < 1e-12
+    assert m.occurrence_prob([7, 7]) == 0.0
+    assert 0.0 < m.window_hit_prob([1, 2, 3], 64) <= 1.0
