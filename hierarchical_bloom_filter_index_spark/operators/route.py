@@ -182,6 +182,42 @@ def _level_rows(index: DataFrame, level: int, doc_axis: bool) -> DataFrame:
     return index.filter(F.col("level") == level).select(*cols)
 
 
+def _cut_frontier(survivors: DataFrame, schema: str):
+    """Materialize one level's survivor frontier and CUT ITS LINEAGE.
+
+    The neighbor-union combine references each level's masks twice (the
+    global axis self-joins on w_id+1), so chaining levels through raw
+    logical plans DOUBLES the plan per level — a 9-level cascade reached a
+    124 MB plan string and Catalyst re-analyzed it at every level. Physical
+    work was fine (each level is persisted); the driver-side plan analysis
+    was the scale bug. Frontiers shrink monotonically under Bloom pruning,
+    so: collect small frontiers (byte-capped) into a fresh createDataFrame
+    (plan = one leaf, broadcastable); above the cap, localCheckpoint — the
+    plan becomes a scan of materialized blocks. Either way the next level's
+    plan is O(1), keeping whole-cascade analysis linear in levels.
+
+    Returns (frontier_df, n_rows, collected_rows_or_None). localCheckpoint
+    trades recompute-on-executor-loss for bounded plans — the standard
+    iterative-algorithm trade (GraphX/ALS do the same).
+    """
+    spark = survivors.sparkSession
+    survivors = survivors.persist()
+    n = survivors.count()
+    if n == 0:
+        survivors.unpersist()
+        return spark.createDataFrame([], schema), 0, []
+    per_row = 40
+    if "doc_id" in survivors.columns:
+        per_row = 80 + 2 * len(survivors.first()["doc_id"])
+    if n <= DRIVER_MATERIALIZE_BYTES // per_row:
+        rows = [tuple(r) for r in survivors.collect()]
+        survivors.unpersist()
+        return spark.createDataFrame(rows, schema), n, rows
+    out = survivors.localCheckpoint(eager=True)
+    survivors.unpersist()
+    return out, n, None
+
+
 def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
     """Global CMS over token keys — the reference's frequency estimator role
     (estimators/CSEstimator.java), feeding the cost model's key
@@ -288,22 +324,19 @@ def pattern_search(
         first = max(first, int(stats["level"].min()))
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
-    # Each level is materialized (cached + counted): the count enables
-    # early-exit when the frontier dies (the reference's DFS stops naturally;
-    # our set-oriented cascade must check) and justifies an explicit
-    # broadcast of the small candidate frontier into the next level's
-    # semi-join — candidates shrink monotonically, scans don't.
+    # Each level's frontier is materialized AND lineage-cut (_cut_frontier):
+    # the count enables early-exit when the frontier dies (the reference's
+    # DFS stops naturally; our set-oriented cascade must check), the small
+    # collected frontier broadcasts into the next level's semi-join, and the
+    # cut keeps Catalyst's per-level plan analysis O(1) instead of
+    # exponential (the neighbor combine reads each level's masks twice).
     spark = corpus.sparkSession
     survivors: DataFrame | None = None
-    persisted: list[DataFrame] = []
+    final_rows = None
     if stats_out is not None:
         stats_out.update({"start_level": first, "deepest": deepest,
                           "windows_probed": {}, "survivors": {}})
     probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
-
-    def _release(keep_last: bool = False) -> None:
-        for p in persisted[: -1 if keep_last else None]:
-            p.unpersist()
 
     for L in range(first, deepest + 1):
         rows = _level_rows(index, L, doc_axis=True)
@@ -317,42 +350,35 @@ def pattern_search(
                     F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
                 ).alias("w_id"),
             ).distinct()
-            rows = rows.join(F.broadcast(children), on=["doc_id", "w_id"], how="left_semi")
+            if final_rows is not None:  # collected → small → broadcast
+                children = F.broadcast(children)
+            rows = rows.join(children, on=["doc_id", "w_id"], how="left_semi")
         if probe_counter is not None:
             probe_counter.value = 0
-        survivors = _probe_level(
-            rows, keys, anchor, doc_axis=True, align_keys=aligns, probe_counter=probe_counter
-        ).persist()
-        persisted.append(survivors)
-        n_surv = survivors.count()
+        survivors, n_surv, final_rows = _cut_frontier(
+            _probe_level(rows, keys, anchor, doc_axis=True, align_keys=aligns,
+                         probe_counter=probe_counter),
+            "doc_id string, w_id long",
+        )
         if stats_out is not None:
             stats_out["windows_probed"][L] = probe_counter.value
             stats_out["survivors"][L] = n_surv
         if n_surv == 0:
-            _release()
             return spark.createDataFrame([], MATCH_SCHEMA)
 
-    # Materialize the final (small, Bloom-pruned) candidate set on the
-    # driver: cuts the cached-cascade lineage so every intermediate persist
-    # is released NOW, not when the caller finishes consuming the result.
-    # Candidates are bounded by pruning; if a degenerate pattern keeps
-    # too many windows alive (byte-based cap), keep the DataFrame path
-    # (no driver OOM).
-    final_rows = None
-    sample = survivors.first() if n_surv else None
-    per_row = 80 + (2 * len(sample["doc_id"]) if sample is not None else 0)
-    if n_surv <= DRIVER_MATERIALIZE_BYTES // per_row:
+    # Final candidate set: the last frontier is already materialized and
+    # lineage-cut; group it per doc (driver-side when collected — no extra
+    # job — else a shuffle over the checkpointed blocks, never an unbounded
+    # collect).
+    if final_rows is not None:
         by_doc: dict[str, list[int]] = {}
-        for r in survivors.collect():
-            by_doc.setdefault(r["doc_id"], []).append(r["w_id"])
-        final_rows = list(by_doc.items())
+        for doc_id, w_id in final_rows:
+            by_doc.setdefault(doc_id, []).append(w_id)
         if stats_out is not None:
-            stats_out["candidate_docs"] = len(final_rows)
-        cand = spark.createDataFrame(final_rows, "doc_id string, wids array<long>")
-        _release()
+            stats_out["candidate_docs"] = len(by_doc)
+        cand = spark.createDataFrame(list(by_doc.items()), "doc_id string, wids array<long>")
     else:
         cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
-        _release(keep_last=True)
 
     # --- exact verification (JVM-side, codegen) -----------------------------
     span = cfg.span(deepest)
@@ -433,7 +459,7 @@ def global_pattern_search(
     spark = corpus.sparkSession
 
     survivors: DataFrame | None = None
-    persisted: list[DataFrame] = []
+    final_rows = None
     for L in range(first, deepest + 1):
         rows = _level_rows(index, L, doc_axis=False)
         if survivors is not None:
@@ -442,29 +468,22 @@ def global_pattern_search(
                     F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
                 ).alias("w_id")
             ).distinct()
-            rows = rows.join(F.broadcast(children), on="w_id", how="left_semi")
-        survivors = _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns).persist()
-        persisted.append(survivors)
-        n_surv = survivors.count()
+            if final_rows is not None:  # collected → small → broadcast
+                children = F.broadcast(children)
+            rows = rows.join(children, on="w_id", how="left_semi")
+        # per-level lineage cut (_cut_frontier): the global neighbor combine
+        # self-joins each level's masks, so raw plan chaining DOUBLES the
+        # logical plan per level (observed 124 MB plan strings) — the cut
+        # keeps plan analysis linear in levels and bounds collects bytewise.
+        survivors, n_surv, final_rows = _cut_frontier(
+            _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns),
+            "w_id long",
+        )
         if n_surv == 0:
-            for p in persisted:
-                p.unpersist()
             return spark.createDataFrame([], "gpos long")
 
     span = cfg.span(deepest)
-    # Guarded driver materialization (byte-based cap): collecting the small
-    # Bloom-pruned frontier cuts the cached-cascade lineage and broadcasts
-    # it; a degenerate pattern that keeps millions of windows alive stays a
-    # DataFrame and joins by shuffle instead — never an unbounded collect.
-    if n_surv <= DRIVER_MATERIALIZE_BYTES // 40:  # (w_id long) rows
-        wids = sorted(r["w_id"] for r in survivors.collect())
-        for p in persisted:
-            p.unpersist()
-        wid_df = F.broadcast(spark.createDataFrame([(w,) for w in wids], "w_id long"))
-    else:
-        for p in persisted[:-1]:
-            p.unpersist()
-        wid_df = survivors.select("w_id")
+    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
 
     # candidate docs: any doc whose start-position range intersects a
     # surviving window — explode the doc's own window range (few per doc)
