@@ -439,6 +439,37 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_pattern_search(gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL)
 
 
+def q_incremental_append_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-axis incremental insert() (PMIndex/HBI.java:215-267): build the
+    index over the FIRST HALF of the stream, append the second half as an
+    arriving batch (offset continuation + boundary re-merge), and emit the
+    merged index's per-level window counts. The append is byte-equal to a
+    from-scratch build (test_streaming asserts the blobs), so the geometry
+    must equal the closed form over the WHOLE corpus — which is what the
+    DuckDB oracle computes."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        append_increment_global,
+        stream_state,
+    )
+
+    gcfg = CFG.with_(axis="global")
+    docs = _corpus(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    first_half = with_global_offsets(docs.filter(F.col("doc_id") < mid))
+    idx1 = build_index(first_half, gcfg)
+    state = stream_state(first_half, gcfg)
+    idx, _state = append_increment_global(
+        idx1, docs.filter(F.col("doc_id") >= mid), gcfg, state
+    )
+    return (
+        idx.groupBy("level")
+        .agg(F.count("*").alias("n_windows"))
+        .select(F.col("level").cast("int").alias("level"), "n_windows")
+    )
+
+
 def q_streaming_state_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming applyInPandasWithState: run the corpus through a
     file-source stream (availableNow) maintaining a per-source HLL state;
@@ -621,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_geometry": q_index_geometry,
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
+        "incremental_append_geometry": q_incremental_append_geometry,
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
         "token_freq_by_source": q_token_freq_by_source,
@@ -799,6 +831,35 @@ FROM events GROUP BY 1, 2""",
        CAST(SUM(length(text)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1""",
         "winnowing_fingerprints": _winnowing_oracle(8, 4),
+        # the incrementally-appended global index is byte-equal to a scratch
+        # build, so its geometry is the closed form over the WHOLE stream:
+        # every global window holds at least one token key (ngram=1)
+        "incremental_append_geometry": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
+SELECT CAST(lv.level AS INT) AS level,
+       CAST((n + span - 1) // span AS BIGINT) AS n_windows
+FROM tot, lv""",
+        # exact brute-force cosine top-k IS SQL-expressible: both engines
+        # compute the dot product in float64 and round to 6 dp, so the
+        # only cross-engine risk is a true tie at rank k — broken on vec_id
+        # identically on both sides
+        "ann_cosine_topk": """WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5""",
         "hll_rollup_geometry": f"""WITH {CORPUS_CTE},
 lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
 SELECT doc_id, CAST(lv.level AS INT) AS level,

@@ -6,9 +6,10 @@ partition-preserving mapInPandas stages, deterministic fake features.
 Decode backends:
 * ``'fake'``  — payload interpreted as raw bytes (the original stub).
 * ``'numpy'`` — REAL encoded formats decoded end-to-end with pure numpy:
-  P6 PPM images (the netpbm binary format) and PCM16 RIFF/WAVE audio,
-  including header parsing and round-trip encoders for fixtures. Video
-  remains honestly stubbed (no container parser here): NotImplementedError.
+  P6 PPM images (the netpbm binary format), PCM16 RIFF/WAVE audio, and
+  uncompressed 24-bit RIFF/AVI video (BI_RGB DIB frames, bottom-up BGR
+  rows, word-aligned chunk walking) — header parsing and round-trip
+  encoders for fixtures included.
 * ``'real'``  — reserved for PIL/av/torchaudio when available:
   NotImplementedError in this container.
 Every signature, schema, and batch contract is identical across backends.
@@ -135,9 +136,85 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return data, int(sample_rate)
 
 
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Minimal uncompressed RIFF/AVI encoder: NFxHxWx3 uint8 RGB frames ->
+    'AVI ' payload with BI_RGB 24-bit DIB '00db' frames (bottom-up BGR rows,
+    4-byte-aligned stride), an 'avih' main header and one 'vids' stream."""
+    import struct
+
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_avi expects NFxHxWx3 uint8")
+    nf, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+    bgr = frames[:, ::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    padded = np.zeros((nf, h, stride), dtype=np.uint8)
+    padded[:, :, : w * 3] = bgr.reshape(nf, h, w * 3)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, nf, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHH8I", 0, 0, 0, 0, 1, fps, 0, nf, frame_size, 0, 0
+    ) + struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih)
+                 + chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", padded[i].tobytes()) for i in range(nf)))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> np.ndarray:
+    """Uncompressed RIFF/AVI decoder (pure numpy): recursive chunk walk for
+    'avih' (dimensions), 'strf' (BITMAPINFOHEADER: bit depth + compression)
+    and the movi '##db'/'##dc' frame chunks. Returns NFxHxWx3 uint8 RGB."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    dims: list[int] = []
+    fmt: list[int] = []
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", payload, body)
+                dims[:] = [vals[8], vals[9]]
+            elif cid == b"strf" and not fmt:
+                _, _, _, _, bitcount, compression = struct.unpack_from("<IiiHHI", payload, body)
+                fmt[:] = [bitcount, compression]
+            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+                frames_raw.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not dims or not fmt:
+        raise ValueError("missing avih/strf header")
+    if fmt != [24, 0]:
+        raise ValueError("only uncompressed 24-bit DIB (BI_RGB) supported")
+    w, h = dims
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return out
+
+
 def synthesize_encoded_media(spark, n: int = 48, seed: int = 42, n_partitions: int = 4) -> DataFrame:
     """Fixture table whose payloads are REAL encoded formats (P6 PPM images,
-    PCM16 WAV audio) — drives the 'numpy' backend end-to-end."""
+    PCM16 WAV audio, uncompressed AVI video) — drives the 'numpy' backend
+    end-to-end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,15 +222,19 @@ def synthesize_encoded_media(spark, n: int = 48, seed: int = 42, n_partitions: i
             for mid in pdf["id"]:
                 mid = int(mid)
                 rng = np.random.default_rng(seed * 7_777_777 + mid)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
                     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
                     rows.append((mid, "image", encode_ppm(img), w, h, 0, 1, f"cam{mid % 4}"))
-                else:
+                elif mid % 3 == 1:
                     sr = 16_000
                     nsamp = int(rng.integers(64, 1024))
                     samples = rng.integers(-32768, 32768, nsamp).astype(np.int16)
                     rows.append((mid, "audio", encode_wav(samples, sr), 0, 0, sr, nsamp, f"mic{mid % 4}"))
+                else:
+                    w, h, nf = int(rng.integers(4, 24)), int(rng.integers(4, 24)), int(rng.integers(2, 8))
+                    vid = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+                    rows.append((mid, "video", encode_avi(vid), w, h, 0, nf, f"cam{mid % 4}"))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "width", "height",
@@ -191,14 +272,15 @@ def extract_features(
     their executor — at 100 TB the features (dim * 4 bytes) are the only
     thing downstream stages move.
 
-    decode_backend='numpy' decodes REAL formats (P6 PPM / PCM16 WAV) with the
-    pure-numpy codecs above; 'fake' treats payloads as raw bytes; 'real'
-    stays NotImplementedError until PIL/av/torchaudio exist here.
+    decode_backend='numpy' decodes REAL formats (P6 PPM / PCM16 WAV /
+    uncompressed AVI) with the pure-numpy codecs above; 'fake' treats
+    payloads as raw bytes; 'real' stays NotImplementedError until
+    PIL/av/torchaudio exist here.
     """
     if decode_backend not in ("fake", "numpy"):
         raise NotImplementedError(
             "media codec libraries are not available in this container; "
-            "use decode_backend='numpy' (PPM/WAV) or 'fake' (raw bytes)"
+            "use decode_backend='numpy' (PPM/WAV/AVI) or 'fake' (raw bytes)"
         )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,7 +294,9 @@ def extract_features(
                     elif r.kind == "audio":
                         arr, _sr = decode_wav(bytes(r.payload))
                     else:
-                        raise NotImplementedError("no pure-numpy video container parser")
+                        # frame-sample first/middle/last decoded frames
+                        fr = decode_avi(bytes(r.payload))
+                        arr = fr[sorted({0, len(fr) // 2, len(fr) - 1}), ...]
                 elif r.kind == "image":
                     arr = _decode_image_fake(r.payload, r.width, r.height)
                 elif r.kind == "video":

@@ -249,6 +249,7 @@ def pattern_search(
     stats_out: dict | None = None,
     markov=None,
     model: str | None = None,
+    selective: bool = False,
 ) -> DataFrame:
     """Exact match positions of ``pattern``: (doc_id, pos), 0-based.
 
@@ -311,7 +312,8 @@ def pattern_search(
                     int(k): int(lv) for k, lv in zip(keys.tolist(), per_key.tolist())
                 }
         else:
-            chosen = choose_start_level(stats, probs, m, model=mdl, markov=markov, pattern=pattern)
+            chosen = choose_start_level(stats, probs, m, model=mdl, markov=markov,
+                                        pattern=pattern, selective=selective)
         first = max(0, min(chosen, deepest))
     elif isinstance(start_level, int):
         first = max(0, min(start_level, deepest))

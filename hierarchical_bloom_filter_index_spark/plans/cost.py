@@ -46,6 +46,50 @@ def closed_form_pruning_level(
     return n_levels - 1
 
 
+# SelectiveFanout heuristic constants (estimators/SelectiveFanout.java:6-10):
+# the flag-gated experimental regime scales the cost model's assumed
+# branching between 1 and 2 children per survivor — pricing only, never
+# search soundness (the descent always probes both children + neighbor).
+_SF_MIN_MULT, _SF_MAX_MULT = 1.0, 2.0
+_SF_DEPTH_W, _SF_FEAS_W, _SF_COST_W = 0.4, 0.4, 0.2
+
+
+def _clamp01(v: float) -> float:
+    return 0.0 if v <= 0.0 else (1.0 if v >= 1.0 else v)
+
+
+def selective_fanout_multiplier(
+    parent_level: int,
+    start_level: int,
+    desc_limit: int,
+    feasibility_score: float,
+    cost_efficiency_score: float,
+) -> float:
+    """Branching multiplier in [1, 2] for the selective regime
+    (estimators/SelectiveFanout.java:27-49): a weighted blend of normalized
+    descent depth, per-window feasibility, and parent/child cost efficiency.
+    With the regime disabled the reference always prices 2 children."""
+    depth = 0.0
+    if desc_limit > start_level:
+        depth = max(0, parent_level - start_level) / float(desc_limit - start_level)
+    score = _clamp01(
+        _SF_DEPTH_W * depth
+        + _SF_FEAS_W * _clamp01(feasibility_score)
+        + _SF_COST_W * _clamp01(cost_efficiency_score)
+    )
+    return _SF_MIN_MULT + (_SF_MAX_MULT - _SF_MIN_MULT) * score
+
+
+def selective_cost_efficiency(parent_cost: float, child_cost: float) -> float:
+    """Normalized parent/child expected-cost ratio
+    (estimators/SelectiveFanout.java:52-61)."""
+    if child_cost <= 0.0:
+        return 0.0
+    if parent_cost <= 0.0:
+        return 1.0
+    return _clamp01(parent_cost / child_cost)
+
+
 def ie_all_present_prob(key_probs: np.ndarray, span: int, order: int = 2) -> float:
     """P(every key appears in a window of ``span`` iid tokens) via truncated
     inclusion-exclusion over the absence events (estimators/CostFunctionIE.java:
@@ -141,12 +185,20 @@ def choose_start_level(
     model: str = "iid",
     markov=None,
     pattern: list[int] | None = None,
+    selective: bool = False,
 ) -> int:
     """argmin over seed levels of expected probe rows + verification work.
 
     ``key_probs``: per-distinct-pattern-key occurrence probability (frequency
     / total tokens), from CMS estimates or an exact frequency table —
     the estimateALl role (estimators/CSEstimator.java:84-91).
+
+    ``selective=True`` enables the SelectiveFanout regime
+    (estimators/SelectiveFanout.java, flag-gated experimental in the
+    reference too): the priced children-per-survivor drops from the fixed 2
+    toward 1 when the descent is shallow, windows are infeasible, or the
+    child level is dearer than the parent — biasing the argmin toward
+    shallower seeds. Pricing only: returned matches are identical.
 
     model='markov' (the CostFunctionMarkov analog,
     estimators/CostFunctionMarkov.java:29-93,107-174): survivor counts come
@@ -184,7 +236,19 @@ def choose_start_level(
         e_prev = esurv(lp)
         prev_level = lp
         for L in present[i + 1 :]:
-            fanout = float(2 ** (L - prev_level))  # children per survivor across the gap
+            if selective:
+                # feasibility = per-window survival at the parent; cost
+                # efficiency = parent/child expected-survivor ratio (the
+                # HCond ratio analog, CostFunctionMaxProb.java:154-174)
+                n_par = float(stats[stats["level"] == prev_level].iloc[0]["n_windows"])
+                mult = selective_fanout_multiplier(
+                    prev_level, lp, present[-1],
+                    e_prev / max(n_par, 1.0),
+                    selective_cost_efficiency(e_prev, esurv(L)),
+                )
+            else:
+                mult = 2.0
+            fanout = float(mult ** (L - prev_level))  # children per survivor across the gap
             cost += probe_cost * fanout * e_prev
             e_prev = min(fanout * e_prev, esurv(L))
             prev_level = L

@@ -23,6 +23,11 @@ continuous ingestion:
 * incremental_index_stream — Structured Streaming: every micro-batch of new
   corpus files becomes sketch rows appended to the index directory, with
   checkpointed progress (exactly-once per file source guarantees).
+* incremental_global_index_stream — Structured Streaming on the ONE-STREAM
+  axis: each micro-batch runs append_increment_global; the continuation
+  state (total tokens + stream tail) and an index version pointer are
+  committed AFTER the new index version lands, keyed by batch_id, so
+  foreachBatch replays after failure are idempotent.
 """
 
 from __future__ import annotations
@@ -181,3 +186,79 @@ def incremental_index_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_global_index_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    work_dir: str,
+    cfg: HbiConfig,
+    max_files_per_trigger: int = 1,
+):
+    """Structured Streaming maintenance of the ONE-STREAM index: each
+    micro-batch continues the global stream via append_increment_global and
+    commits a NEW index version under ``work_dir/v<N>`` plus the continuation
+    state in ``work_dir/STATE.json`` (version pointer, total tokens, stream
+    tail, last applied batch_id).
+
+    Crash safety: the state file is written only after the versioned index
+    lands, and replayed batch_ids (foreachBatch's at-least-once) are skipped
+    — so restarts resume exactly, never double-appending. Versioned full
+    rewrites keep the demo on plain parquet; on a table format with
+    partition-level commits only the at/after-boundary windows would be
+    rewritten (append_increment_global already passes untouched windows
+    through unchanged).
+    """
+    import json
+    import os
+
+    if cfg.axis != "global":
+        raise ValueError("incremental_global_index_stream needs cfg.axis='global'")
+    os.makedirs(work_dir, exist_ok=True)
+    meta_path = os.path.join(work_dir, "STATE.json")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    ).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+        if meta is not None and batch_id <= meta["last_batch_id"]:
+            return  # replayed batch after failure: already applied
+        if meta is None:
+            batch = with_global_offsets(batch_df)
+            new_index = build_index(batch, cfg)
+            new_state = stream_state(batch, cfg)
+            ver = 0
+        else:
+            state = GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
+            index = spark.read.parquet(os.path.join(work_dir, f"v{meta['version']}"))
+            new_index, new_state = append_increment_global(index, batch_df, cfg, state)
+            ver = meta["version"] + 1
+        new_index.write.mode("overwrite").parquet(os.path.join(work_dir, f"v{ver}"))
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": ver, "total_tokens": int(new_state.total_tokens),
+                 "tail": [int(t) for t in new_state.tail], "last_batch_id": int(batch_id)},
+                f,
+            )
+        os.replace(tmp, meta_path)  # atomic pointer swap
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_global_stream_index(spark: SparkSession, work_dir: str) -> tuple[DataFrame, "GlobalStreamState"]:
+    """Open the current version of a stream-maintained global index and its
+    continuation state (for queries or the next maintenance run)."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(work_dir, "STATE.json")))
+    idx = spark.read.parquet(os.path.join(work_dir, f"v{meta['version']}"))
+    return idx, GlobalStreamState(meta["total_tokens"], list(meta["tail"]))

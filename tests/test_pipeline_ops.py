@@ -243,17 +243,25 @@ def test_numpy_codecs_roundtrip():
     back, sr = M.decode_wav(M.encode_wav(samples, 16_000))
     assert sr == 16_000 and np.array_equal(back, samples)
 
+    # AVI: width 7 -> 21-byte rows padded to a 24-byte DIB stride
+    vid = rng.integers(0, 256, (5, 9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_avi(M.encode_avi(vid)), vid)
+    vid4 = rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)  # aligned stride
+    assert np.array_equal(M.decode_avi(M.encode_avi(vid4)), vid4)
+
     import pytest
     with pytest.raises(ValueError):
         M.decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         M.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        M.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
 
 
 def test_multimodal_numpy_backend_end_to_end(spark):
-    """decode_backend='numpy' drives REAL encoded payloads through the same
-    Spark plumbing: features are partition-invariant and video stays an
-    honest NotImplementedError."""
+    """decode_backend='numpy' drives REAL encoded payloads (PPM/WAV/AVI)
+    through the same Spark plumbing: features are partition-invariant, and
+    undecodable raw payloads fail loudly instead of yielding garbage."""
     media = M.synthesize_encoded_media(spark, n=24, seed=7)
     f1 = {r["media_id"]: list(r["feature"])
           for r in M.extract_features(media, dim=16, decode_backend="numpy").collect()}
@@ -261,7 +269,7 @@ def test_multimodal_numpy_backend_end_to_end(spark):
           for r in M.extract_features(media.repartition(5), dim=16, decode_backend="numpy").collect()}
     assert f1 == f2 and len(f1) == 24
     vids = M.synthesize_media(spark, n=6, seed=7).filter("kind = 'video'")
-    with pytest.raises(Exception):  # Py4J wraps the executor's NotImplementedError
+    with pytest.raises(Exception):  # Py4J wraps the executor's ValueError
         M.extract_features(vids, dim=8, decode_backend="numpy").collect()
 
 

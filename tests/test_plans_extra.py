@@ -79,3 +79,45 @@ def test_ngram_model_backoff_pure():
     assert abs(p - (100 / 300) * 1.0 * 0.9) < 1e-12
     assert m.occurrence_prob([7, 7]) == 0.0
     assert 0.0 < m.window_hit_prob([1, 2, 3], 64) <= 1.0
+
+
+def test_selective_fanout_regime():
+    """SelectiveFanout (estimators/SelectiveFanout.java): multiplier stays in
+    [1,2], grows with depth/feasibility/cost-efficiency, and enabling the
+    regime in choose_start_level only reprices (level stays valid; cheaper
+    descents bias the argmin no deeper than the fixed-2 pricing)."""
+    import pandas as pd
+    from hierarchical_bloom_filter_index_spark.plans.cost import (
+        choose_start_level,
+        selective_cost_efficiency,
+        selective_fanout_multiplier,
+    )
+
+    # bounds + monotonicity in each score component
+    for args in [(0, 0, 0, 0.0, 0.0), (5, 0, 5, 1.0, 1.0), (3, 1, 7, 0.4, 0.9)]:
+        m = selective_fanout_multiplier(*args)
+        assert 1.0 <= m <= 2.0
+    assert selective_fanout_multiplier(5, 0, 5, 1.0, 1.0) == 2.0
+    assert selective_fanout_multiplier(0, 0, 5, 0.0, 0.0) == 1.0
+    assert (selective_fanout_multiplier(4, 0, 8, 0.2, 0.2)
+            > selective_fanout_multiplier(1, 0, 8, 0.2, 0.2))
+    assert (selective_fanout_multiplier(2, 0, 8, 0.9, 0.2)
+            > selective_fanout_multiplier(2, 0, 8, 0.1, 0.2))
+
+    assert selective_cost_efficiency(1.0, 0.0) == 0.0
+    assert selective_cost_efficiency(0.0, 1.0) == 1.0
+    assert selective_cost_efficiency(3.0, 6.0) == 0.5
+    assert selective_cost_efficiency(9.0, 3.0) == 1.0  # clamped
+
+    rows = [
+        {"level": L, "span": 256 >> L, "n_windows": 100 * 2**L, "fill_fpr": 0.02}
+        for L in range(6)
+    ]
+    stats = pd.DataFrame(rows)
+    probs = np.array([5e-3, 2e-4, 1e-4])
+    fixed = choose_start_level(stats, probs, 3)
+    sel = choose_start_level(stats, probs, 3, selective=True)
+    assert 0 <= sel <= 5 and 0 <= fixed <= 5
+    # multiplier <= 2 => every descent is priced cheaper => the selective
+    # argmin never moves deeper than the fixed-2 choice
+    assert sel <= fixed

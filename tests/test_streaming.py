@@ -151,3 +151,54 @@ def test_append_increment_global_short_boundary_docs(spark):
     idx1, _ = append_increment_global(idx0, new, cfg, st0)
     rebuilt = build_index(with_global_offsets(full), cfg)
     assert _gstate(idx1) == _gstate(rebuilt)
+
+
+def test_structured_streaming_global_axis(spark, tmp_path):
+    """Global-axis Structured Streaming maintenance: micro-batches (one file
+    each, arriving in stream order) run append_increment_global with a
+    committed continuation state; the final versioned index is byte-equal to
+    a from-scratch build over everything ingested, across TWO separate
+    streaming runs sharing the checkpoint (restart semantics)."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        incremental_global_index_stream,
+        read_global_stream_index,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=9,
+                    axis="global", ngram=3, ngram_base_bits=12)
+    inp = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    work = str(tmp_path / "idx")
+    os.makedirs(inp)
+    full = C.generate_corpus(spark, sf=0.002, seed=33).cache()
+    ids = sorted(r["doc_id"] for r in full.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    parts = [
+        full.filter(F.col("doc_id") < c1),
+        full.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        full.filter(F.col("doc_id") >= c2),
+    ]
+    # one file per batch, mtimes spaced out: the file source orders new files
+    # by modification time, so the stream arrives in doc_id order
+    for p in parts[:2]:
+        p.coalesce(1).write.mode("append").parquet(inp)
+        time.sleep(1.1)
+
+    q = incremental_global_index_stream(spark, inp, chk, work, cfg)
+    q.awaitTermination(180)
+    idx, st = read_global_stream_index(spark, work)
+    two = parts[0].unionByName(parts[1])
+    assert _gstate(idx) == _gstate(build_index(with_global_offsets(two), cfg))
+    assert st.total_tokens == two.agg(F.sum("n_tok")).first()[0]
+    assert len(st.tail) == cfg.ngram - 1
+
+    # restart: the third file lands, a NEW query on the same checkpoint
+    # resumes from the committed state and appends exactly once
+    parts[2].coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_global_index_stream(spark, inp, chk, work, cfg)
+    q.awaitTermination(180)
+    idx, st = read_global_stream_index(spark, work)
+    assert _gstate(idx) == _gstate(build_index(with_global_offsets(full), cfg))
+    assert st.total_tokens == full.agg(F.sum("n_tok")).first()[0]
+    full.unpersist()
