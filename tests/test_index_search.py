@@ -140,3 +140,29 @@ def test_global_axis_build_merges_partials(spark, small_corpus):
     total = small_corpus.agg(F.sum("n_tok")).first()[0]
     per_level = {r["level"]: r["s"] for r in idx.groupBy("level").agg(F.sum("n_items").alias("s")).collect()}
     assert all(v == total for v in per_level.values())
+
+
+def test_cascade_checkpoint_fallback_exact(spark, small_corpus, small_index, monkeypatch):
+    """Frontiers above the driver-materialization byte cap stay distributed
+    (per-level localCheckpoint lineage cut instead of a collect): answers on
+    BOTH axes remain exact. Cap forced to 1 byte so every level takes the
+    fallback path."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_pattern_search,
+        route,
+    )
+
+    monkeypatch.setattr(route, "DRIVER_MATERIALIZE_BYTES", 1)
+    doc = small_corpus.filter(F.col("n_tok") >= 64).orderBy("doc_id").first()
+    pat = list(doc["tokens"][3:15])
+    got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
+    exp = _rows(brute_force_search(small_corpus, pat))
+    assert got == exp and len(exp) > 0
+
+    gcfg = CFG.with_(axis="global")
+    gcorp = with_global_offsets(small_corpus)
+    gidx = build_index(gcorp, gcfg)
+    gw = sorted(r["gpos"] for r in global_pattern_search(gcorp, gidx, gcfg, pat).collect())
+    off = {r["doc_id"]: r["doc_offset"] for r in gcorp.select("doc_id", "doc_offset").collect()}
+    assert gw == sorted(off[d] + p for d, p in exp)
