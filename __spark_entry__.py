@@ -356,16 +356,27 @@ def q_global_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic HLL rollup index, built once per sf_dir (it is persisted by
+    build_hll_window_index; both rollup queries share it)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_hll_window_index,
+    )
+
+    key = ("hll_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_hll_window_index(_corpus(spark, sf_dir), CFG, p=12)
+    return _CACHE[key]
+
+
 def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-per-window via the dyadic HLL rollup index
     (coarse levels merged from children, no token rescan)."""
     from hierarchical_bloom_filter_index_spark.operators.rollup import (
-        build_hll_window_index,
         window_distinct_estimates,
     )
 
-    idx = build_hll_window_index(_corpus(spark, sf_dir), CFG, p=12)
-    return window_distinct_estimates(idx, 0).select(
+    return window_distinct_estimates(_hll_index(spark, sf_dir), 0).select(
         "doc_id", "w_id", F.round("est_distinct", 3).alias("est_distinct")
     )
 
@@ -434,9 +445,15 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CACHE:
         gcorp = with_global_offsets(_corpus(spark, sf_dir)).cache()
         gidx = build_index(gcorp, CFG.with_(axis="global")).cache()
-        _CACHE[key] = (gcorp, gidx)
-    gcorp, gidx = _CACHE[key]
-    return global_pattern_search(gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL)
+        gidx.count()
+        gstats = index_stats(gidx, CFG.with_(axis="global"))
+        _CACHE[key] = (gcorp, gidx, gstats)
+    gcorp, gidx, gstats = _CACHE[key]
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_pattern_search(
+        gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL,
+        start_level="auto", freq=freq, stats=gstats,
+    )
 
 
 def q_incremental_append_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,12 +641,7 @@ def q_hll_rollup_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checkable (each level's windows are 0..ceil(n_tok/span)-1), so the
     rollup's (doc_id, level, w_id) sets are oracle-verified even though its
     estimates are bound-checked in tests."""
-    from hierarchical_bloom_filter_index_spark.operators.rollup import (
-        build_hll_window_index,
-    )
-
-    idx = build_hll_window_index(_corpus(spark, sf_dir), CFG, p=12)
-    return idx.select("doc_id", "level", "w_id")
+    return _hll_index(spark, sf_dir).select("doc_id", "level", "w_id")
 
 
 # ---------------------------------------------------------------------------

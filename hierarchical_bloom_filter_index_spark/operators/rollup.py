@@ -56,27 +56,54 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
 
     leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
 
-    def merge_children(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = from_bytes(bytes(pdf["sketch"].iloc[0]))
-        for b in pdf["sketch"].iloc[1:]:
-            acc = acc.merge(from_bytes(bytes(b)))
-        out = pdf.iloc[[0]].copy()
-        out["sketch"] = [acc.to_bytes()]
-        return out
+    def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE vectorized Arrow pass per level (not applyInPandas per group —
+        # that pays a pandas round-trip for each of the ~|windows| parents);
+        # single-child parents pass their blob through unparsed
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: [] for c in ("doc_id", "level", "w_id", "sketch")}
+            for did, lvl, wid, children in zip(
+                pdf["doc_id"], pdf["level"], pdf["w_id"], pdf["children"]
+            ):
+                out["doc_id"].append(did)
+                out["level"].append(lvl)
+                out["w_id"].append(wid)
+                if len(children) == 1:
+                    out["sketch"].append(bytes(children[0]))
+                    continue
+                acc = from_bytes(bytes(children[0]))
+                for b in children[1:]:
+                    acc = acc.merge(from_bytes(bytes(b)))
+                out["sketch"].append(acc.to_bytes())
+            yield pd.DataFrame(out)
 
-    levels = [leaf]
-    cur = leaf
+    # Each level feeds BOTH the next rollup pass and the output union —
+    # persist the scaffolding during construction (else level L is recomputed
+    # once per coarser level AND once in the union: O(L^2) stages), then
+    # materialize the assembled index and release the per-level frames.
+    from pyspark import StorageLevel
+
+    frames = [leaf.persist(StorageLevel.MEMORY_AND_DISK)]
+    cur = frames[0]
     for L in range(deepest - 1, -1, -1):
         # parent window = merge of its (at most 2) children — sketch rows only
         cur = (
             cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
             .groupBy("doc_id", "level", "w_id")
-            .applyInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
+            .agg(F.collect_list("sketch").alias("children"))
+            .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        levels.append(cur)
-    out = levels[0]
-    for lv in levels[1:]:
+        frames.append(cur)
+    out = frames[0]
+    for lv in frames[1:]:
         out = out.unionByName(lv)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for f in frames:
+        f.unpersist()
     return out
 
 

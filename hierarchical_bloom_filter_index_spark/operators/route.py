@@ -182,6 +182,56 @@ def _level_rows(index: DataFrame, level: int, doc_axis: bool) -> DataFrame:
     return index.filter(F.col("level") == level).select(*cols)
 
 
+def _plan_start_level(
+    start_level,
+    stats,
+    freq,
+    markov,
+    model,
+    keys: np.ndarray,
+    m: int,
+    pattern: list[int],
+    deepest: int,
+    stats_out: dict | None = None,
+    selective: bool = False,
+) -> int:
+    """Resolve the cascade's seed level — shared by the doc-axis and global
+    searches (the reference plans over its ONE stream index, so the planner
+    must serve both axes). "auto" runs the cost model (iid / ie / markov /
+    multilevel, LevelCostMinimizer.java:15-55); an int pins; None seeds at
+    the root (CostFunctionDefaultRoot). Always clamped to the levels present
+    in ``stats`` (a compacted index has no coarse sketch rows — seeding
+    there would probe an empty frontier and wrongly return no matches)."""
+    if start_level == "auto" and stats is not None and (freq is not None or markov is not None):
+        from ..plans.cost import choose_start_level, choose_start_level_multilevel
+
+        probs = (
+            freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
+            if freq is not None
+            else np.zeros(len(keys))
+        )
+        mdl = model or ("markov" if markov is not None else "iid")
+        if mdl == "multilevel":
+            # per-key levels (search/MultiLevelPruning.java:23-32): seed at
+            # the min; the per-key assignment is surfaced in stats_out
+            chosen, per_key = choose_start_level_multilevel(stats, probs, m)
+            if stats_out is not None:
+                stats_out["per_key_levels"] = {
+                    int(k): int(lv) for k, lv in zip(keys.tolist(), per_key.tolist())
+                }
+        else:
+            chosen = choose_start_level(stats, probs, m, model=mdl, markov=markov,
+                                        pattern=pattern, selective=selective)
+        first = max(0, min(chosen, deepest))
+    elif isinstance(start_level, int):
+        first = max(0, min(start_level, deepest))
+    else:
+        first = 0
+    if stats is not None and len(stats):
+        first = max(first, int(stats["level"].min()))
+    return first
+
+
 def _cut_frontier(survivors: DataFrame, schema: str):
     """Materialize one level's survivor frontier and CUT ITS LINEAGE.
 
@@ -294,36 +344,10 @@ def pattern_search(
         # n-gram under every alignment — the index cannot prune
         return brute_force_search(corpus, pattern)
     deepest = deepest_usable_level(cfg, m)
-    if start_level == "auto" and stats is not None and (freq is not None or markov is not None):
-        from ..plans.cost import choose_start_level, choose_start_level_multilevel
-
-        probs = (
-            freq.estimate(keys.astype(np.int64)) / max(1, freq.total)
-            if freq is not None
-            else np.zeros(len(keys))
-        )
-        mdl = model or ("markov" if markov is not None else "iid")
-        if mdl == "multilevel":
-            # per-key levels (search/MultiLevelPruning.java:23-32): seed at
-            # the min; the per-key assignment is surfaced in stats_out
-            chosen, per_key = choose_start_level_multilevel(stats, probs, m)
-            if stats_out is not None:
-                stats_out["per_key_levels"] = {
-                    int(k): int(lv) for k, lv in zip(keys.tolist(), per_key.tolist())
-                }
-        else:
-            chosen = choose_start_level(stats, probs, m, model=mdl, markov=markov,
-                                        pattern=pattern, selective=selective)
-        first = max(0, min(chosen, deepest))
-    elif isinstance(start_level, int):
-        first = max(0, min(start_level, deepest))
-    else:
-        first = 0
-    if stats is not None and len(stats):
-        # compacted index (memory policy): levels below min(stats.level) have
-        # no sketch rows — seeding there would probe an empty frontier and
-        # wrongly return no matches
-        first = max(first, int(stats["level"].min()))
+    first = _plan_start_level(
+        start_level, stats, freq, markov, model, keys, m, pattern, deepest,
+        stats_out=stats_out, selective=selective,
+    )
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
     # Each level's frontier is materialized AND lineage-cut (_cut_frontier):
@@ -422,7 +446,12 @@ def global_pattern_search(
     index: DataFrame,
     cfg: HbiConfig,
     pattern: list[int],
-    start_level: int | None = None,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    markov=None,
+    model: str | None = None,
+    selective: bool = False,
 ) -> DataFrame:
     """Exact GLOBAL match positions of ``pattern`` over the one concatenated
     token stream (docs in doc_id order) — the reference's actual semantics
@@ -432,6 +461,12 @@ def global_pattern_search(
     doc_offset if missing. Routing is the same neighbor-union cascade, with
     the neighbor combine as a w_id hash join (no single-partition window);
     verification stitches each doc with the next doc's (m-1)-token prefix.
+
+    start_level follows pattern_search: "auto" + ``freq``/``stats`` (and
+    optionally ``markov``/``model``) runs the cost model over the global
+    index's per-level stats — the reference plans over exactly this one
+    stream (minCostLp, estimators/LevelCostMinimizer.java:15-55); an int
+    pins; None seeds at the root.
     """
     if cfg.axis != "global":
         raise ValueError("global_pattern_search needs cfg.axis='global'")
@@ -457,7 +492,10 @@ def global_pattern_search(
             "doc_offset", "n_tok",
         ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
     deepest = deepest_usable_level(cfg, m)
-    first = 0 if start_level is None else max(0, min(start_level, deepest))
+    first = _plan_start_level(
+        start_level, stats, freq, markov, model, keys, m, pattern, deepest,
+        selective=selective,
+    )
     spark = corpus.sparkSession
 
     survivors: DataFrame | None = None

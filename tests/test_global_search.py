@@ -122,3 +122,28 @@ def test_ngram_index_spanning_three_docs(spark):
     stream = _global_stream(corp.collect())
     assert got == _brute(stream, pattern) == [3]
     corp.unpersist(); idx.unpersist()
+
+
+def test_global_search_auto_planned_matches_root(spark, setup):
+    """Cost-planned seeding on the GLOBAL index (the reference plans over
+    exactly this one stream — minCostLp): 'auto' + per-level stats + the
+    corpus frequency summary returns the identical exact positions as a
+    root-seeded cascade, and deeper-than-root seeds actually happen."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        frequency_summary,
+        index_stats,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.route import _plan_start_level, pattern_probe_plan, deepest_usable_level
+
+    corp, idx, stream = setup
+    pat = stream[1000:1012].tolist()
+    freq = frequency_summary(corp, CFG_G)
+    stats = index_stats(idx, CFG_G)
+    got = sorted(r["gpos"] for r in global_pattern_search(
+        corp, idx, CFG_G, pat, start_level="auto", freq=freq, stats=stats).collect())
+    exp = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, pat).collect())
+    assert got == exp == _brute(stream, pat)
+    keys, _, _ = pattern_probe_plan(pat, CFG_G)
+    lvl = _plan_start_level("auto", stats, freq, None, None, keys, len(pat), pat,
+                            deepest_usable_level(CFG_G, len(pat)))
+    assert lvl > 0  # a 12-token pattern of common tokens should seed deeper
