@@ -434,12 +434,9 @@ def q_countsketch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAT_GLOBAL = [ord(c) for c in "spark "]
 
 
-def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pattern search over the ONE concatenated token stream (docs in doc_id
-    order) — the reference's true semantics; matches may cross doc
-    boundaries. Exact global positions."""
+def _global_index(spark: SparkSession, sf_dir: str):
+    """(offset corpus, global index, per-level stats), built once per sf_dir."""
     from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
-    from hierarchical_bloom_filter_index_spark.operators import global_pattern_search
 
     key = ("gcorpus", sf_dir)
     if key not in _CACHE:
@@ -448,11 +445,39 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         gidx.count()
         gstats = index_stats(gidx, CFG.with_(axis="global"))
         _CACHE[key] = (gcorp, gidx, gstats)
-    gcorp, gidx, gstats = _CACHE[key]
+    return _CACHE[key]
+
+
+def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern search over the ONE concatenated token stream (docs in doc_id
+    order) — the reference's true semantics; matches may cross doc
+    boundaries. Exact global positions."""
+    from hierarchical_bloom_filter_index_spark.operators import global_pattern_search
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
     freq, _dstats = _planner_inputs(spark, sf_dir)
     return global_pattern_search(
         gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL,
         start_level="auto", freq=freq, stats=gstats,
+    )
+
+
+def q_expire_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire() — whole-window eviction past a horizon (PMIndex/HBI.java:
+    209-211): evict the first half of the global stream (leaf horizon =
+    (total_tokens/2)/leaf_span) and emit the surviving per-level window
+    counts. Pure w_id predicate (metadata-only on a segmented layout —
+    sources/io.expire_segments); the closed form is the DuckDB oracle."""
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import expire
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    n = int(gcorp.agg(F.sum("n_tok")).first()[0] or 0)
+    horizon = (n // 2) // CFG.leaf_span
+    return (
+        expire(gidx, CFG.with_(axis="global"), horizon)
+        .groupBy("level")
+        .agg(F.count("*").alias("n_windows"))
+        .select(F.col("level").cast("int").alias("level"), "n_windows")
     )
 
 
@@ -665,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
         "incremental_append_geometry": q_incremental_append_geometry,
+        "expire_geometry": q_expire_geometry,
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
         "token_freq_by_source": q_token_freq_by_source,
@@ -851,6 +877,16 @@ tot AS (SELECT SUM(n_tok) AS n FROM corpus),
 lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
 SELECT CAST(lv.level AS INT) AS level,
        CAST((n + span - 1) // span AS BIGINT) AS n_windows
+FROM tot, lv""",
+        # expire keeps w_id >= horizon >> (deepest - level); per level the
+        # survivor count is the closed form total_windows - horizon_L
+        # (horizon_L = leaf horizon // (span/leaf_span))
+        "expire_geometry": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
+SELECT CAST(lv.level AS INT) AS level,
+       CAST((n + span - 1) // span
+            - ((n // 2) // {CFG.leaf_span}) // (span // {CFG.leaf_span}) AS BIGINT) AS n_windows
 FROM tot, lv""",
         # exact brute-force cosine top-k IS SQL-expressible: both engines
         # compute the dot product in float64 and round to 6 dp, so the

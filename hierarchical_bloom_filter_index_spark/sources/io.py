@@ -59,6 +59,59 @@ def read_index_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_index_segmented(index: DataFrame, path: str, seg_bits: int = 8) -> None:
+    """Persist a GLOBAL-axis sketch table partitioned by (level, w_seg) with
+    ``w_seg = w_id >> seg_bits``: the stream's time order IS the w_id order,
+    so whole-window eviction (expire, PMIndex/HBI.java:209-211) maps to
+    DROPPING fully-expired segment directories — a filesystem/metadata
+    operation that never rewrites data (Iceberg's drop-partition / snapshot
+    expiry; plain parquet directories are the sandbox stand-in)."""
+    (
+        index.withColumn("w_seg", F.shiftright(F.col("w_id"), seg_bits))
+        .write.mode("overwrite")
+        .partitionBy("level", "w_seg")
+        .parquet(path)
+    )
+
+
+def expire_segments(spark: SparkSession, path: str, cfg: HbiConfig, min_leaf_w_id: int,
+                    seg_bits: int = 8) -> int:
+    """Evict everything older than ``min_leaf_w_id`` (a leaf-level horizon)
+    from a segmented index: per level L the horizon is
+    ``min_leaf_w_id >> (deepest - L)``; every segment directory whose windows
+    all precede it is DELETED (metadata-only), and the one partial segment
+    left at the boundary keeps a read-time w_id predicate (read back with
+    read_index_expired). Returns the number of directories dropped."""
+    import shutil
+
+    dropped = 0
+    for level_dir in sorted(os.listdir(path)):
+        if not level_dir.startswith("level="):
+            continue
+        L = int(level_dir.split("=", 1)[1])
+        horizon = min_leaf_w_id >> (cfg.deepest - L)
+        full_segs_below = horizon >> seg_bits  # segments 0..this-1 are wholly expired
+        for seg_dir in sorted(os.listdir(os.path.join(path, level_dir))):
+            if not seg_dir.startswith("w_seg="):
+                continue
+            if int(seg_dir.split("=", 1)[1]) < full_segs_below:
+                shutil.rmtree(os.path.join(path, level_dir, seg_dir))
+                dropped += 1
+    return dropped
+
+
+def read_index_expired(spark: SparkSession, path: str, cfg: HbiConfig,
+                       min_leaf_w_id: int) -> DataFrame:
+    """Open a segmented index applying the expire predicate: dropped segments
+    never appear in the scan (directory listing), the boundary segment is
+    filtered by the pushed-down w_id predicate. Row-equal to
+    streaming.expire() over the unpersisted table."""
+    df = spark.read.parquet(path).drop("w_seg")
+    return df.filter(
+        F.expr(f"w_id >= shiftright(CAST({int(min_leaf_w_id)} AS BIGINT), {cfg.deepest} - level)")
+    )
+
+
 def _config_dict(cfg: HbiConfig) -> dict:
     return {
         "tree_span": cfg.tree_span, "leaf_span": cfg.leaf_span, "fpr": cfg.fpr,

@@ -202,3 +202,39 @@ def test_structured_streaming_global_axis(spark, tmp_path):
     assert _gstate(idx) == _gstate(build_index(with_global_offsets(full), cfg))
     assert st.total_tokens == full.agg(F.sum("n_tok")).first()[0]
     full.unpersist()
+
+
+def test_expire_segments_metadata_only(spark, tmp_path):
+    """(level, w_seg)-partitioned persistence turns expire into a DIRECTORY
+    DROP: fully-expired segments are physically removed (no data rewrite),
+    and the read-back rows equal streaming.expire() over the live table —
+    the Iceberg drop-partition/snapshot-expiry analog on plain parquet."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.sources.io import (
+        expire_segments,
+        read_index_expired,
+        write_index_segmented,
+    )
+
+    cfg = CFG.with_(axis="global")
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=5))
+    idx = build_index(corp, cfg).cache()
+    path = str(tmp_path / "segidx")
+    write_index_segmented(idx, path, seg_bits=2)  # tiny segments: some must drop
+    n_leaf = idx.filter(F.col("level") == CFG.deepest).count()
+    horizon = int(n_leaf // 2)
+    dropped = expire_segments(spark, path, cfg, horizon, seg_bits=2)
+    assert dropped > 0
+
+    def rows(df):
+        return sorted(
+            (r["level"], r["w_id"], bytes(r["bloom"]))
+            for r in df.select("level", "w_id", "bloom").collect()
+        )
+
+    got = rows(read_index_expired(spark, path, cfg, horizon))
+    exp = rows(expire(idx, cfg, horizon))
+    assert got == exp and len(exp) > 0
+    # and something strictly older was evicted
+    assert idx.count() > len(exp)
+    idx.unpersist()
