@@ -489,7 +489,10 @@ def q_incremental_append_geometry(spark: SparkSession, sf_dir: str) -> DataFrame
     from-scratch build (test_streaming asserts the blobs), so the geometry
     must equal the closed form over the WHOLE corpus — which is what the
     DuckDB oracle computes."""
-    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.corpus import (
+        _bucket_boundaries,
+        with_global_offsets,
+    )
     from hierarchical_bloom_filter_index_spark.streaming.incremental import (
         append_increment_global,
         stream_state,
@@ -497,8 +500,11 @@ def q_incremental_append_geometry(spark: SparkSession, sf_dir: str) -> DataFrame
 
     gcfg = CFG.with_(axis="global")
     docs = _corpus(spark, sf_dir)
-    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
-    mid = ids[len(ids) // 2]
+    # split point from a bounded seeded sample (NOT collect-all-doc_ids —
+    # that's a driver OOM at real scale); ANY doc_id-ordered split works,
+    # the oracle's closed form covers the whole stream either way
+    cuts = _bucket_boundaries(docs, "doc_id", 2)
+    mid = cuts[0] if cuts else "\x7f"
     first_half = with_global_offsets(docs.filter(F.col("doc_id") < mid))
     idx1 = build_index(first_half, gcfg)
     state = stream_state(first_half, gcfg)
