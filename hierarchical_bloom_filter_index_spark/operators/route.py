@@ -249,23 +249,21 @@ def _cut_frontier(survivors: DataFrame, schema: str):
     Returns (frontier_df, n_rows, collected_rows_or_None). localCheckpoint
     trades recompute-on-executor-loss for bounded plans — the standard
     iterative-algorithm trade (GraphX/ALS do the same).
+
+    One job resolves the common case: collect up to cap+1 rows — if the
+    frontier fits, that IS the materialization (count = len), only an
+    over-cap frontier pays the checkpoint + count pass.
     """
     spark = survivors.sparkSession
-    survivors = survivors.persist()
-    n = survivors.count()
-    if n == 0:
-        survivors.unpersist()
-        return spark.createDataFrame([], schema), 0, []
-    per_row = 40
-    if "doc_id" in survivors.columns:
-        per_row = 80 + 2 * len(survivors.first()["doc_id"])
-    if n <= DRIVER_MATERIALIZE_BYTES // per_row:
-        rows = [tuple(r) for r in survivors.collect()]
-        survivors.unpersist()
-        return spark.createDataFrame(rows, schema), n, rows
+    per_row = 80 + 16 if "doc_id" in survivors.columns else 40
+    cap = DRIVER_MATERIALIZE_BYTES // per_row
+    rows = [tuple(r) for r in survivors.limit(cap + 1).collect()]
+    if len(rows) <= cap:
+        if not rows:
+            return spark.createDataFrame([], schema), 0, []
+        return spark.createDataFrame(rows, schema), len(rows), rows
     out = survivors.localCheckpoint(eager=True)
-    survivors.unpersist()
-    return out, n, None
+    return out, out.count(), None
 
 
 def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
