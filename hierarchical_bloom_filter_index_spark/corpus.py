@@ -193,9 +193,12 @@ def stitch_stream_tail(corpus: DataFrame, need: int, out_col: str = "stitched") 
 
     Successors are found by equi-joins on doc_offset (no window function —
     scales); the number of rounds is bounded by ceil(need / min nonempty doc
-    length), and each round processes only the still-unfinished rows, so for
-    realistic corpora this is ONE join. Empty docs are skipped (they share
-    their successor's offset and carry no tokens).
+    length) WITH an early exit as soon as no row is still unfinished — one
+    pathological 1-token doc must not force need-many chained joins (plan
+    explosion) when every other row finishes in round one. Each round
+    processes only the still-unfinished rows, so for realistic corpora this
+    is ONE join. Empty docs are skipped (they share their successor's offset
+    and carry no tokens).
     """
     if need <= 0:
         return corpus.withColumn(out_col, F.col("tokens"))
@@ -210,7 +213,9 @@ def stitch_stream_tail(corpus: DataFrame, need: int, out_col: str = "stitched") 
         "_end", (F.col("doc_offset") + F.col("n_tok")).cast("long")
     )
     parts: list[DataFrame] = []
-    for _ in range(max(1, rounds)):
+    for rnd in range(max(1, rounds)):
+        if rnd > 0 and cur.limit(1).isEmpty():
+            break  # every row finished: skip the remaining worst-case rounds
         joined = cur.join(succ, cur["_end"] == succ["_s_off"], "left")
         ext = (
             joined.withColumn(

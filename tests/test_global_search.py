@@ -147,3 +147,28 @@ def test_global_search_auto_planned_matches_root(spark, setup):
     lvl = _plan_start_level("auto", stats, freq, None, None, keys, len(pat), pat,
                             deepest_usable_level(CFG_G, len(pat)))
     assert lvl > 0  # a 12-token pattern of common tokens should seed deeper
+
+
+def test_stitch_early_exit_with_pathological_min_doc(spark):
+    """One 1-token doc must not force ceil(need/1) chained join rounds: the
+    stitch exits as soon as every row is finished (plan-explosion guard),
+    and stays exact. need=200 here would otherwise be 200 joins."""
+    import time as _t
+
+    from hierarchical_bloom_filter_index_spark.corpus import stitch_stream_tail
+
+    docs = [[int(x) for x in range(7, 57)], [9], [int(x) for x in range(10, 60)],
+            [int(x) for x in range(20, 70)]]
+    corp = _mini_corpus(spark, docs).cache()
+    t0 = _t.time()
+    rows = {r["doc_id"]: list(r["stitched"]) for r in
+            stitch_stream_tail(corp, 200).collect()}
+    wall = _t.time() - t0
+    stream = _global_stream(corp.collect())
+    offs = {r["doc_id"]: (r["doc_offset"], r["n_tok"]) for r in corp.collect()}
+    for did, (off, n) in offs.items():
+        assert rows[did] == list(stream[off : off + n + 200]), did
+    # 200 sequential join rounds would take minutes; the early exit finishes
+    # in the 3 rounds the data actually needs
+    assert wall < 60
+    corp.unpersist()
