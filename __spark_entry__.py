@@ -299,6 +299,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.token_count_column().alias("n_bpe"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True regex-pretokenizer token count (GPT-2-style split, RE2-safe
+    pattern so the DuckDB oracle segments identically)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.bpe_token_count_column().alias("n_pieces"))
+
+
 def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
@@ -719,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "positional_fingerprint": q_positional_fingerprint,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -849,6 +857,9 @@ FROM documents""",
 SELECT guess, COUNT(*) AS cnt FROM tagged GROUP BY 1""",
         "token_count": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(len(string_split(text, ' ')) + {punct_occ} AS INT) AS n_bpe
+FROM documents""",
+        "bpe_token_count": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CAST(length(regexp_extract_all(text, $${T.BPE_SPLIT_PATTERN}$$)) AS INT) AS n_pieces
 FROM documents""",
         "positional_fingerprint": f"""WITH RECURSIVE pw(j, v) AS (
   SELECT 0, CAST(1 AS BIGINT)

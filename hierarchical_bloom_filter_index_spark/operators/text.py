@@ -90,6 +90,22 @@ def token_count_column(text_col: str = "text") -> Column:
     return n.cast("int")
 
 
+# GPT-2-style pretokenizer pattern WITHOUT lookaheads (RE2-compatible, so
+# the Spark/Java and DuckDB/RE2 engines segment identically — oracle-checked)
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_column(text_col: str = "text") -> Column:
+    """True regex-pretokenizer token count (the BPE merge step only splits
+    within these pieces, so this upper-bounds and tightly tracks real BPE
+    token counts): contractions | space?-letters | space?-digits |
+    space?-other | whitespace runs. JVM-side regexp_extract_all — codegen,
+    no Python."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    ).cast("int")
+
+
 def positional_fingerprint_column(text_col: str = "text") -> Column:
     """Order-sensitive polynomial fingerprint over codepoints:
     h = sum(c_i * base^(n-1-i)) mod p == fold(h*base + c_i) — the rolling-hash
