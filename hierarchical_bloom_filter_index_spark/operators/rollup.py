@@ -15,7 +15,7 @@ plus L-1 scans of an ever-halving sketch table.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -86,6 +86,18 @@ def test_start_level_override_does_not_change_answers(spark, small_corpus, small
     for lvl in (0, 2, CFG.deepest):
         got = _rows(pattern_search(small_corpus, small_index, CFG, pat, start_level=lvl))
         assert got == exp
+    # SelectiveFanout regime only reprices the seed choice — answers identical
+    from hierarchical_bloom_filter_index_spark.operators import (
+        frequency_summary,
+        index_stats,
+    )
+
+    freq = frequency_summary(small_corpus, CFG)
+    stats = index_stats(small_index, CFG)
+    got_sel = _rows(pattern_search(small_corpus, small_index, CFG, pat,
+                                   start_level="auto", freq=freq, stats=stats,
+                                   selective=True))
+    assert got_sel == exp
 
 
 def test_pattern_longer_than_tree_span_falls_back(spark, small_corpus, small_index):
