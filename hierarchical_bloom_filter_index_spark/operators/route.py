@@ -450,10 +450,15 @@ def global_pattern_search(
     markov=None,
     model: str | None = None,
     selective: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact GLOBAL match positions of ``pattern`` over the one concatenated
     token stream (docs in doc_id order) — the reference's actual semantics
     (one stream, matches may cross document boundaries). Returns (gpos long).
+
+    ``stats_out``: dict to receive query statistics (HbiStats parity with
+    pattern_search): chosen start level, windows probed and survivors per
+    level.
 
     Requires a global-axis index (cfg.axis == 'global'); the corpus gains
     doc_offset if missing. Routing is the same neighbor-union cascade, with
@@ -492,12 +497,16 @@ def global_pattern_search(
     deepest = deepest_usable_level(cfg, m)
     first = _plan_start_level(
         start_level, stats, freq, markov, model, keys, m, pattern, deepest,
-        selective=selective,
+        stats_out=stats_out, selective=selective,
     )
     spark = corpus.sparkSession
 
     survivors: DataFrame | None = None
     final_rows = None
+    if stats_out is not None:
+        stats_out.update({"start_level": first, "deepest": deepest,
+                          "windows_probed": {}, "survivors": {}})
+    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
     for L in range(first, deepest + 1):
         rows = _level_rows(index, L, doc_axis=False)
         if survivors is not None:
@@ -509,14 +518,20 @@ def global_pattern_search(
             if final_rows is not None:  # collected → small → broadcast
                 children = F.broadcast(children)
             rows = rows.join(children, on="w_id", how="left_semi")
+        if probe_counter is not None:
+            probe_counter.value = 0
         # per-level lineage cut (_cut_frontier): the global neighbor combine
         # self-joins each level's masks, so raw plan chaining DOUBLES the
         # logical plan per level (observed 124 MB plan strings) — the cut
         # keeps plan analysis linear in levels and bounds collects bytewise.
         survivors, n_surv, final_rows = _cut_frontier(
-            _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns),
+            _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns,
+                         probe_counter=probe_counter),
             "w_id long",
         )
+        if stats_out is not None:
+            stats_out["windows_probed"][L] = probe_counter.value
+            stats_out["survivors"][L] = n_surv
         if n_surv == 0:
             return spark.createDataFrame([], "gpos long")
 

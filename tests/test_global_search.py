@@ -139,10 +139,15 @@ def test_global_search_auto_planned_matches_root(spark, setup):
     pat = stream[1000:1012].tolist()
     freq = frequency_summary(corp, CFG_G)
     stats = index_stats(idx, CFG_G)
+    sout: dict = {}
     got = sorted(r["gpos"] for r in global_pattern_search(
-        corp, idx, CFG_G, pat, start_level="auto", freq=freq, stats=stats).collect())
+        corp, idx, CFG_G, pat, start_level="auto", freq=freq, stats=stats,
+        stats_out=sout).collect())
     exp = sorted(r["gpos"] for r in global_pattern_search(corp, idx, CFG_G, pat).collect())
     assert got == exp == _brute(stream, pat)
+    # HbiStats parity on the global axis: per-level probe/survivor counters
+    assert sout["start_level"] >= 0 and sout["windows_probed"] and sout["survivors"]
+    assert all(v >= 0 for v in sout["windows_probed"].values())
     keys, _, _ = pattern_probe_plan(pat, CFG_G)
     lvl = _plan_start_level("auto", stats, freq, None, None, keys, len(pat), pat,
                             deepest_usable_level(CFG_G, len(pat)))
