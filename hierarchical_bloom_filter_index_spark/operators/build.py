@@ -278,9 +278,20 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | No
                     out["bits_set"].append(popcount_u64(words[g]))
             yield pd.DataFrame(out)
 
-    partial_df = corpus.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
+    # Rebalance BEFORE the scan: with_global_offsets leaves the corpus
+    # partitioned by doc_id-range buckets, and long-doc sources cluster in
+    # contiguous doc_id ranges — one partition was holding ~80% of the
+    # TOKENS, serializing the whole build (measured: no 2->8 core speedup).
+    # Round-robin rows rebalance tokens by CLT; the merge stage is already
+    # indifferent to row layout (any split of a window's key instances ORs
+    # to the same filter), partials just gain a few per-doc boundary rows.
+    # Column pruning keeps the rebalance shuffle to the three used columns.
+    spark_ctx = corpus.sparkSession.sparkContext
+    n_parts = max(spark_ctx.defaultParallelism, corpus.rdd.getNumPartitions())
+    balanced = corpus.select("doc_offset", "n_tok", "tokens").repartition(n_parts)
+    partial_df = balanced.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
 
-    # final merge: only windows straddling partition boundaries have >1 partial
+    # final merge: only windows straddling partition/doc boundaries have >1 partial
     return merge_global_rows(partial_df)
 
 
