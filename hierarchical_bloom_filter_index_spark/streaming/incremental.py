@@ -24,10 +24,12 @@ continuous ingestion:
   corpus files becomes sketch rows appended to the index directory, with
   checkpointed progress (exactly-once per file source guarantees).
 * incremental_global_index_stream — Structured Streaming on the ONE-STREAM
-  axis: each micro-batch runs append_increment_global; the continuation
-  state (total tokens + stream tail) and an index version pointer are
-  committed AFTER the new index version lands, keyed by batch_id, so
-  foreachBatch replays after failure are idempotent.
+  axis with DELTA commits: each micro-batch persists ONLY the re-merged
+  at/after-boundary windows (O(batch + boundary) rows, never an index
+  rewrite); the exact index is reassembled from per-version w_id slices at
+  read time (read_global_stream_index), folded by
+  compact_global_stream_index. Continuation state is committed AFTER the
+  delta lands, keyed by batch_id, so foreachBatch replays are idempotent.
 """
 
 from __future__ import annotations
@@ -104,9 +106,21 @@ def append_increment_global(
     """
     if cfg.axis != "global":
         raise ValueError("append_increment_global needs cfg.axis='global'")
-    spark = new_docs.sparkSession
     if new_docs.rdd.isEmpty():
         return index, state
+    untouched, merged, _boundary, new_state = _global_append_pieces(index, new_docs, cfg, state)
+    return untouched.unionByName(merged), new_state
+
+
+def _global_append_pieces(
+    index: DataFrame, new_docs: DataFrame, cfg: HbiConfig, state: GlobalStreamState
+) -> tuple[DataFrame, DataFrame, int, GlobalStreamState]:
+    """The append, decomposed: (untouched old rows, re-merged at/after-
+    boundary rows, boundary token offset, new state). append_increment_global
+    unions the pieces; the streaming DELTA layout persists ONLY the merged
+    piece (O(batch + boundary) rows) and reconstructs untouched rows from
+    earlier versions by w_id slice at read time."""
+    spark = new_docs.sparkSession
     batch = with_global_offsets(new_docs, start=state.total_tokens)
     boundary_start = state.total_tokens - len(state.tail)
     if state.tail:
@@ -125,13 +139,9 @@ def append_increment_global(
     # windows strictly before the boundary cannot receive new keys — pass
     # them through untouched (at scale: partition pruning, no rewrite);
     # everything at/after the boundary is re-merged with the batch rows
-    log2_tree = int(math.log2(cfg.tree_span))
-    cutoff = F.expr(
-        f"shiftright(CAST({int(boundary_start)} AS BIGINT), {log2_tree} - level)"
-    )
+    cutoff = _level_cutoff(cfg.tree_span, boundary_start)
     untouched = index.filter(F.col("w_id") < cutoff)
-    touched = index.filter(F.col("w_id") >= cutoff).unionByName(new_rows)
-    new_index = untouched.unionByName(merge_global_rows(touched))
+    merged = merge_global_rows(index.filter(F.col("w_id") >= cutoff).unionByName(new_rows))
 
     new_total = state.total_tokens + (batch.agg(F.sum("n_tok")).first()[0] or 0)
     need = cfg.ngram - 1
@@ -147,7 +157,13 @@ def append_increment_global(
         for r in rows:
             stream_end.extend(r["tokens"])
         new_tail = stream_end[-need:] if len(stream_end) >= need else stream_end
-    return new_index, GlobalStreamState(int(new_total), new_tail)
+    return untouched, merged, int(boundary_start), GlobalStreamState(int(new_total), new_tail)
+
+
+def _level_cutoff(tree_span: int, boundary_tokens: int):
+    """Per-level w_id horizon of a token offset: w >= boundary >> (log2(tree) - level)."""
+    log2_tree = int(math.log2(tree_span))
+    return F.expr(f"shiftright(CAST({int(boundary_tokens)} AS BIGINT), {log2_tree} - level)")
 
 
 def expire(index: DataFrame, cfg: HbiConfig, min_leaf_w_id: int) -> DataFrame:
@@ -196,19 +212,21 @@ def incremental_global_index_stream(
     cfg: HbiConfig,
     max_files_per_trigger: int = 1,
 ):
-    """Structured Streaming maintenance of the ONE-STREAM index: each
-    micro-batch continues the global stream via append_increment_global and
-    commits a NEW index version under ``work_dir/v<N>`` plus the continuation
-    state in ``work_dir/STATE.json`` (version pointer, total tokens, stream
-    tail, last applied batch_id).
+    """Structured Streaming maintenance of the ONE-STREAM index with DELTA
+    commits: each micro-batch writes ONLY the re-merged at/after-boundary
+    windows plus the batch's new windows to ``work_dir/v<N>`` — O(|batch| +
+    boundary) rows per commit, NEVER a rewrite of the whole index —  and
+    records each version's boundary token offset in ``work_dir/STATE.json``.
+    ``read_global_stream_index`` reconstructs the exact current index as the
+    union of per-version w_id slices [cutoff_k, cutoff_k+1) (every predicate
+    pushes down to the parquet scan; version k's rows past cutoff_{k+1} were
+    superseded by version k+1's re-merge).
 
-    Crash safety: the state file is written only after the versioned index
-    lands, and replayed batch_ids (foreachBatch's at-least-once) are skipped
-    — so restarts resume exactly, never double-appending. Versioned full
-    rewrites keep the demo on plain parquet; on a table format with
-    partition-level commits only the at/after-boundary windows would be
-    rewritten (append_increment_global already passes untouched windows
-    through unchanged).
+    Crash safety: the state file is written only after the delta lands, and
+    replayed batch_ids (foreachBatch's at-least-once) are skipped — restarts
+    resume exactly, never double-appending. Eviction: a delta directory
+    wholly behind an expire horizon can simply be deleted; many small deltas
+    can be folded with ``compact_global_stream_index``.
     """
     import json
     import os
@@ -227,19 +245,22 @@ def incremental_global_index_stream(
             return  # replayed batch after failure: already applied
         if meta is None:
             batch = with_global_offsets(batch_df)
-            new_index = build_index(batch, cfg)
+            delta = build_index(batch, cfg)
             new_state = stream_state(batch, cfg)
-            ver = 0
+            boundaries = [0]
         else:
             state = GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
-            index = spark.read.parquet(os.path.join(work_dir, f"v{meta['version']}"))
-            new_index, new_state = append_increment_global(index, batch_df, cfg, state)
-            ver = meta["version"] + 1
-        new_index.write.mode("overwrite").parquet(os.path.join(work_dir, f"v{ver}"))
+            index = _assemble_deltas(spark, work_dir, meta["boundaries"], cfg.tree_span)
+            _untouched, delta, boundary, new_state = _global_append_pieces(
+                index, batch_df, cfg, state
+            )
+            boundaries = list(meta["boundaries"]) + [boundary]
+        delta.write.mode("overwrite").parquet(os.path.join(work_dir, f"v{len(boundaries) - 1}"))
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": ver, "total_tokens": int(new_state.total_tokens),
+                {"boundaries": boundaries, "tree_span": int(cfg.tree_span),
+                 "total_tokens": int(new_state.total_tokens),
                  "tail": [int(t) for t in new_state.tail], "last_batch_id": int(batch_id)},
                 f,
             )
@@ -253,12 +274,53 @@ def incremental_global_index_stream(
     )
 
 
+def _assemble_deltas(spark: SparkSession, work_dir: str, boundaries: list[int], tree_span: int) -> DataFrame:
+    """Exact current index = union over versions k of delta_k's rows in
+    [cutoff_k, cutoff_{k+1}) per level (last version unbounded above)."""
+    import os
+
+    parts = []
+    for k, b in enumerate(boundaries):
+        df = spark.read.parquet(os.path.join(work_dir, f"v{k}"))
+        df = df.filter(F.col("w_id") >= _level_cutoff(tree_span, b))
+        if k + 1 < len(boundaries):
+            df = df.filter(F.col("w_id") < _level_cutoff(tree_span, boundaries[k + 1]))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_global_stream_index(spark: SparkSession, work_dir: str) -> tuple[DataFrame, "GlobalStreamState"]:
-    """Open the current version of a stream-maintained global index and its
-    continuation state (for queries or the next maintenance run)."""
+    """Open the current state of a stream-maintained global index (assembled
+    from its delta versions, every slice predicate pushed down) and its
+    continuation state."""
     import json
     import os
 
     meta = json.load(open(os.path.join(work_dir, "STATE.json")))
-    idx = spark.read.parquet(os.path.join(work_dir, f"v{meta['version']}"))
+    idx = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"])
     return idx, GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
+
+
+def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
+    """Fold all delta versions into a single v0 (bounding the read-time union
+    after many micro-batches — the LSM-compaction analog). State and answers
+    are unchanged; subsequent appends continue from the folded version."""
+    import json
+    import os
+    import shutil
+
+    meta = json.load(open(os.path.join(work_dir, "STATE.json")))
+    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"])
+    tmp_dir = os.path.join(work_dir, "v0_compact_tmp")
+    full.write.mode("overwrite").parquet(tmp_dir)
+    for k in range(len(meta["boundaries"])):
+        shutil.rmtree(os.path.join(work_dir, f"v{k}"), ignore_errors=True)
+    os.replace(tmp_dir, os.path.join(work_dir, "v0"))
+    meta["boundaries"] = [0]
+    tmp = os.path.join(work_dir, "STATE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(work_dir, "STATE.json"))

@@ -199,8 +199,24 @@ def test_structured_streaming_global_axis(spark, tmp_path):
     q = incremental_global_index_stream(spark, inp, chk, work, cfg)
     q.awaitTermination(180)
     idx, st = read_global_stream_index(spark, work)
-    assert _gstate(idx) == _gstate(build_index(with_global_offsets(full), cfg))
+    scratch = _gstate(build_index(with_global_offsets(full), cfg))
+    assert _gstate(idx) == scratch
     assert st.total_tokens == full.agg(F.sum("n_tok")).first()[0]
+
+    # DELTA property: later commits persist only boundary+batch windows,
+    # never the whole index
+    n_full = len(scratch)
+    for v in (1, 2):
+        n_delta = spark.read.parquet(f"{work}/v{v}").count()
+        assert 0 < n_delta < n_full
+    # compaction folds every version into one; answers unchanged
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        compact_global_stream_index,
+    )
+
+    compact_global_stream_index(spark, work)
+    idx2, st2 = read_global_stream_index(spark, work)
+    assert _gstate(idx2) == scratch and st2.total_tokens == st.total_tokens
     full.unpersist()
 
 
