@@ -250,16 +250,21 @@ def incremental_global_index_stream(
             boundaries = [0]
         else:
             state = GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
-            index = _assemble_deltas(spark, work_dir, meta["boundaries"], cfg.tree_span)
+            index = _assemble_deltas(
+                spark, work_dir, meta["boundaries"], cfg.tree_span, meta["levels"]
+            )
             _untouched, delta, boundary, new_state = _global_append_pieces(
                 index, batch_df, cfg, state
             )
             boundaries = list(meta["boundaries"]) + [boundary]
-        delta.write.mode("overwrite").parquet(os.path.join(work_dir, f"v{len(boundaries) - 1}"))
+        delta.write.mode("overwrite").partitionBy("level").parquet(
+            os.path.join(work_dir, f"v{len(boundaries) - 1}")
+        )
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {"boundaries": boundaries, "tree_span": int(cfg.tree_span),
+                 "levels": [int(L) for L in cfg.levels],
                  "total_tokens": int(new_state.total_tokens),
                  "tail": [int(t) for t in new_state.tail], "last_batch_id": int(batch_id)},
                 f,
@@ -274,18 +279,30 @@ def incremental_global_index_stream(
     )
 
 
-def _assemble_deltas(spark: SparkSession, work_dir: str, boundaries: list[int], tree_span: int) -> DataFrame:
-    """Exact current index = union over versions k of delta_k's rows in
-    [cutoff_k, cutoff_{k+1}) per level (last version unbounded above)."""
+def _assemble_deltas(
+    spark: SparkSession, work_dir: str, boundaries: list[int], tree_span: int,
+    levels: list[int],
+) -> DataFrame:
+    """Exact current index = union over (version k, level L) of delta_k's
+    rows in [cutoff_k(L), cutoff_{k+1}(L)) — one branch per version and
+    level so every predicate is a LITERAL: the level filter prunes the
+    delta's partition directories and the w_id bounds push down to the
+    parquet scan (a single shiftright(boundary, k - level) expression
+    references the level column and could do neither)."""
     import os
 
+    log2_tree = int(math.log2(tree_span))
     parts = []
     for k, b in enumerate(boundaries):
         df = spark.read.parquet(os.path.join(work_dir, f"v{k}"))
-        df = df.filter(F.col("w_id") >= _level_cutoff(tree_span, b))
-        if k + 1 < len(boundaries):
-            df = df.filter(F.col("w_id") < _level_cutoff(tree_span, boundaries[k + 1]))
-        parts.append(df)
+        nxt = boundaries[k + 1] if k + 1 < len(boundaries) else None
+        for L in levels:
+            sl = df.filter(
+                (F.col("level") == L) & (F.col("w_id") >= int(b) >> (log2_tree - L))
+            )
+            if nxt is not None:
+                sl = sl.filter(F.col("w_id") < int(nxt) >> (log2_tree - L))
+            parts.append(sl)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -300,7 +317,7 @@ def read_global_stream_index(spark: SparkSession, work_dir: str) -> tuple[DataFr
     import os
 
     meta = json.load(open(os.path.join(work_dir, "STATE.json")))
-    idx = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"])
+    idx = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"], meta["levels"])
     return idx, GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
 
 
@@ -313,9 +330,9 @@ def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
     import shutil
 
     meta = json.load(open(os.path.join(work_dir, "STATE.json")))
-    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"])
+    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"], meta["levels"])
     tmp_dir = os.path.join(work_dir, "v0_compact_tmp")
-    full.write.mode("overwrite").parquet(tmp_dir)
+    full.write.mode("overwrite").partitionBy("level").parquet(tmp_dir)
     for k in range(len(meta["boundaries"])):
         shutil.rmtree(os.path.join(work_dir, f"v{k}"), ignore_errors=True)
     os.replace(tmp_dir, os.path.join(work_dir, "v0"))
