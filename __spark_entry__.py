@@ -144,6 +144,18 @@ def q_pattern(pattern: list[int]):
     return run
 
 
+def q_pattern_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern search on a STRIDED index (PMIndex/HBI.java:45,421 +
+    search/BlockSearch.java:142-155): only every stride-th n-gram is
+    indexed; probing ORs the alignment classes' full-key-set conditions.
+    Sketches never affect answers, so the plain pattern oracle applies."""
+    cfg = CFG.with_(ngram=2, stride=2)
+    key = ("strided_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_index(_corpus(spark, sf_dir), cfg).cache()
+    return pattern_search(_corpus(spark, sf_dir), _CACHE[key], cfg, PAT_PRESENT)
+
+
 def q_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_membership(_corpus(spark, sf_dir), _index(spark, sf_dir), CFG, ord("q"))
 
@@ -694,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HBI core (SURVEY §2.1/2.3/2.4)
         "hbi_pattern_present": q_pattern(PAT_PRESENT),
+        "hbi_pattern_strided": q_pattern_strided,
         "hbi_pattern_missing": q_pattern(PAT_MISSING),
         "hbi_pattern_rare": q_pattern(PAT_RARE),
         "window_membership": q_window_membership,
@@ -754,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
+        "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
