@@ -362,6 +362,26 @@ def q_index_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_rollup_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry of the SINGLE-PASS Bloom rollup build (uniform (m,k), parents
+    OR-rolled from children — one data pass + log-depth sketch passes,
+    tree/TreeLayout.java:21-35 role). Byte-equality to the scratch build is
+    test-enforced; the driver checks the geometry against the same closed
+    form as index_geometry (identical dyadic spans)."""
+    from hierarchical_bloom_filter_index_spark.operators.build import build_index_rollup
+
+    key = ("bloom_rollup", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_index_rollup(
+            _corpus(spark, sf_dir), CFG.with_(uniform_bloom=True)
+        )
+    return (
+        _CACHE[key]
+        .groupBy("level")
+        .agg(F.count("*").alias("n_windows"), F.sum("n_items").alias("total_items"))
+    )
+
+
 def q_global_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens per global leaf window (the one-stream axis of the reference)."""
     from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
@@ -713,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
         "index_geometry": q_index_geometry,
+        "bloom_rollup_geometry": q_bloom_rollup_geometry,
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
         "incremental_append_geometry": q_incremental_append_geometry,
@@ -765,7 +786,7 @@ def oracle_sql() -> dict[str, str]:
     greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
     first_max = " ".join(f"WHEN s_{l} = g THEN '{l}'" for l in langs)
 
-    return {
+    out = {
         "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
@@ -945,3 +966,6 @@ SELECT doc_id, CAST(lv.level AS INT) AS level,
        CAST(unnest(generate_series(0, CAST((n_tok + span - 1) // span - 1 AS BIGINT))) AS BIGINT) AS w_id
 FROM corpus, lv WHERE n_tok > 0""",
     }
+    # same closed form: the rollup build has identical dyadic spans
+    out["bloom_rollup_geometry"] = out["index_geometry"]
+    return out
