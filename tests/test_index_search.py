@@ -54,7 +54,7 @@ def test_index_has_all_levels(small_index):
     assert levels == CFG.levels
 
 
-@pytest.mark.parametrize("plen", [4, 16, 64])
+@pytest.mark.parametrize("plen", [4, 16, 64, 160, 320])
 def test_uniform_queries_match_bruteforce(spark, small_corpus, small_index, plen):
     for pat in _sample_patterns(small_corpus, plen, n=3):
         got = _rows(pattern_search(small_corpus, small_index, CFG, pat))
