@@ -244,6 +244,19 @@ def synthesize_encoded_media(spark, n: int = 48, seed: int = 42, n_partitions: i
     return spark.range(0, n, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def resize_image(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (HxWxC -> out_h x out_w x C):
+    index-gather on precomputed row/col maps — vectorized, no loops, exact
+    and deterministic (the resize step of a media feature pipeline; a 'real'
+    backend would swap in PIL/cv2 interpolation behind the same signature)."""
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or out_h <= 0 or out_w <= 0:
+        raise ValueError("resize_image needs non-empty input and positive output dims")
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows[:, None], cols[None, :]]
+
+
 def _decode_image_fake(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decode: interpret payload as raw HxWx3 uint8 (deterministic fake).
     A real backend would decode JPEG/PNG here."""
@@ -264,9 +277,13 @@ def _feature_fake(arr: np.ndarray, dim: int) -> np.ndarray:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 32, decode_backend: str = "fake"
+    media: DataFrame, dim: int = 32, decode_backend: str = "fake",
+    resize_to: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Decode + feature-extract per media row, Arrow-batched.
+    """Decode (+ optional resize to ``resize_to=(h, w)``) + feature-extract
+    per media row, Arrow-batched. Resizing normalizes visual inputs before
+    featurization (images directly; video per sampled frame; audio is
+    untouched — resampling is a different op).
 
     Partition-preserving mapInPandas: no shuffle, payload bytes never leave
     their executor — at 100 TB the features (dim * 4 bytes) are the only
@@ -291,14 +308,21 @@ def extract_features(
                 if decode_backend == "numpy":
                     if r.kind == "image":
                         arr = decode_ppm(bytes(r.payload))
+                        if resize_to is not None:
+                            arr = resize_image(arr, *resize_to)
                     elif r.kind == "audio":
                         arr, _sr = decode_wav(bytes(r.payload))
                     else:
                         # frame-sample first/middle/last decoded frames
                         fr = decode_avi(bytes(r.payload))
-                        arr = fr[sorted({0, len(fr) // 2, len(fr) - 1}), ...]
+                        fr = fr[sorted({0, len(fr) // 2, len(fr) - 1}), ...]
+                        if resize_to is not None:
+                            fr = np.stack([resize_image(f, *resize_to) for f in fr])
+                        arr = fr
                 elif r.kind == "image":
                     arr = _decode_image_fake(r.payload, r.width, r.height)
+                    if resize_to is not None:
+                        arr = resize_image(arr, *resize_to)
                 elif r.kind == "video":
                     # frame-sample: first/middle/last frame bytes
                     fsz = r.width * r.height * 3

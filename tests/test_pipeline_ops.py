@@ -284,3 +284,39 @@ def test_ivf_centroids_deterministic_across_partitioning(spark):
     c2 = S.train_ivf_centroids(emb.repartition(7), n_centroids=8, sample_rows=256)
     c3 = S.train_ivf_centroids(emb.coalesce(1), n_centroids=8, sample_rows=256)
     assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+
+def test_resize_image_pure():
+    """Nearest-neighbor resize: exact gather semantics, identity when
+    dimensions match, down+up sampling shapes, errors on empty."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    assert np.array_equal(M.resize_image(img, 10, 6), img)  # identity
+    down = M.resize_image(img, 5, 3)
+    assert down.shape == (5, 3, 3)
+    assert np.array_equal(down[0, 0], img[0, 0])  # corner preserved
+    up = M.resize_image(img, 20, 12)
+    assert up.shape == (20, 12, 3)
+    assert np.array_equal(up[::2, ::2], img)  # 2x NN upsample replicates
+    with pytest.raises(ValueError):
+        M.resize_image(img, 0, 4)
+
+
+def test_extract_features_with_resize_partition_invariant(spark):
+    """decode -> resize -> featurize over REAL encoded payloads: resized
+    features are partition-invariant and differ from unresized (the resize
+    actually participates)."""
+    media = M.synthesize_encoded_media(spark, n=18, seed=13)
+    fr = {r["media_id"]: list(r["feature"]) for r in
+          M.extract_features(media, dim=16, decode_backend="numpy",
+                             resize_to=(8, 8)).collect()}
+    fr2 = {r["media_id"]: list(r["feature"]) for r in
+           M.extract_features(media.repartition(5), dim=16, decode_backend="numpy",
+                              resize_to=(8, 8)).collect()}
+    assert fr == fr2 and len(fr) == 18
+    plain = {r["media_id"]: list(r["feature"]) for r in
+             M.extract_features(media, dim=16, decode_backend="numpy").collect()}
+    changed = [m for m in fr if fr[m] != plain[m]]
+    assert changed  # visual rows are resized; audio rows legitimately equal
