@@ -286,6 +286,62 @@ def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
     )
 
 
+def _descend(
+    index: DataFrame,
+    keys: np.ndarray,
+    anchor: int | None,
+    aligns,
+    first: int,
+    last: int,
+    doc_axis: bool,
+    spark,
+    stats_out: dict | None = None,
+):
+    """Children-of-survivors descent from level ``first`` to ``last`` —
+    the shared cascade core of pattern_search / global_pattern_search /
+    window_membership. Each level: one vectorized probe over (frontier ∩
+    level) sketch rows, then a lineage-cut materialization (_cut_frontier).
+    Returns (survivors_df, n_survivors, collected_rows_or_None); n == 0
+    means the frontier died (no matches anywhere)."""
+    id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
+    schema = ("doc_id string, " if doc_axis else "") + "w_id long"
+    survivors: DataFrame | None = None
+    final_rows = None
+    n_surv = 0
+    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
+    if stats_out is not None:
+        stats_out.update({"start_level": first, "deepest": last,
+                          "windows_probed": {}, "survivors": {}})
+    for L in range(first, last + 1):
+        rows = _level_rows(index, L, doc_axis=doc_axis)
+        if survivors is not None:
+            # probe set = children {2w, 2w+1} PLUS 2w+2: the right neighbor
+            # of the last child, whose mask the union test of 2w+1 needs
+            # even when window w+1 itself was pruned (straddling soundness)
+            kids = F.explode(
+                F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
+            ).alias("w_id")
+            children = (
+                survivors.select("doc_id", kids) if doc_axis else survivors.select(kids)
+            ).distinct()
+            if final_rows is not None:  # collected → small → broadcast
+                children = F.broadcast(children)
+            rows = rows.join(children, on=id_cols, how="left_semi")
+        if probe_counter is not None:
+            probe_counter.value = 0
+        survivors, n_surv, final_rows = _cut_frontier(
+            _probe_level(rows, keys, anchor, doc_axis=doc_axis, align_keys=aligns,
+                         probe_counter=probe_counter),
+            schema,
+        )
+        if stats_out is not None:
+            stats_out["windows_probed"][L] = probe_counter.value
+            stats_out["survivors"][L] = n_surv
+        if n_surv == 0:
+            return None, 0, []
+    return survivors, n_surv, final_rows
+
+
 def pattern_search(
     corpus: DataFrame,
     index: DataFrame,
@@ -348,47 +404,15 @@ def pattern_search(
     )
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
-    # Each level's frontier is materialized AND lineage-cut (_cut_frontier):
-    # the count enables early-exit when the frontier dies (the reference's
-    # DFS stops naturally; our set-oriented cascade must check), the small
-    # collected frontier broadcasts into the next level's semi-join, and the
-    # cut keeps Catalyst's per-level plan analysis O(1) instead of
-    # exponential (the neighbor combine reads each level's masks twice).
+    # (shared cascade core — see _descend; per-level lineage cut keeps
+    # Catalyst's plan analysis O(1) per level instead of exponential)
     spark = corpus.sparkSession
-    survivors: DataFrame | None = None
-    final_rows = None
-    if stats_out is not None:
-        stats_out.update({"start_level": first, "deepest": deepest,
-                          "windows_probed": {}, "survivors": {}})
-    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
-
-    for L in range(first, deepest + 1):
-        rows = _level_rows(index, L, doc_axis=True)
-        if survivors is not None:
-            # probe set = children {2w, 2w+1} PLUS 2w+2: the right neighbor
-            # of the last child, whose mask the union test of 2w+1 needs
-            # even when window w+1 itself was pruned (straddling soundness)
-            children = survivors.select(
-                "doc_id",
-                F.explode(
-                    F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
-                ).alias("w_id"),
-            ).distinct()
-            if final_rows is not None:  # collected → small → broadcast
-                children = F.broadcast(children)
-            rows = rows.join(children, on=["doc_id", "w_id"], how="left_semi")
-        if probe_counter is not None:
-            probe_counter.value = 0
-        survivors, n_surv, final_rows = _cut_frontier(
-            _probe_level(rows, keys, anchor, doc_axis=True, align_keys=aligns,
-                         probe_counter=probe_counter),
-            "doc_id string, w_id long",
-        )
-        if stats_out is not None:
-            stats_out["windows_probed"][L] = probe_counter.value
-            stats_out["survivors"][L] = n_surv
-        if n_surv == 0:
-            return spark.createDataFrame([], MATCH_SCHEMA)
+    survivors, n_surv, final_rows = _descend(
+        index, keys, anchor, aligns, first, deepest, doc_axis=True, spark=spark,
+        stats_out=stats_out,
+    )
+    if n_surv == 0:
+        return spark.createDataFrame([], MATCH_SCHEMA)
 
     # Final candidate set: the last frontier is already materialized and
     # lineage-cut; group it per doc (driver-side when collected — no extra
@@ -500,40 +524,15 @@ def global_pattern_search(
         stats_out=stats_out, selective=selective,
     )
     spark = corpus.sparkSession
-
-    survivors: DataFrame | None = None
-    final_rows = None
-    if stats_out is not None:
-        stats_out.update({"start_level": first, "deepest": deepest,
-                          "windows_probed": {}, "survivors": {}})
-    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
-    for L in range(first, deepest + 1):
-        rows = _level_rows(index, L, doc_axis=False)
-        if survivors is not None:
-            children = survivors.select(
-                F.explode(
-                    F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
-                ).alias("w_id")
-            ).distinct()
-            if final_rows is not None:  # collected → small → broadcast
-                children = F.broadcast(children)
-            rows = rows.join(children, on="w_id", how="left_semi")
-        if probe_counter is not None:
-            probe_counter.value = 0
-        # per-level lineage cut (_cut_frontier): the global neighbor combine
-        # self-joins each level's masks, so raw plan chaining DOUBLES the
-        # logical plan per level (observed 124 MB plan strings) — the cut
-        # keeps plan analysis linear in levels and bounds collects bytewise.
-        survivors, n_surv, final_rows = _cut_frontier(
-            _probe_level(rows, keys, anchor, doc_axis=False, align_keys=aligns,
-                         probe_counter=probe_counter),
-            "w_id long",
-        )
-        if stats_out is not None:
-            stats_out["windows_probed"][L] = probe_counter.value
-            stats_out["survivors"][L] = n_surv
-        if n_surv == 0:
-            return spark.createDataFrame([], "gpos long")
+    # shared cascade core (_descend): per-level lineage cut — the global
+    # neighbor combine self-joins each level's masks, so raw plan chaining
+    # would DOUBLE the logical plan per level (observed 124 MB plan strings)
+    survivors, n_surv, final_rows = _descend(
+        index, keys, anchor, aligns, first, deepest, doc_axis=False, spark=spark,
+        stats_out=stats_out,
+    )
+    if n_surv == 0:
+        return spark.createDataFrame([], "gpos long")
 
     span = cfg.span(deepest)
     wid_df = F.broadcast(survivors) if final_rows is not None else survivors
@@ -577,25 +576,57 @@ def window_membership(
     cfg: HbiConfig,
     token: int,
     level: int | None = None,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
 ) -> DataFrame:
     """'Does token X appear in window W?' — exact (doc_id, w_id) pairs after
-    Bloom routing + verification. The minimum end-to-end slice (SURVEY §7.2)."""
+    Bloom routing + verification. The minimum end-to-end slice (SURVEY §7.2).
+
+    ``start_level=None`` (default) flat-probes only level ``L`` — right for
+    frequent tokens, where coarse levels reject nothing and a cascade would
+    probe MORE blobs than the single-level scan. ``start_level`` int/"auto"
+    routes through the hierarchy from that seed (the cascade wins for rare
+    tokens: coarse levels kill most of the tree before the leaf scan);
+    "auto" prices the choice with the cost model (freq + stats), exactly
+    the planner trade the reference makes per query.
+    """
     if cfg.ngram != 1:
         raise ValueError("window_membership requires a token-keyed index (ngram=1)")
     L = cfg.deepest if level is None else level
     span = cfg.span(L)
-    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
     key = np.asarray([token], dtype=np.uint64)
 
-    def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), key)[:, 0]
-            yield pdf.loc[ok, ["doc_id", "w_id"]]
+    if start_level is not None:
+        first = _plan_start_level(start_level, stats, freq, None, None, key, 1,
+                                  [int(token)], L)
+        survivors, n_surv, final_rows = _descend(
+            index, key, int(token), [key], first, L, doc_axis=True,
+            spark=corpus.sparkSession,
+        )
+        if n_surv == 0:
+            return corpus.sparkSession.createDataFrame([], "doc_id string, w_id long")
+        if final_rows is not None:
+            by_doc: dict[str, list[int]] = {}
+            for doc_id, w_id in final_rows:
+                by_doc.setdefault(doc_id, []).append(w_id)
+            cand = corpus.sparkSession.createDataFrame(
+                list(by_doc.items()), "doc_id string, wids array<long>"
+            )
+        else:
+            cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
+    else:
+        rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
 
-    candidates = rows.mapInPandas(probe, schema="doc_id string, w_id long")
-    cand = candidates.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
+        def probe(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ok = probe_blobs(pdf["bloom"].tolist(), key)[:, 0]
+                yield pdf.loc[ok, ["doc_id", "w_id"]]
+
+        candidates = rows.mapInPandas(probe, schema="doc_id string, w_id long")
+        cand = candidates.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
     # exact verify: windows actually holding the token, intersected with the
     # Bloom-candidate set — all JVM-side array functions
     occ_windows = F.array_distinct(

@@ -123,6 +123,23 @@ def test_window_membership_exact(spark, small_corpus, small_index):
         for w in np.unique(np.where(toks == token)[0] // span):
             exp.append((r["doc_id"], int(w)))
     assert got == sorted(exp) and len(exp) >= 1
+    # hierarchical routing (cascade from a seed level) and the planner-priced
+    # "auto" seed return the identical exact pairs as the flat leaf scan
+    from hierarchical_bloom_filter_index_spark.operators import (
+        frequency_summary,
+        index_stats,
+    )
+
+    routed = sorted((r["doc_id"], r["w_id"]) for r in
+                    window_membership(small_corpus, small_index, CFG, token,
+                                      start_level=0).collect())
+    assert routed == sorted(exp)
+    freq = frequency_summary(small_corpus, CFG)
+    stats = index_stats(small_index, CFG)
+    auto = sorted((r["doc_id"], r["w_id"]) for r in
+                  window_membership(small_corpus, small_index, CFG, token,
+                                    start_level="auto", freq=freq, stats=stats).collect())
+    assert auto == sorted(exp)
 
 
 def test_compact_index_drops_coarse_levels_only(spark, small_corpus, small_index):
