@@ -152,8 +152,13 @@ def q_pattern_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = CFG.with_(ngram=2, stride=2)
     key = ("strided_index", sf_dir)
     if key not in _CACHE:
-        _CACHE[key] = build_index(_corpus(spark, sf_dir), cfg).cache()
-    return pattern_search(_corpus(spark, sf_dir), _CACHE[key], cfg, PAT_PRESENT)
+        idx = build_index(_corpus(spark, sf_dir), cfg).cache()
+        idx.count()
+        _CACHE[key] = (idx, frequency_summary(_corpus(spark, sf_dir), cfg),
+                       index_stats(idx, cfg))
+    idx, freq, stats = _CACHE[key]
+    return pattern_search(_corpus(spark, sf_dir), idx, cfg, PAT_PRESENT,
+                          start_level="auto", freq=freq, stats=stats)
 
 
 def q_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,22 +267,35 @@ def _cut_frontier(survivors: DataFrame, schema: str):
 
 
 def frequency_summary(corpus: DataFrame, cfg: HbiConfig):
-    """Global CMS over token keys — the reference's frequency estimator role
+    """Global CMS over the index's KEY domain — raw tokens for ngram=1,
+    packed n-gram keys otherwise — the reference's frequency estimator role
     (estimators/CSEstimator.java), feeding the cost model's key
     probabilities. Built once per corpus, ~100 KB, broadcastable."""
     from ..sketches.cms import CountMinSketch
     from .aggregates import collect_sketch, sketch_aggregate
 
-    if cfg.ngram != 1:
-        raise NotImplementedError("frequency summary over n-gram keys: pack keys first")
     # eps=1e-3 keeps the summary ~100 KB; the cost model only needs coarse
     # occurrence probabilities, not tight counts
+    factory = lambda: CountMinSketch.from_eps_delta(1e-3, 0.01, seed=cfg.seed + 99)  # noqa: E731
+    keyed = corpus
+    key_col = "tokens"
+    if cfg.ngram != 1:
+        ngram, bits = cfg.ngram, cfg.ngram_base_bits
+
+        def pack(batches):
+            for pdf in batches:
+                out = []
+                for toks in pdf["tokens"]:
+                    arr = np.asarray(toks, dtype=np.int64)
+                    # stride NOT applied: the model prices key occurrence
+                    # probability; alignment is the probe's concern
+                    out.append(pack_ngrams_u64(arr, ngram, bits).astype(np.int64))
+                yield pd.DataFrame({"grams": out})
+
+        keyed = corpus.select("tokens").mapInPandas(pack, schema="grams array<long>")
+        key_col = "grams"
     return collect_sketch(
-        sketch_aggregate(
-            corpus, "tokens",
-            lambda: CountMinSketch.from_eps_delta(1e-3, 0.01, seed=cfg.seed + 99),
-            values_are_arrays=True,
-        )
+        sketch_aggregate(keyed, key_col, factory, values_are_arrays=True)
     )
 
 
