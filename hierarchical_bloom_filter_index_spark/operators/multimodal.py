@@ -244,6 +244,25 @@ def synthesize_encoded_media(spark, n: int = 48, seed: int = 42, n_partitions: i
     return spark.range(0, n, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def audio_frame_features(samples: np.ndarray, frame: int = 256) -> np.ndarray:
+    """Real DSP features per non-overlapping frame, pure numpy: (n_frames, 2)
+    of [RMS energy, zero-crossing rate]. The audio analog of the visual
+    resize+featurize step — deterministic, vectorized (one reshape + two
+    reductions), no libs."""
+    x = np.asarray(samples, dtype=np.float64)
+    if frame <= 0:
+        raise ValueError("frame must be positive")
+    n = (len(x) // frame) * frame
+    if n == 0:  # shorter than one frame: single padded frame
+        pad = np.zeros(frame)
+        pad[: len(x)] = x
+        x, n = pad, frame
+    fr = x[:n].reshape(-1, frame)
+    rms = np.sqrt((fr * fr).mean(axis=1))
+    zcr = (np.signbit(fr[:, 1:]) != np.signbit(fr[:, :-1])).mean(axis=1)
+    return np.stack([rms, zcr], axis=1)
+
+
 def resize_image(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy (HxWxC -> out_h x out_w x C):
     index-gather on precomputed row/col maps — vectorized, no loops, exact
@@ -311,7 +330,11 @@ def extract_features(
                         if resize_to is not None:
                             arr = resize_image(arr, *resize_to)
                     elif r.kind == "audio":
-                        arr, _sr = decode_wav(bytes(r.payload))
+                        samples, _sr = decode_wav(bytes(r.payload))
+                        # real DSP per-frame features (RMS + ZCR), quantized
+                        # for the seeded projection — the audio analog of
+                        # decode->resize->featurize
+                        arr = (audio_frame_features(samples) * 1000).astype(np.int64)
                     else:
                         # frame-sample first/middle/last decoded frames
                         fr = decode_avi(bytes(r.payload))

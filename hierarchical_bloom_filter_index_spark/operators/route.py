@@ -393,7 +393,10 @@ def pattern_search(
     every model choice returns identical matches.
     """
     if cfg.axis != "doc":
-        raise NotImplementedError("pattern_search currently routes on the doc axis")
+        raise NotImplementedError(
+            "pattern_search routes on the doc axis; use global_pattern_search "
+            "for cfg.axis='global' (one concatenated stream, returns gpos)"
+        )
     m = len(pattern)
     if m == 0:
         raise ValueError("empty pattern")

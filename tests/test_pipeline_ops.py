@@ -320,3 +320,21 @@ def test_extract_features_with_resize_partition_invariant(spark):
              M.extract_features(media, dim=16, decode_backend="numpy").collect()}
     changed = [m for m in fr if fr[m] != plain[m]]
     assert changed  # visual rows are resized; audio rows legitimately equal
+
+
+def test_audio_frame_features_pure():
+    """RMS/ZCR per frame: exact on constructed signals (constant -> zero ZCR,
+    alternating -> max ZCR; RMS equals amplitude), short-input padding."""
+    import numpy as np
+
+    const = np.full(512, 100, dtype=np.int16)
+    f = M.audio_frame_features(const, frame=256)
+    assert f.shape == (2, 2)
+    assert np.allclose(f[:, 0], 100.0) and np.allclose(f[:, 1], 0.0)
+    alt = np.tile([1000, -1000], 256).astype(np.int16)
+    f2 = M.audio_frame_features(alt, frame=256)
+    assert np.allclose(f2[:, 0], 1000.0) and np.all(f2[:, 1] == 1.0)
+    short = M.audio_frame_features(np.array([5, -5], dtype=np.int16), frame=256)
+    assert short.shape == (1, 2)
+    with pytest.raises(ValueError):
+        M.audio_frame_features(const, frame=0)
