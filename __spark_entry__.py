@@ -144,6 +144,34 @@ def q_pattern(pattern: list[int]):
     return run
 
 
+def q_pattern_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern search with the MARKOV cost model choosing the seed level
+    (CostFunctionMarkov, estimators/CostFunctionMarkov.java:29-93): survivor
+    pricing from the corpus bigram chain instead of iid key presence.
+    Sketches/planning never affect answers — the plain pattern oracle."""
+    from hierarchical_bloom_filter_index_spark.plans.markov import MarkovModel
+
+    key = ("markov_model", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = MarkovModel.fit(_corpus(spark, sf_dir))
+    _freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_RARE,
+        start_level="auto", stats=stats, markov=_CACHE[key], model="markov",
+    )
+
+
+def q_pattern_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern search with PER-TOKEN pruning levels seeding the cascade at
+    their min (MultiLevelPruning, search/MultiLevelPruning.java:23-32).
+    Planning only — the plain pattern oracle."""
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        start_level="auto", freq=freq, stats=stats, model="multilevel",
+    )
+
+
 def q_pattern_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern search on a STRIDED index (PMIndex/HBI.java:45,421 +
     search/BlockSearch.java:142-155): only every stride-th n-gram is
@@ -732,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HBI core (SURVEY §2.1/2.3/2.4)
         "hbi_pattern_present": q_pattern(PAT_PRESENT),
         "hbi_pattern_strided": q_pattern_strided,
+        "hbi_pattern_markov": q_pattern_markov,
+        "hbi_pattern_multilevel": q_pattern_multilevel,
         "hbi_pattern_missing": q_pattern(PAT_MISSING),
         "hbi_pattern_rare": q_pattern(PAT_RARE),
         "window_membership": q_window_membership,
@@ -794,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
+        "hbi_pattern_markov": _pattern_oracle(PAT_RARE),
+        "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
