@@ -260,13 +260,19 @@ def incremental_global_index_stream(
         delta.write.mode("overwrite").partitionBy("level").parquet(
             os.path.join(work_dir, f"v{len(boundaries) - 1}")
         )
+        # per-version continuation snapshots: version k's entry is the stream
+        # state right after commit k, so time-travel reads can also resume
+        history = (list(meta.get("history", [])) if meta is not None else [])
+        history.append({"total_tokens": int(new_state.total_tokens),
+                        "tail": [int(t) for t in new_state.tail]})
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {"boundaries": boundaries, "tree_span": int(cfg.tree_span),
                  "levels": [int(L) for L in cfg.levels],
                  "total_tokens": int(new_state.total_tokens),
-                 "tail": [int(t) for t in new_state.tail], "last_batch_id": int(batch_id)},
+                 "tail": [int(t) for t in new_state.tail],
+                 "history": history, "last_batch_id": int(batch_id)},
                 f,
             )
         os.replace(tmp, meta_path)  # atomic pointer swap
@@ -309,16 +315,44 @@ def _assemble_deltas(
     return out
 
 
-def read_global_stream_index(spark: SparkSession, work_dir: str) -> tuple[DataFrame, "GlobalStreamState"]:
-    """Open the current state of a stream-maintained global index (assembled
-    from its delta versions, every slice predicate pushed down) and its
-    continuation state."""
+def read_global_stream_index(
+    spark: SparkSession, work_dir: str, version: int | None = None
+) -> tuple[DataFrame, "GlobalStreamState"]:
+    """Open a stream-maintained global index (assembled from its delta
+    versions, every slice predicate pushed down) and its continuation state.
+
+    ``version=k`` time-travels to the index exactly as of commit k (the
+    Iceberg snapshot-read analog): version k's delta was the LAST writer of
+    every window it holds at that point, so assembling the first k+1 deltas
+    with version k unsliced reproduces the historical index byte-for-byte.
+    The returned state is commit k's continuation snapshot — a reader can
+    fork the stream from any retained version. Compaction expires history
+    (folds every delta into v0) and RESTARTS version numbering: afterwards
+    ``version=0`` is the fold itself (the then-current snapshot), not the
+    original first commit.
+    """
     import json
     import os
 
     meta = json.load(open(os.path.join(work_dir, "STATE.json")))
-    idx = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"], meta["levels"])
-    return idx, GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
+    boundaries = meta["boundaries"]
+    history = meta.get("history")
+    latest = len(boundaries) - 1
+    if version is None or version == latest:
+        idx = _assemble_deltas(spark, work_dir, boundaries, meta["tree_span"], meta["levels"])
+        return idx, GlobalStreamState(meta["total_tokens"], list(meta["tail"]))
+    if not 0 <= version < latest:
+        raise ValueError(f"version {version} not retained (have 0..{latest})")
+    if history is None or len(history) != latest + 1:
+        raise ValueError(
+            "no per-version history in STATE.json (stream written by an older "
+            "build, or history expired by compaction)"
+        )
+    idx = _assemble_deltas(
+        spark, work_dir, boundaries[: version + 1], meta["tree_span"], meta["levels"]
+    )
+    snap = history[version]
+    return idx, GlobalStreamState(snap["total_tokens"], list(snap["tail"]))
 
 
 def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
@@ -337,6 +371,8 @@ def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
         shutil.rmtree(os.path.join(work_dir, f"v{k}"), ignore_errors=True)
     os.replace(tmp_dir, os.path.join(work_dir, "v0"))
     meta["boundaries"] = [0]
+    if "history" in meta:  # snapshot expiry: only the folded version survives
+        meta["history"] = [meta["history"][-1]]
     tmp = os.path.join(work_dir, "STATE.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -209,6 +209,17 @@ def test_structured_streaming_global_axis(spark, tmp_path):
     for v in (1, 2):
         n_delta = spark.read.parquet(f"{work}/v{v}").count()
         assert 0 < n_delta < n_full
+
+    # TIME TRAVEL: reading at version k reproduces the index exactly as of
+    # commit k (byte-equal to a from-scratch build over the first k+1
+    # batches) plus that commit's continuation snapshot
+    for v, pref in ((0, parts[0]), (1, two)):
+        idx_v, st_v = read_global_stream_index(spark, work, version=v)
+        assert _gstate(idx_v) == _gstate(build_index(with_global_offsets(pref), cfg))
+        assert st_v.total_tokens == pref.agg(F.sum("n_tok")).first()[0]
+        assert len(st_v.tail) == cfg.ngram - 1
+    with pytest.raises(ValueError, match="not retained"):
+        read_global_stream_index(spark, work, version=7)
     # compaction folds every version into one; answers unchanged
     from hierarchical_bloom_filter_index_spark.streaming.incremental import (
         compact_global_stream_index,
@@ -217,6 +228,9 @@ def test_structured_streaming_global_axis(spark, tmp_path):
     compact_global_stream_index(spark, work)
     idx2, st2 = read_global_stream_index(spark, work)
     assert _gstate(idx2) == scratch and st2.total_tokens == st.total_tokens
+    # compaction = snapshot expiry: historical versions are gone
+    with pytest.raises(ValueError, match="not retained"):
+        read_global_stream_index(spark, work, version=1)
     full.unpersist()
 
 
