@@ -40,6 +40,13 @@ class HbiConfig:
     #     deeper), never return wrong answers (verification is exact).
     uniform_bloom: bool = False
     uniform_level: int = 0      # level whose capacity sizes the shared (m,k)
+    # Declared corpus contract: every NONEMPTY document has at least this
+    # many tokens. Optional; when set, the global-axis stream stitcher sizes
+    # its successor-join rounds from it instead of running a per-query
+    # min(n_tok) scan. Declaring a value LARGER than the true minimum can
+    # under-stitch and miss matches/n-grams spanning 3+ documents — only
+    # declare what the pipeline guarantees.
+    min_doc_tokens: int | None = None
 
     def __post_init__(self):
         if not _is_pow2(self.tree_span) or not _is_pow2(self.leaf_span):
@@ -54,6 +61,8 @@ class HbiConfig:
             raise ValueError("stride must be 1 or in [2, ngram]")
         if self.axis not in ("doc", "global"):
             raise ValueError("axis must be 'doc' or 'global'")
+        if self.min_doc_tokens is not None and self.min_doc_tokens < 1:
+            raise ValueError("min_doc_tokens must be >= 1 when set")
 
     @property
     def n_levels(self) -> int:

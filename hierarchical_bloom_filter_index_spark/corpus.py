@@ -185,7 +185,10 @@ def generate_corpus(
 # ---------------------------------------------------------------------------
 # global position axis
 # ---------------------------------------------------------------------------
-def stitch_stream_tail(corpus: DataFrame, need: int, out_col: str = "stitched") -> DataFrame:
+def stitch_stream_tail(
+    corpus: DataFrame, need: int, out_col: str = "stitched",
+    min_doc_tokens: int | None = None,
+) -> DataFrame:
     """``out_col`` = each doc's tokens + the next ``need`` tokens of the
     concatenated stream — accumulated across however many FOLLOWING documents
     it takes (a single short doc in between must not break a spanning n-gram
@@ -199,10 +202,19 @@ def stitch_stream_tail(corpus: DataFrame, need: int, out_col: str = "stitched") 
     processes only the still-unfinished rows, so for realistic corpora this
     is ONE join. Empty docs are skipped (they share their successor's offset
     and carry no tokens).
+
+    ``min_doc_tokens``: declared minimum NONEMPTY doc length (see
+    HbiConfig.min_doc_tokens). When given, the round bound comes from it and
+    the per-call min(n_tok) scan is skipped — construction is then fully
+    lazy. Declaring more than the true minimum can under-stitch (missed
+    spanning matches); the scan is the safe default.
     """
     if need <= 0:
         return corpus.withColumn(out_col, F.col("tokens"))
-    min_n = corpus.filter(F.col("n_tok") > 0).agg(F.min("n_tok")).first()[0]
+    if min_doc_tokens is not None:
+        min_n = int(min_doc_tokens)
+    else:
+        min_n = corpus.filter(F.col("n_tok") > 0).agg(F.min("n_tok")).first()[0]
     rounds = 1 if not min_n else -(-need // int(min_n))  # ceil
     succ = corpus.filter(F.col("n_tok") > 0).select(
         F.col("doc_offset").alias("_s_off"),

@@ -235,7 +235,8 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | No
     if cfg.ngram > 1:
         from ..corpus import stitch_stream_tail
 
-        corpus = stitch_stream_tail(corpus, cfg.ngram - 1, out_col="tokens")
+        corpus = stitch_stream_tail(corpus, cfg.ngram - 1, out_col="tokens",
+                                    min_doc_tokens=cfg.min_doc_tokens)
     params = level_params(cfg)
     levels = cfg.levels if levels is None else levels
     spans = {L: cfg.span(L) for L in levels}
@@ -357,11 +358,14 @@ def build_index_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
     instances). Each rollup pass touches only |windows at level L+1| sketch
     rows — at 100 TB: one token scan + log-depth passes over an ever-halving
     sketch table, instead of hashing every token once per level.
+
+    The returned index is PERSISTED (see rollup_scaffold) — call
+    ``unpersist()`` when done with it.
     """
     if not cfg.uniform_bloom:
         raise ValueError("build_index_rollup requires uniform_bloom=True "
                          "(parent = OR(children) needs one shared (m, k))")
-    from pyspark import StorageLevel
+    from .rollup import rollup_scaffold
 
     doc_axis = cfg.axis == "doc"
     leaf = (
@@ -370,24 +374,10 @@ def build_index_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
         else _build_global_axis(corpus, cfg, levels=[cfg.deepest])
     )
     schema = DOC_INDEX_SCHEMA if doc_axis else GLOBAL_INDEX_SCHEMA
-    # Each level feeds BOTH the next rollup pass and the output union, so
-    # levels are persisted during construction (or the one data pass would
-    # re-run once per level); the assembled index is materialized, then the
-    # per-level scaffolding is released. Everything here is a pure function
-    # of the corpus — a later eviction costs recompute time, never answers.
-    frames = [leaf.persist(StorageLevel.MEMORY_AND_DISK)]
-    cur = frames[0]
-    for L in range(cfg.deepest - 1, -1, -1):
-        cur = _rollup_pass(cur, doc_axis, L, schema).persist(StorageLevel.MEMORY_AND_DISK)
-        frames.append(cur)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for f in frames:
-        f.unpersist()
-    return out
+    # rollup_scaffold returns a PERSISTED index — the caller owns unpersist
+    return rollup_scaffold(
+        leaf, cfg.deepest, lambda cur, L: _rollup_pass(cur, doc_axis, L, schema)
+    )
 
 
 def _rollup_pass(cur: DataFrame, doc_axis: bool, L: int, schema: str) -> DataFrame:

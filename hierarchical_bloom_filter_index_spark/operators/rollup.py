@@ -27,10 +27,41 @@ from ..sketches import from_bytes
 HLL_INDEX_SCHEMA = "doc_id string, level int, w_id long, sketch binary"
 
 
+def rollup_scaffold(leaf: DataFrame, deepest: int, pass_fn) -> DataFrame:
+    """Assemble a full dyadic index from its leaf level. ``pass_fn(cur, L)``
+    derives the level-L frame from the level-(L+1) frame ``cur``. Each level
+    feeds BOTH the next rollup pass and the output union, so levels are
+    persisted during construction (else level L is recomputed once per
+    coarser level AND once in the union: O(L^2) stages); the assembled index
+    is materialized, then the per-level scaffolding is released.
+
+    The RETURNED DataFrame is persisted (MEMORY_AND_DISK): the CALLER owns
+    the final ``unpersist()`` — repeated builds in one session without it
+    accumulate cached index copies (the cache-leak trap in CLAUDE.md).
+    Everything is a pure function of the corpus, so a later eviction costs
+    recompute time, never answers."""
+    from pyspark import StorageLevel
+
+    frames = [leaf.persist(StorageLevel.MEMORY_AND_DISK)]
+    cur = frames[0]
+    for L in range(deepest - 1, -1, -1):
+        cur = pass_fn(cur, L).persist(StorageLevel.MEMORY_AND_DISK)
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for f in frames:
+        f.unpersist()
+    return out
+
+
 def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
     """Approximate-distinct index: one HLL per (doc, level, window), built
     leaf-first then rolled up. Answers 'how many distinct tokens in window
-    W at level L' within the 1.04/sqrt(2^p) envelope."""
+    W at level L' within the 1.04/sqrt(2^p) envelope. The returned index is
+    PERSISTED (see rollup_scaffold) — call ``unpersist()`` when done."""
     from ..sketches.hll import HyperLogLog
 
     leaf_span = cfg.leaf_span
@@ -79,32 +110,16 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
                 out["sketch"].append(acc.to_bytes())
             yield pd.DataFrame(out)
 
-    # Each level feeds BOTH the next rollup pass and the output union —
-    # persist the scaffolding during construction (else level L is recomputed
-    # once per coarser level AND once in the union: O(L^2) stages), then
-    # materialize the assembled index and release the per-level frames.
-    from pyspark import StorageLevel
-
-    frames = [leaf.persist(StorageLevel.MEMORY_AND_DISK)]
-    cur = frames[0]
-    for L in range(deepest - 1, -1, -1):
+    def hll_pass(cur: DataFrame, L: int) -> DataFrame:
         # parent window = merge of its (at most 2) children — sketch rows only
-        cur = (
+        return (
             cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
             .groupBy("doc_id", "level", "w_id")
             .agg(F.collect_list("sketch").alias("children"))
             .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        frames.append(cur)
-    out = frames[0]
-    for lv in frames[1:]:
-        out = out.unionByName(lv)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for f in frames:
-        f.unpersist()
-    return out
+
+    return rollup_scaffold(leaf, deepest, hll_pass)
 
 
 def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:

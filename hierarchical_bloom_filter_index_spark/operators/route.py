@@ -232,7 +232,7 @@ def _plan_start_level(
     return first
 
 
-def _cut_frontier(survivors: DataFrame, schema: str):
+def _cut_frontier(survivors: DataFrame, schema: str, probe_counter=None):
     """Materialize one level's survivor frontier and CUT ITS LINEAGE.
 
     The neighbor-union combine references each level's masks twice (the
@@ -262,6 +262,11 @@ def _cut_frontier(survivors: DataFrame, schema: str):
         if not rows:
             return spark.createDataFrame([], schema), 0, []
         return spark.createDataFrame(rows, schema), len(rows), rows
+    # over-cap: the limit-collect above partially ran the probe; reset the
+    # windows_probed accumulator so the checkpoint's full re-run (the one
+    # whose output is kept) is counted exactly once
+    if probe_counter is not None:
+        probe_counter.value = 0
     out = survivors.localCheckpoint(eager=True)
     return out, out.count(), None
 
@@ -346,6 +351,7 @@ def _descend(
             _probe_level(rows, keys, anchor, doc_axis=doc_axis, align_keys=aligns,
                          probe_counter=probe_counter),
             schema,
+            probe_counter=probe_counter,
         )
         if stats_out is not None:
             stats_out["windows_probed"][L] = probe_counter.value
@@ -353,6 +359,22 @@ def _descend(
         if n_surv == 0:
             return None, 0, []
     return survivors, n_surv, final_rows
+
+
+def _candidates_by_doc(spark, survivors, final_rows, stats_out: dict | None = None):
+    """Group the final frontier's (doc_id, w_id) rows per doc — driver-side
+    when the frontier was collected (no extra job, result broadcastable),
+    else a shuffle over the checkpointed blocks, never an unbounded collect.
+    Returns (cand_df, is_small): broadcast the join side iff is_small."""
+    if final_rows is not None:
+        by_doc: dict[str, list[int]] = {}
+        for doc_id, w_id in final_rows:
+            by_doc.setdefault(doc_id, []).append(w_id)
+        if stats_out is not None:
+            stats_out["candidate_docs"] = len(by_doc)
+        cand = spark.createDataFrame(list(by_doc.items()), "doc_id string, wids array<long>")
+        return cand, True
+    return survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids")), False
 
 
 def pattern_search(
@@ -418,6 +440,12 @@ def pattern_search(
         start_level, stats, freq, markov, model, keys, m, pattern, deepest,
         stats_out=stats_out, selective=selective,
     )
+    if first > deepest:
+        # compacted index whose shallowest surviving span is < m: no present
+        # level can prune this pattern — exact scan (mirrors the
+        # m > tree_span guard; seeding past `deepest` would probe an empty
+        # frontier and wrongly return no matches)
+        return brute_force_search(corpus, pattern)
 
     # --- descent: children-of-survivors, one vectorized probe per level ----
     # (shared cascade core — see _descend; per-level lineage cut keeps
@@ -431,23 +459,13 @@ def pattern_search(
         return spark.createDataFrame([], MATCH_SCHEMA)
 
     # Final candidate set: the last frontier is already materialized and
-    # lineage-cut; group it per doc (driver-side when collected — no extra
-    # job — else a shuffle over the checkpointed blocks, never an unbounded
-    # collect).
-    if final_rows is not None:
-        by_doc: dict[str, list[int]] = {}
-        for doc_id, w_id in final_rows:
-            by_doc.setdefault(doc_id, []).append(w_id)
-        if stats_out is not None:
-            stats_out["candidate_docs"] = len(by_doc)
-        cand = spark.createDataFrame(list(by_doc.items()), "doc_id string, wids array<long>")
-    else:
-        cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
+    # lineage-cut; group it per doc (_candidates_by_doc).
+    cand, cand_small = _candidates_by_doc(spark, survivors, final_rows, stats_out)
 
     # --- exact verification (JVM-side, codegen) -----------------------------
     span = cfg.span(deepest)
     verified = (
-        corpus.join(F.broadcast(cand) if final_rows is not None else cand, on="doc_id", how="inner")
+        corpus.join(F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
         .select(
             "doc_id",
             F.filter(
@@ -467,7 +485,9 @@ def brute_force_search(corpus: DataFrame, pattern: list[int]) -> DataFrame:
     )
 
 
-def _stitched_corpus(corpus: DataFrame, m: int) -> DataFrame:
+def _stitched_corpus(
+    corpus: DataFrame, m: int, min_doc_tokens: int | None = None
+) -> DataFrame:
     """Each doc + the next (m-1) tokens of the FOLLOWING stream — accumulated
     across multiple successor docs when an intervening doc is shorter than
     m-1 (a match may run through a whole short doc into the one after it) —
@@ -476,7 +496,8 @@ def _stitched_corpus(corpus: DataFrame, m: int) -> DataFrame:
     (equi-joins on offsets, no window function, scales)."""
     from ..corpus import stitch_stream_tail
 
-    return stitch_stream_tail(corpus, m - 1, out_col="stitched")
+    return stitch_stream_tail(corpus, m - 1, out_col="stitched",
+                              min_doc_tokens=min_doc_tokens)
 
 
 def global_pattern_search(
@@ -522,23 +543,32 @@ def global_pattern_search(
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
-    stitched = _stitched_corpus(corpus, m) if m > 1 else corpus.withColumn("stitched", F.col("tokens"))
-    if (cfg.ngram > 1 and m < cfg.ngram) or m > cfg.tree_span:
+    stitched = (
+        _stitched_corpus(corpus, m, min_doc_tokens=cfg.min_doc_tokens)
+        if m > 1
+        else corpus.withColumn("stitched", F.col("tokens"))
+    )
+
+    def exact_scan() -> DataFrame:
         return stitched.select(
             F.explode(subsequence_positions("stitched", pattern)).alias("p"),
             "doc_offset", "n_tok",
         ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
+
+    if (cfg.ngram > 1 and m < cfg.ngram) or m > cfg.tree_span:
+        return exact_scan()
     keys, anchor, aligns = pattern_probe_plan(pattern, cfg)
     if keys is None:
-        return stitched.select(
-            F.explode(subsequence_positions("stitched", pattern)).alias("p"),
-            "doc_offset", "n_tok",
-        ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
+        return exact_scan()
     deepest = deepest_usable_level(cfg, m)
     first = _plan_start_level(
         start_level, stats, freq, markov, model, keys, m, pattern, deepest,
         stats_out=stats_out, selective=selective,
     )
+    if first > deepest:
+        # compacted index: every surviving level's span is < m — the index
+        # cannot prune this pattern (see pattern_search's matching guard)
+        return exact_scan()
     spark = corpus.sparkSession
     # shared cascade core (_descend): per-level lineage cut — the global
     # neighbor combine self-joins each level's masks, so raw plan chaining
@@ -613,6 +643,21 @@ def window_membership(
     span = cfg.span(L)
     key = np.asarray([token], dtype=np.uint64)
 
+    if stats is not None and len(stats) and L not in set(stats["level"]):
+        # compacted index: level L's sketch rows were dropped, so Bloom
+        # cannot prune — answer exactly from the corpus (probing an absent
+        # level would wrongly return no windows)
+        occ = F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0).cast("long"), (F.col("n_tok") - 1).cast("long")),
+                    lambda i: F.element_at("tokens", (i + 1).cast("int")) == F.lit(int(token)),
+                ),
+                lambda i: (i / span).cast("long"),
+            )
+        )
+        return corpus.select("doc_id", F.explode(occ).alias("w_id"))
+
     if start_level is not None:
         first = _plan_start_level(start_level, stats, freq, None, None, key, 1,
                                   [int(token)], L)
@@ -622,15 +667,7 @@ def window_membership(
         )
         if n_surv == 0:
             return corpus.sparkSession.createDataFrame([], "doc_id string, w_id long")
-        if final_rows is not None:
-            by_doc: dict[str, list[int]] = {}
-            for doc_id, w_id in final_rows:
-                by_doc.setdefault(doc_id, []).append(w_id)
-            cand = corpus.sparkSession.createDataFrame(
-                list(by_doc.items()), "doc_id string, wids array<long>"
-            )
-        else:
-            cand = survivors.groupBy("doc_id").agg(F.collect_set("w_id").alias("wids"))
+        cand, _ = _candidates_by_doc(corpus.sparkSession, survivors, final_rows)
     else:
         rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
 

@@ -62,7 +62,11 @@ def cosine_topk(
                 cand_idx = np.where(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                take = cand_idx[np.argsort(-s[cand_idx], kind="stable")[:k]]
+                # tie-break on vec_id ASC at the rank-k boundary (lexsort:
+                # last key is primary) so the partial keeps exactly the rows
+                # the global (score DESC, vec_id ASC) window would — equal
+                # scores must not be dropped by partition row order
+                take = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))[:k]]
                 out_q.extend([qids_[qi]] * len(take))
                 out_v.extend(ids[take])
                 out_s.extend(s[take])

@@ -91,8 +91,14 @@ def token_count_column(text_col: str = "text") -> Column:
 
 
 # GPT-2-style pretokenizer pattern WITHOUT lookaheads (RE2-compatible, so
-# the Spark/Java and DuckDB/RE2 engines segment identically — oracle-checked)
-BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# the Spark/Java and DuckDB/RE2 engines segment identically — oracle-checked).
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes \x0B (vertical
+# tab) while RE2's does not, so \s would segment differently across engines.
+_WS = r" \t\n\x0b\f\r"
+BPE_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count_column(text_col: str = "text") -> Column:

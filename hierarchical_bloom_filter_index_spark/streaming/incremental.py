@@ -66,25 +66,37 @@ class GlobalStreamState:
     tail: list[int] = field(default_factory=list)
 
 
-def stream_state(corpus: DataFrame, cfg: HbiConfig) -> GlobalStreamState:
-    """Compute the continuation state of an already-indexed corpus. ``corpus``
-    needs doc_offset (with_global_offsets). One tiny agg + one tiny collect
-    (only the last ngram-1 tokens' docs)."""
-    total = corpus.agg(F.sum("n_tok")).first()[0] or 0
-    need = cfg.ngram - 1
-    tail: list[int] = []
-    if need > 0 and total > 0:
+def _tail_tokens(
+    corpus: DataFrame, total: int, need: int, carried: list[int] | None = None
+) -> list[int]:
+    """Last ``need`` tokens of the stream ending at offset ``total`` — the
+    starts a build could not index because no successor existed yet. Collects
+    only the docs overlapping that window; ``carried`` (a previous state's
+    tail) is prepended before slicing so short batches extend, not replace,
+    the boundary. THE single definition of boundary-tail semantics — shared
+    by stream_state and the append path so the stored continuation state and
+    the appender can never desynchronize."""
+    stream_end: list[int] = list(carried or [])
+    if need <= 0:
+        return []
+    if total > 0:
         rows = (
             corpus.filter(F.col("doc_offset") + F.col("n_tok") > total - need)
             .orderBy("doc_offset")
             .select("tokens")
             .collect()
         )
-        stream_end: list[int] = []
         for r in rows:
             stream_end.extend(r["tokens"])
-        tail = stream_end[-need:] if len(stream_end) >= need else stream_end
-    return GlobalStreamState(int(total), tail)
+    return stream_end[-need:] if len(stream_end) >= need else stream_end
+
+
+def stream_state(corpus: DataFrame, cfg: HbiConfig) -> GlobalStreamState:
+    """Compute the continuation state of an already-indexed corpus. ``corpus``
+    needs doc_offset (with_global_offsets). One tiny agg + one tiny collect
+    (only the last ngram-1 tokens' docs)."""
+    total = corpus.agg(F.sum("n_tok")).first()[0] or 0
+    return GlobalStreamState(int(total), _tail_tokens(corpus, total, cfg.ngram - 1))
 
 
 def append_increment_global(
@@ -144,19 +156,7 @@ def _global_append_pieces(
     merged = merge_global_rows(index.filter(F.col("w_id") >= cutoff).unionByName(new_rows))
 
     new_total = state.total_tokens + (batch.agg(F.sum("n_tok")).first()[0] or 0)
-    need = cfg.ngram - 1
-    new_tail: list[int] = []
-    if need > 0:
-        rows = (
-            batch.filter(F.col("doc_offset") + F.col("n_tok") > new_total - need)
-            .orderBy("doc_offset")
-            .select("tokens")
-            .collect()
-        )
-        stream_end: list[int] = list(state.tail)
-        for r in rows:
-            stream_end.extend(r["tokens"])
-        new_tail = stream_end[-need:] if len(stream_end) >= need else stream_end
+    new_tail = _tail_tokens(batch, new_total, cfg.ngram - 1, carried=state.tail)
     return untouched, merged, int(boundary_start), GlobalStreamState(int(new_total), new_tail)
 
 

@@ -50,6 +50,53 @@ def test_reactive_policy_end_to_end(spark):
     assert got == exp
 
 
+def test_compacted_index_long_pattern_falls_back_exact(spark):
+    """A compacted index whose shallowest surviving span is SHORTER than the
+    pattern has no level that can prune it — the search must fall back to the
+    exact scan, not silently return empty (regression: the seed-level clamp
+    used to push the start level past deepest_usable_level, making the
+    descent range empty)."""
+    from hierarchical_bloom_filter_index_spark.operators.build import compact_index
+    from hierarchical_bloom_filter_index_spark.operators.route import window_membership
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=45).cache()
+    idx = build_index(corp, CFG).cache()
+    # drop every level with span > 64: kept spans {64, 32} (levels 3, 4)
+    lp = 3
+    compacted = compact_index(idx, lp).cache()
+    stats = index_stats(compacted, CFG)
+    assert int(stats["level"].min()) == lp
+
+    row = corp.filter(F.col("n_tok") >= 140).first()
+    pat = row["tokens"][10:110]  # m=100 > kept span 64 -> no usable level
+    exp = sorted((r["doc_id"], r["pos"]) for r in brute_force_search(corp, pat).collect())
+    assert exp  # the pattern really occurs
+    for sl in (None, "auto"):
+        freq = frequency_summary(corp, CFG) if sl == "auto" else None
+        got = sorted(
+            (r["doc_id"], r["pos"])
+            for r in pattern_search(corp, compacted, CFG, pat, start_level=sl,
+                                    stats=stats, freq=freq).collect()
+        )
+        assert got == exp
+
+    # window_membership at a DROPPED level: Bloom can't prune there — exact
+    # corpus fallback, not an empty result
+    token = int(row["tokens"][0])
+    span0 = CFG.tree_span  # level 0 span
+    exp_w = sorted(
+        {(r["doc_id"], p // span0)
+         for r in corp.collect() for p, t in enumerate(r["tokens"]) if t == token}
+    )
+    got_w = sorted(
+        (r["doc_id"], r["w_id"])
+        for r in window_membership(corp, compacted, CFG, token, level=0,
+                                   stats=stats).collect()
+    )
+    assert got_w == exp_w
+    idx.unpersist(); compacted.unpersist(); corp.unpersist()
+
+
 def test_choose_drop_level_monotone():
     import pandas as pd
 
