@@ -144,6 +144,38 @@ def q_pattern(pattern: list[int]):
     return run
 
 
+BATCH_PATTERNS = [PAT_PRESENT, PAT_RARE, PAT_MISSING, [ord(c) for c in " the "]]
+
+
+def q_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-pattern report: the reference replays its benchmark
+    query files pattern-by-pattern (HBIDatasetBenchmark.java:106-182); here
+    the whole batch shares ONE cascade — each index level is scanned once
+    for all patterns (operators/batch.py), answers per pattern unchanged."""
+    from hierarchical_bloom_filter_index_spark.operators import pattern_search_batch
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, BATCH_PATTERNS,
+        start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def _pattern_batch_oracle(patterns: list[list[int]]) -> str:
+    parts = []
+    for p, pat in enumerate(patterns):
+        m = len(pat)
+        parts.append(
+            f"""SELECT CAST({p} AS INTEGER) AS pattern_id, doc_id,
+       CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE tokens[i : i + {m} - 1] = {_pat_sql(pat)}"""
+        )
+    return f"WITH {CORPUS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
 def q_pattern_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern search with the MARKOV cost model choosing the seed level
     (CostFunctionMarkov, estimators/CostFunctionMarkov.java:29-93): survivor
@@ -534,6 +566,50 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GLOBAL_BATCH_PATTERNS = [PAT_GLOBAL, [ord(c) for c in "merge"],
+                         [ord(c) for c in "z\x01z"]]
+
+
+def q_global_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched global pattern search: one shared cascade over the one-stream
+    index for several patterns (present / rarer / missing), exact gpos per
+    pattern."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_pattern_search_batch,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_pattern_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GLOBAL_BATCH_PATTERNS,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
+def _global_batch_oracle(patterns: list[list[int]]) -> str:
+    sels = []
+    for p, pat in enumerate(patterns):
+        joins = " ".join(
+            f"JOIN flat f{j} ON f{j}.g = f0.g + {j} AND f{j}.t = {pat[j]}"
+            for j in range(1, len(pat))
+        )
+        sels.append(
+            f"SELECT CAST({p} AS INTEGER) AS pattern_id, CAST(f0.g AS BIGINT) AS gpos "
+            f"FROM flat f0 {joins} WHERE f0.t = {pat[0]}"
+        )
+    return f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+)
+""" + "\nUNION ALL\n".join(sels)
+
+
 def q_expire_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expire() — whole-window eviction past a horizon (PMIndex/HBI.java:
     209-211): evict the first half of the global stream (leaf horizon =
@@ -764,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_multilevel": q_pattern_multilevel,
         "hbi_pattern_missing": q_pattern(PAT_MISSING),
         "hbi_pattern_rare": q_pattern(PAT_RARE),
+        "hbi_pattern_batch": q_pattern_batch,
+        "hbi_global_pattern_batch": q_global_pattern_batch,
         "window_membership": q_window_membership,
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
@@ -825,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_markov": _pattern_oracle(PAT_RARE),
+        "hbi_pattern_batch": _pattern_batch_oracle(BATCH_PATTERNS),
+        "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),

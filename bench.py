@@ -61,6 +61,9 @@ def main() -> None:
         "hbi_pattern_present",
         "hbi_pattern_missing",
         "hbi_pattern_rare",
+        # 4 patterns, ONE shared cascade (operators/batch.py) — compare with
+        # the sum of the three single-pattern queries above
+        "hbi_pattern_batch",
         "window_membership",
         "bigram_topk",
         "cms_freq_probes",

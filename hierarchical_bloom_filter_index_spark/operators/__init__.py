@@ -7,6 +7,7 @@ from .build import (
     level_seed,
     merge_global_rows,
 )
+from .batch import global_pattern_search_batch, pattern_search_batch
 from .probe import probe_blobs
 from .rollup import build_hll_window_index, window_distinct_estimates
 from .route import (
@@ -33,6 +34,10 @@ __all__ = [
     "window_distinct_estimates",
     "brute_force_search",
     "deepest_usable_level",
+    "global_pattern_search_batch",
+    "pattern_search_batch",
+    "global_pattern_search",
+    "pattern_probe_plan",
     "frequency_summary",
     "pattern_keys",
     "pattern_search",

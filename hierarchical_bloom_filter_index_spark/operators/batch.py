@@ -1,0 +1,469 @@
+"""Batched multi-pattern search: N patterns share ONE cascade.
+
+The reference replays its query workloads pattern-by-pattern (report() per
+query, PMIndex/HBI.java:415-605, driven from the benchmark CSVs in
+Benchmarks/): at 100 TB each pattern would re-scan every index level. Here
+the level probe computes EVERY pattern's key bitmask in one Arrow pass over
+each sketch blob (blobs are deserialized once per level for the whole
+batch), the neighbor-union combine is one zip_with over the mask arrays,
+and the descent keeps a (window, pattern_id) frontier — one Spark job per
+level REGARDLESS of how many patterns are in flight. Verification stays
+per-pattern exact (the same codegen'd subsequence scan, dispatched on
+pattern_id), so batching changes cost, never answers.
+
+Per-pattern answers are identical to running pattern_search /
+global_pattern_search one pattern at a time (differential-tested); patterns
+the index cannot prune (too short for the n-gram, longer than tree_span, or
+longer than every surviving span of a compacted index) fall back to the
+exact scan individually and are unioned into the result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import HbiConfig
+from ..functions import subsequence_positions
+from .probe import probe_blobs
+from .route import (
+    _candidates_by_doc,
+    _cut_frontier,
+    _level_rows,
+    _pattern_spec,
+    _plan_start_level,
+    _stitched_corpus,
+    brute_force_search,
+    deepest_usable_level,
+    pattern_probe_plan,
+)
+
+BATCH_MATCH_SCHEMA = "pattern_id int, doc_id string, pos int"
+BATCH_GLOBAL_SCHEMA = "pattern_id int, gpos long"
+
+
+def _probe_level_batch(
+    level_rows: DataFrame,
+    specs: list[tuple[np.ndarray, int, list[int]]],
+    doc_axis: bool,
+    probe_counter=None,
+) -> DataFrame:
+    """One level's batched probe: every window × every pattern in ONE Arrow
+    stage. Each blob is deserialized once and probed against the UNION of
+    all patterns' key lists; per-pattern masks are column gathers of the
+    shared hit matrix. Emits (id cols, pattern_id) for surviving
+    (window, pattern) pairs; the neighbor-union test per pattern is the
+    same OR-of-AND-masks as the single-pattern probe, over
+    element_at(umasks, p)."""
+    P = len(specs)
+    all_keys = np.unique(np.concatenate([s[0] for s in specs]))
+    key_pos = [np.searchsorted(all_keys, s[0]) for s in specs]
+    anchor_pos = [
+        int(np.searchsorted(all_keys, s[0][s[1]])) if s[1] >= 0 else -1 for s in specs
+    ]
+    id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
+    schema = (
+        ("doc_id string, " if doc_axis else "")
+        + "w_id long, anchor_oks array<boolean>, masks array<long>"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if probe_counter is not None:
+                probe_counter.add(len(pdf))
+            hits = probe_blobs(pdf["bloom"].tolist(), all_keys)  # (n, |union|)
+            out = pdf[id_cols].copy()
+            anch = np.ones((len(pdf), P), dtype=bool)
+            masks = np.zeros((len(pdf), P), dtype=np.int64)
+            for p in range(P):
+                hp = hits[:, key_pos[p]]
+                masks[:, p] = (
+                    hp.astype(np.uint64)
+                    << np.arange(hp.shape[1], dtype=np.uint64)[None, :]
+                ).sum(axis=1, dtype=np.uint64).astype(np.int64)
+                if anchor_pos[p] >= 0:
+                    anch[:, p] = hits[:, anchor_pos[p]]
+            out["anchor_oks"] = list(anch)
+            out["masks"] = list(masks)
+            yield out
+
+    masks = level_rows.mapInPandas(probe, schema=schema)
+    zero = F.array_repeat(F.lit(0).cast("long"), P)
+    bor = lambda a, b: a.bitwiseOR(b)  # noqa: E731
+    if doc_axis:
+        w = Window.partitionBy("doc_id").orderBy("w_id")
+        nxt = F.when(
+            F.lead("w_id").over(w) == F.col("w_id") + 1, F.lead("masks").over(w)
+        ).otherwise(zero)
+        combined = masks.withColumn("umasks", F.zip_with(F.col("masks"), nxt, bor))
+    else:
+        nbr = masks.select((F.col("w_id") - 1).alias("w_id"), F.col("masks").alias("nmasks"))
+        combined = masks.join(nbr, on="w_id", how="left").withColumn(
+            "umasks", F.zip_with(F.col("masks"), F.coalesce(F.col("nmasks"), zero), bor)
+        )
+    surviving = []
+    for p, (_keys, _anchor_idx, align_masks) in enumerate(specs):
+        um = F.element_at("umasks", p + 1)
+        cond = None
+        for am in align_masks:
+            c = um.bitwiseAND(F.lit(am)) == F.lit(am)
+            cond = c if cond is None else (cond | c)
+        surviving.append(F.when(F.element_at("anchor_oks", p + 1) & cond, F.lit(p)))
+    surv = F.filter(F.array(*surviving), lambda x: x.isNotNull())
+    return combined.select(*id_cols, F.explode(surv).alias("pattern_id"))
+
+
+def _descend_batch(
+    index: DataFrame,
+    specs: list[tuple[np.ndarray, int, list[int]]],
+    firsts: list[int],
+    deepests: list[int],
+    doc_axis: bool,
+    spark,
+    stats_out: dict | None = None,
+):
+    """Shared children-of-survivors descent for a pattern batch. The frontier
+    carries (window, pattern_id); each pattern ENTERS the cascade at its OWN
+    planned level (a frequent pattern the planner seeds at the leaf must not
+    drag a huge frontier through every coarse level — levels nobody is
+    descending through or activating at are skipped entirely) and stops at
+    ITS deepest usable level, handing its final frontier to verification
+    while others continue. A level where some pattern activates scans the
+    full level once, shared by every pattern probing there. Returns
+    {pattern_index: (survivors_df_or_None, n, collected_rows_or_None)} with
+    rows/dfs holding only the id columns (pattern_id stripped)."""
+    id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
+    schema = ("doc_id string, " if doc_axis else "") + "w_id long, pattern_id int"
+    pending = set(range(len(specs)))
+    active: list[int] = []
+    frontier: DataFrame | None = None
+    frontier_rows = None
+    finished: dict[int, tuple[DataFrame | None, int, list | None]] = {}
+    probe_counter = spark.sparkContext.accumulator(0) if stats_out is not None else None
+    if stats_out is not None:
+        stats_out.update({"start_levels": {p: int(f) for p, f in enumerate(firsts)},
+                          "windows_probed": {}, "survivors": {}})
+    for L in range(min(firsts), max(deepests) + 1):
+        activators = [p for p in pending if firsts[p] == L]
+        pending -= set(activators)
+        if frontier is None and not activators:
+            continue  # nothing descends through or enters at this level
+        rows = _level_rows(index, L, doc_axis=doc_axis)
+        children = None
+        if frontier is not None:
+            kids = F.explode(
+                F.array(F.col("w_id") * 2, F.col("w_id") * 2 + 1, F.col("w_id") * 2 + 2)
+            ).alias("w_id")
+            sel = (["doc_id"] if doc_axis else []) + ["pattern_id"]
+            children = frontier.select(*sel, kids).distinct()
+            if frontier_rows is not None:  # collected → small → broadcast
+                children = F.broadcast(children)
+            if not activators:
+                # no fresh entrant needs the full level: restrict the scan
+                # to the descending frontier's children
+                windows = children.select(*id_cols).distinct()
+                rows = rows.join(windows, on=id_cols, how="left_semi")
+        if probe_counter is not None:
+            probe_counter.value = 0
+        probed = _probe_level_batch(rows, specs, doc_axis, probe_counter)
+        if children is not None:
+            # active patterns only keep windows descending from THEIR
+            # survivors; activators keep every surviving window
+            constrained = probed.join(children, on=id_cols + ["pattern_id"], how="left_semi")
+            if activators:
+                fresh = probed.filter(F.col("pattern_id").isin(activators))
+                probed = constrained.unionByName(fresh)
+            else:
+                probed = constrained
+        else:
+            probed = probed.filter(F.col("pattern_id").isin(activators))
+        frontier, n_surv, frontier_rows = _cut_frontier(probed, schema, probe_counter)
+        if stats_out is not None:
+            stats_out["windows_probed"][L] = probe_counter.value
+            stats_out["survivors"][L] = n_surv
+        live = active + activators
+        if n_surv == 0:
+            for p in live:
+                finished[p] = (None, 0, [])
+            active, frontier, frontier_rows = [], None, None
+            if not pending:
+                return finished
+            continue
+        done_now = [p for p in live if deepests[p] == L]
+        for p in done_now:
+            if frontier_rows is not None:
+                mine = [r[:-1] for r in frontier_rows if r[-1] == p]
+                fdf = (
+                    spark.createDataFrame(mine, ("doc_id string, " if doc_axis else "") + "w_id long")
+                    if mine
+                    else None
+                )
+                finished[p] = (fdf, len(mine), mine)
+            else:
+                fdf = frontier.filter(F.col("pattern_id") == p).select(*id_cols)
+                finished[p] = (fdf, -1, None)  # n unknown; only emptiness matters later
+        active = [p for p in live if deepests[p] > L]
+        if not active and not pending:
+            return finished
+        if done_now:
+            if frontier_rows is not None:
+                frontier_rows = [r for r in frontier_rows if r[-1] in set(active)]
+                frontier = spark.createDataFrame(frontier_rows, schema) if frontier_rows else None
+            elif active:
+                frontier = frontier.filter(F.col("pattern_id").isin(active))
+            else:
+                frontier, frontier_rows = None, None
+            if frontier is None:
+                frontier_rows = None
+                for p in active:
+                    finished[p] = (None, 0, [])
+                active = []
+                if not pending:
+                    return finished
+    # any pattern not yet recorded died with an empty frontier
+    for p in list(active):
+        finished.setdefault(p, (None, 0, []))
+    return finished
+
+
+def _plan_batch(patterns, cfg, start_level, stats, freq, markov, model, selective):
+    """Per-pattern probe plans. Returns (cascade: list of
+    (pattern_index, spec, first_level, deepest), exact: list of
+    pattern_index). Each pattern keeps its OWN planner-chosen entry level —
+    the batch descent activates it there (see _descend_batch)."""
+    cascade, exact = [], []
+    for p, pat in enumerate(patterns):
+        m = len(pat)
+        if m == 0:
+            raise ValueError(f"empty pattern at index {p}")
+        if (cfg.ngram > 1 and m < cfg.ngram) or m > cfg.tree_span:
+            exact.append(p)
+            continue
+        keys, anchor, aligns = pattern_probe_plan(pat, cfg)
+        if keys is None:
+            exact.append(p)
+            continue
+        deepest = deepest_usable_level(cfg, m)
+        first_p = _plan_start_level(
+            start_level, stats, freq, markov, model, keys, m, pat,
+            deepest, selective=selective,
+        )
+        if first_p > deepest:
+            exact.append(p)  # compacted away — index can't prune this one
+            continue
+        cascade.append((p, _pattern_spec(keys, anchor, aligns), first_p, deepest))
+    return cascade, exact
+
+
+def pattern_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    patterns: list[list[int]],
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+    markov=None,
+    model: str | None = None,
+    selective: bool = False,
+) -> DataFrame:
+    """Exact match positions for EVERY pattern in one shared cascade:
+    (pattern_id, doc_id, pos) — pattern_id is the pattern's index in
+    ``patterns``. Equal row-for-row to a union of per-pattern
+    pattern_search calls; the index levels are scanned once for the whole
+    batch instead of once per pattern."""
+    if cfg.axis != "doc":
+        raise NotImplementedError(
+            "pattern_search_batch routes on the doc axis; use "
+            "global_pattern_search_batch for cfg.axis='global'"
+        )
+    if not patterns:
+        raise ValueError("empty pattern batch")
+    spark = corpus.sparkSession
+    cascade, exact = _plan_batch(
+        patterns, cfg, start_level, stats, freq, markov, model, selective
+    )
+    parts: list[DataFrame] = []
+    for p in exact:
+        parts.append(
+            brute_force_search(corpus, patterns[p]).select(
+                F.lit(p).alias("pattern_id"), "doc_id", "pos"
+            )
+        )
+    if cascade:
+        specs = [s for _p, s, _f, _d in cascade]
+        firsts = [f for _p, _s, f, _d in cascade]
+        deepests = [d for _p, _s, _f, d in cascade]
+        finished = _descend_batch(
+            index, specs, firsts, deepests, doc_axis=True, spark=spark,
+            stats_out=stats_out,
+        )
+        # verify each pattern at its own span; group patterns sharing a span
+        # into ONE corpus join with the subsequence scan dispatched on
+        # pattern_id (chained literal branches — batch sizes are workload
+        # query sets, tens not thousands)
+        by_span: dict[int, list[int]] = {}
+        for i, (_p, _s, _f, d) in enumerate(cascade):
+            by_span.setdefault(cfg.span(d), []).append(i)
+        for span, members in by_span.items():
+            cand_parts, all_small = [], True
+            live = []
+            for i in members:
+                fdf, n, rows = finished[i]
+                if fdf is None:
+                    continue
+                live.append(i)
+                cand, small = _candidates_by_doc(spark, fdf, rows)
+                cand_parts.append(cand.select(F.lit(cascade[i][0]).alias("pattern_id"), "doc_id", "wids"))
+                all_small = all_small and small
+            if not live:
+                continue
+            cands = cand_parts[0]
+            for c in cand_parts[1:]:
+                cands = cands.unionByName(c)
+            joined = corpus.join(
+                F.broadcast(cands) if all_small else cands, on="doc_id", how="inner"
+            )
+            pos_expr = None
+            for i in live:
+                p = cascade[i][0]
+                pos = F.filter(
+                    subsequence_positions("tokens", patterns[p]),
+                    lambda idx: F.array_contains("wids", (idx / span).cast("long")),
+                )
+                pos_expr = (
+                    F.when(F.col("pattern_id") == p, pos)
+                    if pos_expr is None
+                    else pos_expr.when(F.col("pattern_id") == p, pos)
+                )
+            parts.append(
+                joined.select(
+                    "pattern_id", "doc_id", F.explode(pos_expr).alias("pos")
+                )
+            )
+    if not parts:
+        return spark.createDataFrame([], BATCH_MATCH_SCHEMA)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def global_pattern_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    patterns: list[list[int]],
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+    markov=None,
+    model: str | None = None,
+    selective: bool = False,
+) -> DataFrame:
+    """Batched exact GLOBAL pattern search over the one concatenated stream:
+    (pattern_id, gpos). One shared cascade; the corpus is stitched ONCE with
+    the longest pattern's tail need (a longer stitched suffix only completes
+    true stream matches, never invents one)."""
+    if cfg.axis != "global":
+        raise ValueError("global_pattern_search_batch needs cfg.axis='global'")
+    if not patterns:
+        raise ValueError("empty pattern batch")
+    spark = corpus.sparkSession
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    max_m = max(len(p) for p in patterns)
+    stitched = (
+        _stitched_corpus(corpus, max_m, min_doc_tokens=cfg.min_doc_tokens)
+        if max_m > 1
+        else corpus.withColumn("stitched", F.col("tokens"))
+    )
+
+    def exact_scan(p: int) -> DataFrame:
+        return stitched.select(
+            F.lit(p).alias("pattern_id"),
+            F.explode(subsequence_positions("stitched", patterns[p])).alias("pp"),
+            "doc_offset", "n_tok",
+        ).filter(F.col("pp") < F.col("n_tok")).select(
+            "pattern_id", (F.col("doc_offset") + F.col("pp")).alias("gpos")
+        )
+
+    cascade, exact = _plan_batch(
+        patterns, cfg, start_level, stats, freq, markov, model, selective
+    )
+    parts = [exact_scan(p) for p in exact]
+    if cascade:
+        specs = [s for _p, s, _f, _d in cascade]
+        firsts = [f for _p, _s, f, _d in cascade]
+        deepests = [d for _p, _s, _f, d in cascade]
+        finished = _descend_batch(
+            index, specs, firsts, deepests, doc_axis=False, spark=spark,
+            stats_out=stats_out,
+        )
+        by_span: dict[int, list[int]] = {}
+        for i, (_p, _s, _f, d) in enumerate(cascade):
+            by_span.setdefault(cfg.span(d), []).append(i)
+        for span, members in by_span.items():
+            surv_parts, all_small = [], True
+            live = []
+            for i in members:
+                fdf, n, rows = finished[i]
+                if fdf is None:
+                    continue
+                live.append(i)
+                surv_parts.append(
+                    fdf.select(F.lit(cascade[i][0]).alias("pattern_id"), "w_id")
+                )
+                all_small = all_small and rows is not None
+            if not live:
+                continue
+            surv = surv_parts[0]
+            for s in surv_parts[1:]:
+                surv = surv.unionByName(s)
+            wid_df = F.broadcast(surv) if all_small else surv
+            doc_windows = stitched.select(
+                "doc_offset", "n_tok", "stitched",
+                F.explode(
+                    F.sequence(
+                        (F.col("doc_offset") / span).cast("long"),
+                        ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+                    )
+                ).alias("w_id"),
+            )
+            cand_docs = (
+                doc_windows.join(wid_df, on="w_id", how="inner")
+                .groupBy("doc_offset", "n_tok", "stitched", "pattern_id")
+                .agg(F.collect_set("w_id").alias("wids"))
+            )
+            pos_expr = None
+            for i in live:
+                p = cascade[i][0]
+                pos = F.filter(
+                    subsequence_positions("stitched", patterns[p]),
+                    lambda idx: (idx < F.col("n_tok"))
+                    & F.array_contains(
+                        "wids", ((F.col("doc_offset") + idx) / span).cast("long")
+                    ),
+                )
+                pos_expr = (
+                    F.when(F.col("pattern_id") == p, pos)
+                    if pos_expr is None
+                    else pos_expr.when(F.col("pattern_id") == p, pos)
+                )
+            parts.append(
+                cand_docs.select(
+                    "pattern_id", "doc_offset", F.explode(pos_expr).alias("pp")
+                ).select("pattern_id", (F.col("doc_offset") + F.col("pp")).alias("gpos"))
+            )
+    if not parts:
+        return spark.createDataFrame([], BATCH_GLOBAL_SCHEMA)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

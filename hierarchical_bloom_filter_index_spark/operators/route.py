@@ -96,6 +96,37 @@ def deepest_usable_level(cfg: HbiConfig, m: int) -> int:
     return L
 
 
+def _pattern_spec(
+    keys: np.ndarray, anchor: int | None, align_keys: list[np.ndarray] | None
+) -> tuple[np.ndarray, int, list[int]]:
+    """Normalize one pattern's probe inputs into (sorted capped key list,
+    anchor index or -1, per-alignment bitmasks over that key list). Patterns
+    with more than 62 distinct keys prune on the first 62 (a subset of
+    constraints — still a sound superset of candidates; verification stays
+    exact); the mask must fit a positive int64 literal."""
+    key_list = keys.astype(np.uint64)
+    if len(key_list) > 62:
+        if anchor is not None:
+            a = np.uint64(anchor)
+            rest = key_list[key_list != a][:61]
+            key_list = np.concatenate([[a], rest]).astype(np.uint64)
+        else:
+            key_list = key_list[:62]
+        key_list.sort()
+    retained = set(key_list.tolist())
+    if align_keys is None:
+        align_keys = [key_list]
+    align_masks = []
+    for ks in align_keys:
+        mask = 0
+        for kv in ks.astype(np.uint64):
+            if int(kv) in retained:  # dropped keys weaken (never break) pruning
+                mask |= 1 << int(np.searchsorted(key_list, kv))
+        align_masks.append(mask)
+    anchor_idx = int(np.searchsorted(key_list, np.uint64(anchor))) if anchor is not None else -1
+    return key_list, anchor_idx, align_masks
+
+
 def _probe_level(
     level_rows: DataFrame,
     keys: np.ndarray,
@@ -117,26 +148,7 @@ def _probe_level(
     ``align_keys``: alignment classes for the strided index — a window
     survives when ANY class's full key set is in the union (OR of ANDs).
     """
-    key_list = keys.astype(np.uint64)
-    if len(key_list) > 62:  # mask must fit a positive int64 literal
-        if anchor is not None:
-            a = np.uint64(anchor)
-            rest = key_list[key_list != a][:61]
-            key_list = np.concatenate([[a], rest]).astype(np.uint64)
-        else:
-            key_list = key_list[:62]
-        key_list.sort()
-    retained = set(key_list.tolist())
-    if align_keys is None:
-        align_keys = [key_list]
-    align_masks = []
-    for ks in align_keys:
-        mask = 0
-        for kv in ks.astype(np.uint64):
-            if int(kv) in retained:  # dropped keys weaken (never break) pruning
-                mask |= 1 << int(np.searchsorted(key_list, kv))
-        align_masks.append(mask)
-    anchor_idx = int(np.searchsorted(key_list, np.uint64(anchor))) if anchor is not None else -1
+    key_list, anchor_idx, align_masks = _pattern_spec(keys, anchor, align_keys)
     id_cols = ["doc_id", "w_id"] if doc_axis else ["w_id"]
     mask_schema = ("doc_id string, " if doc_axis else "") + "w_id long, anchor_ok boolean, mask long"
 

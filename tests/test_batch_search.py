@@ -1,0 +1,157 @@
+"""Batched multi-pattern search == per-pattern search, on both axes.
+
+The batch cascade shares every level scan across the patterns; these tests
+pin the contract that sharing changes COST only: for every pattern_id the
+batch result equals the single-pattern search (itself differential-tested
+against brute force), across mixed lengths (different deepest levels),
+missing patterns (frontier death mid-batch), >62-key patterns (mask
+capping), strided n-gram configs, exact-scan fallbacks, and compacted
+indexes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.operators import (
+    build_index,
+    brute_force_search,
+    compact_index,
+    frequency_summary,
+    global_pattern_search,
+    global_pattern_search_batch,
+    index_stats,
+    pattern_search,
+    pattern_search_batch,
+)
+from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+
+CFG = HbiConfig(tree_span=512, leaf_span=32, fpr=0.05, vocab=4096, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = C.generate_corpus(spark, sf=0.002, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    idx = build_index(corpus, CFG).cache()
+    idx.count()
+    return idx
+
+
+def _singles(corpus, index, cfg, patterns, **kw):
+    exp = []
+    for p, pat in enumerate(patterns):
+        for r in pattern_search(corpus, index, cfg, pat, **kw).collect():
+            exp.append((p, r["doc_id"], r["pos"]))
+    return sorted(exp)
+
+
+def _batch(corpus, index, cfg, patterns, **kw):
+    return sorted(
+        (r["pattern_id"], r["doc_id"], r["pos"])
+        for r in pattern_search_batch(corpus, index, cfg, patterns, **kw).collect()
+    )
+
+
+def _mixed_patterns(corpus):
+    """present short / present long (different deepest level, >62 keys) /
+    missing (dies at the root) / rare repeated slice."""
+    rows = corpus.filter(F.col("n_tok") >= 200).orderBy("doc_id").limit(2).collect()
+    t0, t1 = rows[0]["tokens"], rows[1]["tokens"]
+    return [
+        t0[5:11],                     # m=6: descends to the leaf
+        t1[10:110],                   # m=100: deepest is a coarser level; 62-key cap
+        [9991, 9992, 9993, 9994],     # tokens outside vocab: frontier death
+        t0[50:66],                    # m=16
+    ]
+
+
+def test_batch_equals_singles_doc_axis(spark, corpus, index):
+    patterns = _mixed_patterns(corpus)
+    got = _batch(corpus, index, CFG, patterns)
+    exp = _singles(corpus, index, CFG, patterns)
+    assert got == exp
+    assert any(pid == 0 for pid, *_ in got)      # short present pattern matched
+    assert not any(pid == 2 for pid, *_ in got)  # missing pattern empty
+
+
+def test_batch_with_planner_and_stats(spark, corpus, index):
+    patterns = _mixed_patterns(corpus)
+    stats = index_stats(index, CFG)
+    freq = frequency_summary(corpus, CFG)
+    stats_out = {}
+    got = _batch(corpus, index, CFG, patterns, start_level="auto", freq=freq,
+                 stats=stats, stats_out=stats_out)
+    exp = _singles(corpus, index, CFG, patterns)
+    assert got == exp
+    assert stats_out["windows_probed"] and stats_out["survivors"]
+
+
+def test_batch_compacted_index_fallback(spark, corpus, index):
+    """Patterns longer than every surviving span fall back to the exact scan
+    per pattern inside the batch."""
+    lp = 3  # kept spans {64, 32}
+    compacted = compact_index(index, lp).cache()
+    stats = index_stats(compacted, CFG)
+    patterns = _mixed_patterns(corpus)  # includes m=100 > 64 -> exact fallback
+    got = _batch(corpus, compacted, CFG, patterns, stats=stats)
+    exp = _singles(corpus, compacted, CFG, patterns, stats=stats)
+    assert got == exp
+    assert any(pid == 1 for pid, *_ in got)  # long pattern still matched
+    compacted.unpersist()
+
+
+def test_batch_strided_ngram_config(spark, corpus):
+    cfg = HbiConfig(tree_span=512, leaf_span=32, fpr=0.05, vocab=4096, seed=42,
+                    ngram=3, ngram_base_bits=12, stride=2)
+    idx = build_index(corpus, cfg).cache()
+    rows = corpus.filter(F.col("n_tok") >= 80).orderBy("doc_id").limit(2).collect()
+    t0, t1 = rows[0]["tokens"], rows[1]["tokens"]
+    patterns = [
+        t0[3:19],          # routed (both alignment classes indexed)
+        [1, 2],            # m < ngram: exact-scan fallback inside the batch
+        t1[7:57],
+        [8888, 8889, 8890, 8891, 8892],  # missing
+    ]
+    got = _batch(corpus, idx, cfg, patterns)
+    exp = _singles(corpus, idx, cfg, patterns)
+    assert got == exp
+    assert any(pid == 1 for pid, *_ in got)  # fallback pattern still answered
+    idx.unpersist()
+
+
+def test_batch_global_axis(spark):
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=9,
+                    axis="global", ngram=3, ngram_base_bits=12)
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=33)).cache()
+    idx = build_index(corp, cfg).cache()
+    rows = corp.orderBy("doc_id").limit(2).collect()
+    t0 = rows[0]["tokens"]
+    # a pattern crossing the first doc boundary: last 3 of doc0 + first 3 of doc1
+    crossing = t0[-3:] + rows[1]["tokens"][:3]
+    patterns = [t0[5:11], crossing, [9991, 9992, 9993], t0[2:34]]
+    exp = []
+    for p, pat in enumerate(patterns):
+        for r in global_pattern_search(corp, idx, cfg, pat).collect():
+            exp.append((p, r["gpos"]))
+    got = sorted(
+        (r["pattern_id"], r["gpos"])
+        for r in global_pattern_search_batch(corp, idx, cfg, patterns).collect()
+    )
+    assert got == sorted(exp)
+    assert any(pid == 1 for pid, _ in got)  # boundary-crossing pattern found
+    idx.unpersist()
+    corp.unpersist()
+
+
+def test_batch_rejects_empty(spark, corpus, index):
+    with pytest.raises(ValueError):
+        pattern_search_batch(corpus, index, CFG, [])
+    with pytest.raises(ValueError):
+        pattern_search_batch(corpus, index, CFG, [[1, 2, 3], []])
