@@ -427,8 +427,12 @@ def global_pattern_search_batch(
             for s in surv_parts[1:]:
                 surv = surv.unionByName(s)
             wid_df = F.broadcast(surv) if all_small else surv
+            # window join + grouping over (doc_offset, pattern_id, w_id)
+            # only; the token arrays join back by doc_offset afterwards
+            # (see global_pattern_search — grouping on the array column
+            # would shuffle the whole stitched corpus)
             doc_windows = stitched.select(
-                "doc_offset", "n_tok", "stitched",
+                "doc_offset", "n_tok",
                 F.explode(
                     F.sequence(
                         (F.col("doc_offset") / span).cast("long"),
@@ -436,10 +440,14 @@ def global_pattern_search_batch(
                     )
                 ).alias("w_id"),
             )
-            cand_docs = (
+            hit_docs = (
                 doc_windows.join(wid_df, on="w_id", how="inner")
-                .groupBy("doc_offset", "n_tok", "stitched", "pattern_id")
+                .groupBy("doc_offset", "pattern_id")
                 .agg(F.collect_set("w_id").alias("wids"))
+            )
+            cand_docs = stitched.join(
+                F.broadcast(hit_docs) if all_small else hit_docs,
+                on="doc_offset", how="inner",
             )
             pos_expr = None
             for i in live:

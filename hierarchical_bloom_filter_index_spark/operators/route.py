@@ -596,9 +596,13 @@ def global_pattern_search(
     wid_df = F.broadcast(survivors) if final_rows is not None else survivors
 
     # candidate docs: any doc whose start-position range intersects a
-    # surviving window — explode the doc's own window range (few per doc)
+    # surviving window — explode the doc's own window range (few per doc).
+    # The window join + grouping runs over (doc_offset, w_id) PAIRS ONLY;
+    # the token arrays never enter that shuffle (grouping on a large array
+    # column would move the whole stitched corpus) — the surviving docs'
+    # arrays are joined back by doc_offset afterwards.
     doc_windows = stitched.select(
-        "doc_offset", "n_tok", "stitched",
+        "doc_offset", "n_tok",
         F.explode(
             F.sequence(
                 (F.col("doc_offset") / span).cast("long"),
@@ -606,10 +610,14 @@ def global_pattern_search(
             )
         ).alias("w_id"),
     )
-    cand_docs = (
+    hit_docs = (
         doc_windows.join(wid_df, on="w_id", how="inner")
-        .groupBy("doc_offset", "n_tok", "stitched")
+        .groupBy("doc_offset")
         .agg(F.collect_set("w_id").alias("wids"))
+    )
+    cand_docs = stitched.join(
+        F.broadcast(hit_docs) if final_rows is not None else hit_docs,
+        on="doc_offset", how="inner",
     )
     # verify: start position i (0-based, within THIS doc), match may run into
     # the stitched prefix; keep only starts whose global window survived
