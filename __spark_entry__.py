@@ -552,6 +552,19 @@ def _global_index(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _global_cfg(spark: SparkSession, sf_dir: str) -> HbiConfig:
+    """Global-axis config with the corpus's measured min doc length declared
+    (one scan per sf_dir instead of one per search — the stream stitcher can
+    then size its join rounds without its own min(n_tok) pass)."""
+    key = ("gcfg", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        min_n = gcorp.filter(F.col("n_tok") > 0).agg(F.min("n_tok")).first()[0]
+        _CACHE[key] = CFG.with_(axis="global",
+                                min_doc_tokens=int(min_n) if min_n else None)
+    return _CACHE[key]
+
+
 def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern search over the ONE concatenated token stream (docs in doc_id
     order) — the reference's true semantics; matches may cross doc
@@ -561,7 +574,7 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcorp, gidx, gstats = _global_index(spark, sf_dir)
     freq, _dstats = _planner_inputs(spark, sf_dir)
     return global_pattern_search(
-        gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL,
+        gcorp, gidx, _global_cfg(spark, sf_dir), PAT_GLOBAL,
         start_level="auto", freq=freq, stats=gstats,
     )
 
@@ -581,7 +594,7 @@ def q_global_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcorp, gidx, gstats = _global_index(spark, sf_dir)
     freq, _dstats = _planner_inputs(spark, sf_dir)
     return global_pattern_search_batch(
-        gcorp, gidx, CFG.with_(axis="global"), GLOBAL_BATCH_PATTERNS,
+        gcorp, gidx, _global_cfg(spark, sf_dir), GLOBAL_BATCH_PATTERNS,
         start_level="auto", freq=freq, stats=gstats,
     )
 

@@ -14,6 +14,7 @@ from hierarchical_bloom_filter_index_spark.operators import (
     brute_force_search,
     build_index,
     pattern_search,
+    pattern_search_batch,
 )
 
 COMBOS = [
@@ -36,6 +37,8 @@ def test_random_patterns_match_bruteforce(spark, tree_span, leaf_span, fpr, ngra
     idx = build_index(corp, cfg).cache()
     rng = np.random.default_rng(seed)
     docs = corp.filter(F.col("n_tok") >= 48).orderBy("doc_id").limit(8).collect()
+    batch_patterns: list[list[int]] = []
+    batch_exp: list[tuple] = []
     for trial in range(3):
         doc = docs[int(rng.integers(0, len(docs)))]
         toks = list(doc["tokens"])
@@ -50,5 +53,14 @@ def test_random_patterns_match_bruteforce(spark, tree_span, leaf_span, fpr, ngra
         missing[int(rng.integers(0, plen))] = 5000 + trial
         got_m = _rows(pattern_search(corp, idx, cfg, missing))
         assert got_m == _rows(brute_force_search(corp, missing)) == []
+        for pat, rows in ((present, exp), (missing, [])):
+            batch_exp.extend((len(batch_patterns), d, p) for d, p in rows)
+            batch_patterns.append(pat)
+    # the same randomized workload through the shared-cascade batch
+    got_b = sorted(
+        (r["pattern_id"], r["doc_id"], r["pos"])
+        for r in pattern_search_batch(corp, idx, cfg, batch_patterns).collect()
+    )
+    assert got_b == sorted(batch_exp)
     idx.unpersist()
     corp.unpersist()
