@@ -225,6 +225,19 @@ def q_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_membership(_corpus(spark, sf_dir), _index(spark, sf_dir), CFG, ord("q"))
 
 
+def q_window_membership_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership for a whole token workload in ONE leaf-level scan: each
+    sketch blob probed once for every token, one verification join
+    (operators/batch.py:window_membership_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        window_membership_batch,
+    )
+
+    return window_membership_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PROBE_TOKENS
+    )
+
+
 def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-document windows never cross rows, so the rollup is pure array math
     # inside each row (array_distinct over slices) — zero shuffle, vs the
@@ -856,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_batch": q_pattern_batch,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "window_membership": q_window_membership,
+        "window_membership_batch": q_window_membership_batch,
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
         "index_geometry": q_index_geometry,
@@ -924,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",
+        "window_membership_batch": f"""WITH {CORPUS_CTE}, {POS_CTE}
+SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
+       CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
+FROM pos WHERE tokens[i] IN ({", ".join(str(t) for t in PROBE_TOKENS)})""",
         "window_distinct_rollup": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT doc_id, CAST({CFG.deepest} AS INT) AS level,
        CAST((i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,

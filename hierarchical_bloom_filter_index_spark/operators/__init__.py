@@ -7,7 +7,11 @@ from .build import (
     level_seed,
     merge_global_rows,
 )
-from .batch import global_pattern_search_batch, pattern_search_batch
+from .batch import (
+    global_pattern_search_batch,
+    pattern_search_batch,
+    window_membership_batch,
+)
 from .probe import probe_blobs
 from .rollup import build_hll_window_index, window_distinct_estimates
 from .route import (
@@ -42,4 +46,5 @@ __all__ = [
     "pattern_keys",
     "pattern_search",
     "window_membership",
+    "window_membership_batch",
 ]

@@ -21,6 +21,7 @@ exact scan individually and are unioned into the result.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import HbiConfig
@@ -113,6 +114,76 @@ def _probe_level_batch(
         surviving.append(F.when(F.element_at("anchor_oks", p + 1) & cond, F.lit(p)))
     surv = F.filter(F.array(*surviving), lambda x: x.isNotNull())
     return combined.select(*id_cols, F.explode(surv).alias("pattern_id"))
+
+
+def window_membership_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    tokens: list[int],
+    level: int | None = None,
+) -> DataFrame:
+    """'Which windows at level L contain token t?' for MANY tokens in ONE
+    level scan (the batched report/exists slice — the reference replays its
+    membership workloads token-by-token): each sketch blob is deserialized
+    and probed once against every token, then one corpus join verifies all
+    tokens with the occurrence scan dispatched on the token literal. Exact
+    (token, doc_id, w_id) rows, equal to a union of window_membership
+    calls."""
+    if cfg.ngram != 1:
+        raise ValueError("window_membership_batch requires a token-keyed index (ngram=1)")
+    if not tokens:
+        raise ValueError("empty token batch")
+    L = cfg.deepest if level is None else level
+    span = cfg.span(L)
+    vals = sorted({int(t) for t in tokens})
+    keys = np.asarray(vals, dtype=np.uint64)
+    rows = _level_rows(index, L, doc_axis=True)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hits = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, K)
+            ri, ci = np.nonzero(hits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[ri],
+                    "w_id": pdf["w_id"].to_numpy()[ri],
+                    "token": np.asarray(vals, dtype=np.int32)[ci],
+                }
+            )
+
+    cand = (
+        rows.mapInPandas(probe, schema="doc_id string, w_id long, token int")
+        .groupBy("doc_id", "token")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    def occ_expr(t: int):
+        # a helper (not a default-arg lambda) so `t` closes over correctly:
+        # a two-parameter lambda would be read by F.filter as (element,
+        # index) and silently compare against the POSITION
+        return F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0).cast("long"), (F.col("n_tok") - 1).cast("long")),
+                    lambda i: F.element_at("tokens", (i + 1).cast("int")) == F.lit(t),
+                ),
+                lambda i: (i / span).cast("long"),
+            )
+        )
+
+    occ = None
+    for t in vals:
+        occ = (
+            F.when(F.col("token") == t, occ_expr(t))
+            if occ is None
+            else occ.when(F.col("token") == t, occ_expr(t))
+        )
+    return corpus.join(cand, on="doc_id", how="inner").select(
+        "token", "doc_id",
+        F.explode(F.array_intersect(occ, F.col("wids"))).alias("w_id"),
+    )
 
 
 def _descend_batch(

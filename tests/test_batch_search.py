@@ -150,6 +150,28 @@ def test_batch_global_axis(spark):
     corp.unpersist()
 
 
+def test_window_membership_batch(spark, corpus, index):
+    """One level scan answers membership for many tokens — equal to a union
+    of single window_membership calls (incl. a token absent everywhere)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        window_membership,
+        window_membership_batch,
+    )
+
+    toks = [32, 101, 9876]  # frequent, frequent, absent
+    exp = []
+    for t in toks:
+        for r in window_membership(corpus, index, CFG, t).collect():
+            exp.append((t, r["doc_id"], r["w_id"]))
+    got = sorted(
+        (r["token"], r["doc_id"], r["w_id"])
+        for r in window_membership_batch(corpus, index, CFG, toks).collect()
+    )
+    assert got == sorted(exp)
+    assert any(t == 32 for t, *_ in got)
+    assert not any(t == 9876 for t, *_ in got)
+
+
 def test_batch_rejects_empty(spark, corpus, index):
     with pytest.raises(ValueError):
         pattern_search_batch(corpus, index, CFG, [])
