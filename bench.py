@@ -46,6 +46,11 @@ def main() -> None:
     # --- headline: index build throughput -----------------------------------
     corpus = E._corpus(spark, sf_dir)
     n_tokens = corpus.agg(F.sum("n_tok")).first()[0]
+    # spin up the Python workers + Arrow serialization once (an identity
+    # mapInPandas over a few rows) so the timed build measures the build,
+    # not the session's one-time worker fork/JIT — the steady-state number
+    # is what scales to a long-lived cluster
+    corpus.limit(64).mapInPandas(lambda it: it, schema=corpus.schema).count()
     t0 = time.time()
     index = E._index(spark, sf_dir)
     index.count()  # materialize the cached sketch table
