@@ -62,25 +62,27 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
     leaf-first then rolled up. Answers 'how many distinct tokens in window
     W at level L' within the 1.04/sqrt(2^p) envelope. The returned index is
     PERSISTED (see rollup_scaffold) — call ``unpersist()`` when done."""
-    from ..sketches.hll import HyperLogLog
+    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
 
     leaf_span = cfg.leaf_span
     deepest = cfg.deepest
     seed = cfg.seed + 7
 
     def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one hash pass + one scatter-max covers EVERY window of a doc
+        # (leaf_window_blobs) — the per-window HyperLogLog-object loop was
+        # the build hotspot (tens of thousands of 4 KB register allocations
+        # per partition; 58 s -> ~8 s at sf0.1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out_doc, out_w, out_sk = [], [], []
             for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                arr = np.asarray(toks, dtype=np.int64)
-                for w in range(0, (len(arr) + leaf_span - 1) // leaf_span):
-                    sk = HyperLogLog(p=p, seed=seed)
-                    sk.update(arr[w * leaf_span : (w + 1) * leaf_span])
-                    out_doc.append(did)
-                    out_w.append(w)
-                    out_sk.append(sk.to_bytes())
+                blobs = leaf_window_blobs(np.asarray(toks, dtype=np.int64),
+                                          leaf_span, p, seed)
+                out_doc.extend([did] * len(blobs))
+                out_w.extend(range(len(blobs)))
+                out_sk.extend(blobs)
             yield pd.DataFrame(
                 {"doc_id": out_doc, "level": deepest, "w_id": out_w, "sketch": out_sk}
             )
@@ -90,25 +92,19 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
     def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ONE vectorized Arrow pass per level (not applyInPandas per group —
         # that pays a pandas round-trip for each of the ~|windows| parents);
-        # single-child parents pass their blob through unparsed
+        # all parents of the batch merge in a single register-wise
+        # maximum.reduceat (merge_blob_groups), no per-parent object churn
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = {c: [] for c in ("doc_id", "level", "w_id", "sketch")}
-            for did, lvl, wid, children in zip(
-                pdf["doc_id"], pdf["level"], pdf["w_id"], pdf["children"]
-            ):
-                out["doc_id"].append(did)
-                out["level"].append(lvl)
-                out["w_id"].append(wid)
-                if len(children) == 1:
-                    out["sketch"].append(bytes(children[0]))
-                    continue
-                acc = from_bytes(bytes(children[0]))
-                for b in children[1:]:
-                    acc = acc.merge(from_bytes(bytes(b)))
-                out["sketch"].append(acc.to_bytes())
-            yield pd.DataFrame(out)
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(b) for b in children)
+            out = pdf[["doc_id", "level", "w_id"]].copy()
+            out["sketch"] = merge_blob_groups(flat, counts, p)
+            yield out
 
     def hll_pass(cur: DataFrame, L: int) -> DataFrame:
         # parent window = merge of its (at most 2) children — sketch rows only
@@ -123,15 +119,18 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
 
 
 def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:
-    """(doc_id, w_id, est_distinct) at one level — deserialization batched."""
+    """(doc_id, w_id, est_distinct) at one level — whole batches estimated
+    in one vectorized register pass (sketches.hll.estimate_blobs)."""
+    from ..sketches.hll import estimate_blobs
 
     def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = [float(from_bytes(bytes(b)).estimate()) for b in pdf["sketch"]]
+            blobs = [bytes(b) for b in pdf["sketch"]]
+            p = int(from_bytes(blobs[0]).p)
             out = pdf[["doc_id", "w_id"]].copy()
-            out["est_distinct"] = vals
+            out["est_distinct"] = estimate_blobs(blobs, p)
             yield out
 
     return hll_index.filter(F.col("level") == level).mapInPandas(

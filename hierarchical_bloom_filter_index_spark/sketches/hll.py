@@ -83,3 +83,73 @@ class HyperLogLog:
         magic, (p, seed), (regs,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC, "HyperLogLog")
         return cls(p, seed, regs)
+
+
+# header bytes before the register array in the wire format: magic/version/
+# n_params (4) + two int64 params (16) + n_arrays (1) + dtype/len (9)
+_REG_OFFSET = 30
+
+
+def leaf_window_blobs(tokens: np.ndarray, window: int, p: int, seed: int) -> list[bytes]:
+    """Serialized HLLs for every consecutive ``window``-token slice of
+    ``tokens`` in ONE hash pass + ONE scatter-max — no per-window python
+    objects (the naive loop was the leaf-build hotspot: tens of thousands of
+    4 KB register allocations per partition). Byte-identical to
+    ``HyperLogLog(p, seed).update(slice).to_bytes()`` per window."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    m = 1 << p
+    nw = (n + window - 1) // window
+    h = hash64(np.asarray(tokens, dtype=np.int64), seed)
+    idx = (h >> _U64(64 - p)).astype(np.int64)
+    low = h & ((_U64(1) << _U64(64 - p)) - _U64(1))
+    rho = ((64 - p) - bit_length_u64(low) + 1).astype(np.uint8)
+    w = np.arange(n, dtype=np.int64) // window
+    regs = np.zeros(nw * m, dtype=np.uint8)
+    np.maximum.at(regs, w * m + idx, rho)
+    return [base.pack(_MAGIC, [p, seed], [regs[i * m : (i + 1) * m]]) for i in range(nw)]
+
+
+def estimate_blobs(blobs: list[bytes], p: int) -> np.ndarray:
+    """Cardinality estimates for a batch of serialized HLLs in one
+    vectorized pass — same math as ``HyperLogLog.estimate()`` (bias-corrected
+    harmonic mean + linear-counting small-range correction), without
+    per-blob object construction."""
+    if not blobs:
+        return np.empty(0, dtype=np.float64)
+    m = 1 << p
+    mats = np.empty((len(blobs), m), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        if b[0] != _MAGIC:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
+        mats[i] = np.frombuffer(b, dtype=np.uint8, count=m, offset=_REG_OFFSET)
+    inv_sum = np.power(2.0, -mats.astype(np.float64)).sum(axis=1)
+    e = _alpha(m) * m * m / inv_sum
+    zeros = (mats == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        e[small] = m * np.log(m / zeros[small])
+    return e
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, p: int) -> list[bytes]:
+    """Merge consecutive groups of serialized HLLs (group i = the next
+    ``counts[i]`` blobs) in one vectorized register-max — the rollup's
+    parent-from-children step without per-parent object churn. All blobs
+    must share (p, seed) (true by construction inside one index level);
+    magic is checked, byte-identity with .merge() holds (register max is the
+    merge)."""
+    if not blobs:
+        return []
+    m = 1 << p
+    mats = np.empty((len(blobs), m), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        if b[0] != _MAGIC:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
+        mats[i] = np.frombuffer(b, dtype=np.uint8, count=m, offset=_REG_OFFSET)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    merged = np.maximum.reduceat(mats, starts, axis=0)
+    header = bytes(blobs[0][:_REG_OFFSET])
+    return [header + merged[i].tobytes() for i in range(merged.shape[0])]
