@@ -172,6 +172,48 @@ def test_hll_roundtrip():
     assert rt.estimate() == hll.estimate()
 
 
+@pytest.mark.parametrize("p,window", [(12, 32), (8, 64), (4, 16)])
+def test_hll_vectorized_kernels_byte_identical(p, window):
+    """leaf_window_blobs / merge_blob_groups must be BYTE-identical to the
+    per-window object path; estimate_blobs matches estimate() to float
+    summation-order noise."""
+    from hierarchical_bloom_filter_index_spark.sketches.hll import (
+        estimate_blobs,
+        leaf_window_blobs,
+        merge_blob_groups,
+    )
+
+    toks = RNG.integers(0, 5000, size=1037).astype(np.int64)
+    fast = leaf_window_blobs(toks, window, p, seed=99)
+    slow = []
+    for w in range((len(toks) + window - 1) // window):
+        sk = HyperLogLog(p=p, seed=99)
+        sk.update(toks[w * window : (w + 1) * window])
+        slow.append(sk.to_bytes())
+    assert fast == slow
+    # grouped merge (pairs + a trailing singleton) vs .merge()
+    counts, flat, exp = [], [], []
+    i = 0
+    while i < len(fast):
+        k = 2 if i + 1 < len(fast) else 1
+        counts.append(k)
+        flat.extend(fast[i : i + k])
+        acc = HyperLogLog.from_bytes(fast[i])
+        for b in fast[i + 1 : i + k]:
+            acc = acc.merge(HyperLogLog.from_bytes(b))
+        exp.append(acc.to_bytes())
+        i += k
+    assert merge_blob_groups(flat, np.asarray(counts), p) == exp
+    est_fast = estimate_blobs(fast, p)
+    est_slow = np.array([HyperLogLog.from_bytes(b).estimate() for b in fast])
+    assert np.allclose(est_fast, est_slow, rtol=1e-12)
+    # garbage magic refused; empty inputs are empty outputs
+    with pytest.raises(ValueError, match="magic"):
+        estimate_blobs([b"\x09" + bytes(64 + (1 << p))], p)
+    assert leaf_window_blobs(np.array([], dtype=np.int64), window, p, 1) == []
+    assert merge_blob_groups([], np.array([]), p) == []
+
+
 # --------------------------------------------------------------------------
 # KLL / t-digest
 # --------------------------------------------------------------------------
