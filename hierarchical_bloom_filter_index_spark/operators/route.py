@@ -40,7 +40,12 @@ MATCH_SCHEMA = "doc_id string, pos int"
 # Cap on driver-side materialization of surviving candidates (bytes, not
 # rows: 2M Row objects of long doc_ids is GB-scale on a small driver heap).
 # Above the cap the cascade keeps the DataFrame path — no driver OOM ever.
-DRIVER_MATERIALIZE_BYTES = 64 << 20
+# Env-overridable (HBI_DRIVER_MATERIALIZE_BYTES) for cap tuning.
+import os as _os
+
+DRIVER_MATERIALIZE_BYTES = int(
+    _os.environ.get("HBI_DRIVER_MATERIALIZE_BYTES", 64 << 20)
+)
 
 
 def pattern_keys(pattern: list[int], cfg: HbiConfig) -> tuple[np.ndarray, int]:
