@@ -42,6 +42,91 @@ from .route import (
 BATCH_MATCH_SCHEMA = "pattern_id int, doc_id string, pos int"
 BATCH_GLOBAL_SCHEMA = "pattern_id int, gpos long"
 
+# above this many live patterns in one span group, verification switches
+# from the codegen'd pattern_id-dispatched when-chain to one Arrow stage
+ARROW_VERIFY_MIN_PATTERNS = 8
+
+
+def _verify_arrow_doc(joined: DataFrame, patterns: list[list[int]], span: int) -> DataFrame:
+    """One Arrow stage verifies every (candidate doc, pattern) pair of a
+    span group: exact sliding-window compare per pair, positions filtered to
+    the pattern's surviving windows. Plan size is independent of the batch
+    size (the when-chain alternative adds one subsequence expression per
+    pattern)."""
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_p, out_d, out_pos = [], [], []
+            for pid, did, toks, wids in zip(
+                pdf["pattern_id"], pdf["doc_id"], pdf["tokens"], pdf["wids"]
+            ):
+                pat = np.asarray(patterns[pid], dtype=np.int64)
+                arr = np.asarray(toks, dtype=np.int64)
+                m = len(pat)
+                if len(arr) < m:
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(arr, m)
+                pos = np.nonzero((sw == pat).all(axis=1))[0]
+                if len(pos) == 0:
+                    continue
+                pos = pos[np.isin(pos // span, np.asarray(wids, dtype=np.int64))]
+                out_p.extend([pid] * len(pos))
+                out_d.extend([did] * len(pos))
+                out_pos.extend(pos.tolist())
+            yield pd.DataFrame(
+                {
+                    "pattern_id": np.asarray(out_p, dtype=np.int32),
+                    "doc_id": out_d,
+                    "pos": np.asarray(out_pos, dtype=np.int32),
+                }
+            )
+
+    return joined.select("pattern_id", "doc_id", "tokens", "wids").mapInPandas(
+        ver, schema=BATCH_MATCH_SCHEMA
+    )
+
+
+def _verify_arrow_global(cand_docs: DataFrame, patterns: list[list[int]], span: int) -> DataFrame:
+    """Arrow verification for the global axis: match starts must lie within
+    the doc (i < n_tok, runs may finish in the stitched tail) and the
+    start's GLOBAL window must have survived for that pattern."""
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_p, out_g = [], []
+            for pid, off, n_tok, stitched, wids in zip(
+                pdf["pattern_id"], pdf["doc_offset"], pdf["n_tok"],
+                pdf["stitched"], pdf["wids"],
+            ):
+                pat = np.asarray(patterns[pid], dtype=np.int64)
+                arr = np.asarray(stitched, dtype=np.int64)
+                m = len(pat)
+                if len(arr) < m:
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(arr, m)
+                pos = np.nonzero((sw == pat).all(axis=1))[0]
+                pos = pos[pos < n_tok]
+                if len(pos) == 0:
+                    continue
+                g = pos + off
+                g = g[np.isin(g // span, np.asarray(wids, dtype=np.int64))]
+                out_p.extend([pid] * len(g))
+                out_g.extend(g.tolist())
+            yield pd.DataFrame(
+                {
+                    "pattern_id": np.asarray(out_p, dtype=np.int32),
+                    "gpos": np.asarray(out_g, dtype=np.int64),
+                }
+            )
+
+    return cand_docs.select(
+        "pattern_id", "doc_offset", "n_tok", "stitched", "wids"
+    ).mapInPandas(ver, schema=BATCH_GLOBAL_SCHEMA)
+
 
 def _probe_level_batch(
     level_rows: DataFrame,
@@ -373,9 +458,11 @@ def pattern_search_batch(
             stats_out=stats_out,
         )
         # verify each pattern at its own span; group patterns sharing a span
-        # into ONE corpus join with the subsequence scan dispatched on
-        # pattern_id (chained literal branches — batch sizes are workload
-        # query sets, tens not thousands)
+        # into ONE corpus join. Small groups dispatch the codegen'd
+        # subsequence scan on pattern_id (chained literal branches); large
+        # groups verify in ONE Arrow stage instead — a 64-branch when-chain
+        # defeats codegen and grows the plan per pattern, while the numpy
+        # verifier's plan is O(1) in batch size.
         by_span: dict[int, list[int]] = {}
         for i, (_p, _s, _f, d) in enumerate(cascade):
             by_span.setdefault(cfg.span(d), []).append(i)
@@ -398,6 +485,9 @@ def pattern_search_batch(
             joined = corpus.join(
                 F.broadcast(cands) if all_small else cands, on="doc_id", how="inner"
             )
+            if len(live) > ARROW_VERIFY_MIN_PATTERNS:
+                parts.append(_verify_arrow_doc(joined, patterns, span))
+                continue
             pos_expr = None
             for i in live:
                 p = cascade[i][0]
@@ -520,6 +610,9 @@ def global_pattern_search_batch(
                 F.broadcast(hit_docs) if all_small else hit_docs,
                 on="doc_offset", how="inner",
             )
+            if len(live) > ARROW_VERIFY_MIN_PATTERNS:
+                parts.append(_verify_arrow_global(cand_docs, patterns, span))
+                continue
             pos_expr = None
             for i in live:
                 p = cascade[i][0]

@@ -150,6 +150,56 @@ def test_batch_global_axis(spark):
     corp.unpersist()
 
 
+def test_large_batch_arrow_verification(spark, corpus, index):
+    """>ARROW_VERIFY_MIN_PATTERNS live patterns in one span group switches
+    verification to the single Arrow stage — answers must stay identical to
+    per-pattern searches (and hence to the small-batch when-chain path)."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        ARROW_VERIFY_MIN_PATTERNS,
+    )
+
+    rows = corpus.filter(F.col("n_tok") >= 120).orderBy("doc_id").limit(6).collect()
+    patterns = []
+    for i in range(ARROW_VERIFY_MIN_PATTERNS + 4):
+        r = rows[i % len(rows)]
+        start = (i * 7) % 80
+        patterns.append(r["tokens"][start : start + 6 + (i % 5)])
+    got = _batch(corpus, index, CFG, patterns)
+    exp = _singles(corpus, index, CFG, patterns)
+    assert got == exp and len(exp) > 0
+
+
+def test_large_batch_arrow_verification_global(spark):
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        ARROW_VERIFY_MIN_PATTERNS,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=9,
+                    axis="global", ngram=3, ngram_base_bits=12)
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=33)).cache()
+    idx = build_index(corp, cfg).cache()
+    docs = corp.orderBy("doc_id").limit(4).collect()
+    patterns = []
+    for i in range(ARROW_VERIFY_MIN_PATTERNS + 3):
+        r = docs[i % len(docs)]
+        start = (i * 11) % 40
+        patterns.append(r["tokens"][start : start + 5 + (i % 4)])
+    # plus one boundary-crossing pattern through the Arrow path
+    patterns.append(docs[0]["tokens"][-3:] + docs[1]["tokens"][:3])
+    exp = []
+    for p, pat in enumerate(patterns):
+        for r in global_pattern_search(corp, idx, cfg, pat).collect():
+            exp.append((p, r["gpos"]))
+    got = sorted(
+        (r["pattern_id"], r["gpos"])
+        for r in global_pattern_search_batch(corp, idx, cfg, patterns).collect()
+    )
+    assert got == sorted(exp) and len(exp) > 0
+    assert any(pid == len(patterns) - 1 for pid, _ in got)
+    idx.unpersist()
+    corp.unpersist()
+
+
 def test_window_membership_batch(spark, corpus, index):
     """One level scan answers membership for many tokens — equal to a union
     of single window_membership calls (incl. a token absent everywhere)."""
