@@ -244,6 +244,36 @@ def window_membership_batch(
         .groupBy("doc_id", "token")
         .agg(F.collect_set("w_id").alias("wids"))
     )
+    joined = corpus.join(cand, on="doc_id", how="inner")
+    if len(vals) > ARROW_VERIFY_MIN_PATTERNS:
+        # large token workloads: one Arrow stage instead of a when-chain
+        # whose plan grows one occurrence expression per token
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_t, out_d, out_w = [], [], []
+                for t, did, toks, wids in zip(
+                    pdf["token"], pdf["doc_id"], pdf["tokens"], pdf["wids"]
+                ):
+                    arr = np.asarray(toks, dtype=np.int64)
+                    w = np.unique(np.nonzero(arr == t)[0] // span)
+                    w = w[np.isin(w, np.asarray(wids, dtype=np.int64))]
+                    out_t.extend([t] * len(w))
+                    out_d.extend([did] * len(w))
+                    out_w.extend(w.tolist())
+                yield pd.DataFrame(
+                    {
+                        "token": np.asarray(out_t, dtype=np.int32),
+                        "doc_id": out_d,
+                        "w_id": np.asarray(out_w, dtype=np.int64),
+                    }
+                )
+
+        return joined.select("token", "doc_id", "tokens", "wids").mapInPandas(
+            ver, schema="token int, doc_id string, w_id long"
+        )
+
     def occ_expr(t: int):
         # a helper (not a default-arg lambda) so `t` closes over correctly:
         # a two-parameter lambda would be read by F.filter as (element,
@@ -265,7 +295,7 @@ def window_membership_batch(
             if occ is None
             else occ.when(F.col("token") == t, occ_expr(t))
         )
-    return corpus.join(cand, on="doc_id", how="inner").select(
+    return joined.select(
         "token", "doc_id",
         F.explode(F.array_intersect(occ, F.col("wids"))).alias("w_id"),
     )

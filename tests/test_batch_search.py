@@ -208,18 +208,19 @@ def test_window_membership_batch(spark, corpus, index):
         window_membership_batch,
     )
 
-    toks = [32, 101, 9876]  # frequent, frequent, absent
-    exp = []
-    for t in toks:
-        for r in window_membership(corpus, index, CFG, t).collect():
-            exp.append((t, r["doc_id"], r["w_id"]))
-    got = sorted(
-        (r["token"], r["doc_id"], r["w_id"])
-        for r in window_membership_batch(corpus, index, CFG, toks).collect()
-    )
-    assert got == sorted(exp)
-    assert any(t == 32 for t, *_ in got)
-    assert not any(t == 9876 for t, *_ in got)
+    for toks in ([32, 101, 9876],                       # when-chain path
+                 [32, 101, 9876] + list(range(97, 107))):  # >8: Arrow path
+        exp = []
+        for t in sorted(set(toks)):  # the batch dedupes repeated token values
+            for r in window_membership(corpus, index, CFG, t).collect():
+                exp.append((t, r["doc_id"], r["w_id"]))
+        got = sorted(
+            (r["token"], r["doc_id"], r["w_id"])
+            for r in window_membership_batch(corpus, index, CFG, toks).collect()
+        )
+        assert got == sorted(exp)
+        assert any(t == 32 for t, *_ in got)
+        assert not any(t == 9876 for t, *_ in got)
 
 
 def test_batch_rejects_empty(spark, corpus, index):
