@@ -238,6 +238,19 @@ def q_window_membership_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists() over the ONE-STREAM index: global leaf windows containing a
+    token (Bloom prunes which docs are scanned; the w_id set is exact)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_window_membership,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_window_membership(
+        gcorp, gidx, CFG.with_(axis="global"), ord("q")
+    )
+
+
 def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-document windows never cross rows, so the rollup is pure array math
     # inside each row (array_distinct over slices) — zero shuffle, vs the
@@ -870,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "window_membership": q_window_membership,
         "window_membership_batch": q_window_membership_batch,
+        "global_window_membership": q_global_window_membership,
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
         "index_geometry": q_index_geometry,
@@ -942,6 +956,15 @@ FROM pos WHERE tokens[i] = {ord("q")}""",
 SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
        CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] IN ({", ".join(str(t) for t in PROBE_TOKENS)})""",
+        "global_window_membership": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+)
+SELECT DISTINCT CAST((o + i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
+FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+WHERE tokens[i] = {ord("q")}""",
         "window_distinct_rollup": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT doc_id, CAST({CFG.deepest} AS INT) AS level,
        CAST((i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,

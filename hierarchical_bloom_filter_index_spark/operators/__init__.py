@@ -19,6 +19,7 @@ from .route import (
     deepest_usable_level,
     frequency_summary,
     global_pattern_search,
+    global_window_membership,
     pattern_keys,
     pattern_probe_plan,
     pattern_search,
@@ -39,6 +40,7 @@ __all__ = [
     "brute_force_search",
     "deepest_usable_level",
     "global_pattern_search_batch",
+    "global_window_membership",
     "pattern_search_batch",
     "global_pattern_search",
     "pattern_probe_plan",

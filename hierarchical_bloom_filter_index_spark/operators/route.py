@@ -378,6 +378,72 @@ def _descend(
     return survivors, n_surv, final_rows
 
 
+def global_window_membership(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token: int,
+    level: int | None = None,
+) -> DataFrame:
+    """'Does token X appear in GLOBAL window W?' — exact w_id rows over the
+    one concatenated stream, the exists() slice on the reference's actual
+    one-stream index (PMIndex/HBI.java report/exists). Bloom candidates
+    prune which docs get scanned; the answer comes from exact verification
+    (docs whose position range touches no surviving window are skipped
+    entirely)."""
+    if cfg.axis != "global":
+        raise ValueError("global_window_membership needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError("global_window_membership requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    L = cfg.deepest if level is None else level
+    span = cfg.span(L)
+    key = np.asarray([int(token)], dtype=np.uint64)
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), key)[:, 0]
+            yield pdf.loc[ok, ["w_id"]]
+
+    cand = rows.mapInPandas(probe, schema="w_id long")
+    # candidate docs via (doc_offset, w_id) pairs only — token arrays join
+    # back by doc_offset (same shuffle discipline as global_pattern_search)
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(cand, on="w_id", how="inner")
+        .groupBy("doc_offset")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    occ = F.array_distinct(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0).cast("long"), (F.col("n_tok") - 1).cast("long")),
+                lambda i: F.element_at("tokens", (i + 1).cast("int")) == F.lit(int(token)),
+            ),
+            lambda i: ((F.col("doc_offset") + i) / span).cast("long"),
+        )
+    )
+    return (
+        corpus.join(hit_docs, on="doc_offset", how="inner")
+        .select(F.explode(F.array_intersect(occ, F.col("wids"))).alias("w_id"))
+        .distinct()
+    )
+
+
 def _candidates_by_doc(spark, survivors, final_rows, stats_out: dict | None = None):
     """Group the final frontier's (doc_id, w_id) rows per doc — driver-side
     when the frontier was collected (no extra job, result broadcastable),

@@ -177,3 +177,21 @@ def test_stitch_early_exit_with_pathological_min_doc(spark):
     # in the 3 rounds the data actually needs
     assert wall < 60
     corp.unpersist()
+
+
+def test_global_window_membership(spark, setup):
+    """exists() over the one-stream index: exact global leaf-window set for
+    a present token, empty for an absent one, across doc boundaries."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_window_membership,
+    )
+
+    corp, idx, stream = setup
+    span = CFG_G.leaf_span
+    tok = int(stream[1000])
+    exp = sorted(set((np.nonzero(stream == tok)[0] // span).tolist()))
+    got = sorted(
+        r["w_id"] for r in global_window_membership(corp, idx, CFG_G, tok).collect()
+    )
+    assert got == exp and len(exp) > 0
+    assert global_window_membership(corp, idx, CFG_G, 99991).count() == 0
