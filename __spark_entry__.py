@@ -599,6 +599,11 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gcorp, gidx, gstats = _global_index(spark, sf_dir)
     freq, _dstats = _planner_inputs(spark, sf_dir)
+    # NOTE measured (3-round alternating A/B at sf0.1): a cached prestitched
+    # corpus with a long shared tail LOSES to the per-query stitch here
+    # (~3.0s vs ~3.9s single) — bigger cached arrays tax every candidate
+    # join more than the stitch join costs; prestitched_tail stays available
+    # for callers whose stitch is genuinely expensive
     return global_pattern_search(
         gcorp, gidx, _global_cfg(spark, sf_dir), PAT_GLOBAL,
         start_level="auto", freq=freq, stats=gstats,

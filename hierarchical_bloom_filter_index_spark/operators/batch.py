@@ -103,8 +103,10 @@ def _verify_arrow_global(cand_docs: DataFrame, patterns: list[list[int]], span: 
                 pdf["stitched"], pdf["wids"],
             ):
                 pat = np.asarray(patterns[pid], dtype=np.int64)
-                arr = np.asarray(stitched, dtype=np.int64)
                 m = len(pat)
+                # bound the scan to doc + (m-1) continuation tokens (the
+                # shared prestitched tail may be far longer)
+                arr = np.asarray(stitched, dtype=np.int64)[: int(n_tok) + m - 1]
                 if len(arr) < m:
                     continue
                 sw = np.lib.stride_tricks.sliding_window_view(arr, m)
@@ -555,11 +557,13 @@ def global_pattern_search_batch(
     markov=None,
     model: str | None = None,
     selective: bool = False,
+    prestitched_tail: int | None = None,
 ) -> DataFrame:
     """Batched exact GLOBAL pattern search over the one concatenated stream:
     (pattern_id, gpos). One shared cascade; the corpus is stitched ONCE with
     the longest pattern's tail need (a longer stitched suffix only completes
-    true stream matches, never invents one)."""
+    true stream matches, never invents one). ``prestitched_tail`` declares a
+    caller-provided ``stitched`` column as in global_pattern_search."""
     if cfg.axis != "global":
         raise ValueError("global_pattern_search_batch needs cfg.axis='global'")
     if not patterns:
@@ -570,16 +574,30 @@ def global_pattern_search_batch(
 
         corpus = with_global_offsets(corpus)
     max_m = max(len(p) for p in patterns)
-    stitched = (
-        _stitched_corpus(corpus, max_m, min_doc_tokens=cfg.min_doc_tokens)
-        if max_m > 1
-        else corpus.withColumn("stitched", F.col("tokens"))
+    prestitched = (
+        prestitched_tail is not None
+        and prestitched_tail >= max_m - 1
+        and "stitched" in corpus.columns
     )
+    if prestitched:
+        stitched = corpus
+    elif max_m > 1:
+        stitched = _stitched_corpus(corpus, max_m, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+
+    def scan_col(m: int):
+        # prestitched corpora may carry a tail far longer than pattern m
+        # needs — bound the scan; the per-batch stitch is exactly max_m-1
+        # long, where slicing only for patterns shorter than max_m pays off
+        if not prestitched and m == max_m:
+            return F.col("stitched")
+        return F.slice(F.col("stitched"), 1, (F.col("n_tok") + F.lit(m - 1)).cast("int"))
 
     def exact_scan(p: int) -> DataFrame:
         return stitched.select(
             F.lit(p).alias("pattern_id"),
-            F.explode(subsequence_positions("stitched", patterns[p])).alias("pp"),
+            F.explode(subsequence_positions(scan_col(len(patterns[p])), patterns[p])).alias("pp"),
             "doc_offset", "n_tok",
         ).filter(F.col("pp") < F.col("n_tok")).select(
             "pattern_id", (F.col("doc_offset") + F.col("pp")).alias("gpos")
@@ -647,7 +665,7 @@ def global_pattern_search_batch(
             for i in live:
                 p = cascade[i][0]
                 pos = F.filter(
-                    subsequence_positions("stitched", patterns[p]),
+                    subsequence_positions(scan_col(len(patterns[p])), patterns[p]),
                     lambda idx: (idx < F.col("n_tok"))
                     & F.array_contains(
                         "wids", ((F.col("doc_offset") + idx) / span).cast("long")

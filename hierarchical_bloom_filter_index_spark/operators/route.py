@@ -595,10 +595,19 @@ def global_pattern_search(
     model: str | None = None,
     selective: bool = False,
     stats_out: dict | None = None,
+    prestitched_tail: int | None = None,
 ) -> DataFrame:
     """Exact GLOBAL match positions of ``pattern`` over the one concatenated
     token stream (docs in doc_id order) — the reference's actual semantics
     (one stream, matches may cross document boundaries). Returns (gpos long).
+
+    ``prestitched_tail``: declare that ``corpus`` already carries a
+    ``stitched`` column holding each doc's tokens plus AT LEAST this many
+    following stream tokens (e.g. a cached ``stitch_stream_tail`` result
+    shared across queries). A longer-than-needed tail is sound — tail
+    tokens are the true stream continuation, so extra suffix only completes
+    real matches — and skips the per-query stitch join when
+    ``prestitched_tail >= len(pattern) - 1``.
 
     ``stats_out``: dict to receive query statistics (HbiStats parity with
     pattern_search): chosen start level, windows probed and survivors per
@@ -626,15 +635,31 @@ def global_pattern_search(
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
-    stitched = (
-        _stitched_corpus(corpus, m, min_doc_tokens=cfg.min_doc_tokens)
-        if m > 1
-        else corpus.withColumn("stitched", F.col("tokens"))
+    prestitched = (
+        prestitched_tail is not None
+        and prestitched_tail >= m - 1
+        and "stitched" in corpus.columns
+    )
+    if prestitched:
+        stitched = corpus
+    elif m > 1:
+        stitched = _stitched_corpus(corpus, m, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+
+    # with a caller-prestitched corpus the shared tail can be much longer
+    # than this pattern needs — bound every scan to doc + (m-1) continuation
+    # tokens; with the per-query stitch the array is already exactly that
+    # long and the slice would only pay a copy
+    scan_col = (
+        F.slice(F.col("stitched"), 1, (F.col("n_tok") + F.lit(m - 1)).cast("int"))
+        if prestitched
+        else F.col("stitched")
     )
 
     def exact_scan() -> DataFrame:
         return stitched.select(
-            F.explode(subsequence_positions("stitched", pattern)).alias("p"),
+            F.explode(subsequence_positions(scan_col, pattern)).alias("p"),
             "doc_offset", "n_tok",
         ).filter(F.col("p") < F.col("n_tok")).select((F.col("doc_offset") + F.col("p")).alias("gpos"))
 
@@ -697,7 +722,7 @@ def global_pattern_search(
             "doc_offset",
             F.explode(
                 F.filter(
-                    subsequence_positions("stitched", pattern),
+                    subsequence_positions(scan_col, pattern),
                     lambda i: (i < F.col("n_tok"))
                     & F.array_contains("wids", ((F.col("doc_offset") + i) / span).cast("long")),
                 )

@@ -195,3 +195,32 @@ def test_global_window_membership(spark, setup):
     )
     assert got == exp and len(exp) > 0
     assert global_window_membership(corp, idx, CFG_G, 99991).count() == 0
+
+
+def test_prestitched_corpus_identical_answers(spark, setup):
+    """A caller-prestitched corpus (longer shared tail) must yield exactly
+    the per-query-stitch answers, on both the single and batch paths —
+    including matches that run into the stitched tail."""
+    from hierarchical_bloom_filter_index_spark.corpus import stitch_stream_tail
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_pattern_search_batch,
+    )
+
+    corp, idx, stream = setup
+    pre = stitch_stream_tail(corp, 64).cache()
+    pats = [stream[1000:1012].tolist(), stream[5000:5040].tolist(),
+            [9991, 9992, 9993]]
+    for pat in pats:
+        base = sorted(r["gpos"] for r in
+                      global_pattern_search(corp, idx, CFG_G, pat).collect())
+        got = sorted(r["gpos"] for r in
+                     global_pattern_search(pre, idx, CFG_G, pat,
+                                           prestitched_tail=64).collect())
+        assert got == base
+    base_b = sorted((r["pattern_id"], r["gpos"]) for r in
+                    global_pattern_search_batch(corp, idx, CFG_G, pats).collect())
+    got_b = sorted((r["pattern_id"], r["gpos"]) for r in
+                   global_pattern_search_batch(pre, idx, CFG_G, pats,
+                                               prestitched_tail=64).collect())
+    assert got_b == base_b
+    pre.unpersist()
