@@ -300,6 +300,51 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_K, HH_PHI = 256, 0.002  # MG capacity / heavy-hitter frequency threshold
+
+
+def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy bigrams via the sketch-prunes/verification-decides
+    contract: a Misra-Gries summary (sketches/spacesaving.py) proposes a
+    guaranteed-superset candidate set (<= HH_K keys, collected tiny), then
+    ONE exact count over candidate grams only decides. Scale shape: the MG
+    pass is the usual two-phase sketch aggregate (no raw-gram shuffle); the
+    verify pass shuffles only rows matching <= HH_K broadcast keys, with
+    map-side partial counts. Beyond-reference operator (the reference's
+    frequency surface is CountSketch points, estimators/CountSketch.java)."""
+    import math as _math
+
+    from hierarchical_bloom_filter_index_spark.sketches import MisraGries
+
+    # pack (t1, t2) -> t1 * 2^21 + t2: codepoints < 2^21, collision-free
+    grams = _corpus(spark, sf_dir).filter(F.size("tokens") >= 2).select(
+        F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> shiftleft(tokens[i], 21) + tokens[i + 1])"
+        ).alias("grams")
+    )
+    mg = collect_sketch(
+        sketch_aggregate(grams, "grams", lambda: MisraGries(k=HH_K), values_are_arrays=True)
+    )
+    thr = int(_math.ceil(HH_PHI * mg.n_total))
+    cand = [int(g) for g in mg.heavy_hitters(HH_PHI)]
+    return (
+        grams.select(F.explode("grams").alias("g"))
+        .filter(F.col("g").isin(cand))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .select(
+            F.concat(
+                F.shiftright("g", 21).cast("string"),
+                F.lit("|"),
+                F.col("g").bitwiseAND((1 << 21) - 1).cast("string"),
+            ).alias("gram"),
+            "cnt",
+        )
+    )
+
+
 def q_token_freq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = with_positions(_corpus(spark, sf_dir))
     return (
@@ -899,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expire_geometry": q_expire_geometry,
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
+        "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
         "token_freq_by_source": q_token_freq_by_source,
         "distinct_by_source_exact": q_distinct_by_source_exact,
         "doclen_quantiles_exact": q_doclen_quantiles_exact,
@@ -1019,6 +1065,15 @@ SELECT CAST(tokens[i] AS VARCHAR) || '|' || CAST(tokens[i + 1] AS VARCHAR) AS gr
        COUNT(*) AS cnt
 FROM (SELECT tokens, unnest(generate_series(1, CAST(n_tok - 1 AS BIGINT))) AS i FROM corpus)
 GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT 20""",
+        "heavy_hitter_bigrams": f"""WITH {CORPUS_CTE},
+grams AS (
+  SELECT CAST(tokens[i] AS VARCHAR) || '|' || CAST(tokens[i + 1] AS VARCHAR) AS gram
+  FROM (SELECT tokens, unnest(generate_series(1, CAST(n_tok - 1 AS BIGINT))) AS i
+        FROM corpus WHERE n_tok >= 2))
+SELECT gram, COUNT(*) AS cnt
+FROM grams
+GROUP BY gram
+HAVING COUNT(*) >= CEIL({HH_PHI} * (SELECT COUNT(*) FROM grams))""",
         "token_freq_by_source": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT source, CAST(tokens[i] AS INT) AS token, COUNT(*) AS cnt
 FROM pos WHERE tokens[i] IN ({probe_list}) GROUP BY 1, 2""",

@@ -9,12 +9,13 @@ from .cms import CountMinSketch, CountSketch, IntCountSketch
 from .hll import HyperLogLog
 from .kll import KLL
 from .samplers import BottomKSampler, HopsSampler
+from .spacesaving import MisraGries
 from .tdigest import TDigest
 from . import base, hashing
 
 SKETCH_REGISTRY = {
     cls.MAGIC: cls
-    for cls in (BloomFilter, CountMinSketch, CountSketch, IntCountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest)
+    for cls in (BloomFilter, CountMinSketch, CountSketch, IntCountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest, MisraGries)
 }
 
 
@@ -47,6 +48,7 @@ __all__ = [
     "HopsSampler",
     "BottomKSampler",
     "TDigest",
+    "MisraGries",
     "SKETCH_REGISTRY",
     "from_bytes",
     "merge_blobs",

@@ -107,3 +107,34 @@ def test_tdigest_merge_any_order_keeps_bound(n_parts):
         for q in (0.05, 0.5, 0.95):
             true_rank = np.searchsorted(data_sorted, merged.quantile(q)) / len(data)
             assert abs(true_rank - q) <= 0.035
+
+
+@pytest.mark.parametrize("n_parts", [3, 16])
+def test_misra_gries_merge_any_order_keeps_bound(n_parts):
+    """MG is bound-preserving under any merge order (Mergeable Summaries,
+    PODS'12): underestimate-only, error <= err_bound(), n_total exact."""
+    from hierarchical_bloom_filter_index_spark.sketches import MisraGries
+
+    data = RNG.zipf(1.3, 80_000).astype(np.int64)
+    true_keys, true_counts = np.unique(data, return_counts=True)
+    chunks = np.array_split(data, n_parts)
+    rng = random.Random(5)
+    for _ in range(3):
+        parts = []
+        for c in chunks:
+            s = MisraGries(k=128)
+            s.update(c)
+            parts.append(s)
+        order = list(range(n_parts))
+        rng.shuffle(order)
+        merged = _merge_in_order(parts, order)
+        assert merged.n_total == len(data)
+        assert len(merged.keys) <= 128
+        assert merged.err_bound() <= len(data) / 129
+        est = merged.estimate(true_keys)
+        assert np.all(est <= true_counts), "MG must underestimate only"
+        assert np.all(true_counts - est <= merged.err_bound() + 1e-9)
+        for phi in (0.01, 0.003):
+            hh = set(merged.heavy_hitters(phi).tolist())
+            required = set(true_keys[true_counts >= phi * len(data)].tolist())
+            assert required <= hh, "heavy_hitters must be a superset"
