@@ -300,7 +300,9 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HH_K, HH_PHI = 256, 0.002  # MG capacity / heavy-hitter frequency threshold
+HH_K, HH_PHI = 1024, 0.002  # MG capacity / heavy-hitter frequency threshold
+# k+1 > 1/phi, so the MG superset guarantee is unconditional (sketches/
+# spacesaving.MisraGries.heavy_hitters can never refuse at this sizing)
 
 
 def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

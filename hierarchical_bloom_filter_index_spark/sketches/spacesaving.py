@@ -20,6 +20,11 @@ Summaries", PODS'12):
   ``>= phi * n_total`` (a guaranteed superset — pair it with one exact
   count over the candidates for an exact answer, the same
   sketch-prunes / verification-decides contract as the Bloom index).
+  The superset is certifiable only when ``err_bound() < phi * n_total`` —
+  otherwise a dropped key could itself be phi-heavy and the method REFUSES
+  (ValueError) rather than silently under-reporting.  Sizing
+  ``k + 1 > 1/phi`` (``MisraGries.for_phi``) makes refusal impossible for
+  any input.
 * merge = keywise sum then the same prune; the error bound above holds for
   any merge tree/order (bound-preserving like KLL/TDigest, not byte-equal —
   ``n_total`` and the bound are order-exact, the surviving counter set may
@@ -110,13 +115,29 @@ class MisraGries:
         idx_c = np.clip(np.searchsorted(self.keys, keys), 0, len(self.keys) - 1)
         return np.where(self.keys[idx_c] == keys, self.counts[idx_c], 0).astype(np.int64)
 
+    @classmethod
+    def for_phi(cls, phi: float) -> "MisraGries":
+        """Summary sized so heavy_hitters(phi) can never refuse: with
+        k + 1 > 1/phi, err_bound <= n/(k+1) < phi*n for every input."""
+        if not (0.0 < phi <= 1.0):
+            raise ValueError("phi must be in (0, 1]")
+        return cls(k=int(np.ceil(1.0 / phi)))
+
     def heavy_hitters(self, phi: float) -> np.ndarray:
         """Candidate keys covering EVERY key with true freq >= phi*n_total
-        (sorted).  est >= true - err_bound, so the cut keeps all of them."""
+        (sorted): any such key has est >= phi*n - err_bound > 0, so it is
+        tracked and passes the cut.  That argument needs
+        err_bound() < phi*n_total; when it fails (k too small for phi) a
+        dropped key could itself be phi-heavy, so refuse loudly."""
         if self.n_total == 0:
             return np.empty(0, dtype=np.int64)
-        cut = phi * self.n_total - self.err_bound()
-        return np.sort(self.keys[self.counts >= cut])
+        err = self.err_bound()
+        if err >= phi * self.n_total:
+            raise ValueError(
+                f"cannot certify phi={phi} heavy hitters: err_bound {err:.1f} >= "
+                f"phi*n {phi * self.n_total:.1f} — size k+1 > 1/phi (see for_phi)"
+            )
+        return np.sort(self.keys[self.counts >= phi * self.n_total - err])
 
     def to_bytes(self) -> bytes:
         return base.pack(_MAGIC_MG, [self.k, self.n_total], [self.keys, self.counts])

@@ -67,7 +67,7 @@ def test_candidate_verify_is_exact():
     keys, counts = np.unique(data, return_counts=True)
     phi = 0.005
     truth = set(keys[counts >= phi * len(data)].tolist())
-    mg = MisraGries(k=64)
+    mg = MisraGries.for_phi(phi)
     for chunk in np.array_split(data, 13):
         mg.update(chunk)
     cand = mg.heavy_hitters(phi)
@@ -102,3 +102,19 @@ def test_spark_two_phase_aggregate(spark):
     phi = 0.004
     truth = set(keys[counts >= phi * len(data)].tolist())
     assert truth and truth <= set(mg.heavy_hitters(phi).tolist())
+
+
+def test_refusal_when_uncertifiable_and_for_phi_never_refuses():
+    """k too small for phi -> loud refusal (a dropped key could be heavy);
+    for_phi sizing makes refusal impossible for any input."""
+    mg = MisraGries(k=1)
+    mg.update(np.array([0, 1], dtype=np.int64))
+    assert mg.err_bound() >= 0.5 * mg.n_total
+    with pytest.raises(ValueError):
+        mg.heavy_hitters(0.5)
+    sized = MisraGries.for_phi(0.5)
+    assert sized.k + 1 > 2
+    sized.update(np.array([0, 1], dtype=np.int64))
+    assert {0, 1} <= set(sized.heavy_hitters(0.5).tolist())
+    with pytest.raises(ValueError):
+        MisraGries.for_phi(0.0)

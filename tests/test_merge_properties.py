@@ -60,3 +60,39 @@ def test_serialization_roundtrip_preserves_state(stream):
             s.update(arr)
         rt = type(s).from_bytes(s.to_bytes())
         assert state(rt) == state(s), name
+
+
+@settings(max_examples=25, deadline=None)
+@given(stream=streams, cut_points=cuts, k=st.integers(min_value=1, max_value=40))
+def test_misra_gries_invariants_any_partitioning(stream, cut_points, k):
+    """MG's deterministic contract for arbitrary streams/partitionings:
+    exact n_total, <= k counters, underestimate-only within err_bound,
+    heavy_hitters(phi) a superset of the true phi-heavy keys."""
+    from hierarchical_bloom_filter_index_spark.sketches import MisraGries
+
+    arr = np.asarray(stream, dtype=np.int64)
+    acc = None
+    for part in _split(arr, cut_points):
+        s = MisraGries(k=k)
+        if len(part):
+            s.update(part)
+        acc = s if acc is None else acc.merge(s)
+    if acc is None:
+        acc = MisraGries(k=k)
+    assert acc.n_total == len(arr)
+    assert len(acc.keys) <= k
+    keys, counts = (np.unique(arr, return_counts=True) if len(arr)
+                    else (np.empty(0, np.int64), np.empty(0, np.int64)))
+    est = acc.estimate(keys)
+    assert np.all(est <= counts)
+    assert np.all(counts - est <= acc.err_bound() + 1e-9)
+    assert acc.err_bound() <= len(arr) / (k + 1) + 1e-9
+    for phi in (0.5, 0.1, 0.02):
+        required = set(keys[counts >= phi * max(len(arr), 1)].tolist())
+        try:
+            hh = set(acc.heavy_hitters(phi).tolist())
+        except ValueError:
+            # honest refusal is allowed exactly when the bound can't certify
+            assert acc.err_bound() >= phi * acc.n_total
+            continue
+        assert required <= hh
