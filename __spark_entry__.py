@@ -546,6 +546,43 @@ def _hll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _cms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic CMS rollup index (frequency analog of _hll_index), built once
+    per sf_dir and persisted; both CMS-rollup queries share it."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+    )
+
+    key = ("cms_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_cms_window_index(_corpus(spark, sf_dir), CFG, depth=3, width=256)
+    return _CACHE[key]
+
+
+def q_cms_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-window probe-token frequencies via the dyadic CMS
+    rollup (coarse levels merged from children — byte-exact, CMS is linear).
+    Estimates are oracle-free (overestimate within eps*N_window, bounds in
+    tests/test_rollup.py); the index geometry + exact window totals are
+    oracle-checked by cms_rollup_totals."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        window_freq_estimates,
+    )
+
+    return window_freq_estimates(_cms_index(spark, sf_dir), 0, PROBE_TOKENS)
+
+
+def q_cms_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (doc, level, window) token totals read out of the CMS rollup
+    index — every level's geometry AND coverage is SQL-checkable because the
+    CMS total field is exact even though cell estimates aren't."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        window_token_totals,
+    )
+
+    return window_token_totals(_cms_index(spark, sf_dir))
+
+
 def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-per-window via the dyadic HLL rollup index
     (coarse levels merged from children, no token rescan)."""
@@ -956,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_tokens": q_bottomk_tokens,
         "hll_window_rollup": q_hll_window_rollup,
         "hll_rollup_geometry": q_hll_rollup_geometry,
+        "cms_window_rollup": q_cms_window_rollup,
+        "cms_rollup_totals": q_cms_rollup_totals,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
@@ -1198,6 +1237,15 @@ lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.level
 SELECT doc_id, CAST(lv.level AS INT) AS level,
        CAST(unnest(generate_series(0, CAST((n_tok + span - 1) // span - 1 AS BIGINT))) AS BIGINT) AS w_id
 FROM corpus, lv WHERE n_tok > 0""",
+        "cms_rollup_totals": f"""WITH {CORPUS_CTE},
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)}),
+w AS (
+  SELECT doc_id, lv.level, span, n_tok,
+         unnest(generate_series(0, CAST((n_tok + span - 1) // span - 1 AS BIGINT))) AS w_id
+  FROM corpus, lv WHERE n_tok > 0)
+SELECT doc_id, CAST(level AS INT) AS level, CAST(w_id AS BIGINT) AS w_id,
+       CAST(LEAST(span, n_tok - w_id * span) AS BIGINT) AS n_window
+FROM w""",
     }
     # same closed form: the rollup build has identical dyadic spans
     out["bloom_rollup_geometry"] = out["index_geometry"]

@@ -104,6 +104,9 @@ def main() -> None:
     _write_md(summary, results)
 
 
+END_MARKER = "<!-- end auto-generated scaling section -->"
+
+
 def _write_md(summary: dict, results: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
@@ -129,16 +132,20 @@ def _write_md(summary: dict, results: dict) -> None:
         json.dumps(results, indent=1),
         "```",
         "",
+        END_MARKER,
     ]
     path = os.path.join("BENCH", "BASELINE.md")
     existing = ""
     if os.path.exists(path):
         with open(path) as f:
             existing = f.read()
-        # keep any bench-suite section, replace the scaling section
-        marker = "## Query-suite timings"
-        if marker in existing:
-            lines += ["", existing[existing.index(marker):]]
+        # replace ONLY the auto-generated scaling section; everything after
+        # the end marker (transparency runs, baseline comparison, bounds,
+        # query-suite notes) is hand-maintained evidence and must survive
+        if END_MARKER in existing:
+            lines += [existing[existing.index(END_MARKER) + len(END_MARKER):].lstrip("\n")]
+        elif "## Query-suite timings" in existing:  # pre-marker files
+            lines += ["", existing[existing.index("## Query-suite timings"):]]
     with open(path, "w") as f:
         f.write("\n".join(lines))
 

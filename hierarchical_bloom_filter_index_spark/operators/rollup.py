@@ -136,3 +136,104 @@ def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:
     return hll_index.filter(F.col("level") == level).mapInPandas(
         est, schema="doc_id string, w_id long, est_distinct double"
     )
+
+
+def build_cms_window_index(corpus: DataFrame, cfg: HbiConfig, depth: int = 3, width: int = 256) -> DataFrame:
+    """Approximate-frequency index: one CMS per (doc, level, window), built
+    leaf-first then rolled up. Answers 'how often does token t occur in
+    window W at level L' within eps*N_window (eps = e/width) w.p.
+    1 - exp(-depth). CMS is LINEAR, so every rolled-up parent is
+    byte-identical to a from-scratch build of its window — the rollup is
+    exact, only estimates carry error. Same scaffold/persistence contract
+    as build_hll_window_index (caller unpersists)."""
+    from ..sketches import cms as cms_kernels
+
+    leaf_span = cfg.leaf_span
+    deepest = cfg.deepest
+    seed = cfg.seed + 11
+
+    def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_w, out_sk = [], [], []
+            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                blobs = cms_kernels.leaf_window_blobs(
+                    np.asarray(toks, dtype=np.int64), leaf_span, depth, width, seed
+                )
+                out_doc.extend([did] * len(blobs))
+                out_w.extend(range(len(blobs)))
+                out_sk.extend(blobs)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "level": deepest, "w_id": out_w, "sketch": out_sk}
+            )
+
+    leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
+
+    def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(b) for b in children)
+            out = pdf[["doc_id", "level", "w_id"]].copy()
+            out["sketch"] = cms_kernels.merge_blob_groups(flat, counts, depth, width, seed)
+            yield out
+
+    def cms_pass(cur: DataFrame, L: int) -> DataFrame:
+        return (
+            cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
+            .groupBy("doc_id", "level", "w_id")
+            .agg(F.collect_list("sketch").alias("children"))
+            .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
+        )
+
+    return rollup_scaffold(leaf, deepest, cms_pass)
+
+
+def window_freq_estimates(cms_index: DataFrame, level: int, probe_tokens) -> DataFrame:
+    """(doc_id, w_id, token, est_count) at one level for each probe token —
+    whole batches estimated in one vectorized table pass
+    (sketches.cms.estimate_blobs). Estimates overestimate only, within
+    eps*N_window with prob 1-delta per (window, token)."""
+    from ..sketches import cms as cms_kernels
+
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blobs = [bytes(b) for b in pdf["sketch"]]
+            first = from_bytes(blobs[0])
+            ests = cms_kernels.estimate_blobs(
+                blobs, probes, first.depth, first.width, first.seed
+            )
+            out = pdf[["doc_id", "w_id"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
+            out["token"] = np.tile(probes, len(pdf))
+            out["est_count"] = ests.ravel()
+            yield out
+
+    return cms_index.filter(F.col("level") == level).mapInPandas(
+        est, schema="doc_id string, w_id long, token long, est_count long"
+    )
+
+
+def window_token_totals(cms_index: DataFrame) -> DataFrame:
+    """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the CMS
+    total is the window's token count, no estimation), so the whole rollup
+    geometry + coverage is SQL-oracle-checkable."""
+    from ..sketches.cms import window_totals
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["doc_id", "level", "w_id"]].copy()
+            out["n_window"] = window_totals([bytes(b) for b in pdf["sketch"]])
+            yield out
+
+    return cms_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")

@@ -18,6 +18,7 @@ when counters provably stay far from the rails.
 from __future__ import annotations
 
 import math
+import struct
 
 import numpy as np
 
@@ -204,3 +205,97 @@ class IntCountSketch(CountSketch):
         magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_ICS, "IntCountSketch")
         return cls(depth, width, seed, flat.reshape(depth, width), total)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized per-window CMS kernels (the frequency analog of
+# hll.leaf_window_blobs / merge_blob_groups / estimate_blobs): build one CMS
+# per consecutive window of a token array without per-window Python objects.
+# CMS is LINEAR (table(concat) = table(a) + table(b)), so a parent window's
+# sketch rolled up from children is byte-identical to a from-scratch build.
+# ---------------------------------------------------------------------------
+
+# fixed wire layout of a CountMinSketch blob (base.pack with 4 params, one
+# int64 array): header 4B | params 32B | n_arrays 1B | dtype+len 9B | table
+_CMS_TABLE_OFFSET = 4 + 4 * 8 + 1 + 9
+_CMS_TOTAL_OFFSET = 4 + 3 * 8  # params are [depth, width, seed, total]
+
+
+def _check_cms_blob(b: bytes, depth: int, width: int, seed: int) -> None:
+    if b[0] != _MAGIC_CMS:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+    d, w, s = struct.unpack_from("<3q", b, 4)
+    if (d, w, s) != (depth, width, seed):
+        raise ValueError(f"CountMinSketch blob params {(d, w, s)} != {(depth, width, seed)}")
+
+
+def leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int, seed: int) -> list[bytes]:
+    """Serialized CMSs for every consecutive ``window``-token slice of
+    ``tokens``: ``depth`` hash passes + ``depth`` bincounts cover ALL
+    windows at once. Byte-identical to
+    ``CountMinSketch(depth, width, seed).update(slice).to_bytes()``."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    keys = np.asarray(tokens, dtype=np.int64)
+    nw = (n + window - 1) // window
+    w = np.arange(n, dtype=np.int64) // window
+    tables = np.empty((nw, depth, width), dtype=np.int64)
+    for r in range(depth):
+        b = (hash64(keys, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+        tables[:, r, :] = np.bincount(w * width + b, minlength=nw * width).reshape(nw, width)
+    totals = np.bincount(w, minlength=nw)
+    return [
+        base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])], [tables[i].ravel()])
+        for i in range(nw)
+    ]
+
+
+def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int) -> np.ndarray:
+    mats = np.empty((len(blobs), depth * width), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        _check_cms_blob(bytes(b), depth, width, seed)
+        mats[i] = np.frombuffer(b, dtype=np.int64, count=depth * width, offset=_CMS_TABLE_OFFSET)
+    return mats
+
+
+def window_totals(blobs: list[bytes]) -> np.ndarray:
+    """EXACT token count of each blob's window (every update adds 1 to every
+    table row, so the stored total is exact — no estimation involved)."""
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] != _MAGIC_CMS:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+        (out[i],) = struct.unpack_from("<q", b, _CMS_TOTAL_OFFSET)
+    return out
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width: int, seed: int) -> list[bytes]:
+    """Merge consecutive groups of serialized CMSs (group i = the next
+    ``counts[i]`` blobs) in one vectorized add.reduceat — byte-identical to
+    chained ``.merge()`` (elementwise table add, totals add)."""
+    if not blobs:
+        return []
+    mats = _blob_tables(blobs, depth, width, seed)
+    totals = window_totals(blobs)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(np.asarray(counts)[:-1], out=starts[1:])
+    merged = np.add.reduceat(mats, starts, axis=0)
+    merged_tot = np.add.reduceat(totals, starts)
+    return [
+        base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[i])], [merged[i]])
+        for i in range(merged.shape[0])
+    ]
+
+
+def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int, seed: int) -> np.ndarray:
+    """(len(blobs), len(keys)) frequency estimates in one vectorized pass —
+    same min-over-rows math as ``CountMinSketch.estimate`` per blob."""
+    if not blobs:
+        return np.empty((0, len(keys)), dtype=np.int64)
+    keys = np.asarray(keys, dtype=np.int64)
+    mats = _blob_tables(blobs, depth, width, seed).reshape(len(blobs), depth, width)
+    buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
+    ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])  # (depth, nb, nk)
+    return ests.min(axis=0)

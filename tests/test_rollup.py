@@ -121,3 +121,109 @@ def test_bloom_rollup_global_axis(spark):
     assert rows(scratch) == rows(rolled)
     rolled.unpersist()
     corp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# CMS frequency rollup (the linear-sketch analog): byte-exact rollup,
+# overestimate-only within eps*N_window, exact window totals
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built_cms(spark):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+    )
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=12).cache()
+    idx = build_cms_window_index(corp, CFG, depth=3, width=256).cache()
+    idx.count()
+    return corp, idx
+
+
+def test_cms_kernel_byte_identity():
+    """Vectorized window kernels == object-path CMS, byte for byte
+    (leaf build, grouped merge, estimates)."""
+    from hierarchical_bloom_filter_index_spark.sketches import cms
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 5000, 1000).astype(np.int64)
+    D, W, S, span = 3, 128, 17, 64
+    blobs = cms.leaf_window_blobs(toks, span, D, W, S)
+    assert len(blobs) == (len(toks) + span - 1) // span
+    for i, b in enumerate(blobs):
+        ref = cms.CountMinSketch(D, W, S)
+        ref.update(toks[i * span : (i + 1) * span])
+        assert ref.to_bytes() == b
+    counts = np.full(len(blobs) // 2, 2, dtype=np.int64)
+    for i, b in enumerate(cms.merge_blob_groups(blobs[: len(counts) * 2], counts, D, W, S)):
+        ref = cms.CountMinSketch(D, W, S)
+        ref.update(toks[i * 2 * span : (i + 1) * 2 * span])
+        assert ref.to_bytes() == b
+    keys = np.array([1, 2, 3, 4999], dtype=np.int64)
+    est = cms.estimate_blobs(blobs, keys, D, W, S)
+    ref0 = cms.CountMinSketch(D, W, S)
+    ref0.update(toks[:span])
+    assert np.array_equal(est[0], ref0.estimate(keys))
+    assert np.array_equal(cms.window_totals(blobs),
+                          [min(span, len(toks) - i * span) for i in range(len(blobs))])
+    with pytest.raises(ValueError):
+        cms.estimate_blobs(blobs, keys, D, 64, S)  # param mismatch refused
+
+
+def test_cms_rollup_byte_equal_scratch(spark, built_cms):
+    """CMS is linear: every rolled-up parent == from-scratch build of its
+    window, byte for byte (stronger than the HLL register-equality law)."""
+    from hierarchical_bloom_filter_index_spark.sketches import CountMinSketch
+
+    corp, idx = built_cms
+    for L in (0, 1):
+        row = idx.filter(F.col("level") == L).first()
+        doc = corp.filter(F.col("doc_id") == row["doc_id"]).first()
+        span = CFG.span(L)
+        toks = np.asarray(doc["tokens"], dtype=np.int64)[row["w_id"] * span : (row["w_id"] + 1) * span]
+        scratch = CountMinSketch(3, 256, CFG.seed + 11)
+        scratch.update(toks)
+        assert scratch.to_bytes() == bytes(row["sketch"])
+
+
+def test_cms_window_estimates_overestimate_within_eps(spark, built_cms):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        window_freq_estimates,
+    )
+
+    corp, idx = built_cms
+    probes = [1, 2, 3, 5, 8, 4001]
+    ests = {(r["doc_id"], r["w_id"], r["token"]): r["est_count"]
+            for r in window_freq_estimates(idx, 0, probes).collect()}
+    span = CFG.span(0)
+    eps = np.e / 256
+    n_checked = n_exceed = 0
+    for doc in corp.limit(30).collect():
+        toks = np.asarray(doc["tokens"], dtype=np.int64)
+        for w in range(0, (len(toks) + span - 1) // span):
+            sl = toks[w * span : (w + 1) * span]
+            for t in probes:
+                exact = int((sl == t).sum())
+                est = ests[(doc["doc_id"], w, t)]
+                assert est >= exact, "CMS must overestimate only"
+                n_checked += 1
+                if est - exact > eps * len(sl):
+                    n_exceed += 1
+    # per-pair failure prob <= exp(-depth) ~ 5%; allow generous slack
+    assert n_checked > 200 and n_exceed / n_checked <= 0.10
+
+
+def test_cms_window_totals_exact(spark, built_cms):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        window_token_totals,
+    )
+
+    corp, idx = built_cms
+    tots = {(r["doc_id"], r["level"], r["w_id"]): r["n_window"]
+            for r in window_token_totals(idx).collect()}
+    for doc in corp.limit(20).collect():
+        n = int(doc["n_tok"])
+        for L in CFG.levels:
+            span = CFG.span(L)
+            for w in range(0, (n + span - 1) // span):
+                assert tots[(doc["doc_id"], L, w)] == min(span, n - w * span)
