@@ -24,6 +24,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +103,66 @@ def main() -> None:
             worst = max(worst, err)
         out[name] = {"worst_rank_err": round(worst, 6), "bound": bound, "pass": bool(worst <= bound)}
 
+    # Misra-Gries: exact total, underestimate-only within err_bound, and the
+    # heavy-hitter superset guarantee — all through the distributed aggregate
+    from hierarchical_bloom_filter_index_spark.sketches import MisraGries
+
+    phi = 0.005
+    mg = collect_sketch(
+        sketch_aggregate(corp, "tokens", lambda: MisraGries.for_phi(phi),
+                         values_are_arrays=True)
+    )
+    mg_est = mg.estimate(present)
+    mg_true = np.asarray([exact_counts[k] for k in present])
+    required = {int(k) for k, c in exact_counts.items() if c >= phi * n_total}
+    hh = set(int(x) for x in mg.heavy_hitters(phi))
+    out["misra_gries"] = {
+        "phi": phi, "k": mg.k, "err_bound": round(mg.err_bound(), 2),
+        "overestimates": int((mg_est > mg_true).sum()),
+        "worst_underestimate": int((mg_true - mg_est).max()),
+        "n_true_heavy": len(required), "superset_ok": bool(required <= hh),
+        "pass": bool(mg.n_total == n_total and (mg_est <= mg_true).all()
+                     and (mg_true - mg_est <= mg.err_bound() + 1e-9).all()
+                     and required <= hh),
+    }
+
+    # per-window CMS rollup: overestimate-only within eps*N_window at the
+    # leaf level, exact totals at every level (the linear-rollup contract)
+    from hierarchical_bloom_filter_index_spark.config import HbiConfig
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+        window_freq_estimates,
+        window_token_totals,
+    )
+
+    wcfg = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42)
+    widx = build_cms_window_index(corp, wcfg, depth=3, width=256)
+    deepest = wcfg.deepest
+    probe = [int(k) for k in present[:5]]
+    ests = {(r["doc_id"], r["w_id"], r["token"]): r["est_count"]
+            for r in window_freq_estimates(widx, deepest, probe).collect()}
+    tot_rows = window_token_totals(widx).groupBy("level").agg(
+        F.sum("n_window").alias("s"), F.count("*").alias("c")).collect()
+    totals_exact = all(r["s"] == n_total for r in tot_rows)
+    span = wcfg.span(deepest)
+    n_checked = n_exceed = n_under = 0
+    for doc in corp.limit(50).collect():
+        toks = np.asarray(doc["tokens"], dtype=np.int64)
+        for w in range(0, (len(toks) + span - 1) // span):
+            sl = toks[w * span : (w + 1) * span]
+            for t in probe:
+                exact = int((sl == t).sum())
+                est = ests[(doc["doc_id"], w, t)]
+                n_checked += 1
+                n_under += est < exact
+                n_exceed += est - exact > (np.e / 256) * len(sl)
+    widx.unpersist()
+    out["cms_window_rollup"] = {
+        "levels_totals_exact": bool(totals_exact), "checked": n_checked,
+        "underestimates": int(n_under), "viol_rate": round(n_exceed / max(n_checked, 1), 6),
+        "pass": bool(totals_exact and n_under == 0 and n_exceed / max(n_checked, 1) <= 0.10),
+    }
+
     # synthetic corpus (vocab 4096, skewed sources): a meaningful distinct
     # space for the cardinality/frequency sketches
     syn = C.generate_corpus(spark, sf=0.05, seed=42).cache()
@@ -120,13 +181,31 @@ def main() -> None:
     skeys = np.asarray(list(syn_exact), dtype=np.int64)
     sest = cms2.estimate(skeys)
     strue = np.asarray([syn_exact[k] for k in skeys])
+    # MG where pruning actually engages: 4096-distinct zipf-ish corpus,
+    # k=500 counters << vocab
+    sphi = 0.002
+    mg2 = collect_sketch(
+        sketch_aggregate(syn, "tokens", lambda: MisraGries.for_phi(sphi),
+                         values_are_arrays=True)
+    )
+    mg2_est = mg2.estimate(skeys)
+    req2 = {int(k) for k, c in syn_exact.items() if c >= sphi * syn_total}
+    mg2_ok = bool(
+        mg2.n_total == syn_total and len(mg2.keys) <= mg2.k
+        and (mg2_est <= strue).all()
+        and (strue - mg2_est <= mg2.err_bound() + 1e-9).all()
+        and req2 <= set(int(x) for x in mg2.heavy_hitters(sphi))
+    )
     out["synthetic"] = {
         "n_tokens": int(syn_total), "n_distinct": len(syn_exact),
         "hll_rel_err": round(rel2, 6), "hll_bound_4sigma": round(4 * hll2.rel_error(), 6),
         "cms_underestimates": int((sest < strue).sum()),
         "cms_viol_rate": round(float((sest - strue > 0.0005 * syn_total).mean()), 6),
+        "mg_counters": int(len(mg2.keys)), "mg_err_bound": round(mg2.err_bound(), 2),
+        "mg_n_true_heavy": len(req2), "mg_ok": mg2_ok,
         "pass": bool(rel2 <= 4 * hll2.rel_error() and (sest >= strue).all()
-                     and float((sest - strue > 0.0005 * syn_total).mean()) <= 0.01),
+                     and float((sest - strue > 0.0005 * syn_total).mean()) <= 0.01
+                     and mg2_ok),
     }
 
     out["all_pass"] = all(v["pass"] for v in out.values() if isinstance(v, dict) and "pass" in v)
