@@ -347,6 +347,58 @@ def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_GROUP_PHI = 0.004  # per-source heavy-hitter threshold
+
+
+def q_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source phi-heavy bigrams — the GROUPED form of
+    heavy_hitter_bigrams: one Misra-Gries summary per source (grouped
+    two-phase sketch aggregate), per-source candidate supersets, then one
+    exact count join over the broadcast candidates. Per-source totals come
+    exact from the MG states, so thresholds need no extra pass."""
+    import math as _math
+
+    from hierarchical_bloom_filter_index_spark.sketches import MisraGries
+
+    grams = _corpus(spark, sf_dir).filter(F.size("tokens") >= 2).select(
+        "source",
+        F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> shiftleft(tokens[i], 21) + tokens[i + 1])"
+        ).alias("grams"),
+    )
+    per_source = grouped_sketches(
+        sketch_aggregate(grams, "grams", lambda: MisraGries.for_phi(HH_GROUP_PHI),
+                         group_cols=("source",), values_are_arrays=True)
+    )
+    cand_rows = [
+        (src, int(g), int(_math.ceil(HH_GROUP_PHI * mg.n_total)))
+        for (src,), mg in per_source.items()
+        for g in mg.heavy_hitters(HH_GROUP_PHI)
+    ]
+    if not cand_rows:
+        return spark.createDataFrame([], "source string, gram string, cnt long")
+    cand = F.broadcast(
+        spark.createDataFrame(cand_rows, "source string, g long, thr long")
+    )
+    return (
+        grams.select("source", F.explode("grams").alias("g"))
+        .join(cand, ["source", "g"])
+        .groupBy("source", "g", "thr")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.col("thr"))
+        .select(
+            "source",
+            F.concat(
+                F.shiftright("g", 21).cast("string"),
+                F.lit("|"),
+                F.col("g").bitwiseAND((1 << 21) - 1).cast("string"),
+            ).alias("gram"),
+            "cnt",
+        )
+    )
+
+
 def q_token_freq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = with_positions(_corpus(spark, sf_dir))
     return (
@@ -984,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency / cardinality / quantiles (SURVEY §2.5)
         "bigram_topk": q_bigram_topk,
         "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
+        "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "token_freq_by_source": q_token_freq_by_source,
         "distinct_by_source_exact": q_distinct_by_source_exact,
         "doclen_quantiles_exact": q_doclen_quantiles_exact,
@@ -1115,6 +1168,16 @@ SELECT gram, COUNT(*) AS cnt
 FROM grams
 GROUP BY gram
 HAVING COUNT(*) >= CEIL({HH_PHI} * (SELECT COUNT(*) FROM grams))""",
+        "heavy_hitters_by_source": f"""WITH {CORPUS_CTE},
+grams AS (
+  SELECT source, CAST(tokens[i] AS VARCHAR) || '|' || CAST(tokens[i + 1] AS VARCHAR) AS gram
+  FROM (SELECT source, tokens, unnest(generate_series(1, CAST(n_tok - 1 AS BIGINT))) AS i
+        FROM corpus WHERE n_tok >= 2)),
+tot AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source)
+SELECT g.source AS source, gram, COUNT(*) AS cnt
+FROM grams g JOIN tot ON g.source = tot.source
+GROUP BY g.source, gram, tot.n
+HAVING COUNT(*) >= CEIL({HH_GROUP_PHI} * tot.n)""",
         "token_freq_by_source": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT source, CAST(tokens[i] AS INT) AS token, COUNT(*) AS cnt
 FROM pos WHERE tokens[i] IN ({probe_list}) GROUP BY 1, 2""",
