@@ -227,3 +227,34 @@ def test_cms_window_totals_exact(spark, built_cms):
             span = CFG.span(L)
             for w in range(0, (n + span - 1) // span):
                 assert tots[(doc["doc_id"], L, w)] == min(span, n - w * span)
+
+
+def test_cms_window_index_persist_and_incremental(spark, built_cms, tmp_path):
+    """The window-sketch index persists through the generic level-partitioned
+    writer byte-for-byte, and the doc-axis build is embarrassingly
+    incremental: build(old ∪ new) == build(old) ∪ build(new) (per-doc rows,
+    no cross-doc state)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+    )
+    from hierarchical_bloom_filter_index_spark.sources.io import read_index, write_index
+
+    corp, idx = built_cms
+    path = str(tmp_path / "cms_idx")
+    write_index(idx, path)
+    back = read_index(spark, path)
+    key = lambda r: (r["doc_id"], r["level"], r["w_id"])
+    orig = {key(r): bytes(r["sketch"]) for r in idx.collect()}
+    rt = {key(r): bytes(r["sketch"]) for r in back.collect()}
+    assert rt == orig and len(orig) > 0
+
+    docs = [r["doc_id"] for r in corp.select("doc_id").distinct().orderBy("doc_id").limit(4).collect()]
+    old = corp.filter(F.col("doc_id").isin(docs[:2]))
+    new = corp.filter(F.col("doc_id").isin(docs[2:]))
+    both = corp.filter(F.col("doc_id").isin(docs))
+    inc = build_cms_window_index(old, CFG, depth=3, width=256).unionByName(
+        build_cms_window_index(new, CFG, depth=3, width=256)
+    )
+    full = build_cms_window_index(both, CFG, depth=3, width=256)
+    assert {key(r): bytes(r["sketch"]) for r in inc.collect()} == \
+           {key(r): bytes(r["sketch"]) for r in full.collect()}
