@@ -305,6 +305,24 @@ HH_K, HH_PHI = 1024, 0.002  # MG capacity / heavy-hitter frequency threshold
 # spacesaving.MisraGries.heavy_hitters can never refuse at this sizing)
 
 
+# pack (t1, t2) -> t1 * 2^21 + t2: any Unicode codepoint < 2^21, collision-
+# free — the bigint cast is load-bearing (tokens is array<int>; an int32
+# shiftleft would silently wrap for codepoints >= 1024)
+_PACKED_BIGRAMS = (
+    "transform(sequence(0, size(tokens) - 2), "
+    "i -> shiftleft(cast(tokens[i] AS bigint), 21) + tokens[i + 1])"
+)
+
+
+def _unpack_gram(col: str):
+    """Packed bigram -> the oracle's 't1|t2' gram string."""
+    return F.concat(
+        F.shiftright(col, 21).cast("string"),
+        F.lit("|"),
+        F.col(col).bitwiseAND((1 << 21) - 1).cast("string"),
+    ).alias("gram")
+
+
 def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT phi-heavy bigrams via the sketch-prunes/verification-decides
     contract: a Misra-Gries summary (sketches/spacesaving.py) proposes a
@@ -318,16 +336,14 @@ def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hierarchical_bloom_filter_index_spark.sketches import MisraGries
 
-    # pack (t1, t2) -> t1 * 2^21 + t2: codepoints < 2^21, collision-free
     grams = _corpus(spark, sf_dir).filter(F.size("tokens") >= 2).select(
-        F.expr(
-            "transform(sequence(0, size(tokens) - 2), "
-            "i -> shiftleft(tokens[i], 21) + tokens[i + 1])"
-        ).alias("grams")
+        F.expr(_PACKED_BIGRAMS).alias("grams")
     )
     mg = collect_sketch(
         sketch_aggregate(grams, "grams", lambda: MisraGries(k=HH_K), values_are_arrays=True)
     )
+    if mg is None:  # no doc has 2+ tokens
+        return spark.createDataFrame([], "gram string, cnt long")
     thr = int(_math.ceil(HH_PHI * mg.n_total))
     cand = [int(g) for g in mg.heavy_hitters(HH_PHI)]
     return (
@@ -336,14 +352,7 @@ def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= thr)
-        .select(
-            F.concat(
-                F.shiftright("g", 21).cast("string"),
-                F.lit("|"),
-                F.col("g").bitwiseAND((1 << 21) - 1).cast("string"),
-            ).alias("gram"),
-            "cnt",
-        )
+        .select(_unpack_gram("g"), "cnt")
     )
 
 
@@ -361,11 +370,7 @@ def q_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hierarchical_bloom_filter_index_spark.sketches import MisraGries
 
     grams = _corpus(spark, sf_dir).filter(F.size("tokens") >= 2).select(
-        "source",
-        F.expr(
-            "transform(sequence(0, size(tokens) - 2), "
-            "i -> shiftleft(tokens[i], 21) + tokens[i + 1])"
-        ).alias("grams"),
+        "source", F.expr(_PACKED_BIGRAMS).alias("grams")
     )
     per_source = grouped_sketches(
         sketch_aggregate(grams, "grams", lambda: MisraGries.for_phi(HH_GROUP_PHI),
@@ -387,15 +392,7 @@ def q_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "g", "thr")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= F.col("thr"))
-        .select(
-            "source",
-            F.concat(
-                F.shiftright("g", 21).cast("string"),
-                F.lit("|"),
-                F.col("g").bitwiseAND((1 << 21) - 1).cast("string"),
-            ).alias("gram"),
-            "cnt",
-        )
+        .select("source", _unpack_gram("g"), "cnt")
     )
 
 

@@ -57,29 +57,24 @@ def rollup_scaffold(leaf: DataFrame, deepest: int, pass_fn) -> DataFrame:
     return out
 
 
-def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
-    """Approximate-distinct index: one HLL per (doc, level, window), built
-    leaf-first then rolled up. Answers 'how many distinct tokens in window
-    W at level L' within the 1.04/sqrt(2^p) envelope. The returned index is
-    PERSISTED (see rollup_scaffold) — call ``unpersist()`` when done."""
-    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+def _build_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
+                               leaf_blobs, merge_groups) -> DataFrame:
+    """Shared shape of every window-sketch rollup build: a vectorized leaf
+    pass (``leaf_blobs(tokens) -> list[bytes]``, one kernel call covers all
+    of a doc's windows — per-window sketch-object loops are the hotspot),
+    then per-level parent merges in ONE Arrow pass each
+    (``merge_groups(flat_blobs, group_counts) -> list[bytes]``, not
+    applyInPandas-per-group which pays a pandas round-trip per parent)."""
 
-    leaf_span = cfg.leaf_span
     deepest = cfg.deepest
-    seed = cfg.seed + 7
 
     def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one hash pass + one scatter-max covers EVERY window of a doc
-        # (leaf_window_blobs) — the per-window HyperLogLog-object loop was
-        # the build hotspot (tens of thousands of 4 KB register allocations
-        # per partition; 58 s -> ~8 s at sf0.1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             out_doc, out_w, out_sk = [], [], []
             for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                blobs = leaf_window_blobs(np.asarray(toks, dtype=np.int64),
-                                          leaf_span, p, seed)
+                blobs = leaf_blobs(np.asarray(toks, dtype=np.int64))
                 out_doc.extend([did] * len(blobs))
                 out_w.extend(range(len(blobs)))
                 out_sk.extend(blobs)
@@ -90,10 +85,6 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
     leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
 
     def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # ONE vectorized Arrow pass per level (not applyInPandas per group —
-        # that pays a pandas round-trip for each of the ~|windows| parents);
-        # all parents of the batch merge in a single register-wise
-        # maximum.reduceat (merge_blob_groups), no per-parent object churn
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -103,10 +94,10 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
                 counts[i] = len(children)
                 flat.extend(bytes(b) for b in children)
             out = pdf[["doc_id", "level", "w_id"]].copy()
-            out["sketch"] = merge_blob_groups(flat, counts, p)
+            out["sketch"] = merge_groups(flat, counts)
             yield out
 
-    def hll_pass(cur: DataFrame, L: int) -> DataFrame:
+    def level_pass(cur: DataFrame, L: int) -> DataFrame:
         # parent window = merge of its (at most 2) children — sketch rows only
         return (
             cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
@@ -115,7 +106,22 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
             .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
         )
 
-    return rollup_scaffold(leaf, deepest, hll_pass)
+    return rollup_scaffold(leaf, deepest, level_pass)
+
+
+def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
+    """Approximate-distinct index: one HLL per (doc, level, window), built
+    leaf-first then rolled up. Answers 'how many distinct tokens in window
+    W at level L' within the 1.04/sqrt(2^p) envelope. The returned index is
+    PERSISTED (see rollup_scaffold) — call ``unpersist()`` when done."""
+    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 7
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: leaf_window_blobs(toks, leaf_span, p, seed),
+        lambda flat, counts: merge_blob_groups(flat, counts, p),
+    )
 
 
 def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:
@@ -148,50 +154,12 @@ def build_cms_window_index(corpus: DataFrame, cfg: HbiConfig, depth: int = 3, wi
     as build_hll_window_index (caller unpersists)."""
     from ..sketches import cms as cms_kernels
 
-    leaf_span = cfg.leaf_span
-    deepest = cfg.deepest
-    seed = cfg.seed + 11
-
-    def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out_doc, out_w, out_sk = [], [], []
-            for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
-                blobs = cms_kernels.leaf_window_blobs(
-                    np.asarray(toks, dtype=np.int64), leaf_span, depth, width, seed
-                )
-                out_doc.extend([did] * len(blobs))
-                out_w.extend(range(len(blobs)))
-                out_sk.extend(blobs)
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "level": deepest, "w_id": out_w, "sketch": out_sk}
-            )
-
-    leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
-
-    def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(b) for b in children)
-            out = pdf[["doc_id", "level", "w_id"]].copy()
-            out["sketch"] = cms_kernels.merge_blob_groups(flat, counts, depth, width, seed)
-            yield out
-
-    def cms_pass(cur: DataFrame, L: int) -> DataFrame:
-        return (
-            cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
-            .groupBy("doc_id", "level", "w_id")
-            .agg(F.collect_list("sketch").alias("children"))
-            .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
-        )
-
-    return rollup_scaffold(leaf, deepest, cms_pass)
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 11
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed),
+        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
+    )
 
 
 def window_freq_estimates(cms_index: DataFrame, level: int, probe_tokens) -> DataFrame:

@@ -45,6 +45,8 @@ def _absent_char(char_freq: collections.Counter) -> str:
 def _sample_slices(texts: list[str], plen: int, n: int, rng: np.random.Generator,
                    tries: int = 400) -> list[str]:
     eligible = [s for s in texts if len(s) >= plen]
+    if not eligible:
+        return []
     out: list[str] = []
     for _ in range(tries):
         if len(out) >= n:
