@@ -632,6 +632,42 @@ def q_cms_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_token_totals(_cms_index(spark, sf_dir))
 
 
+RANGE_QS = [(1, 9), (0, 3)]  # leaf-window ranges applied to every doc
+
+
+def _doc_ranges(spark: SparkSession, sf_dir: str) -> list:
+    docs = [r["doc_id"] for r in _corpus(spark, sf_dir).select("doc_id").collect()]
+    return [(d, a, b) for d in docs for a, b in RANGE_QS]
+
+
+def q_range_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token counts over leaf-window RANGES [a, b) answered from the
+    dyadic CMS index: each range merges its <= 2*log2(b-a)+2 covering nodes
+    (rollup.dyadic_cover) instead of touching b-a leaves — the hierarchy
+    used for what it exists for. Totals are exact, so oracle-checked."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_token_totals,
+    )
+
+    return range_token_totals(
+        _cms_index(spark, sf_dir), _doc_ranges(spark, sf_dir), CFG.deepest
+    )
+
+
+def q_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct tokens over the same leaf-window ranges: the
+    covering nodes' HLLs merge (register max) into the exact range HLL —
+    estimates in the 1.04/sqrt(2^p) envelope (bounds in tests; geometry +
+    totals oracle-checked by range_window_totals)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_distinct_estimates,
+    )
+
+    return range_distinct_estimates(
+        _hll_index(spark, sf_dir), _doc_ranges(spark, sf_dir), CFG.deepest
+    ).select("doc_id", "a", "b", F.round("est_distinct", 3).alias("est_distinct"))
+
+
 def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-per-window via the dyadic HLL rollup index
     (coarse levels merged from children, no token rescan)."""
@@ -1045,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
         "cms_rollup_totals": q_cms_rollup_totals,
+        "range_window_totals": q_range_window_totals,
+        "range_distinct": q_range_distinct,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
@@ -1306,6 +1344,12 @@ w AS (
 SELECT doc_id, CAST(level AS INT) AS level, CAST(w_id AS BIGINT) AS w_id,
        CAST(LEAST(span, n_tok - w_id * span) AS BIGINT) AS n_window
 FROM w""",
+        "range_window_totals": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
+FROM corpus, rq
+WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
     }
     # same closed form: the rollup build has identical dyadic spans
     out["bloom_rollup_geometry"] = out["index_geometry"]

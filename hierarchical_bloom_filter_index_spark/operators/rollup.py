@@ -205,3 +205,135 @@ def window_token_totals(cms_index: DataFrame) -> DataFrame:
             yield out
 
     return cms_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")
+
+
+# ---------------------------------------------------------------------------
+# Dyadic range queries — the point of the hierarchy: any leaf-window range
+# [a, b) decomposes into <= 2*log2(b-a)+2 aligned index nodes, so a range
+# answer merges O(log) sketches instead of (b-a) leaves. HLL merge (max)
+# gives the EXACT HLL of the range; CMS merge (add) gives the EXACT CMS of
+# the range — so range estimates carry the same published bounds, with
+# N = range token count.
+# ---------------------------------------------------------------------------
+
+def dyadic_cover(a: int, b: int, deepest: int) -> list[tuple[int, int]]:
+    """Minimal dyadic cover of the leaf-window range [a, b): (level, w_id)
+    nodes, disjoint, tiling exactly [a, b) in leaf units. Greedy: at each
+    step take the largest aligned block that starts at ``lo`` and fits."""
+    if a < 0 or b < a:
+        raise ValueError(f"bad range [{a}, {b})")
+    out: list[tuple[int, int]] = []
+    lo = a
+    while lo < b:
+        size = (lo & -lo) if lo else (1 << deepest)
+        size = min(size, 1 << deepest)
+        while size > b - lo:
+            size //= 2
+        k = size.bit_length() - 1
+        out.append((deepest - k, lo >> k))
+        lo += size
+    return out
+
+
+def _range_nodes_df(spark, ranges, deepest: int):
+    """(doc_id, a, b, level, w_id) cover rows for each queried range —
+    query-side small (|ranges| * O(log)), broadcast against the index."""
+    rows = [
+        (doc_id, int(a), int(b), L, w)
+        for doc_id, a, b in ranges
+        for L, w in dyadic_cover(int(a), int(b), deepest)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, a long, b long, level int, w_id long"
+    )
+
+
+def _joined_range_groups(index: DataFrame, ranges, deepest: int) -> DataFrame:
+    nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest))
+    return (
+        index.join(nodes, ["doc_id", "level", "w_id"])
+        .groupBy("doc_id", "a", "b")
+        .agg(F.collect_list("sketch").alias("children"))
+    )
+
+
+def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(doc_id, a, b, est_distinct) per queried leaf-window range: the O(log)
+    covering nodes merge (register max) into the exact range HLL, estimated
+    within the standard 1.04/sqrt(2^p) envelope. Ranges with no tokens
+    produce no row (no covering node exists)."""
+    from ..sketches.hll import estimate_blobs, merge_blob_groups
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(x) for x in children)
+            p = int(from_bytes(flat[0]).p)
+            merged = merge_blob_groups(flat, counts, p)
+            out = pdf[["doc_id", "a", "b"]].copy()
+            out["est_distinct"] = estimate_blobs(merged, p)
+            yield out
+
+    return _joined_range_groups(hll_index, ranges, deepest).mapInPandas(
+        est, schema="doc_id string, a long, b long, est_distinct double"
+    )
+
+
+def range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: int) -> DataFrame:
+    """(doc_id, a, b, token, est_count) per range and probe token: covering
+    nodes add (CMS is linear) into the exact range CMS — overestimate-only
+    within eps * N_range."""
+    from ..sketches import cms as cms_kernels
+
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(x) for x in children)
+            first = from_bytes(flat[0])
+            merged = cms_kernels.merge_blob_groups(
+                flat, counts, first.depth, first.width, first.seed
+            )
+            ests = cms_kernels.estimate_blobs(
+                merged, probes, first.depth, first.width, first.seed
+            )
+            out = pdf[["doc_id", "a", "b"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
+            out["token"] = np.tile(probes, len(pdf))
+            out["est_count"] = ests.ravel()
+            yield out
+
+    return _joined_range_groups(cms_index, ranges, deepest).mapInPandas(
+        est, schema="doc_id string, a long, b long, token long, est_count long"
+    )
+
+
+def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(doc_id, a, b, n_tokens) per range — EXACT (node totals are exact and
+    the cover is a disjoint tiling), hence SQL-oracle-checkable."""
+    from ..sketches.cms import window_totals
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["doc_id", "a", "b"]].copy()
+            out["n_tokens"] = [
+                int(window_totals([bytes(x) for x in children]).sum())
+                for children in pdf["children"]
+            ]
+            yield out
+
+    return _joined_range_groups(cms_index, ranges, deepest).mapInPandas(
+        tot, schema="doc_id string, a long, b long, n_tokens long"
+    )

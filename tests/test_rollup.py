@@ -258,3 +258,75 @@ def test_cms_window_index_persist_and_incremental(spark, built_cms, tmp_path):
     full = build_cms_window_index(both, CFG, depth=3, width=256)
     assert {key(r): bytes(r["sketch"]) for r in inc.collect()} == \
            {key(r): bytes(r["sketch"]) for r in full.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Dyadic range queries: cover correctness, exact totals, bounded estimates
+# ---------------------------------------------------------------------------
+
+def test_dyadic_cover_tiles_exactly():
+    from hierarchical_bloom_filter_index_spark.operators.rollup import dyadic_cover
+
+    rng = np.random.default_rng(3)
+    cases = [(0, 1), (3, 11), (0, 32), (7, 8), (5, 29), (0, 0), (13, 64)]
+    cases += [tuple(sorted(rng.integers(0, 200, 2).tolist())) for _ in range(50)]
+    for a, b in cases:
+        for deepest in (3, 5, 6):
+            leaves = []
+            for L, w in dyadic_cover(a, b, deepest):
+                assert 0 <= L <= deepest
+                k = deepest - L
+                leaves.extend(range(w << k, (w + 1) << k))
+            assert leaves == list(range(a, b)), (a, b, deepest)
+            if b > a:
+                # O(log) within one tree span; ranges longer than the root
+                # span need (b-a)/2^deepest root-size blocks (inherent)
+                assert len(dyadic_cover(a, b, deepest)) <= \
+                    (b - a) // (1 << deepest) + 2 * deepest + 2
+    with pytest.raises(ValueError):
+        dyadic_cover(-1, 3, 5)
+
+
+def test_range_totals_exact_and_estimates_bounded(spark, built_cms):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_hll_window_index,
+        range_distinct_estimates,
+        range_freq_estimates,
+        range_token_totals,
+    )
+
+    corp, cms_idx = built_cms
+    hll_idx = build_hll_window_index(corp, CFG, p=12)
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.limit(20).collect()}
+    span, deepest = CFG.leaf_span, CFG.deepest
+    rqs = [(0, 2), (1, 7), (3, 4), (0, 64)]
+    ranges = [(d, a, b) for d in docs for a, b in rqs]
+
+    tots = {(r["doc_id"], r["a"], r["b"]): r["n_tokens"]
+            for r in range_token_totals(cms_idx, ranges, deepest).collect()}
+    dists = {(r["doc_id"], r["a"], r["b"]): r["est_distinct"]
+             for r in range_distinct_estimates(hll_idx, ranges, deepest).collect()}
+    probes = [1, 2, 3]
+    freqs = {(r["doc_id"], r["a"], r["b"], r["token"]): r["est_count"]
+             for r in range_freq_estimates(cms_idx, ranges, probes, deepest).collect()}
+
+    eps = np.e / 256
+    n_rows = 0
+    for d, toks in docs.items():
+        for a, b in rqs:
+            sl = toks[a * span : b * span]
+            if len(sl) == 0:
+                assert (d, a, b) not in tots  # empty range -> no row
+                continue
+            n_rows += 1
+            assert tots[(d, a, b)] == len(sl), "range totals must be exact"
+            exact_d = len(np.unique(sl))
+            assert abs(dists[(d, a, b)] - exact_d) / max(exact_d, 1) <= 5 * 1.04 / np.sqrt(2**12)
+            for t in probes:
+                exact_c = int((sl == t).sum())
+                est = freqs[(d, a, b, t)]
+                assert est >= exact_c
+                assert est - exact_c <= eps * len(sl) * 3  # merged-node slack
+    assert n_rows >= 40
+    hll_idx.unpersist()
