@@ -668,6 +668,35 @@ def q_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "a", "b", F.round("est_distinct", 3).alias("est_distinct"))
 
 
+RANGE_QS_GLOBAL = [(0, 8), (5, 133), (1000, 1024)]  # stream leaf-window ranges
+
+
+def _gcms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-axis CMS window index (STREAM windows, doc boundaries
+    invisible), built once per sf_dir off the cached offset corpus."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cms_window_index,
+    )
+
+    key = ("gcms_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_cms_window_index(gcorp, CFG, depth=3, width=256)
+    return _CACHE[key]
+
+
+def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token counts over STREAM leaf-window ranges [a, b) from the
+    global-axis dyadic CMS index: O(log) covering nodes per range, document
+    boundaries invisible (the reference's one-stream model). Oracle-checked
+    against SUM(n_tok) arithmetic."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_totals,
+    )
+
+    return global_range_totals(_gcms_index(spark, sf_dir), RANGE_QS_GLOBAL, CFG.deepest)
+
+
 def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-per-window via the dyadic HLL rollup index
     (coarse levels merged from children, no token rescan)."""
@@ -1083,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_rollup_totals": q_cms_rollup_totals,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
+        "global_range_totals": q_global_range_totals,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
@@ -1350,6 +1380,13 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        "global_range_totals": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)})
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
+FROM rq, tot
+WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     }
     # same closed form: the rollup build has identical dyadic spans
     out["bloom_rollup_geometry"] = out["index_geometry"]

@@ -337,3 +337,172 @@ def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     return _joined_range_groups(cms_index, ranges, deepest).mapInPandas(
         tot, schema="doc_id string, a long, b long, n_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL-axis window-sketch indexes: the reference's actual model is ONE
+# concatenated token stream (PMIndex/HBI.java insert/report) — stream
+# windows cross document boundaries. Docs contribute PARTIAL sketches of
+# the stream windows they overlap (leaf kernels' phase argument); partials
+# of a window merge exactly (HLL max / CMS add are split-indifferent), then
+# the usual dyadic rollup derives every coarser level from sketch rows.
+# ---------------------------------------------------------------------------
+
+GLOBAL_SKETCH_SCHEMA = "level int, w_id long, sketch binary"
+
+
+def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
+                                      leaf_blobs_phased, merge_groups) -> DataFrame:
+    """Global-axis twin of _build_window_sketch_index.
+    ``leaf_blobs_phased(tokens, phase) -> list[bytes]`` must emit the
+    partial sketches of consecutive STREAM windows starting at
+    doc_offset // leaf_span. Same persistence contract (caller unpersists)."""
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    span = cfg.leaf_span
+    deepest = cfg.deepest
+
+    def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_w, out_sk = [], []
+            for off, toks in zip(pdf["doc_offset"], pdf["tokens"]):
+                off = int(off)
+                blobs = leaf_blobs_phased(np.asarray(toks, dtype=np.int64), off % span)
+                out_w.extend(range(off // span, off // span + len(blobs)))
+                out_sk.extend(blobs)
+            yield pd.DataFrame({"level": deepest, "w_id": out_w, "sketch": out_sk})
+
+    # rebalance BEFORE the scan — same trap as _build_global_axis
+    # (build.py:282): with_global_offsets leaves doc_id-range partitioning
+    # and long-doc sources cluster, serializing the leaf pass
+    spark_ctx = corpus.sparkSession.sparkContext
+    n_parts = max(spark_ctx.defaultParallelism, corpus.rdd.getNumPartitions())
+    balanced = corpus.select("doc_offset", "tokens").repartition(n_parts)
+    partials = balanced.mapInPandas(leaf_build, schema=GLOBAL_SKETCH_SCHEMA)
+
+    def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(b) for b in children)
+            out = pdf[["level", "w_id"]].copy()
+            out["sketch"] = merge_groups(flat, counts)
+            yield out
+
+    # ONE collect_list shuffle + ONE Arrow pass (the merge_global_rows
+    # shape — never split an uncached aggregate into filtered jobs)
+    leaf = (
+        partials.groupBy("level", "w_id")
+        .agg(F.collect_list("sketch").alias("children"))
+        .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
+    )
+
+    def level_pass(cur: DataFrame, L: int) -> DataFrame:
+        return (
+            cur.select(F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
+            .groupBy("level", "w_id")
+            .agg(F.collect_list("sketch").alias("children"))
+            .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
+        )
+
+    return rollup_scaffold(leaf, deepest, level_pass)
+
+
+def build_global_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
+    """One HLL per (level, STREAM window): distinct tokens of any dyadic
+    slice of the concatenated stream, document boundaries invisible."""
+    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 7
+    return _build_global_window_sketch_index(
+        corpus, cfg,
+        lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
+        lambda flat, counts: merge_blob_groups(flat, counts, p),
+    )
+
+
+def build_global_cms_window_index(corpus: DataFrame, cfg: HbiConfig,
+                                  depth: int = 3, width: int = 256) -> DataFrame:
+    """One CMS per (level, STREAM window): token frequencies of any dyadic
+    stream slice; totals exact (linear merge of exact partials)."""
+    from ..sketches import cms as cms_kernels
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 11
+    return _build_global_window_sketch_index(
+        corpus, cfg,
+        lambda toks, phase: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed, phase=phase),
+        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
+    )
+
+
+def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(a, b, est_distinct) per STREAM leaf-window range [a, b) — dyadic
+    cover nodes merge into the exact range HLL (doc-axis twin:
+    range_distinct_estimates)."""
+    from ..sketches.hll import estimate_blobs, merge_blob_groups
+
+    nodes = F.broadcast(hll_index.sparkSession.createDataFrame(
+        [(int(a), int(b), L, w) for a, b in ranges
+         for L, w in dyadic_cover(int(a), int(b), deepest)],
+        "a long, b long, level int, w_id long",
+    ))
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(x) for x in children)
+            p = int(from_bytes(flat[0]).p)
+            merged = merge_blob_groups(flat, counts, p)
+            out = pdf[["a", "b"]].copy()
+            out["est_distinct"] = estimate_blobs(merged, p)
+            yield out
+
+    return (
+        hll_index.join(nodes, ["level", "w_id"])
+        .groupBy("a", "b")
+        .agg(F.collect_list("sketch").alias("children"))
+        .mapInPandas(est, schema="a long, b long, est_distinct double")
+    )
+
+
+def global_range_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(a, b, n_tokens) per STREAM leaf-window range — EXACT (disjoint
+    tiling of exact node totals), SQL-oracle-checkable against SUM(n_tok)."""
+    from ..sketches.cms import window_totals
+
+    nodes = F.broadcast(cms_index.sparkSession.createDataFrame(
+        [(int(a), int(b), L, w) for a, b in ranges
+         for L, w in dyadic_cover(int(a), int(b), deepest)],
+        "a long, b long, level int, w_id long",
+    ))
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["a", "b"]].copy()
+            out["n_tokens"] = [
+                int(window_totals([bytes(x) for x in children]).sum())
+                for children in pdf["children"]
+            ]
+            yield out
+
+    return (
+        cms_index.join(nodes, ["level", "w_id"])
+        .groupBy("a", "b")
+        .agg(F.collect_list("sketch").alias("children"))
+        .mapInPandas(tot, schema="a long, b long, n_tokens long")
+    )

@@ -229,17 +229,20 @@ def _check_cms_blob(b: bytes, depth: int, width: int, seed: int) -> None:
         raise ValueError(f"CountMinSketch blob params {(d, w, s)} != {(depth, width, seed)}")
 
 
-def leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int, seed: int) -> list[bytes]:
+def leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int, seed: int,
+                      phase: int = 0) -> list[bytes]:
     """Serialized CMSs for every consecutive ``window``-token slice of
     ``tokens``: ``depth`` hash passes + ``depth`` bincounts cover ALL
     windows at once. Byte-identical to
-    ``CountMinSketch(depth, width, seed).update(slice).to_bytes()``."""
+    ``CountMinSketch(depth, width, seed).update(slice).to_bytes()``.
+    ``phase`` = stream offset of tokens[0] within its window (global-axis
+    builds: blob i is the PARTIAL sketch of stream window first_w + i)."""
     n = len(tokens)
     if n == 0:
         return []
     keys = np.asarray(tokens, dtype=np.int64)
-    nw = (n + window - 1) // window
-    w = np.arange(n, dtype=np.int64) // window
+    nw = (phase + n + window - 1) // window
+    w = (phase + np.arange(n, dtype=np.int64)) // window
     tables = np.empty((nw, depth, width), dtype=np.int64)
     for r in range(depth):
         b = (hash64(keys, seed + 1000003 * r) % _U64(width)).astype(np.int64)

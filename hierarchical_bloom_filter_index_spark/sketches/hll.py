@@ -90,22 +90,29 @@ class HyperLogLog:
 _REG_OFFSET = 30
 
 
-def leaf_window_blobs(tokens: np.ndarray, window: int, p: int, seed: int) -> list[bytes]:
+def leaf_window_blobs(tokens: np.ndarray, window: int, p: int, seed: int,
+                      phase: int = 0) -> list[bytes]:
     """Serialized HLLs for every consecutive ``window``-token slice of
     ``tokens`` in ONE hash pass + ONE scatter-max — no per-window python
     objects (the naive loop was the leaf-build hotspot: tens of thousands of
     4 KB register allocations per partition). Byte-identical to
-    ``HyperLogLog(p, seed).update(slice).to_bytes()`` per window."""
+    ``HyperLogLog(p, seed).update(slice).to_bytes()`` per window.
+
+    ``phase`` (0 <= phase < window): the stream offset of tokens[0] WITHIN
+    its window — for global-axis builds where a doc starts mid-window, the
+    first blob covers only ``window - phase`` tokens; blob i is then the
+    PARTIAL sketch of stream window ``tokens0_w + i`` (merge partials of
+    the same w_id across docs to finish the window)."""
     n = len(tokens)
     if n == 0:
         return []
     m = 1 << p
-    nw = (n + window - 1) // window
+    nw = (phase + n + window - 1) // window
     h = hash64(np.asarray(tokens, dtype=np.int64), seed)
     idx = (h >> _U64(64 - p)).astype(np.int64)
     low = h & ((_U64(1) << _U64(64 - p)) - _U64(1))
     rho = ((64 - p) - bit_length_u64(low) + 1).astype(np.uint8)
-    w = np.arange(n, dtype=np.int64) // window
+    w = (phase + np.arange(n, dtype=np.int64)) // window
     regs = np.zeros(nw * m, dtype=np.uint8)
     np.maximum.at(regs, w * m + idx, rho)
     return [base.pack(_MAGIC, [p, seed], [regs[i * m : (i + 1) * m]]) for i in range(nw)]

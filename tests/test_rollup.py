@@ -330,3 +330,74 @@ def test_range_totals_exact_and_estimates_bounded(spark, built_cms):
                 assert est - exact_c <= eps * len(sl) * 3  # merged-node slack
     assert n_rows >= 40
     hll_idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL-axis window sketches: stream windows cross doc boundaries; leaf
+# sketches are byte-exact vs the concatenated stream, range queries follow
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built_global(spark):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cms_window_index,
+        build_global_hll_window_index,
+    )
+
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=12)).cache()
+    stream = np.concatenate([
+        np.asarray(r["tokens"], dtype=np.int64)
+        for r in corp.orderBy("doc_id").collect()
+    ])
+    cms_idx = build_global_cms_window_index(corp, CFG, depth=3, width=256)
+    hll_idx = build_global_hll_window_index(corp, CFG, p=12)
+    yield stream, cms_idx, hll_idx
+    cms_idx.unpersist()
+    hll_idx.unpersist()
+
+
+def test_global_window_sketches_byte_exact_vs_stream(spark, built_global):
+    """Every (level, w_id) sketch equals the object-path sketch of that
+    STREAM slice — doc boundaries fully invisible (CMS byte-equal incl.
+    exact totals; HLL register-equal)."""
+    from hierarchical_bloom_filter_index_spark.sketches import (
+        CountMinSketch,
+        HyperLogLog,
+        from_bytes,
+    )
+
+    stream, cms_idx, hll_idx = built_global
+    for L in (CFG.deepest, 1, 0):
+        span = CFG.span(L)
+        for r in cms_idx.filter(F.col("level") == L).limit(12).collect():
+            sl = stream[r["w_id"] * span : (r["w_id"] + 1) * span]
+            ref = CountMinSketch(3, 256, CFG.seed + 11)
+            ref.update(sl)
+            assert ref.to_bytes() == bytes(r["sketch"])
+        for r in hll_idx.filter(F.col("level") == L).limit(12).collect():
+            sl = stream[r["w_id"] * span : (r["w_id"] + 1) * span]
+            ref = HyperLogLog(p=12, seed=CFG.seed + 7)
+            ref.update(sl)
+            assert np.array_equal(from_bytes(bytes(r["sketch"])).regs, ref.regs)
+
+
+def test_global_range_queries(spark, built_global):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_distinct_estimates,
+        global_range_totals,
+    )
+
+    stream, cms_idx, hll_idx = built_global
+    span = CFG.leaf_span
+    n_leaves = (len(stream) + span - 1) // span
+    rqs = [(0, 5), (3, 97), (n_leaves - 2, n_leaves + 4), (7, 8)]
+    tots = {(r["a"], r["b"]): r["n_tokens"]
+            for r in global_range_totals(cms_idx, rqs, CFG.deepest).collect()}
+    dists = {(r["a"], r["b"]): r["est_distinct"]
+             for r in global_range_distinct_estimates(hll_idx, rqs, CFG.deepest).collect()}
+    for a, b in rqs:
+        sl = stream[a * span : b * span]
+        assert tots[(a, b)] == len(sl)
+        exact_d = len(np.unique(sl))
+        assert abs(dists[(a, b)] - exact_d) / max(exact_d, 1) <= 5 * 1.04 / np.sqrt(2**12)
