@@ -351,16 +351,12 @@ def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
 GLOBAL_SKETCH_SCHEMA = "level int, w_id long, sketch binary"
 
 
-def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
-                                      leaf_blobs_phased, merge_groups) -> DataFrame:
-    """Global-axis twin of _build_window_sketch_index.
-    ``leaf_blobs_phased(tokens, phase) -> list[bytes]`` must emit the
-    partial sketches of consecutive STREAM windows starting at
-    doc_offset // leaf_span. Same persistence contract (caller unpersists)."""
-    if "doc_offset" not in corpus.columns:
-        from ..corpus import with_global_offsets
-
-        corpus = with_global_offsets(corpus)
+def _global_leaf_partials(corpus: DataFrame, cfg: HbiConfig, leaf_blobs_phased) -> DataFrame:
+    """Per-doc phase-aligned PARTIAL sketches of the stream windows each doc
+    overlaps: (level=deepest, w_id, sketch) rows, possibly several per w_id.
+    ``leaf_blobs_phased(tokens, phase) -> list[bytes]`` emits the partials of
+    consecutive stream windows starting at doc_offset // leaf_span.
+    Requires ``doc_offset`` (corpus.with_global_offsets)."""
     span = cfg.leaf_span
     deepest = cfg.deepest
 
@@ -382,7 +378,12 @@ def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
     spark_ctx = corpus.sparkSession.sparkContext
     n_parts = max(spark_ctx.defaultParallelism, corpus.rdd.getNumPartitions())
     balanced = corpus.select("doc_offset", "tokens").repartition(n_parts)
-    partials = balanced.mapInPandas(leaf_build, schema=GLOBAL_SKETCH_SCHEMA)
+    return balanced.mapInPandas(leaf_build, schema=GLOBAL_SKETCH_SCHEMA)
+
+
+def _merge_children_fn(merge_groups):
+    """mapInPandas stage merging each row's collect_list of child blobs —
+    ONE Arrow pass per batch (the merge_global_rows shape)."""
 
     def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -396,6 +397,21 @@ def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
             out = pdf[["level", "w_id"]].copy()
             out["sketch"] = merge_groups(flat, counts)
             yield out
+
+    return merge_children
+
+
+def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
+                                      leaf_blobs_phased, merge_groups) -> DataFrame:
+    """Global-axis twin of _build_window_sketch_index. Same persistence
+    contract (caller unpersists)."""
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    deepest = cfg.deepest
+    partials = _global_leaf_partials(corpus, cfg, leaf_blobs_phased)
+    merge_children = _merge_children_fn(merge_groups)
 
     # ONE collect_list shuffle + ONE Arrow pass (the merge_global_rows
     # shape — never split an uncached aggregate into filtered jobs)
@@ -505,4 +521,99 @@ def global_range_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame
         .groupBy("a", "b")
         .agg(F.collect_list("sketch").alias("children"))
         .mapInPandas(tot, schema="a long, b long, n_tokens long")
+    )
+
+
+def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                                   n_so_far: int, leaf_blobs_phased, merge_groups) -> DataFrame:
+    """Incremental STREAM append for a global window-sketch index: the new
+    batch continues the stream at token position ``n_so_far`` (the EXACT
+    token count already indexed — the GlobalStreamState contract of
+    streaming/incremental.py). Only the boundary leaf window is re-merged
+    and, per coarser level, only the suffix of windows with a touched child
+    is recomputed — O(new tokens + log * suffix) sketch rows, never a token
+    rescan of old data. Result is byte-equal to a from-scratch build of the
+    concatenated corpus (merges are commutative). Returned frame is
+    persisted (caller unpersists), as the builders do."""
+    from pyspark import StorageLevel
+
+    from ..corpus import with_global_offsets
+
+    span = cfg.leaf_span
+    deepest = cfg.deepest
+    boundary = int(n_so_far) // span
+
+    nd = new_docs if "doc_offset" in new_docs.columns else with_global_offsets(new_docs)
+    nd = nd.withColumn("doc_offset", F.col("doc_offset") + F.lit(int(n_so_far)))
+    new_partials = _global_leaf_partials(nd, cfg, leaf_blobs_phased)
+    merge_children = _merge_children_fn(merge_groups)
+
+    def merged(children_rows: DataFrame) -> DataFrame:
+        return (
+            children_rows.groupBy("level", "w_id")
+            .agg(F.collect_list("sketch").alias("children"))
+            .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
+        )
+
+    frames = []
+    # leaf: windows < boundary are untouched; the boundary window re-merges
+    # its old (complete-so-far) sketch with the new partials
+    old_leaf = index.filter(F.col("level") == deepest)
+    upd = merged(
+        old_leaf.filter(F.col("w_id") >= boundary)
+        .select("level", "w_id", "sketch")
+        .unionByName(new_partials)
+    )
+    cur = (
+        old_leaf.filter(F.col("w_id") < boundary)
+        .select("level", "w_id", "sketch")
+        .unionByName(upd)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frames.append(cur)
+    for L in range(deepest - 1, -1, -1):
+        child_cut = boundary >> (deepest - (L + 1))
+        pcut = child_cut // 2
+        recomputed = merged(
+            cur.filter(F.col("w_id") >= 2 * pcut)
+            .select(F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
+        )
+        cur = (
+            index.filter((F.col("level") == L) & (F.col("w_id") < pcut))
+            .select("level", "w_id", "sketch")
+            .unionByName(recomputed)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for f in frames:
+        f.unpersist()
+    return out
+
+
+def append_global_cms_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                                   n_so_far: int, depth: int = 3, width: int = 256) -> DataFrame:
+    from ..sketches import cms as cms_kernels
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 11
+    return append_increment_global_window(
+        index, new_docs, cfg, n_so_far,
+        lambda toks, phase: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed, phase=phase),
+        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
+    )
+
+
+def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                                   n_so_far: int, p: int = 12) -> DataFrame:
+    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 7
+    return append_increment_global_window(
+        index, new_docs, cfg, n_so_far,
+        lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
+        lambda flat, counts: merge_blob_groups(flat, counts, p),
     )

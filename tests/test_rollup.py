@@ -401,3 +401,39 @@ def test_global_range_queries(spark, built_global):
         assert tots[(a, b)] == len(sl)
         exact_d = len(np.unique(sl))
         assert abs(dists[(a, b)] - exact_d) / max(exact_d, 1) <= 5 * 1.04 / np.sqrt(2**12)
+
+
+def test_global_window_append_equals_rebuild(spark):
+    """Incremental stream append (boundary re-merge + suffix ancestor
+    recompute) is byte-equal to a from-scratch build of the whole stream,
+    for both sketch families, with the boundary mid-window."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        append_global_cms_window_index,
+        append_global_hll_window_index,
+        build_global_cms_window_index,
+        build_global_hll_window_index,
+    )
+
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.001, seed=21)).cache()
+    docs = [r["doc_id"] for r in corp.select("doc_id").orderBy("doc_id").collect()]
+    cut = docs[len(docs) // 2]
+    old = corp.filter(F.col("doc_id") <= cut)
+    new = corp.filter(F.col("doc_id") > cut).drop("doc_offset")
+    n_so_far = old.agg(F.sum("n_tok")).first()[0]
+    assert n_so_far % CFG.leaf_span != 0  # boundary mid-window, the hard case
+
+    def rows(df):
+        return sorted((r["level"], r["w_id"], bytes(r["sketch"])) for r in df.collect())
+
+    for build, append, kw in (
+        (build_global_cms_window_index, append_global_cms_window_index, dict(depth=3, width=256)),
+        (build_global_hll_window_index, append_global_hll_window_index, dict(p=10)),
+    ):
+        old_idx = build(old, CFG, **kw)
+        appended = append(old_idx, new, CFG, int(n_so_far), **kw)
+        full = build(corp, CFG, **kw)
+        assert rows(appended) == rows(full) and len(rows(full)) > 0
+        for df in (old_idx, appended, full):
+            df.unpersist()
+    corp.unpersist()
