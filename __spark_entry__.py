@@ -697,6 +697,20 @@ def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_range_totals(_gcms_index(spark, sf_dir), RANGE_QS_GLOBAL, CFG.deepest)
 
 
+def q_global_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate probe-token frequencies over STREAM leaf-window ranges:
+    O(log) covering CMS nodes add into the exact range CMS (overestimate
+    within eps*N_range; bounds in tests — totals/geometry oracle-checked by
+    global_range_totals on the same index)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_freq_estimates,
+    )
+
+    return global_range_freq_estimates(
+        _gcms_index(spark, sf_dir), RANGE_QS_GLOBAL, PROBE_TOKENS, CFG.deepest
+    )
+
+
 def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-per-window via the dyadic HLL rollup index
     (coarse levels merged from children, no token rescan)."""
@@ -1113,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "global_range_totals": q_global_range_totals,
+        "global_range_freq": q_global_range_freq,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,

@@ -617,3 +617,41 @@ def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: H
         lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
         lambda flat, counts: merge_blob_groups(flat, counts, p),
     )
+
+
+def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: int) -> DataFrame:
+    """(a, b, token, est_count) per STREAM leaf-window range and probe token
+    — covering CMS nodes add into the exact range CMS (overestimate-only
+    within eps * N_range). Global twin of range_freq_estimates."""
+    from ..sketches import cms as cms_kernels
+
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+    nodes = F.broadcast(cms_index.sparkSession.createDataFrame(
+        [(int(a), int(b), L, w) for a, b in ranges
+         for L, w in dyadic_cover(int(a), int(b), deepest)],
+        "a long, b long, level int, w_id long",
+    ))
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, children in enumerate(pdf["children"]):
+                counts[i] = len(children)
+                flat.extend(bytes(x) for x in children)
+            first = from_bytes(flat[0])
+            merged = cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
+            ests = cms_kernels.estimate_blobs(merged, probes, first.depth, first.width, first.seed)
+            out = pdf[["a", "b"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
+            out["token"] = np.tile(probes, len(pdf))
+            out["est_count"] = ests.ravel()
+            yield out
+
+    return (
+        cms_index.join(nodes, ["level", "w_id"])
+        .groupBy("a", "b")
+        .agg(F.collect_list("sketch").alias("children"))
+        .mapInPandas(est, schema="a long, b long, token long, est_count long")
+    )

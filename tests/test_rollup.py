@@ -437,3 +437,24 @@ def test_global_window_append_equals_rebuild(spark):
         for df in (old_idx, appended, full):
             df.unpersist()
     corp.unpersist()
+
+
+def test_global_range_freq_bounded(spark, built_global):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_freq_estimates,
+    )
+
+    stream, cms_idx, _hll_idx = built_global
+    span = CFG.leaf_span
+    rqs = [(0, 6), (2, 40), (11, 12)]
+    probes = [1, 2, 3]
+    eps = np.e / 256
+    got = {(r["a"], r["b"], r["token"]): r["est_count"]
+           for r in global_range_freq_estimates(cms_idx, rqs, probes, CFG.deepest).collect()}
+    for a, b in rqs:
+        sl = stream[a * span : b * span]
+        for t in probes:
+            exact = int((sl == t).sum())
+            est = got[(a, b, t)]
+            assert est >= exact
+            assert est - exact <= eps * len(sl) * 3
