@@ -636,8 +636,13 @@ RANGE_QS = [(1, 9), (0, 3)]  # leaf-window ranges applied to every doc
 
 
 def _doc_ranges(spark: SparkSession, sf_dir: str) -> list:
-    docs = [r["doc_id"] for r in _corpus(spark, sf_dir).select("doc_id").collect()]
-    return [(d, a, b) for d in docs for a, b in RANGE_QS]
+    # cached per sf_dir: two driver queries share it, and the doc_id collect
+    # is the only query-side whole-corpus materialization — do it once
+    key = ("doc_ranges", sf_dir)
+    if key not in _CACHE:
+        docs = [r["doc_id"] for r in _corpus(spark, sf_dir).select("doc_id").collect()]
+        _CACHE[key] = [(d, a, b) for d in docs for a, b in RANGE_QS]
+    return _CACHE[key]
 
 
 def q_range_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

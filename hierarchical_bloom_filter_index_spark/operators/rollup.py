@@ -235,26 +235,100 @@ def dyadic_cover(a: int, b: int, deepest: int) -> list[tuple[int, int]]:
     return out
 
 
-def _range_nodes_df(spark, ranges, deepest: int):
-    """(doc_id, a, b, level, w_id) cover rows for each queried range —
-    query-side small (|ranges| * O(log)), broadcast against the index."""
+def _range_nodes_df(spark, ranges, deepest: int, key_cols):
+    """Cover rows for each queried range — query-side small
+    (|ranges| * O(log)), broadcast against the index. Ranges are DEDUPED:
+    a repeated range would join each child sketch twice and the groupBy
+    would fold the copies into ONE group — CMS totals/estimates would come
+    out exactly doubled (HLL survives only by max-idempotence)."""
+    uniq = list(dict.fromkeys(tuple(r) for r in ranges))
     rows = [
-        (doc_id, int(a), int(b), L, w)
-        for doc_id, a, b in ranges
-        for L, w in dyadic_cover(int(a), int(b), deepest)
+        (*key[:-2], int(key[-2]), int(key[-1]), L, w)
+        for key in uniq
+        for L, w in dyadic_cover(int(key[-2]), int(key[-1]), deepest)
     ]
-    return spark.createDataFrame(
-        rows, "doc_id string, a long, b long, level int, w_id long"
+    schema = ", ".join(
+        [f"{c} string" for c in key_cols[:-2]] + ["a long", "b long", "level int", "w_id long"]
     )
+    return spark.createDataFrame(rows, schema)
 
 
-def _joined_range_groups(index: DataFrame, ranges, deepest: int) -> DataFrame:
-    nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest))
+def _joined_range_groups(index: DataFrame, ranges, deepest: int, key_cols) -> DataFrame:
+    nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest, key_cols))
+    join_cols = ([key_cols[0]] if len(key_cols) == 3 else []) + ["level", "w_id"]
     return (
-        index.join(nodes, ["doc_id", "level", "w_id"])
-        .groupBy("doc_id", "a", "b")
+        index.join(nodes, join_cols)
+        .groupBy(*key_cols)
         .agg(F.collect_list("sketch").alias("children"))
     )
+
+
+def _flatten_children(pdf: pd.DataFrame):
+    flat: list[bytes] = []
+    counts = np.empty(len(pdf), dtype=np.int64)
+    for i, children in enumerate(pdf["children"]):
+        counts[i] = len(children)
+        flat.extend(bytes(x) for x in children)
+    return flat, counts
+
+
+def _hll_range_est_fn(key_cols):
+    from ..sketches.hll import estimate_blobs, merge_blob_groups
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            p = int(from_bytes(flat[0]).p)
+            merged = merge_blob_groups(flat, counts, p)
+            out = pdf[list(key_cols)].copy()
+            out["est_distinct"] = estimate_blobs(merged, p)
+            yield out
+
+    return est
+
+
+def _cms_range_freq_fn(key_cols, probes):
+    from ..sketches import cms as cms_kernels
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            first = from_bytes(flat[0])
+            merged = cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
+            ests = cms_kernels.estimate_blobs(merged, probes, first.depth, first.width, first.seed)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
+            out["token"] = np.tile(probes, len(pdf))
+            out["est_count"] = ests.ravel()
+            yield out
+
+    return est
+
+
+def _cms_range_tot_fn(key_cols):
+    from ..sketches.cms import window_totals
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[list(key_cols)].copy()
+            out["n_tokens"] = [
+                int(window_totals([bytes(x) for x in children]).sum())
+                for children in pdf["children"]
+            ]
+            yield out
+
+    return tot
+
+
+_DOC_KEYS = ("doc_id", "a", "b")
+_DOC_KEY_SCHEMA = "doc_id string, a long, b long"
+_GLOBAL_KEYS = ("a", "b")
+_GLOBAL_KEY_SCHEMA = "a long, b long"
 
 
 def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
@@ -262,25 +336,8 @@ def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> Data
     covering nodes merge (register max) into the exact range HLL, estimated
     within the standard 1.04/sqrt(2^p) envelope. Ranges with no tokens
     produce no row (no covering node exists)."""
-    from ..sketches.hll import estimate_blobs, merge_blob_groups
-
-    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(x) for x in children)
-            p = int(from_bytes(flat[0]).p)
-            merged = merge_blob_groups(flat, counts, p)
-            out = pdf[["doc_id", "a", "b"]].copy()
-            out["est_distinct"] = estimate_blobs(merged, p)
-            yield out
-
-    return _joined_range_groups(hll_index, ranges, deepest).mapInPandas(
-        est, schema="doc_id string, a long, b long, est_distinct double"
+    return _joined_range_groups(hll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _hll_range_est_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", est_distinct double"
     )
 
 
@@ -288,54 +345,18 @@ def range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: in
     """(doc_id, a, b, token, est_count) per range and probe token: covering
     nodes add (CMS is linear) into the exact range CMS — overestimate-only
     within eps * N_range."""
-    from ..sketches import cms as cms_kernels
-
     probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
-
-    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(x) for x in children)
-            first = from_bytes(flat[0])
-            merged = cms_kernels.merge_blob_groups(
-                flat, counts, first.depth, first.width, first.seed
-            )
-            ests = cms_kernels.estimate_blobs(
-                merged, probes, first.depth, first.width, first.seed
-            )
-            out = pdf[["doc_id", "a", "b"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
-            out["token"] = np.tile(probes, len(pdf))
-            out["est_count"] = ests.ravel()
-            yield out
-
-    return _joined_range_groups(cms_index, ranges, deepest).mapInPandas(
-        est, schema="doc_id string, a long, b long, token long, est_count long"
+    return _joined_range_groups(cms_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _cms_range_freq_fn(_DOC_KEYS, probes),
+        schema=_DOC_KEY_SCHEMA + ", token long, est_count long",
     )
 
 
 def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(doc_id, a, b, n_tokens) per range — EXACT (node totals are exact and
     the cover is a disjoint tiling), hence SQL-oracle-checkable."""
-    from ..sketches.cms import window_totals
-
-    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["doc_id", "a", "b"]].copy()
-            out["n_tokens"] = [
-                int(window_totals([bytes(x) for x in children]).sum())
-                for children in pdf["children"]
-            ]
-            yield out
-
-    return _joined_range_groups(cms_index, ranges, deepest).mapInPandas(
-        tot, schema="doc_id string, a long, b long, n_tokens long"
+    return _joined_range_groups(cms_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _cms_range_tot_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", n_tokens long"
     )
 
 
@@ -463,64 +484,27 @@ def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) 
     """(a, b, est_distinct) per STREAM leaf-window range [a, b) — dyadic
     cover nodes merge into the exact range HLL (doc-axis twin:
     range_distinct_estimates)."""
-    from ..sketches.hll import estimate_blobs, merge_blob_groups
-
-    nodes = F.broadcast(hll_index.sparkSession.createDataFrame(
-        [(int(a), int(b), L, w) for a, b in ranges
-         for L, w in dyadic_cover(int(a), int(b), deepest)],
-        "a long, b long, level int, w_id long",
-    ))
-
-    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(x) for x in children)
-            p = int(from_bytes(flat[0]).p)
-            merged = merge_blob_groups(flat, counts, p)
-            out = pdf[["a", "b"]].copy()
-            out["est_distinct"] = estimate_blobs(merged, p)
-            yield out
-
-    return (
-        hll_index.join(nodes, ["level", "w_id"])
-        .groupBy("a", "b")
-        .agg(F.collect_list("sketch").alias("children"))
-        .mapInPandas(est, schema="a long, b long, est_distinct double")
+    return _joined_range_groups(hll_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _hll_range_est_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", est_distinct double"
     )
 
 
 def global_range_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(a, b, n_tokens) per STREAM leaf-window range — EXACT (disjoint
     tiling of exact node totals), SQL-oracle-checkable against SUM(n_tok)."""
-    from ..sketches.cms import window_totals
+    return _joined_range_groups(cms_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _cms_range_tot_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", n_tokens long"
+    )
 
-    nodes = F.broadcast(cms_index.sparkSession.createDataFrame(
-        [(int(a), int(b), L, w) for a, b in ranges
-         for L, w in dyadic_cover(int(a), int(b), deepest)],
-        "a long, b long, level int, w_id long",
-    ))
 
-    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["a", "b"]].copy()
-            out["n_tokens"] = [
-                int(window_totals([bytes(x) for x in children]).sum())
-                for children in pdf["children"]
-            ]
-            yield out
-
-    return (
-        cms_index.join(nodes, ["level", "w_id"])
-        .groupBy("a", "b")
-        .agg(F.collect_list("sketch").alias("children"))
-        .mapInPandas(tot, schema="a long, b long, n_tokens long")
+def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: int) -> DataFrame:
+    """(a, b, token, est_count) per STREAM leaf-window range and probe token
+    — covering CMS nodes add into the exact range CMS (overestimate-only
+    within eps * N_range). Global twin of range_freq_estimates."""
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+    return _joined_range_groups(cms_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _cms_range_freq_fn(_GLOBAL_KEYS, probes),
+        schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count long",
     )
 
 
@@ -543,8 +527,11 @@ def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: H
     deepest = cfg.deepest
     boundary = int(n_so_far) // span
 
-    nd = new_docs if "doc_offset" in new_docs.columns else with_global_offsets(new_docs)
-    nd = nd.withColumn("doc_offset", F.col("doc_offset") + F.lit(int(n_so_far)))
+    # ALWAYS recompute the batch's offsets from n_so_far (the sibling Bloom
+    # append's contract, streaming/incremental.py:136): trusting a carried
+    # doc_offset and shifting it would double-shift the natural
+    # "slice of an already-offset corpus" input and silently corrupt windows
+    nd = with_global_offsets(new_docs.drop("doc_offset"), start=int(n_so_far))
     new_partials = _global_leaf_partials(nd, cfg, leaf_blobs_phased)
     merge_children = _merge_children_fn(merge_groups)
 
@@ -616,42 +603,4 @@ def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: H
         index, new_docs, cfg, n_so_far,
         lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
         lambda flat, counts: merge_blob_groups(flat, counts, p),
-    )
-
-
-def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: int) -> DataFrame:
-    """(a, b, token, est_count) per STREAM leaf-window range and probe token
-    — covering CMS nodes add into the exact range CMS (overestimate-only
-    within eps * N_range). Global twin of range_freq_estimates."""
-    from ..sketches import cms as cms_kernels
-
-    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
-    nodes = F.broadcast(cms_index.sparkSession.createDataFrame(
-        [(int(a), int(b), L, w) for a, b in ranges
-         for L, w in dyadic_cover(int(a), int(b), deepest)],
-        "a long, b long, level int, w_id long",
-    ))
-
-    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(x) for x in children)
-            first = from_bytes(flat[0])
-            merged = cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
-            ests = cms_kernels.estimate_blobs(merged, probes, first.depth, first.width, first.seed)
-            out = pdf[["a", "b"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
-            out["token"] = np.tile(probes, len(pdf))
-            out["est_count"] = ests.ravel()
-            yield out
-
-    return (
-        cms_index.join(nodes, ["level", "w_id"])
-        .groupBy("a", "b")
-        .agg(F.collect_list("sketch").alias("children"))
-        .mapInPandas(est, schema="a long, b long, token long, est_count long")
     )

@@ -355,6 +355,7 @@ def built_global(spark):
     yield stream, cms_idx, hll_idx
     cms_idx.unpersist()
     hll_idx.unpersist()
+    corp.unpersist()
 
 
 def test_global_window_sketches_byte_exact_vs_stream(spark, built_global):
@@ -419,7 +420,9 @@ def test_global_window_append_equals_rebuild(spark):
     docs = [r["doc_id"] for r in corp.select("doc_id").orderBy("doc_id").collect()]
     cut = docs[len(docs) // 2]
     old = corp.filter(F.col("doc_id") <= cut)
-    new = corp.filter(F.col("doc_id") > cut).drop("doc_offset")
+    # keep the carried (already-global) doc_offset: append must IGNORE
+    # it and recompute from n_so_far (double-shift regression)
+    new = corp.filter(F.col("doc_id") > cut)
     n_so_far = old.agg(F.sum("n_tok")).first()[0]
     assert n_so_far % CFG.leaf_span != 0  # boundary mid-window, the hard case
 
@@ -458,3 +461,19 @@ def test_global_range_freq_bounded(spark, built_global):
             est = got[(a, b, t)]
             assert est >= exact
             assert est - exact <= eps * len(sl) * 3
+
+
+def test_duplicate_ranges_do_not_double_count(spark, built_cms):
+    """A repeated range must answer identically to a single occurrence —
+    duplicated cover nodes would fold into one group and double CMS sums."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_token_totals,
+    )
+
+    corp, idx = built_cms
+    d = corp.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    once = {(r["doc_id"], r["a"], r["b"]): r["n_tokens"]
+            for r in range_token_totals(idx, [(d, 0, 4)], CFG.deepest).collect()}
+    twice = {(r["doc_id"], r["a"], r["b"]): r["n_tokens"]
+             for r in range_token_totals(idx, [(d, 0, 4), (d, 0, 4)], CFG.deepest).collect()}
+    assert once == twice and len(once) == 1
