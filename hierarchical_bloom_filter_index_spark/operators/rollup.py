@@ -604,3 +604,17 @@ def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: H
         lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
         lambda flat, counts: merge_blob_groups(flat, counts, p),
     )
+
+
+def expire_window_index(index: DataFrame, cfg: HbiConfig, min_leaf_w_id: int) -> DataFrame:
+    """Horizon eviction for a GLOBAL window-sketch index: keep only windows
+    whose span can still contain leaf windows >= ``min_leaf_w_id`` (per
+    level the horizon is min_leaf_w_id >> (deepest - level), exactly the
+    Bloom index's expire predicate, sources/io.read_index_expired). A pure
+    pushdown-able filter: on a level-partitioned parquet layout coarse
+    levels prune whole files. Boundary windows that still overlap the
+    horizon are kept whole — eviction granularity is a window, matching the
+    reference's whole-tree eviction (PMIndex/HBI.java:209-211)."""
+    return index.filter(
+        F.expr(f"w_id >= shiftright(CAST({int(min_leaf_w_id)} AS BIGINT), {cfg.deepest} - level)")
+    )

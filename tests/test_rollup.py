@@ -477,3 +477,23 @@ def test_duplicate_ranges_do_not_double_count(spark, built_cms):
     twice = {(r["doc_id"], r["a"], r["b"]): r["n_tokens"]
              for r in range_token_totals(idx, [(d, 0, 4), (d, 0, 4)], CFG.deepest).collect()}
     assert once == twice and len(once) == 1
+
+
+def test_expire_window_index_horizon(spark, built_global):
+    """Eviction keeps exactly the windows overlapping the horizon at every
+    level, and surviving sketches are untouched (byte-equal)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        expire_window_index,
+    )
+
+    stream, cms_idx, _hll = built_global
+    horizon = 24
+    kept = expire_window_index(cms_idx, CFG, horizon)
+    before = {(r["level"], r["w_id"]): bytes(r["sketch"]) for r in cms_idx.collect()}
+    after = {(r["level"], r["w_id"]): bytes(r["sketch"]) for r in kept.collect()}
+    assert 0 < len(after) < len(before)
+    for (L, w), blob in before.items():
+        expected_kept = w >= (horizon >> (CFG.deepest - L))
+        assert ((L, w) in after) == expected_kept
+        if expected_kept:
+            assert after[(L, w)] == blob
