@@ -27,6 +27,35 @@ from ..sketches import from_bytes
 HLL_INDEX_SCHEMA = "doc_id string, level int, w_id long, sketch binary"
 
 
+def _merge_partitions(rows: DataFrame, floor_parts: int | None = None) -> int:
+    """Reduce-side partition count for a children-merge groupBy, sized from
+    the DATA (input partition count, which tracks bytes) with a core-count
+    floor — NOT the session's spark.sql.shuffle.partitions. With the default
+    8 shuffle partitions, a 1.6M-window merge gave every reduce task a
+    ~300 MB collect_list hash-agg state; 8 such concurrent tasks GC-thrashed
+    so badly that local[8] ran 2x SLOWER than local[2] (measured at a 26M
+    token global build: 94 s -> 24 s from this sizing alone)."""
+    sc = rows.sparkSession.sparkContext
+    n_in = floor_parts if floor_parts is not None else rows.rdd.getNumPartitions()
+    # cap at ~16 waves/core: a 2-core box must not pay 64 tasks/core of
+    # scheduling overhead just because the input arrived in many partitions
+    return max(min(n_in, sc.defaultParallelism * 16), sc.defaultParallelism * 2)
+
+
+def _grouped_merge(rows: DataFrame, keys, merge_children, schema: str,
+                   n_parts: int) -> DataFrame:
+    """repartition-by-keys THEN groupBy: hashpartitioning(keys, n) satisfies
+    the aggregate's distribution, so the agg runs with n data-sized
+    partitions instead of spark.sql.shuffle.partitions. Most windows have a
+    single child row, so the lost map-side combine costs ~nothing."""
+    return (
+        rows.repartition(n_parts, *keys)
+        .groupBy(*keys)
+        .agg(F.collect_list("sketch").alias("children"))
+        .mapInPandas(merge_children, schema=schema)
+    )
+
+
 def rollup_scaffold(leaf: DataFrame, deepest: int, pass_fn) -> DataFrame:
     """Assemble a full dyadic index from its leaf level. ``pass_fn(cur, L)``
     derives the level-L frame from the level-(L+1) frame ``cur``. Each level
@@ -99,12 +128,12 @@ def _build_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
 
     def level_pass(cur: DataFrame, L: int) -> DataFrame:
         # parent window = merge of its (at most 2) children — sketch rows only
-        return (
-            cur.select("doc_id", F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
-            .groupBy("doc_id", "level", "w_id")
-            .agg(F.collect_list("sketch").alias("children"))
-            .mapInPandas(merge_children, schema=HLL_INDEX_SCHEMA)
+        rows = cur.select(
+            "doc_id", F.lit(L).alias("level"),
+            (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch",
         )
+        return _grouped_merge(rows, ("doc_id", "level", "w_id"), merge_children,
+                              HLL_INDEX_SCHEMA, _merge_partitions(cur))
 
     return rollup_scaffold(leaf, deepest, level_pass)
 
@@ -435,20 +464,17 @@ def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
     merge_children = _merge_children_fn(merge_groups)
 
     # ONE collect_list shuffle + ONE Arrow pass (the merge_global_rows
-    # shape — never split an uncached aggregate into filtered jobs)
-    leaf = (
-        partials.groupBy("level", "w_id")
-        .agg(F.collect_list("sketch").alias("children"))
-        .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
-    )
+    # shape — never split an uncached aggregate into filtered jobs), sized
+    # by the partials' data-proportional partition count (_merge_partitions)
+    leaf = _grouped_merge(partials, ("level", "w_id"), merge_children,
+                          GLOBAL_SKETCH_SCHEMA, _merge_partitions(partials))
 
     def level_pass(cur: DataFrame, L: int) -> DataFrame:
-        return (
-            cur.select(F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
-            .groupBy("level", "w_id")
-            .agg(F.collect_list("sketch").alias("children"))
-            .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
+        rows = cur.select(
+            F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch"
         )
+        return _grouped_merge(rows, ("level", "w_id"), merge_children,
+                              GLOBAL_SKETCH_SCHEMA, _merge_partitions(cur))
 
     return rollup_scaffold(leaf, deepest, level_pass)
 
@@ -536,11 +562,8 @@ def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: H
     merge_children = _merge_children_fn(merge_groups)
 
     def merged(children_rows: DataFrame) -> DataFrame:
-        return (
-            children_rows.groupBy("level", "w_id")
-            .agg(F.collect_list("sketch").alias("children"))
-            .mapInPandas(merge_children, schema=GLOBAL_SKETCH_SCHEMA)
-        )
+        return _grouped_merge(children_rows, ("level", "w_id"), merge_children,
+                              GLOBAL_SKETCH_SCHEMA, _merge_partitions(children_rows))
 
     frames = []
     # leaf: windows < boundary are untouched; the boundary window re-merges
