@@ -162,3 +162,39 @@ def test_multilevel_pruning_beats_single_level_on_mixed_pattern(spark):
     assert so["start_level"] == ml_level
     assert so["per_key_levels"] == {7: int(per_key[0]), 99: int(per_key[1])}
     corp.unpersist(); idx.unpersist()
+
+
+def test_grouped_merge_single_exchange(spark):
+    """The window-sketch children merge repartitions by its group keys and
+    the aggregate reuses that partitioning — exactly ONE Exchange in the
+    plan. A second exchange would mean Catalyst did not recognize the
+    distribution and the data-sized partition fix (rollup._merge_partitions)
+    silently stopped applying."""
+    import pandas as pd
+
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        GLOBAL_SKETCH_SCHEMA,
+        _grouped_merge,
+    )
+
+    rows = spark.createDataFrame(
+        [(5, w, bytes([1, 2, 3])) for w in range(64)],
+        "level int, w_id long, sketch binary",
+    )
+
+    def passthrough(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["level", "w_id"]].copy()
+            out["sketch"] = [bytes(c[0]) for c in pdf["children"]]
+            yield out
+
+    merged = _grouped_merge(rows, ("level", "w_id"), passthrough,
+                            GLOBAL_SKETCH_SCHEMA, 16)
+    plan = _plan(merged)
+    # count tree nodes only ("+- Exchange"); the formatted details section
+    # repeats each node name a second time
+    n_exchanges = len([l for l in plan.splitlines() if l.lstrip().startswith("+- Exchange")])
+    assert n_exchanges == 1, f"expected 1 Exchange (the keyed repartition), got {n_exchanges}:\n{plan}"
+    assert merged.count() == 64
