@@ -96,3 +96,38 @@ def test_misra_gries_invariants_any_partitioning(stream, cut_points, k):
             assert acc.err_bound() >= phi * acc.n_total
             continue
         assert required <= hh
+
+
+@settings(max_examples=20, deadline=None)
+@given(stream=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=600),
+       cut_points=cuts, span=st.sampled_from([8, 16, 32]))
+def test_phased_window_partials_merge_to_stream_windows(stream, cut_points, span):
+    """The global-axis core invariant: splitting a stream into arbitrary
+    'docs' and building phase-aligned window partials per doc, then merging
+    partials of the same window, is BYTE-identical to sketching each stream
+    window whole — for both CMS (add) and HLL (max)."""
+    from hierarchical_bloom_filter_index_spark.sketches import cms, hll
+
+    arr = np.asarray(stream, dtype=np.int64)
+    D, W, S, P = 2, 32, 9, 6
+    parts_c, parts_h = {}, {}
+    offset = 0
+    for piece in _split(arr, cut_points):
+        if len(piece) == 0:
+            continue
+        first_w = offset // span
+        for i, b in enumerate(cms.leaf_window_blobs(piece, span, D, W, S, phase=offset % span)):
+            parts_c.setdefault(first_w + i, []).append(b)
+        for i, b in enumerate(hll.leaf_window_blobs(piece, span, P, S, phase=offset % span)):
+            parts_h.setdefault(first_w + i, []).append(b)
+        offset += len(piece)
+    for w, flat in parts_c.items():
+        merged = cms.merge_blob_groups(flat, np.array([len(flat)]), D, W, S)[0]
+        ref = cms.CountMinSketch(D, W, S)
+        ref.update(arr[w * span : (w + 1) * span])
+        assert merged == ref.to_bytes()
+    for w, flat in parts_h.items():
+        merged = hll.merge_blob_groups(flat, np.array([len(flat)]), P)[0]
+        ref = hll.HyperLogLog(p=P, seed=S)
+        ref.update(arr[w * span : (w + 1) * span])
+        assert merged == ref.to_bytes()
