@@ -427,10 +427,17 @@ def q_doclen_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    """Exact-duplicate pairs, HASH-FIRST (mirroring dedup.exact_duplicates):
+    the equi-join key is xxhash64(text) — 8 bytes on the shuffle wire instead
+    of the full document — and text equality is verified INSIDE the hash
+    bucket, so a hash collision can never produce a false pair. Same rows as
+    a raw text self-join; at 100 TB the difference is shuffling hashes vs
+    shuffling the corpus twice."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", F.xxhash64("text").alias("h"))
     a, b = docs.alias("a"), docs.alias("b")
     return (
-        a.join(b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.col("a.text") == F.col("b.text"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
 
@@ -635,41 +642,33 @@ def q_cms_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_QS = [(1, 9), (0, 3)]  # leaf-window ranges applied to every doc
 
 
-def _doc_ranges(spark: SparkSession, sf_dir: str) -> list:
-    # cached per sf_dir: two driver queries share it, and the doc_id collect
-    # is the only query-side whole-corpus materialization — do it once
-    key = ("doc_ranges", sf_dir)
-    if key not in _CACHE:
-        docs = [r["doc_id"] for r in _corpus(spark, sf_dir).select("doc_id").collect()]
-        _CACHE[key] = [(d, a, b) for d in docs for a, b in RANGE_QS]
-    return _CACHE[key]
-
-
 def q_range_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token counts over leaf-window RANGES [a, b) answered from the
     dyadic CMS index: each range merges its <= 2*log2(b-a)+2 covering nodes
     (rollup.dyadic_cover) instead of touching b-a leaves — the hierarchy
-    used for what it exists for. Totals are exact, so oracle-checked."""
+    used for what it exists for. Totals are exact, so oracle-checked.
+    The (a, b) pairs apply to EVERY doc: only the O(log) shared cover nodes
+    are broadcast; the per-doc fan-out joins the index's doc_id column
+    distributedly (no driver collect of the doc catalog)."""
     from hierarchical_bloom_filter_index_spark.operators.rollup import (
         range_token_totals,
     )
 
-    return range_token_totals(
-        _cms_index(spark, sf_dir), _doc_ranges(spark, sf_dir), CFG.deepest
-    )
+    return range_token_totals(_cms_index(spark, sf_dir), RANGE_QS, CFG.deepest)
 
 
 def q_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct tokens over the same leaf-window ranges: the
     covering nodes' HLLs merge (register max) into the exact range HLL —
     estimates in the 1.04/sqrt(2^p) envelope (bounds in tests; geometry +
-    totals oracle-checked by range_window_totals)."""
+    totals oracle-checked by range_window_totals). All-docs (a, b) form —
+    no driver-side doc catalog."""
     from hierarchical_bloom_filter_index_spark.operators.rollup import (
         range_distinct_estimates,
     )
 
     return range_distinct_estimates(
-        _hll_index(spark, sf_dir), _doc_ranges(spark, sf_dir), CFG.deepest
+        _hll_index(spark, sf_dir), RANGE_QS, CFG.deepest
     ).select("doc_id", "a", "b", F.round("est_distinct", 3).alias("est_distinct"))
 
 

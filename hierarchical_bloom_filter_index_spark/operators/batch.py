@@ -640,7 +640,8 @@ def global_pattern_search_batch(
             # only; the token arrays join back by doc_offset afterwards
             # (see global_pattern_search — grouping on the array column
             # would shuffle the whole stitched corpus)
-            doc_windows = stitched.select(
+            # n_tok = 0 rows would make the sequence DESCEND (phantom w_ids)
+            doc_windows = stitched.filter(F.col("n_tok") > 0).select(
                 "doc_offset", "n_tok",
                 F.explode(
                     F.sequence(

@@ -283,8 +283,30 @@ def _range_nodes_df(spark, ranges, deepest: int, key_cols):
 
 
 def _joined_range_groups(index: DataFrame, ranges, deepest: int, key_cols) -> DataFrame:
-    nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest, key_cols))
-    join_cols = ([key_cols[0]] if len(key_cols) == 3 else []) + ["level", "w_id"]
+    """Join the broadcast cover nodes against the index and group per
+    (range key). Doc-axis ranges come in TWO forms:
+
+    * ``(doc_id, a, b)`` triples — explicit per-doc ranges; the nodes frame
+      carries doc_id and joins on (doc_id, level, w_id).
+    * ``(a, b)`` pairs — the range applies to EVERY doc. The cover nodes are
+      identical for all docs, so ONLY the |ranges| * O(log) literal
+      (a, b, level, w_id) rows are broadcast and the per-doc fan-out happens
+      distributedly against the index's own doc_id column. Never collect the
+      doc catalog to the driver to build per-doc triples — at real scale
+      that is a driver-side materialization of every doc_id.
+    """
+    ranges = [tuple(r) for r in ranges]
+    per_doc_keys = len(key_cols) == 3
+    if per_doc_keys and ranges and len(ranges[0]) == 2:
+        # all-docs form: shared nodes, join on (level, w_id) only; the
+        # groupBy pulls doc_id from the index rows themselves
+        nodes = F.broadcast(
+            _range_nodes_df(index.sparkSession, ranges, deepest, key_cols[1:])
+        )
+        join_cols = ["level", "w_id"]
+    else:
+        nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest, key_cols))
+        join_cols = ([key_cols[0]] if per_doc_keys else []) + ["level", "w_id"]
     return (
         index.join(nodes, join_cols)
         .groupBy(*key_cols)
@@ -364,7 +386,9 @@ def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> Data
     """(doc_id, a, b, est_distinct) per queried leaf-window range: the O(log)
     covering nodes merge (register max) into the exact range HLL, estimated
     within the standard 1.04/sqrt(2^p) envelope. Ranges with no tokens
-    produce no row (no covering node exists)."""
+    produce no row (no covering node exists). ``ranges`` may be
+    (doc_id, a, b) triples or (a, b) pairs applied to every doc — the pair
+    form broadcasts only the shared cover nodes (see _joined_range_groups)."""
     return _joined_range_groups(hll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
         _hll_range_est_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", est_distinct double"
     )
@@ -383,7 +407,8 @@ def range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: in
 
 def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(doc_id, a, b, n_tokens) per range — EXACT (node totals are exact and
-    the cover is a disjoint tiling), hence SQL-oracle-checkable."""
+    the cover is a disjoint tiling), hence SQL-oracle-checkable. Accepts
+    (doc_id, a, b) triples or all-docs (a, b) pairs."""
     return _joined_range_groups(cms_index, ranges, deepest, _DOC_KEYS).mapInPandas(
         _cms_range_tot_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", n_tokens long"
     )

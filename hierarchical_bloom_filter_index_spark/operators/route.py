@@ -272,7 +272,12 @@ def _cut_frontier(survivors: DataFrame, schema: str, probe_counter=None):
     over-cap frontier pays the checkpoint + count pass.
     """
     spark = survivors.sparkSession
-    per_row = 80 + 16 if "doc_id" in survivors.columns else 40
+    # size the cap from what a collected row actually COSTS on the driver —
+    # a PySpark Row is a few hundred bytes of Python object (+ interned
+    # strings on the doc axis), not its 16-40 logical payload bytes; the old
+    # payload-based estimate let the 64 MB default admit ~1.6M Rows (GB-scale
+    # driver heap pressure)
+    per_row = 400 if "doc_id" in survivors.columns else 300
     cap = DRIVER_MATERIALIZE_BYTES // per_row
     rows = [tuple(r) for r in survivors.limit(cap + 1).collect()]
     if len(rows) <= cap:
@@ -399,6 +404,11 @@ def global_window_membership(
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
+    # n_tok = 0 docs hold no tokens but would BREAK the window math below:
+    # sequence(off/span, (off + n_tok - 1)/span) DESCENDS (phantom w_ids) and
+    # sequence(0, n_tok - 1) feeds i = -1 into element_at(tokens, 0), which
+    # raises at runtime ("SQL array indices start at 1")
+    corpus = corpus.filter(F.col("n_tok") > 0)
     L = cfg.deepest if level is None else level
     span = cfg.span(L)
     key = np.asarray([int(token)], dtype=np.uint64)

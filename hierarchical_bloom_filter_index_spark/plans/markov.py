@@ -134,8 +134,11 @@ class NgramModel:
             )
             for r in rows:
                 counts[tuple(int(t) for t in r["g"])] = int(r["c"])
-            if n == 1:
-                total = int(sum(r["c"] for r in rows))
+        # exact corpus-wide unigram total (= token count), NOT the sum of the
+        # kept top-K rows: on a large vocabulary the truncated sum understates
+        # the denominator, inflating every unigram/backoff probability and
+        # silently biasing choose_start_level toward deeper seeds
+        total = int(corpus.agg(F.sum(F.size("tokens"))).first()[0] or 0)
         return cls(counts, order, total)
 
     def cond_prob(self, context: tuple[int, ...], t: int) -> float:

@@ -157,7 +157,15 @@ class IntCountSketch(CountSketch):
     estimators/IntCountSketch.java:233-246. Same hashes/signs/median as
     CountSketch (estimates agree exactly until a cell saturates), but cells
     clamp at ±(2^31-1)/−2^31 instead of widening: half the state bytes per
-    partial, at the documented cost of merge associativity at the rails."""
+    partial, at the documented cost of merge associativity at the rails.
+
+    Saturation is applied POST-BATCH-AGGREGATION: ``update`` sums a whole
+    batch in int64 and clamps once per row, so clamp points are batch
+    boundaries — a mixed-sign batch that transiently crosses the int32 rails
+    yields different cell values than the reference's per-element saturating
+    adds. Deliberate deviation (element order inside a Spark partition is
+    not meaningful anyway); estimates diverge from Java parity only for
+    cells that actually touch the rails."""
 
     MAGIC = _MAGIC_ICS
 

@@ -197,6 +197,26 @@ def test_global_window_membership(spark, setup):
     assert global_window_membership(corp, idx, CFG_G, 99991).count() == 0
 
 
+def test_global_window_membership_empty_docs(spark):
+    """n_tok = 0 docs are in-contract and must not break the window math:
+    unguarded, sequence(off/span, (off+n_tok-1)/span) DESCENDS (phantom
+    w_ids) and sequence(0, -1) feeds element_at(tokens, 0) -> runtime error
+    (ADVICE r2). Empty docs contribute nothing to the stream."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_window_membership,
+    )
+
+    docs = [[5, 6, 7, 8], [], [7, 5, 9, 5], [], [5]]
+    corp = _mini_corpus(spark, docs).cache()
+    cfg = HbiConfig(tree_span=8, leaf_span=2, fpr=0.01, vocab=64, seed=3, axis="global")
+    idx = build_index(corp, cfg).cache()
+    stream = np.asarray([t for d in docs for t in d], dtype=np.int64)
+    exp = sorted(set((np.nonzero(stream == 5)[0] // cfg.leaf_span).tolist()))
+    got = sorted(r["w_id"] for r in global_window_membership(corp, idx, cfg, 5).collect())
+    assert got == exp
+    corp.unpersist(); idx.unpersist()
+
+
 def test_prestitched_corpus_identical_answers(spark, setup):
     """A caller-prestitched corpus (longer shared tail) must yield exactly
     the per-query-stitch answers, on both the single and batch paths —

@@ -332,6 +332,50 @@ def test_range_totals_exact_and_estimates_bounded(spark, built_cms):
     hll_idx.unpersist()
 
 
+def test_range_all_docs_pair_form_equals_per_doc_triples(spark, built_cms):
+    """(a, b) pair ranges = the same query fanned out to EVERY doc, without
+    materializing the doc catalog on the driver: rows must equal the
+    explicit-triple form over all docs (the broadcast side is only the
+    O(log) shared cover nodes)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_token_totals,
+    )
+
+    corp, cms_idx = built_cms
+    rqs = [(0, 2), (1, 7), (0, 64)]
+    all_doc_ids = [r["doc_id"] for r in corp.select("doc_id").collect()]
+    triples = [(d, a, b) for d in all_doc_ids for a, b in rqs]
+
+    got = sorted(
+        tuple(r) for r in range_token_totals(cms_idx, rqs, CFG.deepest).collect()
+    )
+    want = sorted(
+        tuple(r) for r in range_token_totals(cms_idx, triples, CFG.deepest).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_all_docs_degenerate_doc_count(spark):
+    """Pair-form range queries on a 1-doc corpus (and an empty range) —
+    the degenerate fan-out the driver-collect version special-cased."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+        range_token_totals,
+    )
+
+    corp = spark.createDataFrame(
+        [("only", list(range(100)), 100, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    idx = build_cms_window_index(corp, CFG, depth=3, width=256)
+    rows = {(r["doc_id"], r["a"], r["b"]): r["n_tokens"]
+            for r in range_token_totals(idx, [(0, 2), (40, 50)], CFG.deepest).collect()}
+    # doc has 100 tokens = 4 leaf windows (span 32): [0,2) holds 64 tokens,
+    # [40,50) is past the end -> no covering node -> no row
+    assert rows == {("only", 0, 2): 64}
+    idx.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # GLOBAL-axis window sketches: stream windows cross doc boundaries; leaf
 # sketches are byte-exact vs the concatenated stream, range queries follow
