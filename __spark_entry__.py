@@ -251,6 +251,21 @@ def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_window_membership_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exists() over the ONE-STREAM index: one leaf scan answers
+    membership for the whole probe-token workload (operators/batch.py
+    global_window_membership_batch) — equal to a union of per-token
+    global_window_membership calls."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_window_membership_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_window_membership_batch(
+        gcorp, gidx, CFG.with_(axis="global"), PROBE_TOKENS
+    )
+
+
 def q_window_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-document windows never cross rows, so the rollup is pure array math
     # inside each row (array_distinct over slices) — zero shuffle, vs the
@@ -613,6 +628,69 @@ def _cms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CACHE:
         _CACHE[key] = build_cms_window_index(_corpus(spark, sf_dir), CFG, depth=3, width=256)
     return _CACHE[key]
+
+
+def _kll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic KLL rollup index (quantile analog of _hll_index/_cms_index),
+    built once per sf_dir and persisted; totals + range-quantile queries
+    share it."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_kll_window_index,
+    )
+
+    key = ("kll_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_kll_window_index(_corpus(spark, sf_dir), CFG, k=200)
+    return _CACHE[key]
+
+
+def q_kll_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (doc, level, window) item counts read out of the KLL quantile
+    rollup — the KLL n field counts exactly and merges add, so the whole
+    quantile index's geometry AND coverage is SQL-checkable even though its
+    quantile estimates are bound-checked in tests (same closed form as
+    cms_rollup_totals)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        kll_window_totals,
+    )
+
+    return kll_window_totals(_kll_index(spark, sf_dir))
+
+
+def q_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles over leaf-window RANGES [a, b) from the dyadic
+    KLL index: the O(log) covering nodes merge (bound-preserving) into a
+    valid KLL of the range — any slice answers quantile queries without
+    touching b - a leaves. Estimates are oracle-free (rank-error contracts
+    in tests/test_rollup.py); geometry + exact counts oracle-checked by
+    kll_rollup_totals. All-docs (a, b) form — no driver-side doc catalog.
+    Completes the range family: count/distinct/freq/QUANTILE (reference's
+    rank queries: estimators/HOPS.java:117-136)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_quantile_estimates,
+    )
+
+    return range_quantile_estimates(
+        _kll_index(spark, sf_dir), RANGE_QS, QUANTILES, CFG.deepest
+    ).select("doc_id", "a", "b", "q", F.round("est", 3).alias("est"))
+
+
+def q_global_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles over STREAM leaf-window ranges — the global
+    twin (phase-aligned partial KLLs merged into stream-window sketches,
+    doc boundaries invisible). Oracle-free estimates; bounds in tests."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_kll_window_index,
+        global_range_quantile_estimates,
+    )
+
+    key = ("gkll_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_kll_window_index(gcorp, CFG, k=200)
+    return global_range_quantile_estimates(
+        _CACHE[key], RANGE_QS_GLOBAL, QUANTILES, CFG.deepest
+    ).select("a", "b", "q", F.round("est", 3).alias("est"))
 
 
 def q_cms_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_membership": q_window_membership,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
+        "global_window_membership_batch": q_global_window_membership_batch,
         "window_distinct_rollup": q_window_distinct_rollup,
         "global_offsets": q_global_offsets,
         "index_geometry": q_index_geometry,
@@ -1128,10 +1207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
         "cms_rollup_totals": q_cms_rollup_totals,
+        "kll_rollup_totals": q_kll_rollup_totals,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
+        "range_quantiles": q_range_quantiles,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
+        "global_range_quantiles": q_global_range_quantiles,
         "hops_representatives": q_hops_representatives,
         "kll_doclen_quantiles": q_kll_doclen_quantiles,
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
@@ -1194,6 +1276,16 @@ off AS (
 SELECT DISTINCT CAST((o + i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
 WHERE tokens[i] = {ord("q")}""",
+        "global_window_membership_batch": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+)
+SELECT DISTINCT CAST(tokens[i] AS INT) AS token,
+       CAST((o + i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
+FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+WHERE tokens[i] IN ({", ".join(str(t) for t in PROBE_TOKENS)})""",
         "window_distinct_rollup": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT doc_id, CAST({CFG.deepest} AS INT) AS level,
        CAST((i - 1) // {CFG.span(CFG.deepest)} AS BIGINT) AS w_id,
@@ -1409,4 +1501,7 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     }
     # same closed form: the rollup build has identical dyadic spans
     out["bloom_rollup_geometry"] = out["index_geometry"]
+    # the KLL quantile rollup's exact item counts have the same closed form
+    # as the CMS totals (identical dyadic geometry, exact counts per window)
+    out["kll_rollup_totals"] = out["cms_rollup_totals"]
     return out

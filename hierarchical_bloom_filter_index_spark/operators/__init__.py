@@ -9,6 +9,7 @@ from .build import (
 )
 from .batch import (
     global_pattern_search_batch,
+    global_window_membership_batch,
     pattern_search_batch,
     window_membership_batch,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "deepest_usable_level",
     "global_pattern_search_batch",
     "global_window_membership",
+    "global_window_membership_batch",
     "pattern_search_batch",
     "global_pattern_search",
     "pattern_probe_plan",

@@ -303,6 +303,124 @@ def window_membership_batch(
     )
 
 
+def global_window_membership_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    tokens: list[int],
+    level: int | None = None,
+) -> DataFrame:
+    """'Which GLOBAL stream windows contain token t?' for MANY tokens in ONE
+    leaf-level scan of the one-stream index — the global-axis twin of
+    window_membership_batch (single-token global: route.py
+    global_window_membership; the reference's axis IS the stream,
+    PMIndex/HBI.java report/exists). Each sketch blob is probed once against
+    every token; candidate docs are found via (doc_offset, w_id) pairs only
+    (token arrays join back by doc_offset); one occurrence scan per doc
+    verifies all its candidate tokens. Exact DISTINCT (token, w_id) rows,
+    equal to a union of per-token global_window_membership calls."""
+    if cfg.axis != "global":
+        raise ValueError("global_window_membership_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError("global_window_membership_batch requires a token-keyed index (ngram=1)")
+    if not tokens:
+        raise ValueError("empty token batch")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    # n_tok = 0 docs: the window sequence would DESCEND (phantom w_ids) and
+    # the verify scan would index tokens[0] — same guard as the single-token op
+    corpus = corpus.filter(F.col("n_tok") > 0)
+    L = cfg.deepest if level is None else level
+    span = cfg.span(L)
+    vals = sorted({int(t) for t in tokens})
+    keys = np.asarray(vals, dtype=np.uint64)
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hits = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, K)
+            ri, ci = np.nonzero(hits)
+            yield pd.DataFrame(
+                {
+                    "w_id": pdf["w_id"].to_numpy()[ri],
+                    "token": np.asarray(vals, dtype=np.int32)[ci],
+                }
+            )
+
+    cand = rows.mapInPandas(probe, schema="w_id long, token int")
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(cand, on="w_id", how="inner")
+        .groupBy("doc_offset", "token")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    joined = corpus.join(hit_docs, on="doc_offset", how="inner")
+    if len(vals) > ARROW_VERIFY_MIN_PATTERNS:
+        # large token workloads: one Arrow stage instead of a when-chain
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_t, out_w = [], []
+                for t, off, toks, wids in zip(
+                    pdf["token"], pdf["doc_offset"], pdf["tokens"], pdf["wids"]
+                ):
+                    arr = np.asarray(toks, dtype=np.int64)
+                    w = np.unique((int(off) + np.nonzero(arr == t)[0]) // span)
+                    w = w[np.isin(w, np.asarray(wids, dtype=np.int64))]
+                    out_t.extend([t] * len(w))
+                    out_w.extend(w.tolist())
+                yield pd.DataFrame(
+                    {
+                        "token": np.asarray(out_t, dtype=np.int32),
+                        "w_id": np.asarray(out_w, dtype=np.int64),
+                    }
+                )
+
+        return joined.select("token", "doc_offset", "tokens", "wids").mapInPandas(
+            ver, schema="token int, w_id long"
+        ).distinct()
+
+    def occ_expr(t: int):
+        # nested def, not a default-arg lambda: a two-parameter lambda would
+        # be read by F.filter as (element, index) and compare the POSITION
+        return F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0).cast("long"), (F.col("n_tok") - 1).cast("long")),
+                    lambda i: F.element_at("tokens", (i + 1).cast("int")) == F.lit(t),
+                ),
+                lambda i: ((F.col("doc_offset") + i) / span).cast("long"),
+            )
+        )
+
+    occ = None
+    for t in vals:
+        occ = (
+            F.when(F.col("token") == t, occ_expr(t))
+            if occ is None
+            else occ.when(F.col("token") == t, occ_expr(t))
+        )
+    return (
+        joined.select(
+            "token", F.explode(F.array_intersect(occ, F.col("wids"))).alias("w_id")
+        )
+        .distinct()
+    )
+
+
 def _descend_batch(
     index: DataFrame,
     specs: list[tuple[np.ndarray, int, list[int]]],

@@ -236,6 +236,63 @@ def window_token_totals(cms_index: DataFrame) -> DataFrame:
     return cms_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")
 
 
+def build_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> DataFrame:
+    """Approximate-QUANTILE index: one KLL per (doc, level, window), built
+    leaf-first then rolled up (KLL merge is bound-preserving, so every
+    rolled-up parent answers rank/quantile queries within the k-parameter
+    envelope; its item count n stays EXACT). Completes the per-window sketch
+    family (HLL distinct / CMS frequency / KLL quantile) — the reference
+    answers rank point queries from its samplers (estimators/HOPS.java:
+    117-136, estimators/BottomKSampler.java:17-58). Same persistence
+    contract as build_hll_window_index (caller unpersists)."""
+    from ..sketches import kll as kll_kernels
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 13
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: kll_kernels.leaf_window_blobs(toks, leaf_span, k, seed),
+        lambda flat, counts: kll_kernels.merge_blob_groups(flat, counts),
+    )
+
+
+def kll_window_totals(kll_index: DataFrame) -> DataFrame:
+    """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the KLL item
+    count is exact and merges add), so the whole quantile-rollup geometry +
+    coverage is SQL-oracle-checkable, mirroring window_token_totals."""
+    from ..sketches.kll import blob_totals
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["doc_id", "level", "w_id"]].copy()
+            out["n_window"] = blob_totals([bytes(b) for b in pdf["sketch"]])
+            yield out
+
+    return kll_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")
+
+
+def window_quantile_estimates(kll_index: DataFrame, level: int, qs) -> DataFrame:
+    """(doc_id, w_id, q, est) at one level for each requested quantile."""
+    from ..sketches.kll import quantile_blobs
+
+    qs = [float(q) for q in qs]
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ests = quantile_blobs([bytes(b) for b in pdf["sketch"]], qs)
+            out = pdf[["doc_id", "w_id"]].loc[pdf.index.repeat(len(qs))].reset_index(drop=True)
+            out["q"] = np.tile(qs, len(pdf))
+            out["est"] = ests.ravel()
+            yield out
+
+    return kll_index.filter(F.col("level") == level).mapInPandas(
+        est, schema="doc_id string, w_id long, q double, est double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dyadic range queries — the point of the hierarchy: any leaf-window range
 # [a, b) decomposes into <= 2*log2(b-a)+2 aligned index nodes, so a range
@@ -414,6 +471,39 @@ def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     )
 
 
+def _kll_range_quant_fn(key_cols, qs):
+    from ..sketches.kll import merge_blob_groups, quantile_blobs
+
+    qs = [float(q) for q in qs]
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            merged = merge_blob_groups(flat, counts)
+            ests = quantile_blobs(merged, qs)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(len(qs))].reset_index(drop=True)
+            out["q"] = np.tile(qs, len(pdf))
+            out["est"] = ests.ravel()
+            yield out
+
+    return est
+
+
+def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
+    """(doc_id, a, b, q, est) per queried leaf-window range and quantile:
+    the O(log) covering KLL nodes merge into a valid KLL of the range
+    (bound-preserving merge), so any [a, b) slice answers quantile queries
+    without touching b - a leaves. Accepts (doc_id, a, b) triples or
+    all-docs (a, b) pairs. Completes the dyadic range family:
+    count (range_token_totals, exact) / distinct (HLL) / frequency (CMS) /
+    quantile (KLL)."""
+    return _joined_range_groups(kll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _kll_range_quant_fn(_DOC_KEYS, qs), schema=_DOC_KEY_SCHEMA + ", q double, est double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # GLOBAL-axis window-sketch indexes: the reference's actual model is ONE
 # concatenated token stream (PMIndex/HBI.java insert/report) — stream
@@ -529,6 +619,47 @@ def build_global_cms_window_index(corpus: DataFrame, cfg: HbiConfig,
         lambda toks, phase: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed, phase=phase),
         lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
     )
+
+
+def build_global_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> DataFrame:
+    """One KLL per (level, STREAM window): quantiles of any dyadic slice of
+    the concatenated stream, document boundaries invisible. Docs contribute
+    phase-aligned PARTIAL KLLs of the stream windows they overlap; partials
+    of a window merge into a valid window KLL (merge handles any split),
+    with the stream window's EXACT item count."""
+    from ..sketches import kll as kll_kernels
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 13
+    return _build_global_window_sketch_index(
+        corpus, cfg,
+        lambda toks, phase: kll_kernels.leaf_window_blobs(toks, leaf_span, k, seed, phase=phase),
+        lambda flat, counts: kll_kernels.merge_blob_groups(flat, counts),
+    )
+
+
+def global_range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
+    """(a, b, q, est) per STREAM leaf-window range and quantile — the
+    global twin of range_quantile_estimates (covering KLL nodes merge into
+    a valid KLL of the stream slice)."""
+    return _joined_range_groups(kll_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _kll_range_quant_fn(_GLOBAL_KEYS, qs), schema=_GLOBAL_KEY_SCHEMA + ", q double, est double"
+    )
+
+
+def global_kll_window_totals(kll_index: DataFrame) -> DataFrame:
+    """(level, w_id, n_window) — EXACT stream-window item counts from the
+    global KLL index (merged partials add their exact counts)."""
+    from ..sketches.kll import blob_totals
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["level", "w_id"]].copy()
+            out["n_window"] = blob_totals([bytes(b) for b in pdf["sketch"]])
+            yield out
+
+    return kll_index.mapInPandas(tot, schema="level int, w_id long, n_window long")
 
 
 def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:

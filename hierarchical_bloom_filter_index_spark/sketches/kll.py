@@ -146,3 +146,90 @@ class KLL:
         if not levels:
             levels = [np.empty(0, dtype=np.float64)]
         return cls(k, seed, n, compactions, levels)
+
+
+# ---------------------------------------------------------------------------
+# Per-window KLL kernels (the quantile analog of hll/cms leaf_window_blobs /
+# merge_blob_groups): one serialized KLL per consecutive window of a value
+# array. A window holding <= k values needs NO compaction — its KLL is just
+# level 0 = the values in arrival order — so leaf blobs are built by direct
+# byte packing (byte-identical to KLL(k, seed).update(slice).to_bytes()),
+# no per-window object churn on the common path (leaf_span <= k).
+# Parent merges go through the object API: KLL merge is BOUND-PRESERVING,
+# not byte-deterministic (compaction offset bits depend on merge order), but
+# the stored item count n IS exact and order-independent — which is what the
+# SQL totals oracle checks.
+# ---------------------------------------------------------------------------
+
+# wire offset of params[2] (= n) in base.pack([k, seed, n, compactions]):
+# 4-byte header, then int64 params
+_KLL_N_OFFSET = 4 + 2 * 8
+
+
+def leaf_window_blobs(values: np.ndarray, window: int, k: int, seed: int,
+                      phase: int = 0) -> list[bytes]:
+    """Serialized KLLs for every consecutive ``window``-value slice of
+    ``values``. ``phase`` = stream offset of values[0] within its window
+    (global-axis builds: blob i is the PARTIAL sketch of stream window
+    first_w + i, and partials of a window merge into a valid window KLL)."""
+    n = len(values)
+    if n == 0:
+        return []
+    vals = np.asarray(values, dtype=np.float64)
+    nw = (phase + n + window - 1) // window
+    out: list[bytes] = []
+    for i in range(nw):
+        lo = max(0, i * window - phase)
+        hi = min(n, (i + 1) * window - phase)
+        wv = vals[lo:hi]
+        if len(wv) <= k:
+            out.append(
+                base.pack(_MAGIC, [k, seed, len(wv), 0],
+                          [np.asarray([len(wv)], dtype=np.int64), wv])
+            )
+        else:  # window wider than k: pay the object path (rare; leaf spans
+            # are sized below k so parents are built by MERGE, not here)
+            s = KLL(k=k, seed=seed)
+            s.update(wv)
+            out.append(s.to_bytes())
+    return out
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray) -> list[bytes]:
+    """Merge consecutive groups of serialized KLLs (group i = the next
+    ``counts[i]`` blobs). Object-path merges over sketch rows only; the
+    result's rank-error bound and exact item count hold for any group
+    order."""
+    out: list[bytes] = []
+    pos = 0
+    for c in counts:
+        acc = KLL.from_bytes(bytes(blobs[pos]))
+        for b in blobs[pos + 1 : pos + int(c)]:
+            acc = acc.merge(KLL.from_bytes(bytes(b)))
+        out.append(acc.to_bytes())
+        pos += int(c)
+    return out
+
+
+def blob_totals(blobs: list[bytes]) -> np.ndarray:
+    """EXACT item count of each blob's window (the KLL ``n`` field counts
+    every update exactly; merges add) — SQL-oracle-checkable."""
+    import struct as _struct
+
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] != _MAGIC:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected KLL)")
+        (out[i],) = _struct.unpack_from("<q", b, _KLL_N_OFFSET)
+    return out
+
+
+def quantile_blobs(blobs: list[bytes], qs) -> np.ndarray:
+    """(len(blobs), len(qs)) quantile estimates — object path per blob
+    (sketch rows only; rank error per the KLL k parameter)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    out = np.empty((len(blobs), len(qs)), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        out[i] = KLL.from_bytes(bytes(b)).quantiles(qs)
+    return out

@@ -223,6 +223,37 @@ def test_window_membership_batch(spark, corpus, index):
         assert not any(t == 9876 for t, *_ in got)
 
 
+def test_global_window_membership_batch(spark):
+    """One GLOBAL leaf scan answers stream-window membership for many tokens
+    — equal to a union of single global_window_membership calls, on both the
+    when-chain and Arrow verification paths (incl. an absent token and
+    empty docs in the stream)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_window_membership,
+        global_window_membership_batch,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=9,
+                    axis="global")
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=33)).cache()
+    idx = build_index(corp, cfg).cache()
+    some = [int(t) for t in corp.first()["tokens"][:4]]
+    for toks in (some + [999_991],                        # when-chain path
+                 some + [999_991] + list(range(50, 60))):  # >8: Arrow path
+        exp = set()
+        for t in sorted(set(toks)):
+            for r in global_window_membership(corp, idx, cfg, t).collect():
+                exp.add((t, r["w_id"]))
+        got = sorted(
+            (r["token"], r["w_id"])
+            for r in global_window_membership_batch(corp, idx, cfg, toks).collect()
+        )
+        assert got == sorted(exp) and len(got) > 0
+        assert not any(t == 999_991 for t, _ in got)
+    idx.unpersist()
+    corp.unpersist()
+
+
 def test_batch_rejects_empty(spark, corpus, index):
     with pytest.raises(ValueError):
         pattern_search_batch(corpus, index, CFG, [])

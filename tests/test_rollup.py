@@ -377,6 +377,143 @@ def test_range_all_docs_degenerate_doc_count(spark):
 
 
 # ---------------------------------------------------------------------------
+# KLL quantile rollup: per-window quantile sketches, bound-preserving parent
+# merges, EXACT item counts, dyadic range quantiles on both axes
+# ---------------------------------------------------------------------------
+
+def test_kll_leaf_kernel_byte_identity():
+    from hierarchical_bloom_filter_index_spark.sketches import KLL
+    from hierarchical_bloom_filter_index_spark.sketches.kll import (
+        blob_totals,
+        leaf_window_blobs,
+        quantile_blobs,
+    )
+
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, 4096, 173).astype(np.int64)
+    blobs = leaf_window_blobs(toks, 32, 200, 99)
+    assert len(blobs) == 6
+    for i, b in enumerate(blobs):
+        obj = KLL(k=200, seed=99)
+        obj.update(toks[i * 32 : (i + 1) * 32].astype(np.float64))
+        assert b == obj.to_bytes()
+    assert blob_totals(blobs).tolist() == [32, 32, 32, 32, 32, 13]
+    # phased: the two partials of a split window merge to the unsplit
+    # window's content (same multiset -> identical quantiles, exact n)
+    head = leaf_window_blobs(toks[:10], 32, 200, 99)
+    tail = leaf_window_blobs(toks[10:], 32, 200, 99, phase=10)
+    merged = KLL.from_bytes(head[0]).merge(KLL.from_bytes(tail[0]))
+    whole = KLL(k=200, seed=99)
+    whole.update(toks[:32].astype(np.float64))
+    assert merged.n == whole.n == 32
+    qs = [0.25, 0.5, 0.75]
+    assert np.allclose(merged.quantiles(qs), whole.quantiles(qs))
+    assert np.allclose(quantile_blobs([whole.to_bytes()], qs)[0], whole.quantiles(qs))
+
+
+@pytest.fixture(scope="module")
+def built_kll(spark):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_kll_window_index,
+    )
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=12).cache()
+    idx = build_kll_window_index(corp, CFG, k=200).cache()
+    idx.count()
+    return corp, idx
+
+
+def test_kll_rollup_totals_exact_and_quantiles_bounded(spark, built_kll):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        kll_window_totals,
+        window_quantile_estimates,
+    )
+
+    corp, idx = built_kll
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.limit(15).collect()}
+    # exact totals at every level (geometry + coverage, the oracle's check)
+    tots = {(r["doc_id"], r["level"], r["w_id"]): r["n_window"]
+            for r in kll_window_totals(idx).collect()}
+    for d, toks in docs.items():
+        for L in CFG.levels:
+            span = CFG.span(L)
+            for w in range((len(toks) + span - 1) // span):
+                assert tots[(d, L, w)] == len(toks[w * span : (w + 1) * span])
+    # root-level quantiles: rank error within the k=200 envelope (tie-aware)
+    ests = {(r["doc_id"], r["w_id"], r["q"]): r["est"]
+            for r in window_quantile_estimates(idx, 0, [0.25, 0.5, 0.75]).collect()}
+    checked = 0
+    for d, toks in docs.items():
+        span = CFG.span(0)
+        for w in range((len(toks) + span - 1) // span):
+            sl = np.sort(toks[w * span : (w + 1) * span].astype(np.float64))
+            for q in (0.25, 0.5, 0.75):
+                est = ests[(d, w, q)]
+                lo = np.searchsorted(sl, est, side="left") / len(sl)
+                hi = np.searchsorted(sl, est, side="right") / len(sl)
+                assert lo - 0.05 <= q <= hi + 0.05, (d, w, q, est)
+                checked += 1
+    assert checked >= 30
+
+
+def test_kll_range_quantiles_both_axes(spark, built_kll):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_kll_window_index,
+        global_kll_window_totals,
+        global_range_quantile_estimates,
+        range_quantile_estimates,
+    )
+
+    corp, idx = built_kll
+    span, deepest = CFG.leaf_span, CFG.deepest
+    qs = [0.1, 0.5, 0.9]
+    rqs = [(0, 4), (1, 7)]
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.limit(10).collect()}
+    ests = {(r["doc_id"], r["a"], r["b"], r["q"]): r["est"]
+            for r in range_quantile_estimates(idx, rqs, qs, deepest).collect()}
+    checked = 0
+    for d, toks in docs.items():
+        for a, b in rqs:
+            sl = np.sort(toks[a * span : b * span].astype(np.float64))
+            if len(sl) == 0:
+                continue
+            for q in qs:
+                est = ests[(d, a, b, q)]
+                lo = np.searchsorted(sl, est, side="left") / len(sl)
+                hi = np.searchsorted(sl, est, side="right") / len(sl)
+                assert lo - 0.06 <= q <= hi + 0.06
+                checked += 1
+    assert checked >= 20
+
+    # global twin: stream-window slice quantiles + exact stream totals
+    gcorp = with_global_offsets(corp)
+    gidx = build_global_kll_window_index(gcorp, CFG, k=200)
+    stream = np.concatenate(
+        [np.asarray(r["tokens"], dtype=np.int64)
+         for r in gcorp.orderBy("doc_id").collect()]
+    )
+    gtots = {(r["level"], r["w_id"]): r["n_window"]
+             for r in global_kll_window_totals(gidx).collect()}
+    n_leaf = (len(stream) + span - 1) // span
+    assert gtots[(deepest, 0)] == span
+    assert gtots[(deepest, n_leaf - 1)] == len(stream) - (n_leaf - 1) * span
+    grqs = [(0, 8), (3, 21)]
+    gests = {(r["a"], r["b"], r["q"]): r["est"]
+             for r in global_range_quantile_estimates(gidx, grqs, qs, deepest).collect()}
+    for a, b in grqs:
+        sl = np.sort(stream[a * span : b * span].astype(np.float64))
+        for q in qs:
+            est = gests[(a, b, q)]
+            lo = np.searchsorted(sl, est, side="left") / len(sl)
+            hi = np.searchsorted(sl, est, side="right") / len(sl)
+            assert lo - 0.06 <= q <= hi + 0.06
+    gidx.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # GLOBAL-axis window sketches: stream windows cross doc boundaries; leaf
 # sketches are byte-exact vs the concatenated stream, range queries follow
 # ---------------------------------------------------------------------------
