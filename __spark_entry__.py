@@ -457,7 +457,9 @@ def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs_spark(spark: SparkSession, sf_dir: str, thr_x1e6: int) -> DataFrame:
+    """Exact 5-gram Jaccard pairs (integer-scaled) — shared by the oracle
+    twin query and the LSH containment check."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
@@ -484,9 +486,28 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
         .withColumn("jaccard_x1e6", F.expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
-        .filter(F.col("jaccard_x1e6") >= 400000)
+        .filter(F.col("jaccard_x1e6") >= thr_x1e6)
         .select("doc_a", "doc_b", "jaccard_x1e6")
     )
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs_spark(spark, sf_dir, 400000)
+
+
+def q_minhash_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-as-equality hard check for the MinHash-LSH near-dup path:
+    LSH pairs UNION (exact >= 0.8 pairs the LSH missed) must EQUAL the exact
+    pair set — any LSH FALSE POSITIVE (a surviving pair not in the exact
+    set) appears as an extra row the oracle doesn't have, so the driver's
+    equality gate proves soundness. Recall (the missed pairs) is the part
+    LSH legitimately trades away and stays a pytest bound
+    (tests/test_pipeline_ops.py::test_minhash_lsh_recall); a rows-equality
+    oracle cannot check it without defeating the point of LSH."""
+    lsh = q_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    exact = _jaccard_pairs_spark(spark, sf_dir, 800000).select("doc_a", "doc_b")
+    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    return lsh.unionByName(missed)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +769,21 @@ def q_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_distinct_estimates(
         _hll_index(spark, sf_dir), RANGE_QS, CFG.deepest
     ).select("doc_id", "a", "b", F.round("est_distinct", 3).alias("est_distinct"))
+
+
+def q_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate probe-token frequencies over DOC leaf-window ranges:
+    covering CMS nodes add into the exact range CMS (overestimate-only
+    within eps*N_range; bounds in tests — totals oracle-checked by
+    range_window_totals on the same index). Doc-axis twin of
+    global_range_freq; all-docs (a, b) form."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_freq_estimates,
+    )
+
+    return range_freq_estimates(
+        _cms_index(spark, sf_dir), RANGE_QS, PROBE_TOKENS, CFG.deepest
+    )
 
 
 RANGE_QS_GLOBAL = [(0, 8), (5, 133), (1000, 1024)]  # stream leaf-window ranges
@@ -1210,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rollup_totals": q_kll_rollup_totals,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
+        "range_freq": q_range_freq,
         "range_quantiles": q_range_quantiles,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
@@ -1221,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_pairs": q_dedup_exact_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "minhash_lsh_containment": q_minhash_lsh_containment,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
         "lang_id_counts": q_lang_id_counts,
@@ -1388,6 +1426,23 @@ FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
+        # the LSH containment check compares against the EXACT >= 0.8 pair
+        # set: equality holds iff the LSH emitted no false-positive pair
+        "minhash_lsh_containment": """WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
+        FROM documents)
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 800000""",
         "text_quality": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(string_split(text, ' ')) AS INT) AS n_words,

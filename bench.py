@@ -70,6 +70,9 @@ def main() -> None:
         # the sum of the three single-pattern queries above
         "hbi_pattern_batch",
         "window_membership",
+        # whole token workload in ONE leaf scan (doc axis + one-stream axis)
+        "window_membership_batch",
+        "global_window_membership_batch",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",
@@ -90,10 +93,17 @@ def main() -> None:
         # is paid on the first rep and cached (steady state recorded)
         "heavy_hitter_bigrams",
         "cms_window_rollup",
+        # dyadic range answers from O(log) covering nodes (totals exact;
+        # quantiles via the KLL rollup — its build is paid on first rep)
+        "range_window_totals",
+        "range_quantiles",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state
         "hbi_global_pattern",
+        # several patterns through ONE shared global cascade
+        "hbi_global_pattern_batch",
+        "global_range_totals",
         "events_hourly",
     ]
     qmap = E.queries()

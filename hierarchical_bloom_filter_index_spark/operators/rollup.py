@@ -86,56 +86,96 @@ def rollup_scaffold(leaf: DataFrame, deepest: int, pass_fn) -> DataFrame:
     return out
 
 
+def _merge_sparse(flat: list, counts: np.ndarray, merge_groups) -> list:
+    """Grouped merge with a SINGLE-CHILD PASSTHROUGH: a group of one blob
+    merges to itself byte-identically (CMS/HLL/KLL wire formats round-trip),
+    so only multi-child groups pay the decode+encode. On a global leaf merge
+    almost every window has exactly one partial (only doc-boundary windows
+    split), so this skips ~all of the kernel work."""
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(counts) == len(flat):  # every group is a singleton
+        return [bytes(b) for b in flat]
+    starts = np.cumsum(counts) - counts
+    out: list = [None] * len(counts)
+    multi_flat: list = []
+    multi_counts: list[int] = []
+    multi_pos: list[int] = []
+    for i in range(len(counts)):
+        if counts[i] == 1:
+            out[i] = bytes(flat[starts[i]])
+        else:
+            multi_pos.append(i)
+            multi_counts.append(int(counts[i]))
+            multi_flat.extend(flat[starts[i] : starts[i] + counts[i]])
+    merged = merge_groups(multi_flat, np.asarray(multi_counts, dtype=np.int64))
+    for p, b in zip(multi_pos, merged):
+        out[p] = b
+    return out
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    return out
+
+
 def _build_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
                                leaf_blobs, merge_groups) -> DataFrame:
-    """Shared shape of every window-sketch rollup build: a vectorized leaf
-    pass (``leaf_blobs(tokens) -> list[bytes]``, one kernel call covers all
-    of a doc's windows — per-window sketch-object loops are the hotspot),
-    then per-level parent merges in ONE Arrow pass each
-    (``merge_groups(flat_blobs, group_counts) -> list[bytes]``, not
-    applyInPandas-per-group which pays a pandas round-trip per parent)."""
+    """Shared shape of every window-sketch rollup build, doc axis:
+    ZERO-SHUFFLE. A doc's whole dyadic tree is a pure function of its own
+    tokens — the vectorized leaf pass (``leaf_blobs(tokens) -> list[bytes]``,
+    one kernel call per doc) and EVERY coarser level (one
+    ``merge_groups(flat_blobs, group_counts)`` call per level per Arrow
+    batch, children sorted by (doc, w_id)) happen inside one mapInPandas.
+    No level-by-level shuffles of sketch rows (the staged rollup paid L
+    repartition+groupBy exchanges for merges that were local all along);
+    parents are still MERGED from children — tokens are scanned once.
+    The returned index is persisted; the CALLER owns unpersist()."""
 
     deepest = cfg.deepest
 
-    def leaf_build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build_all_levels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out_doc, out_w, out_sk = [], [], []
+            doc_names: list = []
+            blob_parts: list = []
+            w_parts: list[np.ndarray] = []
+            d_parts: list[np.ndarray] = []
             for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
                 blobs = leaf_blobs(np.asarray(toks, dtype=np.int64))
-                out_doc.extend([did] * len(blobs))
-                out_w.extend(range(len(blobs)))
-                out_sk.extend(blobs)
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "level": deepest, "w_id": out_w, "sketch": out_sk}
-            )
-
-    leaf = corpus.select("doc_id", "tokens").mapInPandas(leaf_build, schema=HLL_INDEX_SCHEMA)
-
-    def merge_children(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+                if not blobs:
+                    continue
+                d_parts.append(np.full(len(blobs), len(doc_names), dtype=np.int64))
+                doc_names.append(did)
+                blob_parts.extend(blobs)
+                w_parts.append(np.arange(len(blobs), dtype=np.int64))
+            if not doc_names:
                 continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, children in enumerate(pdf["children"]):
-                counts[i] = len(children)
-                flat.extend(bytes(b) for b in children)
-            out = pdf[["doc_id", "level", "w_id"]].copy()
-            out["sketch"] = merge_groups(flat, counts)
-            yield out
+            names = np.asarray(doc_names, dtype=object)
+            cur_w = np.concatenate(w_parts)
+            cur_d = np.concatenate(d_parts)
+            cur_blobs = blob_parts
+            frames = [pd.DataFrame({"doc_id": names[cur_d], "level": deepest,
+                                    "w_id": cur_w, "sketch": cur_blobs})]
+            for L in range(deepest - 1, -1, -1):
+                # (doc, w_id // 2) keys are already sorted (docs emitted in
+                # order, w ascending within doc), so np.unique's sorted
+                # groups line up with the flat blob order
+                key = (cur_d << np.int64(40)) | (cur_w >> np.int64(1))
+                uniq, counts = np.unique(key, return_counts=True)
+                cur_blobs = merge_groups(cur_blobs, counts)
+                cur_d = uniq >> np.int64(40)
+                cur_w = uniq & np.int64((1 << 40) - 1)
+                frames.append(pd.DataFrame({"doc_id": names[cur_d], "level": L,
+                                            "w_id": cur_w, "sketch": cur_blobs}))
+            yield pd.concat(frames, ignore_index=True)
 
-    def level_pass(cur: DataFrame, L: int) -> DataFrame:
-        # parent window = merge of its (at most 2) children — sketch rows only
-        rows = cur.select(
-            "doc_id", F.lit(L).alias("level"),
-            (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch",
-        )
-        return _grouped_merge(rows, ("doc_id", "level", "w_id"), merge_children,
-                              HLL_INDEX_SCHEMA, _merge_partitions(cur))
-
-    return rollup_scaffold(leaf, deepest, level_pass)
+    return _persisted(
+        corpus.select("doc_id", "tokens").mapInPandas(build_all_levels, schema=HLL_INDEX_SCHEMA)
+    )
 
 
 def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
@@ -516,11 +556,23 @@ def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> 
 GLOBAL_SKETCH_SCHEMA = "level int, w_id long, sketch binary"
 
 
-def _global_leaf_partials(corpus: DataFrame, cfg: HbiConfig, leaf_blobs_phased) -> DataFrame:
+# max partial windows per kernel call inside the global leaf build: bounds
+# the scratch allocation (HLL: slots * 4 KB regs; CMS: slots * depth*width*8)
+# while amortizing Python/kernel overhead over ~hundreds of docs per call
+_SLOT_CHUNK = 8192
+
+
+def _global_leaf_partials(corpus: DataFrame, cfg: HbiConfig, slot_blobs) -> DataFrame:
     """Per-doc phase-aligned PARTIAL sketches of the stream windows each doc
     overlaps: (level=deepest, w_id, sketch) rows, possibly several per w_id.
-    ``leaf_blobs_phased(tokens, phase) -> list[bytes]`` emits the partials of
-    consecutive stream windows starting at doc_offset // leaf_span.
+
+    ``slot_blobs(values, slots, n_slots) -> list[bytes]`` builds the partial
+    sketch of every slot in ONE kernel call (sketches.*.partial_blobs_by_slot)
+    — the whole Arrow batch of docs is flattened into (token, slot) arrays
+    with numpy, so there is no per-doc Python loop in the hot path (the
+    per-doc loop made the partials stage scale ~0.6 at 2->8 cores; the
+    kernel work itself is embarrassingly parallel). Kernel calls are chunked
+    at ~_SLOT_CHUNK partial windows to bound scratch memory.
     Requires ``doc_offset`` (corpus.with_global_offsets)."""
     span = cfg.leaf_span
     deepest = cfg.deepest
@@ -529,13 +581,41 @@ def _global_leaf_partials(corpus: DataFrame, cfg: HbiConfig, leaf_blobs_phased) 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out_w, out_sk = [], []
-            for off, toks in zip(pdf["doc_offset"], pdf["tokens"]):
-                off = int(off)
-                blobs = leaf_blobs_phased(np.asarray(toks, dtype=np.int64), off % span)
-                out_w.extend(range(off // span, off // span + len(blobs)))
-                out_sk.extend(blobs)
-            yield pd.DataFrame({"level": deepest, "w_id": out_w, "sketch": out_sk})
+            toks_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            lens = np.asarray([len(t) for t in toks_list], dtype=np.int64)
+            offs = pdf["doc_offset"].to_numpy(dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            toks_list = [t for t, kp in zip(toks_list, keep) if kp]
+            lens, offs = lens[keep], offs[keep]
+            first_w = offs // span
+            npart = (offs % span + lens + span - 1) // span  # partials per doc
+            cum = np.cumsum(npart)
+            # chunk docs so each kernel call builds <= ~_SLOT_CHUNK partials
+            doc_cuts = [0]
+            while doc_cuts[-1] < len(lens):
+                lo = doc_cuts[-1]
+                target = (cum[lo - 1] if lo else 0) + _SLOT_CHUNK
+                hi = max(lo + 1, int(np.searchsorted(cum, target, side="right")))
+                doc_cuts.append(hi)
+            for lo, hi in zip(doc_cuts[:-1], doc_cuts[1:]):
+                sub = toks_list[lo:hi]
+                sub_lens, sub_offs = lens[lo:hi], offs[lo:hi]
+                sub_first = first_w[lo:hi]
+                sub_np = npart[lo:hi]
+                cat = np.concatenate(sub)
+                doc_idx = np.repeat(np.arange(len(sub)), sub_lens)
+                starts = np.cumsum(sub_lens) - sub_lens
+                pos = np.arange(cat.size, dtype=np.int64) - starts[doc_idx]
+                w = (sub_offs[doc_idx] + pos) // span
+                base_slot = np.cumsum(sub_np) - sub_np
+                slots = base_slot[doc_idx] + (w - sub_first[doc_idx])
+                n_slots = int(sub_np.sum())
+                blobs = slot_blobs(cat, slots, n_slots)
+                doc_of_slot = np.repeat(np.arange(len(sub)), sub_np)
+                w_ids = sub_first[doc_of_slot] + np.arange(n_slots) - base_slot[doc_of_slot]
+                yield pd.DataFrame({"level": deepest, "w_id": w_ids, "sketch": blobs})
 
     # rebalance BEFORE the scan — same trap as _build_global_axis
     # (build.py:282): with_global_offsets leaves doc_id-range partitioning
@@ -567,42 +647,61 @@ def _merge_children_fn(merge_groups):
 
 
 def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
-                                      leaf_blobs_phased, merge_groups) -> DataFrame:
-    """Global-axis twin of _build_window_sketch_index. Same persistence
-    contract (caller unpersists)."""
+                                      slot_blobs, merge_groups) -> DataFrame:
+    """Global-axis twin of _build_window_sketch_index: ONE shuffle total.
+
+    Every parent in the dyadic hierarchy lives inside the same ROOT window
+    (w_id >> deepest) as its children, so after the per-doc partials are
+    repartitioned BY ROOT, the boundary-window merges and the entire rollup
+    to level 0 are partition-local — one repartition of the leaf partials
+    replaces the old leaf collect_list shuffle plus one repartition+groupBy
+    per level (the staged path shuffled every sketch blob L+1 times; merges
+    are commutative, so results are byte-identical for HLL/CMS and
+    bound-identical for KLL). mapInPandas batches of one partition are
+    accumulated before rolling up (a root's rows must not straddle an Arrow
+    batch split); partition bytes stay bounded by the data-sized partition
+    count. Same persistence contract (caller unpersists)."""
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
         corpus = with_global_offsets(corpus)
     deepest = cfg.deepest
-    partials = _global_leaf_partials(corpus, cfg, leaf_blobs_phased)
-    merge_children = _merge_children_fn(merge_groups)
+    partials = _global_leaf_partials(corpus, cfg, slot_blobs)
+    n_parts = _merge_partitions(partials)
 
-    # ONE collect_list shuffle + ONE Arrow pass (the merge_global_rows
-    # shape — never split an uncached aggregate into filtered jobs), sized
-    # by the partials' data-proportional partition count (_merge_partitions)
-    leaf = _grouped_merge(partials, ("level", "w_id"), merge_children,
-                          GLOBAL_SKETCH_SCHEMA, _merge_partitions(partials))
+    def local_rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        w = pdf["w_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(w, kind="stable")
+        blobs = [pdf["sketch"].iat[i] for i in order]
+        # finish the leaf: merge the (rare) multi-partial boundary windows,
+        # pass every single-partial window through untouched
+        cur_w, counts = np.unique(w[order], return_counts=True)
+        cur_blobs = _merge_sparse(blobs, counts, merge_groups)
+        frames = [pd.DataFrame({"level": deepest, "w_id": cur_w, "sketch": cur_blobs})]
+        for L in range(deepest - 1, -1, -1):
+            pw, counts = np.unique(cur_w >> np.int64(1), return_counts=True)
+            cur_blobs = _merge_sparse(cur_blobs, counts, merge_groups)
+            cur_w = pw
+            frames.append(pd.DataFrame({"level": L, "w_id": cur_w, "sketch": cur_blobs}))
+        yield pd.concat(frames, ignore_index=True)
 
-    def level_pass(cur: DataFrame, L: int) -> DataFrame:
-        rows = cur.select(
-            F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch"
-        )
-        return _grouped_merge(rows, ("level", "w_id"), merge_children,
-                              GLOBAL_SKETCH_SCHEMA, _merge_partitions(cur))
-
-    return rollup_scaffold(leaf, deepest, level_pass)
+    rooted = partials.repartition(n_parts, F.shiftright(F.col("w_id"), deepest))
+    return _persisted(rooted.mapInPandas(local_rollup, schema=GLOBAL_SKETCH_SCHEMA))
 
 
 def build_global_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
     """One HLL per (level, STREAM window): distinct tokens of any dyadic
     slice of the concatenated stream, document boundaries invisible."""
-    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+    from ..sketches.hll import merge_blob_groups, partial_blobs_by_slot
 
-    leaf_span, seed = cfg.leaf_span, cfg.seed + 7
+    seed = cfg.seed + 7
     return _build_global_window_sketch_index(
         corpus, cfg,
-        lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
+        lambda toks, slots, n_slots: partial_blobs_by_slot(toks, slots, n_slots, p, seed),
         lambda flat, counts: merge_blob_groups(flat, counts, p),
     )
 
@@ -613,10 +712,10 @@ def build_global_cms_window_index(corpus: DataFrame, cfg: HbiConfig,
     stream slice; totals exact (linear merge of exact partials)."""
     from ..sketches import cms as cms_kernels
 
-    leaf_span, seed = cfg.leaf_span, cfg.seed + 11
+    seed = cfg.seed + 11
     return _build_global_window_sketch_index(
         corpus, cfg,
-        lambda toks, phase: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed, phase=phase),
+        lambda toks, slots, n_slots: cms_kernels.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
         lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
     )
 
@@ -629,10 +728,10 @@ def build_global_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 20
     with the stream window's EXACT item count."""
     from ..sketches import kll as kll_kernels
 
-    leaf_span, seed = cfg.leaf_span, cfg.seed + 13
+    seed = cfg.seed + 13
     return _build_global_window_sketch_index(
         corpus, cfg,
-        lambda toks, phase: kll_kernels.leaf_window_blobs(toks, leaf_span, k, seed, phase=phase),
+        lambda toks, slots, n_slots: kll_kernels.partial_blobs_by_slot(toks, slots, n_slots, k, seed),
         lambda flat, counts: kll_kernels.merge_blob_groups(flat, counts),
     )
 
@@ -691,7 +790,7 @@ def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deep
 
 
 def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
-                                   n_so_far: int, leaf_blobs_phased, merge_groups) -> DataFrame:
+                                   n_so_far: int, slot_blobs, merge_groups) -> DataFrame:
     """Incremental STREAM append for a global window-sketch index: the new
     batch continues the stream at token position ``n_so_far`` (the EXACT
     token count already indexed — the GlobalStreamState contract of
@@ -714,7 +813,7 @@ def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: H
     # doc_offset and shifting it would double-shift the natural
     # "slice of an already-offset corpus" input and silently corrupt windows
     nd = with_global_offsets(new_docs.drop("doc_offset"), start=int(n_so_far))
-    new_partials = _global_leaf_partials(nd, cfg, leaf_blobs_phased)
+    new_partials = _global_leaf_partials(nd, cfg, slot_blobs)
     merge_children = _merge_children_fn(merge_groups)
 
     def merged(children_rows: DataFrame) -> DataFrame:
@@ -765,22 +864,22 @@ def append_global_cms_window_index(index: DataFrame, new_docs: DataFrame, cfg: H
                                    n_so_far: int, depth: int = 3, width: int = 256) -> DataFrame:
     from ..sketches import cms as cms_kernels
 
-    leaf_span, seed = cfg.leaf_span, cfg.seed + 11
+    seed = cfg.seed + 11
     return append_increment_global_window(
         index, new_docs, cfg, n_so_far,
-        lambda toks, phase: cms_kernels.leaf_window_blobs(toks, leaf_span, depth, width, seed, phase=phase),
+        lambda toks, slots, n_slots: cms_kernels.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
         lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
     )
 
 
 def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
                                    n_so_far: int, p: int = 12) -> DataFrame:
-    from ..sketches.hll import leaf_window_blobs, merge_blob_groups
+    from ..sketches.hll import merge_blob_groups, partial_blobs_by_slot
 
-    leaf_span, seed = cfg.leaf_span, cfg.seed + 7
+    seed = cfg.seed + 7
     return append_increment_global_window(
         index, new_docs, cfg, n_so_far,
-        lambda toks, phase: leaf_window_blobs(toks, leaf_span, p, seed, phase=phase),
+        lambda toks, slots, n_slots: partial_blobs_by_slot(toks, slots, n_slots, p, seed),
         lambda flat, counts: merge_blob_groups(flat, counts, p),
     )
 

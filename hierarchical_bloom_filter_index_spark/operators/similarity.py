@@ -81,6 +81,28 @@ def cosine_topk(
     )
 
 
+def _gaussian_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic (n_planes, dim) gaussian hyperplanes from a seeded
+    splitmix stream (Box-Muller) — pure function of (n_planes, dim, seed)."""
+    u = splitmix64(np.arange(2 * n_planes * dim, dtype=np.uint64) ^ np.uint64(seed * 0x9E3779B1))
+    uniform = (u.astype(np.float64) + 0.5) / 2.0**64
+    g = np.sqrt(-2.0 * np.log(uniform[: n_planes * dim])) * np.cos(
+        2.0 * np.pi * uniform[n_planes * dim :]
+    )
+    return g.reshape(n_planes, dim)
+
+
+def _buckets_from_bits(bits: np.ndarray, n_planes: int) -> np.ndarray:
+    """(n, n_tables * n_planes) sign bits -> (n, n_tables) int64 bucket ids
+    (bit i of table t = column t * n_planes + i)."""
+    n_tables = bits.shape[1] // n_planes
+    out = np.zeros((bits.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        for i in range(n_planes):
+            out[:, t] |= bits[:, t * n_planes + i].astype(np.int64) << i
+    return out
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -90,17 +112,30 @@ def hyperplane_signatures(
     dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH signature per vector as a long bucket id."""
+    return hyperplane_signatures_multi(
+        embeddings, n_planes, [seed], id_col=id_col, vec_col=vec_col, dim=dim
+    ).select(id_col, "bucket")
+
+
+def hyperplane_signatures_multi(
+    embeddings: DataFrame,
+    n_planes: int,
+    seeds: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table, bucket) for EVERY table in ONE mapInPandas pass: all
+    tables' planes stack into one (n_tables * n_planes, dim) broadcast and
+    one matmul per Arrow batch covers every table — vs one signature job
+    (each with its own dim-probe job) per table. Table t's buckets are
+    bit-identical to ``hyperplane_signatures(seed=seeds[t])``."""
     spark = embeddings.sparkSession
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    # deterministic gaussian planes from seeded splitmix stream
-    u = splitmix64(np.arange(2 * n_planes * dim, dtype=np.uint64) ^ np.uint64(seed * 0x9E3779B1))
-    uniform = (u.astype(np.float64) + 0.5) / 2.0**64
-    g = np.sqrt(-2.0 * np.log(uniform[: n_planes * dim])) * np.cos(
-        2.0 * np.pi * uniform[n_planes * dim :]
-    )
-    planes = g.reshape(n_planes, dim)
+    planes = np.concatenate([_gaussian_planes(n_planes, dim, s) for s in seeds])
     bp = spark.sparkContext.broadcast(planes)
+    n_tables = len(seeds)
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = bp.value
@@ -108,15 +143,42 @@ def hyperplane_signatures(
             if len(pdf) == 0:
                 continue
             mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bits = (mat @ P.T) > 0  # (n, n_planes)
-            bucket = np.zeros(len(mat), dtype=np.int64)
-            for i in range(P.shape[0]):
-                bucket |= bits[:, i].astype(np.int64) << i
-            out = pdf[[id_col]].copy()
-            out["bucket"] = bucket
-            yield out
+            buckets = _buckets_from_bits(mat @ P.T > 0, n_planes)  # (n, T)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(dtype=np.int64), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(mat)),
+                    "bucket": buckets.ravel(),
+                }
+            )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(sig, schema=f"{id_col} long, bucket long")
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sig, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+def _grouped_rerank_fn(bq, id_col: str, vec_col: str):
+    """Exact-cosine re-rank of (query_id, id, vec) candidate rows: one
+    normalization + one matmul PER QUERY GROUP per Arrow batch (not a
+    per-row Python comprehension). ``bq`` broadcasts {query_id: unit vec}."""
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            qarr = pdf["query_id"].to_numpy(dtype=np.int64)
+            scores = np.empty(len(pdf), dtype=np.float64)
+            for q in np.unique(qarr):
+                m = qarr == q
+                scores[m] = mat[m] @ qm[int(q)]
+            yield pd.DataFrame(
+                {"query_id": qarr, "vec_id": pdf[id_col].to_numpy(dtype=np.int64), "score": scores}
+            )
+
+    return rerank
 
 
 def train_ivf_centroids(
@@ -215,23 +277,12 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col)
     )
-    qmap = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in qrows}
+    qmap = {int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64) for r in qrows}
     for q in qmap:
         qmap[q] = qmap[q] / np.linalg.norm(qmap[q])
     bq = spark.sparkContext.broadcast(qmap)
     joined = cand.join(embeddings.select(id_col, vec_col), on=id_col, how="inner")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            scores = np.asarray([float(qm[q] @ m) for q, m in zip(pdf["query_id"], mat)])
-            yield pd.DataFrame({"query_id": pdf["query_id"], "vec_id": pdf[id_col], "score": scores})
-
-    scored = joined.mapInPandas(rerank, schema=_topk_schema())
+    scored = joined.mapInPandas(_grouped_rerank_fn(bq, id_col, vec_col), schema=_topk_schema())
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -254,17 +305,22 @@ def embedding_neardup_pairs(
 
     Recall < 1 is possible (LSH misses); candidates are exactly re-scored so
     there are no false positives. All-pairs work is bounded by bucket sizes.
+    All tables' buckets come from ONE signature pass (stacked planes, one
+    dim probe); the self-join keys on (table, bucket) so bucket ids never
+    collide across tables.
     """
-    cands = None
-    for t in range(n_tables):
-        sig = hyperplane_signatures(embeddings, n_planes, seed=7000 + t, id_col=id_col, vec_col=vec_col)
-        a, b = sig.alias("a"), sig.alias("b")
-        c = (
-            a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    sig = hyperplane_signatures_multi(
+        embeddings, n_planes, [7000 + t for t in range(n_tables)],
+        id_col=id_col, vec_col=vec_col,
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (
+        a.join(b, (F.col("a.table") == F.col("b.table"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
     vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     paired = (
         cands.join(vecs.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "va"), "id_a")
@@ -298,42 +354,47 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: union of ``n_tables`` hyperplane-LSH bucket
     probes, exact re-rank of the candidate union. Recall < 1 possible (missed
-    neighbors); tests measure it vs cosine_topk."""
-    cands = None
-    for t in range(n_tables):
-        sig = hyperplane_signatures(embeddings, n_planes, seed=1000 + t, id_col=id_col, vec_col=vec_col)
-        q = sig.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(
-            F.col(id_col).alias("query_id"), "bucket"
-        )
-        c = sig.join(q, on="bucket", how="inner").select("query_id", id_col)
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.filter(F.col("query_id") != F.col(id_col)).distinct()
+    neighbors); tests measure it vs cosine_topk.
 
-    # exact re-rank of candidates only (broadcast the query matrix again)
+    Plan shape: the query vectors are collected ONCE (small by contract) —
+    their buckets are computed driver-side with the same stacked planes and
+    broadcast, so the corpus signature frame is scanned exactly once
+    (one mapInPandas + one dim probe total, vs 2 jobs per table before);
+    the re-rank does one matmul per query group per batch."""
     spark = embeddings.sparkSession
     qrows = embeddings.filter(F.col(id_col).isin([int(x) for x in query_ids])).select(id_col, vec_col).collect()
-    qmap = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in qrows}
-    for qid in qmap:
-        qmap[qid] = qmap[qid] / np.linalg.norm(qmap[qid])
+    if not qrows:
+        return spark.createDataFrame(
+            [], _topk_schema() + ", rank int"
+        ).select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    dim = len(qrows[0][vec_col])
+    seeds = [1000 + t for t in range(n_tables)]
+    planes = np.concatenate([_gaussian_planes(n_planes, dim, s) for s in seeds])
+    qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    qbuckets = _buckets_from_bits(qmat @ planes.T > 0, n_planes)  # (nq, T)
+    qbucket_rows = [
+        (int(qids[i]), int(t), int(qbuckets[i, t]))
+        for i in range(len(qids)) for t in range(n_tables)
+    ]
+    qb = F.broadcast(
+        spark.createDataFrame(qbucket_rows, "query_id long, table int, bucket long")
+    )
+
+    sig = hyperplane_signatures_multi(
+        embeddings, n_planes, seeds, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cands = (
+        sig.join(qb, on=["table", "bucket"], how="inner")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+
+    qmap = {int(qids[i]): qmat[i] / np.linalg.norm(qmat[i]) for i in range(len(qids))}
     bq = spark.sparkContext.broadcast(qmap)
-
     joined = cands.join(embeddings.select(id_col, vec_col), on=id_col, how="inner")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            scores = np.asarray(
-                [float(qm[q] @ m) for q, m in zip(pdf["query_id"], mat)], dtype=np.float64
-            )
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "vec_id": pdf[id_col], "score": scores}
-            )
-
-    scored = joined.mapInPandas(rerank, schema=_topk_schema())
+    scored = joined.mapInPandas(_grouped_rerank_fn(bq, id_col, vec_col), schema=_topk_schema())
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

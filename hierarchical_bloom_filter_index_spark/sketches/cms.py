@@ -262,6 +262,26 @@ def leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int, s
     ]
 
 
+def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
+                          depth: int, width: int, seed: int) -> list[bytes]:
+    """Serialized CMSs for an ARBITRARY per-token slot assignment (cross-doc
+    generalization of ``leaf_window_blobs`` — see hll.partial_blobs_by_slot):
+    ``depth`` hash passes + ``depth`` bincounts cover every slot in the
+    batch at once. Blob i is byte-identical to a CMS updated with exactly
+    the tokens whose slot == i."""
+    keys = np.asarray(tokens, dtype=np.int64)
+    s = np.asarray(slots, dtype=np.int64)
+    tables = np.empty((n_slots, depth, width), dtype=np.int64)
+    for r in range(depth):
+        b = (hash64(keys, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+        tables[:, r, :] = np.bincount(s * width + b, minlength=n_slots * width).reshape(n_slots, width)
+    totals = np.bincount(s, minlength=n_slots)
+    return [
+        base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])], [tables[i].ravel()])
+        for i in range(n_slots)
+    ]
+
+
 def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int) -> np.ndarray:
     mats = np.empty((len(blobs), depth * width), dtype=np.int64)
     for i, b in enumerate(blobs):

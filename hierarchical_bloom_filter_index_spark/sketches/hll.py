@@ -118,6 +118,26 @@ def leaf_window_blobs(tokens: np.ndarray, window: int, p: int, seed: int,
     return [base.pack(_MAGIC, [p, seed], [regs[i * m : (i + 1) * m]]) for i in range(nw)]
 
 
+def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
+                          p: int, seed: int) -> list[bytes]:
+    """Serialized HLLs for an ARBITRARY per-token slot assignment: one hash
+    pass + one scatter-max covers every slot at once. This is the cross-doc
+    generalization of ``leaf_window_blobs`` — a whole Arrow batch of docs'
+    phase-aligned window partials builds in ONE kernel call (slot = running
+    partial index across the batch), instead of a per-doc Python loop.
+    Blob i is byte-identical to an HLL updated with exactly the tokens whose
+    slot == i, so per-doc and batched builds produce the same partials."""
+    m = 1 << p
+    regs = np.zeros(n_slots * m, dtype=np.uint8)
+    if len(tokens):
+        h = hash64(np.asarray(tokens, dtype=np.int64), seed)
+        idx = (h >> _U64(64 - p)).astype(np.int64)
+        low = h & ((_U64(1) << _U64(64 - p)) - _U64(1))
+        rho = ((64 - p) - bit_length_u64(low) + 1).astype(np.uint8)
+        np.maximum.at(regs, np.asarray(slots, dtype=np.int64) * m + idx, rho)
+    return [base.pack(_MAGIC, [p, seed], [regs[i * m : (i + 1) * m]]) for i in range(n_slots)]
+
+
 def estimate_blobs(blobs: list[bytes], p: int) -> np.ndarray:
     """Cardinality estimates for a batch of serialized HLLs in one
     vectorized pass — same math as ``HyperLogLog.estimate()`` (bias-corrected

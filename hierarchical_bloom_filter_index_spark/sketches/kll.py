@@ -195,6 +195,33 @@ def leaf_window_blobs(values: np.ndarray, window: int, k: int, seed: int,
     return out
 
 
+def partial_blobs_by_slot(values: np.ndarray, slots: np.ndarray, n_slots: int,
+                          k: int, seed: int) -> list[bytes]:
+    """Serialized KLLs for an ARBITRARY per-value slot assignment (cross-doc
+    generalization of ``leaf_window_blobs`` — see hll.partial_blobs_by_slot).
+    Blob i holds exactly the values whose slot == i, in their original
+    relative order (stable grouping), so partials match the per-doc path."""
+    vals = np.asarray(values, dtype=np.float64)
+    s = np.asarray(slots, dtype=np.int64)
+    order = np.argsort(s, kind="stable")
+    sv = vals[order]
+    counts = np.bincount(s, minlength=n_slots)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    out: list[bytes] = []
+    for i in range(n_slots):
+        wv = sv[bounds[i] : bounds[i + 1]]
+        if len(wv) <= k:
+            out.append(
+                base.pack(_MAGIC, [k, seed, len(wv), 0],
+                          [np.asarray([len(wv)], dtype=np.int64), wv])
+            )
+        else:
+            sk = KLL(k=k, seed=seed)
+            sk.update(wv)
+            out.append(sk.to_bytes())
+    return out
+
+
 def merge_blob_groups(blobs: list[bytes], counts: np.ndarray) -> list[bytes]:
     """Merge consecutive groups of serialized KLLs (group i = the next
     ``counts[i]`` blobs). Object-path merges over sketch rows only; the

@@ -89,8 +89,13 @@ def test_simhash_near_pairs(spark, docs):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     # exact duplicates have identical simhash => hamming 0: must be present
     assert ("dup-1", "dup-2") in got
+    # reported hamming must match the signatures bit-for-bit (the closest
+    # thing to an oracle simhash admits — the signature itself is not
+    # SQL-expressible, see COVERAGE.md)
+    sigs = {r["doc_id"]: int(r["simhash"]) for r in D.simhash_signatures(docs).collect()}
     for r in pairs:
         assert 0 <= r["hamming"] <= 3
+        assert r["hamming"] == bin((sigs[r["doc_a"]] ^ sigs[r["doc_b"]]) & ((1 << 64) - 1)).count("1")
 
 
 # --------------------------------------------------------------------------
@@ -116,6 +121,23 @@ def test_cosine_topk_matches_numpy(spark, emb):
         # scores are true cosine (rounded 6dp)
         for rank, vid, score in gq:
             assert abs(score - float(sims[ids == vid][0])) < 1e-5
+
+
+def test_multi_table_signatures_match_single(spark, emb):
+    """One-pass stacked-plane signatures must be bit-identical, per table,
+    to the single-table signature job they replace (n_tables separate jobs
+    + a dim probe each was the old plan shape)."""
+    from pyspark.sql import functions as F
+
+    seeds = [1000, 1001, 1002]
+    multi = S.hyperplane_signatures_multi(emb, 4, seeds).cache()
+    for t, seed in enumerate(seeds):
+        single = {r["vec_id"]: r["bucket"]
+                  for r in S.hyperplane_signatures(emb, 4, seed=seed).collect()}
+        mt = {r["vec_id"]: r["bucket"]
+              for r in multi.filter(F.col("table") == t).collect()}
+        assert mt == single and len(mt) > 0
+    multi.unpersist()
 
 
 def test_lsh_topk_recall(spark, emb):

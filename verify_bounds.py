@@ -163,6 +163,43 @@ def main() -> None:
         "pass": bool(totals_exact and n_under == 0 and n_exceed / max(n_checked, 1) <= 0.10),
     }
 
+    # KLL window rollup: EXACT item counts at every level (the oracle's
+    # check) and dyadic RANGE quantiles within the k=200 rank-error envelope
+    # — both through the real distributed build + O(log)-node range merges
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_kll_window_index,
+        kll_window_totals,
+        range_quantile_estimates,
+    )
+
+    kidx = build_kll_window_index(corp, wcfg, k=200)
+    ktot = kll_window_totals(kidx).groupBy("level").agg(F.sum("n_window").alias("s")).collect()
+    k_totals_exact = all(r["s"] == n_total for r in ktot)
+    rqs, qs = [(0, 4), (1, 9)], [0.25, 0.5, 0.75]
+    qests = {(r["doc_id"], r["a"], r["b"], r["q"]): r["est"]
+             for r in range_quantile_estimates(kidx, rqs, qs, deepest).collect()}
+    worst_rank = 0.0
+    k_checked = 0
+    for doc in corp.limit(50).collect():
+        toks = np.asarray(doc["tokens"], dtype=np.float64)
+        for a, b in rqs:
+            sl = np.sort(toks[a * span : b * span])
+            if len(sl) == 0:
+                continue
+            for q in qs:
+                v = qests[(doc["doc_id"], a, b, q)]
+                lo = np.searchsorted(sl, v, side="left") / len(sl)
+                hi = np.searchsorted(sl, v, side="right") / len(sl)
+                err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+                worst_rank = max(worst_rank, err)
+                k_checked += 1
+    kidx.unpersist()
+    out["kll_window_rollup"] = {
+        "levels_totals_exact": bool(k_totals_exact), "checked": k_checked,
+        "worst_range_rank_err": round(worst_rank, 6), "bound": 0.05,
+        "pass": bool(k_totals_exact and k_checked > 0 and worst_rank <= 0.05),
+    }
+
     # synthetic corpus (vocab 4096, skewed sources): a meaningful distinct
     # space for the cardinality/frequency sketches
     syn = C.generate_corpus(spark, sf=0.05, seed=42).cache()
