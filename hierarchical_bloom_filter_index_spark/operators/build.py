@@ -228,6 +228,15 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | No
     (corpus.stitch_stream_tail) — before n-gramming: every global n-gram
     (including boundary-crossing ones) is indexed exactly once, at its true
     global start. Striding is applied on GLOBAL positions."""
+    return merge_global_rows(_global_axis_partials(corpus, cfg, levels))
+
+
+def _global_axis_partials(corpus: DataFrame, cfg: HbiConfig,
+                          levels: list[int] | None = None) -> DataFrame:
+    """Raw per-partition PARTIAL rows of the global index (several rows per
+    (level, w_id) where a window straddles a partition/doc boundary) —
+    _build_global_axis merges them; build_index_rollup repartitions the leaf
+    partials by ROOT window and merges + rolls up locally instead."""
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
@@ -290,10 +299,7 @@ def _build_global_axis(corpus: DataFrame, cfg: HbiConfig, levels: list[int] | No
     spark_ctx = corpus.sparkSession.sparkContext
     n_parts = max(spark_ctx.defaultParallelism, corpus.rdd.getNumPartitions())
     balanced = corpus.select("doc_offset", "n_tok", "tokens").repartition(n_parts)
-    partial_df = balanced.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
-
-    # final merge: only windows straddling partition/doc boundaries have >1 partial
-    return merge_global_rows(partial_df)
+    return balanced.mapInPandas(partials, schema=GLOBAL_INDEX_SCHEMA)
 
 
 def merge_global_rows(rows: DataFrame) -> DataFrame:
@@ -345,87 +351,141 @@ def merge_global_rows(rows: DataFrame) -> DataFrame:
     return agg.mapInPandas(or_merge, schema=GLOBAL_INDEX_SCHEMA)
 
 
+def _or_rollup_frames(hi: np.ndarray, w: np.ndarray, words: np.ndarray, n: np.ndarray,
+                      deepest: int, emit) -> list[pd.DataFrame]:
+    """Shared local OR-rollup: given LEAF filters sorted by (hi, w) — ``hi``
+    is the grouping prefix (doc index on the doc axis, all-zeros on the
+    global axis) that halving must never cross — derive every coarser level
+    with one bitwise_or.reduceat per level. ``emit(L, hi, w, words,
+    n_items)`` renders a level's rows (axis-specific columns)."""
+    frames = [emit(deepest, hi, w, words, n)]
+    for L in range(deepest - 1, -1, -1):
+        w2 = w >> np.int64(1)
+        key = hi * np.int64(1 << 40) + w2
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        words = np.bitwise_or.reduceat(words, starts, axis=0)
+        n = np.add.reduceat(n, starts)
+        hi, w = hi[starts], w2[starts]
+        frames.append(emit(L, hi, w, words, n))
+    return frames
+
+
 def build_index_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
     """Single-pass hierarchical build: ONE data pass builds only the leaf
-    level; every coarser level is OR-rolled-up from its two children's sketch
-    rows (the dyadic hierarchy IS a rollup, SURVEY §2.7 /
+    level; every coarser level is OR-rolled-up from its two children
+    (the dyadic hierarchy IS a rollup, SURVEY §2.7 /
     tree/TreeLayout.java:21-35). Requires cfg.uniform_bloom: parents can only
     OR children when every level shares (m, k) (and the hash family, which
     all levels share already).
 
     Byte-equal to build_index under the same config (merge-law: a parent
     window's scratch filter inserts exactly the union of its children's key
-    instances). Each rollup pass touches only |windows at level L+1| sketch
-    rows — at 100 TB: one token scan + log-depth passes over an ever-halving
-    sketch table, instead of hashing every token once per level.
+    instances). Every parent lives in the same ROOT window as its children,
+    so the rollup is LOCAL: the doc axis derives a doc's whole tree inside
+    the leaf mapInPandas (zero shuffles); the global axis repartitions the
+    leaf partials by w_id >> deepest once and merges + rolls up partition-
+    locally (one shuffle — the staged path paid the partial merge plus one
+    exchange per level). At 100 TB: one token scan, one (or zero) sketch-row
+    shuffles, log-depth reduceat passes in memory.
 
-    The returned index is PERSISTED (see rollup_scaffold) — call
-    ``unpersist()`` when done with it.
+    The returned index is PERSISTED — call ``unpersist()`` when done.
     """
     if not cfg.uniform_bloom:
         raise ValueError("build_index_rollup requires uniform_bloom=True "
                          "(parent = OR(children) needs one shared (m, k))")
-    from .rollup import rollup_scaffold
+    from pyspark import StorageLevel
 
-    doc_axis = cfg.axis == "doc"
-    leaf = (
-        _build_doc_axis(corpus, cfg, levels=[cfg.deepest])
-        if doc_axis
-        else _build_global_axis(corpus, cfg, levels=[cfg.deepest])
-    )
-    schema = DOC_INDEX_SCHEMA if doc_axis else GLOBAL_INDEX_SCHEMA
-    # rollup_scaffold returns a PERSISTED index — the caller owns unpersist
-    return rollup_scaffold(
-        leaf, cfg.deepest, lambda cur, L: _rollup_pass(cur, doc_axis, L, schema)
-    )
+    out = (
+        _build_doc_axis_rollup(corpus, cfg)
+        if cfg.axis == "doc"
+        else _build_global_axis_rollup(corpus, cfg)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    return out
 
 
-def _rollup_pass(cur: DataFrame, doc_axis: bool, L: int, schema: str) -> DataFrame:
-    """One rollup step: parent(w) = OR of children {2w, 2w+1}.
+def _build_doc_axis_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    deepest = cfg.deepest
+    m, k = level_params(cfg)[deepest]
+    seed = level_seed(cfg, deepest)
+    shift = int(np.log2(cfg.span(deepest)))
+    mask = np.int64((1 << 40) - 1)
 
-    The grouping is a JVM hash aggregation (collect_list of the <=2 child
-    blobs + summed n_items) — map-side combinable, no Python per group; the
-    OR itself is ONE vectorized Arrow stage per batch (np.bitwise_or.reduceat
-    over the stacked child word matrix)."""
-    keys = (["doc_id"] if doc_axis else []) + ["w_id"]
-    grouped = (
-        cur.select(
-            *(["doc_id"] if doc_axis else []),
-            (F.col("w_id") / 2).cast("long").alias("w_id"),
-            "bloom",
-            "n_items",
-        )
-        .groupBy(*keys)
-        .agg(F.collect_list("bloom").alias("_children"), F.sum("n_items").alias("n_items"))
-    )
-
-    def orup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .probe import words_matrix
-
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            all_blobs: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, ch in enumerate(pdf["_children"]):
-                all_blobs.extend(bytes(b) for b in ch)
-                counts[i] = len(ch)
-            words, proto = words_matrix(all_blobs)
-            bounds = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            ored = np.bitwise_or.reduceat(words, bounds, axis=0)
-            blobs, bits = [], []
-            for i in range(len(pdf)):
-                bf = BloomFilter(proto.m, proto.k, proto.seed, ored[i], int(pdf["n_items"].iloc[i]))
-                blobs.append(bf.to_bytes())
-                bits.append(popcount_u64(ored[i]))
-            res = pdf[keys].copy()
-            res["level"] = L
-            res["bloom"] = blobs
-            res["n_items"] = pdf["n_items"].astype("int64")
-            res["bits_set"] = bits
-            yield res[([c for c in ("doc_id",) if doc_axis] + ["level", "w_id", "bloom", "n_items", "bits_set"])]
+            doc_ids = pdf["doc_id"].to_numpy()
+            doc_idx, pos, keys = _batch_keys(pdf["tokens"], cfg)
+            if len(keys) == 0:
+                continue
+            w = (pos >> np.uint64(shift)).astype(np.int64)
+            composite = doc_idx * (1 << 40) + w  # doc-local windows: w < 2^40
+            uniq, gids = _monotone_groups(composite)
+            words, n_items = _build_level_filters(gids, len(uniq), keys, m, k, seed)
 
-    return grouped.mapInPandas(orup, schema=schema)
+            def emit(L, hi, ww, wmat, n):
+                return pd.DataFrame({
+                    "doc_id": doc_ids[hi],
+                    "level": L,
+                    "w_id": ww,
+                    "bloom": [BloomFilter(m, k, seed, wmat[g], int(n[g])).to_bytes()
+                              for g in range(len(ww))],
+                    "n_items": n.astype("int64"),
+                    "bits_set": [popcount_u64(wmat[g]) for g in range(len(ww))],
+                })
+
+            frames = _or_rollup_frames(
+                (uniq >> np.int64(40)).astype(np.int64), uniq & mask,
+                words, n_items, deepest, emit,
+            )
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select("doc_id", "tokens").mapInPandas(build, schema=DOC_INDEX_SCHEMA)
+
+
+def _build_global_axis_rollup(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    from .probe import words_matrix
+    from .rollup import _merge_partitions
+
+    deepest = cfg.deepest
+
+    partials = _global_axis_partials(corpus, cfg, levels=[deepest])
+    n_parts = _merge_partitions(partials)
+    rooted = partials.repartition(n_parts, F.shiftright(F.col("w_id"), deepest))
+
+    def local_rollup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        w = pdf["w_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(w, kind="stable")
+        blobs = [bytes(pdf["bloom"].iat[i]) for i in order]
+        n_in = pdf["n_items"].to_numpy(dtype=np.int64)[order]
+        w = w[order]
+        words, proto = words_matrix(blobs)
+        # finish the leaf: OR the (rare) straddling partials per w_id
+        starts = np.flatnonzero(np.concatenate(([True], w[1:] != w[:-1])))
+        cur_words = np.bitwise_or.reduceat(words, starts, axis=0)
+        cur_n = np.add.reduceat(n_in, starts)
+        cur_w = w[starts]
+
+        def emit(L, _hi, ww, wmat, n):
+            return pd.DataFrame({
+                "level": L,
+                "w_id": ww,
+                "bloom": [BloomFilter(proto.m, proto.k, proto.seed, wmat[g], int(n[g])).to_bytes()
+                          for g in range(len(ww))],
+                "n_items": n.astype("int64"),
+                "bits_set": [popcount_u64(wmat[g]) for g in range(len(ww))],
+            })
+
+        hi0 = np.zeros(len(cur_w), dtype=np.int64)
+        yield pd.concat(_or_rollup_frames(hi0, cur_w, cur_words, cur_n, deepest, emit),
+                        ignore_index=True)
+
+    return rooted.mapInPandas(local_rollup, schema=GLOBAL_INDEX_SCHEMA)
 
 
 def index_stats(index: DataFrame, cfg: HbiConfig) -> pd.DataFrame:
