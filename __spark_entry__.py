@@ -95,6 +95,61 @@ def _pat_sql(pattern: list[int]) -> str:
     return "[" + ", ".join(str(int(t)) for t in pattern) + "]"
 
 
+# --- 64-bit wrap-around hash in ANSI SQL ------------------------------------
+# The sampler oracles (bottomk_tokens, hops_representatives) need the EXACT
+# sketch priority hash64(token, seed) = splitmix64(token ^ s) in DuckDB.
+# BIGINT arithmetic is overflow-strict, so the chain runs in HUGEINT with
+# explicit mod-2^64 folds; xor happens on the two's-complement BIGINT view
+# (xor is bit-pattern only, signedness irrelevant); the wrapping 64x64
+# multiply splits the constant into 32-bit halves so every intermediate
+# stays under 2^97 << HUGEINT's 2^127 ceiling.
+_P64 = 1 << 64
+
+
+def _sql_mul64(col: str, m: int) -> str:
+    hi, lo = m >> 32, m & 0xFFFFFFFF
+    return (f"((({col}) * {lo} + ((({col}) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_P64})")
+
+
+def _sql_xsr(col: str, sh: int) -> str:
+    """col ^ (col >> sh) for a HUGEINT col in [0, 2^64)."""
+    a = (f"CAST(({col}) - CASE WHEN ({col}) >= {1 << 63} THEN {_P64} ELSE 0 END"
+         f" AS BIGINT)")
+    b = f"CAST(({col}) // {1 << sh} AS BIGINT)"  # sh >= 1: result < 2^63
+    x = f"xor({a}, {b})"
+    return f"(CAST({x} AS HUGEINT) + CASE WHEN {x} < 0 THEN {_P64} ELSE 0 END)"
+
+
+def _seed_mix_const(seed: int) -> int:
+    """The per-seed constant s of sketches.hashing.hash64 (splitmix64 of the
+    mixed seed) — computed once in Python, inlined as a literal."""
+    import numpy as _np
+
+    from hierarchical_bloom_filter_index_spark.sketches.hashing import splitmix64
+
+    mixed = ((seed & 0xFFFFFFFFFFFFFFFF) * 0xD6E8FEB86659FD93
+             + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return int(splitmix64(_np.asarray([mixed], dtype=_np.uint64))[0])
+
+
+def _splitmix_ctes(seed: int) -> str:
+    """CTE chain: distinct corpus tokens -> column ``_h`` = hash64(tok, seed)
+    (bit-exact vs the numpy kernel — prototype-verified). Expects CORPUS_CTE
+    + POS_CTE upstream."""
+    s = _seed_mix_const(seed)
+    s_signed = s - _P64 if s >= (1 << 63) else s
+    g, m1, m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    xor_in = f"xor(CAST(tok AS BIGINT), CAST({s_signed} AS BIGINT))"
+    return f"""toks AS (SELECT DISTINCT CAST(tokens[i] AS BIGINT) AS tok FROM pos),
+keyed AS (SELECT tok, CAST({xor_in} AS HUGEINT)
+          + CASE WHEN {xor_in} < 0 THEN {_P64} ELSE 0 END AS h FROM toks),
+sm0 AS (SELECT tok, (h + {g}) % {_P64} AS _h0 FROM keyed),
+sm1 AS (SELECT tok, {_sql_mul64(_sql_xsr('_h0', 30), m1)} AS _h1 FROM sm0),
+sm2 AS (SELECT tok, {_sql_mul64(_sql_xsr('_h1', 27), m2)} AS _h2 FROM sm1),
+sm3 AS (SELECT tok, {_sql_xsr('_h2', 31)} AS _h FROM sm2)"""
+
+
 # DuckDB 1.0 can't lateral-join the generate_series TABLE function on a
 # column, but the scalar list form unnest(generate_series(1, col)) works.
 POS_CTE = """pos AS (
@@ -841,14 +896,21 @@ def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOTTOMK_K = 16  # < the corpus's distinct-token count, so hash order DECIDES
+
+
 def q_bottomk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic bottom-k distinct-token sample (hash order) — rows-only
-    check; determinism itself is the contract (same seed => same sample)."""
+    """Deterministic bottom-k distinct-token sample: the k distinct tokens
+    with the smallest splitmix64(token ^ seed-mix) priority. The priority is
+    a pure integer function, so the sample is fully ORACLE-CHECKABLE — the
+    DuckDB twin re-implements the 64-bit wrap-around hash with HUGEINT
+    mod-2^64 arithmetic (see _splitmix_ctes) and takes the same bottom k."""
     from hierarchical_bloom_filter_index_spark.sketches import BottomKSampler
 
     bk = collect_sketch(
         sketch_aggregate(
-            _corpus(spark, sf_dir), "tokens", lambda: BottomKSampler(k=32, seed=CFG.seed),
+            _corpus(spark, sf_dir), "tokens",
+            lambda: BottomKSampler(k=BOTTOMK_K, seed=CFG.seed),
             values_are_arrays=True,
         )
     )
@@ -856,6 +918,10 @@ def q_bottomk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hops_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPS bucket representatives (estimators/HOPS.java role): the
+    min-priority distinct token of each of the 2^b hash buckets. Like
+    bottomk_tokens, fully ORACLE-CHECKABLE — bucket and priority are pure
+    integer functions of the token, recomputed bit-exactly in SQL."""
     from hierarchical_bloom_filter_index_spark.sketches import HopsSampler
 
     h = collect_sketch(
@@ -1487,6 +1553,20 @@ FROM events GROUP BY 1, 2""",
        CAST(SUM(length(text)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1""",
         "winnowing_fingerprints": _winnowing_oracle(8, 4),
+        # sampler oracles: the priority hash is re-implemented bit-exactly in
+        # SQL (_splitmix_ctes) — bottom-k = the k distinct tokens with the
+        # smallest priority; HOPS = the min-priority token of each of the 2^b
+        # buckets (bucket = top b bits, priority = low 64-b bits)
+        "bottomk_tokens": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed)}
+SELECT CAST(tok AS BIGINT) AS token
+FROM (SELECT tok FROM sm3 ORDER BY _h LIMIT {BOTTOMK_K})""",
+        "hops_representatives": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed)},
+bk AS (SELECT tok, _h // {1 << 58} AS bucket, _h % {1 << 58} AS prio FROM sm3)
+SELECT CAST(tok AS BIGINT) AS token
+FROM (SELECT tok, row_number() OVER (PARTITION BY bucket ORDER BY prio) AS rn FROM bk)
+WHERE rn = 1""",
         # the incrementally-appended global index is byte-equal to a scratch
         # build, so its geometry is the closed form over the WHOLE stream:
         # every global window holds at least one token key (ngram=1)
