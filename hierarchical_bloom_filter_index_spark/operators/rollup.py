@@ -133,6 +133,13 @@ def _build_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
     repartition+groupBy exchanges for merges that were local all along);
     parents are still MERGED from children — tokens are scanned once.
     The returned index is persisted; the CALLER owns unpersist()."""
+    return _persisted(_window_sketch_plan(corpus, cfg, leaf_blobs, merge_groups))
+
+
+def _window_sketch_plan(corpus: DataFrame, cfg: HbiConfig,
+                        leaf_blobs, merge_groups) -> DataFrame:
+    """The lazy doc-axis build plan (exposed separately so plan-shape tests
+    can assert it contains ZERO Exchange before materialization)."""
 
     deepest = cfg.deepest
 
@@ -173,9 +180,7 @@ def _build_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
                                             "w_id": cur_w, "sketch": cur_blobs}))
             yield pd.concat(frames, ignore_index=True)
 
-    return _persisted(
-        corpus.select("doc_id", "tokens").mapInPandas(build_all_levels, schema=HLL_INDEX_SCHEMA)
-    )
+    return corpus.select("doc_id", "tokens").mapInPandas(build_all_levels, schema=HLL_INDEX_SCHEMA)
 
 
 def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
@@ -661,6 +666,14 @@ def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
     accumulated before rolling up (a root's rows must not straddle an Arrow
     batch split); partition bytes stay bounded by the data-sized partition
     count. Same persistence contract (caller unpersists)."""
+    return _persisted(_global_window_sketch_plan(corpus, cfg, slot_blobs, merge_groups))
+
+
+def _global_window_sketch_plan(corpus: DataFrame, cfg: HbiConfig,
+                               slot_blobs, merge_groups) -> DataFrame:
+    """The lazy global-axis build plan (exposed for plan-shape tests: it
+    must contain exactly TWO Exchanges — the token rebalance and the
+    root-window repartition of the leaf partials)."""
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
@@ -690,7 +703,7 @@ def _build_global_window_sketch_index(corpus: DataFrame, cfg: HbiConfig,
         yield pd.concat(frames, ignore_index=True)
 
     rooted = partials.repartition(n_parts, F.shiftright(F.col("w_id"), deepest))
-    return _persisted(rooted.mapInPandas(local_rollup, schema=GLOBAL_SKETCH_SCHEMA))
+    return rooted.mapInPandas(local_rollup, schema=GLOBAL_SKETCH_SCHEMA)
 
 
 def build_global_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:

@@ -198,3 +198,56 @@ def test_grouped_merge_single_exchange(spark):
     n_exchanges = len([l for l in plan.splitlines() if l.lstrip().startswith("+- Exchange")])
     assert n_exchanges == 1, f"expected 1 Exchange (the keyed repartition), got {n_exchanges}:\n{plan}"
     assert merged.count() == 64
+
+
+def test_window_sketch_build_plan_shape(spark):
+    """The local-rollup builds must keep their shuffle counts: the doc-axis
+    plan has ZERO Exchanges (a doc's whole dyadic tree is computed inside
+    the leaf mapInPandas) and the global plan exactly TWO (the token
+    rebalance + the root-window repartition of the leaf partials). A third
+    exchange would mean the level merges regressed to staged shuffles."""
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.config import HbiConfig
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        _global_window_sketch_plan,
+        _window_sketch_plan,
+    )
+    from hierarchical_bloom_filter_index_spark.sketches import cms as cms_kernels
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=12)
+    corp = C.generate_corpus(spark, sf=0.001, seed=12).cache()
+    seed = cfg.seed + 11
+
+    doc_plan_df = _window_sketch_plan(
+        corp, cfg,
+        lambda toks: cms_kernels.leaf_window_blobs(toks, cfg.leaf_span, 3, 64, seed),
+        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, 3, 64, seed),
+    )
+    plan = _plan(doc_plan_df)
+    plan_own = plan.split("InMemoryTableScan")[0]
+    n_ex = len([l for l in plan_own.splitlines() if l.lstrip().startswith("+- Exchange")])
+    assert n_ex == 0, f"doc-axis build: expected 0 Exchanges, got {n_ex}:\n{plan}"
+    assert doc_plan_df.count() > 0
+
+    # cache the offset corpus (as every real caller does): its own prefix-sum
+    # exchange then amortizes across builds and the BUILD plan reads a table
+    # scan — the two exchanges counted here are the build's own
+    gcorp = with_global_offsets(corp).cache()
+    gcorp.count()
+    gplan_df = _global_window_sketch_plan(
+        gcorp, cfg,
+        lambda toks, slots, n_slots: cms_kernels.partial_blobs_by_slot(
+            toks, slots, n_slots, 3, 64, seed),
+        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, 3, 64, seed),
+    )
+    gplan = _plan(gplan_df)
+    # count only the BUILD's own exchanges: the cached corpus's
+    # InMemoryRelation prints its (already-materialized) build plan below
+    # the table scan, and those exchanges execute zero times here
+    own = gplan.split("InMemoryTableScan")[0]
+    n_gex = len([l for l in own.splitlines() if l.lstrip().startswith("+- Exchange")])
+    assert n_gex == 2, f"global build: expected 2 Exchanges, got {n_gex}:\n{gplan}"
+    assert gplan_df.count() > 0
+    gcorp.unpersist()
+    corp.unpersist()
