@@ -195,6 +195,27 @@ class IntCountSketch(CountSketch):
             self.table[r] = self._saturate(self.table[r].astype(np.int64) + delta)
         self.total += int(c.sum())
 
+    def update_strict(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """PER-ELEMENT saturating update — exact Java-reference semantics
+        (IntCountSketch.java:233-246: every add clamps immediately, so a
+        mixed-sign sequence that transiently crosses the int32 rails pins
+        cells the batched ``update`` would let cancel back). Sequential by
+        definition — the parity/testing path, not the hot path: element
+        order inside a Spark partition is not meaningful, which is why the
+        batched post-aggregation clamp is the default."""
+        if len(keys) == 0:
+            return
+        keys = np.asarray(keys)
+        buckets = _row_buckets(keys, self.seed, self.depth, self.width)
+        c = np.ones(len(keys), dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        signs = np.stack([self._signs(keys, r) for r in range(self.depth)])
+        lo, hi = int(_I32_MIN), int(_I32_MAX)
+        for i in range(len(keys)):
+            for r in range(self.depth):
+                v = int(self.table[r, buckets[r, i]]) + int(c[i]) * int(signs[r, i])
+                self.table[r, buckets[r, i]] = min(max(v, lo), hi)
+            self.total += int(c[i])
+
     def merge(self, other: "IntCountSketch") -> "IntCountSketch":
         base.check_same_type(self, other)
         base.check_compatible(

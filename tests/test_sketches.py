@@ -356,3 +356,40 @@ def test_int_count_sketch_shuffled_merge_order():
     order = rng.permutation(len(parts))
     b = merge_blobs([parts[i] for i in order])
     assert a == b
+
+
+def test_int_countsketch_strict_per_element_saturation():
+    """update_strict = the Java reference's per-element clamp semantics
+    (IntCountSketch.java:233-246): identical to the batched update away from
+    the rails; at the rails a mixed-sign sequence that transiently crosses
+    int32 PINS under strict (Java) semantics while the batched
+    post-aggregation clamp lets it cancel — the documented deviation, now
+    testable in both directions."""
+    from hierarchical_bloom_filter_index_spark.sketches import IntCountSketch
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 300, 5_000).astype(np.int64)
+    counts = rng.integers(-50, 50, 5_000).astype(np.int64)
+    a = IntCountSketch(3, 1 << 10, seed=7)
+    b = IntCountSketch(3, 1 << 10, seed=7)
+    a.update(keys, counts)
+    b.update_strict(keys, counts)
+    assert np.array_equal(a.table, b.table)  # no rail touched: identical
+    assert a.total == b.total
+
+    # rails: +big then -big on one cell — strict pins at INT32_MAX (the
+    # second add starts FROM the clamped value), batched cancels to ~0
+    one = np.asarray([0], dtype=np.int64)
+    up, down = np.asarray([2**33]), np.asarray([-(2**33)])
+    sat_strict = IntCountSketch(1, 8, seed=1)
+    sat_strict.update_strict(one, up)
+    sat_strict.update_strict(one, down)
+    sat_batch = IntCountSketch(1, 8, seed=1)
+    sat_batch.update(np.asarray([0, 0], dtype=np.int64),
+                     np.asarray([2**33, -(2**33)]))
+    # strict: first add pins at one rail, second add clamps at the OTHER
+    # (it starts from the clamped value and overshoots) — |cell| = 2^31.
+    # NB cast before abs: np.abs(INT32_MIN) wraps on int32 (the same trap
+    # the sketch itself guards against)
+    assert int(np.abs(sat_strict.table.astype(np.int64)).max()) == 2**31
+    assert int(np.abs(sat_batch.table.astype(np.int64)).max()) == 0
