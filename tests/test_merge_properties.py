@@ -3,6 +3,7 @@ arbitrary partitionings, distributed-style merge == whole-stream state for
 the exactly-mergeable sketch families."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from hierarchical_bloom_filter_index_spark.sketches import (
@@ -131,3 +132,52 @@ def test_phased_window_partials_merge_to_stream_windows(stream, cut_points, span
         ref = hll.HyperLogLog(p=P, seed=S)
         ref.update(arr[w * span : (w + 1) * span])
         assert merged == ref.to_bytes()
+
+
+@pytest.mark.parametrize("kind", ["hll", "cms", "kll"])
+def test_slot_kernels_equal_phased_per_doc_path(kind):
+    """partial_blobs_by_slot (the batch-vectorized global leaf kernel) must
+    produce byte-identical partials to the per-doc phased kernel it
+    replaced, for every doc layout: the slot construction is exactly
+    'concatenate each doc's phased windows'."""
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.sketches import cms, hll, kll
+
+    rng = np.random.default_rng(21)
+    span = 16
+    docs = [rng.integers(0, 1 << 20, n).astype(np.int64)
+            for n in (1, 5, 16, 33, 100, 240)]
+    offs = np.cumsum([0] + [len(d) for d in docs[:-1]])
+
+    def phased(toks, phase):
+        if kind == "hll":
+            return hll.leaf_window_blobs(toks, span, 10, 3, phase=phase)
+        if kind == "cms":
+            return cms.leaf_window_blobs(toks, span, 3, 32, 3, phase=phase)
+        return kll.leaf_window_blobs(toks, span, 64, 3, phase=phase)
+
+    # expected: per-doc phased kernels, concatenated
+    want = []
+    for off, toks in zip(offs, docs):
+        want.extend(phased(toks, int(off) % span))
+
+    # batch slot construction (mirrors rollup._global_leaf_partials)
+    lens = np.asarray([len(d) for d in docs], dtype=np.int64)
+    cat = np.concatenate(docs)
+    doc_idx = np.repeat(np.arange(len(docs)), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(cat.size, dtype=np.int64) - starts[doc_idx]
+    w = (offs[doc_idx] + pos) // span
+    first_w = offs // span
+    npart = (offs % span + lens + span - 1) // span
+    base_slot = np.cumsum(npart) - npart
+    slots = base_slot[doc_idx] + (w - first_w[doc_idx])
+    n_slots = int(npart.sum())
+    if kind == "hll":
+        got = hll.partial_blobs_by_slot(cat, slots, n_slots, 10, 3)
+    elif kind == "cms":
+        got = cms.partial_blobs_by_slot(cat, slots, n_slots, 3, 32, 3)
+    else:
+        got = kll.partial_blobs_by_slot(cat, slots, n_slots, 64, 3)
+    assert len(got) == len(want) and got == want
