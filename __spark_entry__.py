@@ -512,10 +512,12 @@ def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs_spark(spark: SparkSession, sf_dir: str, thr_x1e6: int) -> DataFrame:
+def _jaccard_pairs_spark(spark: SparkSession, sf_dir: str, thr_x1e6: int,
+                         docs: DataFrame | None = None) -> DataFrame:
     """Exact 5-gram Jaccard pairs (integer-scaled) — shared by the oracle
     twin query and the LSH containment check."""
-    docs = _docs(spark, sf_dir)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -550,6 +552,14 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_spark(spark, sf_dir, 400000)
 
 
+# the LSH verifier's shingles are BYTE windows of the UTF-8 text with
+# space-padding for short docs (dedup.char_shingle_hashes); the SQL exact
+# side uses CHARACTER substr windows over docs >= 5 chars. The two
+# definitions coincide exactly on ASCII docs of length >= 5 — the
+# containment equality is asserted on that sub-corpus (chars == bytes)
+_CONTAINMENT_DOMAIN = "length(text) >= 5 AND length(text) = octet_length(text)"
+
+
 def q_minhash_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment-as-equality hard check for the MinHash-LSH near-dup path:
     LSH pairs UNION (exact >= 0.8 pairs the LSH missed) must EQUAL the exact
@@ -558,9 +568,13 @@ def q_minhash_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality gate proves soundness. Recall (the missed pairs) is the part
     LSH legitimately trades away and stays a pytest bound
     (tests/test_pipeline_ops.py::test_minhash_lsh_recall); a rows-equality
-    oracle cannot check it without defeating the point of LSH."""
-    lsh = q_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    exact = _jaccard_pairs_spark(spark, sf_dir, 800000).select("doc_a", "doc_b")
+    oracle cannot check it without defeating the point of LSH.
+    Both sides run on the _CONTAINMENT_DOMAIN sub-corpus, where the byte-
+    and char-shingle definitions coincide (the LSH operator itself is
+    domain-unrestricted; minhash_lsh_neardup covers it as shipped)."""
+    docs = _docs(spark, sf_dir).filter(_CONTAINMENT_DOMAIN)
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.8, n_perm=128, bands=16).select("doc_a", "doc_b")
+    exact = _jaccard_pairs_spark(spark, sf_dir, 800000, docs=docs).select("doc_a", "doc_b")
     missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
     return lsh.unionByName(missed)
 
@@ -1493,12 +1507,15 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
         # the LSH containment check compares against the EXACT >= 0.8 pair
-        # set: equality holds iff the LSH emitted no false-positive pair
+        # set: equality holds iff the LSH emitted no false-positive pair.
+        # Domain-restricted to ASCII docs >= 5 chars (strlen = byte length
+        # in DuckDB), where byte- and char-shingles coincide
         "minhash_lsh_containment": """WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
   FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
                unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
-        FROM documents)
+        FROM documents
+        WHERE length(text) >= 5 AND strlen(text) = length(text))
 ), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

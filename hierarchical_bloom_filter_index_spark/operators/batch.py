@@ -316,8 +316,11 @@ def global_window_membership_batch(
     global_window_membership; the reference's axis IS the stream,
     PMIndex/HBI.java report/exists). Each sketch blob is probed once against
     every token; candidate docs are found via (doc_offset, w_id) pairs only
-    (token arrays join back by doc_offset); one occurrence scan per doc
-    verifies all its candidate tokens. Exact DISTINCT (token, w_id) rows,
+    (token arrays join back by doc_offset); verification runs one
+    occurrence scan per surviving (doc, token) pair — the doc-axis batch's
+    shape, so a doc's token array crosses the Arrow boundary once per
+    candidate token, with Bloom pruning keeping that fan-out to tokens
+    actually plausible in the doc. Exact DISTINCT (token, w_id) rows,
     equal to a union of per-token global_window_membership calls."""
     if cfg.axis != "global":
         raise ValueError("global_window_membership_batch needs cfg.axis='global'")

@@ -264,21 +264,30 @@ def window_freq_estimates(cms_index: DataFrame, level: int, probe_tokens) -> Dat
     )
 
 
+def _totals_reader(index: DataFrame, key_cols: tuple, totals_fn, schema: str) -> DataFrame:
+    """Shared shape of every exact-totals readout (CMS window totals, KLL
+    item counts, doc or global keys): copy the key columns, decode each
+    blob's exact count in one vectorized call per batch."""
+
+    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[list(key_cols)].copy()
+            out["n_window"] = totals_fn([bytes(b) for b in pdf["sketch"]])
+            yield out
+
+    return index.mapInPandas(tot, schema=schema)
+
+
 def window_token_totals(cms_index: DataFrame) -> DataFrame:
     """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the CMS
     total is the window's token count, no estimation), so the whole rollup
     geometry + coverage is SQL-oracle-checkable."""
     from ..sketches.cms import window_totals
 
-    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["doc_id", "level", "w_id"]].copy()
-            out["n_window"] = window_totals([bytes(b) for b in pdf["sketch"]])
-            yield out
-
-    return cms_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")
+    return _totals_reader(cms_index, ("doc_id", "level", "w_id"), window_totals,
+                          "doc_id string, level int, w_id long, n_window long")
 
 
 def build_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> DataFrame:
@@ -306,15 +315,8 @@ def kll_window_totals(kll_index: DataFrame) -> DataFrame:
     coverage is SQL-oracle-checkable, mirroring window_token_totals."""
     from ..sketches.kll import blob_totals
 
-    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["doc_id", "level", "w_id"]].copy()
-            out["n_window"] = blob_totals([bytes(b) for b in pdf["sketch"]])
-            yield out
-
-    return kll_index.mapInPandas(tot, schema="doc_id string, level int, w_id long, n_window long")
+    return _totals_reader(kll_index, ("doc_id", "level", "w_id"), blob_totals,
+                          "doc_id string, level int, w_id long, n_window long")
 
 
 def window_quantile_estimates(kll_index: DataFrame, level: int, qs) -> DataFrame:
@@ -763,15 +765,8 @@ def global_kll_window_totals(kll_index: DataFrame) -> DataFrame:
     global KLL index (merged partials add their exact counts)."""
     from ..sketches.kll import blob_totals
 
-    def tot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["level", "w_id"]].copy()
-            out["n_window"] = blob_totals([bytes(b) for b in pdf["sketch"]])
-            yield out
-
-    return kll_index.mapInPandas(tot, schema="level int, w_id long, n_window long")
+    return _totals_reader(kll_index, ("level", "w_id"), blob_totals,
+                          "level int, w_id long, n_window long")
 
 
 def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:

@@ -119,7 +119,6 @@ class NgramModel:
         ``max_rows_per_n`` most frequent grams per n so the driver state is
         bounded regardless of corpus size (missing grams back off)."""
         counts: dict[tuple[int, ...], int] = {}
-        total = 0
         for n in range(1, order + 2):
             grams = corpus.filter(F.size("tokens") >= n).select(
                 F.explode(
