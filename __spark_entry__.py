@@ -647,6 +647,44 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly computed THROUGH Structured Streaming: file-source
+    stream -> watermarked tumbling event-time windows
+    (streaming/windows.windowed_event_aggregate) -> complete-mode sink.
+    Tumbling 1-hour windows are epoch-aligned, so window_start equals the
+    batch date_trunc('hour') closed form — the same oracle as events_hourly
+    (late-data drop semantics are covered by
+    tests/test_streaming_windows.py; a single availableNow drain emits
+    every window in complete mode)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.streaming.windows import (
+        windowed_event_aggregate,
+    )
+
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    workdir = tempfile.mkdtemp(prefix="hbi_win_q_")
+    inp, chk = f"{workdir}/in", f"{workdir}/chk"
+    ev.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    agg = windowed_event_aggregate(stream, watermark="1 hour")
+    sink = f"events_win_{uuid.uuid4().hex[:8]}"  # memory sink: complete mode
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", chk).outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select("event_type",
+                F.col("window_start").cast("timestamp_ntz").alias("hour"),
+                "n", "vmin", "vmax")
+    )
+
+
 def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.with_global_offsets(_corpus(spark, sf_dir)).select("doc_id", "doc_offset")
 
@@ -1353,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "streaming_state_by_source": q_streaming_state_by_source,
     }
 
@@ -1564,6 +1603,11 @@ GROUP BY 1""",
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2""",
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+FROM events GROUP BY 1, 2""",
+        # the streaming twin lands on the same closed form: tumbling 1-hour
+        # event-time windows are epoch-aligned => window_start = hour trunc
+        "events_hourly_stream": """SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY 1, 2""",
         "streaming_state_by_source": """SELECT source, COUNT(*) AS n_docs,

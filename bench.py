@@ -105,6 +105,8 @@ def main() -> None:
         "hbi_global_pattern_batch",
         "global_range_totals",
         "events_hourly",
+        # same aggregate THROUGH Structured Streaming (watermarked windows)
+        "events_hourly_stream",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +
