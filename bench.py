@@ -97,6 +97,7 @@ def main() -> None:
         # quantiles via the KLL rollup — its build is paid on first rep)
         "range_window_totals",
         "range_quantiles",
+        "range_distinct",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state
@@ -104,6 +105,7 @@ def main() -> None:
         # several patterns through ONE shared global cascade
         "hbi_global_pattern_batch",
         "global_range_totals",
+        "global_range_quantiles",
         "events_hourly",
         # same aggregate THROUGH Structured Streaming (watermarked windows)
         "events_hourly_stream",
