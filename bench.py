@@ -18,10 +18,49 @@ import sys
 import time
 
 
+def _contention_snapshot() -> dict:
+    """Record box contention BEFORE timing anything.
+
+    CLAUDE.md documents the failure mode: orphaned JVMs from killed jobs
+    polluted two round-3 timings 3-10x. The driver runs this file
+    unattended, so the guard must live here — a polluted run has to be
+    distinguishable from a regression in the recorded JSON itself.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True, timeout=5
+        ).stdout.strip()
+        jvms = int(out) if out else 0
+    except Exception:
+        jvms = -1
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    ncpu = os.cpu_count() or 1
+    contended = jvms > 0 or load1 > 0.5 * ncpu
+    snap = {
+        "preexisting_jvms": jvms,
+        "load1": round(load1, 2),
+        "cpu_count": ncpu,
+        "contended": contended,
+    }
+    if contended:
+        print(
+            f"# WARNING: contended box before bench start: {snap} — "
+            "timings below may be polluted (not a code regression)",
+            file=sys.stderr,
+        )
+    return snap
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    contention = _contention_snapshot()
 
     from pyspark.sql import SparkSession
 
@@ -139,6 +178,7 @@ def main() -> None:
                 "tokens_indexed": int(n_tokens),
                 "index_build_tokens_per_sec": round(tokens_per_sec),
                 "cpus": cpus,
+                "contention": contention,
             }
         )
     )

@@ -386,7 +386,43 @@ def _range_nodes_df(spark, ranges, deepest: int, key_cols):
     return spark.createDataFrame(rows, schema)
 
 
-def _joined_range_groups(index: DataFrame, ranges, deepest: int, key_cols) -> DataFrame:
+def _key_schema(key_cols) -> str:
+    return ", ".join(f"{c} string" if c == "doc_id" else f"{c} long" for c in key_cols)
+
+
+def _partial_merge_fn(key_cols, merge_groups):
+    """Map-side combine for the range-family merges: collapse each
+    partition's child sketches per (range key) to ONE partial before the
+    shuffle. The two-phase (partial -> final) shape is what survives scale:
+    the shuffle then moves |keys touched per partition| blobs instead of
+    every covering child. Only valid for ORDER-INDEPENDENT merges (CMS add /
+    HLL max — byte-identical to the single-phase answer); KLL stays on the
+    single-shuffle sorted-children path."""
+    keys = list(key_cols)
+
+    def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        # concat first: one key's rows may straddle Arrow batch boundaries
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        codes = pdf.groupby(keys, sort=False).ngroup().to_numpy()
+        order = np.argsort(codes, kind="stable")
+        counts = np.bincount(codes)
+        sketches = pdf["sketch"].to_numpy()
+        flat = [bytes(sketches[i]) for i in order]
+        merged = _merge_sparse(flat, counts, merge_groups)
+        first_idx = order[np.searchsorted(codes[order], np.arange(len(counts)))]
+        out = pdf.iloc[first_idx][keys].reset_index(drop=True)
+        out["sketch"] = merged
+        yield out
+
+    return f
+
+
+def _joined_range_groups(
+    index: DataFrame, ranges, deepest: int, key_cols, partial_merge=None
+) -> DataFrame:
     """Join the broadcast cover nodes against the index and group per
     (range key). Doc-axis ranges come in TWO forms:
 
@@ -411,10 +447,19 @@ def _joined_range_groups(index: DataFrame, ranges, deepest: int, key_cols) -> Da
     else:
         nodes = F.broadcast(_range_nodes_df(index.sparkSession, ranges, deepest, key_cols))
         join_cols = ([key_cols[0]] if per_doc_keys else []) + ["level", "w_id"]
+    joined = index.join(nodes, join_cols)
+    if partial_merge is not None:
+        joined = joined.select(*key_cols, "sketch").mapInPandas(
+            _partial_merge_fn(key_cols, partial_merge),
+            schema=_key_schema(key_cols) + ", sketch binary",
+        )
     return (
-        index.join(nodes, join_cols)
-        .groupBy(*key_cols)
-        .agg(F.collect_list("sketch").alias("children"))
+        joined.groupBy(*key_cols)
+        # collect_list order is nondeterministic and KLL merge bytes depend
+        # on merge order (CMS add / HLL max do not) — sort the collected
+        # blobs lexicographically so range-quantile answers are reproducible
+        # run-to-run (still only bound-accurate, but stable for bench rows)
+        .agg(F.sort_array(F.collect_list("sketch")).alias("children"))
     )
 
 
@@ -470,11 +515,14 @@ def _cms_range_tot_fn(key_cols):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # one flat header-read pass + a 1-D segmented sum — a per-group
+            # Python loop here was the totals query's hot spot
+            flat, counts = _flatten_children(pdf)
+            totals = window_totals(flat)
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
             out = pdf[list(key_cols)].copy()
-            out["n_tokens"] = [
-                int(window_totals([bytes(x) for x in children]).sum())
-                for children in pdf["children"]
-            ]
+            out["n_tokens"] = np.add.reduceat(totals, starts)
             yield out
 
     return tot
@@ -486,6 +534,20 @@ _GLOBAL_KEYS = ("a", "b")
 _GLOBAL_KEY_SCHEMA = "a long, b long"
 
 
+def _hll_merge_auto(flat, counts):
+    """merge_blob_groups with p read from the first blob (uniform per index)."""
+    from ..sketches.hll import merge_blob_groups
+
+    return merge_blob_groups(flat, counts, int(from_bytes(bytes(flat[0])).p))
+
+
+def _cms_merge_auto(flat, counts):
+    from ..sketches import cms as cms_kernels
+
+    first = from_bytes(bytes(flat[0]))
+    return cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
+
+
 def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(doc_id, a, b, est_distinct) per queried leaf-window range: the O(log)
     covering nodes merge (register max) into the exact range HLL, estimated
@@ -493,7 +555,9 @@ def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> Data
     produce no row (no covering node exists). ``ranges`` may be
     (doc_id, a, b) triples or (a, b) pairs applied to every doc — the pair
     form broadcasts only the shared cover nodes (see _joined_range_groups)."""
-    return _joined_range_groups(hll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+    return _joined_range_groups(
+        hll_index, ranges, deepest, _DOC_KEYS, partial_merge=_hll_merge_auto
+    ).mapInPandas(
         _hll_range_est_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", est_distinct double"
     )
 
@@ -503,7 +567,9 @@ def range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deepest: in
     nodes add (CMS is linear) into the exact range CMS — overestimate-only
     within eps * N_range."""
     probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
-    return _joined_range_groups(cms_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _DOC_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
         _cms_range_freq_fn(_DOC_KEYS, probes),
         schema=_DOC_KEY_SCHEMA + ", token long, est_count long",
     )
@@ -513,7 +579,9 @@ def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(doc_id, a, b, n_tokens) per range — EXACT (node totals are exact and
     the cover is a disjoint tiling), hence SQL-oracle-checkable. Accepts
     (doc_id, a, b) triples or all-docs (a, b) pairs."""
-    return _joined_range_groups(cms_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _DOC_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
         _cms_range_tot_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", n_tokens long"
     )
 
@@ -773,7 +841,9 @@ def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) 
     """(a, b, est_distinct) per STREAM leaf-window range [a, b) — dyadic
     cover nodes merge into the exact range HLL (doc-axis twin:
     range_distinct_estimates)."""
-    return _joined_range_groups(hll_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+    return _joined_range_groups(
+        hll_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_hll_merge_auto
+    ).mapInPandas(
         _hll_range_est_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", est_distinct double"
     )
 
@@ -781,7 +851,9 @@ def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) 
 def global_range_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(a, b, n_tokens) per STREAM leaf-window range — EXACT (disjoint
     tiling of exact node totals), SQL-oracle-checkable against SUM(n_tok)."""
-    return _joined_range_groups(cms_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
         _cms_range_tot_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", n_tokens long"
     )
 
@@ -791,7 +863,9 @@ def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deep
     — covering CMS nodes add into the exact range CMS (overestimate-only
     within eps * N_range). Global twin of range_freq_estimates."""
     probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
-    return _joined_range_groups(cms_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
         _cms_range_freq_fn(_GLOBAL_KEYS, probes),
         schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count long",
     )

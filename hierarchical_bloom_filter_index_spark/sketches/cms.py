@@ -325,15 +325,16 @@ def window_totals(blobs: list[bytes]) -> np.ndarray:
 
 def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width: int, seed: int) -> list[bytes]:
     """Merge consecutive groups of serialized CMSs (group i = the next
-    ``counts[i]`` blobs) in one vectorized add.reduceat — byte-identical to
+    ``counts[i]`` blobs) in one vectorized grouped add — byte-identical to
     chained ``.merge()`` (elementwise table add, totals add)."""
     if not blobs:
         return []
     mats = _blob_tables(blobs, depth, width, seed)
     totals = window_totals(blobs)
+    counts = np.asarray(counts, dtype=np.int64)
     starts = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(np.asarray(counts)[:-1], out=starts[1:])
-    merged = np.add.reduceat(mats, starts, axis=0)
+    np.cumsum(counts[:-1], out=starts[1:])
+    merged = base.grouped_reduce(np.add, mats, counts)
     merged_tot = np.add.reduceat(totals, starts)
     return [
         base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[i])], [merged[i]])

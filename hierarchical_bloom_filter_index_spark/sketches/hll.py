@@ -88,6 +88,8 @@ class HyperLogLog:
 # header bytes before the register array in the wire format: magic/version/
 # n_params (4) + two int64 params (16) + n_arrays (1) + dtype/len (9)
 _REG_OFFSET = 30
+# 2^-rho for every possible register value (rho <= 64-p+1 < 256 by wire format)
+_INV_POW2 = np.power(2.0, -np.arange(256, dtype=np.float64))
 
 
 def leaf_window_blobs(tokens: np.ndarray, window: int, p: int, seed: int,
@@ -151,9 +153,18 @@ def estimate_blobs(blobs: list[bytes], p: int) -> np.ndarray:
         if b[0] != _MAGIC:
             raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
         mats[i] = np.frombuffer(b, dtype=np.uint8, count=m, offset=_REG_OFFSET)
-    inv_sum = np.power(2.0, -mats.astype(np.float64)).sum(axis=1)
+    # chunk the float scratch: a single np.power over the full matrix
+    # allocates 8x the register bytes and pays first-touch page faults on
+    # every call in a fresh worker (profiled: 13s first call at 10k x 4096);
+    # a 2^-rho lookup table + bounded gather keeps scratch cache-resident
+    inv_sum = np.empty(len(blobs), dtype=np.float64)
+    zeros = np.empty(len(blobs), dtype=np.int64)
+    chunk = max(1, (4 << 20) // (8 * m))
+    for s in range(0, len(blobs), chunk):
+        part = mats[s : s + chunk]
+        inv_sum[s : s + chunk] = _INV_POW2[part].sum(axis=1)
+        zeros[s : s + chunk] = (part == 0).sum(axis=1)
     e = _alpha(m) * m * m / inv_sum
-    zeros = (mats == 0).sum(axis=1)
     small = (e <= 2.5 * m) & (zeros > 0)
     if small.any():
         e[small] = m * np.log(m / zeros[small])
@@ -175,8 +186,6 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, p: int) -> list[by
         if b[0] != _MAGIC:
             raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
         mats[i] = np.frombuffer(b, dtype=np.uint8, count=m, offset=_REG_OFFSET)
-    starts = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    merged = np.maximum.reduceat(mats, starts, axis=0)
+    merged = base.grouped_reduce(np.maximum, mats, counts)
     header = bytes(blobs[0][:_REG_OFFSET])
     return [header + merged[i].tobytes() for i in range(merged.shape[0])]
