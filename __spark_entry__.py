@@ -641,6 +641,10 @@ def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's date_trunc casts TIMESTAMP_NTZ through the session timezone
+    # (measured: a +05:45 zone shifts the truncation boundaries) — pin UTC
+    # so the DuckDB wall-time oracle equality is environment-independent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n"), F.min("value").alias("vmin"), F.max("value").alias("vmax")
@@ -664,6 +668,13 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import uuid
 
+    # the NTZ->TIMESTAMP cast inside windowed_event_aggregate interprets
+    # wall time in the SESSION timezone; epoch-aligned 1-hour windows equal
+    # date_trunc('hour') of the NTZ wall time only under a whole-hour UTC
+    # offset. Pin UTC so the stream/batch/DuckDB equality cannot depend on
+    # the box's timezone (sticky for the session, which is what the driver's
+    # later collect needs).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     workdir = tempfile.mkdtemp(prefix="hbi_win_q_")
     inp, chk = f"{workdir}/in", f"{workdir}/chk"
@@ -676,7 +687,11 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", chk).outputMode("complete")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partially-drained memory sink would read as a windowing bug —
+        # fail loudly with the real cause instead
+        q.stop()
+        raise TimeoutError("events_hourly_stream: availableNow drain exceeded 300s")
     return (
         spark.table(sink)
         .select("event_type",
@@ -1180,7 +1195,9 @@ def q_streaming_state_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", chk).outputMode("append")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_state_by_source: availableNow drain exceeded 300s")
     res = spark.read.parquet(out)
     w = Window.partitionBy("source").orderBy(F.desc("n_docs"))
     return (

@@ -171,11 +171,19 @@ def leaf_window_blobs(values: np.ndarray, window: int, k: int, seed: int,
     """Serialized KLLs for every consecutive ``window``-value slice of
     ``values``. ``phase`` = stream offset of values[0] within its window
     (global-axis builds: blob i is the PARTIAL sketch of stream window
-    first_w + i, and partials of a window merge into a valid window KLL)."""
+    first_w + i, and partials of a window merge into a valid window KLL).
+
+    Inputs must be NaN-free (true for the token streams this indexes —
+    int64 casts): direct byte-packing skips the NaN filter KLL.update
+    applies, so a NaN would be stored in level 0 AND counted in the exact
+    ``n`` field, breaking both byte-identity with the object path and
+    exact-totals semantics. Guarded, not silently filtered."""
     n = len(values)
     if n == 0:
         return []
     vals = np.asarray(values, dtype=np.float64)
+    if np.isnan(vals).any():
+        raise ValueError("leaf_window_blobs: NaN input (route through KLL.update)")
     nw = (phase + n + window - 1) // window
     out: list[bytes] = []
     for i in range(nw):
@@ -200,8 +208,11 @@ def partial_blobs_by_slot(values: np.ndarray, slots: np.ndarray, n_slots: int,
     """Serialized KLLs for an ARBITRARY per-value slot assignment (cross-doc
     generalization of ``leaf_window_blobs`` — see hll.partial_blobs_by_slot).
     Blob i holds exactly the values whose slot == i, in their original
-    relative order (stable grouping), so partials match the per-doc path."""
+    relative order (stable grouping), so partials match the per-doc path.
+    NaN-free inputs required, as in ``leaf_window_blobs``."""
     vals = np.asarray(values, dtype=np.float64)
+    if np.isnan(vals).any():
+        raise ValueError("partial_blobs_by_slot: NaN input (route through KLL.update)")
     s = np.asarray(slots, dtype=np.int64)
     order = np.argsort(s, kind="stable")
     sv = vals[order]

@@ -46,9 +46,14 @@ def windowed_event_aggregate(
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
         ]
-    # withWatermark requires TIMESTAMP (with local tz); parquet fixtures
-    # carry TIMESTAMP_NTZ — cast on BOTH paths so stream and batch window
-    # the same instant (session-tz interpretation, consistent per session)
+    # withWatermark requires TIMESTAMP (TIMESTAMP_NTZ is rejected with
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, verified on Spark 4.1); parquet
+    # fixtures carry TIMESTAMP_NTZ — cast on BOTH paths so stream and batch
+    # window the same instant. NOTE the cast interprets wall time in
+    # spark.sql.session.timeZone: epoch-aligned windows line up with NTZ
+    # wall-clock hours only when that zone has a whole-hour UTC offset (and
+    # DST transitions can shift/duplicate wall times). Callers comparing
+    # against wall-time oracles should pin the session timezone to UTC.
     src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark)

@@ -393,3 +393,27 @@ def test_int_countsketch_strict_per_element_saturation():
     # the sketch itself guards against)
     assert int(np.abs(sat_strict.table.astype(np.int64)).max()) == 2**31
     assert int(np.abs(sat_batch.table.astype(np.int64)).max()) == 0
+
+
+def test_kll_leaf_packing_rejects_nan():
+    """Direct leaf byte-packing skips KLL.update's NaN filter, so a NaN
+    would land in level 0 AND be counted in the exact n field — the kernels
+    refuse instead (inputs here are int tokens cast to float64, so the
+    guard is free in practice)."""
+    import pytest
+
+    from hierarchical_bloom_filter_index_spark.sketches.kll import (
+        KLL,
+        leaf_window_blobs,
+        partial_blobs_by_slot,
+    )
+
+    bad = np.asarray([1.0, float("nan"), 3.0])
+    with pytest.raises(ValueError, match="NaN"):
+        leaf_window_blobs(bad, 4, 200, seed=1)
+    with pytest.raises(ValueError, match="NaN"):
+        partial_blobs_by_slot(bad, np.zeros(3, dtype=np.int64), 1, 200, seed=1)
+    # the object path filters instead of failing (documented contract)
+    s = KLL(k=200, seed=1)
+    s.update(bad)
+    assert s.n == 2
