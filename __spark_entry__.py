@@ -1093,6 +1093,29 @@ def q_global_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_pattern_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global pattern search on a STRIDED one-stream index: only n-grams at
+    STREAM positions = 0 mod stride are indexed (the build applies stride to
+    global positions AFTER boundary stitching, operators/build.py — so
+    cross-doc n-grams obey the same alignment classes), probing ORs the
+    alignment-class conditions, and verification is exact. Matches therefore
+    equal the dense global search and share its gpos oracle."""
+    from hierarchical_bloom_filter_index_spark.operators import global_pattern_search
+
+    cfg = _global_cfg(spark, sf_dir).with_(ngram=2, stride=2)
+    key = ("gstrided_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        idx = build_index(gcorp, cfg).cache()
+        idx.count()
+        _CACHE[key] = (idx, index_stats(idx, cfg))
+    idx, gstats = _CACHE[key]
+    gcorp, _dense_idx, _dense_stats = _global_index(spark, sf_dir)
+    return global_pattern_search(
+        gcorp, idx, cfg, PAT_GLOBAL, start_level="auto", stats=gstats,
+    )
+
+
 def _global_batch_oracle(patterns: list[list[int]]) -> str:
     sels = []
     for p, pat in enumerate(patterns):
@@ -1361,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_rollup_geometry": q_bloom_rollup_geometry,
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
+        "hbi_global_pattern_strided": q_global_pattern_strided,
         "incremental_append_geometry": q_incremental_append_geometry,
         "expire_geometry": q_expire_geometry,
         # frequency / cardinality / quantiles (SURVEY §2.5)
@@ -1717,4 +1741,7 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]
+    # the strided global index must return the SAME matches as the dense one
+    # (sketches/stride prune cost, never answers)
+    out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]
     return out
