@@ -1284,7 +1284,10 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    # max_bucket: never engages on the benign fixture corpora; at scale a
+    # degenerate (chunk, value) bucket is dropped WITH a warning instead of
+    # exploding one shuffle key quadratically
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, max_bucket=10_000)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,7 +1304,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.embedding_neardup_pairs(emb, threshold=0.8, n_planes=4, n_tables=16)
+    return S.embedding_neardup_pairs(
+        emb, threshold=0.8, n_planes=4, n_tables=16, max_bucket=10_000
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,46 @@ from ..sketches.hashing import hash64, splitmix64
 _U64 = np.uint64
 
 
+def cap_bucket_sizes(buckets: DataFrame, key_cols, cap: int | None, what: str) -> DataFrame:
+    """Drop every bucket with more than ``cap`` members before a
+    within-bucket self-join — the guard against the one degenerate key that
+    turns a bucketed O(sum k_i^2) join into a single-task k^2 explosion at
+    scale (a ubiquitous shingle, a bucket full of near-zero vectors, a
+    corpus of byte-identical docs).
+
+    NEVER silent: when the cap engages, the dropped buckets are counted
+    (one extra aggregation job over the bucket keys — only paid when a cap
+    is configured) and logged at WARNING with the membership they covered.
+    ``cap=None`` disables (exact/oracle paths). Dropping a bucket can only
+    LOSE candidate pairs (recall), never invent them — downstream exact
+    verification is unaffected."""
+    if cap is None:
+        return buckets
+    key_cols = list(key_cols)
+    sizes = buckets.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+    over = sizes.filter(F.col("_bsz") > cap).cache()
+    stats = over.agg(
+        F.count("*").alias("n_buckets"), F.sum("_bsz").alias("n_members")
+    ).first()
+    if stats["n_buckets"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: bucket-size cap %d engaged — dropping %d oversized bucket(s) "
+            "covering %d members from candidate generation (pairs inside them "
+            "are NOT considered; raise the cap or pre-split if this is load-"
+            "bearing)", what, cap, stats["n_buckets"], stats["n_members"],
+        )
+        drop = over.select(*key_cols)
+        if stats["n_buckets"] <= 100_000:
+            drop = F.broadcast(drop)
+        out = buckets.join(drop, on=key_cols, how="left_anti")
+    else:
+        out = buckets
+    over.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -68,11 +108,20 @@ def ngram_jaccard_pairs(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with char-n-gram Jaccard >= threshold.
 
     Exact: |A∩B| via a co-occurrence self-join on shingle hash, |A∪B| from
     set sizes. Pairs sharing no shingle never materialize.
+
+    ``max_shingle_df``: document-frequency cap on join-eligible shingles —
+    a shingle shared by k docs emits k^2 co-occurrence rows, so one
+    ubiquitous shingle (a whitespace run, a boilerplate header) is a
+    single-key shuffle explosion at scale. Shingles above the cap are
+    dropped from BOTH the intersection and the set sizes (Jaccard over the
+    surviving shingle universe — still symmetric and well-defined), and the
+    drop is LOGGED (cap_bucket_sizes). None = exact (the oracle setting).
     """
     def shingles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,6 +133,9 @@ def ngram_jaccard_pairs(
             yield pd.DataFrame({"doc_id": ids, "sh": hs})
 
     sh = docs.select(id_col, text_col).mapInPandas(shingles, schema="doc_id string, sh long")
+    if max_shingle_df is not None:
+        # shingle hashes are distinct per doc, so count(*) per sh IS the df
+        sh = cap_bucket_sizes(sh, ["sh"], max_shingle_df, "ngram_jaccard_pairs")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,6 +194,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
 
@@ -163,6 +216,7 @@ def minhash_lsh_pairs(
         ])
     ).alias("bs")
     buckets = sig.select("doc_id", band_cols).select("doc_id", "bs.band", "bs.bh")
+    buckets = cap_bucket_sizes(buckets, ["band", "bh"], max_bucket, "minhash_lsh_pairs")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -233,11 +287,17 @@ def simhash_near_pairs(
     seed: int = 7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming via chunk banding:
     split 64 bits into max_hamming+1 chunks — any pair within distance d
     agrees exactly on >= 1 chunk (pigeonhole), so candidates collide on a
-    (chunk_id, chunk_value) bucket; exact Hamming re-check after."""
+    (chunk_id, chunk_value) bucket; exact Hamming re-check after.
+
+    ``max_bucket`` bounds the in-bucket self-join (a corpus slice of
+    near-identical docs puts them ALL in one (chunk, value) bucket — k^2
+    candidates on one shuffle key); oversized buckets are dropped WITH a
+    warning (cap_bucket_sizes), costing recall only."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sig = simhash_signatures(docs, shingle_n, seed, text_col, id_col).cache()
@@ -254,6 +314,7 @@ def simhash_near_pairs(
             ])
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk", "ch.cv")
+    chunks = cap_bucket_sizes(chunks, ["chunk", "cv"], max_bucket, "simhash_near_pairs")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -298,6 +298,7 @@ def embedding_neardup_pairs(
     n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cos >= threshold)
     via hyperplane-LSH bucketing + exact re-scoring of candidate pairs only
@@ -308,11 +309,19 @@ def embedding_neardup_pairs(
     All tables' buckets come from ONE signature pass (stacked planes, one
     dim probe); the self-join keys on (table, bucket) so bucket ids never
     collide across tables.
+
+    ``max_bucket`` bounds the in-bucket self-join: a degenerate bucket
+    (e.g. many near-zero vectors landing on one signature in every table)
+    is k^2 candidates on one shuffle key — oversized buckets are dropped
+    WITH a warning (dedup.cap_bucket_sizes), costing recall only.
     """
+    from .dedup import cap_bucket_sizes
+
     sig = hyperplane_signatures_multi(
         embeddings, n_planes, [7000 + t for t in range(n_tables)],
         id_col=id_col, vec_col=vec_col,
     )
+    sig = cap_bucket_sizes(sig, ["table", "bucket"], max_bucket, "embedding_neardup_pairs")
     a, b = sig.alias("a"), sig.alias("b")
     cands = (
         a.join(b, (F.col("a.table") == F.col("b.table"))

@@ -360,3 +360,81 @@ def test_audio_frame_features_pure():
     assert short.shape == (1, 2)
     with pytest.raises(ValueError):
         M.audio_frame_features(const, frame=0)
+
+
+# --------------------------------------------------------------------------
+# skew caps: the one degenerate bucket/shingle must be dropped LOUDLY, never
+# exploded quadratically or truncated silently
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def identical_docs(spark):
+    """Adversarial: 24 byte-identical docs — every shingle is shared by all,
+    every SimHash chunk bucket holds the whole corpus."""
+    txt = "the exact same boilerplate document body, repeated verbatim."
+    df = spark.createDataFrame(
+        [(f"same-{i:02d}", txt, "en", "adv") for i in range(24)],
+        "doc_id string, text string, lang string, source string",
+    ).cache()
+    df.count()
+    return df
+
+
+def test_jaccard_shingle_df_cap(spark, identical_docs, caplog):
+    import logging
+
+    uncapped = D.ngram_jaccard_pairs(identical_docs, 0.8).collect()
+    assert len(uncapped) == 24 * 23 // 2  # all pairs, jaccard 1.0
+    with caplog.at_level(logging.WARNING,
+                         logger="hierarchical_bloom_filter_index_spark.operators.dedup"):
+        capped = D.ngram_jaccard_pairs(identical_docs, 0.8, max_shingle_df=10).collect()
+    assert capped == []  # every shingle df=24 > 10: dropped from the join
+    assert any("ngram_jaccard_pairs" in r.message and "cap 10 engaged" in r.message
+               for r in caplog.records)
+
+
+def test_jaccard_cap_disengaged_is_exact(spark, docs):
+    """A cap above every df must neither change answers nor log."""
+    base = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, 0.8).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in D.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=10**6).collect()}
+    assert base == capped
+
+
+def test_simhash_bucket_cap(spark, identical_docs, caplog):
+    import logging
+
+    uncapped = D.simhash_near_pairs(identical_docs, max_hamming=3).collect()
+    assert len(uncapped) == 24 * 23 // 2 and all(r["hamming"] == 0 for r in uncapped)
+    with caplog.at_level(logging.WARNING,
+                         logger="hierarchical_bloom_filter_index_spark.operators.dedup"):
+        capped = D.simhash_near_pairs(identical_docs, max_hamming=3, max_bucket=8).collect()
+    assert capped == []
+    assert any("simhash_near_pairs" in r.message for r in caplog.records)
+
+
+def test_embedding_bucket_cap(spark, caplog):
+    import logging
+
+    # 16 copies of one vector: identical signature in EVERY table
+    vec = [float(x) for x in np.linspace(-1, 1, 16)]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(16)], "vec_id long, embedding array<float>"
+    )
+    uncapped = S.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4, n_tables=4).collect()
+    assert len(uncapped) == 16 * 15 // 2
+    with caplog.at_level(logging.WARNING,
+                         logger="hierarchical_bloom_filter_index_spark.operators.dedup"):
+        capped = S.embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=4, n_tables=4, max_bucket=4
+        ).collect()
+    assert capped == []
+    assert any("embedding_neardup_pairs" in r.message for r in caplog.records)
+
+
+def test_minhash_bucket_cap(spark, identical_docs):
+    """Band buckets above the cap are excluded from candidate generation."""
+    capped = D.minhash_lsh_pairs(identical_docs, threshold=0.8, max_bucket=8).collect()
+    assert capped == []
+    uncapped = D.minhash_lsh_pairs(identical_docs, threshold=0.8).collect()
+    assert len(uncapped) == 24 * 23 // 2
