@@ -1302,6 +1302,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=6)
 
 
+def q_ivf_persisted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistence parity as a HARD oracle gate: the list_id-partitioned
+    on-disk IVF index (similarity.write_ivf_index — partition-pruned reads)
+    must answer top-k ROW-IDENTICALLY to the in-memory ivf_topk (same
+    quantizer -> same inverted lists -> same candidates -> same float64
+    re-rank). Returns the symmetric difference of the two result sets —
+    expected EMPTY; the DuckDB twin is the empty relation, so any drift in
+    the write/read/prune path fails rows+hash."""
+    import numpy as np
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="hbi_ivf_idx_")
+    S.write_ivf_index(emb, path, n_centroids=16)
+    qrows = emb.orderBy("vec_id").limit(10).collect()
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+               for r in qrows}
+    persisted = S.ivf_topk_persisted(spark, path, queries, k=5, nprobe=6)
+    mem = S.ivf_topk(emb, list(queries), k=5, n_centroids=16, nprobe=6)
+    return persisted.exceptAll(mem).unionByName(mem.exceptAll(persisted))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.embedding_neardup_pairs(
@@ -1433,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_persisted_parity": q_ivf_persisted_parity,
         "embedding_neardup": q_embedding_neardup,
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -1713,6 +1736,12 @@ r AS (
 )
 SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5""",
+        # parity gate: persisted-vs-in-memory IVF symmetric difference is
+        # EMPTY by contract — the twin is the typed empty relation
+        "ivf_persisted_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
+       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
+       CAST(NULL AS INTEGER) AS rank
+WHERE FALSE""",
         "hll_rollup_geometry": f"""WITH {CORPUS_CTE},
 lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})
 SELECT doc_id, CAST(lv.level AS INT) AS level,

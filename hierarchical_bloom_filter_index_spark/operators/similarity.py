@@ -291,6 +291,111 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF persistence: inverted lists on disk, partitioned by list_id, so a
+# query READS only its nprobe lists' files (partition pruning at the scan)
+# ---------------------------------------------------------------------------
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kw,
+) -> np.ndarray:
+    """Persist an IVF index: ``path/lists`` holds (id, vec) parquet
+    PARTITIONED BY list_id (one directory per inverted list — the layout
+    that lets a reader prune to nprobe lists' files), ``path/centroids``
+    holds the trained coarse quantizer. Returns the centroids.
+
+    Scale shape: assignment is one Arrow matmul pass; the single shuffle is
+    the repartition("list_id") before the write, without which every input
+    partition would write a file into every list directory
+    (n_partitions x n_lists small files)."""
+    spark = embeddings.sparkSession
+    cents = train_ivf_centroids(
+        embeddings, n_centroids, vec_col=vec_col, id_col=id_col, **train_kw
+    )
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            yield out
+
+    rows = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, list_id int"
+    )
+    rows.repartition("list_id").write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def read_ivf_lists(spark, path: str, list_ids=None) -> DataFrame:
+    """The persisted inverted lists, PRUNED to ``list_ids`` when given: the
+    isin filter is on the partition column, so Spark's file index skips
+    every other list's directory — the scan touches only the probed lists'
+    files (asserted via input_file_name in tests)."""
+    df = spark.read.parquet(f"{path}/lists")
+    if list_ids is not None:
+        df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
+    return df
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: dict[int, np.ndarray],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` against a ``write_ivf_index`` layout: probe lists are
+    chosen driver-side from the stored centroids, the scan reads ONLY those
+    lists' files, and the exact cosine re-rank matches the in-memory path
+    row-for-row (same quantizer -> same lists -> same candidates)."""
+    cents = read_ivf_centroids(spark, path)
+    qmap = {}
+    probe_rows = []
+    for qid, qv in queries.items():
+        qv = np.asarray(qv, dtype=np.float64)
+        qmap[int(qid)] = qv / np.linalg.norm(qv)
+        for lid in np.argsort(-(cents @ qmap[int(qid)]))[:nprobe]:
+            probe_rows.append((int(qid), int(lid)))
+    lists = read_ivf_lists(spark, path, sorted({lid for _, lid in probe_rows}))
+    probes = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, list_id int"))
+    cand = (
+        lists.join(probes, on="list_id", how="inner")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col)
+    )
+    bq = spark.sparkContext.broadcast(qmap)
+    scored = cand.mapInPandas(_grouped_rerank_fn(bq, id_col, vec_col), schema=_topk_schema())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

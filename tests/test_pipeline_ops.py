@@ -248,6 +248,44 @@ def test_ivf_topk_recall(spark, emb):
            {(r["query_id"], r["vec_id"], r["rank"]) for r in again}
 
 
+def test_ivf_persisted_layout_and_parity(spark, emb, tmp_path):
+    """write_ivf_index -> ivf_topk_persisted: same quantizer, same lists,
+    same candidates -> row-identical to the in-memory ivf_topk; and the
+    list_id-partitioned layout actually PRUNES — a filtered read touches
+    only the probed lists' files (scanned-file evidence via
+    input_file_name, plus PartitionFilters in the physical plan)."""
+    path = str(tmp_path / "ivf_idx")
+    cents = S.write_ivf_index(emb, path, n_centroids=16)
+    assert cents.shape[0] == 16
+
+    qrows = emb.orderBy("vec_id").limit(5).collect()
+    queries = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+               for r in qrows}
+    got = S.ivf_topk_persisted(spark, path, queries, k=5, nprobe=6).collect()
+    ref = S.ivf_topk(emb, list(queries), k=5, n_centroids=16, nprobe=6).collect()
+    as_set = lambda rows: {(r["query_id"], r["vec_id"], round(r["score"], 6), r["rank"])
+                           for r in rows}
+    assert as_set(got) == as_set(ref) and len(got) == 25
+
+    # stored centroids round-trip bit-exactly (float64 parquet)
+    assert np.array_equal(S.read_ivf_centroids(spark, path), cents)
+
+    # partition pruning: a 2-list read scans ONLY those lists' files
+    pruned = S.read_ivf_lists(spark, path, [0, 3])
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all("list_id=0/" in f or "list_id=3/" in f for f in files)
+    all_files = {r[0] for r in S.read_ivf_lists(spark, path)
+                 .select(F.input_file_name()).distinct().collect()}
+    assert len(files) < len(all_files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    # pruned read returns exactly the two lists' members, nothing else
+    members = S.read_ivf_lists(spark, path).filter(F.col("list_id").isin([0, 3]))
+    assert sorted(r["vec_id"] for r in pruned.collect()) == \
+           sorted(r["vec_id"] for r in members.collect())
+
+
 def test_numpy_codecs_roundtrip():
     """Real encoded formats, pure numpy: P6 PPM and PCM16 WAV round-trip
     bit-exactly (header parsing included — comments, word alignment)."""
