@@ -201,14 +201,14 @@ def build_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> Da
 def window_distinct_estimates(hll_index: DataFrame, level: int) -> DataFrame:
     """(doc_id, w_id, est_distinct) at one level — whole batches estimated
     in one vectorized register pass (sketches.hll.estimate_blobs)."""
-    from ..sketches.hll import estimate_blobs
+    from ..sketches.hll import blob_p, estimate_blobs
 
     def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             blobs = [bytes(b) for b in pdf["sketch"]]
-            p = int(from_bytes(blobs[0]).p)
+            p = blob_p(blobs[0])
             out = pdf[["doc_id", "w_id"]].copy()
             out["est_distinct"] = estimate_blobs(blobs, p)
             yield out
@@ -250,10 +250,8 @@ def window_freq_estimates(cms_index: DataFrame, level: int, probe_tokens) -> Dat
             if len(pdf) == 0:
                 continue
             blobs = [bytes(b) for b in pdf["sketch"]]
-            first = from_bytes(blobs[0])
-            ests = cms_kernels.estimate_blobs(
-                blobs, probes, first.depth, first.width, first.seed
-            )
+            d, w, s = cms_kernels.blob_params(blobs[0])
+            ests = cms_kernels.estimate_blobs(blobs, probes, d, w, s)
             out = pdf[["doc_id", "w_id"]].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
             out["token"] = np.tile(probes, len(pdf))
             out["est_count"] = ests.ravel()
@@ -473,14 +471,14 @@ def _flatten_children(pdf: pd.DataFrame):
 
 
 def _hll_range_est_fn(key_cols):
-    from ..sketches.hll import estimate_blobs, merge_blob_groups
+    from ..sketches.hll import blob_p, estimate_blobs, merge_blob_groups
 
     def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             flat, counts = _flatten_children(pdf)
-            p = int(from_bytes(flat[0]).p)
+            p = blob_p(flat[0])
             merged = merge_blob_groups(flat, counts, p)
             out = pdf[list(key_cols)].copy()
             out["est_distinct"] = estimate_blobs(merged, p)
@@ -497,9 +495,9 @@ def _cms_range_freq_fn(key_cols, probes):
             if len(pdf) == 0:
                 continue
             flat, counts = _flatten_children(pdf)
-            first = from_bytes(flat[0])
-            merged = cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
-            ests = cms_kernels.estimate_blobs(merged, probes, first.depth, first.width, first.seed)
+            d, w, s = cms_kernels.blob_params(flat[0])
+            merged = cms_kernels.merge_blob_groups(flat, counts, d, w, s)
+            ests = cms_kernels.estimate_blobs(merged, probes, d, w, s)
             out = pdf[list(key_cols)].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
             out["token"] = np.tile(probes, len(pdf))
             out["est_count"] = ests.ravel()
@@ -536,16 +534,16 @@ _GLOBAL_KEY_SCHEMA = "a long, b long"
 
 def _hll_merge_auto(flat, counts):
     """merge_blob_groups with p read from the first blob (uniform per index)."""
-    from ..sketches.hll import merge_blob_groups
+    from ..sketches.hll import blob_p, merge_blob_groups
 
-    return merge_blob_groups(flat, counts, int(from_bytes(bytes(flat[0])).p))
+    return merge_blob_groups(flat, counts, blob_p(flat[0]))
 
 
 def _cms_merge_auto(flat, counts):
     from ..sketches import cms as cms_kernels
 
-    first = from_bytes(bytes(flat[0]))
-    return cms_kernels.merge_blob_groups(flat, counts, first.depth, first.width, first.seed)
+    d, w, s = cms_kernels.blob_params(flat[0])
+    return cms_kernels.merge_blob_groups(flat, counts, d, w, s)
 
 
 def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:

@@ -17,6 +17,13 @@ SKETCH_REGISTRY = {
     cls.MAGIC: cls
     for cls in (BloomFilter, CountMinSketch, CountSketch, IntCountSketch, HyperLogLog, KLL, HopsSampler, BottomKSampler, TDigest, MisraGries)
 }
+# sparse-exact window-node encodings deserialize into their dense classes
+# (lossless: cms/hll from_bytes densify — see cms._MAGIC_CMS_SP / hll._MAGIC_HLL_SP)
+from .cms import _MAGIC_CMS_SP as _SP_CMS
+from .hll import _MAGIC_HLL_SP as _SP_HLL
+
+SKETCH_REGISTRY[_SP_CMS] = CountMinSketch
+SKETCH_REGISTRY[_SP_HLL] = HyperLogLog
 
 
 def from_bytes(buf: bytes):

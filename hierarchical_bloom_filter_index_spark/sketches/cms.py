@@ -29,6 +29,17 @@ _U64 = np.uint64
 _MAGIC_CMS = 2
 _MAGIC_CS = 3
 _MAGIC_ICS = 9
+# Sparse-exact window node: a CMS whose content has few distinct keys is
+# stored as exact (token, count) pairs instead of a dense depth x width
+# table. CMS is linear, so densifying the pairs reproduces the dense table
+# BYTE-identically — the sparse form is a lossless, ~10-30x smaller encoding
+# of the same sketch for small windows (a 32-token leaf never needs 6 KB of
+# counters). Representation is a PURE FUNCTION of content (sparse iff
+# nnz <= sparse_max_nnz), and nnz is monotone under merge, so merge order
+# independence and cross-build-path byte-equality are preserved.
+# Wire: params [depth, width, seed, total, nnz],
+#       arrays [tokens int64 SORTED ASC, counts int64].
+_MAGIC_CMS_SP = 12
 _I32_MIN, _I32_MAX = np.int32(-(2**31)), np.int32(2**31 - 1)
 
 
@@ -87,6 +98,12 @@ class CountMinSketch:
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMinSketch":
+        if bytes(buf)[:1] == bytes([_MAGIC_CMS_SP]):
+            magic, (depth, width, seed, total, _nnz), (toks, cnts) = base.unpack(buf)
+            out = cls(depth, width, seed)
+            out.update(toks, cnts)
+            out.total = int(total)
+            return out
         magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_CMS, "CountMinSketch")
         return cls(depth, width, seed, flat.reshape(depth, width), total)
@@ -258,49 +275,100 @@ def _check_cms_blob(b: bytes, depth: int, width: int, seed: int) -> None:
         raise ValueError(f"CountMinSketch blob params {(d, w, s)} != {(depth, width, seed)}")
 
 
+def sparse_max_nnz(depth: int, width: int) -> int:
+    """Largest distinct-key count at which the sparse form is no bigger than
+    the dense table (16 B/pair vs 8 B/cell): the canonical representation
+    rule — a node is sparse IFF its content's nnz <= this. Pure function of
+    content, monotone under merge, hence order-independent."""
+    return (depth * width) // 2
+
+
+def _unique_slot_pairs(keys: np.ndarray, slots: np.ndarray, n_slots: int,
+                       weights: np.ndarray | None = None):
+    """Per-slot exact frequency pairs: (u_tok, u_cnt, u_slot) sorted by
+    (slot, token) plus per-slot nnz — ONE lexsort covers every slot in the
+    batch (no per-slot python). ``weights`` (default 1 per key) are SUMMED
+    per (slot, token) — the sparse-merge primitive."""
+    order = np.lexsort((keys, slots))
+    sk, ss = keys[order], slots[order]
+    new = np.empty(len(sk), dtype=bool)
+    new[0] = True
+    new[1:] = (sk[1:] != sk[:-1]) | (ss[1:] != ss[:-1])
+    starts = np.flatnonzero(new)
+    u_tok = sk[starts]
+    u_slot = ss[starts]
+    if weights is None:
+        u_cnt = np.diff(np.append(starts, len(sk))).astype(np.int64)
+    else:
+        u_cnt = np.add.reduceat(np.asarray(weights, dtype=np.int64)[order], starts)
+    nnz = np.bincount(u_slot, minlength=n_slots)
+    return u_tok, u_cnt, u_slot, nnz
+
+
+def _pack_slot_blobs(keys: np.ndarray, slots: np.ndarray, n_slots: int,
+                     depth: int, width: int, seed: int) -> list[bytes]:
+    """One blob per slot, canonical representation per slot: sparse exact
+    pairs when nnz <= sparse_max_nnz, dense CMS table (byte-identical to
+    ``CountMinSketch.update``) otherwise."""
+    keys = np.asarray(keys, dtype=np.int64)
+    s = np.asarray(slots, dtype=np.int64)
+    max_nnz = sparse_max_nnz(depth, width)
+    if len(keys) == 0:
+        empty = base.pack(_MAGIC_CMS_SP, [depth, width, seed, 0, 0],
+                          [np.empty(0, np.int64), np.empty(0, np.int64)])
+        return [empty] * n_slots
+    totals = np.bincount(s, minlength=n_slots)
+    u_tok, u_cnt, u_slot, nnz = _unique_slot_pairs(keys, s, n_slots)
+    bounds = np.zeros(n_slots + 1, dtype=np.int64)
+    np.cumsum(nnz, out=bounds[1:])
+    dense_slots = np.flatnonzero(nnz > max_nnz)
+    if len(dense_slots):
+        drow = np.full(n_slots, -1, dtype=np.int64)
+        drow[dense_slots] = np.arange(len(dense_slots))
+        sel = drow[u_slot] >= 0
+        rows, d_tok, d_cnt = drow[u_slot[sel]], u_tok[sel], u_cnt[sel]
+        tables = np.zeros((len(dense_slots), depth * width), dtype=np.int64)
+        for r in range(depth):
+            b = (hash64(d_tok, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+            np.add.at(tables, (rows, r * width + b), d_cnt)
+    out: list[bytes] = []
+    for i in range(n_slots):
+        if nnz[i] > max_nnz:
+            out.append(base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])],
+                                 [tables[drow[i]]]))
+        else:
+            sl = slice(bounds[i], bounds[i + 1])
+            out.append(base.pack(_MAGIC_CMS_SP,
+                                 [depth, width, seed, int(totals[i]), int(nnz[i])],
+                                 [u_tok[sl], u_cnt[sl]]))
+    return out
+
+
 def leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int, seed: int,
                       phase: int = 0) -> list[bytes]:
-    """Serialized CMSs for every consecutive ``window``-token slice of
-    ``tokens``: ``depth`` hash passes + ``depth`` bincounts cover ALL
-    windows at once. Byte-identical to
-    ``CountMinSketch(depth, width, seed).update(slice).to_bytes()``.
+    """Serialized CMS nodes for every consecutive ``window``-token slice of
+    ``tokens`` in one lexsort pass. Each window is stored in CANONICAL form:
+    sparse exact (token, count) pairs while nnz <= sparse_max_nnz (lossless
+    — densifying reproduces ``CountMinSketch.update(slice).to_bytes()`` byte
+    for byte; see densify_blob), dense otherwise.
     ``phase`` = stream offset of tokens[0] within its window (global-axis
     builds: blob i is the PARTIAL sketch of stream window first_w + i)."""
     n = len(tokens)
     if n == 0:
         return []
-    keys = np.asarray(tokens, dtype=np.int64)
     nw = (phase + n + window - 1) // window
     w = (phase + np.arange(n, dtype=np.int64)) // window
-    tables = np.empty((nw, depth, width), dtype=np.int64)
-    for r in range(depth):
-        b = (hash64(keys, seed + 1000003 * r) % _U64(width)).astype(np.int64)
-        tables[:, r, :] = np.bincount(w * width + b, minlength=nw * width).reshape(nw, width)
-    totals = np.bincount(w, minlength=nw)
-    return [
-        base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])], [tables[i].ravel()])
-        for i in range(nw)
-    ]
+    return _pack_slot_blobs(np.asarray(tokens, dtype=np.int64), w, nw, depth, width, seed)
 
 
 def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
                           depth: int, width: int, seed: int) -> list[bytes]:
-    """Serialized CMSs for an ARBITRARY per-token slot assignment (cross-doc
-    generalization of ``leaf_window_blobs`` — see hll.partial_blobs_by_slot):
-    ``depth`` hash passes + ``depth`` bincounts cover every slot in the
-    batch at once. Blob i is byte-identical to a CMS updated with exactly
-    the tokens whose slot == i."""
-    keys = np.asarray(tokens, dtype=np.int64)
-    s = np.asarray(slots, dtype=np.int64)
-    tables = np.empty((n_slots, depth, width), dtype=np.int64)
-    for r in range(depth):
-        b = (hash64(keys, seed + 1000003 * r) % _U64(width)).astype(np.int64)
-        tables[:, r, :] = np.bincount(s * width + b, minlength=n_slots * width).reshape(n_slots, width)
-    totals = np.bincount(s, minlength=n_slots)
-    return [
-        base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])], [tables[i].ravel()])
-        for i in range(n_slots)
-    ]
+    """Serialized CMS nodes for an ARBITRARY per-token slot assignment
+    (cross-doc generalization of ``leaf_window_blobs`` — see
+    hll.partial_blobs_by_slot). Blob i covers exactly the tokens whose
+    slot == i, in the same canonical sparse/dense form as every other build
+    path (so per-doc and batched builds stay byte-identical)."""
+    return _pack_slot_blobs(tokens, slots, n_slots, depth, width, seed)
 
 
 def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int) -> np.ndarray:
@@ -311,44 +379,147 @@ def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int) -> np.nd
     return mats
 
 
+_CMS_SP_NNZ_OFFSET = 4 + 4 * 8
+_CMS_SP_TOK_OFFSET = 4 + 5 * 8 + 1 + 9
+
+
+def _sp_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(tokens, counts) of a sparse node blob without base.unpack overhead."""
+    (nnz,) = struct.unpack_from("<q", b, _CMS_SP_NNZ_OFFSET)
+    toks = np.frombuffer(b, dtype=np.int64, count=nnz, offset=_CMS_SP_TOK_OFFSET)
+    cnts = np.frombuffer(b, dtype=np.int64, count=nnz,
+                         offset=_CMS_SP_TOK_OFFSET + 8 * nnz + 9)
+    return toks, cnts
+
+
+def blob_params(b: bytes) -> tuple[int, int, int]:
+    """(depth, width, seed) of a dense OR sparse CMS node blob."""
+    b = bytes(b)
+    if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP):
+        raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+    d, w, s = struct.unpack_from("<3q", b, 4)
+    return int(d), int(w), int(s)
+
+
+def densify_blob(b: bytes) -> bytes:
+    """Dense-format bytes of any CMS node blob: identity on dense, exact
+    densification (CMS linearity) on sparse — byte-identical to the table
+    ``CountMinSketch.update`` would have produced from the same content."""
+    b = bytes(b)
+    if b[0] == _MAGIC_CMS:
+        return b
+    _, (depth, width, seed, total, _nnz), (toks, cnts) = base.unpack(b)
+    table = np.zeros(depth * width, dtype=np.int64)
+    for r in range(depth):
+        bk = (hash64(toks, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+        np.add.at(table, r * width + bk, cnts)
+    return base.pack(_MAGIC_CMS, [depth, width, seed, int(total)], [table])
+
+
 def window_totals(blobs: list[bytes]) -> np.ndarray:
-    """EXACT token count of each blob's window (every update adds 1 to every
-    table row, so the stored total is exact — no estimation involved)."""
+    """EXACT token count of each blob's window (dense: every update adds 1
+    to every table row; sparse: sum of pair counts — both store it in the
+    same header slot)."""
     out = np.empty(len(blobs), dtype=np.int64)
     for i, b in enumerate(blobs):
         b = bytes(b)
-        if b[0] != _MAGIC_CMS:
+        if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP):
             raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
         (out[i],) = struct.unpack_from("<q", b, _CMS_TOTAL_OFFSET)
     return out
 
 
 def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width: int, seed: int) -> list[bytes]:
-    """Merge consecutive groups of serialized CMSs (group i = the next
-    ``counts[i]`` blobs) in one vectorized grouped add — byte-identical to
-    chained ``.merge()`` (elementwise table add, totals add)."""
+    """Merge consecutive groups of serialized CMS nodes (group i = the next
+    ``counts[i]`` blobs), sparse/dense mixed. Output representation follows
+    the canonical content rule (sparse iff the merged content's nnz <=
+    sparse_max_nnz and no child had already densified — equivalent, since
+    nnz is monotone under merge): order-independent, and dense outputs are
+    byte-identical to the all-dense pipeline (elementwise add is exact)."""
     if not blobs:
         return []
-    mats = _blob_tables(blobs, depth, width, seed)
-    totals = window_totals(blobs)
+    blobs = [bytes(b) for b in blobs]
     counts = np.asarray(counts, dtype=np.int64)
-    starts = np.zeros(len(counts), dtype=np.int64)
+    ngroups = len(counts)
+    starts = np.zeros(ngroups, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    merged = base.grouped_reduce(np.add, mats, counts)
+    totals = window_totals(blobs)
     merged_tot = np.add.reduceat(totals, starts)
-    return [
-        base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[i])], [merged[i]])
-        for i in range(merged.shape[0])
-    ]
+    is_sp = np.fromiter((b[0] == _MAGIC_CMS_SP for b in blobs), dtype=bool, count=len(blobs))
+    if not is_sp.any():
+        mats = _blob_tables(blobs, depth, width, seed)
+        merged = base.grouped_reduce(np.add, mats, counts)
+        return [
+            base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[i])], [merged[i]])
+            for i in range(merged.shape[0])
+        ]
+    max_nnz = sparse_max_nnz(depth, width)
+    gid = np.repeat(np.arange(ngroups, dtype=np.int64), counts)
+    sp_idx = np.flatnonzero(is_sp)
+    pairs = [_sp_entries(blobs[i]) for i in sp_idx]
+    sp_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
+    sp_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
+    sp_gid = np.repeat(gid[sp_idx], [len(t) for t, _ in pairs])
+    if len(sp_tok):
+        u_tok, u_cnt, u_gid, g_nnz = _unique_slot_pairs(sp_tok, sp_gid, ngroups, weights=sp_cnt)
+    else:
+        u_tok = u_cnt = u_gid = np.empty(0, np.int64)
+        g_nnz = np.zeros(ngroups, dtype=np.int64)
+    has_dense = np.bincount(gid[~is_sp], minlength=ngroups) > 0
+    out_sparse = (~has_dense) & (g_nnz <= max_nnz)
+    dense_groups = np.flatnonzero(~out_sparse)
+    drow = np.full(ngroups, -1, dtype=np.int64)
+    if len(dense_groups):
+        drow[dense_groups] = np.arange(len(dense_groups))
+        acc = np.zeros((len(dense_groups), depth * width), dtype=np.int64)
+        dn_idx = np.flatnonzero(~is_sp)
+        if len(dn_idx):
+            mats = _blob_tables([blobs[i] for i in dn_idx], depth, width, seed)
+            np.add.at(acc, drow[gid[dn_idx]], mats)
+        sel = drow[u_gid] >= 0 if len(u_gid) else np.empty(0, dtype=bool)
+        if len(u_gid) and sel.any():
+            r_tok, r_cnt, r_row = u_tok[sel], u_cnt[sel], drow[u_gid[sel]]
+            for r in range(depth):
+                bk = (hash64(r_tok, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+                np.add.at(acc, (r_row, r * width + bk), r_cnt)
+    sp_bounds = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(g_nnz, out=sp_bounds[1:])
+    out: list[bytes] = []
+    for g in range(ngroups):
+        if out_sparse[g]:
+            sl = slice(sp_bounds[g], sp_bounds[g + 1])
+            out.append(base.pack(_MAGIC_CMS_SP,
+                                 [depth, width, seed, int(merged_tot[g]), int(g_nnz[g])],
+                                 [u_tok[sl], u_cnt[sl]]))
+        else:
+            out.append(base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[g])],
+                                 [acc[drow[g]]]))
+    return out
 
 
 def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int, seed: int) -> np.ndarray:
     """(len(blobs), len(keys)) frequency estimates in one vectorized pass —
-    same min-over-rows math as ``CountMinSketch.estimate`` per blob."""
+    min-over-rows per dense blob (``CountMinSketch.estimate``), EXACT lookup
+    per sparse blob (still within the overestimate-only eps*N contract:
+    exact is the zero-error case)."""
     if not blobs:
         return np.empty((0, len(keys)), dtype=np.int64)
     keys = np.asarray(keys, dtype=np.int64)
-    mats = _blob_tables(blobs, depth, width, seed).reshape(len(blobs), depth, width)
-    buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
-    ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])  # (depth, nb, nk)
-    return ests.min(axis=0)
+    blobs = [bytes(b) for b in blobs]
+    is_sp = np.fromiter((b[0] == _MAGIC_CMS_SP for b in blobs), dtype=bool, count=len(blobs))
+    out = np.empty((len(blobs), len(keys)), dtype=np.int64)
+    dn = np.flatnonzero(~is_sp)
+    if len(dn):
+        mats = _blob_tables([blobs[i] for i in dn], depth, width, seed).reshape(len(dn), depth, width)
+        buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
+        ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])  # (depth, nb, nk)
+        out[dn] = ests.min(axis=0)
+    for i in np.flatnonzero(is_sp):
+        t, c = _sp_entries(blobs[i])
+        vals = np.zeros(len(keys), dtype=np.int64)
+        if len(t):
+            pos = np.minimum(np.searchsorted(t, keys), len(t) - 1)
+            hit = t[pos] == keys
+            vals[hit] = c[pos[hit]]
+        out[i] = vals
+    return out

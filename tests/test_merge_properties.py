@@ -122,16 +122,22 @@ def test_phased_window_partials_merge_to_stream_windows(stream, cut_points, span
         for i, b in enumerate(hll.leaf_window_blobs(piece, span, P, S, phase=offset % span)):
             parts_h.setdefault(first_w + i, []).append(b)
         offset += len(piece)
+    whole_c = cms.leaf_window_blobs(arr, span, D, W, S)
+    whole_h = hll.leaf_window_blobs(arr, span, P, S)
     for w, flat in parts_c.items():
         merged = cms.merge_blob_groups(flat, np.array([len(flat)]), D, W, S)[0]
+        # canonical-form equality with the whole-stream build path, and
+        # dense-form equality with the object path
+        assert merged == whole_c[w]
         ref = cms.CountMinSketch(D, W, S)
         ref.update(arr[w * span : (w + 1) * span])
-        assert merged == ref.to_bytes()
+        assert cms.densify_blob(merged) == ref.to_bytes()
     for w, flat in parts_h.items():
         merged = hll.merge_blob_groups(flat, np.array([len(flat)]), P)[0]
+        assert merged == whole_h[w]
         ref = hll.HyperLogLog(p=P, seed=S)
         ref.update(arr[w * span : (w + 1) * span])
-        assert merged == ref.to_bytes()
+        assert hll.densify_blob(merged) == ref.to_bytes()
 
 
 @pytest.mark.parametrize("kind", ["hll", "cms", "kll"])

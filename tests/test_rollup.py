@@ -141,39 +141,98 @@ def built_cms(spark):
 
 
 def test_cms_kernel_byte_identity():
-    """Vectorized window kernels == object-path CMS, byte for byte
-    (leaf build, grouped merge, estimates)."""
+    """Canonical window nodes: densify_blob(kernel output) == object-path
+    CMS byte for byte (leaf build, grouped merge); representation follows
+    the pure content rule (sparse IFF nnz <= sparse_max_nnz); estimates
+    are EXACT on sparse nodes, min-over-rows on dense."""
     from hierarchical_bloom_filter_index_spark.sketches import cms
 
     rng = np.random.default_rng(5)
     toks = rng.integers(0, 5000, 1000).astype(np.int64)
+    # W=128 -> sparse_max_nnz=192 > any 64-token window: leaves stay sparse
     D, W, S, span = 3, 128, 17, 64
     blobs = cms.leaf_window_blobs(toks, span, D, W, S)
     assert len(blobs) == (len(toks) + span - 1) // span
+    max_nnz = cms.sparse_max_nnz(D, W)
     for i, b in enumerate(blobs):
+        sl = toks[i * span : (i + 1) * span]
         ref = cms.CountMinSketch(D, W, S)
-        ref.update(toks[i * span : (i + 1) * span])
-        assert ref.to_bytes() == b
+        ref.update(sl)
+        assert cms.densify_blob(b) == ref.to_bytes()
+        assert (b[0] == cms._MAGIC_CMS_SP) == (len(np.unique(sl)) <= max_nnz)
     counts = np.full(len(blobs) // 2, 2, dtype=np.int64)
     for i, b in enumerate(cms.merge_blob_groups(blobs[: len(counts) * 2], counts, D, W, S)):
+        sl = toks[i * 2 * span : (i + 1) * 2 * span]
         ref = cms.CountMinSketch(D, W, S)
-        ref.update(toks[i * 2 * span : (i + 1) * 2 * span])
-        assert ref.to_bytes() == b
+        ref.update(sl)
+        assert cms.densify_blob(b) == ref.to_bytes()
+        assert (b[0] == cms._MAGIC_CMS_SP) == (len(np.unique(sl)) <= max_nnz)
     keys = np.array([1, 2, 3, 4999], dtype=np.int64)
     est = cms.estimate_blobs(blobs, keys, D, W, S)
+    # leaf 0 is sparse -> exact counts for the probes
+    exact0 = np.array([(toks[:span] == k).sum() for k in keys])
+    assert np.array_equal(est[0], exact0)
+    # a DENSE blob estimates min-over-rows like the object path
+    dense0 = cms.densify_blob(blobs[0])
     ref0 = cms.CountMinSketch(D, W, S)
     ref0.update(toks[:span])
-    assert np.array_equal(est[0], ref0.estimate(keys))
+    assert np.array_equal(cms.estimate_blobs([dense0], keys, D, W, S)[0], ref0.estimate(keys))
     assert np.array_equal(cms.window_totals(blobs),
                           [min(span, len(toks) - i * span) for i in range(len(blobs))])
     with pytest.raises(ValueError):
-        cms.estimate_blobs(blobs, keys, D, 64, S)  # param mismatch refused
+        cms.estimate_blobs([dense0], keys, D, 64, S)  # param mismatch refused
+
+
+def test_cms_hll_mixed_representation_merge():
+    """Sparse/dense MIXED groups merge correctly and order-independently:
+    force densification with tiny dense params, merge [sparse, dense],
+    [dense, sparse], and shuffled orders — identical dense bytes every time,
+    equal to the object path over the concatenated content."""
+    from hierarchical_bloom_filter_index_spark.sketches import cms, hll
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 4000, 300).astype(np.int64)   # wide content -> dense
+    b = rng.integers(0, 50, 20).astype(np.int64)      # narrow content -> sparse
+    D, W, S = 2, 64, 3                                 # max_nnz = 64
+    blob_a = cms.leaf_window_blobs(a, 512, D, W, S)[0]
+    blob_b = cms.leaf_window_blobs(b, 512, D, W, S)[0]
+    assert blob_a[0] == cms._MAGIC_CMS and blob_b[0] == cms._MAGIC_CMS_SP
+    ref = cms.CountMinSketch(D, W, S)
+    ref.update(np.concatenate([a, b]))
+    m1 = cms.merge_blob_groups([blob_a, blob_b], np.array([2]), D, W, S)[0]
+    m2 = cms.merge_blob_groups([blob_b, blob_a], np.array([2]), D, W, S)[0]
+    assert m1 == m2 == ref.to_bytes()
+    # all-sparse group that must DENSIFY (union nnz > max)
+    c = np.arange(40, dtype=np.int64)
+    d = np.arange(40, 80, dtype=np.int64)
+    bc = cms.leaf_window_blobs(c, 64, D, W, S)[0]
+    bd = cms.leaf_window_blobs(d, 64, D, W, S)[0]
+    assert bc[0] == bd[0] == cms._MAGIC_CMS_SP
+    refcd = cms.CountMinSketch(D, W, S)
+    refcd.update(np.concatenate([c, d]))
+    mcd = cms.merge_blob_groups([bc, bd], np.array([2]), D, W, S)[0]
+    assert mcd[0] == cms._MAGIC_CMS and mcd == refcd.to_bytes()
+
+    P, HS = 4, 9                                       # hll max_nnz = 2
+    ha = hll.leaf_window_blobs(a, 512, P, HS)[0]
+    hb = hll.leaf_window_blobs(b[:2], 512, P, HS)[0]
+    assert ha[0] == hll._MAGIC and hb[0] == hll._MAGIC_HLL_SP
+    href = hll.HyperLogLog(P, HS)
+    href.update(np.concatenate([a, b[:2]]))
+    h1 = hll.merge_blob_groups([ha, hb], np.array([2]), P)[0]
+    h2 = hll.merge_blob_groups([hb, ha], np.array([2]), P)[0]
+    assert h1 == h2 == href.to_bytes()
+    # multi-group call with mixed output representations in one batch
+    got = cms.merge_blob_groups([blob_a, blob_b, bc, blob_b], np.array([2, 1, 1]), D, W, S)
+    assert got[0] == ref.to_bytes() and got[1] == bc and got[2] == blob_b
 
 
 def test_cms_rollup_byte_equal_scratch(spark, built_cms):
-    """CMS is linear: every rolled-up parent == from-scratch build of its
-    window, byte for byte (stronger than the HLL register-equality law)."""
-    from hierarchical_bloom_filter_index_spark.sketches import CountMinSketch
+    """CMS is linear: every rolled-up parent densifies to the from-scratch
+    build of its window, byte for byte (stronger than the HLL
+    register-equality law), and the stored form is canonical (sparse IFF
+    nnz <= sparse_max_nnz — pure function of the window's content)."""
+    from hierarchical_bloom_filter_index_spark.sketches import CountMinSketch, cms
 
     corp, idx = built_cms
     for L in (0, 1):
@@ -183,7 +242,10 @@ def test_cms_rollup_byte_equal_scratch(spark, built_cms):
         toks = np.asarray(doc["tokens"], dtype=np.int64)[row["w_id"] * span : (row["w_id"] + 1) * span]
         scratch = CountMinSketch(3, 256, CFG.seed + 11)
         scratch.update(toks)
-        assert scratch.to_bytes() == bytes(row["sketch"])
+        blob = bytes(row["sketch"])
+        assert cms.densify_blob(blob) == scratch.to_bytes()
+        assert (blob[0] == cms._MAGIC_CMS_SP) == \
+            (len(np.unique(toks)) <= cms.sparse_max_nnz(3, 256))
 
 
 def test_cms_window_estimates_overestimate_within_eps(spark, built_cms):
@@ -549,6 +611,8 @@ def test_global_window_sketches_byte_exact_vs_stream(spark, built_global):
         from_bytes,
     )
 
+    from hierarchical_bloom_filter_index_spark.sketches import cms as cms_k
+
     stream, cms_idx, hll_idx = built_global
     for L in (CFG.deepest, 1, 0):
         span = CFG.span(L)
@@ -556,7 +620,10 @@ def test_global_window_sketches_byte_exact_vs_stream(spark, built_global):
             sl = stream[r["w_id"] * span : (r["w_id"] + 1) * span]
             ref = CountMinSketch(3, 256, CFG.seed + 11)
             ref.update(sl)
-            assert ref.to_bytes() == bytes(r["sketch"])
+            blob = bytes(r["sketch"])
+            assert cms_k.densify_blob(blob) == ref.to_bytes()
+            assert (blob[0] == cms_k._MAGIC_CMS_SP) == \
+                (len(np.unique(sl)) <= cms_k.sparse_max_nnz(3, 256))
         for r in hll_idx.filter(F.col("level") == L).limit(12).collect():
             sl = stream[r["w_id"] * span : (r["w_id"] + 1) * span]
             ref = HyperLogLog(p=12, seed=CFG.seed + 7)

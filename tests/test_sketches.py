@@ -174,25 +174,34 @@ def test_hll_roundtrip():
 
 @pytest.mark.parametrize("p,window", [(12, 32), (8, 64), (4, 16)])
 def test_hll_vectorized_kernels_byte_identical(p, window):
-    """leaf_window_blobs / merge_blob_groups must be BYTE-identical to the
-    per-window object path; estimate_blobs matches estimate() to float
-    summation-order noise."""
+    """Canonical window nodes: densify_blob(leaf) is BYTE-identical to the
+    per-window object path, representation follows the pure content rule
+    (sparse IFF nnz <= sparse_max_nnz), grouped merges equal chained
+    .merge() after densification AND preserve the rule, and estimates are
+    EXACT on sparse nodes / match estimate() on dense ones."""
     from hierarchical_bloom_filter_index_spark.sketches.hll import (
+        _MAGIC_HLL_SP,
+        densify_blob,
         estimate_blobs,
         leaf_window_blobs,
         merge_blob_groups,
+        sparse_max_nnz,
     )
 
     toks = RNG.integers(0, 5000, size=1037).astype(np.int64)
     fast = leaf_window_blobs(toks, window, p, seed=99)
-    slow = []
+    slow, nnzs = [], []
     for w in range((len(toks) + window - 1) // window):
+        sl = toks[w * window : (w + 1) * window]
         sk = HyperLogLog(p=p, seed=99)
-        sk.update(toks[w * window : (w + 1) * window])
+        sk.update(sl)
         slow.append(sk.to_bytes())
-    assert fast == slow
+        nnzs.append(len(np.unique(sl)))
+    assert [densify_blob(b) for b in fast] == slow
+    for b, nnz in zip(fast, nnzs):
+        assert (b[0] == _MAGIC_HLL_SP) == (nnz <= sparse_max_nnz(p))
     # grouped merge (pairs + a trailing singleton) vs .merge()
-    counts, flat, exp = [], [], []
+    counts, flat, exp, seg_nnz = [], [], [], []
     i = 0
     while i < len(fast):
         k = 2 if i + 1 < len(fast) else 1
@@ -202,11 +211,18 @@ def test_hll_vectorized_kernels_byte_identical(p, window):
         for b in fast[i + 1 : i + k]:
             acc = acc.merge(HyperLogLog.from_bytes(b))
         exp.append(acc.to_bytes())
+        seg_nnz.append(len(np.unique(toks[i * window : (i + k) * window])))
         i += k
-    assert merge_blob_groups(flat, np.asarray(counts), p) == exp
+    got = merge_blob_groups(flat, np.asarray(counts), p)
+    assert [densify_blob(b) for b in got] == exp
+    for b, nnz in zip(got, seg_nnz):
+        assert (b[0] == _MAGIC_HLL_SP) == (nnz <= sparse_max_nnz(p))
     est_fast = estimate_blobs(fast, p)
-    est_slow = np.array([HyperLogLog.from_bytes(b).estimate() for b in fast])
-    assert np.allclose(est_fast, est_slow, rtol=1e-12)
+    for w, b in enumerate(fast):
+        if b[0] == _MAGIC_HLL_SP:
+            assert est_fast[w] == nnzs[w]  # sparse nodes answer exactly
+        else:
+            assert np.isclose(est_fast[w], HyperLogLog.from_bytes(b).estimate(), rtol=1e-12)
     # garbage magic refused; empty inputs are empty outputs
     with pytest.raises(ValueError, match="magic"):
         estimate_blobs([b"\x09" + bytes(64 + (1 << p))], p)
