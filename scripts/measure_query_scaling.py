@@ -95,6 +95,18 @@ def main() -> None:
     qmap = E.queries()
     result: dict[str, dict] = {"sf0.1": {}, "sf0.5x": {}, "rows": {}}
     for tag, sf_dir in [("sf0.1", SRC), ("sf0.5x", SCALED)]:
+        # ONE scale resident at a time (as a real deployment would be): the
+        # first sweep ran both scales' persisted indexes in one storage pool
+        # and eviction churn polluted the 5x rows 3-30x.
+        for v in list(E._CACHE.values()):
+            for item in v if isinstance(v, tuple) else (v,):
+                if hasattr(item, "unpersist"):
+                    try:
+                        item.unpersist(blocking=True)
+                    except Exception:
+                        pass
+        E._CACHE.clear()
+        spark.catalog.clearCache()
         corpus = E._corpus(spark, sf_dir)
         # python-worker / Arrow warmup so builds measure steady state
         corpus.limit(64).mapInPandas(lambda it: it, schema=corpus.schema).count()
