@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 SCALED = "/root/repo/scratch/sf0.5docs"
+# extra scale points (replica count -> dir); HBI_SWEEP_SCALES=5,25 selects
+SCALE_DIRS = {5: SCALED, 25: "/root/repo/scratch/sf2.5docs"}
 
 SWEEP = [
     "hbi_pattern_present",
@@ -53,7 +55,7 @@ SWEEP = [
 ]
 
 
-def build_scaled_docs(spark, reps: int = 5) -> None:
+def build_scaled_docs(spark, reps: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet").withColumn(
@@ -64,13 +66,15 @@ def build_scaled_docs(spark, reps: int = 5) -> None:
     for r in range(reps):
         d = docs
         if r:
+            # gcd(7, 26) = 1 -> distinct shifts for r < 26: every replica is
+            # an isomorphic copy with (mostly) disjoint shingles
             k = (7 * r) % 26
             d = d.withColumn("text", F.translate("text", alpha, alpha[k:] + alpha[:k]))
         parts.append(d.withColumn("doc_id", F.concat(F.lit(f"r{r}-"), "doc_id")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(f"{SCALED}/documents.parquet")
+    out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
 def main() -> None:
@@ -89,12 +93,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as E
 
-    if not os.path.exists(f"{SCALED}/documents.parquet"):
-        build_scaled_docs(spark)
+    scales = [int(x) for x in os.environ.get("HBI_SWEEP_SCALES", "5").split(",")]
+    points = [("sf0.1", SRC)]
+    for k in scales:
+        d = SCALE_DIRS[k]
+        if not os.path.exists(f"{d}/documents.parquet"):
+            build_scaled_docs(spark, k, d)
+        points.append((f"{k}x", d))
 
     qmap = E.queries()
-    result: dict[str, dict] = {"sf0.1": {}, "sf0.5x": {}, "rows": {}}
-    for tag, sf_dir in [("sf0.1", SRC), ("sf0.5x", SCALED)]:
+    result: dict[str, dict] = {tag: {} for tag, _ in points}
+    result["rows"] = {}
+    for tag, sf_dir in points:
         # ONE scale resident at a time (as a real deployment would be): the
         # first sweep ran both scales' persisted indexes in one storage pool
         # and eviction churn polluted the 5x rows 3-30x.
@@ -127,18 +137,23 @@ def main() -> None:
             result["rows"].setdefault(name, {})[tag] = n
             print(f"# {tag} {name}: {n} rows in {best:.2f}s", file=sys.stderr)
 
-    data_ratio = result["sf0.5x"]["tokens"] / result["sf0.1"]["tokens"]
-    result["data_ratio"] = round(data_ratio, 3)
+    tags = [t for t, _ in points]
+    result["data_ratios"] = {
+        t: round(result[t]["tokens"] / result["sf0.1"]["tokens"], 3) for t in tags
+    }
+    hdr = " | ".join(f"{t} s" for t in tags)
+    rat = " | ".join(f"{t}/base" for t in tags[1:])
     lines = [
-        "| query | sf0.1 s | 5x s | time ratio | rows 0.1 -> 5x |",
-        "|---|---|---|---|---|",
+        f"| query | {hdr} | {rat} | rows {tags[0]} -> {tags[-1]} |",
+        "|" + "---|" * (2 * len(tags) + 1),
     ]
     for name in ["index_build"] + SWEEP:
-        a, b = result["sf0.1"][name], result["sf0.5x"][name]
+        vals = [result[t][name] for t in tags]
+        ratios = " | ".join(f"{v / vals[0]:.2f}x" for v in vals[1:])
         rows = result["rows"].get(name, {})
         lines.append(
-            f"| {name} | {a:.2f} | {b:.2f} | {b / a:.2f}x | "
-            f"{rows.get('sf0.1', '-')} -> {rows.get('sf0.5x', '-')} |"
+            f"| {name} | " + " | ".join(f"{v:.2f}" for v in vals)
+            + f" | {ratios} | {rows.get(tags[0], '-')} -> {rows.get(tags[-1], '-')} |"
         )
     table = "\n".join(lines)
     print(table)
