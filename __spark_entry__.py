@@ -836,6 +836,47 @@ def q_global_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "q", F.round("est", 3).alias("est"))
 
 
+def q_stream_sketch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming-maintained GLOBAL CMS window-sketch index
+    (streaming.incremental_global_window_sketch_stream): the corpus arrives
+    as TWO micro-batch files in doc_id order, each commit persists only its
+    boundary-suffix DELTA, and the reassembled index's EXACT window totals
+    are returned — totals are exact (CMS is linear), so the entire
+    stream-maintenance path (delta layout, cutoff slicing, boundary
+    re-merge) is SQL-oracle-checked against the closed-form stream
+    geometry."""
+    import tempfile
+    import time as _time
+
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_cms_window_totals,
+    )
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        incremental_global_window_sketch_stream,
+        read_global_window_sketch_stream,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_sketch_stream_")
+    inp = f"{base}/in"
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    corpus.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(inp)
+    _time.sleep(1.1)  # file source orders by mtime: chunk 2 must sort later
+    corpus.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_global_window_sketch_stream(
+        spark, inp, f"{base}/chk", f"{base}/work", CFG.with_(axis="global"),
+        family="cms",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sketch stream drain exceeded 300s")
+    idx, _total = read_global_window_sketch_stream(spark, f"{base}/work")
+    return global_cms_window_totals(idx).select(
+        "level", "w_id", F.col("n_window").cast("long").alias("n_window")
+    )
+
+
 def q_cms_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-window probe-token frequencies via the dyadic CMS
     rollup (coarse levels merged from children — byte-exact, CMS is linear).
@@ -1434,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
         "range_quantiles": q_range_quantiles,
+        "stream_sketch_totals": q_stream_sketch_totals,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
         "global_range_quantiles": q_global_range_quantiles,
@@ -1762,6 +1804,18 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        # streamed sketch index totals: pure stream geometry — every level's
+        # windows tile [0, N) dyadically with exact token counts
+        "stream_sketch_totals": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)}),
+w AS (
+  SELECT lv.level, span, n,
+         unnest(generate_series(0, CAST((n + span - 1) // span - 1 AS BIGINT))) AS w_id
+  FROM tot, lv WHERE n > 0)
+SELECT CAST(level AS INT) AS level, CAST(w_id AS BIGINT) AS w_id,
+       CAST(LEAST(span, n - w_id * span) AS BIGINT) AS n_window
+FROM w""",
         "global_range_totals": f"""WITH {CORPUS_CTE},
 tot AS (SELECT SUM(n_tok) AS n FROM corpus),
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)})

@@ -835,6 +835,15 @@ def global_kll_window_totals(kll_index: DataFrame) -> DataFrame:
                           "level int, w_id long, n_window long")
 
 
+def global_cms_window_totals(cms_index: DataFrame) -> DataFrame:
+    """(level, w_id, n_window) — EXACT stream-window token counts from the
+    global CMS index (the stored total is exact; sparse or dense node)."""
+    from ..sketches.cms import window_totals
+
+    return _totals_reader(cms_index, ("level", "w_id"), window_totals,
+                          "level int, w_id long, n_window long")
+
+
 def global_range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(a, b, est_distinct) per STREAM leaf-window range [a, b) — dyadic
     cover nodes merge into the exact range HLL (doc-axis twin:
@@ -869,17 +878,17 @@ def global_range_freq_estimates(cms_index: DataFrame, ranges, probe_tokens, deep
     )
 
 
-def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
-                                   n_so_far: int, slot_blobs, merge_groups) -> DataFrame:
-    """Incremental STREAM append for a global window-sketch index: the new
-    batch continues the stream at token position ``n_so_far`` (the EXACT
-    token count already indexed — the GlobalStreamState contract of
-    streaming/incremental.py). Only the boundary leaf window is re-merged
-    and, per coarser level, only the suffix of windows with a touched child
-    is recomputed — O(new tokens + log * suffix) sketch rows, never a token
-    rescan of old data. Result is byte-equal to a from-scratch build of the
-    concatenated corpus (merges are commutative). Returned frame is
-    persisted (caller unpersists), as the builders do."""
+def global_window_append_delta(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                               n_so_far: int, slot_blobs, merge_groups):
+    """The DELTA of a stream append to a global window-sketch index:
+    per level L, exactly the windows ``w_id >= boundary >> (deepest - L)``
+    are (re)written — the re-merged boundary suffix plus every new window —
+    and nothing below the cutoff is touched. This is the same version-delta
+    contract as the Bloom stream's commits (streaming/incremental.py), so
+    delta-per-commit persistence + cutoff-sliced reads work unchanged for
+    the sketch family. Returns ``(delta, boundary, frames)`` — delta is the
+    union of per-level suffix frames, ``frames`` are the persisted
+    intermediates the CALLER unpersists after materializing delta."""
     from pyspark import StorageLevel
 
     from ..corpus import with_global_offsets
@@ -901,43 +910,105 @@ def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: H
                               GLOBAL_SKETCH_SCHEMA, _merge_partitions(children_rows))
 
     frames = []
-    # leaf: windows < boundary are untouched; the boundary window re-merges
-    # its old (complete-so-far) sketch with the new partials
+    # leaf: the boundary window re-merges its old (complete-so-far) sketch
+    # with the new partials; windows below the boundary are untouched
     old_leaf = index.filter(F.col("level") == deepest)
-    upd = merged(
+    cur = merged(
         old_leaf.filter(F.col("w_id") >= boundary)
         .select("level", "w_id", "sketch")
         .unionByName(new_partials)
-    )
-    cur = (
-        old_leaf.filter(F.col("w_id") < boundary)
-        .select("level", "w_id", "sketch")
-        .unionByName(upd)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     frames.append(cur)
     for L in range(deepest - 1, -1, -1):
         child_cut = boundary >> (deepest - (L + 1))
         pcut = child_cut // 2
-        recomputed = merged(
-            cur.filter(F.col("w_id") >= 2 * pcut)
-            .select(F.lit(L).alias("level"), (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
-        )
-        cur = (
-            index.filter((F.col("level") == L) & (F.col("w_id") < pcut))
+        # children of the recomputed parents: the level-(L+1) delta (all
+        # w_id >= child_cut, inductively) plus at most ONE untouched old
+        # child per level (the even sibling when child_cut is odd)
+        children = (
+            index.filter(
+                (F.col("level") == L + 1)
+                & (F.col("w_id") >= 2 * pcut) & (F.col("w_id") < child_cut)
+            )
             .select("level", "w_id", "sketch")
-            .unionByName(recomputed)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .unionByName(cur.select("level", "w_id", "sketch"))
         )
+        cur = merged(
+            children.select(F.lit(L).alias("level"),
+                            (F.col("w_id") / 2).cast("long").alias("w_id"), "sketch")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         frames.append(cur)
-    out = frames[0]
+    delta = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        delta = delta.unionByName(f)
+    return delta, boundary, frames
+
+
+def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                                   n_so_far: int, slot_blobs, merge_groups) -> DataFrame:
+    """Incremental STREAM append for a global window-sketch index: the new
+    batch continues the stream at token position ``n_so_far`` (the EXACT
+    token count already indexed — the GlobalStreamState contract of
+    streaming/incremental.py). Only the boundary leaf window is re-merged
+    and, per coarser level, only the suffix of windows with a touched child
+    is recomputed — O(new tokens + log * suffix) sketch rows, never a token
+    rescan of old data (see global_window_append_delta). Result is
+    byte-equal to a from-scratch build of the concatenated corpus (merges
+    are commutative). Returned frame is persisted (caller unpersists), as
+    the builders do."""
+    from pyspark import StorageLevel
+
+    delta, boundary, frames = global_window_append_delta(
+        index, new_docs, cfg, n_so_far, slot_blobs, merge_groups
+    )
+    deepest = cfg.deepest
+    untouched = index.filter(
+        F.expr(f"w_id < shiftright(CAST({int(boundary)} AS BIGINT), {deepest} - level)")
+    ).select("level", "w_id", "sketch")
+    out = untouched.unionByName(delta).persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     for f in frames:
         f.unpersist()
     return out
+
+
+def window_sketch_family(cfg: HbiConfig, family: str, **kw):
+    """(slot_blobs, merge_groups, builder) for a global window-sketch
+    family — the single dispatch point the batch builders, incremental
+    append, and the Structured Streaming maintenance all share, so every
+    path uses the same kernels (and hence the same canonical sparse/dense
+    node representation). ``kw``: cms -> depth/width, hll -> p, kll -> k."""
+    if family == "cms":
+        from ..sketches import cms as k
+
+        depth, width = int(kw.pop("depth", 3)), int(kw.pop("width", 256))
+        seed = cfg.seed + 11
+        return (
+            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
+            lambda flat, counts: k.merge_blob_groups(flat, counts, depth, width, seed),
+            lambda corpus, c: build_global_cms_window_index(corpus, c, depth=depth, width=width),
+        )
+    if family == "hll":
+        from ..sketches import hll as k
+
+        p = int(kw.pop("p", 12))
+        seed = cfg.seed + 7
+        return (
+            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, p, seed),
+            lambda flat, counts: k.merge_blob_groups(flat, counts, p),
+            lambda corpus, c: build_global_hll_window_index(corpus, c, p=p),
+        )
+    if family == "kll":
+        from ..sketches import kll as k
+
+        kk = int(kw.pop("k", 200))
+        seed = cfg.seed + 13
+        return (
+            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, kk, seed),
+            lambda flat, counts: k.merge_blob_groups(flat, counts),
+            lambda corpus, c: build_global_kll_window_index(corpus, c, k=kk),
+        )
+    raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
 
 
 def append_global_cms_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,

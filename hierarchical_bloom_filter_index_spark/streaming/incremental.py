@@ -285,9 +285,147 @@ def incremental_global_index_stream(
     )
 
 
+def incremental_global_window_sketch_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    work_dir: str,
+    cfg: HbiConfig,
+    family: str = "cms",
+    family_kw: dict | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Structured Streaming maintenance for a GLOBAL window-SKETCH index
+    (family = 'cms' | 'hll' | 'kll') with DELTA commits — the sketch twin of
+    ``incremental_global_index_stream``. Each micro-batch writes ONLY the
+    re-merged boundary suffix per level plus the batch's new windows
+    (rollup.global_window_append_delta: at level L exactly the windows
+    ``w_id >= boundary >> (log2(tree_span) - L)`` — the same version-delta
+    contract as the Bloom stream, so ``_assemble_deltas`` reassembles the
+    exact index from per-(version, level) literal slices unchanged).
+
+    State is simpler than the Bloom stream's: window sketches need no
+    n-gram tail, only the exact token count so far. Crash safety identical:
+    SKETCH_STATE.json is swapped in only after the delta lands, replayed
+    batch_ids are skipped. ``read_global_window_sketch_stream`` time-travels
+    by version; ``compact_global_window_sketch_stream`` folds history."""
+    import json
+    import os
+
+    from ..operators import rollup as R
+
+    if cfg.axis != "global":
+        raise ValueError("incremental_global_window_sketch_stream needs cfg.axis='global'")
+    slot_blobs, merge_groups, builder = R.window_sketch_family(cfg, family, **(family_kw or {}))
+    os.makedirs(work_dir, exist_ok=True)
+    meta_path = os.path.join(work_dir, "SKETCH_STATE.json")
+    stream = spark.readStream.schema(CORPUS_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    ).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
+        if meta is not None and batch_id <= meta["last_batch_id"]:
+            return  # replayed batch after failure: already applied
+        n_batch = batch_df.agg(F.coalesce(F.sum("n_tok"), F.lit(0))).first()[0]
+        frames: list = []
+        if meta is None:
+            delta = builder(with_global_offsets(batch_df), cfg)
+            boundaries = [0]
+            total = int(n_batch)
+        else:
+            index = _assemble_deltas(
+                spark, work_dir, meta["boundaries"], cfg.tree_span, cfg.levels,
+                prefix="sv",
+            )
+            delta, _leaf_boundary, frames = R.global_window_append_delta(
+                index, batch_df, cfg, meta["total_tokens"], slot_blobs, merge_groups
+            )
+            # token-unit boundary: cutoff(L) = tokens >> (log2_tree - L)
+            # equals the leaf-unit contract because tree_span = leaf << deepest
+            boundaries = list(meta["boundaries"]) + [int(meta["total_tokens"])]
+            total = int(meta["total_tokens"]) + int(n_batch)
+        delta.write.mode("overwrite").partitionBy("level").parquet(
+            os.path.join(work_dir, f"sv{len(boundaries) - 1}")
+        )
+        for f in frames:
+            f.unpersist()
+        history = (list(meta.get("history", [])) if meta is not None else [])
+        history.append({"total_tokens": total})
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"family": family, "boundaries": boundaries,
+                 "tree_span": int(cfg.tree_span),
+                 "levels": [int(L) for L in cfg.levels],
+                 "total_tokens": total, "history": history,
+                 "last_batch_id": int(batch_id)},
+                f,
+            )
+        os.replace(tmp, meta_path)  # atomic pointer swap
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_global_window_sketch_stream(
+    spark: SparkSession, work_dir: str, version: int | None = None
+) -> tuple[DataFrame, int]:
+    """Open a stream-maintained global window-sketch index: (index frame,
+    total tokens indexed). ``version=k`` time-travels to commit k exactly
+    (same slicing proof as read_global_stream_index — version k was the
+    last writer of every window it holds at that point)."""
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(work_dir, "SKETCH_STATE.json")))
+    boundaries = meta["boundaries"]
+    latest = len(boundaries) - 1
+    if version is None or version == latest:
+        idx = _assemble_deltas(spark, work_dir, boundaries, meta["tree_span"],
+                               meta["levels"], prefix="sv")
+        return idx, int(meta["total_tokens"])
+    if not 0 <= version < latest:
+        raise ValueError(f"version {version} not retained (have 0..{latest})")
+    history = meta.get("history")
+    if history is None or len(history) != latest + 1:
+        raise ValueError("no per-version history in SKETCH_STATE.json")
+    idx = _assemble_deltas(spark, work_dir, boundaries[: version + 1],
+                           meta["tree_span"], meta["levels"], prefix="sv")
+    return idx, int(history[version]["total_tokens"])
+
+
+def compact_global_window_sketch_stream(spark: SparkSession, work_dir: str) -> None:
+    """Fold all sketch-stream delta versions into a single sv0 (snapshot
+    expiry; answers and continuation state unchanged)."""
+    import json
+    import os
+    import shutil
+
+    meta = json.load(open(os.path.join(work_dir, "SKETCH_STATE.json")))
+    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"],
+                            meta["levels"], prefix="sv")
+    tmp_dir = os.path.join(work_dir, "sv0_compact_tmp")
+    full.write.mode("overwrite").partitionBy("level").parquet(tmp_dir)
+    for k in range(len(meta["boundaries"])):
+        shutil.rmtree(os.path.join(work_dir, f"sv{k}"), ignore_errors=True)
+    os.replace(tmp_dir, os.path.join(work_dir, "sv0"))
+    meta["boundaries"] = [0]
+    if "history" in meta:
+        meta["history"] = [meta["history"][-1]]
+    tmp = os.path.join(work_dir, "SKETCH_STATE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(work_dir, "SKETCH_STATE.json"))
+
+
 def _assemble_deltas(
     spark: SparkSession, work_dir: str, boundaries: list[int], tree_span: int,
-    levels: list[int],
+    levels: list[int], prefix: str = "v",
 ) -> DataFrame:
     """Exact current index = union over (version k, level L) of delta_k's
     rows in [cutoff_k(L), cutoff_{k+1}(L)) — one branch per version and
@@ -300,7 +438,7 @@ def _assemble_deltas(
     log2_tree = int(math.log2(tree_span))
     parts = []
     for k, b in enumerate(boundaries):
-        df = spark.read.parquet(os.path.join(work_dir, f"v{k}"))
+        df = spark.read.parquet(os.path.join(work_dir, f"{prefix}{k}"))
         nxt = boundaries[k + 1] if k + 1 < len(boundaries) else None
         for L in levels:
             sl = df.filter(

@@ -268,3 +268,110 @@ def test_expire_segments_metadata_only(spark, tmp_path):
     # and something strictly older was evicted
     assert idx.count() > len(exp)
     idx.unpersist()
+
+
+def _sstate(df):
+    return sorted(
+        (r["level"], r["w_id"], bytes(r["sketch"]))
+        for r in df.select("level", "w_id", "sketch").collect()
+    )
+
+
+def test_structured_streaming_window_sketch_index(spark, tmp_path):
+    """Sketch-family delta-commit streaming: each micro-batch commits only
+    the boundary-suffix delta (rollup.global_window_append_delta), the
+    reassembled index is BYTE-equal to a from-scratch batch build after
+    every drain (CMS add and HLL max are order-independent; nodes keep
+    their canonical sparse/dense form across the append path), restarts
+    resume from the committed state, version reads time-travel, and
+    compaction folds history. KLL (order-dependent merge bytes) is checked
+    via its EXACT window item counts instead."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cms_window_index,
+        build_global_hll_window_index,
+        build_global_kll_window_index,
+        global_kll_window_totals,
+    )
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        compact_global_window_sketch_stream,
+        incremental_global_window_sketch_stream,
+        read_global_window_sketch_stream,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, vocab=4096, seed=9, axis="global")
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    full = C.generate_corpus(spark, sf=0.002, seed=47).cache()
+    ids = sorted(r["doc_id"] for r in full.select("doc_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    parts = [
+        full.filter(F.col("doc_id") < c1),
+        full.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        full.filter(F.col("doc_id") >= c2),
+    ]
+    for p in parts[:2]:
+        p.coalesce(1).write.mode("append").parquet(inp)
+        time.sleep(1.1)
+
+    def run(family, tag):
+        q = incremental_global_window_sketch_stream(
+            spark, inp, str(tmp_path / f"chk_{tag}"), str(tmp_path / f"w_{tag}"),
+            cfg, family=family,
+        )
+        assert q.awaitTermination(180)
+        return read_global_window_sketch_stream(spark, str(tmp_path / f"w_{tag}"))
+
+    two = parts[0].unionByName(parts[1])
+    n_two = two.agg(F.sum("n_tok")).first()[0]
+
+    # CMS: full lifecycle
+    idx, total = run("cms", "cms")
+    ref2 = build_global_cms_window_index(with_global_offsets(two), cfg)
+    assert _sstate(idx) == _sstate(ref2) and total == n_two
+
+    # restart: third file lands, new query on the same checkpoint resumes
+    parts[2].coalesce(1).write.mode("append").parquet(inp)
+    idx, total = run("cms", "cms")
+    ref_full = build_global_cms_window_index(with_global_offsets(full), cfg)
+    scratch = _sstate(ref_full)
+    assert _sstate(idx) == scratch
+    assert total == full.agg(F.sum("n_tok")).first()[0]
+
+    # DELTA property: later commits persist only boundary+batch windows
+    for v in (1, 2):
+        n_delta = spark.read.parquet(str(tmp_path / "w_cms" / f"sv{v}")).count()
+        assert 0 < n_delta < len(scratch)
+
+    # TIME TRAVEL: version k == batch build over the first k+1 chunks
+    ref1 = build_global_cms_window_index(with_global_offsets(parts[0]), cfg)
+    for v, pref_idx, pref_df in ((0, ref1, parts[0]), (1, ref2, two)):
+        idx_v, tot_v = read_global_window_sketch_stream(
+            spark, str(tmp_path / "w_cms"), version=v
+        )
+        assert _sstate(idx_v) == _sstate(pref_idx)
+        assert tot_v == pref_df.agg(F.sum("n_tok")).first()[0]
+    with pytest.raises(ValueError, match="not retained"):
+        read_global_window_sketch_stream(spark, str(tmp_path / "w_cms"), version=7)
+
+    # compaction folds versions; answers unchanged, history expired
+    compact_global_window_sketch_stream(spark, str(tmp_path / "w_cms"))
+    idx_c, tot_c = read_global_window_sketch_stream(spark, str(tmp_path / "w_cms"))
+    assert _sstate(idx_c) == scratch and tot_c == total
+    with pytest.raises(ValueError, match="not retained"):
+        read_global_window_sketch_stream(spark, str(tmp_path / "w_cms"), version=1)
+
+    # HLL: byte-equal after one drain over all three files
+    idx_h, tot_h = run("hll", "hll")
+    ref_h = build_global_hll_window_index(with_global_offsets(full), cfg)
+    assert _sstate(idx_h) == _sstate(ref_h)
+
+    # KLL: merge bytes are order-dependent — compare the EXACT per-window
+    # item counts (and the bound-level contract is covered in test_rollup)
+    idx_k, tot_k = run("kll", "kll")
+    ref_k = build_global_kll_window_index(with_global_offsets(full), cfg)
+    assert sorted(map(tuple, global_kll_window_totals(idx_k).collect())) == \
+        sorted(map(tuple, global_kll_window_totals(ref_k).collect()))
+    for r in (ref2, ref_full, ref1, ref_h, ref_k):
+        r.unpersist()
+    full.unpersist()
