@@ -1134,6 +1134,33 @@ def q_global_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the batch operator's DESIGN POINT: many-pattern workloads (dedup/filter
+# lists). Measured crossover vs per-pattern singles is ~5 patterns; at 16
+# the shared cascade is ~8x faster than 16 singles (BENCH/BASELINE.md).
+WIDE_BATCH_PATTERNS = [
+    [ord(c) for c in w]
+    for w in ("merge", "index", "bloom", "filter", "spark", "tokens",
+              "window", "stream", "partition", "shuffle", "sketch", "search",
+              "level", "batch", "hash", "range")
+]
+
+
+def q_global_pattern_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-pattern batched global search — the many-pattern regime the batch
+    cascade exists for (one shared level scan, per-pattern masks). Exact
+    (pattern_id, gpos), oracle = union of per-pattern brute-force scans."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_pattern_search_batch,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_pattern_search_batch(
+        gcorp, gidx, _global_cfg(spark, sf_dir), WIDE_BATCH_PATTERNS,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
 def q_global_pattern_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global pattern search on a STRIDED one-stream index: only n-grams at
     STREAM positions = 0 mod stride are indexed (the build applies stride to
@@ -1442,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_rare": q_pattern(PAT_RARE),
         "hbi_pattern_batch": q_pattern_batch,
         "hbi_global_pattern_batch": q_global_pattern_batch,
+        "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "window_membership": q_window_membership,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
@@ -1525,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_markov": _pattern_oracle(PAT_RARE),
         "hbi_pattern_batch": _pattern_batch_oracle(BATCH_PATTERNS),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
+        "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),

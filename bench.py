@@ -143,6 +143,8 @@ def main() -> None:
         "hbi_global_pattern",
         # several patterns through ONE shared global cascade
         "hbi_global_pattern_batch",
+        # the batch design point: 16 patterns, one cascade (~8x vs singles)
+        "hbi_global_pattern_batch_wide",
         "global_range_totals",
         "global_range_quantiles",
         "events_hourly",

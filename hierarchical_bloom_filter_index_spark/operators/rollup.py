@@ -972,6 +972,23 @@ def append_increment_global_window(index: DataFrame, new_docs: DataFrame, cfg: H
     return out
 
 
+def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
+                               family: str = "cms", **kw) -> DataFrame:
+    """Doc-axis incremental append for a window-sketch index: windows are
+    per-document, so the new documents' whole trees simply union in —
+    insert() at batch granularity, the sketch twin of
+    streaming.append_increment. Byte-equal to a full rebuild over old+new
+    docs (per-doc builds are independent; zero shuffles)."""
+    builders = {
+        "cms": build_cms_window_index,
+        "hll": build_hll_window_index,
+        "kll": build_kll_window_index,
+    }
+    if family not in builders:
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
+    return index.unionByName(builders[family](new_docs, cfg, **kw))
+
+
 def window_sketch_family(cfg: HbiConfig, family: str, **kw):
     """(slot_blobs, merge_groups, builder) for a global window-sketch
     family — the single dispatch point the batch builders, incremental

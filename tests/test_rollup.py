@@ -745,3 +745,31 @@ def test_expire_window_index_horizon(spark, built_global):
         assert ((L, w) in after) == expected_kept
         if expected_kept:
             assert after[(L, w)] == blob
+
+
+def test_append_window_sketch_index_doc_axis(spark):
+    """Doc-axis sketch append == full rebuild, byte for byte (per-doc trees
+    are independent: append is a pure union, zero shuffles)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        append_window_sketch_index,
+        build_cms_window_index,
+    )
+
+    full = C.generate_corpus(spark, sf=0.002, seed=31).cache()
+    ids = sorted(r["doc_id"] for r in full.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    old = build_cms_window_index(full.filter(F.col("doc_id") < mid), CFG)
+    appended = append_window_sketch_index(
+        old, full.filter(F.col("doc_id") >= mid), CFG, family="cms"
+    )
+    rebuilt = build_cms_window_index(full, CFG)
+    key = lambda df: sorted(
+        (r["doc_id"], r["level"], r["w_id"], bytes(r["sketch"])) for r in df.collect()
+    )
+    assert key(appended) == key(rebuilt)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="family"):
+        append_window_sketch_index(old, full, CFG, family="nope")
+    for df in (old, rebuilt):
+        df.unpersist()
+    full.unpersist()
