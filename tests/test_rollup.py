@@ -773,3 +773,38 @@ def test_append_window_sketch_index_doc_axis(spark):
     for df in (old, rebuilt):
         df.unpersist()
     full.unpersist()
+
+
+def test_window_sketch_segmented_expire_roundtrip(spark, tmp_path):
+    """The GLOBAL window-sketch index persists through the same segmented
+    (level, w_seg) layout as the Bloom index: metadata-only segment drops,
+    read-back rows byte-equal to expire_window_index over the live table —
+    the full lifecycle (build / append / stream / EXPIRE+PERSIST) now holds
+    for the sketch family too."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cms_window_index,
+        expire_window_index,
+    )
+    from hierarchical_bloom_filter_index_spark.sources.io import (
+        expire_segments,
+        read_index_expired,
+        write_index_segmented,
+    )
+
+    cfg = CFG.with_(axis="global")
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=19))
+    idx = build_global_cms_window_index(corp, cfg)
+    path = str(tmp_path / "gsketch_seg")
+    write_index_segmented(idx, path, seg_bits=2)
+    horizon = int(idx.filter(F.col("level") == cfg.deepest).count() // 2)
+    dropped = expire_segments(spark, path, cfg, horizon, seg_bits=2)
+    assert dropped > 0
+
+    def rows(df):
+        return sorted((r["level"], r["w_id"], bytes(r["sketch"]))
+                      for r in df.select("level", "w_id", "sketch").collect())
+
+    assert rows(read_index_expired(spark, path, cfg, horizon)) == \
+        rows(expire_window_index(idx, cfg, horizon))
+    idx.unpersist()
