@@ -187,3 +187,61 @@ def test_slot_kernels_equal_phased_per_doc_path(kind):
     else:
         got = kll.partial_blobs_by_slot(cat, slots, n_slots, 64, 3)
     assert len(got) == len(want) and got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_merge_blob_groups_randomized_mixed_representation(data):
+    """Randomized differential for the canonical sparse/dense node merge:
+    random streams / widths / window sizes / group partitions produce
+    arbitrary sparse-dense mixes; every merged group must densify to the
+    object-path sketch of its concatenated content, keep the pure content
+    rule (sparse IFF nnz <= sparse_max_nnz), and be byte-identical under a
+    shuffled within-group child order."""
+    from hierarchical_bloom_filter_index_spark.sketches import cms, hll
+
+    n = data.draw(st.integers(min_value=10, max_value=400))
+    vocab = data.draw(st.sampled_from([8, 64, 2000]))
+    toks = np.asarray(
+        data.draw(st.lists(st.integers(0, vocab), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    window = data.draw(st.sampled_from([8, 32]))
+    D, W, S = 2, data.draw(st.sampled_from([16, 64])), 5
+    P = data.draw(st.sampled_from([4, 6]))
+    nw = (n + window - 1) // window
+    counts = []
+    i = 0
+    while i < nw:
+        k = data.draw(st.integers(1, min(4, nw - i)))
+        counts.append(k)
+        i += k
+    counts = np.asarray(counts, dtype=np.int64)
+
+    cblobs = cms.leaf_window_blobs(toks, window, D, W, S)
+    hblobs = hll.leaf_window_blobs(toks, window, P, S)
+    cgot = cms.merge_blob_groups(cblobs, counts, D, W, S)
+    hgot = hll.merge_blob_groups(hblobs, counts, P)
+    i = 0
+    for g, k in enumerate(counts):
+        seg = toks[i * window : (i + k) * window]
+        nnz = len(np.unique(seg))
+        cref = cms.CountMinSketch(D, W, S)
+        cref.update(seg)
+        assert cms.densify_blob(cgot[g]) == cref.to_bytes()
+        assert (cgot[g][0] == cms._MAGIC_CMS_SP) == (nnz <= cms.sparse_max_nnz(D, W))
+        href = hll.HyperLogLog(P, S)
+        href.update(seg)
+        assert hll.densify_blob(hgot[g]) == href.to_bytes()
+        assert (hgot[g][0] == hll._MAGIC_HLL_SP) == (nnz <= hll.sparse_max_nnz(P))
+        if k >= 2:  # shuffled within-group child order -> identical bytes
+            children_c = cblobs[i : i + k]
+            children_h = hblobs[i : i + k]
+            perm = data.draw(st.permutations(list(range(k))))
+            assert cms.merge_blob_groups(
+                [children_c[j] for j in perm], np.array([k]), D, W, S
+            )[0] == cgot[g]
+            assert hll.merge_blob_groups(
+                [children_h[j] for j in perm], np.array([k]), P
+            )[0] == hgot[g]
+        i += k
