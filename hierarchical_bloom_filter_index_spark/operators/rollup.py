@@ -776,29 +776,19 @@ def _global_window_sketch_plan(corpus: DataFrame, cfg: HbiConfig,
 
 def build_global_hll_window_index(corpus: DataFrame, cfg: HbiConfig, p: int = 12) -> DataFrame:
     """One HLL per (level, STREAM window): distinct tokens of any dyadic
-    slice of the concatenated stream, document boundaries invisible."""
-    from ..sketches.hll import merge_blob_groups, partial_blobs_by_slot
-
-    seed = cfg.seed + 7
-    return _build_global_window_sketch_index(
-        corpus, cfg,
-        lambda toks, slots, n_slots: partial_blobs_by_slot(toks, slots, n_slots, p, seed),
-        lambda flat, counts: merge_blob_groups(flat, counts, p),
-    )
+    slice of the concatenated stream, document boundaries invisible.
+    Kernels/seed resolved through window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "hll", p=p)
+    return builder(corpus, cfg)
 
 
 def build_global_cms_window_index(corpus: DataFrame, cfg: HbiConfig,
                                   depth: int = 3, width: int = 256) -> DataFrame:
     """One CMS per (level, STREAM window): token frequencies of any dyadic
-    stream slice; totals exact (linear merge of exact partials)."""
-    from ..sketches import cms as cms_kernels
-
-    seed = cfg.seed + 11
-    return _build_global_window_sketch_index(
-        corpus, cfg,
-        lambda toks, slots, n_slots: cms_kernels.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
-        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
-    )
+    stream slice; totals exact (linear merge of exact partials).
+    Kernels/seed resolved through window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "cms", depth=depth, width=width)
+    return builder(corpus, cfg)
 
 
 def build_global_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> DataFrame:
@@ -806,15 +796,10 @@ def build_global_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 20
     the concatenated stream, document boundaries invisible. Docs contribute
     phase-aligned PARTIAL KLLs of the stream windows they overlap; partials
     of a window merge into a valid window KLL (merge handles any split),
-    with the stream window's EXACT item count."""
-    from ..sketches import kll as kll_kernels
-
-    seed = cfg.seed + 13
-    return _build_global_window_sketch_index(
-        corpus, cfg,
-        lambda toks, slots, n_slots: kll_kernels.partial_blobs_by_slot(toks, slots, n_slots, k, seed),
-        lambda flat, counts: kll_kernels.merge_blob_groups(flat, counts),
-    )
+    with the stream window's EXACT item count. Kernels/seed resolved
+    through window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "kll", k=k)
+    return builder(corpus, cfg)
 
 
 def global_range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
@@ -978,7 +963,13 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
     per-document, so the new documents' whole trees simply union in —
     insert() at batch granularity, the sketch twin of
     streaming.append_increment. Byte-equal to a full rebuild over old+new
-    docs (per-doc builds are independent; zero shuffles)."""
+    docs (per-doc builds are independent; zero shuffles).
+
+    The returned frame is persisted and the new-docs build's own cache is
+    RELEASED here (the builders persist internally; returning a lazy union
+    over that hidden handle would leak it — the caller could never
+    unpersist it). Caller owns the final unpersist(), same contract as the
+    builders."""
     builders = {
         "cms": build_cms_window_index,
         "hll": build_hll_window_index,
@@ -986,69 +977,74 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
     }
     if family not in builders:
         raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
-    return index.unionByName(builders[family](new_docs, cfg, **kw))
+    from pyspark import StorageLevel
+
+    new_idx = builders[family](new_docs, cfg, **kw)
+    out = index.unionByName(new_idx).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    new_idx.unpersist()
+    return out
 
 
 def window_sketch_family(cfg: HbiConfig, family: str, **kw):
     """(slot_blobs, merge_groups, builder) for a global window-sketch
-    family — the single dispatch point the batch builders, incremental
-    append, and the Structured Streaming maintenance all share, so every
-    path uses the same kernels (and hence the same canonical sparse/dense
-    node representation). ``kw``: cms -> depth/width, hll -> p, kll -> k."""
+    family — THE single definition point for each family's kernels, seed
+    offset and default params. The batch builders (build_global_*), the
+    incremental append wrappers (append_global_*) and the Structured
+    Streaming maintenance all resolve through here, so every path uses the
+    same kernels (and hence the same canonical sparse/dense node
+    representation — a seed or width diverging between paths would make
+    their partials merge-incompatible). ``kw``: cms -> depth/width,
+    hll -> p, kll -> k; unknown options are REJECTED, not ignored."""
     if family == "cms":
         from ..sketches import cms as k
 
         depth, width = int(kw.pop("depth", 3)), int(kw.pop("width", 256))
         seed = cfg.seed + 11
-        return (
-            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
-            lambda flat, counts: k.merge_blob_groups(flat, counts, depth, width, seed),
-            lambda corpus, c: build_global_cms_window_index(corpus, c, depth=depth, width=width),
-        )
-    if family == "hll":
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, depth, width, seed)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(
+            flat, counts, depth, width, seed)
+    elif family == "hll":
         from ..sketches import hll as k
 
         p = int(kw.pop("p", 12))
         seed = cfg.seed + 7
-        return (
-            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, p, seed),
-            lambda flat, counts: k.merge_blob_groups(flat, counts, p),
-            lambda corpus, c: build_global_hll_window_index(corpus, c, p=p),
-        )
-    if family == "kll":
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, p, seed)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, p)
+    elif family == "kll":
         from ..sketches import kll as k
 
         kk = int(kw.pop("k", 200))
         seed = cfg.seed + 13
-        return (
-            lambda toks, slots, n_slots: k.partial_blobs_by_slot(toks, slots, n_slots, kk, seed),
-            lambda flat, counts: k.merge_blob_groups(flat, counts),
-            lambda corpus, c: build_global_kll_window_index(corpus, c, k=kk),
-        )
-    raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, kk, seed)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts)
+    else:
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
+    if kw:
+        raise ValueError(f"unknown {family} window-sketch options: {sorted(kw)}")
+
+    def builder(corpus: DataFrame, c: HbiConfig) -> DataFrame:
+        return _build_global_window_sketch_index(corpus, c, slot_blobs, merge_groups)
+
+    return slot_blobs, merge_groups, builder
 
 
 def append_global_cms_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
                                    n_so_far: int, depth: int = 3, width: int = 256) -> DataFrame:
-    from ..sketches import cms as cms_kernels
-
-    seed = cfg.seed + 11
+    slot_blobs, merge_groups, _b = window_sketch_family(cfg, "cms", depth=depth, width=width)
     return append_increment_global_window(
-        index, new_docs, cfg, n_so_far,
-        lambda toks, slots, n_slots: cms_kernels.partial_blobs_by_slot(toks, slots, n_slots, depth, width, seed),
-        lambda flat, counts: cms_kernels.merge_blob_groups(flat, counts, depth, width, seed),
+        index, new_docs, cfg, n_so_far, slot_blobs, merge_groups
     )
 
 
 def append_global_hll_window_index(index: DataFrame, new_docs: DataFrame, cfg: HbiConfig,
                                    n_so_far: int, p: int = 12) -> DataFrame:
-    from ..sketches.hll import merge_blob_groups, partial_blobs_by_slot
-
-    seed = cfg.seed + 7
+    slot_blobs, merge_groups, _b = window_sketch_family(cfg, "hll", p=p)
     return append_increment_global_window(
-        index, new_docs, cfg, n_so_far,
-        lambda toks, slots, n_slots: partial_blobs_by_slot(toks, slots, n_slots, p, seed),
-        lambda flat, counts: merge_blob_groups(flat, counts, p),
+        index, new_docs, cfg, n_so_far, slot_blobs, merge_groups
     )
 
 

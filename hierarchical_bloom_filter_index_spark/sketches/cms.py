@@ -514,12 +514,20 @@ def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
         buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
         ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])  # (depth, nb, nk)
         out[dn] = ests.min(axis=0)
-    for i in np.flatnonzero(is_sp):
-        t, c = _sp_entries(blobs[i])
-        vals = np.zeros(len(keys), dtype=np.int64)
-        if len(t):
-            pos = np.minimum(np.searchsorted(t, keys), len(t) - 1)
-            hit = t[pos] == keys
-            vals[hit] = c[pos[hit]]
-        out[i] = vals
+    sp = np.flatnonzero(is_sp)
+    if len(sp):
+        # batched exact lookup: concatenate every sparse blob's entries once
+        # and answer all probes with one vector pass per key (tokens are
+        # DISTINCT within a blob, so each (blob, key) has at most one hit) —
+        # a per-blob searchsorted loop here was the window_freq_estimates
+        # slow path when (as under default params) every leaf is sparse
+        pairs = [_sp_entries(blobs[i]) for i in sp]
+        all_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
+        all_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
+        row_of = np.repeat(np.arange(len(sp)), [len(t) for t, _ in pairs])
+        sp_out = np.zeros((len(sp), len(keys)), dtype=np.int64)
+        for j, k in enumerate(keys):
+            m = all_tok == k
+            sp_out[row_of[m], j] = all_cnt[m]
+        out[sp] = sp_out
     return out

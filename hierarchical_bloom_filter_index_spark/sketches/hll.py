@@ -10,6 +10,7 @@ Replaces the reference's fill-based distinct estimate
 from __future__ import annotations
 
 import math
+import struct
 
 import numpy as np
 
@@ -120,16 +121,12 @@ _HLL_SP_TOK_OFFSET = 4 + 3 * 8 + 1 + 9
 
 
 def _sp_tokens(b: bytes) -> np.ndarray:
-    import struct
-
     (nnz,) = struct.unpack_from("<q", b, _HLL_SP_NNZ_OFFSET)
     return np.frombuffer(b, dtype=np.int64, count=nnz, offset=_HLL_SP_TOK_OFFSET)
 
 
 def blob_p(b: bytes) -> int:
     """p of a dense OR sparse HLL node blob."""
-    import struct
-
     b = bytes(b)
     if b[0] not in (_MAGIC, _MAGIC_HLL_SP):
         raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
@@ -169,14 +166,11 @@ def _pack_slot_blobs(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
     if len(keys) == 0:
         empty = base.pack(_MAGIC_HLL_SP, [p, seed, 0], [np.empty(0, np.int64)])
         return [empty] * n_slots
-    # distinct (slot, token) pairs, sorted — one lexsort for the whole batch
-    order = np.lexsort((keys, s))
-    sk, ss = keys[order], s[order]
-    new = np.empty(len(sk), dtype=bool)
-    new[0] = True
-    new[1:] = (sk[1:] != sk[:-1]) | (ss[1:] != ss[:-1])
-    u_tok, u_slot = sk[new], ss[new]
-    nnz = np.bincount(u_slot, minlength=n_slots)
+    # distinct (slot, token) pairs, sorted — one lexsort for the whole
+    # batch (the shared canonical-dedup primitive; counts unused here)
+    from .cms import _unique_slot_pairs
+
+    u_tok, _u_cnt, u_slot, nnz = _unique_slot_pairs(keys, s, n_slots)
     bounds = np.zeros(n_slots + 1, dtype=np.int64)
     np.cumsum(nnz, out=bounds[1:])
     dense_slots = np.flatnonzero(nnz > max_nnz)
@@ -241,11 +235,9 @@ def estimate_blobs(blobs: list[bytes], p: int) -> np.ndarray:
     out = np.empty(len(blobs), dtype=np.float64)
     is_sp = np.fromiter((b[0] == _MAGIC_HLL_SP for b in blobs), dtype=bool, count=len(blobs))
     for i in np.flatnonzero(is_sp):
-        # sparse node: the stored set is exact — zero-error estimate
-        import struct
-
-        (nnz,) = struct.unpack_from("<q", blobs[i], _HLL_SP_NNZ_OFFSET)
-        out[i] = float(nnz)
+        # sparse node: the stored set is exact — zero-error estimate (one
+        # fixed-offset header read per blob, no register pass)
+        out[i] = float(struct.unpack_from("<q", blobs[i], _HLL_SP_NNZ_OFFSET)[0])
     dn = np.flatnonzero(~is_sp)
     if len(dn) == 0:
         return out
@@ -299,8 +291,6 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, p: int) -> list[by
         merged = base.grouped_reduce(np.maximum, mats, counts)
         header = bytes(blobs[0][:_REG_OFFSET])
         return [header + merged[i].tobytes() for i in range(merged.shape[0])]
-    import struct
-
     max_nnz = sparse_max_nnz(p)
     (seed,) = struct.unpack_from("<q", blobs[0], 12)
     gid = np.repeat(np.arange(ngroups, dtype=np.int64), counts)
@@ -309,15 +299,13 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, p: int) -> list[by
     sp_tok = np.concatenate(toks) if toks else np.empty(0, np.int64)
     sp_gid = np.repeat(gid[sp_idx], [len(t) for t in toks])
     if len(sp_tok):
-        order = np.lexsort((sp_tok, sp_gid))
-        sk, sg = sp_tok[order], sp_gid[order]
-        new = np.empty(len(sk), dtype=bool)
-        new[0] = True
-        new[1:] = (sk[1:] != sk[:-1]) | (sg[1:] != sg[:-1])
-        u_tok, u_gid = sk[new], sg[new]
+        from .cms import _unique_slot_pairs
+
+        u_tok, _u_cnt, u_gid, g_nnz = _unique_slot_pairs(sp_tok, sp_gid, ngroups)
     else:
         u_tok = u_gid = np.empty(0, np.int64)
-    g_nnz = np.bincount(u_gid, minlength=ngroups)
+        g_nnz = np.zeros(ngroups, dtype=np.int64)
+    g_nnz = np.asarray(g_nnz, dtype=np.int64)
     has_dense = np.bincount(gid[~is_sp], minlength=ngroups) > 0
     out_sparse = (~has_dense) & (g_nnz <= max_nnz)
     dense_groups = np.flatnonzero(~out_sparse)

@@ -240,6 +240,7 @@ def incremental_global_index_stream(
     ).parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _finish_fold(work_dir)  # recover an interrupted compaction, if any
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
         if meta is not None and batch_id <= meta["last_batch_id"]:
             return  # replayed batch after failure: already applied
@@ -324,6 +325,7 @@ def incremental_global_window_sketch_stream(
     ).parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _finish_fold(work_dir)  # recover an interrupted compaction, if any
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
         if meta is not None and batch_id <= meta["last_batch_id"]:
             return  # replayed batch after failure: already applied
@@ -348,6 +350,11 @@ def incremental_global_window_sketch_stream(
         delta.write.mode("overwrite").partitionBy("level").parquet(
             os.path.join(work_dir, f"sv{len(boundaries) - 1}")
         )
+        # release every cache this commit pinned: the first batch's builder
+        # returns a PERSISTED index (the builders' contract), later batches
+        # persist per-level delta frames — either way the commit's data now
+        # lives in the parquet delta, not the cache
+        delta.unpersist()
         for f in frames:
             f.unpersist()
         history = (list(meta.get("history", [])) if meta is not None else [])
@@ -382,6 +389,7 @@ def read_global_window_sketch_stream(
     import json
     import os
 
+    _finish_fold(work_dir)  # recover an interrupted compaction, if any
     meta = json.load(open(os.path.join(work_dir, "SKETCH_STATE.json")))
     boundaries = meta["boundaries"]
     latest = len(boundaries) - 1
@@ -401,26 +409,9 @@ def read_global_window_sketch_stream(
 
 def compact_global_window_sketch_stream(spark: SparkSession, work_dir: str) -> None:
     """Fold all sketch-stream delta versions into a single sv0 (snapshot
-    expiry; answers and continuation state unchanged)."""
-    import json
-    import os
-    import shutil
-
-    meta = json.load(open(os.path.join(work_dir, "SKETCH_STATE.json")))
-    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"],
-                            meta["levels"], prefix="sv")
-    tmp_dir = os.path.join(work_dir, "sv0_compact_tmp")
-    full.write.mode("overwrite").partitionBy("level").parquet(tmp_dir)
-    for k in range(len(meta["boundaries"])):
-        shutil.rmtree(os.path.join(work_dir, f"sv{k}"), ignore_errors=True)
-    os.replace(tmp_dir, os.path.join(work_dir, "sv0"))
-    meta["boundaries"] = [0]
-    if "history" in meta:
-        meta["history"] = [meta["history"][-1]]
-    tmp = os.path.join(work_dir, "SKETCH_STATE.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(work_dir, "SKETCH_STATE.json"))
+    expiry; answers and continuation state unchanged). Crash-safe via the
+    write-ahead fold marker (_fold_deltas)."""
+    _fold_deltas(spark, work_dir, "sv", "SKETCH_STATE.json")
 
 
 def _assemble_deltas(
@@ -472,6 +463,7 @@ def read_global_stream_index(
     import json
     import os
 
+    _finish_fold(work_dir)  # recover an interrupted compaction, if any
     meta = json.load(open(os.path.join(work_dir, "STATE.json")))
     boundaries = meta["boundaries"]
     history = meta.get("history")
@@ -493,25 +485,73 @@ def read_global_stream_index(
     return idx, GlobalStreamState(snap["total_tokens"], list(snap["tail"]))
 
 
-def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
-    """Fold all delta versions into a single v0 (bounding the read-time union
-    after many micro-batches — the LSM-compaction analog). State and answers
-    are unchanged; subsequent appends continue from the folded version."""
+_FOLD_MARKER = "FOLD_IN_PROGRESS.json"
+
+
+def _finish_fold(work_dir: str) -> None:
+    """Complete (or re-complete) a pending compaction fold. Idempotent at
+    every crash point AFTER the marker lands: if the fold tmp dir still
+    exists, the old delta dirs are removed and the tmp moved into the v0
+    slot; if it was already moved by an interrupted earlier attempt, only
+    the stale later versions are swept. The meta swap and marker removal
+    come last, so a reader either sees the old consistent state (marker +
+    old meta, recovery re-runs) or the new one."""
     import json
     import os
     import shutil
 
-    meta = json.load(open(os.path.join(work_dir, "STATE.json")))
-    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"], meta["levels"])
-    tmp_dir = os.path.join(work_dir, "v0_compact_tmp")
+    marker = os.path.join(work_dir, _FOLD_MARKER)
+    if not os.path.exists(marker):
+        return
+    info = json.load(open(marker))
+    prefix, n_versions = info["prefix"], int(info["n_versions"])
+    tmp_dir = os.path.join(work_dir, f"{prefix}0_compact_tmp")
+    if os.path.exists(tmp_dir):
+        for k in range(n_versions):
+            shutil.rmtree(os.path.join(work_dir, f"{prefix}{k}"), ignore_errors=True)
+        os.replace(tmp_dir, os.path.join(work_dir, f"{prefix}0"))
+    else:  # fold already moved into place; sweep stale later versions only
+        for k in range(1, n_versions):
+            shutil.rmtree(os.path.join(work_dir, f"{prefix}{k}"), ignore_errors=True)
+    state_path = os.path.join(work_dir, info["state_file"])
+    with open(state_path + ".tmp", "w") as f:
+        json.dump(info["meta"], f)
+    os.replace(state_path + ".tmp", state_path)
+    os.remove(marker)
+
+
+def _fold_deltas(spark: SparkSession, work_dir: str, prefix: str, state_file: str) -> None:
+    """Shared compaction body with a WRITE-AHEAD fold marker: the folded
+    parquet lands in a tmp dir first, then the marker (containing the final
+    meta) commits the fold atomically — a crash at any later point is
+    recovered by _finish_fold on the next read/compaction, so the index
+    never becomes unreadable (the old code deleted every delta dir before
+    renaming the fold into place, leaving a window where STATE pointed at
+    missing directories)."""
+    import json
+    import os
+
+    _finish_fold(work_dir)  # complete any previous interrupted fold first
+    meta = json.load(open(os.path.join(work_dir, state_file)))
+    full = _assemble_deltas(spark, work_dir, meta["boundaries"], meta["tree_span"],
+                            meta["levels"], prefix=prefix)
+    tmp_dir = os.path.join(work_dir, f"{prefix}0_compact_tmp")
     full.write.mode("overwrite").partitionBy("level").parquet(tmp_dir)
-    for k in range(len(meta["boundaries"])):
-        shutil.rmtree(os.path.join(work_dir, f"v{k}"), ignore_errors=True)
-    os.replace(tmp_dir, os.path.join(work_dir, "v0"))
-    meta["boundaries"] = [0]
+    new_meta = dict(meta)
+    new_meta["boundaries"] = [0]
     if "history" in meta:  # snapshot expiry: only the folded version survives
-        meta["history"] = [meta["history"][-1]]
-    tmp = os.path.join(work_dir, "STATE.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(work_dir, "STATE.json"))
+        new_meta["history"] = [meta["history"][-1]]
+    marker = os.path.join(work_dir, _FOLD_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"prefix": prefix, "n_versions": len(meta["boundaries"]),
+                   "state_file": state_file, "meta": new_meta}, f)
+    os.replace(marker + ".tmp", marker)  # <- the commit point
+    _finish_fold(work_dir)
+
+
+def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
+    """Fold all delta versions into a single v0 (bounding the read-time union
+    after many micro-batches — the LSM-compaction analog). State and answers
+    are unchanged; subsequent appends continue from the folded version.
+    Crash-safe via the write-ahead fold marker (_fold_deltas)."""
+    _fold_deltas(spark, work_dir, "v", "STATE.json")

@@ -375,3 +375,68 @@ def test_structured_streaming_window_sketch_index(spark, tmp_path):
     for r in (ref2, ref_full, ref1, ref_h, ref_k):
         r.unpersist()
     full.unpersist()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction interrupted at its worst point (fold tmp + marker
+    written, old delta dirs partially deleted, meta not yet swapped) must
+    recover on the next read: _finish_fold completes the fold idempotently
+    and the index reads back byte-equal to the pre-compaction state."""
+    import json
+    import shutil
+
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        _FOLD_MARKER,
+        _assemble_deltas,
+        incremental_global_window_sketch_stream,
+        read_global_window_sketch_stream,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, vocab=4096, seed=9, axis="global")
+    inp, work = str(tmp_path / "in"), str(tmp_path / "w")
+    os.makedirs(inp)
+    full = C.generate_corpus(spark, sf=0.002, seed=53).cache()
+    ids = sorted(r["doc_id"] for r in full.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    full.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    full.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_global_window_sketch_stream(
+        spark, inp, str(tmp_path / "chk"), work, cfg, family="cms"
+    )
+    assert q.awaitTermination(180)
+    before = _sstate(read_global_window_sketch_stream(spark, work)[0])
+
+    # replicate _fold_deltas exactly up to its commit point (fold tmp +
+    # marker), then crash mid-_finish_fold: sv1 deleted, sv0 still old,
+    # meta not swapped
+    meta = json.load(open(os.path.join(work, "SKETCH_STATE.json")))
+    assert len(meta["boundaries"]) == 2
+    folded = _assemble_deltas(spark, work, meta["boundaries"], meta["tree_span"],
+                              meta["levels"], prefix="sv")
+    folded.write.mode("overwrite").partitionBy("level").parquet(
+        os.path.join(work, "sv0_compact_tmp")
+    )
+    new_meta = dict(meta)
+    new_meta["boundaries"] = [0]
+    new_meta["history"] = [meta["history"][-1]]
+    with open(os.path.join(work, _FOLD_MARKER), "w") as f:
+        json.dump({"prefix": "sv", "n_versions": 2,
+                   "state_file": "SKETCH_STATE.json", "meta": new_meta}, f)
+    shutil.rmtree(os.path.join(work, "sv1"))  # the "crash" left sv1 gone
+
+    idx, total = read_global_window_sketch_stream(spark, work)  # recovers
+    assert _sstate(idx) == before
+    assert total == meta["total_tokens"]
+    assert not os.path.exists(os.path.join(work, _FOLD_MARKER))
+    assert not os.path.exists(os.path.join(work, "sv1"))
+    meta2 = json.load(open(os.path.join(work, "SKETCH_STATE.json")))
+    assert meta2["boundaries"] == [0]
+    # a SECOND crash flavor: fold already moved, marker still present
+    with open(os.path.join(work, _FOLD_MARKER), "w") as f:
+        json.dump({"prefix": "sv", "n_versions": 1,
+                   "state_file": "SKETCH_STATE.json", "meta": meta2}, f)
+    idx2, _ = read_global_window_sketch_stream(spark, work)
+    assert _sstate(idx2) == before
+    assert not os.path.exists(os.path.join(work, _FOLD_MARKER))
+    full.unpersist()
