@@ -307,6 +307,38 @@ def build_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> D
     )
 
 
+def build_mg_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 32) -> DataFrame:
+    """HEAVY-HITTERS index: one Misra-Gries summary per (doc, level, window),
+    built leaf-first then rolled up (flat sum-then-prune merges — see
+    sketches/spacesaving.py kernel notes: byte-deterministic in each node's
+    content, order-free). With ``k >= cfg.leaf_span`` leaves are EXACT
+    counter tables; coarser nodes carry the state-computable
+    (n - sum(counts))/(k+1) undercount bound, so any node (or dyadic range
+    merge of nodes) yields a CERTIFIED candidate superset of its phi-heavy
+    tokens — the sketch-prunes / exact-verification-decides contract of the
+    Bloom index, applied to frequency. Completes the per-window family:
+    HLL distinct / CMS frequency / KLL quantile / MG heavy hitters. Same
+    persistence contract as the other builders (caller unpersists)."""
+    from ..sketches import spacesaving as mgk
+
+    leaf_span = cfg.leaf_span
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: mgk.leaf_window_blobs(toks, leaf_span, k),
+        lambda flat, counts: mgk.merge_blob_groups(flat, counts, k),
+    )
+
+
+def mg_window_totals(mg_index: DataFrame) -> DataFrame:
+    """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the MG
+    n_total is exact and adds under merge), mirroring window_token_totals,
+    so the heavy-hitter rollup's geometry + coverage is SQL-oracle-checkable."""
+    from ..sketches.spacesaving import blob_totals
+
+    return _totals_reader(mg_index, ("doc_id", "level", "w_id"), blob_totals,
+                          "doc_id string, level int, w_id long, n_window long")
+
+
 def kll_window_totals(kll_index: DataFrame) -> DataFrame:
     """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the KLL item
     count is exact and merges add), so the whole quantile-rollup geometry +
@@ -617,6 +649,140 @@ def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> 
     )
 
 
+def _mg_range_cand_fn(key_cols, phi_num: int, phi_den: int):
+    """Per (range key): merge the O(log) covering MG nodes in ONE flat
+    sum-then-prune call (order-free, so the candidate set is deterministic
+    in the cover-node content) and emit the certified phi-heavy candidate
+    superset. Raises inside the task when the merged bound cannot certify
+    (k+1 <= phi_den/phi_num) — loud refusal, never silent under-reporting."""
+    from ..sketches import spacesaving as mgk
+
+    def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            k = mgk.blob_k(flat[0])
+            merged = mgk.merge_blob_groups(flat, counts, k)
+            cands = mgk.heavy_candidate_blobs(merged, phi_num, phi_den)
+            reps = np.asarray([len(t) for t, _ in cands], dtype=np.int64)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            total = int(reps.sum())
+            out["token"] = (np.concatenate([t for t, _ in cands])
+                            if total else np.empty(0, np.int64))
+            out["est_count"] = (np.concatenate([c for _, c in cands])
+                                if total else np.empty(0, np.int64))
+            yield out
+
+    return cand
+
+
+def range_heavy_candidates(mg_index: DataFrame, ranges, phi_num: int, phi_den: int,
+                           deepest: int) -> DataFrame:
+    """(doc_id, a, b, token, est_count): a CERTIFIED superset of the tokens
+    with frequency >= (phi_num/phi_den) * n_range in each queried leaf-window
+    range [a, b) — the O(log) covering MG nodes merge into a valid MG of the
+    range, whose candidate cut provably covers every heavy token. est_count
+    is an underestimate within the merged bound. Accepts (doc_id, a, b)
+    triples or all-docs (a, b) pairs (shared cover nodes broadcast)."""
+    return _joined_range_groups(mg_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _mg_range_cand_fn(_DOC_KEYS, phi_num, phi_den),
+        schema=_DOC_KEY_SCHEMA + ", token long, est_count long",
+    )
+
+
+def _heavy_verify(cand: DataFrame, sliced: DataFrame, phi_num: int, phi_den: int,
+                  key_cols) -> DataFrame:
+    """EXACT phi-heavy output from a candidate superset: explode the range
+    slices, count ONLY candidate tokens (the inner join bounds the aggregate
+    state to <= k tokens per range — the whole point of the MG index at
+    scale), keep counts >= phi * n_range in exact integer arithmetic."""
+    keys = list(key_cols)
+    ex = sliced.select(*keys, "nr",
+                       F.explode(F.col("rt").cast("array<long>")).alias("token"))
+    return (
+        ex.join(cand.select(*keys, "token"), keys + ["token"])
+        .groupBy(*keys, "nr", "token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * F.lit(int(phi_den)) >= F.col("nr") * F.lit(int(phi_num)))
+        .select(*keys, "token", "cnt")
+    )
+
+
+def range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
+                        phi_num: int, phi_den: int, leaf_span: int,
+                        deepest: int) -> DataFrame:
+    """(doc_id, a, b, token, cnt): the EXACT phi-heavy tokens of each queried
+    leaf-window range [a, b) per doc — MG candidates (guaranteed superset,
+    range_heavy_candidates) + one exact count over the range slice decides:
+    the same sketch-prunes / verification-decides contract as the Bloom
+    cascade, so the answer is SQL-oracle-checkable. The verification
+    aggregates ONLY candidate (doc, token) pairs (state bounded by k per
+    range, not the range's distinct-token count)."""
+    cand = range_heavy_candidates(mg_index, ranges, phi_num, phi_den, deepest)
+    uniq = list(dict.fromkeys((int(a), int(b)) for a, b in ranges))
+    rng = F.broadcast(corpus.sparkSession.createDataFrame(uniq, "a long, b long"))
+    span = int(leaf_span)
+    sliced = (
+        corpus.join(rng)
+        .select(
+            "doc_id", "a", "b",
+            F.expr(f"slice(tokens, a * {span} + 1, (b - a) * {span})").alias("rt"),
+            F.expr(
+                f"least(size(tokens), b * {span}) - least(size(tokens), a * {span})"
+            ).cast("long").alias("nr"),
+        )
+        .filter(F.col("nr") > 0)
+    )
+    return _heavy_verify(cand, sliced, phi_num, phi_den, _DOC_KEYS)
+
+
+def global_range_heavy_candidates(mg_index: DataFrame, ranges, phi_num: int,
+                                  phi_den: int, deepest: int) -> DataFrame:
+    """(a, b, token, est_count): certified heavy-token candidate superset per
+    STREAM leaf-window range — global twin of range_heavy_candidates."""
+    return _joined_range_groups(mg_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _mg_range_cand_fn(_GLOBAL_KEYS, phi_num, phi_den),
+        schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count long",
+    )
+
+
+def global_range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
+                               phi_num: int, phi_den: int, leaf_span: int,
+                               deepest: int) -> DataFrame:
+    """(a, b, token, cnt): EXACT phi-heavy tokens of each STREAM leaf-window
+    range [a, b) — candidates from the global MG index, verified by one
+    exact count over the stream slice. The slice never materializes the
+    stream: each doc contributes only its overlap with [a*span, b*span)
+    (doc_offset arithmetic — corpus must carry with_global_offsets columns),
+    and docs outside the range are filtered before the explode."""
+    cand = global_range_heavy_candidates(mg_index, ranges, phi_num, phi_den, deepest)
+    uniq = list(dict.fromkeys((int(a), int(b)) for a, b in ranges))
+    rng = F.broadcast(corpus.sparkSession.createDataFrame(uniq, "a long, b long"))
+    span = int(leaf_span)
+    sliced = (
+        corpus.join(rng)
+        .select(
+            "a", "b", "tokens",
+            F.expr(f"greatest(0L, a * {span} - doc_offset)").alias("_lo"),
+            F.expr(f"least(cast(size(tokens) as long), b * {span} - doc_offset)")
+            .alias("_hi"),
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "a", "b",
+            F.expr("slice(tokens, cast(_lo + 1 as int), cast(_hi - _lo as int))")
+            .alias("rt"),
+            (F.col("_hi") - F.col("_lo")).alias("_n_part"),
+        )
+    )
+    # n_range = total stream tokens in [a*span, b*span) = sum of per-doc
+    # overlaps — aggregated distributedly, joined back on the (tiny) range key
+    nr = sliced.groupBy("a", "b").agg(F.sum("_n_part").alias("nr"))
+    sliced = sliced.join(F.broadcast(nr), ["a", "b"]).select("a", "b", "nr", "rt")
+    return _heavy_verify(cand, sliced, phi_num, phi_den, _GLOBAL_KEYS)
+
+
 # ---------------------------------------------------------------------------
 # GLOBAL-axis window-sketch indexes: the reference's actual model is ONE
 # concatenated token stream (PMIndex/HBI.java insert/report) — stream
@@ -802,6 +968,26 @@ def build_global_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 20
     return builder(corpus, cfg)
 
 
+def build_global_mg_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 32) -> DataFrame:
+    """One Misra-Gries summary per (level, STREAM window): certified
+    heavy-hitter candidates of any dyadic slice of the concatenated stream,
+    document boundaries invisible. Docs contribute phase-aligned PARTIAL
+    summaries; a window's partials sum-then-prune into its node (exact
+    n_total, association-free undercount bound). Kernels resolved through
+    window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "mg", k=k)
+    return builder(corpus, cfg)
+
+
+def global_mg_window_totals(mg_index: DataFrame) -> DataFrame:
+    """(level, w_id, n_window) — EXACT stream-window item counts from the
+    global MG index (merged partials add their exact counts)."""
+    from ..sketches.spacesaving import blob_totals
+
+    return _totals_reader(mg_index, ("level", "w_id"), blob_totals,
+                          "level int, w_id long, n_window long")
+
+
 def global_range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
     """(a, b, q, est) per STREAM leaf-window range and quantile — the
     global twin of range_quantile_estimates (covering KLL nodes merge into
@@ -974,9 +1160,10 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
         "cms": build_cms_window_index,
         "hll": build_hll_window_index,
         "kll": build_kll_window_index,
+        "mg": build_mg_window_index,
     }
     if family not in builders:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg)")
     from pyspark import StorageLevel
 
     new_idx = builders[family](new_docs, cfg, **kw)
@@ -1021,8 +1208,17 @@ def window_sketch_family(cfg: HbiConfig, family: str, **kw):
         slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
             toks, slots, n_slots, kk, seed)
         merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts)
+    elif family == "mg":
+        from ..sketches import spacesaving as k
+
+        # Misra-Gries is deterministic (comparison-based, no hashing) — no
+        # seed; flat sum-then-prune merges are order-free byte-deterministic
+        kk = int(kw.pop("k", 32))
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, kk)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, kk)
     else:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg)")
     if kw:
         raise ValueError(f"unknown {family} window-sketch options: {sorted(kw)}")
 

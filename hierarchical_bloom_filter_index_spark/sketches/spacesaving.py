@@ -33,6 +33,8 @@ Summaries", PODS'12):
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from . import base
@@ -147,3 +149,193 @@ class MisraGries:
         magic, (k, n_total), (keys, counts) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_MG, "MisraGries")
         return cls(k, n_total, keys, counts)
+
+
+# ---------------------------------------------------------------------------
+# Window-index kernels (blob-level, vectorized) — the Misra-Gries member of
+# the window-sketch family (rollup.window_sketch_family "mg").
+#
+# Wire format: EXACTLY ``MisraGries.to_bytes()`` (magic 10, params [k,
+# n_total], arrays [keys, counts], keys sorted ascending), so every window
+# node round-trips through the object path unchanged.
+#
+# Merge discipline: a GROUP merge is "keywise sum of all children, then ONE
+# prune" (the Agarwal et al. mergeable-summaries merge applied flat). That
+# makes each flat merge a PURE FUNCTION of the child blob multiset — child
+# ORDER never changes the bytes (keywise sum commutes, the prune is
+# deterministic), unlike the object path's sequential fold which prunes per
+# step. The dyadic builds fix the merge TREE by geometry (leaf -> parent per
+# level), so every build/append path over the same content produces
+# byte-identical nodes; only arbitrary re-association (never used by an
+# index path) is merely bound-preserving. The (n_total - sum(counts))/(k+1)
+# error bound is association-free (each prune removes >= (k+1) * decrement
+# of mass), so estimates/candidates stay certified under ANY merge tree.
+#
+# With ``k >= leaf_span`` a leaf never prunes — leaf nodes are EXACT
+# (token, count) tables, the same sparse-exact economics as the CMS/HLL
+# sparse nodes (cms.py magic 12 rationale).
+# ---------------------------------------------------------------------------
+
+# magic B | version B | n_params H | k q | n_total q | n_arrays B
+# | keys: dtype B, len Q, data | counts: dtype B, len Q, data
+_MG_K_OFF = 4
+_MG_N_OFF = 12
+_MG_NNZ_OFF = 22
+_MG_KEYS_OFF = 30
+
+
+def _mg_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, counts) of an MG node blob without base.unpack overhead."""
+    (nnz,) = struct.unpack_from("<Q", b, _MG_NNZ_OFF)
+    keys = np.frombuffer(b, dtype=np.int64, count=nnz, offset=_MG_KEYS_OFF)
+    cnts = np.frombuffer(b, dtype=np.int64, count=nnz,
+                         offset=_MG_KEYS_OFF + 8 * nnz + 9)
+    return keys, cnts
+
+
+def _check_mg_blob(b: bytes, k: int) -> None:
+    if b[0] != _MAGIC_MG:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected MisraGries)")
+    (bk,) = struct.unpack_from("<q", b, _MG_K_OFF)
+    if bk != k:
+        raise ValueError(f"MisraGries blob k {bk} != {k}")
+
+
+def blob_k(b: bytes) -> int:
+    b = bytes(b)
+    if b[0] != _MAGIC_MG:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected MisraGries)")
+    (k,) = struct.unpack_from("<q", b, _MG_K_OFF)
+    return int(k)
+
+
+def blob_totals(blobs: list[bytes]) -> np.ndarray:
+    """EXACT item count of each blob's window (n_total adds under merge)."""
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] != _MAGIC_MG:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected MisraGries)")
+        (out[i],) = struct.unpack_from("<q", b, _MG_N_OFF)
+    return out
+
+
+def _prune_pair(keys: np.ndarray, counts: np.ndarray, k: int):
+    """One Misra-Gries prune of an exact/summed counter table to <= k."""
+    n = len(counts)
+    if n <= k:
+        return keys, counts
+    d = np.partition(counts, n - (k + 1))[n - (k + 1)]
+    keep = counts > d
+    return keys[keep], counts[keep] - int(d)
+
+
+def _pack_slot_summaries(keys: np.ndarray, slots: np.ndarray, n_slots: int,
+                         k: int) -> list[bytes]:
+    """One MG blob per slot from raw (key, slot) pairs — exact per-slot
+    counts in one lexsort pass (cms._unique_slot_pairs), pruned only where a
+    slot's nnz exceeds k."""
+    from .cms import _unique_slot_pairs
+
+    keys = np.asarray(keys, dtype=np.int64)
+    s = np.asarray(slots, dtype=np.int64)
+    if len(keys) == 0:
+        e = np.empty(0, np.int64)
+        return [base.pack(_MAGIC_MG, [k, 0], [e, e])] * n_slots
+    totals = np.bincount(s, minlength=n_slots)
+    u_tok, u_cnt, _u_slot, nnz = _unique_slot_pairs(keys, s, n_slots)
+    bounds = np.zeros(n_slots + 1, dtype=np.int64)
+    np.cumsum(nnz, out=bounds[1:])
+    out: list[bytes] = []
+    for i in range(n_slots):
+        sl = slice(bounds[i], bounds[i + 1])
+        tk, ct = _prune_pair(u_tok[sl], u_cnt[sl], k)
+        out.append(base.pack(_MAGIC_MG, [k, int(totals[i])], [tk, ct]))
+    return out
+
+
+def leaf_window_blobs(tokens: np.ndarray, window: int, k: int,
+                      phase: int = 0) -> list[bytes]:
+    """Serialized MG nodes for every consecutive ``window``-token slice of
+    ``tokens`` (leaf-index shape of cms.leaf_window_blobs). ``phase`` =
+    stream offset of tokens[0] within its window (global-axis partials)."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    nw = (phase + n + window - 1) // window
+    w = (phase + np.arange(n, dtype=np.int64)) // window
+    return _pack_slot_summaries(np.asarray(tokens, dtype=np.int64), w, nw, k)
+
+
+def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
+                          k: int) -> list[bytes]:
+    """MG nodes for an arbitrary per-token slot assignment (the cross-doc
+    global-leaf primitive — see cms.partial_blobs_by_slot)."""
+    return _pack_slot_summaries(tokens, slots, n_slots, k)
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, k: int) -> list[bytes]:
+    """Merge consecutive groups of MG node blobs (group i = the next
+    ``counts[i]`` blobs): keywise sum over the WHOLE group, then one prune —
+    byte-deterministic in the group's child multiset (order-free)."""
+    if not blobs:
+        return []
+    from .cms import _unique_slot_pairs
+
+    blobs = [bytes(b) for b in blobs]
+    counts = np.asarray(counts, dtype=np.int64)
+    ngroups = len(counts)
+    starts = np.zeros(ngroups, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    for b in blobs:
+        _check_mg_blob(b, k)
+    totals = blob_totals(blobs)
+    merged_tot = np.add.reduceat(totals, starts)
+    gid = np.repeat(np.arange(ngroups, dtype=np.int64), counts)
+    pairs = [_mg_entries(b) for b in blobs]
+    lens = [len(t) for t, _ in pairs]
+    all_tok = np.concatenate([t for t, _ in pairs]) if sum(lens) else np.empty(0, np.int64)
+    all_cnt = np.concatenate([c for _, c in pairs]) if sum(lens) else np.empty(0, np.int64)
+    tok_gid = np.repeat(gid, lens)
+    if len(all_tok):
+        u_tok, u_cnt, _u_gid, g_nnz = _unique_slot_pairs(all_tok, tok_gid, ngroups,
+                                                         weights=all_cnt)
+    else:
+        u_tok = u_cnt = np.empty(0, np.int64)
+        g_nnz = np.zeros(ngroups, dtype=np.int64)
+    bounds = np.zeros(ngroups + 1, dtype=np.int64)
+    np.cumsum(g_nnz, out=bounds[1:])
+    out: list[bytes] = []
+    for g in range(ngroups):
+        sl = slice(bounds[g], bounds[g + 1])
+        tk, ct = _prune_pair(u_tok[sl], u_cnt[sl], k)
+        out.append(base.pack(_MAGIC_MG, [k, int(merged_tot[g])], [tk, ct]))
+    return out
+
+
+def heavy_candidate_blobs(blobs: list[bytes], phi_num: int, phi_den: int
+                          ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per blob: candidate (keys, est_counts) covering EVERY key with true
+    frequency >= (phi_num/phi_den) * n_total — the heavy_hitters() superset
+    cut in exact integer arithmetic (a float rounding that excluded a heavy
+    key would be unsound). REFUSES (ValueError) when the state's error bound
+    cannot certify the superset (k too small for phi); sizing
+    k + 1 > phi_den/phi_num makes refusal impossible."""
+    if phi_num <= 0 or phi_den <= 0 or phi_num > phi_den:
+        raise ValueError(f"phi must be a fraction in (0, 1]: {phi_num}/{phi_den}")
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    for b in blobs:
+        b = bytes(b)
+        k = blob_k(b)
+        (n,) = struct.unpack_from("<q", b, _MG_N_OFF)
+        keys, cnts = _mg_entries(b)
+        resid = int(n) - int(cnts.sum())  # = err_bound * (k+1), exact
+        if n > 0 and resid * phi_den >= phi_num * n * (k + 1):
+            raise ValueError(
+                f"cannot certify phi={phi_num}/{phi_den} heavy hitters: "
+                f"err_bound {resid / (k + 1):.1f} >= phi*n — size k+1 > 1/phi"
+            )
+        # keep iff est + err >= phi*n  <=>  cnt*(k+1) + resid >= phi*n*(k+1)
+        keep = (cnts * (k + 1) + resid) * phi_den >= phi_num * int(n) * (k + 1)
+        out.append((keys[keep].copy(), cnts[keep].copy()))
+    return out
