@@ -787,6 +787,79 @@ def _kll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _mg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic Misra-Gries rollup index (heavy-hitter analog of _cms_index),
+    built once per sf_dir and persisted; totals + range-heavy-hitter queries
+    share it. k=32 >= leaf_span, so leaves are exact counter tables and
+    phi=1/16 candidate cuts can never refuse (k+1 > 16)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_mg_window_index,
+    )
+
+    key = ("mg_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_mg_window_index(_corpus(spark, sf_dir), CFG, k=32)
+    return _CACHE[key]
+
+
+# phi for the heavy-hitter range queries, as an exact fraction (1/16 of the
+# range's tokens): integer arithmetic end to end, so the Spark cut and the
+# DuckDB oracle cut decide identically at the boundary
+PHI_HH = (1, 16)
+
+
+def q_mg_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (doc, level, window) item counts read out of the Misra-Gries
+    heavy-hitter rollup — n_total is exact and merges add, so the whole
+    index's geometry AND coverage is SQL-checkable (same closed form as
+    cms_rollup_totals) even though candidate sets are bound-certified."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        mg_window_totals,
+    )
+
+    return mg_window_totals(_mg_index(spark, sf_dir))
+
+
+def q_range_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy tokens (freq >= n_range/16) of each queried
+    leaf-window range [a, b) per doc: the O(log) covering Misra-Gries nodes
+    merge into a CERTIFIED candidate superset; one exact count over the
+    range slice — aggregation state bounded by k=32 candidates per range,
+    not the range's distinct-token count — decides. The fifth member of the
+    dyadic range family (count/distinct/freq/quantile/heavy-hitters), and
+    the only one whose APPROXIMATE index yields an EXACT, oracle-checked
+    answer (sketch-prunes / verification-decides, like the Bloom cascade)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_heavy_hitters,
+    )
+
+    return range_heavy_hitters(
+        _mg_index(spark, sf_dir), _corpus(spark, sf_dir), RANGE_QS,
+        *PHI_HH, CFG.leaf_span, CFG.deepest,
+    )
+
+
+def q_global_range_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy tokens of STREAM leaf-window ranges — the global twin
+    of range_heavy_hitters: candidates from the global MG index (partials
+    phase-aligned across doc boundaries), verified against only the docs
+    overlapping each range (doc_offset pushdown, never a stream rescan)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_mg_window_index,
+        global_range_heavy_hitters,
+    )
+
+    key = ("gmg_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_mg_window_index(
+            gcorp, CFG.with_(axis="global"), k=32)
+    gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+    return global_range_heavy_hitters(
+        _CACHE[key], gcorp, RANGE_QS_GLOBAL, *PHI_HH, CFG.leaf_span, CFG.deepest,
+    )
+
+
 def q_kll_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT (doc, level, window) item counts read out of the KLL quantile
     rollup — the KLL n field counts exactly and merges add, so the whole
@@ -1499,10 +1572,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_window_rollup": q_cms_window_rollup,
         "cms_rollup_totals": q_cms_rollup_totals,
         "kll_rollup_totals": q_kll_rollup_totals,
+        "mg_rollup_totals": q_mg_rollup_totals,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
         "range_quantiles": q_range_quantiles,
+        "range_heavy_hitters": q_range_heavy_hitters,
+        "global_range_heavy_hitters": q_global_range_heavy_hitters,
         "stream_sketch_totals": q_stream_sketch_totals,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
@@ -1833,6 +1909,52 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        # exact phi-heavy tokens per (doc, leaf-window range): unnest the
+        # range slice, count, keep cnt/n_range >= phi in integer arithmetic
+        # (cnt * den >= num * n_range — the Spark side uses the same cut)
+        "range_heavy_hitters": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+sl AS (
+  SELECT doc_id, a, b,
+         tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS rt,
+         LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS nr
+  FROM corpus, rq
+  WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0
+),
+ex AS (SELECT doc_id, a, b, nr, unnest(rt) AS token FROM sl),
+cnt AS (SELECT doc_id, a, b, nr, token, COUNT(*) AS cnt
+        FROM ex GROUP BY doc_id, a, b, nr, token)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt
+FROM cnt WHERE cnt * {PHI_HH[1]} >= nr * {PHI_HH[0]}""",
+        # global twin: positions in the concatenated stream (doc_offset
+        # order = doc_id order, matching with_global_offsets)
+        "global_range_heavy_hitters": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS token
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+nr AS (
+  SELECT a, b, LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) AS nr
+  FROM rq, tot
+  WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0
+),
+cnt AS (
+  SELECT nr.a, nr.b, nr.nr, f.token, COUNT(*) AS cnt
+  FROM flat f, nr
+  WHERE f.g >= nr.a * {CFG.leaf_span} AND f.g < nr.b * {CFG.leaf_span}
+  GROUP BY nr.a, nr.b, nr.nr, f.token
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt
+FROM cnt WHERE cnt * {PHI_HH[1]} >= nr * {PHI_HH[0]}""",
         # streamed sketch index totals: pure stream geometry — every level's
         # windows tile [0, N) dyadically with exact token counts
         "stream_sketch_totals": f"""WITH {CORPUS_CTE},
@@ -1858,6 +1980,8 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]
+    # ... and so do the Misra-Gries rollup's exact n_total fields
+    out["mg_rollup_totals"] = out["cms_rollup_totals"]
     # the strided global index must return the SAME matches as the dense one
     # (sketches/stride prune cost, never answers)
     out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]

@@ -137,6 +137,9 @@ def main() -> None:
         "range_window_totals",
         "range_quantiles",
         "range_distinct",
+        # EXACT range heavy hitters: MG cover-node candidates bound the
+        # verify aggregation (first rep pays the MG rollup build, cached)
+        "range_heavy_hitters",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state
