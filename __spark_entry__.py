@@ -552,6 +552,20 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_spark(spark, sf_dir, 400000)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the exact-Jaccard pair graph: alternating
+    large-star / small-star connected components (dedup.connected_components
+    — O(log^2) rounds of edge-only shuffles, so a duplicate chain at scale
+    collapses exponentially instead of one hop per round), cluster_id = the
+    component's minimum doc_id (the canonical keeper). The pair graph is the
+    SAME oracle-checked set as dedup_jaccard_pairs; the DuckDB twin computes
+    components via a recursive transitive closure."""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import dedup_clusters
+
+    pairs = _jaccard_pairs_spark(spark, sf_dir, 400000).select("doc_a", "doc_b")
+    return dedup_clusters(pairs).select("doc_id", "cluster_id", "cluster_sz")
+
+
 # the LSH verifier's shingles are BYTE windows of the UTF-8 text with
 # space-padding for short docs (dedup.char_shingle_hashes); the SQL exact
 # side uses CHARACTER substr windows over docs >= 5 chars. The two
@@ -1589,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / similarity (training-data pipeline)
         "dedup_exact_pairs": q_dedup_exact_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "minhash_lsh_containment": q_minhash_lsh_containment,
         "simhash_neardup": q_simhash_neardup,
@@ -1761,6 +1776,33 @@ FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
+        # components of the SAME pair graph as dedup_jaccard_pairs, via a
+        # recursive transitive closure (fine at oracle scale; the Spark side
+        # uses large-star/small-star contraction)
+        "dedup_clusters": """WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
+        FROM documents)
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id, CAST(c.cnt AS BIGINT) AS cluster_sz
+FROM cc JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM cc GROUP BY 1) c USING (cluster_id)""",
         # the LSH containment check compares against the EXACT >= 0.8 pair
         # set: equality holds iff the LSH emitted no false-positive pair.
         # Domain-restricted to ASCII docs >= 5 chars (strlen = byte length

@@ -335,3 +335,107 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return cand.select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every neighbor v > u re-attaches to m(u) = min of u's
+    neighborhood (incl. u). One groupBy + one join per round; edges only —
+    never the documents."""
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+         .select("u", F.least("_mn", F.col("u")).alias("m")))
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint, then
+    attach each node's SMALLER neighbors (and itself) to their minimum."""
+    o = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    re_attached = (
+        o.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return re_attached.union(m.select("u", F.col("m").alias("v"))).distinct()
+
+
+def connected_components(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b",
+                         max_iter: int = 30) -> DataFrame:
+    """(doc_id, cluster_id) for every node of ``pairs``: cluster_id = the
+    MINIMUM node id in its connected component (deterministic canonical
+    representative). Alternating large-star / small-star rounds converge in
+    O(log^2 n) — each round is one groupBy + one join over EDGES (near-dup
+    pairs), never documents, so the shuffle volume is |pairs|, independent
+    of corpus size. The label-propagation alternative pays O(diameter)
+    rounds — a duplicate CHAIN (a~b~c~...) at 100 TB can be very deep, which
+    is exactly what star contraction collapses exponentially.
+
+    Each round is localCheckpoint'ed: iterative plan chaining otherwise
+    grows lineage exponentially (the cascade trap in operators/route.py).
+    Raises if the edge set has not stabilized after ``max_iter`` rounds
+    (loud, not silently-partial clusters)."""
+    edges = (
+        pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.rdd.isEmpty():
+        return pairs.sparkSession.createDataFrame(
+            [], "doc_id string, cluster_id string")
+
+    def _sig(e: DataFrame):
+        # order-free set fingerprint; summing raw 64-bit hashes overflows
+        # under ANSI mode, so sum the two 32-bit halves separately
+        h = F.xxhash64("u", "v")
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.shiftright(h, 32)).alias("hi"),
+            F.sum(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias("lo"),
+        ).first()
+        return (r["n"], r["hi"], r["lo"])
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged: edges form stars (node -> component minimum); roots map to
+    # themselves (a root never appears as a left endpoint of a star edge)
+    nodes = (
+        pairs.select(F.col(left).alias("doc_id"))
+        .union(pairs.select(F.col(right).alias("doc_id")))
+        .distinct()
+    )
+    assign = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        nodes.join(assign, nodes["doc_id"] == assign["u"], "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def dedup_clusters(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b") -> DataFrame:
+    """(doc_id, cluster_id, cluster_sz, is_canonical) — the keep/drop list a
+    dedup pipeline actually consumes: connected components over the near-dup
+    pair graph, canonical = the cluster's minimum doc_id. Keep the canonical
+    row per cluster, drop the rest."""
+    cc = connected_components(pairs, left, right)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_sz"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_sz",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -1,0 +1,87 @@
+"""Connected components over near-dup pair graphs: large-star/small-star
+contraction vs a driver-side union-find ground truth, degenerate shapes
+(chains, cliques, empty), and the dedup_clusters keep/drop contract."""
+
+import random
+
+import pytest
+
+from hierarchical_bloom_filter_index_spark.operators.dedup import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find_minima(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for a, b in edges:
+        for x in (a, b):
+            groups.setdefault(find(x), set()).add(x)
+    want = {}
+    for members in groups.values():
+        m = min(members)
+        for x in members:
+            want[x] = m
+    return want
+
+
+def test_chain_clique_and_bridge(spark):
+    """A long CHAIN (the worst case for label propagation — one hop per
+    round) must collapse; plus a clique, a 2-node component, and a bridge
+    node shared between two pair sources."""
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(20)]
+    clique = [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]
+    extra = [("z9", "z1"), ("z1", "c10")]  # bridges into the chain
+    edges = chain + clique + extra
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == _union_find_minima(edges)
+    # the chain+bridge component all landed on the global minimum
+    assert got["z9"] == "c00" and got["c20"] == "c00"
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(150)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == _union_find_minima(edges)
+
+
+def test_empty_and_self_loops(spark):
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([("a", "a"), ("b", "b")],
+                                  "doc_a string, doc_b string")
+    assert connected_components(loops).count() == 0
+
+
+def test_dedup_clusters_keep_drop_contract(spark):
+    pairs = spark.createDataFrame(
+        [("d1", "d0"), ("d1", "d2"), ("e7", "e5")],
+        "doc_a string, doc_b string")
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows["d0"]["is_canonical"] and rows["d0"]["cluster_sz"] == 3
+    assert not rows["d2"]["is_canonical"] and rows["d2"]["cluster_id"] == "d0"
+    assert rows["e5"]["is_canonical"] and rows["e5"]["cluster_sz"] == 2
+    # exactly one canonical per cluster
+    canon = [r for r in rows.values() if r["is_canonical"]]
+    assert len(canon) == 2
