@@ -372,7 +372,18 @@ def test_structured_streaming_window_sketch_index(spark, tmp_path):
     ref_k = build_global_kll_window_index(with_global_offsets(full), cfg)
     assert sorted(map(tuple, global_kll_window_totals(idx_k).collect())) == \
         sorted(map(tuple, global_kll_window_totals(ref_k).collect()))
-    for r in (ref2, ref_full, ref1, ref_h, ref_k):
+
+    # MG: byte-equal after one drain — with k >= leaf_span a leaf merge
+    # never prunes (nnz <= span), so boundary re-merges are pure sums and
+    # every parent merges the SAME two child blobs as the scratch build
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_mg_window_index,
+    )
+
+    idx_m, _tot_m = run("mg", "mg")
+    ref_m = build_global_mg_window_index(with_global_offsets(full), cfg)
+    assert _sstate(idx_m) == _sstate(ref_m)
+    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m):
         r.unpersist()
     full.unpersist()
 
