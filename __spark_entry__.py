@@ -293,6 +293,22 @@ def q_window_membership_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search — 'q' within 6 tokens of 'e': the Bloom index used
+    CONJUNCTIVELY (both tokens probed in one leaf scan; a doc survives only
+    if an A-window has a B-window within the radius), exact position pairs
+    from a numpy verification over survivors only. The rare token 'q' does
+    the pruning; the common token 'e' shows the sorted-array window
+    intersection (never an A-windows x B-windows join)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search,
+    )
+
+    return proximity_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, ord("q"), ord("e"), 6
+    )
+
+
 def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists() over the ONE-STREAM index: global leaf windows containing a
     token (Bloom prunes which docs are scanned; the w_id set is exact)."""
@@ -1558,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "window_membership": q_window_membership,
+        "hbi_proximity": q_hbi_proximity,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -1651,6 +1668,12 @@ def oracle_sql() -> dict[str, str]:
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",
+        "hbi_proximity": f"""WITH {CORPUS_CTE}, {POS_CTE},
+pa AS (SELECT doc_id, i - 1 AS pos_a FROM pos WHERE tokens[i] = {ord("q")}),
+pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
+SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE abs(pos_a - pos_b) <= 6""",
         "window_membership_batch": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
        CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id

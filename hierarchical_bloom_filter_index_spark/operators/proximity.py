@@ -1,0 +1,170 @@
+"""Proximity search: positions of token A within ``w`` tokens of token B.
+
+A CONJUNCTIVE use of the Bloom window index the point-query surface lacks:
+both tokens are probed in ONE leaf-level scan, a doc survives only if some
+A-candidate window has a B-candidate window within the window radius, and
+the exact position pairs are recovered by a numpy verification pass over the
+survivors only. Same sketch-prunes / verification-decides contract as
+pattern_search (reference: PMIndex/HBI.java report + BlockSearch probes —
+this composes those probes conjunctively).
+
+Soundness: Bloom probes have no false negatives, so for any true pair
+(i, j) with |i - j| <= w the window of i is A-positive and the window of j
+(within ``radius = ceil(w / span)`` windows) is B-positive — the candidate
+set is a superset, and restricting verification to A-positions inside
+candidate windows loses nothing.
+
+Scale shape: one filtered level scan (vectorized probe, two keys per blob),
+a per-doc sorted-array intersection (no |A-windows| x |B-windows| join — a
+frequent token pair would make that quadratic per doc), and verification
+that touches only surviving docs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import HbiConfig
+from .probe import probe_blobs
+
+PAIR_SCHEMA = "doc_id string, pos_a int, pos_b int"
+
+
+def proximity_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token_a: int,
+    token_b: int,
+    w: int,
+    level: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos_a, pos_b): EXACT position pairs with
+    ``tokens[pos_a] == token_a``, ``tokens[pos_b] == token_b``,
+    ``|pos_a - pos_b| <= w`` and ``pos_a != pos_b``.
+
+    ``level`` defaults to the leaf level; any level works — the window
+    radius adapts (``ceil(w / span)``), finer levels prune harder. The
+    probed level must be present in the index (compaction drops levels;
+    probing an absent level would silently return nothing — refuse)."""
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.ngram != 1:
+        raise ValueError("proximity_search requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)  # ceil(w / span): |i-j|<=w => window dist <= radius
+    keys = np.asarray([token_a, token_b], dtype=np.uint64)
+
+    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
+    if rows.rdd.isEmpty():
+        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, 2)
+            any_hit = ok.any(axis=1)
+            out = pdf.loc[any_hit, ["doc_id", "w_id"]].copy()
+            out["ok_a"] = ok[any_hit, 0]
+            out["ok_b"] = ok[any_hit, 1]
+            yield out
+
+    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, ok_a boolean, ok_b boolean")
+
+    # per doc: sorted A-window / B-window arrays; candidate A-windows are
+    # those with a B-window within `radius` (one searchsorted, linear — never
+    # an A x B window join)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.when(F.col("ok_a"), F.col("w_id")))).alias("wa"),
+        F.sort_array(F.collect_list(F.when(F.col("ok_b"), F.col("w_id")))).alias("wb"),
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, wids = [], []
+            for did, wa, wb in zip(pdf["doc_id"], pdf["wa"], pdf["wb"]):
+                if len(wa) == 0 or len(wb) == 0:
+                    continue
+                wa = np.asarray(wa, dtype=np.int64)
+                wb = np.asarray(wb, dtype=np.int64)
+                lo = np.searchsorted(wb, wa - radius, side="left")
+                hi = np.searchsorted(wb, wa + radius, side="right")
+                keep = wa[hi > lo]
+                if len(keep):
+                    ids.append(did)
+                    wids.append(keep)
+            yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
+
+    cand = per_doc.mapInPandas(cands, schema="doc_id string, cand_w array<long>")
+
+    a, b, ww, sp = int(token_a), int(token_b), int(w), int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_d, out_a, out_b = [], [], []
+            for did, toks, cw in zip(pdf["doc_id"], pdf["tokens"], pdf["cand_w"]):
+                t = np.asarray(toks, dtype=np.int64)
+                pa = np.flatnonzero(t == a)
+                if len(pa) == 0:
+                    continue
+                # soundness: any true pair's A-position lies in a candidate
+                # window (see module docstring) — restrict pa, not pb
+                cw = np.asarray(cw, dtype=np.int64)
+                pa = pa[np.isin(pa // sp, cw)]
+                if len(pa) == 0:
+                    continue
+                pb = np.flatnonzero(t == b)
+                if len(pb) == 0:
+                    continue
+                lo = np.searchsorted(pb, pa - ww, side="left")
+                hi = np.searchsorted(pb, pa + ww, side="right")
+                reps = hi - lo
+                sel = reps > 0
+                if not sel.any():
+                    continue
+                pa_rep = np.repeat(pa[sel], reps[sel])
+                idx = np.concatenate([np.arange(l, h) for l, h in
+                                      zip(lo[sel], hi[sel])])
+                pb_hit = pb[idx]
+                ok = pa_rep != pb_hit
+                if ok.any():
+                    out_d.extend([did] * int(ok.sum()))
+                    out_a.append(pa_rep[ok])
+                    out_b.append(pb_hit[ok])
+            if out_d:
+                yield pd.DataFrame({
+                    "doc_id": out_d,
+                    "pos_a": np.concatenate(out_a).astype(np.int32),
+                    "pos_b": np.concatenate(out_b).astype(np.int32),
+                })
+
+    survivors = corpus.join(cand, "doc_id").select("doc_id", "tokens", "cand_w")
+    return survivors.mapInPandas(verify, schema=PAIR_SCHEMA)
+
+
+def proximity_counts(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token_a: int,
+    token_b: int,
+    w: int,
+    level: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_pairs) — per-doc co-occurrence counts (the collocation /
+    co-occurrence-statistics readout of proximity_search)."""
+    return (
+        proximity_search(corpus, index, cfg, token_a, token_b, w, level)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )

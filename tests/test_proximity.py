@@ -1,0 +1,100 @@
+"""Proximity search (token A within w of token B): exact position pairs vs
+brute force over random corpora, for every radius regime (w inside one
+window, w spanning several windows, w longer than docs), equal-token pairs,
+coarser probe levels, and the refusal paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.operators.build import build_index
+from hierarchical_bloom_filter_index_spark.operators.proximity import (
+    proximity_counts,
+    proximity_search,
+)
+
+CFG = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=12)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corp = C.generate_corpus(spark, sf=0.002, seed=12).cache()
+    idx = build_index(corp, CFG).cache()
+    idx.count()
+    yield corp, idx
+    idx.unpersist()
+    corp.unpersist()
+
+
+def _brute(corp, a, b, w):
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        t = np.asarray(r["tokens"], dtype=np.int64)
+        pa = np.flatnonzero(t == a)
+        pb = np.flatnonzero(t == b)
+        for i in pa:
+            for j in pb:
+                if i != j and abs(int(i) - int(j)) <= w:
+                    want.add((r["doc_id"], int(i), int(j)))
+    return want
+
+
+def _pick_tokens(corp):
+    """One frequent and one mid-frequency token actually present."""
+    freq = (
+        corp.select(F.explode("tokens").alias("t"))
+        .groupBy("t").count().orderBy(F.desc("count")).collect()
+    )
+    return int(freq[0]["t"]), int(freq[len(freq) // 3]["t"])
+
+
+@pytest.mark.parametrize("w", [0, 1, 5, 40, 10_000])
+def test_pairs_match_brute_force(spark, built, w):
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    got = {(r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search(corp, idx, CFG, a, b, w).collect()}
+    assert got == _brute(corp, a, b, w)
+
+
+def test_equal_tokens_and_counts(spark, built):
+    corp, idx = built
+    a, _ = _pick_tokens(corp)
+    got = {(r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search(corp, idx, CFG, a, a, 3).collect()}
+    want = _brute(corp, a, a, 3)
+    assert got == want and len(want) > 0
+    counts = {r["doc_id"]: r["n_pairs"]
+              for r in proximity_counts(corp, idx, CFG, a, a, 3).collect()}
+    from collections import Counter
+
+    assert counts == dict(Counter(d for d, _, _ in want))
+
+
+def test_coarser_level_same_answer(spark, built):
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    fine = {(r["doc_id"], r["pos_a"], r["pos_b"])
+            for r in proximity_search(corp, idx, CFG, a, b, 7).collect()}
+    coarse = {(r["doc_id"], r["pos_a"], r["pos_b"])
+              for r in proximity_search(corp, idx, CFG, a, b, 7, level=1).collect()}
+    assert fine == coarse
+
+
+def test_absent_token_yields_empty(spark, built):
+    corp, idx = built
+    a, _ = _pick_tokens(corp)
+    assert proximity_search(corp, idx, CFG, a, 99_999_999, 5).count() == 0
+
+
+def test_refusals(spark, built):
+    corp, idx = built
+    with pytest.raises(ValueError, match="w must be"):
+        proximity_search(corp, idx, CFG, 1, 2, -1)
+    with pytest.raises(ValueError, match="token-keyed"):
+        proximity_search(corp, idx, CFG.with_(ngram=3), 1, 2, 5)
+    with pytest.raises(ValueError, match="no level"):
+        proximity_search(corp, idx.filter(F.col("level") != CFG.deepest),
+                         CFG, 1, 2, 5)
