@@ -309,6 +309,22 @@ def q_hbi_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_global_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity over the CONCATENATED stream ('q' within 6 of 'e', document
+    boundaries invisible — cross-doc pairs included): candidate windows from
+    one global leaf scan probing both tokens, chunked-with-halo window
+    intersection, verification assembles only each candidate window's
+    [w*span - 6, (w+1)*span + 6) region from overlapping doc fragments."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_proximity_search(
+        gcorp, gidx, CFG.with_(axis="global"), ord("q"), ord("e"), 6
+    )
+
+
 def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists() over the ONE-STREAM index: global leaf windows containing a
     token (Bloom prunes which docs are scanned; the w_id set is exact)."""
@@ -1575,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
+        "hbi_global_proximity": q_hbi_global_proximity,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -1674,6 +1691,20 @@ pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
 SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE abs(pos_a - pos_b) <= 6""",
+        "hbi_global_proximity": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pa AS (SELECT g FROM flat WHERE t = {ord("q")}),
+pb AS (SELECT g FROM flat WHERE t = {ord("e")})
+SELECT CAST(pa.g AS BIGINT) AS gpos_a, CAST(pb.g AS BIGINT) AS gpos_b
+FROM pa JOIN pb ON pb.g BETWEEN pa.g - 6 AND pa.g + 6""",
         "window_membership_batch": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
        CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id

@@ -168,3 +168,173 @@ def proximity_counts(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+GLOBAL_PAIR_SCHEMA = "gpos_a long, gpos_b long"
+
+# windows per candidate chunk in the global candidate pass: bounds each
+# Arrow group while keeping the searchsorted amortized over many windows
+_CHUNK_BITS = 10
+
+
+def global_proximity_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token_a: int,
+    token_b: int,
+    w: int,
+    level: int | None = None,
+) -> DataFrame:
+    """(gpos_a, gpos_b): EXACT stream-position pairs with
+    ``stream[gpos_a] == token_a``, ``stream[gpos_b] == token_b`` and
+    ``|gpos_a - gpos_b| <= w`` over the CONCATENATED stream — document
+    boundaries invisible, cross-doc pairs included (the reference's
+    one-stream model). Global twin of proximity_search.
+
+    Distribution notes: the candidate pass chunks the stream's windows
+    (2^_CHUNK_BITS per group) and gives every chunk a radius-wide B-window
+    halo, so no single task ever holds the whole stream's window list; the
+    verification assembles only each candidate window's [w_a*span - w,
+    (w_a+1)*span + w) region from the overlapping docs' fragments (docs tile
+    the stream contiguously) — O(span + 2w) tokens per candidate window,
+    never a stream materialization."""
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.axis != "global":
+        raise ValueError("global_proximity_search needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError("global_proximity_search requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+    from .route import _level_rows
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)
+    keys = np.asarray([token_a, token_b], dtype=np.uint64)
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), keys)
+            any_hit = ok.any(axis=1)
+            out = pdf.loc[any_hit, ["w_id"]].copy()
+            out["ok_a"] = ok[any_hit, 0]
+            out["ok_b"] = ok[any_hit, 1]
+            yield out
+
+    hits = rows.mapInPandas(probe, schema="w_id long, ok_a boolean, ok_b boolean")
+    # A windows live in their own chunk; B windows are replicated into every
+    # chunk whose A-windows could see them (at most 3 chunks at any radius
+    # <= chunk size — the halo)
+    a_rows = hits.filter("ok_a").select(
+        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id",
+        F.lit(True).alias("is_a"))
+    b_rows = hits.filter("ok_b").select(
+        F.explode(F.array_distinct(F.array(
+            F.shiftright(F.col("w_id") - radius, _CHUNK_BITS),
+            F.shiftright("w_id", _CHUNK_BITS),
+            F.shiftright(F.col("w_id") + radius, _CHUNK_BITS),
+        ))).alias("chunk"), "w_id", F.lit(False).alias("is_a"))
+    per_chunk = a_rows.unionByName(b_rows).groupBy("chunk").agg(
+        F.sort_array(F.collect_list(F.when(F.col("is_a"), F.col("w_id")))).alias("wa"),
+        F.sort_array(F.collect_list(F.when(~F.col("is_a"), F.col("w_id")))).alias("wb"),
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for wa, wb in zip(pdf["wa"], pdf["wb"]):
+                if len(wa) == 0 or len(wb) == 0:
+                    continue
+                wa = np.asarray(wa, dtype=np.int64)
+                wb = np.asarray(wb, dtype=np.int64)
+                lo = np.searchsorted(wb, wa - radius, side="left")
+                hi = np.searchsorted(wb, wa + radius, side="right")
+                outs.append(wa[hi > lo])
+            if outs:
+                yield pd.DataFrame({"w_id": np.concatenate(outs)})
+
+    cand = per_chunk.mapInPandas(cands, schema="w_id long")
+
+    # fragments: every doc overlapping a candidate window's REGION
+    # [wa*span - w, (wa+1)*span + w) contributes its slice — equi-join on
+    # w_id via each doc's margin-padded window range (never a range join)
+    ww, sp = int(w), int(span)
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"),
+                           ((F.col("doc_offset") - ww) / sp).cast("long")),
+                ((F.col("doc_offset") + F.col("n_tok") - 1 + ww) / sp).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    frags = (
+        doc_windows.join(cand, "w_id")
+        .select(
+            "w_id",
+            F.greatest(F.col("doc_offset"),
+                       (F.col("w_id") * sp - ww).cast("long")).alias("_lo"),
+            F.least(F.col("doc_offset") + F.col("n_tok"),
+                    ((F.col("w_id") + 1) * sp + ww).cast("long")).alias("_hi"),
+            "doc_offset", "tokens",
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "w_id", F.col("_lo").alias("off"),
+            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
+                   "cast(_hi - _lo as int))").alias("frag"),
+        )
+    )
+    grouped = frags.groupBy("w_id").agg(
+        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+
+    a, b = int(token_a), int(token_b)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_a, out_b = [], []
+            for wa, parts in zip(pdf["w_id"], pdf["parts"]):
+                base = int(parts[0]["off"])
+                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
+                                    for p in parts])
+                pa = np.flatnonzero(t == a) + base
+                # A positions must lie in THIS window (each true A position
+                # belongs to exactly one candidate window -> no dup pairs)
+                pa = pa[(pa >= wa * sp) & (pa < (wa + 1) * sp)]
+                if len(pa) == 0:
+                    continue
+                pb = np.flatnonzero(t == b) + base
+                if len(pb) == 0:
+                    continue
+                lo = np.searchsorted(pb, pa - ww, side="left")
+                hi = np.searchsorted(pb, pa + ww, side="right")
+                reps = hi - lo
+                sel = reps > 0
+                if not sel.any():
+                    continue
+                pa_rep = np.repeat(pa[sel], reps[sel])
+                idx = np.concatenate([np.arange(l, h) for l, h in
+                                      zip(lo[sel], hi[sel])])
+                pb_hit = pb[idx]
+                ok = pa_rep != pb_hit
+                if ok.any():
+                    out_a.append(pa_rep[ok])
+                    out_b.append(pb_hit[ok])
+            if out_a:
+                yield pd.DataFrame({"gpos_a": np.concatenate(out_a),
+                                    "gpos_b": np.concatenate(out_b)})
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_PAIR_SCHEMA)

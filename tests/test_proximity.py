@@ -98,3 +98,73 @@ def test_refusals(spark, built):
     with pytest.raises(ValueError, match="no level"):
         proximity_search(corp, idx.filter(F.col("level") != CFG.deepest),
                          CFG, 1, 2, 5)
+
+
+def test_global_twin_matches_stream_brute_force(spark, built):
+    """Stream-axis proximity: pairs over the CONCATENATED stream equal brute
+    force, including pairs whose endpoints live in DIFFERENT docs."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        rows = sorted(gcorp.select("doc_offset", "tokens").collect(),
+                      key=lambda r: r["doc_offset"])
+        stream = np.concatenate([np.asarray(r["tokens"]) for r in rows])
+        bounds = np.cumsum([len(r["tokens"]) for r in rows])[:-1]
+        a, b = _pick_tokens(corp)
+        for w in (1, 6, 50):
+            got = {(r["gpos_a"], r["gpos_b"])
+                   for r in global_proximity_search(gcorp, gidx, gcfg, a, b, w).collect()}
+            pa = np.flatnonzero(stream == a)
+            pb = np.flatnonzero(stream == b)
+            want = set()
+            for i in pa:
+                for j in pb[np.searchsorted(pb, i - w):
+                            np.searchsorted(pb, i + w, side="right")]:
+                    if i != j:
+                        want.add((int(i), int(j)))
+            assert got == want
+        assert len(bounds) > 1  # multi-doc stream (boundaries exist)
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_global_cross_doc_pair(spark):
+    """A pair whose endpoints live in DIFFERENT docs must be found — doc 1
+    ends with token A, doc 2 begins with token B, and that boundary pair is
+    the ONLY occurrence of either token."""
+    gcfg = CFG.with_(axis="global")
+    toks1 = [5] * 40 + [777]          # A at global pos 40
+    toks2 = [888] + [5] * 50          # B at global pos 41
+    corp = C.with_global_offsets(spark.createDataFrame(
+        [("d0", toks1, len(toks1)), ("d1", toks2, len(toks2))],
+        "doc_id string, tokens array<int>, n_tok int"))
+    gidx = build_index(corp, gcfg)
+    try:
+        from hierarchical_bloom_filter_index_spark.operators.proximity import (
+            global_proximity_search,
+        )
+
+        got = {(r["gpos_a"], r["gpos_b"])
+               for r in global_proximity_search(corp, gidx, gcfg, 777, 888, 4).collect()}
+        assert got == {(40, 41)}
+        # and the pair disappears when w cannot bridge the boundary gap
+        assert global_proximity_search(corp, gidx, gcfg, 777, 888, 0).count() == 0
+    finally:
+        gidx.unpersist()
+
+
+def test_global_axis_refusal(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="axis"):
+        global_proximity_search(corp, idx, CFG, 1, 2, 5)
