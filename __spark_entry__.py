@@ -169,6 +169,19 @@ FROM (SELECT doc_id, tokens,
 WHERE tokens[i : i + {m} - 1] = {_pat_sql(pattern)}"""
 
 
+def _wildcard_oracle(pattern: list) -> str:
+    m = len(pattern)
+    conds = " AND ".join(
+        f"tokens[i + {j}] = {int(v)}" for j, v in enumerate(pattern) if v is not None
+    )
+    return f"""WITH {CORPUS_CTE}
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE {conds}"""
+
+
 def _occ(col: str, needle: str) -> str:
     esc = needle.replace("'", "''")
     return f"((length({col}) - length(replace({col}, '{esc}', ''))) // {len(needle)})"
@@ -197,6 +210,29 @@ def q_pattern(pattern: list[int]):
         )
 
     return run
+
+
+# gapped-literal pattern 'd?ta m?rge' — wildcards at the vowel slots, so the
+# cascade probes the 8 literals and the verifier checks only those offsets
+PAT_WILDCARD = [ord("d"), None, ord("t"), ord("a"), ord(" "),
+                ord("m"), None, ord("r"), ord("g"), ord("e")]
+
+
+def q_pattern_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """report() extended to WILDCARD patterns (None = any one token): the
+    same Bloom cascade probes only the literal tokens (a sound weakening —
+    constraints dropped, candidates a superset), the anchor condition is
+    kept because position 0 is literal, and verification checks literal
+    offsets only (functions.wildcard_subsequence_positions)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        wildcard_pattern_search,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return wildcard_pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_WILDCARD,
+        start_level="auto", freq=freq, stats=stats,
+    )
 
 
 BATCH_PATTERNS = [PAT_PRESENT, PAT_RARE, PAT_MISSING, [ord(c) for c in " the "]]
@@ -1589,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_batch": q_pattern_batch,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
+        "hbi_pattern_wildcard": q_pattern_wildcard,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -1682,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
+        "hbi_pattern_wildcard": _wildcard_oracle(PAT_WILDCARD),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",

@@ -62,3 +62,26 @@ def subsequence_positions(tokens_col, pattern: list[int]) -> Column:
         F.size(t) >= m,
         F.filter(F.sequence(F.lit(0), F.size(t) - m), lambda i: F.slice(t, i + 1, m) == pat),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def wildcard_subsequence_positions(tokens_col, pattern: list) -> Column:
+    """Exact 0-based start positions of a pattern with WILDCARDS (``None``
+    entries match any single token) inside an int array — the verification
+    primitive of wildcard_pattern_search and its brute-force oracle. Pure
+    SQL higher-order functions: per candidate start, a conjunction over the
+    LITERAL offsets only (wildcard offsets impose no condition)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    m = len(pattern)
+    lits = [(j, int(v)) for j, v in enumerate(pattern) if v is not None]
+
+    def matches(i):
+        cond = F.lit(True)
+        for j, v in lits:
+            cond = cond & (F.element_at(t, (i + j + 1).cast("int")) == F.lit(v))
+        return cond
+
+    # guard: sequence(0, negative) would generate a DESCENDING sequence
+    return F.when(
+        F.size(t) >= m,
+        F.filter(F.sequence(F.lit(0), F.size(t) - m), matches),
+    ).otherwise(F.array().cast("array<int>"))

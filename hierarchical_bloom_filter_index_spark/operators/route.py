@@ -821,3 +821,77 @@ def window_membership(
         corpus.join(cand, on="doc_id", how="inner")
         .select("doc_id", F.explode(F.array_intersect(occ_windows, F.col("wids"))).alias("w_id"))
     )
+
+
+def wildcard_pattern_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Exact match positions of a pattern with WILDCARDS (``None`` entries
+    match any single token): (doc_id, pos), 0-based — report() extended to
+    gapped literals ('t ? e' finds every t_e trigram).
+
+    Same cascade as pattern_search, with the probe plan weakened soundly:
+    only the LITERAL tokens are probed (dropping a constraint can only grow
+    the candidate superset, never lose a match), the anchor condition is
+    kept only when position 0 is literal (otherwise the match's first
+    literal may start in the neighbor window), and the verifier checks the
+    literal offsets only (functions.wildcard_subsequence_positions).
+    Requires a token-keyed index (ngram=1 — a wildcard splits every n-gram
+    that crosses it, so no gram key is computable)."""
+    from ..functions import wildcard_subsequence_positions
+
+    if cfg.axis != "doc":
+        raise NotImplementedError("wildcard_pattern_search routes on the doc axis")
+    if cfg.ngram != 1:
+        raise ValueError("wildcard_pattern_search requires a token-keyed index (ngram=1)")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    literals = [int(v) for v in pattern if v is not None]
+
+    def brute() -> DataFrame:
+        return corpus.select(
+            "doc_id",
+            F.explode(wildcard_subsequence_positions("tokens", pattern)).alias("pos"),
+        )
+
+    if not literals or m > cfg.tree_span:
+        # all-wildcard (every length-m window matches — nothing to prune) or
+        # a match can span >2 windows at every level: exact scan
+        return brute()
+    keys = np.unique(np.asarray(literals, dtype=np.int64)).astype(np.uint64)
+    anchor = int(pattern[0]) if pattern[0] is not None else None
+    deepest = deepest_usable_level(cfg, m)
+    first = _plan_start_level(
+        start_level, stats, freq, None, None, keys, m, literals, deepest,
+        stats_out=stats_out,
+    )
+    if first > deepest:
+        return brute()
+    spark = corpus.sparkSession
+    survivors, n_surv, final_rows = _descend(
+        index, keys, anchor, [keys], first, deepest, doc_axis=True, spark=spark,
+        stats_out=stats_out,
+    )
+    if n_surv == 0:
+        return spark.createDataFrame([], MATCH_SCHEMA)
+    cand, cand_small = _candidates_by_doc(spark, survivors, final_rows, stats_out)
+    span = cfg.span(deepest)
+    return (
+        corpus.join(F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
+        .select(
+            "doc_id",
+            F.filter(
+                wildcard_subsequence_positions("tokens", pattern),
+                lambda i: F.array_contains("wids", (i / span).cast("long")),
+            ).alias("positions"),
+        )
+        .select("doc_id", F.explode("positions").alias("pos"))
+    )

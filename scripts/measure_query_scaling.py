@@ -52,6 +52,13 @@ SWEEP = [
     "global_window_membership_batch",
     "global_range_totals",
     "minhash_lsh_neardup",
+    # round-4 additions: exact range heavy hitters (MG candidates + bounded
+    # verify) and conjunctive proximity on both axes. NB the Caesar replicas
+    # shift which letters are 'q'/'e', so proximity workloads measure the
+    # probe+verify shape at ~5x positions, not a fixed result set
+    "range_heavy_hitters",
+    "hbi_proximity",
+    "hbi_global_proximity",
 ]
 
 
@@ -102,6 +109,11 @@ def main() -> None:
         points.append((f"{k}x", d))
 
     qmap = E.queries()
+    sweep = SWEEP
+    if os.environ.get("HBI_SWEEP_QUERIES"):
+        # incremental refresh: measure only the named queries (new additions)
+        # without re-timing the whole suite
+        sweep = os.environ["HBI_SWEEP_QUERIES"].split(",")
     result: dict[str, dict] = {tag: {} for tag, _ in points}
     result["rows"] = {}
     for tag, sf_dir in points:
@@ -127,7 +139,7 @@ def main() -> None:
         E._planner_inputs(spark, sf_dir)
         result[tag]["index_build"] = round(time.time() - t0, 3)
         qmap["hbi_pattern_rare"](spark, sf_dir).count()  # routed-query warmup
-        for name in SWEEP:
+        for name in sweep:
             best, n = float("inf"), 0
             for _ in range(reps):
                 t0 = time.time()
@@ -147,7 +159,7 @@ def main() -> None:
         f"| query | {hdr} | {rat} | rows {tags[0]} -> {tags[-1]} |",
         "|" + "---|" * (2 * len(tags) + 1),
     ]
-    for name in ["index_build"] + SWEEP:
+    for name in ["index_build"] + sweep:
         vals = [result[t][name] for t in tags]
         ratios = " | ".join(f"{v / vals[0]:.2f}x" for v in vals[1:])
         rows = result["rows"].get(name, {})

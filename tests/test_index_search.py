@@ -195,3 +195,56 @@ def test_cascade_checkpoint_fallback_exact(spark, small_corpus, small_index, mon
     gw = sorted(r["gpos"] for r in global_pattern_search(gcorp, gidx, gcfg, pat).collect())
     off = {r["doc_id"]: r["doc_offset"] for r in gcorp.select("doc_id", "doc_offset").collect()}
     assert gw == sorted(off[d] + p for d, p in exp)
+
+
+def test_wildcard_pattern_search_matches_brute_force(spark, small_corpus, small_index):
+    """Wildcard report(): gapped-literal patterns return exactly the
+    brute-force positions; probing only the literals is a sound weakening."""
+    from hierarchical_bloom_filter_index_spark.functions import (
+        wildcard_subsequence_positions,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        wildcard_pattern_search,
+    )
+
+    corp, idx, cfg = small_corpus, small_index, CFG
+    doc = corp.first()
+    toks = list(doc["tokens"])
+    # real gapped patterns lifted from the corpus: (lit, ?, lit) and a
+    # wildcard-leading one (anchor must drop soundly)
+    pats = [
+        [toks[0], None, toks[2]],
+        [None, toks[1], toks[2], None],
+        [toks[3]] if len(toks) > 3 else [toks[0]],
+        [None, None],                      # all-wildcard: every start
+        [123456789, None, toks[0]],        # absent literal: no matches
+    ]
+    for pat in pats:
+        got = {(r["doc_id"], r["pos"])
+               for r in wildcard_pattern_search(corp, idx, cfg, pat).collect()}
+        want = {(r["doc_id"], r["pos"]) for r in corp.select(
+            "doc_id",
+            F.explode(wildcard_subsequence_positions("tokens", pat)).alias("pos"),
+        ).collect()}
+        assert got == want, pat
+    # brute check of the verifier itself on one doc
+    pat = [toks[0], None, toks[2]]
+    want_pos = [i for i in range(len(toks) - 2)
+                if toks[i] == toks[0] and toks[i + 2] == toks[2]]
+    got_pos = sorted(
+        r["pos"] for r in wildcard_pattern_search(corp, idx, cfg, pat).collect()
+        if r["doc_id"] == doc["doc_id"]
+    )
+    assert got_pos == want_pos
+
+
+def test_wildcard_refusals(spark, small_corpus, small_index):
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        wildcard_pattern_search,
+    )
+
+    corp, idx, cfg = small_corpus, small_index, CFG
+    with pytest.raises(ValueError, match="empty"):
+        wildcard_pattern_search(corp, idx, cfg, [])
+    with pytest.raises(ValueError, match="token-keyed"):
+        wildcard_pattern_search(corp, idx, cfg.with_(ngram=3), [1, None])
