@@ -182,6 +182,30 @@ FROM (SELECT doc_id, tokens,
 WHERE {conds}"""
 
 
+def _global_wildcard_oracle(pattern: list) -> str:
+    lits = [(j, int(v)) for j, v in enumerate(pattern) if v is not None]
+    j0, v0 = lits[0]
+    joins = " ".join(
+        f"JOIN flat f{j} ON f{j}.g = f0.g + {j - j0} AND f{j}.t = {v}"
+        for j, v in lits[1:]
+    )
+    m = len(pattern)
+    return f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+tot AS (SELECT SUM(n_tok) AS n FROM corpus)
+SELECT CAST(f0.g - {j0} AS BIGINT) AS gpos
+FROM flat f0 {joins}, tot
+WHERE f0.t = {v0} AND f0.g - {j0} >= 0 AND f0.g - {j0} + {m} <= tot.n"""
+
+
 def _occ(col: str, needle: str) -> str:
     esc = needle.replace("'", "''")
     return f"((length({col}) - length(replace({col}, '{esc}', ''))) // {len(needle)})"
@@ -232,6 +256,20 @@ def q_pattern_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wildcard_pattern_search(
         _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_WILDCARD,
         start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def q_global_pattern_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard report() on the ONE-STREAM axis: same gapped pattern, matches
+    may cross document boundaries (the stitched verification covers a
+    wildcard sitting exactly on a boundary token)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_wildcard_pattern_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_wildcard_pattern_search(
+        gcorp, gidx, CFG.with_(axis="global"), PAT_WILDCARD
     )
 
 
@@ -1626,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
+        "hbi_global_pattern_wildcard": q_global_pattern_wildcard,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -1720,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_missing": _pattern_oracle(PAT_MISSING),
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
         "hbi_pattern_wildcard": _wildcard_oracle(PAT_WILDCARD),
+        "hbi_global_pattern_wildcard": _global_wildcard_oracle(PAT_WILDCARD),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",

@@ -108,10 +108,15 @@ def main() -> None:
         # 4 patterns, ONE shared cascade (operators/batch.py) — compare with
         # the sum of the three single-pattern queries above
         "hbi_pattern_batch",
+        # gapped-literal report(): same cascade, literal-only probe plan
+        "hbi_pattern_wildcard",
         "window_membership",
         # whole token workload in ONE leaf scan (doc axis + one-stream axis)
         "window_membership_batch",
         "global_window_membership_batch",
+        # conjunctive proximity (A within w of B), doc + one-stream axes
+        "hbi_proximity",
+        "hbi_global_proximity",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",

@@ -698,15 +698,24 @@ def global_pattern_search(
     if n_surv == 0:
         return spark.createDataFrame([], "gpos long")
 
-    span = cfg.span(deepest)
-    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
+    return _global_verify(
+        stitched, scan_col, survivors, final_rows, cfg.span(deepest),
+        lambda c: subsequence_positions(c, pattern),
+    )
 
-    # candidate docs: any doc whose start-position range intersects a
-    # surviving window — explode the doc's own window range (few per doc).
-    # The window join + grouping runs over (doc_offset, w_id) PAIRS ONLY;
-    # the token arrays never enter that shuffle (grouping on a large array
-    # column would move the whole stitched corpus) — the surviving docs'
-    # arrays are joined back by doc_offset afterwards.
+
+def _global_verify(stitched, scan_col, survivors, final_rows, span, positions_fn):
+    """Shared tail of the global-axis searches: candidate docs from the
+    surviving windows, then exact verification of each start position.
+
+    candidate docs: any doc whose start-position range intersects a
+    surviving window — explode the doc's own window range (few per doc).
+    The window join + grouping runs over (doc_offset, w_id) PAIRS ONLY;
+    the token arrays never enter that shuffle (grouping on a large array
+    column would move the whole stitched corpus) — the surviving docs'
+    arrays are joined back by doc_offset afterwards. ``positions_fn(col)``
+    yields the candidate start positions of the (possibly gapped) pattern."""
+    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
     doc_windows = stitched.select(
         "doc_offset", "n_tok",
         F.explode(
@@ -732,7 +741,7 @@ def global_pattern_search(
             "doc_offset",
             F.explode(
                 F.filter(
-                    subsequence_positions(scan_col, pattern),
+                    positions_fn(scan_col),
                     lambda i: (i < F.col("n_tok"))
                     & F.array_contains("wids", ((F.col("doc_offset") + i) / span).cast("long")),
                 )
@@ -894,4 +903,76 @@ def wildcard_pattern_search(
             ).alias("positions"),
         )
         .select("doc_id", F.explode("positions").alias("pos"))
+    )
+
+
+def global_wildcard_pattern_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Exact GLOBAL match positions (gpos) of a WILDCARD pattern (``None``
+    matches any single token) over the one concatenated stream — matches may
+    cross document boundaries (a wildcard may even BE the boundary). Same
+    cascade/verification shape as global_pattern_search with the probe plan
+    weakened to the literal tokens (sound superset) and the wildcard-aware
+    verifier over the stitched scan. Requires ngram=1 (a wildcard splits
+    every crossing n-gram)."""
+    from ..functions import wildcard_subsequence_positions
+
+    if cfg.axis != "global":
+        raise ValueError("global_wildcard_pattern_search needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_wildcard_pattern_search requires a token-keyed index (ngram=1)")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    if m > 1:
+        stitched = _stitched_corpus(corpus, m, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+    scan_col = F.col("stitched")
+
+    def exact_scan() -> DataFrame:
+        return (
+            stitched.select(
+                F.explode(wildcard_subsequence_positions(scan_col, pattern)).alias("p"),
+                "doc_offset", "n_tok",
+            )
+            .filter(F.col("p") < F.col("n_tok"))
+            .select((F.col("doc_offset") + F.col("p")).alias("gpos"))
+        )
+
+    literals = [int(v) for v in pattern if v is not None]
+    if not literals or m > cfg.tree_span:
+        return exact_scan()
+    keys = np.unique(np.asarray(literals, dtype=np.int64)).astype(np.uint64)
+    anchor = int(pattern[0]) if pattern[0] is not None else None
+    deepest = deepest_usable_level(cfg, m)
+    first = _plan_start_level(
+        start_level, stats, freq, None, None, keys, m, literals, deepest,
+        stats_out=stats_out,
+    )
+    if first > deepest:
+        return exact_scan()
+    spark = corpus.sparkSession
+    survivors, n_surv, final_rows = _descend(
+        index, keys, anchor, [keys], first, deepest, doc_axis=False, spark=spark,
+        stats_out=stats_out,
+    )
+    if n_surv == 0:
+        return spark.createDataFrame([], "gpos long")
+    return _global_verify(
+        stitched, scan_col, survivors, final_rows, cfg.span(deepest),
+        lambda c: wildcard_subsequence_positions(c, pattern),
     )

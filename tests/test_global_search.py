@@ -244,3 +244,55 @@ def test_prestitched_corpus_identical_answers(spark, setup):
                                                prestitched_tail=64).collect())
     assert got_b == base_b
     pre.unpersist()
+
+
+def test_global_wildcard_matches_stream_bruteforce(spark, setup):
+    """Gapped-literal report() on the one-stream axis: positions equal brute
+    force over the concatenated stream (wildcard-leading patterns drop the
+    anchor soundly; matches may cross doc boundaries)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_wildcard_pattern_search,
+    )
+
+    corp, idx, stream = setup
+    pats = [
+        [int(stream[1000]), None, int(stream[1002]), None, int(stream[1004])],
+        [None, int(stream[5001]), int(stream[5002])],
+        [int(stream[42]), None, None, None, None, None, int(stream[48])],
+        [987654, None, 987654],  # absent literals -> empty
+    ]
+    for pat in pats:
+        m = len(pat)
+        got = sorted(
+            r["gpos"]
+            for r in global_wildcard_pattern_search(corp, idx, CFG_G, pat).collect()
+        )
+        want = sorted(
+            int(i) for i in range(len(stream) - m + 1)
+            if all(pat[j] is None or stream[i + j] == pat[j] for j in range(m))
+        )
+        assert got == want, pat
+
+
+def test_global_wildcard_cross_boundary_at_wildcard(spark):
+    """A match whose WILDCARD position is exactly the doc boundary: doc 1
+    ends ...A, doc 2 starts B... and the pattern is [A, ?, B'] shifted so the
+    ? straddles the boundary token."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_wildcard_pattern_search,
+    )
+
+    toks1 = [7] * 30 + [111]            # A=111 at gpos 30
+    toks2 = [55, 222] + [7] * 40        # ? matches 55 (gpos 31), B=222 at 32
+    corp = with_global_offsets(spark.createDataFrame(
+        [("d0", toks1, len(toks1)), ("d1", toks2, len(toks2))],
+        "doc_id string, tokens array<int>, n_tok int"))
+    idx = build_index(corp, CFG_G)
+    try:
+        got = sorted(
+            r["gpos"] for r in global_wildcard_pattern_search(
+                corp, idx, CFG_G, [111, None, 222]).collect()
+        )
+        assert got == [30]
+    finally:
+        idx.unpersist()
