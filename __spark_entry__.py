@@ -940,6 +940,21 @@ def q_mg_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_window_totals(_mg_index(spark, sf_dir))
 
 
+def q_range_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Does token X appear in leaf-window range [a, b)?' per doc — the
+    MEMBERSHIP member of the dyadic range family: each range probes its
+    O(log) covering Bloom nodes instead of b-a leaves (no false negatives;
+    one JVM exists() over the slice verifies). All-docs (a, b) pairs,
+    shared cover nodes broadcast."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        range_membership,
+    )
+
+    return range_membership(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, RANGE_QS, ord("q")
+    )
+
+
 def q_range_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT phi-heavy tokens (freq >= n_range/16) of each queried
     leaf-window range [a, b) per doc: the O(log) covering Misra-Gries nodes
@@ -1701,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
         "range_quantiles": q_range_quantiles,
+        "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
         "global_range_heavy_hitters": q_global_range_heavy_hitters,
         "stream_sketch_totals": q_stream_sketch_totals,
@@ -2083,6 +2099,11 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        "range_membership": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+FROM corpus, rq
+WHERE list_contains(tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})], {ord("q")})""",
         # exact phi-heavy tokens per (doc, leaf-window range): unnest the
         # range slice, count, keep cnt/n_range >= phi in integer arithmetic
         # (cnt * den >= num * n_range — the Spark side uses the same cut)

@@ -976,3 +976,58 @@ def global_wildcard_pattern_search(
         stitched, scan_col, survivors, final_rows, cfg.span(deepest),
         lambda c: wildcard_subsequence_positions(c, pattern),
     )
+
+
+def range_membership(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    ranges,
+    token: int,
+) -> DataFrame:
+    """'Does ``token`` appear in leaf-window range [a, b)?' per doc — EXACT
+    (doc_id, a, b) rows, the membership member of the dyadic range family
+    (count/distinct/freq/quantile/heavy-hitters/MEMBERSHIP).
+
+    Each range probes its <= 2*log2(b-a)+2 covering Bloom nodes instead of
+    b-a leaves (rollup.dyadic_cover): a (doc, range) is a candidate iff ANY
+    cover node may-contain the token (no false negatives — a true occurrence
+    makes its covering node truly positive), then one JVM-side exists() over
+    the range slice decides. Ranges are all-docs (a, b) pairs: only the
+    shared cover nodes broadcast; the per-doc fan-out joins the index's own
+    doc_id column (never a driver doc catalog)."""
+    from .rollup import _range_nodes_df
+
+    if cfg.ngram != 1:
+        raise ValueError("range_membership requires a token-keyed index (ngram=1)")
+    spark = corpus.sparkSession
+    deepest = cfg.deepest
+    span = cfg.leaf_span
+    nodes = F.broadcast(_range_nodes_df(spark, ranges, deepest, ("a", "b")))
+    joined = index.join(nodes, ["level", "w_id"]).select(
+        "level", "doc_id", "a", "b", "bloom")
+    key = np.asarray([int(token)], dtype=np.uint64)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # a cover mixes LEVELS and per-level Bloom sizes differ — probe
+            # each level's uniform-size blobs in its own vectorized call
+            for _lv, sub in pdf.groupby("level", sort=False):
+                ok = probe_blobs(sub["bloom"].tolist(), key)[:, 0]
+                yield sub.loc[ok, ["doc_id", "a", "b"]]
+
+    cand = joined.mapInPandas(probe, schema="doc_id string, a long, b long").distinct()
+    # exact verify: one exists() over the clipped range slice, JVM codegen
+    return (
+        corpus.join(cand, "doc_id")
+        .filter(
+            F.exists(
+                F.expr(f"slice(tokens, cast(a * {span} + 1 as int), "
+                       f"cast((b - a) * {span} as int))"),
+                lambda x: x == F.lit(int(token)),
+            )
+        )
+        .select("doc_id", "a", "b")
+    )

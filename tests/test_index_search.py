@@ -248,3 +248,25 @@ def test_wildcard_refusals(spark, small_corpus, small_index):
         wildcard_pattern_search(corp, idx, cfg, [])
     with pytest.raises(ValueError, match="token-keyed"):
         wildcard_pattern_search(corp, idx, cfg.with_(ngram=3), [1, None])
+
+
+def test_range_membership_matches_brute_force(spark, small_corpus, small_index):
+    """Membership over leaf-window RANGES from O(log) covering Bloom nodes:
+    exact (doc, a, b) rows; Bloom false positives only cost verification."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        range_membership,
+    )
+
+    docs = small_corpus.select("doc_id", "tokens").collect()
+    ranges = [(1, 9), (0, 3), (5, 6)]
+    toks = [int(docs[0]["tokens"][40]), int(docs[2]["tokens"][3]), 987654321]
+    for tok in toks:
+        got = {(r["doc_id"], r["a"], r["b"]) for r in
+               range_membership(small_corpus, small_index, CFG, ranges, tok).collect()}
+        want = {
+            (r["doc_id"], a, b)
+            for r in docs
+            for a, b in ranges
+            if tok in r["tokens"][a * CFG.leaf_span : b * CFG.leaf_span]
+        }
+        assert got == want, tok
