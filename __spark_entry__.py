@@ -399,6 +399,32 @@ def q_hbi_global_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batched proximity workload: distinct-token pair both ways, an equal-token
+# pair (self-positions excluded), and a rare anchor with a wide radius.
+PROX_BATCH = [
+    (ord("q"), ord("e"), 6),
+    (ord("e"), ord("q"), 2),
+    (ord("q"), ord("q"), 5),
+    (ord("x"), ord(" "), 3),
+]
+
+
+def q_hbi_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched proximity: the whole (token_a, token_b, w) workload answered
+    with ONE leaf scan — every Bloom blob probed once for the workload's
+    distinct tokens, each doc's per-token window lists assembled once, the
+    per-query sorted-array intersections + verification sharing them
+    (operators/proximity.py:proximity_search_batch; answers identical to
+    per-query proximity_search, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search_batch,
+    )
+
+    return proximity_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PROX_BATCH
+    )
+
+
 def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists() over the ONE-STREAM index: global leaf windows containing a
     token (Bloom prunes which docs are scanned; the w_id set is exact)."""
@@ -1683,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
+        "hbi_proximity_batch": q_hbi_proximity_batch,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -1785,6 +1812,16 @@ pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
 SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE abs(pos_a - pos_b) <= 6""",
+        "hbi_proximity_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
+pairs(pair_id, ta, tb, w) AS (VALUES {", ".join(
+            f"({i}, {a}, {b}, {w})" for i, (a, b, w) in enumerate(PROX_BATCH))})
+SELECT CAST(pair_id AS INT) AS pair_id, a.doc_id AS doc_id,
+       CAST(a.p AS INT) AS pos_a, CAST(b.p AS INT) AS pos_b
+FROM pairs
+JOIN flat a ON a.t = pairs.ta
+JOIN flat b ON b.doc_id = a.doc_id AND b.t = pairs.tb
+WHERE abs(a.p - b.p) <= pairs.w AND a.p <> b.p""",
         "hbi_global_proximity": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,

@@ -117,6 +117,7 @@ def main() -> None:
         # conjunctive proximity (A within w of B), doc + one-stream axes
         "hbi_proximity",
         "hbi_global_proximity",
+        "hbi_proximity_batch",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",

@@ -338,3 +338,155 @@ def global_proximity_search(
                                     "gpos_b": np.concatenate(out_b)})
 
     return grouped.mapInPandas(verify, schema=GLOBAL_PAIR_SCHEMA)
+
+
+BATCH_PAIR_SCHEMA = "pair_id int, doc_id string, pos_a int, pos_b int"
+
+
+def proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched proximity: a whole workload of (token_a, token_b, w) queries
+    answered with ONE leaf-level scan — every Bloom blob is probed once for
+    the workload's distinct tokens, each doc's per-token window lists are
+    assembled once, and the per-query candidate intersection + verification
+    run over those shared structures. Answers are identical to running
+    proximity_search per query (tested); the scan cost is paid once instead
+    of |queries| times — the same design point as pattern_search_batch /
+    window_membership_batch. Returns (pair_id, doc_id, pos_a, pos_b) with
+    pair_id = the query's position in ``queries``."""
+    queries = [(int(a), int(b), int(w)) for a, b, w in queries]
+    if not queries:
+        raise ValueError("empty query workload")
+    if any(w < 0 for _a, _b, w in queries):
+        raise ValueError("w must be >= 0 for every query")
+    if cfg.ngram != 1:
+        raise ValueError("proximity_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    keys = np.unique(np.asarray(
+        [a for a, _b, _w in queries] + [b for _a, b, _w in queries], dtype=np.int64))
+    ukeys = keys.astype(np.uint64)
+    # per query: (key index of A, key index of B, window radius, w)
+    specs = [
+        (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
+         -(-w // span), w)
+        for a, b, w in queries
+    ]
+
+    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
+    if rows.rdd.isEmpty():
+        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sparse hit rows (doc, w_id, key_idx): unbounded key count (no
+        # 62-bit mask cap) and only positive probes move to the shuffle
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
+            r, c = np.nonzero(ok)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[r],
+                "w_id": pdf["w_id"].to_numpy()[r],
+                "k": c.astype(np.int32),
+            })
+
+    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, k int")
+    per_doc = (
+        hits.groupBy("doc_id", "k")
+        .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "ws"))).alias("kw"))
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, pids, wids = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for pid, (ia, ib, radius, _w) in enumerate(specs):
+                    wa = kw.get(ia)
+                    wb = kw.get(ib)
+                    if wa is None or wb is None:
+                        continue
+                    wa = np.asarray(wa, dtype=np.int64)
+                    wb = np.asarray(wb, dtype=np.int64)
+                    lo = np.searchsorted(wb, wa - radius, side="left")
+                    hi = np.searchsorted(wb, wa + radius, side="right")
+                    keep = wa[hi > lo]
+                    if len(keep):
+                        ids.append(did)
+                        pids.append(pid)
+                        wids.append(keep)
+            yield pd.DataFrame({"doc_id": ids, "pair_id": np.asarray(pids, np.int32),
+                                "cand_w": wids})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, pair_id int, cand_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("pair_id", "cand_w")).alias("pairs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"pair_id": [], "doc_id": [], "pos_a": [], "pos_b": []}
+            for did, toks, pairs in zip(pdf["doc_id"], pdf["tokens"], pdf["pairs"]):
+                t = np.asarray(toks, dtype=np.int64)
+                pos_cache: dict[int, np.ndarray] = {}
+
+                def positions(tok: int) -> np.ndarray:
+                    if tok not in pos_cache:
+                        pos_cache[tok] = np.flatnonzero(t == tok)
+                    return pos_cache[tok]
+
+                for p in pairs:
+                    pid = int(p["pair_id"])
+                    a, b, _r, ww = queries[pid][0], queries[pid][1], None, queries[pid][2]
+                    pa = positions(a)
+                    if len(pa) == 0:
+                        continue
+                    cw = np.asarray(p["cand_w"], dtype=np.int64)
+                    pa = pa[np.isin(pa // sp, cw)]
+                    if len(pa) == 0:
+                        continue
+                    pb = positions(b)
+                    if len(pb) == 0:
+                        continue
+                    lo = np.searchsorted(pb, pa - ww, side="left")
+                    hi = np.searchsorted(pb, pa + ww, side="right")
+                    reps = hi - lo
+                    sel = reps > 0
+                    if not sel.any():
+                        continue
+                    pa_rep = np.repeat(pa[sel], reps[sel])
+                    idx = np.concatenate([np.arange(l, h) for l, h in
+                                          zip(lo[sel], hi[sel])])
+                    pb_hit = pb[idx]
+                    ok = pa_rep != pb_hit
+                    n = int(ok.sum())
+                    if n:
+                        out["pair_id"].extend([pid] * n)
+                        out["doc_id"].extend([did] * n)
+                        out["pos_a"].append(pa_rep[ok])
+                        out["pos_b"].append(pb_hit[ok])
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "pair_id": np.asarray(out["pair_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos_a": np.concatenate(out["pos_a"]).astype(np.int32),
+                    "pos_b": np.concatenate(out["pos_b"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select("doc_id", "tokens", "pairs")
+    return survivors.mapInPandas(verify, schema=BATCH_PAIR_SCHEMA)

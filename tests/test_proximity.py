@@ -168,3 +168,36 @@ def test_global_axis_refusal(spark, built):
     corp, idx = built
     with pytest.raises(ValueError, match="axis"):
         global_proximity_search(corp, idx, CFG, 1, 2, 5)
+
+
+def test_batch_equals_singles(spark, built):
+    """One-scan batched proximity must return EXACTLY the per-query answers
+    (same candidates soundness, shared probe) — including an equal-token
+    pair, w=0, and an absent token."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search,
+        proximity_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    queries = [(a, b, 6), (b, a, 2), (a, a, 4), (a, b, 0), (a, 987654321, 9)]
+    got = {(r["pair_id"], r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search_batch(corp, idx, CFG, queries).collect()}
+    want = set()
+    for pid, (ta, tb, w) in enumerate(queries):
+        for r in proximity_search(corp, idx, CFG, ta, tb, w).collect():
+            want.add((pid, r["doc_id"], r["pos_a"], r["pos_b"]))
+    assert got == want and len(want) > 0
+
+
+def test_batch_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search_batch,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="empty"):
+        proximity_search_batch(corp, idx, CFG, [])
+    with pytest.raises(ValueError, match="w must be"):
+        proximity_search_batch(corp, idx, CFG, [(1, 2, -3)])
