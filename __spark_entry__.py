@@ -1021,6 +1021,61 @@ def q_global_range_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k for the BottomK distinct-sample index: small enough that truncation is
+# exercised (a 256-token English slice has > 16 distinct chars), large
+# enough that short ranges keep their whole distinct set
+BK_K = 16
+
+
+def _bk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic BottomK rollup index (distinct-SAMPLE analog of _hll_index),
+    built once per sf_dir and persisted. Every node is the EXACT bottom-k
+    distinct sample of its window (bottom-k mergeability), so range samples
+    are values, not estimates."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_bk_window_index,
+    )
+
+    key = ("bk_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_bk_window_index(_corpus(spark, sf_dir), CFG, k=BK_K)
+    return _CACHE[key]
+
+
+def q_range_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bottom-k distinct-token sample of leaf-window ranges [a, b) per
+    doc from the dyadic BottomK index: the O(log) covering nodes merge
+    (union, keep k smallest priorities) into the exact bottom-k of the
+    range's distinct-token set — the SAMPLE member of the dyadic range
+    family (count/distinct/freq/quantile/heavy-hitters/SAMPLE), and like the
+    heavy hitters it is a VALUE, oracle-checked via the bit-exact splitmix64
+    SQL twin (reference estimators/BottomKSampler.java:17-58 lifted onto the
+    hierarchy)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_distinct_sample,
+    )
+
+    return range_distinct_sample(_bk_index(spark, sf_dir), RANGE_QS, CFG.deepest)
+
+
+def q_global_range_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bottom-k distinct-token sample of STREAM leaf-window ranges —
+    the global twin (phase-aligned partial samplers merged into stream
+    windows, doc boundaries invisible; union merges are split-indifferent)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_bk_window_index,
+        global_range_distinct_sample,
+    )
+
+    key = ("gbk_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_bk_window_index(
+            gcorp, CFG.with_(axis="global"), k=BK_K)
+    return global_range_distinct_sample(
+        _CACHE[key], RANGE_QS_GLOBAL, CFG.deepest)
+
+
 def q_kll_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT (doc, level, window) item counts read out of the KLL quantile
     rollup — the KLL n field counts exactly and merges add, so the whole
@@ -1746,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
         "global_range_heavy_hitters": q_global_range_heavy_hitters,
+        "range_distinct_sample": q_range_distinct_sample,
+        "global_range_distinct_sample": q_global_range_distinct_sample,
         "stream_sketch_totals": q_stream_sketch_totals,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
@@ -2071,6 +2128,49 @@ bk AS (SELECT tok, _h // {1 << 58} AS bucket, _h % {1 << 58} AS prio FROM sm3)
 SELECT CAST(tok AS BIGINT) AS token
 FROM (SELECT tok, row_number() OVER (PARTITION BY bucket ORDER BY prio) AS rn FROM bk)
 WHERE rn = 1""",
+        # range distinct-sample: the BottomK index answers with a VALUE —
+        # the k distinct tokens of the range slice with the smallest
+        # hash64(token, seed+17) priorities, re-derived here with the same
+        # bit-exact splitmix64 SQL as bottomk_tokens
+        "range_distinct_sample": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed + 17)},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+st AS (
+  SELECT DISTINCT doc_id, a, b, CAST(tokens[i] AS BIGINT) AS tok
+  FROM pos JOIN rq ON i - 1 >= a * {CFG.leaf_span} AND i - 1 < b * {CFG.leaf_span}
+),
+rk AS (
+  SELECT doc_id, a, b, tok,
+         row_number() OVER (PARTITION BY doc_id, a, b ORDER BY _h, tok) AS rn
+  FROM st JOIN sm3 USING (tok)
+)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(tok AS BIGINT) AS token
+FROM rk WHERE rn <= {BK_K}""",
+        "global_range_distinct_sample": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed + 17)},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, CAST(tokens[i] AS BIGINT) AS tok
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+st AS (
+  SELECT DISTINCT a, b, tok
+  FROM flat JOIN rq ON g >= a * {CFG.leaf_span} AND g < b * {CFG.leaf_span}
+),
+rk AS (
+  SELECT a, b, tok,
+         row_number() OVER (PARTITION BY a, b ORDER BY _h, tok) AS rn
+  FROM st JOIN sm3 USING (tok)
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(tok AS BIGINT) AS token
+FROM rk WHERE rn <= {BK_K}""",
         # the incrementally-appended global index is byte-equal to a scratch
         # build, so its geometry is the closed form over the WHOLE stream:
         # every global window holds at least one token key (ngram=1)

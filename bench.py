@@ -146,6 +146,9 @@ def main() -> None:
         # EXACT range heavy hitters: MG cover-node candidates bound the
         # verify aggregation (first rep pays the MG rollup build, cached)
         "range_heavy_hitters",
+        # EXACT range distinct-sample: bottom-k mergeability makes the
+        # answer a value (first rep pays the BottomK rollup build, cached)
+        "range_distinct_sample",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state

@@ -329,6 +329,28 @@ def build_mg_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 32) -> Dat
     )
 
 
+def build_bk_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 16) -> DataFrame:
+    """DISTINCT-SAMPLE index: one BottomK sampler per (doc, level, window),
+    built leaf-first then rolled up. The priority is a pure function of the
+    token, so bottom-k(A ∪ B) is exactly recoverable from bottom-k(A) ∪
+    bottom-k(B) — every rolled-up node is the EXACT bottom-k distinct sample
+    of its window (not an approximation), and dyadic range merges stay exact
+    (range_distinct_sample is VALUE-oracle-checkable via the bit-exact
+    splitmix64 SQL twin, like bottomk_tokens). Completes the per-window
+    family: HLL distinct-count / CMS frequency / KLL quantile / MG heavy
+    hitters / BottomK distinct-SAMPLE (reference
+    estimators/BottomKSampler.java:17-58 lifted onto the hierarchy). Same
+    persistence contract as the other builders (caller unpersists)."""
+    from ..sketches import samplers as bkk
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 17
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: bkk.leaf_window_blobs(toks, leaf_span, k, seed),
+        lambda flat, counts: bkk.merge_blob_groups(flat, counts, k, seed),
+    )
+
+
 def mg_window_totals(mg_index: DataFrame) -> DataFrame:
     """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the MG
     n_total is exact and adds under merge), mirroring window_token_totals,
@@ -737,6 +759,63 @@ def range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
     return _heavy_verify(cand, sliced, phi_num, phi_den, _DOC_KEYS)
 
 
+def _bk_merge_auto(flat, counts):
+    """merge_blob_groups with (k, seed) read from the first blob (uniform
+    per index) — order-free, so eligible for the map-side partial merge."""
+    from ..sketches import samplers as bkk
+
+    k, seed = bkk.blob_params(flat[0])
+    return bkk.merge_blob_groups(flat, counts, k, seed)
+
+
+def _bk_range_sample_fn(key_cols):
+    from ..sketches import samplers as bkk
+
+    def samp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            merged = _bk_merge_auto(flat, counts)
+            toks = bkk.sample_blob_tokens(merged)
+            reps = np.asarray([len(t) for t in toks], dtype=np.int64)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            out["token"] = (np.concatenate(toks) if reps.sum()
+                            else np.empty(0, np.int64))
+            yield out
+
+    return samp
+
+
+def range_distinct_sample(bk_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(doc_id, a, b, token): the EXACT bottom-k distinct-token sample of
+    each queried leaf-window range [a, b) per doc — the O(log) covering
+    BottomK nodes merge (union, keep k smallest priorities) into the exact
+    bottom-k of the range's distinct-token set, so the answer is a
+    deterministic VALUE (SQL-oracle-checkable via the bit-exact splitmix64
+    twin), not an estimate. The SAMPLE member of the dyadic range family
+    (count/distinct/freq/quantile/heavy-hitters/sample). Accepts
+    (doc_id, a, b) triples or all-docs (a, b) pairs (shared cover nodes
+    broadcast)."""
+    return _joined_range_groups(
+        bk_index, ranges, deepest, _DOC_KEYS, partial_merge=_bk_merge_auto
+    ).mapInPandas(
+        _bk_range_sample_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", token long"
+    )
+
+
+def global_range_distinct_sample(bk_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(a, b, token): EXACT bottom-k distinct-token sample of each STREAM
+    leaf-window range — global twin of range_distinct_sample (phase-aligned
+    partial samplers merged into stream-window nodes, doc boundaries
+    invisible; union merges are split-indifferent so partials lose nothing)."""
+    return _joined_range_groups(
+        bk_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_bk_merge_auto
+    ).mapInPandas(
+        _bk_range_sample_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", token long"
+    )
+
+
 def global_range_heavy_candidates(mg_index: DataFrame, ranges, phi_num: int,
                                   phi_den: int, deepest: int) -> DataFrame:
     """(a, b, token, est_count): certified heavy-token candidate superset per
@@ -979,6 +1058,17 @@ def build_global_mg_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 32)
     return builder(corpus, cfg)
 
 
+def build_global_bk_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 16) -> DataFrame:
+    """One BottomK sampler per (level, STREAM window): the EXACT bottom-k
+    distinct sample of any dyadic slice of the concatenated stream, document
+    boundaries invisible. Docs contribute phase-aligned PARTIAL samplers;
+    union merges are split-indifferent, so every node equals the bottom-k of
+    the full stream window. Kernels/seed resolved through
+    window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "bk", k=k)
+    return builder(corpus, cfg)
+
+
 def global_mg_window_totals(mg_index: DataFrame) -> DataFrame:
     """(level, w_id, n_window) — EXACT stream-window item counts from the
     global MG index (merged partials add their exact counts)."""
@@ -1161,9 +1251,10 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
         "hll": build_hll_window_index,
         "kll": build_kll_window_index,
         "mg": build_mg_window_index,
+        "bk": build_bk_window_index,
     }
     if family not in builders:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk)")
     from pyspark import StorageLevel
 
     new_idx = builders[family](new_docs, cfg, **kw)
@@ -1217,8 +1308,16 @@ def window_sketch_family(cfg: HbiConfig, family: str, **kw):
         slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
             toks, slots, n_slots, kk)
         merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, kk)
+    elif family == "bk":
+        from ..sketches import samplers as k
+
+        kk = int(kw.pop("k", 16))
+        seed = cfg.seed + 17
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, kk, seed)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, kk, seed)
     else:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk)")
     if kw:
         raise ValueError(f"unknown {family} window-sketch options: {sorted(kw)}")
 

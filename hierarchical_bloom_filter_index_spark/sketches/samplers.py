@@ -14,6 +14,8 @@ re-take bottom k.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from . import base
@@ -140,3 +142,163 @@ class BottomKSampler:
         magic, (k, seed), (keys, prios) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_BOTTOMK, "BottomKSampler")
         return cls(k, seed, keys, prios)
+
+
+# ---------------------------------------------------------------------------
+# Window-index kernels (blob-level, vectorized) — the BottomK member of the
+# window-sketch family (rollup.window_sketch_family "bk").
+#
+# Wire format: EXACTLY ``BottomKSampler.to_bytes()`` (magic 7, params
+# [k, seed], arrays [keys uint64, prios uint64], entries sorted by priority
+# ascending), so every window node round-trips through the object path
+# unchanged.
+#
+# Merge discipline: a group merge is "union of all children's (key, prio)
+# entries, dedupe by priority, keep the k smallest". The priority is a pure
+# function of the key, so the node is a PURE FUNCTION of its window's
+# DISTINCT-token set — child order never changes the bytes, and
+# bottom-k(A ∪ B) is exactly recoverable from bottom-k(A) ∪ bottom-k(B)
+# (classic bottom-k mergeability, reference BottomKSampler.java:17-58's
+# merge generalized to groups). Hence every rolled-up node is the EXACT
+# bottom-k distinct sample of its window, and a dyadic range merge is the
+# EXACT bottom-k of the range's distinct tokens — VALUE-checkable in SQL
+# via the bit-exact splitmix64 twin (__spark_entry__._splitmix_ctes).
+# ---------------------------------------------------------------------------
+
+# magic B | version B | n_params H | k q | seed q | n_arrays B
+# | keys: dtype B, len Q, data | prios: dtype B, len Q, data
+_BK_K_OFF = 4
+_BK_NNZ_OFF = 22
+_BK_KEYS_OFF = 30
+
+
+def _bk_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, prios) of a BottomK node blob without base.unpack overhead."""
+    (nnz,) = struct.unpack_from("<Q", b, _BK_NNZ_OFF)
+    keys = np.frombuffer(b, dtype=np.uint64, count=nnz, offset=_BK_KEYS_OFF)
+    prios = np.frombuffer(b, dtype=np.uint64, count=nnz,
+                          offset=_BK_KEYS_OFF + 8 * nnz + 9)
+    return keys, prios
+
+
+def _check_bk_blob(b: bytes, k: int, seed: int) -> None:
+    if b[0] != _MAGIC_BOTTOMK:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected BottomKSampler)")
+    bk, bseed = struct.unpack_from("<qq", b, _BK_K_OFF)
+    if bk != k or bseed != seed:
+        raise ValueError(f"BottomK blob (k={bk}, seed={bseed}) != (k={k}, seed={seed})")
+
+
+def blob_params(b: bytes) -> tuple[int, int]:
+    """(k, seed) of a BottomK node blob (uniform per index by construction)."""
+    b = bytes(b)
+    if b[0] != _MAGIC_BOTTOMK:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected BottomKSampler)")
+    k, seed = struct.unpack_from("<qq", b, _BK_K_OFF)
+    return int(k), int(seed)
+
+
+def _dedup_truncate(gids: np.ndarray, keys: np.ndarray, prios: np.ndarray,
+                    n_groups: int, k: int, seed: int) -> list[bytes]:
+    """Per group: dedupe entries by priority, sort ascending, keep the k
+    smallest, pack. Stable lexsort keeps the FIRST occurrence among equal
+    (group, prio) — the same tie rule as BottomKSampler._take_bottom's
+    np.unique(return_index) (only reachable under a 64-bit hash collision)."""
+    if len(keys):
+        order = np.lexsort((prios, gids))
+        gg, hh, kk = gids[order], prios[order], keys[order]
+        first = np.empty(len(gg), dtype=bool)
+        first[0] = True
+        first[1:] = (gg[1:] != gg[:-1]) | (hh[1:] != hh[:-1])
+        gg, hh, kk = gg[first], hh[first], kk[first]
+        nnz = np.bincount(gg, minlength=n_groups)
+    else:
+        hh = kk = np.empty(0, np.uint64)
+        nnz = np.zeros(n_groups, dtype=np.int64)
+    bounds = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(nnz, out=bounds[1:])
+    out: list[bytes] = []
+    for g in range(n_groups):
+        lo = bounds[g]
+        hi = min(bounds[g + 1], lo + k)
+        out.append(base.pack(_MAGIC_BOTTOMK, [k, seed], [kk[lo:hi], hh[lo:hi]]))
+    return out
+
+
+def leaf_window_blobs(tokens: np.ndarray, window: int, k: int, seed: int,
+                      phase: int = 0) -> list[bytes]:
+    """Serialized BottomK nodes for every consecutive ``window``-token slice
+    of ``tokens`` (leaf-index shape of cms.leaf_window_blobs) — each node the
+    EXACT bottom-k distinct sample of its window. ``phase`` = stream offset
+    of tokens[0] within its window (global-axis partials)."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    nw = (phase + n + window - 1) // window
+    w = (phase + np.arange(n, dtype=np.int64)) // window
+    return partial_blobs_by_slot(tokens, w, nw, k, seed)
+
+
+def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
+                          k: int, seed: int) -> list[bytes]:
+    """BottomK nodes for an arbitrary per-token slot assignment (the
+    cross-doc global-leaf primitive — see cms.partial_blobs_by_slot)."""
+    toks = np.asarray(tokens)
+    if toks.dtype != np.uint64:
+        toks = toks.astype(np.int64).astype(np.uint64)
+    s = np.asarray(slots, dtype=np.int64)
+    if len(toks) == 0:
+        e = np.empty(0, np.uint64)
+        return [base.pack(_MAGIC_BOTTOMK, [k, seed], [e, e])] * n_slots
+    return _dedup_truncate(s, toks, hash64(toks, seed), n_slots, k, seed)
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, k: int,
+                      seed: int) -> list[bytes]:
+    """Merge consecutive groups of BottomK node blobs (group i = the next
+    ``counts[i]`` blobs): union, dedupe by priority, keep the k smallest —
+    byte-deterministic in the group's child multiset (order-free)."""
+    if not blobs:
+        return []
+    blobs = [bytes(b) for b in blobs]
+    counts = np.asarray(counts, dtype=np.int64)
+    for b in blobs:
+        _check_bk_blob(b, k, seed)
+    gid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pairs = [_bk_entries(b) for b in blobs]
+    lens = [len(t) for t, _ in pairs]
+    if sum(lens):
+        all_k = np.concatenate([t for t, _ in pairs])
+        all_h = np.concatenate([h for _, h in pairs])
+    else:
+        all_k = all_h = np.empty(0, np.uint64)
+    return _dedup_truncate(np.repeat(gid, lens), all_k, all_h, len(counts), k, seed)
+
+
+def sample_blob_tokens(blobs: list[bytes]) -> list[np.ndarray]:
+    """Per blob: the sampled keys as int64 tokens, priority-ascending — the
+    EXACT bottom-k distinct sample of the node's window."""
+    out: list[np.ndarray] = []
+    for b in blobs:
+        b = bytes(b)
+        if not b or b[0] != _MAGIC_BOTTOMK:
+            raise ValueError(
+                f"unknown sketch magic {b[0] if b else '<empty>'} (expected BottomKSampler)")
+        out.append(_bk_entries(b)[0].astype(np.int64))
+    return out
+
+
+def estimate_distinct_blobs(blobs: list[bytes]) -> np.ndarray:
+    """Bottom-k (KMV) cardinality estimate per blob — the blob-level twin of
+    BottomKSampler.estimate_distinct (same order-statistics formula)."""
+    out = np.empty(len(blobs), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        (k,) = struct.unpack_from("<q", b, _BK_K_OFF)
+        _keys, prios = _bk_entries(b)
+        if len(prios) < k:
+            out[i] = float(len(prios))
+        else:
+            u_k = float(prios[k - 1]) / 2.0**64
+            out[i] = (k - 1) / u_k if u_k > 0 else float("inf")
+    return out

@@ -1,0 +1,239 @@
+"""BottomK window-sketch family: kernel laws (byte-identity with the object
+path, order-free merges, content-purity — a node is a pure function of its
+window's distinct-token set) and the dyadic RANGE DISTINCT-SAMPLE queries,
+both axes checked against brute force. Unlike CMS/HLL/KLL, every answer here
+is an EXACT VALUE (bottom-k mergeability), not an estimate."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.operators.rollup import (
+    build_bk_window_index,
+    build_global_bk_window_index,
+    global_range_distinct_sample,
+    range_distinct_sample,
+    window_sketch_family,
+)
+from hierarchical_bloom_filter_index_spark.sketches import samplers as bk
+from hierarchical_bloom_filter_index_spark.sketches.hashing import hash64
+
+CFG = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=12)
+SEED = CFG.seed + 17  # the family's seed offset (window_sketch_family "bk")
+
+
+def _brute_bottomk(tokens, k, seed=SEED) -> set:
+    """Ground truth: the k distinct tokens with the smallest hash priority."""
+    u = np.unique(np.asarray(tokens, dtype=np.int64))
+    if len(u) == 0:
+        return set()
+    order = np.argsort(hash64(u, seed), kind="stable")
+    return set(u[order][:k].tolist())
+
+
+# ---------------------------------------------------------------------------
+# kernel laws
+# ---------------------------------------------------------------------------
+def test_leaf_blobs_match_object_path():
+    """A leaf node is the object path's one-update state byte for byte —
+    both with k >= distinct (whole set kept) and k < distinct (truncated)."""
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 40, 130).astype(np.int64)
+    for k in (64, 5):
+        blobs = bk.leaf_window_blobs(toks, 32, k, SEED)
+        assert len(blobs) == 5
+        for i, b in enumerate(blobs):
+            ref = bk.BottomKSampler(k, SEED)
+            ref.update(toks[i * 32 : (i + 1) * 32])
+            assert b == ref.to_bytes()
+            assert set(bk.sample_blob_tokens([b])[0].tolist()) == _brute_bottomk(
+                toks[i * 32 : (i + 1) * 32], k
+            )
+
+
+def test_slot_kernel_equals_phased_leaf_path():
+    rng = np.random.default_rng(7)
+    span = 16
+    docs = [rng.integers(0, 1 << 12, n).astype(np.int64) for n in (1, 5, 33, 100)]
+    offs = np.cumsum([0] + [len(d) for d in docs[:-1]])
+    want = []
+    for off, toks in zip(offs, docs):
+        want.extend(bk.leaf_window_blobs(toks, span, 8, SEED, phase=int(off) % span))
+    lens = np.asarray([len(d) for d in docs], dtype=np.int64)
+    cat = np.concatenate(docs)
+    doc_idx = np.repeat(np.arange(len(docs)), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(cat.size, dtype=np.int64) - starts[doc_idx]
+    w = (offs[doc_idx] + pos) // span
+    npart = (offs % span + lens + span - 1) // span
+    base_slot = np.cumsum(npart) - npart
+    first_w = offs // span
+    slots = base_slot[doc_idx] + (w - first_w[doc_idx])
+    got = bk.partial_blobs_by_slot(cat, slots, int(npart.sum()), 8, SEED)
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_merge_blob_groups_content_pure_and_exact(data):
+    """Randomized differential: a group merge is BYTE-IDENTICAL to a
+    from-scratch build over the group's concatenated tokens (the node is a
+    pure function of the window's distinct set — the exactness claim behind
+    the oracle), and a shuffled within-group child order gives identical
+    bytes. The sampled set always equals brute-force bottom-k."""
+    n = data.draw(st.integers(min_value=8, max_value=300))
+    vocab = data.draw(st.sampled_from([4, 30, 1000]))
+    toks = np.asarray(
+        data.draw(st.lists(st.integers(0, vocab), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    window = data.draw(st.sampled_from([8, 32]))
+    k = data.draw(st.sampled_from([3, 8, 33]))
+    blobs = bk.leaf_window_blobs(toks, window, k, SEED)
+    nw = len(blobs)
+    counts = []
+    i = 0
+    while i < nw:
+        g = data.draw(st.integers(1, min(4, nw - i)))
+        counts.append(g)
+        i += g
+    counts = np.asarray(counts, dtype=np.int64)
+    merged = bk.merge_blob_groups(blobs, counts, k, SEED)
+    i = 0
+    for g, c in enumerate(counts):
+        seg = toks[i * window : (i + c) * window]
+        scratch = bk.BottomKSampler(k, SEED)
+        scratch.update(seg)
+        assert merged[g] == scratch.to_bytes()
+        assert set(bk.sample_blob_tokens([merged[g]])[0].tolist()) == _brute_bottomk(seg, k)
+        if c >= 2:
+            perm = data.draw(st.permutations(list(range(c))))
+            again = bk.merge_blob_groups(
+                [blobs[i + j] for j in perm], np.array([c]), k, SEED)[0]
+            assert again == merged[g]
+        # KMV estimate agrees with the object path's formula
+        est = bk.estimate_distinct_blobs([merged[g]])[0]
+        assert est == pytest.approx(
+            bk.BottomKSampler.from_bytes(merged[g]).estimate_distinct())
+        i += c
+
+
+def test_family_wiring_and_refusals():
+    toks = np.arange(64, dtype=np.int64)
+    (b0, b1) = bk.leaf_window_blobs(toks, 32, 8, SEED)
+    with pytest.raises(ValueError, match="unknown bk"):
+        window_sketch_family(CFG, "bk", nope=3)
+    with pytest.raises(ValueError, match="BottomK blob"):
+        bk.merge_blob_groups([b0, b1], np.array([2]), 9, SEED)
+    with pytest.raises(ValueError, match="BottomK blob"):
+        bk.merge_blob_groups([b0, b1], np.array([2]), 8, SEED + 1)
+    with pytest.raises(ValueError, match="magic"):
+        bk.sample_blob_tokens([b"\x00garbage"])
+    # empty-slot blobs round-trip and sample to nothing
+    empties = bk.partial_blobs_by_slot(np.empty(0, np.int64), np.empty(0, np.int64),
+                                       3, 8, SEED)
+    assert len(empties) == 3
+    assert all(len(t) == 0 for t in bk.sample_blob_tokens(empties))
+
+
+# ---------------------------------------------------------------------------
+# Spark: dyadic builds + range distinct-sample vs brute force, both axes
+# ---------------------------------------------------------------------------
+K = 16
+RANGES = [(1, 9), (0, 3), (2, 4)]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corp = C.generate_corpus(spark, sf=0.002, seed=12).cache()
+    idx = build_bk_window_index(corp, CFG, k=K)
+    yield corp, idx
+    idx.unpersist()
+    corp.unpersist()
+
+
+def test_every_node_equals_scratch_object_path(spark, built):
+    corp, idx = built
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.collect()}
+    rows = idx.collect()
+    assert rows
+    for r in rows:
+        span = CFG.span(r["level"])
+        sl = docs[r["doc_id"]][r["w_id"] * span : (r["w_id"] + 1) * span]
+        ref = bk.BottomKSampler(K, SEED)
+        ref.update(sl)
+        assert bytes(r["sketch"]) == ref.to_bytes()
+
+
+def test_range_distinct_sample_exact_vs_brute_force(spark, built):
+    corp, idx = built
+    got = {(r["doc_id"], r["a"], r["b"], r["token"])
+           for r in range_distinct_sample(idx, RANGES, CFG.deepest).collect()}
+    span = CFG.leaf_span
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        for a, b in RANGES:
+            sl = r["tokens"][a * span : b * span]
+            for t in _brute_bottomk(sl, K):
+                want.add((r["doc_id"], a, b, t))
+    assert got == want and len(want) > 0
+
+
+def test_global_range_distinct_sample_exact_vs_brute_force(spark, built):
+    corp, _ = built
+    gcorp = C.with_global_offsets(corp)
+    gidx = build_global_bk_window_index(gcorp, CFG.with_(axis="global"), k=K)
+    try:
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        span = CFG.leaf_span
+        ranges = [(0, 6), (3, 97), (1, 2)]
+        want = set()
+        for a, b in ranges:
+            for t in _brute_bottomk(stream[a * span : b * span], K):
+                want.add((a, b, t))
+        got = {(r["a"], r["b"], r["token"])
+               for r in global_range_distinct_sample(gidx, ranges, CFG.deepest).collect()}
+        assert got == want and len(want) > 0
+        # global build is byte-exact vs a single-doc (concatenated) build
+        one = spark.createDataFrame(
+            [("all", [int(t) for t in stream], 0)],
+            "doc_id string, tokens array<int>, doc_offset long")
+        gidx_one = build_global_bk_window_index(one, CFG.with_(axis="global"), k=K)
+        try:
+            a = {(r["level"], r["w_id"]): bytes(r["sketch"]) for r in gidx.collect()}
+            b = {(r["level"], r["w_id"]): bytes(r["sketch"]) for r in gidx_one.collect()}
+            assert a == b
+        finally:
+            gidx_one.unpersist()
+    finally:
+        gidx.unpersist()
+
+
+def test_doc_axis_append_is_pure_union(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        append_window_sketch_index,
+    )
+
+    corp, _ = built
+    ids = sorted(r["doc_id"] for r in corp.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    old = build_bk_window_index(corp.filter(F.col("doc_id") < mid), CFG, k=K)
+    appended = append_window_sketch_index(
+        old, corp.filter(F.col("doc_id") >= mid), CFG, family="bk", k=K)
+    scratch = build_bk_window_index(corp, CFG, k=K)
+    try:
+        a = {tuple(r[:3]): bytes(r[3]) for r in appended.collect()}
+        s = {tuple(r[:3]): bytes(r[3]) for r in scratch.collect()}
+        assert a == s
+    finally:
+        old.unpersist()
+        appended.unpersist()
+        scratch.unpersist()
