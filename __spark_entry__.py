@@ -425,6 +425,32 @@ def q_hbi_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stream-axis batched proximity workload: mixed radii (halo = max), an
+# equal-token pair
+GPROX_BATCH = [
+    (ord("q"), ord("e"), 6),
+    (ord("e"), ord("q"), 2),
+    (ord("q"), ord("q"), 5),
+]
+
+
+def q_hbi_global_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched STREAM-axis proximity: the whole workload answered with ONE
+    global leaf scan — chunked-with-halo per-token window lists built once
+    (halo sized by the max radius, sound for the smaller ones), per-query
+    intersections + a shared fragment assembly per candidate window
+    (operators/proximity.py:global_proximity_search_batch; identical to
+    per-query global_proximity_search, tested incl. cross-doc pairs)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_proximity_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GPROX_BATCH
+    )
+
+
 def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists() over the ONE-STREAM index: global leaf windows containing a
     token (Bloom prunes which docs are scanned; the w_id set is exact)."""
@@ -1765,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
         "hbi_proximity_batch": q_hbi_proximity_batch,
+        "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -1893,6 +1920,24 @@ pa AS (SELECT g FROM flat WHERE t = {ord("q")}),
 pb AS (SELECT g FROM flat WHERE t = {ord("e")})
 SELECT CAST(pa.g AS BIGINT) AS gpos_a, CAST(pb.g AS BIGINT) AS gpos_b
 FROM pa JOIN pb ON pb.g BETWEEN pa.g - 6 AND pa.g + 6""",
+        "hbi_global_proximity_batch": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pairs(pair_id, ta, tb, w) AS (VALUES {", ".join(
+            f"({i}, {a}, {b}, {w})" for i, (a, b, w) in enumerate(GPROX_BATCH))})
+SELECT CAST(pair_id AS INT) AS pair_id, CAST(a.g AS BIGINT) AS gpos_a,
+       CAST(b.g AS BIGINT) AS gpos_b
+FROM pairs
+JOIN flat a ON a.t = pairs.ta
+JOIN flat b ON b.g BETWEEN a.g - pairs.w AND a.g + pairs.w AND b.t = pairs.tb
+WHERE a.g <> b.g""",
         "window_membership_batch": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
        CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id

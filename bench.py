@@ -118,6 +118,7 @@ def main() -> None:
         "hbi_proximity",
         "hbi_global_proximity",
         "hbi_proximity_batch",
+        "hbi_global_proximity_batch",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",

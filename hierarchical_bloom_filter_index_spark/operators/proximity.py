@@ -231,17 +231,16 @@ def global_proximity_search(
 
     hits = rows.mapInPandas(probe, schema="w_id long, ok_a boolean, ok_b boolean")
     # A windows live in their own chunk; B windows are replicated into every
-    # chunk whose A-windows could see them (at most 3 chunks at any radius
-    # <= chunk size — the halo)
+    # chunk whose A-windows could see them (the halo — sequence covers ANY
+    # radius, including radius > chunk size; 1-3 chunks in the common case)
     a_rows = hits.filter("ok_a").select(
         F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id",
         F.lit(True).alias("is_a"))
     b_rows = hits.filter("ok_b").select(
-        F.explode(F.array_distinct(F.array(
+        F.explode(F.sequence(
             F.shiftright(F.col("w_id") - radius, _CHUNK_BITS),
-            F.shiftright("w_id", _CHUNK_BITS),
             F.shiftright(F.col("w_id") + radius, _CHUNK_BITS),
-        ))).alias("chunk"), "w_id", F.lit(False).alias("is_a"))
+        )).alias("chunk"), "w_id", F.lit(False).alias("is_a"))
     per_chunk = a_rows.unionByName(b_rows).groupBy("chunk").agg(
         F.sort_array(F.collect_list(F.when(F.col("is_a"), F.col("w_id")))).alias("wa"),
         F.sort_array(F.collect_list(F.when(~F.col("is_a"), F.col("w_id")))).alias("wb"),
@@ -490,3 +489,205 @@ def proximity_search_batch(
 
     survivors = corpus.join(per_doc_cands, "doc_id").select("doc_id", "tokens", "pairs")
     return survivors.mapInPandas(verify, schema=BATCH_PAIR_SCHEMA)
+
+
+GLOBAL_BATCH_PAIR_SCHEMA = "pair_id int, gpos_a long, gpos_b long"
+
+
+def global_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis proximity: a workload of (token_a, token_b, w)
+    queries over the concatenated stream answered with ONE global leaf scan.
+    Every Bloom blob is probed once for the workload's distinct tokens; the
+    chunked-with-halo window lists are assembled once per (chunk, token) and
+    shared by every query (halo sized by the workload's MAX radius — a
+    superset halo is sound for the smaller radii); fragment assembly covers
+    each candidate window's span + 2*max(w) region once even when several
+    queries share the window. Answers identical to per-query
+    global_proximity_search (tested). Returns (pair_id, gpos_a, gpos_b)
+    with pair_id = the query's position in ``queries``."""
+    queries = [(int(a), int(b), int(w)) for a, b, w in queries]
+    if not queries:
+        raise ValueError("empty query workload")
+    if any(w < 0 for _a, _b, w in queries):
+        raise ValueError("w must be >= 0 for every query")
+    if cfg.axis != "global":
+        raise ValueError("global_proximity_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_proximity_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+    from .route import _level_rows
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    keys = np.unique(np.asarray(
+        [a for a, _b, _w in queries] + [b for _a, b, _w in queries], dtype=np.int64))
+    ukeys = keys.astype(np.uint64)
+    specs = [
+        (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
+         -(-w // span), w)
+        for a, b, w in queries
+    ]
+    max_radius = max(r for _ia, _ib, r, _w in specs)
+    W = max(w for _a, _b, w in queries)
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
+            r, c = np.nonzero(ok)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame({"w_id": pdf["w_id"].to_numpy()[r],
+                                "k": c.astype(np.int32)})
+
+    hits = rows.mapInPandas(probe, schema="w_id long, k int")
+    # every positive window is a potential A (home chunk only) AND a
+    # potential B (replicated into the max-radius halo, which includes the
+    # home chunk) — one union, the is_home marker keeps the lists apart
+    home = hits.select(
+        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id", "k",
+        F.lit(True).alias("is_home"))
+    halo = hits.select(
+        F.explode(F.sequence(
+            F.shiftright(F.col("w_id") - max_radius, _CHUNK_BITS),
+            F.shiftright(F.col("w_id") + max_radius, _CHUNK_BITS),
+        )).alias("chunk"), "w_id", "k", F.lit(False).alias("is_home"))
+    per_chunk = (
+        home.unionByName(halo)
+        .groupBy("chunk", "k")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("is_home"), F.col("w_id")))).alias("wh"),
+            F.sort_array(F.collect_list(F.when(~F.col("is_home"), F.col("w_id")))).alias("wl"),
+        )
+        .groupBy("chunk")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("k", F.struct("wh", "wl")))).alias("kw"))
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids, wids = [], []
+            for kw in pdf["kw"]:
+                for pid, (ia, ib, radius, _w) in enumerate(specs):
+                    ea = kw.get(ia)
+                    eb = kw.get(ib)
+                    if ea is None or eb is None:
+                        continue
+                    wa = np.asarray(ea["wh"], dtype=np.int64)
+                    wb = np.asarray(eb["wl"], dtype=np.int64)
+                    if len(wa) == 0 or len(wb) == 0:
+                        continue
+                    lo = np.searchsorted(wb, wa - radius, side="left")
+                    hi = np.searchsorted(wb, wa + radius, side="right")
+                    keep = wa[hi > lo]
+                    if len(keep):
+                        pids.append(np.full(len(keep), pid, dtype=np.int32))
+                        wids.append(keep)
+            if pids:
+                yield pd.DataFrame({"pair_id": np.concatenate(pids),
+                                    "w_id": np.concatenate(wids)})
+
+    cand = per_chunk.mapInPandas(cands, schema="pair_id int, w_id long")
+    # several queries may keep the same window: fragments are assembled ONCE
+    # per window (max-w margins), the pid list rides along
+    cand_w = cand.groupBy("w_id").agg(F.collect_list("pair_id").alias("pids"))
+
+    sp = int(span)
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"),
+                           ((F.col("doc_offset") - W) / sp).cast("long")),
+                ((F.col("doc_offset") + F.col("n_tok") - 1 + W) / sp).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    frags = (
+        doc_windows.join(cand_w, "w_id")
+        .select(
+            "w_id", "pids",
+            F.greatest(F.col("doc_offset"),
+                       (F.col("w_id") * sp - W).cast("long")).alias("_lo"),
+            F.least(F.col("doc_offset") + F.col("n_tok"),
+                    ((F.col("w_id") + 1) * sp + W).cast("long")).alias("_hi"),
+            "doc_offset", "tokens",
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "w_id", "pids", F.col("_lo").alias("off"),
+            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
+                   "cast(_hi - _lo as int))").alias("frag"),
+        )
+    )
+    grouped = frags.groupBy("w_id").agg(
+        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"),
+        F.first("pids").alias("pids"),
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"pair_id": [], "gpos_a": [], "gpos_b": []}
+            for wa_id, parts, pids in zip(pdf["w_id"], pdf["parts"], pdf["pids"]):
+                base = int(parts[0]["off"])
+                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
+                                    for p in parts])
+                pos_cache: dict[int, np.ndarray] = {}
+
+                def positions(tok: int) -> np.ndarray:
+                    if tok not in pos_cache:
+                        pos_cache[tok] = np.flatnonzero(t == tok) + base
+                    return pos_cache[tok]
+
+                for pid in sorted(set(int(p) for p in pids)):
+                    a, b, ww = queries[pid]
+                    pa = positions(a)
+                    # each true A position belongs to exactly ONE candidate
+                    # window per query -> no duplicate pairs
+                    pa = pa[(pa >= wa_id * sp) & (pa < (wa_id + 1) * sp)]
+                    if len(pa) == 0:
+                        continue
+                    pb = positions(b)
+                    if len(pb) == 0:
+                        continue
+                    lo = np.searchsorted(pb, pa - ww, side="left")
+                    hi = np.searchsorted(pb, pa + ww, side="right")
+                    reps = hi - lo
+                    sel = reps > 0
+                    if not sel.any():
+                        continue
+                    pa_rep = np.repeat(pa[sel], reps[sel])
+                    idx = np.concatenate([np.arange(l, h) for l, h in
+                                          zip(lo[sel], hi[sel])])
+                    pb_hit = pb[idx]
+                    ok = pa_rep != pb_hit
+                    n = int(ok.sum())
+                    if n:
+                        out["pair_id"].extend([pid] * n)
+                        out["gpos_a"].append(pa_rep[ok])
+                        out["gpos_b"].append(pb_hit[ok])
+            if out["pair_id"]:
+                yield pd.DataFrame({
+                    "pair_id": np.asarray(out["pair_id"], np.int32),
+                    "gpos_a": np.concatenate(out["gpos_a"]),
+                    "gpos_b": np.concatenate(out["gpos_b"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_BATCH_PAIR_SCHEMA)

@@ -201,3 +201,46 @@ def test_batch_refusals(spark, built):
         proximity_search_batch(corp, idx, CFG, [])
     with pytest.raises(ValueError, match="w must be"):
         proximity_search_batch(corp, idx, CFG, [(1, 2, -3)])
+
+
+def test_global_batch_equals_singles(spark, built):
+    """One-scan batched STREAM-axis proximity returns EXACTLY the per-query
+    answers — mixed radii (shared halo is the max), an equal-token pair,
+    and an absent token."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+        global_proximity_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        queries = [(a, b, 6), (b, a, 50), (a, a, 3), (a, 987654321, 9), (b, a, 0)]
+        got = {(r["pair_id"], r["gpos_a"], r["gpos_b"])
+               for r in global_proximity_search_batch(gcorp, gidx, gcfg, queries).collect()}
+        want = set()
+        for pid, (ta, tb, w) in enumerate(queries):
+            for r in global_proximity_search(gcorp, gidx, gcfg, ta, tb, w).collect():
+                want.add((pid, r["gpos_a"], r["gpos_b"]))
+        assert got == want and len(want) > 0
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_global_batch_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search_batch,
+    )
+
+    corp, idx = built
+    gcfg = CFG.with_(axis="global")
+    with pytest.raises(ValueError, match="empty"):
+        global_proximity_search_batch(corp, idx, gcfg, [])
+    with pytest.raises(ValueError, match="w must be"):
+        global_proximity_search_batch(corp, idx, gcfg, [(1, 2, -3)])
+    with pytest.raises(ValueError, match="axis"):
+        global_proximity_search_batch(corp, idx, CFG, [(1, 2, 3)])
