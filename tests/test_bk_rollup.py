@@ -237,3 +237,38 @@ def test_doc_axis_append_is_pure_union(spark, built):
         old.unpersist()
         appended.unpersist()
         scratch.unpersist()
+
+
+def test_global_append_equals_rebuild(spark, built):
+    """Incremental stream append (boundary re-merge + suffix ancestor
+    recompute) is byte-equal to a from-scratch build — union merges are
+    content-pure, so the mid-window boundary case loses nothing."""
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        append_increment_global_window,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = with_global_offsets(corp).cache()
+    docs = [r["doc_id"] for r in gcorp.select("doc_id").orderBy("doc_id").collect()]
+    cut = docs[len(docs) // 2]
+    old = gcorp.filter(F.col("doc_id") <= cut)
+    new = gcorp.filter(F.col("doc_id") > cut)
+    n_so_far = int(old.agg(F.sum(F.size("tokens"))).first()[0])
+    assert n_so_far % CFG.leaf_span != 0  # boundary mid-window, the hard case
+
+    slot_blobs, merge_groups, builder = window_sketch_family(gcfg, "bk", k=K)
+    old_idx = builder(old, gcfg)
+    appended = append_increment_global_window(
+        old_idx, new, gcfg, n_so_far, slot_blobs, merge_groups)
+    full = builder(gcorp, gcfg)
+    try:
+        def rows(df):
+            return sorted((r["level"], r["w_id"], bytes(r["sketch"]))
+                          for r in df.collect())
+        assert rows(appended) == rows(full) and len(rows(full)) > 0
+    finally:
+        for df in (old_idx, appended, full):
+            df.unpersist()
+        gcorp.unpersist()

@@ -383,7 +383,19 @@ def test_structured_streaming_window_sketch_index(spark, tmp_path):
     idx_m, _tot_m = run("mg", "mg")
     ref_m = build_global_mg_window_index(with_global_offsets(full), cfg)
     assert _sstate(idx_m) == _sstate(ref_m)
-    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m):
+
+    # BK: byte-equal after one drain — a bottom-k node is a pure function of
+    # its window's DISTINCT-token set, so the append path's boundary
+    # re-merges reproduce the scratch bytes exactly regardless of how the
+    # stream was chunked
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_bk_window_index,
+    )
+
+    idx_b, _tot_b = run("bk", "bk")
+    ref_b = build_global_bk_window_index(with_global_offsets(full), cfg)
+    assert _sstate(idx_b) == _sstate(ref_b)
+    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m, ref_b):
         r.unpersist()
     full.unpersist()
 
