@@ -59,6 +59,12 @@ SWEEP = [
     "range_heavy_hitters",
     "hbi_proximity",
     "hbi_global_proximity",
+    # round-4b additions: batched proximity (one scan per workload, both
+    # axes) and the exact BottomK range distinct-sample family
+    "hbi_proximity_batch",
+    "hbi_global_proximity_batch",
+    "range_distinct_sample",
+    "global_range_distinct_sample",
 ]
 
 
