@@ -399,13 +399,47 @@ def q_hbi_global_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED proximity — 'q' strictly BEFORE 'e' with gap <= 6
+    (0 < pos_b - pos_a <= 6): the phrase/collocation-direction query. Same
+    conjunctive one-scan plan as hbi_proximity, but the candidate window
+    intersection only looks FORWARD (B-windows never behind A's), pruning
+    ~2x harder (operators/proximity.py:proximity_search ordered=True)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search,
+    )
+
+    return proximity_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG,
+        ord("q"), ord("e"), 6, ordered=True,
+    )
+
+
+def q_hbi_global_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED proximity over the CONCATENATED stream — 'q' strictly before
+    'e' with gap <= 6, document boundaries invisible (cross-doc ordered
+    pairs included). Forward-only candidate intersection over the chunked
+    stream windows; the symmetric halo stays (superset, sound)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_proximity_search(
+        gcorp, gidx, CFG.with_(axis="global"), ord("q"), ord("e"), 6, ordered=True
+    )
+
+
 # Batched proximity workload: distinct-token pair both ways, an equal-token
-# pair (self-positions excluded), and a rare anchor with a wide radius.
+# pair (self-positions excluded), a rare anchor with a wide radius, and two
+# ORDERED entries (A strictly before B) sharing the same one scan.
 PROX_BATCH = [
     (ord("q"), ord("e"), 6),
     (ord("e"), ord("q"), 2),
     (ord("q"), ord("q"), 5),
     (ord("x"), ord(" "), 3),
+    (ord("e"), ord("q"), 6, True),
+    (ord("q"), ord("q"), 5, True),
 ]
 
 
@@ -426,11 +460,12 @@ def q_hbi_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Stream-axis batched proximity workload: mixed radii (halo = max), an
-# equal-token pair
+# equal-token pair, and an ordered entry sharing the scan
 GPROX_BATCH = [
     (ord("q"), ord("e"), 6),
     (ord("e"), ord("q"), 2),
     (ord("q"), ord("q"), 5),
+    (ord("e"), ord("q"), 6, True),
 ]
 
 
@@ -1790,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
+        "hbi_proximity_ordered": q_hbi_proximity_ordered,
+        "hbi_global_proximity_ordered": q_hbi_global_proximity_ordered,
         "hbi_proximity_batch": q_hbi_proximity_batch,
         "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
         "window_membership_batch": q_window_membership_batch,
@@ -1896,16 +1933,24 @@ pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
 SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE abs(pos_a - pos_b) <= 6""",
+        "hbi_proximity_ordered": f"""WITH {CORPUS_CTE}, {POS_CTE},
+pa AS (SELECT doc_id, i - 1 AS pos_a FROM pos WHERE tokens[i] = {ord("q")}),
+pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
+SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE pos_b > pos_a AND pos_b <= pos_a + 6""",
         "hbi_proximity_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
 flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
-pairs(pair_id, ta, tb, w) AS (VALUES {", ".join(
-            f"({i}, {a}, {b}, {w})" for i, (a, b, w) in enumerate(PROX_BATCH))})
+pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, {q[0]}, {q[1]}, {q[2]}, {1 if len(q) > 3 and q[3] else 0})"
+            for i, q in enumerate(PROX_BATCH))})
 SELECT CAST(pair_id AS INT) AS pair_id, a.doc_id AS doc_id,
        CAST(a.p AS INT) AS pos_a, CAST(b.p AS INT) AS pos_b
 FROM pairs
 JOIN flat a ON a.t = pairs.ta
 JOIN flat b ON b.doc_id = a.doc_id AND b.t = pairs.tb
-WHERE abs(a.p - b.p) <= pairs.w AND a.p <> b.p""",
+WHERE (pairs.is_ord = 0 AND abs(a.p - b.p) <= pairs.w AND a.p <> b.p)
+   OR (pairs.is_ord = 1 AND b.p > a.p AND b.p <= a.p + pairs.w)""",
         "hbi_global_proximity": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,
@@ -1920,6 +1965,20 @@ pa AS (SELECT g FROM flat WHERE t = {ord("q")}),
 pb AS (SELECT g FROM flat WHERE t = {ord("e")})
 SELECT CAST(pa.g AS BIGINT) AS gpos_a, CAST(pb.g AS BIGINT) AS gpos_b
 FROM pa JOIN pb ON pb.g BETWEEN pa.g - 6 AND pa.g + 6""",
+        "hbi_global_proximity_ordered": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pa AS (SELECT g FROM flat WHERE t = {ord("q")}),
+pb AS (SELECT g FROM flat WHERE t = {ord("e")})
+SELECT CAST(pa.g AS BIGINT) AS gpos_a, CAST(pb.g AS BIGINT) AS gpos_b
+FROM pa JOIN pb ON pb.g BETWEEN pa.g + 1 AND pa.g + 6""",
         "hbi_global_proximity_batch": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,
@@ -1930,14 +1989,16 @@ flat AS (
   SELECT o + i - 1 AS g, tokens[i] AS t
   FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
 ),
-pairs(pair_id, ta, tb, w) AS (VALUES {", ".join(
-            f"({i}, {a}, {b}, {w})" for i, (a, b, w) in enumerate(GPROX_BATCH))})
+pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, {q[0]}, {q[1]}, {q[2]}, {1 if len(q) > 3 and q[3] else 0})"
+            for i, q in enumerate(GPROX_BATCH))})
 SELECT CAST(pair_id AS INT) AS pair_id, CAST(a.g AS BIGINT) AS gpos_a,
        CAST(b.g AS BIGINT) AS gpos_b
 FROM pairs
 JOIN flat a ON a.t = pairs.ta
 JOIN flat b ON b.g BETWEEN a.g - pairs.w AND a.g + pairs.w AND b.t = pairs.tb
-WHERE a.g <> b.g""",
+WHERE (pairs.is_ord = 0 AND a.g <> b.g)
+   OR (pairs.is_ord = 1 AND b.g > a.g AND b.g <= a.g + pairs.w)""",
         "window_membership_batch": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT CAST(tokens[i] AS INT) AS token, doc_id,
        CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id

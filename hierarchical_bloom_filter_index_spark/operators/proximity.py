@@ -42,10 +42,17 @@ def proximity_search(
     token_b: int,
     w: int,
     level: int | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """(doc_id, pos_a, pos_b): EXACT position pairs with
     ``tokens[pos_a] == token_a``, ``tokens[pos_b] == token_b``,
     ``|pos_a - pos_b| <= w`` and ``pos_a != pos_b``.
+
+    ``ordered=True`` restricts to DIRECTED pairs — A strictly before B
+    within the gap: ``0 < pos_b - pos_a <= w`` (the phrase / collocation-
+    direction query). Window-level soundness: ``pos_b in (pos_a, pos_a+w]``
+    implies ``w_b in [w_a, w_a + radius]``, so the candidate intersection
+    only looks FORWARD and prunes ~2x harder than the symmetric query.
 
     ``level`` defaults to the leaf level; any level works — the window
     radius adapts (``ceil(w / span)``), finer levels prune harder. The
@@ -58,6 +65,7 @@ def proximity_search(
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
     radius = -(-int(w) // span)  # ceil(w / span): |i-j|<=w => window dist <= radius
+    r_lo = 0 if ordered else radius  # ordered: B-windows never BEHIND A's
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
 
     rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
@@ -95,7 +103,7 @@ def proximity_search(
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - radius, side="left")
+                lo = np.searchsorted(wb, wa - r_lo, side="left")
                 hi = np.searchsorted(wb, wa + radius, side="right")
                 keep = wa[hi > lo]
                 if len(keep):
@@ -106,6 +114,7 @@ def proximity_search(
     cand = per_doc.mapInPandas(cands, schema="doc_id string, cand_w array<long>")
 
     a, b, ww, sp = int(token_a), int(token_b), int(w), int(span)
+    p_lo = 1 if ordered else -ww  # verify lower bound: pb >= pa + p_lo
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,7 +135,7 @@ def proximity_search(
                 pb = np.flatnonzero(t == b)
                 if len(pb) == 0:
                     continue
-                lo = np.searchsorted(pb, pa - ww, side="left")
+                lo = np.searchsorted(pb, pa + p_lo, side="left")
                 hi = np.searchsorted(pb, pa + ww, side="right")
                 reps = hi - lo
                 sel = reps > 0
@@ -160,11 +169,12 @@ def proximity_counts(
     token_b: int,
     w: int,
     level: int | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """(doc_id, n_pairs) — per-doc co-occurrence counts (the collocation /
     co-occurrence-statistics readout of proximity_search)."""
     return (
-        proximity_search(corpus, index, cfg, token_a, token_b, w, level)
+        proximity_search(corpus, index, cfg, token_a, token_b, w, level, ordered)
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_pairs"))
     )
@@ -185,12 +195,16 @@ def global_proximity_search(
     token_b: int,
     w: int,
     level: int | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """(gpos_a, gpos_b): EXACT stream-position pairs with
     ``stream[gpos_a] == token_a``, ``stream[gpos_b] == token_b`` and
     ``|gpos_a - gpos_b| <= w`` over the CONCATENATED stream — document
     boundaries invisible, cross-doc pairs included (the reference's
     one-stream model). Global twin of proximity_search.
+    ``ordered=True`` restricts to ``0 < gpos_b - gpos_a <= w`` (A strictly
+    before B); the symmetric B-halo replication stays (a superset is sound),
+    only the candidate intersection and verification look forward.
 
     Distribution notes: the candidate pass chunks the stream's windows
     (2^_CHUNK_BITS per group) and gives every chunk a radius-wide B-window
@@ -215,6 +229,7 @@ def global_proximity_search(
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
     radius = -(-int(w) // span)
+    r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
     rows = _level_rows(index, L, doc_axis=False)
 
@@ -256,7 +271,7 @@ def global_proximity_search(
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - radius, side="left")
+                lo = np.searchsorted(wb, wa - r_lo, side="left")
                 hi = np.searchsorted(wb, wa + radius, side="right")
                 outs.append(wa[hi > lo])
             if outs:
@@ -299,6 +314,7 @@ def global_proximity_search(
         F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
 
     a, b = int(token_a), int(token_b)
+    p_lo = 1 if ordered else -int(w)  # verify lower bound: pb >= pa + p_lo
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -318,7 +334,7 @@ def global_proximity_search(
                 pb = np.flatnonzero(t == b) + base
                 if len(pb) == 0:
                     continue
-                lo = np.searchsorted(pb, pa - ww, side="left")
+                lo = np.searchsorted(pb, pa + p_lo, side="left")
                 hi = np.searchsorted(pb, pa + ww, side="right")
                 reps = hi - lo
                 sel = reps > 0
@@ -357,24 +373,31 @@ def proximity_search_batch(
     proximity_search per query (tested); the scan cost is paid once instead
     of |queries| times — the same design point as pattern_search_batch /
     window_membership_batch. Returns (pair_id, doc_id, pos_a, pos_b) with
-    pair_id = the query's position in ``queries``."""
-    queries = [(int(a), int(b), int(w)) for a, b, w in queries]
+    pair_id = the query's position in ``queries``.
+
+    Each query is ``(token_a, token_b, w)`` or ``(token_a, token_b, w,
+    ordered)`` — ordered entries return only ``0 < pos_b - pos_a <= w``
+    (A strictly before B); mixed workloads share the one scan."""
+    queries = [(int(q[0]), int(q[1]), int(q[2]),
+                bool(q[3]) if len(q) > 3 else False) for q in queries]
     if not queries:
         raise ValueError("empty query workload")
-    if any(w < 0 for _a, _b, w in queries):
+    if any(w < 0 for _a, _b, w, _o in queries):
         raise ValueError("w must be >= 0 for every query")
     if cfg.ngram != 1:
         raise ValueError("proximity_search_batch requires a token-keyed index (ngram=1)")
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
     keys = np.unique(np.asarray(
-        [a for a, _b, _w in queries] + [b for _a, b, _w in queries], dtype=np.int64))
+        [a for a, _b, _w, _o in queries] + [b for _a, b, _w, _o in queries],
+        dtype=np.int64))
     ukeys = keys.astype(np.uint64)
-    # per query: (key index of A, key index of B, window radius, w)
+    # per query: (key index of A, key index of B, window radius, backward
+    # window reach — 0 for ordered queries: B-windows never behind A's)
     specs = [
         (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
-         -(-w // span), w)
-        for a, b, w in queries
+         -(-w // span), 0 if o else -(-w // span))
+        for a, b, w, o in queries
     ]
 
     rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
@@ -411,14 +434,14 @@ def proximity_search_batch(
                 continue
             ids, pids, wids = [], [], []
             for did, kw in zip(pdf["doc_id"], pdf["kw"]):
-                for pid, (ia, ib, radius, _w) in enumerate(specs):
+                for pid, (ia, ib, radius, r_lo) in enumerate(specs):
                     wa = kw.get(ia)
                     wb = kw.get(ib)
                     if wa is None or wb is None:
                         continue
                     wa = np.asarray(wa, dtype=np.int64)
                     wb = np.asarray(wb, dtype=np.int64)
-                    lo = np.searchsorted(wb, wa - radius, side="left")
+                    lo = np.searchsorted(wb, wa - r_lo, side="left")
                     hi = np.searchsorted(wb, wa + radius, side="right")
                     keep = wa[hi > lo]
                     if len(keep):
@@ -451,7 +474,7 @@ def proximity_search_batch(
 
                 for p in pairs:
                     pid = int(p["pair_id"])
-                    a, b, _r, ww = queries[pid][0], queries[pid][1], None, queries[pid][2]
+                    a, b, ww, o = queries[pid]
                     pa = positions(a)
                     if len(pa) == 0:
                         continue
@@ -462,7 +485,7 @@ def proximity_search_batch(
                     pb = positions(b)
                     if len(pb) == 0:
                         continue
-                    lo = np.searchsorted(pb, pa - ww, side="left")
+                    lo = np.searchsorted(pb, pa + (1 if o else -ww), side="left")
                     hi = np.searchsorted(pb, pa + ww, side="right")
                     reps = hi - lo
                     sel = reps > 0
@@ -510,11 +533,17 @@ def global_proximity_search_batch(
     each candidate window's span + 2*max(w) region once even when several
     queries share the window. Answers identical to per-query
     global_proximity_search (tested). Returns (pair_id, gpos_a, gpos_b)
-    with pair_id = the query's position in ``queries``."""
-    queries = [(int(a), int(b), int(w)) for a, b, w in queries]
+    with pair_id = the query's position in ``queries``.
+
+    Each query is ``(token_a, token_b, w)`` or ``(token_a, token_b, w,
+    ordered)`` — ordered entries return only ``0 < gpos_b - gpos_a <= w``;
+    mixed workloads share the one scan (the symmetric max-radius halo is a
+    sound superset for ordered queries too)."""
+    queries = [(int(q[0]), int(q[1]), int(q[2]),
+                bool(q[3]) if len(q) > 3 else False) for q in queries]
     if not queries:
         raise ValueError("empty query workload")
-    if any(w < 0 for _a, _b, w in queries):
+    if any(w < 0 for _a, _b, w, _o in queries):
         raise ValueError("w must be >= 0 for every query")
     if cfg.axis != "global":
         raise ValueError("global_proximity_search_batch needs cfg.axis='global'")
@@ -531,15 +560,18 @@ def global_proximity_search_batch(
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
     keys = np.unique(np.asarray(
-        [a for a, _b, _w in queries] + [b for _a, b, _w in queries], dtype=np.int64))
+        [a for a, _b, _w, _o in queries] + [b for _a, b, _w, _o in queries],
+        dtype=np.int64))
     ukeys = keys.astype(np.uint64)
+    # (A key idx, B key idx, forward window radius, backward reach — 0 for
+    # ordered queries)
     specs = [
         (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
-         -(-w // span), w)
-        for a, b, w in queries
+         -(-w // span), 0 if o else -(-w // span))
+        for a, b, w, o in queries
     ]
-    max_radius = max(r for _ia, _ib, r, _w in specs)
-    W = max(w for _a, _b, w in queries)
+    max_radius = max(r for _ia, _ib, r, _rl in specs)
+    W = max(w for _a, _b, w, _o in queries)
     rows = _level_rows(index, L, doc_axis=False)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -583,7 +615,7 @@ def global_proximity_search_batch(
                 continue
             pids, wids = [], []
             for kw in pdf["kw"]:
-                for pid, (ia, ib, radius, _w) in enumerate(specs):
+                for pid, (ia, ib, radius, r_lo) in enumerate(specs):
                     ea = kw.get(ia)
                     eb = kw.get(ib)
                     if ea is None or eb is None:
@@ -592,7 +624,7 @@ def global_proximity_search_batch(
                     wb = np.asarray(eb["wl"], dtype=np.int64)
                     if len(wa) == 0 or len(wb) == 0:
                         continue
-                    lo = np.searchsorted(wb, wa - radius, side="left")
+                    lo = np.searchsorted(wb, wa - r_lo, side="left")
                     hi = np.searchsorted(wb, wa + radius, side="right")
                     keep = wa[hi > lo]
                     if len(keep):
@@ -657,7 +689,7 @@ def global_proximity_search_batch(
                     return pos_cache[tok]
 
                 for pid in sorted(set(int(p) for p in pids)):
-                    a, b, ww = queries[pid]
+                    a, b, ww, o = queries[pid]
                     pa = positions(a)
                     # each true A position belongs to exactly ONE candidate
                     # window per query -> no duplicate pairs
@@ -667,7 +699,7 @@ def global_proximity_search_batch(
                     pb = positions(b)
                     if len(pb) == 0:
                         continue
-                    lo = np.searchsorted(pb, pa - ww, side="left")
+                    lo = np.searchsorted(pb, pa + (1 if o else -ww), side="left")
                     hi = np.searchsorted(pb, pa + ww, side="right")
                     reps = hi - lo
                     sel = reps > 0

@@ -170,6 +170,72 @@ def test_global_axis_refusal(spark, built):
         global_proximity_search(corp, idx, CFG, 1, 2, 5)
 
 
+def _brute_ordered(corp, a, b, w):
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        t = np.asarray(r["tokens"], dtype=np.int64)
+        for i in np.flatnonzero(t == a):
+            for j in np.flatnonzero(t == b):
+                if 0 < int(j) - int(i) <= w:
+                    want.add((r["doc_id"], int(i), int(j)))
+    return want
+
+
+@pytest.mark.parametrize("w", [0, 1, 5, 40])
+def test_ordered_pairs_match_brute_force(spark, built, w):
+    """ordered=True returns exactly the DIRECTED pairs 0 < pos_b - pos_a
+    <= w — the forward-only candidate windows lose nothing."""
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    got = {(r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search(corp, idx, CFG, a, b, w, ordered=True).collect()}
+    assert got == _brute_ordered(corp, a, b, w)
+    if w >= 5:
+        assert len(got) > 0
+
+
+def test_ordered_equal_tokens(spark, built):
+    """A == B ordered: every unordered pair appears in exactly ONE direction
+    (the forward one) — ordered pairs are half the symmetric set."""
+    corp, idx = built
+    a, _ = _pick_tokens(corp)
+    sym = {(r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search(corp, idx, CFG, a, a, 3).collect()}
+    fwd = {(r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in proximity_search(corp, idx, CFG, a, a, 3, ordered=True).collect()}
+    assert fwd == {(d, i, j) for d, i, j in sym if j > i}
+    assert len(fwd) * 2 == len(sym) > 0
+
+
+def test_global_ordered_matches_stream_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        rows = sorted(gcorp.select("doc_offset", "tokens").collect(),
+                      key=lambda r: r["doc_offset"])
+        stream = np.concatenate([np.asarray(r["tokens"]) for r in rows])
+        a, b = _pick_tokens(corp)
+        for w in (1, 6, 50):
+            got = {(r["gpos_a"], r["gpos_b"])
+                   for r in global_proximity_search(
+                       gcorp, gidx, gcfg, a, b, w, ordered=True).collect()}
+            pa = np.flatnonzero(stream == a)
+            pb = np.flatnonzero(stream == b)
+            want = {(int(i), int(j)) for i in pa
+                    for j in pb[np.searchsorted(pb, i + 1):
+                                np.searchsorted(pb, i + w, side="right")]}
+            assert got == want
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
 def test_batch_equals_singles(spark, built):
     """One-scan batched proximity must return EXACTLY the per-query answers
     (same candidates soundness, shared probe) — including an equal-token
@@ -181,14 +247,19 @@ def test_batch_equals_singles(spark, built):
 
     corp, idx = built
     a, b = _pick_tokens(corp)
-    queries = [(a, b, 6), (b, a, 2), (a, a, 4), (a, b, 0), (a, 987654321, 9)]
+    # mixed 3-/4-tuples: ordered entries share the one scan with unordered
+    queries = [(a, b, 6), (b, a, 2), (a, a, 4), (a, b, 0), (a, 987654321, 9),
+               (a, b, 6, True), (a, a, 4, True)]
     got = {(r["pair_id"], r["doc_id"], r["pos_a"], r["pos_b"])
            for r in proximity_search_batch(corp, idx, CFG, queries).collect()}
     want = set()
-    for pid, (ta, tb, w) in enumerate(queries):
-        for r in proximity_search(corp, idx, CFG, ta, tb, w).collect():
+    for pid, q in enumerate(queries):
+        ta, tb, w = q[0], q[1], q[2]
+        o = q[3] if len(q) > 3 else False
+        for r in proximity_search(corp, idx, CFG, ta, tb, w, ordered=o).collect():
             want.add((pid, r["doc_id"], r["pos_a"], r["pos_b"]))
     assert got == want and len(want) > 0
+    assert any(pid >= 5 for pid, *_ in got)  # ordered entries found pairs
 
 
 def test_batch_refusals(spark, built):
@@ -218,14 +289,19 @@ def test_global_batch_equals_singles(spark, built):
     gidx = build_index(gcorp, gcfg)
     try:
         a, b = _pick_tokens(corp)
-        queries = [(a, b, 6), (b, a, 50), (a, a, 3), (a, 987654321, 9), (b, a, 0)]
+        queries = [(a, b, 6), (b, a, 50), (a, a, 3), (a, 987654321, 9), (b, a, 0),
+                   (a, b, 6, True), (b, a, 50, True)]
         got = {(r["pair_id"], r["gpos_a"], r["gpos_b"])
                for r in global_proximity_search_batch(gcorp, gidx, gcfg, queries).collect()}
         want = set()
-        for pid, (ta, tb, w) in enumerate(queries):
-            for r in global_proximity_search(gcorp, gidx, gcfg, ta, tb, w).collect():
+        for pid, q in enumerate(queries):
+            ta, tb, w = q[0], q[1], q[2]
+            o = q[3] if len(q) > 3 else False
+            for r in global_proximity_search(
+                    gcorp, gidx, gcfg, ta, tb, w, ordered=o).collect():
                 want.add((pid, r["gpos_a"], r["gpos_b"]))
         assert got == want and len(want) > 0
+        assert any(pid >= 5 for pid, *_ in got)
     finally:
         gidx.unpersist()
         gcorp.unpersist()
