@@ -430,6 +430,43 @@ def q_hbi_global_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+CHAIN_TOKENS = [ord("t"), ord("h"), ord("e")]
+CHAIN_W = 3
+
+
+def q_hbi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED CHAIN search (phrase-with-slop): start positions where 't',
+    'h', 'e' appear in order with every consecutive gap <= 3. One leaf scan
+    probes all chain tokens; window pruning and verification both run the
+    chain BACKWARD (per-level searchsorted existence DP — never a position
+    cross-product, and immune to the greedy-earliest trap)
+    (operators/proximity.py:ordered_chain_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search,
+    )
+
+    return ordered_chain_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, CHAIN_TOKENS, CHAIN_W
+    )
+
+
+def q_hbi_global_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED CHAIN over the CONCATENATED stream — 't','h','e' in order,
+    each gap <= 3, document boundaries invisible (chains may span docs).
+    Chunk-local backward window DP over forward-reach-haloed per-token
+    window lists; verification assembles only each candidate window's
+    [w*span, (w+1)*span + (k-1)*w) region from doc fragments
+    (operators/proximity.py:global_ordered_chain_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_ordered_chain_search(
+        gcorp, gidx, CFG.with_(axis="global"), CHAIN_TOKENS, CHAIN_W
+    )
+
+
 # Batched proximity workload: distinct-token pair both ways, an equal-token
 # pair (self-positions excluded), a rare anchor with a wide radius, and two
 # ORDERED entries (A strictly before B) sharing the same one scan.
@@ -1826,6 +1863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
         "hbi_proximity_ordered": q_hbi_proximity_ordered,
+        "hbi_chain": q_hbi_chain,
+        "hbi_global_chain": q_hbi_global_chain,
         "hbi_global_proximity_ordered": q_hbi_global_proximity_ordered,
         "hbi_proximity_batch": q_hbi_proximity_batch,
         "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
@@ -1939,6 +1978,14 @@ pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
 SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE pos_b > pos_a AND pos_b <= pos_a + 6""",
+        "hbi_chain": f"""WITH {CORPUS_CTE}, {POS_CTE},
+p0 AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {CHAIN_TOKENS[0]}),
+p1 AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {CHAIN_TOKENS[1]}),
+p2 AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {CHAIN_TOKENS[2]})
+SELECT DISTINCT p0.doc_id AS doc_id, CAST(p0.p AS INT) AS pos
+FROM p0
+JOIN p1 ON p1.doc_id = p0.doc_id AND p1.p > p0.p AND p1.p <= p0.p + {CHAIN_W}
+JOIN p2 ON p2.doc_id = p0.doc_id AND p2.p > p1.p AND p2.p <= p1.p + {CHAIN_W}""",
         "hbi_proximity_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
 flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
 pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
@@ -1979,6 +2026,23 @@ pa AS (SELECT g FROM flat WHERE t = {ord("q")}),
 pb AS (SELECT g FROM flat WHERE t = {ord("e")})
 SELECT CAST(pa.g AS BIGINT) AS gpos_a, CAST(pb.g AS BIGINT) AS gpos_b
 FROM pa JOIN pb ON pb.g BETWEEN pa.g + 1 AND pa.g + 6""",
+        "hbi_global_chain": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+p0 AS (SELECT g FROM flat WHERE t = {CHAIN_TOKENS[0]}),
+p1 AS (SELECT g FROM flat WHERE t = {CHAIN_TOKENS[1]}),
+p2 AS (SELECT g FROM flat WHERE t = {CHAIN_TOKENS[2]})
+SELECT DISTINCT CAST(p0.g AS BIGINT) AS gpos
+FROM p0
+JOIN p1 ON p1.g > p0.g AND p1.g <= p0.g + {CHAIN_W}
+JOIN p2 ON p2.g > p1.g AND p2.g <= p1.g + {CHAIN_W}""",
         "hbi_global_proximity_batch": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,

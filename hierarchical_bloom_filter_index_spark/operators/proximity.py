@@ -723,3 +723,355 @@ def global_proximity_search_batch(
                 })
 
     return grouped.mapInPandas(verify, schema=GLOBAL_BATCH_PAIR_SCHEMA)
+
+
+CHAIN_SCHEMA = "doc_id string, pos int"
+
+
+def ordered_chain_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    tokens,
+    w: int,
+    level: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos): EXACT start positions of an ORDERED CHAIN — positions
+    p_0 < p_1 < ... < p_{k-1} with ``tokens[p_i] == chain[i]`` and every
+    consecutive gap ``0 < p_{i+1} - p_i <= w`` (the phrase-query-with-slop
+    primitive; k == 1 degenerates to all positions of the single token).
+
+    One leaf scan probes ALL chain tokens (distinct keys) per blob; window
+    pruning runs the chain BACKWARD at window granularity (level-i windows
+    survive only with a level-(i+1) survivor in ``[w_i, w_i + radius]`` —
+    sound: p_{i+1} > p_i and p_{i+1} <= p_i + w bound the window delta to
+    [0, radius]); verification runs the same backward existence DP over
+    sorted position arrays (one searchsorted pass per chain level — never a
+    cross-product of positions). Reference: PMIndex/HBI.java report() probes
+    composed conjunctively; the reference has no slop-chain surface."""
+    chain = [int(t) for t in tokens]
+    if not chain:
+        raise ValueError("empty chain")
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.ngram != 1:
+        raise ValueError("ordered_chain_search requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)
+    keys = np.unique(np.asarray(chain, dtype=np.int64))
+    ukeys = keys.astype(np.uint64)
+    kidx = [int(np.searchsorted(keys, t)) for t in chain]
+
+    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
+    if rows.rdd.isEmpty():
+        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
+            r, c = np.nonzero(ok)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[r],
+                "w_id": pdf["w_id"].to_numpy()[r],
+                "k": c.astype(np.int32),
+            })
+
+    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, k int")
+    per_doc = (
+        hits.groupBy("doc_id", "k")
+        .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "ws"))).alias("kw"))
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # backward window DP: good windows at chain level i need a good
+        # level-(i+1) window within [w, w + radius] forward
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, wids = [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                lists = [kw.get(i) for i in kidx]
+                if any(x is None for x in lists):
+                    continue
+                good = np.asarray(lists[-1], dtype=np.int64)
+                for i in range(len(lists) - 2, -1, -1):
+                    wi = np.asarray(lists[i], dtype=np.int64)
+                    lo = np.searchsorted(good, wi, side="left")
+                    hi = np.searchsorted(good, wi + radius, side="right")
+                    good = wi[hi > lo]
+                    if len(good) == 0:
+                        break
+                if len(good):
+                    ids.append(did)
+                    wids.append(good)
+            yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
+
+    cand = per_doc.mapInPandas(cands, schema="doc_id string, cand_w array<long>")
+
+    ww, sp = int(w), int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_d, out_p = [], []
+            for did, toks, cw in zip(pdf["doc_id"], pdf["tokens"], pdf["cand_w"]):
+                t = np.asarray(toks, dtype=np.int64)
+                pos_cache: dict[int, np.ndarray] = {}
+
+                def positions(tok: int) -> np.ndarray:
+                    if tok not in pos_cache:
+                        pos_cache[tok] = np.flatnonzero(t == tok)
+                    return pos_cache[tok]
+
+                p0 = positions(chain[0])
+                if len(p0) == 0:
+                    continue
+                cw = np.asarray(cw, dtype=np.int64)
+                p0 = p0[np.isin(p0 // sp, cw)]
+                if len(p0) == 0:
+                    continue
+                # backward existence DP over sorted position arrays
+                good = positions(chain[-1]) if len(chain) > 1 else p0
+                ok = True
+                for i in range(len(chain) - 2, 0, -1):
+                    pi = positions(chain[i])
+                    lo = np.searchsorted(good, pi + 1, side="left")
+                    hi = np.searchsorted(good, pi + ww, side="right")
+                    good = pi[hi > lo]
+                    if len(good) == 0:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                if len(chain) > 1:
+                    lo = np.searchsorted(good, p0 + 1, side="left")
+                    hi = np.searchsorted(good, p0 + ww, side="right")
+                    p0 = p0[hi > lo]
+                if len(p0):
+                    out_d.extend([did] * len(p0))
+                    out_p.append(p0)
+            if out_d:
+                yield pd.DataFrame({
+                    "doc_id": out_d,
+                    "pos": np.concatenate(out_p).astype(np.int32),
+                })
+
+    survivors = corpus.join(cand, "doc_id").select("doc_id", "tokens", "cand_w")
+    return survivors.mapInPandas(verify, schema=CHAIN_SCHEMA)
+
+
+GLOBAL_CHAIN_SCHEMA = "gpos long"
+
+
+def global_ordered_chain_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    tokens,
+    w: int,
+    level: int | None = None,
+) -> DataFrame:
+    """(gpos): EXACT stream start positions of an ORDERED CHAIN over the
+    CONCATENATED stream — positions g_0 < g_1 < ... < g_{k-1} with
+    ``stream[g_i] == chain[i]`` and every gap ``0 < g_{i+1} - g_i <= w``;
+    document boundaries invisible (chains may span docs). Global twin of
+    ordered_chain_search.
+
+    Distribution notes: one global leaf scan probes all chain tokens; window
+    pruning is chunk-local — every positive window is replicated into the
+    chunks up to ``(k-1) * radius`` windows BEHIND it (the forward-reach
+    halo; a chain starting in a chunk never looks back), the backward window
+    DP runs per chunk over the haloed per-token lists, and only home-chunk
+    level-0 windows survive. Verification assembles each candidate window's
+    ``[w_a*span, (w_a+1)*span + (k-1)*w)`` region from overlapping doc
+    fragments (chains found across doc boundaries without materializing the
+    stream)."""
+    chain = [int(t) for t in tokens]
+    if not chain:
+        raise ValueError("empty chain")
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.axis != "global":
+        raise ValueError("global_ordered_chain_search needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_ordered_chain_search requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+    from .route import _level_rows
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)
+    reach = (len(chain) - 1) * radius  # max forward window distance of a chain
+    keys = np.unique(np.asarray(chain, dtype=np.int64))
+    ukeys = keys.astype(np.uint64)
+    kidx = [int(np.searchsorted(keys, t)) for t in chain]
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)
+            r, c = np.nonzero(ok)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame({"w_id": pdf["w_id"].to_numpy()[r],
+                                "k": c.astype(np.int32)})
+
+    hits = rows.mapInPandas(probe, schema="w_id long, k int")
+    # forward-reach halo: each positive window serves every chunk whose
+    # home level-0 windows could reach it (<= reach windows behind); the
+    # sequence includes the window's own chunk, so `wl` is the complete
+    # per-chunk list for EVERY chain level and `wh` marks home (level-0
+    # survivors must be home windows — each true chain start belongs to
+    # exactly ONE chunk, so no duplicate results)
+    halo = hits.select(
+        F.explode(F.sequence(
+            F.shiftright(F.col("w_id") - reach, _CHUNK_BITS),
+            F.shiftright("w_id", _CHUNK_BITS),
+        )).alias("chunk"), "w_id", "k", F.lit(False).alias("is_home"))
+    home = hits.select(
+        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id", "k",
+        F.lit(True).alias("is_home"))
+    per_chunk = (
+        home.unionByName(halo)
+        .groupBy("chunk", "k")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("is_home"), F.col("w_id")))).alias("wh"),
+            F.sort_array(F.collect_list(F.when(~F.col("is_home"), F.col("w_id")))).alias("wl"),
+        )
+        .groupBy("chunk")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("k", F.struct("wh", "wl")))).alias("kw"))
+    )
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for kw in pdf["kw"]:
+                lists = []
+                missing = False
+                for i in kidx:
+                    e = kw.get(i)
+                    if e is None or len(e["wl"]) == 0:
+                        missing = True
+                        break
+                    lists.append(np.asarray(e["wl"], dtype=np.int64))
+                if missing:
+                    continue
+                good = lists[-1]
+                for i in range(len(lists) - 2, -1, -1):
+                    wi = lists[i]
+                    lo = np.searchsorted(good, wi, side="left")
+                    hi = np.searchsorted(good, wi + radius, side="right")
+                    good = wi[hi > lo]
+                    if len(good) == 0:
+                        break
+                if len(good) == 0:
+                    continue
+                e0 = kw.get(kidx[0])
+                wh = np.asarray(e0["wh"], dtype=np.int64)
+                keep = good[np.isin(good, wh)]
+                if len(keep):
+                    outs.append(keep)
+            if outs:
+                yield pd.DataFrame({"w_id": np.concatenate(outs)})
+
+    cand = per_chunk.mapInPandas(cands, schema="w_id long")
+
+    # fragment assembly: margin = the chain's max forward reach in tokens
+    # (symmetric margins reuse the proximity fragment shape; the backward
+    # margin is never read)
+    Wt = (len(chain) - 1) * int(w)
+    sp = int(span)
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"),
+                           ((F.col("doc_offset") - Wt) / sp).cast("long")),
+                ((F.col("doc_offset") + F.col("n_tok") - 1 + Wt) / sp).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    frags = (
+        doc_windows.join(cand, "w_id")
+        .select(
+            "w_id",
+            F.greatest(F.col("doc_offset"),
+                       (F.col("w_id") * sp - Wt).cast("long")).alias("_lo"),
+            F.least(F.col("doc_offset") + F.col("n_tok"),
+                    ((F.col("w_id") + 1) * sp + Wt).cast("long")).alias("_hi"),
+            "doc_offset", "tokens",
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "w_id", F.col("_lo").alias("off"),
+            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
+                   "cast(_hi - _lo as int))").alias("frag"),
+        )
+    )
+    grouped = frags.groupBy("w_id").agg(
+        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+
+    ww = int(w)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for wa_id, parts in zip(pdf["w_id"], pdf["parts"]):
+                base = int(parts[0]["off"])
+                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
+                                    for p in parts])
+                pos_cache: dict[int, np.ndarray] = {}
+
+                def positions(tok: int) -> np.ndarray:
+                    if tok not in pos_cache:
+                        pos_cache[tok] = np.flatnonzero(t == tok) + base
+                    return pos_cache[tok]
+
+                p0 = positions(chain[0])
+                # each true chain start belongs to exactly ONE candidate
+                # window -> no duplicate results
+                p0 = p0[(p0 >= wa_id * sp) & (p0 < (wa_id + 1) * sp)]
+                if len(p0) == 0:
+                    continue
+                good = positions(chain[-1]) if len(chain) > 1 else p0
+                dead = False
+                for i in range(len(chain) - 2, 0, -1):
+                    pi = positions(chain[i])
+                    lo = np.searchsorted(good, pi + 1, side="left")
+                    hi = np.searchsorted(good, pi + ww, side="right")
+                    good = pi[hi > lo]
+                    if len(good) == 0:
+                        dead = True
+                        break
+                if dead:
+                    continue
+                if len(chain) > 1:
+                    lo = np.searchsorted(good, p0 + 1, side="left")
+                    hi = np.searchsorted(good, p0 + ww, side="right")
+                    p0 = p0[hi > lo]
+                if len(p0):
+                    out.append(p0)
+            if out:
+                yield pd.DataFrame({"gpos": np.concatenate(out)})
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_CHAIN_SCHEMA)

@@ -320,3 +320,141 @@ def test_global_batch_refusals(spark, built):
         global_proximity_search_batch(corp, idx, gcfg, [(1, 2, -3)])
     with pytest.raises(ValueError, match="axis"):
         global_proximity_search_batch(corp, idx, CFG, [(1, 2, 3)])
+
+
+def _brute_chain(corp, chain, w):
+    """Naive DFS existence of an ordered chain from each start position."""
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        t = np.asarray(r["tokens"], dtype=np.int64)
+
+        def ok_from(p, i):
+            if i == len(chain):
+                return True
+            nxt = np.flatnonzero(t == chain[i])
+            return any(ok_from(int(q), i + 1)
+                       for q in nxt[(nxt > p) & (nxt <= p + w)])
+
+        for p in np.flatnonzero(t == chain[0]):
+            if ok_from(int(p), 1):
+                want.add((r["doc_id"], int(p)))
+    return want
+
+
+@pytest.mark.parametrize("w", [1, 3, 9])
+def test_chain_matches_brute_force(spark, built, w):
+    """Ordered chain (phrase-with-slop): start positions equal naive DFS —
+    including a repeated token in the chain."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    for chain in ([a, b], [a, b, a], [b, b, b]):
+        got = {(r["doc_id"], r["pos"])
+               for r in ordered_chain_search(corp, idx, CFG, chain, w).collect()}
+        assert got == _brute_chain(corp, chain, w), (chain, w)
+
+
+def test_chain_singleton_and_greedy_trap(spark, built):
+    """k=1 returns every position of the token; and the DP must NOT be
+    greedy-earliest — a crafted doc where the earliest middle token dead-ends
+    but a later one completes the chain."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search,
+    )
+
+    corp, idx = built
+    a, _ = _pick_tokens(corp)
+    got = {(r["doc_id"], r["pos"])
+           for r in ordered_chain_search(corp, idx, CFG, [a], 1).collect()}
+    want = {(r["doc_id"], int(p)) for r in corp.select("doc_id", "tokens").collect()
+            for p in np.flatnonzero(np.asarray(r["tokens"]) == a)}
+    assert got == want and len(want) > 0
+
+    # doc: A at 0; B at 1 (earliest, dead end) and at 4; C at 6.
+    # greedy earliest B=1 fails (1+4 < 6); B=4 reaches C=6. w=4.
+    toks = [7, 8, 5, 5, 8, 5, 9] + [5] * 40
+    from hierarchical_bloom_filter_index_spark.operators.build import build_index
+    crafted = spark.createDataFrame(
+        [("g0", toks, len(toks))], "doc_id string, tokens array<int>, n_tok int")
+    cidx = build_index(crafted, CFG)
+    got = {(r["doc_id"], r["pos"]) for r in
+           ordered_chain_search(crafted, cidx, CFG, [7, 8, 9], 4).collect()}
+    assert got == {("g0", 0)}
+
+
+def test_chain_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="empty chain"):
+        ordered_chain_search(corp, idx, CFG, [], 3)
+    with pytest.raises(ValueError, match="w must be"):
+        ordered_chain_search(corp, idx, CFG, [1, 2], -1)
+    # absent token anywhere in the chain -> empty, not an error
+    a, _ = _pick_tokens(corp)
+    assert ordered_chain_search(corp, idx, CFG, [a, 987654321], 5).count() == 0
+
+
+def test_global_chain_matches_stream_brute_force(spark, built):
+    """Stream-axis ordered chain: start positions over the CONCATENATED
+    stream equal naive DFS, for chains spanning several windows."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        rows = sorted(gcorp.select("doc_offset", "tokens").collect(),
+                      key=lambda r: r["doc_offset"])
+        stream = np.concatenate([np.asarray(r["tokens"]) for r in rows])
+        a, b = _pick_tokens(corp)
+        for chain, w in (([a, b], 6), ([a, b, a], 4), ([a, a, a], 40), ([a], 1)):
+            got = {r["gpos"] for r in global_ordered_chain_search(
+                gcorp, gidx, gcfg, chain, w).collect()}
+            pos = {c: np.flatnonzero(stream == c) for c in set(chain)}
+            good = pos[chain[-1]]
+            for i in range(len(chain) - 2, -1, -1):
+                pi = pos[chain[i]]
+                lo = np.searchsorted(good, pi + 1, side="left")
+                hi = np.searchsorted(good, pi + w, side="right")
+                good = pi[hi > lo]
+            want = {int(p) for p in good}
+            assert got == want, (chain, w)
+            if len(chain) > 1 and w >= 4:
+                assert len(got) > 0
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_global_chain_cross_doc(spark):
+    """A chain whose links live in THREE different docs must be found."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search,
+    )
+
+    gcfg = CFG.with_(axis="global")
+    # A ends doc 0 (gpos 39), B begins doc 1 (gpos 40), C begins doc 2
+    # (gpos 40 + 33 = 73): gaps 1 and 33, so w=33 finds it, w=5 does not.
+    corp = C.with_global_offsets(spark.createDataFrame(
+        [("d0", [5] * 39 + [777], 40),
+         ("d1", [888] + [5] * 32, 33),
+         ("d2", [999] + [5] * 50, 51)],
+        "doc_id string, tokens array<int>, n_tok int"))
+    gidx = build_index(corp, gcfg)
+    try:
+        got = {r["gpos"] for r in global_ordered_chain_search(
+            corp, gidx, gcfg, [777, 888, 999], 33).collect()}
+        assert got == {39}
+        assert global_ordered_chain_search(
+            corp, gidx, gcfg, [777, 888, 999], 5).count() == 0
+    finally:
+        gidx.unpersist()
