@@ -430,6 +430,39 @@ def q_hbi_global_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_hbi_proximity_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-proximity — positions of 'e' with NO 'q' within 6 tokens (isolated
+    occurrences). Negation inverts the index's role: B-absence can never be
+    pruned (a B-positive window is only "maybe"), but no-false-negatives
+    gives the converse CERTIFICATE — A-windows whose radius neighborhood is
+    all B-negative emit their positions WITHOUT any B scan; with the rare 'q'
+    as B, almost every window rides that certified path
+    (operators/proximity.py:negated_proximity_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search,
+    )
+
+    return negated_proximity_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, ord("e"), ord("q"), 6
+    )
+
+
+def q_hbi_global_proximity_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-proximity over the CONCATENATED stream — 'e' with no 'q' within 6
+    stream positions, document boundaries invisible: a 'q' just across the
+    boundary DOES disqualify an 'e' (the cross-doc negation the doc-axis
+    query cannot see). Certified B-negative neighborhoods skip fragment
+    B-checks entirely (operators/proximity.py:global_negated_proximity_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_negated_proximity_search(
+        gcorp, gidx, CFG.with_(axis="global"), ord("e"), ord("q"), 6
+    )
+
+
 CHAIN_TOKENS = [ord("t"), ord("h"), ord("e")]
 CHAIN_W = 3
 
@@ -1863,6 +1896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
         "hbi_proximity_ordered": q_hbi_proximity_ordered,
+        "hbi_proximity_negated": q_hbi_proximity_negated,
+        "hbi_global_proximity_negated": q_hbi_global_proximity_negated,
         "hbi_chain": q_hbi_chain,
         "hbi_global_chain": q_hbi_global_chain,
         "hbi_global_proximity_ordered": q_hbi_global_proximity_ordered,
@@ -1978,6 +2013,28 @@ pb AS (SELECT doc_id, i - 1 AS pos_b FROM pos WHERE tokens[i] = {ord("e")})
 SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a, CAST(pos_b AS INT) AS pos_b
 FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE pos_b > pos_a AND pos_b <= pos_a + 6""",
+        "hbi_proximity_negated": f"""WITH {CORPUS_CTE}, {POS_CTE},
+pa AS (SELECT doc_id, i - 1 AS pos_a FROM pos WHERE tokens[i] = {ord("e")}),
+pb AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {ord("q")})
+SELECT pa.doc_id AS doc_id, CAST(pos_a AS INT) AS pos_a
+FROM pa WHERE NOT EXISTS (
+  SELECT 1 FROM pb WHERE pb.doc_id = pa.doc_id
+  AND pb.p BETWEEN pa.pos_a - 6 AND pa.pos_a + 6)""",
+        "hbi_global_proximity_negated": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pa AS (SELECT g FROM flat WHERE t = {ord("e")}),
+pb AS (SELECT g FROM flat WHERE t = {ord("q")})
+SELECT CAST(pa.g AS BIGINT) AS gpos_a
+FROM pa WHERE NOT EXISTS (
+  SELECT 1 FROM pb WHERE pb.g BETWEEN pa.g - 6 AND pa.g + 6)""",
         "hbi_chain": f"""WITH {CORPUS_CTE}, {POS_CTE},
 p0 AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {CHAIN_TOKENS[0]}),
 p1 AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tokens[i] = {CHAIN_TOKENS[1]}),

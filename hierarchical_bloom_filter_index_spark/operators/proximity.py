@@ -1075,3 +1075,277 @@ def global_ordered_chain_search(
                 yield pd.DataFrame({"gpos": np.concatenate(out)})
 
     return grouped.mapInPandas(verify, schema=GLOBAL_CHAIN_SCHEMA)
+
+NEG_SCHEMA = "doc_id string, pos_a int"
+
+
+def negated_proximity_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token_a: int,
+    token_b: int,
+    w: int,
+    level: int | None = None,
+    ordered: bool = False,
+) -> DataFrame:
+    """(doc_id, pos_a): EXACT positions of ``token_a`` with NO occurrence of
+    ``token_b`` within ``w`` tokens (the NOT of proximity_search — isolated
+    occurrences). ``token_a == token_b`` means "no OTHER occurrence of A
+    within w". ``ordered=True`` negates only the forward direction: A not
+    FOLLOWED by B within w (positions before A are ignored).
+
+    Negation flips which side of the index is useful: Bloom probes can prune
+    where A might be (standard), but can never prune on B's ABSENCE — a
+    B-positive window is only "maybe B". What no-false-negatives DOES give is
+    the converse CERTIFICATE: if every window in an A-window's radius
+    neighborhood is B-negative, then truly no B lies within w of any A
+    position in that window, and those positions are emitted WITHOUT scanning
+    for B. Only A-positions whose neighborhood has a B-positive window pay
+    the exact anti-check. (Reference composes probes conjunctively only —
+    PMIndex/HBI.java report; this is the complementary use of the same
+    no-false-negatives contract.)"""
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.ngram != 1:
+        raise ValueError("negated_proximity_search requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)
+    r_lo = 0 if ordered else radius
+    keys = np.asarray([token_a, token_b], dtype=np.uint64)
+
+    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
+    if rows.rdd.isEmpty():
+        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, 2)
+            any_hit = ok.any(axis=1)
+            out = pdf.loc[any_hit, ["doc_id", "w_id"]].copy()
+            out["ok_a"] = ok[any_hit, 0]
+            out["ok_b"] = ok[any_hit, 1]
+            yield out
+
+    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, ok_a boolean, ok_b boolean")
+
+    per_doc = hits.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.when(F.col("ok_a"), F.col("w_id")))).alias("wa"),
+        F.sort_array(F.collect_list(F.when(F.col("ok_b"), F.col("w_id")))).alias("wb"),
+    )
+
+    # candidates are ALL A-positive windows (absence of B prunes nothing);
+    # chk_w marks the subset whose radius neighborhood has a B-positive
+    # window — only those pay the exact anti-check in verification
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, wids, chks = [], [], []
+            for did, wa, wb in zip(pdf["doc_id"], pdf["wa"], pdf["wb"]):
+                if len(wa) == 0:
+                    continue
+                wa = np.asarray(wa, dtype=np.int64)
+                wb = np.asarray(wb, dtype=np.int64)
+                lo = np.searchsorted(wb, wa - r_lo, side="left")
+                hi = np.searchsorted(wb, wa + radius, side="right")
+                ids.append(did)
+                wids.append(wa)
+                chks.append(wa[hi > lo])
+            yield pd.DataFrame({"doc_id": ids, "cand_w": wids, "chk_w": chks})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, cand_w array<long>, chk_w array<long>")
+
+    a, b, ww, sp = int(token_a), int(token_b), int(w), int(span)
+    p_lo = 1 if ordered else -ww
+    self_hits = 1 if (a == b and not ordered) else 0  # pa itself is in pb
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_d, out_a = [], []
+            for did, toks, chk in zip(pdf["doc_id"], pdf["tokens"], pdf["chk_w"]):
+                t = np.asarray(toks, dtype=np.int64)
+                pa = np.flatnonzero(t == a)
+                if len(pa) == 0:
+                    continue
+                # every true A position lies in an A-positive (candidate)
+                # window, so pa needs no cand_w filter; split by certificate
+                chk = np.asarray(chk, dtype=np.int64)
+                need = np.isin(pa // sp, chk)
+                keep = [pa[~need]]  # certified: no B-positive window in reach
+                pan = pa[need]
+                if len(pan):
+                    pb = np.flatnonzero(t == b)
+                    lo = np.searchsorted(pb, pan + p_lo, side="left")
+                    hi = np.searchsorted(pb, pan + ww, side="right")
+                    keep.append(pan[(hi - lo) == self_hits])
+                pa_ok = np.concatenate(keep)
+                if len(pa_ok):
+                    out_d.extend([did] * len(pa_ok))
+                    out_a.append(np.sort(pa_ok))
+            if out_d:
+                yield pd.DataFrame({
+                    "doc_id": out_d,
+                    "pos_a": np.concatenate(out_a).astype(np.int32),
+                })
+
+    survivors = corpus.join(cand, "doc_id").select("doc_id", "tokens", "chk_w")
+    return survivors.mapInPandas(verify, schema=NEG_SCHEMA)
+
+
+GLOBAL_NEG_SCHEMA = "gpos_a long"
+
+
+def global_negated_proximity_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    token_a: int,
+    token_b: int,
+    w: int,
+    level: int | None = None,
+    ordered: bool = False,
+) -> DataFrame:
+    """(gpos_a): EXACT stream positions of ``token_a`` with NO ``token_b``
+    within ``w`` over the CONCATENATED stream — document boundaries
+    invisible, so a B just across a doc boundary DOES disqualify an A (the
+    cross-doc twin of negated_proximity_search). Same certificate split:
+    A-windows whose radius neighborhood is all B-negative emit their A
+    positions without any B check; only B-possible neighborhoods assemble
+    the +-w halo region from doc fragments and run the exact anti-check."""
+    if w < 0:
+        raise ValueError(f"w must be >= 0: {w}")
+    if cfg.axis != "global":
+        raise ValueError("global_negated_proximity_search needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError("global_negated_proximity_search requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+    from .route import _level_rows
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    radius = -(-int(w) // span)
+    r_lo = 0 if ordered else radius
+    keys = np.asarray([token_a, token_b], dtype=np.uint64)
+    rows = _level_rows(index, L, doc_axis=False)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), keys)
+            any_hit = ok.any(axis=1)
+            out = pdf.loc[any_hit, ["w_id"]].copy()
+            out["ok_a"] = ok[any_hit, 0]
+            out["ok_b"] = ok[any_hit, 1]
+            yield out
+
+    hits = rows.mapInPandas(probe, schema="w_id long, ok_a boolean, ok_b boolean")
+    a_rows = hits.filter("ok_a").select(
+        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id",
+        F.lit(True).alias("is_a"))
+    b_rows = hits.filter("ok_b").select(
+        F.explode(F.sequence(
+            F.shiftright(F.col("w_id") - radius, _CHUNK_BITS),
+            F.shiftright(F.col("w_id") + radius, _CHUNK_BITS),
+        )).alias("chunk"), "w_id", F.lit(False).alias("is_a"))
+    per_chunk = a_rows.unionByName(b_rows).groupBy("chunk").agg(
+        F.sort_array(F.collect_list(F.when(F.col("is_a"), F.col("w_id")))).alias("wa"),
+        F.sort_array(F.collect_list(F.when(~F.col("is_a"), F.col("w_id")))).alias("wb"),
+    )
+
+    # every A-positive window is a candidate; chk marks B-possible ones
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            w_out, chk_out = [], []
+            for wa, wb in zip(pdf["wa"], pdf["wb"]):
+                if len(wa) == 0:
+                    continue
+                wa = np.asarray(wa, dtype=np.int64)
+                wb = np.asarray(wb, dtype=np.int64)
+                lo = np.searchsorted(wb, wa - r_lo, side="left")
+                hi = np.searchsorted(wb, wa + radius, side="right")
+                w_out.append(wa)
+                chk_out.append(hi > lo)
+            if w_out:
+                yield pd.DataFrame({"w_id": np.concatenate(w_out),
+                                    "chk": np.concatenate(chk_out)})
+
+    cand = per_chunk.mapInPandas(cands, schema="w_id long, chk boolean")
+
+    ww, sp = int(w), int(span)
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"),
+                           ((F.col("doc_offset") - ww) / sp).cast("long")),
+                ((F.col("doc_offset") + F.col("n_tok") - 1 + ww) / sp).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    frags = (
+        doc_windows.join(cand, "w_id")
+        .select(
+            "w_id", "chk",
+            F.greatest(F.col("doc_offset"),
+                       (F.col("w_id") * sp - ww).cast("long")).alias("_lo"),
+            F.least(F.col("doc_offset") + F.col("n_tok"),
+                    ((F.col("w_id") + 1) * sp + ww).cast("long")).alias("_hi"),
+            "doc_offset", "tokens",
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "w_id", "chk", F.col("_lo").alias("off"),
+            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
+                   "cast(_hi - _lo as int))").alias("frag"),
+        )
+    )
+    grouped = frags.groupBy("w_id").agg(
+        F.first("chk").alias("chk"),
+        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+
+    a, b = int(token_a), int(token_b)
+    p_lo = 1 if ordered else -ww
+    self_hits = 1 if (a == b and not ordered) else 0
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for wa, chk, parts in zip(pdf["w_id"], pdf["chk"], pdf["parts"]):
+                base = int(parts[0]["off"])
+                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
+                                    for p in parts])
+                pa = np.flatnonzero(t == a) + base
+                # each true A position belongs to exactly ONE candidate
+                # window -> no duplicates across groups
+                pa = pa[(pa >= wa * sp) & (pa < (wa + 1) * sp)]
+                if len(pa) == 0:
+                    continue
+                if not chk:  # certified: no B-positive window within reach
+                    out.append(pa)
+                    continue
+                pb = np.flatnonzero(t == b) + base
+                lo = np.searchsorted(pb, pa + p_lo, side="left")
+                hi = np.searchsorted(pb, pa + ww, side="right")
+                pa_ok = pa[(hi - lo) == self_hits]
+                if len(pa_ok):
+                    out.append(pa_ok)
+            if out:
+                yield pd.DataFrame({"gpos_a": np.concatenate(out)})
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_NEG_SCHEMA)

@@ -458,3 +458,152 @@ def test_global_chain_cross_doc(spark):
             corp, gidx, gcfg, [777, 888, 999], 5).count() == 0
     finally:
         gidx.unpersist()
+
+
+def _brute_negated(corp, a, b, w, ordered=False):
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        t = np.asarray(r["tokens"], dtype=np.int64)
+        pb = np.flatnonzero(t == b)
+        for i in np.flatnonzero(t == a):
+            lo = int(i) + 1 if ordered else int(i) - w
+            near = pb[(pb >= lo) & (pb <= int(i) + w) & (pb != int(i))]
+            if len(near) == 0:
+                want.add((r["doc_id"], int(i)))
+    return want
+
+
+@pytest.mark.parametrize("w", [0, 1, 5, 40, 10_000])
+def test_negated_matches_brute_force(spark, built, w):
+    """NOT-proximity (A with no B within w) equals brute force for every
+    radius regime — including w longer than docs (only B-free docs survive)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    got = {(r["doc_id"], r["pos_a"])
+           for r in negated_proximity_search(corp, idx, CFG, a, b, w).collect()}
+    assert got == _brute_negated(corp, a, b, w)
+
+
+def test_negated_complement_and_ordered(spark, built):
+    """Negated + positive partition A's positions exactly; ordered flavor
+    ignores Bs BEFORE the A position; equal-token case means 'no OTHER A'."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search,
+        proximity_search,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    all_a = {(r["doc_id"], int(p)) for r in corp.select("doc_id", "tokens").collect()
+             for p in np.flatnonzero(np.asarray(r["tokens"]) == a)}
+    for ta, tb, w, o in [(a, b, 6, False), (b, a, 3, True), (a, a, 4, False),
+                         (a, a, 4, True), (a, 987654321, 7, False)]:
+        neg = {(r["doc_id"], r["pos_a"]) for r in negated_proximity_search(
+            corp, idx, CFG, ta, tb, w, ordered=o).collect()}
+        assert neg == _brute_negated(corp, ta, tb, w, ordered=o), (ta, tb, w, o)
+        pos = {(r["doc_id"], r["pos_a"]) for r in proximity_search(
+            corp, idx, CFG, ta, tb, w, ordered=o).collect()}
+        base = all_a if ta == a else {
+            (r["doc_id"], int(p)) for r in corp.select("doc_id", "tokens").collect()
+            for p in np.flatnonzero(np.asarray(r["tokens"]) == ta)}
+        assert neg == base - pos, (ta, tb, w, o)  # exact complement
+    # absent B: every A position is isolated
+    assert _brute_negated(corp, a, 987654321, 7) == all_a
+
+
+def test_negated_certificate_fires(spark):
+    """A rare B leaves most A-windows' neighborhoods B-negative — the crafted
+    corpus has exactly one B, so every A beyond the radius is emitted via the
+    certificate path and the one nearby A is correctly rejected."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search,
+    )
+
+    toks = [5] * 200
+    toks[100] = 777  # the only B
+    toks[98] = 9     # A within w=4 of B -> rejected
+    toks[10] = 9     # far A -> certified
+    toks[190] = 9    # far A -> certified
+    corp = spark.createDataFrame(
+        [("n0", toks, len(toks))], "doc_id string, tokens array<int>, n_tok int")
+    idx = build_index(corp, CFG)
+    got = {(r["doc_id"], r["pos_a"]) for r in
+           negated_proximity_search(corp, idx, CFG, 9, 777, 4).collect()}
+    assert got == {("n0", 10), ("n0", 190)}
+
+
+def test_global_negated_matches_stream_brute_force(spark, built):
+    """Stream-axis NOT-proximity: a B just across a doc boundary DOES
+    disqualify an A (boundaries invisible)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        rows = sorted(gcorp.select("doc_offset", "tokens").collect(),
+                      key=lambda r: r["doc_offset"])
+        stream = np.concatenate([np.asarray(r["tokens"]) for r in rows])
+        a, b = _pick_tokens(corp)
+        for ta, tb, w, o in [(a, b, 6, False), (b, a, 50, False),
+                             (a, a, 3, False), (a, b, 6, True)]:
+            got = {r["gpos_a"] for r in global_negated_proximity_search(
+                gcorp, gidx, gcfg, ta, tb, w, ordered=o).collect()}
+            pa = np.flatnonzero(stream == ta)
+            pb = np.flatnonzero(stream == tb)
+            lo = np.searchsorted(pb, pa + (1 if o else -w), side="left")
+            hi = np.searchsorted(pb, pa + w, side="right")
+            cnt = hi - lo
+            if ta == tb and not o:
+                cnt = cnt - 1  # self hit
+            want = {int(p) for p in pa[cnt == 0]}
+            assert got == want, (ta, tb, w, o)
+            assert len(got) > 0 or (ta, tb) == (a, b)
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_global_negated_cross_doc_disqualifies(spark):
+    """The ONLY B sits at the start of the NEXT doc: doc-axis would call the
+    A isolated, stream-axis must not (and must again once w shrinks)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search,
+    )
+
+    gcfg = CFG.with_(axis="global")
+    corp = C.with_global_offsets(spark.createDataFrame(
+        [("d0", [5] * 39 + [777], 40),   # A at gpos 39
+         ("d1", [888] + [5] * 50, 51)],  # B at gpos 40
+        "doc_id string, tokens array<int>, n_tok int"))
+    gidx = build_index(corp, gcfg)
+    try:
+        assert global_negated_proximity_search(
+            corp, gidx, gcfg, 777, 888, 4).count() == 0
+        got = {r["gpos_a"] for r in global_negated_proximity_search(
+            corp, gidx, gcfg, 777, 888, 0).collect()}
+        assert got == {39}
+    finally:
+        gidx.unpersist()
+
+
+def test_negated_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search,
+        negated_proximity_search,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="w must be"):
+        negated_proximity_search(corp, idx, CFG, 1, 2, -1)
+    with pytest.raises(ValueError, match="token-keyed"):
+        negated_proximity_search(corp, idx, CFG.with_(ngram=3), 1, 2, 5)
+    with pytest.raises(ValueError, match="axis"):
+        global_negated_proximity_search(corp, idx, CFG, 1, 2, 5)
