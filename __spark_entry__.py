@@ -273,6 +273,75 @@ def q_global_pattern_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE report(): the misspelled needle PAT_MISSING ('data merge'
+    with one corrupted character) searched with d=1 allowed mismatches —
+    recovers every clean 'data merge' occurrence without knowing which
+    character was wrong. Pigeonhole pruning: 2 fragments share ONE cascade
+    (at least one must match exactly), fragment survivor windows shift back
+    to pattern-start windows, a Hamming-counting verifier decides
+    (operators/approx.py:kmismatch_pattern_search)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        kmismatch_pattern_search,
+    )
+
+    return kmismatch_pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_MISSING, 1
+    )
+
+
+def q_hbi_global_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE report() over the ONE concatenated stream: 'spark ' with
+    at most 1 mismatch — near-matches may cross document boundaries (the
+    boundary token itself may be the mismatch). Same pigeonhole fragments
+    through the global cascade; verification assembles only candidate docs'
+    stitched spans (operators/approx.py:global_kmismatch_pattern_search)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        global_kmismatch_pattern_search,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_kmismatch_pattern_search(
+        gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL, 1
+    )
+
+
+def _kmismatch_oracle(pattern: list[int], d: int) -> str:
+    m = len(pattern)
+    return f"""WITH {CORPUS_CTE}
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus WHERE n_tok >= {m})
+WHERE len(list_filter(tokens[i : i + {m} - 1],
+                      (x, j) -> x != ({_pat_sql(pattern)})[j])) <= {d}"""
+
+
+def _global_kmismatch_oracle(pattern: list[int], d: int) -> str:
+    """Mismatch count per global start g0 via an offsets cross join over the
+    flat stream: SUM of per-offset inequality indicators, COUNT(*) = m
+    keeps only full windows (stream-tail starts drop out naturally)."""
+    m = len(pattern)
+    return f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+offs AS (SELECT unnest(generate_series(0, {m - 1})) AS j)
+SELECT CAST(g0 AS BIGINT) AS gpos
+FROM (SELECT f.g - o.j AS g0,
+             CASE WHEN f.t != ({_pat_sql(pattern)})[o.j + 1] THEN 1 ELSE 0 END AS mm
+      FROM flat f, offs o
+      WHERE f.g - o.j >= 0)
+GROUP BY g0
+HAVING COUNT(*) = {m} AND SUM(mm) <= {d}"""
+
+
 BATCH_PATTERNS = [PAT_PRESENT, PAT_RARE, PAT_MISSING, [ord(c) for c in " the "]]
 
 
@@ -1892,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
         "hbi_global_pattern_wildcard": q_global_pattern_wildcard,
+        "hbi_kmismatch": q_hbi_kmismatch,
+        "hbi_global_kmismatch": q_hbi_global_kmismatch,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -1998,6 +2069,8 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
         "hbi_pattern_wildcard": _wildcard_oracle(PAT_WILDCARD),
         "hbi_global_pattern_wildcard": _global_wildcard_oracle(PAT_WILDCARD),
+        "hbi_kmismatch": _kmismatch_oracle(PAT_MISSING, 1),
+        "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",

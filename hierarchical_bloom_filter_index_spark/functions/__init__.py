@@ -64,6 +64,28 @@ def subsequence_positions(tokens_col, pattern: list[int]) -> Column:
     ).otherwise(F.array().cast("array<int>"))
 
 
+def hamming_positions(tokens_col, pattern: list[int], d: int) -> Column:
+    """0-based start positions where ``pattern`` matches with at most ``d``
+    token MISMATCHES (Hamming distance over the aligned window) — the
+    verification primitive of the k-mismatch searches and their brute-force
+    oracle. Pure SQL higher-order functions: per candidate start, zip the
+    length-m slice against the pattern and count inequalities. Only full
+    windows qualify (a start within m of the end is never a match)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    m = len(pattern)
+    pat = F.array(*[F.lit(int(x)) for x in pattern])
+
+    def near(i):
+        diffs = F.zip_with(F.slice(t, i + 1, m), pat, lambda x, y: x != y)
+        return F.size(F.filter(diffs, lambda b: b)) <= F.lit(int(d))
+
+    # guard: sequence(0, negative) would generate a DESCENDING sequence
+    return F.when(
+        F.size(t) >= m,
+        F.filter(F.sequence(F.lit(0), F.size(t) - m), near),
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def wildcard_subsequence_positions(tokens_col, pattern: list) -> Column:
     """Exact 0-based start positions of a pattern with WILDCARDS (``None``
     entries match any single token) inside an int array — the verification

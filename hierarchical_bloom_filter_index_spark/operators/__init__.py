@@ -13,6 +13,7 @@ from .batch import (
     pattern_search_batch,
     window_membership_batch,
 )
+from .approx import global_kmismatch_pattern_search, kmismatch_pattern_search
 from .probe import probe_blobs
 from .rollup import build_hll_window_index, window_distinct_estimates
 from .route import (
@@ -36,6 +37,8 @@ __all__ = [
     "level_params",
     "level_seed",
     "probe_blobs",
+    "kmismatch_pattern_search",
+    "global_kmismatch_pattern_search",
     "build_hll_window_index",
     "window_distinct_estimates",
     "brute_force_search",

@@ -1,0 +1,172 @@
+"""k-mismatch (approximate) pattern search: pigeonhole fragment pruning vs
+brute-force Hamming scan on both axes — exact equality of position sets for
+d in {0, 1, 2, 3}, mutated needles (the canonical use: a misspelled query
+finding the clean occurrences), patterns longer than one window (fragment
+offsets exercise the window-shift arithmetic), cross-doc approximate
+matches on the global axis, and the d >= m / unprunable fallbacks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+from hierarchical_bloom_filter_index_spark.operators import (
+    build_index,
+    global_kmismatch_pattern_search,
+    kmismatch_pattern_search,
+    pattern_search,
+)
+
+CFG = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=77)
+CFG_G = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096, seed=77, axis="global")
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corp = C.generate_corpus(spark, sf=0.002, seed=77).cache()
+    idx = build_index(corp, CFG).cache()
+    idx.count()
+    yield corp, idx
+    idx.unpersist()
+    corp.unpersist()
+
+
+@pytest.fixture(scope="module")
+def built_global(spark):
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=78)).cache()
+    corp.count()
+    idx = build_index(corp, CFG_G).cache()
+    idx.count()
+    stream = np.concatenate(
+        [np.asarray(r["tokens"], dtype=np.int64)
+         for r in sorted(corp.collect(), key=lambda r: r["doc_id"])]
+    )
+    yield corp, idx, stream
+    idx.unpersist()
+    corp.unpersist()
+
+
+def _brute_doc(corp, pattern, d):
+    pat = np.asarray(pattern, dtype=np.int64)
+    m = len(pat)
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        t = np.asarray(r["tokens"], dtype=np.int64)
+        if len(t) < m:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(t, m)
+        mism = (win != pat).sum(axis=1)
+        for p in np.flatnonzero(mism <= d):
+            want.add((r["doc_id"], int(p)))
+    return want
+
+
+def _brute_global(stream, pattern, d):
+    pat = np.asarray(pattern, dtype=np.int64)
+    m = len(pat)
+    if len(stream) < m:
+        return set()
+    win = np.lib.stride_tricks.sliding_window_view(stream, m)
+    return {int(p) for p in np.flatnonzero((win != pat).sum(axis=1) <= d)}
+
+
+def _mutate(pat, positions, delta=1):
+    out = list(int(t) for t in pat)
+    for p in positions:
+        out[p] = out[p] + delta
+    return out
+
+
+def _needle(corp, start=500, m=12):
+    r = sorted(corp.select("doc_id", "tokens").collect(), key=lambda x: x["doc_id"])
+    toks = [t for row in r for t in row["tokens"]]
+    # take from one doc's interior so the needle definitely occurs
+    for row in r:
+        if len(row["tokens"]) >= start + m:
+            return [int(t) for t in row["tokens"][start : start + m]]
+    return [int(t) for t in toks[:m]]
+
+
+@pytest.mark.parametrize("d", [0, 1, 2, 3])
+def test_doc_axis_matches_brute(spark, built, d):
+    corp, idx = built
+    pat = _mutate(_needle(corp), list(range(d)))  # d planted mismatches
+    got = {(r["doc_id"], r["pos"])
+           for r in kmismatch_pattern_search(corp, idx, CFG, pat, d).collect()}
+    want = _brute_doc(corp, pat, d)
+    assert got == want
+    if d > 0:
+        assert len(want) > 0  # the mutated needle finds the clean original
+
+
+def test_d0_equals_exact_search(spark, built):
+    corp, idx = built
+    pat = _needle(corp)
+    km = {(r["doc_id"], r["pos"])
+          for r in kmismatch_pattern_search(corp, idx, CFG, pat, 0).collect()}
+    ex = {(r["doc_id"], r["pos"])
+          for r in pattern_search(corp, idx, CFG, pat).collect()}
+    assert km == ex and len(km) > 0
+
+
+def test_long_pattern_fragment_offsets(spark, built):
+    """m > leaf_span: fragment offsets exceed one window span, so the
+    candidate-window shift (w - off//span - {0,1}) is actually exercised."""
+    corp, idx = built
+    pat = _mutate(_needle(corp, start=100, m=80), [7, 40])
+    got = {(r["doc_id"], r["pos"])
+           for r in kmismatch_pattern_search(corp, idx, CFG, pat, 2).collect()}
+    want = _brute_doc(corp, pat, 2)
+    assert got == want and len(want) > 0
+
+
+def test_d_ge_m_returns_all_starts(spark, built):
+    corp, idx = built
+    pat = [1, 2, 3]
+    got = kmismatch_pattern_search(corp, idx, CFG, pat, 3)
+    n = corp.select(F.sum(F.greatest(F.size("tokens") - 2, F.lit(0)))).first()[0]
+    assert got.count() == n
+
+
+def test_absent_needle_prunes_to_empty(spark, built):
+    corp, idx = built
+    # vocab tokens are < 4096; an all-out-of-vocab pattern with d=1 still
+    # needs 11 of 12 exact positions — no fragment can match
+    pat = [90001 + i for i in range(12)]
+    assert kmismatch_pattern_search(corp, idx, CFG, pat, 1).count() == 0
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_global_axis_matches_brute(spark, built_global, d):
+    corp, idx, stream = built_global
+    start = 5000
+    pat = _mutate([int(t) for t in stream[start : start + 12]], list(range(d)))
+    got = {r["gpos"]
+           for r in global_kmismatch_pattern_search(corp, idx, CFG_G, pat, d).collect()}
+    want = _brute_global(stream, pat, d)
+    assert got == want and start in got
+
+
+def test_global_cross_doc_approx_match(spark, built_global):
+    """A needle read ACROSS a doc boundary, then mutated: the approximate
+    match still spans two docs and must be found via the stitched scan."""
+    corp, idx, stream = built_global
+    offs = [r["doc_offset"] for r in
+            sorted(corp.select("doc_offset").collect(), key=lambda r: r["doc_offset"])]
+    boundary = offs[2]
+    start = int(boundary - 6)
+    pat = _mutate([int(t) for t in stream[start : start + 12]], [3, 8])
+    got = {r["gpos"]
+           for r in global_kmismatch_pattern_search(corp, idx, CFG_G, pat, 2).collect()}
+    assert got == _brute_global(stream, pat, 2)
+    assert start in got
+
+
+def test_stats_out_records_descent(spark, built):
+    corp, idx = built
+    pat = _mutate(_needle(corp), [2])
+    stats = {}
+    kmismatch_pattern_search(corp, idx, CFG, pat, 1, stats_out=stats).count()
+    assert stats.get("survivors") and stats.get("windows_probed")
