@@ -1390,6 +1390,31 @@ def q_cms_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_token_totals(_cms_index(spark, sf_dir))
 
 
+def _cs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic signed count-sketch (AMS) rollup index — the second-moment /
+    unbiased-frequency member of the window family; built once per sf_dir
+    and persisted; totals + range-F2 queries share it."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cs_window_index,
+    )
+
+    key = ("cs_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_cs_window_index(_corpus(spark, sf_dir), CFG, depth=3, width=256)
+    return _CACHE[key]
+
+
+def q_cs_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (doc, level, window) token totals read out of the signed
+    count-sketch rollup — same closed-form oracle as the CMS/KLL/MG twins
+    (identical dyadic geometry; the cs total header field is exact)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        cs_window_totals,
+    )
+
+    return cs_window_totals(_cs_index(spark, sf_dir))
+
+
 RANGE_QS = [(1, 9), (0, 3)]  # leaf-window ranges applied to every doc
 
 
@@ -1453,6 +1478,47 @@ def _gcms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
         _CACHE[key] = build_global_cms_window_index(gcorp, CFG, depth=3, width=256)
     return _CACHE[key]
+
+
+def q_range_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND FREQUENCY MOMENT (self-join size) over leaf-window ranges
+    [a, b) from the dyadic signed count-sketch index: O(log) covering nodes
+    ADD (linearity) into the exact range sketch, AMS median-of-rows decides.
+    On this corpus every range node stays SPARSE-EXACT (ASCII vocab <<
+    sparse_max_nnz), so the answers are exact sums of squared counts and
+    the query is oracle-checked; the dense regime's 2*F2^2/width variance
+    bound is enforced in tests/test_cs_rollup.py."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_f2_estimates,
+    )
+
+    return range_f2_estimates(_cs_index(spark, sf_dir), RANGE_QS, CFG.deepest)
+
+
+def _gcs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-axis signed count-sketch window index (STREAM windows, doc
+    boundaries invisible), built once per sf_dir off the offset corpus."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cs_window_index,
+    )
+
+    key = ("gcs_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_cs_window_index(gcorp, CFG, depth=3, width=256)
+    return _CACHE[key]
+
+
+def q_global_range_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range F2 over the ONE concatenated stream: same covering-node adds
+    on the global-axis cs index, document boundaries invisible. Sparse-exact
+    on this corpus, hence oracle-checked."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_f2_estimates,
+    )
+
+    return global_range_f2_estimates(
+        _gcs_index(spark, sf_dir), RANGE_QS_GLOBAL, CFG.deepest)
 
 
 def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,6 +2069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_rollup_totals": q_cms_rollup_totals,
         "kll_rollup_totals": q_kll_rollup_totals,
         "mg_rollup_totals": q_mg_rollup_totals,
+        "cs_rollup_totals": q_cs_rollup_totals,
+        "range_f2": q_range_f2,
+        "global_range_f2": q_global_range_f2,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
@@ -2536,6 +2605,38 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        # range F2 = sum over tokens of (count in slice)^2 — exact on this
+        # corpus (every cover node sparse-exact; see q_range_f2)
+        "range_f2": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+hits AS (
+  SELECT doc_id, a, b, t, COUNT(*) AS cnt
+  FROM (SELECT doc_id, a, b,
+               unnest(tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})]) AS t
+        FROM corpus, rq)
+  GROUP BY doc_id, a, b, t)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(SUM(cnt * cnt) AS DOUBLE) AS est_f2
+FROM hits GROUP BY doc_id, a, b""",
+        "global_range_f2": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+hits AS (
+  SELECT a, b, t, COUNT(*) AS cnt
+  FROM flat, rq
+  WHERE g >= a * {CFG.leaf_span} AND g < b * {CFG.leaf_span}
+  GROUP BY a, b, t)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(SUM(cnt * cnt) AS DOUBLE) AS est_f2
+FROM hits GROUP BY a, b""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
@@ -2614,6 +2715,8 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     out["kll_rollup_totals"] = out["cms_rollup_totals"]
     # ... and so do the Misra-Gries rollup's exact n_total fields
     out["mg_rollup_totals"] = out["cms_rollup_totals"]
+    # ... and the signed count-sketch rollup's exact total header field
+    out["cs_rollup_totals"] = out["cms_rollup_totals"]
     # the strided global index must return the SAME matches as the dense one
     # (sketches/stride prune cost, never answers)
     out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]

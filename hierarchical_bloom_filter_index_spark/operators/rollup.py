@@ -351,6 +351,38 @@ def build_bk_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 16) -> Dat
     )
 
 
+def build_cs_window_index(corpus: DataFrame, cfg: HbiConfig, depth: int = 3, width: int = 256) -> DataFrame:
+    """SIGNED-frequency / SECOND-MOMENT index: one count-sketch (AMS) node
+    per (doc, level, window), built leaf-first then rolled up. Count-sketch
+    is LINEAR like CMS, so every rolled-up parent is byte-identical to a
+    from-scratch build; one node answers two range questions — UNBIASED
+    token frequency (median of signed rows; two-sided ~3*sqrt(F2/width)
+    error vs CMS's one-sided eps*N) and F2, the second frequency moment /
+    self-join size (Alon-Matias-Szegedy: median over rows of the row's sum
+    of squares). Sparse-exact nodes answer both with zero error. Extends
+    the reference's CountSketch estimator (estimators/CountSketch.java) to
+    the window hierarchy. Same persistence contract as the other builders
+    (caller unpersists)."""
+    from ..sketches import cms as cms_kernels
+
+    leaf_span, seed = cfg.leaf_span, cfg.seed + 23
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: cms_kernels.cs_leaf_window_blobs(toks, leaf_span, depth, width, seed),
+        lambda flat, counts: cms_kernels.cs_merge_blob_groups(flat, counts, depth, width, seed),
+    )
+
+
+def cs_window_totals(cs_index: DataFrame) -> DataFrame:
+    """(doc_id, level, w_id, n_window) for EVERY level — EXACT (cs nodes
+    store the window's token count in the same header slot as CMS), so the
+    signed-family rollup geometry + coverage is SQL-oracle-checkable."""
+    from ..sketches.cms import window_totals
+
+    return _totals_reader(cs_index, ("doc_id", "level", "w_id"), window_totals,
+                          "doc_id string, level int, w_id long, n_window long")
+
+
 def mg_window_totals(mg_index: DataFrame) -> DataFrame:
     """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the MG
     n_total is exact and adds under merge), mirroring window_token_totals,
@@ -600,6 +632,13 @@ def _cms_merge_auto(flat, counts):
     return cms_kernels.merge_blob_groups(flat, counts, d, w, s)
 
 
+def _cs_merge_auto(flat, counts):
+    from ..sketches import cms as cms_kernels
+
+    d, w, s = cms_kernels.blob_params(flat[0])
+    return cms_kernels.cs_merge_blob_groups(flat, counts, d, w, s)
+
+
 def range_distinct_estimates(hll_index: DataFrame, ranges, deepest: int) -> DataFrame:
     """(doc_id, a, b, est_distinct) per queried leaf-window range: the O(log)
     covering nodes merge (register max) into the exact range HLL, estimated
@@ -635,6 +674,71 @@ def range_token_totals(cms_index: DataFrame, ranges, deepest: int) -> DataFrame:
         cms_index, ranges, deepest, _DOC_KEYS, partial_merge=_cms_merge_auto
     ).mapInPandas(
         _cms_range_tot_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", n_tokens long"
+    )
+
+
+def _cs_range_f2_fn(key_cols):
+    from ..sketches import cms as cms_kernels
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            d, w, s = cms_kernels.blob_params(flat[0])
+            merged = cms_kernels.cs_merge_blob_groups(flat, counts, d, w, s)
+            out = pdf[list(key_cols)].copy()
+            out["est_f2"] = cms_kernels.f2_blobs(merged)
+            yield out
+
+    return est
+
+
+def _cs_range_freq_fn(key_cols, probes):
+    from ..sketches import cms as cms_kernels
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            d, w, s = cms_kernels.blob_params(flat[0])
+            merged = cms_kernels.cs_merge_blob_groups(flat, counts, d, w, s)
+            ests = cms_kernels.cs_estimate_blobs(merged, probes, d, w, s)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(len(probes))].reset_index(drop=True)
+            out["token"] = np.tile(probes, len(pdf))
+            out["est_count"] = ests.ravel()
+            yield out
+
+    return est
+
+
+def range_f2_estimates(cs_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(doc_id, a, b, est_f2) per queried leaf-window range: covering nodes
+    ADD (count-sketch is linear) into the exact range sketch, then the AMS
+    median-of-rows second-moment estimate — the range's self-join size.
+    Sparse-exact range nodes give the EXACT sum of squared counts. Accepts
+    (doc_id, a, b) triples or all-docs (a, b) pairs (shared cover nodes
+    broadcast; see _joined_range_groups)."""
+    return _joined_range_groups(
+        cs_index, ranges, deepest, _DOC_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_range_f2_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + ", est_f2 double"
+    )
+
+
+def range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens,
+                                deepest: int) -> DataFrame:
+    """(doc_id, a, b, token, est_count) per range and probe token — the
+    UNBIASED count-sketch twin of range_freq_estimates (two-sided
+    ~3*sqrt(F2_range/width) error instead of CMS's one-sided eps*N;
+    sparse-exact range nodes are exact)."""
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+    return _joined_range_groups(
+        cs_index, ranges, deepest, _DOC_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_range_freq_fn(_DOC_KEYS, probes),
+        schema=_DOC_KEY_SCHEMA + ", token long, est_count long",
     )
 
 
@@ -1069,6 +1173,39 @@ def build_global_bk_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 16)
     return builder(corpus, cfg)
 
 
+def build_global_cs_window_index(corpus: DataFrame, cfg: HbiConfig,
+                                 depth: int = 3, width: int = 256) -> DataFrame:
+    """One count-sketch (AMS) node per (level, STREAM window): unbiased
+    frequency + second-moment estimates over any dyadic slice of the
+    concatenated stream, doc boundaries invisible. Docs contribute
+    phase-aligned PARTIAL tables; count-sketch linearity makes every node
+    byte-equal to a from-scratch build of the stream window.
+    Kernels/seed resolved through window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "cs", depth=depth, width=width)
+    return builder(corpus, cfg)
+
+
+def global_cs_window_totals(cs_index: DataFrame) -> DataFrame:
+    """(level, w_id, n_window) — EXACT stream-window token counts through
+    the signed family's header slot (same closed-form oracle as the CMS
+    twin)."""
+    from ..sketches.cms import window_totals
+
+    return _totals_reader(cs_index, ("level", "w_id"), window_totals,
+                          "level int, w_id long, n_window long")
+
+
+def global_range_f2_estimates(cs_index: DataFrame, ranges, deepest: int) -> DataFrame:
+    """(a, b, est_f2) per STREAM leaf-window range — the global twin of
+    range_f2_estimates (cover nodes add; AMS median-of-rows; sparse-exact
+    ranges are exact)."""
+    return _joined_range_groups(
+        cs_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_range_f2_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + ", est_f2 double"
+    )
+
+
 def global_mg_window_totals(mg_index: DataFrame) -> DataFrame:
     """(level, w_id, n_window) — EXACT stream-window item counts from the
     global MG index (merged partials add their exact counts)."""
@@ -1252,9 +1389,10 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
         "kll": build_kll_window_index,
         "mg": build_mg_window_index,
         "bk": build_bk_window_index,
+        "cs": build_cs_window_index,
     }
     if family not in builders:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk|cs)")
     from pyspark import StorageLevel
 
     new_idx = builders[family](new_docs, cfg, **kw)
@@ -1316,8 +1454,17 @@ def window_sketch_family(cfg: HbiConfig, family: str, **kw):
         slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
             toks, slots, n_slots, kk, seed)
         merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, kk, seed)
+    elif family == "cs":
+        from ..sketches import cms as k
+
+        depth, width = int(kw.pop("depth", 3)), int(kw.pop("width", 256))
+        seed = cfg.seed + 23
+        slot_blobs = lambda toks, slots, n_slots: k.cs_partial_blobs_by_slot(
+            toks, slots, n_slots, depth, width, seed)
+        merge_groups = lambda flat, counts: k.cs_merge_blob_groups(
+            flat, counts, depth, width, seed)
     else:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk|cs)")
     if kw:
         raise ValueError(f"unknown {family} window-sketch options: {sorted(kw)}")
 

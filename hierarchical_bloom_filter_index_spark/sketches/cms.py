@@ -40,7 +40,22 @@ _MAGIC_ICS = 9
 # Wire: params [depth, width, seed, total, nnz],
 #       arrays [tokens int64 SORTED ASC, counts int64].
 _MAGIC_CMS_SP = 12
+# Signed count-sketch window nodes (the AMS family): same canonical
+# sparse/dense rule as CMS — sparse nodes store the SAME exact (token,
+# count) pairs (signs only matter when densifying), dense nodes are
+# CountSketch tables (byte-identical to CountSketch.update of the window's
+# content). Count-sketch is linear too, so parents stay byte-exact; the
+# table additionally supports the Alon-Matias-Szegedy second-moment (F2)
+# estimate: median over rows of the row's sum of squared counters.
+_MAGIC_CS_SP = 14
 _I32_MIN, _I32_MAX = np.int32(-(2**31)), np.int32(2**31 - 1)
+
+
+def _cs_signs(keys: np.ndarray, seed: int, row: int) -> np.ndarray:
+    """±1 count-sketch signs — ONE definition shared by the CountSketch
+    object path and the cs window-node kernels (byte parity depends on it)."""
+    h = hash64(keys, seed + 7 + 1000003 * row)
+    return ((h & _U64(1)).astype(np.int64) << 1) - 1
 
 
 def _row_buckets(keys: np.ndarray, seed: int, depth: int, width: int) -> np.ndarray:
@@ -130,8 +145,7 @@ class CountSketch:
         return cls(depth, width, seed)
 
     def _signs(self, keys: np.ndarray, row: int) -> np.ndarray:
-        h = hash64(keys, self.seed + 7 + 1000003 * row)
-        return ((h & _U64(1)).astype(np.int64) << 1) - 1  # ±1
+        return _cs_signs(keys, self.seed, row)
 
     def update(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
         if len(keys) == 0:
@@ -158,6 +172,14 @@ class CountSketch:
             {"d": other.depth, "w": other.width, "seed": other.seed},
         )
         return CountSketch(self.depth, self.width, self.seed, self.table + other.table, self.total + other.total)
+
+    def f2(self) -> float:
+        """Second frequency moment (sum over tokens of count^2) — the
+        Alon-Matias-Szegedy tug-of-war estimate: each row's sum of squared
+        counters is an unbiased F2 estimator with Var <= 2*F2^2/width;
+        the median over ``depth`` independent rows concentrates it."""
+        per_row = np.square(self.table.astype(np.float64)).sum(axis=1)
+        return float(np.median(per_row))
 
     def to_bytes(self) -> bytes:
         return base.pack(_MAGIC_CS, [self.depth, self.width, self.seed, self.total], [self.table.ravel()])
@@ -267,12 +289,13 @@ _CMS_TABLE_OFFSET = 4 + 4 * 8 + 1 + 9
 _CMS_TOTAL_OFFSET = 4 + 3 * 8  # params are [depth, width, seed, total]
 
 
-def _check_cms_blob(b: bytes, depth: int, width: int, seed: int) -> None:
-    if b[0] != _MAGIC_CMS:
-        raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+def _check_cms_blob(b: bytes, depth: int, width: int, seed: int,
+                    magic_dense: int = _MAGIC_CMS) -> None:
+    if b[0] != magic_dense:
+        raise ValueError(f"unknown sketch magic {b[0]} (expected {magic_dense})")
     d, w, s = struct.unpack_from("<3q", b, 4)
     if (d, w, s) != (depth, width, seed):
-        raise ValueError(f"CountMinSketch blob params {(d, w, s)} != {(depth, width, seed)}")
+        raise ValueError(f"table blob params {(d, w, s)} != {(depth, width, seed)}")
 
 
 def sparse_max_nnz(depth: int, width: int) -> int:
@@ -306,15 +329,19 @@ def _unique_slot_pairs(keys: np.ndarray, slots: np.ndarray, n_slots: int,
 
 
 def _pack_slot_blobs(keys: np.ndarray, slots: np.ndarray, n_slots: int,
-                     depth: int, width: int, seed: int) -> list[bytes]:
+                     depth: int, width: int, seed: int,
+                     magic_dense: int = _MAGIC_CMS,
+                     magic_sparse: int = _MAGIC_CMS_SP,
+                     signed: bool = False) -> list[bytes]:
     """One blob per slot, canonical representation per slot: sparse exact
-    pairs when nnz <= sparse_max_nnz, dense CMS table (byte-identical to
-    ``CountMinSketch.update``) otherwise."""
+    pairs when nnz <= sparse_max_nnz, dense table otherwise (byte-identical
+    to ``CountMinSketch.update`` — or ``CountSketch.update`` when
+    ``signed``)."""
     keys = np.asarray(keys, dtype=np.int64)
     s = np.asarray(slots, dtype=np.int64)
     max_nnz = sparse_max_nnz(depth, width)
     if len(keys) == 0:
-        empty = base.pack(_MAGIC_CMS_SP, [depth, width, seed, 0, 0],
+        empty = base.pack(magic_sparse, [depth, width, seed, 0, 0],
                           [np.empty(0, np.int64), np.empty(0, np.int64)])
         return [empty] * n_slots
     totals = np.bincount(s, minlength=n_slots)
@@ -330,15 +357,16 @@ def _pack_slot_blobs(keys: np.ndarray, slots: np.ndarray, n_slots: int,
         tables = np.zeros((len(dense_slots), depth * width), dtype=np.int64)
         for r in range(depth):
             b = (hash64(d_tok, seed + 1000003 * r) % _U64(width)).astype(np.int64)
-            np.add.at(tables, (rows, r * width + b), d_cnt)
+            w_cnt = d_cnt * _cs_signs(d_tok, seed, r) if signed else d_cnt
+            np.add.at(tables, (rows, r * width + b), w_cnt)
     out: list[bytes] = []
     for i in range(n_slots):
         if nnz[i] > max_nnz:
-            out.append(base.pack(_MAGIC_CMS, [depth, width, seed, int(totals[i])],
+            out.append(base.pack(magic_dense, [depth, width, seed, int(totals[i])],
                                  [tables[drow[i]]]))
         else:
             sl = slice(bounds[i], bounds[i + 1])
-            out.append(base.pack(_MAGIC_CMS_SP,
+            out.append(base.pack(magic_sparse,
                                  [depth, width, seed, int(totals[i]), int(nnz[i])],
                                  [u_tok[sl], u_cnt[sl]]))
     return out
@@ -371,10 +399,11 @@ def partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
     return _pack_slot_blobs(tokens, slots, n_slots, depth, width, seed)
 
 
-def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int) -> np.ndarray:
+def _blob_tables(blobs: list[bytes], depth: int, width: int, seed: int,
+                 magic_dense: int = _MAGIC_CMS) -> np.ndarray:
     mats = np.empty((len(blobs), depth * width), dtype=np.int64)
     for i, b in enumerate(blobs):
-        _check_cms_blob(bytes(b), depth, width, seed)
+        _check_cms_blob(bytes(b), depth, width, seed, magic_dense)
         mats[i] = np.frombuffer(b, dtype=np.int64, count=depth * width, offset=_CMS_TABLE_OFFSET)
     return mats
 
@@ -393,38 +422,45 @@ def _sp_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def blob_params(b: bytes) -> tuple[int, int, int]:
-    """(depth, width, seed) of a dense OR sparse CMS node blob."""
+    """(depth, width, seed) of a dense OR sparse CMS/CS node blob."""
     b = bytes(b)
-    if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP):
-        raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+    if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP, _MAGIC_CS, _MAGIC_CS_SP):
+        raise ValueError(f"unknown sketch magic {b[0]} (expected a CMS/CS node)")
     d, w, s = struct.unpack_from("<3q", b, 4)
     return int(d), int(w), int(s)
 
 
 def densify_blob(b: bytes) -> bytes:
-    """Dense-format bytes of any CMS node blob: identity on dense, exact
-    densification (CMS linearity) on sparse — byte-identical to the table
-    ``CountMinSketch.update`` would have produced from the same content."""
+    """Dense-format bytes of any CMS or CS node blob: identity on dense,
+    exact densification (both sketches are linear) on sparse —
+    byte-identical to the table ``CountMinSketch.update`` (CMS family) /
+    ``CountSketch.update`` (CS family) would have produced from the same
+    content. The family is read off the magic byte."""
     b = bytes(b)
-    if b[0] == _MAGIC_CMS:
+    if b[0] in (_MAGIC_CMS, _MAGIC_CS):
         return b
+    if b[0] not in (_MAGIC_CMS_SP, _MAGIC_CS_SP):
+        raise ValueError(f"unknown sketch magic {b[0]} (expected a CMS/CS node)")
+    signed = b[0] == _MAGIC_CS_SP
     _, (depth, width, seed, total, _nnz), (toks, cnts) = base.unpack(b)
     table = np.zeros(depth * width, dtype=np.int64)
     for r in range(depth):
         bk = (hash64(toks, seed + 1000003 * r) % _U64(width)).astype(np.int64)
-        np.add.at(table, r * width + bk, cnts)
-    return base.pack(_MAGIC_CMS, [depth, width, seed, int(total)], [table])
+        w_cnt = cnts * _cs_signs(toks, seed, r) if signed else cnts
+        np.add.at(table, r * width + bk, w_cnt)
+    return base.pack(_MAGIC_CS if signed else _MAGIC_CMS,
+                     [depth, width, seed, int(total)], [table])
 
 
 def window_totals(blobs: list[bytes]) -> np.ndarray:
-    """EXACT token count of each blob's window (dense: every update adds 1
-    to every table row; sparse: sum of pair counts — both store it in the
-    same header slot)."""
+    """EXACT token count of each blob's window (dense: stored alongside the
+    table at update time; sparse: sum of pair counts — every CMS/CS node
+    form stores it in the same header slot)."""
     out = np.empty(len(blobs), dtype=np.int64)
     for i, b in enumerate(blobs):
         b = bytes(b)
-        if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP):
-            raise ValueError(f"unknown sketch magic {b[0]} (expected CountMinSketch)")
+        if b[0] not in (_MAGIC_CMS, _MAGIC_CMS_SP, _MAGIC_CS, _MAGIC_CS_SP):
+            raise ValueError(f"unknown sketch magic {b[0]} (expected a CMS/CS node)")
         (out[i],) = struct.unpack_from("<q", b, _CMS_TOTAL_OFFSET)
     return out
 
@@ -436,6 +472,13 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width:
     sparse_max_nnz and no child had already densified — equivalent, since
     nnz is monotone under merge): order-independent, and dense outputs are
     byte-identical to the all-dense pipeline (elementwise add is exact)."""
+    return _merge_blob_groups_impl(blobs, counts, depth, width, seed,
+                                   _MAGIC_CMS, _MAGIC_CMS_SP, False)
+
+
+def _merge_blob_groups_impl(blobs, counts, depth: int, width: int, seed: int,
+                            magic_dense: int, magic_sparse: int,
+                            signed: bool) -> list[bytes]:
     if not blobs:
         return []
     blobs = [bytes(b) for b in blobs]
@@ -445,12 +488,12 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width:
     np.cumsum(counts[:-1], out=starts[1:])
     totals = window_totals(blobs)
     merged_tot = np.add.reduceat(totals, starts)
-    is_sp = np.fromiter((b[0] == _MAGIC_CMS_SP for b in blobs), dtype=bool, count=len(blobs))
+    is_sp = np.fromiter((b[0] == magic_sparse for b in blobs), dtype=bool, count=len(blobs))
     if not is_sp.any():
-        mats = _blob_tables(blobs, depth, width, seed)
+        mats = _blob_tables(blobs, depth, width, seed, magic_dense)
         merged = base.grouped_reduce(np.add, mats, counts)
         return [
-            base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[i])], [merged[i]])
+            base.pack(magic_dense, [depth, width, seed, int(merged_tot[i])], [merged[i]])
             for i in range(merged.shape[0])
         ]
     max_nnz = sparse_max_nnz(depth, width)
@@ -474,25 +517,26 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int, width:
         acc = np.zeros((len(dense_groups), depth * width), dtype=np.int64)
         dn_idx = np.flatnonzero(~is_sp)
         if len(dn_idx):
-            mats = _blob_tables([blobs[i] for i in dn_idx], depth, width, seed)
+            mats = _blob_tables([blobs[i] for i in dn_idx], depth, width, seed, magic_dense)
             np.add.at(acc, drow[gid[dn_idx]], mats)
         sel = drow[u_gid] >= 0 if len(u_gid) else np.empty(0, dtype=bool)
         if len(u_gid) and sel.any():
             r_tok, r_cnt, r_row = u_tok[sel], u_cnt[sel], drow[u_gid[sel]]
             for r in range(depth):
                 bk = (hash64(r_tok, seed + 1000003 * r) % _U64(width)).astype(np.int64)
-                np.add.at(acc, (r_row, r * width + bk), r_cnt)
+                w_cnt = r_cnt * _cs_signs(r_tok, seed, r) if signed else r_cnt
+                np.add.at(acc, (r_row, r * width + bk), w_cnt)
     sp_bounds = np.zeros(ngroups + 1, dtype=np.int64)
     np.cumsum(g_nnz, out=sp_bounds[1:])
     out: list[bytes] = []
     for g in range(ngroups):
         if out_sparse[g]:
             sl = slice(sp_bounds[g], sp_bounds[g + 1])
-            out.append(base.pack(_MAGIC_CMS_SP,
+            out.append(base.pack(magic_sparse,
                                  [depth, width, seed, int(merged_tot[g]), int(g_nnz[g])],
                                  [u_tok[sl], u_cnt[sl]]))
         else:
-            out.append(base.pack(_MAGIC_CMS, [depth, width, seed, int(merged_tot[g])],
+            out.append(base.pack(magic_dense, [depth, width, seed, int(merged_tot[g])],
                                  [acc[drow[g]]]))
     return out
 
@@ -530,4 +574,104 @@ def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
             m = all_tok == k
             sp_out[row_of[m], j] = all_cnt[m]
         out[sp] = sp_out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Signed count-sketch (AMS) window-node kernels: the cs window family.
+# Same canonical sparse/dense representation machinery as the CMS kernels
+# (sparse nodes are EXACT (token, count) pairs — identical wire shape, own
+# magic; dense nodes are CountSketch tables, byte-identical to
+# CountSketch.update of the window's content). Linear, so parents are
+# byte-exact rollups. One table answers two range questions:
+#   frequency — UNBIASED (median of signed row values, two-sided error
+#   3*sqrt(F2/width) w.h.p., vs CMS's overestimate-only eps*N), and
+#   F2 (second moment / self-join size) — median over rows of the row's
+#   sum of squares (Alon-Matias-Szegedy; Var <= 2*F2^2/width per row).
+# Sparse nodes answer both EXACTLY (zero error, inside every bound).
+# ---------------------------------------------------------------------------
+
+def cs_leaf_window_blobs(tokens: np.ndarray, window: int, depth: int, width: int,
+                         seed: int, phase: int = 0) -> list[bytes]:
+    """cs twin of ``leaf_window_blobs`` (same slot geometry, signed dense
+    packing, magics _MAGIC_CS/_MAGIC_CS_SP)."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    nw = (phase + n + window - 1) // window
+    w = (phase + np.arange(n, dtype=np.int64)) // window
+    return _pack_slot_blobs(np.asarray(tokens, dtype=np.int64), w, nw,
+                            depth, width, seed, _MAGIC_CS, _MAGIC_CS_SP, True)
+
+
+def cs_partial_blobs_by_slot(tokens: np.ndarray, slots: np.ndarray, n_slots: int,
+                             depth: int, width: int, seed: int) -> list[bytes]:
+    """cs twin of ``partial_blobs_by_slot``."""
+    return _pack_slot_blobs(tokens, slots, n_slots, depth, width, seed,
+                            _MAGIC_CS, _MAGIC_CS_SP, True)
+
+
+def cs_merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int,
+                         width: int, seed: int) -> list[bytes]:
+    """cs twin of ``merge_blob_groups`` — same canonical content rule,
+    signed densification (count-sketch is linear too, so dense outputs are
+    byte-identical to the all-dense pipeline)."""
+    return _merge_blob_groups_impl(blobs, counts, depth, width, seed,
+                                   _MAGIC_CS, _MAGIC_CS_SP, True)
+
+
+def cs_estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
+                      seed: int) -> np.ndarray:
+    """(len(blobs), len(keys)) UNBIASED frequency estimates: median of
+    signed row values per dense blob (``CountSketch.estimate``), EXACT
+    lookup per sparse blob."""
+    if not blobs:
+        return np.empty((0, len(keys)), dtype=np.int64)
+    keys = np.asarray(keys, dtype=np.int64)
+    blobs = [bytes(b) for b in blobs]
+    is_sp = np.fromiter((b[0] == _MAGIC_CS_SP for b in blobs), dtype=bool, count=len(blobs))
+    out = np.empty((len(blobs), len(keys)), dtype=np.int64)
+    dn = np.flatnonzero(~is_sp)
+    if len(dn):
+        mats = _blob_tables([blobs[i] for i in dn], depth, width, seed,
+                            _MAGIC_CS).reshape(len(dn), depth, width)
+        buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
+        ests = np.stack([
+            mats[:, r, buckets[r]] * _cs_signs(keys, seed, r)[None, :]
+            for r in range(depth)
+        ])  # (depth, nb, nk)
+        out[dn] = np.median(ests, axis=0).astype(np.int64)
+    sp = np.flatnonzero(is_sp)
+    if len(sp):
+        pairs = [_sp_entries(blobs[i]) for i in sp]
+        all_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
+        all_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
+        row_of = np.repeat(np.arange(len(sp)), [len(t) for t, _ in pairs])
+        sp_out = np.zeros((len(sp), len(keys)), dtype=np.int64)
+        for j, k in enumerate(keys):
+            m = all_tok == k
+            sp_out[row_of[m], j] = all_cnt[m]
+        out[sp] = sp_out
+    return out
+
+
+def f2_blobs(blobs: list[bytes]) -> np.ndarray:
+    """Second frequency moment of each blob's window content (float64):
+    EXACT sum of squared counts per sparse blob, AMS median-of-rows
+    estimate per dense blob. The node representation rule makes this a
+    continuum — small windows are exact, large ones carry the published
+    2*F2^2/width variance per row."""
+    out = np.empty(len(blobs), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] == _MAGIC_CS_SP:
+            _toks, cnts = _sp_entries(b)
+            out[i] = float(np.square(cnts.astype(np.float64)).sum())
+        elif b[0] == _MAGIC_CS:
+            d, w, _s = blob_params(b)
+            table = np.frombuffer(b, dtype=np.int64, count=d * w,
+                                  offset=_CMS_TABLE_OFFSET).reshape(d, w)
+            out[i] = float(np.median(np.square(table.astype(np.float64)).sum(axis=1)))
+        else:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected a cs node)")
     return out
