@@ -942,6 +942,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top word bigrams by pointwise mutual information
+    (reported as the ratio P(ab)/(P(a)P(b)) — a pure product of exact
+    counts, so the doubles match the SQL twin bit for bit; no log()).
+    Fully relational: bigram count + two broadcast unigram joins
+    (operators/text.py:collocations_pmi)."""
+    return T.collocations_pmi(_docs(spark, sf_dir), min_count=3, topk=30)
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
@@ -2096,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_containment": q_minhash_lsh_containment,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
+        "collocations_pmi": q_collocations_pmi,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -2434,6 +2444,19 @@ FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 800000""",
+        "collocations_pmi": """WITH docs AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+uni AS (SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(ws) AS w FROM docs) GROUP BY w),
+big AS (SELECT w1, w2, COUNT(*) AS cnt_ab
+        FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i
+                    FROM docs))
+        GROUP BY w1, w2 HAVING COUNT(*) >= 3),
+tot AS (SELECT SUM(len(ws)) AS n_tok, SUM(GREATEST(len(ws) - 1, 0)) AS n_big FROM docs)
+SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
+       CAST(cnt_ab AS DOUBLE) * n_tok / a.cnt * n_tok / b.cnt / n_big AS pmi_ratio
+FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
+ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "text_quality": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(string_split(text, ' ')) AS INT) AS n_words,

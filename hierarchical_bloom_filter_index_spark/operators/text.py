@@ -165,3 +165,70 @@ def winnowing_fingerprints(
             yield pd.DataFrame({"doc_id": ids, "fps": fps})
 
     return docs.select(id_col, text_col).mapInPandas(fp, schema="doc_id string, fps array<long>")
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 3,
+    topk: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining: top-k word bigrams by pointwise mutual
+    information with a minimum-count support filter — the standard phrase
+    extractor for training-data pipelines (Church & Hanks association
+    ratio). Words are space-separated non-empty tokens; PMI is reported as
+    the RATIO P(ab) / (P(a)P(b)) (exp of the PMI) so the value is a pure
+    product/quotient of exact integer counts — the expression tree matches
+    the SQL oracle symbol for symbol, so the doubles are bit-identical
+    cross-engine (no log(), whose libm implementations differ).
+
+    Fully relational (Catalyst end to end): one shuffle to count bigrams,
+    one to count unigrams; the unigram table is broadcast twice into the
+    bigram join (vocabulary is tiny next to the corpus); totals reduce to
+    one row. Scales: nothing here is per-doc Python."""
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    # deliberately NOT cached: the split is a cheap codegen'd projection,
+    # and recomputing it per consumer keeps the returned plan fully lazy
+    tokens = docs.select(ws.alias("ws"))
+    uni = tokens.select(F.explode("ws").alias("w")).groupBy("w").count()
+    big = (
+        tokens.select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ws", i.cast("int")).alias("w1"),
+                            F.element_at("ws", (i + 1).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= int(min_count))
+    )
+    totals = tokens.select(
+        F.sum(F.size("ws")).alias("n_tok"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n_big"),
+    )
+    out = (
+        big.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                             .withColumnRenamed("count", "cnt_a")), on="w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("count", "cnt_b")), on="w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws("|", "w1", "w2").alias("gram"),
+            F.col("cnt_ab").alias("cnt"),
+            (F.col("cnt_ab").cast("double") * F.col("n_tok") / F.col("cnt_a")
+             * F.col("n_tok") / F.col("cnt_b") / F.col("n_big")).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), F.asc("gram"))
+        .limit(int(topk))
+    )
+    return out

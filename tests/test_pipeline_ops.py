@@ -476,3 +476,35 @@ def test_minhash_bucket_cap(spark, identical_docs):
     assert capped == []
     uncapped = D.minhash_lsh_pairs(identical_docs, threshold=0.8).collect()
     assert len(uncapped) == 24 * 23 // 2
+
+
+def test_collocations_pmi_vs_python(spark):
+    """Hand-checkable PMI fixture: bigram/unigram counts and the ratio
+    P(ab)/(P(a)P(b)) agree with a pure-Python computation; min_count and
+    top-k tie-break (gram asc) honored."""
+    from collections import Counter
+
+    texts = [
+        "new york is a big city",
+        "new york has a big  port",   # double space: empty token dropped
+        "new york new york",
+        "big city big city big city",
+    ]
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)],
+                               "doc_id string, text string")
+    got = {r["gram"]: (r["cnt"], r["pmi_ratio"])
+           for r in T.collocations_pmi(df, min_count=2, topk=50).collect()}
+    words = [[w for w in t.split(" ") if w] for t in texts]
+    uni = Counter(w for ws in words for w in ws)
+    big = Counter((ws[i], ws[i + 1]) for ws in words for i in range(len(ws) - 1))
+    n_tok = sum(uni.values())
+    n_big = sum(big.values())
+    want = {}
+    for (a, b), c in big.items():
+        if c >= 2:
+            want[f"{a}|{b}"] = (c, c * n_tok * n_tok / (uni[a] * uni[b] * n_big))
+    assert set(got) == set(want)
+    for g, (c, r) in want.items():
+        assert got[g][0] == c
+        assert got[g][1] == pytest.approx(r, rel=1e-12)
+    assert got["new|york"][0] == 4
