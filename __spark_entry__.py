@@ -828,6 +828,16 @@ def q_doclen_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style similarity pairs: docs sharing >= 4 winnowing
+    fingerprints (k=8, window=4). Exact count over each doc's selected
+    fingerprint set; pairs materialize only through the fingerprint
+    co-occurrence join (operators/dedup.py:winnowing_pairs). The oracle
+    wraps the winnowing SQL twin (nested Horner over LEAD + sliding MIN)
+    with the same self-join."""
+    return D.winnowing_pairs(_docs(spark, sf_dir), min_shared=4, k=8, window=4)
+
+
 def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate pairs, HASH-FIRST (mirroring dedup.exact_duplicates):
     the equi-join key is xxhash64(text) — 8 bytes on the shuffle wire instead
@@ -2099,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
         # dedup / text / similarity (training-data pipeline)
         "dedup_exact_pairs": q_dedup_exact_pairs,
+        "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -2506,6 +2517,10 @@ FROM events GROUP BY 1, 2""",
        CAST(SUM(length(text)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1""",
         "winnowing_fingerprints": _winnowing_oracle(8, 4),
+        "winnowing_pairs": f"""WITH fps AS ({_winnowing_oracle(8, 4)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
         # sampler oracles: the priority hash is re-implemented bit-exactly in
         # SQL (_splitmix_ctes) — bottom-k = the k distinct tokens with the
         # smallest priority; HOPS = the min-priority token of each of the 2^b

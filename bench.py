@@ -110,6 +110,8 @@ def main() -> None:
         "hbi_pattern_batch",
         # gapped-literal report(): same cascade, literal-only probe plan
         "hbi_pattern_wildcard",
+        # approximate report(): pigeonhole fragments, Hamming verifier
+        "hbi_kmismatch",
         "window_membership",
         # whole token workload in ONE leaf scan (doc axis + one-stream axis)
         "window_membership_batch",
@@ -131,6 +133,7 @@ def main() -> None:
         "simhash_neardup",
         "ann_cosine_topk",
         "text_quality",
+        "collocations_pmi",
         "token_count",
         "positional_fingerprint",
         "window_distinct_rollup",
@@ -144,6 +147,8 @@ def main() -> None:
         "range_window_totals",
         "range_quantiles",
         "range_distinct",
+        # range second moment (AMS family; first rep pays the cs rollup)
+        "range_f2",
         # EXACT range heavy hitters: MG cover-node candidates bound the
         # verify aggregation (first rep pays the MG rollup build, cached)
         "range_heavy_hitters",

@@ -85,6 +85,45 @@ def char_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     return np.unique(splitmix64(packed))
 
 
+def winnowing_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style similarity pairs (doc_a < doc_b, shared) — documents
+    sharing >= ``min_shared`` winnowing fingerprints (Schleimer et al.; the
+    plagiarism/boilerplate detector built on text.winnowing_fingerprints).
+    Guarantee inherited from winnowing: any shared substring of length
+    >= k + window - 1 contributes a shared fingerprint, so long-overlap
+    pairs are never missed; ``shared`` is an exact count over the selected
+    fingerprint sets (each doc's set is distinct).
+
+    Pairs materialize only through a co-occurrence join on fingerprint
+    value — no all-pairs stage. ``max_fp_df`` caps join-eligible
+    fingerprints (a boilerplate fingerprint shared by f docs emits f^2
+    rows; drops are LOGGED via cap_bucket_sizes, recall-only). None =
+    exact (the oracle setting)."""
+    from .text import winnowing_fingerprints
+
+    fp = (
+        winnowing_fingerprints(docs, k=k, window=window, text_col=text_col, id_col=id_col)
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    if max_fp_df is not None:
+        fp = cap_bucket_sizes(fp, ["fp"], max_fp_df, "winnowing_pairs")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------

@@ -65,6 +65,16 @@ SWEEP = [
     "hbi_global_proximity_batch",
     "range_distinct_sample",
     "global_range_distinct_sample",
+    # round-4c additions: ordered chains, approximate (k-mismatch) report
+    # (pigeonhole fragments; the mutated needle only matches replica 0, so
+    # growth isolates the shared-cascade + Hamming-verify cost), range F2
+    # through the signed count-sketch rollup, and PMI collocation mining
+    # (pure relational; bigram space grows 5x, counts stay per-replica)
+    "hbi_chain",
+    "hbi_global_chain",
+    "hbi_kmismatch",
+    "range_f2",
+    "collocations_pmi",
 ]
 
 

@@ -508,3 +508,23 @@ def test_collocations_pmi_vs_python(spark):
         assert got[g][0] == c
         assert got[g][1] == pytest.approx(r, rel=1e-12)
     assert got["new|york"][0] == 4
+
+
+def test_winnowing_pairs_planted_overlap(spark):
+    """Planted plagiarism: two docs embedding the same long passage must
+    pair up (winnowing guarantee: shared substring >= k+window-1 shares a
+    fingerprint); the unrelated doc pairs with nobody; min_shared filters."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        ("a", "prefix one " + passage + " suffix alpha"),
+        ("b", "other start " + passage + " different end"),
+        ("c", "unrelated words entirely distinct content nothing in common here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["shared"]
+           for r in D.winnowing_pairs(df, min_shared=2, k=8, window=4).collect()}
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert all(p == ("a", "b") for p in got)
+    # the df cap drops the boilerplate fingerprints: pair disappears, logged
+    capped = D.winnowing_pairs(df, min_shared=2, k=8, window=4, max_fp_df=1)
+    assert capped.count() == 0

@@ -395,7 +395,18 @@ def test_structured_streaming_window_sketch_index(spark, tmp_path):
     idx_b, _tot_b = run("bk", "bk")
     ref_b = build_global_bk_window_index(with_global_offsets(full), cfg)
     assert _sstate(idx_b) == _sstate(ref_b)
-    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m, ref_b):
+
+    # CS: byte-equal after one drain — count-sketch is linear like CMS, and
+    # the sparse/dense node rule is a pure function of content, so the
+    # delta-commit path reproduces the scratch bytes exactly
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cs_window_index,
+    )
+
+    idx_s, _tot_s = run("cs", "cs")
+    ref_s = build_global_cs_window_index(with_global_offsets(full), cfg)
+    assert _sstate(idx_s) == _sstate(ref_s)
+    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m, ref_b, ref_s):
         r.unpersist()
     full.unpersist()
 
