@@ -306,6 +306,39 @@ def q_hbi_global_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAT_EDIT = [ord(c) for c in "data mmerge"]  # one INSERTED char vs 'data merge'
+
+
+def q_hbi_kedit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE report() under LEVENSHTEIN distance (agrep semantics —
+    substitutions AND indels): 'data mmerge' (an accidental double letter)
+    searched with d=1 recovers every clean 'data merge' occurrence via a
+    DELETION. Same pigeonhole fragments as kmismatch with the candidate
+    window shifts widened by the ±d indel drift; verification is the JVM
+    built-in levenshtein over min-over-lengths substrings
+    (operators/approx.py:kedit_pattern_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+
+    return kedit_pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_EDIT, 1
+    )
+
+
+def _kedit_oracle(pattern: list[int], d: int) -> str:
+    pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
+    m = len(pattern)
+    least = ", ".join(
+        f"levenshtein(substr(text, CAST(i AS INT), {L}), '{pat}')"
+        for L in range(max(m - d, 0), m + d + 1)
+    )
+    return f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+      FROM documents)
+WHERE LEAST({least}) <= {d}"""
+
+
 def _kmismatch_oracle(pattern: list[int], d: int) -> str:
     m = len(pattern)
     return f"""WITH {CORPUS_CTE}
@@ -2048,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_wildcard": q_global_pattern_wildcard,
         "hbi_kmismatch": q_hbi_kmismatch,
         "hbi_global_kmismatch": q_hbi_global_kmismatch,
+        "hbi_kedit": q_hbi_kedit,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2161,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_global_pattern_wildcard": _global_wildcard_oracle(PAT_WILDCARD),
         "hbi_kmismatch": _kmismatch_oracle(PAT_MISSING, 1),
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
+        "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",

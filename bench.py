@@ -112,6 +112,7 @@ def main() -> None:
         "hbi_pattern_wildcard",
         # approximate report(): pigeonhole fragments, Hamming verifier
         "hbi_kmismatch",
+        "hbi_kedit",
         "window_membership",
         # whole token workload in ONE leaf scan (doc axis + one-stream axis)
         "window_membership_batch",

@@ -40,7 +40,11 @@ from .route import (
     _stitched_corpus,
 )
 
-__all__ = ["kmismatch_pattern_search", "global_kmismatch_pattern_search"]
+__all__ = [
+    "kmismatch_pattern_search",
+    "global_kmismatch_pattern_search",
+    "kedit_pattern_search",
+]
 
 
 def _fragments(pattern: list[int], d: int) -> list[tuple[int, list[int]]]:
@@ -263,4 +267,149 @@ def global_kmismatch_pattern_search(
     return _global_verify(
         stitched, scan_col, survivors, final_rows, span,
         lambda c: hamming_positions(c, pattern, d),
+    )
+
+
+def _edit_shifts(off: int, d: int, span: int) -> range:
+    """Candidate pattern-start window shifts for a fragment at offset
+    ``off`` when up to ``d`` INDELS may precede it: the fragment's exact
+    occurrence starts at p + off' with off' in [off-d, off+d], so
+    wid(p) - w ranges over [-ceil((off+d)/span), floor((span-1-off+d)/span)]
+    (python floor division is floor for negatives, which is what the bound
+    needs)."""
+    lo = -((off + d + span - 1) // span)
+    hi = (span - 1 - off + d) // span
+    return range(lo, hi + 1)
+
+
+def kedit_pattern_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    d: int,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """All (doc_id, pos) where SOME substring starting at pos is within
+    LEVENSHTEIN distance ``d`` of ``pattern`` — agrep semantics (edits =
+    substitutions AND insertions/deletions, vs kmismatch's substitutions
+    only). Char-level: corpus tokens are codepoints, so verification runs
+    the JVM built-in ``levenshtein`` over the reconstructed string —
+    min over candidate lengths L in [m-d, m+d] of
+    levenshtein(substr(text, pos, L), pattern) <= d. The same pigeonhole
+    fragment pruning as kmismatch applies (a fragment untouched by edits
+    still occurs EXACTLY, merely shifted by at most d), with the candidate
+    window shifts widened by the ±d drift (_edit_shifts)."""
+    if cfg.axis != "doc":
+        raise NotImplementedError("kedit_pattern_search routes on the doc axis")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if d < 0:
+        raise ValueError("d must be >= 0")
+    pat_str = "".join(chr(int(t)) for t in pattern)
+    text = F.array_join(F.transform("tokens", lambda t: F.char(t)), "")
+    lengths = list(range(max(m - d, 0), m + d + 1))
+
+    def ed_ok(t):
+        def ok(i):
+            cands = [
+                F.levenshtein(t.substr(i + 1, F.lit(L)), F.lit(pat_str))
+                for L in lengths
+            ]
+            c = cands[0] if len(cands) == 1 else F.least(*cands)
+            return c <= F.lit(int(d))
+
+        return ok
+
+    def brute() -> DataFrame:
+        t = F.col("_t")
+        return (
+            corpus.select("doc_id", text.alias("_t"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.length("_t") > 0,
+                        F.filter(F.sequence(F.lit(0), F.length("_t") - 1), ed_ok(t)),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("pos"),
+            )
+        )
+
+    if d >= m:
+        return brute()  # L=0 is a candidate: every position matches
+    prep = _prepare(pattern, d, cfg, start_level, stats, freq)
+    if prep is None:
+        return brute()
+    frags, specs, firsts, level, span = prep
+    spark = corpus.sparkSession
+    finished = _descend_batch(
+        index, specs, firsts, [level] * len(specs), doc_axis=True, spark=spark,
+        stats_out=stats_out,
+    )
+    all_collected = all(rows is not None for _, _, rows in finished.values())
+    if all_collected:
+        by_doc: dict[str, set[int]] = {}
+        for p, (off, _frag) in enumerate(frags):
+            shifts = _edit_shifts(off, d, span)
+            for doc_id, w in finished[p][2]:
+                s = by_doc.setdefault(doc_id, set())
+                for sh in shifts:
+                    s.add(int(w) + sh)
+        if not by_doc:
+            return spark.createDataFrame([], MATCH_SCHEMA)
+        cand = spark.createDataFrame(
+            [(doc, sorted(ws)) for doc, ws in by_doc.items()],
+            "doc_id string, wids array<long>",
+        )
+        cand_small = True
+    else:
+        parts = []
+        for p, (off, _frag) in enumerate(frags):
+            fdf, n, rows = finished[p]
+            if fdf is None and not rows:
+                continue
+            src = (
+                spark.createDataFrame(rows, "doc_id string, w_id long")
+                if rows is not None
+                else fdf
+            )
+            shifts = list(_edit_shifts(off, d, span))
+            parts.append(
+                src.select(
+                    "doc_id",
+                    F.explode(
+                        F.array(*[F.col("w_id") + F.lit(sh) for sh in shifts])
+                    ).alias("w_id"),
+                )
+            )
+        if not parts:
+            return spark.createDataFrame([], MATCH_SCHEMA)
+        union = parts[0]
+        for q_df in parts[1:]:
+            union = union.unionByName(q_df)
+        cand, cand_small = _candidates_by_doc(spark, union, None, stats_out)
+    t = F.col("_t")
+    return (
+        corpus.join(F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
+        .select("doc_id", text.alias("_t"), "wids")
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("_t") > 0,
+                    F.filter(
+                        F.filter(
+                            F.sequence(F.lit(0), F.length("_t") - 1),
+                            lambda i: F.array_contains("wids", (i / span).cast("long")),
+                        ),
+                        ed_ok(t),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
     )

@@ -73,6 +73,7 @@ SWEEP = [
     "hbi_chain",
     "hbi_global_chain",
     "hbi_kmismatch",
+    "hbi_kedit",
     "range_f2",
     "collocations_pmi",
 ]

@@ -170,3 +170,111 @@ def test_stats_out_records_descent(spark, built):
     stats = {}
     kmismatch_pattern_search(corp, idx, CFG, pat, 1, stats_out=stats).count()
     assert stats.get("survivors") and stats.get("windows_probed")
+
+
+# ---------------------------------------------------------------------------
+# k-edit (Levenshtein) search — independent pure-python brute force
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_edit(corp, pattern, d):
+    pat = "".join(chr(int(t)) for t in pattern)
+    m = len(pat)
+    want = set()
+    for r in corp.select("doc_id", "tokens").collect():
+        txt = "".join(chr(t) for t in r["tokens"])
+        for p in range(len(txt)):
+            for L in range(max(m - d, 0), m + d + 1):
+                if _lev(txt[p : p + L], pat) <= d:
+                    want.add((r["doc_id"], p))
+                    break
+    return want
+
+
+@pytest.fixture(scope="module")
+def built_small(spark, built):
+    """A 6-doc slice of the module corpus with its own index — the python
+    Levenshtein brute force is O(n * d * m^2), so differentials run on a
+    slice while the planted-needle checks use the full corpus."""
+    corp, _ = built
+    ids = sorted(r["doc_id"] for r in corp.select("doc_id").collect())[:6]
+    sub = corp.filter(F.col("doc_id").isin(ids)).cache()
+    from hierarchical_bloom_filter_index_spark.operators import build_index
+
+    idx = build_index(sub, CFG).cache()
+    idx.count()
+    yield sub, idx
+    idx.unpersist()
+    sub.unpersist()
+
+
+@pytest.mark.parametrize("d", [0, 1, 2])
+def test_kedit_matches_brute(spark, built_small, d):
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+
+    sub, idx = built_small
+    base = _needle(sub, start=200, m=10)
+    # plant d edits: one substitution, then insertions (shifts the tail)
+    pat = list(base)
+    if d >= 1:
+        pat[2] = pat[2] + 1
+    if d >= 2:
+        pat = pat[:5] + [pat[5] + 3] + pat[5:]
+    got = {(r["doc_id"], r["pos"])
+           for r in kedit_pattern_search(sub, idx, CFG, pat, d).collect()}
+    want = _brute_edit(sub, pat, d)
+    assert got == want
+    if d > 0:
+        assert len(want) > 0  # the edited needle finds the clean original
+
+
+def test_kedit_d0_equals_exact(spark, built_small):
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+
+    sub, idx = built_small
+    pat = _needle(sub, start=120, m=12)
+    ke = {(r["doc_id"], r["pos"])
+          for r in kedit_pattern_search(sub, idx, CFG, pat, 0).collect()}
+    ex = {(r["doc_id"], r["pos"])
+          for r in pattern_search(sub, idx, CFG, pat).collect()}
+    assert ke == ex and len(ke) > 0
+
+
+def test_kedit_long_pattern_indel_drift(spark, built_small):
+    """m > 2*leaf_span with a deletion near the front: the fragment that
+    survives is shifted left by the deletion, exercising the ±d-widened
+    window-shift range (_edit_shifts)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+
+    sub, idx = built_small
+    base = _needle(sub, start=64, m=80)
+    pat = base[:10] + base[11:] + [base[-1]]  # delete pos 10, pad length back
+    got = {(r["doc_id"], r["pos"])
+           for r in kedit_pattern_search(sub, idx, CFG, pat, 2).collect()}
+    assert got == _brute_edit(sub, pat, 2) and len(got) > 0
+
+
+def test_kedit_absent_needle_empty(spark, built_small):
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+
+    sub, idx = built_small
+    pat = [60000 + i for i in range(12)]
+    assert kedit_pattern_search(sub, idx, CFG, pat, 1).count() == 0
