@@ -1515,6 +1515,22 @@ def q_range_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_signed_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBIASED probe-token frequencies over DOC leaf-window ranges through
+    the signed count-sketch index (median of signed rows — two-sided error
+    vs CMS's overestimate-only). On this corpus every cover node is
+    sparse-exact, so answers are exact counts and the query is
+    oracle-checked; the dense-regime two-sided bound is enforced in
+    tests/test_cs_rollup.py."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_signed_freq_estimates,
+    )
+
+    return range_signed_freq_estimates(
+        _cs_index(spark, sf_dir), RANGE_QS, PROBE_TOKENS, CFG.deepest
+    )
+
+
 RANGE_QS_GLOBAL = [(0, 8), (5, 133), (1000, 1024)]  # stream leaf-window ranges
 
 
@@ -2128,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
+        "range_signed_freq": q_range_signed_freq,
         "range_quantiles": q_range_quantiles,
         "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
@@ -2678,6 +2695,18 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        # unbiased signed-freq: exact counts in the sparse regime — rows for
+        # every (doc, range)-with-tokens x probe token, zeros included
+        "range_signed_freq": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+pt(token) AS (VALUES {", ".join(f"({t})" for t in PROBE_TOKENS)}),
+sl AS (SELECT doc_id, a, b, tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS s
+       FROM corpus, rq
+       WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(token AS BIGINT) AS token,
+       CAST(len(list_filter(s, x -> x = token)) AS BIGINT) AS est_count
+FROM sl, pt""",
         # range F2 = sum over tokens of (count in slice)^2 — exact on this
         # corpus (every cover node sparse-exact; see q_range_f2)
         "range_f2": f"""WITH {CORPUS_CTE},
