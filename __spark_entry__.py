@@ -285,8 +285,10 @@ def q_hbi_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmismatch_pattern_search,
     )
 
+    freq, stats = _planner_inputs(spark, sf_dir)
     return kmismatch_pattern_search(
-        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_MISSING, 1
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_MISSING, 1,
+        start_level="auto", freq=freq, stats=stats,
     )
 
 
@@ -300,9 +302,11 @@ def q_hbi_global_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_kmismatch_pattern_search,
     )
 
-    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
     return global_kmismatch_pattern_search(
-        gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL, 1
+        gcorp, gidx, CFG.with_(axis="global"), PAT_GLOBAL, 1,
+        start_level="auto", freq=freq, stats=gstats,
     )
 
 
@@ -321,8 +325,10 @@ def q_hbi_kedit(spark: SparkSession, sf_dir: str) -> DataFrame:
         kedit_pattern_search,
     )
 
+    freq, stats = _planner_inputs(spark, sf_dir)
     return kedit_pattern_search(
-        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_EDIT, 1
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_EDIT, 1,
+        start_level="auto", freq=freq, stats=stats,
     )
 
 

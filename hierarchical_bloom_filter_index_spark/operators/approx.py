@@ -35,12 +35,13 @@ change the answer.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import HbiConfig
 from ..functions import hamming_positions
 from .batch import _descend_batch, _plan_batch
-from .route import MATCH_SCHEMA, _global_verify, _stitched_corpus
+from .route import MATCH_SCHEMA, _stitched_corpus
 
 __all__ = [
     "kmismatch_pattern_search",
@@ -210,6 +211,155 @@ def _prepare(pattern, d, cfg, start_level, stats, freq, n_frags=None):
     return frags, specs, firsts, level, cfg.span(level), s - d
 
 
+def _hamming_verify_doc(joined: DataFrame, pattern: list[int], d: int, span: int) -> DataFrame:
+    """Arrow verification of k-mismatch candidates: one vectorized
+    sliding-window mismatch count per candidate doc (numpy, C speed —
+    the per-position zip_with HOF this replaced allocated a slice per
+    start and cost ~7 s of an 11 s sf0.1 query), positions filtered to the
+    doc's candidate windows. Twin of batch._verify_arrow_doc."""
+    pat = np.asarray(pattern, dtype=np.int64)
+    m = len(pat)
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_d, out_pos = [], []
+            for did, toks, wids in zip(pdf["doc_id"], pdf["tokens"], pdf["wids"]):
+                arr = np.asarray(toks, dtype=np.int64)
+                if len(arr) < m:
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(arr, m)
+                pos = np.flatnonzero((sw != pat).sum(axis=1) <= d)
+                if len(pos) == 0:
+                    continue
+                pos = pos[np.isin(pos // span, np.asarray(wids, dtype=np.int64))]
+                out_d.extend([did] * len(pos))
+                out_pos.extend(pos.tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_d, "pos": np.asarray(out_pos, dtype=np.int32)}
+            )
+
+    return joined.select("doc_id", "tokens", "wids").mapInPandas(
+        ver, schema=MATCH_SCHEMA
+    )
+
+
+def _global_hamming_tail(stitched, survivors, final_rows, span, pattern, d) -> DataFrame:
+    """Global-axis candidate assembly (same joins as route._global_verify:
+    (doc_offset, w_id) pairs only in the shuffle, token arrays joined back
+    by doc_offset) + Arrow Hamming verification over each candidate doc's
+    stitched span. Twin of batch._verify_arrow_global."""
+    pat = np.asarray(pattern, dtype=np.int64)
+    m = len(pat)
+    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
+    doc_windows = stitched.select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(wid_df, on="w_id", how="inner")
+        .groupBy("doc_offset")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    cand_docs = stitched.join(
+        F.broadcast(hit_docs) if final_rows is not None else hit_docs,
+        on="doc_offset", how="inner",
+    )
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g = []
+            for off, n_tok, st, wids in zip(
+                pdf["doc_offset"], pdf["n_tok"], pdf["stitched"], pdf["wids"]
+            ):
+                arr = np.asarray(st, dtype=np.int64)[: int(n_tok) + m - 1]
+                if len(arr) < m:
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(arr, m)
+                pos = np.flatnonzero((sw != pat).sum(axis=1) <= d)
+                pos = pos[pos < n_tok]
+                if len(pos) == 0:
+                    continue
+                g = pos + off
+                g = g[np.isin(g // span, np.asarray(wids, dtype=np.int64))]
+                out_g.extend(g.tolist())
+            yield pd.DataFrame({"gpos": np.asarray(out_g, dtype=np.int64)})
+
+    return cand_docs.select("doc_offset", "n_tok", "stitched", "wids").mapInPandas(
+        ver, schema="gpos long"
+    )
+
+
+def _edit_ok_positions(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: int) -> np.ndarray:
+    """Candidate starts (subset of ``cand``) where some substring of
+    ``arr`` starting there is within Levenshtein distance ``d`` of ``pat``
+    — a Wagner-Fischer DP batched ACROSS starts (every cell is one numpy
+    vector op over the candidate axis; m*(m+d) cells total). Equivalent to
+    min over L in [m-d, m+d] of levenshtein(arr[p:p+L], pat) <= d: column
+    j of the final row IS the distance to the length-j substring."""
+    m = len(pat)
+    n = len(arr)
+    if len(cand) == 0:
+        return cand
+    width = m + d
+    idx = cand[:, None] + np.arange(width)[None, :]
+    t_mat = np.where(idx < n, arr[np.minimum(idx, n - 1)], np.int64(-1))
+    prev = np.broadcast_to(
+        np.arange(width + 1, dtype=np.int64), (len(cand), width + 1)
+    ).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, width + 1):
+            cost = (t_mat[:, j - 1] != pat[i - 1]).astype(np.int64)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        prev = cur
+    avail = n - cand  # longest real substring from each start
+    js = np.arange(width + 1, dtype=np.int64)
+    valid = (js[None, :] <= avail[:, None]) & (js[None, :] >= max(m - d, 0))
+    best = np.where(valid, prev, np.int64(1 << 30)).min(axis=1)
+    return cand[best <= d]
+
+
+def _edit_verify_doc(joined: DataFrame, pattern: list[int], d: int, span: int) -> DataFrame:
+    """Arrow verification of k-edit candidates: in-window starts filtered
+    first (cheap window-id isin), then the batched-DP Levenshtein check
+    (_edit_ok_positions) — replaces a per-position JVM levenshtein HOF that
+    cost most of the sf0.1 query."""
+    pat = np.asarray(pattern, dtype=np.int64)
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_d, out_pos = [], []
+            for did, toks, wids in zip(pdf["doc_id"], pdf["tokens"], pdf["wids"]):
+                arr = np.asarray(toks, dtype=np.int64)
+                if len(arr) == 0:
+                    continue
+                p_all = np.arange(len(arr), dtype=np.int64)
+                cand = p_all[np.isin(p_all // span, np.asarray(wids, dtype=np.int64))]
+                pos = _edit_ok_positions(arr, cand, pat, d)
+                out_d.extend([did] * len(pos))
+                out_pos.extend(pos.tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_d, "pos": np.asarray(out_pos, dtype=np.int32)}
+            )
+
+    return joined.select("doc_id", "tokens", "wids").mapInPandas(
+        ver, schema=MATCH_SCHEMA
+    )
+
+
 def kmismatch_pattern_search(
     corpus: DataFrame,
     index: DataFrame,
@@ -252,36 +402,9 @@ def kmismatch_pattern_search(
     cand, cand_small = _vote_candidates_doc(finished, frags, span, 0, need, spark)
     if cand is None:
         return spark.createDataFrame([], MATCH_SCHEMA)
-    # window-test FIRST, Hamming second: the wid test is a cheap int probe,
-    # the Hamming check allocates a zip_with slice per position — with a
-    # frequent fragment most docs are candidates, so running the Hamming
-    # scan over every position (then filtering) costs O(n_tok * m) across
-    # the corpus. Filtering to in-window starts first was measured 3x
-    # faster on the sf0.1 driver query.
-    pat = F.array(*[F.lit(int(x)) for x in pattern])
-
-    def near(i):
-        diffs = F.zip_with(F.slice(F.col("tokens"), i + 1, m), pat, lambda x, y: x != y)
-        return F.size(F.filter(diffs, lambda b: b)) <= F.lit(int(d))
-
-    return (
-        corpus.join(F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("tokens") >= m,
-                    F.filter(
-                        F.filter(
-                            F.sequence(F.lit(0), F.size("tokens") - m),
-                            lambda i: F.array_contains("wids", (i / span).cast("long")),
-                        ),
-                        near,
-                    ),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("pos"),
-        )
-    )
+    joined = corpus.join(
+        F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
+    return _hamming_verify_doc(joined, pattern, d, span)
 
 
 def global_kmismatch_pattern_search(
@@ -342,27 +465,7 @@ def global_kmismatch_pattern_search(
         finished, frags, span, 0, need, spark)
     if survivors is None:
         return spark.createDataFrame([], "gpos long")
-    # window-test-first positions_fn (see the doc-axis comment): the wids /
-    # doc_offset columns are in scope where _global_verify applies it, so
-    # the Hamming check only runs on in-window starts; _global_verify's own
-    # outer filter re-checks membership on the few survivors (harmless)
-    pat = F.array(*[F.lit(int(x)) for x in pattern])
-
-    def positions_fn(c):
-        def in_wid(i):
-            return F.array_contains(
-                "wids", ((F.col("doc_offset") + i) / span).cast("long"))
-
-        def near(i):
-            diffs = F.zip_with(F.slice(c, i + 1, m), pat, lambda x, y: x != y)
-            return F.size(F.filter(diffs, lambda b: b)) <= F.lit(int(d))
-
-        return F.when(
-            F.size(c) >= m,
-            F.filter(F.filter(F.sequence(F.lit(0), F.size(c) - m), in_wid), near),
-        ).otherwise(F.array().cast("array<int>"))
-
-    return _global_verify(stitched, scan_col, survivors, final_rows, span, positions_fn)
+    return _global_hamming_tail(stitched, survivors, final_rows, span, pattern, d)
 
 
 def _edit_shifts(off: int, d: int, span: int) -> range:
@@ -449,23 +552,6 @@ def kedit_pattern_search(
     cand, cand_small = _vote_candidates_doc(finished, frags, span, d, need, spark)
     if cand is None:
         return spark.createDataFrame([], MATCH_SCHEMA)
-    t = F.col("_t")
-    return (
-        corpus.join(F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
-        .select("doc_id", text.alias("_t"), "wids")
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.length("_t") > 0,
-                    F.filter(
-                        F.filter(
-                            F.sequence(F.lit(0), F.length("_t") - 1),
-                            lambda i: F.array_contains("wids", (i / span).cast("long")),
-                        ),
-                        ed_ok(t),
-                    ),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("pos"),
-        )
-    )
+    joined = corpus.join(
+        F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
+    return _edit_verify_doc(joined, pattern, d, span)
