@@ -332,6 +332,47 @@ def q_hbi_kedit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_global_kedit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-edit report() over the ONE concatenated stream: 'data mmerge'
+    within 1 edit — matches may cross document boundaries and the indel
+    may sit exactly on one. Pigeonhole fragments through the global
+    cascade with ±d-widened shifts; batched-DP verification over stitched
+    spans (operators/approx.py:global_kedit_pattern_search)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        global_kedit_pattern_search,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_kedit_pattern_search(
+        gcorp, gidx, CFG.with_(axis="global"), PAT_EDIT, 1,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
+def _global_kedit_oracle(pattern: list[int], d: int) -> str:
+    """Per-doc stitched verification in SQL: each doc's text plus the next
+    m+d-1 stream characters (ONE successor doc suffices: min doc length
+    in the testdata is 44 >> m+d-1), positions restricted to the doc."""
+    pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
+    m = len(pattern)
+    least = ", ".join(
+        f"levenshtein(substr(stitched, CAST(i AS INT), {L}), '{pat}')"
+        for L in range(max(m - d, 0), m + d + 1)
+    )
+    return f"""WITH {CORPUS_CTE},
+docs AS (
+  SELECT doc_id, text, length(text) AS n,
+         COALESCE(SUM(length(text)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o,
+         COALESCE(LEAD(text) OVER (ORDER BY doc_id), '') AS nxt
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
+),
+st AS (SELECT doc_id, o, n, text || substr(nxt, 1, {m + d - 1}) AS stitched FROM docs)
+SELECT CAST(o + i - 1 AS BIGINT) AS gpos
+FROM (SELECT o, stitched, unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM st)
+WHERE LEAST({least}) <= {d}"""
+
+
 def _kedit_oracle(pattern: list[int], d: int) -> str:
     pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
     m = len(pattern)
@@ -2104,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_kmismatch": q_hbi_kmismatch,
         "hbi_global_kmismatch": q_hbi_global_kmismatch,
         "hbi_kedit": q_hbi_kedit,
+        "hbi_global_kedit": q_hbi_global_kedit,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2219,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_kmismatch": _kmismatch_oracle(PAT_MISSING, 1),
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
+        "hbi_global_kedit": _global_kedit_oracle(PAT_EDIT, 1),
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",

@@ -21,8 +21,10 @@ way it prunes exactly:
    by ±d for indels) and keep windows with >= s-d fragment VOTES
    (_vote_candidates_*: the true window gets a vote from every exact
    fragment, so the threshold never loses a match);
-4. verify each candidate start IN-WINDOW-FIRST with a Hamming-counting /
-   Levenshtein scan (JVM zip_with / built-in levenshtein, no Python).
+4. verify each candidate start with one Arrow stage per axis: a numpy
+   sliding-window mismatch count (k-mismatch) or a Wagner-Fischer DP
+   batched ACROSS candidate starts (k-edit), positions filtered to the
+   candidate windows.
 
 Extends the reference's exact ``report()`` surface
 (search/BlockSearch.java:50-155) to approximate matching over the SAME
@@ -47,6 +49,7 @@ __all__ = [
     "kmismatch_pattern_search",
     "global_kmismatch_pattern_search",
     "kedit_pattern_search",
+    "global_kedit_pattern_search",
 ]
 
 
@@ -555,3 +558,131 @@ def kedit_pattern_search(
     joined = corpus.join(
         F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
     return _edit_verify_doc(joined, pattern, d, span)
+
+
+def _global_edit_tail(stitched, survivors, final_rows, span, pattern, d) -> DataFrame:
+    """Global-axis k-edit tail: same candidate-doc assembly as
+    _global_hamming_tail, verification via the batched Wagner-Fischer DP
+    over in-window starts of each candidate doc's stitched span (a match
+    starting at p < n_tok may consume up to m+d tokens of the stitched
+    continuation)."""
+    pat = np.asarray(pattern, dtype=np.int64)
+    m = len(pat)
+    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
+    doc_windows = stitched.select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(wid_df, on="w_id", how="inner")
+        .groupBy("doc_offset")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    cand_docs = stitched.join(
+        F.broadcast(hit_docs) if final_rows is not None else hit_docs,
+        on="doc_offset", how="inner",
+    )
+
+    def ver(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g = []
+            for off, n_tok, st, wids in zip(
+                pdf["doc_offset"], pdf["n_tok"], pdf["stitched"], pdf["wids"]
+            ):
+                n_tok = int(n_tok)
+                arr = np.asarray(st, dtype=np.int64)[: n_tok + m + d - 1]
+                if len(arr) == 0:
+                    continue
+                p_all = np.arange(min(n_tok, len(arr)), dtype=np.int64)
+                g_all = p_all + int(off)
+                sel = np.isin(g_all // span, np.asarray(wids, dtype=np.int64))
+                pos = _edit_ok_positions(arr, p_all[sel], pat, d)
+                out_g.extend((pos + int(off)).tolist())
+            yield pd.DataFrame({"gpos": np.asarray(out_g, dtype=np.int64)})
+
+    return cand_docs.select("doc_offset", "n_tok", "stitched", "wids").mapInPandas(
+        ver, schema="gpos long"
+    )
+
+
+def global_kedit_pattern_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    d: int,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """All global positions (gpos) where SOME substring of the ONE
+    concatenated stream starting there is within LEVENSHTEIN distance
+    ``d`` of ``pattern`` — the stream-axis twin of kedit_pattern_search:
+    approximate matches may cross document boundaries, and an indel may
+    sit exactly on a boundary. Pigeonhole fragments with ±d-widened window
+    shifts through the global cascade; verification is the batched DP over
+    candidate docs' stitched spans (the stitch carries m+d-1 continuation
+    tokens — the longest substring a match can consume)."""
+    if cfg.axis != "global":
+        raise ValueError("global_kedit_pattern_search needs cfg.axis='global'")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if d < 0:
+        raise ValueError("d must be >= 0")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    if m + d > 1:
+        stitched = _stitched_corpus(corpus, m + d, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+    pat = np.asarray(pattern, dtype=np.int64)
+
+    def exact_scan() -> DataFrame:
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_g = []
+                for off, n_tok, st in zip(
+                    pdf["doc_offset"], pdf["n_tok"], pdf["stitched"]
+                ):
+                    n_tok = int(n_tok)
+                    arr = np.asarray(st, dtype=np.int64)[: n_tok + m + d - 1]
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(min(n_tok, len(arr)), dtype=np.int64)
+                    pos = _edit_ok_positions(arr, p_all, pat, d)
+                    out_g.extend((pos + int(off)).tolist())
+                yield pd.DataFrame({"gpos": np.asarray(out_g, dtype=np.int64)})
+
+        return stitched.select("doc_offset", "n_tok", "stitched").mapInPandas(
+            ver, schema="gpos long"
+        )
+
+    if d >= m:
+        return exact_scan()
+    prep = _prepare(pattern, d, cfg, start_level, stats, freq)
+    if prep is None:
+        return exact_scan()
+    frags, specs, firsts, level, span, need = prep
+    spark = corpus.sparkSession
+    finished = _descend_batch(
+        index, specs, firsts, [level] * len(specs), doc_axis=False, spark=spark,
+        stats_out=stats_out,
+    )
+    survivors, final_rows = _vote_candidates_global(
+        finished, frags, span, d, need, spark)
+    if survivors is None:
+        return spark.createDataFrame([], "gpos long")
+    return _global_edit_tail(stitched, survivors, final_rows, span, pattern, d)

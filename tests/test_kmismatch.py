@@ -278,3 +278,53 @@ def test_kedit_absent_needle_empty(spark, built_small):
     sub, idx = built_small
     pat = [60000 + i for i in range(12)]
     assert kedit_pattern_search(sub, idx, CFG, pat, 1).count() == 0
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_global_kedit_matches_stream_eval(spark, built_global, d):
+    """Global k-edit vs a single-array evaluation of the same DP kernel
+    over the raw concatenated stream: the distributed pieces under test
+    are the stitching, the window candidates/votes and the per-doc
+    assembly (the kernel itself is differentially tested against a pure
+    python Levenshtein in test_kedit_matches_brute)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        _edit_ok_positions,
+        global_kedit_pattern_search,
+    )
+
+    corp, idx, stream = built_global
+    start = 4000
+    base = [int(t) for t in stream[start : start + 12]]
+    pat = base[:3] + base[4:] + [base[-1]]  # deletion at 3, pad length
+    pat = _mutate(pat, [8]) if d >= 2 else pat
+    got = {r["gpos"]
+           for r in global_kedit_pattern_search(corp, idx, CFG_G, pat, d).collect()}
+    pa = np.asarray(pat, dtype=np.int64)
+    want = set(
+        int(p) for p in _edit_ok_positions(
+            stream, np.arange(len(stream), dtype=np.int64), pa, d)
+    )
+    assert got == want and len(want) > 0
+
+
+def test_global_kedit_cross_doc_indel(spark, built_global):
+    """An edited needle read ACROSS a doc boundary: the deletion sits
+    before the boundary, so the true match spans two docs."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        _edit_ok_positions,
+        global_kedit_pattern_search,
+    )
+
+    corp, idx, stream = built_global
+    offs = sorted(r["doc_offset"] for r in corp.select("doc_offset").collect())
+    start = int(offs[3] - 7)
+    base = [int(t) for t in stream[start : start + 14]]
+    pat = base[:4] + base[5:]  # delete one token before the boundary
+    got = {r["gpos"]
+           for r in global_kedit_pattern_search(corp, idx, CFG_G, pat, 1).collect()}
+    pa = np.asarray(pat, dtype=np.int64)
+    want = set(
+        int(p) for p in _edit_ok_positions(
+            stream, np.arange(len(stream), dtype=np.int64), pa, 1)
+    )
+    assert got == want and start in got
