@@ -386,6 +386,34 @@ FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(length(text) AS BIGINT
 WHERE LEAST({least}) <= {d}"""
 
 
+# dictionary workload: a corrupted needle (Hamming), a doubled-letter typo
+# (edit), and a rare needle with two mismatches — one cascade for all
+PAT_RARE2 = [t + (1 if i in (2, 9) else 0) for i, t in enumerate(PAT_RARE)]
+APPROX_BATCH = [
+    (PAT_MISSING, 1, "hamming"),
+    (PAT_EDIT, 1, "edit"),
+    (PAT_RARE2, 2, "hamming"),
+]
+
+
+def q_hbi_approx_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched approximate search: the whole misspelled-dictionary workload
+    (mixed Hamming/Levenshtein tolerances) through ONE shared cascade —
+    each needle's fragments enter at their planned levels, one Arrow stage
+    verifies every (candidate doc, needle) pair with the kind-dispatched
+    kernel (operators/approx.py:approx_search_batch; per-needle answers
+    equal the single searches, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        approx_search_batch,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return approx_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, APPROX_BATCH,
+        start_level="auto", freq=freq, stats=stats,
+    )
+
+
 def _kmismatch_oracle(pattern: list[int], d: int) -> str:
     m = len(pattern)
     return f"""WITH {CORPUS_CTE}
@@ -1636,6 +1664,19 @@ def q_global_range_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gcs_index(spark, sf_dir), RANGE_QS_GLOBAL, CFG.deepest)
 
 
+def q_global_range_signed_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBIASED probe-token frequencies over STREAM leaf-window ranges
+    through the global signed count-sketch index — global twin of
+    range_signed_freq (sparse-exact on this corpus, oracle-checked)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_signed_freq_estimates,
+    )
+
+    return global_range_signed_freq_estimates(
+        _gcs_index(spark, sf_dir), RANGE_QS_GLOBAL, PROBE_TOKENS, CFG.deepest
+    )
+
+
 def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token counts over STREAM leaf-window ranges [a, b) from the
     global-axis dyadic CMS index: O(log) covering nodes per range, document
@@ -2146,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_kmismatch": q_hbi_global_kmismatch,
         "hbi_kedit": q_hbi_kedit,
         "hbi_global_kedit": q_hbi_global_kedit,
+        "hbi_approx_batch": q_hbi_approx_batch,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2200,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_distinct_sample": q_range_distinct_sample,
         "global_range_distinct_sample": q_global_range_distinct_sample,
         "stream_sketch_totals": q_stream_sketch_totals,
+        "global_range_signed_freq": q_global_range_signed_freq,
         "global_range_totals": q_global_range_totals,
         "global_range_freq": q_global_range_freq,
         "global_range_quantiles": q_global_range_quantiles,
@@ -2262,6 +2305,14 @@ def oracle_sql() -> dict[str, str]:
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
         "hbi_global_kedit": _global_kedit_oracle(PAT_EDIT, 1),
+        "hbi_approx_batch": f"""SELECT CAST(0 AS INTEGER) AS query_id, doc_id, pos
+FROM ({_kmismatch_oracle(PAT_MISSING, 1)})
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS query_id, doc_id, pos
+FROM ({_kedit_oracle(PAT_EDIT, 1)})
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS query_id, doc_id, pos
+FROM ({_kmismatch_oracle(PAT_RARE2, 2)})""",
         "window_membership": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT DISTINCT doc_id, CAST((i - 1) // {CFG.leaf_span} AS BIGINT) AS w_id
 FROM pos WHERE tokens[i] = {ord("q")}""",
@@ -2851,6 +2902,29 @@ w AS (
 SELECT CAST(level AS INT) AS level, CAST(w_id AS BIGINT) AS w_id,
        CAST(LEAST(span, n - w_id * span) AS BIGINT) AS n_window
 FROM w""",
+        "global_range_signed_freq": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+pt(token) AS (VALUES {", ".join(f"({t})" for t in PROBE_TOKENS)}),
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+rng AS (SELECT a, b FROM rq, tot
+        WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0),
+cnts AS (SELECT a, b, t, COUNT(*) AS c FROM flat, rq
+         WHERE g >= a * {CFG.leaf_span} AND g < b * {CFG.leaf_span}
+         GROUP BY a, b, t)
+SELECT CAST(r.a AS BIGINT) AS a, CAST(r.b AS BIGINT) AS b,
+       CAST(p.token AS BIGINT) AS token,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS est_count
+FROM rng r CROSS JOIN pt p
+LEFT JOIN cnts c ON c.a = r.a AND c.b = r.b AND c.t = p.token""",
         "global_range_totals": f"""WITH {CORPUS_CTE},
 tot AS (SELECT SUM(n_tok) AS n FROM corpus),
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)})

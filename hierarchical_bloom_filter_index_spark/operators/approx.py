@@ -686,3 +686,183 @@ def global_kedit_pattern_search(
     if survivors is None:
         return spark.createDataFrame([], "gpos long")
     return _global_edit_tail(stitched, survivors, final_rows, span, pattern, d)
+
+
+APPROX_BATCH_SCHEMA = "query_id int, doc_id string, pos int"
+
+
+def approx_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """A whole workload of approximate needles answered through ONE shared
+    cascade — the dictionary/spell-check design point: ``queries`` is a
+    list of ``(pattern, d)`` or ``(pattern, d, kind)`` with kind
+    'hamming' (substitutions only) or 'edit' (Levenshtein). Every query's
+    fragments enter one batched descent (a level is scanned once for the
+    whole workload), votes are counted per query, and ONE Arrow stage
+    verifies all (candidate doc, query) pairs with the kind-dispatched
+    kernel. Per-query answers equal the single-query searches
+    (kmismatch_pattern_search / kedit_pattern_search); queries the cascade
+    cannot prune fall back to an exact scan INSIDE the same output.
+    Returns (query_id, doc_id, pos)."""
+    if cfg.axis != "doc":
+        raise NotImplementedError("approx_search_batch routes on the doc axis")
+    parsed = []
+    for q in queries:
+        if len(q) == 2:
+            pat, d = q
+            kind = "hamming"
+        else:
+            pat, d, kind = q
+        if kind not in ("hamming", "edit"):
+            raise ValueError(f"unknown approx kind {kind!r} (hamming|edit)")
+        pat = [int(t) for t in pat]
+        if not pat:
+            raise ValueError("empty pattern in batch")
+        if d < 0:
+            raise ValueError("d must be >= 0")
+        parsed.append((pat, int(d), kind))
+    spark = corpus.sparkSession
+
+    brute_ids = [qi for qi, (pat, d, _k) in enumerate(parsed) if d >= len(pat)]
+    plan_ids = [qi for qi in range(len(parsed)) if qi not in brute_ids]
+    frag_lists: dict[int, list] = {}
+    flat_patterns, owner = [], []  # owner[i] = query index of flat fragment i
+    for qi in plan_ids:
+        pat, d, _k = parsed[qi]
+        s = _n_fragments(len(pat), d, cfg)
+        frag_lists[qi] = _fragments(pat, s - 1)
+        for _off, frag in frag_lists[qi]:
+            flat_patterns.append(frag)
+            owner.append(qi)
+    cand_df = None
+    if flat_patterns:
+        cascade, exact = _plan_batch(
+            flat_patterns, cfg, start_level, stats, freq, None, None, False
+        )
+        bad = {owner[i] for i in exact}
+        brute_ids.extend(sorted(bad))
+        cascade = [c for c in cascade if owner[c[0]] not in bad]
+        if cascade:
+            level = min(deepest for _, _, _, deepest in cascade)
+            span = cfg.span(level)
+            specs = [spec for _, spec, _, _ in cascade]
+            firsts = [min(first, level) for _, _, first, _ in cascade]
+            flat_ids = [c[0] for c in cascade]
+            finished = _descend_batch(
+                index, specs, firsts, [level] * len(specs), doc_axis=True,
+                spark=spark, stats_out=stats_out,
+            )
+            # regroup the flat descent results per owning query and vote
+            parts = []
+            for qi in plan_ids:
+                if qi in bad:
+                    continue
+                pat, d, kind = parsed[qi]
+                drift = d if kind == "edit" else 0
+                need = len(frag_lists[qi]) - d
+                sub = {
+                    j: finished[i]
+                    for j, i in enumerate(
+                        k for k, fid in enumerate(flat_ids) if owner[fid] == qi
+                    )
+                }
+                cand, _small = _vote_candidates_doc(
+                    sub, frag_lists[qi], span, drift, need, spark)
+                if cand is None:
+                    continue
+                parts.append(cand.select(F.lit(qi).alias("query_id"), "doc_id", "wids"))
+            if parts:
+                cand_df = parts[0]
+                for p_df in parts[1:]:
+                    cand_df = cand_df.unionByName(p_df)
+
+    pats = [np.asarray(p, dtype=np.int64) for p, _d, _k in parsed]
+    ds = [d for _p, d, _k in parsed]
+    kinds = [k for _p, _d, k in parsed]
+
+    def _hits(arr: np.ndarray, cand: np.ndarray, qi: int) -> np.ndarray:
+        pat, d = pats[qi], ds[qi]
+        if kinds[qi] == "edit":
+            return _edit_ok_positions(arr, cand, pat, d)
+        m = len(pat)
+        cand = cand[cand <= len(arr) - m]
+        if len(cand) == 0:
+            return cand
+        sw = np.lib.stride_tricks.sliding_window_view(arr, m)[cand]
+        return cand[(sw != pat).sum(axis=1) <= d]
+
+    out_parts = []
+    if cand_df is not None:
+        joined = corpus.join(cand_df, on="doc_id", how="inner")
+
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_q, out_d, out_pos = [], [], []
+                for qi, did, toks, wids in zip(
+                    pdf["query_id"], pdf["doc_id"], pdf["tokens"], pdf["wids"]
+                ):
+                    arr = np.asarray(toks, dtype=np.int64)
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(len(arr), dtype=np.int64)
+                    sel = p_all[np.isin(p_all // span, np.asarray(wids, dtype=np.int64))]
+                    pos = _hits(arr, sel, int(qi))
+                    out_q.extend([int(qi)] * len(pos))
+                    out_d.extend([did] * len(pos))
+                    out_pos.extend(pos.tolist())
+                yield pd.DataFrame({
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "doc_id": out_d,
+                    "pos": np.asarray(out_pos, dtype=np.int32),
+                })
+
+        out_parts.append(
+            joined.select("query_id", "doc_id", "tokens", "wids").mapInPandas(
+                ver, schema=APPROX_BATCH_SCHEMA
+            )
+        )
+    if brute_ids:
+        bset = sorted(set(brute_ids))
+
+        def brute_ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_q, out_d, out_pos = [], [], []
+                for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                    arr = np.asarray(toks, dtype=np.int64)
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(len(arr), dtype=np.int64)
+                    for qi in bset:
+                        pos = _hits(arr, p_all, qi)
+                        out_q.extend([qi] * len(pos))
+                        out_d.extend([did] * len(pos))
+                        out_pos.extend(pos.tolist())
+                yield pd.DataFrame({
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "doc_id": out_d,
+                    "pos": np.asarray(out_pos, dtype=np.int32),
+                })
+
+        out_parts.append(
+            corpus.select("doc_id", "tokens").mapInPandas(
+                brute_ver, schema=APPROX_BATCH_SCHEMA
+            )
+        )
+    if not out_parts:
+        return spark.createDataFrame([], APPROX_BATCH_SCHEMA)
+    out = out_parts[0]
+    for p_df in out_parts[1:]:
+        out = out.unionByName(p_df)
+    return out

@@ -1206,6 +1206,19 @@ def global_range_f2_estimates(cs_index: DataFrame, ranges, deepest: int) -> Data
     )
 
 
+def global_range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens,
+                                       deepest: int) -> DataFrame:
+    """(a, b, token, est_count) per STREAM leaf-window range — global twin
+    of range_signed_freq_estimates (unbiased; sparse-exact ranges exact)."""
+    probes = np.asarray(sorted(int(t) for t in probe_tokens), dtype=np.int64)
+    return _joined_range_groups(
+        cs_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_range_freq_fn(_GLOBAL_KEYS, probes),
+        schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count long",
+    )
+
+
 def global_mg_window_totals(mg_index: DataFrame) -> DataFrame:
     """(level, w_id, n_window) — EXACT stream-window item counts from the
     global MG index (merged partials add their exact counts)."""

@@ -328,3 +328,34 @@ def test_global_kedit_cross_doc_indel(spark, built_global):
             stream, np.arange(len(stream), dtype=np.int64), pa, 1)
     )
     assert got == want and start in got
+
+
+def test_approx_batch_equals_singles(spark, built):
+    """A mixed Hamming/edit workload through ONE cascade returns exactly
+    the per-query single-search answers — including an unprunable d>=m
+    entry and an absent needle."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        approx_search_batch,
+        kedit_pattern_search,
+    )
+
+    corp, idx = built
+    base = _needle(corp)
+    workload = [
+        (_mutate(base, [0]), 1, "hamming"),
+        (_mutate(base, [0, 5]), 2, "hamming"),
+        (base[:4] + base[5:], 1, "edit"),  # one deletion vs the needle
+        ([90001 + i for i in range(12)], 1, "hamming"),
+        ([1, 2, 3], 3, "hamming"),
+    ]
+    got: dict[int, set] = {qi: set() for qi in range(len(workload))}
+    for r in approx_search_batch(corp, idx, CFG, workload).collect():
+        got[r["query_id"]].add((r["doc_id"], r["pos"]))
+    for qi, (pat, d, kind) in enumerate(workload):
+        if kind == "edit":
+            single = kedit_pattern_search(corp, idx, CFG, pat, d)
+        else:
+            single = kmismatch_pattern_search(corp, idx, CFG, pat, d)
+        want = {(r["doc_id"], r["pos"]) for r in single.collect()}
+        assert got[qi] == want, f"query {qi} mismatch"
+    assert got[0] and got[2] and not got[3]
