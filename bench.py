@@ -113,6 +113,8 @@ def main() -> None:
         # approximate report(): pigeonhole fragments, Hamming verifier
         "hbi_kmismatch",
         "hbi_kedit",
+        # whole misspelled-dictionary workload, one cascade
+        "hbi_approx_batch",
         "window_membership",
         # whole token workload in ONE leaf scan (doc axis + one-stream axis)
         "window_membership_batch",

@@ -74,6 +74,8 @@ SWEEP = [
     "hbi_global_chain",
     "hbi_kmismatch",
     "hbi_kedit",
+    "hbi_global_kedit",
+    "hbi_approx_batch",
     "range_f2",
     "collocations_pmi",
 ]
