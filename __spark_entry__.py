@@ -414,6 +414,26 @@ def q_hbi_approx_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_global_approx_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched approximate search over the ONE concatenated stream: mixed
+    Hamming/edit needles share one global cascade; candidate docs are
+    assembled once for the whole workload and one Arrow stage verifies
+    every (doc, needle) over stitched spans
+    (operators/approx.py:global_approx_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        global_approx_search_batch,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    # workload: PAT_GLOBAL within 1 mismatch + the PAT_EDIT typo within 1 edit
+    return global_approx_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"),
+        [(PAT_GLOBAL, 1, "hamming"), (PAT_EDIT, 1, "edit")],
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
 def _kmismatch_oracle(pattern: list[int], d: int) -> str:
     m = len(pattern)
     return f"""WITH {CORPUS_CTE}
@@ -2188,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_kedit": q_hbi_kedit,
         "hbi_global_kedit": q_hbi_global_kedit,
         "hbi_approx_batch": q_hbi_approx_batch,
+        "hbi_global_approx_batch": q_hbi_global_approx_batch,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2305,6 +2326,11 @@ def oracle_sql() -> dict[str, str]:
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
         "hbi_global_kedit": _global_kedit_oracle(PAT_EDIT, 1),
+        "hbi_global_approx_batch": f"""SELECT CAST(0 AS INTEGER) AS query_id, gpos
+FROM ({_global_kmismatch_oracle(PAT_GLOBAL, 1)})
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS query_id, gpos
+FROM ({_global_kedit_oracle(PAT_EDIT, 1)})""",
         "hbi_approx_batch": f"""SELECT CAST(0 AS INTEGER) AS query_id, doc_id, pos
 FROM ({_kmismatch_oracle(PAT_MISSING, 1)})
 UNION ALL

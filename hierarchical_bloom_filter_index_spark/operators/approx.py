@@ -691,6 +691,21 @@ def global_kedit_pattern_search(
 APPROX_BATCH_SCHEMA = "query_id int, doc_id string, pos int"
 
 
+def _hits_kernel(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: int,
+                 kind: str) -> np.ndarray:
+    """Candidate starts that verify under the query's kernel: sliding
+    mismatch count ('hamming', full windows only) or the batched DP
+    ('edit', any start)."""
+    if kind == "edit":
+        return _edit_ok_positions(arr, cand, pat, d)
+    m = len(pat)
+    cand = cand[cand <= len(arr) - m]
+    if len(cand) == 0:
+        return cand
+    sw = np.lib.stride_tricks.sliding_window_view(arr, m)[cand]
+    return cand[(sw != pat).sum(axis=1) <= d]
+
+
 def approx_search_batch(
     corpus: DataFrame,
     index: DataFrame,
@@ -789,15 +804,7 @@ def approx_search_batch(
     kinds = [k for _p, _d, k in parsed]
 
     def _hits(arr: np.ndarray, cand: np.ndarray, qi: int) -> np.ndarray:
-        pat, d = pats[qi], ds[qi]
-        if kinds[qi] == "edit":
-            return _edit_ok_positions(arr, cand, pat, d)
-        m = len(pat)
-        cand = cand[cand <= len(arr) - m]
-        if len(cand) == 0:
-            return cand
-        sw = np.lib.stride_tricks.sliding_window_view(arr, m)[cand]
-        return cand[(sw != pat).sum(axis=1) <= d]
+        return _hits_kernel(arr, cand, pats[qi], ds[qi], kinds[qi])
 
     out_parts = []
     if cand_df is not None:
@@ -862,6 +869,205 @@ def approx_search_batch(
         )
     if not out_parts:
         return spark.createDataFrame([], APPROX_BATCH_SCHEMA)
+    out = out_parts[0]
+    for p_df in out_parts[1:]:
+        out = out.unionByName(p_df)
+    return out
+
+
+GLOBAL_APPROX_BATCH_SCHEMA = "query_id int, gpos long"
+
+
+def global_approx_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Global-axis twin of approx_search_batch: the whole noisy-needle
+    workload over the ONE concatenated stream through one shared cascade —
+    matches may cross document boundaries. Candidate docs are assembled
+    ONCE for the union of all queries' surviving windows ((doc_offset,
+    query_id, wids) pairs only in the shuffle), then a single Arrow stage
+    verifies each (candidate doc, query) with the kind-dispatched kernel
+    over the stitched span. Per-query answers equal the single global
+    searches. Returns (query_id, gpos)."""
+    if cfg.axis != "global":
+        raise ValueError("global_approx_search_batch needs cfg.axis='global'")
+    parsed = []
+    for q in queries:
+        if len(q) == 2:
+            pat, d = q
+            kind = "hamming"
+        else:
+            pat, d, kind = q
+        if kind not in ("hamming", "edit"):
+            raise ValueError(f"unknown approx kind {kind!r} (hamming|edit)")
+        pat = [int(t) for t in pat]
+        if not pat:
+            raise ValueError("empty pattern in batch")
+        if d < 0:
+            raise ValueError("d must be >= 0")
+        parsed.append((pat, int(d), kind))
+    spark = corpus.sparkSession
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    # one stitched corpus serves every query: the longest tail any query
+    # can consume (m+d-1 for edit, m-1 for hamming — m+d-1 covers both)
+    tail = max(len(p) + (d if k == "edit" else 0) for p, d, k in parsed)
+    if tail > 1:
+        stitched = _stitched_corpus(corpus, tail, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+    pats = [np.asarray(p, dtype=np.int64) for p, _d, _k in parsed]
+    ds = [d for _p, d, _k in parsed]
+    kinds = [k for _p, _d, k in parsed]
+
+    brute_ids = [qi for qi, (pat, d, _k) in enumerate(parsed) if d >= len(pat)]
+    plan_ids = [qi for qi in range(len(parsed)) if qi not in brute_ids]
+    frag_lists: dict[int, list] = {}
+    flat_patterns, owner = [], []
+    for qi in plan_ids:
+        pat, d, _k = parsed[qi]
+        s = _n_fragments(len(pat), d, cfg)
+        frag_lists[qi] = _fragments(pat, s - 1)
+        for _off, frag in frag_lists[qi]:
+            flat_patterns.append(frag)
+            owner.append(qi)
+    surv_df = None
+    span = cfg.leaf_span
+    if flat_patterns:
+        cascade, exact = _plan_batch(
+            flat_patterns, cfg, start_level, stats, freq, None, None, False
+        )
+        bad = {owner[i] for i in exact}
+        brute_ids.extend(sorted(bad))
+        cascade = [c for c in cascade if owner[c[0]] not in bad]
+        if cascade:
+            level = min(deepest for _, _, _, deepest in cascade)
+            span = cfg.span(level)
+            specs = [spec for _, spec, _, _ in cascade]
+            firsts = [min(first, level) for _, _, first, _ in cascade]
+            flat_ids = [c[0] for c in cascade]
+            finished = _descend_batch(
+                index, specs, firsts, [level] * len(specs), doc_axis=False,
+                spark=spark, stats_out=stats_out,
+            )
+            parts = []
+            for qi in plan_ids:
+                if qi in bad:
+                    continue
+                pat, d, kind = parsed[qi]
+                drift = d if kind == "edit" else 0
+                need = len(frag_lists[qi]) - d
+                sub = {
+                    j: finished[i]
+                    for j, i in enumerate(
+                        k for k, fid in enumerate(flat_ids) if owner[fid] == qi
+                    )
+                }
+                surv, _fr = _vote_candidates_global(
+                    sub, frag_lists[qi], span, drift, need, spark)
+                if surv is None:
+                    continue
+                parts.append(surv.select(F.lit(qi).alias("query_id"), "w_id"))
+            if parts:
+                surv_df = parts[0]
+                for p_df in parts[1:]:
+                    surv_df = surv_df.unionByName(p_df)
+
+    out_parts = []
+    if surv_df is not None:
+        doc_windows = stitched.select(
+            "doc_offset", "n_tok",
+            F.explode(
+                F.sequence(
+                    (F.col("doc_offset") / span).cast("long"),
+                    ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+                )
+            ).alias("w_id"),
+        )
+        hit_docs = (
+            doc_windows.join(surv_df, on="w_id", how="inner")
+            .groupBy("doc_offset", "query_id")
+            .agg(F.collect_set("w_id").alias("wids"))
+        )
+        cand_docs = stitched.join(hit_docs, on="doc_offset", how="inner")
+
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_q, out_g = [], []
+                for qi, off, n_tok, st, wids in zip(
+                    pdf["query_id"], pdf["doc_offset"], pdf["n_tok"],
+                    pdf["stitched"], pdf["wids"],
+                ):
+                    qi, off, n_tok = int(qi), int(off), int(n_tok)
+                    pat, d, kind = pats[qi], ds[qi], kinds[qi]
+                    m = len(pat)
+                    ext = m + d - 1 if kind == "edit" else m - 1
+                    arr = np.asarray(st, dtype=np.int64)[: n_tok + ext]
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(min(n_tok, len(arr)), dtype=np.int64)
+                    sel = p_all[np.isin(
+                        (p_all + off) // span, np.asarray(wids, dtype=np.int64))]
+                    pos = _hits_kernel(arr, sel, pat, d, kind)
+                    out_q.extend([qi] * len(pos))
+                    out_g.extend((pos + off).tolist())
+                yield pd.DataFrame({
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "gpos": np.asarray(out_g, dtype=np.int64),
+                })
+
+        out_parts.append(
+            cand_docs.select(
+                "query_id", "doc_offset", "n_tok", "stitched", "wids"
+            ).mapInPandas(ver, schema=GLOBAL_APPROX_BATCH_SCHEMA)
+        )
+    if brute_ids:
+        bset = sorted(set(brute_ids))
+
+        def brute_ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_q, out_g = [], []
+                for off, n_tok, st in zip(
+                    pdf["doc_offset"], pdf["n_tok"], pdf["stitched"]
+                ):
+                    off, n_tok = int(off), int(n_tok)
+                    base_arr = np.asarray(st, dtype=np.int64)
+                    for qi in bset:
+                        pat, d, kind = pats[qi], ds[qi], kinds[qi]
+                        m = len(pat)
+                        ext = m + d - 1 if kind == "edit" else m - 1
+                        arr = base_arr[: n_tok + ext]
+                        if len(arr) == 0:
+                            continue
+                        p_all = np.arange(min(n_tok, len(arr)), dtype=np.int64)
+                        pos = _hits_kernel(arr, p_all, pat, d, kind)
+                        out_q.extend([qi] * len(pos))
+                        out_g.extend((pos + off).tolist())
+                yield pd.DataFrame({
+                    "query_id": np.asarray(out_q, dtype=np.int32),
+                    "gpos": np.asarray(out_g, dtype=np.int64),
+                })
+
+        out_parts.append(
+            stitched.select("doc_offset", "n_tok", "stitched").mapInPandas(
+                brute_ver, schema=GLOBAL_APPROX_BATCH_SCHEMA
+            )
+        )
+    if not out_parts:
+        return spark.createDataFrame([], GLOBAL_APPROX_BATCH_SCHEMA)
     out = out_parts[0]
     for p_df in out_parts[1:]:
         out = out.unionByName(p_df)

@@ -359,3 +359,34 @@ def test_approx_batch_equals_singles(spark, built):
         want = {(r["doc_id"], r["pos"]) for r in single.collect()}
         assert got[qi] == want, f"query {qi} mismatch"
     assert got[0] and got[2] and not got[3]
+
+
+def test_global_approx_batch_equals_singles(spark, built_global):
+    """Mixed global workload through one cascade == per-query global
+    searches, including a cross-doc needle and an absent one."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        global_approx_search_batch,
+        global_kedit_pattern_search,
+    )
+
+    corp, idx, stream = built_global
+    base = [int(t) for t in stream[5000:5012]]
+    offs = sorted(r["doc_offset"] for r in corp.select("doc_offset").collect())
+    cross = [int(t) for t in stream[int(offs[2]) - 6 : int(offs[2]) + 6]]
+    workload = [
+        (_mutate(base, [0]), 1, "hamming"),
+        (base[:4] + base[5:], 1, "edit"),
+        (_mutate(cross, [3, 8]), 2, "hamming"),
+        ([90001 + i for i in range(12)], 1, "hamming"),
+    ]
+    got: dict[int, set] = {qi: set() for qi in range(len(workload))}
+    for r in global_approx_search_batch(corp, idx, CFG_G, workload).collect():
+        got[r["query_id"]].add(r["gpos"])
+    for qi, (pat, d, kind) in enumerate(workload):
+        if kind == "edit":
+            single = global_kedit_pattern_search(corp, idx, CFG_G, pat, d)
+        else:
+            single = global_kmismatch_pattern_search(corp, idx, CFG_G, pat, d)
+        want = {r["gpos"] for r in single.collect()}
+        assert got[qi] == want, f"query {qi} mismatch"
+    assert got[0] and got[1] and got[2] and not got[3]
