@@ -76,6 +76,7 @@ SWEEP = [
     "hbi_kedit",
     "hbi_global_kedit",
     "hbi_approx_batch",
+    "hbi_global_approx_batch",
     "range_f2",
     "collocations_pmi",
 ]
