@@ -273,6 +273,48 @@ def q_global_pattern_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# regex-lite char classes: d[ao]ta m[ae]rge — matches 'data merge' and
+# its class variants; classes verified, literals probed
+PAT_CHARCLASS = [ord("d"), [ord("a"), ord("o")], ord("t"), ord("a"), ord(" "),
+                 ord("m"), [ord("e"), ord("a")], ord("r"), ord("g"), ord("e")]
+
+
+def q_pattern_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """report() for CHARACTER-CLASS patterns (regex-lite [abc]): the
+    cascade probes the literal positions (sound weakening — a class
+    position only requires SOME member in the window, which a conjunctive
+    key probe cannot express), the verifier enforces classes exactly
+    (route.wildcard_pattern_search generalized)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        wildcard_pattern_search,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return wildcard_pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_CHARCLASS,
+        start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def _charclass_oracle(pattern: list) -> str:
+    m = len(pattern)
+    conds = []
+    for j, v in enumerate(pattern):
+        if v is None:
+            continue
+        if isinstance(v, (list, tuple, set)):
+            conds.append(
+                f"tokens[i + {j}] IN ({', '.join(str(int(x)) for x in sorted(v))})")
+        else:
+            conds.append(f"tokens[i + {j}] = {int(v)}")
+    return f"""WITH {CORPUS_CTE}
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE {" AND ".join(conds)}"""
+
+
 def q_hbi_kmismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE report(): the misspelled needle PAT_MISSING ('data merge'
     with one corrupted character) searched with d=1 allowed mismatches —
@@ -2203,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
         "hbi_global_pattern_wildcard": q_global_pattern_wildcard,
+        "hbi_pattern_charclass": q_pattern_charclass,
         "hbi_kmismatch": q_hbi_kmismatch,
         "hbi_global_kmismatch": q_hbi_global_kmismatch,
         "hbi_kedit": q_hbi_kedit,
@@ -2322,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_pattern_rare": _pattern_oracle(PAT_RARE),
         "hbi_pattern_wildcard": _wildcard_oracle(PAT_WILDCARD),
         "hbi_global_pattern_wildcard": _global_wildcard_oracle(PAT_WILDCARD),
+        "hbi_pattern_charclass": _charclass_oracle(PAT_CHARCLASS),
         "hbi_kmismatch": _kmismatch_oracle(PAT_MISSING, 1),
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),

@@ -88,18 +88,29 @@ def hamming_positions(tokens_col, pattern: list[int], d: int) -> Column:
 
 def wildcard_subsequence_positions(tokens_col, pattern: list) -> Column:
     """Exact 0-based start positions of a pattern with WILDCARDS (``None``
-    entries match any single token) inside an int array — the verification
-    primitive of wildcard_pattern_search and its brute-force oracle. Pure
-    SQL higher-order functions: per candidate start, a conjunction over the
-    LITERAL offsets only (wildcard offsets impose no condition)."""
+    entries match any single token) and CHARACTER CLASSES (a list/tuple/set
+    entry matches any of its members — regex-lite ``[abc]``) inside an int
+    array — the verification primitive of wildcard_pattern_search and its
+    brute-force oracle. Pure SQL higher-order functions: per candidate
+    start, a conjunction of equality (literal) / isin (class) conditions;
+    wildcard offsets impose no condition."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     m = len(pattern)
-    lits = [(j, int(v)) for j, v in enumerate(pattern) if v is not None]
+    lits, classes = [], []
+    for j, v in enumerate(pattern):
+        if v is None:
+            continue
+        if isinstance(v, (list, tuple, set, frozenset)):
+            classes.append((j, sorted(int(x) for x in v)))
+        else:
+            lits.append((j, int(v)))
 
     def matches(i):
         cond = F.lit(True)
         for j, v in lits:
             cond = cond & (F.element_at(t, (i + j + 1).cast("int")) == F.lit(v))
+        for j, vs in classes:
+            cond = cond & F.element_at(t, (i + j + 1).cast("int")).isin(vs)
         return cond
 
     # guard: sequence(0, negative) would generate a DESCENDING sequence

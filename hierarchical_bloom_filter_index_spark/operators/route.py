@@ -863,7 +863,12 @@ def wildcard_pattern_search(
     m = len(pattern)
     if m == 0:
         raise ValueError("empty pattern")
-    literals = [int(v) for v in pattern if v is not None]
+    # probe LITERAL positions only; class positions (list/set entries,
+    # regex-lite [abc]) are a further sound weakening — the verifier
+    # enforces them, the probe cannot (a window need only contain SOME
+    # member, which a conjunctive key test cannot express)
+    literals = [int(v) for v in pattern
+                if v is not None and not isinstance(v, (list, tuple, set, frozenset))]
 
     def brute() -> DataFrame:
         return corpus.select(
@@ -872,11 +877,14 @@ def wildcard_pattern_search(
         )
 
     if not literals or m > cfg.tree_span:
-        # all-wildcard (every length-m window matches — nothing to prune) or
-        # a match can span >2 windows at every level: exact scan
+        # no literal (nothing to probe) or a match can span >2 windows at
+        # every level: exact scan
         return brute()
     keys = np.unique(np.asarray(literals, dtype=np.int64)).astype(np.uint64)
-    anchor = int(pattern[0]) if pattern[0] is not None else None
+    anchor = (int(pattern[0])
+              if pattern[0] is not None
+              and not isinstance(pattern[0], (list, tuple, set, frozenset))
+              else None)
     deepest = deepest_usable_level(cfg, m)
     first = _plan_start_level(
         start_level, stats, freq, None, None, keys, m, literals, deepest,
@@ -953,11 +961,15 @@ def global_wildcard_pattern_search(
             .select((F.col("doc_offset") + F.col("p")).alias("gpos"))
         )
 
-    literals = [int(v) for v in pattern if v is not None]
+    literals = [int(v) for v in pattern
+                if v is not None and not isinstance(v, (list, tuple, set, frozenset))]
     if not literals or m > cfg.tree_span:
         return exact_scan()
     keys = np.unique(np.asarray(literals, dtype=np.int64)).astype(np.uint64)
-    anchor = int(pattern[0]) if pattern[0] is not None else None
+    anchor = (int(pattern[0])
+              if pattern[0] is not None
+              and not isinstance(pattern[0], (list, tuple, set, frozenset))
+              else None)
     deepest = deepest_usable_level(cfg, m)
     first = _plan_start_level(
         start_level, stats, freq, None, None, keys, m, literals, deepest,

@@ -270,3 +270,45 @@ def test_range_membership_matches_brute_force(spark, small_corpus, small_index):
             if tok in r["tokens"][a * CFG.leaf_span : b * CFG.leaf_span]
         }
         assert got == want, tok
+
+
+def test_charclass_pattern_search_matches_python(spark, small_corpus, small_index):
+    """Regex-lite CHARACTER CLASSES: a list/set entry matches any member.
+    Positions equal an independent python evaluation; classes are enforced
+    by the verifier only (probe uses the literal positions — weakening)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        wildcard_pattern_search,
+    )
+
+    corp, idx, cfg = small_corpus, small_index, CFG
+    docs = {r["doc_id"]: list(r["tokens"]) for r in corp.collect()}
+    toks = next(iter(docs.values()))
+    pats = [
+        [toks[0], [toks[1], toks[1] + 1], toks[2]],           # class mid
+        [[toks[0], 99999], None, toks[2]],                    # class head
+        [toks[0], (toks[1],), [99998, 99999]],                # impossible class
+    ]
+
+    def py_eval(ts, pat):
+        out = []
+        for i in range(len(ts) - len(pat) + 1):
+            ok = True
+            for j, v in enumerate(pat):
+                if v is None:
+                    continue
+                if isinstance(v, (list, tuple, set)):
+                    ok = ts[i + j] in v
+                else:
+                    ok = ts[i + j] == v
+                if not ok:
+                    break
+            if ok:
+                out.append(i)
+        return out
+
+    for pat in pats:
+        got = {(r["doc_id"], r["pos"])
+               for r in wildcard_pattern_search(corp, idx, cfg, pat).collect()}
+        want = {(d, i) for d, ts in docs.items() for i in py_eval(ts, pat)}
+        assert got == want, pat
+    assert py_eval(toks, pats[0])  # the first pattern really matches

@@ -390,3 +390,21 @@ def test_global_approx_batch_equals_singles(spark, built_global):
         want = {r["gpos"] for r in single.collect()}
         assert got[qi] == want, f"query {qi} mismatch"
     assert got[0] and got[1] and got[2] and not got[3]
+
+
+def test_kmismatch_on_ngram2_index(spark, built):
+    """Approximate search over an ngram=2 (bigram-keyed) index: fragments
+    are probed via their packed bigrams — answers unchanged vs brute."""
+    corp, _ = built
+    cfg2 = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096,
+                     seed=77, ngram=2)
+    idx2 = build_index(corp, cfg2).cache()
+    idx2.count()
+    try:
+        pat = _mutate(_needle(corp), [1, 6])
+        got = {(r["doc_id"], r["pos"])
+               for r in kmismatch_pattern_search(corp, idx2, cfg2, pat, 2).collect()}
+        want = _brute_doc(corp, pat, 2)
+        assert got == want and len(want) > 0
+    finally:
+        idx2.unpersist()
