@@ -415,6 +415,37 @@ FROM (SELECT o, stitched, unnest(generate_series(1, CAST(n AS BIGINT))) AS i FRO
 WHERE LEAST({least}) <= {d}"""
 
 
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED fuzzy search ('did you mean'): the 20 best positions by
+    Levenshtein distance to the PAT_EDIT typo within d_max=2,
+    deterministic (dist, doc_id, pos) tie-break — exact hits first, then
+    1-edit, then 2-edit. Distributed TakeOrdered over the verified
+    candidate distances (operators/approx.py:fuzzy_topk)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import fuzzy_topk
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return fuzzy_topk(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_EDIT, 2, 20,
+        start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def _fuzzy_topk_oracle(pattern: list[int], d: int, k: int) -> str:
+    pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
+    m = len(pattern)
+    least = ", ".join(
+        f"levenshtein(substr(text, CAST(i AS INT), {L}), '{pat}')"
+        for L in range(max(m - d, 0), m + d + 1)
+    )
+    return f"""SELECT doc_id, pos, dist FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(LEAST({least}) AS INTEGER) AS dist
+  FROM (SELECT doc_id, text, unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+        FROM documents))
+WHERE dist <= {d}
+ORDER BY dist, doc_id, pos LIMIT {k}"""
+
+
 def _kedit_oracle(pattern: list[int], d: int) -> str:
     pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
     m = len(pattern)
@@ -2252,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_kedit": q_hbi_global_kedit,
         "hbi_approx_batch": q_hbi_approx_batch,
         "hbi_global_approx_batch": q_hbi_global_approx_batch,
+        "fuzzy_topk_matches": q_fuzzy_topk,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2369,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_kmismatch": _kmismatch_oracle(PAT_MISSING, 1),
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
+        "fuzzy_topk_matches": _fuzzy_topk_oracle(PAT_EDIT, 2, 20),
         "hbi_global_kedit": _global_kedit_oracle(PAT_EDIT, 1),
         "hbi_global_approx_batch": f"""SELECT CAST(0 AS INTEGER) AS query_id, gpos
 FROM ({_global_kmismatch_oracle(PAT_GLOBAL, 1)})

@@ -50,6 +50,7 @@ __all__ = [
     "global_kmismatch_pattern_search",
     "kedit_pattern_search",
     "global_kedit_pattern_search",
+    "fuzzy_topk",
 ]
 
 
@@ -303,15 +304,22 @@ def _global_hamming_tail(stitched, survivors, final_rows, span, pattern, d) -> D
 
 def _edit_ok_positions(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: int) -> np.ndarray:
     """Candidate starts (subset of ``cand``) where some substring of
-    ``arr`` starting there is within Levenshtein distance ``d`` of ``pat``
+    ``arr`` starting there is within Levenshtein distance ``d`` of ``pat``."""
+    pos, _dist = _edit_best_dists(arr, cand, pat, d)
+    return pos
+
+
+def _edit_best_dists(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: int):
+    """(positions, best_distances) over candidate starts whose BEST
+    substring match is within Levenshtein distance ``d`` of ``pat``
     — a Wagner-Fischer DP batched ACROSS starts (every cell is one numpy
     vector op over the candidate axis; m*(m+d) cells total). Equivalent to
-    min over L in [m-d, m+d] of levenshtein(arr[p:p+L], pat) <= d: column
+    min over L in [m-d, m+d] of levenshtein(arr[p:p+L], pat): column
     j of the final row IS the distance to the length-j substring."""
     m = len(pat)
     n = len(arr)
     if len(cand) == 0:
-        return cand
+        return cand, cand
     width = m + d
     idx = cand[:, None] + np.arange(width)[None, :]
     t_mat = np.where(idx < n, arr[np.minimum(idx, n - 1)], np.int64(-1))
@@ -330,7 +338,8 @@ def _edit_ok_positions(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: in
     js = np.arange(width + 1, dtype=np.int64)
     valid = (js[None, :] <= avail[:, None]) & (js[None, :] >= max(m - d, 0))
     best = np.where(valid, prev, np.int64(1 << 30)).min(axis=1)
-    return cand[best <= d]
+    keep = best <= d
+    return cand[keep], best[keep]
 
 
 def _edit_verify_doc(joined: DataFrame, pattern: list[int], d: int, span: int) -> DataFrame:
@@ -1072,3 +1081,84 @@ def global_approx_search_batch(
     for p_df in out_parts[1:]:
         out = out.unionByName(p_df)
     return out
+
+
+def fuzzy_topk(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    d_max: int,
+    k: int,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """RANKED fuzzy search: the ``k`` best positions by Levenshtein
+    distance to ``pattern`` among matches within ``d_max``, deterministic
+    tie-break (dist, doc_id, pos) — the search-box "did you mean" surface.
+    Same pigeonhole candidates as kedit_pattern_search at d_max;
+    verification keeps each candidate's BEST substring distance
+    (_edit_best_dists) and the global top-k is Spark's distributed
+    TakeOrdered (per-partition partial top-k, k rows shuffled per
+    partition). Returns (doc_id, pos, dist)."""
+    if cfg.axis != "doc":
+        raise NotImplementedError("fuzzy_topk routes on the doc axis")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if d_max < 0 or k <= 0:
+        raise ValueError("d_max must be >= 0 and k > 0")
+    pat = np.asarray(pattern, dtype=np.int64)
+    schema = "doc_id string, pos int, dist int"
+
+    def dist_verify(joined, span=None):
+        with_wids = span is not None
+
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_d, out_pos, out_dist = [], [], []
+                for row in pdf.itertuples(index=False):
+                    arr = np.asarray(row.tokens, dtype=np.int64)
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(len(arr), dtype=np.int64)
+                    if with_wids:
+                        p_all = p_all[np.isin(
+                            p_all // span, np.asarray(row.wids, dtype=np.int64))]
+                    pos, dd = _edit_best_dists(arr, p_all, pat, d_max)
+                    out_d.extend([row.doc_id] * len(pos))
+                    out_pos.extend(pos.tolist())
+                    out_dist.extend(dd.tolist())
+                yield pd.DataFrame({
+                    "doc_id": out_d,
+                    "pos": np.asarray(out_pos, dtype=np.int32),
+                    "dist": np.asarray(out_dist, dtype=np.int32),
+                })
+
+        cols = ["doc_id", "tokens"] + (["wids"] if with_wids else [])
+        return joined.select(*cols).mapInPandas(ver, schema=schema)
+
+    def ranked(df):
+        return df.orderBy(F.asc("dist"), F.asc("doc_id"), F.asc("pos")).limit(int(k))
+
+    if d_max >= m:
+        return ranked(dist_verify(corpus))
+    prep = _prepare(pattern, d_max, cfg, start_level, stats, freq)
+    if prep is None:
+        return ranked(dist_verify(corpus))
+    frags, specs, firsts, level, span, need = prep
+    spark = corpus.sparkSession
+    finished = _descend_batch(
+        index, specs, firsts, [level] * len(specs), doc_axis=True, spark=spark,
+        stats_out=stats_out,
+    )
+    cand, cand_small = _vote_candidates_doc(finished, frags, span, d_max, need, spark)
+    if cand is None:
+        return spark.createDataFrame([], schema)
+    joined = corpus.join(
+        F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
+    return ranked(dist_verify(joined, span))

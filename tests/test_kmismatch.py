@@ -408,3 +408,32 @@ def test_kmismatch_on_ngram2_index(spark, built):
         assert got == want and len(want) > 0
     finally:
         idx2.unpersist()
+
+
+def test_fuzzy_topk_ranked_vs_python(spark, built_small):
+    """Ranked fuzzy search: the top-k (dist, doc_id, pos) triples equal a
+    pure-python ranking over the brute-force distance map; exact matches
+    rank first (dist 0)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import fuzzy_topk
+
+    sub, idx = built_small
+    pat = _mutate(_needle(sub, start=300, m=10), [4])
+    d_max, k = 2, 25
+    got = [(r["dist"], r["doc_id"], r["pos"])
+           for r in fuzzy_topk(sub, idx, CFG, pat, d_max, k).collect()]
+    pat_s = "".join(chr(int(t)) for t in pat)
+    m = len(pat_s)
+    all_hits = []
+    for r in sub.select("doc_id", "tokens").collect():
+        txt = "".join(chr(t) for t in r["tokens"])
+        for p in range(len(txt)):
+            best = min(
+                (_lev(txt[p : p + L], pat_s)
+                 for L in range(max(m - d_max, 0), m + d_max + 1)),
+            )
+            if best <= d_max:
+                all_hits.append((best, r["doc_id"], p))
+    want = sorted(all_hits)[:k]
+    assert got == want and len(got) > 0
+    # the ranked order is already (dist, doc_id, pos) ascending
+    assert got == sorted(got)
