@@ -115,6 +115,9 @@ def main() -> None:
         "hbi_kedit",
         # whole misspelled-dictionary workload, one cascade
         "hbi_approx_batch",
+        "hbi_pattern_charclass",
+        # ranked fuzzy search (top-k by edit distance)
+        "fuzzy_topk_matches",
         "window_membership",
         # whole token workload in ONE leaf scan (doc axis + one-stream axis)
         "window_membership_batch",

@@ -77,6 +77,8 @@ SWEEP = [
     "hbi_global_kedit",
     "hbi_approx_batch",
     "hbi_global_approx_batch",
+    "hbi_pattern_charclass",
+    "fuzzy_topk_matches",
     "range_f2",
     "collocations_pmi",
 ]
