@@ -215,6 +215,33 @@ def _prepare(pattern, d, cfg, start_level, stats, freq, n_frags=None):
     return frags, specs, firsts, level, cfg.span(level), s - d
 
 
+def _candidate_docs(stitched, survivors, span, group_cols, do_broadcast):
+    """Candidate-doc assembly shared by every global verification tail:
+    docs expand to their window ranges ((doc_offset, w_id) pairs ONLY in
+    the shuffle — empty docs own no window, guarded against the descending
+    sequence() trap), join the surviving windows, group to per-doc wids,
+    then join the token arrays back by doc_offset."""
+    wid_df = F.broadcast(survivors) if do_broadcast else survivors
+    doc_windows = stitched.filter(F.col("n_tok") > 0).select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(wid_df, on="w_id", how="inner")
+        .groupBy(*group_cols)
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    return stitched.join(
+        F.broadcast(hit_docs) if do_broadcast else hit_docs,
+        on="doc_offset", how="inner",
+    )
+
+
 def _hamming_verify_doc(joined: DataFrame, pattern: list[int], d: int, span: int) -> DataFrame:
     """Arrow verification of k-mismatch candidates: one vectorized
     sliding-window mismatch count per candidate doc (numpy, C speed —
@@ -256,25 +283,8 @@ def _global_hamming_tail(stitched, survivors, final_rows, span, pattern, d) -> D
     stitched span. Twin of batch._verify_arrow_global."""
     pat = np.asarray(pattern, dtype=np.int64)
     m = len(pat)
-    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
-    doc_windows = stitched.select(
-        "doc_offset", "n_tok",
-        F.explode(
-            F.sequence(
-                (F.col("doc_offset") / span).cast("long"),
-                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
-            )
-        ).alias("w_id"),
-    )
-    hit_docs = (
-        doc_windows.join(wid_df, on="w_id", how="inner")
-        .groupBy("doc_offset")
-        .agg(F.collect_set("w_id").alias("wids"))
-    )
-    cand_docs = stitched.join(
-        F.broadcast(hit_docs) if final_rows is not None else hit_docs,
-        on="doc_offset", how="inner",
-    )
+    cand_docs = _candidate_docs(
+        stitched, survivors, span, ["doc_offset"], final_rows is not None)
 
     def ver(batches):
         for pdf in batches:
@@ -506,13 +516,14 @@ def kedit_pattern_search(
     """All (doc_id, pos) where SOME substring starting at pos is within
     LEVENSHTEIN distance ``d`` of ``pattern`` — agrep semantics (edits =
     substitutions AND insertions/deletions, vs kmismatch's substitutions
-    only). Char-level: corpus tokens are codepoints, so verification runs
-    the JVM built-in ``levenshtein`` over the reconstructed string —
-    min over candidate lengths L in [m-d, m+d] of
-    levenshtein(substr(text, pos, L), pattern) <= d. The same pigeonhole
+    only): min over candidate lengths L in [m-d, m+d] of
+    levenshtein(tokens[pos:pos+L], pattern) <= d. The same pigeonhole
     fragment pruning as kmismatch applies (a fragment untouched by edits
     still occurs EXACTLY, merely shifted by at most d), with the candidate
-    window shifts widened by the ±d drift (_edit_shifts)."""
+    window shifts widened by the ±d drift (_edit_shifts). Both the index
+    path and the exact-scan fallback verify with the SAME numpy DP kernel
+    (_edit_best_dists) — tokens are arbitrary ints, never narrowed to a
+    char type (F.char wraps mod 256; it must not appear on this path)."""
     if cfg.axis != "doc":
         raise NotImplementedError("kedit_pattern_search routes on the doc axis")
     m = len(pattern)
@@ -520,35 +531,27 @@ def kedit_pattern_search(
         raise ValueError("empty pattern")
     if d < 0:
         raise ValueError("d must be >= 0")
-    pat_str = "".join(chr(int(t)) for t in pattern)
-    text = F.array_join(F.transform("tokens", lambda t: F.char(t)), "")
-    lengths = list(range(max(m - d, 0), m + d + 1))
-
-    def ed_ok(t):
-        def ok(i):
-            cands = [
-                F.levenshtein(t.substr(i + 1, F.lit(L)), F.lit(pat_str))
-                for L in lengths
-            ]
-            c = cands[0] if len(cands) == 1 else F.least(*cands)
-            return c <= F.lit(int(d))
-
-        return ok
+    pat = np.asarray(pattern, dtype=np.int64)
 
     def brute() -> DataFrame:
-        t = F.col("_t")
-        return (
-            corpus.select("doc_id", text.alias("_t"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.when(
-                        F.length("_t") > 0,
-                        F.filter(F.sequence(F.lit(0), F.length("_t") - 1), ed_ok(t)),
-                    ).otherwise(F.array().cast("array<int>"))
-                ).alias("pos"),
-            )
-        )
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_d, out_pos = [], []
+                for did, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                    arr = np.asarray(toks, dtype=np.int64)
+                    if len(arr) == 0:
+                        continue
+                    pos = _edit_ok_positions(
+                        arr, np.arange(len(arr), dtype=np.int64), pat, d)
+                    out_d.extend([did] * len(pos))
+                    out_pos.extend(pos.tolist())
+                yield pd.DataFrame(
+                    {"doc_id": out_d, "pos": np.asarray(out_pos, dtype=np.int32)}
+                )
+
+        return corpus.select("doc_id", "tokens").mapInPandas(ver, schema=MATCH_SCHEMA)
 
     if d >= m:
         return brute()  # L=0 is a candidate: every position matches
@@ -577,25 +580,8 @@ def _global_edit_tail(stitched, survivors, final_rows, span, pattern, d) -> Data
     continuation)."""
     pat = np.asarray(pattern, dtype=np.int64)
     m = len(pat)
-    wid_df = F.broadcast(survivors) if final_rows is not None else survivors
-    doc_windows = stitched.select(
-        "doc_offset", "n_tok",
-        F.explode(
-            F.sequence(
-                (F.col("doc_offset") / span).cast("long"),
-                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
-            )
-        ).alias("w_id"),
-    )
-    hit_docs = (
-        doc_windows.join(wid_df, on="w_id", how="inner")
-        .groupBy("doc_offset")
-        .agg(F.collect_set("w_id").alias("wids"))
-    )
-    cand_docs = stitched.join(
-        F.broadcast(hit_docs) if final_rows is not None else hit_docs,
-        on="doc_offset", how="inner",
-    )
+    cand_docs = _candidate_docs(
+        stitched, survivors, span, ["doc_offset"], final_rows is not None)
 
     def ver(batches):
         for pdf in batches:
@@ -700,6 +686,28 @@ def global_kedit_pattern_search(
 APPROX_BATCH_SCHEMA = "query_id int, doc_id string, pos int"
 
 
+def _parse_queries(queries) -> list[tuple[list[int], int, str]]:
+    """Normalize a batch workload: (pattern, d) or (pattern, d, kind)
+    entries -> (pattern, d, kind) with validation — ONE definition for
+    both axes."""
+    parsed = []
+    for q in queries:
+        if len(q) == 2:
+            pat, d = q
+            kind = "hamming"
+        else:
+            pat, d, kind = q
+        if kind not in ("hamming", "edit"):
+            raise ValueError(f"unknown approx kind {kind!r} (hamming|edit)")
+        pat = [int(t) for t in pat]
+        if not pat:
+            raise ValueError("empty pattern in batch")
+        if d < 0:
+            raise ValueError("d must be >= 0")
+        parsed.append((pat, int(d), kind))
+    return parsed
+
+
 def _hits_kernel(arr: np.ndarray, cand: np.ndarray, pat: np.ndarray, d: int,
                  kind: str) -> np.ndarray:
     """Candidate starts that verify under the query's kernel: sliding
@@ -738,22 +746,10 @@ def approx_search_batch(
     Returns (query_id, doc_id, pos)."""
     if cfg.axis != "doc":
         raise NotImplementedError("approx_search_batch routes on the doc axis")
-    parsed = []
-    for q in queries:
-        if len(q) == 2:
-            pat, d = q
-            kind = "hamming"
-        else:
-            pat, d, kind = q
-        if kind not in ("hamming", "edit"):
-            raise ValueError(f"unknown approx kind {kind!r} (hamming|edit)")
-        pat = [int(t) for t in pat]
-        if not pat:
-            raise ValueError("empty pattern in batch")
-        if d < 0:
-            raise ValueError("d must be >= 0")
-        parsed.append((pat, int(d), kind))
+    parsed = _parse_queries(queries)
     spark = corpus.sparkSession
+    if not parsed:
+        return spark.createDataFrame([], APPROX_BATCH_SCHEMA)
 
     brute_ids = [qi for qi, (pat, d, _k) in enumerate(parsed) if d >= len(pat)]
     plan_ids = [qi for qi in range(len(parsed)) if qi not in brute_ids]
@@ -767,6 +763,7 @@ def approx_search_batch(
             flat_patterns.append(frag)
             owner.append(qi)
     cand_df = None
+    all_small = True
     if flat_patterns:
         cascade, exact = _plan_batch(
             flat_patterns, cfg, start_level, stats, freq, None, None, False
@@ -798,10 +795,11 @@ def approx_search_batch(
                         k for k, fid in enumerate(flat_ids) if owner[fid] == qi
                     )
                 }
-                cand, _small = _vote_candidates_doc(
+                cand, small = _vote_candidates_doc(
                     sub, frag_lists[qi], span, drift, need, spark)
                 if cand is None:
                     continue
+                all_small = all_small and small
                 parts.append(cand.select(F.lit(qi).alias("query_id"), "doc_id", "wids"))
             if parts:
                 cand_df = parts[0]
@@ -817,7 +815,8 @@ def approx_search_batch(
 
     out_parts = []
     if cand_df is not None:
-        joined = corpus.join(cand_df, on="doc_id", how="inner")
+        joined = corpus.join(
+            F.broadcast(cand_df) if all_small else cand_df, on="doc_id", how="inner")
 
         def ver(batches):
             for pdf in batches:
@@ -907,22 +906,10 @@ def global_approx_search_batch(
     searches. Returns (query_id, gpos)."""
     if cfg.axis != "global":
         raise ValueError("global_approx_search_batch needs cfg.axis='global'")
-    parsed = []
-    for q in queries:
-        if len(q) == 2:
-            pat, d = q
-            kind = "hamming"
-        else:
-            pat, d, kind = q
-        if kind not in ("hamming", "edit"):
-            raise ValueError(f"unknown approx kind {kind!r} (hamming|edit)")
-        pat = [int(t) for t in pat]
-        if not pat:
-            raise ValueError("empty pattern in batch")
-        if d < 0:
-            raise ValueError("d must be >= 0")
-        parsed.append((pat, int(d), kind))
+    parsed = _parse_queries(queries)
     spark = corpus.sparkSession
+    if not parsed:
+        return spark.createDataFrame([], GLOBAL_APPROX_BATCH_SCHEMA)
     if "doc_offset" not in corpus.columns:
         from ..corpus import with_global_offsets
 
@@ -950,6 +937,7 @@ def global_approx_search_batch(
             flat_patterns.append(frag)
             owner.append(qi)
     surv_df = None
+    all_small = True
     span = cfg.leaf_span
     if flat_patterns:
         cascade, exact = _plan_batch(
@@ -981,10 +969,11 @@ def global_approx_search_batch(
                         k for k, fid in enumerate(flat_ids) if owner[fid] == qi
                     )
                 }
-                surv, _fr = _vote_candidates_global(
+                surv, fr = _vote_candidates_global(
                     sub, frag_lists[qi], span, drift, need, spark)
                 if surv is None:
                     continue
+                all_small = all_small and fr is not None
                 parts.append(surv.select(F.lit(qi).alias("query_id"), "w_id"))
             if parts:
                 surv_df = parts[0]
@@ -993,21 +982,8 @@ def global_approx_search_batch(
 
     out_parts = []
     if surv_df is not None:
-        doc_windows = stitched.select(
-            "doc_offset", "n_tok",
-            F.explode(
-                F.sequence(
-                    (F.col("doc_offset") / span).cast("long"),
-                    ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
-                )
-            ).alias("w_id"),
-        )
-        hit_docs = (
-            doc_windows.join(surv_df, on="w_id", how="inner")
-            .groupBy("doc_offset", "query_id")
-            .agg(F.collect_set("w_id").alias("wids"))
-        )
-        cand_docs = stitched.join(hit_docs, on="doc_offset", how="inner")
+        cand_docs = _candidate_docs(
+            stitched, surv_df, span, ["doc_offset", "query_id"], all_small)
 
         def ver(batches):
             for pdf in batches:

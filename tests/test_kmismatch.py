@@ -437,3 +437,77 @@ def test_fuzzy_topk_ranked_vs_python(spark, built_small):
     assert got == want and len(got) > 0
     # the ranked order is already (dist, doc_id, pos) ascending
     assert got == sorted(got)
+
+
+def test_global_kmismatch_over_streamed_index(spark, tmp_path):
+    """Approximate search runs unchanged against the Structured-Streaming-
+    maintained global index: a two-batch stream-built index answers a
+    global k-mismatch query identically to the batch-built index (and to
+    brute force) — the query layer only sees (level, w_id, blob) rows."""
+    import os
+    import time
+
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        incremental_global_index_stream,
+        read_global_stream_index,
+    )
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096,
+                    seed=79, axis="global")
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    full = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=79)).cache()
+    ids = sorted(r["doc_id"] for r in full.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    for part in (full.filter(F.col("doc_id") <= cut),
+                 full.filter(F.col("doc_id") > cut)):
+        part.drop("doc_offset").coalesce(1).write.mode("append").parquet(inp)
+        time.sleep(1.1)
+    q = incremental_global_index_stream(
+        spark, inp, str(tmp_path / "chk"), str(tmp_path / "idx"), cfg)
+    assert q.awaitTermination(180)
+    streamed, _st = read_global_stream_index(spark, str(tmp_path / "idx"))
+    batch_idx = build_index(full, cfg).cache()
+    try:
+        stream_toks = np.concatenate(
+            [np.asarray(r["tokens"], dtype=np.int64)
+             for r in sorted(full.collect(), key=lambda r: r["doc_id"])]
+        )
+        pat = _mutate([int(t) for t in stream_toks[3000:3012]], [2, 7])
+        got_s = {r["gpos"] for r in global_kmismatch_pattern_search(
+            full, streamed, cfg, pat, 2).collect()}
+        got_b = {r["gpos"] for r in global_kmismatch_pattern_search(
+            full, batch_idx, cfg, pat, 2).collect()}
+        want = _brute_global(stream_toks, pat, 2)
+        assert got_s == got_b == want and 3000 in want
+    finally:
+        batch_idx.unpersist()
+        full.unpersist()
+
+
+def test_kedit_brute_fallback_high_codepoints(spark):
+    """Regression (review finding): the exact-scan fallback must verify
+    with the SAME numpy kernel as the index path — an earlier version
+    reconstructed text via F.char, which wraps codepoints mod 256 and
+    silently broke every token >= 256. Trigger the fallback via an
+    ngram=2 index (the length-1 fragment is unprunable) on a >255-token
+    corpus."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        kedit_pattern_search,
+    )
+    from hierarchical_bloom_filter_index_spark.operators import build_index as bi
+
+    cfg = HbiConfig(tree_span=256, leaf_span=32, fpr=0.02, vocab=4096,
+                    seed=5, ngram=2)
+    df = spark.createDataFrame(
+        [("d1", [1000, 1001, 300, 301, 302, 303, 1002], 7)],
+        "doc_id string, tokens array<int>, n_tok int")
+    idx = bi(df, cfg).cache()
+    try:
+        got = {(r["doc_id"], r["pos"])
+               for r in kedit_pattern_search(df, idx, cfg, [300, 301, 303], 1).collect()}
+        # one deletion (302) away from positions 2..; python ground truth:
+        want = _brute_edit(df, [300, 301, 303], 1)
+        assert got == want and len(want) > 0
+    finally:
+        idx.unpersist()
