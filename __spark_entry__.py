@@ -2908,7 +2908,7 @@ sl AS (SELECT doc_id, a, b, tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {C
        WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0)
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(token AS BIGINT) AS token,
-       CAST(len(list_filter(s, x -> x = token)) AS BIGINT) AS est_count
+       CAST(len(list_filter(s, x -> x = token)) AS DOUBLE) AS est_count
 FROM sl, pt""",
         # range F2 = sum over tokens of (count in slice)^2 — exact on this
         # corpus (every cover node sparse-exact; see q_range_f2)
@@ -3025,7 +3025,7 @@ cnts AS (SELECT a, b, t, COUNT(*) AS c FROM flat, rq
          GROUP BY a, b, t)
 SELECT CAST(r.a AS BIGINT) AS a, CAST(r.b AS BIGINT) AS b,
        CAST(p.token AS BIGINT) AS token,
-       CAST(COALESCE(c.c, 0) AS BIGINT) AS est_count
+       CAST(COALESCE(c.c, 0) AS DOUBLE) AS est_count
 FROM rng r CROSS JOIN pt p
 LEFT JOIN cnts c ON c.a = r.a AND c.b = r.b AND c.t = p.token""",
         "global_range_totals": f"""WITH {CORPUS_CTE},

@@ -738,7 +738,8 @@ def range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens,
         cs_index, ranges, deepest, _DOC_KEYS, partial_merge=_cs_merge_auto
     ).mapInPandas(
         _cs_range_freq_fn(_DOC_KEYS, probes),
-        schema=_DOC_KEY_SCHEMA + ", token long, est_count long",
+        # double: the signed median of an even row count is a half integer
+        schema=_DOC_KEY_SCHEMA + ", token long, est_count double",
     )
 
 
@@ -1215,7 +1216,7 @@ def global_range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens
         cs_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cs_merge_auto
     ).mapInPandas(
         _cs_range_freq_fn(_GLOBAL_KEYS, probes),
-        schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count long",
+        schema=_GLOBAL_KEY_SCHEMA + ", token long, est_count double",
     )
 
 

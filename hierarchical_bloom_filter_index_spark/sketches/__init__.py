@@ -20,9 +20,11 @@ SKETCH_REGISTRY = {
 # sparse-exact window-node encodings deserialize into their dense classes
 # (lossless: cms/hll from_bytes densify — see cms._MAGIC_CMS_SP / hll._MAGIC_HLL_SP)
 from .cms import _MAGIC_CMS_SP as _SP_CMS
+from .cms import _MAGIC_CS_SP as _SP_CS
 from .hll import _MAGIC_HLL_SP as _SP_HLL
 
 SKETCH_REGISTRY[_SP_CMS] = CountMinSketch
+SKETCH_REGISTRY[_SP_CS] = CountSketch
 SKETCH_REGISTRY[_SP_HLL] = HyperLogLog
 
 

@@ -114,11 +114,9 @@ class CountMinSketch:
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMinSketch":
         if bytes(buf)[:1] == bytes([_MAGIC_CMS_SP]):
-            magic, (depth, width, seed, total, _nnz), (toks, cnts) = base.unpack(buf)
-            out = cls(depth, width, seed)
-            out.update(toks, cnts)
-            out.total = int(total)
-            return out
+            # ONE densification implementation (exact integer np.add.at):
+            # a second one here would have to stay byte-synced by hand
+            return cls.from_bytes(densify_blob(bytes(buf)))
         magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_CMS, "CountMinSketch")
         return cls(depth, width, seed, flat.reshape(depth, width), total)
@@ -186,6 +184,9 @@ class CountSketch:
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountSketch":
+        if bytes(buf)[:1] == bytes([_MAGIC_CS_SP]):
+            # sparse cs window node: lossless signed densification
+            return cls.from_bytes(densify_blob(bytes(buf)))
         magic, (depth, width, seed, total), (flat,) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC_CS, "CountSketch")
         return cls(depth, width, seed, flat.reshape(depth, width), total)
@@ -212,12 +213,6 @@ class IntCountSketch(CountSketch):
         super().__init__(depth, width, seed, table, total)
         if table is None:
             self.table = np.zeros((self.depth, self.width), dtype=np.int32)
-
-    @classmethod
-    def from_eps_delta(cls, eps: float, delta: float, seed: int) -> "IntCountSketch":
-        width = 1 << max(3, math.ceil(math.log2(3.0 / (eps * eps))))
-        depth = max(1, math.ceil(math.log(1.0 / delta)))
-        return cls(depth, width, seed)
 
     @staticmethod
     def _saturate(wide: np.ndarray) -> np.ndarray:
@@ -412,6 +407,12 @@ _CMS_SP_NNZ_OFFSET = 4 + 4 * 8
 _CMS_SP_TOK_OFFSET = 4 + 5 * 8 + 1 + 9
 
 
+def _check_sp_blob(b: bytes, depth: int, width: int, seed: int) -> None:
+    d, w, sd = struct.unpack_from("<3q", b, 4)
+    if (d, w, sd) != (depth, width, seed):
+        raise ValueError(f"sparse node params {(d, w, sd)} != {(depth, width, seed)}")
+
+
 def _sp_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
     """(tokens, counts) of a sparse node blob without base.unpack overhead."""
     (nnz,) = struct.unpack_from("<q", b, _CMS_SP_NNZ_OFFSET)
@@ -483,6 +484,10 @@ def _merge_blob_groups_impl(blobs, counts, depth: int, width: int, seed: int,
         return []
     blobs = [bytes(b) for b in blobs]
     counts = np.asarray(counts, dtype=np.int64)
+    if (counts <= 0).any() or int(counts.sum()) != len(blobs):
+        # reduceat's repeated-start semantics would silently hand a
+        # zero-count group its neighbor's first child — refuse loudly
+        raise ValueError("merge groups must be positive and cover every blob")
     ngroups = len(counts)
     starts = np.zeros(ngroups, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -499,6 +504,8 @@ def _merge_blob_groups_impl(blobs, counts, depth: int, width: int, seed: int,
     max_nnz = sparse_max_nnz(depth, width)
     gid = np.repeat(np.arange(ngroups, dtype=np.int64), counts)
     sp_idx = np.flatnonzero(is_sp)
+    for i in sp_idx:
+        _check_sp_blob(blobs[i], depth, width, seed)
     pairs = [_sp_entries(blobs[i]) for i in sp_idx]
     sp_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
     sp_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
@@ -546,18 +553,39 @@ def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
     min-over-rows per dense blob (``CountMinSketch.estimate``), EXACT lookup
     per sparse blob (still within the overestimate-only eps*N contract:
     exact is the zero-error case)."""
+    return _estimate_blobs_impl(blobs, keys, depth, width, seed,
+                                _MAGIC_CMS, _MAGIC_CMS_SP, False)
+
+
+def _estimate_blobs_impl(blobs, keys, depth: int, width: int, seed: int,
+                         magic_dense: int, magic_sparse: int,
+                         signed: bool) -> np.ndarray:
+    """Shared estimate kernel: min-over-rows (CMS, int64) or median of
+    signed rows (cs, float64 — the median of an even row count is a half
+    integer; truncating it would bias the UNBIASED estimator toward zero).
+    Sparse blobs answer exactly after the same param validation dense ones
+    get."""
+    out_dtype = np.float64 if signed else np.int64
     if not blobs:
-        return np.empty((0, len(keys)), dtype=np.int64)
+        return np.empty((0, len(keys)), dtype=out_dtype)
     keys = np.asarray(keys, dtype=np.int64)
     blobs = [bytes(b) for b in blobs]
-    is_sp = np.fromiter((b[0] == _MAGIC_CMS_SP for b in blobs), dtype=bool, count=len(blobs))
-    out = np.empty((len(blobs), len(keys)), dtype=np.int64)
+    is_sp = np.fromiter((b[0] == magic_sparse for b in blobs), dtype=bool, count=len(blobs))
+    out = np.empty((len(blobs), len(keys)), dtype=out_dtype)
     dn = np.flatnonzero(~is_sp)
     if len(dn):
-        mats = _blob_tables([blobs[i] for i in dn], depth, width, seed).reshape(len(dn), depth, width)
+        mats = _blob_tables([blobs[i] for i in dn], depth, width, seed,
+                            magic_dense).reshape(len(dn), depth, width)
         buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
-        ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])  # (depth, nb, nk)
-        out[dn] = ests.min(axis=0)
+        if signed:
+            ests = np.stack([
+                mats[:, r, buckets[r]] * _cs_signs(keys, seed, r)[None, :]
+                for r in range(depth)
+            ])  # (depth, nb, nk)
+            out[dn] = np.median(ests, axis=0)
+        else:
+            ests = np.stack([mats[:, r, buckets[r]] for r in range(depth)])
+            out[dn] = ests.min(axis=0)
     sp = np.flatnonzero(is_sp)
     if len(sp):
         # batched exact lookup: concatenate every sparse blob's entries once
@@ -565,11 +593,13 @@ def estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
         # DISTINCT within a blob, so each (blob, key) has at most one hit) —
         # a per-blob searchsorted loop here was the window_freq_estimates
         # slow path when (as under default params) every leaf is sparse
+        for i in sp:
+            _check_sp_blob(blobs[i], depth, width, seed)
         pairs = [_sp_entries(blobs[i]) for i in sp]
         all_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
         all_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
         row_of = np.repeat(np.arange(len(sp)), [len(t) for t, _ in pairs])
-        sp_out = np.zeros((len(sp), len(keys)), dtype=np.int64)
+        sp_out = np.zeros((len(sp), len(keys)), dtype=out_dtype)
         for j, k in enumerate(keys):
             m = all_tok == k
             sp_out[row_of[m], j] = all_cnt[m]
@@ -622,37 +652,12 @@ def cs_merge_blob_groups(blobs: list[bytes], counts: np.ndarray, depth: int,
 
 def cs_estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: int,
                       seed: int) -> np.ndarray:
-    """(len(blobs), len(keys)) UNBIASED frequency estimates: median of
-    signed row values per dense blob (``CountSketch.estimate``), EXACT
+    """(len(blobs), len(keys)) UNBIASED frequency estimates (float64):
+    median of signed row values per dense blob (``CountSketch.estimate``
+    exactly — even depths give half-integer medians, preserved), EXACT
     lookup per sparse blob."""
-    if not blobs:
-        return np.empty((0, len(keys)), dtype=np.int64)
-    keys = np.asarray(keys, dtype=np.int64)
-    blobs = [bytes(b) for b in blobs]
-    is_sp = np.fromiter((b[0] == _MAGIC_CS_SP for b in blobs), dtype=bool, count=len(blobs))
-    out = np.empty((len(blobs), len(keys)), dtype=np.int64)
-    dn = np.flatnonzero(~is_sp)
-    if len(dn):
-        mats = _blob_tables([blobs[i] for i in dn], depth, width, seed,
-                            _MAGIC_CS).reshape(len(dn), depth, width)
-        buckets = _row_buckets(keys, seed, depth, width)  # (depth, nk)
-        ests = np.stack([
-            mats[:, r, buckets[r]] * _cs_signs(keys, seed, r)[None, :]
-            for r in range(depth)
-        ])  # (depth, nb, nk)
-        out[dn] = np.median(ests, axis=0).astype(np.int64)
-    sp = np.flatnonzero(is_sp)
-    if len(sp):
-        pairs = [_sp_entries(blobs[i]) for i in sp]
-        all_tok = np.concatenate([t for t, _ in pairs]) if pairs else np.empty(0, np.int64)
-        all_cnt = np.concatenate([c for _, c in pairs]) if pairs else np.empty(0, np.int64)
-        row_of = np.repeat(np.arange(len(sp)), [len(t) for t, _ in pairs])
-        sp_out = np.zeros((len(sp), len(keys)), dtype=np.int64)
-        for j, k in enumerate(keys):
-            m = all_tok == k
-            sp_out[row_of[m], j] = all_cnt[m]
-        out[sp] = sp_out
-    return out
+    return _estimate_blobs_impl(blobs, keys, depth, width, seed,
+                                _MAGIC_CS, _MAGIC_CS_SP, True)
 
 
 def f2_blobs(blobs: list[bytes]) -> np.ndarray:

@@ -268,3 +268,45 @@ def test_doc_axis_append_is_pure_union(spark, built):
         old.unpersist()
         appended.unpersist()
         scratch.unpersist()
+
+
+def test_even_depth_blob_estimates_match_object_path():
+    """Review regression: even depths give HALF-INTEGER medians — the blob
+    estimator must preserve them exactly like CountSketch.estimate (an
+    earlier version truncated toward zero, biasing the unbiased
+    estimator)."""
+    rng = np.random.default_rng(9)
+    toks = rng.zipf(1.3, 50_000).astype(np.int64)
+    depth, width = 4, 64  # even depth, dense regime
+    blobs = k.cs_partial_blobs_by_slot(
+        toks, np.zeros(len(toks), dtype=np.int64), 1, depth, width, SEED)
+    assert blobs[0][0] == k.CountSketch.MAGIC
+    probes = np.unique(toks)[:200]
+    got = k.cs_estimate_blobs([blobs[0]], probes, depth, width, SEED)[0]
+    obj = k.CountSketch.from_bytes(bytes(blobs[0]))
+    want = obj.estimate(probes)
+    assert got.dtype == np.float64
+    assert np.array_equal(got, want)
+    assert (got != np.trunc(got)).any()  # half-integers actually occur
+
+
+def test_registry_and_object_bridge_for_sparse_cs_nodes():
+    """Review regression: sparse cs nodes (magic 14) must deserialize
+    through the generic registry into a CountSketch byte-equal to the
+    densified path; zero-count merge groups are refused loudly."""
+    from hierarchical_bloom_filter_index_spark import sketches as S
+
+    toks = np.arange(40, dtype=np.int64)
+    b = k.cs_leaf_window_blobs(toks, 32, D, W, SEED)[0]
+    assert b[0] == 14
+    obj = S.from_bytes(bytes(b))
+    assert isinstance(obj, k.CountSketch)
+    assert obj.to_bytes() == k.densify_blob(bytes(b))
+    # CMS sparse nodes keep round-tripping identically via densify
+    cb = k.leaf_window_blobs(toks, 32, D, W, SEED)[0]
+    assert S.from_bytes(bytes(cb)).to_bytes() == k.densify_blob(bytes(cb))
+    with pytest.raises(ValueError, match="positive"):
+        k.cs_merge_blob_groups([b, b], np.array([0, 2]), D, W, SEED)
+    with pytest.raises(ValueError, match="params"):
+        other = k.cs_leaf_window_blobs(toks, 32, D, W, SEED + 1)[0]
+        k.cs_merge_blob_groups([b, other], np.array([2]), D, W, SEED)
