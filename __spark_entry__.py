@@ -507,6 +507,47 @@ def q_hbi_global_approx_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-axis ranked fuzzy search: the 20 best global positions by
+    Levenshtein distance to the PAT_EDIT typo within d_max=2 — candidates
+    may cross document boundaries and still participate in the ranking
+    (operators/approx.py:global_fuzzy_topk)."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        global_fuzzy_topk,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_fuzzy_topk(
+        gcorp, gidx, CFG.with_(axis="global"), PAT_EDIT, 2, 20,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
+def _global_fuzzy_topk_oracle(pattern: list[int], d: int, k: int) -> str:
+    """Stitched-LEAD global distances (same construction as the global
+    k-edit oracle), ranked by (dist, gpos)."""
+    pat = "".join(chr(int(t)) for t in pattern).replace("'", "''")
+    m = len(pattern)
+    least = ", ".join(
+        f"levenshtein(substr(stitched, CAST(i AS INT), {L}), '{pat}')"
+        for L in range(max(m - d, 0), m + d + 1)
+    )
+    return f"""WITH {CORPUS_CTE},
+docs AS (
+  SELECT doc_id, text, length(text) AS n,
+         COALESCE(SUM(length(text)) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o,
+         COALESCE(LEAD(text) OVER (ORDER BY doc_id), '') AS nxt
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)
+),
+st AS (SELECT o, n, text || substr(nxt, 1, {m + d - 1}) AS stitched FROM docs)
+SELECT gpos, dist FROM (
+  SELECT CAST(o + i - 1 AS BIGINT) AS gpos, CAST(LEAST({least}) AS INTEGER) AS dist
+  FROM (SELECT o, stitched, unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM st))
+WHERE dist <= {d}
+ORDER BY dist, gpos LIMIT {k}"""
+
+
 def _kmismatch_oracle(pattern: list[int], d: int) -> str:
     m = len(pattern)
     return f"""WITH {CORPUS_CTE}
@@ -2284,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_approx_batch": q_hbi_approx_batch,
         "hbi_global_approx_batch": q_hbi_global_approx_batch,
         "fuzzy_topk_matches": q_fuzzy_topk,
+        "global_fuzzy_topk_matches": q_global_fuzzy_topk,
         "window_membership": q_window_membership,
         "hbi_proximity": q_hbi_proximity,
         "hbi_global_proximity": q_hbi_global_proximity,
@@ -2402,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "hbi_global_kmismatch": _global_kmismatch_oracle(PAT_GLOBAL, 1),
         "hbi_kedit": _kedit_oracle(PAT_EDIT, 1),
         "fuzzy_topk_matches": _fuzzy_topk_oracle(PAT_EDIT, 2, 20),
+        "global_fuzzy_topk_matches": _global_fuzzy_topk_oracle(PAT_EDIT, 2, 20),
         "hbi_global_kedit": _global_kedit_oracle(PAT_EDIT, 1),
         "hbi_global_approx_batch": f"""SELECT CAST(0 AS INTEGER) AS query_id, gpos
 FROM ({_global_kmismatch_oracle(PAT_GLOBAL, 1)})

@@ -51,6 +51,7 @@ __all__ = [
     "kedit_pattern_search",
     "global_kedit_pattern_search",
     "fuzzy_topk",
+    "global_fuzzy_topk",
 ]
 
 
@@ -1138,3 +1139,88 @@ def fuzzy_topk(
     joined = corpus.join(
         F.broadcast(cand) if cand_small else cand, on="doc_id", how="inner")
     return ranked(dist_verify(joined, span))
+
+
+def global_fuzzy_topk(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    d_max: int,
+    k: int,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Stream-axis twin of fuzzy_topk: the k best GLOBAL positions by
+    Levenshtein distance within d_max over the ONE concatenated stream
+    (matches may cross doc boundaries), deterministic (dist, gpos) order.
+    Returns (gpos, dist)."""
+    if cfg.axis != "global":
+        raise ValueError("global_fuzzy_topk needs cfg.axis='global'")
+    m = len(pattern)
+    if m == 0:
+        raise ValueError("empty pattern")
+    if d_max < 0 or k <= 0:
+        raise ValueError("d_max must be >= 0 and k > 0")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    if m + d_max > 1:
+        stitched = _stitched_corpus(corpus, m + d_max, min_doc_tokens=cfg.min_doc_tokens)
+    else:
+        stitched = corpus.withColumn("stitched", F.col("tokens"))
+    pat = np.asarray(pattern, dtype=np.int64)
+    schema = "gpos long, dist int"
+
+    def dist_verify(cand_docs, span=None):
+        with_wids = span is not None
+
+        def ver(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_g, out_dist = [], []
+                for row in pdf.itertuples(index=False):
+                    off, n_tok = int(row.doc_offset), int(row.n_tok)
+                    arr = np.asarray(row.stitched, dtype=np.int64)[: n_tok + m + d_max - 1]
+                    if len(arr) == 0:
+                        continue
+                    p_all = np.arange(min(n_tok, len(arr)), dtype=np.int64)
+                    if with_wids:
+                        p_all = p_all[np.isin(
+                            (p_all + off) // span, np.asarray(row.wids, dtype=np.int64))]
+                    pos, dd = _edit_best_dists(arr, p_all, pat, d_max)
+                    out_g.extend((pos + off).tolist())
+                    out_dist.extend(dd.tolist())
+                yield pd.DataFrame({
+                    "gpos": np.asarray(out_g, dtype=np.int64),
+                    "dist": np.asarray(out_dist, dtype=np.int32),
+                })
+
+        cols = ["doc_offset", "n_tok", "stitched"] + (["wids"] if with_wids else [])
+        return cand_docs.select(*cols).mapInPandas(ver, schema=schema)
+
+    def ranked(df):
+        return df.orderBy(F.asc("dist"), F.asc("gpos")).limit(int(k))
+
+    if d_max >= m:
+        return ranked(dist_verify(stitched))
+    prep = _prepare(pattern, d_max, cfg, start_level, stats, freq)
+    if prep is None:
+        return ranked(dist_verify(stitched))
+    frags, specs, firsts, level, span, need = prep
+    spark = corpus.sparkSession
+    finished = _descend_batch(
+        index, specs, firsts, [level] * len(specs), doc_axis=False, spark=spark,
+        stats_out=stats_out,
+    )
+    survivors, final_rows = _vote_candidates_global(
+        finished, frags, span, d_max, need, spark)
+    if survivors is None:
+        return spark.createDataFrame([], schema)
+    cand_docs = _candidate_docs(
+        stitched, survivors, span, ["doc_offset"], final_rows is not None)
+    return ranked(dist_verify(cand_docs, span))

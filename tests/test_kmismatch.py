@@ -511,3 +511,26 @@ def test_kedit_brute_fallback_high_codepoints(spark):
         assert got == want and len(want) > 0
     finally:
         idx.unpersist()
+
+
+def test_global_fuzzy_topk_ranked_vs_stream_eval(spark, built_global):
+    """Global ranked fuzzy search equals a single-array ranking over the
+    raw stream (kernel differentially covered by the doc-axis test);
+    cross-doc candidates participate in the ranking."""
+    from hierarchical_bloom_filter_index_spark.operators.approx import (
+        _edit_best_dists,
+        global_fuzzy_topk,
+    )
+
+    corp, idx, stream = built_global
+    base = [int(t) for t in stream[6000:6011]]
+    pat = _mutate(base, [5])
+    d_max, kk = 2, 30
+    got = [(r["dist"], r["gpos"])
+           for r in global_fuzzy_topk(corp, idx, CFG_G, pat, d_max, kk).collect()]
+    pa = np.asarray(pat, dtype=np.int64)
+    pos, dd = _edit_best_dists(
+        stream, np.arange(len(stream), dtype=np.int64), pa, d_max)
+    want = sorted(zip(dd.tolist(), pos.tolist()))[:kk]
+    assert got == [(int(d), int(p)) for d, p in want] and len(got) == kk
+    assert got == sorted(got)
