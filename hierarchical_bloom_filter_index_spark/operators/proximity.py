@@ -34,6 +34,22 @@ from .probe import probe_blobs
 PAIR_SCHEMA = "doc_id string, pos_a int, pos_b int"
 
 
+
+def _level_rows_checked(index: DataFrame, L: int, doc_axis: bool) -> DataFrame:
+    """Level slice with the absent-level refusal EVERY surface needs (doc
+    and global alike): probing a compacted-away level would silently return
+    nothing — and for the negated searches an empty result is a WRONG
+    answer, not a conservative one. DataFrame-native isEmpty (take-1)
+    replaces the old rdd round-trip, which deserialized a partition through
+    the Python-RDD path just to test emptiness."""
+    from .route import _level_rows
+
+    rows = _level_rows(index, L, doc_axis=doc_axis)
+    if rows.isEmpty():
+        raise ValueError(
+            f"index has no level-{L} rows (compacted?) — probe another level")
+    return rows
+
 def proximity_search(
     corpus: DataFrame,
     index: DataFrame,
@@ -68,9 +84,7 @@ def proximity_search(
     r_lo = 0 if ordered else radius  # ordered: B-windows never BEHIND A's
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
 
-    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
-    if rows.rdd.isEmpty():
-        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+    rows = _level_rows_checked(index, L, doc_axis=True)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -231,7 +245,7 @@ def global_proximity_search(
     radius = -(-int(w) // span)
     r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
-    rows = _level_rows(index, L, doc_axis=False)
+    rows = _level_rows_checked(index, L, doc_axis=False)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -400,9 +414,7 @@ def proximity_search_batch(
         for a, b, w, o in queries
     ]
 
-    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
-    if rows.rdd.isEmpty():
-        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+    rows = _level_rows_checked(index, L, doc_axis=True)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # sparse hit rows (doc, w_id, key_idx): unbounded key count (no
@@ -572,7 +584,7 @@ def global_proximity_search_batch(
     ]
     max_radius = max(r for _ia, _ib, r, _rl in specs)
     W = max(w for _a, _b, w, _o in queries)
-    rows = _level_rows(index, L, doc_axis=False)
+    rows = _level_rows_checked(index, L, doc_axis=False)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -763,9 +775,7 @@ def ordered_chain_search(
     ukeys = keys.astype(np.uint64)
     kidx = [int(np.searchsorted(keys, t)) for t in chain]
 
-    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
-    if rows.rdd.isEmpty():
-        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+    rows = _level_rows_checked(index, L, doc_axis=True)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -918,7 +928,7 @@ def global_ordered_chain_search(
     keys = np.unique(np.asarray(chain, dtype=np.int64))
     ukeys = keys.astype(np.uint64)
     kidx = [int(np.searchsorted(keys, t)) for t in chain]
-    rows = _level_rows(index, L, doc_axis=False)
+    rows = _level_rows_checked(index, L, doc_axis=False)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1115,9 +1125,7 @@ def negated_proximity_search(
     r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
 
-    rows = index.filter(F.col("level") == L).select("doc_id", "w_id", "bloom")
-    if rows.rdd.isEmpty():
-        raise ValueError(f"index has no level-{L} rows (compacted?) — probe another level")
+    rows = _level_rows_checked(index, L, doc_axis=True)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1155,10 +1163,9 @@ def negated_proximity_search(
                 ids.append(did)
                 wids.append(wa)
                 chks.append(wa[hi > lo])
-            yield pd.DataFrame({"doc_id": ids, "cand_w": wids, "chk_w": chks})
+            yield pd.DataFrame({"doc_id": ids, "chk_w": chks})
 
-    cand = per_doc.mapInPandas(
-        cands, schema="doc_id string, cand_w array<long>, chk_w array<long>")
+    cand = per_doc.mapInPandas(cands, schema="doc_id string, chk_w array<long>")
 
     a, b, ww, sp = int(token_a), int(token_b), int(w), int(span)
     p_lo = 1 if ordered else -ww
@@ -1237,7 +1244,7 @@ def global_negated_proximity_search(
     radius = -(-int(w) // span)
     r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
-    rows = _level_rows(index, L, doc_axis=False)
+    rows = _level_rows_checked(index, L, doc_axis=False)
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1296,14 +1303,20 @@ def global_negated_proximity_search(
             )
         ).alias("w_id"),
     )
+    # certified (chk=false) windows only ever read their OWN span in verify
+    # — assembling the ±w margin for them shipped up to 2w/span extra
+    # fragment tokens per window on exactly the path the certificate makes
+    # cheap; the margin is per-window conditional, and docs that only
+    # touched a certified window's margin zone drop out via _hi > _lo
+    mg = F.when(F.col("chk"), F.lit(ww)).otherwise(F.lit(0)).cast("long")
     frags = (
         doc_windows.join(cand, "w_id")
         .select(
             "w_id", "chk",
             F.greatest(F.col("doc_offset"),
-                       (F.col("w_id") * sp - ww).cast("long")).alias("_lo"),
+                       (F.col("w_id") * sp - mg).cast("long")).alias("_lo"),
             F.least(F.col("doc_offset") + F.col("n_tok"),
-                    ((F.col("w_id") + 1) * sp + ww).cast("long")).alias("_hi"),
+                    ((F.col("w_id") + 1) * sp + mg).cast("long")).alias("_hi"),
             "doc_offset", "tokens",
         )
         .filter(F.col("_hi") > F.col("_lo"))
