@@ -80,10 +80,19 @@ def _tail_tokens(
     if need <= 0:
         return []
     if total > 0:
+        # trim each boundary doc to its LAST <= need tokens server-side: a
+        # single long tail doc would otherwise ship its whole array to the
+        # driver just to keep ngram-1 tokens
         rows = (
             corpus.filter(F.col("doc_offset") + F.col("n_tok") > total - need)
             .orderBy("doc_offset")
-            .select("tokens")
+            .select(
+                F.slice(
+                    "tokens",
+                    F.greatest(F.lit(1), F.col("n_tok") - F.lit(need) + 1),
+                    F.lit(need),
+                ).alias("tokens")
+            )
             .collect()
         )
         for r in rows:
@@ -118,7 +127,7 @@ def append_increment_global(
     """
     if cfg.axis != "global":
         raise ValueError("append_increment_global needs cfg.axis='global'")
-    if new_docs.rdd.isEmpty():
+    if new_docs.isEmpty():
         return index, state
     untouched, merged, _boundary, new_state = _global_append_pieces(index, new_docs, cfg, state)
     return untouched.unionByName(merged), new_state
@@ -189,9 +198,32 @@ def incremental_index_stream(
     ``output_path``. Returns the started query (trigger=availableNow drains
     what exists and stops — deterministic for tests; drop the trigger for
     continuous mode)."""
+    if cfg.axis != "doc":
+        raise NotImplementedError(
+            "incremental_index_stream maintains the doc-axis index; use "
+            "incremental_global_index_stream for the one-stream axis "
+            "(per-batch global offsets must continue, not restart)")
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # foreachBatch is at-least-once: if this batch_id's rows already
+        # landed (crash between the append and the checkpoint commit), a
+        # replay must NOT append a second copy — batch_id is stable across
+        # replays of the same checkpoint lineage
+        try:
+            already = (
+                spark.read.parquet(output_path)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:
+            already = False  # first commit: output does not exist yet
+        if already:
+            return
         build_index(batch_df, cfg).withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(output_path)
@@ -240,10 +272,20 @@ def incremental_global_index_stream(
     ).parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty v0 dir would have no inferable parquet schema
         _finish_fold(work_dir)  # recover an interrupted compaction, if any
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
         if meta is not None and batch_id <= meta["last_batch_id"]:
             return  # replayed batch after failure: already applied
+        if meta is not None and (
+            meta["tree_span"] != cfg.tree_span
+            or meta["levels"] != [int(L) for L in cfg.levels]
+        ):
+            raise ValueError(
+                f"stream work_dir was built with tree_span={meta['tree_span']} "
+                f"levels={meta['levels']}; resuming with a different geometry "
+                "would corrupt the index")
         if meta is None:
             batch = with_global_offsets(batch_df)
             delta = build_index(batch, cfg)
@@ -325,10 +367,22 @@ def incremental_global_window_sketch_stream(
     ).parquet(input_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty sv0 dir would have no inferable parquet schema
         _finish_fold(work_dir)  # recover an interrupted compaction, if any
         meta = json.load(open(meta_path)) if os.path.exists(meta_path) else None
         if meta is not None and batch_id <= meta["last_batch_id"]:
             return  # replayed batch after failure: already applied
+        if meta is not None and (
+            meta["family"] != family
+            or meta["tree_span"] != cfg.tree_span
+            or meta["levels"] != [int(L) for L in cfg.levels]
+        ):
+            raise ValueError(
+                f"stream work_dir holds a {meta['family']!r} index with "
+                f"tree_span={meta['tree_span']}; resuming with "
+                f"family={family!r}/tree_span={cfg.tree_span} would merge "
+                "incompatible blobs")
         n_batch = batch_df.agg(F.coalesce(F.sum("n_tok"), F.lit(0))).first()[0]
         frames: list = []
         if meta is None:
@@ -553,5 +607,10 @@ def compact_global_stream_index(spark: SparkSession, work_dir: str) -> None:
     """Fold all delta versions into a single v0 (bounding the read-time union
     after many micro-batches — the LSM-compaction analog). State and answers
     are unchanged; subsequent appends continue from the folded version.
-    Crash-safe via the write-ahead fold marker (_fold_deltas)."""
+    Crash-safe via the write-ahead fold marker (_fold_deltas).
+
+    Do NOT run concurrently with an active streaming query on the same
+    work_dir: the fold deletes delta directories an in-flight micro-batch
+    may still be reading (the query fails and must be restarted — state
+    stays consistent, but the race is not coordinated)."""
     _fold_deltas(spark, work_dir, "v", "STATE.json")

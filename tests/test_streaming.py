@@ -474,3 +474,54 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert _sstate(idx2) == before
     assert not os.path.exists(os.path.join(work, _FOLD_MARKER))
     full.unpersist()
+
+
+def test_doc_stream_replay_guard(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying batch 0 (fresh checkpoint,
+    same output — the crash-between-append-and-commit shape) must NOT
+    append a second copy of its rows."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(inp)
+    corp = C.generate_corpus(spark, sf=0.002, seed=6).cache()
+    corp.coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_index_stream(spark, inp, str(tmp_path / "chk1"), out, CFG)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # a NEW checkpoint re-delivers the same file as batch 0 again
+    q = incremental_index_stream(spark, inp, str(tmp_path / "chk2"), out, CFG)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+    corp.unpersist()
+
+
+def test_global_stream_rejects_geometry_and_family_drift(spark, tmp_path):
+    """Resuming a stream work_dir with a different geometry (Bloom) or a
+    different sketch family must refuse loudly instead of committing a
+    corrupted index; empty first batches must not brick the work_dir."""
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        incremental_global_index_stream,
+        read_global_stream_index,
+    )
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    corp = C.generate_corpus(spark, sf=0.002, seed=7).cache()
+    gcfg = HbiConfig(tree_span=256, leaf_span=32, vocab=4096, seed=7, axis="global")
+    # an EMPTY parquet file first: batch skipped, no bricked v0 dir
+    corp.filter(F.lit(False)).coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_global_index_stream(spark, inp, str(tmp_path / "c0"), str(tmp_path / "w"), gcfg)
+    q.awaitTermination(120)
+    corp.coalesce(1).write.mode("append").parquet(inp)
+    q = incremental_global_index_stream(spark, inp, str(tmp_path / "c1"), str(tmp_path / "w"), gcfg)
+    q.awaitTermination(120)
+    idx, _st = read_global_stream_index(spark, str(tmp_path / "w"))
+    assert idx.count() > 0
+    # geometry drift refused (exception surfaces as a failed stream)
+    corp.limit(3).coalesce(1).write.mode("append").parquet(inp)
+    bad = gcfg.with_(tree_span=1024)
+    q = incremental_global_index_stream(spark, inp, str(tmp_path / "c2"), str(tmp_path / "w"), bad)
+    with pytest.raises(Exception, match="geometry|corrupt"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    corp.unpersist()
