@@ -1811,6 +1811,78 @@ def q_global_range_signed_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# range PAIRS ((a1,b1),(a2,b2)) for the cross-range queries: disjoint,
+# overlapping, and one side beyond most docs' end (zero-vector semantics)
+PAIR_QS = [((0, 4), (4, 8)), ((0, 3), (1, 9))]
+PAIR_QS_GLOBAL = [((0, 8), (8, 16)), ((5, 133), (120, 260)), ((1000, 1024), (0, 8))]
+
+
+def q_range_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-RANGE INNER PRODUCT <f_A, f_B> between the token-frequency
+    vectors of two leaf-window ranges per doc, answered from O(log) covering
+    count-sketch nodes per side (one broadcast join, one shuffle; the AMS
+    sketch-dot join-size estimator on the dense path). On this corpus every
+    merged range node stays SPARSE-EXACT, so answers are exact sums of
+    cnt_A * cnt_B over common tokens and the query is oracle-checked; the
+    dense regime's O(sqrt(F2_A*F2_B/width)) bound is enforced in
+    tests/test_cs_rollup.py. Extends the reference's per-window second-moment
+    estimators (estimators/CountSketch.java:15) to correlation BETWEEN
+    arbitrary slices."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_inner_product_estimates,
+    )
+
+    return range_inner_product_estimates(_cs_index(spark, sf_dir), PAIR_QS, CFG.deepest)
+
+
+def q_global_range_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-range inner product between two STREAM leaf-window ranges of
+    the ONE concatenated token stream — global twin (doc boundaries
+    invisible; sparse-exact on this corpus, oracle-checked). One pair puts
+    side A beyond the sf0.01 stream end: the missing side is the zero
+    vector and the row must still appear with est_ip 0."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_inner_product_estimates,
+    )
+
+    return global_range_inner_product_estimates(
+        _gcs_index(spark, sf_dir), PAIR_QS_GLOBAL, CFG.deepest)
+
+
+def q_range_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTTOM-K (KMV) JACCARD similarity between the distinct-token sets of
+    two leaf-window ranges per doc, answered from O(log) covering BottomK
+    nodes per side: merged = bottom-k(A ∪ B) is recovered losslessly from
+    the two range samples (KMV union mergeability), n_match counts its
+    entries present in both sides' samples, est_jaccard = n_match/n_sample.
+    All three outputs are deterministic VALUES (pure functions of the
+    distinct sets through the seed-fixed splitmix64 priority), so the query
+    is oracle-checked via the bit-exact SQL twin in EVERY regime — including
+    pairs where n_sample == k and the estimate is genuinely approximate
+    (reference estimators/BottomKSampler.java:17-58 lifted to set
+    similarity between hierarchy slices)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import range_jaccard
+
+    return range_jaccard(_bk_index(spark, sf_dir), PAIR_QS, CFG.deepest)
+
+
+def q_global_range_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV Jaccard between the distinct-token sets of two STREAM leaf-window
+    ranges — global twin of range_jaccard (phase-aligned partial samplers
+    merged into stream-window nodes, doc boundaries invisible)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_bk_window_index,
+        global_range_jaccard,
+    )
+
+    key = ("gbk_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_bk_window_index(
+            gcorp, CFG.with_(axis="global"), k=BK_K)
+    return global_range_jaccard(_CACHE[key], PAIR_QS_GLOBAL, CFG.deepest)
+
+
 def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token counts over STREAM leaf-window ranges [a, b) from the
     global-axis dyadic CMS index: O(log) covering nodes per range, document
@@ -2369,6 +2441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cs_rollup_totals": q_cs_rollup_totals,
         "range_f2": q_range_f2,
         "global_range_f2": q_global_range_f2,
+        "range_inner_product": q_range_inner_product,
+        "global_range_inner_product": q_global_range_inner_product,
+        "range_jaccard": q_range_jaccard,
+        "global_range_jaccard": q_global_range_jaccard,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
@@ -2985,6 +3061,162 @@ hits AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(SUM(cnt * cnt) AS DOUBLE) AS est_f2
 FROM hits GROUP BY a, b""",
+        # cross-range inner product = sum over common tokens of
+        # cnt_A * cnt_B — exact on this corpus (every merged range node
+        # sparse); a doc appears iff EITHER range overlaps it (the missing
+        # side is the zero vector, est_ip 0)
+        "range_inner_product": f"""WITH {CORPUS_CTE},
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS)}),
+present AS (
+  SELECT doc_id, a1, b1, a2, b2, tokens, n_tok FROM corpus, pq
+  WHERE n_tok > LEAST(a1, a2) * {CFG.leaf_span}),
+ca AS (
+  SELECT doc_id, a1, b1, a2, b2, t, COUNT(*) AS cnt
+  FROM (SELECT doc_id, a1, b1, a2, b2,
+               unnest(tokens[a1 * {CFG.leaf_span} + 1 : LEAST(n_tok, b1 * {CFG.leaf_span})]) AS t
+        FROM present)
+  GROUP BY doc_id, a1, b1, a2, b2, t),
+cb AS (
+  SELECT doc_id, a1, b1, a2, b2, t, COUNT(*) AS cnt
+  FROM (SELECT doc_id, a1, b1, a2, b2,
+               unnest(tokens[a2 * {CFG.leaf_span} + 1 : LEAST(n_tok, b2 * {CFG.leaf_span})]) AS t
+        FROM present)
+  GROUP BY doc_id, a1, b1, a2, b2, t),
+ip AS (
+  SELECT ca.doc_id, ca.a1, ca.b1, ca.a2, ca.b2, SUM(ca.cnt * cb.cnt) AS v
+  FROM ca JOIN cb ON ca.doc_id = cb.doc_id AND ca.a1 = cb.a1 AND ca.b1 = cb.b1
+                 AND ca.a2 = cb.a2 AND ca.b2 = cb.b2 AND ca.t = cb.t
+  GROUP BY ca.doc_id, ca.a1, ca.b1, ca.a2, ca.b2)
+SELECT p.doc_id, CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(ip.v, 0) AS DOUBLE) AS est_ip
+FROM present p
+LEFT JOIN ip ON ip.doc_id = p.doc_id AND ip.a1 = p.a1 AND ip.b1 = p.b1
+            AND ip.a2 = p.a2 AND ip.b2 = p.b2""",
+        "global_range_inner_product": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS_GLOBAL)}),
+present AS (SELECT a1, b1, a2, b2 FROM pq, tot WHERE n > LEAST(a1, a2) * {CFG.leaf_span}),
+ca AS (
+  SELECT a1, b1, a2, b2, t, COUNT(*) AS cnt
+  FROM flat, pq
+  WHERE g >= a1 * {CFG.leaf_span} AND g < b1 * {CFG.leaf_span}
+  GROUP BY a1, b1, a2, b2, t),
+cb AS (
+  SELECT a1, b1, a2, b2, t, COUNT(*) AS cnt
+  FROM flat, pq
+  WHERE g >= a2 * {CFG.leaf_span} AND g < b2 * {CFG.leaf_span}
+  GROUP BY a1, b1, a2, b2, t),
+ip AS (
+  SELECT ca.a1, ca.b1, ca.a2, ca.b2, SUM(ca.cnt * cb.cnt) AS v
+  FROM ca JOIN cb ON ca.a1 = cb.a1 AND ca.b1 = cb.b1
+                 AND ca.a2 = cb.a2 AND ca.b2 = cb.b2 AND ca.t = cb.t
+  GROUP BY ca.a1, ca.b1, ca.a2, ca.b2)
+SELECT CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(ip.v, 0) AS DOUBLE) AS est_ip
+FROM present p
+LEFT JOIN ip ON ip.a1 = p.a1 AND ip.b1 = p.b1 AND ip.a2 = p.a2 AND ip.b2 = p.b2""",
+        # KMV Jaccard: every output is a deterministic VALUE re-derived with
+        # the bit-exact splitmix64 twin — sample(X) = k distinct slice tokens
+        # with smallest priority, merged = k smallest over the union of the
+        # two samples, n_match = merged entries present in both samples
+        "range_jaccard": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed + 17)},
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS)}),
+present AS (
+  SELECT doc_id, a1, b1, a2, b2 FROM corpus, pq
+  WHERE n_tok > LEAST(a1, a2) * {CFG.leaf_span}),
+sta AS (
+  SELECT DISTINCT doc_id, a1, b1, a2, b2, CAST(tokens[i] AS BIGINT) AS tok
+  FROM pos JOIN pq ON i - 1 >= a1 * {CFG.leaf_span} AND i - 1 < b1 * {CFG.leaf_span}),
+stb AS (
+  SELECT DISTINCT doc_id, a1, b1, a2, b2, CAST(tokens[i] AS BIGINT) AS tok
+  FROM pos JOIN pq ON i - 1 >= a2 * {CFG.leaf_span} AND i - 1 < b2 * {CFG.leaf_span}),
+sam_a AS (SELECT doc_id, a1, b1, a2, b2, tok FROM (
+  SELECT sta.*, row_number() OVER (PARTITION BY doc_id, a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM sta JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+sam_b AS (SELECT doc_id, a1, b1, a2, b2, tok FROM (
+  SELECT stb.*, row_number() OVER (PARTITION BY doc_id, a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM stb JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+un AS (SELECT * FROM sam_a UNION SELECT * FROM sam_b),
+merged AS (SELECT doc_id, a1, b1, a2, b2, tok FROM (
+  SELECT un.*, row_number() OVER (PARTITION BY doc_id, a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM un JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+ns AS (SELECT doc_id, a1, b1, a2, b2, COUNT(*) AS n_sample
+       FROM merged GROUP BY doc_id, a1, b1, a2, b2),
+nm AS (SELECT m.doc_id, m.a1, m.b1, m.a2, m.b2, COUNT(*) AS n_match
+       FROM merged m
+       JOIN sam_a x ON x.doc_id = m.doc_id AND x.a1 = m.a1 AND x.b1 = m.b1
+                   AND x.a2 = m.a2 AND x.b2 = m.b2 AND x.tok = m.tok
+       JOIN sam_b y ON y.doc_id = m.doc_id AND y.a1 = m.a1 AND y.b1 = m.b1
+                   AND y.a2 = m.a2 AND y.b2 = m.b2 AND y.tok = m.tok
+       GROUP BY m.doc_id, m.a1, m.b1, m.a2, m.b2)
+SELECT p.doc_id, CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(ns.n_sample, 0) AS BIGINT) AS n_sample,
+       CAST(COALESCE(nm.n_match, 0) AS BIGINT) AS n_match,
+       CASE WHEN COALESCE(ns.n_sample, 0) > 0
+            THEN CAST(COALESCE(nm.n_match, 0) AS DOUBLE) / ns.n_sample
+            ELSE 0.0 END AS est_jaccard
+FROM present p
+LEFT JOIN ns ON ns.doc_id = p.doc_id AND ns.a1 = p.a1 AND ns.b1 = p.b1
+            AND ns.a2 = p.a2 AND ns.b2 = p.b2
+LEFT JOIN nm ON nm.doc_id = p.doc_id AND nm.a1 = p.a1 AND nm.b1 = p.b1
+            AND nm.a2 = p.a2 AND nm.b2 = p.b2""",
+        "global_range_jaccard": f"""WITH {CORPUS_CTE}, {POS_CTE},
+{_splitmix_ctes(CFG.seed + 17)},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, CAST(tokens[i] AS BIGINT) AS tok
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS_GLOBAL)}),
+present AS (SELECT a1, b1, a2, b2 FROM pq, tot WHERE n > LEAST(a1, a2) * {CFG.leaf_span}),
+sta AS (SELECT DISTINCT a1, b1, a2, b2, tok
+        FROM flat JOIN pq ON g >= a1 * {CFG.leaf_span} AND g < b1 * {CFG.leaf_span}),
+stb AS (SELECT DISTINCT a1, b1, a2, b2, tok
+        FROM flat JOIN pq ON g >= a2 * {CFG.leaf_span} AND g < b2 * {CFG.leaf_span}),
+sam_a AS (SELECT a1, b1, a2, b2, tok FROM (
+  SELECT sta.*, row_number() OVER (PARTITION BY a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM sta JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+sam_b AS (SELECT a1, b1, a2, b2, tok FROM (
+  SELECT stb.*, row_number() OVER (PARTITION BY a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM stb JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+un AS (SELECT * FROM sam_a UNION SELECT * FROM sam_b),
+merged AS (SELECT a1, b1, a2, b2, tok FROM (
+  SELECT un.*, row_number() OVER (PARTITION BY a1, b1, a2, b2 ORDER BY _h, tok) AS rn
+  FROM un JOIN sm3 USING (tok)) WHERE rn <= {BK_K}),
+ns AS (SELECT a1, b1, a2, b2, COUNT(*) AS n_sample FROM merged GROUP BY a1, b1, a2, b2),
+nm AS (SELECT m.a1, m.b1, m.a2, m.b2, COUNT(*) AS n_match
+       FROM merged m
+       JOIN sam_a x ON x.a1 = m.a1 AND x.b1 = m.b1 AND x.a2 = m.a2 AND x.b2 = m.b2 AND x.tok = m.tok
+       JOIN sam_b y ON y.a1 = m.a1 AND y.b1 = m.b1 AND y.a2 = m.a2 AND y.b2 = m.b2 AND y.tok = m.tok
+       GROUP BY m.a1, m.b1, m.a2, m.b2)
+SELECT CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(ns.n_sample, 0) AS BIGINT) AS n_sample,
+       CAST(COALESCE(nm.n_match, 0) AS BIGINT) AS n_match,
+       CASE WHEN COALESCE(ns.n_sample, 0) > 0
+            THEN CAST(COALESCE(nm.n_match, 0) AS DOUBLE) / ns.n_sample
+            ELSE 0.0 END AS est_jaccard
+FROM present p
+LEFT JOIN ns ON ns.a1 = p.a1 AND ns.b1 = p.b1 AND ns.a2 = p.a2 AND ns.b2 = p.b2
+LEFT JOIN nm ON nm.a1 = p.a1 AND nm.b1 = p.b1 AND nm.a2 = p.a2 AND nm.b2 = p.b2""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

@@ -968,6 +968,200 @@ def global_range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
 
 
 # ---------------------------------------------------------------------------
+# PAIR-of-ranges queries — two ranges answered against each other from the
+# same dyadic index: cross-range inner product (cs family, the AMS join-size
+# estimator between two slices) and bottom-k Jaccard (bk family, KMV set
+# similarity). Same O(log)-cover-node contract as the single-range family;
+# both sides' covers ride ONE broadcast join and ONE shuffle, tagged by a
+# side column so overlapping ranges keep their nodes apart.
+# ---------------------------------------------------------------------------
+
+
+def _pair_nodes_df(spark, pairs, deepest: int):
+    """Cover rows for each queried RANGE PAIR ((a1,b1),(a2,b2)) — one row
+    per (pair, side, cover node), query-side small (|pairs| * 2 * O(log)),
+    broadcast against the index. Pairs are deduped for the same
+    double-count reason as _range_nodes_df; when the two ranges overlap,
+    their covers may share (level, w_id) nodes — the side column keeps the
+    two joined copies apart."""
+    uniq = list(dict.fromkeys(
+        ((int(p[0][0]), int(p[0][1])), (int(p[1][0]), int(p[1][1]))) for p in pairs))
+    rows = [
+        (a1, b1, a2, b2, side, L, w)
+        for (a1, b1), (a2, b2) in uniq
+        for side, (a, b) in ((0, (a1, b1)), (1, (a2, b2)))
+        for L, w in dyadic_cover(a, b, deepest)
+    ]
+    schema = "a1 long, b1 long, a2 long, b2 long, side long, level int, w_id long"
+    return spark.createDataFrame(rows, schema)
+
+
+_DOC_PAIR_KEYS = ("doc_id", "a1", "b1", "a2", "b2")
+_DOC_PAIR_SCHEMA = "doc_id string, a1 long, b1 long, a2 long, b2 long"
+_GLOBAL_PAIR_KEYS = ("a1", "b1", "a2", "b2")
+_GLOBAL_PAIR_SCHEMA = "a1 long, b1 long, a2 long, b2 long"
+
+
+def _joined_pair_groups(index: DataFrame, pairs, deepest: int, key_cols,
+                        partial_merge=None) -> DataFrame:
+    """Join the broadcast pair-cover nodes against the index and group per
+    (range-pair key), collecting (side, sketch) structs. The doc axis uses
+    the all-docs form only: shared nodes broadcast, per-doc fan-out against
+    the index's own doc_id column (same never-collect-the-doc-catalog scale
+    argument as _joined_range_groups). Map-side partial merges run per
+    (key, side), so the shuffle moves at most two partials per key per
+    partition."""
+    nodes = F.broadcast(_pair_nodes_df(index.sparkSession, pairs, deepest))
+    joined = index.join(nodes, ["level", "w_id"])
+    if partial_merge is not None:
+        side_keys = list(key_cols) + ["side"]
+        joined = joined.select(*side_keys, "sketch").mapInPandas(
+            _partial_merge_fn(side_keys, partial_merge),
+            schema=_key_schema(side_keys) + ", sketch binary",
+        )
+    return (
+        joined.groupBy(*key_cols)
+        # deterministic child order (side 0 first) for reproducible bytes
+        .agg(F.sort_array(F.collect_list(F.struct("side", "sketch"))).alias("children"))
+    )
+
+
+def _split_pair_children(pdf: pd.DataFrame):
+    """Flatten each row's (side, sketch) struct children into per-side flat
+    blob lists + per-row counts. Zero counts are legal: a side whose range
+    lies wholly beyond the data has no covering node — its frequency vector
+    is the zero vector / its distinct set is empty."""
+    n = len(pdf)
+    a_cnt = np.zeros(n, dtype=np.int64)
+    b_cnt = np.zeros(n, dtype=np.int64)
+    a_flat: list[bytes] = []
+    b_flat: list[bytes] = []
+    for i, children in enumerate(pdf["children"]):
+        for ch in children:
+            if ch["side"] == 0:
+                a_flat.append(bytes(ch["sketch"]))
+                a_cnt[i] += 1
+            else:
+                b_flat.append(bytes(ch["sketch"]))
+                b_cnt[i] += 1
+    return a_flat, a_cnt, b_flat, b_cnt
+
+
+def _cs_pair_ip_fn(key_cols):
+    from ..sketches import cms as cms_kernels
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_flat, a_cnt, b_flat, b_cnt = _split_pair_children(pdf)
+            ip = np.zeros(len(pdf), dtype=np.float64)
+            both = (a_cnt > 0) & (b_cnt > 0)
+            if both.any():
+                d, w, s = cms_kernels.blob_params((a_flat if a_flat else b_flat)[0])
+                # the cs merge refuses zero-count groups — merge only the
+                # present sides, then index back via the nonzero prefix sums
+                ma = cms_kernels.cs_merge_blob_groups(a_flat, a_cnt[a_cnt > 0], d, w, s)
+                mb = cms_kernels.cs_merge_blob_groups(b_flat, b_cnt[b_cnt > 0], d, w, s)
+                a_pos = np.cumsum(a_cnt > 0) - 1
+                b_pos = np.cumsum(b_cnt > 0) - 1
+                rows = np.flatnonzero(both)
+                ip[rows] = cms_kernels.cs_inner_product_blobs(
+                    [ma[a_pos[r]] for r in rows], [mb[b_pos[r]] for r in rows])
+            out = pdf[list(key_cols)].copy()
+            out["est_ip"] = ip
+            yield out
+
+    return est
+
+
+def range_inner_product_estimates(cs_index: DataFrame, pairs, deepest: int) -> DataFrame:
+    """(doc_id, a1, b1, a2, b2, est_ip): inner product <f_A, f_B> between
+    the token-frequency vectors of two leaf-window ranges A=[a1,b1),
+    B=[a2,b2) per doc — the cross-range correlation / equi-join-size query,
+    answered from O(log) covering nodes per side instead of the slices
+    themselves. Dense path: the AMS sketch-dot estimator (unbiased, error
+    O(sqrt(F2_A*F2_B/width)) — sketches.cms.cs_inner_product_blobs); both
+    merged range nodes sparse: EXACT, hence SQL-oracle-checkable on
+    small-vocab corpora. ``pairs`` = ((a1, b1), (a2, b2)) tuples applied to
+    every doc (shared cover nodes broadcast); a doc appears iff either range
+    overlaps it — a missing side contributes the zero vector (est_ip 0)."""
+    return _joined_pair_groups(
+        cs_index, pairs, deepest, _DOC_PAIR_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_pair_ip_fn(_DOC_PAIR_KEYS), schema=_DOC_PAIR_SCHEMA + ", est_ip double"
+    )
+
+
+def global_range_inner_product_estimates(cs_index: DataFrame, pairs,
+                                         deepest: int) -> DataFrame:
+    """Global twin of range_inner_product_estimates: inner product between
+    two STREAM leaf-window ranges of the ONE concatenated token stream
+    (phase-aligned partial sketches already merged into stream-window nodes
+    by the global build — doc boundaries invisible)."""
+    return _joined_pair_groups(
+        cs_index, pairs, deepest, _GLOBAL_PAIR_KEYS, partial_merge=_cs_merge_auto
+    ).mapInPandas(
+        _cs_pair_ip_fn(_GLOBAL_PAIR_KEYS), schema=_GLOBAL_PAIR_SCHEMA + ", est_ip double"
+    )
+
+
+def _bk_pair_jac_fn(key_cols):
+    from ..sketches import samplers as bkk
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_flat, a_cnt, b_flat, b_cnt = _split_pair_children(pdf)
+            k, seed = bkk.blob_params((a_flat if a_flat else b_flat)[0])
+            # zero-count groups are legal for the bk merge (empty node out),
+            # so each side merges in ONE kernel call over the whole batch
+            ma = bkk.merge_blob_groups(a_flat, a_cnt, k, seed)
+            mb = bkk.merge_blob_groups(b_flat, b_cnt, k, seed)
+            n_sample, n_match, est_j = bkk.jaccard_blobs(ma, mb, k, seed)
+            out = pdf[list(key_cols)].copy()
+            out["n_sample"] = n_sample
+            out["n_match"] = n_match
+            out["est_jaccard"] = est_j
+            yield out
+
+    return est
+
+
+def range_jaccard(bk_index: DataFrame, pairs, deepest: int) -> DataFrame:
+    """(doc_id, a1, b1, a2, b2, n_sample, n_match, est_jaccard): bottom-k
+    (KMV) Jaccard similarity between the DISTINCT-token sets of two
+    leaf-window ranges per doc. merged = bottom-k(A ∪ B) is recovered
+    losslessly from the two range samples (KMV union mergeability), n_match
+    counts its entries present in BOTH sides' samples (sound — see
+    sketches.samplers.jaccard_blobs), est_jaccard = n_match / n_sample.
+    All three outputs are deterministic VALUES (pure functions of the
+    distinct-token sets through the seed-fixed priority hash), so the query
+    is SQL-oracle-checkable via the bit-exact splitmix64 twin in EVERY
+    regime; the estimate is additionally EXACT whenever n_sample < k.
+    ``pairs`` apply to every doc; a doc appears iff either range overlaps
+    it (missing side = empty set, est_jaccard 0)."""
+    return _joined_pair_groups(
+        bk_index, pairs, deepest, _DOC_PAIR_KEYS, partial_merge=_bk_merge_auto
+    ).mapInPandas(
+        _bk_pair_jac_fn(_DOC_PAIR_KEYS),
+        schema=_DOC_PAIR_SCHEMA + ", n_sample long, n_match long, est_jaccard double",
+    )
+
+
+def global_range_jaccard(bk_index: DataFrame, pairs, deepest: int) -> DataFrame:
+    """Global twin of range_jaccard: KMV Jaccard between the distinct-token
+    sets of two STREAM leaf-window ranges (doc boundaries invisible)."""
+    return _joined_pair_groups(
+        bk_index, pairs, deepest, _GLOBAL_PAIR_KEYS, partial_merge=_bk_merge_auto
+    ).mapInPandas(
+        _bk_pair_jac_fn(_GLOBAL_PAIR_KEYS),
+        schema=_GLOBAL_PAIR_SCHEMA + ", n_sample long, n_match long, est_jaccard double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # GLOBAL-axis window-sketch indexes: the reference's actual model is ONE
 # concatenated token stream (PMIndex/HBI.java insert/report) — stream
 # windows cross document boundaries. Docs contribute PARTIAL sketches of

@@ -660,6 +660,54 @@ def cs_estimate_blobs(blobs: list[bytes], keys: np.ndarray, depth: int, width: i
                                 _MAGIC_CS, _MAGIC_CS_SP, True)
 
 
+def cs_inner_product_blobs(blobs_a: list[bytes], blobs_b: list[bytes]) -> np.ndarray:
+    """Pairwise inner product <f_a, f_b> of the two token-frequency vectors
+    summarized by blobs_a[i] and blobs_b[i] (float64): EXACT when both nodes
+    are sparse (sum over common tokens of cnt_a * cnt_b — zero error), the
+    AMS sketch-dot estimate otherwise (per row r: sum_w A[r,w]*B[r,w] is an
+    unbiased estimator of <f_a, f_b> because the two sketches share sign and
+    bucket hashes — same seed required — and cross terms cancel in
+    expectation; median over rows, |err| = O(sqrt(F2_a*F2_b/width)) w.h.p.,
+    Alon-Matias-Szegedy generalized to join-size estimation). Both blobs of
+    a pair must carry identical (depth, width, seed) — validated."""
+    if len(blobs_a) != len(blobs_b):
+        raise ValueError("inner product needs equal-length blob lists")
+    out = np.empty(len(blobs_a), dtype=np.float64)
+    for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+        ba, bb = bytes(ba), bytes(bb)
+        if ba[0] not in (_MAGIC_CS, _MAGIC_CS_SP) or bb[0] not in (_MAGIC_CS, _MAGIC_CS_SP):
+            raise ValueError(
+                f"unknown sketch magics ({ba[0]}, {bb[0]}) (expected cs nodes)")
+        pa, pb = blob_params(ba), blob_params(bb)
+        if pa != pb:
+            raise ValueError(f"inner-product pair params differ: {pa} != {pb}")
+        if ba[0] == _MAGIC_CS_SP and bb[0] == _MAGIC_CS_SP:
+            # sparse x sparse: exact dot over the token intersection (entries
+            # are token-sorted by construction — every pack path lexsorts)
+            ta, ca = _sp_entries(ba)
+            tb, cb = _sp_entries(bb)
+            if len(ta) == 0 or len(tb) == 0:
+                out[i] = 0.0
+                continue
+            pos = np.searchsorted(tb, ta)
+            ok = pos < len(tb)
+            hit = np.zeros(len(ta), dtype=bool)
+            hit[ok] = tb[pos[ok]] == ta[ok]
+            out[i] = float(
+                (ca[hit].astype(np.float64) * cb[pos[hit]].astype(np.float64)).sum()
+            )
+        else:
+            d, w, _s = pa
+            da, db = densify_blob(ba), densify_blob(bb)
+            ta = np.frombuffer(da, dtype=np.int64, count=d * w,
+                               offset=_CMS_TABLE_OFFSET).reshape(d, w)
+            tb = np.frombuffer(db, dtype=np.int64, count=d * w,
+                               offset=_CMS_TABLE_OFFSET).reshape(d, w)
+            out[i] = float(np.median(
+                (ta.astype(np.float64) * tb.astype(np.float64)).sum(axis=1)))
+    return out
+
+
 def f2_blobs(blobs: list[bytes]) -> np.ndarray:
     """Second frequency moment of each blob's window content (float64):
     EXACT sum of squared counts per sparse blob, AMS median-of-rows

@@ -288,6 +288,51 @@ def sample_blob_tokens(blobs: list[bytes]) -> list[np.ndarray]:
     return out
 
 
+def jaccard_blobs(blobs_a: list[bytes], blobs_b: list[bytes], k: int,
+                  seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pairwise bottom-k (KMV) Jaccard state for blobs_a[i] vs blobs_b[i]:
+    (n_sample, n_match, est_jaccard) per pair, where
+
+    * merged  = bottom-k(A ∪ B), recovered losslessly from the two node
+      samples (classic KMV union mergeability),
+    * n_sample = |merged| (<= k; < k iff the union has < k distinct tokens,
+      in which case everything below is EXACT),
+    * n_match  = |{e in merged : e in sample(A) and e in sample(B)}| — sound
+      because an entry of bottom-k(A ∪ B) that belongs to A necessarily
+      belongs to bottom-k(A) (fewer A-priorities precede it than union
+      priorities, and those number < k),
+    * est_jaccard = n_match / n_sample, the standard KMV Jaccard estimator.
+
+    All three outputs are DETERMINISTIC VALUES (pure functions of the two
+    windows' distinct-token sets through the seed-fixed priority hash), so
+    they are SQL-oracle-checkable in every regime — exactness of the
+    estimate itself additionally needs n_sample < k."""
+    if len(blobs_a) != len(blobs_b):
+        raise ValueError("jaccard needs equal-length blob lists")
+    n = len(blobs_a)
+    n_sample = np.zeros(n, dtype=np.int64)
+    n_match = np.zeros(n, dtype=np.int64)
+    est = np.zeros(n, dtype=np.float64)
+    for i, (ba, bb) in enumerate(zip(blobs_a, blobs_b)):
+        ba, bb = bytes(ba), bytes(bb)
+        _check_bk_blob(ba, k, seed)
+        _check_bk_blob(bb, k, seed)
+        ka, pa = _bk_entries(ba)
+        kb, pb = _bk_entries(bb)
+        prios = np.concatenate([pa, pb])
+        if len(prios) == 0:
+            continue
+        keys = np.concatenate([ka, kb])
+        u_prios, idx = np.unique(prios, return_index=True)
+        u_keys = keys[idx][:k]
+        m = len(u_keys)
+        x = int((np.isin(u_keys, ka) & np.isin(u_keys, kb)).sum())
+        n_sample[i] = m
+        n_match[i] = x
+        est[i] = x / m
+    return n_sample, n_match, est
+
+
 def estimate_distinct_blobs(blobs: list[bytes]) -> np.ndarray:
     """Bottom-k (KMV) cardinality estimate per blob — the blob-level twin of
     BottomKSampler.estimate_distinct (same order-statistics formula)."""

@@ -272,3 +272,112 @@ def test_global_append_equals_rebuild(spark, built):
         for df in (old_idx, appended, full):
             df.unpersist()
         gcorp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# KMV range Jaccard (pair-of-ranges family)
+# ---------------------------------------------------------------------------
+def _brute_jaccard_state(sl_a, sl_b, k, seed=SEED):
+    """Ground truth for (n_sample, n_match, est_jaccard): merged = the k
+    distinct union tokens with smallest priority; match = merged tokens in
+    both sides' own bottom-k samples."""
+    sa, sb = _brute_bottomk(sl_a, k, seed), _brute_bottomk(sl_b, k, seed)
+    u = np.unique(np.asarray(sl_a + sl_b if isinstance(sl_a, list)
+                             else np.concatenate([sl_a, sl_b]), dtype=np.int64))
+    if len(u) == 0:
+        return 0, 0, 0.0
+    order = np.argsort(hash64(u, seed), kind="stable")
+    merged = u[order][:k].tolist()
+    m = len(merged)
+    x = sum(1 for t in merged if t in sa and t in sb)
+    return m, x, x / m
+
+
+def test_jaccard_kernel_matches_brute_and_exact_regime():
+    rng = np.random.default_rng(11)
+    A = rng.integers(0, 80, 60).astype(np.int64)
+    B = rng.integers(40, 120, 60).astype(np.int64)
+    for k in (8, 16):  # estimator regime (union > k)
+        ba = bk.partial_blobs_by_slot(A, np.zeros(len(A), np.int64), 1, k, SEED)[0]
+        bb = bk.partial_blobs_by_slot(B, np.zeros(len(B), np.int64), 1, k, SEED)[0]
+        ns, nm, ej = bk.jaccard_blobs([ba], [bb], k, SEED)
+        m, x, j = _brute_jaccard_state(A, B, k)
+        assert (int(ns[0]), int(nm[0]), float(ej[0])) == (m, x, j)
+        assert m == k  # genuinely approximate here
+    # exact regime: k >= |union| -> est_jaccard IS the true Jaccard
+    k = 512
+    ba = bk.partial_blobs_by_slot(A, np.zeros(len(A), np.int64), 1, k, SEED)[0]
+    bb = bk.partial_blobs_by_slot(B, np.zeros(len(B), np.int64), 1, k, SEED)[0]
+    ns, nm, ej = bk.jaccard_blobs([ba], [bb], k, SEED)
+    inter = len(np.intersect1d(np.unique(A), np.unique(B)))
+    union = len(np.union1d(A, B))
+    assert int(ns[0]) == union and int(nm[0]) == inter
+    assert float(ej[0]) == inter / union
+    # empty sides
+    be = bk.partial_blobs_by_slot(np.empty(0, np.int64), np.empty(0, np.int64),
+                                  1, k, SEED)[0]
+    ns, nm, ej = bk.jaccard_blobs([ba, be], [be, be], k, SEED)
+    assert int(ns[0]) == len(np.unique(A)) and int(nm[0]) == 0 and float(ej[0]) == 0.0
+    assert (int(ns[1]), int(nm[1]), float(ej[1])) == (0, 0, 0.0)
+
+
+PAIRS = [((0, 4), (4, 8)), ((1, 9), (0, 3)), ((0, 2), (4096, 4100))]
+
+
+def test_range_jaccard_vs_brute_force(spark, built):
+    """Every output of the pair query is a deterministic VALUE — recompute
+    all three from the raw slices per (doc, pair). Includes an overlapping
+    pair and a pair whose side B lies beyond every doc (empty set)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import range_jaccard
+
+    corp, idx = built
+    got = {(r["doc_id"], r["a1"], r["b1"], r["a2"], r["b2"]):
+           (r["n_sample"], r["n_match"], r["est_jaccard"])
+           for r in range_jaccard(idx, PAIRS, CFG.deepest).collect()}
+    span = CFG.leaf_span
+    n_checked = n_approx = 0
+    for r in corp.select("doc_id", "tokens").collect():
+        toks = r["tokens"]
+        for (a1, b1), (a2, b2) in PAIRS:
+            key = (r["doc_id"], a1, b1, a2, b2)
+            sa = np.asarray(toks[a1 * span: b1 * span], dtype=np.int64)
+            sb = np.asarray(toks[a2 * span: b2 * span], dtype=np.int64)
+            if len(sa) == 0 and len(sb) == 0:
+                assert key not in got
+                continue
+            m, x, j = _brute_jaccard_state(sa, sb, K)
+            assert got[key] == (m, x, j)
+            n_checked += 1
+            if m == K:
+                n_approx += 1
+    assert n_checked > 0 and n_approx > 0  # the estimator regime is exercised
+    assert len(got) == n_checked
+
+
+def test_global_range_jaccard_vs_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_jaccard,
+    )
+
+    corp, _ = built
+    gcorp = C.with_global_offsets(corp)
+    gidx = build_global_bk_window_index(gcorp, CFG.with_(axis="global"), k=K)
+    try:
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        pairs = [((0, 6), (3, 97)), ((1, 2), (1, 2)), ((0, 4), (100000, 100004))]
+        span = CFG.leaf_span
+        got = {(r["a1"], r["b1"], r["a2"], r["b2"]):
+               (r["n_sample"], r["n_match"], r["est_jaccard"])
+               for r in global_range_jaccard(gidx, pairs, CFG.deepest).collect()}
+        assert len(got) == len(pairs)
+        for (a1, b1), (a2, b2) in pairs:
+            sa = np.asarray(stream[a1 * span: b1 * span], dtype=np.int64)
+            sb = np.asarray(stream[a2 * span: b2 * span], dtype=np.int64)
+            assert got[(a1, b1, a2, b2)] == _brute_jaccard_state(sa, sb, K)
+        # identical ranges -> Jaccard exactly 1 even in the estimator regime
+        assert got[(1, 2, 1, 2)][2] == 1.0
+    finally:
+        gidx.unpersist()

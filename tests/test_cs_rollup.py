@@ -310,3 +310,111 @@ def test_registry_and_object_bridge_for_sparse_cs_nodes():
     with pytest.raises(ValueError, match="params"):
         other = k.cs_leaf_window_blobs(toks, 32, D, W, SEED + 1)[0]
         k.cs_merge_blob_groups([b, other], np.array([2]), D, W, SEED)
+
+
+# ---------------------------------------------------------------------------
+# cross-range inner product (pair-of-ranges family)
+# ---------------------------------------------------------------------------
+def test_inner_product_kernel_laws():
+    """sparse x sparse is the EXACT dot over common tokens; dense pairs run
+    the AMS sketch-dot estimator (unbiased, deviation O(sqrt(F2a*F2b/w)));
+    mismatched params are refused."""
+    rng = np.random.default_rng(7)
+    A = rng.integers(0, 60, 50).astype(np.int64)
+    B = rng.integers(30, 90, 70).astype(np.int64)
+    ba = k.cs_leaf_window_blobs(A, 128, D, W, SEED)[0]
+    bb = k.cs_leaf_window_blobs(B, 128, D, W, SEED)[0]
+    fa, fb = np.bincount(A, minlength=100), np.bincount(B, minlength=100)
+    assert k.cs_inner_product_blobs([ba], [bb])[0] == float((fa * fb).sum())
+    # disjoint supports -> exactly zero
+    bc = k.cs_leaf_window_blobs(np.arange(200, 240, dtype=np.int64), 64, D, W, SEED)[0]
+    assert k.cs_inner_product_blobs([ba], [bc])[0] == 0.0
+    # dense regime: within the AMS deviation bound
+    d2, w2 = 5, 64
+    A2 = rng.integers(0, 2000, 20_000).astype(np.int64)
+    B2 = rng.integers(500, 2500, 20_000).astype(np.int64)
+    ba2 = k.cs_leaf_window_blobs(A2, 1 << 20, d2, w2, SEED)[0]
+    bb2 = k.cs_leaf_window_blobs(B2, 1 << 20, d2, w2, SEED)[0]
+    assert ba2[0] == k.CountSketch.MAGIC and bb2[0] == k.CountSketch.MAGIC
+    fa2 = np.bincount(A2, minlength=2500).astype(np.float64)
+    fb2 = np.bincount(B2, minlength=2500).astype(np.float64)
+    ip = float((fa2 * fb2).sum())
+    got = k.cs_inner_product_blobs([ba2], [bb2])[0]
+    sigma = np.sqrt(float((fa2 ** 2).sum()) * float((fb2 ** 2).sum()) / w2)
+    assert abs(got - ip) <= 6 * sigma
+    # mixed sparse x dense runs through densification
+    small = k.cs_leaf_window_blobs(rng.integers(0, 10, 30).astype(np.int64),
+                                   64, d2, w2, SEED)[0]
+    assert small[0] == 14
+    k.cs_inner_product_blobs([small], [ba2])
+    with pytest.raises(ValueError, match="params"):
+        k.cs_inner_product_blobs([ba], [ba2])
+    with pytest.raises(ValueError, match="magic"):
+        k.cs_inner_product_blobs([k.leaf_window_blobs(A, 128, D, W, SEED)[0]], [bb])
+
+
+PAIRS = [((0, 4), (4, 8)), ((1, 9), (0, 3)), ((0, 2), (4096, 4100))]
+
+
+def test_range_inner_product_exact_vs_brute_force(spark, built):
+    """Sparse corpus => every pair answer is the exact <f_A, f_B>; a pair
+    whose second range lies beyond every doc still yields rows (zero
+    vector, est_ip 0)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_inner_product_estimates,
+    )
+
+    corp, idx = built
+    got = {(r["doc_id"], r["a1"], r["b1"], r["a2"], r["b2"]): r["est_ip"]
+           for r in range_inner_product_estimates(idx, PAIRS, CFG.deepest).collect()}
+    span = CFG.leaf_span
+    n_checked = n_zero_side = 0
+    for r in corp.select("doc_id", "tokens").collect():
+        toks = r["tokens"]
+        for (a1, b1), (a2, b2) in PAIRS:
+            key = (r["doc_id"], a1, b1, a2, b2)
+            sa, sb = toks[a1 * span: b1 * span], toks[a2 * span: b2 * span]
+            if len(sa) == 0 and len(sb) == 0:
+                assert key not in got
+                continue
+            ca, cb = _exact_counts(sa), _exact_counts(sb)
+            want = float(sum(c * cb.get(t, 0) for t, c in ca.items()))
+            assert got[key] == want
+            n_checked += 1
+            if not sa or not sb:
+                n_zero_side += 1
+    assert n_checked > 0 and n_zero_side > 0
+    assert len(got) == n_checked
+
+
+def test_global_range_inner_product_exact(spark, built):
+    """Global twin vs the concatenated stream, including an IDENTICAL pair
+    (A == B, so est_ip == exact F2 — the side-tagged join must keep the
+    shared cover nodes apart)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_inner_product_estimates,
+    )
+
+    corp, _ = built
+    gcorp = C.with_global_offsets(corp)
+    gidx = build_global_cs_window_index(gcorp, CFG.with_(axis="global"), depth=D, width=W)
+    try:
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        pairs = [((0, 6), (3, 97)), ((1, 2), (1, 2)), ((0, 4), (100000, 100004))]
+        span = CFG.leaf_span
+        got = {(r["a1"], r["b1"], r["a2"], r["b2"]): r["est_ip"]
+               for r in global_range_inner_product_estimates(
+                   gidx, pairs, CFG.deepest).collect()}
+        assert len(got) == len(pairs)
+        for (a1, b1), (a2, b2) in pairs:
+            ca = _exact_counts(stream[a1 * span: b1 * span])
+            cb = _exact_counts(stream[a2 * span: b2 * span])
+            want = float(sum(c * cb.get(t, 0) for t, c in ca.items()))
+            assert got[(a1, b1, a2, b2)] == want
+        assert got[(1, 2, 1, 2)] == _exact_f2(stream[span: 2 * span])
+        assert got[(0, 4, 100000, 100004)] == 0.0
+    finally:
+        gidx.unpersist()
