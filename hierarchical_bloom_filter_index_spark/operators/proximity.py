@@ -34,6 +34,175 @@ from .probe import probe_blobs
 PAIR_SCHEMA = "doc_id string, pos_a int, pos_b int"
 
 
+# ---------------------------------------------------------------------------
+# Shared kernels. Every proximity surface (single/batch x doc/global x
+# conjunctive/chain/negated) is a composition of the SAME five primitives —
+# probe, window-reach intersection, position-pair expansion, backward
+# existence DP, fragment assembly. They were once copy-pasted per surface;
+# the divergence caused a real bug (the absent-level refusal existed on some
+# surfaces only), so they live here exactly once.
+# ---------------------------------------------------------------------------
+
+PAIR_PROBE_DOC_SCHEMA = "doc_id string, w_id long, ok_a boolean, ok_b boolean"
+PAIR_PROBE_GLOBAL_SCHEMA = "w_id long, ok_a boolean, ok_b boolean"
+SPARSE_PROBE_DOC_SCHEMA = "doc_id string, w_id long, k int"
+SPARSE_PROBE_GLOBAL_SCHEMA = "w_id long, k int"
+
+
+def _probe_pair_fn(keys: np.ndarray, with_doc: bool):
+    """Two-key Bloom probe over level rows -> (doc_id?, w_id, ok_a, ok_b),
+    keeping only windows positive for at least one key."""
+    cols = ["doc_id", "w_id"] if with_doc else ["w_id"]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, 2)
+            any_hit = ok.any(axis=1)
+            out = pdf.loc[any_hit, cols].copy()
+            out["ok_a"] = ok[any_hit, 0]
+            out["ok_b"] = ok[any_hit, 1]
+            yield out
+
+    return probe
+
+
+def _probe_sparse_fn(ukeys: np.ndarray, with_doc: bool):
+    """Multi-key Bloom probe -> sparse positive rows (doc_id?, w_id, k):
+    unbounded key count and only positive probes move to the shuffle."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
+            r, c = np.nonzero(ok)
+            if len(r) == 0:
+                continue
+            out = {"w_id": pdf["w_id"].to_numpy()[r], "k": c.astype(np.int32)}
+            if with_doc:
+                out = {"doc_id": pdf["doc_id"].to_numpy()[r], **out}
+            yield pd.DataFrame(out)
+
+    return probe
+
+
+def _reach_mask(wa: np.ndarray, wb: np.ndarray, back: int, fwd: int) -> np.ndarray:
+    """Per wa entry: is there a wb entry in [wa - back, wa + fwd]? One
+    searchsorted pass over the SORTED arrays — never a wa x wb join (a
+    frequent token pair would make that quadratic)."""
+    lo = np.searchsorted(wb, wa - back, side="left")
+    hi = np.searchsorted(wb, wa + fwd, side="right")
+    return hi > lo
+
+
+def _expand_pairs(pa: np.ndarray, pb: np.ndarray, p_lo: int, w: int):
+    """All (A, B) position pairs with ``pb in [pa + p_lo, pa + w]`` and
+    ``pa != pb``, as (pa_rep, pb_hit) arrays — or None when empty. ``pa``
+    and ``pb`` must be sorted (they are: flatnonzero output)."""
+    lo = np.searchsorted(pb, pa + p_lo, side="left")
+    hi = np.searchsorted(pb, pa + w, side="right")
+    reps = hi - lo
+    sel = reps > 0
+    if not sel.any():
+        return None
+    pa_rep = np.repeat(pa[sel], reps[sel])
+    idx = np.concatenate([np.arange(l, h) for l, h in zip(lo[sel], hi[sel])])
+    pb_hit = pb[idx]
+    ok = pa_rep != pb_hit
+    if not ok.any():
+        return None
+    return pa_rep[ok], pb_hit[ok]
+
+
+def _backward_reach(lists: list[np.ndarray], lo_off: int, hi_off: int) -> np.ndarray:
+    """Backward existence DP over sorted arrays: the entries of lists[0]
+    that can head a chain x_0, x_1, ..., x_{k-1} (x_i from lists[i]) with
+    every step ``x_{i+1} in [x_i + lo_off, x_i + hi_off]``. Existence must
+    be decided per LEVEL, not greedily (earliest-successor dead-ends are a
+    tested trap); one searchsorted pass per level."""
+    good = lists[-1]
+    for i in range(len(lists) - 2, -1, -1):
+        xi = lists[i]
+        good = xi[_reach_mask(xi, good, -lo_off, hi_off)]
+        if len(good) == 0:
+            break
+    return good
+
+
+def _positions_fn(t: np.ndarray, base: int = 0):
+    """Memoized sorted positions of a token in ``t`` (+ base): several
+    queries / chain levels share one scan per distinct token."""
+    cache: dict[int, np.ndarray] = {}
+
+    def positions(tok: int) -> np.ndarray:
+        if tok not in cache:
+            cache[tok] = np.flatnonzero(t == tok) + base
+        return cache[tok]
+
+    return positions
+
+
+def _stitch_parts(parts) -> tuple[int, np.ndarray]:
+    """(base offset, concatenated tokens) of a window's sorted doc
+    fragments — the contiguous [lo, hi) region around a candidate window."""
+    base = int(parts[0]["off"])
+    t = np.concatenate([np.asarray(p["frag"], dtype=np.int64) for p in parts])
+    return base, t
+
+
+def _in_window(p: np.ndarray, w_id, sp: int) -> np.ndarray:
+    """Restrict positions to window ``w_id``'s own span — each true position
+    belongs to exactly ONE candidate window, so this is what prevents
+    duplicate results across the halo-overlapping groups."""
+    return p[(p >= w_id * sp) & (p < (w_id + 1) * sp)]
+
+
+def _assemble_fragments(corpus: DataFrame, cand: DataFrame, sp: int,
+                        max_margin: int, margin=None, riders=()) -> DataFrame:
+    """Fragment assembly for the GLOBAL surfaces: every doc overlapping a
+    candidate window's [w*sp - margin, (w+1)*sp + margin) region contributes
+    its slice — equi-join on w_id via each doc's margin-padded window range
+    (never a range join), grouped to (w_id, parts, *riders) with parts
+    sorted by offset. ``margin`` defaults to ``max_margin``; pass a Column
+    for per-window conditional margins (the negated certificate path), but
+    it must never exceed ``max_margin`` (which sizes the doc->window
+    fan-out). ``riders`` are cand columns carried through (single-valued
+    per w_id). Requires with_global_offsets columns on ``corpus``."""
+    W = int(max_margin)
+    mg = (F.lit(W) if margin is None else margin).cast("long")
+    doc_windows = corpus.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"),
+                           ((F.col("doc_offset") - W) / sp).cast("long")),
+                ((F.col("doc_offset") + F.col("n_tok") - 1 + W) / sp).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    frags = (
+        doc_windows.join(cand, "w_id")
+        .select(
+            "w_id", *riders,
+            F.greatest(F.col("doc_offset"),
+                       (F.col("w_id") * sp - mg).cast("long")).alias("_lo"),
+            F.least(F.col("doc_offset") + F.col("n_tok"),
+                    ((F.col("w_id") + 1) * sp + mg).cast("long")).alias("_hi"),
+            "doc_offset", "tokens",
+        )
+        .filter(F.col("_hi") > F.col("_lo"))
+        .select(
+            "w_id", *riders, F.col("_lo").alias("off"),
+            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
+                   "cast(_hi - _lo as int))").alias("frag"),
+        )
+    )
+    aggs = [F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts")]
+    aggs += [F.first(r).alias(r) for r in riders]
+    return frags.groupBy("w_id").agg(*aggs)
+
 
 def _level_rows_checked(index: DataFrame, L: int, doc_axis: bool) -> DataFrame:
     """Level slice with the absent-level refusal EVERY surface needs (doc
@@ -85,19 +254,8 @@ def proximity_search(
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
 
     rows = _level_rows_checked(index, L, doc_axis=True)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, 2)
-            any_hit = ok.any(axis=1)
-            out = pdf.loc[any_hit, ["doc_id", "w_id"]].copy()
-            out["ok_a"] = ok[any_hit, 0]
-            out["ok_b"] = ok[any_hit, 1]
-            yield out
-
-    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, ok_a boolean, ok_b boolean")
+    hits = rows.mapInPandas(_probe_pair_fn(keys, with_doc=True),
+                            schema=PAIR_PROBE_DOC_SCHEMA)
 
     # per doc: sorted A-window / B-window arrays; candidate A-windows are
     # those with a B-window within `radius` (one searchsorted, linear — never
@@ -117,9 +275,7 @@ def proximity_search(
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - r_lo, side="left")
-                hi = np.searchsorted(wb, wa + radius, side="right")
-                keep = wa[hi > lo]
+                keep = wa[_reach_mask(wa, wb, r_lo, radius)]
                 if len(keep):
                     ids.append(did)
                     wids.append(keep)
@@ -146,24 +302,13 @@ def proximity_search(
                 pa = pa[np.isin(pa // sp, cw)]
                 if len(pa) == 0:
                     continue
-                pb = np.flatnonzero(t == b)
-                if len(pb) == 0:
+                pairs = _expand_pairs(pa, np.flatnonzero(t == b), p_lo, ww)
+                if pairs is None:
                     continue
-                lo = np.searchsorted(pb, pa + p_lo, side="left")
-                hi = np.searchsorted(pb, pa + ww, side="right")
-                reps = hi - lo
-                sel = reps > 0
-                if not sel.any():
-                    continue
-                pa_rep = np.repeat(pa[sel], reps[sel])
-                idx = np.concatenate([np.arange(l, h) for l, h in
-                                      zip(lo[sel], hi[sel])])
-                pb_hit = pb[idx]
-                ok = pa_rep != pb_hit
-                if ok.any():
-                    out_d.extend([did] * int(ok.sum()))
-                    out_a.append(pa_rep[ok])
-                    out_b.append(pb_hit[ok])
+                pa_hit, pb_hit = pairs
+                out_d.extend([did] * len(pa_hit))
+                out_a.append(pa_hit)
+                out_b.append(pb_hit)
             if out_d:
                 yield pd.DataFrame({
                     "doc_id": out_d,
@@ -238,7 +383,6 @@ def global_proximity_search(
 
         corpus = with_global_offsets(corpus)
     corpus = corpus.filter(F.col("n_tok") > 0)
-    from .route import _level_rows
 
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
@@ -246,19 +390,8 @@ def global_proximity_search(
     r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
     rows = _level_rows_checked(index, L, doc_axis=False)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), keys)
-            any_hit = ok.any(axis=1)
-            out = pdf.loc[any_hit, ["w_id"]].copy()
-            out["ok_a"] = ok[any_hit, 0]
-            out["ok_b"] = ok[any_hit, 1]
-            yield out
-
-    hits = rows.mapInPandas(probe, schema="w_id long, ok_a boolean, ok_b boolean")
+    hits = rows.mapInPandas(_probe_pair_fn(keys, with_doc=False),
+                            schema=PAIR_PROBE_GLOBAL_SCHEMA)
     # A windows live in their own chunk; B windows are replicated into every
     # chunk whose A-windows could see them (the halo — sequence covers ANY
     # radius, including radius > chunk size; 1-3 chunks in the common case)
@@ -285,47 +418,16 @@ def global_proximity_search(
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - r_lo, side="left")
-                hi = np.searchsorted(wb, wa + radius, side="right")
-                outs.append(wa[hi > lo])
+                outs.append(wa[_reach_mask(wa, wb, r_lo, radius)])
             if outs:
                 yield pd.DataFrame({"w_id": np.concatenate(outs)})
 
     cand = per_chunk.mapInPandas(cands, schema="w_id long")
 
     # fragments: every doc overlapping a candidate window's REGION
-    # [wa*span - w, (wa+1)*span + w) contributes its slice — equi-join on
-    # w_id via each doc's margin-padded window range (never a range join)
+    # [wa*span - w, (wa+1)*span + w) contributes its slice
     ww, sp = int(w), int(span)
-    doc_windows = corpus.select(
-        "doc_offset", "n_tok", "tokens",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0).cast("long"),
-                           ((F.col("doc_offset") - ww) / sp).cast("long")),
-                ((F.col("doc_offset") + F.col("n_tok") - 1 + ww) / sp).cast("long"),
-            )
-        ).alias("w_id"),
-    )
-    frags = (
-        doc_windows.join(cand, "w_id")
-        .select(
-            "w_id",
-            F.greatest(F.col("doc_offset"),
-                       (F.col("w_id") * sp - ww).cast("long")).alias("_lo"),
-            F.least(F.col("doc_offset") + F.col("n_tok"),
-                    ((F.col("w_id") + 1) * sp + ww).cast("long")).alias("_hi"),
-            "doc_offset", "tokens",
-        )
-        .filter(F.col("_hi") > F.col("_lo"))
-        .select(
-            "w_id", F.col("_lo").alias("off"),
-            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
-                   "cast(_hi - _lo as int))").alias("frag"),
-        )
-    )
-    grouped = frags.groupBy("w_id").agg(
-        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+    grouped = _assemble_fragments(corpus, cand, sp, ww)
 
     a, b = int(token_a), int(token_b)
     p_lo = 1 if ordered else -int(w)  # verify lower bound: pb >= pa + p_lo
@@ -336,32 +438,17 @@ def global_proximity_search(
                 continue
             out_a, out_b = [], []
             for wa, parts in zip(pdf["w_id"], pdf["parts"]):
-                base = int(parts[0]["off"])
-                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
-                                    for p in parts])
-                pa = np.flatnonzero(t == a) + base
+                base, t = _stitch_parts(parts)
                 # A positions must lie in THIS window (each true A position
                 # belongs to exactly one candidate window -> no dup pairs)
-                pa = pa[(pa >= wa * sp) & (pa < (wa + 1) * sp)]
+                pa = _in_window(np.flatnonzero(t == a) + base, wa, sp)
                 if len(pa) == 0:
                     continue
-                pb = np.flatnonzero(t == b) + base
-                if len(pb) == 0:
+                pairs = _expand_pairs(pa, np.flatnonzero(t == b) + base, p_lo, ww)
+                if pairs is None:
                     continue
-                lo = np.searchsorted(pb, pa + p_lo, side="left")
-                hi = np.searchsorted(pb, pa + ww, side="right")
-                reps = hi - lo
-                sel = reps > 0
-                if not sel.any():
-                    continue
-                pa_rep = np.repeat(pa[sel], reps[sel])
-                idx = np.concatenate([np.arange(l, h) for l, h in
-                                      zip(lo[sel], hi[sel])])
-                pb_hit = pb[idx]
-                ok = pa_rep != pb_hit
-                if ok.any():
-                    out_a.append(pa_rep[ok])
-                    out_b.append(pb_hit[ok])
+                out_a.append(pairs[0])
+                out_b.append(pairs[1])
             if out_a:
                 yield pd.DataFrame({"gpos_a": np.concatenate(out_a),
                                     "gpos_b": np.concatenate(out_b)})
@@ -415,24 +502,8 @@ def proximity_search_batch(
     ]
 
     rows = _level_rows_checked(index, L, doc_axis=True)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # sparse hit rows (doc, w_id, key_idx): unbounded key count (no
-        # 62-bit mask cap) and only positive probes move to the shuffle
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
-            r, c = np.nonzero(ok)
-            if len(r) == 0:
-                continue
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[r],
-                "w_id": pdf["w_id"].to_numpy()[r],
-                "k": c.astype(np.int32),
-            })
-
-    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, k int")
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
     per_doc = (
         hits.groupBy("doc_id", "k")
         .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
@@ -453,9 +524,7 @@ def proximity_search_batch(
                         continue
                     wa = np.asarray(wa, dtype=np.int64)
                     wb = np.asarray(wb, dtype=np.int64)
-                    lo = np.searchsorted(wb, wa - r_lo, side="left")
-                    hi = np.searchsorted(wb, wa + radius, side="right")
-                    keep = wa[hi > lo]
+                    keep = wa[_reach_mask(wa, wb, r_lo, radius)]
                     if len(keep):
                         ids.append(did)
                         pids.append(pid)
@@ -476,14 +545,7 @@ def proximity_search_batch(
                 continue
             out = {"pair_id": [], "doc_id": [], "pos_a": [], "pos_b": []}
             for did, toks, pairs in zip(pdf["doc_id"], pdf["tokens"], pdf["pairs"]):
-                t = np.asarray(toks, dtype=np.int64)
-                pos_cache: dict[int, np.ndarray] = {}
-
-                def positions(tok: int) -> np.ndarray:
-                    if tok not in pos_cache:
-                        pos_cache[tok] = np.flatnonzero(t == tok)
-                    return pos_cache[tok]
-
+                positions = _positions_fn(np.asarray(toks, dtype=np.int64))
                 for p in pairs:
                     pid = int(p["pair_id"])
                     a, b, ww, o = queries[pid]
@@ -494,26 +556,15 @@ def proximity_search_batch(
                     pa = pa[np.isin(pa // sp, cw)]
                     if len(pa) == 0:
                         continue
-                    pb = positions(b)
-                    if len(pb) == 0:
+                    res = _expand_pairs(pa, positions(b), 1 if o else -ww, ww)
+                    if res is None:
                         continue
-                    lo = np.searchsorted(pb, pa + (1 if o else -ww), side="left")
-                    hi = np.searchsorted(pb, pa + ww, side="right")
-                    reps = hi - lo
-                    sel = reps > 0
-                    if not sel.any():
-                        continue
-                    pa_rep = np.repeat(pa[sel], reps[sel])
-                    idx = np.concatenate([np.arange(l, h) for l, h in
-                                          zip(lo[sel], hi[sel])])
-                    pb_hit = pb[idx]
-                    ok = pa_rep != pb_hit
-                    n = int(ok.sum())
-                    if n:
-                        out["pair_id"].extend([pid] * n)
-                        out["doc_id"].extend([did] * n)
-                        out["pos_a"].append(pa_rep[ok])
-                        out["pos_b"].append(pb_hit[ok])
+                    pa_hit, pb_hit = res
+                    n = len(pa_hit)
+                    out["pair_id"].extend([pid] * n)
+                    out["doc_id"].extend([did] * n)
+                    out["pos_a"].append(pa_hit)
+                    out["pos_b"].append(pb_hit)
             if out["doc_id"]:
                 yield pd.DataFrame({
                     "pair_id": np.asarray(out["pair_id"], np.int32),
@@ -567,7 +618,6 @@ def global_proximity_search_batch(
 
         corpus = with_global_offsets(corpus)
     corpus = corpus.filter(F.col("n_tok") > 0)
-    from .route import _level_rows
 
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
@@ -585,19 +635,8 @@ def global_proximity_search_batch(
     max_radius = max(r for _ia, _ib, r, _rl in specs)
     W = max(w for _a, _b, w, _o in queries)
     rows = _level_rows_checked(index, L, doc_axis=False)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
-            r, c = np.nonzero(ok)
-            if len(r) == 0:
-                continue
-            yield pd.DataFrame({"w_id": pdf["w_id"].to_numpy()[r],
-                                "k": c.astype(np.int32)})
-
-    hits = rows.mapInPandas(probe, schema="w_id long, k int")
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
     # every positive window is a potential A (home chunk only) AND a
     # potential B (replicated into the max-radius halo, which includes the
     # home chunk) — one union, the is_home marker keeps the lists apart
@@ -636,9 +675,7 @@ def global_proximity_search_batch(
                     wb = np.asarray(eb["wl"], dtype=np.int64)
                     if len(wa) == 0 or len(wb) == 0:
                         continue
-                    lo = np.searchsorted(wb, wa - r_lo, side="left")
-                    hi = np.searchsorted(wb, wa + radius, side="right")
-                    keep = wa[hi > lo]
+                    keep = wa[_reach_mask(wa, wb, r_lo, radius)]
                     if len(keep):
                         pids.append(np.full(len(keep), pid, dtype=np.int32))
                         wids.append(keep)
@@ -652,37 +689,7 @@ def global_proximity_search_batch(
     cand_w = cand.groupBy("w_id").agg(F.collect_list("pair_id").alias("pids"))
 
     sp = int(span)
-    doc_windows = corpus.select(
-        "doc_offset", "n_tok", "tokens",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0).cast("long"),
-                           ((F.col("doc_offset") - W) / sp).cast("long")),
-                ((F.col("doc_offset") + F.col("n_tok") - 1 + W) / sp).cast("long"),
-            )
-        ).alias("w_id"),
-    )
-    frags = (
-        doc_windows.join(cand_w, "w_id")
-        .select(
-            "w_id", "pids",
-            F.greatest(F.col("doc_offset"),
-                       (F.col("w_id") * sp - W).cast("long")).alias("_lo"),
-            F.least(F.col("doc_offset") + F.col("n_tok"),
-                    ((F.col("w_id") + 1) * sp + W).cast("long")).alias("_hi"),
-            "doc_offset", "tokens",
-        )
-        .filter(F.col("_hi") > F.col("_lo"))
-        .select(
-            "w_id", "pids", F.col("_lo").alias("off"),
-            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
-                   "cast(_hi - _lo as int))").alias("frag"),
-        )
-    )
-    grouped = frags.groupBy("w_id").agg(
-        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"),
-        F.first("pids").alias("pids"),
-    )
+    grouped = _assemble_fragments(corpus, cand_w, sp, W, riders=("pids",))
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -690,43 +697,22 @@ def global_proximity_search_batch(
                 continue
             out = {"pair_id": [], "gpos_a": [], "gpos_b": []}
             for wa_id, parts, pids in zip(pdf["w_id"], pdf["parts"], pdf["pids"]):
-                base = int(parts[0]["off"])
-                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
-                                    for p in parts])
-                pos_cache: dict[int, np.ndarray] = {}
-
-                def positions(tok: int) -> np.ndarray:
-                    if tok not in pos_cache:
-                        pos_cache[tok] = np.flatnonzero(t == tok) + base
-                    return pos_cache[tok]
-
+                base, t = _stitch_parts(parts)
+                positions = _positions_fn(t, base)
                 for pid in sorted(set(int(p) for p in pids)):
                     a, b, ww, o = queries[pid]
-                    pa = positions(a)
                     # each true A position belongs to exactly ONE candidate
                     # window per query -> no duplicate pairs
-                    pa = pa[(pa >= wa_id * sp) & (pa < (wa_id + 1) * sp)]
+                    pa = _in_window(positions(a), wa_id, sp)
                     if len(pa) == 0:
                         continue
-                    pb = positions(b)
-                    if len(pb) == 0:
+                    res = _expand_pairs(pa, positions(b), 1 if o else -ww, ww)
+                    if res is None:
                         continue
-                    lo = np.searchsorted(pb, pa + (1 if o else -ww), side="left")
-                    hi = np.searchsorted(pb, pa + ww, side="right")
-                    reps = hi - lo
-                    sel = reps > 0
-                    if not sel.any():
-                        continue
-                    pa_rep = np.repeat(pa[sel], reps[sel])
-                    idx = np.concatenate([np.arange(l, h) for l, h in
-                                          zip(lo[sel], hi[sel])])
-                    pb_hit = pb[idx]
-                    ok = pa_rep != pb_hit
-                    n = int(ok.sum())
-                    if n:
-                        out["pair_id"].extend([pid] * n)
-                        out["gpos_a"].append(pa_rep[ok])
-                        out["gpos_b"].append(pb_hit[ok])
+                    pa_hit, pb_hit = res
+                    out["pair_id"].extend([pid] * len(pa_hit))
+                    out["gpos_a"].append(pa_hit)
+                    out["gpos_b"].append(pb_hit)
             if out["pair_id"]:
                 yield pd.DataFrame({
                     "pair_id": np.asarray(out["pair_id"], np.int32),
@@ -776,22 +762,8 @@ def ordered_chain_search(
     kidx = [int(np.searchsorted(keys, t)) for t in chain]
 
     rows = _level_rows_checked(index, L, doc_axis=True)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)  # (n, n_keys)
-            r, c = np.nonzero(ok)
-            if len(r) == 0:
-                continue
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy()[r],
-                "w_id": pdf["w_id"].to_numpy()[r],
-                "k": c.astype(np.int32),
-            })
-
-    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, k int")
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
     per_doc = (
         hits.groupBy("doc_id", "k")
         .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
@@ -801,7 +773,7 @@ def ordered_chain_search(
 
     def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # backward window DP: good windows at chain level i need a good
-        # level-(i+1) window within [w, w + radius] forward
+        # level-(i+1) window within [w_i, w_i + radius] forward
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -810,14 +782,8 @@ def ordered_chain_search(
                 lists = [kw.get(i) for i in kidx]
                 if any(x is None for x in lists):
                     continue
-                good = np.asarray(lists[-1], dtype=np.int64)
-                for i in range(len(lists) - 2, -1, -1):
-                    wi = np.asarray(lists[i], dtype=np.int64)
-                    lo = np.searchsorted(good, wi, side="left")
-                    hi = np.searchsorted(good, wi + radius, side="right")
-                    good = wi[hi > lo]
-                    if len(good) == 0:
-                        break
+                good = _backward_reach(
+                    [np.asarray(x, dtype=np.int64) for x in lists], 0, radius)
                 if len(good):
                     ids.append(did)
                     wids.append(good)
@@ -833,14 +799,7 @@ def ordered_chain_search(
                 continue
             out_d, out_p = [], []
             for did, toks, cw in zip(pdf["doc_id"], pdf["tokens"], pdf["cand_w"]):
-                t = np.asarray(toks, dtype=np.int64)
-                pos_cache: dict[int, np.ndarray] = {}
-
-                def positions(tok: int) -> np.ndarray:
-                    if tok not in pos_cache:
-                        pos_cache[tok] = np.flatnonzero(t == tok)
-                    return pos_cache[tok]
-
+                positions = _positions_fn(np.asarray(toks, dtype=np.int64))
                 p0 = positions(chain[0])
                 if len(p0) == 0:
                     continue
@@ -849,22 +808,8 @@ def ordered_chain_search(
                 if len(p0) == 0:
                     continue
                 # backward existence DP over sorted position arrays
-                good = positions(chain[-1]) if len(chain) > 1 else p0
-                ok = True
-                for i in range(len(chain) - 2, 0, -1):
-                    pi = positions(chain[i])
-                    lo = np.searchsorted(good, pi + 1, side="left")
-                    hi = np.searchsorted(good, pi + ww, side="right")
-                    good = pi[hi > lo]
-                    if len(good) == 0:
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                if len(chain) > 1:
-                    lo = np.searchsorted(good, p0 + 1, side="left")
-                    hi = np.searchsorted(good, p0 + ww, side="right")
-                    p0 = p0[hi > lo]
+                p0 = _backward_reach(
+                    [p0] + [positions(c) for c in chain[1:]], 1, ww)
                 if len(p0):
                     out_d.extend([did] * len(p0))
                     out_p.append(p0)
@@ -919,7 +864,6 @@ def global_ordered_chain_search(
 
         corpus = with_global_offsets(corpus)
     corpus = corpus.filter(F.col("n_tok") > 0)
-    from .route import _level_rows
 
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
@@ -929,19 +873,8 @@ def global_ordered_chain_search(
     ukeys = keys.astype(np.uint64)
     kidx = [int(np.searchsorted(keys, t)) for t in chain]
     rows = _level_rows_checked(index, L, doc_axis=False)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), ukeys)
-            r, c = np.nonzero(ok)
-            if len(r) == 0:
-                continue
-            yield pd.DataFrame({"w_id": pdf["w_id"].to_numpy()[r],
-                                "k": c.astype(np.int32)})
-
-    hits = rows.mapInPandas(probe, schema="w_id long, k int")
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
     # forward-reach halo: each positive window serves every chunk whose
     # home level-0 windows could reach it (<= reach windows behind); the
     # sequence includes the window's own chunk, so `wl` is the complete
@@ -984,14 +917,7 @@ def global_ordered_chain_search(
                     lists.append(np.asarray(e["wl"], dtype=np.int64))
                 if missing:
                     continue
-                good = lists[-1]
-                for i in range(len(lists) - 2, -1, -1):
-                    wi = lists[i]
-                    lo = np.searchsorted(good, wi, side="left")
-                    hi = np.searchsorted(good, wi + radius, side="right")
-                    good = wi[hi > lo]
-                    if len(good) == 0:
-                        break
+                good = _backward_reach(lists, 0, radius)
                 if len(good) == 0:
                     continue
                 e0 = kw.get(kidx[0])
@@ -1009,35 +935,7 @@ def global_ordered_chain_search(
     # margin is never read)
     Wt = (len(chain) - 1) * int(w)
     sp = int(span)
-    doc_windows = corpus.select(
-        "doc_offset", "n_tok", "tokens",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0).cast("long"),
-                           ((F.col("doc_offset") - Wt) / sp).cast("long")),
-                ((F.col("doc_offset") + F.col("n_tok") - 1 + Wt) / sp).cast("long"),
-            )
-        ).alias("w_id"),
-    )
-    frags = (
-        doc_windows.join(cand, "w_id")
-        .select(
-            "w_id",
-            F.greatest(F.col("doc_offset"),
-                       (F.col("w_id") * sp - Wt).cast("long")).alias("_lo"),
-            F.least(F.col("doc_offset") + F.col("n_tok"),
-                    ((F.col("w_id") + 1) * sp + Wt).cast("long")).alias("_hi"),
-            "doc_offset", "tokens",
-        )
-        .filter(F.col("_hi") > F.col("_lo"))
-        .select(
-            "w_id", F.col("_lo").alias("off"),
-            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
-                   "cast(_hi - _lo as int))").alias("frag"),
-        )
-    )
-    grouped = frags.groupBy("w_id").agg(
-        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+    grouped = _assemble_fragments(corpus, cand, sp, Wt)
 
     ww = int(w)
 
@@ -1047,38 +945,15 @@ def global_ordered_chain_search(
                 continue
             out = []
             for wa_id, parts in zip(pdf["w_id"], pdf["parts"]):
-                base = int(parts[0]["off"])
-                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
-                                    for p in parts])
-                pos_cache: dict[int, np.ndarray] = {}
-
-                def positions(tok: int) -> np.ndarray:
-                    if tok not in pos_cache:
-                        pos_cache[tok] = np.flatnonzero(t == tok) + base
-                    return pos_cache[tok]
-
-                p0 = positions(chain[0])
+                base, t = _stitch_parts(parts)
+                positions = _positions_fn(t, base)
                 # each true chain start belongs to exactly ONE candidate
                 # window -> no duplicate results
-                p0 = p0[(p0 >= wa_id * sp) & (p0 < (wa_id + 1) * sp)]
+                p0 = _in_window(positions(chain[0]), wa_id, sp)
                 if len(p0) == 0:
                     continue
-                good = positions(chain[-1]) if len(chain) > 1 else p0
-                dead = False
-                for i in range(len(chain) - 2, 0, -1):
-                    pi = positions(chain[i])
-                    lo = np.searchsorted(good, pi + 1, side="left")
-                    hi = np.searchsorted(good, pi + ww, side="right")
-                    good = pi[hi > lo]
-                    if len(good) == 0:
-                        dead = True
-                        break
-                if dead:
-                    continue
-                if len(chain) > 1:
-                    lo = np.searchsorted(good, p0 + 1, side="left")
-                    hi = np.searchsorted(good, p0 + ww, side="right")
-                    p0 = p0[hi > lo]
+                p0 = _backward_reach(
+                    [p0] + [positions(c) for c in chain[1:]], 1, ww)
                 if len(p0):
                     out.append(p0)
             if out:
@@ -1126,19 +1001,8 @@ def negated_proximity_search(
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
 
     rows = _level_rows_checked(index, L, doc_axis=True)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), keys)  # (n, 2)
-            any_hit = ok.any(axis=1)
-            out = pdf.loc[any_hit, ["doc_id", "w_id"]].copy()
-            out["ok_a"] = ok[any_hit, 0]
-            out["ok_b"] = ok[any_hit, 1]
-            yield out
-
-    hits = rows.mapInPandas(probe, schema="doc_id string, w_id long, ok_a boolean, ok_b boolean")
+    hits = rows.mapInPandas(_probe_pair_fn(keys, with_doc=True),
+                            schema=PAIR_PROBE_DOC_SCHEMA)
 
     per_doc = hits.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.when(F.col("ok_a"), F.col("w_id")))).alias("wa"),
@@ -1152,17 +1016,14 @@ def negated_proximity_search(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, wids, chks = [], [], []
+            ids, chks = [], []
             for did, wa, wb in zip(pdf["doc_id"], pdf["wa"], pdf["wb"]):
                 if len(wa) == 0:
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - r_lo, side="left")
-                hi = np.searchsorted(wb, wa + radius, side="right")
                 ids.append(did)
-                wids.append(wa)
-                chks.append(wa[hi > lo])
+                chks.append(wa[_reach_mask(wa, wb, r_lo, radius)])
             yield pd.DataFrame({"doc_id": ids, "chk_w": chks})
 
     cand = per_doc.mapInPandas(cands, schema="doc_id string, chk_w array<long>")
@@ -1237,7 +1098,6 @@ def global_negated_proximity_search(
 
         corpus = with_global_offsets(corpus)
     corpus = corpus.filter(F.col("n_tok") > 0)
-    from .route import _level_rows
 
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
@@ -1245,19 +1105,8 @@ def global_negated_proximity_search(
     r_lo = 0 if ordered else radius
     keys = np.asarray([token_a, token_b], dtype=np.uint64)
     rows = _level_rows_checked(index, L, doc_axis=False)
-
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ok = probe_blobs(pdf["bloom"].tolist(), keys)
-            any_hit = ok.any(axis=1)
-            out = pdf.loc[any_hit, ["w_id"]].copy()
-            out["ok_a"] = ok[any_hit, 0]
-            out["ok_b"] = ok[any_hit, 1]
-            yield out
-
-    hits = rows.mapInPandas(probe, schema="w_id long, ok_a boolean, ok_b boolean")
+    hits = rows.mapInPandas(_probe_pair_fn(keys, with_doc=False),
+                            schema=PAIR_PROBE_GLOBAL_SCHEMA)
     a_rows = hits.filter("ok_a").select(
         F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id",
         F.lit(True).alias("is_a"))
@@ -1282,10 +1131,8 @@ def global_negated_proximity_search(
                     continue
                 wa = np.asarray(wa, dtype=np.int64)
                 wb = np.asarray(wb, dtype=np.int64)
-                lo = np.searchsorted(wb, wa - r_lo, side="left")
-                hi = np.searchsorted(wb, wa + radius, side="right")
                 w_out.append(wa)
-                chk_out.append(hi > lo)
+                chk_out.append(_reach_mask(wa, wb, r_lo, radius))
             if w_out:
                 yield pd.DataFrame({"w_id": np.concatenate(w_out),
                                     "chk": np.concatenate(chk_out)})
@@ -1293,42 +1140,14 @@ def global_negated_proximity_search(
     cand = per_chunk.mapInPandas(cands, schema="w_id long, chk boolean")
 
     ww, sp = int(w), int(span)
-    doc_windows = corpus.select(
-        "doc_offset", "n_tok", "tokens",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0).cast("long"),
-                           ((F.col("doc_offset") - ww) / sp).cast("long")),
-                ((F.col("doc_offset") + F.col("n_tok") - 1 + ww) / sp).cast("long"),
-            )
-        ).alias("w_id"),
-    )
     # certified (chk=false) windows only ever read their OWN span in verify
     # — assembling the ±w margin for them shipped up to 2w/span extra
     # fragment tokens per window on exactly the path the certificate makes
     # cheap; the margin is per-window conditional, and docs that only
-    # touched a certified window's margin zone drop out via _hi > _lo
-    mg = F.when(F.col("chk"), F.lit(ww)).otherwise(F.lit(0)).cast("long")
-    frags = (
-        doc_windows.join(cand, "w_id")
-        .select(
-            "w_id", "chk",
-            F.greatest(F.col("doc_offset"),
-                       (F.col("w_id") * sp - mg).cast("long")).alias("_lo"),
-            F.least(F.col("doc_offset") + F.col("n_tok"),
-                    ((F.col("w_id") + 1) * sp + mg).cast("long")).alias("_hi"),
-            "doc_offset", "tokens",
-        )
-        .filter(F.col("_hi") > F.col("_lo"))
-        .select(
-            "w_id", "chk", F.col("_lo").alias("off"),
-            F.expr("slice(tokens, cast(_lo - doc_offset + 1 as int), "
-                   "cast(_hi - _lo as int))").alias("frag"),
-        )
-    )
-    grouped = frags.groupBy("w_id").agg(
-        F.first("chk").alias("chk"),
-        F.sort_array(F.collect_list(F.struct("off", "frag"))).alias("parts"))
+    # touched a certified window's margin zone drop out inside the kernel
+    mg = F.when(F.col("chk"), F.lit(ww)).otherwise(F.lit(0))
+    grouped = _assemble_fragments(corpus, cand, sp, ww, margin=mg,
+                                  riders=("chk",))
 
     a, b = int(token_a), int(token_b)
     p_lo = 1 if ordered else -ww
@@ -1340,13 +1159,10 @@ def global_negated_proximity_search(
                 continue
             out = []
             for wa, chk, parts in zip(pdf["w_id"], pdf["chk"], pdf["parts"]):
-                base = int(parts[0]["off"])
-                t = np.concatenate([np.asarray(p["frag"], dtype=np.int64)
-                                    for p in parts])
-                pa = np.flatnonzero(t == a) + base
+                base, t = _stitch_parts(parts)
                 # each true A position belongs to exactly ONE candidate
                 # window -> no duplicates across groups
-                pa = pa[(pa >= wa * sp) & (pa < (wa + 1) * sp)]
+                pa = _in_window(np.flatnonzero(t == a) + base, wa, sp)
                 if len(pa) == 0:
                     continue
                 if not chk:  # certified: no B-positive window within reach
