@@ -867,6 +867,59 @@ def q_hbi_global_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Batched NOT-proximity workload: the frequent token with a rare B (mostly
+# certified), a rare A with a frequent B (anti-check dominant), an isolated
+# equal-token entry, an absent B (pure certificate), and an ordered entry.
+NEG_BATCH = [
+    (ord("e"), ord("q"), 6),
+    (ord("q"), ord("e"), 4),
+    (ord("q"), ord("q"), 5),
+    (ord("x"), ord("Z"), 3),
+    (ord("e"), ord("q"), 6, True),
+]
+
+
+def q_hbi_negated_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched NOT-proximity: a whole workload of negated (A with no B
+    within w) queries answered with ONE leaf scan — per-doc window lists
+    shared across queries, each query splitting its A-windows into certified
+    (B-negative neighborhood, positions emitted without any B scan) vs
+    B-possible (exact anti-check)
+    (operators/proximity.py:negated_proximity_search_batch; identical to
+    per-query negated_proximity_search, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search_batch,
+    )
+
+    return negated_proximity_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, NEG_BATCH
+    )
+
+
+# Stream-axis negated workload (cross-doc disqualification included)
+GNEG_BATCH = [
+    (ord("e"), ord("q"), 6),
+    (ord("q"), ord("q"), 5),
+    (ord("e"), ord("q"), 6, True),
+]
+
+
+def q_hbi_global_negated_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched STREAM-axis NOT-proximity: the negated workload over the
+    concatenated stream in ONE global leaf scan — shared max-radius-haloed
+    window lists, per-query certificates, fragment assembly once per window
+    with the max-w margin only where some query pays the exact anti-check
+    (operators/proximity.py:global_negated_proximity_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_negated_proximity_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GNEG_BATCH
+    )
+
+
 def q_global_window_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists() over the ONE-STREAM index: global leaf windows containing a
     token (Bloom prunes which docs are scanned; the w_id set is exact)."""
@@ -2409,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_proximity_ordered": q_hbi_global_proximity_ordered,
         "hbi_proximity_batch": q_hbi_proximity_batch,
         "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
+        "hbi_negated_batch": q_hbi_negated_batch,
+        "hbi_global_negated_batch": q_hbi_global_negated_batch,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -2592,6 +2647,41 @@ JOIN flat a ON a.t = pairs.ta
 JOIN flat b ON b.doc_id = a.doc_id AND b.t = pairs.tb
 WHERE (pairs.is_ord = 0 AND abs(a.p - b.p) <= pairs.w AND a.p <> b.p)
    OR (pairs.is_ord = 1 AND b.p > a.p AND b.p <= a.p + pairs.w)""",
+        "hbi_negated_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
+pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, {q[0]}, {q[1]}, {q[2]}, {1 if len(q) > 3 and q[3] else 0})"
+            for i, q in enumerate(NEG_BATCH))})
+SELECT CAST(pair_id AS INT) AS pair_id, a.doc_id AS doc_id,
+       CAST(a.p AS INT) AS pos_a
+FROM pairs
+JOIN flat a ON a.t = pairs.ta
+WHERE NOT EXISTS (
+  SELECT 1 FROM flat b WHERE b.doc_id = a.doc_id AND b.t = pairs.tb
+  AND ((pairs.is_ord = 0 AND b.p BETWEEN a.p - pairs.w AND a.p + pairs.w
+        AND b.p <> a.p)
+    OR (pairs.is_ord = 1 AND b.p > a.p AND b.p <= a.p + pairs.w)))""",
+        "hbi_global_negated_batch": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, {q[0]}, {q[1]}, {q[2]}, {1 if len(q) > 3 and q[3] else 0})"
+            for i, q in enumerate(GNEG_BATCH))})
+SELECT CAST(pair_id AS INT) AS pair_id, CAST(a.g AS BIGINT) AS gpos_a
+FROM pairs
+JOIN flat a ON a.t = pairs.ta
+WHERE NOT EXISTS (
+  SELECT 1 FROM flat b WHERE b.t = pairs.tb
+  AND ((pairs.is_ord = 0 AND b.g BETWEEN a.g - pairs.w AND a.g + pairs.w
+        AND b.g <> a.g)
+    OR (pairs.is_ord = 1 AND b.g > a.g AND b.g <= a.g + pairs.w)))""",
         "hbi_global_proximity": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,

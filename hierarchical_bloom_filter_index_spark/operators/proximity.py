@@ -204,6 +204,68 @@ def _assemble_fragments(corpus: DataFrame, cand: DataFrame, sp: int,
     return frags.groupBy("w_id").agg(*aggs)
 
 
+def _parse_pair_workload(queries, span: int, name: str):
+    """Normalize a batched (token_a, token_b, w[, ordered]) workload:
+    returns (queries as 4-tuples, distinct probe keys as uint64, per-query
+    specs (A key idx, B key idx, forward window radius, backward window
+    reach — 0 for ordered queries: B-windows never behind A's))."""
+    queries = [(int(q[0]), int(q[1]), int(q[2]),
+                bool(q[3]) if len(q) > 3 else False) for q in queries]
+    if not queries:
+        raise ValueError(f"{name}: empty query workload")
+    if any(w < 0 for _a, _b, w, _o in queries):
+        raise ValueError(f"{name}: w must be >= 0 for every query")
+    keys = np.unique(np.asarray(
+        [a for a, _b, _w, _o in queries] + [b for _a, b, _w, _o in queries],
+        dtype=np.int64))
+    specs = [
+        (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
+         -(-w // span), 0 if o else -(-w // span))
+        for a, b, w, o in queries
+    ]
+    return queries, keys.astype(np.uint64), specs
+
+
+def _kw_map_doc(hits: DataFrame) -> DataFrame:
+    """(doc_id, kw): per-doc map key_idx -> sorted positive window list —
+    assembled ONCE and shared by every query in a batched workload."""
+    return (
+        hits.groupBy("doc_id", "k")
+        .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "ws"))).alias("kw"))
+    )
+
+
+def _kw_map_chunks(hits: DataFrame, back: int, fwd: int) -> DataFrame:
+    """(chunk, kw) for the GLOBAL surfaces: per-chunk map key_idx ->
+    (wh = home positive windows, wl = haloed positive windows). Every
+    positive window lands in its home chunk's ``wh`` AND in the ``wl`` of
+    all chunks within [w_id - back, w_id + fwd] (the halo includes home, so
+    ``wl`` is the complete per-chunk list); survivors are restricted to home
+    windows by the caller — each true hit belongs to exactly ONE chunk, so
+    no duplicate results."""
+    home = hits.select(
+        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id", "k",
+        F.lit(True).alias("is_home"))
+    halo = hits.select(
+        F.explode(F.sequence(
+            F.shiftright(F.col("w_id") - fwd, _CHUNK_BITS),
+            F.shiftright(F.col("w_id") + back, _CHUNK_BITS),
+        )).alias("chunk"), "w_id", "k", F.lit(False).alias("is_home"))
+    return (
+        home.unionByName(halo)
+        .groupBy("chunk", "k")
+        .agg(
+            F.sort_array(F.collect_list(F.when(F.col("is_home"), F.col("w_id")))).alias("wh"),
+            F.sort_array(F.collect_list(F.when(~F.col("is_home"), F.col("w_id")))).alias("wl"),
+        )
+        .groupBy("chunk")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("k", F.struct("wh", "wl")))).alias("kw"))
+    )
+
+
 def _level_rows_checked(index: DataFrame, L: int, doc_axis: bool) -> DataFrame:
     """Level slice with the absent-level refusal EVERY surface needs (doc
     and global alike): probing a compacted-away level would silently return
@@ -479,37 +541,17 @@ def proximity_search_batch(
     Each query is ``(token_a, token_b, w)`` or ``(token_a, token_b, w,
     ordered)`` — ordered entries return only ``0 < pos_b - pos_a <= w``
     (A strictly before B); mixed workloads share the one scan."""
-    queries = [(int(q[0]), int(q[1]), int(q[2]),
-                bool(q[3]) if len(q) > 3 else False) for q in queries]
-    if not queries:
-        raise ValueError("empty query workload")
-    if any(w < 0 for _a, _b, w, _o in queries):
-        raise ValueError("w must be >= 0 for every query")
     if cfg.ngram != 1:
         raise ValueError("proximity_search_batch requires a token-keyed index (ngram=1)")
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
-    keys = np.unique(np.asarray(
-        [a for a, _b, _w, _o in queries] + [b for _a, b, _w, _o in queries],
-        dtype=np.int64))
-    ukeys = keys.astype(np.uint64)
-    # per query: (key index of A, key index of B, window radius, backward
-    # window reach — 0 for ordered queries: B-windows never behind A's)
-    specs = [
-        (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
-         -(-w // span), 0 if o else -(-w // span))
-        for a, b, w, o in queries
-    ]
+    queries, ukeys, specs = _parse_pair_workload(
+        queries, span, "proximity_search_batch")
 
     rows = _level_rows_checked(index, L, doc_axis=True)
     hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
                             schema=SPARSE_PROBE_DOC_SCHEMA)
-    per_doc = (
-        hits.groupBy("doc_id", "k")
-        .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("k", "ws"))).alias("kw"))
-    )
+    per_doc = _kw_map_doc(hits)
 
     def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -602,12 +644,6 @@ def global_proximity_search_batch(
     ordered)`` — ordered entries return only ``0 < gpos_b - gpos_a <= w``;
     mixed workloads share the one scan (the symmetric max-radius halo is a
     sound superset for ordered queries too)."""
-    queries = [(int(q[0]), int(q[1]), int(q[2]),
-                bool(q[3]) if len(q) > 3 else False) for q in queries]
-    if not queries:
-        raise ValueError("empty query workload")
-    if any(w < 0 for _a, _b, w, _o in queries):
-        raise ValueError("w must be >= 0 for every query")
     if cfg.axis != "global":
         raise ValueError("global_proximity_search_batch needs cfg.axis='global'")
     if cfg.ngram != 1:
@@ -621,44 +657,16 @@ def global_proximity_search_batch(
 
     L = cfg.deepest if level is None else int(level)
     span = cfg.span(L)
-    keys = np.unique(np.asarray(
-        [a for a, _b, _w, _o in queries] + [b for _a, b, _w, _o in queries],
-        dtype=np.int64))
-    ukeys = keys.astype(np.uint64)
-    # (A key idx, B key idx, forward window radius, backward reach — 0 for
-    # ordered queries)
-    specs = [
-        (int(np.searchsorted(keys, a)), int(np.searchsorted(keys, b)),
-         -(-w // span), 0 if o else -(-w // span))
-        for a, b, w, o in queries
-    ]
+    queries, ukeys, specs = _parse_pair_workload(
+        queries, span, "global_proximity_search_batch")
     max_radius = max(r for _ia, _ib, r, _rl in specs)
     W = max(w for _a, _b, w, _o in queries)
     rows = _level_rows_checked(index, L, doc_axis=False)
     hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
                             schema=SPARSE_PROBE_GLOBAL_SCHEMA)
     # every positive window is a potential A (home chunk only) AND a
-    # potential B (replicated into the max-radius halo, which includes the
-    # home chunk) — one union, the is_home marker keeps the lists apart
-    home = hits.select(
-        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id", "k",
-        F.lit(True).alias("is_home"))
-    halo = hits.select(
-        F.explode(F.sequence(
-            F.shiftright(F.col("w_id") - max_radius, _CHUNK_BITS),
-            F.shiftright(F.col("w_id") + max_radius, _CHUNK_BITS),
-        )).alias("chunk"), "w_id", "k", F.lit(False).alias("is_home"))
-    per_chunk = (
-        home.unionByName(halo)
-        .groupBy("chunk", "k")
-        .agg(
-            F.sort_array(F.collect_list(F.when(F.col("is_home"), F.col("w_id")))).alias("wh"),
-            F.sort_array(F.collect_list(F.when(~F.col("is_home"), F.col("w_id")))).alias("wl"),
-        )
-        .groupBy("chunk")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("k", F.struct("wh", "wl")))).alias("kw"))
-    )
+    # potential B (replicated into the symmetric max-radius halo)
+    per_chunk = _kw_map_chunks(hits, max_radius, max_radius)
 
     def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -764,12 +772,7 @@ def ordered_chain_search(
     rows = _level_rows_checked(index, L, doc_axis=True)
     hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
                             schema=SPARSE_PROBE_DOC_SCHEMA)
-    per_doc = (
-        hits.groupBy("doc_id", "k")
-        .agg(F.sort_array(F.collect_list("w_id")).alias("ws"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("k", "ws"))).alias("kw"))
-    )
+    per_doc = _kw_map_doc(hits)
 
     def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # backward window DP: good windows at chain level i need a good
@@ -876,30 +879,11 @@ def global_ordered_chain_search(
     hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
                             schema=SPARSE_PROBE_GLOBAL_SCHEMA)
     # forward-reach halo: each positive window serves every chunk whose
-    # home level-0 windows could reach it (<= reach windows behind); the
-    # sequence includes the window's own chunk, so `wl` is the complete
+    # home level-0 windows could reach it (<= reach windows behind; a chain
+    # starting in a chunk never looks back), so `wl` is the complete
     # per-chunk list for EVERY chain level and `wh` marks home (level-0
-    # survivors must be home windows — each true chain start belongs to
-    # exactly ONE chunk, so no duplicate results)
-    halo = hits.select(
-        F.explode(F.sequence(
-            F.shiftright(F.col("w_id") - reach, _CHUNK_BITS),
-            F.shiftright("w_id", _CHUNK_BITS),
-        )).alias("chunk"), "w_id", "k", F.lit(False).alias("is_home"))
-    home = hits.select(
-        F.shiftright("w_id", _CHUNK_BITS).alias("chunk"), "w_id", "k",
-        F.lit(True).alias("is_home"))
-    per_chunk = (
-        home.unionByName(halo)
-        .groupBy("chunk", "k")
-        .agg(
-            F.sort_array(F.collect_list(F.when(F.col("is_home"), F.col("w_id")))).alias("wh"),
-            F.sort_array(F.collect_list(F.when(~F.col("is_home"), F.col("w_id")))).alias("wl"),
-        )
-        .groupBy("chunk")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("k", F.struct("wh", "wl")))).alias("kw"))
-    )
+    # survivors must be home windows)
+    per_chunk = _kw_map_chunks(hits, 0, reach)
 
     def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1178,3 +1162,235 @@ def global_negated_proximity_search(
                 yield pd.DataFrame({"gpos_a": np.concatenate(out)})
 
     return grouped.mapInPandas(verify, schema=GLOBAL_NEG_SCHEMA)
+
+
+NEG_BATCH_SCHEMA = "pair_id int, doc_id string, pos_a int"
+
+
+def negated_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched NOT-proximity: a workload of (token_a, token_b, w[, ordered])
+    NEGATED queries — positions of A with NO B within w — answered with ONE
+    leaf scan. The certificate logic of negated_proximity_search runs per
+    query over SHARED per-doc window lists: every Bloom blob is probed once
+    for the workload's distinct tokens, and each query splits its A-positive
+    windows into certified (no B-positive window in reach — positions emitted
+    with no B scan) vs B-possible (exact anti-check). Answers identical to
+    per-query negated_proximity_search (tested). Returns
+    (pair_id, doc_id, pos_a) with pair_id = the query's position in
+    ``queries``. Ordered entries negate only the forward direction (A not
+    FOLLOWED by B within w)."""
+    if cfg.ngram != 1:
+        raise ValueError(
+            "negated_proximity_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_pair_workload(
+        queries, span, "negated_proximity_search_batch")
+
+    rows = _level_rows_checked(index, L, doc_axis=True)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
+    per_doc = _kw_map_doc(hits)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per (doc, query): candidates are ALL A-positive windows (B-absence
+        # prunes nothing); chk_w marks the subset whose reach neighborhood
+        # has a B-positive window. A doc with NO A-positive window has no A
+        # positions at all (no false negatives) and emits nothing.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, pids, chks = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for pid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    wa = kw.get(ia)
+                    if wa is None:
+                        continue
+                    wa = np.asarray(wa, dtype=np.int64)
+                    wb = kw.get(ib)
+                    if wb is None:
+                        chk = wa[:0]
+                    else:
+                        wb = np.asarray(wb, dtype=np.int64)
+                        chk = wa[_reach_mask(wa, wb, r_lo, radius)]
+                    ids.append(did)
+                    pids.append(pid)
+                    chks.append(chk)
+            yield pd.DataFrame({"doc_id": ids,
+                                "pair_id": np.asarray(pids, np.int32),
+                                "chk_w": chks})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, pair_id int, chk_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("pair_id", "chk_w")).alias("pairs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"pair_id": [], "doc_id": [], "pos_a": []}
+            for did, toks, pairs in zip(pdf["doc_id"], pdf["tokens"], pdf["pairs"]):
+                positions = _positions_fn(np.asarray(toks, dtype=np.int64))
+                for p in pairs:
+                    pid = int(p["pair_id"])
+                    a, b, ww, o = queries[pid]
+                    pa = positions(a)
+                    if len(pa) == 0:
+                        continue
+                    # every true A position lies in an A-positive window, so
+                    # pa needs no candidate filter; split by certificate
+                    chk = np.asarray(p["chk_w"], dtype=np.int64)
+                    need = np.isin(pa // sp, chk)
+                    keep = [pa[~need]]
+                    pan = pa[need]
+                    if len(pan):
+                        pb = positions(b)
+                        p_lo = 1 if o else -ww
+                        self_hits = 1 if (a == b and not o) else 0
+                        lo = np.searchsorted(pb, pan + p_lo, side="left")
+                        hi = np.searchsorted(pb, pan + ww, side="right")
+                        keep.append(pan[(hi - lo) == self_hits])
+                    pa_ok = np.concatenate(keep)
+                    if len(pa_ok):
+                        out["pair_id"].extend([pid] * len(pa_ok))
+                        out["doc_id"].extend([did] * len(pa_ok))
+                        out["pos_a"].append(np.sort(pa_ok))
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "pair_id": np.asarray(out["pair_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos_a": np.concatenate(out["pos_a"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select(
+        "doc_id", "tokens", "pairs")
+    return survivors.mapInPandas(verify, schema=NEG_BATCH_SCHEMA)
+
+
+GLOBAL_NEG_BATCH_SCHEMA = "pair_id int, gpos_a long"
+
+
+def global_negated_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis NOT-proximity: the whole negated workload over the
+    CONCATENATED stream answered with ONE global leaf scan — document
+    boundaries invisible (a B just across a boundary DOES disqualify an A).
+    Chunked-with-halo per-token window lists are built once (halo = the
+    workload's max radius, a sound superset for the smaller radii) and every
+    query runs its certificate split over them; fragment assembly covers each
+    window once, with the max-w margin only where SOME query needs its exact
+    anti-check (certified-everywhere windows read just their own span).
+    Answers identical to per-query global_negated_proximity_search (tested).
+    Returns (pair_id, gpos_a)."""
+    if cfg.axis != "global":
+        raise ValueError(
+            "global_negated_proximity_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_negated_proximity_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_pair_workload(
+        queries, span, "global_negated_proximity_search_batch")
+    max_radius = max(r for _ia, _ib, r, _rl in specs)
+    W = max(w for _a, _b, w, _o in queries)
+    rows = _level_rows_checked(index, L, doc_axis=False)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
+    per_chunk = _kw_map_chunks(hits, max_radius, max_radius)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per (chunk, query): ALL home A-positive windows are candidates,
+        # each tagged with its per-query certificate bit
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids, wids, chks = [], [], []
+            for kw in pdf["kw"]:
+                for pid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    ea = kw.get(ia)
+                    if ea is None:
+                        continue
+                    wa = np.asarray(ea["wh"], dtype=np.int64)
+                    if len(wa) == 0:
+                        continue
+                    eb = kw.get(ib)
+                    wb = (np.asarray(eb["wl"], dtype=np.int64)
+                          if eb is not None else wa[:0])
+                    pids.append(np.full(len(wa), pid, dtype=np.int32))
+                    wids.append(wa)
+                    chks.append(_reach_mask(wa, wb, r_lo, radius))
+            if pids:
+                yield pd.DataFrame({"pair_id": np.concatenate(pids),
+                                    "w_id": np.concatenate(wids),
+                                    "chk": np.concatenate(chks)})
+
+    cand = per_chunk.mapInPandas(cands, schema="pair_id int, w_id long, chk boolean")
+    # fragments are assembled ONCE per window even when several queries keep
+    # it; the (pair_id, chk) list rides along, and the margin is the max-w
+    # one only when some rider needs its exact anti-check
+    cand_w = cand.groupBy("w_id").agg(
+        F.collect_list(F.struct("pair_id", "chk")).alias("pq"),
+        F.max(F.when(F.col("chk"), F.lit(int(W))).otherwise(F.lit(0))).alias("mg"),
+    )
+
+    sp = int(span)
+    grouped = _assemble_fragments(corpus, cand_w, sp, W, margin=F.col("mg"),
+                                  riders=("pq",))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"pair_id": [], "gpos_a": []}
+            for wa_id, parts, pq in zip(pdf["w_id"], pdf["parts"], pdf["pq"]):
+                base, t = _stitch_parts(parts)
+                positions = _positions_fn(t, base)
+                for entry in pq:
+                    pid = int(entry["pair_id"])
+                    a, b, ww, o = queries[pid]
+                    # each true A position belongs to exactly ONE candidate
+                    # window per query -> no duplicates
+                    pa = _in_window(positions(a), wa_id, sp)
+                    if len(pa) == 0:
+                        continue
+                    if not entry["chk"]:  # certified: no B-positive window in reach
+                        out["pair_id"].extend([pid] * len(pa))
+                        out["gpos_a"].append(pa)
+                        continue
+                    pb = positions(b)
+                    p_lo = 1 if o else -ww
+                    self_hits = 1 if (a == b and not o) else 0
+                    lo = np.searchsorted(pb, pa + p_lo, side="left")
+                    hi = np.searchsorted(pb, pa + ww, side="right")
+                    pa_ok = pa[(hi - lo) == self_hits]
+                    if len(pa_ok):
+                        out["pair_id"].extend([pid] * len(pa_ok))
+                        out["gpos_a"].append(pa_ok)
+            if out["pair_id"]:
+                yield pd.DataFrame({
+                    "pair_id": np.asarray(out["pair_id"], np.int32),
+                    "gpos_a": np.concatenate(out["gpos_a"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_NEG_BATCH_SCHEMA)

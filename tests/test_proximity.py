@@ -607,3 +607,78 @@ def test_negated_refusals(spark, built):
         negated_proximity_search(corp, idx, CFG.with_(ngram=3), 1, 2, 5)
     with pytest.raises(ValueError, match="axis"):
         global_negated_proximity_search(corp, idx, CFG, 1, 2, 5)
+
+
+def test_negated_batch_equals_singles(spark, built):
+    """One-scan batched NOT-proximity must return EXACTLY the per-query
+    answers — including an equal-token pair (no OTHER A within w), an
+    absent B (everything certified), and ordered entries."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_proximity_search,
+        negated_proximity_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    queries = [(b, a, 6), (a, b, 2), (a, a, 4), (a, 987654321, 9),
+               (b, a, 6, True), (a, a, 4, True)]
+    got = {(r["pair_id"], r["doc_id"], r["pos_a"])
+           for r in negated_proximity_search_batch(corp, idx, CFG, queries).collect()}
+    want = set()
+    for pid, q in enumerate(queries):
+        o = q[3] if len(q) > 3 else False
+        for r in negated_proximity_search(
+                corp, idx, CFG, q[0], q[1], q[2], ordered=o).collect():
+            want.add((pid, r["doc_id"], r["pos_a"]))
+    assert got == want and len(want) > 0
+    assert any(pid >= 4 for pid, *_ in got)  # ordered entries produced rows
+    assert any(pid == 3 for pid, *_ in got)  # absent-B certified path
+
+
+def test_global_negated_batch_equals_singles(spark, built):
+    """One-scan batched STREAM-axis NOT-proximity returns EXACTLY the
+    per-query answers (cross-doc disqualification included) — mixed radii
+    share the max-radius halo, per-query certificates over shared lists."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search,
+        global_negated_proximity_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        queries = [(b, a, 6), (a, b, 2), (a, a, 3), (a, 987654321, 9),
+                   (b, a, 50), (b, a, 6, True), (a, a, 3, True)]
+        got = {(r["pair_id"], r["gpos_a"])
+               for r in global_negated_proximity_search_batch(
+                   gcorp, gidx, gcfg, queries).collect()}
+        want = set()
+        for pid, q in enumerate(queries):
+            o = q[3] if len(q) > 3 else False
+            for r in global_negated_proximity_search(
+                    gcorp, gidx, gcfg, q[0], q[1], q[2], ordered=o).collect():
+                want.add((pid, r["gpos_a"]))
+        assert got == want and len(want) > 0
+        assert any(pid >= 5 for pid, *_ in got)
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_negated_batch_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_proximity_search_batch,
+        negated_proximity_search_batch,
+    )
+
+    corp, idx = built
+    gcfg = CFG.with_(axis="global")
+    with pytest.raises(ValueError, match="empty"):
+        negated_proximity_search_batch(corp, idx, CFG, [])
+    with pytest.raises(ValueError, match="w must be"):
+        negated_proximity_search_batch(corp, idx, CFG, [(1, 2, -3)])
+    with pytest.raises(ValueError, match="axis"):
+        global_negated_proximity_search_batch(corp, idx, CFG, [(1, 2, 3)])
