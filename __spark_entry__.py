@@ -95,6 +95,24 @@ def _pat_sql(pattern: list[int]) -> str:
     return "[" + ", ".join(str(int(t)) for t in pattern) + "]"
 
 
+def _chain_sql(cid: int, toks, w: int, global_axis: bool) -> str:
+    """One chain's oracle: start positions of toks in order, each gap in
+    (0, w] — a (k-1)-way self-join on the flat position table (DISTINCT:
+    several completions share a start)."""
+    pos, out = ("g", "gpos") if global_axis else ("p", "pos")
+    doc = "" if global_axis else "f0.doc_id AS doc_id, "
+    joins = "".join(
+        f"\nJOIN flat f{i} ON "
+        + ("" if global_axis else f"f{i}.doc_id = f0.doc_id AND ")
+        + f"f{i}.t = {int(t)} AND f{i}.{pos} > f{i-1}.{pos} "
+          f"AND f{i}.{pos} <= f{i-1}.{pos} + {int(w)}"
+        for i, t in enumerate(toks[1:], start=1))
+    cast = "BIGINT" if global_axis else "INT"
+    return (f"SELECT DISTINCT CAST({cid} AS INT) AS chain_id, {doc}"
+            f"CAST(f0.{pos} AS {cast}) AS {out}\nFROM flat f0{joins}"
+            f"\nWHERE f0.t = {int(toks[0])}")
+
+
 # --- 64-bit wrap-around hash in ANSI SQL ------------------------------------
 # The sampler oracles (bottomk_tokens, hops_representatives) need the EXACT
 # sketch priority hash64(token, seed) = splitmix64(token ^ s) in DuckDB.
@@ -864,6 +882,50 @@ def q_hbi_global_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcorp, gidx, _gstats = _global_index(spark, sf_dir)
     return global_proximity_search_batch(
         gcorp, gidx, CFG.with_(axis="global"), GPROX_BATCH
+    )
+
+
+# Batched chain workload: the single-chain query's chain, a rare-anchor
+# 2-chain, a k=1 degenerate, and a 4-token chain (mixed lengths + slops
+# share the one scan)
+CHAIN_BATCH = [
+    (CHAIN_TOKENS, CHAIN_W),
+    ([ord("q"), ord("e")], 5),
+    ([ord("x")], 2),
+    ([ord("t"), ord("h"), ord("e"), ord("r")], 4),
+]
+GCHAIN_BATCH = CHAIN_BATCH[:3]
+
+
+def q_hbi_chain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ORDERED-CHAIN search: a whole phrase-with-slop dictionary
+    (mixed chain lengths and slops, incl. the k=1 degenerate) answered with
+    ONE leaf scan — per-doc per-token window lists assembled once, every
+    chain running its backward window DP + position DP over them
+    (operators/proximity.py:ordered_chain_search_batch; identical to
+    per-chain ordered_chain_search, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search_batch,
+    )
+
+    return ordered_chain_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, CHAIN_BATCH
+    )
+
+
+def q_hbi_global_chain_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched STREAM-axis ORDERED-CHAIN search: the phrase dictionary over
+    the concatenated stream in ONE global leaf scan (chains may span docs) —
+    forward-reach halo sized by the workload's max chain reach, per-chain
+    window DP over shared lists, fragment assembly once per window
+    (operators/proximity.py:global_ordered_chain_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_ordered_chain_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GCHAIN_BATCH
     )
 
 
@@ -2464,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
         "hbi_negated_batch": q_hbi_negated_batch,
         "hbi_global_negated_batch": q_hbi_global_negated_batch,
+        "hbi_chain_batch": q_hbi_chain_batch,
+        "hbi_global_chain_batch": q_hbi_global_chain_batch,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -2647,6 +2711,24 @@ JOIN flat a ON a.t = pairs.ta
 JOIN flat b ON b.doc_id = a.doc_id AND b.t = pairs.tb
 WHERE (pairs.is_ord = 0 AND abs(a.p - b.p) <= pairs.w AND a.p <> b.p)
    OR (pairs.is_ord = 1 AND b.p > a.p AND b.p <= a.p + pairs.w)""",
+        "hbi_chain_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos)
+""" + "\nUNION ALL\n".join(
+            _chain_sql(cid, toks, w, global_axis=False)
+            for cid, (toks, w) in enumerate(CHAIN_BATCH)),
+        "hbi_global_chain_batch": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+)
+""" + "\nUNION ALL\n".join(
+            _chain_sql(cid, toks, w, global_axis=True)
+            for cid, (toks, w) in enumerate(GCHAIN_BATCH)),
         "hbi_negated_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
 flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
 pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(

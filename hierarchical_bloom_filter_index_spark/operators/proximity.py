@@ -341,7 +341,8 @@ def proximity_search(
                 if len(keep):
                     ids.append(did)
                     wids.append(keep)
-            yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
 
     cand = per_doc.mapInPandas(cands, schema="doc_id string, cand_w array<long>")
 
@@ -571,8 +572,10 @@ def proximity_search_batch(
                         ids.append(did)
                         pids.append(pid)
                         wids.append(keep)
-            yield pd.DataFrame({"doc_id": ids, "pair_id": np.asarray(pids, np.int32),
-                                "cand_w": wids})
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "pair_id": np.asarray(pids, np.int32),
+                     "cand_w": wids})
 
     cand = per_doc.mapInPandas(
         cands, schema="doc_id string, pair_id int, cand_w array<long>")
@@ -790,7 +793,8 @@ def ordered_chain_search(
                 if len(good):
                     ids.append(did)
                     wids.append(good)
-            yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "cand_w": wids})
 
     cand = per_doc.mapInPandas(cands, schema="doc_id string, cand_w array<long>")
 
@@ -1008,7 +1012,8 @@ def negated_proximity_search(
                 wb = np.asarray(wb, dtype=np.int64)
                 ids.append(did)
                 chks.append(wa[_reach_mask(wa, wb, r_lo, radius)])
-            yield pd.DataFrame({"doc_id": ids, "chk_w": chks})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "chk_w": chks})
 
     cand = per_doc.mapInPandas(cands, schema="doc_id string, chk_w array<long>")
 
@@ -1222,9 +1227,10 @@ def negated_proximity_search_batch(
                     ids.append(did)
                     pids.append(pid)
                     chks.append(chk)
-            yield pd.DataFrame({"doc_id": ids,
-                                "pair_id": np.asarray(pids, np.int32),
-                                "chk_w": chks})
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "pair_id": np.asarray(pids, np.int32),
+                     "chk_w": chks})
 
     cand = per_doc.mapInPandas(
         cands, schema="doc_id string, pair_id int, chk_w array<long>")
@@ -1394,3 +1400,228 @@ def global_negated_proximity_search_batch(
                 })
 
     return grouped.mapInPandas(verify, schema=GLOBAL_NEG_BATCH_SCHEMA)
+
+
+CHAIN_BATCH_SCHEMA = "chain_id int, doc_id string, pos int"
+
+
+def _parse_chain_workload(chains, span: int, name: str):
+    """Normalize a batched chain workload of (tokens, w) entries: returns
+    (chains as (token-list, w) pairs, distinct probe keys as uint64,
+    per-chain specs (key idx list, window radius))."""
+    chains = [([int(t) for t in toks], int(w)) for toks, w in chains]
+    if not chains:
+        raise ValueError(f"{name}: empty chain workload")
+    if any(not toks for toks, _w in chains):
+        raise ValueError(f"{name}: empty chain")
+    if any(w < 0 for _toks, w in chains):
+        raise ValueError(f"{name}: w must be >= 0 for every chain")
+    keys = np.unique(np.asarray(
+        [t for toks, _w in chains for t in toks], dtype=np.int64))
+    specs = [
+        ([int(np.searchsorted(keys, t)) for t in toks], -(-w // span))
+        for toks, w in chains
+    ]
+    return chains, keys.astype(np.uint64), specs
+
+
+def ordered_chain_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    chains,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched ORDERED-CHAIN search: a whole dictionary of (tokens, w)
+    phrase-with-slop queries answered with ONE leaf scan — every Bloom blob
+    probed once for the workload's distinct tokens, each doc's per-token
+    window lists assembled once, and every chain running its backward
+    existence DP (window pruning AND position verification) over those
+    shared structures. Answers identical to per-chain ordered_chain_search
+    (tested). Returns (chain_id, doc_id, pos) with chain_id = the chain's
+    position in ``chains``; chains of different lengths / slops mix freely
+    (k == 1 degenerates to all positions of the single token)."""
+    if cfg.ngram != 1:
+        raise ValueError(
+            "ordered_chain_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    chains, ukeys, specs = _parse_chain_workload(
+        chains, span, "ordered_chain_search_batch")
+
+    rows = _level_rows_checked(index, L, doc_axis=True)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
+    per_doc = _kw_map_doc(hits)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, cids, wids = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for cid, (kidx, radius) in enumerate(specs):
+                    lists = [kw.get(i) for i in kidx]
+                    if any(x is None for x in lists):
+                        continue
+                    good = _backward_reach(
+                        [np.asarray(x, dtype=np.int64) for x in lists],
+                        0, radius)
+                    if len(good):
+                        ids.append(did)
+                        cids.append(cid)
+                        wids.append(good)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "chain_id": np.asarray(cids, np.int32),
+                     "cand_w": wids})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, chain_id int, cand_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("chain_id", "cand_w")).alias("pairs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"chain_id": [], "doc_id": [], "pos": []}
+            for did, toks, pairs in zip(pdf["doc_id"], pdf["tokens"], pdf["pairs"]):
+                positions = _positions_fn(np.asarray(toks, dtype=np.int64))
+                for p in pairs:
+                    cid = int(p["chain_id"])
+                    chain, ww = chains[cid]
+                    p0 = positions(chain[0])
+                    if len(p0) == 0:
+                        continue
+                    cw = np.asarray(p["cand_w"], dtype=np.int64)
+                    p0 = p0[np.isin(p0 // sp, cw)]
+                    if len(p0) == 0:
+                        continue
+                    p0 = _backward_reach(
+                        [p0] + [positions(c) for c in chain[1:]], 1, ww)
+                    if len(p0):
+                        out["chain_id"].extend([cid] * len(p0))
+                        out["doc_id"].extend([did] * len(p0))
+                        out["pos"].append(p0)
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "chain_id": np.asarray(out["chain_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos": np.concatenate(out["pos"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select(
+        "doc_id", "tokens", "pairs")
+    return survivors.mapInPandas(verify, schema=CHAIN_BATCH_SCHEMA)
+
+
+GLOBAL_CHAIN_BATCH_SCHEMA = "chain_id int, gpos long"
+
+
+def global_ordered_chain_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    chains,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis ORDERED-CHAIN search: the whole phrase dictionary
+    over the CONCATENATED stream in ONE global leaf scan — document
+    boundaries invisible (chains may span docs). The forward-reach halo is
+    sized by the workload's MAX chain reach (a superset halo is sound for
+    shorter chains), each chain runs its backward window DP over the shared
+    per-chunk lists with survivors restricted to ITS first token's home
+    windows, and fragment assembly covers each candidate window once with
+    the max-reach margin even when several chains share it. Answers
+    identical to per-chain global_ordered_chain_search (tested). Returns
+    (chain_id, gpos)."""
+    if cfg.axis != "global":
+        raise ValueError(
+            "global_ordered_chain_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_ordered_chain_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    chains, ukeys, specs = _parse_chain_workload(
+        chains, span, "global_ordered_chain_search_batch")
+    max_reach = max((len(kidx) - 1) * radius for kidx, radius in specs)
+    Wt = max((len(toks) - 1) * w for toks, w in chains)  # max reach in tokens
+    rows = _level_rows_checked(index, L, doc_axis=False)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
+    per_chunk = _kw_map_chunks(hits, 0, max_reach)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids, wids = [], []
+            for kw in pdf["kw"]:
+                for cid, (kidx, radius) in enumerate(specs):
+                    lists = []
+                    missing = False
+                    for i in kidx:
+                        e = kw.get(i)
+                        if e is None or len(e["wl"]) == 0:
+                            missing = True
+                            break
+                        lists.append(np.asarray(e["wl"], dtype=np.int64))
+                    if missing:
+                        continue
+                    good = _backward_reach(lists, 0, radius)
+                    if len(good) == 0:
+                        continue
+                    # chain starts must be HOME windows of the first token
+                    # (each true start belongs to exactly ONE chunk)
+                    wh = np.asarray(kw.get(kidx[0])["wh"], dtype=np.int64)
+                    keep = good[np.isin(good, wh)]
+                    if len(keep):
+                        cids.append(np.full(len(keep), cid, dtype=np.int32))
+                        wids.append(keep)
+            if cids:
+                yield pd.DataFrame({"chain_id": np.concatenate(cids),
+                                    "w_id": np.concatenate(wids)})
+
+    cand = per_chunk.mapInPandas(cands, schema="chain_id int, w_id long")
+    # several chains may keep the same window: fragments assembled ONCE per
+    # window (max-reach margin), the chain-id list rides along
+    cand_w = cand.groupBy("w_id").agg(F.collect_list("chain_id").alias("cids"))
+
+    sp = int(span)
+    grouped = _assemble_fragments(corpus, cand_w, sp, Wt, riders=("cids",))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"chain_id": [], "gpos": []}
+            for wa_id, parts, cids in zip(pdf["w_id"], pdf["parts"], pdf["cids"]):
+                base, t = _stitch_parts(parts)
+                positions = _positions_fn(t, base)
+                for cid in sorted(set(int(c) for c in cids)):
+                    chain, ww = chains[cid]
+                    p0 = _in_window(positions(chain[0]), wa_id, sp)
+                    if len(p0) == 0:
+                        continue
+                    p0 = _backward_reach(
+                        [p0] + [positions(c) for c in chain[1:]], 1, ww)
+                    if len(p0):
+                        out["chain_id"].extend([cid] * len(p0))
+                        out["gpos"].append(p0)
+            if out["chain_id"]:
+                yield pd.DataFrame({
+                    "chain_id": np.asarray(out["chain_id"], np.int32),
+                    "gpos": np.concatenate(out["gpos"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_CHAIN_BATCH_SCHEMA)

@@ -682,3 +682,73 @@ def test_negated_batch_refusals(spark, built):
         negated_proximity_search_batch(corp, idx, CFG, [(1, 2, -3)])
     with pytest.raises(ValueError, match="axis"):
         global_negated_proximity_search_batch(corp, idx, CFG, [(1, 2, 3)])
+
+
+def test_chain_batch_equals_singles(spark, built):
+    """One-scan batched chain search must return EXACTLY the per-chain
+    answers — mixed lengths (incl. the k=1 degenerate), mixed slops, a
+    repeated-token chain, and an absent-token chain."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        ordered_chain_search,
+        ordered_chain_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    chains = [([a, b], 3), ([b, a, b], 5), ([a], 2), ([a, a], 4),
+              ([a, 987654321, b], 6), ([b, a], 0)]
+    got = {(r["chain_id"], r["doc_id"], r["pos"])
+           for r in ordered_chain_search_batch(corp, idx, CFG, chains).collect()}
+    want = set()
+    for cid, (toks, w) in enumerate(chains):
+        for r in ordered_chain_search(corp, idx, CFG, toks, w).collect():
+            want.add((cid, r["doc_id"], r["pos"]))
+    assert got == want and len(want) > 0
+    assert any(cid == 2 for cid, *_ in got)  # k=1 chain produced rows
+
+
+def test_global_chain_batch_equals_singles(spark, built):
+    """One-scan batched STREAM-axis chain search returns EXACTLY the
+    per-chain answers — the max-reach halo shared by shorter chains,
+    cross-doc chains included."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search,
+        global_ordered_chain_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        chains = [([a, b], 3), ([b, a, b], 40), ([b], 2), ([a, a], 4),
+                  ([a, 987654321], 6)]
+        got = {(r["chain_id"], r["gpos"])
+               for r in global_ordered_chain_search_batch(
+                   gcorp, gidx, gcfg, chains).collect()}
+        want = set()
+        for cid, (toks, w) in enumerate(chains):
+            for r in global_ordered_chain_search(gcorp, gidx, gcfg, toks, w).collect():
+                want.add((cid, r["gpos"]))
+        assert got == want and len(want) > 0
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_chain_batch_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_ordered_chain_search_batch,
+        ordered_chain_search_batch,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="empty chain workload"):
+        ordered_chain_search_batch(corp, idx, CFG, [])
+    with pytest.raises(ValueError, match="empty chain"):
+        ordered_chain_search_batch(corp, idx, CFG, [([], 3)])
+    with pytest.raises(ValueError, match="w must be"):
+        ordered_chain_search_batch(corp, idx, CFG, [([1, 2], -3)])
+    with pytest.raises(ValueError, match="axis"):
+        global_ordered_chain_search_batch(corp, idx, CFG, [([1, 2], 3)])
