@@ -127,6 +127,11 @@ def main() -> None:
         "hbi_global_proximity",
         "hbi_proximity_batch",
         "hbi_global_proximity_batch",
+        # NOT-proximity workload (certificate split) in one scan
+        "hbi_negated_batch",
+        # phrase-with-slop: backward existence DP; then a whole dictionary
+        "hbi_chain",
+        "hbi_chain_batch",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",

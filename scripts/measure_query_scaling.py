@@ -81,6 +81,14 @@ SWEEP = [
     "fuzzy_topk_matches",
     "range_f2",
     "collocations_pmi",
+    # round-4d additions: batched NOT-proximity (per-query certificate
+    # splits over shared window lists) and batched phrase-with-slop chains.
+    # Caesar replicas shift the workload letters, so these measure the
+    # shared-scan + verify shape at ~5x positions
+    "hbi_negated_batch",
+    "hbi_global_negated_batch",
+    "hbi_chain_batch",
+    "hbi_global_chain_batch",
 ]
 
 
