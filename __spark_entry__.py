@@ -1998,6 +1998,42 @@ def q_global_range_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_range_jaccard(_CACHE[key], PAIR_QS_GLOBAL, CFG.deepest)
 
 
+def q_range_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-OPERATION CARDINALITIES (|A|, |B|, |A ∪ B|, |A ∩ B|) between the
+    distinct-token sets of two leaf-window ranges per doc, answered from
+    O(log) covering HLL nodes per side: per-side range merges give |A| and
+    |B|, the pairwise register-max merge gives |A ∪ B| (HLL union is
+    lossless in sketch space), inclusion-exclusion gives |A ∩ B|. On this
+    corpus every merged range node stays SPARSE-EXACT (ASCII vocab <<
+    sparse_max_nnz = 2^12/8), so all four outputs are exact distinct counts
+    and the query is oracle-checked; the dense regime's union/intersection
+    error envelopes are enforced in tests/test_rollup.py. Completes the
+    pair-of-ranges family (inner product = cs, Jaccard = bk, set algebra =
+    hll) over the same one-broadcast-join geometry."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import range_setops
+
+    return range_setops(_hll_index(spark, sf_dir), PAIR_QS, CFG.deepest)
+
+
+def q_global_range_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities between the distinct-token sets of two
+    STREAM leaf-window ranges of the ONE concatenated token stream — global
+    twin of range_setops (phase-aligned partial HLLs merged into
+    stream-window nodes, doc boundaries invisible; sparse-exact on this
+    corpus, oracle-checked). One pair probes the missing-side semantics:
+    a side with no covering node is the empty set (est 0)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_hll_window_index,
+        global_range_setops,
+    )
+
+    key = ("ghll_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_hll_window_index(gcorp, CFG, p=12)
+    return global_range_setops(_CACHE[key], PAIR_QS_GLOBAL, CFG.deepest)
+
+
 def q_global_range_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT token counts over STREAM leaf-window ranges [a, b) from the
     global-axis dyadic CMS index: O(log) covering nodes per range, document
@@ -2564,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_range_inner_product": q_global_range_inner_product,
         "range_jaccard": q_range_jaccard,
         "global_range_jaccard": q_global_range_jaccard,
+        "range_setops": q_range_setops,
+        "global_range_setops": q_global_range_setops,
         "range_window_totals": q_range_window_totals,
         "range_distinct": q_range_distinct,
         "range_freq": q_range_freq,
@@ -3345,6 +3383,73 @@ LEFT JOIN ns ON ns.doc_id = p.doc_id AND ns.a1 = p.a1 AND ns.b1 = p.b1
             AND ns.a2 = p.a2 AND ns.b2 = p.b2
 LEFT JOIN nm ON nm.doc_id = p.doc_id AND nm.a1 = p.a1 AND nm.b1 = p.b1
             AND nm.a2 = p.a2 AND nm.b2 = p.b2""",
+        # cross-range set algebra: distinct counts of A, B, A∪B, A∩B per
+        # (doc, range pair) — exact on this corpus (every merged range HLL
+        # node sparse); a doc appears iff EITHER range overlaps it (the
+        # missing side is the empty set, est 0)
+        "range_setops": f"""WITH {CORPUS_CTE},
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS)}),
+present AS (
+  SELECT doc_id, a1, b1, a2, b2, tokens, n_tok FROM corpus, pq
+  WHERE n_tok > LEAST(a1, a2) * {CFG.leaf_span}),
+sta AS (
+  SELECT DISTINCT doc_id, a1, b1, a2, b2, t
+  FROM (SELECT doc_id, a1, b1, a2, b2,
+               unnest(tokens[a1 * {CFG.leaf_span} + 1 : LEAST(n_tok, b1 * {CFG.leaf_span})]) AS t
+        FROM present)),
+stb AS (
+  SELECT DISTINCT doc_id, a1, b1, a2, b2, t
+  FROM (SELECT doc_id, a1, b1, a2, b2,
+               unnest(tokens[a2 * {CFG.leaf_span} + 1 : LEAST(n_tok, b2 * {CFG.leaf_span})]) AS t
+        FROM present)),
+un AS (SELECT * FROM sta UNION SELECT * FROM stb),
+na AS (SELECT doc_id, a1, b1, a2, b2, COUNT(*) AS n FROM sta GROUP BY doc_id, a1, b1, a2, b2),
+nb AS (SELECT doc_id, a1, b1, a2, b2, COUNT(*) AS n FROM stb GROUP BY doc_id, a1, b1, a2, b2),
+nu AS (SELECT doc_id, a1, b1, a2, b2, COUNT(*) AS n FROM un GROUP BY doc_id, a1, b1, a2, b2)
+SELECT p.doc_id, CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(na.n, 0) AS DOUBLE) AS est_a,
+       CAST(COALESCE(nb.n, 0) AS DOUBLE) AS est_b,
+       CAST(COALESCE(nu.n, 0) AS DOUBLE) AS est_union,
+       CAST(COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(nu.n, 0) AS DOUBLE) AS est_intersect
+FROM present p
+LEFT JOIN na ON na.doc_id = p.doc_id AND na.a1 = p.a1 AND na.b1 = p.b1
+            AND na.a2 = p.a2 AND na.b2 = p.b2
+LEFT JOIN nb ON nb.doc_id = p.doc_id AND nb.a1 = p.a1 AND nb.b1 = p.b1
+            AND nb.a2 = p.a2 AND nb.b2 = p.b2
+LEFT JOIN nu ON nu.doc_id = p.doc_id AND nu.a1 = p.a1 AND nu.b1 = p.b1
+            AND nu.a2 = p.a2 AND nu.b2 = p.b2""",
+        "global_range_setops": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, CAST(tokens[i] AS BIGINT) AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+pq(a1, b1, a2, b2) AS (VALUES {", ".join(f"({a1}, {b1}, {a2}, {b2})" for (a1, b1), (a2, b2) in PAIR_QS_GLOBAL)}),
+present AS (SELECT a1, b1, a2, b2 FROM pq, tot WHERE n > LEAST(a1, a2) * {CFG.leaf_span}),
+sta AS (SELECT DISTINCT a1, b1, a2, b2, t
+        FROM flat JOIN pq ON g >= a1 * {CFG.leaf_span} AND g < b1 * {CFG.leaf_span}),
+stb AS (SELECT DISTINCT a1, b1, a2, b2, t
+        FROM flat JOIN pq ON g >= a2 * {CFG.leaf_span} AND g < b2 * {CFG.leaf_span}),
+un AS (SELECT * FROM sta UNION SELECT * FROM stb),
+na AS (SELECT a1, b1, a2, b2, COUNT(*) AS n FROM sta GROUP BY a1, b1, a2, b2),
+nb AS (SELECT a1, b1, a2, b2, COUNT(*) AS n FROM stb GROUP BY a1, b1, a2, b2),
+nu AS (SELECT a1, b1, a2, b2, COUNT(*) AS n FROM un GROUP BY a1, b1, a2, b2)
+SELECT CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
+       CAST(p.a2 AS BIGINT) AS a2, CAST(p.b2 AS BIGINT) AS b2,
+       CAST(COALESCE(na.n, 0) AS DOUBLE) AS est_a,
+       CAST(COALESCE(nb.n, 0) AS DOUBLE) AS est_b,
+       CAST(COALESCE(nu.n, 0) AS DOUBLE) AS est_union,
+       CAST(COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(nu.n, 0) AS DOUBLE) AS est_intersect
+FROM present p
+LEFT JOIN na ON na.a1 = p.a1 AND na.b1 = p.b1 AND na.a2 = p.a2 AND na.b2 = p.b2
+LEFT JOIN nb ON nb.a1 = p.a1 AND nb.b1 = p.b1 AND nb.a2 = p.a2 AND nb.b2 = p.b2
+LEFT JOIN nu ON nu.a1 = p.a1 AND nu.b1 = p.b1 AND nu.a2 = p.a2 AND nu.b2 = p.b2""",
         "global_range_jaccard": f"""WITH {CORPUS_CTE}, {POS_CTE},
 {_splitmix_ctes(CFG.seed + 17)},
 tot AS (SELECT SUM(n_tok) AS n FROM corpus),

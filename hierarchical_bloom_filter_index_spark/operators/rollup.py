@@ -1161,6 +1161,105 @@ def global_range_jaccard(bk_index: DataFrame, pairs, deepest: int) -> DataFrame:
     )
 
 
+def _hll_pair_setops_fn(key_cols):
+    from ..sketches.hll import (
+        blob_p,
+        blob_seed,
+        empty_blob,
+        estimate_blobs,
+        merge_blob_groups,
+    )
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_flat, a_cnt, b_flat, b_cnt = _split_pair_children(pdf)
+            first = (a_flat if a_flat else b_flat)[0]
+            p, seed = blob_p(first), blob_seed(first)
+            n = len(pdf)
+            empty = empty_blob(p, seed)
+
+            def side_merge(flat, cnt):
+                # a side whose range lies beyond a doc/stream end has ZERO
+                # cover nodes: pad those groups with the canonical empty
+                # node — the all-dense fast path in merge_blob_groups
+                # (base.grouped_reduce) does NOT tolerate zero-count groups
+                # (a zero group's start row belongs to its neighbor)
+                if not flat:
+                    return [empty] * n
+                if (cnt == 0).any():
+                    bounds = np.cumsum(cnt)
+                    starts = bounds - cnt
+                    flat = [
+                        blob
+                        for i in range(n)
+                        for blob in (flat[starts[i] : bounds[i]] if cnt[i] else [empty])
+                    ]
+                    cnt = np.maximum(cnt, 1)
+                return merge_blob_groups(flat, cnt, p)
+
+            ma = side_merge(a_flat, a_cnt)
+            mb = side_merge(b_flat, b_cnt)
+            # union = ONE canonical pairwise merge across the whole batch
+            # (register max / sparse set-union — HLL union is lossless in
+            # sketch space), so est_union carries the same error envelope
+            # as a single-range estimate of A ∪ B
+            inter = [blob for pair in zip(ma, mb) for blob in pair]
+            mu = merge_blob_groups(inter, np.full(n, 2, dtype=np.int64), p)
+            est_a = estimate_blobs(ma, p)
+            est_b = estimate_blobs(mb, p)
+            est_u = estimate_blobs(mu, p)
+            out = pdf[list(key_cols)].copy()
+            out["est_a"] = est_a
+            out["est_b"] = est_b
+            out["est_union"] = est_u
+            out["est_intersect"] = np.maximum(0.0, est_a + est_b - est_u)
+            yield out
+
+    return est
+
+
+def range_setops(hll_index: DataFrame, pairs, deepest: int) -> DataFrame:
+    """(doc_id, a1, b1, a2, b2, est_a, est_b, est_union, est_intersect):
+    SET-OPERATION CARDINALITIES between the distinct-token sets of two
+    leaf-window ranges A=[a1,b1), B=[a2,b2) per doc, answered from O(log)
+    covering HLL nodes per side. |A| and |B| come from the per-side range
+    merges, |A ∪ B| from the pairwise register-max merge (lossless HLL
+    union), |A ∩ B| by inclusion-exclusion (max(0, |A|+|B|-|A∪B|) —
+    standard HLL intersection; its additive error scales with the UNION's
+    1.04/sqrt(2^p) envelope, not the intersection's size). Set differences
+    follow as est_a - est_intersect. While every merged node stays
+    SPARSE-EXACT (content distinct count <= sparse_max_nnz) all four
+    outputs are exact integers, hence SQL-oracle-checkable on small-vocab
+    corpora; the dense regime's bounds are enforced in tests. ``pairs`` =
+    ((a1, b1), (a2, b2)) applied to every doc (shared cover nodes
+    broadcast); a doc appears iff either range overlaps it — a missing
+    side is the empty set (est 0). Extends the reference's per-window
+    distinct estimate (membership/BloomFilter.java:61-66) to set algebra
+    BETWEEN arbitrary hierarchy slices."""
+    return _joined_pair_groups(
+        hll_index, pairs, deepest, _DOC_PAIR_KEYS, partial_merge=_hll_merge_auto
+    ).mapInPandas(
+        _hll_pair_setops_fn(_DOC_PAIR_KEYS),
+        schema=_DOC_PAIR_SCHEMA
+        + ", est_a double, est_b double, est_union double, est_intersect double",
+    )
+
+
+def global_range_setops(hll_index: DataFrame, pairs, deepest: int) -> DataFrame:
+    """Global twin of range_setops: set-operation cardinalities between the
+    distinct-token sets of two STREAM leaf-window ranges of the ONE
+    concatenated token stream (doc boundaries invisible)."""
+    return _joined_pair_groups(
+        hll_index, pairs, deepest, _GLOBAL_PAIR_KEYS, partial_merge=_hll_merge_auto
+    ).mapInPandas(
+        _hll_pair_setops_fn(_GLOBAL_PAIR_KEYS),
+        schema=_GLOBAL_PAIR_SCHEMA
+        + ", est_a double, est_b double, est_union double, est_intersect double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # GLOBAL-axis window-sketch indexes: the reference's actual model is ONE
 # concatenated token stream (PMIndex/HBI.java insert/report) — stream

@@ -134,6 +134,21 @@ def blob_p(b: bytes) -> int:
     return int(p)
 
 
+def blob_seed(b: bytes) -> int:
+    """seed of a dense OR sparse HLL node blob."""
+    b = bytes(b)
+    if b[0] not in (_MAGIC, _MAGIC_HLL_SP):
+        raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
+    (seed,) = struct.unpack_from("<q", b, 12)
+    return int(seed)
+
+
+def empty_blob(p: int, seed: int) -> bytes:
+    """Canonical EMPTY node (sparse, nnz 0) — the identity of the merge.
+    Used for a pair-query side whose range lies wholly beyond the data."""
+    return base.pack(_MAGIC_HLL_SP, [p, seed, 0], [np.empty(0, np.int64)])
+
+
 def _idx_rho(tokens: np.ndarray, p: int, seed: int):
     h = hash64(np.asarray(tokens, dtype=np.int64), seed)
     idx = (h >> _U64(64 - p)).astype(np.int64)

@@ -808,3 +808,112 @@ def test_window_sketch_segmented_expire_roundtrip(spark, tmp_path):
     assert rows(read_index_expired(spark, path, cfg, horizon)) == \
         rows(expire_window_index(idx, cfg, horizon))
     idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# pair-of-ranges SET ALGEBRA (hll family): |A|, |B|, |A∪B|, |A∩B| between two
+# leaf-window ranges — exact in the sparse-node regime, HLL envelopes dense
+# ---------------------------------------------------------------------------
+def _brute_setops(sa, sb):
+    A, B = set(sa.tolist()), set(sb.tolist())
+    return (float(len(A)), float(len(B)), float(len(A | B)), float(len(A & B)))
+
+
+def test_range_setops_sparse_exact_and_missing_side(spark, built):
+    """Every (doc, pair) answer is EXACT while all merged nodes stay sparse
+    (ranges of <= 8 leaf windows hold <= 256 tokens << sparse_max_nnz(12));
+    a pair whose side B lies beyond every doc still yields a row with B the
+    empty set; a (doc, pair) with NEITHER side overlapping yields no row."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import range_setops
+
+    corp, idx = built
+    pairs = [((0, 4), (4, 8)), ((0, 3), (1, 6)), ((0, 2), (100000, 100004))]
+    got = {(r["doc_id"], r["a1"], r["b1"], r["a2"], r["b2"]):
+           (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"])
+           for r in range_setops(idx, pairs, CFG.deepest).collect()}
+    span = CFG.leaf_span
+    n_checked = n_missing = 0
+    for r in corp.select("doc_id", "tokens").collect():
+        toks = r["tokens"]
+        for (a1, b1), (a2, b2) in pairs:
+            key = (r["doc_id"], a1, b1, a2, b2)
+            sa = np.asarray(toks[a1 * span: b1 * span], dtype=np.int64)
+            sb = np.asarray(toks[a2 * span: b2 * span], dtype=np.int64)
+            if len(sa) == 0 and len(sb) == 0:
+                assert key not in got
+                continue
+            assert got[key] == _brute_setops(sa, sb), key
+            n_checked += 1
+            n_missing += int(len(sb) == 0)
+    assert n_checked > 0 and n_missing > 0
+    assert len(got) == n_checked
+
+
+def test_range_setops_dense_envelope(spark, built):
+    """p=6 forces the dense regime (sparse_max_nnz = 8): |A|, |B|, |A∪B|
+    within the HLL relative envelope, |A∩B| within the inclusion-exclusion
+    ADDITIVE envelope (scales with the union, not the intersection)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_hll_window_index,
+        range_setops,
+    )
+
+    corp, _ = built
+    idx6 = build_hll_window_index(corp, CFG, p=6)
+    pairs = [((0, 8), (4, 12)), ((0, 16), (16, 32))]
+    got = {(r["doc_id"], r["a1"], r["b1"], r["a2"], r["b2"]):
+           (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"])
+           for r in range_setops(idx6, pairs, CFG.deepest).collect()}
+    span = CFG.leaf_span
+    rel = 5 * 1.04 / np.sqrt(64)
+    n_dense = 0
+    for r in corp.select("doc_id", "tokens").collect():
+        toks = r["tokens"]
+        for (a1, b1), (a2, b2) in pairs:
+            key = (r["doc_id"], a1, b1, a2, b2)
+            if key not in got:
+                continue
+            sa = np.asarray(toks[a1 * span: b1 * span], dtype=np.int64)
+            sb = np.asarray(toks[a2 * span: b2 * span], dtype=np.int64)
+            ta, tb, tu, ti = _brute_setops(sa, sb)
+            ea, eb, eu, ei = got[key]
+            for est, true in ((ea, ta), (eb, tb), (eu, tu)):
+                assert abs(est - true) <= rel * max(true, 1.0), key
+            assert abs(ei - ti) <= 3 * rel * max(tu, 1.0), key
+            n_dense += int(max(ta, tb) > 8)
+    assert n_dense > 0  # the dense regime is actually exercised
+    idx6.unpersist()
+
+
+def test_global_range_setops_vs_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_hll_window_index,
+        global_range_setops,
+    )
+
+    corp, _ = built
+    gcorp = C.with_global_offsets(corp)
+    gidx = build_global_hll_window_index(gcorp, CFG, p=12)
+    try:
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        pairs = [((0, 6), (3, 9)), ((1, 2), (1, 2)), ((0, 4), (100000, 100004))]
+        span = CFG.leaf_span
+        got = {(r["a1"], r["b1"], r["a2"], r["b2"]):
+               (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"])
+               for r in global_range_setops(gidx, pairs, CFG.deepest).collect()}
+        assert len(got) == len(pairs)
+        for (a1, b1), (a2, b2) in pairs:
+            sa = np.asarray(stream[a1 * span: b1 * span], dtype=np.int64)
+            sb = np.asarray(stream[a2 * span: b2 * span], dtype=np.int64)
+            assert got[(a1, b1, a2, b2)] == _brute_setops(sa, sb)
+        # identical ranges: intersection == union == each side
+        ea, eb, eu, ei = got[(1, 2, 1, 2)]
+        assert ea == eb == eu == ei > 0
+        # missing side: B empty, union == A, intersection 0
+        ea, eb, eu, ei = got[(0, 4, 100000, 100004)]
+        assert (eb, ei) == (0.0, 0.0) and eu == ea > 0
+    finally:
+        gidx.unpersist()
