@@ -885,6 +885,52 @@ def q_hbi_global_proximity_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Any-of SET proximity workloads (synonym-set sides): overlapping sides, an
+# absent member, and an ordered entry share one scan per axis
+SETPROX_BATCH = [
+    ((ord("q"), ord("x")), (ord("e"),), 6),
+    ((ord("q"),), (ord("q"), ord("e")), 4),
+    ((ord("x"), ord("j")), (ord(" "),), 3, True),
+]
+GSETPROX_BATCH = [
+    ((ord("q"), ord("x")), (ord("e"),), 6),
+    ((ord("q"),), (ord("q"), ord("e")), 2),
+    ((ord("e"),), (ord("q"), ord("x")), 6, True),
+]
+
+
+def q_hbi_set_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTIVE (any-of) SET proximity: each query names two token SETS
+    (synonym/alias sets) — all (pos_a, pos_b) with token[pos_a] ∈ A,
+    token[pos_b] ∈ B within w (ordered entries: 0 < pos_b - pos_a <= w).
+    One leaf scan for the whole workload; each side's positive window lists
+    union into ONE sorted list, so candidates cost one reach test per query
+    instead of |A|*|B| (operators/proximity.py:set_proximity_search_batch;
+    equal to the union of the single-pair queries, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        set_proximity_search_batch,
+    )
+
+    return set_proximity_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, SETPROX_BATCH
+    )
+
+
+def q_hbi_global_set_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-of SET proximity over the ONE concatenated stream — global twin
+    of hbi_set_proximity (chunked-with-halo window lists union per side,
+    fragments assembled once per candidate window; cross-doc pairs found
+    without materializing the stream)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_set_proximity_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_set_proximity_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GSETPROX_BATCH
+    )
+
+
 # Batched chain workload: the single-chain query's chain, a rare-anchor
 # 2-chain, a k=1 degenerate, and a 4-token chain (mixed lengths + slops
 # share the one scan)
@@ -2560,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_proximity_ordered": q_hbi_global_proximity_ordered,
         "hbi_proximity_batch": q_hbi_proximity_batch,
         "hbi_global_proximity_batch": q_hbi_global_proximity_batch,
+        "hbi_set_proximity": q_hbi_set_proximity,
+        "hbi_global_set_proximity": q_hbi_global_set_proximity,
         "hbi_negated_batch": q_hbi_negated_batch,
         "hbi_global_negated_batch": q_hbi_global_negated_batch,
         "hbi_chain_batch": q_hbi_chain_batch,
@@ -2847,6 +2895,45 @@ SELECT DISTINCT CAST(p0.g AS BIGINT) AS gpos
 FROM p0
 JOIN p1 ON p1.g > p0.g AND p1.g <= p0.g + {CHAIN_W}
 JOIN p2 ON p2.g > p1.g AND p2.g <= p1.g + {CHAIN_W}""",
+        # any-of SET proximity: a pos_a qualifies through ANY member of A,
+        # a pos_b through ANY member of B (list_contains IN-sets); equal
+        # positions always excluded
+        "hbi_set_proximity": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
+q(set_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, [{', '.join(str(t) for t in s[0])}],"
+            f" [{', '.join(str(t) for t in s[1])}], {s[2]},"
+            f" {1 if len(s) > 3 and s[3] else 0})"
+            for i, s in enumerate(SETPROX_BATCH))})
+SELECT CAST(set_id AS INT) AS set_id, a.doc_id AS doc_id,
+       CAST(a.p AS INT) AS pos_a, CAST(b.p AS INT) AS pos_b
+FROM q
+JOIN flat a ON list_contains(q.ta, a.t)
+JOIN flat b ON b.doc_id = a.doc_id AND list_contains(q.tb, b.t)
+WHERE (q.is_ord = 0 AND abs(a.p - b.p) <= q.w AND a.p <> b.p)
+   OR (q.is_ord = 1 AND b.p > a.p AND b.p <= a.p + q.w)""",
+        "hbi_global_set_proximity": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+q(set_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, [{', '.join(str(t) for t in s[0])}],"
+            f" [{', '.join(str(t) for t in s[1])}], {s[2]},"
+            f" {1 if len(s) > 3 and s[3] else 0})"
+            for i, s in enumerate(GSETPROX_BATCH))})
+SELECT CAST(set_id AS INT) AS set_id, CAST(a.g AS BIGINT) AS gpos_a,
+       CAST(b.g AS BIGINT) AS gpos_b
+FROM q
+JOIN flat a ON list_contains(q.ta, a.t)
+JOIN flat b ON b.g BETWEEN a.g - q.w AND a.g + q.w AND list_contains(q.tb, b.t)
+WHERE (q.is_ord = 0 AND a.g <> b.g)
+   OR (q.is_ord = 1 AND b.g > a.g AND b.g <= a.g + q.w)""",
         "hbi_global_proximity_batch": f"""WITH {CORPUS_CTE},
 off AS (
   SELECT tokens, n_tok,

@@ -129,6 +129,8 @@ def main() -> None:
         "hbi_global_proximity_batch",
         # NOT-proximity workload (certificate split) in one scan
         "hbi_negated_batch",
+        # any-of synonym-set sides, priced per side not per pair
+        "hbi_set_proximity",
         # phrase-with-slop: backward existence DP; then a whole dictionary
         "hbi_chain",
         "hbi_chain_batch",

@@ -1625,3 +1625,254 @@ def global_ordered_chain_search_batch(
                 })
 
     return grouped.mapInPandas(verify, schema=GLOBAL_CHAIN_BATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DISJUNCTIVE (any-of) SET proximity: each query names two token SETS — all
+# (pos_a, pos_b) with token[pos_a] ∈ A, token[pos_b] ∈ B and pos_b within w
+# of pos_a (ordered: 0 < pos_b - pos_a <= w), pos_a != pos_b always. The
+# synonym-set / entity-alias query. Answers equal the UNION of the |A|x|B|
+# single-pair queries (tested — every (doc, pos_a, pos_b) arises from exactly
+# one (a, b) token pair, so no dedup is needed), but the cost is per SIDE,
+# not per pair: each side's positive window lists union (sorted merge) into
+# ONE list, one reach test per query, one position scan per side per doc.
+# Pure kernel compositions, like every other surface in this file.
+# ---------------------------------------------------------------------------
+
+SET_PAIR_SCHEMA = "set_id int, doc_id string, pos_a int, pos_b int"
+GLOBAL_SET_PAIR_SCHEMA = "set_id int, gpos_a long, gpos_b long"
+
+
+def _parse_set_workload(queries, span: int, name: str):
+    """Normalize a batched (tokens_a, tokens_b, w[, ordered]) workload:
+    (queries as 4-tuples with deduped sorted tuple sides, distinct probe
+    keys as uint64, per-query specs (A key idxs, B key idxs, forward window
+    radius, backward reach — 0 for ordered))."""
+    norm = []
+    for q in queries:
+        ta = tuple(sorted({int(t) for t in q[0]}))
+        tb = tuple(sorted({int(t) for t in q[1]}))
+        w = int(q[2])
+        o = bool(q[3]) if len(q) > 3 else False
+        if not ta or not tb:
+            raise ValueError(f"{name}: empty token set in a query")
+        if w < 0:
+            raise ValueError(f"{name}: w must be >= 0 for every query")
+        norm.append((ta, tb, w, o))
+    if not norm:
+        raise ValueError(f"{name}: empty query workload")
+    keys = np.unique(np.asarray(
+        [t for ta, tb, _w, _o in norm for t in ta + tb], dtype=np.int64))
+    specs = [
+        (tuple(int(np.searchsorted(keys, t)) for t in ta),
+         tuple(int(np.searchsorted(keys, t)) for t in tb),
+         -(-w // span), 0 if o else -(-w // span))
+        for ta, tb, w, o in norm
+    ]
+    return norm, keys.astype(np.uint64), specs
+
+
+def _union_windows(kw, idxs, field=None):
+    """Union (sorted, deduped) of one side's per-token positive window
+    lists — kw is a per-doc map (field None) or per-chunk struct map
+    (field 'wh'/'wl'). None when the side has no positive window at all."""
+    arrs = []
+    for i in idxs:
+        e = kw.get(i)
+        if e is None:
+            continue
+        a = np.asarray(e if field is None else e[field], dtype=np.int64)
+        if len(a):
+            arrs.append(a)
+    if not arrs:
+        return None
+    return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+
+
+def _set_positions(t: np.ndarray, toks, base: int = 0) -> np.ndarray:
+    """Sorted positions (+ base) where ``t`` holds ANY of ``toks``."""
+    return np.flatnonzero(np.isin(t, np.asarray(toks, dtype=np.int64))) + base
+
+
+def set_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched doc-axis SET proximity: a workload of (tokens_a, tokens_b,
+    w[, ordered]) any-of queries answered with ONE leaf scan (every Bloom
+    blob probed once for the workload's distinct tokens, per-doc per-token
+    window lists assembled once and shared). Returns (set_id, doc_id,
+    pos_a, pos_b) with set_id = the query's position in ``queries``."""
+    if cfg.ngram != 1:
+        raise ValueError(
+            "set_proximity_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_set_workload(
+        queries, span, "set_proximity_search_batch")
+
+    rows = _level_rows_checked(index, L, doc_axis=True)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
+    per_doc = _kw_map_doc(hits)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sids, wids = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for sid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    wa = _union_windows(kw, ia)
+                    wb = _union_windows(kw, ib)
+                    if wa is None or wb is None:
+                        continue
+                    keep = wa[_reach_mask(wa, wb, r_lo, radius)]
+                    if len(keep):
+                        ids.append(did)
+                        sids.append(sid)
+                        wids.append(keep)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "set_id": np.asarray(sids, np.int32),
+                     "cand_w": wids})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, set_id int, cand_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("set_id", "cand_w")).alias("qs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"set_id": [], "doc_id": [], "pos_a": [], "pos_b": []}
+            for did, toks, qs in zip(pdf["doc_id"], pdf["tokens"], pdf["qs"]):
+                t = np.asarray(toks, dtype=np.int64)
+                for q in qs:
+                    sid = int(q["set_id"])
+                    ta, tb, ww, o = queries[sid]
+                    pa = _set_positions(t, ta)
+                    if len(pa) == 0:
+                        continue
+                    cw = np.asarray(q["cand_w"], dtype=np.int64)
+                    pa = pa[np.isin(pa // sp, cw)]
+                    if len(pa) == 0:
+                        continue
+                    res = _expand_pairs(pa, _set_positions(t, tb),
+                                        1 if o else -ww, ww)
+                    if res is None:
+                        continue
+                    pa_hit, pb_hit = res
+                    n = len(pa_hit)
+                    out["set_id"].extend([sid] * n)
+                    out["doc_id"].extend([did] * n)
+                    out["pos_a"].append(pa_hit)
+                    out["pos_b"].append(pb_hit)
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "set_id": np.asarray(out["set_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos_a": np.concatenate(out["pos_a"]).astype(np.int32),
+                    "pos_b": np.concatenate(out["pos_b"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select("doc_id", "tokens", "qs")
+    return survivors.mapInPandas(verify, schema=SET_PAIR_SCHEMA)
+
+
+def global_set_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis SET proximity: any-of (tokens_a, tokens_b, w[,
+    ordered]) queries over the concatenated stream, ONE global leaf scan —
+    chunked-with-halo window lists built once per (chunk, token), each
+    side's lists union per chunk, fragments assembled once per candidate
+    window (max-w margins). Cross-doc pairs found without materializing the
+    stream. Returns (set_id, gpos_a, gpos_b)."""
+    if cfg.axis != "global":
+        raise ValueError("global_set_proximity_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_set_proximity_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_set_workload(
+        queries, span, "global_set_proximity_search_batch")
+    max_radius = max(r for _ia, _ib, r, _rl in specs)
+    W = max(w for _ta, _tb, w, _o in queries)
+    rows = _level_rows_checked(index, L, doc_axis=False)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
+    per_chunk = _kw_map_chunks(hits, max_radius, max_radius)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sids, wids = [], []
+            for kw in pdf["kw"]:
+                for sid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    wa = _union_windows(kw, ia, "wh")
+                    wb = _union_windows(kw, ib, "wl")
+                    if wa is None or wb is None:
+                        continue
+                    keep = wa[_reach_mask(wa, wb, r_lo, radius)]
+                    if len(keep):
+                        sids.append(np.full(len(keep), sid, dtype=np.int32))
+                        wids.append(keep)
+            if sids:
+                yield pd.DataFrame({"set_id": np.concatenate(sids),
+                                    "w_id": np.concatenate(wids)})
+
+    cand = per_chunk.mapInPandas(cands, schema="set_id int, w_id long")
+    cand_w = cand.groupBy("w_id").agg(F.collect_list("set_id").alias("sids"))
+
+    sp = int(span)
+    grouped = _assemble_fragments(corpus, cand_w, sp, W, riders=("sids",))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"set_id": [], "gpos_a": [], "gpos_b": []}
+            for wa_id, parts, sids in zip(pdf["w_id"], pdf["parts"], pdf["sids"]):
+                base, t = _stitch_parts(parts)
+                for sid in sorted(set(int(s) for s in sids)):
+                    ta, tb, ww, o = queries[sid]
+                    # each true A position belongs to exactly ONE candidate
+                    # window per query -> no duplicate pairs
+                    pa = _in_window(_set_positions(t, ta, base), wa_id, sp)
+                    if len(pa) == 0:
+                        continue
+                    res = _expand_pairs(pa, _set_positions(t, tb, base),
+                                        1 if o else -ww, ww)
+                    if res is None:
+                        continue
+                    pa_hit, pb_hit = res
+                    out["set_id"].extend([sid] * len(pa_hit))
+                    out["gpos_a"].append(pa_hit)
+                    out["gpos_b"].append(pb_hit)
+            if out["set_id"]:
+                yield pd.DataFrame({
+                    "set_id": np.asarray(out["set_id"], np.int32),
+                    "gpos_a": np.concatenate(out["gpos_a"]),
+                    "gpos_b": np.concatenate(out["gpos_b"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_SET_PAIR_SCHEMA)

@@ -752,3 +752,91 @@ def test_chain_batch_refusals(spark, built):
         ordered_chain_search_batch(corp, idx, CFG, [([1, 2], -3)])
     with pytest.raises(ValueError, match="axis"):
         global_ordered_chain_search_batch(corp, idx, CFG, [([1, 2], 3)])
+
+
+# ---------------------------------------------------------------------------
+# disjunctive SET proximity (any-of on both sides)
+# ---------------------------------------------------------------------------
+def test_set_batch_equals_pair_union(spark, built):
+    """A set query (A, B, w) must return EXACTLY the union of the |A|x|B|
+    single-pair answers (each (doc, pos_a, pos_b) arises from one token
+    pair, so the union is duplicate-free) — including overlapping sides
+    (shared token), singleton sides, an absent token, and ordered entries
+    sharing the one scan."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        proximity_search,
+        set_proximity_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    c = int(corp.select(F.explode("tokens").alias("t"))
+            .groupBy("t").count().orderBy("count").first()["t"])  # rarest
+    queries = [
+        ((a, c), (b,), 6),
+        ((a,), (a, b), 4),            # sides overlap: pos_a != pos_b guards
+        ((a, 987654321), (b, c), 3),  # absent member is just ignored
+        ((b, c), (a, c), 5, True),    # ordered
+    ]
+    got = {(r["set_id"], r["doc_id"], r["pos_a"], r["pos_b"])
+           for r in set_proximity_search_batch(corp, idx, CFG, queries).collect()}
+    want = set()
+    for sid, q in enumerate(queries):
+        o = q[3] if len(q) > 3 else False
+        for ta in q[0]:
+            for tb in q[1]:
+                for r in proximity_search(corp, idx, CFG, ta, tb, q[2],
+                                          ordered=o).collect():
+                    want.add((sid, r["doc_id"], r["pos_a"], r["pos_b"]))
+    assert got == want and len(want) > 0
+    assert any(sid == 3 for sid, *_ in got)  # the ordered entry found pairs
+
+
+def test_set_batch_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        set_proximity_search_batch,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="empty"):
+        set_proximity_search_batch(corp, idx, CFG, [])
+    with pytest.raises(ValueError, match="empty token set"):
+        set_proximity_search_batch(corp, idx, CFG, [((), (1,), 3)])
+    with pytest.raises(ValueError, match="w must be"):
+        set_proximity_search_batch(corp, idx, CFG, [((1,), (2,), -3)])
+
+
+def test_global_set_batch_equals_pair_union(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_proximity_search,
+        global_set_proximity_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        queries = [
+            ((a, b), (b,), 6),
+            ((a,), (a, b), 50),       # radius spans windows (shared halo = max)
+            ((a, 987654321), (b,), 3),
+            ((b,), (a, b), 40, True),
+        ]
+        got = {(r["set_id"], r["gpos_a"], r["gpos_b"])
+               for r in global_set_proximity_search_batch(
+                   gcorp, gidx, gcfg, queries).collect()}
+        want = set()
+        for sid, q in enumerate(queries):
+            o = q[3] if len(q) > 3 else False
+            for ta in q[0]:
+                for tb in q[1]:
+                    for r in global_proximity_search(
+                            gcorp, gidx, gcfg, ta, tb, q[2], ordered=o).collect():
+                        want.add((sid, r["gpos_a"], r["gpos_b"]))
+        assert got == want and len(want) > 0
+        assert any(sid == 3 for sid, *_ in got)
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
