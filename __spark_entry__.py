@@ -254,6 +254,29 @@ def q_pattern(pattern: list[int]):
     return run
 
 
+TOPK_DOCS_K = 10
+
+
+def q_hbi_pattern_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED RETRIEVAL: top-k docs by exact occurrence count of the present
+    pattern — pattern_search's positions aggregated per doc (map-side
+    partial counts) and TakeOrdered'd with the deterministic
+    (n_matches DESC, doc_id ASC) tie-break, so the result SET is a pure
+    function of the corpus and the oracle can reproduce it exactly
+    (operators/route.py:pattern_topk_docs). The search-engine use of the
+    reference's report() (PMIndex/HBI.java:205) the reference leaves to
+    callers."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_topk_docs,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_topk_docs(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        TOPK_DOCS_K, start_level="auto", freq=freq, stats=stats,
+    )
+
+
 # gapped-literal pattern 'd?ta m?rge' — wildcards at the vowel slots, so the
 # cascade probes the 8 literals and the verifier checks only those offsets
 PAT_WILDCARD = [ord("d"), None, ord("t"), ord("a"), ord(" "),
@@ -2576,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HBI core (SURVEY §2.1/2.3/2.4)
         "hbi_pattern_present": q_pattern(PAT_PRESENT),
+        "hbi_pattern_topk_docs": q_hbi_pattern_topk_docs,
         "hbi_pattern_strided": q_pattern_strided,
         "hbi_pattern_markov": q_pattern_markov,
         "hbi_pattern_multilevel": q_pattern_multilevel,
@@ -2710,6 +2734,14 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "hbi_pattern_present": _pattern_oracle(PAT_PRESENT),
+        # top-k docs by occurrence count; (n DESC, doc_id ASC) tie-break
+        # makes the k-th boundary deterministic on both engines
+        "hbi_pattern_topk_docs": f"""SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM ({_pattern_oracle(PAT_PRESENT)})
+GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT {TOPK_DOCS_K}""",
         "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_markov": _pattern_oracle(PAT_RARE),
         "hbi_pattern_batch": _pattern_batch_oracle(BATCH_PATTERNS),

@@ -1043,3 +1043,32 @@ def range_membership(
         )
         .select("doc_id", "a", "b")
     )
+
+
+def pattern_topk_docs(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    k: int,
+    **search_kw,
+) -> DataFrame:
+    """RANKED RETRIEVAL: the top-k documents by EXACT occurrence count of
+    ``pattern`` — (doc_id, n_matches), n_matches DESC with doc_id ASC as the
+    deterministic tie-break (ties are common: most docs hold the same small
+    count). pattern_search's (doc_id, pos) stream aggregates per doc with
+    map-side partial counts (only (doc_id, count) rows reach the shuffle)
+    and orderBy+limit compiles to TakeOrderedAndProject — each partition
+    keeps its own top-k, the driver merges k*n_partitions rows, no global
+    sort at any scale. ``search_kw`` forwards to pattern_search
+    (start_level/freq/stats/markov/... — wire the planner inputs, the
+    cascade cost dominates)."""
+    if k <= 0:
+        raise ValueError("pattern_topk_docs: k must be >= 1")
+    hits = pattern_search(corpus, index, cfg, pattern, **search_kw)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(int(k))
+    )

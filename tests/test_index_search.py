@@ -312,3 +312,30 @@ def test_charclass_pattern_search_matches_python(spark, small_corpus, small_inde
         want = {(d, i) for d, ts in docs.items() for i in py_eval(ts, pat)}
         assert got == want, pat
     assert py_eval(toks, pats[0])  # the first pattern really matches
+
+
+def test_pattern_topk_docs(spark, small_corpus, small_index):
+    """Top-k docs by occurrence count: equals brute-force counts ranked with
+    the (n_matches DESC, doc_id ASC) tie-break; refuses k < 1. The plan must
+    be a TakeOrdered, not a global sort."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_search,
+        pattern_topk_docs,
+    )
+
+    corp, idx = small_corpus, small_index
+    doc = corp.filter(F.col("n_tok") >= 40).orderBy("doc_id").first()
+    pat = [int(t) for t in doc["tokens"][8:10]]  # present 2-token slice
+    k = 5
+    df = pattern_topk_docs(corp, idx, CFG, pat, k)
+    got = [(r["doc_id"], r["n_matches"]) for r in df.collect()]
+    cnt = {}
+    for r in pattern_search(corp, idx, CFG, pat).collect():
+        cnt[r["doc_id"]] = cnt.get(r["doc_id"], 0) + 1
+    want = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert got == want and 0 < len(got) <= k
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pattern_topk_docs(corp, idx, CFG, pat, 0)
