@@ -113,6 +113,28 @@ def _chain_sql(cid: int, toks, w: int, global_axis: bool) -> str:
             f"\nWHERE f0.t = {int(toks[0])}")
 
 
+def _set_chain_sql(cid: int, slots, w: int, global_axis: bool) -> str:
+    """One SET chain's oracle: start positions where token[x_i] ∈ slot_i in
+    order, each gap in (0, w] — the _chain_sql join with list_contains
+    slot-membership instead of token equality."""
+    pos, out = ("g", "gpos") if global_axis else ("p", "pos")
+    doc = "" if global_axis else "f0.doc_id AS doc_id, "
+
+    def inset(i, s):
+        return f"list_contains([{', '.join(str(int(t)) for t in s)}], f{i}.t)"
+
+    joins = "".join(
+        f"\nJOIN flat f{i} ON "
+        + ("" if global_axis else f"f{i}.doc_id = f0.doc_id AND ")
+        + f"{inset(i, s)} AND f{i}.{pos} > f{i-1}.{pos} "
+          f"AND f{i}.{pos} <= f{i-1}.{pos} + {int(w)}"
+        for i, s in enumerate(slots[1:], start=1))
+    cast = "BIGINT" if global_axis else "INT"
+    return (f"SELECT DISTINCT CAST({cid} AS INT) AS chain_id, {doc}"
+            f"CAST(f0.{pos} AS {cast}) AS {out}\nFROM flat f0{joins}"
+            f"\nWHERE {inset(0, slots[0])}")
+
+
 # --- 64-bit wrap-around hash in ANSI SQL ------------------------------------
 # The sampler oracles (bottomk_tokens, hops_representatives) need the EXACT
 # sketch priority hash64(token, seed) = splitmix64(token ^ s) in DuckDB.
@@ -1048,6 +1070,95 @@ def q_hbi_global_negated_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcorp, gidx, _gstats = _global_index(spark, sf_dir)
     return global_negated_proximity_search_batch(
         gcorp, gidx, CFG.with_(axis="global"), GNEG_BATCH
+    )
+
+
+# Negated SET workloads: any-of A with NO any-of B within w — including an
+# A∩B overlap (per-position self-hit) and an everywhere-absent B set
+NEGSET_BATCH = [
+    ((ord("q"),), (ord("e"), ord("a")), 3),
+    ((ord("q"), ord("x")), (ord("q"), ord(" ")), 4),
+    ((ord("x"),), (ord("Z"),), 5),
+    ((ord("e"),), (ord("q"), ord("x")), 6, True),
+]
+GNEGSET_BATCH = [
+    ((ord("q"),), (ord("e"), ord("a")), 3),
+    ((ord("q"), ord("x")), (ord("q"), ord(" ")), 4),
+    ((ord("e"),), (ord("q"), ord("x")), 6, True),
+]
+
+
+def q_hbi_negated_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched NEGATED SET proximity: positions of any A-set token with NO
+    B-set token within w (NOT the union of negated pairs — B-absence is a
+    conjunction over B's members). One leaf scan; per-query certificate
+    splits over the UNION window lists of each side
+    (operators/proximity.py:negated_set_proximity_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_set_proximity_search_batch,
+    )
+
+    return negated_set_proximity_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, NEGSET_BATCH
+    )
+
+
+def q_hbi_global_negated_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched STREAM-axis NEGATED SET proximity (a B-set member just across
+    a doc boundary DOES disqualify an A) — one global leaf scan, per-window
+    conditional fragment margins
+    (operators/proximity.py:global_negated_set_proximity_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_set_proximity_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_negated_set_proximity_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GNEGSET_BATCH
+    )
+
+
+# SET-chain (synonym-phrase) workloads: per-slot alternative sets, mixed
+# lengths/slops incl. a k=1 any-of degenerate
+SETCHAIN_BATCH = [
+    ([(ord("d"), ord("t")), (ord("a"),)], 3),
+    ([(ord("q"),), (ord("u"), ord("e")), (ord("e"), ord("a"))], 5),
+    ([(ord("x"), ord("q"))], 7),
+]
+GSETCHAIN_BATCH = [
+    ([(ord("d"), ord("t")), (ord("a"),)], 3),
+    ([(ord("q"),), (ord("u"), ord("e")), (ord("e"), ord("a"))], 5),
+    ([(ord("x"), ord("q"))], 7),
+]
+
+
+def q_hbi_set_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched SET-CHAIN search (synonym phrase dictionary): start positions
+    where token[x_i] ∈ slot-set_i in order, every gap in (0, w] — backward
+    existence DP over per-slot UNION window/position lists, one leaf scan
+    for the whole dictionary
+    (operators/proximity.py:set_chain_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        set_chain_search_batch,
+    )
+
+    return set_chain_search_batch(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, SETCHAIN_BATCH
+    )
+
+
+def q_hbi_global_set_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched STREAM-axis SET-CHAIN search (chains may span docs): the
+    synonym-phrase dictionary over the concatenated stream, forward-reach
+    halo sized by the workload max
+    (operators/proximity.py:global_set_chain_search_batch)."""
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_set_chain_search_batch,
+    )
+
+    gcorp, gidx, _gstats = _global_index(spark, sf_dir)
+    return global_set_chain_search_batch(
+        gcorp, gidx, CFG.with_(axis="global"), GSETCHAIN_BATCH
     )
 
 
@@ -2636,6 +2747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_negated_batch": q_hbi_global_negated_batch,
         "hbi_chain_batch": q_hbi_chain_batch,
         "hbi_global_chain_batch": q_hbi_global_chain_batch,
+        "hbi_negated_set": q_hbi_negated_set,
+        "hbi_global_negated_set": q_hbi_global_negated_set,
+        "hbi_set_chain": q_hbi_set_chain,
+        "hbi_global_set_chain": q_hbi_global_set_chain,
         "window_membership_batch": q_window_membership_batch,
         "global_window_membership": q_global_window_membership,
         "global_window_membership_batch": q_global_window_membership_batch,
@@ -2847,6 +2962,63 @@ flat AS (
 """ + "\nUNION ALL\n".join(
             _chain_sql(cid, toks, w, global_axis=True)
             for cid, (toks, w) in enumerate(GCHAIN_BATCH)),
+        # negated SET proximity: NOT EXISTS over any-of B membership — the
+        # B-absence condition is a conjunction over B's members
+        "hbi_negated_set": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
+q(set_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, [{', '.join(str(t) for t in s[0])}],"
+            f" [{', '.join(str(t) for t in s[1])}], {s[2]},"
+            f" {1 if len(s) > 3 and s[3] else 0})"
+            for i, s in enumerate(NEGSET_BATCH))})
+SELECT CAST(set_id AS INT) AS set_id, a.doc_id AS doc_id,
+       CAST(a.p AS INT) AS pos_a
+FROM q
+JOIN flat a ON list_contains(q.ta, a.t)
+WHERE NOT EXISTS (
+  SELECT 1 FROM flat b WHERE b.doc_id = a.doc_id AND list_contains(q.tb, b.t)
+  AND ((q.is_ord = 0 AND b.p BETWEEN a.p - q.w AND a.p + q.w AND b.p <> a.p)
+    OR (q.is_ord = 1 AND b.p > a.p AND b.p <= a.p + q.w)))""",
+        "hbi_global_negated_set": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+q(set_id, ta, tb, w, is_ord) AS (VALUES {", ".join(
+            f"({i}, [{', '.join(str(t) for t in s[0])}],"
+            f" [{', '.join(str(t) for t in s[1])}], {s[2]},"
+            f" {1 if len(s) > 3 and s[3] else 0})"
+            for i, s in enumerate(GNEGSET_BATCH))})
+SELECT CAST(set_id AS INT) AS set_id, CAST(a.g AS BIGINT) AS gpos_a
+FROM q
+JOIN flat a ON list_contains(q.ta, a.t)
+WHERE NOT EXISTS (
+  SELECT 1 FROM flat b WHERE list_contains(q.tb, b.t)
+  AND ((q.is_ord = 0 AND b.g BETWEEN a.g - q.w AND a.g + q.w AND b.g <> a.g)
+    OR (q.is_ord = 1 AND b.g > a.g AND b.g <= a.g + q.w)))""",
+        "hbi_set_chain": f"""WITH {CORPUS_CTE}, {POS_CTE},
+flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos)
+""" + "\nUNION ALL\n".join(
+            _set_chain_sql(cid, slots, w, global_axis=False)
+            for cid, (slots, w) in enumerate(SETCHAIN_BATCH)),
+        "hbi_global_set_chain": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+)
+""" + "\nUNION ALL\n".join(
+            _set_chain_sql(cid, slots, w, global_axis=True)
+            for cid, (slots, w) in enumerate(GSETCHAIN_BATCH)),
         "hbi_negated_batch": f"""WITH {CORPUS_CTE}, {POS_CTE},
 flat AS (SELECT doc_id, i - 1 AS p, tokens[i] AS t FROM pos),
 pairs(pair_id, ta, tb, w, is_ord) AS (VALUES {", ".join(

@@ -1876,3 +1876,429 @@ def global_set_proximity_search_batch(
                 })
 
     return grouped.mapInPandas(verify, schema=GLOBAL_SET_PAIR_SCHEMA)
+
+
+NEG_SET_SCHEMA = "set_id int, doc_id string, pos_a int"
+GLOBAL_NEG_SET_SCHEMA = "set_id int, gpos_a long"
+
+
+def _neg_set_survivors(pan, pb, t_pan_tokens, tb, ww, ordered):
+    """Positions among ``pan`` (sorted) with NO B-set position in
+    [p + p_lo, p + ww] other than the position itself. The self-hit count
+    is PER POSITION for sets: p counts itself iff its own token ∈ B (and
+    the window is unordered — the ordered range (p, p+ww] excludes p)."""
+    p_lo = 1 if ordered else -ww
+    lo = np.searchsorted(pb, pan + p_lo, side="left")
+    hi = np.searchsorted(pb, pan + ww, side="right")
+    if ordered:
+        self_hits = np.zeros(len(pan), dtype=np.int64)
+    else:
+        self_hits = np.isin(t_pan_tokens, np.asarray(tb, dtype=np.int64)).astype(np.int64)
+    return pan[(hi - lo) == self_hits]
+
+
+def negated_set_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched NEGATED SET proximity: positions holding ANY token of set A
+    with NO token of set B within w (ordered entries: not FOLLOWED by any B
+    within w) — one leaf scan for the whole (tokens_a, tokens_b, w[,
+    ordered]) workload. NOT the union of negated pairs (the B-absence
+    condition is a conjunction over B's members); per query the certificate
+    split of negated_proximity_search runs over the UNION window lists of
+    each side. Returns (set_id, doc_id, pos_a)."""
+    if cfg.ngram != 1:
+        raise ValueError(
+            "negated_set_proximity_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_set_workload(
+        queries, span, "negated_set_proximity_search_batch")
+
+    rows = _level_rows_checked(index, L, doc_axis=True)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
+    per_doc = _kw_map_doc(hits)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per (doc, query): candidates are ALL A-union-positive windows
+        # (B-absence prunes nothing); chk_w marks those whose reach
+        # neighborhood has a B-union-positive window
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sids, chks = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for sid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    wa = _union_windows(kw, ia)
+                    if wa is None:
+                        continue
+                    wb = _union_windows(kw, ib)
+                    chk = wa[:0] if wb is None else wa[_reach_mask(wa, wb, r_lo, radius)]
+                    ids.append(did)
+                    sids.append(sid)
+                    chks.append(chk)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "set_id": np.asarray(sids, np.int32),
+                     "chk_w": chks})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, set_id int, chk_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("set_id", "chk_w")).alias("qs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"set_id": [], "doc_id": [], "pos_a": []}
+            for did, toks, qs in zip(pdf["doc_id"], pdf["tokens"], pdf["qs"]):
+                t = np.asarray(toks, dtype=np.int64)
+                for q in qs:
+                    sid = int(q["set_id"])
+                    ta, tb, ww, o = queries[sid]
+                    pa = _set_positions(t, ta)
+                    if len(pa) == 0:
+                        continue
+                    # every true A position lies in an A-positive window;
+                    # split by certificate
+                    chk = np.asarray(q["chk_w"], dtype=np.int64)
+                    need = np.isin(pa // sp, chk)
+                    keep = [pa[~need]]
+                    pan = pa[need]
+                    if len(pan):
+                        keep.append(_neg_set_survivors(
+                            pan, _set_positions(t, tb), t[pan], tb, ww, o))
+                    pa_ok = np.concatenate(keep)
+                    if len(pa_ok):
+                        out["set_id"].extend([sid] * len(pa_ok))
+                        out["doc_id"].extend([did] * len(pa_ok))
+                        out["pos_a"].append(np.sort(pa_ok))
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "set_id": np.asarray(out["set_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos_a": np.concatenate(out["pos_a"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select("doc_id", "tokens", "qs")
+    return survivors.mapInPandas(verify, schema=NEG_SET_SCHEMA)
+
+
+def global_negated_set_proximity_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    queries,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis NEGATED SET proximity over the concatenated
+    stream (a B-set member just across a doc boundary DOES disqualify an A)
+    — one global leaf scan; per-window conditional fragment margins (the
+    max-w margin only where some query needs its exact anti-check).
+    Returns (set_id, gpos_a)."""
+    if cfg.axis != "global":
+        raise ValueError(
+            "global_negated_set_proximity_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_negated_set_proximity_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    queries, ukeys, specs = _parse_set_workload(
+        queries, span, "global_negated_set_proximity_search_batch")
+    max_radius = max(r for _ia, _ib, r, _rl in specs)
+    W = max(w for _ta, _tb, w, _o in queries)
+    rows = _level_rows_checked(index, L, doc_axis=False)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
+    per_chunk = _kw_map_chunks(hits, max_radius, max_radius)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sids, wids, chks = [], [], []
+            for kw in pdf["kw"]:
+                for sid, (ia, ib, radius, r_lo) in enumerate(specs):
+                    wa = _union_windows(kw, ia, "wh")
+                    if wa is None:
+                        continue
+                    wb = _union_windows(kw, ib, "wl")
+                    sids.append(np.full(len(wa), sid, dtype=np.int32))
+                    wids.append(wa)
+                    chks.append(np.zeros(len(wa), dtype=bool) if wb is None
+                                else _reach_mask(wa, wb, r_lo, radius))
+            if sids:
+                yield pd.DataFrame({"set_id": np.concatenate(sids),
+                                    "w_id": np.concatenate(wids),
+                                    "chk": np.concatenate(chks)})
+
+    cand = per_chunk.mapInPandas(cands, schema="set_id int, w_id long, chk boolean")
+    cand_w = cand.groupBy("w_id").agg(
+        F.collect_list(F.struct("set_id", "chk")).alias("sq"),
+        F.max(F.when(F.col("chk"), F.lit(int(W))).otherwise(F.lit(0))).alias("mg"),
+    )
+
+    sp = int(span)
+    grouped = _assemble_fragments(corpus, cand_w, sp, W, margin=F.col("mg"),
+                                  riders=("sq",))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"set_id": [], "gpos_a": []}
+            for wa_id, parts, sq in zip(pdf["w_id"], pdf["parts"], pdf["sq"]):
+                base, t = _stitch_parts(parts)
+                for entry in sq:
+                    sid = int(entry["set_id"])
+                    ta, tb, ww, o = queries[sid]
+                    pa = _in_window(_set_positions(t, ta, base), wa_id, sp)
+                    if len(pa) == 0:
+                        continue
+                    if not entry["chk"]:  # certified: no B-positive window in reach
+                        out["set_id"].extend([sid] * len(pa))
+                        out["gpos_a"].append(pa)
+                        continue
+                    pa_ok = _neg_set_survivors(
+                        pa, _set_positions(t, tb, base), t[pa - base], tb, ww, o)
+                    if len(pa_ok):
+                        out["set_id"].extend([sid] * len(pa_ok))
+                        out["gpos_a"].append(pa_ok)
+            if out["set_id"]:
+                yield pd.DataFrame({
+                    "set_id": np.asarray(out["set_id"], np.int32),
+                    "gpos_a": np.concatenate(out["gpos_a"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_NEG_SET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SET CHAINS: phrase-with-slop where every slot is a token SET (synonym
+# phrase dictionary) — x_0 < x_1 < ... < x_{k-1}, token[x_i] ∈ set_i, every
+# gap in (0, w]. Same backward existence DP as the token chains, over the
+# union position/window lists per slot.
+# ---------------------------------------------------------------------------
+
+SET_CHAIN_SCHEMA = "chain_id int, doc_id string, pos int"
+GLOBAL_SET_CHAIN_SCHEMA = "chain_id int, gpos long"
+
+
+def _parse_set_chain_workload(chains, span: int, name: str):
+    """Normalize a batched set-chain workload of (list-of-token-sets, w)
+    entries: (chains as (tuple-of-sorted-tuples, w), distinct probe keys as
+    uint64, per-chain specs (tuple of key-idx tuples, window radius))."""
+    norm = []
+    for slots, w in chains:
+        slots = tuple(tuple(sorted({int(t) for t in s})) for s in slots)
+        if not slots or any(not s for s in slots):
+            raise ValueError(f"{name}: empty chain or empty slot set")
+        if int(w) < 0:
+            raise ValueError(f"{name}: w must be >= 0 for every chain")
+        norm.append((slots, int(w)))
+    if not norm:
+        raise ValueError(f"{name}: empty chain workload")
+    keys = np.unique(np.asarray(
+        [t for slots, _w in norm for s in slots for t in s], dtype=np.int64))
+    specs = [
+        (tuple(tuple(int(np.searchsorted(keys, t)) for t in s) for s in slots),
+         -(-w // span))
+        for slots, w in norm
+    ]
+    return norm, keys.astype(np.uint64), specs
+
+
+def set_chain_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    chains,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched SET-CHAIN search (synonym phrase dictionary): each chain is a
+    (list-of-token-sets, w) — start positions where some x_0 < ... < x_{k-1}
+    has token[x_i] ∈ set_i and every gap in (0, w]. One leaf scan for the
+    whole dictionary; per-slot UNION window lists feed the same backward
+    window DP as ordered_chain_search_batch, per-slot union positions the
+    same backward position DP. Returns (chain_id, doc_id, pos)."""
+    if cfg.ngram != 1:
+        raise ValueError(
+            "set_chain_search_batch requires a token-keyed index (ngram=1)")
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    chains, ukeys, specs = _parse_set_chain_workload(
+        chains, span, "set_chain_search_batch")
+
+    rows = _level_rows_checked(index, L, doc_axis=True)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=True),
+                            schema=SPARSE_PROBE_DOC_SCHEMA)
+    per_doc = _kw_map_doc(hits)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, cids, wids = [], [], []
+            for did, kw in zip(pdf["doc_id"], pdf["kw"]):
+                for cid, (kidx, radius) in enumerate(specs):
+                    lists = [_union_windows(kw, s) for s in kidx]
+                    if any(x is None for x in lists):
+                        continue
+                    good = _backward_reach(lists, 0, radius)
+                    if len(good):
+                        ids.append(did)
+                        cids.append(cid)
+                        wids.append(good)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "chain_id": np.asarray(cids, np.int32),
+                     "cand_w": wids})
+
+    cand = per_doc.mapInPandas(
+        cands, schema="doc_id string, chain_id int, cand_w array<long>")
+    per_doc_cands = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("chain_id", "cand_w")).alias("pairs"))
+
+    sp = int(span)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"chain_id": [], "doc_id": [], "pos": []}
+            for did, toks, pairs in zip(pdf["doc_id"], pdf["tokens"], pdf["pairs"]):
+                t = np.asarray(toks, dtype=np.int64)
+                for p in pairs:
+                    cid = int(p["chain_id"])
+                    slots, ww = chains[cid]
+                    p0 = _set_positions(t, slots[0])
+                    if len(p0) == 0:
+                        continue
+                    cw = np.asarray(p["cand_w"], dtype=np.int64)
+                    p0 = p0[np.isin(p0 // sp, cw)]
+                    if len(p0) == 0:
+                        continue
+                    p0 = _backward_reach(
+                        [p0] + [_set_positions(t, s) for s in slots[1:]], 1, ww)
+                    if len(p0):
+                        out["chain_id"].extend([cid] * len(p0))
+                        out["doc_id"].extend([did] * len(p0))
+                        out["pos"].append(p0)
+            if out["doc_id"]:
+                yield pd.DataFrame({
+                    "chain_id": np.asarray(out["chain_id"], np.int32),
+                    "doc_id": out["doc_id"],
+                    "pos": np.concatenate(out["pos"]).astype(np.int32),
+                })
+
+    survivors = corpus.join(per_doc_cands, "doc_id").select(
+        "doc_id", "tokens", "pairs")
+    return survivors.mapInPandas(verify, schema=SET_CHAIN_SCHEMA)
+
+
+def global_set_chain_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    chains,
+    level: int | None = None,
+) -> DataFrame:
+    """Batched STREAM-axis SET-CHAIN search over the concatenated stream
+    (chains may span docs): forward-reach halo sized by the workload's max
+    chain reach, per-slot union window lists feed each chain's backward DP
+    with survivors restricted to its first slot's HOME windows, fragments
+    assembled once per candidate window (max-reach margin). Returns
+    (chain_id, gpos)."""
+    if cfg.axis != "global":
+        raise ValueError("global_set_chain_search_batch needs cfg.axis='global'")
+    if cfg.ngram != 1:
+        raise ValueError(
+            "global_set_chain_search_batch requires a token-keyed index (ngram=1)")
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    corpus = corpus.filter(F.col("n_tok") > 0)
+
+    L = cfg.deepest if level is None else int(level)
+    span = cfg.span(L)
+    chains, ukeys, specs = _parse_set_chain_workload(
+        chains, span, "global_set_chain_search_batch")
+    max_reach = max((len(kidx) - 1) * radius for kidx, radius in specs)
+    Wt = max((len(slots) - 1) * w for slots, w in chains)  # max reach in tokens
+    rows = _level_rows_checked(index, L, doc_axis=False)
+    hits = rows.mapInPandas(_probe_sparse_fn(ukeys, with_doc=False),
+                            schema=SPARSE_PROBE_GLOBAL_SCHEMA)
+    per_chunk = _kw_map_chunks(hits, 0, max_reach)
+
+    def cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids, wids = [], []
+            for kw in pdf["kw"]:
+                for cid, (kidx, radius) in enumerate(specs):
+                    lists = [_union_windows(kw, s, "wl") for s in kidx]
+                    if any(x is None for x in lists):
+                        continue
+                    good = _backward_reach(lists, 0, radius)
+                    if len(good) == 0:
+                        continue
+                    # chain starts must be HOME windows of the first slot
+                    wh = _union_windows(kw, kidx[0], "wh")
+                    if wh is None:
+                        continue
+                    keep = good[np.isin(good, wh)]
+                    if len(keep):
+                        cids.append(np.full(len(keep), cid, dtype=np.int32))
+                        wids.append(keep)
+            if cids:
+                yield pd.DataFrame({"chain_id": np.concatenate(cids),
+                                    "w_id": np.concatenate(wids)})
+
+    cand = per_chunk.mapInPandas(cands, schema="chain_id int, w_id long")
+    cand_w = cand.groupBy("w_id").agg(F.collect_list("chain_id").alias("cids"))
+
+    sp = int(span)
+    grouped = _assemble_fragments(corpus, cand_w, sp, Wt, riders=("cids",))
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"chain_id": [], "gpos": []}
+            for wa_id, parts, cids in zip(pdf["w_id"], pdf["parts"], pdf["cids"]):
+                base, t = _stitch_parts(parts)
+                for cid in sorted(set(int(c) for c in cids)):
+                    slots, ww = chains[cid]
+                    p0 = _in_window(_set_positions(t, slots[0], base), wa_id, sp)
+                    if len(p0) == 0:
+                        continue
+                    p0 = _backward_reach(
+                        [p0] + [_set_positions(t, s, base) for s in slots[1:]],
+                        1, ww)
+                    if len(p0):
+                        out["chain_id"].extend([cid] * len(p0))
+                        out["gpos"].append(p0)
+            if out["chain_id"]:
+                yield pd.DataFrame({
+                    "chain_id": np.asarray(out["chain_id"], np.int32),
+                    "gpos": np.concatenate(out["gpos"]),
+                })
+
+    return grouped.mapInPandas(verify, schema=GLOBAL_SET_CHAIN_SCHEMA)

@@ -840,3 +840,179 @@ def test_global_set_batch_equals_pair_union(spark, built):
     finally:
         gidx.unpersist()
         gcorp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# negated SET proximity + SET chains
+# ---------------------------------------------------------------------------
+def _brute_neg_set(docs, ta, tb, w, ordered):
+    """docs: {doc_id: np tokens}. Positions of any A-set token with NO B-set
+    token within the window (other than the position itself)."""
+    want = set()
+    sa, sb = set(ta), set(tb)
+    for did, t in docs.items():
+        for i in range(len(t)):
+            if int(t[i]) not in sa:
+                continue
+            lo = i + 1 if ordered else i - w
+            bad = any(
+                j != i and 0 <= j < len(t) and int(t[j]) in sb
+                for j in range(lo, i + w + 1))
+            if not bad:
+                want.add((did, i))
+    return want
+
+
+def _brute_set_chain(docs, slots, w):
+    want = set()
+    sets = [set(s) for s in slots]
+    for did, t in docs.items():
+        pos = [[i for i in range(len(t)) if int(t[i]) in s] for s in sets]
+        good = set(pos[-1])
+        for lvl in range(len(sets) - 2, -1, -1):
+            good = {i for i in pos[lvl]
+                    if any(i < j <= i + w for j in good)}
+        want.update((did, i) for i in good)
+    return want
+
+
+def test_negated_set_batch_matches_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        negated_set_proximity_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.select("doc_id", "tokens").collect()}
+    queries = [
+        ((a,), (b,), 4),
+        ((a, b), (b,), 3),            # A∩B: per-position self-hit handling
+        ((a,), (b, 987654321), 6),    # absent B member changes nothing
+        ((b,), (a, b), 2, True),      # ordered negation
+        ((a,), (987654321,), 5),      # B absent everywhere: all A positions
+    ]
+    got = {(r["set_id"], r["doc_id"], r["pos_a"])
+           for r in negated_set_proximity_search_batch(
+               corp, idx, CFG, queries).collect()}
+    want = set()
+    for sid, q in enumerate(queries):
+        o = q[3] if len(q) > 3 else False
+        for did, i in _brute_neg_set(docs, q[0], q[1], q[2], o):
+            want.add((sid, did, i))
+    assert got == want and len(want) > 0
+    assert any(sid == 1 for sid, *_ in got)  # overlap query returned rows
+
+
+def test_global_negated_set_batch_matches_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_negated_set_proximity_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        sdocs = {"": np.asarray(stream, dtype=np.int64)}
+        queries = [
+            ((a,), (b,), 4),
+            ((a, b), (b,), 40),       # radius spans windows; A∩B self-hits
+            ((b,), (a, b), 2, True),
+            ((a,), (987654321,), 5),
+        ]
+        got = {(r["set_id"], r["gpos_a"])
+               for r in global_negated_set_proximity_search_batch(
+                   gcorp, gidx, gcfg, queries).collect()}
+        want = set()
+        for sid, q in enumerate(queries):
+            o = q[3] if len(q) > 3 else False
+            for _d, i in _brute_neg_set(sdocs, q[0], q[1], q[2], o):
+                want.add((sid, i))
+        assert got == want and len(want) > 0
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_set_chain_batch_matches_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        set_chain_search_batch,
+    )
+
+    corp, idx = built
+    a, b = _pick_tokens(corp)
+    c = int(corp.select(F.explode("tokens").alias("t"))
+            .groupBy("t").count().orderBy("count").first()["t"])
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.select("doc_id", "tokens").collect()}
+    chains = [
+        ([(a, c), (b,)], 4),
+        ([(a,), (a, b), (b,)], 9),      # 3-slot with overlap
+        ([(a, b)], 7),                  # k=1 degenerates to any-of positions
+        ([(a,), (987654321,)], 5),      # impossible slot: no rows
+    ]
+    got = {(r["chain_id"], r["doc_id"], r["pos"])
+           for r in set_chain_search_batch(corp, idx, CFG, chains).collect()}
+    want = set()
+    for cid, (slots, w) in enumerate(chains):
+        for did, i in _brute_set_chain(docs, slots, w):
+            want.add((cid, did, i))
+    assert got == want and len(want) > 0
+    assert not any(cid == 3 for cid, *_ in got)
+    assert any(cid == 1 for cid, *_ in got)
+
+
+def test_global_set_chain_batch_matches_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        global_set_chain_search_batch,
+    )
+
+    corp, _ = built
+    gcfg = CFG.with_(axis="global")
+    gcorp = C.with_global_offsets(corp).cache()
+    gidx = build_index(gcorp, gcfg)
+    try:
+        a, b = _pick_tokens(corp)
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        sdocs = {"": np.asarray(stream, dtype=np.int64)}
+        chains = [
+            ([(a, b), (b,)], 4),
+            ([(a,), (a, b), (b,)], 40),  # reach spans windows + doc bounds
+            ([(a, b)], 7),
+        ]
+        got = {(r["chain_id"], r["gpos"])
+               for r in global_set_chain_search_batch(
+                   gcorp, gidx, gcfg, chains).collect()}
+        want = set()
+        for cid, (slots, w) in enumerate(chains):
+            for _d, i in _brute_set_chain(sdocs, slots, w):
+                want.add((cid, i))
+        assert got == want and len(want) > 0
+    finally:
+        gidx.unpersist()
+        gcorp.unpersist()
+
+
+def test_set_chain_refusals(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.proximity import (
+        set_chain_search_batch,
+    )
+
+    corp, idx = built
+    with pytest.raises(ValueError, match="empty"):
+        set_chain_search_batch(corp, idx, CFG, [])
+    with pytest.raises(ValueError, match="empty chain"):
+        set_chain_search_batch(corp, idx, CFG, [([], 3)])
+    with pytest.raises(ValueError, match="empty chain"):
+        set_chain_search_batch(corp, idx, CFG, [([(1,), ()], 3)])
+    with pytest.raises(ValueError, match="w must be"):
+        set_chain_search_batch(corp, idx, CFG, [([(1,), (2,)], -1)])
