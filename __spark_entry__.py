@@ -664,6 +664,29 @@ def q_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boolean retrieval workload: docs with "data" AND "merge" but NOT the rare
+# phrase — all three patterns present at sf0.01, so every leg is exercised
+BOOL_MUST = [[ord(c) for c in "data"], [ord(c) for c in "merge"]]
+BOOL_MUST_NOT = [[ord(c) for c in "slow fast table"]]
+
+
+def q_hbi_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN document retrieval (AND/NOT): doc_ids containing every
+    'must' pattern and none of the 'must_not' patterns — one shared cascade
+    for the whole pattern set, (pattern_id, doc_id) dedup before the per-doc
+    counting predicate (operators/batch.py:pattern_boolean_docs). Pure-NOT
+    queries are refused (unbounded complement)."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_boolean_docs,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_boolean_docs(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG,
+        BOOL_MUST, BOOL_MUST_NOT, start_level="auto", freq=freq, stats=stats,
+    )
+
+
 def _pattern_batch_oracle(patterns: list[list[int]]) -> str:
     parts = []
     for p, pat in enumerate(patterns):
@@ -2717,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_missing": q_pattern(PAT_MISSING),
         "hbi_pattern_rare": q_pattern(PAT_RARE),
         "hbi_pattern_batch": q_pattern_batch,
+        "hbi_boolean_docs": q_hbi_boolean_docs,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
@@ -2860,6 +2884,12 @@ LIMIT {TOPK_DOCS_K}""",
         "hbi_pattern_strided": _pattern_oracle(PAT_PRESENT),
         "hbi_pattern_markov": _pattern_oracle(PAT_RARE),
         "hbi_pattern_batch": _pattern_batch_oracle(BATCH_PATTERNS),
+        # boolean AND/NOT retrieval: patterns are contiguous codepoint runs,
+        # so doc-level matching is plain substring containment on text
+        "hbi_boolean_docs": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents
+WHERE {" AND ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in BOOL_MUST)}
+  AND NOT ({" OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in BOOL_MUST_NOT)})""",
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

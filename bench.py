@@ -134,6 +134,10 @@ def main() -> None:
         # phrase-with-slop: backward existence DP; then a whole dictionary
         "hbi_chain",
         "hbi_chain_batch",
+        # synonym-phrase dictionary (per-slot alternative sets)
+        "hbi_set_chain",
+        # ranked retrieval: top-k docs by occurrence count
+        "hbi_pattern_topk_docs",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",

@@ -809,3 +809,38 @@ def global_pattern_search_batch(
     for part in parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def pattern_boolean_docs(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    must: list[list[int]],
+    must_not: list[list[int]] = (),
+    **search_kw,
+) -> DataFrame:
+    """BOOLEAN document retrieval: doc_ids containing EVERY ``must`` pattern
+    and NONE of the ``must_not`` patterns — the classic AND/NOT search-engine
+    query, one shared cascade for the whole pattern set
+    (pattern_search_batch). ``must`` must be non-empty (a pure-NOT query
+    would enumerate the corpus complement — unbounded by construction).
+    The (pattern_id, doc_id) pairs deduplicate before the per-doc aggregate,
+    so the shuffle carries at most |patterns| rows per doc; the filter is a
+    counting predicate (all JVM-side). ``search_kw`` forwards to
+    pattern_search_batch (planner inputs). Returns (doc_id)."""
+    must = [list(p) for p in must]
+    must_not = [list(p) for p in must_not]
+    if not must:
+        raise ValueError("pattern_boolean_docs: 'must' may not be empty "
+                         "(a pure-NOT query is unbounded)")
+    n_must = len(must)
+    hits = pattern_search_batch(corpus, index, cfg, must + must_not, **search_kw)
+    per = hits.select("pattern_id", "doc_id").distinct()
+    agg = per.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("pattern_id") < n_must, 1).otherwise(0)).alias("_n_m"),
+        F.max(F.when(F.col("pattern_id") >= n_must, 1).otherwise(0)).alias("_neg"),
+    )
+    return (
+        agg.filter((F.col("_n_m") == n_must) & (F.col("_neg") == 0))
+        .select("doc_id")
+    )

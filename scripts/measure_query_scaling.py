@@ -89,6 +89,17 @@ SWEEP = [
     "hbi_global_negated_batch",
     "hbi_chain_batch",
     "hbi_global_chain_batch",
+    # round-4f additions: disjunctive/negated SET proximity, synonym-phrase
+    # set chains, HLL range set algebra, ranked retrieval
+    "hbi_set_proximity",
+    "hbi_global_set_proximity",
+    "hbi_negated_set",
+    "hbi_global_negated_set",
+    "hbi_set_chain",
+    "hbi_global_set_chain",
+    "range_setops",
+    "global_range_setops",
+    "hbi_pattern_topk_docs",
 ]
 
 

