@@ -824,10 +824,11 @@ def pattern_boolean_docs(
     query, one shared cascade for the whole pattern set
     (pattern_search_batch). ``must`` must be non-empty (a pure-NOT query
     would enumerate the corpus complement — unbounded by construction).
-    The (pattern_id, doc_id) pairs deduplicate before the per-doc aggregate,
-    so the shuffle carries at most |patterns| rows per doc; the filter is a
-    counting predicate (all JVM-side). ``search_kw`` forwards to
-    pattern_search_batch (planner inputs). Returns (doc_id)."""
+    ONE shuffle: collect_set(pattern_id) per doc with map-side partial
+    aggregation (each map partition ships at most |patterns| ids per doc,
+    never positions), then an array counting predicate — all JVM-side.
+    ``search_kw`` forwards to pattern_search_batch (planner inputs).
+    Returns (doc_id)."""
     must = [list(p) for p in must]
     must_not = [list(p) for p in must_not]
     if not must:
@@ -835,12 +836,7 @@ def pattern_boolean_docs(
                          "(a pure-NOT query is unbounded)")
     n_must = len(must)
     hits = pattern_search_batch(corpus, index, cfg, must + must_not, **search_kw)
-    per = hits.select("pattern_id", "doc_id").distinct()
-    agg = per.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("pattern_id") < n_must, 1).otherwise(0)).alias("_n_m"),
-        F.max(F.when(F.col("pattern_id") >= n_must, 1).otherwise(0)).alias("_neg"),
-    )
-    return (
-        agg.filter((F.col("_n_m") == n_must) & (F.col("_neg") == 0))
-        .select("doc_id")
-    )
+    agg = hits.groupBy("doc_id").agg(F.collect_set("pattern_id").alias("_pids"))
+    n_m = F.size(F.filter("_pids", lambda p: p < F.lit(n_must)))
+    has_neg = F.size(F.filter("_pids", lambda p: p >= F.lit(n_must))) > 0
+    return agg.filter((n_m == n_must) & ~has_neg).select("doc_id")

@@ -100,6 +100,7 @@ SWEEP = [
     "range_setops",
     "global_range_setops",
     "hbi_pattern_topk_docs",
+    "hbi_boolean_docs",
 ]
 
 
