@@ -687,6 +687,105 @@ def q_hbi_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CNF retrieval: (data OR query) AND (merge OR join) AND NOT the rare phrase
+CNF_CLAUSES = [[[ord(c) for c in "data"], [ord(c) for c in "query"]],
+               [[ord(c) for c in "merge"], [ord(c) for c in "join"]]]
+CNF_MUST_NOT = [[ord(c) for c in "slow fast table"]]
+
+
+def q_hbi_boolean_docs_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNF BOOLEAN retrieval (AND of OR-clauses + NOT): one shared cascade
+    for every pattern in the whole CNF, matched pattern_ids mapped to clause
+    ids JVM-side, doc qualifies iff every clause hit and no negated pattern
+    did (operators/batch.py:pattern_boolean_docs_cnf). The OR layer is what
+    turns the reference's single-pattern report() into a search-engine
+    query language."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_boolean_docs_cnf,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_boolean_docs_cnf(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG,
+        CNF_CLAUSES, CNF_MUST_NOT, start_level="auto", freq=freq, stats=stats,
+    )
+
+
+# BM25 workload: two mid-frequency words, one stopword-ish term, one rare
+# phrase (idf spans the whole range); k deep enough to cross tie groups
+BM25_TERMS = [[ord(c) for c in "data"], [ord(c) for c in "merge"],
+              [ord(c) for c in " the "], [ord(c) for c in "slow fast table"]]
+BM25_K = 15
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_hbi_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED RETRIEVAL: top-k docs for a 4-term query, exact tf per
+    (doc, term) out of ONE shared cascade, df/N/avgdl broadcast scalars,
+    log-free rational BM25 so the double score is bit-reproducible across
+    engines (operators/batch.py:pattern_bm25_topk — expression tree mirrored
+    verbatim in _bm25_oracle). (score DESC, doc_id ASC) tie-break makes the
+    k-th boundary deterministic."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_bm25_topk,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_bm25_topk(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG,
+        BM25_TERMS, BM25_K, k1=BM25_K1, b=BM25_B,
+        start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def _bm25_oracle(terms: list[list[int]], k: int, k1: float, b: float) -> str:
+    """DuckDB twin of pattern_bm25_topk: the SAME IEEE-754 expression tree
+    (parenthesization, all-double operands, left-to-right term sum) so the
+    score column matches bit-for-bit. Scalar constants are injected as
+    repr() of the Python-computed double (shortest round-trip string)."""
+    k1, b = float(k1), float(b)
+    n = len(terms)
+    hit_parts = "\nUNION ALL\n".join(
+        f"SELECT {ti} AS pid, doc_id FROM ({_pattern_oracle(t)})"
+        for ti, t in enumerate(terms)
+    )
+    pivot = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN pid = {t} THEN s END), CAST(0.0 AS DOUBLE)) AS _s{t}"
+        for t in range(n)
+    )
+    total = " + ".join(f"_s{t}" for t in range(n))
+    return f"""WITH hits AS (
+{hit_parts}
+),
+tf AS (SELECT pid, doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM hits GROUP BY pid, doc_id),
+dfreq AS (SELECT pid, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY pid),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  CAST(SUM(length(text)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM documents),
+dls AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(length(text) AS DOUBLE) AS dl FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         tf.pid,
+         ((g.n_docs - d.df + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+         * ((tf.tf * CAST({k1 + 1.0!r} AS DOUBLE))
+            / (tf.tf + CAST({k1!r} AS DOUBLE)
+               * (CAST({1.0 - b!r} AS DOUBLE)
+                  + CAST({b!r} AS DOUBLE) * (dls.dl / g.avgdl)))) AS s
+  FROM tf
+  JOIN dfreq d USING (pid)
+  JOIN dls ON tf.doc_id = dls.doc_id, gstats g),
+agg AS (SELECT doc_id, {pivot},
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, {total} AS score, n_terms_hit
+FROM agg
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def _pattern_batch_oracle(patterns: list[list[int]]) -> str:
     parts = []
     for p, pat in enumerate(patterns):
@@ -2741,6 +2840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_rare": q_pattern(PAT_RARE),
         "hbi_pattern_batch": q_pattern_batch,
         "hbi_boolean_docs": q_hbi_boolean_docs,
+        "hbi_boolean_docs_cnf": q_hbi_boolean_docs_cnf,
+        "hbi_bm25_topk": q_hbi_bm25_topk,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
@@ -2890,6 +2991,12 @@ LIMIT {TOPK_DOCS_K}""",
 FROM documents
 WHERE {" AND ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in BOOL_MUST)}
   AND NOT ({" OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in BOOL_MUST_NOT)})""",
+        # CNF: AND over per-clause ORs of substring containment, minus NOTs
+        "hbi_boolean_docs_cnf": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents
+WHERE {" AND ".join("(" + " OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in cl) + ")" for cl in CNF_CLAUSES)}
+  AND NOT ({" OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in CNF_MUST_NOT)})""",
+        "hbi_bm25_topk": _bm25_oracle(BM25_TERMS, BM25_K, BM25_K1, BM25_B),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

@@ -830,13 +830,147 @@ def pattern_boolean_docs(
     ``search_kw`` forwards to pattern_search_batch (planner inputs).
     Returns (doc_id)."""
     must = [list(p) for p in must]
-    must_not = [list(p) for p in must_not]
     if not must:
         raise ValueError("pattern_boolean_docs: 'must' may not be empty "
                          "(a pure-NOT query is unbounded)")
-    n_must = len(must)
-    hits = pattern_search_batch(corpus, index, cfg, must + must_not, **search_kw)
+    return pattern_boolean_docs_cnf(
+        corpus, index, cfg, [[p] for p in must], must_not, **search_kw
+    )
+
+
+def pattern_boolean_docs_cnf(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    clauses: list[list[list[int]]],
+    must_not: list[list[int]] = (),
+    **search_kw,
+) -> DataFrame:
+    """CNF BOOLEAN retrieval: doc_ids satisfying EVERY clause (a clause is
+    an OR over its patterns — the doc must contain at least one) and NONE of
+    the ``must_not`` patterns. `(data OR info) AND (merge OR join) AND NOT
+    phrase` style queries; pattern_boolean_docs is the all-singleton-clause
+    special case and delegates here. The reference's report()
+    (PMIndex/HBI.java:205) answers one pattern; clause composition is the
+    search-engine layer the reference leaves to callers.
+
+    Same one-shuffle shape as AND/NOT: ONE shared cascade for every pattern
+    in the whole CNF (pattern_search_batch), collect_set(pattern_id) per doc
+    with map-side partials, then a pure-JVM predicate — matched positive
+    pattern_ids map to clause ids through a literal array and the doc
+    qualifies iff the distinct clause count equals |clauses| and no negated
+    id matched. ``clauses`` must be non-empty with non-empty clauses (an
+    empty clause is unsatisfiable, a pure-NOT query is unbounded).
+    Returns (doc_id)."""
+    clauses = [[list(p) for p in cl] for cl in clauses]
+    must_not = [list(p) for p in must_not]
+    if not clauses:
+        raise ValueError("pattern_boolean_docs_cnf: 'clauses' may not be "
+                         "empty (a pure-NOT query is unbounded)")
+    if any(not cl for cl in clauses):
+        raise ValueError("pattern_boolean_docs_cnf: empty clause "
+                         "(unsatisfiable by construction)")
+    flat = [p for cl in clauses for p in cl]
+    n_pos = len(flat)
+    clause_of = [ci for ci, cl in enumerate(clauses) for _ in cl]
+    hits = pattern_search_batch(corpus, index, cfg, flat + must_not, **search_kw)
     agg = hits.groupBy("doc_id").agg(F.collect_set("pattern_id").alias("_pids"))
-    n_m = F.size(F.filter("_pids", lambda p: p < F.lit(n_must)))
-    has_neg = F.size(F.filter("_pids", lambda p: p >= F.lit(n_must))) > 0
-    return agg.filter((n_m == n_must) & ~has_neg).select("doc_id")
+    cmap = F.array(*[F.lit(c) for c in clause_of])
+    pos_ids = F.filter("_pids", lambda p: p < F.lit(n_pos))
+    n_clauses_hit = F.size(F.array_distinct(
+        F.transform(pos_ids, lambda p: F.element_at(cmap, p + F.lit(1)))
+    ))
+    has_neg = F.size(F.filter("_pids", lambda p: p >= F.lit(n_pos))) > 0
+    return (
+        agg.filter((n_clauses_hit == len(clauses)) & ~has_neg)
+        .select("doc_id")
+    )
+
+
+def pattern_bm25_topk(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    terms: list[list[int]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    **search_kw,
+) -> DataFrame:
+    """RANKED RETRIEVAL with BM25 scoring: the top-k documents for a
+    multi-term query, every term's EXACT occurrence counts coming out of ONE
+    shared cascade (pattern_search_batch). Returns (doc_id, score,
+    n_terms_hit), score DESC with doc_id ASC tie-break. Only docs containing
+    at least one term are candidates (standard disjunctive retrieval).
+
+    Scoring uses the LOG-FREE rational BM25 variant so the score is a pure
+    composition of IEEE-754 +,-,*,/ (each correctly rounded, hence
+    bit-reproducible across engines — the DuckDB oracle twin evaluates the
+    identical expression tree and matches bit-for-bit):
+
+        idf_t   = (N - df_t + 0.5) / (df_t + 0.5)        # raw Robertson-
+                                                          # Sparck Jones odds,
+                                                          # monotone in the
+                                                          # usual log(idf)
+        tfp_t,d = tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+        score   = sum_t idf_t * tfp_t,d                  # fixed term order
+
+    The per-doc term sum is pivoted into per-term columns (max of the single
+    (doc,term) row, order-free) and added LEFT-TO-RIGHT — never a float
+    sum() aggregate, whose accumulation order Spark does not define.
+
+    Distribution shape: tf is a map-side-partial count per (doc_id, term);
+    df/N/avgdl are O(|terms|)+2 scalars broadcast back in; the only
+    data-sized shuffles are the tf groupBy and the doc-length join (both on
+    doc_id, values never positions); top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    terms = [list(t) for t in terms]
+    if not terms:
+        raise ValueError("pattern_bm25_topk: empty term list")
+    if k <= 0:
+        raise ValueError("pattern_bm25_topk: k must be >= 1")
+    n_terms = len(terms)
+    k1 = float(k1)
+    b = float(b)
+    hits = pattern_search_batch(corpus, index, cfg, terms, **search_kw)
+    tf = hits.groupBy("doc_id", "pattern_id").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("pattern_id").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    gstats = corpus.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size("tokens")).cast("double")
+         / F.count("*").cast("double")).alias("avgdl"),
+    )
+    dl = corpus.select("doc_id", F.size("tokens").cast("double").alias("dl"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "pattern_id")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(gstats))
+    )
+    # expression trees mirror the oracle SQL EXACTLY (same parenthesization,
+    # all-double operands) — see _bm25_oracle in __spark_entry__.py
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfp = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = joined.select("doc_id", "pattern_id", (idf * tfp).alias("s"))
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("pattern_id") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"_s{t}")
+        for t in range(n_terms)
+    ]
+    agg = scored.groupBy("doc_id").agg(*per_term,
+                                       F.count("*").alias("n_terms_hit"))
+    total = F.col("_s0")
+    for t in range(1, n_terms):
+        total = total + F.col(f"_s{t}")
+    return (
+        agg.select("doc_id", total.alias("score"), "n_terms_hit")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -295,3 +295,105 @@ def test_pattern_boolean_docs(spark, corpus, index):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must"):
         pattern_boolean_docs(corpus, index, CFG, [], must_not)
+
+
+def test_pattern_boolean_docs_cnf(spark, corpus, index):
+    """CNF retrieval equals the set algebra over single searches: AND over
+    per-clause unions minus the NOT union; singleton clauses reproduce
+    pattern_boolean_docs; empty clause / empty clause-list refused."""
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_boolean_docs,
+        pattern_boolean_docs_cnf,
+    )
+
+    rows = corpus.filter(F.col("n_tok") >= 200).orderBy("doc_id").limit(3).collect()
+    t0, t1, t2 = (r["tokens"] for r in rows)
+
+    def docs_of(pat):
+        return {r["doc_id"] for r in
+                pattern_search(corpus, index, CFG, list(pat)).collect()}
+
+    clauses = [
+        [t0[5:9], t1[5:9]],            # OR of two patterns
+        [t0[20:24]],                   # singleton clause
+        [t2[3:7], [9991, 9992, 9993]], # OR where one leg matches nothing
+    ]
+    must_not = [t1[40:46]]
+    want = (
+        (docs_of(clauses[0][0]) | docs_of(clauses[0][1]))
+        & docs_of(clauses[1][0])
+        & (docs_of(clauses[2][0]) | docs_of(clauses[2][1]))
+    ) - docs_of(must_not[0])
+    got = {r["doc_id"] for r in pattern_boolean_docs_cnf(
+        corpus, index, CFG, clauses, must_not).collect()}
+    assert got == want and len(got) > 0
+
+    # singleton clauses == the AND/NOT special case
+    must = [t0[5:9], t0[20:24]]
+    a = {r["doc_id"] for r in pattern_boolean_docs(
+        corpus, index, CFG, must, must_not).collect()}
+    b = {r["doc_id"] for r in pattern_boolean_docs_cnf(
+        corpus, index, CFG, [[p] for p in must], must_not).collect()}
+    assert a == b
+
+    # a clause whose every leg misses empties the result
+    got2 = {r["doc_id"] for r in pattern_boolean_docs_cnf(
+        corpus, index, CFG, clauses + [[[9991, 9992, 9993]]]).collect()}
+    assert got2 == set()
+
+    with pytest.raises(ValueError, match="clauses"):
+        pattern_boolean_docs_cnf(corpus, index, CFG, [], must_not)
+    with pytest.raises(ValueError, match="empty clause"):
+        pattern_boolean_docs_cnf(corpus, index, CFG, [clauses[0], []])
+
+
+def test_pattern_bm25_topk(spark, corpus, index):
+    """BM25 top-k equals an independently-computed Python reference: exact
+    tf/df from single-pattern searches, the same log-free rational scoring,
+    (score DESC, doc_id ASC) tie-break. Missing terms contribute nothing;
+    k >= n_candidates returns all; k<=0 / empty terms refused."""
+    import math
+
+    from hierarchical_bloom_filter_index_spark.operators.batch import (
+        pattern_bm25_topk,
+    )
+
+    rows = corpus.filter(F.col("n_tok") >= 200).orderBy("doc_id").limit(2).collect()
+    t0, t1 = rows[0]["tokens"], rows[1]["tokens"]
+    terms = [t0[5:9], t1[30:34], [9991, 9992, 9993]]  # last matches nothing
+    k1, b = 1.2, 0.75
+
+    # python reference from exact single-pattern position counts
+    tf = {}
+    for ti, pat in enumerate(terms):
+        for r in pattern_search(corpus, index, CFG, list(pat)).collect():
+            tf[(r["doc_id"], ti)] = tf.get((r["doc_id"], ti), 0) + 1
+    df = {}
+    for (_d, ti) in tf:
+        df[ti] = df.get(ti, 0) + 1
+    stats = corpus.agg(
+        F.count("*").alias("n"), F.sum(F.size("tokens")).alias("s")).first()
+    n_docs, avgdl = float(stats["n"]), float(stats["s"]) / float(stats["n"])
+    dl = {r["doc_id"]: float(r["n_tok"]) for r in
+          corpus.select("doc_id", "n_tok").collect()}
+    want = {}
+    for (d, ti), f in tf.items():
+        idf = (n_docs - df[ti] + 0.5) / (df[ti] + 0.5)
+        tfp = (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * (dl[d] / avgdl)))
+        sc, nh = want.get(d, (0.0, 0))
+        want[d] = (sc + idf * tfp, nh + 1)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+
+    for k in (5, len(ranked) + 10):
+        got = pattern_bm25_topk(corpus, index, CFG, terms, k).collect()
+        exp = ranked[:k]
+        assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+        assert [r["n_terms_hit"] for r in got] == [v[1] for _, v in exp]
+        for r, (_d, v) in zip(got, exp):
+            assert math.isclose(r["score"], v[0], rel_tol=1e-12)
+    assert len(ranked) > 0
+
+    with pytest.raises(ValueError, match="k must"):
+        pattern_bm25_topk(corpus, index, CFG, terms, 0)
+    with pytest.raises(ValueError, match="empty term"):
+        pattern_bm25_topk(corpus, index, CFG, [], 5)
