@@ -687,6 +687,42 @@ def q_hbi_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KWIC_CONTEXT = 6
+
+
+def q_hbi_pattern_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippet extraction: every exact match of the present pattern
+    with up to 6 context tokens each side, exploded to (doc_id, pos, off,
+    tok) rows — edge-clamped, all inside whole-stage codegen after the
+    cascade (operators/route.py:pattern_contexts)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_contexts,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_contexts(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        KWIC_CONTEXT, start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def _contexts_oracle(pattern: list[int], c: int) -> str:
+    m = len(pattern)
+    return f"""WITH {CORPUS_CTE},
+matches AS (
+SELECT doc_id, tokens, n_tok, CAST(i - 1 AS INTEGER) AS pos
+FROM (SELECT doc_id, tokens, n_tok,
+             unnest(generate_series(1, CAST(n_tok - {m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE tokens[i : i + {m} - 1] = {_pat_sql(pattern)})
+SELECT doc_id, pos, CAST(o AS INTEGER) AS off,
+       tokens[pos + o + 1] AS tok
+FROM (SELECT doc_id, tokens, pos,
+             unnest(generate_series(GREATEST(-{c}, -pos),
+                                    LEAST({m + c}, n_tok - pos) - 1)) AS o
+      FROM matches)"""
+
+
 # CNF retrieval: (data OR query) AND (merge OR join) AND NOT the rare phrase
 CNF_CLAUSES = [[[ord(c) for c in "data"], [ord(c) for c in "query"]],
                [[ord(c) for c in "merge"], [ord(c) for c in "join"]]]
@@ -2841,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_batch": q_pattern_batch,
         "hbi_boolean_docs": q_hbi_boolean_docs,
         "hbi_boolean_docs_cnf": q_hbi_boolean_docs_cnf,
+        "hbi_pattern_contexts": q_hbi_pattern_contexts,
         "hbi_bm25_topk": q_hbi_bm25_topk,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
@@ -2997,6 +3034,7 @@ FROM documents
 WHERE {" AND ".join("(" + " OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in cl) + ")" for cl in CNF_CLAUSES)}
   AND NOT ({" OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in CNF_MUST_NOT)})""",
         "hbi_bm25_topk": _bm25_oracle(BM25_TERMS, BM25_K, BM25_K1, BM25_B),
+        "hbi_pattern_contexts": _contexts_oracle(PAT_PRESENT, KWIC_CONTEXT),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

@@ -1072,3 +1072,43 @@ def pattern_topk_docs(
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+def pattern_contexts(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    context: int,
+    **search_kw,
+) -> DataFrame:
+    """KWIC (keyword-in-context) extraction: every exact match of
+    ``pattern`` with up to ``context`` surrounding tokens on each side,
+    EXPLODED to one row per context token — (doc_id, pos, off, tok) with
+    off in [-context, m+context) relative to the match start, clamped at
+    document edges. The reference's report() returns bare positions
+    (PMIndex/HBI.java:205); snippet assembly is the retrieval-UI layer on
+    top.
+
+    All JVM-side after the cascade: one join of the (doc_id, pos) match
+    stream against the pruned (doc_id, tokens) projection, then
+    sequence+explode+element_at inside whole-stage codegen — the off bounds
+    guarantee 0 < pos+off+1 <= n_tok, so the 1-based element_at never
+    faults under ANSI. ``search_kw`` forwards to pattern_search."""
+    if context < 0:
+        raise ValueError("pattern_contexts: context must be >= 0")
+    m = len(pattern)
+    hits = pattern_search(corpus, index, cfg, pattern, **search_kw)
+    joined = hits.join(corpus.select("doc_id", "tokens", "n_tok"), "doc_id")
+    lo = F.greatest(F.lit(-int(context)), -F.col("pos"))
+    hi = F.least(F.lit(m + int(context)), F.col("n_tok") - F.col("pos")) - F.lit(1)
+    return (
+        joined.select(
+            "doc_id", "pos", "tokens",
+            F.explode(F.sequence(lo.cast("int"), hi.cast("int"))).alias("off"),
+        )
+        .select(
+            "doc_id", "pos", "off",
+            F.element_at("tokens", F.col("pos") + F.col("off") + F.lit(1)).alias("tok"),
+        )
+    )

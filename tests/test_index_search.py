@@ -339,3 +339,34 @@ def test_pattern_topk_docs(spark, small_corpus, small_index):
 
     with _pytest.raises(ValueError, match="k must be"):
         pattern_topk_docs(corp, idx, CFG, pat, 0)
+
+
+def test_pattern_contexts(spark, small_corpus, small_index):
+    """KWIC rows equal python slicing around every brute-force match: full
+    [-c, m+c) window mid-doc, clamped at document edges (incl. a match at
+    pos 0 and one ending at the last token); c=0 returns exactly the match
+    tokens; negative c refused."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_contexts,
+        pattern_search,
+    )
+
+    corp, idx = small_corpus, small_index
+    docs = {r["doc_id"]: list(r["tokens"]) for r in corp.collect()}
+    doc = corp.filter(F.col("n_tok") >= 40).orderBy("doc_id").first()
+    ts = list(doc["tokens"])
+    for pat, c in [(ts[8:11], 6), (ts[:2], 4), (ts[-3:], 5), (ts[8:11], 0)]:
+        pat = [int(t) for t in pat]
+        m = len(pat)
+        want = set()
+        for r in pattern_search(corp, idx, CFG, pat).collect():
+            tks, p = docs[r["doc_id"]], r["pos"]
+            for off in range(max(-c, -p), min(m + c, len(tks) - p)):
+                want.add((r["doc_id"], p, off, int(tks[p + off])))
+        got = {(r["doc_id"], r["pos"], r["off"], r["tok"])
+               for r in pattern_contexts(corp, idx, CFG, pat, c).collect()}
+        assert got == want and len(got) > 0, (pat, c)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="context"):
+        pattern_contexts(corp, idx, CFG, ts[8:11], -1)
