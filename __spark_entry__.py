@@ -822,6 +822,53 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+# regex report(): required-factor chain through the shared cascade, exact
+# finditer verification (operators/regex.py). Two design points: a bounded
+# factor-chain delta (optional 's' between the factors) and a bounded
+# wildcard gap (single selective factor, doc-level pruning only).
+REGEX_CHAIN = "customers? (?:join|merge|scan)"
+REGEX_GAP = "hash.{1,15}(?:join|agg)"
+
+
+def _q_regex(pattern: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from hierarchical_bloom_filter_index_spark.operators.regex import (
+            regex_search,
+        )
+
+        freq, stats = _planner_inputs(spark, sf_dir)
+        return (
+            regex_search(
+                _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, pattern,
+                start_level="auto", freq=freq, stats=stats,
+            )
+            .groupBy("doc_id", "match")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
+
+    run.__doc__ = (
+        "REGEX report(): leftmost non-overlapping matches of "
+        f"{pattern!r} aggregated per (doc, matched string). Required "
+        "literal factors probed through ONE shared cascade "
+        "(operators/regex.py), factor-chain interval DP prunes docs, "
+        "re.finditer decides exactly — the same leftmost-first semantics "
+        "DuckDB's RE2 regexp_extract_all implements for this subset, so "
+        "the oracle is an equality."
+    )
+    return run
+
+
+def _regex_oracle(pattern: str) -> str:
+    esc = pattern.replace("'", "''")
+    return f"""WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         UNNEST(regexp_extract_all(text, '{esc}')) AS match
+  FROM documents
+)
+SELECT doc_id, match, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc_id, match"""
+
+
 def _pattern_batch_oracle(patterns: list[list[int]]) -> str:
     parts = []
     for p, pat in enumerate(patterns):
@@ -2879,6 +2926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_boolean_docs_cnf": q_hbi_boolean_docs_cnf,
         "hbi_pattern_contexts": q_hbi_pattern_contexts,
         "hbi_bm25_topk": q_hbi_bm25_topk,
+        "hbi_regex": _q_regex(REGEX_CHAIN),
+        "hbi_regex_gap": _q_regex(REGEX_GAP),
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
@@ -3035,6 +3084,8 @@ WHERE {" AND ".join("(" + " OR ".join(f"contains(text, '{''.join(chr(t) for t in
   AND NOT ({" OR ".join(f"contains(text, '{''.join(chr(t) for t in p)}')" for p in CNF_MUST_NOT)})""",
         "hbi_bm25_topk": _bm25_oracle(BM25_TERMS, BM25_K, BM25_K1, BM25_B),
         "hbi_pattern_contexts": _contexts_oracle(PAT_PRESENT, KWIC_CONTEXT),
+        "hbi_regex": _regex_oracle(REGEX_CHAIN),
+        "hbi_regex_gap": _regex_oracle(REGEX_GAP),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

@@ -116,6 +116,8 @@ def main() -> None:
         # whole misspelled-dictionary workload, one cascade
         "hbi_approx_batch",
         "hbi_pattern_charclass",
+        # regex report(): required-factor chain through the shared cascade
+        "hbi_regex",
         # ranked fuzzy search (top-k by edit distance)
         "fuzzy_topk_matches",
         "window_membership",

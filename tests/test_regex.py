@@ -1,0 +1,145 @@
+"""Regex search: factor segmentation laws + end-to-end differential vs a
+pure-Python finditer brute force over the same corpus (the regex twin of
+test_index_search's methodology)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark.operators import (
+    build_index,
+    frequency_summary,
+    index_stats,
+)
+from hierarchical_bloom_filter_index_spark.operators.regex import (
+    RegexSyntaxError,
+    _chain_ok,
+    regex_search,
+    required_factors,
+)
+
+CFG = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# pure segmentation laws
+# ---------------------------------------------------------------------------
+def test_factor_segmentation():
+    assert required_factors("customers? (?:join|merge)") == (
+        ["customer", " "], [(8, 9)])
+    assert required_factors("ab+c") == (["ab", "c"], [(2, None)])
+    assert required_factors("a(bc){2}d") == (["abcbcd"], [])
+    assert required_factors("^data merge$") == (["data merge"], [])
+    assert required_factors("cust[a-z]*r") == (["cust", "r"], [(4, None)])
+    assert required_factors("a|b") == ([], [])
+    assert required_factors("hash.{1,15}jo") == (["hash", "jo"], [(5, 19)])
+
+
+def test_rejections():
+    for bad in ("a*", "(a|)", "a**", "a\\1", "(a", "a)", "a{3,1}", "[ab"):
+        with pytest.raises(RegexSyntaxError):
+            required_factors(bad)
+
+
+def test_factors_are_necessary():
+    """Every factor must literally appear in every match of the regex, at a
+    start delta inside the declared bounds (segmentation soundness law)."""
+    pats = ["customers? (?:join|merge|scan)", "ab+c", "cust[a-z]{0,3}r",
+            "x(?:yz|q)a{2,4}b"]
+    strings = ["customer join", "customers merge", "abc", "abbbbc",
+               "custxyzr", "custr", "xyzaab", "xqaaaab", "abbc custx"]
+    for pat in pats:
+        factors, deltas = required_factors(pat)
+        rx = re.compile(pat)
+        for s in strings:
+            for m in rx.finditer(s):
+                starts = []
+                cursor = m.start()
+                for f in factors:
+                    j = m.string.find(f, cursor)
+                    assert j != -1, (pat, s, f)
+                    starts.append(j)
+                    cursor = j + len(f)
+                for (a, b), (lo, hi) in zip(zip(starts, starts[1:]), deltas):
+                    assert b - a >= lo
+                    assert hi is None or b - a <= hi
+
+
+def test_chain_ok_interval_dp():
+    # factor0 windows at span 4, factor1 at span 2; delta in [6, 7]
+    w0 = np.array([0], dtype=np.int64)          # starts in [0, 3]
+    ok = np.array([3], dtype=np.int64)          # starts in [6, 7]
+    bad = np.array([6], dtype=np.int64)         # starts in [12, 13]
+    assert _chain_ok([w0, ok], [4, 2], [6], [7])
+    assert not _chain_ok([w0, bad], [4, 2], [6], [7])
+    # unbounded hi reaches arbitrarily far forward
+    assert _chain_ok([w0, bad], [4, 2], [6], [None])
+    # but never backward
+    assert not _chain_ok([np.array([6], dtype=np.int64), w0[:1]],
+                         [4, 2], [6], [None])
+
+
+# ---------------------------------------------------------------------------
+# end-to-end differential
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def doc_corpus(spark, sf_dir):
+    df = C.corpus_from_documents(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark, doc_corpus):
+    idx = build_index(doc_corpus, CFG).cache()
+    idx.count()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def planner(doc_corpus, doc_index):
+    return frequency_summary(doc_corpus, CFG), index_stats(doc_index, CFG)
+
+
+def _brute(doc_corpus, pat):
+    rx = re.compile(pat)
+    out = []
+    for r in doc_corpus.select("doc_id", "tokens").collect():
+        text = "".join(map(chr, r["tokens"]))
+        out.extend((r["doc_id"], m.start(), m.group()) for m in rx.finditer(text))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("pat", [
+    "customers? (?:join|merge|scan)",     # factor chain with bounded delta
+    "ta(?:ble|sk)s?",                     # single short factor
+    "hash.{1,15}(?:join|agg)",            # bounded wildcard gap
+    "(?:fast|slow) (?:scan|sort)",        # only the space is required
+    "cust[a-z]*r (?:join|big)",           # unbounded gap between factors
+    "(?:data|key)|stream",                # alternation-only => brute path
+    "^key agg",                           # anchored
+    "zebra+x",                            # absent factor => early empty
+])
+def test_regex_matches_bruteforce(doc_corpus, doc_index, planner, pat):
+    freq, stats = planner
+    got = sorted(
+        (r["doc_id"], r["pos"], r["match"])
+        for r in regex_search(doc_corpus, doc_index, CFG, pat,
+                              start_level="auto", freq=freq, stats=stats).collect()
+    )
+    assert got == _brute(doc_corpus, pat)
+
+
+def test_empty_matchable_rejected(doc_corpus, doc_index):
+    with pytest.raises(RegexSyntaxError):
+        regex_search(doc_corpus, doc_index, CFG, "a*")
+
+
+def test_global_axis_rejected(doc_corpus, doc_index):
+    gcfg = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128,
+                     seed=42, axis="global")
+    with pytest.raises(NotImplementedError):
+        regex_search(doc_corpus, doc_index, gcfg, "abc")
