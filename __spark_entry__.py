@@ -1747,6 +1747,72 @@ def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZATION: gap-based sessions (6h) over the event stream —
+    lag + running-sum window pair sharing ONE exchange, per-session
+    summary rows (operators/sessions.sessionize). Timestamps travel as
+    epoch micros so the DuckDB window-function twin is timezone-free."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        sessionize,
+        with_epoch_us,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return sessionize(ev, SESSION_GAP_US, order_cols=("event_id",))
+
+
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each error event gains the latest STRICTLY-prior
+    purchase of the same user (union-tag + last(ignorenulls) over one
+    sorted exchange — operators/sessions.asof_join; never a range-join
+    cross product). Left semantics: unmatched errors keep nulls. Twin:
+    DuckDB ASOF LEFT JOIN."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        asof_join,
+        with_epoch_us,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", F.col("value").alias("purchase_value"))
+    return asof_join(left, right, "user_id", "t_us", ["purchase_value"],
+                     strict=True)
+
+
+_SESSIONS_ORACLE = f"""WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+),
+x AS (
+  SELECT user_id, event_id, t_us,
+         CASE WHEN LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                OR t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+y AS (
+  SELECT user_id, t_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+  FROM x
+)
+SELECT user_id, session_idx, MIN(t_us) AS t_start, MAX(t_us) AS t_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM y GROUP BY user_id, session_idx"""
+
+_ASOF_ORACLE = """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+       r.value AS purchase_value, epoch_us(r.ts) AS matched_t
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND r.ts < l.ts"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's date_trunc casts TIMESTAMP_NTZ through the session timezone
     # (measured: a +05:45 zone shifts the truncation boundaries) — pin UTC
@@ -3041,6 +3107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
         "events_hourly": q_events_hourly,
+        "event_sessions": q_event_sessions,
+        "events_asof_purchase": q_events_asof_purchase,
         "events_hourly_stream": q_events_hourly_stream,
         "streaming_state_by_source": q_streaming_state_by_source,
     }
@@ -3606,6 +3674,8 @@ GROUP BY 1""",
        MIN(l.l_shipdate) AS first_ship, MAX(l.l_shipdate) AS last_ship
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2""",
+        "event_sessions": _SESSIONS_ORACLE,
+        "events_asof_purchase": _ASOF_ORACLE,
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY 1, 2""",

@@ -1,0 +1,148 @@
+"""Event-stream relational operators: sessionization and as-of joins.
+
+Pipeline ops a training-data/analytics engine needs around the sketch
+index (same positioning as operators/dedup and operators/text — the
+reference stops at pattern queries; a user of a 100 TB corpus also owns
+the event logs that describe it). Both operators are single-shuffle
+window-function plans — no range-join explosion, no driver collection —
+and both are exact, with DuckDB twins (window functions / ASOF JOIN) as
+driver oracles.
+
+Scale notes:
+* Both shuffle ONCE on the partition key and sort within partitions
+  (Spark window exchange); two window expressions over the same
+  (partitionBy, orderBy) share one exchange+sort.
+* Per-key work is sequential by nature (sessions and as-of matches are
+  defined by per-key event order). A pathologically hot key is bounded by
+  that key's own event count, never by the table; keys are hashed across
+  executors so 1000 executors see 1000-way parallelism across keys.
+* Timestamps travel as epoch MICROSECONDS (bigint) — window arithmetic
+  and the cross-engine oracle equality are then timezone-free (the
+  TIMESTAMP_NTZ session-timezone trap documented in streaming/windows.py
+  never enters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_epoch_us(df: DataFrame, ts_col: str = "ts", out_col: str = "t_us") -> DataFrame:
+    """Epoch-microsecond bigint for a TIMESTAMP/TIMESTAMP_NTZ column. NTZ
+    wall times are interpreted in the SESSION timezone by the cast — pin
+    spark.sql.session.timeZone to UTC (as every events driver query does)
+    so the value equals DuckDB's epoch_us(ts) regardless of the box."""
+    return df.withColumn(out_col, F.unix_micros(F.col(ts_col).cast("timestamp")))
+
+
+def with_sessions(
+    events: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gap-based session assignment: within a key, a new session starts at
+    the first event and whenever the time since the PREVIOUS event exceeds
+    ``gap_us`` (strictly). Adds ``session_idx`` (0-based per key). One
+    window exchange; lag + running-sum share it. ``order_cols`` breaks
+    timestamp ties deterministically (boundaries only depend on ``t_col``,
+    so ties never move a session edge — the tiebreak just pins row order)."""
+    if gap_us <= 0:
+        raise ValueError(f"gap_us must be positive: {gap_us}")
+    w = Window.partitionBy(key_col).orderBy(t_col, *order_cols)
+    prev = F.lag(t_col).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(t_col) - prev > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(t_col, *order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("_new", is_new).withColumn(
+        "session_idx", F.sum("_new").over(run) - F.lit(1)
+    ).drop("_new")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-session summary rows: (key, session_idx, t_start, t_end,
+    n_events). The groupBy reuses the window shuffle's hash partitioning on
+    ``key_col`` only when Catalyst proves co-partitioning; either way the
+    aggregate is map-side-combined and keyed by (key, session_idx) — never
+    wider than the session count."""
+    tagged = with_sessions(events, gap_us, key_col, t_col, order_cols)
+    return tagged.groupBy(key_col, "session_idx").agg(
+        F.min(t_col).alias("t_start"),
+        F.max(t_col).alias("t_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    t_col: str,
+    payload_cols: list[str],
+    strict: bool = True,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """AS-OF (backward) join: every left row gains the payload of the
+    LATEST right row of the same key with ``t_right < t_left`` (``<=`` when
+    strict=False); unmatched left rows keep nulls (left-join semantics).
+
+    Implemented as the union-tag trick: tag sides, sort each key's rows
+    once by (t, side), and carry the last non-null right payload forward
+    with last(..., ignorenulls=True) over an unbounded-preceding row frame
+    — ONE shuffle + sort, O(n log n) total, versus the quadratic blowup of
+    a naive range join on hot keys. Side ordering encodes the strictness:
+    right rows sort BEFORE left rows at equal t for <=, AFTER for <.
+
+    ``tolerance_us`` nulls matches staler than the given horizon (the
+    pandas merge_asof tolerance semantics)."""
+    if not payload_cols:
+        raise ValueError("payload_cols must name at least one right column")
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
+    # right rows get side 0/2 so equal-t ordering implements <= / <
+    right_side = 2 if strict else 0
+    l_tag = left.select(
+        "*", F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        F.lit(None).cast("long").alias("_rt"),
+    )
+    # right rows borrow the left schema (nulls everywhere except key/t)
+    r_tag = right.select(
+        *[
+            (right[c] if c in (key_col, t_col) else F.lit(None).cast(
+                left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.lit(right_side).alias("_side"),
+        *payload_cols,
+        right[t_col].cast("long").alias("_rt"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = Window.partitionBy(key_col).orderBy(t_col, "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols]
+    carried_t = F.last("_rt", ignorenulls=True).over(w).alias("_rt_m")
+    out = (
+        u.select(*left.columns, "_side", *carried, carried_t)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+    if tolerance_us is not None:
+        stale = F.col(t_col).cast("long") - F.col("_rt_m") > F.lit(int(tolerance_us))
+        out = out.select(
+            *left.columns,
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in payload_cols],
+            F.when(stale, F.lit(None)).otherwise(F.col("_rt_m")).alias("_rt_m"),
+        )
+    return out.withColumnRenamed("_rt_m", "matched_t")

@@ -1,0 +1,122 @@
+"""Sessionization + as-of join: differential vs pandas (groupby scan /
+merge_asof) on the real events fixture, plus crafted boundary cases for
+strictness and tolerance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.sessions import (
+    asof_join,
+    sessionize,
+    with_epoch_us,
+    with_sessions,
+)
+
+GAP_US = 6 * 3600 * 1_000_000
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet")).cache()
+    df.count()
+    return df
+
+
+def _sessions_pandas(pdf: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    rows = []
+    for uid, g in pdf.sort_values(["user_id", "t_us", "event_id"]).groupby("user_id"):
+        idx = -1
+        prev = None
+        for t in g["t_us"]:
+            if prev is None or t - prev > gap_us:
+                idx += 1
+            rows.append((uid, idx, t))
+            prev = t
+    out = pd.DataFrame(rows, columns=["user_id", "session_idx", "t_us"])
+    return (
+        out.groupby(["user_id", "session_idx"])
+        .agg(t_start=("t_us", "min"), t_end=("t_us", "max"), n_events=("t_us", "size"))
+        .reset_index()
+    )
+
+
+def test_sessionize_matches_pandas(events):
+    got = sessionize(events, GAP_US, order_cols=("event_id",)).toPandas()
+    want = _sessions_pandas(events.select("user_id", "event_id", "t_us").toPandas(), GAP_US)
+    got = got.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    for c in ["user_id", "session_idx", "t_start", "t_end", "n_events"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_with_sessions_boundary_is_strict(spark):
+    # gap == delta stays in the SAME session; gap+1 starts a new one
+    rows = [(1, 0), (1, 100), (1, 201)]
+    df = spark.createDataFrame(rows, "user_id long, t_us long")
+    out = {r["t_us"]: r["session_idx"] for r in with_sessions(df, 100).collect()}
+    assert out == {0: 0, 100: 0, 201: 1}
+
+
+def test_sessionize_rejects_bad_gap(spark):
+    df = spark.createDataFrame([(1, 0)], "user_id long, t_us long")
+    with pytest.raises(ValueError):
+        sessionize(df, 0)
+
+
+def _asof_pandas(l: pd.DataFrame, r: pd.DataFrame, strict: bool, tol=None):
+    kw = {"by": "user_id", "on": "t_us", "allow_exact_matches": not strict}
+    if tol is not None:
+        kw["tolerance"] = tol
+    return pd.merge_asof(
+        l.sort_values("t_us"), r.sort_values("t_us"), **kw
+    ).sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_matches_pandas(events, strict):
+    l = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us")
+    r = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", F.col("value").alias("purchase_value"))
+    got = (
+        asof_join(l, r, "user_id", "t_us", ["purchase_value"], strict=strict)
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    rp = r.toPandas().rename(columns={"t_us": "t_us"})
+    rp["matched_t"] = rp["t_us"]
+    want = _asof_pandas(l.toPandas(), rp[["user_id", "t_us", "purchase_value", "matched_t"]], strict)
+    assert len(got) == len(want)
+    for c in ["event_id", "user_id", "t_us"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    for c in ["purchase_value", "matched_t"]:
+        a, b = got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+
+
+def test_asof_strictness_at_equal_t(spark):
+    l = spark.createDataFrame([(1, 100, 7)], "user_id long, t_us long, event_id long")
+    r = spark.createDataFrame([(1, 100, 5.0)], "user_id long, t_us long, v double")
+    strict = asof_join(l, r, "user_id", "t_us", ["v"], strict=True).collect()[0]
+    loose = asof_join(l, r, "user_id", "t_us", ["v"], strict=False).collect()[0]
+    assert strict["v"] is None and strict["matched_t"] is None
+    assert loose["v"] == 5.0 and loose["matched_t"] == 100
+
+
+def test_asof_tolerance(spark):
+    l = spark.createDataFrame([(1, 100, 1), (1, 500, 2)],
+                              "user_id long, t_us long, event_id long")
+    r = spark.createDataFrame([(1, 90, 9.0)], "user_id long, t_us long, v double")
+    out = {r_["event_id"]: (r_["v"], r_["matched_t"])
+           for r_ in asof_join(l, r, "user_id", "t_us", ["v"],
+                               tolerance_us=50).collect()}
+    assert out[1] == (9.0, 90)
+    assert out[2] == (None, None)
+
+
+def test_asof_rejects_colliding_payload(spark):
+    df = spark.createDataFrame([(1, 0)], "user_id long, t_us long")
+    with pytest.raises(ValueError):
+        asof_join(df, df, "user_id", "t_us", ["t_us"])
