@@ -2526,6 +2526,128 @@ def q_hll_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOTTOMK_K = 16  # < the corpus's distinct-token count, so hash order DECIDES
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py): pure-hash Bernoulli /
+# splits / per-stratum top-n — all VALUE-checked via the SplitMix64 SQL twin
+# ---------------------------------------------------------------------------
+SAMPLE_SEED = CFG.seed + 29
+SAMPLE_DEFAULT_FRAC = 0.5
+SAMPLE_FRACS = {"src0": 0.1, "src1": 1.0, "src2": 0.25}
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+TOPN_PER_SOURCE = 3
+
+
+def _doc_hash_ctes(seed: int) -> str:
+    """CTE chain ending in doc_hash(doc_id BIGINT, source, _h HUGEINT):
+    _h = hash64(doc_id, seed), bit-exact vs sketches.hashing.hash64 (same
+    construction as _splitmix_ctes, keyed by doc id instead of token)."""
+    s = _seed_mix_const(seed)
+    s_signed = s - _P64 if s >= (1 << 63) else s
+    g, m1, m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    xor_in = f"xor(CAST(doc_id AS BIGINT), CAST({s_signed} AS BIGINT))"
+    return f"""dk AS (SELECT doc_id, source,
+            CAST({xor_in} AS HUGEINT)
+            + CASE WHEN {xor_in} < 0 THEN {_P64} ELSE 0 END AS h
+      FROM documents),
+ds0 AS (SELECT doc_id, source, (h + {g}) % {_P64} AS _h0 FROM dk),
+ds1 AS (SELECT doc_id, source, {_sql_mul64(_sql_xsr('_h0', 30), m1)} AS _h1 FROM ds0),
+ds2 AS (SELECT doc_id, source, {_sql_mul64(_sql_xsr('_h1', 27), m2)} AS _h2 FROM ds1),
+doc_hash AS (SELECT doc_id, source, {_sql_xsr('_h2', 31)} AS _h FROM ds2)"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED BERNOULLI SAMPLE: keep a doc iff hash64(doc_id) falls
+    under its source's acceptance threshold — a pure function of
+    (doc_id, seed), so the sample is reproducible across runs, engines and
+    cluster sizes, and VALUE-checked (not distribution-checked) against
+    the HUGEINT SplitMix64 twin. Narrow plan: one Arrow hash pass + filter,
+    zero shuffles (operators/sampling.stratified_sample)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    return stratified_sample(
+        docs, "doc_id", "source", SAMPLE_FRACS, SAMPLE_DEFAULT_FRAC,
+        SAMPLE_SEED)
+
+
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/VAL/TEST SPLIT: the u64 hash space range-partitioned by
+    cumulative fraction — every doc lands in exactly one split, and the
+    assignment never moves when the dataset grows (the no-leakage property
+    dataset versioning needs). Per-(source, split) counts
+    (operators/sampling.split_column)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        split_column,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    return (
+        split_column(docs, "doc_id", SPLIT_FRACS, SAMPLE_SEED)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_docs_topn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-STRATUM TOP-N BY HASH: the n docs with the smallest
+    hash64(doc_id) per source — a deterministic fixed-size per-group
+    sample (bottom-k/KMV lifted to whole rows), ranked; value-equal to the
+    SQL twin's ROW_NUMBER over the same HUGEINT hash
+    (operators/sampling.hash_topn_per_stratum)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        hash_topn_per_stratum,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    return hash_topn_per_stratum(
+        docs, "doc_id", "source", TOPN_PER_SOURCE, SAMPLE_SEED
+    ).select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _stratified_oracle() -> str:
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        threshold_of,
+    )
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {threshold_of(f) - 1}"
+        for s, f in sorted(SAMPLE_FRACS.items()))
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)}
+SELECT doc_id, source FROM doc_hash
+WHERE _h <= CASE {cases} ELSE {threshold_of(SAMPLE_DEFAULT_FRAC) - 1} END"""
+
+
+def _splits_oracle() -> str:
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        threshold_of,
+    )
+
+    names = list(SPLIT_FRACS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_FRACS[name]
+        whens.append(f"WHEN _h < {threshold_of(acc)} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)}
+SELECT source, {case} AS split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM doc_hash GROUP BY source, split"""
+
+
+def _topn_oracle() -> str:
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)}
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY _h, doc_id)
+              AS BIGINT) AS rank
+  FROM doc_hash
+) WHERE rank <= {TOPN_PER_SOURCE}"""
+
+
 def q_bottomk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k distinct-token sample: the k distinct tokens
     with the smallest splitmix64(token ^ seed-mix) priority. The priority is
@@ -3051,6 +3173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_probes": q_countsketch_probes,
         "hll_distinct_by_source": q_hll_distinct_by_source,
         "bottomk_tokens": q_bottomk_tokens,
+        "stratified_sample_docs": q_stratified_sample,
+        "dataset_splits": q_dataset_splits,
+        "docs_topn_hash": q_docs_topn_hash,
         "hll_window_rollup": q_hll_window_rollup,
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
@@ -3696,6 +3821,9 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
         # SQL (_splitmix_ctes) — bottom-k = the k distinct tokens with the
         # smallest priority; HOPS = the min-priority token of each of the 2^b
         # buckets (bucket = top b bits, priority = low 64-b bits)
+        "stratified_sample_docs": _stratified_oracle(),
+        "dataset_splits": _splits_oracle(),
+        "docs_topn_hash": _topn_oracle(),
         "bottomk_tokens": f"""WITH {CORPUS_CTE}, {POS_CTE},
 {_splitmix_ctes(CFG.seed)}
 SELECT CAST(tok AS BIGINT) AS token

@@ -1,0 +1,154 @@
+"""Deterministic sampling for training-data pipelines: stratified Bernoulli
+sampling, multi-way dataset splits, and per-stratum hash top-n (a
+deterministic stand-in for reservoir sampling).
+
+Everything here is a PURE FUNCTION of (row id, seed) — no RNG state, no
+partition-order dependence — so samples are reproducible across re-runs,
+repartitions, engines, and cluster sizes, and a row's split assignment
+never changes when the dataset grows (the property training pipelines need
+to avoid test-set leakage between dataset versions). The hash is the
+repo-wide splitmix64 (sketches/hashing.hash64), which has a bit-exact
+DuckDB SQL twin (__spark_entry__._splitmix_ctes) — the driver oracles are
+therefore VALUE equalities, not distribution checks.
+
+Scale: the Bernoulli forms are narrow-only plans (filter over an Arrow-
+batched hash — no shuffle at all; predicate evaluated where the data
+lives). hash_topn keeps one shuffle keyed by stratum with a partial
+TakeOrdered per map task bounded by n (never materializes a stratum's
+full row set on one task beyond the top-n heap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sketches.hashing import hash64
+
+_P64 = 1 << 64
+
+
+def threshold_of(fraction: float) -> int:
+    """The u64 acceptance threshold of a sampling fraction (accept iff
+    hash < threshold) — computed ONCE in Python and inlined on both
+    engines, so float rounding can never disagree across them."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return _P64 if fraction >= 1.0 else int(fraction * _P64)
+
+
+def _flip(u: int) -> int:
+    """u64 -> int64 with the sign bit flipped: signed order == u64 order."""
+    return int(np.int64(np.uint64(u) ^ np.uint64(1 << 63)))
+
+
+def _limit_lit(fraction: float) -> int:
+    """Flipped int64 INCLUSIVE limit: accept iff hkey <= limit. Exact at
+    fraction 1.0 (limit = u64 max). Fraction 0 is refused — 'exclude the
+    stratum' is a filter, not a sample (no u64 limit encodes reject-all
+    under <=)."""
+    thr = threshold_of(fraction)
+    if thr == 0:
+        raise ValueError(
+            f"fraction {fraction} rounds to zero acceptance — filter the "
+            "stratum out instead of sampling it at 0")
+    return _flip(thr - 1)
+
+
+def _hash_key_udf(seed: int):
+    """int64 column whose SIGNED ascending order equals the UNSIGNED order
+    of hash64(id, seed) (sign bit flipped) — lets JVM sorts/comparisons run
+    on the bigint without ever seeing unsigned arithmetic."""
+
+    @pandas_udf("long")
+    def hkey(ids: pd.Series) -> pd.Series:
+        h = hash64(ids.to_numpy(dtype=np.int64), seed)
+        return pd.Series((h ^ np.uint64(1 << 63)).view(np.int64))
+
+    return hkey
+
+
+def sample_hash_threshold(df: DataFrame, id_col: str, threshold: int,
+                          seed: int) -> DataFrame:
+    """Rows with hash64(id, seed) < threshold (u64 compare). Bernoulli
+    p = threshold / 2^64, deterministic per id."""
+    if threshold <= 0:
+        return df.filter(F.lit(False))
+    if threshold >= _P64:
+        return df
+    return df.filter(_hash_key_udf(seed)(F.col(id_col)) <= F.lit(_flip(threshold - 1)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float,
+    seed: int,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep a row iff
+    hash64(id) < threshold(fraction of its stratum). The per-stratum
+    thresholds are a small CASE expression (broadcast literal, never a
+    join); the hash is one Arrow pass. No shuffle."""
+    thr = F.lit(_limit_lit(default_fraction))
+    for s, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(_limit_lit(frac))).otherwise(thr)
+    return df.filter(_hash_key_udf(seed)(F.col(id_col)) <= thr)
+
+
+def split_column(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    seed: int,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint multi-way assignment (e.g. train/val/test): the u64 hash
+    space is range-partitioned by cumulative fraction, each row lands in
+    exactly one named split. Fractions must sum to 1 (within 1e-9).
+    Assignment is stable under dataset growth — adding rows never moves an
+    existing row's split."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {total}")
+    if any(f <= 0 for f in splits.values()):
+        raise ValueError("every split needs a positive fraction")
+    names = list(splits)
+    cuts = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cuts.append(_flip(threshold_of(acc)))
+    hkey = _hash_key_udf(seed)(F.col(id_col))
+    # nested whens, outermost = smallest cut: the FIRST matching cut wins
+    expr = F.lit(names[-1])
+    for name, cut in list(zip(names[:-1], cuts))[::-1]:
+        expr = F.when(hkey < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_topn_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    seed: int,
+) -> DataFrame:
+    """The n rows with the SMALLEST hash64(id) per stratum, ranked — a
+    deterministic fixed-size sample per group (uniform over ids, stable
+    across runs; the classic bottom-k/KMV construction, samplers.py's
+    BottomKSampler lifted to whole rows). rank is 1-based in unsigned hash
+    order with id as the (unreachable) tiebreak."""
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    hkey = _hash_key_udf(seed)(F.col(id_col)).alias("_hkey")
+    w = Window.partitionBy(strata_col).orderBy("_hkey", id_col)
+    return (
+        df.select("*", hkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .drop("_hkey")
+    )

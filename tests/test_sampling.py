@@ -1,0 +1,119 @@
+"""Deterministic sampling: value-exact differentials vs the local numpy
+hash kernel (the DuckDB cross-engine twin is exercised by
+tests/test_entry_contract.py via the driver queries)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.sampling import (
+    _flip,
+    hash_topn_per_stratum,
+    sample_hash_threshold,
+    split_column,
+    stratified_sample,
+    threshold_of,
+)
+from hierarchical_bloom_filter_index_spark.sketches.hashing import hash64
+
+SEED = 71
+_P64 = 1 << 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source").cache()
+    df.count()
+    return df
+
+
+def _local(docs):
+    rows = docs.collect()
+    ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+    return rows, hash64(ids, SEED)
+
+
+def test_flip_is_order_preserving():
+    us = np.array([0, 1, (1 << 63) - 1, 1 << 63, _P64 - 1], dtype=np.uint64)
+    flipped = [_flip(int(u)) for u in us]
+    assert flipped == sorted(flipped)
+    assert flipped[0] == -(1 << 63) and flipped[-1] == (1 << 63) - 1
+
+
+def test_threshold_edges():
+    assert threshold_of(0.0) == 0
+    assert threshold_of(1.0) == _P64
+    with pytest.raises(ValueError):
+        threshold_of(1.5)
+
+
+def test_sample_hash_threshold_exact(docs):
+    rows, h = _local(docs)
+    thr = threshold_of(0.3)
+    want = sorted(r["doc_id"] for r, hv in zip(rows, h) if hv < np.uint64(thr))
+    got = sorted(r["doc_id"] for r in
+                 sample_hash_threshold(docs, "doc_id", thr, SEED).collect())
+    assert got == want
+    assert sample_hash_threshold(docs, "doc_id", 0, SEED).count() == 0
+    assert sample_hash_threshold(docs, "doc_id", _P64, SEED).count() == len(rows)
+
+
+def test_stratified_sample_exact(docs):
+    fracs = {"src0": 0.1, "src1": 1.0}
+    rows, h = _local(docs)
+    want = sorted(
+        r["doc_id"] for r, hv in zip(rows, h)
+        if hv <= np.uint64(threshold_of(fracs.get(r["source"], 0.5)) - 1)
+    )
+    got = sorted(r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "source", fracs, 0.5, SEED).collect())
+    assert got == want
+    # src1 at fraction 1.0 keeps EVERY doc
+    n_src1 = sum(1 for r in rows if r["source"] == "src1")
+    assert sum(1 for r, hv in zip(rows, h) if r["source"] == "src1"
+               and r["doc_id"] in set(got)) == n_src1
+
+
+def test_stratified_rejects_zero_fraction(docs):
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "doc_id", "source", {"src0": 0.0}, 0.5, SEED)
+
+
+def test_split_column_partitions_exactly(docs):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows, h = _local(docs)
+    cut1, cut2 = threshold_of(0.8), threshold_of(0.9)
+
+    def assign(hv):
+        return "train" if hv < cut1 else ("val" if hv < cut2 else "test")
+
+    want = {r["doc_id"]: assign(int(hv)) for r, hv in zip(rows, h)}
+    got = {r["doc_id"]: r["split"] for r in
+           split_column(docs, "doc_id", splits, SEED).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        split_column(docs, "doc_id", {"a": 0.5, "b": 0.4}, SEED)
+
+
+def test_hash_topn_exact(docs):
+    n = 4
+    rows, h = _local(docs)
+    want = {}
+    per = {}
+    for r, hv in zip(rows, h):
+        per.setdefault(r["source"], []).append((int(hv), r["doc_id"]))
+    for s, lst in per.items():
+        for rank, (_, did) in enumerate(sorted(lst)[:n], start=1):
+            want[(s, did)] = rank
+    got = {(r["source"], r["doc_id"]): r["rank"] for r in
+           hash_topn_per_stratum(docs, "doc_id", "source", n, SEED).collect()}
+    assert got == want
+
+
+def test_sampling_is_layout_independent(docs):
+    a = sorted(r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "source", {}, 0.4, SEED).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(
+        docs.repartition(17), "doc_id", "source", {}, 0.4, SEED).collect())
+    assert a == b
