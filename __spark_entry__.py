@@ -858,6 +858,42 @@ def _q_regex(pattern: str):
     return run
 
 
+GLOBAL_REGEX = "customer.{1,10}(?:join|merge)"
+GLOBAL_REGEX_MAXLEN = 8 + 10 + 5  # finite by construction (bounded gap)
+
+
+def q_hbi_global_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX report() on the ONE-STREAM axis: every stream position where
+    the regex matches anchored (leftmost-greedy, re.match), matches may
+    cross document boundaries (stitched-tail verification,
+    operators/regex.global_regex_search). Per-position anchoring is the
+    well-defined stream semantics — exactly what the per-position DuckDB
+    twin recomputes."""
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        global_regex_search,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _stats = _planner_inputs(spark, sf_dir)
+    return global_regex_search(
+        gcorp, gidx, _global_cfg(spark, sf_dir), GLOBAL_REGEX,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
+def _global_regex_oracle(pattern: str, max_len: int) -> str:
+    esc = pattern.replace("'", "''")
+    return f"""WITH s AS (
+  SELECT string_agg(text, '' ORDER BY CAST(doc_id AS VARCHAR)) AS st
+  FROM documents
+),
+p AS (SELECT st, unnest(generate_series(1, length(st))) AS i FROM s)
+SELECT CAST(i - 1 AS BIGINT) AS gpos,
+       regexp_extract(substr(st, i, {max_len}), '^(?:{esc})') AS match
+FROM p
+WHERE regexp_matches(substr(st, i, {max_len}), '^(?:{esc})')"""
+
+
 def _regex_oracle(pattern: str) -> str:
     esc = pattern.replace("'", "''")
     return f"""WITH m AS (
@@ -3116,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_bm25_topk": q_hbi_bm25_topk,
         "hbi_regex": _q_regex(REGEX_CHAIN),
         "hbi_regex_gap": _q_regex(REGEX_GAP),
+        "hbi_global_regex": q_hbi_global_regex,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
@@ -3279,6 +3316,7 @@ WHERE {" AND ".join("(" + " OR ".join(f"contains(text, '{''.join(chr(t) for t in
         "hbi_pattern_contexts": _contexts_oracle(PAT_PRESENT, KWIC_CONTEXT),
         "hbi_regex": _regex_oracle(REGEX_CHAIN),
         "hbi_regex_gap": _regex_oracle(REGEX_GAP),
+        "hbi_global_regex": _global_regex_oracle(GLOBAL_REGEX, GLOBAL_REGEX_MAXLEN),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

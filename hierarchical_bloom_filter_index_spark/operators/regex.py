@@ -236,11 +236,13 @@ def _literal_string(node) -> str | None:
 
 def required_factors(pattern: str):
     """Segment the regex into required literal factors with inter-factor
-    start-delta bounds. Returns (factors, deltas) where factors is a list of
-    literal strings and deltas[i] = (lo, hi|None) bounds on
-    start(factors[i+1]) - start(factors[i]). Factors are NECESSARY: every
-    match contains each factor at a compatible offset (sound superset when
-    probed). Empty factors list => nothing indexable (brute scan)."""
+    start-delta bounds. Returns (factors, deltas, lead): factors is a list
+    of literal strings, deltas[i] = (lo, hi|None) bounds on
+    start(factors[i+1]) - start(factors[i]), and lead = (lo, hi|None)
+    bounds on start(factors[0]) - start(match). Factors are NECESSARY:
+    every match contains each factor at a compatible offset (sound
+    superset when probed). Empty factors list => nothing indexable
+    (brute scan; lead is then meaningless)."""
     ast = parse(pattern)
     lo_total, _ = len_bounds(ast)
     if lo_total == 0:
@@ -250,18 +252,21 @@ def required_factors(pattern: str):
 
     factors: list[str] = []
     deltas: list[tuple[int, int | None]] = []
+    lead: tuple[int, int | None] = (0, 0)
     run: list[str] = []
     # pending gap (chars) between end of last flushed factor and next factor
     g_lo, g_hi = 0, 0
 
     def flush_run():
-        nonlocal run, g_lo, g_hi
+        nonlocal run, g_lo, g_hi, lead
         if not run:
             return
         f = "".join(run)
         if factors:
             prev_len = len(factors[-1])
             deltas.append((prev_len + g_lo, _add(prev_len, g_hi)))
+        else:
+            lead = (g_lo, g_hi)
         factors.append(f)
         run = []
         g_lo, g_hi = 0, 0
@@ -290,7 +295,7 @@ def required_factors(pattern: str):
         lo, hi = len_bounds(it)
         add_gap(lo, hi)
     flush_run()
-    return factors, deltas
+    return factors, deltas, lead
 
 
 # ---------------------------------------------------------------------------
@@ -318,13 +323,14 @@ def _finditer_fn(pattern: str):
     return fn
 
 
-def _chain_ok(wlists: list[np.ndarray], spans: list[int],
-              off_lo: list[int], off_hi: list) -> bool:
-    """Backward interval DP: does some window chain satisfy every
-    consecutive start-delta bound? Window w at span s bounds a factor start
-    to [w*s, w*s + s - 1]; factor i's window survives iff some surviving
-    factor-(i+1) window intersects [start_lo + off_lo, start_hi + off_hi].
-    One searchsorted pass per factor pair — never a cross-product."""
+def _chain_survivors(wlists: list[np.ndarray], spans: list[int],
+                     off_lo: list[int], off_hi: list) -> np.ndarray:
+    """Backward interval DP: the FIRST factor's windows that can head a
+    chain satisfying every consecutive start-delta bound. Window w at span
+    s bounds a factor start to [w*s, w*s + s - 1]; factor i's window
+    survives iff some surviving factor-(i+1) window intersects
+    [start_lo + off_lo, start_hi + off_hi]. One searchsorted pass per
+    factor pair — never a cross-product."""
     good = wlists[-1]
     for i in range(len(wlists) - 2, -1, -1):
         w1, s1, s2 = wlists[i], spans[i], spans[i + 1]
@@ -337,8 +343,12 @@ def _chain_ok(wlists: list[np.ndarray], spans: list[int],
             good, hi_w2, side="right")
         good = w1[keep]
         if len(good) == 0:
-            return False
-    return True
+            break
+    return good
+
+
+def _chain_ok(wlists, spans, off_lo, off_hi) -> bool:
+    return len(_chain_survivors(wlists, spans, off_lo, off_hi)) > 0
 
 
 def regex_search(
@@ -362,8 +372,10 @@ def regex_search(
     honest brute scan of every doc, still exact."""
     re.compile(pattern)  # surface invalid syntax early, with re's message
     if cfg.axis != "doc":
-        raise NotImplementedError("regex_search routes on the doc axis")
-    factors, deltas = required_factors(pattern)
+        raise NotImplementedError(
+            "regex_search routes on the doc axis; use global_regex_search "
+            "for cfg.axis='global'")
+    factors, deltas, _lead = required_factors(pattern)
     spark = corpus.sparkSession
     verify = _finditer_fn(pattern)
 
@@ -462,3 +474,220 @@ def regex_search(
     cand = grouped.mapInPandas(dp, schema="doc_id string")
     docs = corpus.join(cand, "doc_id", "left_semi")
     return docs.mapInPandas(verify, REGEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# global (one-stream) axis
+# ---------------------------------------------------------------------------
+GLOBAL_REGEX_SCHEMA = "gpos long, match string"
+
+
+def _has_anchor(node) -> bool:
+    kind = node[0]
+    if kind == "anchor":
+        return True
+    if kind == "cat":
+        return any(_has_anchor(it) for it in node[1])
+    if kind == "alt":
+        return any(_has_anchor(b) for b in node[1])
+    if kind == "rep":
+        return _has_anchor(node[1])
+    return False
+
+
+def _global_regex_verify_fn(pattern: str, sp: int, g0_lo: int, g0_hi: int):
+    """Per-doc anchored scan: every stream position belongs to exactly ONE
+    doc, so candidate windows are translated to per-doc LOCAL start ranges
+    (clamped, merged) and re.match runs anchored at each — no distinct()
+    needed downstream. The stitched tail (max match length - 1 tokens of
+    the following stream) makes cross-document matches exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rx = re.compile(pattern)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            poss, matches = [], []
+            for o, n, toks, wids in zip(
+                pdf["doc_offset"], pdf["n_tok"], pdf["stitched"], pdf["wids"]
+            ):
+                o, n = int(o), int(n)
+                text = "".join(map(chr, toks))
+                if wids is None:
+                    starts = range(n)
+                else:
+                    ws = np.sort(np.asarray(wids, dtype=np.int64))
+                    lo = np.maximum(ws * sp - g0_hi - o, 0)
+                    hi = np.minimum(ws * sp + sp - 1 - g0_lo - o, n - 1)
+                    sel = hi >= lo
+                    if not sel.any():
+                        continue
+                    lo, hi = lo[sel], hi[sel]
+                    # merge overlapping ranges (ws sorted => lo sorted)
+                    starts = []
+                    cur_a, cur_b = int(lo[0]), int(hi[0])
+                    for a, b in zip(lo[1:], hi[1:]):
+                        if a <= cur_b + 1:
+                            cur_b = max(cur_b, int(b))
+                        else:
+                            starts.extend(range(cur_a, cur_b + 1))
+                            cur_a, cur_b = int(a), int(b)
+                    starts.extend(range(cur_a, cur_b + 1))
+                for p in starts:
+                    m = rx.match(text, p)
+                    if m:
+                        poss.append(o + p)
+                        matches.append(m.group())
+            if poss:
+                yield pd.DataFrame({
+                    "gpos": np.asarray(poss, dtype=np.int64),
+                    "match": matches,
+                })
+    return fn
+
+
+def global_regex_search(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: str,
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+    markov=None,
+    model: str | None = None,
+    selective: bool = False,
+) -> DataFrame:
+    """(gpos, match): ALL anchored matches of the regex in the ONE
+    concatenated stream — for every stream position where the regex
+    matches (leftmost-greedy at that position, re.match semantics), the
+    position and matched text. Matches may cross document boundaries
+    (stitched-tail verification). Differs deliberately from the doc axis'
+    finditer semantics: per-position anchoring is the well-defined notion
+    on an unbounded stream (non-overlap selection is prefix-dependent and
+    would serialize), and it is what the per-position DuckDB twin checks.
+
+    Requires a FINITE maximum match length (bounds the stitched tail and
+    fragment truncation — refused otherwise) and no ^/$ anchors (string
+    anchors are meaningless mid-stream). Candidate starts come from the
+    cascaded factor windows shifted back by the leading-gap bounds; the
+    cross-factor interval DP prunes further when the frontiers were
+    collected (byte-capped), and honestly degrades to factor-1 windows
+    when a frontier stayed distributed."""
+    re.compile(pattern)
+    if cfg.axis != "global":
+        raise ValueError("global_regex_search needs cfg.axis='global'")
+    ast = parse(pattern)
+    if _has_anchor(ast):
+        raise RegexSyntaxError(
+            f"^/$ anchors are not meaningful on the stream axis: {pattern!r}")
+    min_len, max_len = len_bounds(ast)
+    if max_len is _INF:
+        raise RegexSyntaxError(
+            f"global regex needs a finite max match length: {pattern!r}")
+    factors, deltas, lead = required_factors(pattern)
+    spark = corpus.sparkSession
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    from .route import _stitched_corpus
+
+    stitched = _stitched_corpus(corpus, int(max_len))
+
+    factor_pats = [[ord(c) for c in f] for f in factors]
+    cascade, exact = ([], []) if not factor_pats else _plan_batch(
+        factor_pats, cfg, start_level, stats, freq, markov, model, selective)
+    if stats_out is not None:
+        stats_out["factors"] = factors
+        stats_out["cascaded"] = [factors[p] for p, *_ in cascade]
+
+    if not cascade:
+        # honest brute: anchored scan at every stream position
+        scan = stitched.select(
+            "doc_offset", "n_tok", "stitched",
+            F.lit(None).cast("array<long>").alias("wids"))
+        return scan.mapInPandas(
+            _global_regex_verify_fn(pattern, 1, 0, 0), GLOBAL_REGEX_SCHEMA)
+
+    casc_idx = [p for p, *_ in cascade]
+    # leading offset of the FIRST CASCADED factor (earlier exact factors
+    # dissolve into it)
+    g0_lo, g0_hi = lead
+    for j in range(0, casc_idx[0]):
+        g0_lo, g0_hi = g0_lo + deltas[j][0], _add(g0_hi, deltas[j][1])
+    off_lo, off_hi = [], []
+    for a, b in zip(casc_idx, casc_idx[1:]):
+        lo = hi = 0
+        for j in range(a, b):
+            lo, hi = lo + deltas[j][0], _add(hi, deltas[j][1])
+        off_lo.append(lo)
+        off_hi.append(hi)
+    # finite max_len bounds every gap, so the lead bounds are finite ints
+    g0_lo = int(g0_lo)
+    g0_hi = int(max_len) if g0_hi is _INF else int(g0_hi)
+
+    specs = [s for _p, s, _f, _d in cascade]
+    firsts = [f for _p, _s, f, _d in cascade]
+    deepests = [d for _p, _s, _f, d in cascade]
+    finished = _descend_batch(
+        index, specs, firsts, deepests, doc_axis=False, spark=spark,
+        stats_out=stats_out,
+    )
+    spans = [cfg.span(d) for d in deepests]
+    empty = spark.createDataFrame([], GLOBAL_REGEX_SCHEMA)
+    all_rows = []
+    for i in range(len(cascade)):
+        fdf, _n, rows = finished[i]
+        if fdf is None and not rows:
+            return empty
+        all_rows.append(rows)
+
+    sp1 = spans[0]
+    if all(r is not None for r in all_rows):
+        wlists = [np.sort(np.asarray([w for (w,) in rows], dtype=np.int64))
+                  for rows in all_rows]
+        good = _chain_survivors(wlists, spans, off_lo, off_hi)
+        if stats_out is not None:
+            stats_out["chain_dp"] = "driver"
+            stats_out["candidate_windows"] = int(len(good))
+        if len(good) == 0:
+            return empty
+        cand = F.broadcast(spark.createDataFrame(
+            [(int(w),) for w in good], "w_id long"))
+    else:
+        # a frontier stayed distributed: degrade to factor-1 windows only
+        fdf, _n, rows = finished[0]
+        cand = fdf if fdf is not None else spark.createDataFrame(
+            rows, "w_id long")
+        if stats_out is not None:
+            stats_out["chain_dp"] = "skipped-large-frontier"
+
+    # docs overlapping any candidate window's lead-shifted start interval
+    # [w*sp - g0_hi, w*sp + sp - 1 - g0_lo]; floor() keeps the bounds a
+    # superset under negative division
+    doc_windows = stitched.select(
+        "doc_offset", "n_tok",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("doc_offset") - (sp1 - 1) + g0_lo) / sp1)
+                    .cast("long")),
+                F.floor(
+                    (F.col("doc_offset") + F.col("n_tok") - 1 + g0_hi) / sp1
+                ).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    hit_docs = (
+        doc_windows.join(cand, "w_id")
+        .groupBy("doc_offset")
+        .agg(F.collect_set("w_id").alias("wids"))
+    )
+    cand_docs = stitched.join(hit_docs, "doc_offset").select(
+        "doc_offset", "n_tok", "stitched", "wids")
+    return cand_docs.mapInPandas(
+        _global_regex_verify_fn(pattern, sp1, g0_lo, g0_hi),
+        GLOBAL_REGEX_SCHEMA)

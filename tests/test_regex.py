@@ -29,13 +29,15 @@ CFG = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42)
 # ---------------------------------------------------------------------------
 def test_factor_segmentation():
     assert required_factors("customers? (?:join|merge)") == (
-        ["customer", " "], [(8, 9)])
-    assert required_factors("ab+c") == (["ab", "c"], [(2, None)])
-    assert required_factors("a(bc){2}d") == (["abcbcd"], [])
-    assert required_factors("^data merge$") == (["data merge"], [])
-    assert required_factors("cust[a-z]*r") == (["cust", "r"], [(4, None)])
-    assert required_factors("a|b") == ([], [])
-    assert required_factors("hash.{1,15}jo") == (["hash", "jo"], [(5, 19)])
+        ["customer", " "], [(8, 9)], (0, 0))
+    assert required_factors("ab+c") == (["ab", "c"], [(2, None)], (0, 0))
+    assert required_factors("a(bc){2}d") == (["abcbcd"], [], (0, 0))
+    assert required_factors("^data merge$") == (["data merge"], [], (0, 0))
+    assert required_factors("cust[a-z]*r") == (["cust", "r"], [(4, None)], (0, 0))
+    assert required_factors("a|b") == ([], [], (0, 0))
+    assert required_factors("hash.{1,15}jo") == (["hash", "jo"], [(5, 19)], (0, 0))
+    assert required_factors("[xy]{2}abc") == (["abc"], [], (2, 2))
+    assert required_factors(".{0,4}key") == (["key"], [], (0, 4))
 
 
 def test_rejections():
@@ -52,7 +54,7 @@ def test_factors_are_necessary():
     strings = ["customer join", "customers merge", "abc", "abbbbc",
                "custxyzr", "custr", "xyzaab", "xqaaaab", "abbc custx"]
     for pat in pats:
-        factors, deltas = required_factors(pat)
+        factors, deltas, _lead = required_factors(pat)
         rx = re.compile(pat)
         for s in strings:
             for m in rx.finditer(s):
@@ -143,3 +145,74 @@ def test_global_axis_rejected(doc_corpus, doc_index):
                      seed=42, axis="global")
     with pytest.raises(NotImplementedError):
         regex_search(doc_corpus, doc_index, gcfg, "abc")
+
+
+# ---------------------------------------------------------------------------
+# global (one-stream) axis: per-position anchored semantics, matches may
+# cross document boundaries
+# ---------------------------------------------------------------------------
+GCFG = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42,
+                 axis="global")
+
+# deliberate boundary junctions: 'slo'+'w scan', 'cust'+'omer merge'
+BOUNDARY_TEXTS = [
+    "the fast slo",
+    "w scan begins here slow sort",
+    "customer join now cust",
+    "omer merge late",
+    "plain filler text slow scan",
+]
+
+
+@pytest.fixture(scope="module")
+def boundary_setup(spark):
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.operators import build_index
+
+    rows = [(str(i), [ord(c) for c in t], len(t), "s")
+            for i, t in enumerate(BOUNDARY_TEXTS)]
+    corp = C.with_global_offsets(spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    ).cache()
+    idx = build_index(corp, GCFG).cache()
+    idx.count()
+    return corp, idx
+
+
+def _gbrute(pat):
+    stream = "".join(BOUNDARY_TEXTS)
+    rx = re.compile(pat)
+    return sorted((p, m.group()) for p in range(len(stream))
+                  for m in [rx.match(stream, p)] if m)
+
+
+@pytest.mark.parametrize("pat", [
+    "slow s(?:can|ort)",             # crosses the 'slo'|'w scan' boundary
+    "cust(?:omer)? (?:join|merge)",  # crosses 'cust'|'omer merge'
+    "t[a-z]{1,3}t",                  # bounded class gap
+    "(?:slow|fast)",                 # alternation-only => stream brute path
+    "zz{1,3}q",                      # absent factor => empty
+])
+def test_global_regex_matches_bruteforce(boundary_setup, pat):
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        global_regex_search,
+    )
+
+    corp, idx = boundary_setup
+    got = sorted((r["gpos"], r["match"])
+                 for r in global_regex_search(corp, idx, GCFG, pat).collect())
+    assert got == _gbrute(pat)
+
+
+def test_global_regex_rejections(boundary_setup):
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        global_regex_search,
+    )
+
+    corp, idx = boundary_setup
+    with pytest.raises(RegexSyntaxError):
+        global_regex_search(corp, idx, GCFG, "ab+c")  # unbounded length
+    with pytest.raises(RegexSyntaxError):
+        global_regex_search(corp, idx, GCFG, "^abc")  # stream anchor
+    with pytest.raises(ValueError):
+        global_regex_search(corp, idx, CFG, "abc")  # wrong axis
