@@ -858,6 +858,50 @@ def _q_regex(pattern: str):
     return run
 
 
+REGEX_BATCH = [
+    REGEX_CHAIN,
+    REGEX_GAP,
+    "(?:fast|slow) (?:scan|sort)",
+    "zebra+x",             # absent factor — early empty via the cascade
+    "ta(?:ble|sk)s?",
+    "(?:data|key)|stream",  # alternation-only — honest brute rider
+]
+
+
+def q_hbi_regex_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A whole REGEX DICTIONARY through ONE shared cascade
+    (operators/regex.regex_search_batch): all patterns' required factors
+    flatten into one descent, per-pattern chain DPs prune docs, one Arrow
+    stage finditers each doc's surviving patterns (the alternation-only
+    entry rides it as an honest per-doc brute). Row-equal to per-pattern
+    runs (tested); aggregated per (pattern, doc, matched string)."""
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        regex_search_batch,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return (
+        regex_search_batch(
+            _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, REGEX_BATCH,
+            start_level="auto", freq=freq, stats=stats,
+        )
+        .groupBy("pattern_id", "doc_id", "match")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+def _regex_batch_oracle(patterns: list[str]) -> str:
+    parts = []
+    for pid, pat in enumerate(patterns):
+        esc = pat.replace("'", "''")
+        parts.append(f"""SELECT CAST({pid} AS INTEGER) AS pattern_id,
+       CAST(doc_id AS VARCHAR) AS doc_id, m AS match,
+       CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM documents, UNNEST(regexp_extract_all(text, '{esc}')) AS t(m)
+GROUP BY 1, 2, 3""")
+    return "\nUNION ALL\n".join(parts)
+
+
 GLOBAL_REGEX = "customer.{1,10}(?:join|merge)"
 GLOBAL_REGEX_MAXLEN = 8 + 10 + 5  # finite by construction (bounded gap)
 
@@ -3153,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_regex": _q_regex(REGEX_CHAIN),
         "hbi_regex_gap": _q_regex(REGEX_GAP),
         "hbi_global_regex": q_hbi_global_regex,
+        "hbi_regex_batch": q_hbi_regex_batch,
         "hbi_global_pattern_batch": q_global_pattern_batch,
         "hbi_global_pattern_batch_wide": q_global_pattern_batch_wide,
         "hbi_pattern_wildcard": q_pattern_wildcard,
@@ -3317,6 +3362,7 @@ WHERE {" AND ".join("(" + " OR ".join(f"contains(text, '{''.join(chr(t) for t in
         "hbi_regex": _regex_oracle(REGEX_CHAIN),
         "hbi_regex_gap": _regex_oracle(REGEX_GAP),
         "hbi_global_regex": _global_regex_oracle(GLOBAL_REGEX, GLOBAL_REGEX_MAXLEN),
+        "hbi_regex_batch": _regex_batch_oracle(REGEX_BATCH),
         "hbi_global_pattern_batch": _global_batch_oracle(GLOBAL_BATCH_PATTERNS),
         "hbi_global_pattern_batch_wide": _global_batch_oracle(WIDE_BATCH_PATTERNS),
         "hbi_pattern_multilevel": _pattern_oracle(PAT_PRESENT),

@@ -441,8 +441,21 @@ def regex_search(
         return docs.mapInPandas(verify, REGEX_SCHEMA)
 
     # large frontiers: distributed chain DP grouped per doc
-    for i in range(k):
-        fdf, _n, rows = finished[i]
+    cand = _grouped_dp_docs(
+        spark, [(fdf, rows) for fdf, _n, rows in (finished[i] for i in range(k))],
+        spans, off_lo, off_hi)
+    docs = corpus.join(cand, "doc_id", "left_semi")
+    return docs.mapInPandas(verify, REGEX_SCHEMA)
+
+
+def _grouped_dp_docs(spark, fin: list, spans, off_lo, off_hi) -> DataFrame:
+    """Distributed chain DP for large frontiers: union the per-factor
+    survivor frames, group per doc, run the interval DP in Arrow — returns
+    DF(doc_id) of docs where some window chain satisfies every bound.
+    ``fin`` holds (survivor_df_or_None, collected_rows_or_None) per factor."""
+    k = len(fin)
+    parts = []
+    for i, (fdf, rows) in enumerate(fin):
         part = fdf if fdf is not None else spark.createDataFrame(
             rows, "doc_id string, w_id long")
         parts.append(part.select("doc_id", F.lit(i).alias("fid"), "w_id"))
@@ -471,9 +484,160 @@ def regex_search(
             if ids:
                 yield pd.DataFrame({"doc_id": ids})
 
-    cand = grouped.mapInPandas(dp, schema="doc_id string")
-    docs = corpus.join(cand, "doc_id", "left_semi")
-    return docs.mapInPandas(verify, REGEX_SCHEMA)
+    return grouped.mapInPandas(dp, schema="doc_id string")
+
+
+def _chain_offsets(deltas, casc_fi: list[int]):
+    """Start-delta bounds between CONSECUTIVE CASCADED factors — factors
+    the planner couldn't cascade dissolve into the delta (constraint
+    dropped => superset, sound)."""
+    off_lo, off_hi = [], []
+    for a, b in zip(casc_fi, casc_fi[1:]):
+        lo = hi = 0
+        for j in range(a, b):
+            lo, hi = lo + deltas[j][0], _add(hi, deltas[j][1])
+        off_lo.append(lo)
+        off_hi.append(hi)
+    return off_lo, off_hi
+
+
+BATCH_REGEX_SCHEMA = "pattern_id int, doc_id string, pos int, match string"
+
+
+def _finditer_batch_fn(patterns: list[str], brute_ids: list[int]):
+    """Per-doc multi-regex finditer: each doc scans its surviving patterns
+    (pids column) plus every brute pattern — text decoded ONCE per doc."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rxs = [re.compile(p) for p in patterns]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids_out, ids, poss, matches = [], [], [], []
+            has_pids = "pids" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                did, toks = row.doc_id, row.tokens
+                pids = list(row.pids) if has_pids and row.pids is not None else []
+                text = "".join(map(chr, toks))
+                for pid in pids + brute_ids:
+                    for m in rxs[pid].finditer(text):
+                        pids_out.append(pid)
+                        ids.append(did)
+                        poss.append(m.start())
+                        matches.append(m.group())
+            if ids:
+                yield pd.DataFrame({
+                    "pattern_id": np.asarray(pids_out, dtype=np.int32),
+                    "doc_id": ids,
+                    "pos": np.asarray(poss, dtype=np.int32),
+                    "match": matches,
+                })
+    return fn
+
+
+def regex_search_batch(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    patterns: list[str],
+    start_level: int | str | None = None,
+    freq=None,
+    stats=None,
+    stats_out: dict | None = None,
+    markov=None,
+    model: str | None = None,
+    selective: bool = False,
+) -> DataFrame:
+    """A whole regex dictionary through ONE shared cascade:
+    (pattern_id, doc_id, pos, match), row-equal to a union of per-pattern
+    regex_search calls. Every pattern's required factors flatten into one
+    _plan_batch/_descend_batch descent (each factor enters at its own
+    planned level); per-pattern chain DPs prune docs; one Arrow stage
+    finditers each doc's surviving patterns (brute/alternation-only
+    patterns scan every doc inside the same stage — honest, logged)."""
+    if cfg.axis != "doc":
+        raise NotImplementedError("regex_search_batch routes on the doc axis")
+    if not patterns:
+        raise ValueError("empty regex batch")
+    for p in patterns:
+        re.compile(p)
+    segs = [required_factors(p) for p in patterns]
+    spark = corpus.sparkSession
+
+    flat: list[list[int]] = []
+    owner: list[tuple[int, int]] = []
+    for pid, (factors, _d, _l) in enumerate(segs):
+        for fi, f in enumerate(factors):
+            flat.append([ord(c) for c in f])
+            owner.append((pid, fi))
+    cascade, _exact = ([], []) if not flat else _plan_batch(
+        flat, cfg, start_level, stats, freq, markov, model, selective)
+    per_pat: dict[int, list[tuple[int, int, int]]] = {
+        pid: [] for pid in range(len(patterns))}
+    for ci, (p, _spec, _f, d) in enumerate(cascade):
+        pid, fi = owner[p]
+        per_pat[pid].append((ci, fi, cfg.span(d)))
+
+    finished = {}
+    if cascade:
+        finished = _descend_batch(
+            index,
+            [s for _p, s, _f, _d in cascade],
+            [f for _p, _s, f, _d in cascade],
+            [d for _p, _s, _f, d in cascade],
+            doc_axis=True, spark=spark, stats_out=stats_out,
+        )
+
+    brute_ids = [pid for pid, entries in per_pat.items() if not entries]
+    if stats_out is not None:
+        stats_out["brute_patterns"] = [patterns[p] for p in brute_ids]
+    driver_pairs: list[tuple[str, int]] = []
+    cand_parts: list[DataFrame] = []
+    for pid, entries in per_pat.items():
+        if not entries:
+            continue
+        _factors, deltas, _lead = segs[pid]
+        casc_fi = [fi for _ci, fi, _s in entries]
+        spans_p = [s for _ci, _fi, s in entries]
+        off_lo, off_hi = _chain_offsets(deltas, casc_fi)
+        fin = [finished[ci] for ci, _fi, _s in entries]
+        if any(fdf is None and not rows for fdf, _n, rows in fin):
+            continue  # a required factor is absent — pattern matches nothing
+        if all(rows is not None for _fdf, _n, rows in fin):
+            by_doc: dict[str, list[list[int]]] = {}
+            for i, (_fdf, _n, rows) in enumerate(fin):
+                for doc_id, w_id in rows:
+                    by_doc.setdefault(
+                        doc_id, [[] for _ in range(len(fin))])[i].append(w_id)
+            driver_pairs.extend(
+                (d, pid) for d, ls in by_doc.items()
+                if all(ls) and _chain_ok(
+                    [np.sort(np.asarray(x, dtype=np.int64)) for x in ls],
+                    spans_p, off_lo, off_hi))
+        else:
+            cand_parts.append(
+                _grouped_dp_docs(
+                    spark, [(fdf, rows) for fdf, _n, rows in fin],
+                    spans_p, off_lo, off_hi
+                ).select("doc_id", F.lit(pid).alias("pattern_id")))
+
+    cand: DataFrame | None = None
+    if driver_pairs:
+        cand = spark.createDataFrame(
+            driver_pairs, "doc_id string, pattern_id int")
+    for part in cand_parts:
+        cand = part if cand is None else cand.unionByName(part)
+
+    if cand is None and not brute_ids:
+        return spark.createDataFrame([], BATCH_REGEX_SCHEMA)
+    verify = _finditer_batch_fn(patterns, brute_ids)
+    if cand is None:
+        return corpus.mapInPandas(verify, BATCH_REGEX_SCHEMA)
+    grouped = cand.groupBy("doc_id").agg(F.collect_set("pattern_id").alias("pids"))
+    if not cand_parts:
+        grouped = F.broadcast(grouped)
+    docs = corpus.join(grouped, "doc_id", "left" if brute_ids else "inner")
+    return docs.mapInPandas(verify, BATCH_REGEX_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

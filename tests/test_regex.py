@@ -135,6 +135,45 @@ def test_regex_matches_bruteforce(doc_corpus, doc_index, planner, pat):
     assert got == _brute(doc_corpus, pat)
 
 
+BATCH_PATS = [
+    "customers? (?:join|merge|scan)",
+    "ta(?:ble|sk)s?",
+    "(?:fast|slow) (?:scan|sort)",
+    "zebra+x",                        # absent factor
+    "hash.{1,15}(?:join|agg)",
+    "(?:data|key)|stream",            # alternation-only => brute rider
+]
+
+
+def test_regex_batch_equals_singles(doc_corpus, doc_index, planner):
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        regex_search_batch,
+    )
+
+    freq, stats = planner
+    got = sorted(
+        (r["pattern_id"], r["doc_id"], r["pos"], r["match"])
+        for r in regex_search_batch(
+            doc_corpus, doc_index, CFG, BATCH_PATS,
+            start_level="auto", freq=freq, stats=stats).collect())
+    want = sorted(
+        (pid, r["doc_id"], r["pos"], r["match"])
+        for pid, p in enumerate(BATCH_PATS)
+        for r in regex_search(doc_corpus, doc_index, CFG, p,
+                              start_level="auto", freq=freq,
+                              stats=stats).collect())
+    assert got == want
+
+
+def test_regex_batch_rejects_empty(doc_corpus, doc_index):
+    from hierarchical_bloom_filter_index_spark.operators.regex import (
+        regex_search_batch,
+    )
+
+    with pytest.raises(ValueError):
+        regex_search_batch(doc_corpus, doc_index, CFG, [])
+
+
 def test_empty_matchable_rejected(doc_corpus, doc_index):
     with pytest.raises(RegexSyntaxError):
         regex_search(doc_corpus, doc_index, CFG, "a*")
