@@ -1620,6 +1620,48 @@ def q_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLUENCY proxy for quality filtering: per doc, the average
+    corpus-wide frequency of its word bigrams (operators/text.py:
+    bigram_fluency) — the cheap pre-filter a 100 TB pipeline runs before
+    paying for LM-perplexity inference. Integer sums exact; the double is
+    a pure quotient of exact ints (bit-identical cross-engine)."""
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        bigram_fluency,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return bigram_fluency(docs)
+
+
+_BIGRAM_FLUENCY_ORACLE = """WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2)
+SELECT b.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c.cnt) AS BIGINT) AS sum_freq,
+       CAST(SUM(c.cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fluency
+FROM b JOIN c USING (w1, w2)
+GROUP BY b.doc_id"""
+
+
+def q_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: the frequency-of-frequencies histogram (how many
+    distinct tokens occur exactly f times) — the classic Zipf/Good-Turing
+    profile a data pipeline reports per corpus snapshot."""
+    pos = with_positions(_corpus(spark, sf_dir))
+    per_tok = pos.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return per_tok.groupBy("freq").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
 def q_token_freq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = with_positions(_corpus(spark, sf_dir))
     return (
@@ -3249,6 +3291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
         "heavy_hitters_by_source": q_heavy_hitters_by_source,
         "token_freq_by_source": q_token_freq_by_source,
+        "bigram_fluency": q_bigram_fluency,
+        "token_freq_histogram": q_token_freq_histogram,
         "distinct_by_source_exact": q_distinct_by_source_exact,
         "doclen_quantiles_exact": q_doclen_quantiles_exact,
         "cms_freq_probes": q_cms_freq_probes,
@@ -3752,6 +3796,12 @@ SELECT g.source AS source, gram, COUNT(*) AS cnt
 FROM grams g JOIN tot ON g.source = tot.source
 GROUP BY g.source, gram, tot.n
 HAVING COUNT(*) >= CEIL({HH_GROUP_PHI} * tot.n)""",
+        "bigram_fluency": _BIGRAM_FLUENCY_ORACLE,
+        "token_freq_histogram": f"""WITH {CORPUS_CTE}, {POS_CTE},
+tf AS (SELECT tokens[i] AS t, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM pos GROUP BY tokens[i])
+SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tf GROUP BY freq""",
         "token_freq_by_source": f"""WITH {CORPUS_CTE}, {POS_CTE}
 SELECT source, CAST(tokens[i] AS INT) AS token, COUNT(*) AS cnt
 FROM pos WHERE tokens[i] IN ({probe_list}) GROUP BY 1, 2""",

@@ -116,8 +116,10 @@ def main() -> None:
         # whole misspelled-dictionary workload, one cascade
         "hbi_approx_batch",
         "hbi_pattern_charclass",
-        # regex report(): required-factor chain through the shared cascade
+        # regex report(): required-factor chain through the shared cascade,
+        # then a whole regex dictionary through one cascade
         "hbi_regex",
+        "hbi_regex_batch",
         # ranked fuzzy search (top-k by edit distance)
         "fuzzy_topk_matches",
         "window_membership",
@@ -184,9 +186,16 @@ def main() -> None:
         "hbi_global_pattern_batch_wide",
         "global_range_totals",
         "global_range_quantiles",
+        # anchored regex on the one-stream axis (global index cached above)
+        "hbi_global_regex",
         "events_hourly",
         # same aggregate THROUGH Structured Streaming (watermarked windows)
         "events_hourly_stream",
+        # event-stream relational ops: sessionization + as-of join
+        "event_sessions",
+        "events_asof_purchase",
+        # deterministic stratified sample (zero-shuffle narrow plan)
+        "stratified_sample_docs",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

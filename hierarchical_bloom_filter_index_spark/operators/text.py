@@ -232,3 +232,65 @@ def collocations_pmi(
         .limit(int(topk))
     )
     return out
+
+
+def _word_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) word-bigram rows — one per adjacent word pair per doc
+    (docs with < 2 words contribute nothing)."""
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    return (
+        docs.select(F.col(id_col), ws.alias("ws"))
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ws", i.cast("int")).alias("w1"),
+                            F.element_at("ws", (i + 1).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model-free FLUENCY proxy for quality filtering: per doc,
+    the average corpus-wide frequency of its word bigrams — text whose
+    adjacent word pairs are common in the corpus scores high, shuffled or
+    machine-mangled text scores low (the cheap stand-in for LM perplexity
+    a 100 TB pre-filter wants before paying for model inference).
+
+    Output (id, n_bigrams, sum_freq, fluency): the integer sums are exact
+    and fluency = sum_freq / n_bigrams as a pure double quotient of exact
+    ints, so the oracle doubles are bit-identical (same discipline as
+    collocations_pmi — no log()). Docs with < 2 words emit no row.
+
+    Scale: bigram explode is O(tokens) like the index build; the bigram
+    count table is vocabulary-sized and broadcast into the join; two
+    shuffles total (count, per-doc sum), both map-side combined."""
+    big = _word_bigrams(docs, text_col, id_col)
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        big.join(F.broadcast(counts), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+        .select(
+            id_col, "n_bigrams", "sum_freq",
+            (F.col("sum_freq").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("fluency"),
+        )
+    )

@@ -528,3 +528,39 @@ def test_winnowing_pairs_planted_overlap(spark):
     # the df cap drops the boilerplate fingerprints: pair disappears, logged
     capped = D.winnowing_pairs(df, min_shared=2, k=8, window=4, max_fp_df=1)
     assert capped.count() == 0
+
+
+def test_bigram_fluency_vs_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_freq"], r["fluency"])
+           for r in T.bigram_fluency(docs).collect()}
+    # local recomputation
+    from collections import Counter
+
+    rows = docs.collect()
+    corpus_counts = Counter()
+    per_doc = {}
+    for r in rows:
+        ws = [w for w in r["text"].split(" ") if w]
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[r["doc_id"]] = bgs
+        corpus_counts.update(bgs)
+    want = {}
+    for did, bgs in per_doc.items():
+        if not bgs:
+            continue
+        s = sum(corpus_counts[b] for b in bgs)
+        want[did] = (len(bgs), s, s / len(bgs))
+    assert got == want
+    # shuffled garbage text scores below every real doc's fluency
+    import random
+
+    rng = random.Random(7)
+    chars = list(rows[0]["text"])
+    rng.shuffle(chars)
+    garbled = spark.createDataFrame(
+        [(999999, "".join(chars))], "doc_id long, text string")
+    mixed = docs.unionByName(garbled)
+    out = {r["doc_id"]: r["fluency"] for r in T.bigram_fluency(mixed).collect()}
+    g = out.pop(999999)
+    assert g < min(out.values())
