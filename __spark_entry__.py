@@ -1995,6 +1995,44 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DEDUP: the events table written TWICE into the
+    source directory, drained through dropDuplicates state
+    (streaming/windows.deduplicated_stream) — the sink holds exactly the
+    original rows, so per-type counts equal the batch table's (the
+    streaming twin of dedup_exact_pairs' semantics; cross-drain
+    suppression via the checkpointed state store is covered in
+    tests/test_streaming_windows.py)."""
+    import tempfile
+    import uuid
+
+    from hierarchical_bloom_filter_index_spark.streaming.windows import (
+        deduplicated_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    workdir = tempfile.mkdtemp(prefix="hbi_dedup_q_")
+    inp, chk = f"{workdir}/in", f"{workdir}/chk"
+    ev.write.mode("overwrite").parquet(inp)
+    ev.write.mode("append").parquet(inp)  # the duplicates
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduplicated_stream(stream, ("event_id",))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("events_dedup_stream: availableNow drain exceeded 300s")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.with_global_offsets(_corpus(spark, sf_dir)).select("doc_id", "doc_offset")
 
@@ -3361,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
         "events_hourly_stream": q_events_hourly_stream,
+        "events_dedup_stream": q_events_dedup_stream,
         "streaming_state_by_source": q_streaming_state_by_source,
     }
 
@@ -3940,6 +3979,8 @@ GROUP BY 1, 2""",
 FROM events GROUP BY 1, 2""",
         # the streaming twin lands on the same closed form: tumbling 1-hour
         # event-time windows are epoch-aligned => window_start = hour trunc
+        "events_dedup_stream": """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type""",
         "events_hourly_stream": """SELECT event_type, date_trunc('hour', ts) AS hour,
        COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
 FROM events GROUP BY 1, 2""",

@@ -65,3 +65,29 @@ def windowed_event_aggregate(
                 F.col("w.end").alias("window_end"), "*")
         .drop("w")
     )
+
+
+def deduplicated_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    within_watermark: bool = False,
+) -> DataFrame:
+    """STREAMING EXACT DEDUP: emit the first row per key, suppress later
+    duplicates ACROSS micro-batches (key state lives in the state store,
+    so suppression survives restarts through the checkpoint — the
+    streaming twin of dedup.exact_duplicates' batch semantics).
+
+    Without a watermark the key state grows with the number of distinct
+    keys forever; for an unbounded stream call ``withWatermark`` upstream
+    and pass ``within_watermark=True`` (dropDuplicatesWithinWatermark) so
+    keys older than the horizon are evicted — dedup-within-horizon is the
+    bounded-state contract, exactly the role expire()/watermarks play for
+    the windowed aggregates above. Built-in Spark end to end: no Python
+    in the streaming path, state keyed by ``key_cols`` only (payload
+    columns never enter the store beyond the first row)."""
+    cols = list(key_cols)
+    if not cols:
+        raise ValueError("key_cols must name at least one column")
+    if within_watermark:
+        return stream.dropDuplicatesWithinWatermark(cols)
+    return stream.dropDuplicates(cols)

@@ -94,3 +94,64 @@ def test_sliding_windows_and_custom_aggs(spark):
     assert len(rows) > 0 and {"window_start", "window_end", "event_type", "n", "vsum"} <= set(slid.columns)
     # every event lands in exactly two 2h/1h sliding windows
     assert sum(r["n"] for r in rows) == 2 * events.count()
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    """Doubled input (every row written twice) drains to exactly the
+    original rows: state-store dedup across files/micro-batches."""
+    from hierarchical_bloom_filter_index_spark.streaming.windows import (
+        deduplicated_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    workdir = tempfile.mkdtemp(prefix="hbi_dedup_stream_")
+    inp, chk = f"{workdir}/in", f"{workdir}/chk"
+    events.write.mode("overwrite").parquet(inp)
+    events.write.mode("append").parquet(inp)  # the duplicates
+    stream = spark.readStream.schema(events.schema).parquet(inp)
+    q = (
+        deduplicated_stream(stream, ("event_id",))
+        .writeStream.format("memory").queryName("dedup_all")
+        .outputMode("append").option("checkpointLocation", chk)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.sql("select * from dedup_all").collect()
+    want = events.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_dedup_suppresses_across_drains(spark):
+    """A key seen in drain 1 is suppressed when it arrives AGAIN in drain 2
+    through the shared checkpoint (the state store survives restarts)."""
+    from hierarchical_bloom_filter_index_spark.streaming.windows import (
+        deduplicated_stream,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="hbi_dedup_replay_")
+    inp, chk, out = f"{workdir}/in", f"{workdir}/chk", f"{workdir}/out"
+    os.makedirs(inp)
+    schema = "event_id long, v string"
+
+    def drain():
+        # memory sink can't recover a checkpoint — durable parquet sink
+        stream = spark.readStream.schema(schema).parquet(f"{inp}/*.parquet")
+        q = (
+            deduplicated_stream(stream, ("event_id",))
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append").parquet(inp)
+    got1 = drain()
+    assert sorted((r["event_id"], r["v"]) for r in got1) == [(1, "a"), (2, "b")]
+    # key 1 re-arrives with a DIFFERENT payload; only the new key 3 passes
+    spark.createDataFrame([(1, "A2"), (3, "c")], schema).coalesce(1).write.mode(
+        "append").parquet(inp)
+    got2 = drain()
+    assert sorted((r["event_id"], r["v"]) for r in got2) == [
+        (1, "a"), (2, "b"), (3, "c")]
