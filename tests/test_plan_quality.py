@@ -251,3 +251,55 @@ def test_window_sketch_build_plan_shape(spark):
     assert gplan_df.count() > 0
     gcorp.unpersist()
     corp.unpersist()
+
+
+def _n_exchanges(plan: str) -> int:
+    return len([l for l in plan.splitlines() if l.lstrip().startswith("+- Exchange")])
+
+
+def test_sessionize_and_asof_single_exchange(spark):
+    """Both event-stream relational ops are ONE-shuffle plans: the lag +
+    running-sum pair shares a single window exchange, and the as-of
+    union-tag sort runs over one exchange (plus its own result exchange is
+    absent — no extra repartition). A second keyed exchange would mean the
+    two window expressions stopped sharing their (partitionBy, orderBy)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        asof_join,
+        sessionize,
+        with_sessions,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 15, 102)],
+        "user_id long, t_us long, event_id long")
+    tagged = with_sessions(ev, 5, order_cols=("event_id",))
+    assert _n_exchanges(_plan(tagged)) == 1, _plan(tagged)
+    # the per-session aggregate adds at most one more exchange (session
+    # keys are a superset of the window partitioning)
+    sess = sessionize(ev, 5, order_cols=("event_id",))
+    assert _n_exchanges(_plan(sess)) <= 2, _plan(sess)
+
+    left = ev.select("event_id", "user_id", "t_us")
+    right = ev.select("user_id", "t_us", F.col("event_id").cast("double").alias("v"))
+    out = asof_join(left, right, "user_id", "t_us", ["v"])
+    assert _n_exchanges(_plan(out)) == 1, _plan(out)
+
+
+def test_sampling_plans_are_narrow(spark):
+    """The Bernoulli sampling forms must stay ZERO-shuffle narrow plans
+    (hash + filter where the data lives); top-n keeps exactly ONE keyed
+    exchange for its per-stratum window."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        hash_topn_per_stratum,
+        split_column,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string")
+    samp = stratified_sample(df, "doc_id", "source", {"s0": 0.2}, 0.5, 7)
+    assert _n_exchanges(_plan(samp)) == 0, _plan(samp)
+    spl = split_column(df, "doc_id", {"a": 0.5, "b": 0.5}, 7)
+    assert _n_exchanges(_plan(spl)) == 0, _plan(spl)
+    topn = hash_topn_per_stratum(df, "doc_id", "source", 2, 7)
+    assert _n_exchanges(_plan(topn)) == 1, _plan(topn)
