@@ -1772,6 +1772,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select("doc_id", "cluster_id", "cluster_sz")
 
 
+# Decontamination: bench set = every 97th doc, grams = exact 16-char
+# windows. Small enough to broadcast (the op's stated contract), dense
+# enough in the synthetic corpus to produce real contaminated pairs.
+DECON_N = 16
+DECON_MOD = 97
+
+
+def _decon_inputs(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id").cast("long") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return docs, bench
+
+
+def q_decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: (doc_id, bench_id, n_shared) for every
+    corpus doc sharing >= 1 exact 16-char gram with a benchmark doc,
+    n_shared = distinct shared grams. Scale shape: the benchmark side's
+    grams BROADCAST (eval suites are MBs next to a 100 TB corpus), corpus
+    grams explode map-side straight into the broadcast hash join, and the
+    only shuffle carries the (doc, bench) pair counts — the report itself
+    (operators/contamination.py)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    return X.contamination_pairs(docs, bench, DECON_N)
+
+
+def q_decontaminate_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE: the index-accelerated decontamination path (one bench
+    doc's gram dictionary through ONE shared Bloom cascade,
+    contamination_pairs_indexed) must return EXACTLY the broadcast-join
+    path's rows — the result is their symmetric difference and the DuckDB
+    twin is the empty relation. Planner inputs wired (the cascade cost
+    dominates, CLAUDE.md approx-search ladder)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    bench1 = bench.filter(F.col("bench_id").cast("long") == 0)
+    freq, stats = _planner_inputs(spark, sf_dir)
+    got = X.contamination_pairs_indexed(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, bench1, DECON_N,
+        start_level="auto", freq=freq, stats=stats,
+    )
+    want = X.contamination_pairs(docs, bench1, DECON_N)
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 # the LSH verifier's shingles are BYTE windows of the UTF-8 text with
 # space-padding for short docs (dedup.char_shingle_hashes); the SQL exact
 # side uses CHARACTER substr windows over docs >= 5 chars. The two
@@ -3375,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_doclen_quantiles": q_tdigest_doclen_quantiles,
         # dedup / text / similarity (training-data pipeline)
         "dedup_exact_pairs": q_dedup_exact_pairs,
+        "decontaminate_pairs": q_decontaminate_pairs,
+        "decontaminate_indexed_parity": q_decontaminate_indexed_parity,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -3875,6 +3926,29 @@ FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
+        # decontamination: distinct 16-char grams both sides (DuckDB list
+        # comprehension = Spark sequence+transform+substring; range() stop
+        # is exclusive so short docs yield zero grams on both engines)
+        "decontaminate_pairs": f"""WITH bg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents WHERE doc_id % {DECON_MOD} = 0)
+), cg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents)
+)
+SELECT doc_id, bench_id, COUNT(*) AS n_shared
+FROM cg JOIN bg USING (g)
+WHERE doc_id <> bench_id
+GROUP BY doc_id, bench_id""",
+        "decontaminate_indexed_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS bench_id, CAST(NULL AS BIGINT) AS n_shared
+WHERE FALSE""",
         # components of the SAME pair graph as dedup_jaccard_pairs, via a
         # recursive transitive closure (fine at oracle scale; the Spark side
         # uses large-star/small-star contraction)

@@ -1,0 +1,135 @@
+"""Benchmark decontamination: cross-corpus exact n-gram overlap.
+
+The training-data-pipeline op the reference's report() query answers one
+pattern at a time (PMIndex/HBI.java:205 — "which windows hold this
+sequence?"), asked at corpus scale: which corpus documents share ANY
+exact n-character gram with a document of a benchmark/evaluation set, and
+how many distinct grams do they share? Contaminated docs are then dropped
+(or the pair table audited) before training.
+
+Two implementations of the same answer:
+
+* ``contamination_pairs`` — the 100 TB scale path. Benchmark suites are
+  tiny next to a training corpus (MBs vs TBs), so the bench side's
+  distinct grams BROADCAST; the corpus side explodes each doc's distinct
+  grams map-side and hits the broadcast hash join without shuffling text.
+  The only shuffle carries (doc_id, bench_id) pairs — the output, which
+  is small by construction (it's the contamination report).
+* ``contamination_pairs_indexed`` — the index-reuse path: every distinct
+  bench gram is a pattern of ``n`` codepoint tokens, so the whole gram
+  dictionary rides ONE shared Bloom cascade (operators/batch.py
+  pattern_search_batch) and only cascade-surviving docs are ever scanned.
+  Worth it when the corpus is already indexed and the gram dictionary is
+  small; row-identical to the broadcast path (tested).
+
+Both count DISTINCT shared grams per (corpus doc, bench doc) pair and
+exclude self-pairs, so a benchmark doc that is itself part of the corpus
+does not flag itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def char_ngram_column(text_col: str, n: int) -> Column:
+    """Distinct n-character grams of ``text_col`` as array<string> — empty
+    (never a descending phantom sequence) when the doc is shorter than n.
+    Tokens here are UTF codepoints, so an n-token gram IS an n-char
+    substring: the gram never needs the tokenized form at all and stays
+    inside whole-stage codegen (sequence + transform + substring)."""
+    if n < 1:
+        raise ValueError("char_ngram_column: n must be >= 1")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1)),
+        lambda i: F.substring(F.col(text_col), i, F.lit(n)),
+    )
+    return F.when(F.length(text_col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared): every corpus doc sharing >= 1 exact
+    n-char gram with a benchmark doc; ``n_shared`` = number of DISTINCT
+    shared grams. ``bench`` needs (bench_id_col, text_col); self-pairs
+    (same id on both sides) are excluded.
+
+    Plan shape: bench grams broadcast (benchmark suites are small by
+    contract — raise n or pre-hash if yours is not); corpus grams are
+    per-doc-distinct BEFORE the explode (array_distinct, no dedup
+    shuffle), so the single groupBy counts distinct shared grams exactly
+    with map-side partials over (doc_id, bench_id) keys only."""
+    bg = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    cg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def contamination_pairs_indexed(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg,
+    bench: DataFrame,
+    n: int,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    **search_kw,
+) -> DataFrame:
+    """Index-accelerated ``contamination_pairs``: the bench gram dictionary
+    (collected driver-side — small by the same contract that lets the
+    broadcast path broadcast it) becomes ONE pattern_search_batch over the
+    existing Bloom cascade, so un-indexed corpus text is never rescanned;
+    only cascade-surviving (doc, window) candidates are verified. Same
+    (doc_id, bench_id, n_shared) rows as the broadcast path.
+
+    ``search_kw`` forwards to pattern_search_batch (start_level / freq /
+    stats / ... — wire the planner inputs, the cascade cost dominates)."""
+    from .batch import pattern_search_batch
+
+    spark = corpus.sparkSession
+    rows = (
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            char_ngram_column(text_col, n).alias("grams"),
+        )
+        .select("bench_id", F.explode("grams").alias("gram"))
+        .collect()
+    )
+    if not rows:
+        return spark.createDataFrame(
+            [], "doc_id string, bench_id string, n_shared long"
+        )
+    grams = sorted({r.gram for r in rows})
+    gid = {g: i for i, g in enumerate(grams)}
+    patterns = [[ord(c) for c in g] for g in grams]
+    owners = spark.createDataFrame(
+        [(gid[r.gram], r.bench_id) for r in rows],
+        "pattern_id int, bench_id string",
+    )
+    hits = pattern_search_batch(corpus, index, cfg, patterns, **search_kw)
+    return (
+        hits.select("pattern_id", "doc_id")
+        .distinct()  # one row per (gram, doc) — positions don't multiply counts
+        .join(F.broadcast(owners), "pattern_id")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

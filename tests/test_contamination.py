@@ -1,0 +1,89 @@
+"""Benchmark decontamination: broadcast-join path vs a local exact
+computation, and the index-accelerated path vs the broadcast path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.config import HbiConfig
+from hierarchical_bloom_filter_index_spark import corpus as C
+from hierarchical_bloom_filter_index_spark.operators import build_index
+from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+SF_DIR = "/root/testdata/sf0.001"
+N = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .filter(F.col("doc_id").cast("long") < 120)
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def bench(docs):
+    return docs.filter(F.col("doc_id").cast("long") % 29 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+
+
+def _local_pairs(docs_rows, bench_rows, n):
+    def grams(t):
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    bg = [(r["bench_id"], grams(r["text"])) for r in bench_rows]
+    out = {}
+    for r in docs_rows:
+        g = grams(r["text"])
+        for bid, bgr in bg:
+            if r["doc_id"] == bid:
+                continue
+            shared = len(g & bgr)
+            if shared:
+                out[(r["doc_id"], bid)] = shared
+    return out
+
+
+def test_contamination_pairs_vs_local(spark, docs, bench):
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in X.contamination_pairs(docs, bench, N).collect()
+    }
+    want = _local_pairs(docs.collect(), bench.collect(), N)
+    assert got == want
+    assert got, "fixture produced no contaminated pairs — test is vacuous"
+
+
+def test_contamination_short_docs_and_empty_bench(spark, docs):
+    shorty = spark.createDataFrame(
+        [("s1", "tiny"), ("s2", "")], "doc_id string, text string"
+    )
+    # docs shorter than n produce no grams, not a crash or phantom sequence
+    assert X.contamination_pairs(shorty, docs.select(
+        F.col("doc_id").alias("bench_id"), "text"), N).count() == 0
+    empty_bench = spark.createDataFrame([], "bench_id string, text string")
+    assert X.contamination_pairs(docs, empty_bench, N).count() == 0
+
+
+def test_indexed_path_matches_broadcast(spark, docs, bench):
+    cfg = HbiConfig(tree_span=1024, leaf_span=32, fpr=0.01, vocab=128, seed=42)
+    corpus = C.corpus_from_documents(spark, SF_DIR).filter(
+        F.col("doc_id").cast("long") < 120
+    ).cache()
+    index = build_index(corpus, cfg).cache()
+    # one bench doc keeps the gram dictionary small — the indexed path's
+    # stated contract (the broadcast path is the big-dictionary answer)
+    bench1 = bench.filter(F.col("bench_id") == "0")
+    try:
+        got = X.contamination_pairs_indexed(corpus, index, cfg, bench1, N)
+        want = X.contamination_pairs(docs, bench1, N)
+        sym = got.exceptAll(want).unionByName(want.exceptAll(got))
+        assert sym.count() == 0
+    finally:
+        index.unpersist()
+        corpus.unpersist()
