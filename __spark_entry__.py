@@ -2964,6 +2964,47 @@ def q_global_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# range-restricted search: token-offset slices (unaligned on purpose —
+# window boundaries at leaf_span=32 fall inside both ranges)
+PRANGE = (64, 512)
+GRANGE = (10_000, 60_000)
+
+
+def q_hbi_pattern_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-restricted report(): matches of the present pattern whose span
+    lies inside per-doc token range [64, 512) — the cascade runs on a
+    (level, w_id)-SLICED index (route._range_sliced_index: one pushed-down
+    disjunctive filter, O(range/leaf_span) windows per level instead of
+    all), then the exact position filter closes the contract
+    (operators/route.py:pattern_search_range)."""
+    freq, stats = _planner_inputs(spark, sf_dir)
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_search_range,
+    )
+
+    return pattern_search_range(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        PRANGE[0], PRANGE[1], start_level="auto", freq=freq, stats=stats,
+    )
+
+
+def q_hbi_global_pattern_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-restricted GLOBAL report(): stream matches with gpos in
+    [10000, 60000 - m] — a stream-offset slice (one ingestion epoch) searched
+    without touching index windows or corpus docs outside it
+    (operators/route.py:global_pattern_search_range)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_pattern_search_range,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_pattern_search_range(
+        gcorp, gidx, _global_cfg(spark, sf_dir), PAT_GLOBAL,
+        GRANGE[0], GRANGE[1], start_level="auto", freq=freq, stats=gstats,
+    )
+
+
 GLOBAL_BATCH_PATTERNS = [PAT_GLOBAL, [ord(c) for c in "merge"],
                          [ord(c) for c in "z\x01z"]]
 
@@ -3370,6 +3411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_rollup_geometry": q_bloom_rollup_geometry,
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
+        "hbi_pattern_range": q_hbi_pattern_range,
+        "hbi_global_pattern_range": q_hbi_global_pattern_range,
         "hbi_global_pattern_strided": q_global_pattern_strided,
         "incremental_append_geometry": q_incremental_append_geometry,
         "expire_geometry": q_expire_geometry,
@@ -4564,4 +4607,12 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     # the strided global index must return the SAME matches as the dense one
     # (sketches/stride prune cost, never answers)
     out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]
+    # range-restricted search = the full-search oracle + the position bound
+    # (both oracles end in a WHERE clause, so the AND composes)
+    out["hbi_pattern_range"] = out["hbi_pattern_present"] + (
+        f" AND i - 1 >= {PRANGE[0]} AND i - 1 <= {PRANGE[1] - len(PAT_PRESENT)}"
+    )
+    out["hbi_global_pattern_range"] = out["hbi_global_pattern"] + (
+        f" AND f0.g >= {GRANGE[0]} AND f0.g <= {GRANGE[1] - len(PAT_GLOBAL)}"
+    )
     return out

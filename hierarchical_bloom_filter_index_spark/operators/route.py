@@ -1045,6 +1045,85 @@ def range_membership(
     )
 
 
+def _range_sliced_index(index: DataFrame, cfg: HbiConfig, lo: int, hi: int) -> DataFrame:
+    """The index restricted to windows that a match starting in token range
+    [lo, hi) can touch: per level, w in [lo // span, (hi-1) // span + 1].
+    The +1 keeps the right NEIGHBOR of the boundary window present — the
+    neighbor-union candidacy test of window w reads w+1's mask for matches
+    straddling into it, and the descent's {2w, 2w+1, 2w+2} children probe
+    expects it (dropping it could only lose matches ENDING past hi, which
+    the caller's exact position post-filter excludes anyway — the margin is
+    belt-and-braces, one extra window per level). One disjunctive filter on
+    (level, w_id): Catalyst pushes it into the cached index scan, so a
+    narrow range reads O(log + range/leaf_span) windows, not the index."""
+    cond = None
+    for L in cfg.levels:
+        span = cfg.span(L)
+        c = (
+            (F.col("level") == F.lit(L))
+            & (F.col("w_id") >= F.lit(lo // span))
+            & (F.col("w_id") <= F.lit((hi - 1) // span + 1))
+        )
+        cond = c if cond is None else (cond | c)
+    return index.filter(cond)
+
+
+def pattern_search_range(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    lo: int,
+    hi: int,
+    **search_kw,
+) -> DataFrame:
+    """Range-restricted report(): exact matches of ``pattern`` whose start
+    AND end lie in the per-doc token range [lo, hi) — (doc_id, pos) with
+    pos in [lo, hi - m]. The cascade runs on a (level, w_id)-SLICED index
+    (_range_sliced_index), so a narrow slice probes a few windows per level
+    instead of every window — the pattern twin of the dyadic range family
+    (range queries answer aggregates over [a, b); this answers WHERE in
+    [a, b)). Exactness comes from the verifier plus the closing position
+    filter; the slice only prunes work. ``search_kw`` forwards to
+    pattern_search (start_level / freq / stats / markov / ...)."""
+    m = len(pattern)
+    if lo < 0 or hi <= lo:
+        raise ValueError("pattern_search_range: need 0 <= lo < hi")
+    spark = corpus.sparkSession
+    if hi - lo < m:
+        return spark.createDataFrame([], "doc_id string, pos int")
+    out = pattern_search(corpus, _range_sliced_index(index, cfg, lo, hi), cfg,
+                         pattern, **search_kw)
+    return out.filter((F.col("pos") >= lo) & (F.col("pos") <= hi - m))
+
+
+def global_pattern_search_range(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    lo: int,
+    hi: int,
+    **search_kw,
+) -> DataFrame:
+    """Range-restricted GLOBAL report(): stream matches with gpos in
+    [lo, hi - m] — search a slice of the one concatenated stream (a stream
+    offset window, e.g. 'this ingestion epoch only') without scanning or
+    stitching anything outside it: the sliced index prunes the cascade to
+    the range's windows per level, and only docs overlapping surviving
+    windows are assembled by the verifier. Same exactness argument as
+    pattern_search_range."""
+    m = len(pattern)
+    if lo < 0 or hi <= lo:
+        raise ValueError("global_pattern_search_range: need 0 <= lo < hi")
+    spark = corpus.sparkSession
+    if hi - lo < m:
+        return spark.createDataFrame([], "gpos long")
+    out = global_pattern_search(corpus, _range_sliced_index(index, cfg, lo, hi),
+                                cfg, pattern, **search_kw)
+    return out.filter((F.col("gpos") >= lo) & (F.col("gpos") <= hi - m))
+
+
 def pattern_topk_docs(
     corpus: DataFrame,
     index: DataFrame,
