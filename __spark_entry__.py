@@ -3005,6 +3005,26 @@ def q_hbi_global_pattern_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPL_ELL, COMPL_K = 3, 15
+
+
+def q_hbi_pattern_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCOMPLETE: top-k 3-token continuations after the present pattern,
+    exact counts with the deterministic (n DESC, completion ASC) tie-break —
+    the n-gram-LM / query-suggestion use of report()'s match stream
+    (operators/route.py:pattern_completions; TakeOrderedAndProject, no
+    global sort)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_completions,
+    )
+
+    freq, stats = _planner_inputs(spark, sf_dir)
+    return pattern_completions(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        COMPL_ELL, COMPL_K, start_level="auto", freq=freq, stats=stats,
+    )
+
+
 GLOBAL_BATCH_PATTERNS = [PAT_GLOBAL, [ord(c) for c in "merge"],
                          [ord(c) for c in "z\x01z"]]
 
@@ -3412,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_window_counts": q_global_window_counts,
         "hbi_global_pattern": q_global_pattern,
         "hbi_pattern_range": q_hbi_pattern_range,
+        "hbi_pattern_completions": q_hbi_pattern_completions,
         "hbi_global_pattern_range": q_hbi_global_pattern_range,
         "hbi_global_pattern_strided": q_global_pattern_strided,
         "incremental_append_geometry": q_incremental_append_geometry,
@@ -4615,4 +4636,16 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     out["hbi_global_pattern_range"] = out["hbi_global_pattern"] + (
         f" AND f0.g >= {GRANGE[0]} AND f0.g <= {GRANGE[1] - len(PAT_GLOBAL)}"
     )
+    _m = len(PAT_PRESENT)
+    _compl = " || '|' || ".join(
+        f"CAST(tokens[i + {_m + j}] AS VARCHAR)" for j in range(COMPL_ELL)
+    )
+    out["hbi_pattern_completions"] = f"""WITH {CORPUS_CTE}
+SELECT {_compl} AS completion, COUNT(*) AS n
+FROM (SELECT tokens, n_tok,
+             unnest(generate_series(1, CAST(n_tok - {_m} + 1 AS BIGINT))) AS i
+      FROM corpus)
+WHERE tokens[i : i + {_m} - 1] = {_pat_sql(PAT_PRESENT)}
+  AND i + {_m + COMPL_ELL - 1} <= n_tok
+GROUP BY completion ORDER BY n DESC, completion ASC LIMIT {COMPL_K}"""
     return out

@@ -1153,6 +1153,49 @@ def pattern_topk_docs(
     )
 
 
+def pattern_completions(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    ell: int,
+    k: int,
+    **search_kw,
+) -> DataFrame:
+    """AUTOCOMPLETE / n-gram-LM counts: the top-k length-``ell`` token
+    continuations observed after exact occurrences of ``pattern`` —
+    (completion, n) where completion is the '|'-joined codepoints of the
+    ``ell`` tokens following the match (within the doc; matches too close
+    to the doc edge contribute nothing), n its exact occurrence count.
+    Deterministic (n DESC, completion ASC) order makes the k-th boundary a
+    pure function of the corpus. Plan: the cascade finds matches, one
+    corpus join slices the continuation JVM-side, map-side partial counts
+    reach the one groupBy shuffle as (completion, count) rows, and
+    orderBy+limit compiles to TakeOrderedAndProject — no global sort.
+    ``search_kw`` forwards to pattern_search."""
+    if ell < 1 or k < 1:
+        raise ValueError("pattern_completions: need ell >= 1 and k >= 1")
+    m = len(pattern)
+    hits = pattern_search(corpus, index, cfg, pattern, **search_kw)
+    return (
+        hits.join(corpus.select("doc_id", "tokens", "n_tok"), "doc_id")
+        .filter(F.col("pos") + F.lit(m + ell) <= F.col("n_tok"))
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("tokens"), F.col("pos") + F.lit(m + 1), F.lit(ell)),
+                    lambda t: t.cast("string"),
+                ),
+                "|",
+            ).alias("completion")
+        )
+        .groupBy("completion")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("completion"))
+        .limit(int(k))
+    )
+
+
 def pattern_contexts(
     corpus: DataFrame,
     index: DataFrame,

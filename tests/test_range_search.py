@@ -90,6 +90,28 @@ def test_global_axis_range_equals_postfilter(spark, corpus, gindex, pat):
         assert got == want, f"range [{lo}, {hi})"
 
 
+def test_pattern_completions_vs_local(spark, corpus, index, pat):
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        pattern_completions,
+    )
+
+    m, ell, k = len(pat), 3, 12
+    got = [
+        (r["completion"], r["n"])
+        for r in pattern_completions(corpus, index, CFG, pat, ell, k).collect()
+    ]
+    counts = {}
+    for r in corpus.select("tokens").collect():
+        toks = list(r["tokens"])
+        for i in range(len(toks) - m + 1):
+            if toks[i : i + m] == pat and i + m + ell <= len(toks):
+                key = "|".join(str(t) for t in toks[i + m : i + m + ell])
+                counts[key] = counts.get(key, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+    assert got, "fixture pattern has no continuations — test is vacuous"
+
+
 def test_range_search_validation(spark, corpus, index, pat):
     with pytest.raises(ValueError):
         pattern_search_range(corpus, index, CFG, pat, 10, 10)
