@@ -1874,6 +1874,21 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.collocations_pmi(_docs(spark, sf_dir), min_count=3, topk=30)
 
 
+SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN = 4, 30, 2
+
+
+def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style skip-gram co-occurrence: top-k (center, context) word
+    pairs within a +/-4 window, exact support-filtered counts — the
+    co-occurrence matrix an embedding pipeline builds; two codegen'd
+    explodes into ONE map-side-combined groupBy, TakeOrderedAndProject
+    (operators/text.py:skipgram_cooccurrence_topk)."""
+    return T.skipgram_cooccurrence_topk(
+        _docs(spark, sf_dir), window=SKIPGRAM_W, k=SKIPGRAM_K,
+        min_count=SKIPGRAM_MIN,
+    )
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
@@ -3498,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
         "collocations_pmi": q_collocations_pmi,
+        "skipgram_cooccurrence": q_skipgram_cooccurrence,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -4073,6 +4089,21 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
        CAST(cnt_ab AS DOUBLE) * n_tok / a.cnt * n_tok / b.cnt / n_big AS pmi_ratio
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
+        "skipgram_cooccurrence": f"""WITH docs AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
+pos AS (
+  SELECT ws, len(ws) AS n, unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS i
+  FROM docs WHERE len(ws) >= 2),
+pr AS (
+  SELECT ws[i] AS center, ws[j] AS context
+  FROM (SELECT ws, i,
+               unnest(generate_series(GREATEST(1, i - {SKIPGRAM_W}),
+                                      LEAST(n, i + {SKIPGRAM_W}))) AS j
+        FROM pos)
+  WHERE j != i)
+SELECT center, context, COUNT(*) AS cnt
+FROM pr GROUP BY center, context HAVING COUNT(*) >= {SKIPGRAM_MIN}
+ORDER BY cnt DESC, center ASC, context ASC LIMIT {SKIPGRAM_K}""",
         "text_quality": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(string_split(text, ' ')) AS INT) AS n_words,

@@ -234,6 +234,62 @@ def collocations_pmi(
     return out
 
 
+def skipgram_cooccurrence_topk(
+    docs: DataFrame,
+    window: int = 4,
+    k: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word2vec-style SKIP-GRAM co-occurrence counts: top-k (center,
+    context) word pairs with the context within ``window`` positions of the
+    center (both directions, ordered roles — (a,b) and (b,a) count
+    separately, like the SGNS training objective). The co-occurrence matrix
+    an embedding-training pipeline builds before (or instead of) training;
+    support-filtered at ``min_count``, ranked (cnt DESC, center ASC,
+    context ASC) — the full key is unique per row, so the k-th boundary is
+    deterministic cross-engine.
+
+    Scale: pair generation is two codegen'd explodes, O(tokens * 2w) rows
+    map-side straight into ONE groupBy shuffle whose key space is bounded
+    by vocabulary² (and whose partial aggregation collapses the torrent
+    before the wire); orderBy+limit is TakeOrderedAndProject. Docs with
+    < 2 words contribute nothing (the n >= 2 filter also keeps the
+    position sequence ascending — sequence(1, 0) would DESCEND)."""
+    if window < 1 or k < 1:
+        raise ValueError("skipgram_cooccurrence_topk: need window >= 1, k >= 1")
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    toks = docs.select(ws.alias("ws"), F.size(ws).alias("n")).filter(F.col("n") >= 2)
+    pairs = (
+        toks.select(
+            "ws", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "ws", "i",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(1), F.col("i") - window),
+                    F.least(F.col("n"), F.col("i") + window),
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") != F.col("i"))
+        .select(
+            F.element_at("ws", F.col("i").cast("int")).alias("center"),
+            F.element_at("ws", F.col("j").cast("int")).alias("context"),
+        )
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .orderBy(F.desc("cnt"), F.asc("center"), F.asc("context"))
+        .limit(int(k))
+    )
+
+
 def _word_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) word-bigram rows — one per adjacent word pair per doc
     (docs with < 2 words contribute nothing)."""

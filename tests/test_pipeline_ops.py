@@ -564,3 +564,29 @@ def test_bigram_fluency_vs_python(spark):
     out = {r["doc_id"]: r["fluency"] for r in T.bigram_fluency(mixed).collect()}
     g = out.pop(999999)
     assert g < min(out.values())
+
+
+def test_skipgram_cooccurrence_vs_local(spark, docs):
+    w, k, mc = 3, 25, 2
+    got = [
+        (r["center"], r["context"], r["cnt"])
+        for r in T.skipgram_cooccurrence_topk(docs, window=w, k=k, min_count=mc).collect()
+    ]
+    counts = {}
+    for r in docs.collect():
+        ws = [x for x in r["text"].split(" ") if x != ""]
+        n = len(ws)
+        if n < 2:
+            continue
+        for i in range(n):
+            for j in range(max(0, i - w), min(n, i + w + 1)):
+                if j == i:
+                    continue
+                key = (ws[i], ws[j])
+                counts[key] = counts.get(key, 0) + 1
+    want = sorted(
+        ((c, x, n) for (c, x), n in counts.items() if n >= mc),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:k]
+    assert got == want
+    assert got, "fixture produced no skip-gram pairs — test is vacuous"
