@@ -1874,6 +1874,17 @@ def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.collocations_pmi(_docs(spark, sf_dir), min_count=3, topk=30)
 
 
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: per-doc top-3 terms by integer-scaled ratio
+    tf-idf (score = tf * N * 1e6 div df — exact integer math both engines,
+    no log()); one tf groupBy, broadcast df/N joins, per-doc row_number
+    (operators/text.py:tfidf_top_terms)."""
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
 SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN = 4, 30, 2
 
 
@@ -2095,6 +2106,40 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination gate: the corpus drained through a
+    file-source stream (two appends — multiple source files), each batch's
+    grams exploded map-side into the STATIC bench-gram broadcast join
+    (stream-static join, stateless) and accumulated by the complete-mode
+    (doc_id, bench_id) count state — contamination_pairs IS the streaming
+    query, unchanged; the sink must equal the batch pair table exactly
+    (same oracle as decontaminate_pairs). The ingest-time contamination
+    check a training pipeline runs on arriving shards."""
+    import tempfile
+    import uuid
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="hbi_decon_q_")
+    inp, chk = f"{workdir}/in", f"{workdir}/chk"
+    half = F.col("doc_id").cast("long") % 2
+    docs.filter(half == 0).write.mode("overwrite").parquet(inp)
+    docs.filter(half == 1).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(docs.schema).parquet(inp)
+    sink = f"decon_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        X.contamination_pairs(stream, bench, DECON_N)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", chk).outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("decontaminate_stream: availableNow drain exceeded 300s")
+    return spark.table(sink)
 
 
 def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3505,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_pairs": q_dedup_exact_pairs,
         "decontaminate_pairs": q_decontaminate_pairs,
         "decontaminate_indexed_parity": q_decontaminate_indexed_parity,
+        "decontaminate_stream": q_decontaminate_stream,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -3514,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "collocations_pmi": q_collocations_pmi,
         "skipgram_cooccurrence": q_skipgram_cooccurrence,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -4089,6 +4136,20 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
        CAST(cnt_ab AS DOUBLE) * n_tok / a.cnt * n_tok / b.cnt / n_big AS pmi_ratio
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
+        "tfidf_top_terms": f"""WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(ws) AS term FROM docs) GROUP BY doc_id, term),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM docs)
+SELECT doc_id, term, tf, df, (tf * n_docs * 1000000) // df AS score_x1e6
+FROM (SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+               ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.term ASC) AS rn
+      FROM tf t JOIN dfx d USING (term), n)
+WHERE rn <= {TFIDF_K}""",
         "skipgram_cooccurrence": f"""WITH docs AS (
   SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),
 pos AS (
@@ -4659,6 +4720,8 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     # the strided global index must return the SAME matches as the dense one
     # (sketches/stride prune cost, never answers)
     out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]
+    # the streaming decontamination gate must equal the batch pair table
+    out["decontaminate_stream"] = out["decontaminate_pairs"]
     # range-restricted search = the full-search oracle + the position bound
     # (both oracles end in a WHERE clause, so the AND composes)
     out["hbi_pattern_range"] = out["hbi_pattern_present"] + (

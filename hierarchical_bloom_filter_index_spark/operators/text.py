@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword markers (synthetic-data-friendly demo heuristic)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -287,6 +287,54 @@ def skipgram_cooccurrence_topk(
         .filter(F.col("cnt") >= int(min_count))
         .orderBy(F.desc("cnt"), F.asc("center"), F.asc("context"))
         .limit(int(k))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KEYWORD EXTRACTION: per document, the top-k terms by integer-scaled
+    ratio tf-idf — score_x1e6 = (tf * N * 1e6) // df, where tf is the
+    term's in-doc count, df the number of docs containing it, N the corpus
+    size. The ratio form (tf * N/df, idf without the log) keeps the score
+    a pure integer expression, bit-identical cross-engine — same
+    no-libm discipline as collocations_pmi; ranking is monotone in tf and
+    1/df exactly like the log form for fixed tf. Output (doc_id, term, tf,
+    df, score_x1e6), ties broken term ASC inside each doc, so the per-doc
+    top-k SET is a pure function of the corpus.
+
+    Plan: one groupBy for (doc, term) tf (map-side combined), the df table
+    derived from it and BROADCAST back (vocabulary-sized), N reduced to one
+    broadcast row, then a per-doc row_number window — the only wide
+    exchange is partitionBy(doc_id), which the tf groupBy already
+    co-partitioned when Catalyst reuses the exchange."""
+    if k < 1:
+        raise ValueError("tfidf_top_terms: k must be >= 1")
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    pairs = docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            # integer `div`, not floor(double /): exact at any magnitude
+            F.expr("(tf * n_docs * 1000000) div df").alias("score_x1e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x1e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
     )
 
 

@@ -590,3 +590,32 @@ def test_skipgram_cooccurrence_vs_local(spark, docs):
     )[:k]
     assert got == want
     assert got, "fixture produced no skip-gram pairs — test is vacuous"
+
+
+def test_tfidf_top_terms_vs_local(spark, docs):
+    k = 3
+    got = {}
+    for r in T.tfidf_top_terms(docs, k=k).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["score_x1e6"])
+        )
+    rows = docs.collect()
+    n_docs = len(rows)
+    tf, dfx = {}, {}
+    for r in rows:
+        ws = [x for x in r["text"].split(" ") if x != ""]
+        for w in ws:
+            tf[(r["doc_id"], w)] = tf.get((r["doc_id"], w), 0) + 1
+        for w in set(ws):
+            dfx[w] = dfx.get(w, 0) + 1
+    want = {}
+    per_doc = {}
+    for (did, w), t in tf.items():
+        per_doc.setdefault(did, []).append(
+            (w, t, dfx[w], (t * n_docs * 1_000_000) // dfx[w])
+        )
+    for did, terms in per_doc.items():
+        want[did] = sorted(terms, key=lambda x: (-x[3], x[0]))[:k]
+    got = {d: sorted(v, key=lambda x: (-x[3], x[0])) for d, v in got.items()}
+    assert got == want
+    assert got, "fixture produced no terms — test is vacuous"
