@@ -1781,7 +1781,13 @@ DECON_MOD = 97
 
 def _decon_inputs(spark: SparkSession, sf_dir: str):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id").cast("long") % DECON_MOD == 0).select(
+    # bench selector keys on the TRAILING DIGITS of doc_id: identical to
+    # doc_id % 97 on the numeric testdata ids (= the oracle's definition),
+    # and still selects every replica's copy on the scaling sweep's
+    # 'r{r}-{id}' corpora (a plain long cast would null out there and
+    # silently measure an empty bench set)
+    num = F.regexp_extract("doc_id", r"([0-9]+)$", 1).cast("long")
+    bench = docs.filter(num % DECON_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
     return docs, bench
@@ -2106,6 +2112,17 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY (copy-paste gate): distinct 16-gram count,
+    how many appear in no other doc, and their integer-scaled ratio — the
+    exact gram-df table built once with map-side partials and joined back
+    on the same key (operators/contamination.py:novelty_scores)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, _bench = _decon_inputs(spark, sf_dir)
+    return X.novelty_scores(docs, DECON_N)
 
 
 def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3551,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_pairs": q_decontaminate_pairs,
         "decontaminate_indexed_parity": q_decontaminate_indexed_parity,
         "decontaminate_stream": q_decontaminate_stream,
+        "novelty_scores": q_novelty_scores,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4073,6 +4091,18 @@ SELECT doc_id, bench_id, COUNT(*) AS n_shared
 FROM cg JOIN bg USING (g)
 WHERE doc_id <> bench_id
 GROUP BY doc_id, bench_id""",
+        "novelty_scores": f"""WITH cg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents)
+), dfx AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS novelty_x1e6
+FROM cg JOIN dfx USING (g)
+GROUP BY doc_id""",
         "decontaminate_indexed_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS bench_id, CAST(NULL AS BIGINT) AS n_shared
 WHERE FALSE""",

@@ -142,6 +142,11 @@ def main() -> None:
         "hbi_set_chain",
         # ranked retrieval: top-k docs by occurrence count
         "hbi_pattern_topk_docs",
+        # autocomplete: ranked next-3-token continuations of the match stream
+        "hbi_pattern_completions",
+        # range-restricted report(): the cascade on a (level, w_id)-sliced
+        # index — a narrow token-offset slice probes O(range/span) windows
+        "hbi_pattern_range",
         "bigram_topk",
         "cms_freq_probes",
         "hll_distinct_by_source",
@@ -155,6 +160,13 @@ def main() -> None:
         "ann_cosine_topk",
         "text_quality",
         "collocations_pmi",
+        # skip-gram co-occurrence matrix + per-doc tf-idf keywords
+        "skipgram_cooccurrence",
+        "tfidf_top_terms",
+        # benchmark decontamination (bench grams broadcast, pairs shuffle)
+        "decontaminate_pairs",
+        # per-doc gram novelty: the exact gram-df table, linear-by-design
+        "novelty_scores",
         "token_count",
         "positional_fingerprint",
         "window_distinct_rollup",
@@ -188,6 +200,8 @@ def main() -> None:
         "global_range_quantiles",
         # anchored regex on the one-stream axis (global index cached above)
         "hbi_global_regex",
+        # stream-offset slice search on the one-stream axis
+        "hbi_global_pattern_range",
         "events_hourly",
         # same aggregate THROUGH Structured Streaming (watermarked windows)
         "events_hourly_stream",

@@ -83,6 +83,46 @@ def contamination_pairs(
     )
 
 
+def novelty_scores(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram NOVELTY: (doc_id, n_grams, n_unique, novelty_x1e6)
+    where n_grams is the doc's distinct n-char gram count, n_unique how
+    many of those appear in NO other document, and novelty_x1e6 their
+    integer-scaled ratio. A low score marks boilerplate/copy-paste text
+    (its grams are everywhere else) — the standard dedup-adjacent quality
+    gate ranked BETWEEN exact dedup (identical docs) and MinHash (high
+    overall similarity): it catches docs assembled from common fragments
+    that neither of those flags. Docs shorter than n emit no row.
+
+    Exact and linear: one groupBy over (gram -> distinct-doc count) with
+    map-side partials, the df table joined back to the per-doc gram stream
+    (same key, Catalyst reuses the exchange), one per-doc count. The join
+    key is the gram string for oracle bit-exactness; at petabyte scale
+    key it by xxhash64(gram) to put 8 bytes on the wire (the verify-
+    in-bucket discipline of dedup_exact_pairs applies)."""
+    cg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    df_tab = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        cg.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_unique",
+            F.expr("(n_unique * 1000000) div n_grams").alias("novelty_x1e6"),
+        )
+    )
+
+
 def contamination_pairs_indexed(
     corpus: DataFrame,
     index: DataFrame,

@@ -101,6 +101,20 @@ SWEEP = [
     "global_range_setops",
     "hbi_pattern_topk_docs",
     "hbi_boolean_docs",
+    # round-4g additions: range-restricted report on both axes (fixed-width
+    # slice over a 5x stream — probe work should stay ~flat), autocomplete
+    # continuations, decontamination (bench set scales 5x with the corpus —
+    # one bench clique per replica, pairs 5x), skip-gram co-occurrence and
+    # tf-idf keywords (pure relational, O(tokens) explode into one groupBy)
+    "hbi_pattern_range",
+    "hbi_global_pattern_range",
+    "hbi_pattern_completions",
+    "decontaminate_pairs",
+    "skipgram_cooccurrence",
+    "tfidf_top_terms",
+    # exact gram-df novelty: the one LINEAR-shuffle op in the family (the
+    # df table is O(corpus grams)); expect ~data-linear growth, rows 5x
+    "novelty_scores",
 ]
 
 

@@ -87,3 +87,28 @@ def test_indexed_path_matches_broadcast(spark, docs, bench):
     finally:
         index.unpersist()
         corpus.unpersist()
+
+
+def test_novelty_scores_vs_local(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty_x1e6"])
+        for r in X.novelty_scores(docs, N).collect()
+    }
+    rows = docs.collect()
+    grams = {
+        r["doc_id"]: {r["text"][i : i + N] for i in range(len(r["text"]) - N + 1)}
+        for r in rows
+    }
+    dfx = {}
+    for g_set in grams.values():
+        for g in g_set:
+            dfx[g] = dfx.get(g, 0) + 1
+    want = {}
+    for did, g_set in grams.items():
+        if not g_set:
+            continue
+        uniq = sum(1 for g in g_set if dfx[g] == 1)
+        want[did] = (len(g_set), uniq, (uniq * 1_000_000) // len(g_set))
+    assert got == want
+    assert any(v[1] for v in want.values()), "no unique grams — vacuous"
+    assert any(v[1] < v[0] for v in want.values()), "no shared grams — vacuous"
