@@ -3102,6 +3102,24 @@ def q_hbi_pattern_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hbi_global_pattern_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCOMPLETE on the one-stream axis: top-k 3-token continuations
+    after global matches — continuations read from the concatenated stream
+    so they cross doc boundaries; position -> owning doc resolves via a
+    leaf-w_id EQUI-join, never a range join
+    (operators/route.py:global_pattern_completions)."""
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_pattern_completions,
+    )
+
+    gcorp, gidx, gstats = _global_index(spark, sf_dir)
+    freq, _dstats = _planner_inputs(spark, sf_dir)
+    return global_pattern_completions(
+        gcorp, gidx, _global_cfg(spark, sf_dir), PAT_GLOBAL, COMPL_ELL, COMPL_K,
+        start_level="auto", freq=freq, stats=gstats,
+    )
+
+
 GLOBAL_BATCH_PATTERNS = [PAT_GLOBAL, [ord(c) for c in "merge"],
                          [ord(c) for c in "z\x01z"]]
 
@@ -3510,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_global_pattern": q_global_pattern,
         "hbi_pattern_range": q_hbi_pattern_range,
         "hbi_pattern_completions": q_hbi_pattern_completions,
+        "hbi_global_pattern_completions": q_hbi_global_pattern_completions,
         "hbi_global_pattern_range": q_hbi_global_pattern_range,
         "hbi_global_pattern_strided": q_global_pattern_strided,
         "incremental_append_geometry": q_incremental_append_geometry,
@@ -4764,6 +4783,31 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     _compl = " || '|' || ".join(
         f"CAST(tokens[i + {_m + j}] AS VARCHAR)" for j in range(COMPL_ELL)
     )
+    _gm = len(PAT_GLOBAL)
+    _gjoins = " ".join(
+        f"JOIN flat f{j} ON f{j}.g = f0.g + {j} AND f{j}.t = {PAT_GLOBAL[j]}"
+        for j in range(1, _gm)
+    )
+    _cjoins = " ".join(
+        f"JOIN flat c{j} ON c{j}.g = f0.g + {_gm + j}" for j in range(COMPL_ELL)
+    )
+    _gcompl = " || '|' || ".join(
+        f"CAST(c{j}.t AS VARCHAR)" for j in range(COMPL_ELL)
+    )
+    out["hbi_global_pattern_completions"] = f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+)
+SELECT {_gcompl} AS completion, COUNT(*) AS n
+FROM flat f0 {_gjoins} {_cjoins}
+WHERE f0.t = {PAT_GLOBAL[0]}
+GROUP BY completion ORDER BY n DESC, completion ASC LIMIT {COMPL_K}"""
     out["hbi_pattern_completions"] = f"""WITH {CORPUS_CTE}
 SELECT {_compl} AS completion, COUNT(*) AS n
 FROM (SELECT tokens, n_tok,

@@ -1196,6 +1196,82 @@ def pattern_completions(
     )
 
 
+def global_pattern_completions(
+    corpus: DataFrame,
+    index: DataFrame,
+    cfg: HbiConfig,
+    pattern: list[int],
+    ell: int,
+    k: int,
+    **search_kw,
+) -> DataFrame:
+    """AUTOCOMPLETE on the one-stream axis: top-k length-``ell``
+    continuations after exact GLOBAL matches of ``pattern`` — continuations
+    are read from the concatenated stream, so they CROSS doc boundaries
+    (the doc-axis twin pattern_completions cannot see those); matches whose
+    continuation would pass the stream end contribute nothing. Same
+    (completion, n) schema and (n DESC, completion ASC) determinism as the
+    doc-axis twin.
+
+    Plan: each match explodes into its ``ell`` continuation positions;
+    position -> owning doc resolves through an EQUI-join on the position's
+    leaf w_id against the corpus's exploded window list (the
+    global_window_membership shuffle discipline — never a range join or a
+    stream materialization), the containment filter closes it, and one
+    groupBy per match reassembles the completion before the count."""
+    if ell < 1 or k < 1:
+        raise ValueError("global_pattern_completions: need ell >= 1 and k >= 1")
+    m = len(pattern)
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    span = cfg.span(cfg.deepest)
+    hits = global_pattern_search(corpus, index, cfg, pattern, **search_kw)
+    pos = hits.select(
+        "gpos",
+        F.explode(F.sequence(F.lit(0), F.lit(ell - 1))).alias("j"),
+    ).select("gpos", "j", (F.col("gpos") + F.lit(m) + F.col("j")).alias("p"))
+    pos = pos.withColumn("w_id", (F.col("p") / span).cast("long"))
+    live = corpus.filter(F.col("n_tok") > 0)
+    doc_windows = live.select(
+        "doc_offset", "n_tok", "tokens",
+        F.explode(
+            F.sequence(
+                (F.col("doc_offset") / span).cast("long"),
+                ((F.col("doc_offset") + F.col("n_tok") - 1) / span).cast("long"),
+            )
+        ).alias("w_id"),
+    )
+    toks = (
+        doc_windows.join(pos, "w_id")
+        .filter(
+            (F.col("p") >= F.col("doc_offset"))
+            & (F.col("p") < F.col("doc_offset") + F.col("n_tok"))
+        )
+        .select(
+            "gpos", "j",
+            F.element_at(
+                "tokens", (F.col("p") - F.col("doc_offset") + 1).cast("int")
+            ).alias("tok"),
+        )
+    )
+    return (
+        toks.groupBy("gpos")
+        .agg(F.sort_array(F.collect_list(F.struct("j", "tok"))).alias("c"))
+        .filter(F.size("c") == ell)  # continuation fully inside the stream
+        .select(
+            F.array_join(
+                F.transform(F.col("c"), lambda s: s["tok"].cast("string")), "|"
+            ).alias("completion")
+        )
+        .groupBy("completion")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("completion"))
+        .limit(int(k))
+    )
+
+
 def pattern_contexts(
     corpus: DataFrame,
     index: DataFrame,

@@ -112,6 +112,52 @@ def test_pattern_completions_vs_local(spark, corpus, index, pat):
     assert got, "fixture pattern has no continuations — test is vacuous"
 
 
+def test_global_pattern_completions_vs_local(spark, corpus, gindex, pat):
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_pattern_completions,
+    )
+
+    m, ell, k = len(pat), 3, 12
+    got = [
+        (r["completion"], r["n"])
+        for r in global_pattern_completions(corpus, gindex, GCFG, pat, ell, k).collect()
+    ]
+    rows = sorted(corpus.select("doc_id", "tokens").collect(),
+                  key=lambda r: r["doc_id"])
+    stream = [t for r in rows for t in r["tokens"]]
+    counts = {}
+    for i in range(len(stream) - m + 1):
+        if stream[i : i + m] == pat and i + m + ell <= len(stream):
+            key = "|".join(str(t) for t in stream[i + m : i + m + ell])
+            counts[key] = counts.get(key, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+    assert got, "fixture pattern has no stream continuations — vacuous"
+
+
+def test_global_completions_cross_doc_boundary(spark):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.route import (
+        global_pattern_completions,
+    )
+
+    # 'xy' ends doc a — its continuation 'zq...' lives entirely in doc b
+    rows = [("a", [7] * 30 + [120, 121]), ("b", [122, 113] + [8] * 30)]
+    df = spark.createDataFrame(
+        [(d, t, len(t), "s") for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    corp = with_global_offsets(df)
+    from hierarchical_bloom_filter_index_spark.operators import build_index
+
+    idx = build_index(corp, GCFG)
+    got = [
+        (r["completion"], r["n"])
+        for r in global_pattern_completions(corp, idx, GCFG, [120, 121], 2, 5).collect()
+    ]
+    assert got == [("122|113", 1)]
+
+
 def test_range_search_validation(spark, corpus, index, pat):
     with pytest.raises(ValueError):
         pattern_search_range(corpus, index, CFG, pat, 10, 10)
