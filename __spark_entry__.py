@@ -2125,6 +2125,32 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.novelty_scores(docs, DECON_N)
 
 
+SHARD_BUDGET = 8192
+
+
+def q_dataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD PACKING manifest: docs assigned to ~8192-token shards
+    by the deterministic exclusive prefix sum (with_global_offsets — no
+    global sort, no single-partition window), per-shard doc/token counts
+    and id bounds (operators/sampling.py:token_budget_shards)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        shard_stats,
+    )
+
+    return shard_stats(_corpus(spark, sf_dir), SHARD_BUDGET)
+
+
+def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus gate: ids surviving exact dedup (min-id keeper
+    per text group) AND benchmark decontamination — the manifest a
+    pipeline anti-joins before writing training shards
+    (operators/contamination.py:clean_corpus)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    return X.clean_corpus(docs, bench, DECON_N)
+
+
 def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING decontamination gate: the corpus drained through a
     file-source stream (two appends — multiple source files), each batch's
@@ -3588,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_indexed_parity": q_decontaminate_indexed_parity,
         "decontaminate_stream": q_decontaminate_stream,
         "novelty_scores": q_novelty_scores,
+        "dataset_shards": q_dataset_shards,
+        "clean_corpus_docs": q_clean_corpus_docs,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4110,6 +4138,33 @@ SELECT doc_id, bench_id, COUNT(*) AS n_shared
 FROM cg JOIN bg USING (g)
 WHERE doc_id <> bench_id
 GROUP BY doc_id, bench_id""",
+        "dataset_shards": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus)
+SELECT CAST(o // {SHARD_BUDGET} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
+FROM off GROUP BY shard_id""",
+        "clean_corpus_docs": f"""WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
+bg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents WHERE doc_id % {DECON_MOD} = 0)
+), cg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents)
+), cont AS (
+  SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g) WHERE cg.doc_id <> bg.bench_id)
+SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
         "novelty_scores": f"""WITH cg AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
     SELECT doc_id,

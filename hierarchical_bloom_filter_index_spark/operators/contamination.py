@@ -123,6 +123,43 @@ def novelty_scores(
     )
 
 
+def clean_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """The COMPOSED training-corpus gate: surviving doc ids after
+    (1) exact dedup — of every identical-text group only the MINIMUM id
+    survives (the canonical keeper) — and (2) benchmark decontamination —
+    any doc sharing an exact n-gram with a bench doc (other than itself)
+    is dropped. Returns a one-column (doc_id) frame: the manifest a
+    pipeline would anti-join against the corpus before writing shards.
+
+    Shapes: the keeper groupBy keys on (xxhash64(text), text) — the hash
+    prefixes the key so equal-hash groups co-locate cheaply, the text
+    disambiguates collisions exactly (the text rides the shuffle once,
+    which any exact-text grouping pays); the contamination leg is the
+    broadcast-gram join of contamination_pairs; the final combination is
+    a left-anti join on ids only."""
+    keepers = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.xxhash64(text_col).alias("h"),
+                    F.col(text_col).alias("t"))
+        .groupBy("h", "t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = (
+        contamination_pairs(docs, bench, n, text_col, id_col, bench_id_col)
+        .select("doc_id")
+        .distinct()
+    )
+    return keepers.join(contaminated, "doc_id", "left_anti")
+
+
 def contamination_pairs_indexed(
     corpus: DataFrame,
     index: DataFrame,

@@ -152,3 +152,44 @@ def hash_topn_per_stratum(
         .filter(F.col("rank") <= n)
         .drop("_hkey")
     )
+
+
+def token_budget_shards(corpus: DataFrame, budget: int,
+                        order_col: str = "doc_id") -> DataFrame:
+    """TRAINING-SHARD PACKING at document granularity: assign each doc to
+    shard_id = (exclusive token prefix-sum in ``order_col`` order) div
+    ``budget`` — consecutive docs fill a shard until ~``budget`` tokens,
+    then the next shard starts (a doc whose start lands in shard s belongs
+    to s even if it straddles the boundary, so shards hold budget +- one
+    doc length). Deterministic: the prefix sum is corpus.with_global_offsets
+    — a pure function of row values, NO single-partition window and NO
+    global sort (seeded-hash range buckets + per-bucket prefix), the same
+    machinery that numbers the one-stream index. Returns the corpus with
+    ``shard_id`` added.
+
+    The op a 100 TB pipeline runs last: deterministic, rerun-stable shard
+    manifests whose assignment never depends on physical partitioning."""
+    if budget < 1:
+        raise ValueError("token_budget_shards: budget must be >= 1")
+    from ..corpus import with_global_offsets
+
+    off = corpus if "doc_offset" in corpus.columns else with_global_offsets(
+        corpus, order_col=order_col)
+    return off.withColumn("shard_id", F.expr(f"doc_offset div {int(budget)}"))
+
+
+def shard_stats(corpus: DataFrame, budget: int,
+                order_col: str = "doc_id") -> DataFrame:
+    """Per-shard manifest of token_budget_shards: (shard_id, n_docs,
+    n_tokens, doc_lo, doc_hi) — one map-side-combined groupBy over the
+    shard assignment."""
+    return (
+        token_budget_shards(corpus, budget, order_col)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min(order_col).alias("doc_lo"),
+            F.max(order_col).alias("doc_hi"),
+        )
+    )

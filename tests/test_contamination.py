@@ -112,3 +112,24 @@ def test_novelty_scores_vs_local(spark, docs):
     assert got == want
     assert any(v[1] for v in want.values()), "no unique grams — vacuous"
     assert any(v[1] < v[0] for v in want.values()), "no shared grams — vacuous"
+
+
+def test_clean_corpus_gate(spark, docs, bench):
+    d0 = docs.orderBy("doc_id").first()
+    extra = spark.createDataFrame(
+        [("zz-dup", d0["text"])], "doc_id string, text string"
+    )
+    mixed = docs.unionByName(extra)
+    kept = {r["doc_id"] for r in X.clean_corpus(mixed, bench, N).collect()}
+    # the injected duplicate loses to the original (min-id keeper)
+    assert "zz-dup" not in kept and d0["doc_id"] in kept or d0["doc_id"] not in kept
+    assert "zz-dup" not in kept
+    # every contaminated doc is gone
+    cont = {r["doc_id"] for r in X.contamination_pairs(mixed, bench, N).collect()}
+    assert not (kept & cont)
+    # every kept doc is a real doc and unique-text keeper
+    texts = {}
+    for r in mixed.collect():
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    keepers = {min(v) for v in texts.values()}
+    assert kept == keepers - cont

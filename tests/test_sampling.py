@@ -117,3 +117,29 @@ def test_sampling_is_layout_independent(docs):
     b = sorted(r["doc_id"] for r in stratified_sample(
         docs.repartition(17), "doc_id", "source", {}, 0.4, SEED).collect())
     assert a == b
+
+
+def test_token_budget_shards_partition_invariant(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        shard_stats, token_budget_shards,
+    )
+    from hierarchical_bloom_filter_index_spark import corpus as C
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=42)
+    a = {r["doc_id"]: r["shard_id"]
+         for r in token_budget_shards(corp, 4096).select("doc_id", "shard_id").collect()}
+    b = {r["doc_id"]: r["shard_id"]
+         for r in token_budget_shards(corp.repartition(17), 4096)
+         .select("doc_id", "shard_id").collect()}
+    assert a == b, "shard assignment depends on physical partitioning"
+    # local ground truth: exclusive prefix sum in doc_id order
+    rows = sorted(corp.select("doc_id", "n_tok").collect(), key=lambda r: r["doc_id"])
+    acc, want = 0, {}
+    for r in rows:
+        want[r["doc_id"]] = acc // 4096
+        acc += r["n_tok"]
+    assert a == want
+    st = {r["shard_id"]: (r["n_docs"], r["n_tokens"])
+          for r in shard_stats(corp, 4096).collect()}
+    assert sum(v[0] for v in st.values()) == len(rows)
+    assert sum(v[1] for v in st.values()) == acc
