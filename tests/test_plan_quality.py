@@ -303,3 +303,58 @@ def test_sampling_plans_are_narrow(spark):
     assert _n_exchanges(_plan(spl)) == 0, _plan(spl)
     topn = hash_topn_per_stratum(df, "doc_id", "source", 2, 7)
     assert _n_exchanges(_plan(topn)) == 1, _plan(topn)
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    """The decontamination gram join must be a BROADCAST hash join (bench
+    grams are the small side by contract) — a SortMergeJoin here would put
+    the whole corpus gram stream through a sort exchange at 100 TB — and
+    the only exchange is the final (doc, bench) pair count."""
+    from hierarchical_bloom_filter_index_spark.operators.contamination import (
+        contamination_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), "x" * 20 + str(i)) for i in range(40)],
+        "doc_id string, text string")
+    bench = docs.limit(3).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = _plan(contamination_pairs(docs, bench, 16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """skip-gram co-occurrence and tf-idf must never global-sort: the
+    ranked forms compile to TakeOrderedAndProject (skip-gram) / a per-doc
+    window (tf-idf, no Sort outside the partitioned window)."""
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        skipgram_cooccurrence_topk, tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), f"a b c d{i} e f") for i in range(30)],
+        "doc_id string, text string")
+    sg = _plan(skipgram_cooccurrence_topk(docs, window=2, k=5))
+    assert "TakeOrderedAndProject" in sg, sg
+    tp = tfidf_top_terms(docs, k=2)
+    plan = _plan(tp)
+    # broadcast df/N joins; the one wide exchange partitions by doc for the
+    # window — never a global (single-partition) sort
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""), plan
+
+
+def test_shard_assignment_has_no_global_sort(spark):
+    """token_budget_shards rides with_global_offsets: seeded-hash range
+    buckets + per-bucket prefix — NO rangepartitioning sort of the corpus,
+    no single-partition window."""
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        token_budget_shards,
+    )
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=42)
+    plan = _plan(token_budget_shards(corp, 4096).select("doc_id", "shard_id"))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
