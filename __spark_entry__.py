@@ -2125,6 +2125,39 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.novelty_scores(docs, DECON_N)
 
 
+DECON_TOPK = 20
+
+
+def q_contaminating_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination AUDIT: top-k grams by witnessed (doc, bench) pairs —
+    separates boilerplate (huge, spread counts; strip from the bench) from
+    true leakage (focused pairs)
+    (operators/contamination.py:top_contaminating_grams)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    return X.top_contaminating_grams(docs, bench, DECON_N, DECON_TOPK)
+
+
+def q_hbi_pattern_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACETED retrieval: the present pattern's matches rolled up by doc
+    metadata (source) — (source, n_docs, n_matches); the match stream joins
+    the corpus projection and aggregates with map-side partials."""
+    freq, stats = _planner_inputs(spark, sf_dir)
+    hits = pattern_search(
+        _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, PAT_PRESENT,
+        start_level="auto", freq=freq, stats=stats,
+    )
+    return (
+        hits.join(_corpus(spark, sf_dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
 SHARD_BUDGET = 8192
 
 
@@ -3616,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_scores": q_novelty_scores,
         "dataset_shards": q_dataset_shards,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "contaminating_grams": q_contaminating_grams,
+        "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -4165,6 +4200,33 @@ bg AS (
 ), cont AS (
   SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g) WHERE cg.doc_id <> bg.bench_id)
 SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
+        "contaminating_grams": f"""WITH bg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents WHERE doc_id % {DECON_MOD} = 0)
+), cg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents)
+)
+SELECT g AS gram, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
+FROM cg JOIN bg USING (g)
+WHERE doc_id <> bench_id
+GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
+        "hbi_pattern_facets": f"""WITH {CORPUS_CTE},
+m AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, tokens,
+               unnest(generate_series(1, CAST(n_tok - {len(PAT_PRESENT)} + 1 AS BIGINT))) AS i
+        FROM corpus)
+  WHERE tokens[i : i + {len(PAT_PRESENT)} - 1] = {_pat_sql(PAT_PRESENT)})
+SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_matches
+FROM m JOIN corpus USING (doc_id)
+GROUP BY source""",
         "novelty_scores": f"""WITH cg AS (
   SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
     SELECT doc_id,

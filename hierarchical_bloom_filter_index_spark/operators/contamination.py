@@ -123,6 +123,46 @@ def novelty_scores(
     )
 
 
+def top_contaminating_grams(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """THE AUDIT REPORT behind the pair table: the top-k grams by how many
+    (corpus doc, bench doc) contaminated pairs they witness — (gram,
+    n_pairs, n_docs). A gram with huge n_pairs but spread across all
+    benchmarks is boilerplate (license headers, prompt templates) that
+    should be stripped from the BENCH side rather than used to drop
+    thousands of training docs; a gram with few, focused pairs is real
+    leakage. Deterministic (n_pairs DESC, gram ASC) top-k; same broadcast
+    plan as contamination_pairs with the groupBy keyed on the gram."""
+    if k < 1:
+        raise ValueError("top_contaminating_grams: k must be >= 1")
+    bg = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    cg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("gram"))
+        .limit(int(k))
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     bench: DataFrame,
