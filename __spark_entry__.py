@@ -2139,6 +2139,17 @@ def q_contaminating_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.top_contaminating_grams(docs, bench, DECON_N, DECON_TOPK)
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL REDACTION LIST: per-doc maximal char intervals covered by
+    bench-shared grams (gaps-and-islands merge over the positioned gram
+    hits; one broadcast join + one per-doc window exchange) — cut the span,
+    keep the doc (operators/contamination.py:contamination_spans)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    return X.contamination_spans(docs, bench, DECON_N)
+
+
 def q_hbi_pattern_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FACETED retrieval: the present pattern's matches rolled up by doc
     metadata (source) — (source, n_docs, n_matches); the match stream joins
@@ -3650,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_shards": q_dataset_shards,
         "clean_corpus_docs": q_clean_corpus_docs,
         "contaminating_grams": q_contaminating_grams,
+        "contamination_spans": q_contamination_spans,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4217,6 +4229,32 @@ SELECT g AS gram, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
 FROM cg JOIN bg USING (g)
 WHERE doc_id <> bench_id
 GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
+        "contamination_spans": f"""WITH bg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
+    SELECT doc_id,
+           unnest([substring(text, i, {DECON_N})
+                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
+    FROM documents WHERE doc_id % {DECON_MOD} = 0)
+), cp AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i - 1 AS INTEGER) AS s,
+         substring(text, CAST(i AS INT), {DECON_N}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - {DECON_N - 1} AS BIGINT))) AS i
+        FROM documents WHERE length(text) >= {DECON_N})
+), hits AS (
+  SELECT DISTINCT cp.doc_id, s FROM cp JOIN bg USING (g)
+  WHERE cp.doc_id <> bg.bench_id
+), isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s > lag_s + {DECON_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
+        FROM hits)
+)
+SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(s) + {DECON_N} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, island""",
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},
 m AS (
   SELECT doc_id

@@ -163,6 +163,69 @@ def top_contaminating_grams(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """SURGICAL REDACTION LIST: per corpus doc, the maximal character
+    intervals covered by grams shared with ANY benchmark doc — (doc_id,
+    span_start, span_end), 0-based half-open [start, end). Instead of
+    dropping a whole contaminated doc (clean_corpus), a pipeline can cut
+    just these spans. Overlapping and touching gram hits merge
+    (gaps-and-islands: all hits are length-n, so ordered by start the
+    previous interval's end is lag(start)+n and a new island begins exactly
+    when start > lag(start)+n; island ids are the running sum of those
+    breaks). Self-hits are excluded like contamination_pairs.
+
+    One broadcast gram join (positions kept, NOT deduped — every hit
+    matters for coverage), one partitionBy(doc) window exchange."""
+    from pyspark.sql import Window
+
+    bg = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1)),
+        lambda i: F.substring(F.col(text_col), i, F.lit(n)),
+    )
+    cpos = (
+        docs.filter(F.length(text_col) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(grams).alias("start", "gram"),  # start is 0-based
+        )
+    )
+    hits = (
+        cpos.join(F.broadcast(bg.select("bench_id", "gram").distinct()), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id", "start")
+        .distinct()  # several bench docs may witness the same position
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    islands = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("start") > F.lag("start").over(w) + F.lit(n), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(n)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
 def clean_corpus(
     docs: DataFrame,
     bench: DataFrame,

