@@ -167,6 +167,14 @@ def main() -> None:
         "decontaminate_pairs",
         # per-doc gram novelty: the exact gram-df table, linear-by-design
         "novelty_scores",
+        # contamination audit + redaction spans + composed clean manifest
+        "contaminating_grams",
+        "contamination_spans",
+        "clean_corpus_docs",
+        # token-budget training-shard manifest (offset prefix sums)
+        "dataset_shards",
+        # faceted retrieval: match rollup by doc metadata
+        "hbi_pattern_facets",
         "token_count",
         "positional_fingerprint",
         "window_distinct_rollup",
@@ -202,6 +210,8 @@ def main() -> None:
         "hbi_global_regex",
         # stream-offset slice search on the one-stream axis
         "hbi_global_pattern_range",
+        # cross-doc autocomplete on the one-stream axis
+        "hbi_global_pattern_completions",
         "events_hourly",
         # same aggregate THROUGH Structured Streaming (watermarked windows)
         "events_hourly_stream",
