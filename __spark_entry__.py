@@ -2184,6 +2184,28 @@ def q_dataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_stats(_corpus(spark, sf_dir), SHARD_BUDGET)
 
 
+def q_shard_layout_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the physical shard layout: write_training_shards'
+    shard_id-partitioned parquet, read back whole, must carry EXACTLY the
+    in-memory assignment — result is the symmetric difference, oracle the
+    empty relation. (Partition pruning itself is asserted by scanned-file
+    evidence in tests/test_sampling.py.)"""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        token_budget_shards, write_training_shards,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hbi_shards_q_") + "/layout"
+    write_training_shards(corpus, SHARD_BUDGET, path)
+    # partition-column type inference reads shard_id back as INT — normalize
+    disk = spark.read.parquet(path).select(
+        "doc_id", F.col("shard_id").cast("long").alias("shard_id"))
+    mem = token_budget_shards(corpus, SHARD_BUDGET).select("doc_id", "shard_id")
+    return disk.exceptAll(mem).unionByName(mem.exceptAll(disk))
+
+
 def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED corpus gate: ids surviving exact dedup (min-id keeper
     per text group) AND benchmark decontamination — the manifest a
@@ -3659,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_stream": q_decontaminate_stream,
         "novelty_scores": q_novelty_scores,
         "dataset_shards": q_dataset_shards,
+        "shard_layout_parity": q_shard_layout_parity,
         "clean_corpus_docs": q_clean_corpus_docs,
         "contaminating_grams": q_contaminating_grams,
         "contamination_spans": q_contamination_spans,
@@ -4194,6 +4217,9 @@ SELECT CAST(o // {SHARD_BUDGET} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
 FROM off GROUP BY shard_id""",
+        "shard_layout_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS BIGINT) AS shard_id
+WHERE FALSE""",
         "clean_corpus_docs": f"""WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),

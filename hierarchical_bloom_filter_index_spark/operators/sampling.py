@@ -193,3 +193,23 @@ def shard_stats(corpus: DataFrame, budget: int,
             F.max(order_col).alias("doc_hi"),
         )
     )
+
+
+def write_training_shards(corpus: DataFrame, budget: int, path: str,
+                          order_col: str = "doc_id") -> None:
+    """Materialize token_budget_shards as a shard_id-PARTITIONED parquet
+    layout: one directory per training shard, so a trainer (or a re-read)
+    of shard k opens only shard k's files — partition pruning does the
+    manifest lookup. ONE repartition by shard_id before the write keeps
+    one writer task per shard directory (the IVF list layout discipline,
+    similarity.write_ivf_index)."""
+    df = token_budget_shards(corpus, budget, order_col)
+    df.repartition("shard_id").write.partitionBy("shard_id").mode(
+        "overwrite").parquet(path)
+
+
+def read_training_shard(spark, path: str, shard_id: int) -> DataFrame:
+    """Read ONE training shard from a write_training_shards layout — the
+    shard_id equality predicate is a partition filter, so only that shard
+    directory's files are ever listed or scanned."""
+    return spark.read.parquet(path).filter(F.col("shard_id") == int(shard_id))

@@ -143,3 +143,27 @@ def test_token_budget_shards_partition_invariant(spark):
           for r in shard_stats(corp, 4096).collect()}
     assert sum(v[0] for v in st.values()) == len(rows)
     assert sum(v[1] for v in st.values()) == acc
+
+
+def test_training_shard_layout_prunes_and_round_trips(spark, tmp_path):
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        read_training_shard, token_budget_shards, write_training_shards,
+    )
+    from pyspark.sql import functions as F
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=42)
+    path = str(tmp_path / "shards")
+    write_training_shards(corp, 4096, path)
+
+    want = {r["doc_id"] for r in token_budget_shards(corp, 4096)
+            .filter(F.col("shard_id") == 2).collect()}
+    shard2 = read_training_shard(spark, path, 2)
+    got = {r["doc_id"] for r in shard2.collect()}
+    assert got == want and got
+
+    # the shard filter is a PARTITION filter: only shard 2's files scanned
+    files = {r[0] for r in shard2.select(F.input_file_name()).distinct().collect()}
+    assert files and all("shard_id=2/" in f for f in files)
+    plan = shard2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan
