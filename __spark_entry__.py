@@ -1778,16 +1778,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_N = 16
 DECON_MOD = 97
 
+# shared oracle fragments for the decontamination family — THE one SQL
+# definition of the bench/corpus gram streams (mirrors operators/
+# contamination._gram_rows); every decon oracle composes these
+_GRAM_LIST = (f"[substring(text, i, {DECON_N}) "
+              f"FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]")
+DECON_BG_CTE = f"""bg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
+    SELECT doc_id, unnest({_GRAM_LIST}) AS g
+    FROM documents WHERE doc_id % {DECON_MOD} = 0)
+)"""
+DECON_CG_CTE = f"""cg AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
+    SELECT doc_id, unnest({_GRAM_LIST}) AS g
+    FROM documents)
+)"""
+
+
+# numeric view of a doc id: the TRAILING DIGITS — identical to the plain
+# long cast on the numeric testdata ids (= the oracles' definition), and
+# still numeric on the scaling sweep's 'r{r}-{id}' replica corpora, where
+# a plain cast NULLs out and silently empties whatever it selects
+def _doc_num(col: str) -> "F.Column":
+    return F.regexp_extract(col, r"([0-9]+)$", 1).cast("long")
+
 
 def _decon_inputs(spark: SparkSession, sf_dir: str):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # bench selector keys on the TRAILING DIGITS of doc_id: identical to
-    # doc_id % 97 on the numeric testdata ids (= the oracle's definition),
-    # and still selects every replica's copy on the scaling sweep's
-    # 'r{r}-{id}' corpora (a plain long cast would null out there and
-    # silently measure an empty bench set)
-    num = F.regexp_extract("doc_id", r"([0-9]+)$", 1).cast("long")
-    bench = docs.filter(num % DECON_MOD == 0).select(
+    bench = docs.filter(_doc_num("doc_id") % DECON_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
     return docs, bench
@@ -1817,7 +1835,7 @@ def q_decontaminate_indexed_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from hierarchical_bloom_filter_index_spark.operators import contamination as X
 
     docs, bench = _decon_inputs(spark, sf_dir)
-    bench1 = bench.filter(F.col("bench_id").cast("long") == 0)
+    bench1 = bench.filter(_doc_num("bench_id") == 0)
     freq, stats = _planner_inputs(spark, sf_dir)
     got = X.contamination_pairs_indexed(
         _corpus(spark, sf_dir), _index(spark, sf_dir), CFG, bench1, DECON_N,
@@ -1884,10 +1902,12 @@ TFIDF_K = 3
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyword extraction: per-doc top-3 terms by integer-scaled ratio
-    tf-idf (score = tf * N * 1e6 div df — exact integer math both engines,
-    no log()); one tf groupBy, broadcast df/N joins, per-doc row_number
-    (operators/text.py:tfidf_top_terms)."""
+    """Keyword extraction: per-doc top-3 terms by integer-scaled
+    df-normalized frequency (score = tf * 1e6 div df — ratio tf-idf with
+    the per-corpus-constant N factor omitted, so the integer math is
+    overflow-free at any corpus size and the ranking unchanged; exact both
+    engines, no log()); one tf groupBy, broadcast df join, per-doc
+    row_number (operators/text.py:tfidf_top_terms)."""
     return T.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
 
 
@@ -2234,7 +2254,7 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, bench = _decon_inputs(spark, sf_dir)
     workdir = tempfile.mkdtemp(prefix="hbi_decon_q_")
     inp, chk = f"{workdir}/in", f"{workdir}/chk"
-    half = F.col("doc_id").cast("long") % 2
+    half = _doc_num("doc_id") % 2  # trailing-digit split: replica-id safe
     docs.filter(half == 0).write.mode("overwrite").parquet(inp)
     docs.filter(half == 1).write.mode("append").parquet(inp)
     stream = spark.readStream.schema(docs.schema).parquet(inp)
@@ -4191,19 +4211,7 @@ WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000""",
         # decontamination: distinct 16-char grams both sides (DuckDB list
         # comprehension = Spark sequence+transform+substring; range() stop
         # is exclusive so short docs yield zero grams on both engines)
-        "decontaminate_pairs": f"""WITH bg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents WHERE doc_id % {DECON_MOD} = 0)
-), cg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents)
-)
+        "decontaminate_pairs": f"""WITH {DECON_BG_CTE}, {DECON_CG_CTE}
 SELECT doc_id, bench_id, COUNT(*) AS n_shared
 FROM cg JOIN bg USING (g)
 WHERE doc_id <> bench_id
@@ -4223,45 +4231,15 @@ WHERE FALSE""",
         "clean_corpus_docs": f"""WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
-bg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents WHERE doc_id % {DECON_MOD} = 0)
-), cg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents)
-), cont AS (
+{DECON_BG_CTE}, {DECON_CG_CTE}, cont AS (
   SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g) WHERE cg.doc_id <> bg.bench_id)
 SELECT doc_id FROM keepers WHERE doc_id NOT IN (SELECT doc_id FROM cont)""",
-        "contaminating_grams": f"""WITH bg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents WHERE doc_id % {DECON_MOD} = 0)
-), cg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents)
-)
+        "contaminating_grams": f"""WITH {DECON_BG_CTE}, {DECON_CG_CTE}
 SELECT g AS gram, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_id) AS n_docs
 FROM cg JOIN bg USING (g)
 WHERE doc_id <> bench_id
 GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
-        "contamination_spans": f"""WITH bg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents WHERE doc_id % {DECON_MOD} = 0)
-), cp AS (
+        "contamination_spans": f"""WITH {DECON_BG_CTE}, cp AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i - 1 AS INTEGER) AS s,
          substring(text, CAST(i AS INT), {DECON_N}) AS g
   FROM (SELECT doc_id, text,
@@ -4291,13 +4269,7 @@ m AS (
 SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_matches
 FROM m JOIN corpus USING (doc_id)
 GROUP BY source""",
-        "novelty_scores": f"""WITH cg AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, g FROM (
-    SELECT doc_id,
-           unnest([substring(text, i, {DECON_N})
-                   FOR i IN range(1, greatest(length(text) - {DECON_N - 2}, 1))]) AS g
-    FROM documents)
-), dfx AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY g)
+        "novelty_scores": f"""WITH {DECON_CG_CTE}, dfx AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY g)
 SELECT doc_id, COUNT(*) AS n_grams,
        CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
        CAST((SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS novelty_x1e6
@@ -4372,13 +4344,12 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
   FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf
        FROM (SELECT doc_id, unnest(ws) AS term FROM docs) GROUP BY doc_id, term),
-dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-n AS (SELECT COUNT(*) AS n_docs FROM docs)
-SELECT doc_id, term, tf, df, (tf * n_docs * 1000000) // df AS score_x1e6
-FROM (SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, (tf * 1000000) // df AS score_x1e6
+FROM (SELECT t.doc_id, t.term, t.tf, d.df,
              ROW_NUMBER() OVER (PARTITION BY t.doc_id
-               ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC, t.term ASC) AS rn
-      FROM tf t JOIN dfx d USING (term), n)
+               ORDER BY (t.tf * 1000000) // d.df DESC, t.term ASC) AS rn
+      FROM tf t JOIN dfx d USING (term))
 WHERE rn <= {TFIDF_K}""",
         "skipgram_cooccurrence": f"""WITH docs AS (
   SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws FROM documents),

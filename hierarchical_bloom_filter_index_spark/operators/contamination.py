@@ -49,6 +49,33 @@ def char_ngram_column(text_col: str, n: int) -> Column:
     )
 
 
+def _gram_rows(df: DataFrame, n: int, text_col: str, id_col: str,
+               out_id: str) -> DataFrame:
+    """(out_id, gram) rows — each doc's per-doc-DISTINCT n-grams exploded.
+    THE one definition of a gram stream for every op in this module: a
+    change to gram semantics lands everywhere or nowhere."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(char_ngram_column(text_col, n)).alias("gram"),
+    )
+
+
+def positioned_gram_rows(df: DataFrame, n: int, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, start, gram) rows — every gram occurrence WITH its 0-based
+    char offset (NOT deduped: coverage needs all positions). The length
+    filter plays char_ngram_column's short-doc guard; the gram expression
+    is the same sequence+substring body."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1)),
+        lambda i: F.substring(F.col(text_col), i, F.lit(n)),
+    )
+    return df.filter(F.length(text_col) >= n).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(grams).alias("start", "gram"),
+    )
+
+
 def contamination_pairs(
     docs: DataFrame,
     bench: DataFrame,
@@ -67,14 +94,8 @@ def contamination_pairs(
     per-doc-distinct BEFORE the explode (array_distinct, no dedup
     shuffle), so the single groupBy counts distinct shared grams exactly
     with map-side partials over (doc_id, bench_id) keys only."""
-    bg = bench.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
-    cg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
+    bg = _gram_rows(bench, n, text_col, bench_id_col, "bench_id")
+    cg = _gram_rows(docs, n, text_col, id_col, "doc_id")
     return (
         cg.join(F.broadcast(bg), "gram")
         .filter(F.col("doc_id") != F.col("bench_id"))
@@ -104,10 +125,7 @@ def novelty_scores(
     key is the gram string for oracle bit-exactness; at petabyte scale
     key it by xxhash64(gram) to put 8 bytes on the wire (the verify-
     in-bucket discipline of dedup_exact_pairs applies)."""
-    cg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
+    cg = _gram_rows(docs, n, text_col, id_col, "doc_id")
     df_tab = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return (
         cg.join(df_tab, "gram")
@@ -142,14 +160,8 @@ def top_contaminating_grams(
     plan as contamination_pairs with the groupBy keyed on the gram."""
     if k < 1:
         raise ValueError("top_contaminating_grams: k must be >= 1")
-    bg = bench.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
-    cg = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
+    bg = _gram_rows(bench, n, text_col, bench_id_col, "bench_id")
+    cg = _gram_rows(docs, n, text_col, id_col, "doc_id")
     return (
         cg.join(F.broadcast(bg), "gram")
         .filter(F.col("doc_id") != F.col("bench_id"))
@@ -185,21 +197,8 @@ def contamination_spans(
     matters for coverage), one partitionBy(doc) window exchange."""
     from pyspark.sql import Window
 
-    bg = bench.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(char_ngram_column(text_col, n)).alias("gram"),
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - F.lit(n - 1)),
-        lambda i: F.substring(F.col(text_col), i, F.lit(n)),
-    )
-    cpos = (
-        docs.filter(F.length(text_col) >= n)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(grams).alias("start", "gram"),  # start is 0-based
-        )
-    )
+    bg = _gram_rows(bench, n, text_col, bench_id_col, "bench_id")
+    cpos = positioned_gram_rows(docs, n, text_col, id_col)
     hits = (
         cpos.join(F.broadcast(bg.select("bench_id", "gram").distinct()), "gram")
         .filter(F.col("doc_id") != F.col("bench_id"))
@@ -285,14 +284,7 @@ def contamination_pairs_indexed(
     from .batch import pattern_search_batch
 
     spark = corpus.sparkSession
-    rows = (
-        bench.select(
-            F.col(bench_id_col).alias("bench_id"),
-            char_ngram_column(text_col, n).alias("grams"),
-        )
-        .select("bench_id", F.explode("grams").alias("gram"))
-        .collect()
-    )
+    rows = _gram_rows(bench, n, text_col, bench_id_col, "bench_id").collect()
     if not rows:
         return spark.createDataFrame(
             [], "doc_id string, bench_id string, n_shared long"

@@ -173,8 +173,19 @@ def token_budget_shards(corpus: DataFrame, budget: int,
         raise ValueError("token_budget_shards: budget must be >= 1")
     from ..corpus import with_global_offsets
 
-    off = corpus if "doc_offset" in corpus.columns else with_global_offsets(
-        corpus, order_col=order_col)
+    if "doc_offset" in corpus.columns:
+        if order_col != "doc_id":
+            # a pre-existing doc_offset is by repo convention the doc_id
+            # prefix sum — silently reusing it for another packing order
+            # would produce a wrong manifest with nothing detecting it
+            raise ValueError(
+                "token_budget_shards: corpus already carries doc_offset "
+                f"(doc_id order) but order_col={order_col!r} was requested; "
+                "drop the column to recompute in that order"
+            )
+        off = corpus
+    else:
+        off = with_global_offsets(corpus, order_col=order_col)
     return off.withColumn("shard_id", F.expr(f"doc_offset div {int(budget)}"))
 
 

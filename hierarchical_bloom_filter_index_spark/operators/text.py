@@ -297,20 +297,21 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """KEYWORD EXTRACTION: per document, the top-k terms by integer-scaled
-    ratio tf-idf — score_x1e6 = (tf * N * 1e6) // df, where tf is the
-    term's in-doc count, df the number of docs containing it, N the corpus
-    size. The ratio form (tf * N/df, idf without the log) keeps the score
-    a pure integer expression, bit-identical cross-engine — same
-    no-libm discipline as collocations_pmi; ranking is monotone in tf and
-    1/df exactly like the log form for fixed tf. Output (doc_id, term, tf,
-    df, score_x1e6), ties broken term ASC inside each doc, so the per-doc
-    top-k SET is a pure function of the corpus.
+    df-normalized frequency — score_x1e6 = (tf * 1e6) // df, where tf is
+    the term's in-doc count and df the number of docs containing it. This
+    is ratio tf-idf with the corpus-size factor N omitted: N multiplies
+    every score equally, so per-corpus RANKING is identical, and dropping
+    it keeps the integer math overflow-free at any corpus size (tf * 1e6
+    fits a bigint until tf ~ 9.2e12; with N in the product a stopword in a
+    billion-doc corpus would overflow under ANSI). df is in the output, so
+    callers wanting the N-scaled value multiply by their corpus size. Pure
+    integer expression, bit-identical cross-engine — same no-libm
+    discipline as collocations_pmi; ties broken term ASC inside each doc,
+    so the per-doc top-k SET is a pure function of the corpus.
 
     Plan: one groupBy for (doc, term) tf (map-side combined), the df table
-    derived from it and BROADCAST back (vocabulary-sized), N reduced to one
-    broadcast row, then a per-doc row_number window — the only wide
-    exchange is partitionBy(doc_id), which the tf groupBy already
-    co-partitioned when Catalyst reuses the exchange."""
+    derived from it and BROADCAST back (vocabulary-sized), then a per-doc
+    row_number window — the only wide exchange is partitionBy(doc_id)."""
     if k < 1:
         raise ValueError("tfidf_top_terms: k must be >= 1")
     t = F.col(text_col)
@@ -318,14 +319,12 @@ def tfidf_top_terms(
     pairs = docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("term"))
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_tab), "term")
-        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "term", "tf", "df",
             # integer `div`, not floor(double /): exact at any magnitude
-            F.expr("(tf * n_docs * 1000000) div df").alias("score_x1e6"),
+            F.expr("(tf * 1000000) div df").alias("score_x1e6"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(

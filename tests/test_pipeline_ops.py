@@ -600,7 +600,6 @@ def test_tfidf_top_terms_vs_local(spark, docs):
             (r["term"], r["tf"], r["df"], r["score_x1e6"])
         )
     rows = docs.collect()
-    n_docs = len(rows)
     tf, dfx = {}, {}
     for r in rows:
         ws = [x for x in r["text"].split(" ") if x != ""]
@@ -612,7 +611,7 @@ def test_tfidf_top_terms_vs_local(spark, docs):
     per_doc = {}
     for (did, w), t in tf.items():
         per_doc.setdefault(did, []).append(
-            (w, t, dfx[w], (t * n_docs * 1_000_000) // dfx[w])
+            (w, t, dfx[w], (t * 1_000_000) // dfx[w])
         )
     for did, terms in per_doc.items():
         want[did] = sorted(terms, key=lambda x: (-x[3], x[0]))[:k]
