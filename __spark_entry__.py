@@ -3007,6 +3007,153 @@ def q_docs_topn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
 
 
+MIX_BUDGETS = {"src0": 3000, "src1": 1500, "src2": 0}
+MIX_DEFAULT_BUDGET = 2000
+EPOCH_NUM = 1
+REP_TOP_N = 2
+REP_DUP_N = 3
+
+
+def q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXTURE MANIFEST: per-source char budgets -> the deterministic
+    hash-order prefix of docs per source (kept iff the weight BEFORE it is
+    under budget; src2's 0 budget excludes it entirely). The per-stratum
+    prefix sum is BUCKETED by the hash key's top bits, so the window
+    exchange only ever moves ~budget worth of rows per stratum — never the
+    corpus (operators/sampling.mixture_manifest). VALUE-checked against
+    the HUGEINT SplitMix64 window twin."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        mixture_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    return mixture_manifest(
+        docs, "doc_id", "source", "n_chars", MIX_BUDGETS, SAMPLE_SEED,
+        default_budget=MIX_DEFAULT_BUDGET,
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("weight"), "cum_weight",
+    )
+
+
+def q_epoch_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-SHUFFLED SHARD PACKING: epoch 1's deterministic permutation
+    key (fixed-width hex of hash64(doc_id, epoch_seed) — lexicographic ==
+    unsigned hash order) fed to token_budget_shards as order_col, so the
+    shard build runs the SAME distributed prefix sum as doc_id-order
+    shards (with_global_offsets range buckets — no global sort). Each
+    epoch is an independent-looking shuffle of the corpus into ~8192-token
+    shards; same epoch always the same manifest
+    (operators/sampling.epoch_key_udf)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        epoch_key_udf, token_budget_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tok"))
+    keyed = docs.withColumn(
+        "epoch_key", epoch_key_udf(SAMPLE_SEED, EPOCH_NUM)(F.col("doc_id")))
+    return (
+        token_budget_shards(keyed, SHARD_BUDGET, order_col="epoch_key")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+        )
+    )
+
+
+def q_doc_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION FILTER #1: per doc, the most frequent word bigram
+    and the char fraction its occurrences account for (ties gram ASC —
+    winner is a pure function of the text; integer-div x1e6 score, exact
+    both engines). The filter a 100 TB text pipeline runs before paying
+    for tokenization (operators/repetition.top_ngram_stats)."""
+    from hierarchical_bloom_filter_index_spark.operators.repetition import (
+        top_ngram_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return top_ngram_stats(docs, REP_TOP_N)
+
+
+def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION FILTER #2: per doc, the char positions covered by
+    word trigrams occurring >= 2 times — the UNION of occurrence spans
+    via the general variable-length gaps-and-islands merge
+    (operators/repetition.dup_ngram_coverage; contamination_spans'
+    fixed-length merge generalized). Docs with no duplicated trigram emit
+    no row on both engines."""
+    from hierarchical_bloom_filter_index_spark.operators.repetition import (
+        dup_ngram_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return dup_ngram_coverage(docs, REP_DUP_N)
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN dh.source = '{s}' THEN {int(b)}"
+        for s, b in sorted(MIX_BUDGETS.items()))
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)},
+j AS (SELECT dh.doc_id, dh.source, d.n_chars, dh._h,
+             CASE {cases} ELSE {MIX_DEFAULT_BUDGET} END AS bud
+      FROM doc_hash dh JOIN documents d USING (doc_id)),
+c AS (SELECT doc_id, source, n_chars, bud,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY _h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM j)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       CAST(prior + n_chars AS BIGINT) AS cum_weight
+FROM c WHERE prior < bud"""
+
+
+def _epoch_shards_oracle() -> str:
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        epoch_seed,
+    )
+
+    # the epoch key twin: fixed-width lowercase hex of the HUGEINT hash
+    # (two 32-bit halves through to_hex) + '-' + id — bit-exact vs
+    # epoch_key_udf (validated in tests/test_sampling.py)
+    return f"""WITH {_doc_hash_ctes(epoch_seed(SAMPLE_SEED, EPOCH_NUM))},
+ek AS (SELECT dh.doc_id, CAST(length(d.text) AS BIGINT) AS n_tok,
+         lpad(lower(to_hex(CAST(_h >> 32 AS BIGINT))), 8, '0') ||
+         lpad(lower(to_hex(CAST(_h % 4294967296 AS BIGINT))), 8, '0') ||
+         '-' || CAST(dh.doc_id AS VARCHAR) AS ekey
+       FROM doc_hash dh JOIN documents d USING (doc_id)),
+off AS (SELECT doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (ORDER BY ekey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        FROM ek)
+SELECT CAST(o // {SHARD_BUDGET} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi
+FROM off GROUP BY shard_id"""
+
+
+def _rep_occ_cte(n: int) -> str:
+    """Word n-gram occurrence rows with char offsets — the DuckDB twin of
+    repetition.word_ngram_spans (raw single-space split, offsets an exact
+    prefix sum; the quadratic prefix-join form is fine at oracle scale)."""
+    return f"""w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+            string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, n_chars,
+         array_to_string(ws[i:i+{n - 1}], ' ') AS gram,
+         CAST(CASE WHEN i = 1 THEN 0
+              ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
+              END AS BIGINT) AS s
+  FROM (SELECT doc_id, n_chars, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM w))"""
+
+
 def _stratified_oracle() -> str:
     from hierarchical_bloom_filter_index_spark.operators.sampling import (
         threshold_of,
@@ -3661,6 +3808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample,
         "dataset_splits": q_dataset_splits,
         "docs_topn_hash": q_docs_topn_hash,
+        "mixture_manifest_docs": q_mixture_manifest,
+        "epoch_shard_stats": q_epoch_shard_stats,
+        "doc_top_ngram_repetition": q_doc_top_ngram_repetition,
+        "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "hll_window_rollup": q_hll_window_rollup,
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
@@ -4430,6 +4581,36 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
         "stratified_sample_docs": _stratified_oracle(),
         "dataset_splits": _splits_oracle(),
         "docs_topn_hash": _topn_oracle(),
+        "mixture_manifest_docs": _mixture_oracle(),
+        "epoch_shard_stats": _epoch_shards_oracle(),
+        "doc_top_ngram_repetition": f"""WITH {_rep_occ_cte(REP_TOP_N)},
+c AS (SELECT doc_id, n_chars, gram, COUNT(*) AS n_occ
+      FROM occ GROUP BY doc_id, n_chars, gram),
+r AS (SELECT doc_id, gram, n_occ,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY n_occ DESC, gram ASC) AS rn,
+        CAST((n_occ * length(gram) * 1000000) // n_chars AS BIGINT)
+          AS frac_x1e6
+      FROM c)
+SELECT doc_id, gram, CAST(n_occ AS BIGINT) AS n_occ, frac_x1e6
+FROM r WHERE rn = 1""",
+        "doc_dup_ngram_coverage": f"""WITH {_rep_occ_cte(REP_DUP_N)},
+d AS (SELECT doc_id, n_chars, s, s + length(gram) AS e,
+        COUNT(*) OVER (PARTITION BY doc_id, gram) AS c FROM occ),
+m AS (SELECT doc_id, n_chars, s, e,
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM d WHERE c >= 2),
+isl AS (SELECT doc_id, n_chars, s, e,
+        SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+        FROM m),
+g AS (SELECT doc_id, n_chars, island, MIN(s) AS smin, MAX(e) AS emax
+      FROM isl GROUP BY doc_id, n_chars, island)
+SELECT doc_id, n_chars, CAST(SUM(emax - smin) AS BIGINT) AS covered_chars,
+       CAST((SUM(emax - smin) * 1000000) // n_chars AS BIGINT) AS frac_x1e6
+FROM g GROUP BY doc_id, n_chars""",
         "bottomk_tokens": f"""WITH {CORPUS_CTE}, {POS_CTE},
 {_splitmix_ctes(CFG.seed)}
 SELECT CAST(tok AS BIGINT) AS token

@@ -224,3 +224,138 @@ def read_training_shard(spark, path: str, shard_id: int) -> DataFrame:
     shard_id equality predicate is a partition filter, so only that shard
     directory's files are ever listed or scanned."""
     return spark.read.parquet(path).filter(F.col("shard_id") == int(shard_id))
+
+
+def mixture_manifest(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    seed: int,
+    default_budget: int = 0,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """DATA-MIXTURE SELECTION: per stratum (source/domain/language), keep
+    the deterministic hash-order prefix of rows whose cumulative weight
+    fits the stratum's budget — the op that turns per-domain token targets
+    ("60% web, 20% code, ...") into a concrete reproducible doc manifest.
+
+    Semantics: within each stratum, rows are ordered by (unsigned
+    hash64(id, seed), id); a row is kept iff the total ``weight_col`` of
+    rows BEFORE it is < budget(stratum) — the greedy prefix, so budgets
+    overshoot by at most one row's weight and the first row of a funded
+    stratum is always kept. budget <= 0 excludes the stratum entirely.
+    The manifest is a pure function of (ids, seed, budgets): stable across
+    reruns, partitionings and engines — and GROWTH-STABLE in the bottom-k
+    sense (new rows hash anywhere, but a kept row is only ever displaced
+    by new rows hashing below it, never by reordering).
+
+    Scale (why not one window per stratum): a Window.partitionBy(stratum)
+    prefix sum puts each stratum's FULL row set on one task — a 60%-web
+    stratum at 100 TB is one task. Instead the hash space is cut into
+    2^bucket_bits fixed ranges by the key's top bits (uniform by
+    construction — no sampling pass needed, unlike with_global_offsets'
+    value buckets): (1) per-(stratum, bucket) weight totals -> one tiny
+    collect (<= strata * 2^bucket_bits rows); (2) driver prefix over
+    buckets; (3) rows join their bucket's base (broadcast), and buckets
+    whose base already >= budget are FILTERED BEFORE the within-bucket
+    window — the window exchange moves only ~budget worth of rows per
+    stratum, not the corpus. Weights must be >= 0 (a negative weight
+    breaks the base >= budget prune).
+
+    Returns df's columns + ``cum_weight`` (inclusive prefix sum — the
+    budget cut certificate). Two jobs over df (totals + select), like
+    with_global_offsets; cache upstream if it is expensive."""
+    if not 0 < bucket_bits <= 16:
+        raise ValueError(f"bucket_bits must be in (0, 16]: {bucket_bits}")
+    bad = {s: b for s, b in budgets.items() if int(b) != b}
+    if bad:
+        raise ValueError(f"budgets must be integers: {bad}")
+    spark = df.sparkSession
+    hkey = _hash_key_udf(seed)(F.col(id_col)).alias("_hkey")
+    # arithmetic shift of the sign-flipped key: monotone in unsigned order
+    wb = df.select("*", hkey).withColumn(
+        "_bucket", F.shiftright(F.col("_hkey"), 64 - bucket_bits)
+    )
+    budget_expr = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col(strata_col) == s, F.lit(int(b))
+        ).otherwise(budget_expr)
+
+    totals = wb.groupBy(strata_col, "_bucket").agg(
+        F.sum(weight_col).alias("_tot")
+    ).collect()
+    base_rows, acc = [], {}
+    for r in sorted(totals, key=lambda r: (r[strata_col], r["_bucket"])):
+        s = r[strata_col]
+        base_rows.append((s, r["_bucket"], acc.get(s, 0)))
+        acc[s] = acc.get(s, 0) + int(r["_tot"])
+    if not base_rows:
+        return wb.withColumn("cum_weight", F.lit(0).cast("long")).filter(
+            F.lit(False)).drop("_hkey", "_bucket")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = spark.createDataFrame(
+        base_rows,
+        StructType([
+            StructField(strata_col, df.schema[strata_col].dataType),
+            StructField("_bucket", LongType()),
+            StructField("_base", LongType()),
+        ]),
+    )
+    w = (
+        Window.partitionBy(strata_col, "_bucket")
+        .orderBy("_hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.col("_base") + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return (
+        wb.join(F.broadcast(base), [strata_col, "_bucket"])
+        # bucket prune: every row's prior >= its bucket base
+        .filter(F.col("_base") < budget_expr)
+        .withColumn("_prior", prior)
+        .filter(F.col("_prior") < budget_expr)
+        .withColumn(
+            "cum_weight",
+            (F.col("_prior") + F.col(weight_col)).cast("long"),
+        )
+        .drop("_hkey", "_bucket", "_base", "_prior")
+    )
+
+
+# epoch mixing constant: odd, so epoch -> eseed is a bijection mod 2^64
+_EPOCH_MIX = 0x632BE59BD9B4E019
+
+
+def epoch_seed(seed: int, epoch: int) -> int:
+    """The derived u64 seed of a training epoch — computed ONCE in Python
+    and inlined on both engines (the threshold_of discipline)."""
+    return (seed + _EPOCH_MIX * int(epoch)) % _P64
+
+
+def epoch_key_udf(seed: int, epoch: int):
+    """String column ``%016x(hash64(id, epoch_seed)) || '-' || id``: unique
+    per id, and LEXICOGRAPHIC order == unsigned hash order (fixed-width
+    lowercase hex), so it drops into any order_col slot —
+    token_budget_shards(corpus, budget, order_col=epoch_key) packs
+    EPOCH-SHUFFLED training shards: each epoch is an independent-looking
+    deterministic permutation, same epoch always the same shards, and the
+    shard build still runs through with_global_offsets' distributed
+    prefix sum (no global sort). The id suffix only breaks 64-bit hash
+    ties — any suffix order is fine, it just must match the SQL twin
+    (CAST(id AS VARCHAR))."""
+    eseed = epoch_seed(seed, epoch)
+
+    @pandas_udf("string")
+    def ekey(ids: pd.Series) -> pd.Series:
+        iv = ids.to_numpy(dtype=np.int64)
+        h = hash64(iv, eseed)
+        hx = h.astype(">u8").tobytes().hex()
+        return pd.Series(
+            [hx[16 * i:16 * i + 16] + "-" + str(int(d))
+             for i, d in enumerate(iv)]
+        )
+
+    return ekey

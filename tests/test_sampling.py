@@ -167,3 +167,106 @@ def test_training_shard_layout_prunes_and_round_trips(spark, tmp_path):
     assert files and all("shard_id=2/" in f for f in files)
     plan = shard2._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard_id" in plan
+
+
+def test_mixture_manifest_exact(docs, spark, sf_dir):
+    """Value differential vs the local greedy-prefix oracle, plus the
+    exclusion (budget 0), default-budget, bucket-granularity-parity and
+    partitioning-invariance contracts."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        mixture_manifest,
+    )
+
+    dw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    rows = dw.collect()
+    ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+    h = hash64(ids, SEED)
+    budgets = {"src0": 3000, "src1": 0, "src3": 1}
+    default = 1500
+
+    def local(budgets, default):
+        by = {}
+        for r, hv in zip(rows, h):
+            by.setdefault(r["source"], []).append(
+                (int(hv), r["doc_id"], r["n_chars"]))
+        want = {}
+        for s, lst in by.items():
+            lst.sort()
+            bud, cum = budgets.get(s, default), 0
+            for _, did, w in lst:
+                if cum < bud:
+                    want[did] = cum + w
+                cum += w
+        return want
+
+    want = local(budgets, default)
+    got = {r["doc_id"]: r["cum_weight"]
+           for r in mixture_manifest(dw, "doc_id", "source", "n_chars",
+                                     budgets, SEED,
+                                     default_budget=default).collect()}
+    assert got == want
+    # budget 0 excludes src1 entirely; budget 1 keeps exactly one doc
+    assert not any(r["source"] == "src1" for r in rows
+                   if r["doc_id"] in got and r["source"] == "src1")
+    assert sum(1 for r in rows
+               if r["source"] == "src3" and r["doc_id"] in got) == 1
+    # bucket granularity is an implementation detail, not a semantic
+    for bits in (1, 4, 12):
+        g2 = {r["doc_id"]: r["cum_weight"]
+              for r in mixture_manifest(dw, "doc_id", "source", "n_chars",
+                                        budgets, SEED, default_budget=default,
+                                        bucket_bits=bits).collect()}
+        assert g2 == want, f"bucket_bits={bits} changed the manifest"
+    g3 = {r["doc_id"]: r["cum_weight"]
+          for r in mixture_manifest(dw.repartition(13), "doc_id", "source",
+                                    "n_chars", budgets, SEED,
+                                    default_budget=default).collect()}
+    assert g3 == want, "manifest depends on physical partitioning"
+    with pytest.raises(ValueError):
+        mixture_manifest(dw, "doc_id", "source", "n_chars",
+                         {"src0": 1.5}, SEED)
+
+
+def test_epoch_keys_and_epoch_shards(spark, sf_dir):
+    """Epoch keys: unique, lexicographic == unsigned hash order, distinct
+    across epochs; epoch shards: partition-invariant and equal to the
+    local prefix sum in key order."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        epoch_key_udf, epoch_seed, token_budget_shards,
+    )
+
+    dw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("n_tok"))
+    k1 = epoch_key_udf(SEED, 1)
+    k2 = epoch_key_udf(SEED, 2)
+    rows = dw.select("doc_id", "n_tok", k1("doc_id").alias("e1"),
+                     k2("doc_id").alias("e2")).collect()
+    ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+    h1 = hash64(ids, epoch_seed(SEED, 1))
+    assert len({r["e1"] for r in rows}) == len(rows)
+    assert ([r["doc_id"] for r in sorted(rows, key=lambda r: r["e1"])]
+            == [int(i) for _, i in sorted((int(hv), int(i))
+                                          for hv, i in zip(h1, ids))])
+    assert {r["e1"] for r in rows} != {r["e2"] for r in rows}
+
+    keyed = dw.withColumn("epoch_key", k1(F.col("doc_id")))
+    a = {r["doc_id"]: r["shard_id"]
+         for r in token_budget_shards(keyed, 4096, order_col="epoch_key")
+         .select("doc_id", "shard_id").collect()}
+    b = {r["doc_id"]: r["shard_id"]
+         for r in token_budget_shards(keyed.repartition(17), 4096,
+                                      order_col="epoch_key")
+         .select("doc_id", "shard_id").collect()}
+    assert a == b, "epoch shard assignment depends on partitioning"
+    acc, want = 0, {}
+    for r in sorted(rows, key=lambda r: r["e1"]):
+        want[r["doc_id"]] = acc // 4096
+        acc += r["n_tok"]
+    assert a == want
+    # a different epoch is a genuinely different packing
+    c = {r["doc_id"]: r["shard_id"]
+         for r in token_budget_shards(
+             dw.withColumn("epoch_key", k2(F.col("doc_id"))), 4096,
+             order_col="epoch_key").select("doc_id", "shard_id").collect()}
+    assert c != a
