@@ -3066,6 +3066,29 @@ def q_epoch_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE PACKING: the ~8192-token training sequences themselves — per
+    shard, the concatenated token stream + the doc boundary offsets a
+    trainer resets attention across (operators/sampling.
+    pack_training_sequences; manifest -> layout -> PACKING completes the
+    shard story). Arrays are '|'-joined so the cross-engine value hash
+    compares strings (the completions discipline)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        pack_training_sequences,
+    )
+
+    packed = pack_training_sequences(_corpus(spark, sf_dir), SHARD_BUDGET)
+    return packed.select(
+        "shard_id",
+        F.array_join("doc_ids", "|").alias("doc_ids"),
+        F.array_join(F.transform("doc_starts", lambda x: x.cast("string")),
+                     "|").alias("doc_starts"),
+        "n_tokens",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")),
+                     "|").alias("token_stream"),
+    )
+
+
 def q_doc_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOPHER REPETITION FILTER #1: per doc, the most frequent word bigram
     and the char fraction its occurrences account for (ties gram ASC —
@@ -3810,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_topn_hash": q_docs_topn_hash,
         "mixture_manifest_docs": q_mixture_manifest,
         "epoch_shard_stats": q_epoch_shard_stats,
+        "packed_sequences": q_packed_sequences,
         "doc_top_ngram_repetition": q_doc_top_ngram_repetition,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "hll_window_rollup": q_hll_window_rollup,
@@ -4583,6 +4607,24 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
         "docs_topn_hash": _topn_oracle(),
         "mixture_manifest_docs": _mixture_oracle(),
         "epoch_shard_stats": _epoch_shards_oracle(),
+        "packed_sequences": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT doc_id, tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus),
+sh AS (SELECT doc_id, tokens, n_tok,
+         CAST(o // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+         o - MIN(o) OVER (PARTITION BY CAST(o // {SHARD_BUDGET} AS BIGINT))
+           AS start
+       FROM off)
+SELECT shard_id,
+       array_to_string(list(doc_id ORDER BY doc_id), '|') AS doc_ids,
+       array_to_string(list(start ORDER BY doc_id), '|') AS doc_starts,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(tokens ORDER BY doc_id)), '|')
+         AS token_stream
+FROM sh GROUP BY shard_id""",
         "doc_top_ngram_repetition": f"""WITH {_rep_occ_cte(REP_TOP_N)},
 c AS (SELECT doc_id, n_chars, gram, COUNT(*) AS n_occ
       FROM occ GROUP BY doc_id, n_chars, gram),

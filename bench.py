@@ -163,6 +163,10 @@ def main() -> None:
         # skip-gram co-occurrence matrix + per-doc tf-idf keywords
         "skipgram_cooccurrence",
         "tfidf_top_terms",
+        # Gopher repetition filters: top-bigram char fraction + duplicated
+        # trigram char coverage (variable-length islands union)
+        "doc_top_ngram_repetition",
+        "doc_dup_ngram_coverage",
         # benchmark decontamination (bench grams broadcast, pairs shuffle)
         "decontaminate_pairs",
         # per-doc gram novelty: the exact gram-df table, linear-by-design
@@ -173,6 +177,12 @@ def main() -> None:
         "clean_corpus_docs",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
+        # epoch-shuffled shard packing + per-source budget mixture manifest
+        "epoch_shard_stats",
+        "mixture_manifest_docs",
+        # sample packing: the concatenated per-shard token streams + doc
+        # boundary offsets (one bounded groupBy(shard_id) shuffle)
+        "packed_sequences",
         # faceted retrieval: match rollup by doc metadata
         "hbi_pattern_facets",
         "token_count",

@@ -226,6 +226,66 @@ def read_training_shard(spark, path: str, shard_id: int) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("shard_id") == int(shard_id))
 
 
+def pack_training_sequences(
+    corpus: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """SAMPLE PACKING: materialize token_budget_shards as actual training
+    sequences — one row per shard with the concatenated token stream of
+    its docs (in ``order_col`` order) plus the doc boundary offsets the
+    trainer needs to reset attention masks across documents:
+    (shard_id, doc_ids, doc_starts, n_tokens, tokens), where
+    doc_starts[i] is the 0-based offset of doc_ids[i] inside ``tokens``.
+
+    The manifest/layout/packing trio: token_budget_shards says WHICH shard
+    each doc is in, write_training_shards lays docs out for pruned reads,
+    this op emits the packed sequences themselves (pass an epoch_key_udf
+    column as order_col for per-epoch shuffled packing).
+
+    Scale: ONE groupBy(shard_id) shuffle; every group is bounded by
+    ~budget tokens + one straddling doc, so rows stay O(budget) regardless
+    of corpus size (a shard is by construction a bounded unit — the
+    anti-pattern of collecting unbounded groups does not apply). The
+    in-shard concat/boundary prefix sum are codegen'd array HOFs."""
+    sh = token_budget_shards(corpus, budget, order_col)
+    packed = sh.groupBy("shard_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("k"),
+                    F.col(id_col).alias("i"),
+                    F.col("n_tok").alias("n"),
+                    F.col(tokens_col).alias("t"),
+                )
+            )
+        ).alias("ds")
+    )
+    starts = F.aggregate(
+        "ds",
+        F.struct(
+            F.lit(0).cast("long").alias("o"),
+            F.array().cast("array<long>").alias("a"),
+        ),
+        lambda acc, d: F.struct(
+            (acc["o"] + d["n"]).alias("o"),
+            F.concat(acc["a"], F.array(acc["o"])).alias("a"),
+        ),
+        lambda acc: acc["a"],
+    )
+    return packed.select(
+        "shard_id",
+        F.col("ds.i").alias("doc_ids"),
+        starts.alias("doc_starts"),
+        F.aggregate(
+            "ds", F.lit(0).cast("long"), lambda acc, d: acc + d["n"]
+        ).alias("n_tokens"),
+        F.flatten(F.col("ds.t")).alias(tokens_col),
+    )
+
+
 def mixture_manifest(
     df: DataFrame,
     id_col: str,

@@ -270,3 +270,50 @@ def test_epoch_keys_and_epoch_shards(spark, sf_dir):
              dw.withColumn("epoch_key", k2(F.col("doc_id"))), 4096,
              order_col="epoch_key").select("doc_id", "shard_id").collect()}
     assert c != a
+
+
+def test_pack_training_sequences(spark):
+    """Packed sequences: concatenation/boundary invariants vs the local
+    truth, composition with epoch keys, partitioning invariance."""
+    from hierarchical_bloom_filter_index_spark import corpus as C
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        epoch_key_udf, pack_training_sequences,
+    )
+
+    corp = C.generate_corpus(spark, sf=0.002, seed=42).select(
+        "doc_id", "tokens", "n_tok").cache()
+    corp.count()
+    packed = {r["shard_id"]: r for r in
+              pack_training_sequences(corp, 4096).collect()}
+    rows = sorted(corp.collect(), key=lambda r: r["doc_id"])
+    acc, want = 0, {}
+    for r in rows:
+        want.setdefault(acc // 4096, []).append((r["doc_id"], r["tokens"]))
+        acc += r["n_tok"]
+    assert set(packed) == set(want)
+    for sid, docs in want.items():
+        p = packed[sid]
+        assert p["doc_ids"] == [d for d, _ in docs]
+        stream, starts, o = [], [], 0
+        for _, toks in docs:
+            starts.append(o)
+            stream.extend(toks)
+            o += len(toks)
+        assert p["doc_starts"] == starts
+        assert p["tokens"] == stream
+        assert p["n_tokens"] == len(stream)
+        # boundary invariant: tokens[starts[i]:starts[i+1]] IS doc i
+        for (did, toks), s in zip(docs, starts):
+            assert p["tokens"][s:s + len(toks)] == toks
+    # partitioning invariance
+    p2 = {r["shard_id"]: r["doc_ids"] for r in
+          pack_training_sequences(corp.repartition(17), 4096).collect()}
+    assert p2 == {k: v["doc_ids"] for k, v in packed.items()}
+    # epoch-order packing: same docs, different deterministic arrangement
+    keyed = corp.withColumn("epoch_key", epoch_key_udf(SEED, 3)(
+        F.regexp_extract("doc_id", r"([0-9]+)$", 1).cast("long")))
+    pe = pack_training_sequences(keyed, 4096, order_col="epoch_key")
+    eids = [d for r in pe.collect() for d in r["doc_ids"]]
+    assert sorted(eids) == sorted(r["doc_id"] for r in rows)
+    assert eids != [d for sid in sorted(want) for d, _ in want[sid]]
+    corp.unpersist()
