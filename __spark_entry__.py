@@ -3646,6 +3646,74 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, max_bucket=10_000)
 
 
+def _neardup_split(spark: SparkSession, sf_dir: str):
+    """(new, old) ingestion split of the documents table (trailing-digit
+    %5, replica-id safe) for the incremental near-dup parity gates."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_new = _doc_num("doc_id") % 5 == 0
+    return docs.filter(is_new), docs.filter(~is_new)
+
+
+def q_incremental_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for incremental dedup: near-dup pairs of a new ingestion
+    batch vs the PERSISTED corpus MinHash index (corpus never re-shingled)
+    must equal the full-corpus LSH run's batch-crossing pairs — same band
+    buckets (shared band_buckets definition), same exact-Jaccard verify,
+    so the result is the symmetric difference and the oracle the empty
+    relation (operators/dedup.py: write_minhash_index /
+    neardup_against_index)."""
+    import tempfile
+
+    new, old = _neardup_split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hbi_mh_idx_") + "/mh"
+    D.write_minhash_index(old, path, n_perm=128, bands=16)
+    inc = D.neardup_against_index(new, old, path, threshold=0.8)
+    full = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.8, n_perm=128, bands=16)
+    a_new = _doc_num("doc_a") % 5 == 0
+    b_new = _doc_num("doc_b") % 5 == 0
+    crossing = full.filter(a_new != b_new).select(
+        F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+        F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("corpus_id"),
+        "jaccard",
+    )
+    return inc.exceptAll(crossing).unionByName(crossing.exceptAll(inc))
+
+
+def q_incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion dedup: arriving doc batches drained through a
+    file stream, each micro-batch near-dup-checked against the persisted
+    corpus index via foreachBatch (replay-guarded append sink). The final
+    pair table must equal the one-shot batch check — symmetric difference,
+    empty oracle. Batch boundaries cannot change the answer: each new
+    doc's pairs depend only on itself + the static corpus
+    (operators/dedup.incremental_neardup_stream)."""
+    import tempfile
+
+    new, old = _neardup_split(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hbi_mh_stream_")
+    path = f"{work}/mh"
+    D.write_minhash_index(old, path, n_perm=128, bands=16)
+    half = _doc_num("doc_id") % 2
+    new.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    new.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = D.incremental_neardup_stream(
+        stream, old, path, f"{work}/out", f"{work}/chk", threshold=0.8)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "incremental_neardup_stream: availableNow drain exceeded 300s")
+    try:
+        got = spark.read.parquet(f"{work}/out").drop("batch_id")
+    except Exception:  # zero pairs -> nothing was ever appended
+        got = spark.createDataFrame(
+            [], "new_id string, corpus_id string, jaccard double")
+    want = D.neardup_against_index(new, old, path, threshold=0.8)
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
@@ -3886,6 +3954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "minhash_lsh_containment": q_minhash_lsh_containment,
+        "incremental_neardup_parity": q_incremental_neardup_parity,
+        "incremental_neardup_stream": q_incremental_neardup_stream,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
         "collocations_pmi": q_collocations_pmi,
@@ -4480,6 +4550,16 @@ reach(u, v) AS (
 cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
 SELECT doc_id, cluster_id, CAST(c.cnt AS BIGINT) AS cluster_sz
 FROM cc JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM cc GROUP BY 1) c USING (cluster_id)""",
+        # incremental-dedup parity gates: both are symmetric differences
+        # against the equivalent one-shot computation (LSH itself is not
+        # SQL-expressible — seeded numpy MinHash — so the hard gate is
+        # result-equality, the shard_layout_parity discipline)
+        "incremental_neardup_parity": """SELECT CAST(NULL AS VARCHAR) AS new_id,
+       CAST(NULL AS VARCHAR) AS corpus_id, CAST(NULL AS DOUBLE) AS jaccard
+WHERE FALSE""",
+        "incremental_neardup_stream": """SELECT CAST(NULL AS VARCHAR) AS new_id,
+       CAST(NULL AS VARCHAR) AS corpus_id, CAST(NULL AS DOUBLE) AS jaccard
+WHERE FALSE""",
         # the LSH containment check compares against the EXACT >= 0.8 pair
         # set: equality holds iff the LSH emitted no false-positive pair.
         # Domain-restricted to ASCII docs >= 5 chars (strlen = byte length

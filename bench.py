@@ -156,6 +156,10 @@ def main() -> None:
         # nearly every doc pair shares shingles, so the exact join is
         # quadratic — the LSH path below is the scale answer
         "minhash_lsh_neardup",
+        # ingestion-batch near-dup vs the PERSISTED corpus signature index
+        # (corpus never re-shingled; result is a parity diff vs the full
+        # run, so the timing covers index read + bucket join + verify x2)
+        "incremental_neardup_parity",
         "simhash_neardup",
         "ann_cosine_topk",
         "text_quality",

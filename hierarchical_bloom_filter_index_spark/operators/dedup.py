@@ -224,6 +224,59 @@ def minhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(sigs, schema="doc_id string, sig array<long>")
 
 
+def band_buckets(sig: DataFrame, bands: int, n_perm: int) -> DataFrame:
+    """(doc_id, band, bh) LSH bucket rows of a signature table: bh =
+    xxhash64 of the band's signature slice. THE one band-hash definition —
+    within-corpus pairs, the persisted index, and incremental queries all
+    bucket through here, so their candidate sets are mutually consistent."""
+    rows = n_perm // bands
+    band_cols = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ])
+    ).alias("bs")
+    return sig.select("doc_id", band_cols).select("doc_id", "bs.band", "bs.bh")
+
+
+def _verify_jaccard(paired: DataFrame, shingle_n: int, threshold: float,
+                    a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs only (never all-pairs):
+    input (a_col, b_col, text_a, text_b), output (a_col, b_col, jaccard)
+    for survivors — one Arrow stage."""
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            js = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                ha = char_shingle_hashes(ta, shingle_n)
+                hb = char_shingle_hashes(tb, shingle_n)
+                inter = len(np.intersect1d(ha, hb, assume_unique=True))
+                js.append(inter / (len(ha) + len(hb) - inter))
+            out = pdf[[a_col, b_col]].copy()
+            out["jaccard"] = np.round(np.asarray(js), 6)
+            yield out[np.asarray(js) >= threshold]
+
+    return paired.mapInPandas(
+        verify, schema=f"{a_col} string, {b_col} string, jaccard double")
+
+
+def _join_texts(cand: DataFrame, a_src: DataFrame, b_src: DataFrame,
+                text_col: str, id_col: str,
+                a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Attach each candidate side's text (a from a_src, b from b_src)."""
+    ta = a_src.select(F.col(id_col).alias(a_col),
+                      F.col(text_col).alias("text_a"))
+    tb = b_src.select(F.col(id_col).alias(b_col),
+                      F.col(text_col).alias("text_b"))
+    return cand.join(ta, a_col).join(tb, b_col)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -243,18 +296,8 @@ def minhash_lsh_pairs(
     output — only LSH false negatives (missed pairs) remain, which the recall
     test bounds. Scale: bucket join shuffles (band_hash, doc_id) only.
     """
-    rows = n_perm // bands
     sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col).cache()
-    band_cols = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bh"),
-            )
-            for b in range(bands)
-        ])
-    ).alias("bs")
-    buckets = sig.select("doc_id", band_cols).select("doc_id", "bs.band", "bs.bh")
+    buckets = band_buckets(sig, bands, n_perm)
     buckets = cap_bucket_sizes(buckets, ["band", "bh"], max_bucket, "minhash_lsh_pairs")
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -268,35 +311,145 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of CANDIDATE PAIRS ONLY — never the all-pairs join
-    # (that would defeat LSH at scale): pull both texts per candidate pair,
-    # compute true shingle Jaccard in one Arrow stage.
-    texts = docs.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttxt"))
-    paired = (
-        cand.join(texts.withColumnRenamed("_tid", "doc_a").withColumnRenamed("_ttxt", "text_a"), "doc_a")
-        .join(texts.withColumnRenamed("_tid", "doc_b").withColumnRenamed("_ttxt", "text_b"), "doc_b")
-    )
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            js = []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                ha = char_shingle_hashes(ta, shingle_n)
-                hb = char_shingle_hashes(tb, shingle_n)
-                inter = len(np.intersect1d(ha, hb, assume_unique=True))
-                js.append(inter / (len(ha) + len(hb) - inter))
-            out = pdf[["doc_a", "doc_b"]].copy()
-            out["jaccard"] = np.round(np.asarray(js), 6)
-            yield out[np.asarray(js) >= threshold]
-
-    return paired.mapInPandas(verify, schema="doc_a string, doc_b string, jaccard double")
+    paired = _join_texts(cand, docs, docs, text_col, id_col)
+    return _verify_jaccard(paired, shingle_n, threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Persisted MinHash index + incremental near-dup (new batch vs corpus)
+# ---------------------------------------------------------------------------
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a corpus's MinHash signatures so ingestion batches can be
+    near-dup-checked WITHOUT re-shingling the corpus: ``path/sigs`` holds
+    (doc_id, sig) parquet; ``path/meta`` pins the signature geometry
+    (n_perm, bands, shingle_n, seed) — queries MUST reuse it or buckets
+    are meaningless, so readers take params from here, never from callers.
+    Band buckets are NOT materialized: deriving them is a narrow JVM
+    slice+xxhash64 pass over sigs, and storing sigs once instead of
+    bands x buckets keeps the index n_perm * 8 bytes/doc."""
+    spark = docs.sparkSession
+    sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col)
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    spark.createDataFrame(
+        [(int(n_perm), int(bands), int(shingle_n), int(seed))],
+        "n_perm int, bands int, shingle_n int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(signatures DataFrame, meta dict) of a write_minhash_index layout."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return spark.read.parquet(f"{path}/sigs"), meta
+
+
+def neardup_against_index(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: (new_id, corpus_id, jaccard) pairs between an
+    ingestion batch and an ALREADY-INDEXED corpus — the crawl-dedup op
+    that must not rescan 100 TB per batch. Only the new batch is shingled;
+    the corpus side is the persisted signature table. Candidates collide
+    in band buckets exactly as minhash_lsh_pairs would have found them in
+    a full run (band_buckets is the shared definition), then exact-Jaccard
+    verification decides — corpus TEXT is touched only for candidates
+    (``corpus_docs`` is the text source; the join key pushes down to its
+    scan). Pairs within the new batch are out of scope — that is
+    minhash_lsh_pairs on the batch. A doc_id present on both sides is
+    excluded (re-ingestion is not a near-dup of itself).
+
+    Scale: new-side buckets are batch-sized; the bucket join shuffles
+    (band, bh, doc_id) rows only; ``max_bucket`` caps degenerate corpus
+    buckets (drop-with-log, the cap_bucket_sizes discipline)."""
+    spark = new_docs.sparkSession
+    sig_old, meta = read_minhash_index(spark, path)
+    sig_new = minhash_signatures(
+        new_docs, meta["n_perm"], meta["shingle_n"], meta["seed"],
+        text_col, id_col)
+    b_new = band_buckets(sig_new, meta["bands"], meta["n_perm"]).alias("a")
+    b_old = cap_bucket_sizes(
+        band_buckets(sig_old, meta["bands"], meta["n_perm"]),
+        ["band", "bh"], max_bucket, "neardup_against_index",
+    ).alias("b")
+    cand = (
+        b_new.join(
+            b_old,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    paired = _join_texts(cand, new_docs, corpus_docs, text_col, id_col,
+                         "new_id", "corpus_id")
+    return _verify_jaccard(paired, meta["shingle_n"], threshold,
+                           "new_id", "corpus_id")
+
+
+def incremental_neardup_stream(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+):
+    """Structured-Streaming twin of neardup_against_index: each micro-batch
+    of arriving docs is checked against the persisted corpus index and the
+    surviving pairs appended to ``out_path`` parquet. foreachBatch is
+    at-least-once, so a REPLAY GUARD probes the output for the batch_id
+    before appending (the streaming/incremental.py doc-axis discipline:
+    without it a crash between append and checkpoint commit doubles the
+    batch). Cross-batch new-new pairs are out of scope by the same
+    contract as the batch op. Returns the StreamingQuery."""
+    spark = stream_docs.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            done = (
+                spark.read.parquet(out_path)
+                .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+            )
+        except Exception:
+            done = False  # no output yet
+        if done:
+            return
+        pairs = neardup_against_index(
+            batch_df, corpus_docs, index_path, threshold,
+            text_col, id_col, max_bucket,
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        pairs.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, shingle_n: int = 4, seed: int = 7, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
