@@ -3120,6 +3120,20 @@ def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(docs, REP_DUP_N)
 
 
+REP_FRAC_THRESH = 80_000
+
+
+def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUALITY DASHBOARD: the composed corpus report — doc/char/
+    word totals, mean stopword ratio, failed language guesses, repetitive
+    docs (top-bigram char fraction >= 8%), docs with any duplicated
+    trigram — one narrow metrics pass + two doc_id-keyed left joins + one
+    groupBy(source) (operators/text.corpus_quality_report)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source")
+    return T.corpus_quality_report(docs, rep_frac_x1e6=REP_FRAC_THRESH)
+
+
 def _mixture_oracle() -> str:
     cases = " ".join(
         f"WHEN dh.source = '{s}' THEN {int(b)}"
@@ -3161,20 +3175,21 @@ SELECT CAST(o // {SHARD_BUDGET} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
 FROM off GROUP BY shard_id"""
 
 
-def _rep_occ_cte(n: int) -> str:
+def _rep_occ_cte(n: int, p: str = "") -> str:
     """Word n-gram occurrence rows with char offsets — the DuckDB twin of
     repetition.word_ngram_spans (raw single-space split, offsets an exact
-    prefix sum; the quadratic prefix-join form is fine at oracle scale)."""
-    return f"""w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+    prefix sum; the quadratic prefix-join form is fine at oracle scale).
+    ``p`` prefixes the CTE names so two n values can coexist in one WITH."""
+    return f"""{p}w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             string_split(text, ' ') AS ws FROM documents),
-occ AS (
+{p}occ AS (
   SELECT doc_id, n_chars,
          array_to_string(ws[i:i+{n - 1}], ' ') AS gram,
          CAST(CASE WHEN i = 1 THEN 0
               ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
               END AS BIGINT) AS s
   FROM (SELECT doc_id, n_chars, ws, unnest(range(1, len(ws) - {n - 2})) AS i
-        FROM w))"""
+        FROM {p}w))"""
 
 
 def _stratified_oracle() -> str:
@@ -3720,6 +3735,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, qids, k=5)
 
 
+ANN_FILTER_LABEL = 1
+
+
+def q_ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED exact ANN: each query's top-5 among label=1 vectors only —
+    the metadata predicate pushes down to the corpus scan
+    (brute-force-over-subset, the exact baseline filtered-ANN systems
+    re-rank against); query vectors resolve from the UNRESTRICTED table
+    via query_source, so a query need not satisfy the filter itself
+    (operators/similarity.cosine_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
+    return S.cosine_topk(
+        emb.filter(F.col("label") == ANN_FILTER_LABEL), qids, k=5,
+        query_source=emb)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
@@ -3904,6 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": q_packed_sequences,
         "doc_top_ngram_repetition": q_doc_top_ngram_repetition,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
+        "corpus_quality_report": q_corpus_quality_report,
         "hll_window_rollup": q_hll_window_rollup,
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
@@ -3967,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_fingerprint": q_positional_fingerprint,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_filtered": q_ann_cosine_topk_filtered,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_persisted_parity": q_ivf_persisted_parity,
@@ -4733,6 +4767,41 @@ g AS (SELECT doc_id, n_chars, island, MIN(s) AS smin, MAX(e) AS emax
 SELECT doc_id, n_chars, CAST(SUM(emax - smin) AS BIGINT) AS covered_chars,
        CAST((SUM(emax - smin) * 1000000) // n_chars AS BIGINT) AS frac_x1e6
 FROM g GROUP BY doc_id, n_chars""",
+        "corpus_quality_report": f"""WITH base AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST((({stop_occ}) * 10000) // len(string_split(text, ' '))
+              AS BIGINT) AS stop_ratio
+  FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM documents),
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN g = 0 THEN 'unknown' ELSE (CASE {first_max} END) END AS guess
+  FROM (SELECT *, {greatest} AS g FROM scored)),
+{_rep_occ_cte(REP_TOP_N, 'r')},
+rc AS (SELECT doc_id, n_chars, gram, COUNT(*) AS n_occ
+       FROM rocc GROUP BY doc_id, n_chars, gram),
+rtop AS (SELECT doc_id, f FROM (
+  SELECT doc_id, (n_occ * length(gram) * 1000000) // n_chars AS f,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY n_occ DESC, gram ASC) AS rn
+  FROM rc) WHERE rn = 1),
+{_rep_occ_cte(REP_DUP_N, 'd')},
+dcov AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM docc GROUP BY doc_id, gram HAVING COUNT(*) >= 2))
+SELECT b.source, COUNT(*) AS n_docs,
+       CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(b.stop_ratio) // COUNT(*) AS BIGINT) AS stop_ratio_x1e4_mean,
+       CAST(SUM(CASE WHEN t.guess = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_unknown,
+       CAST(SUM(CASE WHEN r.f >= {REP_FRAC_THRESH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_covered
+FROM base b JOIN tagged t USING (doc_id)
+LEFT JOIN rtop r USING (doc_id) LEFT JOIN dcov d USING (doc_id)
+GROUP BY b.source""",
         "bottomk_tokens": f"""WITH {CORPUS_CTE}, {POS_CTE},
 {_splitmix_ctes(CFG.seed)}
 SELECT CAST(tok AS BIGINT) AS token
@@ -4817,6 +4886,23 @@ s AS (
   SELECT q.qid AS query_id, e.vec_id,
          list_cosine_similarity(q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
   FROM q, embeddings e WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5""",
+        "ann_cosine_topk_filtered": f"""WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id,
+         list_cosine_similarity(q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.qid AND e.label = {ANN_FILTER_LABEL}
 ),
 r AS (
   SELECT query_id, vec_id, sim,

@@ -162,6 +162,8 @@ def main() -> None:
         "incremental_neardup_parity",
         "simhash_neardup",
         "ann_cosine_topk",
+        # filtered exact ANN: metadata predicate pushed to the corpus scan
+        "ann_cosine_topk_filtered",
         "text_quality",
         "collocations_pmi",
         # skip-gram co-occurrence matrix + per-doc tf-idf keywords
@@ -171,6 +173,9 @@ def main() -> None:
         # trigram char coverage (variable-length islands union)
         "doc_top_ngram_repetition",
         "doc_dup_ngram_coverage",
+        # the composed per-source quality dashboard (metrics + repetition
+        # joins + one groupBy(source))
+        "corpus_quality_report",
         # benchmark decontamination (bench grams broadcast, pairs shuffle)
         "decontaminate_pairs",
         # per-doc gram novelty: the exact gram-df table, linear-by-design

@@ -30,15 +30,23 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_source: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of each query vector (excluding itself):
     (query_id, vec_id, score), score = cosine similarity in float64.
 
     Queries are collected (small by contract) and broadcast; candidates never
     leave their partitions until reduced to per-partition top-k.
+
+    FILTERED search: pass the metadata-restricted frame as ``embeddings``
+    (the predicate pushes down to its scan — brute-force-over-subset is the
+    EXACT baseline every filtered-ANN system re-ranks against) and the
+    unrestricted table as ``query_source`` so query vectors resolve even
+    when they don't satisfy the filter themselves.
     """
     spark = embeddings.sparkSession
-    qrows = embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec_col).collect()
+    qsrc = embeddings if query_source is None else query_source
+    qrows = qsrc.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec_col).collect()
     if not qrows:
         return spark.createDataFrame([], _topk_schema())
     qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)

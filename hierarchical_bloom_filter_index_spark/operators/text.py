@@ -397,3 +397,57 @@ def bigram_fluency(
              / F.col("n_bigrams").cast("double")).alias("fluency"),
         )
     )
+
+
+def corpus_quality_report(
+    docs: DataFrame,
+    rep_n: int = 2,
+    dup_n: int = 3,
+    rep_frac_x1e6: int = 80_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """PER-SOURCE QUALITY DASHBOARD — the one-look corpus report a data
+    team reads before a training run, composed from this module's filters:
+    per source, doc/char/word totals, mean stopword ratio, docs whose
+    language guess failed, docs flagged repetitive (top word-rep_n-gram
+    char fraction >= rep_frac_x1e6), and docs containing ANY duplicated
+    word-dup_n-gram. All metrics are integer/exact (the no-libm oracle
+    discipline); a doc with < rep_n words simply isn't repetitive.
+
+    Plan: the base metrics are one narrow pass (quality_columns +
+    lang_id_column are pure JVM expressions); the two repetition frames
+    join back on doc_id (left — absence means clean) and one groupBy
+    (source) reduces. At scale the joins shuffle (doc_id, few longs) rows
+    only."""
+    from .repetition import dup_ngram_coverage, top_ngram_stats
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        *quality_columns(text_col),
+        lang_id_column(text_col).alias("lang_guess"),
+    )
+    top = top_ngram_stats(docs, rep_n, text_col, id_col).select(
+        "doc_id", F.col("frac_x1e6").alias("_top_frac"))
+    cov = dup_ngram_coverage(docs, dup_n, text_col, id_col).select(
+        "doc_id", F.col("frac_x1e6").alias("_cov_frac"))
+    return (
+        base.join(top, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.expr("sum(stopword_ratio_x1e4) div count(1)")
+            .alias("stop_ratio_x1e4_mean"),
+            F.sum(F.when(F.col("lang_guess") == "unknown", 1).otherwise(0))
+            .cast("long").alias("n_lang_unknown"),
+            F.sum(F.when(F.col("_top_frac") >= rep_frac_x1e6, 1).otherwise(0))
+            .cast("long").alias("n_repetitive"),
+            F.sum(F.when(F.col("_cov_frac").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_dup_covered"),
+        )
+    )
