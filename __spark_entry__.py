@@ -3123,6 +3123,37 @@ def q_doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 REP_FRAC_THRESH = 80_000
 
 
+def q_quality_report_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality monitoring: the corpus drained through a file
+    stream in >= 2 micro-batches, each batch's per-source SUM components
+    appended (replay-guarded), the final report re-summed + finalized —
+    and value-checked against the SAME DuckDB dashboard twin as the batch
+    query (component sums are associative over any batch split, and the
+    one integer division happens only at read time)
+    (operators/text.quality_report_stream)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        quality_report_stream, read_quality_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source")
+    work = tempfile.mkdtemp(prefix="hbi_quality_stream_")
+    half = _doc_num(F.col("doc_id").cast("string")) % 2
+    docs.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    docs.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = quality_report_stream(
+        stream, f"{work}/out", f"{work}/chk", rep_frac_x1e6=REP_FRAC_THRESH)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "quality_report_stream: availableNow drain exceeded 300s")
+    return read_quality_report(spark, f"{work}/out")
+
+
 def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-SOURCE QUALITY DASHBOARD: the composed corpus report — doc/char/
     word totals, mean stopword ratio, failed language guesses, repetitive
@@ -3937,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngram_repetition": q_doc_top_ngram_repetition,
         "doc_dup_ngram_coverage": q_doc_dup_ngram_coverage,
         "corpus_quality_report": q_corpus_quality_report,
+        "quality_report_stream": q_quality_report_stream,
         "hll_window_rollup": q_hll_window_rollup,
         "hll_rollup_geometry": q_hll_rollup_geometry,
         "cms_window_rollup": q_cms_window_rollup,
@@ -5312,6 +5344,9 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     out["hbi_global_pattern_strided"] = out["hbi_global_pattern"]
     # the streaming decontamination gate must equal the batch pair table
     out["decontaminate_stream"] = out["decontaminate_pairs"]
+    # the streaming quality monitor re-sums per-batch SUM components, so it
+    # must equal the batch dashboard exactly (same DuckDB twin)
+    out["quality_report_stream"] = out["corpus_quality_report"]
     # range-restricted search = the full-search oracle + the position bound
     # (both oracles end in a WHERE clause, so the AND composes)
     out["hbi_pattern_range"] = out["hbi_pattern_present"] + (

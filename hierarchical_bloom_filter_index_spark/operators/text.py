@@ -421,6 +421,26 @@ def corpus_quality_report(
     join back on doc_id (left — absence means clean) and one groupBy
     (source) reduces. At scale the joins shuffle (doc_id, few longs) rows
     only."""
+    return finalize_quality_report(
+        quality_report_components(
+            docs, rep_n, dup_n, rep_frac_x1e6, text_col, id_col, source_col))
+
+
+def quality_report_components(
+    docs: DataFrame,
+    rep_n: int = 2,
+    dup_n: int = 3,
+    rep_frac_x1e6: int = 80_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source SUM components of the quality report — every column is a
+    plain sum over docs, so components from disjoint doc subsets (stream
+    micro-batches, per-day partitions, federated corpora) re-aggregate to
+    EXACTLY the whole-corpus report: sum the columns, then finalize_
+    quality_report does the one non-distributive step (the mean's integer
+    division)."""
     from .repetition import dup_ngram_coverage, top_ngram_stats
 
     base = docs.select(
@@ -441,8 +461,7 @@ def corpus_quality_report(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("n_chars"),
             F.sum("n_words").cast("long").alias("n_words"),
-            F.expr("sum(stopword_ratio_x1e4) div count(1)")
-            .alias("stop_ratio_x1e4_mean"),
+            F.sum("stopword_ratio_x1e4").cast("long").alias("sum_stop_ratio"),
             F.sum(F.when(F.col("lang_guess") == "unknown", 1).otherwise(0))
             .cast("long").alias("n_lang_unknown"),
             F.sum(F.when(F.col("_top_frac") >= rep_frac_x1e6, 1).otherwise(0))
@@ -451,3 +470,72 @@ def corpus_quality_report(
             .cast("long").alias("n_dup_covered"),
         )
     )
+
+
+_QUALITY_SUM_COLS = ("n_docs", "n_chars", "n_words", "sum_stop_ratio",
+                     "n_lang_unknown", "n_repetitive", "n_dup_covered")
+
+
+def finalize_quality_report(components: DataFrame) -> DataFrame:
+    """Components (possibly several rows per source — e.g. one per stream
+    batch) -> the final report: sum, then the integer-div mean."""
+    return (
+        components.groupBy("source")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in _QUALITY_SUM_COLS])
+        .select(
+            "source", "n_docs", "n_chars", "n_words",
+            F.expr("sum_stop_ratio div n_docs").alias("stop_ratio_x1e4_mean"),
+            "n_lang_unknown", "n_repetitive", "n_dup_covered",
+        )
+    )
+
+
+def quality_report_stream(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    rep_n: int = 2,
+    dup_n: int = 3,
+    rep_frac_x1e6: int = 80_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """STREAMING quality monitoring: each micro-batch's per-source SUM
+    components appended to ``out_path`` (batch_id replay guard — the
+    incremental_neardup_stream discipline); read_quality_report re-sums
+    and finalizes to EXACTLY the batch report of everything ingested (sum
+    components are associative over any batch split). Stateless per batch:
+    no streaming aggregation state grows with the corpus. Returns the
+    StreamingQuery."""
+    spark = stream_docs.sparkSession
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            done = (
+                spark.read.parquet(out_path)
+                .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+            )
+        except Exception:
+            done = False  # no output yet
+        if done:
+            return
+        comp = quality_report_components(
+            batch_df, rep_n, dup_n, rep_frac_x1e6, text_col, id_col,
+            source_col,
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        comp.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quality_report(spark, out_path: str) -> DataFrame:
+    """The finalized report of everything a quality_report_stream has
+    ingested so far."""
+    return finalize_quality_report(
+        spark.read.parquet(out_path).drop("batch_id"))

@@ -115,6 +115,18 @@ SWEEP = [
     # exact gram-df novelty: the one LINEAR-shuffle op in the family (the
     # df table is O(corpus grams)); expect ~data-linear growth, rows 5x
     "novelty_scores",
+    # round-4h additions: Gopher repetition filters (narrow explode + two
+    # exchanges — expect ~linear), the composed per-source dashboard,
+    # sample packing (one bounded groupBy(shard_id)), and incremental
+    # near-dup vs the persisted MinHash index (index build included in the
+    # timing; pairs scale 5x with the replica cliques). The mixture/epoch
+    # queries hash NUMERIC doc ids and are excluded on the 'r{r}-' replica
+    # corpora (same reason the other sampling queries are absent).
+    "doc_top_ngram_repetition",
+    "doc_dup_ngram_coverage",
+    "corpus_quality_report",
+    "packed_sequences",
+    "incremental_neardup_parity",
 ]
 
 
