@@ -3760,6 +3760,25 @@ def q_incremental_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.exceptAll(want).unionByName(want.exceptAll(got))
 
 
+def q_novelty_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL novelty: the ingestion batch (%5 split) scored against
+    the PERSISTED gram-df index of the rest of the corpus — the linear
+    df shuffle paid once at index time; the batch read prunes to the
+    buckets its grams hash into (partition filter), absent gram = novel.
+    Per-doc scores are independent of batch boundaries by construction
+    (novel = absent from the CORPUS, not from peers)
+    (operators/contamination.write_gram_df_index / novelty_against_index).
+    VALUE-checked against the DuckDB left-join twin."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, old = _neardup_split(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hbi_gramdf_") + "/idx"
+    X.write_gram_df_index(old, path, DECON_N)
+    return X.novelty_against_index(new, path)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
@@ -4021,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_containment": q_minhash_lsh_containment,
         "incremental_neardup_parity": q_incremental_neardup_parity,
         "incremental_neardup_stream": q_incremental_neardup_stream,
+        "novelty_against_corpus": q_novelty_against_corpus,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
         "collocations_pmi": q_collocations_pmi,
@@ -4580,6 +4600,22 @@ m AS (
 SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_matches
 FROM m JOIN corpus USING (doc_id)
 GROUP BY source""",
+        # incremental novelty: 'novel' = absent from the OLD corpus's gram
+        # set (df index), per-doc independent of batch peers
+        "novelty_against_corpus": f"""WITH
+newdocs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+            FROM documents WHERE doc_id % 5 = 0),
+olddocs AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+og AS (SELECT DISTINCT g FROM (SELECT unnest({_GRAM_LIST}) AS g FROM olddocs)),
+ng AS (SELECT DISTINCT doc_id, g FROM (
+  SELECT doc_id, unnest({_GRAM_LIST}) AS g FROM newdocs))
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN og.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_known,
+       CAST(((COUNT(*) - SUM(CASE WHEN og.g IS NOT NULL THEN 1 ELSE 0 END))
+             * 1000000) // COUNT(*) AS BIGINT) AS novelty_x1e6
+FROM ng LEFT JOIN og ON ng.g = og.g
+GROUP BY doc_id""",
         "novelty_scores": f"""WITH {DECON_CG_CTE}, dfx AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY g)
 SELECT doc_id, COUNT(*) AS n_grams,
        CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,

@@ -180,6 +180,9 @@ def main() -> None:
         "decontaminate_pairs",
         # per-doc gram novelty: the exact gram-df table, linear-by-design
         "novelty_scores",
+        # incremental novelty: batch scored vs the PERSISTED df index
+        # (bucket-partition-pruned read; df shuffle paid at index time)
+        "novelty_against_corpus",
         # contamination audit + redaction spans + composed clean manifest
         "contaminating_grams",
         "contamination_spans",

@@ -141,6 +141,76 @@ def novelty_scores(
     )
 
 
+def write_gram_df_index(
+    docs: DataFrame,
+    path: str,
+    n: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus gram document-frequency table so ingestion
+    batches can be novelty-scored WITHOUT rescanning the corpus: the one
+    linear-shuffle pass (gram -> distinct-doc count) paid ONCE, written
+    parquet PARTITIONED BY bucket = pmod(xxhash64(gram), n_buckets) —
+    a small batch touches few buckets, and the reader prunes to exactly
+    those directories (the segmented-read discipline). ``path/meta`` pins
+    (n, n_buckets); readers never take them from callers. ONE repartition
+    by bucket before the write keeps one writer task per directory."""
+    spark = docs.sparkSession
+    cg = _gram_rows(docs, n, text_col, id_col, "doc_id")
+    df_tab = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "bucket", F.pmod(F.xxhash64("gram"), F.lit(int(n_buckets))))
+    df_tab.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket").parquet(f"{path}/df")
+    spark.createDataFrame(
+        [(int(n), int(n_buckets))], "n int, n_buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def novelty_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL novelty: score an ingestion batch against the PERSISTED
+    corpus gram-df table — (doc_id, n_grams, n_known, novelty_x1e6) per
+    new doc, where n_grams is its distinct gram count, n_known how many
+    appear in the indexed corpus at all, and novelty = the unseen
+    fraction. Unlike self-novelty (novelty_scores' df == 1), 'new' here
+    means ABSENT FROM THE CORPUS, so each doc's score is independent of
+    its batch — batch boundaries and streaming cannot change answers.
+
+    Scale: the batch's gram stream carries a computed bucket column; the
+    distinct buckets present (<= n_buckets, one tiny collect) become a
+    partition FILTER on the index read, so a small batch scans only its
+    buckets' files; the join is a LEFT join keyed (bucket, gram) —
+    absent gram = novel. Docs shorter than n emit no row."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    cg = _gram_rows(new_docs, meta["n"], text_col, id_col, "doc_id").withColumn(
+        "bucket", F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
+    buckets = [int(r["bucket"]) for r in cg.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(f"{path}/df").filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "gram", "df")
+    return (
+        cg.join(idx, ["bucket", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df").isNotNull(), 1).otherwise(0))
+            .alias("n_known"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_known",
+            F.expr("((n_grams - n_known) * 1000000) div n_grams")
+            .alias("novelty_x1e6"),
+        )
+    )
+
+
 def top_contaminating_grams(
     docs: DataFrame,
     bench: DataFrame,

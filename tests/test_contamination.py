@@ -166,3 +166,58 @@ def test_contamination_spans_vs_local(spark, docs, bench):
     # ... and the MERGE path: some span must cover more than one gram
     assert any(e - s > N for spans in got.values() for s, e in spans), \
         "no merged span — vacuous"
+
+
+def test_novelty_against_index_prunes_and_scores(spark, tmp_path):
+    """The persisted gram-df index: value parity vs a local computation,
+    bucket partition pruning for a small batch, and per-doc independence
+    of batch composition."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_bloom_filter_index_spark.operators.contamination import (
+        novelty_against_index, write_gram_df_index,
+    )
+
+    old = spark.createDataFrame(
+        [(f"o{i}", f"corpus document number {i} with shared boilerplate text")
+         for i in range(20)],
+        "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("n0", "corpus document number 3 with shared boilerplate text"),
+         ("n1", "completely unprecedented fresh material xyzzy quux!!"),
+         ("n2", "short")],  # < n chars -> no row
+        "doc_id string, text string")
+    path = str(tmp_path / "idx")
+    write_gram_df_index(old, path, N, n_buckets=16)
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_known"], r["novelty_x1e6"])
+           for r in novelty_against_index(new, path).collect()}
+    # local truth
+    def grams(t):
+        return {t[i:i + N] for i in range(len(t) - N + 1)}
+    corpus = set().union(*[grams(r["text"]) for r in old.collect()])
+    want = {}
+    for r in new.collect():
+        g = grams(r["text"])
+        if g:
+            known = len(g & corpus)
+            want[r["doc_id"]] = (len(g), known,
+                                 ((len(g) - known) * 1_000_000) // len(g))
+    assert got == want
+    assert "n2" not in got and got["n0"][2] < got["n1"][2]
+    # a one-doc batch reads ONLY its grams' bucket directories
+    one = new.filter(F.col("doc_id") == "n0")
+    sc = one.sparkSession
+    from hierarchical_bloom_filter_index_spark.operators.contamination import (
+        _gram_rows,
+    )
+    gb = {int(r[0]) for r in _gram_rows(one, N, "text", "doc_id", "d")
+          .select(F.pmod(F.xxhash64("gram"), F.lit(16))).distinct().collect()}
+    assert len(gb) < 16, "fixture too big to show pruning"
+    idx = sc.read.parquet(f"{path}/df").filter(F.col("bucket").isin(list(gb)))
+    files = {r[0] for r in idx.select(F.input_file_name()).distinct().collect()}
+    assert files and all(any(f"bucket={b}/" in f for b in gb) for f in files)
+    # batch-composition independence: scoring n0 alone == scoring in batch
+    solo = {r["doc_id"]: (r["n_grams"], r["n_known"], r["novelty_x1e6"])
+            for r in novelty_against_index(one, path).collect()}
+    assert solo == {"n0": got["n0"]}
