@@ -358,3 +358,46 @@ def test_shard_assignment_has_no_global_sort(spark):
     plan = _plan(token_budget_shards(corp, 4096).select("doc_id", "shard_id"))
     assert "rangepartitioning" not in plan.lower(), plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_mixture_manifest_prunes_before_window(spark):
+    """mixture_manifest's scale contract: the bucket-base join is a
+    BROADCAST hash join whose base<budget condition prunes whole buckets
+    BEFORE the window exchange (a SortMergeJoin, or a prune only after
+    the window, would move the whole corpus through the exchange at
+    100 TB). Exactly one exchange (stratum, bucket) feeds the window."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        mixture_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 5) for i in range(60)],
+        "doc_id long, source string, w long")
+    out = mixture_manifest(df, "doc_id", "source", "w", {"s0": 20}, 7,
+                           default_budget=15)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the join CONDITION carries the budget prune (base < CASE ...): in
+    # formatted mode the details block prints "Join condition: (_base ...)"
+    import re
+    m = re.search(r"Join condition:.*", plan)
+    assert m and "_base" in m.group(0) and "CASE WHEN" in m.group(0), plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_repetition_plans_two_exchanges(spark):
+    """Both repetition metrics: the n-gram explode/offset scan is narrow;
+    exactly two keyed exchanges ((doc, gram) stats then per-doc window) —
+    a third exchange would mean the islands/groupBy failed to reuse the
+    window partitioning."""
+    from hierarchical_bloom_filter_index_spark.operators.repetition import (
+        dup_ngram_coverage, top_ngram_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b a b c d " * 3) for i in range(10)],
+        "doc_id long, text string")
+    for op in (top_ngram_stats, dup_ngram_coverage):
+        plan = _plan(op(docs, 2))
+        assert _n_exchanges(plan) == 2, (op.__name__, plan)
