@@ -3212,7 +3212,8 @@ def _rep_occ_cte(n: int, p: str = "") -> str:
     prefix sum; the quadratic prefix-join form is fine at oracle scale).
     ``p`` prefixes the CTE names so two n values can coexist in one WITH."""
     return f"""{p}w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-            string_split(text, ' ') AS ws FROM documents),
+            string_split(text, ' ') AS ws FROM documents
+            WHERE length(text) > 0),
 {p}occ AS (
   SELECT doc_id, n_chars,
          array_to_string(ws[i:i+{n - 1}], ' ') AS gram,

@@ -228,7 +228,15 @@ def band_buckets(sig: DataFrame, bands: int, n_perm: int) -> DataFrame:
     """(doc_id, band, bh) LSH bucket rows of a signature table: bh =
     xxhash64 of the band's signature slice. THE one band-hash definition —
     within-corpus pairs, the persisted index, and incremental queries all
-    bucket through here, so their candidate sets are mutually consistent."""
+    bucket through here, so their candidate sets are mutually consistent.
+    bands must divide n_perm: bands > n_perm would make every band slice
+    EMPTY (one constant hash — the whole corpus in one bucket, silently
+    degrading LSH to the all-pairs join it exists to avoid), and a
+    non-divisor would silently drop the trailing permutations."""
+    if bands < 1 or n_perm % bands != 0:
+        raise ValueError(
+            f"band_buckets: bands ({bands}) must be >= 1 and divide "
+            f"n_perm ({n_perm})")
     rows = n_perm // bands
     band_cols = F.explode(
         F.array(*[
@@ -296,7 +304,14 @@ def minhash_lsh_pairs(
     output — only LSH false negatives (missed pairs) remain, which the recall
     test bounds. Scale: bucket join shuffles (band_hash, doc_id) only.
     """
-    sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col).cache()
+    # localCheckpoint, not cache(): the signature table is self-join'd and
+    # joined again by verification, so materializing once is right — but a
+    # .cache() here outlives the call (CacheManager entries are never
+    # auto-dropped; CLAUDE.md records a cache leak evicting the corpus
+    # cache and 10x-ing later queries), while a localCheckpoint's backing
+    # RDD is cleaned by the ContextCleaner when this frame is GC'd
+    sig = minhash_signatures(
+        docs, n_perm, shingle_n, seed, text_col, id_col).localCheckpoint()
     buckets = band_buckets(sig, bands, n_perm)
     buckets = cap_bucket_sizes(buckets, ["band", "bh"], max_bucket, "minhash_lsh_pairs")
     a = buckets.alias("a")
@@ -339,6 +354,12 @@ def write_minhash_index(
     Band buckets are NOT materialized: deriving them is a narrow JVM
     slice+xxhash64 pass over sigs, and storing sigs once instead of
     bands x buckets keeps the index n_perm * 8 bytes/doc."""
+    if bands < 1 or n_perm % bands != 0:
+        # validate at WRITE time: a bad geometry pinned in meta poisons
+        # every later query against this index
+        raise ValueError(
+            f"write_minhash_index: bands ({bands}) must be >= 1 and "
+            f"divide n_perm ({n_perm})")
     spark = docs.sparkSession
     sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col)
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
@@ -424,23 +445,16 @@ def incremental_neardup_stream(
     without it a crash between append and checkpoint commit doubles the
     batch). Cross-batch new-new pairs are out of scope by the same
     contract as the batch op. Returns the StreamingQuery."""
-    spark = stream_docs.sparkSession
+    from ..streaming.incremental import replay_guarded_append
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            done = (
-                spark.read.parquet(out_path)
-                .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
-            )
-        except Exception:
-            done = False  # no output yet
-        if done:
-            return
-        pairs = neardup_against_index(
-            batch_df, corpus_docs, index_path, threshold,
-            text_col, id_col, max_bucket,
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        pairs.write.mode("append").parquet(out_path)
+        replay_guarded_append(
+            out_path, batch_df, batch_id,
+            lambda b: neardup_against_index(
+                b, corpus_docs, index_path, threshold,
+                text_col, id_col, max_bucket,
+            ),
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(step)

@@ -28,16 +28,22 @@ with < n words emit nothing.
 
 Scale: everything is O(words) rows; the only shuffles are one exchange
 keyed (doc_id, gram) for the per-gram counts and one keyed doc_id for the
-per-doc window/agg — no joins, no driver collects, no Python in the hot
-path (the offset prefix-scan is a codegen'd HOF aggregate).
+per-doc window/agg — no joins, no driver collects. The span generation is
+ONE Arrow pass (mapInPandas): a pure-expression form existed but Spark's
+only array prefix-scan (F.aggregate + concat) copies the accumulator per
+step — O(words²) per doc, a straggler bomb on exactly the 200k-word
+repetitive junk these filters exist to catch; the numpy cumsum is linear.
+Docs with empty text or < n words emit nothing (so n_chars is never 0
+downstream).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from typing import Iterator
 
-_SPAN_SCHEMA = "array<struct<pos:int,gram:string,s:long,e:long>>"
-
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
 
 def word_ngram_spans(
     docs: DataFrame,
@@ -46,49 +52,53 @@ def word_ngram_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, n_chars, pos, gram, s, e) — one row per word n-gram
-    occurrence with its 0-based char span [s, e). The whole per-doc
-    computation (raw split, offset prefix-scan, windowed slices) is one
-    narrow codegen'd expression; no shuffle."""
+    occurrence with its 0-based char span [s, e), one linear Arrow pass,
+    no shuffle. Words are the RAW single-space split (empties kept);
+    offsets are the exact prefix sum of len(word)+1 (numpy cumsum).
+    doc_id keeps the input column's type (the oracles compare it)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
     if n < 1:
         raise ValueError(f"word_ngram_spans: n must be >= 1, got {n}")
-    ws = F.split(F.col(text_col), " ")
-    # offs[i] = char offset of word i: exclusive prefix sum of len(w)+1
-    offs = F.aggregate(
-        ws,
-        F.struct(
-            F.lit(0).cast("long").alias("o"),
-            F.array().cast("array<long>").alias("a"),
-        ),
-        lambda acc, w: F.struct(
-            (acc["o"] + F.length(w) + F.lit(1)).alias("o"),
-            F.concat(acc["a"], F.array(acc["o"])).alias("a"),
-        ),
-        lambda acc: acc["a"],
-    )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).cast("long").alias("n_chars"),
-        ws.alias("_ws"),
-        offs.alias("_offs"),
-    )
-    spans = F.when(
-        F.size("_ws") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_ws") - F.lit(n - 1)),
-            lambda i: F.struct(
-                (i - 1).cast("int").alias("pos"),
-                F.array_join(F.slice("_ws", i, n), " ").alias("gram"),
-                F.element_at("_offs", i.cast("int")).alias("s"),
-                (
-                    F.element_at("_offs", (i + F.lit(n - 1)).cast("int"))
-                    + F.length(F.element_at("_ws", (i + F.lit(n - 1)).cast("int")))
-                ).alias("e"),
-            ),
-        ),
-    ).otherwise(F.array().cast(_SPAN_SCHEMA))
-    return base.select(
-        "doc_id", "n_chars", F.explode(spans).alias("g")
-    ).select("doc_id", "n_chars", "g.pos", "g.gram", "g.s", "g.e")
+    schema = StructType([
+        StructField("doc_id", docs.schema[id_col].dataType),
+        StructField("n_chars", LongType()),
+        StructField("pos", IntegerType()),
+        StructField("gram", StringType()),
+        StructField("s", LongType()),
+        StructField("e", LongType()),
+    ])
+
+    def spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ncs, poss, grams, ss, es = [], [], [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if not txt:
+                    continue
+                ws = txt.split(" ")
+                m = len(ws) - n + 1
+                if m <= 0:
+                    continue
+                lens = np.fromiter((len(w) for w in ws), dtype=np.int64,
+                                   count=len(ws))
+                offs = np.empty(len(ws), dtype=np.int64)
+                offs[0] = 0
+                np.cumsum(lens[:-1] + 1, out=offs[1:])
+                ids.extend([did] * m)
+                ncs.extend([len(txt)] * m)
+                poss.extend(range(m))
+                grams.extend(" ".join(ws[i:i + n]) for i in range(m))
+                ss.extend(offs[:m])
+                es.extend(offs[n - 1:] + lens[n - 1:])
+            if ids:  # empty-list frames break Arrow casts (see CLAUDE.md)
+                yield pd.DataFrame({
+                    "doc_id": ids, "n_chars": ncs, "pos": poss,
+                    "gram": grams, "s": ss, "e": es,
+                })
+
+    return docs.select(id_col, text_col).mapInPandas(spans, schema=schema)
 
 
 def top_ngram_stats(

@@ -332,6 +332,15 @@ def mixture_manifest(
     bad = {s: b for s, b in budgets.items() if int(b) != b}
     if bad:
         raise ValueError(f"budgets must be integers: {bad}")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wt = df.schema[weight_col].dataType
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        # fractional weights would be silently floor()ed into the bucket
+        # bases while the in-bucket window sums stay exact — the manifest
+        # would then depend on bucket_bits, which must never matter
+        raise ValueError(
+            f"mixture_manifest: weight_col must be an integer type, got {wt}")
     spark = df.sparkSession
     hkey = _hash_key_udf(seed)(F.col(id_col)).alias("_hkey")
     # arithmetic shift of the sign-flipped key: monotone in unsigned order
@@ -345,8 +354,22 @@ def mixture_manifest(
         ).otherwise(budget_expr)
 
     totals = wb.groupBy(strata_col, "_bucket").agg(
-        F.sum(weight_col).alias("_tot")
+        F.sum(weight_col).alias("_tot"),
+        F.min(weight_col).alias("_wmin"),  # free ride on the totals pass
+        F.sum(F.when(F.col(weight_col).isNull(), 1).otherwise(0))
+        .alias("_wnull"),
     ).collect()
+    wmin = min((r["_wmin"] for r in totals if r["_wmin"] is not None),
+               default=0)
+    if wmin < 0:
+        raise ValueError(
+            f"mixture_manifest: negative weight {wmin} found — prior sums "
+            "would no longer be monotone and the base>=budget bucket prune "
+            "would silently drop rows the contract keeps")
+    if any(r["_wnull"] for r in totals):
+        raise ValueError(
+            "mixture_manifest: NULL weights found — sum() would silently "
+            "skip them, giving those rows a free ride under the budget")
     base_rows, acc = [], {}
     for r in sorted(totals, key=lambda r: (r[strata_col], r["_bucket"])):
         s = r[strata_col]

@@ -508,23 +508,16 @@ def quality_report_stream(
     components are associative over any batch split). Stateless per batch:
     no streaming aggregation state grows with the corpus. Returns the
     StreamingQuery."""
-    spark = stream_docs.sparkSession
+    from ..streaming.incremental import replay_guarded_append
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            done = (
-                spark.read.parquet(out_path)
-                .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
-            )
-        except Exception:
-            done = False  # no output yet
-        if done:
-            return
-        comp = quality_report_components(
-            batch_df, rep_n, dup_n, rep_frac_x1e6, text_col, id_col,
-            source_col,
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        comp.write.mode("append").parquet(out_path)
+        replay_guarded_append(
+            out_path, batch_df, batch_id,
+            lambda b: quality_report_components(
+                b, rep_n, dup_n, rep_frac_x1e6, text_col, id_col,
+                source_col,
+            ),
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(step)

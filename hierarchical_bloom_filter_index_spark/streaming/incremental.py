@@ -186,6 +186,37 @@ def expire(index: DataFrame, cfg: HbiConfig, min_leaf_w_id: int) -> DataFrame:
     )
 
 
+def replay_guarded_append(out_path: str, batch_df: DataFrame,
+                          batch_id: int, build) -> None:
+    """THE foreachBatch append discipline, shared by every derived-output
+    stream (incremental near-dup, streaming quality report, ...):
+    foreachBatch is at-least-once, so a crash between the append and the
+    checkpoint commit redelivers the batch — the guard probes the output
+    for this batch_id BEFORE appending ``build(batch_df)`` (+ batch_id
+    column). Empty batches are skipped outright (no point running the
+    build job to append nothing). Only a MISSING output path reads as
+    'not yet appended' (AnalysisException); any other read failure must
+    propagate — treating a transient error as 'absent' would re-append a
+    duplicate, the exact corruption the guard exists to prevent."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return
+    try:
+        done = (
+            spark.read.parquet(out_path)
+            .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+        )
+    except AnalysisException:
+        done = False  # first commit: output does not exist yet
+    if done:
+        return
+    build(batch_df).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    ).write.mode("append").parquet(out_path)
+
+
 def incremental_index_stream(
     spark: SparkSession,
     input_path: str,

@@ -30,6 +30,8 @@ def toy(spark):
 
 
 def _local_spans(text, n):
+    if not text:  # empty text emits nothing (n_chars=0 never reaches a div)
+        return []
     ws = text.split(" ")
     offs, o = [], 0
     for w in ws:
