@@ -2271,6 +2271,46 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+SCRUB_N = 24  # 16-char grams mark EVERY sf0.01 doc; 24 leaves ~40% untouched
+
+# positioned 24-gram stream over the whole corpus (0-based starts) — the
+# shared head of both cross-doc dedup oracles
+_SCRUB_CP_CTE = f"""d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+cp AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS s,
+         substring(text, CAST(i AS INT), {SCRUB_N}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
+        FROM d WHERE length(text) >= {SCRUB_N}))"""
+
+
+def q_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING-DEDUP AUDIT, corpus vs ITSELF: per doc, the maximal
+    char intervals covered by 24-char grams occurring in >= 2 distinct
+    docs — the Lee-et-al-style duplicated-text map. One linear gram-stats
+    groupBy + a linear join back (one stats row per gram — no pairwise
+    blow-up), islands merge over dup positions only
+    (operators/contamination.py:cross_doc_dup_spans)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, _bench = _decon_inputs(spark, sf_dir)
+    return X.cross_doc_dup_spans(docs, SCRUB_N)
+
+
+def q_scrub_crossdoc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-FIRST exact substring dedup: every 24-gram duplicated across
+    docs keeps only its MIN-doc_id owner's text; other owners have the
+    covered chars CUT. Returns the whole corpus as (doc_id, clean_text) —
+    untouched docs verbatim, fully-duplicated non-keepers become ''. The
+    value-hash compare covers the string surgery byte-for-byte
+    (operators/contamination.py:scrub_cross_doc_spans)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs, _bench = _decon_inputs(spark, sf_dir)
+    return X.scrub_cross_doc_spans(docs, SCRUB_N)
+
+
 def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.with_global_offsets(_corpus(spark, sf_dir)).select("doc_id", "doc_offset")
 
@@ -4033,6 +4073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_docs": q_clean_corpus_docs,
         "contaminating_grams": q_contaminating_grams,
         "contamination_spans": q_contamination_spans,
+        "crossdoc_dup_spans": q_crossdoc_dup_spans,
+        "scrub_crossdoc_docs": q_scrub_crossdoc_docs,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4591,6 +4633,49 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
 SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
        CAST(MAX(s) + {DECON_N} AS INTEGER) AS span_end
 FROM isl GROUP BY doc_id, island""",
+        "crossdoc_dup_spans": f"""WITH {_SCRUB_CP_CTE}, gs AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM cp GROUP BY g
+), hits AS (
+  SELECT DISTINCT cp.doc_id, s FROM cp JOIN gs USING (g) WHERE gs.nd >= 2
+), isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
+        FROM hits)
+)
+SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(s) + {SCRUB_N} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, island""",
+        "scrub_crossdoc_docs": f"""WITH {_SCRUB_CP_CTE}, gs AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM cp GROUP BY g
+), rm AS (
+  SELECT DISTINCT cp.doc_id, s FROM cp JOIN gs USING (g)
+  WHERE gs.nd >= 2 AND cp.doc_id <> gs.keeper
+), isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
+        FROM rm)
+), sp AS (
+  SELECT doc_id, MIN(s) AS s, MAX(s) + {SCRUB_N} AS e FROM isl GROUP BY doc_id, island
+), segs AS (
+  SELECT sp.doc_id, sp.s AS ord, substring(d.text, prev_e + 1, sp.s - prev_e) AS seg
+  FROM (SELECT doc_id, s, e,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+        FROM sp) sp JOIN d USING (doc_id)
+), tails AS (
+  SELECT sp.doc_id, length(d.text) AS ord, substring(d.text, MAX(sp.e) + 1) AS seg
+  FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id, d.text
+), scrubbed AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sc.clean_text, d.text) AS clean_text
+FROM d LEFT JOIN scrubbed sc USING (doc_id)""",
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},
 m AS (
   SELECT doc_id

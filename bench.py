@@ -187,6 +187,10 @@ def main() -> None:
         "contaminating_grams",
         "contamination_spans",
         "clean_corpus_docs",
+        # cross-doc exact substring dedup: dup-span audit + keep-first scrub
+        # (one linear gram-stats shuffle, then dup-bounded work only)
+        "crossdoc_dup_spans",
+        "scrub_crossdoc_docs",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest

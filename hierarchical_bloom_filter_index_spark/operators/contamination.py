@@ -275,6 +275,21 @@ def contamination_spans(
         .select("doc_id", "start")
         .distinct()  # several bench docs may witness the same position
     )
+    return _fixed_gram_islands(hits, n)
+
+
+def _fixed_gram_islands(hits: DataFrame, n: int) -> DataFrame:
+    """Merge a (doc_id, start) stream of length-``n`` gram hits into maximal
+    covered char intervals — (doc_id, span_start, span_end), 0-based
+    half-open. THE one definition of the fixed-length gaps-and-islands
+    merge (all hits are length n, so ordered by start the previous
+    interval's end is lag(start)+n and a new island begins exactly when
+    start > lag(start)+n; island ids = running sum of breaks). ``hits``
+    must already be distinct per (doc_id, start). One partitionBy(doc)
+    window exchange; variable-length intervals belong to
+    repetition.merge_intervals instead."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("start")
     islands = hits.withColumn(
         "brk",
@@ -292,6 +307,111 @@ def contamination_spans(
             (F.max("start") + F.lit(n)).alias("span_end"),
         )
         .select("doc_id", "span_start", "span_end")
+    )
+
+
+def _dup_gram_stats(pos: DataFrame, min_docs: int) -> DataFrame:
+    """(gram, keeper) for every gram occurring in >= ``min_docs`` DISTINCT
+    docs of the positioned-gram stream; ``keeper`` = MIN(doc_id) over the
+    gram's owners (the canonical doc whose occurrences survive a
+    keep-first scrub). The (gram, doc) dedupe + groupBy is the one
+    linear-in-corpus shuffle of the cross-doc family — the novelty_scores
+    shape; the gram string rides that shuffle once, exactly like
+    clean_corpus's keeper grouping. A boilerplate gram owned by every doc
+    is one hot key — AQE skew-join splitting applies downstream."""
+    if min_docs < 2:
+        raise ValueError("_dup_gram_stats: min_docs must be >= 2 "
+                         "(a 1-doc 'duplicate' would scrub every doc)")
+    return (
+        pos.select("doc_id", "gram").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram", "keeper")
+    )
+
+
+def cross_doc_dup_spans(
+    docs: DataFrame,
+    n: int,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT SUBSTRING-DEDUP AUDIT (corpus vs itself): per doc, the maximal
+    char intervals covered by length-``n`` grams that occur in >=
+    ``min_docs`` DISTINCT documents — (doc_id, span_start, span_end),
+    0-based half-open. The cross-document twin of
+    repetition.dup_ngram_coverage (within-doc) and contamination_spans
+    (corpus vs bench): any char inside a span is part of an exact n-char
+    string some other document also contains.
+
+    Shapes: positioned grams are generated map-side (sequence+substring,
+    whole-stage codegen); the dup-gram dictionary is ONE linear groupBy
+    (_dup_gram_stats); the join back is linear — one stats row per gram,
+    so every position joins at most once, no quadratic pair blow-up like
+    a position×position self-join would have. Downstream work is bounded
+    by the DUPLICATED positions only."""
+    pos = positioned_gram_rows(docs, n, text_col, id_col)
+    dup = _dup_gram_stats(pos, min_docs).select("gram")
+    hits = pos.join(dup, "gram").select("doc_id", "start").distinct()
+    return _fixed_gram_islands(hits, n)
+
+
+def scrub_cross_doc_spans(
+    docs: DataFrame,
+    n: int,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KEEP-FIRST exact substring dedup (Lee et al. 2022's dedup objective
+    at document granularity): for every length-``n`` gram occurring in >=
+    ``min_docs`` distinct docs, the MIN-doc_id owner keeps its text; every
+    OTHER owner has the chars covered by that gram cut out. Returns
+    (doc_id, clean_text) for the WHOLE corpus — untouched docs pass
+    through verbatim, a fully-duplicated non-keeper doc becomes ''.
+
+    Doc-granularity keeper means occurrences inside the keeper doc are
+    never cut (within-doc repetition is repetition.dup_ngram_coverage's
+    job), and a position is cut when ANY covering dup gram names a
+    different keeper — the union over removing grams, which is what makes
+    the contract order-free and engine-reproducible.
+
+    Shapes: one linear gram-stats shuffle (_dup_gram_stats), one linear
+    join back, islands merge over REMOVED positions only, then string
+    surgery as a per-doc fold over the merged spans (collect_list of the
+    few spans per doc + one aggregate() HOF — spans are maximal so their
+    count per doc is bounded by text_len/n; the fold's string copies are
+    fine at that count). The final left join keeps the corpus partitioning
+    and touches no text twice."""
+    pos = positioned_gram_rows(docs, n, text_col, id_col)
+    stats = _dup_gram_stats(pos, min_docs)
+    removed = (
+        pos.join(stats, "gram")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "start")
+        .distinct()
+    )
+    spans = _fixed_gram_islands(removed, n)
+    span_arr = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                    F.col("span_end").alias("e")))
+        ).alias("sp")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_t"))
+    return base.join(span_arr, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("sp").isNull(), F.col("_t"))
+        .otherwise(F.expr(
+            "aggregate(sp, struct(CAST(0 AS INT) AS pos, '' AS acc), "
+            "(a, x) -> struct(x.e AS pos, "
+            "concat(a.acc, substring(_t, a.pos + 1, x.s - a.pos)) AS acc), "
+            "a -> concat(a.acc, substring(_t, a.pos + 1)))"
+        ))
+        .alias("clean_text"),
     )
 
 

@@ -221,3 +221,111 @@ def test_novelty_against_index_prunes_and_scores(spark, tmp_path):
     solo = {r["doc_id"]: (r["n_grams"], r["n_known"], r["novelty_x1e6"])
             for r in novelty_against_index(one, path).collect()}
     assert solo == {"n0": got["n0"]}
+
+
+# ---------------------------------------------------------------------------
+# cross-doc exact substring dedup (corpus vs itself)
+# ---------------------------------------------------------------------------
+
+def _local_dup_map(rows, n, min_docs):
+    """gram -> (owner set, keeper) over a doc list, dup grams only."""
+    owners = {}
+    for r in rows:
+        t = r["text"]
+        for i in range(max(0, len(t) - n + 1)):
+            owners.setdefault(t[i : i + n], set()).add(r["doc_id"])
+    return {g: (o, min(o)) for g, o in owners.items() if len(o) >= min_docs}
+
+
+def _local_islands(starts, n):
+    out = []
+    for s in sorted(starts):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], s + n)
+        else:
+            out.append([s, s + n])
+    return [tuple(x) for x in out]
+
+
+def test_crossdoc_dup_spans_vs_local(spark, docs):
+    rows = docs.collect()
+    dup = _local_dup_map(rows, N, 2)
+    want = sorted(
+        (r["doc_id"], s, e)
+        for r in rows
+        for s, e in _local_islands(
+            [i for i in range(max(0, len(r["text"]) - N + 1))
+             if r["text"][i : i + N] in dup], N)
+    )
+    got = sorted(map(tuple, X.cross_doc_dup_spans(docs, N).collect()))
+    assert got == want
+    assert got, "no cross-doc dup spans — vacuous"
+    per_doc = {}
+    for d, s, e in got:
+        per_doc.setdefault(d, []).append((s, e))
+    assert any(len(v) > 1 for v in per_doc.values()), "no multi-span doc — vacuous"
+    assert any(e - s > N for d, s, e in got), "no merged span — vacuous"
+
+
+def test_scrub_crossdoc_vs_local(spark, docs):
+    rows = docs.collect()
+    dup = _local_dup_map(rows, N, 2)
+    want = {}
+    for r in rows:
+        t = r["text"]
+        rm = [i for i in range(max(0, len(t) - N + 1))
+              if t[i : i + N] in dup and dup[t[i : i + N]][1] != r["doc_id"]]
+        clean, pos = "", 0
+        for s, e in _local_islands(rm, N):
+            clean += t[pos:s]
+            pos = e
+        want[r["doc_id"]] = clean + t[pos:]
+    got = dict(X.scrub_cross_doc_spans(docs, N).collect())
+    assert got == want
+    assert len(got) == len(rows), "scrub must return the WHOLE corpus"
+    assert any(got[d] != w for d, w in
+               ((r["doc_id"], r["text"]) for r in rows)), "nothing scrubbed — vacuous"
+    assert any(got[r["doc_id"]] == r["text"] for r in rows), \
+        "every doc scrubbed — keeper semantics untested"
+
+
+def test_scrub_keep_first_semantics(spark):
+    n = 10
+    fixture = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "a quick brown fox leaps over a lazy dog indeed"),
+        ("c", "the quick brown fox jumps over the lazy dog"),  # exact dup of a
+        ("d", "completely unrelated text with no shared grams!"),
+        ("e", "xy"),  # shorter than n: no grams, passes through
+    ]
+    df = spark.createDataFrame(fixture, ["doc_id", "text"])
+    got = dict(X.scrub_cross_doc_spans(df, n).collect())
+    # min-id keeper keeps its text verbatim; the exact dup is fully cut
+    assert got["a"] == fixture[0][1]
+    assert got["c"] == ""
+    # partial-overlap doc loses only the covered islands
+    assert got["b"] == "aleaps over a lazy dog indeed"
+    # untouched + short docs pass through byte-identically
+    assert got["d"] == fixture[3][1]
+    assert got["e"] == "xy"
+    # spans audit agrees with the scrub's removals on the non-keeper side
+    spans = sorted(map(tuple, X.cross_doc_dup_spans(df, n).collect()))
+    assert ("c", 0, len(fixture[0][1])) in spans
+    # a min_docs raise prunes 2-doc dups but still cuts 3-doc grams
+    # (b shares "quick brown"/"lazy dog" grams with BOTH a and c)
+    dup3 = _local_dup_map([{"doc_id": d, "text": t} for d, t in fixture], n, 3)
+    want3 = {}
+    for d, t in fixture:
+        rm = [i for i in range(max(0, len(t) - n + 1))
+              if t[i : i + n] in dup3 and dup3[t[i : i + n]][1] != d]
+        clean, pos = "", 0
+        for s, e in _local_islands(rm, n):
+            clean += t[pos:s]
+            pos = e
+        want3[d] = clean + t[pos:]
+    got3 = dict(X.scrub_cross_doc_spans(df, n, min_docs=3).collect())
+    assert got3 == want3
+    assert len(got3["c"]) > 0, "min_docs=3 must spare c's 2-doc-only grams"
+    assert len(got3["b"]) > len(got["b"]), "min_docs=3 must cut less than 2"
+    with pytest.raises(ValueError, match="min_docs"):
+        X.cross_doc_dup_spans(df, n, min_docs=1)
