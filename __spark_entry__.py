@@ -2284,6 +2284,47 @@ cp AS (
                unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
         FROM d WHERE length(text) >= {SCRUB_N}))"""
 
+# ingest scrub twin (batch AND streaming share it): the %5-split batch cut
+# against the other 4/5's distinct grams — corpus is the senior keeper
+_SCRUB_INGEST_SQL = f"""WITH nd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0),
+cp AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS s,
+         substring(text, CAST(i AS INT), {SCRUB_N}) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
+        FROM nd WHERE length(text) >= {SCRUB_N})
+), eg AS (
+  SELECT DISTINCT substring(text, CAST(i AS INT), {SCRUB_N}) AS g
+  FROM (SELECT text,
+               unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
+        FROM documents WHERE doc_id % 5 <> 0 AND length(text) >= {SCRUB_N})
+), rm AS (
+  SELECT DISTINCT cp.doc_id, s FROM cp JOIN eg USING (g)
+), isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
+        FROM rm)
+), sp AS (
+  SELECT doc_id, MIN(s) AS s, MAX(s) + {SCRUB_N} AS e FROM isl GROUP BY doc_id, island
+), segs AS (
+  SELECT sp.doc_id, sp.s AS ord, substring(nd.text, prev_e + 1, sp.s - prev_e) AS seg
+  FROM (SELECT doc_id, s, e,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+        FROM sp) sp JOIN nd USING (doc_id)
+), tails AS (
+  SELECT sp.doc_id, length(nd.text) AS ord, substring(nd.text, MAX(sp.e) + 1) AS seg
+  FROM sp JOIN nd USING (doc_id) GROUP BY sp.doc_id, nd.text
+), scrubbed AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails) GROUP BY doc_id
+)
+SELECT nd.doc_id, COALESCE(sc.clean_text, nd.text) AS clean_text
+FROM nd LEFT JOIN scrubbed sc USING (doc_id)"""
+
 
 def q_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SUBSTRING-DEDUP AUDIT, corpus vs ITSELF: per doc, the maximal
@@ -2309,6 +2350,63 @@ def q_scrub_crossdoc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, _bench = _decon_inputs(spark, sf_dir)
     return X.scrub_cross_doc_spans(docs, SCRUB_N)
+
+
+def _scrub_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted gram-df index of the CORPUS side (%5 split, n=SCRUB_N) —
+    built once per session, shared by the batch and streaming ingest
+    scrubs."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    key = ("scrub_gram_idx", sf_dir)
+    if key not in _CACHE:
+        _new, old = _neardup_split(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="hbi_scrubidx_") + "/idx"
+        X.write_gram_df_index(old, path, SCRUB_N)
+        _CACHE[key] = path
+    return _CACHE[key]
+
+
+def q_scrub_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME scrub: the arriving batch (%5 split) cut against the
+    PERSISTED corpus gram index — the corpus is the senior keeper, new
+    docs yield every char covered by an already-known 24-gram. Batch gram
+    buckets prune the index read (partition filter); per-doc answers are
+    batch-boundary-independent by construction
+    (operators/contamination.scrub_against_gram_index). VALUE-checked:
+    the scrubbed strings vs the DuckDB twin byte-for-byte."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, _old = _neardup_split(spark, sf_dir)
+    return X.scrub_against_gram_index(new, _scrub_index_path(spark, sf_dir))
+
+
+def q_scrub_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest scrub: the batch drained through a file stream in
+    two appends, each micro-batch scrubbed against the static gram index
+    via the shared replay-guarded foreachBatch append. Stateless per doc,
+    so the drained output must equal the one-shot batch scrub — checked
+    against the SAME DuckDB twin (value equality, not just parity)
+    (operators/contamination.scrub_ingest_stream)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, _old = _neardup_split(spark, sf_dir)
+    idx = _scrub_index_path(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hbi_scrub_stream_")
+    half = _doc_num("doc_id") % 2
+    new.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    new.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = X.scrub_ingest_stream(stream, idx, f"{work}/out", f"{work}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("scrub_ingest_stream: availableNow drain exceeded 300s")
+    return spark.read.parquet(f"{work}/out").select("doc_id", "clean_text")
 
 
 def q_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4075,6 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_spans": q_contamination_spans,
         "crossdoc_dup_spans": q_crossdoc_dup_spans,
         "scrub_crossdoc_docs": q_scrub_crossdoc_docs,
+        "scrub_ingest_docs": q_scrub_ingest_docs,
+        "scrub_ingest_stream": q_scrub_ingest_stream,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4676,6 +4776,8 @@ FROM isl GROUP BY doc_id, island""",
 )
 SELECT d.doc_id, COALESCE(sc.clean_text, d.text) AS clean_text
 FROM d LEFT JOIN scrubbed sc USING (doc_id)""",
+        "scrub_ingest_docs": _SCRUB_INGEST_SQL,
+        "scrub_ingest_stream": _SCRUB_INGEST_SQL,
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},
 m AS (
   SELECT doc_id

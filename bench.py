@@ -191,6 +191,9 @@ def main() -> None:
         # (one linear gram-stats shuffle, then dup-bounded work only)
         "crossdoc_dup_spans",
         "scrub_crossdoc_docs",
+        # ingest-time scrub vs the PERSISTED gram index (bucket-pruned read;
+        # timing includes writing the index on the first rep, cached after)
+        "scrub_ingest_docs",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest

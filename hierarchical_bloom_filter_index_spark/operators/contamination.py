@@ -393,7 +393,18 @@ def scrub_cross_doc_spans(
         .select("doc_id", "start")
         .distinct()
     )
-    spans = _fixed_gram_islands(removed, n)
+    return _apply_span_cuts(docs, _fixed_gram_islands(removed, n),
+                            text_col, id_col)
+
+
+def _apply_span_cuts(docs: DataFrame, spans: DataFrame,
+                     text_col: str, id_col: str) -> DataFrame:
+    """Cut the (doc_id, span_start, span_end) intervals out of each doc's
+    text — (doc_id, clean_text) for the WHOLE input frame (docs without
+    spans pass through verbatim via the left join). Spans must be merged
+    and non-overlapping (the islands kernels guarantee it); the surgery is
+    a per-doc fold over the few spans (count bounded by len/n), so the
+    fold's string copies are fine."""
     span_arr = spans.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("span_start").alias("s"),
@@ -412,6 +423,74 @@ def scrub_cross_doc_spans(
             "a -> concat(a.acc, substring(_t, a.pos + 1)))"
         ))
         .alias("clean_text"),
+    )
+
+
+def scrub_against_gram_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INGEST-TIME keep-first scrub: chars of ARRIVING docs covered by any
+    gram the indexed corpus already contains are cut — the corpus is the
+    senior keeper, the batch always yields. Returns (doc_id, clean_text)
+    for the whole batch. Per-doc answers depend only on the doc + the
+    static index, so batch boundaries (and streaming) cannot change them
+    — the streaming twin is this function applied per micro-batch,
+    UNCHANGED (scrub_ingest_stream).
+
+    Reuses the novelty gram-df index (write_gram_df_index): the batch's
+    positioned grams carry the bucket column, the distinct buckets
+    present (one tiny collect) become a partition FILTER on the index
+    read, and the join is an inner (bucket, gram) hash join — a small
+    batch scans only its buckets' files, never the corpus."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    pos = positioned_gram_rows(new_docs, meta["n"], text_col, id_col
+                               ).withColumn(
+        "bucket", F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
+    buckets = [int(r["bucket"]) for r in pos.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(f"{path}/df").filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "gram")
+    hits = (
+        pos.join(idx, ["bucket", "gram"])
+        .select("doc_id", "start")
+        .distinct()
+    )
+    return _apply_span_cuts(new_docs, _fixed_gram_islands(hits, meta["n"]),
+                            text_col, id_col)
+
+
+def scrub_ingest_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """STREAMING ingest scrub: arriving doc files drained through a file
+    stream, each micro-batch scrubbed against the persisted corpus gram
+    index via foreachBatch (replay-guarded append — the shared
+    at-least-once discipline). The output table minus batch_id must equal
+    scrub_against_gram_index over all batches at once: stateless per doc
+    by construction. Returns the started availableNow query."""
+    from hierarchical_bloom_filter_index_spark.streaming.incremental import (
+        replay_guarded_append,
+    )
+
+    def _do(batch_df: DataFrame) -> DataFrame:
+        return scrub_against_gram_index(batch_df, index_path, text_col, id_col)
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: replay_guarded_append(out_path, bdf, bid, _do)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

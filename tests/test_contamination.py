@@ -329,3 +329,70 @@ def test_scrub_keep_first_semantics(spark):
     assert len(got3["b"]) > len(got["b"]), "min_docs=3 must cut less than 2"
     with pytest.raises(ValueError, match="min_docs"):
         X.cross_doc_dup_spans(df, n, min_docs=1)
+
+
+def test_scrub_against_index_vs_local_and_batch_independence(spark, docs, tmp_path):
+    rows = docs.collect()
+    old_rows = [r for r in rows if int(r["doc_id"]) % 3 != 0]
+    new_rows = [r for r in rows if int(r["doc_id"]) % 3 == 0]
+    old = docs.filter(F.col("doc_id").cast("long") % 3 != 0)
+    new = docs.filter(F.col("doc_id").cast("long") % 3 == 0)
+    path = str(tmp_path / "gramidx")
+    X.write_gram_df_index(old, path, N)
+
+    corpus_grams = set()
+    for r in old_rows:
+        t = r["text"]
+        corpus_grams.update(t[i : i + N] for i in range(max(0, len(t) - N + 1)))
+    want = {}
+    for r in new_rows:
+        t = r["text"]
+        rm = [i for i in range(max(0, len(t) - N + 1))
+              if t[i : i + N] in corpus_grams]
+        clean, pos = "", 0
+        for s, e in _local_islands(rm, N):
+            clean += t[pos:s]
+            pos = e
+        want[r["doc_id"]] = clean + t[pos:]
+    got = dict(X.scrub_against_gram_index(new, path).collect())
+    assert got == want
+    assert len(got) == len(new_rows), "whole batch must come back"
+    assert any(got[d] != t for d, t in
+               ((r["doc_id"], r["text"]) for r in new_rows)), "nothing cut — vacuous"
+
+    # batch-boundary independence: two half-batches == the one-shot answer
+    h0 = new.filter(F.col("doc_id").cast("long") % 2 == 0)
+    h1 = new.filter(F.col("doc_id").cast("long") % 2 == 1)
+    split = dict(X.scrub_against_gram_index(h0, path).collect())
+    split.update(dict(X.scrub_against_gram_index(h1, path).collect()))
+    assert split == got
+
+
+def test_scrub_ingest_stream_matches_batch_and_replays_clean(spark, docs, tmp_path):
+    old = docs.filter(F.col("doc_id").cast("long") % 3 != 0)
+    new = docs.filter(F.col("doc_id").cast("long") % 3 == 0)
+    path = str(tmp_path / "gramidx")
+    X.write_gram_df_index(old, path, N)
+    inp, out, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    new.filter(F.col("doc_id").cast("long") % 2 == 0).write.parquet(
+        inp, mode="overwrite")
+    new.filter(F.col("doc_id").cast("long") % 2 == 1).write.parquet(
+        inp, mode="append")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q = X.scrub_ingest_stream(stream, path, out, chk)
+    assert q.awaitTermination(120)
+    want = sorted(map(tuple, X.scrub_against_gram_index(new, path).collect()))
+    got = sorted(map(tuple,
+                     spark.read.parquet(out).select("doc_id", "clean_text").collect()))
+    assert got == want
+
+    # full-replay drill: a FRESH checkpoint redelivers every file; the
+    # replay guard must leave the output byte-identical (no duplicates)
+    stream2 = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q2 = X.scrub_ingest_stream(stream2, path, out, str(tmp_path / "chk2"))
+    assert q2.awaitTermination(120)
+    got2 = sorted(map(tuple,
+                      spark.read.parquet(out).select("doc_id", "clean_text").collect()))
+    assert got2 == want
