@@ -1772,6 +1772,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select("doc_id", "cluster_id", "cluster_sz")
 
 
+def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup clustering: docs in no pair + each
+    component's min-id member — the manifest a dedup pipeline writes
+    shards from. Same pair graph as dedup_clusters; the cut is a
+    left-anti join on ids only, text never moves
+    (operators/dedup.neardup_canonical_corpus)."""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        neardup_canonical_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = _jaccard_pairs_spark(spark, sf_dir, 400000).select("doc_a", "doc_b")
+    return neardup_canonical_corpus(docs, pairs)
+
+
 # Decontamination: bench set = every 97th doc, grams = exact 16-char
 # windows. Small enough to broadcast (the op's stated contract), dense
 # enough in the synthetic corpus to produce real contaminated pairs.
@@ -2283,6 +2298,32 @@ cp AS (
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
         FROM d WHERE length(text) >= {SCRUB_N}))"""
+
+# the exact-Jaccard >= 0.4 pair graph + its recursive connected components
+# (cluster_id = component min) — shared by the dedup_clusters and
+# neardup_canonical_docs twins; callers prepend WITH RECURSIVE
+_JACCARD_CC_CTES = """sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
+        FROM documents)
+), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
 # ingest scrub twin (batch AND streaming share it): the %5-split batch cut
 # against the other 4/5's distinct grams — corpus is the senior keeper
@@ -4179,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "neardup_canonical_docs": q_neardup_canonical_docs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "minhash_lsh_containment": q_minhash_lsh_containment,
         "incremental_neardup_parity": q_incremental_neardup_parity,
@@ -4816,30 +4858,13 @@ WHERE FALSE""",
         # components of the SAME pair graph as dedup_jaccard_pairs, via a
         # recursive transitive closure (fine at oracle scale; the Spark side
         # uses large-star/small-star contraction)
-        "dedup_clusters": """WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
-  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
-               unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
-        FROM documents)
-), sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-p AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sz sa ON sa.doc_id = doc_a
-  JOIN sz sb ON sb.doc_id = doc_b
-  WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000),
-e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
-reach(u, v) AS (
-  SELECT u, v FROM e
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-),
-cc AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+        "dedup_clusters": f"""WITH RECURSIVE {_JACCARD_CC_CTES}
 SELECT doc_id, cluster_id, CAST(c.cnt AS BIGINT) AS cluster_sz
 FROM cc JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM cc GROUP BY 1) c USING (cluster_id)""",
+        "neardup_canonical_docs": f"""WITH RECURSIVE {_JACCARD_CC_CTES}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE CAST(doc_id AS VARCHAR) NOT IN
+      (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""",
         # incremental-dedup parity gates: both are symmetric differences
         # against the equivalent one-shot computation (LSH itself is not
         # SQL-expressible — seeded numpy MinHash — so the hard gate is

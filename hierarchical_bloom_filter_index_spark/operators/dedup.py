@@ -645,3 +645,27 @@ def dedup_clusters(pairs: DataFrame, left: str = "doc_a", right: str = "doc_b") 
         "doc_id", "cluster_id", "cluster_sz",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def neardup_canonical_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """The corpus AFTER near-dup clustering: docs in no pair pass through,
+    and of each connected component only the minimum-id member survives —
+    the manifest a dedup pipeline writes shards from (the near-dup
+    counterpart of contamination.clean_corpus's exact-dedup leg). Columns
+    = ``docs``'s, untouched. Shapes: the cluster computation is
+    connected_components' edge-only shuffles (O(log^2) rounds); the final
+    cut is a left-anti join on ids only — the corpus text never moves."""
+    losers = (
+        dedup_clusters(pairs, left, right)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias("__loser_id"))
+    )
+    return docs.join(
+        losers, docs[id_col] == losers["__loser_id"], "left_anti"
+    )

@@ -85,3 +85,24 @@ def test_dedup_clusters_keep_drop_contract(spark):
     # exactly one canonical per cluster
     canon = [r for r in rows.values() if r["is_canonical"]]
     assert len(canon) == 2
+
+
+def test_neardup_canonical_corpus(spark):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        neardup_canonical_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d in ["d0", "d1", "d2", "e5", "e7", "solo"]],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("d1", "d0"), ("d1", "d2"), ("e7", "e5")],
+        "doc_a string, doc_b string")
+    kept = neardup_canonical_corpus(docs, pairs)
+    assert kept.columns == ["doc_id", "text"], "docs columns must pass through"
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # min of each component + the doc in no pair survive, text untouched
+    assert got == {"d0": "text d0", "e5": "text e5", "solo": "text solo"}
+    # empty pair graph: everything survives
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert neardup_canonical_corpus(docs, empty).count() == 6
