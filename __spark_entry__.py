@@ -3150,6 +3150,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SAMPLE_SEED)
 
 
+def q_short_doc_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUALITY PRUNING: drop each source's shortest decile —
+    rank by (length, doc_id) within source, cut floor(n/10) rows. The
+    rational cutoff keeps the integer rank arithmetic bit-identical
+    across engines; one window exchange, no collects
+    (operators/sampling.drop_bottom_quantile)."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        drop_bottom_quantile,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("int").alias("n_chars"))
+    return drop_bottom_quantile(docs, "n_chars", 1, 10, group_col="source")
+
+
 def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN/VAL/TEST SPLIT: the u64 hash space range-partitioned by
     cumulative fraction — every doc lands in exactly one split, and the
@@ -4159,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_source": q_hll_distinct_by_source,
         "bottomk_tokens": q_bottomk_tokens,
         "stratified_sample_docs": q_stratified_sample,
+        "short_doc_pruned": q_short_doc_pruned,
         "dataset_splits": q_dataset_splits,
         "docs_topn_hash": q_docs_topn_hash,
         "mixture_manifest_docs": q_mixture_manifest,
@@ -4998,6 +5014,16 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 4""",
         # smallest priority; HOPS = the min-priority token of each of the 2^b
         # buckets (bucket = top b bits, priority = low 64-b bits)
         "stratified_sample_docs": _stratified_oracle(),
+        "short_doc_pruned": """WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS INTEGER) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d)
+SELECT doc_id, source, n_chars FROM r WHERE rk > (n * 1) // 10""",
         "dataset_splits": _splits_oracle(),
         "docs_topn_hash": _topn_oracle(),
         "mixture_manifest_docs": _mixture_oracle(),

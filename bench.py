@@ -249,6 +249,10 @@ def main() -> None:
         "events_asof_purchase",
         # deterministic stratified sample (zero-shuffle narrow plan)
         "stratified_sample_docs",
+        # per-source bottom-decile quality cut (one window exchange)
+        "short_doc_pruned",
+        # corpus after near-dup clustering (components + left-anti cut)
+        "neardup_canonical_docs",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -442,3 +442,42 @@ def epoch_key_udf(seed: int, epoch: int):
         )
 
     return ekey
+
+
+def drop_bottom_quantile(
+    df: DataFrame,
+    metric_col: str,
+    frac_num: int,
+    frac_den: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group QUALITY PRUNING: drop each group's bottom
+    floor(n * frac_num / frac_den) rows by (metric, id) rank — the
+    C4-style 'cut the worst decile per source' gate, made deterministic:
+    ties break on id, the fraction is a RATIONAL so the cutoff is integer
+    arithmetic (float rank math rounds differently across engines), and a
+    row's fate depends only on the group's sorted multiset. frac 0 keeps
+    everything; frac_num >= frac_den (drop all) is refused — an empty
+    corpus is never what a pipeline wants from a quality gate.
+
+    Shape: ONE window exchange per group (row_number and the group count
+    share the partitionBy(group) sort); the filter is a codegen'd integer
+    comparison. No driver collects, no second shuffle."""
+    from pyspark.sql import Window
+
+    if frac_num < 0 or frac_den <= 0:
+        raise ValueError("drop_bottom_quantile: need frac_num >= 0, frac_den > 0")
+    if frac_num >= frac_den:
+        raise ValueError(
+            "drop_bottom_quantile: frac_num/frac_den >= 1 would drop every row")
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(metric_col).asc(), F.col(id_col).asc())
+    wn = Window.partitionBy(*part)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.expr(f"__rk > (__n * {int(frac_num)}) div {int(frac_den)}"))
+        .drop("__rk", "__n")
+    )

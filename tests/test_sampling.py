@@ -317,3 +317,40 @@ def test_pack_training_sequences(spark):
     assert sorted(eids) == sorted(r["doc_id"] for r in rows)
     assert eids != [d for sid in sorted(want) for d, _ in want[sid]]
     corp.unpersist()
+
+
+def test_drop_bottom_quantile(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        drop_bottom_quantile,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source",
+        F.length("text").cast("int").alias("m"))
+    rows = df.collect()
+    for num, den in ((1, 10), (1, 3), (0, 7)):
+        got = {r["doc_id"] for r in
+               drop_bottom_quantile(df, "m", num, den, group_col="source").collect()}
+        want = set()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["source"], []).append((r["m"], r["doc_id"]))
+        for members in groups.values():
+            members.sort()
+            cut = (len(members) * num) // den
+            want.update(d for _m, d in members[cut:])
+        assert got == want, (num, den)
+    # frac 0 keeps everything; >= 1 refused
+    assert drop_bottom_quantile(df, "m", 0, 5, group_col="source").count() == len(rows)
+    with pytest.raises(ValueError, match="drop every row"):
+        drop_bottom_quantile(df, "m", 5, 5, group_col="source")
+    with pytest.raises(ValueError, match="frac_num"):
+        drop_bottom_quantile(df, "m", -1, 5, group_col="source")
+    # ungrouped form: one global cut
+    g = drop_bottom_quantile(df, "m", 1, 4, group_col=None)
+    allm = sorted((r["m"], r["doc_id"]) for r in rows)
+    cut = len(allm) // 4
+    assert {r["doc_id"] for r in g.collect()} == {d for _m, d in allm[cut:]}
+    # plan: both windows must share ONE exchange
+    plan = drop_bottom_quantile(df, "m", 1, 10, group_col="source")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
