@@ -127,6 +127,17 @@ SWEEP = [
     "corpus_quality_report",
     "packed_sequences",
     "incremental_neardup_parity",
+    # round-4i additions: cross-doc exact substring dedup (one linear
+    # gram-stats shuffle; Caesar replicas keep dup structure per-replica, so
+    # dup positions scale 5x), ingest scrub vs the persisted gram index
+    # (index build included), near-dup canonical manifest (components over
+    # 5x the cliques), and the per-source bottom-decile cut (one window
+    # exchange over a 5x corpus)
+    "crossdoc_dup_spans",
+    "scrub_crossdoc_docs",
+    "scrub_ingest_docs",
+    "neardup_canonical_docs",
+    "short_doc_pruned",
 ]
 
 
