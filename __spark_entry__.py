@@ -1787,6 +1787,25 @@ def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_canonical_corpus(docs, pairs)
 
 
+def q_neardup_canonical_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the canonical manifest: same composition fed by
+    the banded MinHash-LSH pair graph instead of the exact-Jaccard oracle
+    graph (which is quadratic on this self-similar corpus and exists for
+    the SQL twin only). no_oracle: LSH is seeded numpy, not
+    SQL-expressible — the pair graph itself is containment-gated by
+    minhash_lsh_containment, and the composition is the oracle-checked
+    neardup_canonical_docs."""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        neardup_canonical_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.8, n_perm=128, bands=16
+    ).select(F.col("doc_a").cast("string"), F.col("doc_b").cast("string"))
+    return neardup_canonical_corpus(docs, pairs)
+
+
 # Decontamination: bench set = every 97th doc, grams = exact 16-char
 # windows. Small enough to broadcast (the op's stated contract), dense
 # enough in the synthetic corpus to produce real contaminated pairs.
@@ -4237,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "neardup_canonical_docs": q_neardup_canonical_docs,
+        "neardup_canonical_lsh": q_neardup_canonical_lsh,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "minhash_lsh_containment": q_minhash_lsh_containment,
         "incremental_neardup_parity": q_incremental_neardup_parity,

@@ -136,7 +136,7 @@ SWEEP = [
     "crossdoc_dup_spans",
     "scrub_crossdoc_docs",
     "scrub_ingest_docs",
-    "neardup_canonical_docs",
+    "neardup_canonical_lsh",
     "short_doc_pruned",
 ]
 
@@ -218,11 +218,23 @@ def main() -> None:
         E._planner_inputs(spark, sf_dir)
         result[tag]["index_build"] = round(time.time() - t0, 3)
         qmap["hbi_pattern_rare"](spark, sf_dir).count()  # routed-query warmup
+        # count() alone cannot time the scrubs: Spark 4 eliminates the
+        # unique-key left join when only the row count is observed (the
+        # pipeline collapses to the corpus scan) — force the output column
+        force_col = {"scrub_crossdoc_docs": "clean_text",
+                     "scrub_ingest_docs": "clean_text"}
         for name in sweep:
             best, n = float("inf"), 0
             for _ in range(reps):
                 t0 = time.time()
-                n = qmap[name](spark, sf_dir).count()
+                df = qmap[name](spark, sf_dir)
+                if name in force_col:
+                    n = df.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.length(force_col[name])).alias("s"),
+                    ).first()["n"]
+                else:
+                    n = df.count()
                 best = min(best, time.time() - t0)
             result[tag][name] = round(best, 3)
             result["rows"].setdefault(name, {})[tag] = n
