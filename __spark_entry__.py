@@ -2307,6 +2307,51 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCRUB_N = 24  # 16-char grams mark EVERY sf0.01 doc; 24 leaves ~40% untouched
 
+
+def _gram_islands_cte(hits: str, n: int) -> str:
+    """``isl`` CTE: fixed-length gaps-and-islands over a (doc_id, s) hit
+    CTE — THE SQL twin of contamination._fixed_gram_islands; every span
+    oracle composes this one definition."""
+    return f"""isl AS (
+  SELECT doc_id, s,
+         SUM(CASE WHEN s > lag_s + {n} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
+        FROM {hits}))"""
+
+
+def _spans_select_sql(hits: str, n: int) -> str:
+    """islands -> (doc_id, span_start, span_end) — the tail of every
+    span-audit oracle."""
+    return f"""{_gram_islands_cte(hits, n)}
+SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(s) + {n} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, island"""
+
+
+def _scrub_select_sql(hits: str, docs: str, n: int) -> str:
+    """islands -> merged spans -> segment surgery -> (doc_id, clean_text)
+    for EVERY doc of the ``docs`` CTE (untouched docs verbatim) — the SQL
+    twin of _fixed_gram_islands + _apply_span_cuts, shared by all scrub
+    oracles."""
+    return f"""{_gram_islands_cte(hits, n)}, sp AS (
+  SELECT doc_id, MIN(s) AS s, MAX(s) + {n} AS e FROM isl GROUP BY doc_id, island
+), segs AS (
+  SELECT sp.doc_id, sp.s AS ord, substring(d2.text, prev_e + 1, sp.s - prev_e) AS seg
+  FROM (SELECT doc_id, s, e,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+        FROM sp) sp JOIN {docs} d2 USING (doc_id)
+), tails AS (
+  SELECT sp.doc_id, length(d2.text) AS ord, substring(d2.text, MAX(sp.e) + 1) AS seg
+  FROM sp JOIN {docs} d2 USING (doc_id) GROUP BY sp.doc_id, d2.text
+), scrubbed AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+  FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails) GROUP BY doc_id
+)
+SELECT d3.doc_id, COALESCE(sc.clean_text, d3.text) AS clean_text
+FROM {docs} d3 LEFT JOIN scrubbed sc USING (doc_id)"""
+
+
 # positioned 24-gram stream over the whole corpus (0-based starts) — the
 # shared head of both cross-doc dedup oracles
 _SCRUB_CP_CTE = f"""d AS (
@@ -2362,28 +2407,7 @@ cp AS (
         FROM documents WHERE doc_id % 5 <> 0 AND length(text) >= {SCRUB_N})
 ), rm AS (
   SELECT DISTINCT cp.doc_id, s FROM cp JOIN eg USING (g)
-), isl AS (
-  SELECT doc_id, s,
-         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
-  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
-        FROM rm)
-), sp AS (
-  SELECT doc_id, MIN(s) AS s, MAX(s) + {SCRUB_N} AS e FROM isl GROUP BY doc_id, island
-), segs AS (
-  SELECT sp.doc_id, sp.s AS ord, substring(nd.text, prev_e + 1, sp.s - prev_e) AS seg
-  FROM (SELECT doc_id, s, e,
-               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
-        FROM sp) sp JOIN nd USING (doc_id)
-), tails AS (
-  SELECT sp.doc_id, length(nd.text) AS ord, substring(nd.text, MAX(sp.e) + 1) AS seg
-  FROM sp JOIN nd USING (doc_id) GROUP BY sp.doc_id, nd.text
-), scrubbed AS (
-  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
-  FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails) GROUP BY doc_id
-)
-SELECT nd.doc_id, COALESCE(sc.clean_text, nd.text) AS clean_text
-FROM nd LEFT JOIN scrubbed sc USING (doc_id)"""
+), {_scrub_select_sql("rm", "nd", SCRUB_N)}"""
 
 
 def q_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4110,6 +4134,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pattern(PAT_PRESENT)(spark, "/root/testdata/sf0.001")
 
 
+# Queries whose plan ends in a unique-key LEFT JOIN: Spark 4 eliminates
+# that join under a bare .count() (the whole pipeline collapses to the
+# corpus scan — measured 0.2s for 5.3s of real work), so timing harnesses
+# must force the named output column through an aggregate. bench.py and
+# scripts/measure_query_scaling.py consume this — register any new
+# scrub-like query HERE, next to its queries() entry, not in the harnesses.
+FORCE_OUTPUT_COLS = {
+    "scrub_crossdoc_docs": "clean_text",
+    "scrub_ingest_docs": "clean_text",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HBI core (SURVEY §2.1/2.3/2.4)
@@ -4800,60 +4836,19 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
 ), hits AS (
   SELECT DISTINCT cp.doc_id, s FROM cp JOIN bg USING (g)
   WHERE cp.doc_id <> bg.bench_id
-), isl AS (
-  SELECT doc_id, s,
-         SUM(CASE WHEN s > lag_s + {DECON_N} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
-  FROM (SELECT doc_id, s,
-               LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
-        FROM hits)
-)
-SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
-       CAST(MAX(s) + {DECON_N} AS INTEGER) AS span_end
-FROM isl GROUP BY doc_id, island""",
+), {_spans_select_sql("hits", DECON_N)}""",
         "crossdoc_dup_spans": f"""WITH {_SCRUB_CP_CTE}, gs AS (
-  SELECT g, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
-  FROM cp GROUP BY g
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM cp GROUP BY g
 ), hits AS (
   SELECT DISTINCT cp.doc_id, s FROM cp JOIN gs USING (g) WHERE gs.nd >= 2
-), isl AS (
-  SELECT doc_id, s,
-         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
-  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
-        FROM hits)
-)
-SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
-       CAST(MAX(s) + {SCRUB_N} AS INTEGER) AS span_end
-FROM isl GROUP BY doc_id, island""",
+), {_spans_select_sql("hits", SCRUB_N)}""",
         "scrub_crossdoc_docs": f"""WITH {_SCRUB_CP_CTE}, gs AS (
   SELECT g, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
   FROM cp GROUP BY g
 ), rm AS (
   SELECT DISTINCT cp.doc_id, s FROM cp JOIN gs USING (g)
   WHERE gs.nd >= 2 AND cp.doc_id <> gs.keeper
-), isl AS (
-  SELECT doc_id, s,
-         SUM(CASE WHEN s > lag_s + {SCRUB_N} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
-  FROM (SELECT doc_id, s, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS lag_s
-        FROM rm)
-), sp AS (
-  SELECT doc_id, MIN(s) AS s, MAX(s) + {SCRUB_N} AS e FROM isl GROUP BY doc_id, island
-), segs AS (
-  SELECT sp.doc_id, sp.s AS ord, substring(d.text, prev_e + 1, sp.s - prev_e) AS seg
-  FROM (SELECT doc_id, s, e,
-               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
-        FROM sp) sp JOIN d USING (doc_id)
-), tails AS (
-  SELECT sp.doc_id, length(d.text) AS ord, substring(d.text, MAX(sp.e) + 1) AS seg
-  FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id, d.text
-), scrubbed AS (
-  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
-  FROM (SELECT * FROM segs UNION ALL SELECT * FROM tails) GROUP BY doc_id
-)
-SELECT d.doc_id, COALESCE(sc.clean_text, d.text) AS clean_text
-FROM d LEFT JOIN scrubbed sc USING (doc_id)""",
+), {_scrub_select_sql("rm", "d", SCRUB_N)}""",
         "scrub_ingest_docs": _SCRUB_INGEST_SQL,
         "scrub_ingest_stream": _SCRUB_INGEST_SQL,
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},

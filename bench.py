@@ -266,9 +266,8 @@ def main() -> None:
     # count() CANNOT time these: Spark 4 eliminates a left join whose right
     # side has unique keys when only the row count is observed, so the scrub
     # pipelines would collapse to the corpus scan (measured: 0.2s vs the
-    # real 5s). Timing forces the named output column through an aggregate.
-    force_col = {"scrub_crossdoc_docs": "clean_text",
-                 "scrub_ingest_docs": "clean_text"}
+    # real 5s). The registry lives next to queries() — ONE definition.
+    force_col = getattr(E, "FORCE_OUTPUT_COLS", {})
     for name in names:
         best, n = float("inf"), 0
         for _ in range(reps):  # steady state: first run pays worker warm-up

@@ -265,8 +265,6 @@ def contamination_spans(
 
     One broadcast gram join (positions kept, NOT deduped — every hit
     matters for coverage), one partitionBy(doc) window exchange."""
-    from pyspark.sql import Window
-
     bg = _gram_rows(bench, n, text_col, bench_id_col, "bench_id")
     cpos = positioned_gram_rows(docs, n, text_col, id_col)
     hits = (
@@ -287,7 +285,12 @@ def _fixed_gram_islands(hits: DataFrame, n: int) -> DataFrame:
     start > lag(start)+n; island ids = running sum of breaks). ``hits``
     must already be distinct per (doc_id, start). One partitionBy(doc)
     window exchange; variable-length intervals belong to
-    repetition.merge_intervals instead."""
+    repetition.merge_intervals instead. Duplicate (doc_id, start) rows are
+    TOLERATED (an equal start can never satisfy start > lag+n, so it joins
+    the same island and min/max are unchanged) — they only cost window
+    rows, so dedupe upstream when the producer can emit several witnesses
+    per position (contamination_spans) and skip it when the join is
+    provably 1:1 (the cross-doc family)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("start")
@@ -310,24 +313,29 @@ def _fixed_gram_islands(hits: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _dup_gram_stats(pos: DataFrame, min_docs: int) -> DataFrame:
-    """(gram, keeper) for every gram occurring in >= ``min_docs`` DISTINCT
+def _dup_gram_stats(pos: DataFrame, min_docs: int,
+                    keeper: bool = True) -> DataFrame:
+    """(gram[, keeper]) for every gram occurring in >= ``min_docs`` DISTINCT
     docs of the positioned-gram stream; ``keeper`` = MIN(doc_id) over the
     gram's owners (the canonical doc whose occurrences survive a
-    keep-first scrub). The (gram, doc) dedupe + groupBy is the one
-    linear-in-corpus shuffle of the cross-doc family — the novelty_scores
-    shape; the gram string rides that shuffle once, exactly like
-    clean_corpus's keeper grouping. A boilerplate gram owned by every doc
-    is one hot key — AQE skew-join splitting applies downstream."""
+    keep-first scrub) — skipped when the caller only needs the dup-gram
+    set. The (gram, doc) dedupe + groupBy is the one linear-in-corpus
+    shuffle of the cross-doc family — the novelty_scores shape; the gram
+    string rides that shuffle once, exactly like clean_corpus's keeper
+    grouping. A boilerplate gram owned by every doc is one hot key — AQE
+    skew-join splitting applies downstream."""
     if min_docs < 2:
         raise ValueError("_dup_gram_stats: min_docs must be >= 2 "
                          "(a 1-doc 'duplicate' would scrub every doc)")
+    aggs = [F.count(F.lit(1)).alias("nd")]
+    if keeper:
+        aggs.append(F.min("doc_id").alias("keeper"))
     return (
         pos.select("doc_id", "gram").distinct()
         .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("keeper"))
+        .agg(*aggs)
         .filter(F.col("nd") >= min_docs)
-        .select("gram", "keeper")
+        .drop("nd")
     )
 
 
@@ -353,8 +361,11 @@ def cross_doc_dup_spans(
     a position×position self-join would have. Downstream work is bounded
     by the DUPLICATED positions only."""
     pos = positioned_gram_rows(docs, n, text_col, id_col)
-    dup = _dup_gram_stats(pos, min_docs).select("gram")
-    hits = pos.join(dup, "gram").select("doc_id", "start").distinct()
+    dup = _dup_gram_stats(pos, min_docs, keeper=False)
+    # no distinct: pos is unique per (doc, start) and dup unique per gram,
+    # so the join emits each position at most once (unlike the vs-bench
+    # contamination_spans, where several bench docs witness one position)
+    hits = pos.join(dup, "gram").select("doc_id", "start")
     return _fixed_gram_islands(hits, n)
 
 
@@ -387,11 +398,10 @@ def scrub_cross_doc_spans(
     and touches no text twice."""
     pos = positioned_gram_rows(docs, n, text_col, id_col)
     stats = _dup_gram_stats(pos, min_docs)
-    removed = (
+    removed = (  # 1:1 join (stats unique per gram) — no dedupe needed
         pos.join(stats, "gram")
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "start")
-        .distinct()
     )
     return _apply_span_cuts(docs, _fixed_gram_islands(removed, n),
                             text_col, id_col)
@@ -454,11 +464,8 @@ def scrub_against_gram_index(
     idx = spark.read.parquet(f"{path}/df").filter(
         F.col("bucket").isin(buckets)).select(
         F.col("bucket").cast("long").alias("bucket"), "gram")
-    hits = (
-        pos.join(idx, ["bucket", "gram"])
-        .select("doc_id", "start")
-        .distinct()
-    )
+    # 1:1 join (the df index has one row per gram) — no dedupe needed
+    hits = pos.join(idx, ["bucket", "gram"]).select("doc_id", "start")
     return _apply_span_cuts(new_docs, _fixed_gram_islands(hits, meta["n"]),
                             text_col, id_col)
 

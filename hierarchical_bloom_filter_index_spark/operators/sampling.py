@@ -463,7 +463,10 @@ def drop_bottom_quantile(
 
     Shape: ONE window exchange per group (row_number and the group count
     share the partitionBy(group) sort); the filter is a codegen'd integer
-    comparison. No driver collects, no second shuffle."""
+    comparison. No driver collects, no second shuffle. NB the UNGROUPED
+    form (group_col=None) is a single global window — every row
+    serializes through one task; fine for small frames, but at scale
+    always pass a group_col (the per-stratum cut is the pipeline op)."""
     from pyspark.sql import Window
 
     if frac_num < 0 or frac_den <= 0:
