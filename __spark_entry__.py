@@ -2467,6 +2467,32 @@ def q_scrub_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.scrub_against_gram_index(new, _scrub_index_path(spark, sf_dir))
 
 
+def q_gram_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for incremental gram-df maintenance: index(old) +
+    append(new) must equal the scratch rebuild over old ∪ new
+    row-for-row — df is additive over disjoint doc sets, and the append
+    rewrites ONLY the touched bucket directories (dynamic partition
+    overwrite). Empty symmetric difference; empty-relation oracle
+    (operators/contamination.append_gram_df_index)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, old = _neardup_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_gramappend_")
+    X.write_gram_df_index(old, f"{base}/inc", DECON_N)
+    X.append_gram_df_index(new, f"{base}/inc")
+    X.write_gram_df_index(_docs(spark, sf_dir).select("doc_id", "text"),
+                          f"{base}/full", DECON_N)
+    a = spark.read.parquet(f"{base}/inc/df").select(
+        F.col("bucket").cast("long").alias("bucket"), "gram",
+        F.col("df").cast("long").alias("df"))
+    b = spark.read.parquet(f"{base}/full/df").select(
+        F.col("bucket").cast("long").alias("bucket"), "gram",
+        F.col("df").cast("long").alias("df"))
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_scrub_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingest scrub: the batch drained through a file stream in
     two appends, each micro-batch scrubbed against the static gram index
@@ -4287,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_crossdoc_docs": q_scrub_crossdoc_docs,
         "scrub_ingest_docs": q_scrub_ingest_docs,
         "scrub_ingest_stream": q_scrub_ingest_stream,
+        "gram_index_append_parity": q_gram_index_append_parity,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4851,6 +4878,9 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
 ), {_scrub_select_sql("rm", "d", SCRUB_N)}""",
         "scrub_ingest_docs": _SCRUB_INGEST_SQL,
         "scrub_ingest_stream": _SCRUB_INGEST_SQL,
+        "gram_index_append_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
+WHERE FALSE""",
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},
 m AS (
   SELECT doc_id

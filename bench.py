@@ -194,6 +194,9 @@ def main() -> None:
         # ingest-time scrub vs the PERSISTED gram index (bucket-pruned read;
         # timing includes writing the index on the first rep, cached after)
         "scrub_ingest_docs",
+        # incremental gram-df maintenance gate (two index writes + an
+        # append + the symmetric difference — a parity gate, not a query)
+        "gram_index_append_parity",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest

@@ -168,6 +168,60 @@ def write_gram_df_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_gram_df_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """INCREMENTAL maintenance of the gram-df index: merge an ingestion
+    batch's per-doc-distinct gram counts into the persisted table,
+    rewriting ONLY the bucket directories the batch's grams hash into
+    (dynamic partition overwrite — untouched buckets' files are never
+    read or written). Returns the number of buckets rewritten.
+
+    df is ADDITIVE over disjoint doc sets, so appending batch B to an
+    index of corpus C equals rebuilding over C ∪ B row-for-row (parity
+    is a driver hard gate), and appends associate — two half-batches
+    equal one. The ingest contract is doc-id disjointness: re-appending
+    docs already counted would double their grams (exact dedup is the
+    caller's gate, clean_corpus). Geometry (n, n_buckets) comes from the
+    pinned meta, never the caller. The merged buckets are materialized
+    (localCheckpoint) BEFORE the overwrite — Spark cannot overwrite a
+    path that still feeds the running plan. Not concurrent-safe with an
+    in-flight reader of the same buckets (the compaction discipline)."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    bg = (
+        _gram_rows(new_docs, meta["n"], text_col, id_col, "doc_id")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
+    )
+    buckets = [int(r["bucket"]) for r in bg.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    old = spark.read.parquet(f"{path}/df").filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "gram", "df")
+    merged = (
+        bg.select("bucket", "gram", "df").unionByName(old)
+        .groupBy("bucket", "gram")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .select("gram", "df", "bucket")
+        .repartition("bucket")
+        .localCheckpoint()
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{path}/df")
+    )
+    return len(buckets)
+
+
 def novelty_against_index(
     new_docs: DataFrame,
     path: str,

@@ -396,3 +396,35 @@ def test_scrub_ingest_stream_matches_batch_and_replays_clean(spark, docs, tmp_pa
     got2 = sorted(map(tuple,
                       spark.read.parquet(out).select("doc_id", "clean_text").collect()))
     assert got2 == want
+
+
+def test_gram_index_append_parity_and_pruning(spark, docs, tmp_path):
+    """append_gram_df_index: parity vs scratch rebuild, two-batch
+    associativity, empty-batch no-op, and bucket PRUNING (untouched
+    bucket files are not rewritten)."""
+    import glob
+    import os
+
+    old = docs.filter(F.col("doc_id").cast("long") % 3 != 0)
+    new = docs.filter(F.col("doc_id").cast("long") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    X.write_gram_df_index(old, inc, N, n_buckets=64)
+    pre = {p: os.path.getmtime(p)
+           for p in glob.glob(f"{inc}/df/bucket=*/*.parquet")}
+    # a single tiny doc touches FEW buckets — the pruning case
+    one = new.orderBy("doc_id").limit(1)
+    nb = X.append_gram_df_index(one, inc)
+    assert 0 < nb < 64, f"one doc should touch a strict subset, got {nb}"
+    post = {p: os.path.getmtime(p)
+            for p in glob.glob(f"{inc}/df/bucket=*/*.parquet")}
+    untouched = [p for p in pre if p in post and pre[p] == post[p]]
+    assert untouched, "append must leave untouched bucket files alone"
+    # the rest of the batch, then parity vs the scratch rebuild
+    rest = new.join(one.select("doc_id"), "doc_id", "left_anti")
+    X.append_gram_df_index(rest, inc)
+    X.write_gram_df_index(docs, full, N, n_buckets=64)
+    a = spark.read.parquet(f"{inc}/df").select("bucket", "gram", "df")
+    b = spark.read.parquet(f"{full}/df").select("bucket", "gram", "df")
+    assert a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    # empty batch: no-op, no buckets rewritten
+    assert X.append_gram_df_index(new.filter(F.lit(False)), inc) == 0
