@@ -2493,6 +2493,50 @@ def q_gram_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_gram_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for STREAMING gram-df maintenance: the batch drained as
+    exactly-once delta commits (one per micro-batch, _SUCCESS probe =
+    replay guard) must make the LIVE table (base + deltas) equal the
+    scratch rebuild — and stay equal after compaction folds the deltas
+    into the bucket layout. Both symmetric differences returned (empty
+    oracle) (operators/contamination.gram_df_index_stream /
+    compact_gram_df_index / _gram_df_table)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, old = _neardup_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_gramstream_")
+    X.write_gram_df_index(old, f"{base}/inc", DECON_N)
+    half = _doc_num("doc_id") % 2
+    new.filter(half == 0).write.mode("overwrite").parquet(f"{base}/in")
+    new.filter(half == 1).write.mode("append").parquet(f"{base}/in")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{base}/in")
+    q = X.gram_df_index_stream(stream, f"{base}/inc", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("gram_stream_parity: availableNow drain exceeded 300s")
+    X.write_gram_df_index(_docs(spark, sf_dir).select("doc_id", "text"),
+                          f"{base}/full", DECON_N)
+    n_buckets = spark.read.parquet(f"{base}/inc/meta").first()["n_buckets"]
+    all_buckets = list(range(int(n_buckets)))
+    want = spark.read.parquet(f"{base}/full/df").select(
+        F.col("bucket").cast("long").alias("bucket"), "gram",
+        F.col("df").cast("long").alias("df"))
+    live = X._gram_df_table(spark, f"{base}/inc", all_buckets).select(
+        "bucket", "gram", F.col("df").cast("long").alias("df"))
+    # materialize BEFORE compaction rewrites the base files this plan reads
+    pre = live.exceptAll(want).unionByName(want.exceptAll(live)).localCheckpoint()
+    n_folded = X.compact_gram_df_index(spark, f"{base}/inc")
+    if n_folded == 0:
+        raise AssertionError("gram_stream_parity: no delta commits to fold")
+    post_live = X._gram_df_table(spark, f"{base}/inc", all_buckets).select(
+        "bucket", "gram", F.col("df").cast("long").alias("df"))
+    post = post_live.exceptAll(want).unionByName(want.exceptAll(post_live))
+    return pre.unionByName(post)
+
+
 def q_scrub_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingest scrub: the batch drained through a file stream in
     two appends, each micro-batch scrubbed against the static gram index
@@ -4314,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_ingest_docs": q_scrub_ingest_docs,
         "scrub_ingest_stream": q_scrub_ingest_stream,
         "gram_index_append_parity": q_gram_index_append_parity,
+        "gram_stream_parity": q_gram_stream_parity,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4879,6 +4924,9 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
         "scrub_ingest_docs": _SCRUB_INGEST_SQL,
         "scrub_ingest_stream": _SCRUB_INGEST_SQL,
         "gram_index_append_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
+WHERE FALSE""",
+        "gram_stream_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,
        CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
 WHERE FALSE""",
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},

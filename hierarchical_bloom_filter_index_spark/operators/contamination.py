@@ -222,6 +222,114 @@ def append_gram_df_index(
     return len(buckets)
 
 
+def _gram_df_table(spark, path: str, buckets: list[int]) -> DataFrame:
+    """The LIVE gram-df table restricted to ``buckets``: the compacted
+    base plus any pending DELTA commits, summed per (bucket, gram) —
+    THE one read-side definition every index consumer (novelty, ingest
+    scrub) composes. With no pending deltas the plan is exactly the
+    base read (no extra shuffle)."""
+    import glob as _glob
+
+    base = spark.read.parquet(f"{path}/df").filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "gram", "df")
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return base
+    d = spark.read.parquet(*deltas).filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "gram", "df")
+    return (
+        base.unionByName(d)
+        .groupBy("bucket", "gram")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+
+
+def append_gram_df_delta(new_docs: DataFrame, path: str, batch_id: int,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> bool:
+    """EXACTLY-ONCE delta commit of an ingestion batch's gram counts:
+    the batch's (gram, df, bucket) partial lands in
+    ``path/delta/batch={id}``; a completed commit (_SUCCESS present) is
+    skipped on redelivery — sound because this write is the commit's
+    ONLY effect, unlike append_gram_df_index's read-merge-overwrite,
+    which is NOT replay-idempotent and belongs to planned maintenance,
+    not at-least-once streams. A torn directory from a crash (no
+    _SUCCESS) is simply overwritten by the retry. Returns True iff the
+    commit ran; empty batches commit nothing (re-running them is a
+    no-op either way)."""
+    import os
+
+    dest = f"{path}/delta/batch={int(batch_id)}"
+    if os.path.exists(f"{dest}/_SUCCESS"):
+        return False
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    bg = (
+        _gram_rows(new_docs, meta["n"], text_col, id_col, "doc_id")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
+    )
+    if bg.isEmpty():
+        return False
+    bg.select("gram", "df", "bucket").write.mode("overwrite").parquet(dest)
+    return True
+
+
+def gram_df_index_stream(stream: DataFrame, path: str, checkpoint_path: str,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """STREAMING maintenance of the gram-df index: each micro-batch lands
+    as one exactly-once delta commit (append_gram_df_delta — the batch_id
+    _SUCCESS probe IS the replay guard); readers see base + deltas live
+    through _gram_df_table; compact_gram_df_index folds the tail back
+    into the bucket layout. Returns the started availableNow query."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: append_gram_df_delta(bdf, path, bid,
+                                                  text_col, id_col)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_gram_df_index(spark, path: str) -> int:
+    """Fold every pending delta commit into the bucket-partitioned base
+    (touched buckets only, dynamic partition overwrite — the
+    append_gram_df_index shape) and drop the delta directories. The live
+    table (_gram_df_table) is byte-identical before and after by
+    construction. NOT concurrent-safe with an active stream or an
+    in-flight reader of the touched buckets (the compaction discipline).
+    Returns the number of delta commits folded."""
+    import glob as _glob
+    import shutil
+
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return 0
+    d = spark.read.parquet(*deltas)
+    buckets = [int(r["bucket"]) for r in d.select("bucket").distinct().collect()]
+    merged = (
+        _gram_df_table(spark, path, buckets)
+        .select("gram", "df", "bucket")
+        .repartition("bucket")
+        .localCheckpoint()
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{path}/df")
+    )
+    for dd in deltas:
+        shutil.rmtree(dd)
+    return len(deltas)
+
+
 def novelty_against_index(
     new_docs: DataFrame,
     path: str,
@@ -246,9 +354,7 @@ def novelty_against_index(
     cg = _gram_rows(new_docs, meta["n"], text_col, id_col, "doc_id").withColumn(
         "bucket", F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
     buckets = [int(r["bucket"]) for r in cg.select("bucket").distinct().collect()]
-    idx = spark.read.parquet(f"{path}/df").filter(
-        F.col("bucket").isin(buckets)).select(
-        F.col("bucket").cast("long").alias("bucket"), "gram", "df")
+    idx = _gram_df_table(spark, path, buckets)
     return (
         cg.join(idx, ["bucket", "gram"], "left")
         .groupBy("doc_id")
@@ -515,10 +621,9 @@ def scrub_against_gram_index(
                                ).withColumn(
         "bucket", F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
     buckets = [int(r["bucket"]) for r in pos.select("bucket").distinct().collect()]
-    idx = spark.read.parquet(f"{path}/df").filter(
-        F.col("bucket").isin(buckets)).select(
-        F.col("bucket").cast("long").alias("bucket"), "gram")
-    # 1:1 join (the df index has one row per gram) — no dedupe needed
+    idx = _gram_df_table(spark, path, buckets).select("bucket", "gram")
+    # 1:1 join (the live table has one row per gram: the base is unique
+    # by construction and the delta path re-groups) — no dedupe needed
     hits = pos.join(idx, ["bucket", "gram"]).select("doc_id", "start")
     return _apply_span_cuts(new_docs, _fixed_gram_islands(hits, meta["n"]),
                             text_col, id_col)

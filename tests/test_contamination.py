@@ -428,3 +428,62 @@ def test_gram_index_append_parity_and_pruning(spark, docs, tmp_path):
     assert a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
     # empty batch: no-op, no buckets rewritten
     assert X.append_gram_df_index(new.filter(F.lit(False)), inc) == 0
+
+
+def test_gram_df_stream_deltas_replay_and_compaction(spark, docs, tmp_path):
+    """Streaming gram-df maintenance: exactly-once delta commits, live
+    reads through pending deltas, full-replay idempotence, torn-commit
+    recovery, and compaction byte-parity."""
+    import glob
+    import os
+
+    old = docs.filter(F.col("doc_id").cast("long") % 3 != 0)
+    new = docs.filter(F.col("doc_id").cast("long") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    X.write_gram_df_index(old, inc, N, n_buckets=32)
+    X.write_gram_df_index(docs, full, N, n_buckets=32)
+    want = sorted(map(tuple, spark.read.parquet(f"{full}/df")
+                      .select("bucket", "gram", "df").collect()))
+
+    inp = str(tmp_path / "in")
+    new.filter(F.col("doc_id").cast("long") % 2 == 0).write.parquet(
+        inp, mode="overwrite")
+    new.filter(F.col("doc_id").cast("long") % 2 == 1).write.parquet(
+        inp, mode="append")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q = X.gram_df_index_stream(stream, inc, str(tmp_path / "chk"))
+    assert q.awaitTermination(120)
+    deltas = sorted(glob.glob(f"{inc}/delta/batch=*"))
+    assert len(deltas) >= 2, "two source files must give two delta commits"
+
+    def live():
+        return sorted(map(tuple, X._gram_df_table(spark, inc, list(range(32)))
+                          .collect()))
+    assert live() == want, "live table (base + deltas) != scratch rebuild"
+
+    # full-replay drill: fresh checkpoint redelivers every file; the
+    # _SUCCESS probes must skip every commit, leaving the table unchanged
+    stream2 = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q2 = X.gram_df_index_stream(stream2, inc, str(tmp_path / "chk2"))
+    assert q2.awaitTermination(120)
+    assert sorted(glob.glob(f"{inc}/delta/batch=*")) == deltas
+    assert live() == want
+
+    # torn-commit recovery: strip a commit's _SUCCESS (a crash mid-write),
+    # then replay the whole stream on a fresh checkpoint — the torn batch
+    # is rewritten (same source order => same content), the rest skipped
+    os.remove(f"{deltas[0]}/_SUCCESS")
+    stream3 = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q3 = X.gram_df_index_stream(stream3, inc, str(tmp_path / "chk3"))
+    assert q3.awaitTermination(120)
+    assert os.path.exists(f"{deltas[0]}/_SUCCESS"), "torn commit not rewritten"
+    assert live() == want
+
+    # compaction folds the deltas into the base byte-identically
+    assert X.compact_gram_df_index(spark, inc) == len(deltas)
+    assert glob.glob(f"{inc}/delta/batch=*") == []
+    assert live() == want
+    assert X.compact_gram_df_index(spark, inc) == 0  # nothing pending
