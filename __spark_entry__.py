@@ -2493,6 +2493,33 @@ def q_gram_index_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_gram_index_remove_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the retention path: index(all) − remove(new) must
+    equal the scratch rebuild over old — removal is the touched-buckets
+    merge with NEGATED counts (df additive over disjoint doc sets),
+    zero-df grams dropped, emptied bucket dirs dropped (dynamic
+    overwrite alone leaves them stale), negative df refused. Empty
+    symmetric difference; empty-relation oracle
+    (operators/contamination.remove_gram_df_index)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    new, old = _neardup_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_gramremove_")
+    X.write_gram_df_index(_docs(spark, sf_dir).select("doc_id", "text"),
+                          f"{base}/all", DECON_N)
+    X.remove_gram_df_index(new, f"{base}/all")
+    X.write_gram_df_index(old, f"{base}/oldonly", DECON_N)
+    a = spark.read.parquet(f"{base}/all/df").select(
+        F.col("bucket").cast("long").alias("bucket"), "gram",
+        F.col("df").cast("long").alias("df"))
+    b = spark.read.parquet(f"{base}/oldonly/df").select(
+        F.col("bucket").cast("long").alias("bucket"), "gram",
+        F.col("df").cast("long").alias("df"))
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_gram_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD GATE for STREAMING gram-df maintenance: the batch drained as
     exactly-once delta commits (one per micro-batch, _SUCCESS probe =
@@ -4358,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_ingest_docs": q_scrub_ingest_docs,
         "scrub_ingest_stream": q_scrub_ingest_stream,
         "gram_index_append_parity": q_gram_index_append_parity,
+        "gram_index_remove_parity": q_gram_index_remove_parity,
         "gram_stream_parity": q_gram_stream_parity,
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
@@ -4927,6 +4955,9 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
        CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
 WHERE FALSE""",
         "gram_stream_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
+WHERE FALSE""",
+        "gram_index_remove_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,
        CAST(NULL AS VARCHAR) AS gram, CAST(NULL AS BIGINT) AS df
 WHERE FALSE""",
         "hbi_pattern_facets": f"""WITH {CORPUS_CTE},

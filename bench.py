@@ -194,9 +194,10 @@ def main() -> None:
         # ingest-time scrub vs the PERSISTED gram index (bucket-pruned read;
         # timing includes writing the index on the first rep, cached after)
         "scrub_ingest_docs",
-        # incremental gram-df maintenance gate (two index writes + an
-        # append + the symmetric difference — a parity gate, not a query)
+        # incremental gram-df maintenance gates (index writes + an append /
+        # removal + the symmetric difference — parity gates, not queries)
         "gram_index_append_parity",
+        "gram_index_remove_parity",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest

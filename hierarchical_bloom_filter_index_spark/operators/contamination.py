@@ -199,26 +199,91 @@ def append_gram_df_index(
         .withColumn("bucket",
                     F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
     )
-    buckets = [int(r["bucket"]) for r in bg.select("bucket").distinct().collect()]
+    return _merge_gram_df_buckets(spark, path, bg, sign=1)
+
+
+def remove_gram_df_index(
+    removed_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """RETENTION twin of append_gram_df_index: un-count departing docs
+    (takedowns, TTL expiry) from the persisted gram-df table — the same
+    touched-buckets merge with NEGATED counts (df is additive over
+    disjoint doc sets, so removal is subtraction); grams whose df reaches
+    0 are dropped from the table. REFUSES (raises) if any df would go
+    negative — that means a doc is being removed that was never counted
+    (or was counted differently), and silently clamping would corrupt
+    every downstream novelty/scrub answer. Returns buckets rewritten.
+    Same contracts as append: doc-set disjointness per call, no
+    concurrent readers of the touched buckets, pending deltas must be
+    compacted first (the base is what's rewritten)."""
+    spark = removed_docs.sparkSession
+    import glob as _glob
+
+    if _glob.glob(f"{path}/delta/batch=*"):
+        raise ValueError(
+            "remove_gram_df_index: pending delta commits — compact first "
+            "(the removal rewrites the BASE; a later compaction would "
+            "re-add what the deltas hold)")
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    bg = (
+        _gram_rows(removed_docs, meta["n"], text_col, id_col, "doc_id")
+        .groupBy("gram")
+        .agg((-F.count(F.lit(1))).cast("long").alias("df"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("gram"), F.lit(int(meta["n_buckets"]))))
+    )
+    return _merge_gram_df_buckets(spark, path, bg, sign=-1)
+
+
+def _merge_gram_df_buckets(spark, path: str, delta: DataFrame,
+                           sign: int) -> int:
+    """Shared merge body of append_/remove_gram_df_index: sum the delta
+    into the base over the touched buckets only, materialize
+    (localCheckpoint — Spark cannot overwrite a path still feeding the
+    plan), validate, dynamic-partition-overwrite those buckets. For
+    removals (sign=-1): a negative merged df raises (never-counted doc),
+    zeros are dropped."""
+    buckets = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
     if not buckets:
         return 0
     old = spark.read.parquet(f"{path}/df").filter(
         F.col("bucket").isin(buckets)).select(
         F.col("bucket").cast("long").alias("bucket"), "gram", "df")
     merged = (
-        bg.select("bucket", "gram", "df").unionByName(old)
+        delta.select("bucket", "gram", "df").unionByName(old)
         .groupBy("bucket", "gram")
         .agg(F.sum("df").cast("long").alias("df"))
         .select("gram", "df", "bucket")
         .repartition("bucket")
         .localCheckpoint()
     )
+    emptied: list[int] = []
+    if sign < 0:
+        if merged.filter(F.col("df") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "remove_gram_df_index: removal would drive a gram's df "
+                "negative — the doc set was never (or differently) counted")
+        merged = merged.filter(F.col("df") > 0)
+        # dynamic overwrite only replaces partitions PRESENT in the data:
+        # a bucket whose every gram reached df=0 writes no rows, so its
+        # stale directory must be dropped by hand
+        present = {int(r["bucket"])
+                   for r in merged.select("bucket").distinct().collect()}
+        emptied = [b for b in buckets if b not in present]
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(f"{path}/df")
     )
+    if emptied:
+        import shutil
+
+        for b in emptied:
+            shutil.rmtree(f"{path}/df/bucket={b}", ignore_errors=True)
     return len(buckets)
 
 

@@ -487,3 +487,32 @@ def test_gram_df_stream_deltas_replay_and_compaction(spark, docs, tmp_path):
     assert glob.glob(f"{inc}/delta/batch=*") == []
     assert live() == want
     assert X.compact_gram_df_index(spark, inc) == 0  # nothing pending
+
+
+def test_gram_index_remove(spark, docs, tmp_path):
+    """remove_gram_df_index: removal parity vs a rebuild of the survivors,
+    emptied-bucket directory cleanup, negative-df refusal, and the
+    pending-deltas guard."""
+    import glob
+
+    old = docs.filter(F.col("doc_id").cast("long") % 3 != 0)
+    new = docs.filter(F.col("doc_id").cast("long") % 3 == 0)
+    allp, oldp = str(tmp_path / "all"), str(tmp_path / "oldonly")
+    X.write_gram_df_index(docs, allp, N, n_buckets=16)
+    X.write_gram_df_index(old, oldp, N, n_buckets=16)
+    assert X.remove_gram_df_index(new, allp) > 0
+    a = spark.read.parquet(f"{allp}/df").select("bucket", "gram", "df")
+    b = spark.read.parquet(f"{oldp}/df").select("bucket", "gram", "df")
+    assert a.exceptAll(b).unionByName(b.exceptAll(a)).count() == 0
+    # removing docs that were never counted must refuse, not clamp
+    with pytest.raises(ValueError, match="negative"):
+        X.remove_gram_df_index(new, oldp)
+    # removing EVERYTHING empties the table — emptied bucket dirs dropped
+    X.remove_gram_df_index(old, allp)
+    assert glob.glob(f"{allp}/df/bucket=*") == []
+    # pending delta commits block removal (compact first)
+    X.append_gram_df_delta(new, oldp, 0)
+    with pytest.raises(ValueError, match="compact first"):
+        X.remove_gram_df_index(old, oldp)
+    X.compact_gram_df_index(spark, oldp)
+    X.remove_gram_df_index(new, oldp)  # now fine: new was folded in
