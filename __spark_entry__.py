@@ -2004,6 +2004,46 @@ def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED SEMI-JOIN (operators/joins.bloom_semi_join): the big
+    side (lineitem) is filtered by a broadcast Bloom over the keys side
+    BEFORE any exchange; false positives are discarded by the exact
+    verifying left_semi join, so the result is EXACT. The Bloom itself is
+    built via the two-phase mergeable-UDAF path (sketch_aggregate)."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    res = bloom_semi_join(li, urgent, ("l_orderkey", "o_orderkey"),
+                          fpp=0.01, seed=CFG.seed)
+    return res.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+
+
+def q_bloom_anti_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED ANTI-JOIN twin: rows failing the Bloom probe are
+    certified absent (no false negatives) and bypass the join entirely —
+    at scale the exact anti-join shuffles only candidates."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import bloom_anti_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    res = bloom_anti_join(li, urgent, ("l_orderkey", "o_orderkey"),
+                          fpp=0.01, seed=CFG.seed)
+    return res.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000
 
 
@@ -4416,6 +4456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
+        "bloom_semi_lineitem": q_bloom_semi_lineitem,
+        "bloom_anti_lineitem": q_bloom_anti_lineitem,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
@@ -5113,6 +5155,20 @@ GROUP BY 1""",
        MIN(l.l_shipdate) AS first_ship, MAX(l.l_shipdate) AS last_ship
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2""",
+        "bloom_semi_lineitem": """SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) AS quantity
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')""",
+        "bloom_anti_lineitem": """SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1""",
         "event_sessions": _SESSIONS_ORACLE,
         "events_asof_purchase": _ASOF_ORACLE,
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,

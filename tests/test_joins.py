@@ -1,0 +1,100 @@
+"""Bloom-pruned semi/anti-join: row-identity vs Spark's own joins, pruning
+effectiveness, size refusal."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.joins import (
+    bloom_anti_join,
+    bloom_maybe_contains,
+    bloom_semi_join,
+    expected_candidate_bound,
+    key_bloom,
+)
+
+
+def _rows(df, cols):
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # big: 5000 rows, long keys 0..999 with duplicates + NULL keys
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    # keys: 0..299 step 3 with duplicates + a NULL row
+    keys = spark.createDataFrame(
+        [Row(rk=i % 300) for i in range(0, 600, 3)] + [Row(rk=None)],
+        "rk bigint",
+    )
+    return big.persist(), keys.persist()
+
+
+def test_semi_matches_spark(spark, frames):
+    big, keys = frames
+    got = bloom_semi_join(big, keys, ("k", "rk"), fpp=0.05, seed=7)
+    want = big.join(keys.where(F.col("rk").isNotNull()).select("rk"),
+                    big["k"] == F.col("rk"), "left_semi")
+    assert _rows(got, ["k", "payload"]) == _rows(want, ["k", "payload"])
+
+
+def test_anti_matches_spark(spark, frames):
+    big, keys = frames
+    got = bloom_anti_join(big, keys, ("k", "rk"), fpp=0.05, seed=7)
+    want = big.join(keys.select("rk"), big["k"] == F.col("rk"), "left_anti")
+    assert _rows(got, ["k", "payload"]) == _rows(want, ["k", "payload"])
+
+
+def test_semi_anti_partition_big(spark, frames):
+    big, keys = frames
+    semi = bloom_semi_join(big, keys, ("k", "rk"), seed=7)
+    anti = bloom_anti_join(big, keys, ("k", "rk"), seed=7)
+    assert semi.count() + anti.count() == big.count()
+
+
+def test_same_name_on(spark):
+    big = spark.range(400).select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+    keys = spark.range(20).select((F.col("id") * 2).alias("k"))
+    got = bloom_semi_join(big, keys, "k", seed=11, broadcast_verify=True)
+    want = big.join(keys, on="k", how="left_semi")
+    assert _rows(got, ["k", "v"]) == _rows(want, ["k", "v"])
+
+
+def test_string_keys(spark):
+    big = spark.createDataFrame(
+        [Row(s=f"doc-{i % 40}", v=i) for i in range(500)] + [Row(s=None, v=-1)]
+    )
+    keys = spark.createDataFrame([Row(t=f"doc-{i}") for i in range(0, 40, 4)])
+    got = bloom_anti_join(big, keys, ("s", "t"), seed=3)
+    want = big.join(keys, big["s"] == F.col("t"), "left_anti")
+    assert _rows(got, ["s", "v"]) == _rows(want, ["s", "v"])
+
+
+def test_pruning_is_effective(spark):
+    """Disjoint key domains: the Bloom must certify ~all of the big side
+    absent before the verify join (the entire point at scale)."""
+    n_big, fpp = 20_000, 0.01
+    big = spark.range(n_big).select((F.col("id") + 1_000_000).alias("k"))
+    keys = spark.range(5_000).select(F.col("id").alias("rk"))
+    bf = key_bloom(keys, "rk", fpp=fpp, seed=5)
+    n_cand = big.where(bloom_maybe_contains(big, "k", bf)).count()
+    assert n_cand <= expected_candidate_bound(n_big, 0, fpp)
+
+
+def test_bloom_too_big_refused(spark):
+    keys = spark.range(10).select(F.col("id").alias("rk"))
+    with pytest.raises(ValueError, match="too large"):
+        key_bloom(keys, "rk", fpp=0.01, n_keys=10_000_000, max_bytes=1024)
+
+
+def test_n_keys_hint_skips_count(spark):
+    keys = spark.range(100).select(F.col("id").alias("rk"))
+    bf = key_bloom(keys, "rk", fpp=0.01, seed=9, n_keys=1000)
+    big = spark.range(200).select(F.col("id").alias("rk"))
+    got = bloom_semi_join(big, keys, "rk", seed=9, n_keys=1000)
+    want = big.join(keys, on="rk", how="left_semi")
+    assert bf.n_added == 100
+    assert _rows(got, ["rk"]) == _rows(want, ["rk"])
