@@ -4205,6 +4205,102 @@ def q_ivf_persisted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return persisted.exceptAll(mem).unionByName(mem.exceptAll(persisted))
 
 
+def _takedown_ids(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Deterministic takedown set for the parity gates: doc_ids whose
+    trailing digits ≡ 3 (mod 7) — spread across hash shards."""
+    return [r["doc_id"] for r in _docs(spark, sf_dir)
+            .filter(F.col("doc_id").cast("long") % 7 == 3)
+            .orderBy("doc_id").limit(12).collect()]
+
+
+def q_doc_index_takedown_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for per-doc takedown from the persisted doc-axis Bloom
+    index (retention / right-to-be-forgotten): write the index in the
+    doc-SHARDED layout (sources/io.write_index_doc_sharded), remove a doc
+    set (only their shard directories are rewritten — dynamic partition
+    overwrite), and the surviving table must equal the index minus the
+    removed docs' rows BYTE-FOR-BYTE (doc-axis rows are per-doc pure, so
+    this is also scratch-build parity on the remaining corpus). Empty
+    symmetric difference; empty-relation oracle."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.sources import io as IO
+
+    idx = _index(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="hbi_takedown_") + "/idx"
+    IO.write_index_doc_sharded(idx, path)
+    removed = _takedown_ids(spark, sf_dir)
+    IO.takedown_doc_index(spark, path, removed)
+
+    def key(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id", "level", "w_id",
+            F.xxhash64("bloom").alias("bloom_h"), "n_items", "bits_set")
+
+    a = key(IO.read_index_doc_sharded(spark, path))
+    b = key(idx.filter(~F.col("doc_id").isin(removed)))
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
+def q_minhash_takedown_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for per-doc takedown from the persisted MinHash index:
+    index(all) − takedown(R) must equal rebuild(all − R) row-for-row —
+    signatures are a pure per-doc function of text, and the removal
+    rewrites only the shard directories R hashes into
+    (operators/dedup.takedown_minhash_index). Empty symmetric difference;
+    empty-relation oracle."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="hbi_mh_takedown_") + "/mh"
+    D.write_minhash_index(docs, path, n_perm=64, bands=16)
+    removed = _takedown_ids(spark, sf_dir)
+    D.takedown_minhash_index(spark, path, removed)
+
+    def key(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.concat_ws(",", F.transform("sig", lambda x: x.cast("string")))
+            .alias("sig_key"))
+
+    back, meta = D.read_minhash_index(spark, path)
+    rebuilt = D.minhash_signatures(
+        docs.filter(~F.col("doc_id").isin(removed)),
+        meta["n_perm"], meta["shingle_n"], meta["seed"])
+    a, b = key(back), key(rebuilt)
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
+def q_ivf_takedown_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for per-vector takedown from the persisted IVF index:
+    takedown(R) rewrites only the inverted-list directories holding a
+    removed vector; the surviving lists must equal the full lists minus
+    R's rows exactly (centroids untouched — the quantizer is a model, not
+    per-row state; IVF training is deterministic, so a second write is the
+    byte-reference). Empty symmetric difference; empty-relation oracle."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = tempfile.mkdtemp(prefix="hbi_ivf_takedown_")
+    S.write_ivf_index(emb, f"{base}/a", n_centroids=8)
+    S.write_ivf_index(emb, f"{base}/b", n_centroids=8)
+    removed = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 11 == 5)
+               .orderBy("vec_id").limit(10).collect()]
+    S.takedown_ivf_index(spark, f"{base}/a", removed)
+
+    def key(d: DataFrame) -> DataFrame:
+        return d.select(
+            "vec_id", F.col("list_id").cast("long").alias("list_id"),
+            F.concat_ws(",", F.transform(
+                "embedding", lambda x: F.round(x, 5).cast("string")))
+            .alias("vec_key"))
+
+    a = key(spark.read.parquet(f"{base}/a/lists"))
+    b = key(spark.read.parquet(f"{base}/b/lists")
+            .filter(~F.col("vec_id").isin(removed)))
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.embedding_neardup_pairs(
@@ -4453,6 +4549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_persisted_parity": q_ivf_persisted_parity,
+        "doc_index_takedown_parity": q_doc_index_takedown_parity,
+        "minhash_takedown_parity": q_minhash_takedown_parity,
+        "ivf_takedown_parity": q_ivf_takedown_parity,
         "embedding_neardup": q_embedding_neardup,
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -5403,6 +5502,19 @@ FROM r WHERE rk <= 5""",
         "ivf_persisted_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
        CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
        CAST(NULL AS INTEGER) AS rank
+WHERE FALSE""",
+        # takedown parity gates: post-takedown artifact == scratch on the
+        # remaining corpus, symmetric difference EMPTY by contract
+        "doc_index_takedown_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS INTEGER) AS level, CAST(NULL AS BIGINT) AS w_id,
+       CAST(NULL AS BIGINT) AS bloom_h, CAST(NULL AS BIGINT) AS n_items,
+       CAST(NULL AS BIGINT) AS bits_set
+WHERE FALSE""",
+        "minhash_takedown_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS sig_key
+WHERE FALSE""",
+        "ivf_takedown_parity": """SELECT CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS BIGINT) AS list_id, CAST(NULL AS VARCHAR) AS vec_key
 WHERE FALSE""",
         "hll_rollup_geometry": f"""WITH {CORPUS_CTE},
 lv(level, span) AS (VALUES {", ".join(f"({L}, {CFG.span(L)})" for L in CFG.levels)})

@@ -348,21 +348,25 @@ def write_minhash_index(
 ) -> None:
     """Persist a corpus's MinHash signatures so ingestion batches can be
     near-dup-checked WITHOUT re-shingling the corpus: ``path/sigs`` holds
-    (doc_id, sig) parquet; ``path/meta`` pins the signature geometry
-    (n_perm, bands, shingle_n, seed) — queries MUST reuse it or buckets
-    are meaningless, so readers take params from here, never from callers.
-    Band buckets are NOT materialized: deriving them is a narrow JVM
-    slice+xxhash64 pass over sigs, and storing sigs once instead of
-    bands x buckets keeps the index n_perm * 8 bytes/doc."""
+    (doc_id, sig) parquet in the doc-SHARDED layout (sources/io.
+    write_index_doc_sharded — partitioned by a hash shard of doc_id, so a
+    per-doc takedown rewrites only its shard directories); ``path/meta``
+    pins the signature geometry (n_perm, bands, shingle_n, seed) — queries
+    MUST reuse it or buckets are meaningless, so readers take params from
+    here, never from callers. Band buckets are NOT materialized: deriving
+    them is a narrow JVM slice+xxhash64 pass over sigs, and storing sigs
+    once instead of bands x buckets keeps the index n_perm * 8 bytes/doc."""
     if bands < 1 or n_perm % bands != 0:
         # validate at WRITE time: a bad geometry pinned in meta poisons
         # every later query against this index
         raise ValueError(
             f"write_minhash_index: bands ({bands}) must be >= 1 and "
             f"divide n_perm ({n_perm})")
+    from ..sources.io import write_index_doc_sharded
+
     spark = docs.sparkSession
     sig = minhash_signatures(docs, n_perm, shingle_n, seed, text_col, id_col)
-    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    write_index_doc_sharded(sig, f"{path}/sigs", id_col="doc_id")
     spark.createDataFrame(
         [(int(n_perm), int(bands), int(shingle_n), int(seed))],
         "n_perm int, bands int, shingle_n int, seed int",
@@ -371,8 +375,26 @@ def write_minhash_index(
 
 def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
     """(signatures DataFrame, meta dict) of a write_minhash_index layout."""
+    from ..sources.io import read_index_doc_sharded
+
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
-    return spark.read.parquet(f"{path}/sigs"), meta
+    return read_index_doc_sharded(spark, f"{path}/sigs"), meta
+
+
+def takedown_minhash_index(spark, path: str, doc_ids) -> int:
+    """Per-doc removal from a persisted MinHash index (retention /
+    right-to-be-forgotten): drops the removed docs' signature rows,
+    rewriting only the shard directories they hash into
+    (sources/io.takedown_doc_index). Signatures are a pure per-doc
+    function of text, so the post-takedown index is byte-equal to
+    rebuilding over the remaining corpus — a driver parity gate. Returns
+    shards rewritten (0 = no removed id was present; replay-idempotent).
+    After takedown, neardup_against_index can no longer pair any batch
+    with a removed doc — its buckets are derived from sigs at query time
+    and the rows are gone."""
+    from ..sources.io import takedown_doc_index
+
+    return takedown_doc_index(spark, f"{path}/sigs", doc_ids)
 
 
 def neardup_against_index(

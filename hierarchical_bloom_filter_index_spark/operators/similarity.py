@@ -404,6 +404,56 @@ def ivf_topk_persisted(
     )
 
 
+def takedown_ivf_index(spark, path: str, vec_ids,
+                       id_col: str = "vec_id") -> int:
+    """Per-vector removal from a ``write_ivf_index`` layout (retention /
+    right-to-be-forgotten): rewrites ONLY the inverted-list directories
+    that hold a removed vector (dynamic partition overwrite — every other
+    list's files are never read past the id-column probe, which is a
+    column-pruned scan of (id, list_id) only). Centroids are untouched:
+    the coarse quantizer is a trained model, not per-row state, so the
+    post-takedown index answers exactly like the full index minus the
+    removed rows (same lists -> same candidates minus removed). A list
+    emptied entirely is rmtree'd by hand (dynamic overwrite only replaces
+    partitions present in the written data). Returns lists rewritten
+    (0 = no removed id present; replay-idempotent)."""
+    import shutil
+
+    lists = spark.read.parquet(f"{path}/lists")
+    dtype = lists.schema[id_col].dataType
+    ids_df = spark.createDataFrame(
+        [(str(x),) for x in vec_ids], f"{id_col} string"
+    ).select(F.col(id_col).cast(dtype).alias(id_col)).distinct()
+    # column-pruned probe: which lists hold a removed vector?
+    touched = sorted(
+        int(r["list_id"])
+        for r in lists.select(id_col, "list_id")
+        .join(F.broadcast(ids_df), on=id_col, how="left_semi")
+        .select("list_id").distinct().collect())
+    if not touched:
+        return 0
+    kept = (
+        lists.filter(F.col("list_id").isin(touched))
+        .join(F.broadcast(ids_df), on=id_col, how="left_anti")
+        .repartition("list_id")
+        # materialize BEFORE the overwrite — Spark cannot overwrite a path
+        # that still feeds the running plan
+        .localCheckpoint()
+    )
+    present = {int(r["list_id"])
+               for r in kept.select("list_id").distinct().collect()}
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    for lid in touched:
+        if lid not in present:
+            shutil.rmtree(f"{path}/lists/list_id={lid}", ignore_errors=True)
+    return len(touched)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -39,6 +39,130 @@ def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# ---------------------------------------------------------------------------
+# Doc-sharded layout + per-doc TAKEDOWN (retention / right-to-be-forgotten)
+#
+# Any per-doc-keyed artifact (the doc-axis Bloom/window-sketch tables,
+# MinHash signature tables, ...) written PARTITIONED BY
+# doc_shard = pmod(xxhash64(id), n_shards) supports planned-maintenance
+# removal: a takedown set hashes into a few shards, only those directories
+# are read and rewritten (dynamic partition overwrite), everything else is
+# never touched. The same discipline as the gram-df index maintenance
+# (operators/contamination._merge_gram_df_buckets); Iceberg would express
+# it as a bucket partition transform + overwrite-by-filter.
+# ---------------------------------------------------------------------------
+def write_index_doc_sharded(index: DataFrame, path: str,
+                            id_col: str = "doc_id",
+                            shard_bits: int = 6) -> None:
+    """Persist a per-doc-keyed table partitioned by a hash shard of its id
+    column. ``path/shards`` holds the data; ``path/meta`` pins (id_col,
+    n_shards) — readers and takedowns take geometry from here, never from
+    callers. ONE repartition by shard before the write keeps one writer
+    task per directory."""
+    n_shards = 1 << shard_bits
+    spark = index.sparkSession
+    (
+        index.withColumn(
+            "doc_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)))
+        .repartition("doc_shard")
+        .write.mode("overwrite")
+        .partitionBy("doc_shard")
+        .parquet(f"{path}/shards")
+    )
+    spark.createDataFrame(
+        [(id_col, int(n_shards))], "id_col string, n_shards int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_index_doc_sharded(spark: SparkSession, path: str,
+                           doc_ids=None) -> DataFrame:
+    """Open a ``write_index_doc_sharded`` layout. With ``doc_ids`` given,
+    the scan prunes to the shards those ids hash into (partition filter)
+    AND filters to the ids themselves — the per-doc point-lookup path."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    df = spark.read.parquet(f"{path}/shards")
+    if doc_ids is not None:
+        ids_df = _ids_frame(spark, df, meta["id_col"], doc_ids)
+        shards = _ids_shards(ids_df, meta["id_col"], meta["n_shards"])
+        df = df.filter(F.col("doc_shard").isin(shards)).join(
+            F.broadcast(ids_df), on=meta["id_col"], how="left_semi")
+    return df.drop("doc_shard")
+
+
+def takedown_doc_index(spark: SparkSession, path: str, doc_ids) -> int:
+    """Remove every row belonging to ``doc_ids`` from a
+    ``write_index_doc_sharded`` layout, rewriting ONLY the shard
+    directories that actually hold a removed doc's rows (dynamic partition
+    overwrite; untouched shards' files are never read or written). Returns
+    the number of shards rewritten — 0 when no removed id is present, so
+    the operation is replay-idempotent. ``doc_ids`` may be a Python list
+    (the legal-request shape) or a DataFrame with the id column (bulk
+    retention sweeps). A shard emptied entirely is rmtree'd by hand —
+    dynamic overwrite only replaces partitions PRESENT in the written
+    data. Not concurrent-safe with an in-flight reader of the touched
+    shards (the gram-df compaction discipline)."""
+    import shutil
+
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    id_col, n_shards = meta["id_col"], meta["n_shards"]
+    data = spark.read.parquet(f"{path}/shards")
+    ids_df = _ids_frame(spark, data, id_col, doc_ids)
+    cand_shards = _ids_shards(ids_df, id_col, n_shards)
+    if not cand_shards:
+        return 0
+    touched_rows = data.filter(F.col("doc_shard").isin(cand_shards)).join(
+        F.broadcast(ids_df), on=id_col, how="left_semi")
+    # shards that actually HOLD a removed doc's rows (absent ids = no-op)
+    shards = sorted(
+        int(r["doc_shard"])
+        for r in touched_rows.select("doc_shard").distinct().collect())
+    if not shards:
+        return 0
+    kept = (
+        data.filter(F.col("doc_shard").isin(shards))
+        .join(F.broadcast(ids_df), on=id_col, how="left_anti")
+        .repartition("doc_shard")
+        # materialize BEFORE the overwrite — Spark cannot overwrite a path
+        # that still feeds the running plan
+        .localCheckpoint()
+    )
+    present = {int(r["doc_shard"])
+               for r in kept.select("doc_shard").distinct().collect()}
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("doc_shard")
+        .parquet(f"{path}/shards")
+    )
+    for s in shards:
+        if s not in present:
+            shutil.rmtree(f"{path}/shards/doc_shard={s}", ignore_errors=True)
+    return len(shards)
+
+
+def _ids_frame(spark: SparkSession, data: DataFrame, id_col: str,
+               doc_ids) -> DataFrame:
+    """Normalize a takedown set (list or DataFrame) to a one-column frame
+    CAST to the index's id dtype — xxhash64 of a string and of a long
+    differ, so shard computation must hash the exact stored type."""
+    dtype = data.schema[id_col].dataType
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select(F.col(id_col).cast(dtype).alias(id_col)).distinct()
+    return spark.createDataFrame(
+        [(str(x),) for x in doc_ids], f"{id_col} string"
+    ).select(F.col(id_col).cast(dtype).alias(id_col)).distinct()
+
+
+def _ids_shards(ids_df: DataFrame, id_col: str, n_shards: int) -> list[int]:
+    """The shard ids a takedown set hashes into (bounded by n_shards, so
+    the collect is driver-safe by construction)."""
+    return sorted(
+        int(r["s"])
+        for r in ids_df.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_shards))).alias("s")
+        ).distinct().collect())
+
+
 def write_index_bucketed(index: DataFrame, table: str, n_buckets: int = 64) -> None:
     """Persist the sketch table partitioned by level AND bucketed+sorted by
     w_id: repeated candidate joins against one level read pre-clustered
