@@ -1945,6 +1945,63 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
 
 
+WBM25_TERMS, WBM25_K, WBM25_K1, WBM25_B = ["dup", "vector", "key"], 10, 1.2, 0.75
+
+
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD-level RANKED RETRIEVAL: top-k docs by true-ln-idf BM25 (Lucene
+    +1 form) for a mixed rare/common word bag — the whitespace-token twin
+    of hbi_bm25_topk's index-accelerated char-pattern BM25. Zero-shuffle
+    corpus scan + TakeOrderedAndProject; every float constant (idf, avgdl,
+    k1, b) is a true DOUBLE literal and the score expression is textually
+    identical across engines, so scores are bit-exact (ln() runs once, in
+    Python — the DuckDB twin's ln is the same glibc; verified bit-equal).
+    Ties at rank k break (score DESC, doc_id ASC)
+    (operators/text.py:bm25_topk_docs)."""
+    return T.bm25_topk_docs(
+        _docs(spark, sf_dir), WBM25_TERMS, k=WBM25_K, k1=WBM25_K1, b=WBM25_B)
+
+
+def _word_bm25_oracle_sql() -> str:
+    """DuckDB twin of q_bm25_topk_docs: idf/avgdl computed in SQL (bit-equal
+    to the Python precompute — same libm), score fragment mirrors
+    operators/text._bm25_score_sql's op order exactly."""
+    from hierarchical_bloom_filter_index_spark.operators.text import _dlit
+
+    k1p1, k1l = _dlit(WBM25_K1 + 1.0), _dlit(WBM25_K1)
+    b1, bl = _dlit(1.0 - WBM25_B), _dlit(WBM25_B)
+    ts = sorted(WBM25_TERMS)
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(ts))
+    idfs = ", ".join(
+        f"ln(1e0 + (n - df_{i} + 0.5e0) / (df_{i} + 0.5e0)) AS idf_{i}"
+        for i in range(len(ts)))
+    tf = "len(list_filter(ws, x -> x = '{t}'))"
+    score = " + ".join(
+        f"(idf_{i} * ({tf.format(t=t)} * {k1p1}) / "
+        f"({tf.format(t=t)} + {k1l} * ({b1} + {bl} * dl / avgdl)))"
+        for i, t in enumerate(ts))
+    hit = " + ".join(tf.format(t=t) for t in ts)
+    return f"""WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS INTEGER) AS dl
+  FROM documents),
+st AS (SELECT COUNT(*) AS n, {dfs},
+              CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       FROM w),
+i AS (SELECT avgdl, {idfs} FROM st),
+s AS (SELECT doc_id, dl, round({score}, 6) AS score
+      FROM w, i WHERE ({hit}) > 0)
+SELECT doc_id, dl, score
+FROM (SELECT doc_id, dl, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM s)
+WHERE rk <= {WBM25_K}"""
+
+
 SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN = 4, 30, 2
 
 
@@ -4539,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": q_collocations_pmi,
         "skipgram_cooccurrence": q_skipgram_cooccurrence,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5189,6 +5247,7 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
        CAST(cnt_ab AS DOUBLE) * n_tok / a.cnt * n_tok / b.cnt / n_big AS pmi_ratio
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
+        "bm25_topk_docs": _word_bm25_oracle_sql(),
         "tfidf_top_terms": f"""WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws

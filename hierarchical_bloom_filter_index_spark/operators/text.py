@@ -532,3 +532,114 @@ def read_quality_report(spark, out_path: str) -> DataFrame:
     ingested so far."""
     return finalize_quality_report(
         spark.read.parquet(out_path).drop("batch_id"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+def _dlit(x: float) -> str:
+    """A float as a DOUBLE literal both dialects parse identically: repr()
+    is the shortest round-trip decimal (strtod gives back the exact bits),
+    and the e0 exponent forces the approximate-numeric (double) literal
+    type — a bare '2.2' is a DECIMAL literal in BOTH Spark and DuckDB,
+    and decimal promotion rules differ across engines."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _bm25_score_sql(terms: list[str], idf: dict[str, float], k1: float,
+                    b: float, avgdl: float, tf_fmt: str) -> str:
+    """The BM25 scoring expression as ONE textual SQL fragment shared by
+    both engines: every floating-point constant (idf per term, k1+1, k1,
+    1-b, b, avgdl) is inlined via _dlit — a true DOUBLE literal with the
+    exact bits — and the basic IEEE ops (+ * /) are left-associative in
+    both dialects, so the two engines execute the SAME float ops in the
+    SAME order on the SAME integer tf/dl inputs and the scores are
+    BIT-IDENTICAL. No libm call appears in either engine's plan (ln lives
+    in Python, once, at idf precompute). ``tf_fmt`` renders the integer
+    per-term tf subexpression for the dialect (e.g.
+    ``size(filter(ws, x -> x = '{t}'))``)."""
+    parts = []
+    for t in sorted(terms):
+        tf = tf_fmt.format(t=t)
+        parts.append(
+            f"({_dlit(idf[t])} * ({tf} * {_dlit(k1 + 1.0)}) / "
+            f"({tf} + {_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * dl "
+            f"/ {_dlit(avgdl)})))"
+        )
+    return " + ".join(parts)
+
+
+def bm25_topk_docs(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RANKED RETRIEVAL: top-k documents by BM25 for a bag of query terms
+    (Robertson/Sparck Jones; Lucene's +1 idf form, so scores are always
+    positive: idf = ln(1 + (N - df + .5)/(df + .5))). The relevance twin
+    of route.pattern_topk_docs' occurrence-count ranking. Word semantics =
+    RAW single-space split, the corpus-wide discipline (tfidf_top_terms).
+
+    Determinism contract: corpus stats (N, sum dl -> avgdl; df per query
+    term) are collected in two TINY driver jobs (one row / |terms| values
+    — the IVF-centroid discipline), idf computed ONCE in Python, and the
+    whole floating score is inlined as literals into _bm25_score_sql, so
+    reruns and cross-engine twins agree bit-for-bit; ties at rank k break
+    (score DESC, doc_id ASC).
+
+    Plan: ZERO shuffles — per-term tf and dl are per-row expressions over
+    the token array (size(filter(ws, .))), docs matching no term are
+    filtered out before ranking, and top-k is TakeOrderedAndProject (no
+    global sort). At 100 TB this is one codegen'd corpus scan; the Bloom
+    index prunes it further when terms are index tokens (compose with
+    route.report to pre-filter doc_ids)."""
+    if k < 1:
+        raise ValueError("bm25_topk_docs: k must be >= 1")
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("bm25_topk_docs: terms must be non-empty, unique")
+    for t in terms:
+        if (not t) or (" " in t) or ("'" in t):
+            raise ValueError(f"bm25_topk_docs: bad term {t!r}")
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError("bm25_topk_docs: need k1 > 0 and 0 <= b <= 1")
+    import math
+
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws"),
+        F.size(ws).alias("dl"))
+    # tiny driver jobs: corpus length stats + per-term document frequency
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot"),
+        *[F.sum(F.array_contains("ws", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)]).first()
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("bm25_topk_docs: empty corpus")
+    avgdl = float(int(stats["tot"])) / float(n_docs)
+    idf = {
+        t: math.log(1.0 + (n_docs - int(stats[f"df_{i}"]) + 0.5)
+                    / (int(stats[f"df_{i}"]) + 0.5))
+        for i, t in enumerate(terms)
+    }
+    score = _bm25_score_sql(
+        terms, idf, k1, b, avgdl,
+        tf_fmt="size(filter(ws, x -> x = '{t}'))")
+    hit = " + ".join(
+        f"size(filter(ws, x -> x = '{t}'))" for t in sorted(terms))
+    return (
+        base.select(
+            "doc_id", "dl",
+            F.expr(f"cast(({hit}) > 0 as boolean)").alias("any_hit"),
+            F.expr(score).alias("score"))
+        .filter(F.col("any_hit"))
+        .select("doc_id", "dl", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

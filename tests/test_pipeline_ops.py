@@ -618,3 +618,61 @@ def test_tfidf_top_terms_vs_local(spark, docs):
     got = {d: sorted(v, key=lambda x: (-x[3], x[0])) for d, v in got.items()}
     assert got == want
     assert got, "fixture produced no terms — test is vacuous"
+
+
+def test_bm25_topk_docs_vs_local(spark, docs):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    terms, k, k1, b = ["dup", "key", "vector"], 8, 1.2, 0.75
+    got = [(r["doc_id"], r["dl"], r["score"])
+           for r in T.bm25_topk_docs(docs, terms, k=k, k1=k1, b=b).collect()]
+
+    rows = [(r["doc_id"], [x for x in r["text"].split(" ") if x != ""])
+            for r in docs.collect()]
+    n = len(rows)
+    avgdl = float(sum(len(ws) for _, ws in rows)) / float(n)
+    idf = {}
+    for t in terms:
+        df = sum(1 for _, ws in rows if t in ws)
+        idf[t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = []
+    for did, ws in rows:
+        dl = len(ws)
+        score = 0.0
+        for t in sorted(terms):
+            tf = ws.count(t)
+            score = score + (idf[t] * (tf * (k1 + 1.0))
+                             / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+        if any(t in ws for t in terms):
+            # Spark round(double, 6) = HALF_UP on the shortest decimal repr
+            r6 = float(Decimal(repr(score)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP))
+            want.append((did, dl, r6))
+    want.sort(key=lambda x: (-x[2], x[0]))
+    want = want[:k]
+    assert [(d, dl) for d, dl, _ in got] == [(d, dl) for d, dl, _ in want]
+    for (_, _, a), (_, _, e) in zip(got, want):
+        assert a == pytest.approx(e, abs=2e-6)
+    assert got, "fixture produced no BM25 hits — test is vacuous"
+
+
+def test_bm25_rare_term_outranks_common(spark, docs):
+    # a doc holding the selective term must outrank docs with only
+    # stop-frequency terms: idf('dup') >> idf('key')
+    top = T.bm25_topk_docs(docs, ["dup", "key"], k=3).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert " dup " in f' {texts[top[0]["doc_id"]]} '
+
+
+def test_bm25_validation(spark, docs):
+    with pytest.raises(ValueError):
+        T.bm25_topk_docs(docs, [], k=3)
+    with pytest.raises(ValueError):
+        T.bm25_topk_docs(docs, ["a", "a"], k=3)
+    with pytest.raises(ValueError):
+        T.bm25_topk_docs(docs, ["two words"], k=3)
+    with pytest.raises(ValueError):
+        T.bm25_topk_docs(docs, ["ok"], k=0)
+    with pytest.raises(ValueError):
+        T.bm25_topk_docs(docs, ["ok"], k=3, b=1.5)
