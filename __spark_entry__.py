@@ -2002,6 +2002,72 @@ FROM (SELECT doc_id, dl, score,
 WHERE rk <= {WBM25_K}"""
 
 
+def _laced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with deterministic synthetic PII appended (the raw text
+    has none — word soup over a letters-only vocab): variant chosen by
+    length(text) % 3, a pure-STRING property, so the lacing survives the
+    replica-id scaling sweeps that break numeric doc_id casts. Identical
+    concat on the DuckDB side."""
+    d = _docs(spark, sf_dir)
+    m = F.length("text") % 3
+    return d.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.concat(
+                F.lit(" reach u"), F.col("doc_id"), F.lit("@ex.com")))
+            .when(m == 1, F.lit(" node 10.0.3.77 up"))
+            .otherwise(F.concat(
+                F.lit(" visit https://ex.org/d/"), F.col("doc_id"),
+                F.lit(" or call 555-123-4567")))).alias("text"))
+
+
+_LACED_CTE = """laced AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         text || CASE length(text) % 3
+           WHEN 0 THEN ' reach u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+           WHEN 1 THEN ' node 10.0.3.77 up'
+           ELSE ' visit https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                || ' or call 555-123-4567' END AS text
+  FROM documents)"""
+
+
+def _pii_chain_sql() -> tuple[str, str]:
+    """(final rewritten-text expr, count column list) mirroring
+    operators/pii.redact_pii's sequential fold in DuckDB syntax."""
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        PII_PATTERNS)
+
+    cur, counts = "text", []
+    for k, pat in PII_PATTERNS.items():
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INTEGER)"
+            f" AS n_{k}")
+        cur = f"regexp_replace({cur}, '{pat}', '<{k.upper()}>', 'g')"
+    return cur, ", ".join(counts)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the laced corpus: per-doc clean text + per-kind
+    match counts, all JVM regexp_count/regexp_replace (zero shuffles, one
+    codegen'd scan — the 100 TB shape). Patterns live in the Java/RE2
+    agreement subset, so the DuckDB twin is byte-equality on the rewritten
+    strings (operators/pii.redact_pii)."""
+    from hierarchical_bloom_filter_index_spark.operators import pii as P
+
+    return P.redact_pii(_laced_docs(spark, sf_dir))
+
+
+def q_pii_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII dashboard: kind totals + docs-with-any-PII count —
+    the triage view for scrub-before-training decisions. One map-side
+    combined groupBy; only one row per source crosses the exchange
+    (operators/pii.pii_totals_by_source)."""
+    from hierarchical_bloom_filter_index_spark.operators import pii as P
+
+    return P.pii_totals_by_source(_laced_docs(spark, sf_dir))
+
+
 SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN = 4, 30, 2
 
 
@@ -4597,6 +4663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_cooccurrence": q_skipgram_cooccurrence,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "pii_redact": q_pii_redact,
+        "pii_totals": q_pii_totals,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5248,6 +5316,19 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
+        "pii_redact": f"""WITH {_LACED_CTE}
+SELECT doc_id, {_pii_chain_sql()[0]} AS clean_text, {_pii_chain_sql()[1]}
+FROM laced""",
+        "pii_totals": f"""WITH {_LACED_CTE},
+per AS (SELECT source, {_pii_chain_sql()[1]} FROM laced)
+SELECT source,
+       CAST(SUM(n_url) AS BIGINT) AS n_url,
+       CAST(SUM(n_email) AS BIGINT) AS n_email,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+       CAST(SUM(CASE WHEN n_url + n_email + n_ipv4 + n_phone > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+FROM per GROUP BY source""",
         "tfidf_top_terms": f"""WITH docs AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws

@@ -1,0 +1,114 @@
+"""PII redaction: sequential-fold semantics vs python re (same
+leftmost-greedy subset as Java regex / RE2), cross-engine byte-parity
+with DuckDB, dashboard totals, validation."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.pii import (
+    PII_PATTERNS, pii_totals_by_source, redact_pii)
+
+ROWS = [
+    ("a", "mail bob.smith+x@ex-corp.co.uk now", "s1"),
+    ("b", "see https://ex.com/u?e=a@b.co and 10.0.0.1 or 255.255.255.255",
+     "s1"),
+    ("c", "call 555-123-4567 or 555 867 5309", "s2"),
+    ("d", "email@at-end.io", "s2"),
+    ("e", "a@b.io x@y.org 1.2.3.4 1234.5.6.7 999-99-9999", "s2"),
+    ("f", "http://x a@b.c 12.34.56.78.90 edge...dots@d.org", "s3"),
+    ("g", "überstraße a@b.de 10.1.1.1käse", "s3"),
+    ("h", "no pii at all", "s3"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id string, text string, source string")
+
+
+def _py_redact(text, kinds):
+    cur, counts = text, {}
+    for k in kinds:
+        counts[k] = len(re.findall(PII_PATTERNS[k], cur))
+        cur = re.sub(PII_PATTERNS[k], f"<{k.upper()}>", cur)
+    return cur, counts
+
+
+def test_redact_matches_python_re(spark, docs):
+    ks = list(PII_PATTERNS)
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert len(got) == len(ROWS)
+    for did, text, _ in ROWS:
+        clean, counts = _py_redact(text, ks)
+        assert got[did]["clean_text"] == clean, did
+        for k in ks:
+            assert got[did][f"n_{k}"] == counts[k], (did, k)
+
+
+def test_redact_matches_duckdb(spark, docs):
+    got = {r["doc_id"]: tuple(r)[1:] for r in redact_pii(docs).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(doc_id varchar, text varchar)")
+    con.executemany("insert into t values (?, ?)",
+                    [(d, t) for d, t, _ in ROWS])
+    cur, counts = "text", []
+    for k, pat in PII_PATTERNS.items():
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INTEGER)"
+            f" AS n_{k}")
+        cur = f"regexp_replace({cur}, '{pat}', '<{k.upper()}>', 'g')"
+    duck = {r[0]: tuple(r)[1:] for r in con.sql(
+        f"SELECT doc_id, {cur} AS clean_text, {', '.join(counts)} FROM t"
+    ).fetchall()}
+    assert got == duck
+
+
+def test_kind_subset_and_order_independence(spark, docs):
+    # caller order must not matter: canonical application order is imposed
+    a = redact_pii(docs, kinds=["phone", "email"]).collect()
+    b = redact_pii(docs, kinds=["email", "phone"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    row = {r["doc_id"]: r for r in a}["b"]
+    # without the url kind running first, the URL is not shielded: the
+    # email-shaped query substring IS redacted (and the scheme survives)
+    assert row["clean_text"].startswith("see https://ex.com/u?e=<EMAIL>")
+    assert row["n_email"] == 1
+    assert "10.0.0.1" in row["clean_text"]  # ipv4 kind not requested
+
+
+def test_url_swallows_embedded_email(spark, docs):
+    # full-kind pass: the email-shaped substring inside the URL query is
+    # redacted as part of <URL>, not as a second <EMAIL>
+    row = {r["doc_id"]: r for r in redact_pii(docs).collect()}["b"]
+    assert row["clean_text"] == "see <URL> and <IPV4> or <IPV4>"
+    assert row["n_url"] == 1 and row["n_email"] == 0 and row["n_ipv4"] == 2
+
+
+def test_totals_by_source(spark, docs):
+    ks = list(PII_PATTERNS)
+    got = {r["source"]: r for r in pii_totals_by_source(docs).collect()}
+    want = {}
+    for _, text, src in ROWS:
+        _, c = _py_redact(text, ks)
+        w = want.setdefault(src, {k: 0 for k in ks} | {"with": 0})
+        for k in ks:
+            w[k] += c[k]
+        w["with"] += 1 if any(c.values()) else 0
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k in ks:
+            assert got[s][f"n_{k}"] == w[k], (s, k)
+        assert got[s]["n_docs_with_pii"] == w["with"], s
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError):
+        redact_pii(docs, kinds=["email", "email"])
+    with pytest.raises(ValueError):
+        redact_pii(docs, kinds=["nope"])
+    with pytest.raises(ValueError):
+        redact_pii(docs, kinds=[])
