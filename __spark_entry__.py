@@ -4306,6 +4306,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=6)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k at realistic settings (16-byte codes per 64-dim
+    vector, 6/16 lists probed, exact re-rank of the top-24 ADC
+    candidates). Approximate by design -> rows-only check; the plumbing
+    is pinned exactly by ivfpq_exhaustive_parity and the suite's
+    recall/ADC-identity contracts (similarity.ivfpq_topk)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
+    return S.ivfpq_topk(emb, qids, k=5, n_centroids=16, nprobe=6,
+                        m_subspaces=16, n_codes=32, rerank=24)
+
+
+def q_ivfpq_exhaustive_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the PQ plumbing: with every list probed and a
+    full-corpus re-rank pool, IVF-PQ degrades to exact brute force — the
+    result must equal cosine_topk row-for-row (coarse assign, residual
+    encode, ADC candidate scan, pool window, exact re-rank all on the
+    line). Symmetric difference, empty-relation oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n = emb.count()
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(6).collect()]
+    a = S.ivfpq_topk(emb, qids, k=5, n_centroids=8, nprobe=8, rerank=n)
+    b = S.cosine_topk(emb, qids, k=5)
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_ivf_persisted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistence parity as a HARD oracle gate: the list_id-partitioned
     on-disk IVF index (similarity.write_ivf_index — partition-pruned reads)
@@ -4499,6 +4525,8 @@ def entry(spark: SparkSession) -> DataFrame:
 FORCE_OUTPUT_COLS = {
     "scrub_crossdoc_docs": "clean_text",
     "scrub_ingest_docs": "clean_text",
+    # pure projection: count() would prune the regexp fold away entirely
+    "pii_redact": "clean_text",
 }
 
 
@@ -4674,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_filtered": q_ann_cosine_topk_filtered,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ivfpq_exhaustive_parity": q_ivfpq_exhaustive_parity,
         "ivf_persisted_parity": q_ivf_persisted_parity,
         "doc_index_takedown_parity": q_doc_index_takedown_parity,
         "minhash_takedown_parity": q_minhash_takedown_parity,
@@ -5639,6 +5669,10 @@ SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5""",
         # parity gate: persisted-vs-in-memory IVF symmetric difference is
         # EMPTY by contract — the twin is the typed empty relation
+        "ivfpq_exhaustive_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
+       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
+       CAST(NULL AS INTEGER) AS rank
+WHERE FALSE""",
         "ivf_persisted_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
        CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
        CAST(NULL AS INTEGER) AS rank

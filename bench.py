@@ -142,6 +142,10 @@ def main() -> None:
         "hbi_set_chain",
         # ranked retrieval: top-k docs by occurrence count
         "hbi_pattern_topk_docs",
+        # index-accelerated char-pattern BM25 + the word-level ln-idf twin
+        # (zero-shuffle corpus scan, TakeOrderedAndProject)
+        "hbi_bm25_topk",
+        "bm25_topk_docs",
         # autocomplete: ranked next-3-token continuations of the match stream
         "hbi_pattern_completions",
         # range-restricted report(): the cascade on a (level, w_id)-sliced
@@ -169,6 +173,8 @@ def main() -> None:
         # skip-gram co-occurrence matrix + per-doc tf-idf keywords
         "skipgram_cooccurrence",
         "tfidf_top_terms",
+        # PII scrub: sequential JVM regexp fold, one codegen'd scan
+        "pii_redact",
         # Gopher repetition filters: top-bigram char fraction + duplicated
         # trigram char coverage (variable-length islands union)
         "doc_top_ngram_repetition",

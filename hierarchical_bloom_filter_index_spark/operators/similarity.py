@@ -573,3 +573,214 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized inverted lists. The 100 TB embedding path —
+# full float32 vectors do not fit hot storage at that scale, but M uint8
+# codes per vector (e.g. 8 bytes for a 64-dim vector, a 32x compression)
+# do. Queries scan codes with an ADC table (one np.take + sum per list,
+# no decode), then exact-rerank only the top ADC candidates' true vectors.
+# ---------------------------------------------------------------------------
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    coarse: np.ndarray,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 12,
+    seed: int = 177,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over RESIDUALS (normalized vector minus
+    its coarse centroid — the classic IVF-PQ composition: the coarse
+    quantizer removes the large-scale structure, PQ encodes what is left)
+    on the SAME deterministic hash-ordered driver sample as
+    train_ivf_centroids. Returns codebooks of shape
+    (m_subspaces, n_codes, dim // m_subspaces). Training cost is
+    independent of corpus size."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), F.col(id_col))
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"train_pq_codebooks: dim {dim} not divisible by "
+            f"m_subspaces {m_subspaces}")
+    if not (1 < n_codes <= 256):
+        raise ValueError("train_pq_codebooks: need 2 <= n_codes <= 256")
+    res = mat - coarse[np.argmax(mat @ coarse.T, axis=1)]
+    sub = dim // m_subspaces
+    books = np.empty((m_subspaces, n_codes, sub), dtype=np.float64)
+    for m in range(m_subspaces):
+        x = res[:, m * sub:(m + 1) * sub]
+        rng = np.random.default_rng(seed + m)
+        k = min(n_codes, len(x))
+        cb = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # squared-L2 assignment; ties -> lowest code (argmin), so the
+            # whole training is a pure function of (sample, seed)
+            d = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(k):
+                members = x[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        if k < n_codes:  # degenerate tiny sample: pad with copies
+            cb = np.concatenate([cb, np.repeat(cb[:1], n_codes - k, 0)])
+        books[m] = cb
+    return books
+
+
+def _pq_encode_batch(mat: np.ndarray, coarse: np.ndarray,
+                     books: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(list_ids, codes) for a batch of RAW vectors: normalize, coarse
+    assign, residual-encode each subspace to its nearest codeword."""
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lids = np.argmax(mat @ coarse.T, axis=1)
+    res = mat - coarse[lids]
+    m_sub, n_codes, sub = books.shape
+    codes = np.empty((len(mat), m_sub), dtype=np.int16)
+    for m in range(m_sub):
+        x = res[:, m * sub:(m + 1) * sub]
+        d = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1).astype(np.int16)
+    return lids.astype(np.int32), codes
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    coarse: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, codes): the PQ-compressed corpus — M smallint codes
+    per vector instead of dim floats. One Arrow-batched numpy pass, no
+    shuffle (write partitioned by list_id to get the prunable layout)."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((coarse, books))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, bks = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            lids, codes = _pq_encode_batch(mat, cents, bks)
+            out = pdf[[id_col]].copy()
+            out["list_id"] = lids
+            out["codes"] = list(codes)
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, list_id int, codes array<smallint>")
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k with exact re-rank: probe the ``nprobe``
+    nearest inverted lists, score their PQ codes by ADC (score(v) =
+    q . c_list + sum_m table[m][code_m] where table[m][j] =
+    q_m . books[m][j] — a per-QUERY table, M np.take lookups per
+    candidate, never a decode), keep the top ``rerank`` ADC candidates
+    per query, then exact-cosine re-rank their TRUE vectors for the final
+    (query_id, vec_id, score, rank) — output scores are always exact
+    cosines, PQ only decides who reaches the re-rank.
+
+    With nprobe >= n_centroids and rerank >= corpus size this degrades to
+    exact brute force — the driver parity gate (`ivfpq_exhaustive_parity`)
+    pins that equality so the assignment/encode/ADC plumbing is
+    row-checked, while recall at realistic settings is a suite contract.
+
+    Scale shape: codes scan is 32x smaller than the vector scan and prunes
+    to nprobe list partitions; the ONLY per-candidate state that crosses
+    an exchange is (query_id, vec_id, adc) for rerank winners; true
+    vectors are joined back for re-rank candidates only."""
+    spark = embeddings.sparkSession
+    coarse = train_ivf_centroids(
+        embeddings, n_centroids, vec_col=vec_col, id_col=id_col)
+    books = train_pq_codebooks(
+        embeddings, coarse, m_subspaces, n_codes,
+        vec_col=vec_col, id_col=id_col)
+    codes = ivfpq_encode(embeddings, coarse, books, id_col, vec_col)
+
+    qrows = embeddings.filter(
+        F.col(id_col).isin([int(q) for q in query_ids])
+    ).select(id_col, vec_col).collect()
+    qmap, probe_rows = {}, []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qmap[int(r[id_col])] = qv / np.linalg.norm(qv)
+        for lid in np.argsort(-(coarse @ qmap[int(r[id_col])]))[:nprobe]:
+            probe_rows.append((int(r[id_col]), int(lid)))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, list_id int"))
+    bq = spark.sparkContext.broadcast((qmap, coarse, books))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm, cents, bks = bq.value
+        m_sub, n_cd, sub = bks.shape
+        # per-query ADC tables + per-(query, list) constants, built once
+        tables = {q: np.array([
+            bks[m] @ qv[m * sub:(m + 1) * sub] for m in range(m_sub)
+        ]) for q, qv in qm.items()}  # (M, n_codes)
+        qdotc = {q: cents @ qv for q, qv in qm.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for q, g in pdf.groupby("query_id"):
+                cds = np.vstack(g["codes"].to_numpy())  # (n, M)
+                t = tables[int(q)]
+                s = qdotc[int(q)][g["list_id"].to_numpy()]
+                for m in range(m_sub):
+                    s = s + t[m][cds[:, m]]
+                out = g[["query_id"]].copy()
+                out["vec_id"] = g[id_col].to_numpy()
+                out["adc"] = s
+                yield out
+
+    cand = (
+        codes.join(probes, on="list_id", how="inner")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.mapInPandas(
+        adc, schema="query_id long, vec_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(rerank))
+        .select("query_id", "vec_id")
+    )
+    joined = pool.join(
+        embeddings.select(F.col(id_col).alias("vec_id"), vec_col),
+        on="vec_id", how="inner")
+    bqv = spark.sparkContext.broadcast(qmap)
+    exact = joined.mapInPandas(
+        _grouped_rerank_fn(bqv, "vec_id", vec_col), schema=_topk_schema())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.round("score", 6).alias("score"), "rank")
+    )
