@@ -4332,6 +4332,26 @@ def q_ivfpq_exhaustive_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_ivfpq_persisted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the persisted IVF-PQ layout: the list_id-partitioned
+    codes-on-disk path (centroids + codebooks + meta pinned at write) must
+    answer top-k ROW-IDENTICALLY to the in-memory ivfpq_topk at the same
+    geometry (deterministic training -> same codes -> same ADC pool ->
+    same exact re-rank). Symmetric difference, empty-relation oracle."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(6).collect()]
+    path = tempfile.mkdtemp(prefix="hbi_pq_") + "/pq"
+    S.write_ivfpq_index(emb, path, n_centroids=8, m_subspaces=16,
+                        n_codes=32)
+    mem = S.ivfpq_topk(emb, qids, k=5, n_centroids=8, nprobe=3, rerank=24,
+                       m_subspaces=16, n_codes=32)
+    per = S.ivfpq_topk_persisted(spark, path, emb, qids, k=5, nprobe=3,
+                                 rerank=24)
+    return mem.exceptAll(per).unionByName(per.exceptAll(mem))
+
+
 def q_ivf_persisted_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistence parity as a HARD oracle gate: the list_id-partitioned
     on-disk IVF index (similarity.write_ivf_index — partition-pruned reads)
@@ -4704,6 +4724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ivfpq_exhaustive_parity": q_ivfpq_exhaustive_parity,
+        "ivfpq_persisted_parity": q_ivfpq_persisted_parity,
         "ivf_persisted_parity": q_ivf_persisted_parity,
         "doc_index_takedown_parity": q_doc_index_takedown_parity,
         "minhash_takedown_parity": q_minhash_takedown_parity,
@@ -5669,6 +5690,10 @@ SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5""",
         # parity gate: persisted-vs-in-memory IVF symmetric difference is
         # EMPTY by contract — the twin is the typed empty relation
+        "ivfpq_persisted_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
+       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
+       CAST(NULL AS INTEGER) AS rank
+WHERE FALSE""",
         "ivfpq_exhaustive_parity": """SELECT CAST(NULL AS BIGINT) AS query_id,
        CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
        CAST(NULL AS INTEGER) AS rank

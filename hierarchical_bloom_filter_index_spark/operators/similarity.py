@@ -685,6 +685,86 @@ def ivfpq_encode(
         enc, schema=f"{id_col} long, list_id int, codes array<smallint>")
 
 
+def _query_probe_plan(embeddings, coarse, query_ids, nprobe, id_col, vec_col):
+    """({query_id: unit vec}, [(query_id, list_id)]) — the driver-side
+    probe plan shared by the in-memory and persisted IVF-PQ paths."""
+    qrows = embeddings.filter(
+        F.col(id_col).isin([int(q) for q in query_ids])
+    ).select(id_col, vec_col).collect()
+    qmap, probe_rows = {}, []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qmap[int(r[id_col])] = qv / np.linalg.norm(qv)
+        for lid in np.argsort(-(coarse @ qmap[int(r[id_col])]))[:nprobe]:
+            probe_rows.append((int(r[id_col]), int(lid)))
+    return qmap, probe_rows
+
+
+def _adc_fn(bq, id_col: str):
+    """mapInPandas closure scoring PQ code rows by ADC: per-query lookup
+    tables (table[m][j] = q_m . books[m][j]) and per-(query, list)
+    constants q . c_list built ONCE per task; each candidate costs M
+    np.take lookups + adds, never a decode. ``bq`` broadcasts
+    (qmap, coarse, books)."""
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm, cents, bks = bq.value
+        m_sub, _, sub = bks.shape
+        tables = {q: np.array([
+            bks[m] @ qv[m * sub:(m + 1) * sub] for m in range(m_sub)
+        ]) for q, qv in qm.items()}  # (M, n_codes) per query
+        qdotc = {q: cents @ qv for q, qv in qm.items()}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for q, g in pdf.groupby("query_id"):
+                cds = np.vstack(g["codes"].to_numpy())  # (n, M)
+                t = tables[int(q)]
+                s = qdotc[int(q)][g["list_id"].to_numpy()]
+                for m in range(m_sub):
+                    s = s + t[m][cds[:, m]]
+                out = g[["query_id"]].copy()
+                out["vec_id"] = g[id_col].to_numpy()
+                out["adc"] = s
+                yield out
+
+    return adc
+
+
+def _adc_pool_rerank(codes_or_lists, probes, bq, embeddings, qmap,
+                     k, rerank, id_col, vec_col):
+    """The shared IVF-PQ query tail: ADC-score the probed code rows, keep
+    the top ``rerank`` ADC candidates per query (ties vec_id ASC), join
+    their TRUE vectors back, exact-cosine re-rank, final top-k."""
+    spark = embeddings.sparkSession
+    cand = (
+        codes_or_lists.join(probes, on="list_id", how="inner")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.mapInPandas(
+        _adc_fn(bq, id_col), schema="query_id long, vec_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(rerank))
+        .select("query_id", "vec_id")
+    )
+    joined = pool.join(
+        embeddings.select(F.col(id_col).alias("vec_id"), vec_col),
+        on="vec_id", how="inner")
+    bqv = spark.sparkContext.broadcast(qmap)
+    exact = joined.mapInPandas(
+        _grouped_rerank_fn(bqv, "vec_id", vec_col), schema=_topk_schema())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -722,65 +802,92 @@ def ivfpq_topk(
         embeddings, coarse, m_subspaces, n_codes,
         vec_col=vec_col, id_col=id_col)
     codes = ivfpq_encode(embeddings, coarse, books, id_col, vec_col)
-
-    qrows = embeddings.filter(
-        F.col(id_col).isin([int(q) for q in query_ids])
-    ).select(id_col, vec_col).collect()
-    qmap, probe_rows = {}, []
-    for r in qrows:
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qmap[int(r[id_col])] = qv / np.linalg.norm(qv)
-        for lid in np.argsort(-(coarse @ qmap[int(r[id_col])]))[:nprobe]:
-            probe_rows.append((int(r[id_col]), int(lid)))
+    qmap, probe_rows = _query_probe_plan(
+        embeddings, coarse, query_ids, nprobe, id_col, vec_col)
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "query_id long, list_id int"))
     bq = spark.sparkContext.broadcast((qmap, coarse, books))
+    return _adc_pool_rerank(
+        codes, probes, bq, embeddings, qmap, k, rerank, id_col, vec_col)
 
-    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qm, cents, bks = bq.value
-        m_sub, n_cd, sub = bks.shape
-        # per-query ADC tables + per-(query, list) constants, built once
-        tables = {q: np.array([
-            bks[m] @ qv[m * sub:(m + 1) * sub] for m in range(m_sub)
-        ]) for q, qv in qm.items()}  # (M, n_codes)
-        qdotc = {q: cents @ qv for q, qv in qm.items()}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            for q, g in pdf.groupby("query_id"):
-                cds = np.vstack(g["codes"].to_numpy())  # (n, M)
-                t = tables[int(q)]
-                s = qdotc[int(q)][g["list_id"].to_numpy()]
-                for m in range(m_sub):
-                    s = s + t[m][cds[:, m]]
-                out = g[["query_id"]].copy()
-                out["vec_id"] = g[id_col].to_numpy()
-                out["adc"] = s
-                yield out
 
-    cand = (
-        codes.join(probes, on="list_id", how="inner")
-        .filter(F.col(id_col) != F.col("query_id"))
-    )
-    scored = cand.mapInPandas(
-        adc, schema="query_id long, vec_id long, adc double")
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    pool = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= int(rerank))
-        .select("query_id", "vec_id")
-    )
-    joined = pool.join(
-        embeddings.select(F.col(id_col).alias("vec_id"), vec_col),
-        on="vec_id", how="inner")
-    bqv = spark.sparkContext.broadcast(qmap)
-    exact = joined.mapInPandas(
-        _grouped_rerank_fn(bqv, "vec_id", vec_col), schema=_topk_schema())
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("vec_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id",
-                F.round("score", 6).alias("score"), "rank")
-    )
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kw,
+) -> None:
+    """Persist an IVF-PQ index: ``path/lists`` holds (id, codes) parquet
+    PARTITIONED BY list_id — the 100 TB hot artifact, M smallint codes per
+    vector instead of dim floats — plus ``path/centroids`` (coarse),
+    ``path/books`` (flattened PQ codebooks) and ``path/meta`` (pinned
+    geometry: readers NEVER take m/k from callers — the
+    write_minhash_index discipline). ONE repartition('list_id') before
+    the write keeps one writer task per list directory. Per-vector
+    takedown rides takedown_ivf_index unchanged (it only touches id_col
+    and list_id)."""
+    spark = embeddings.sparkSession
+    coarse = train_ivf_centroids(
+        embeddings, n_centroids, vec_col=vec_col, id_col=id_col, **train_kw)
+    books = train_pq_codebooks(
+        embeddings, coarse, m_subspaces, n_codes,
+        vec_col=vec_col, id_col=id_col, **train_kw)
+    codes = ivfpq_encode(embeddings, coarse, books, id_col, vec_col)
+    (codes.repartition("list_id").write.mode("overwrite")
+     .partitionBy("list_id").parquet(f"{path}/lists"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in coarse[i]]) for i in range(len(coarse))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    m_sub, n_cd, sub = books.shape
+    spark.createDataFrame(
+        [(m, j, [float(x) for x in books[m, j]])
+         for m in range(m_sub) for j in range(n_cd)],
+        "m int, code int, word array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    spark.createDataFrame(
+        [(int(m_sub), int(n_cd), int(sub))],
+        "m_subspaces int, n_codes int, sub_dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ivfpq_codebooks(spark, path: str) -> np.ndarray:
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    books = np.empty((meta["m_subspaces"], meta["n_codes"],
+                      meta["sub_dim"]), dtype=np.float64)
+    for r in spark.read.parquet(f"{path}/books").collect():
+        books[r["m"], r["code"]] = r["word"]
+    return books
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivfpq_topk`` against a ``write_ivfpq_index`` layout: centroids +
+    codebooks load driver-side (tiny), the ADC scan reads ONLY the probed
+    lists' code files (partition pruning — 32x less IO than the vector
+    scan even before pruning), and the exact re-rank joins the top-ADC
+    pool's TRUE vectors from the caller's base table. Row-identical to
+    the in-memory path for the same geometry (deterministic training)."""
+    coarse = read_ivf_centroids(spark, path)
+    books = read_ivfpq_codebooks(spark, path)
+    qmap, probe_rows = _query_probe_plan(
+        embeddings, coarse, query_ids, nprobe, id_col, vec_col)
+    lists = read_ivf_lists(spark, path, sorted({l for _, l in probe_rows}))
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "query_id long, list_id int"))
+    bq = spark.sparkContext.broadcast((qmap, coarse, books))
+    return _adc_pool_rerank(
+        lists, probes, bq, embeddings, qmap, k, rerank, id_col, vec_col)

@@ -83,3 +83,40 @@ def test_pq_validation(emb):
         S.train_pq_codebooks(emb, coarse, m_subspaces=7)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         S.train_pq_codebooks(emb, coarse, m_subspaces=8, n_codes=1)
+
+
+def test_persisted_parity_and_pruned_scan(spark, emb, qids, tmp_path):
+    path = str(tmp_path / "pq")
+    S.write_ivfpq_index(emb, path, n_centroids=8, m_subspaces=16,
+                        n_codes=32)
+    mem = sorted(map(tuple, S.ivfpq_topk(
+        emb, qids, k=5, n_centroids=8, nprobe=3, rerank=24,
+        m_subspaces=16, n_codes=32).collect()))
+    per = sorted(map(tuple, S.ivfpq_topk_persisted(
+        spark, path, emb, qids, k=5, nprobe=3, rerank=24).collect()))
+    assert mem == per and mem
+
+    # the pruned reader touches ONLY the probed lists' files
+    coarse = S.read_ivf_centroids(spark, path)
+    qmap, probe_rows = S._query_probe_plan(
+        emb, coarse, qids, 3, "vec_id", "embedding")
+    probed = sorted({l for _, l in probe_rows})
+    pruned = S.read_ivf_lists(spark, path, probed)
+    files = {r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all(
+        any(f"list_id={l}/" in f for l in probed) for f in files)
+
+
+def test_pq_index_takedown(spark, emb, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    S.write_ivfpq_index(emb, p1, n_centroids=8)
+    S.write_ivfpq_index(emb, p2, n_centroids=8)
+    removed = [r["vec_id"] for r in emb.limit(5).collect()]
+    assert S.takedown_ivf_index(spark, p1, removed) >= 1
+    a = sorted((r["vec_id"], r["list_id"], tuple(r["codes"])) for r in
+               spark.read.parquet(f"{p1}/lists").collect())
+    b = sorted((r["vec_id"], r["list_id"], tuple(r["codes"])) for r in
+               spark.read.parquet(f"{p2}/lists")
+               .filter(~F.col("vec_id").isin(removed)).collect())
+    assert a == b
