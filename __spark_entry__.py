@@ -2068,6 +2068,58 @@ def q_pii_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pii_totals_by_source(_laced_docs(spark, sf_dir))
 
 
+BPE_MERGES = 60
+
+
+def q_bpe_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the BPE tokenizer: train merges on the corpus word
+    table (one groupBy + driver merge loop — the sentencepiece shape),
+    encode every document (Arrow pass, zero shuffles), decode, and return
+    the docs whose decode differs from the canonical single-spaced text —
+    expected EMPTY (merges only regroup characters, so decode-encode is
+    the identity). Empty-relation oracle (operators/bpe.py)."""
+    from hierarchical_bloom_filter_index_spark.operators import bpe as B
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, _ = B.bpe_train(d, n_merges=BPE_MERGES)
+    back = B.bpe_decode(B.bpe_encode_words(d, merges))
+    canon = d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")), " "
+        ).alias("text"))
+    return (
+        back.alias("a")
+        .join(canon.alias("b"), on="doc_id", how="full_outer")
+        .filter(~F.col("a.text").eqNullSafe(F.col("b.text")))
+        .select("doc_id", F.col("a.text").alias("decoded"),
+                F.col("b.text").alias("expected"))
+    )
+
+
+def q_bpe_char_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE tokenization dashboard with a VALUE oracle: the
+    total characters inside the emitted tokens must equal the non-space
+    characters of the source text (BPE merges regroup, never create or
+    drop). n_docs rides along; token COUNTS are merge-dependent and live
+    in the suite contracts instead (operators/bpe.py)."""
+    from hierarchical_bloom_filter_index_spark.operators import bpe as B
+
+    d = _docs(spark, sf_dir)
+    merges, _ = B.bpe_train(d, n_merges=BPE_MERGES)
+    enc = B.bpe_encode(d, merges)
+    per = enc.select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0),
+                    lambda a, t: a + F.length(t)).alias("tok_chars"))
+    return (
+        per.join(d.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("tok_chars").cast("long").alias("total_token_chars"))
+    )
+
+
 SKIPGRAM_W, SKIPGRAM_K, SKIPGRAM_MIN = 4, 30, 2
 
 
@@ -4713,6 +4765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": q_bm25_topk_docs,
         "pii_redact": q_pii_redact,
         "pii_totals": q_pii_totals,
+        "bpe_roundtrip_parity": q_bpe_roundtrip_parity,
+        "bpe_char_conservation": q_bpe_char_conservation,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5367,6 +5421,14 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
+        "bpe_roundtrip_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS decoded, CAST(NULL AS VARCHAR) AS expected
+WHERE FALSE""",
+        "bpe_char_conservation": """SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT)
+           AS total_token_chars
+FROM documents GROUP BY source""",
         "pii_redact": f"""WITH {_LACED_CTE}
 SELECT doc_id, {_pii_chain_sql()[0]} AS clean_text, {_pii_chain_sql()[1]}
 FROM laced""",

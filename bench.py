@@ -175,6 +175,8 @@ def main() -> None:
         "tfidf_top_terms",
         # PII scrub: sequential JVM regexp fold, one codegen'd scan
         "pii_redact",
+        # BPE: train on the word table (one groupBy) + Arrow encode pass
+        "bpe_char_conservation",
         # Gopher repetition filters: top-bigram char fraction + duplicated
         # trigram char coverage (variable-length islands union)
         "doc_top_ngram_repetition",
