@@ -2068,6 +2068,50 @@ def q_pii_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pii_totals_by_source(_laced_docs(spark, sf_dir))
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): users completing each
+    prefix at strictly increasing timestamps. Greedy earliest-feasible
+    matching (exact for unbounded ordered funnels) via ONE
+    groupBy(user) + codegen'd F.aggregate scan — no per-step join chain,
+    no window exchange (operators/sessions.funnel_counts). DuckDB twin is
+    the chain-of-mins formulation, which computes the same greedy
+    earliest completion times."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts)
+
+    # the fixture ts is TIMESTAMP_NTZ; pin UTC so the NTZ->TZ cast is
+    # monotone (a DST fall-back session tz could reorder same-wall-hour
+    # events and change strict-> chains)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, FUNNEL_STEPS)
+
+
+def _funnel_oracle_sql() -> str:
+    steps = FUNNEL_STEPS
+    ctes, prev = [], None
+    for i, s in enumerate(steps, 1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN s{i - 1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.t "
+                f"GROUP BY e.user_id)")
+        prev = s
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps, 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 BPE_MERGES = 60
 
 
@@ -4767,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_totals": q_pii_totals,
         "bpe_roundtrip_parity": q_bpe_roundtrip_parity,
         "bpe_char_conservation": q_bpe_char_conservation,
+        "event_funnel": q_event_funnel,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5421,6 +5466,7 @@ SELECT w1 || '|' || w2 AS gram, CAST(cnt_ab AS BIGINT) AS cnt,
 FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
+        "event_funnel": _funnel_oracle_sql(),
         "bpe_roundtrip_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS decoded, CAST(NULL AS VARCHAR) AS expected
 WHERE FALSE""",

@@ -146,3 +146,78 @@ def asof_join(
             F.when(stale, F.lit(None)).otherwise(F.col("_rt_m")).alias("_rt_m"),
         )
     return out.withColumnRenamed("_rt_m", "matched_t")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ORDERED FUNNEL: for each prefix of ``steps`` (e.g. view -> click ->
+    purchase), how many users completed it — the product-analytics
+    staple. A user completes step k iff events of types steps[0..k] occur
+    at STRICTLY increasing timestamps (no horizon: greedy
+    earliest-feasible matching is EXACT for unbounded ordered funnels —
+    advancing on the first feasible occurrence never forecloses a later
+    completion; horizon-bounded funnels need the backward-DP treatment of
+    proximity.ordered_chain_search and are out of scope here, documented
+    not silent).
+
+    Plan: filter to the step types FIRST (the scan drops every other
+    event), ONE groupBy(user) building the per-user time-sorted event
+    array (state bounded by per-user step-type activity, the sessionize
+    contract), then a codegen'd F.aggregate scan — no Python, no window
+    exchange, no per-step join chain. Output: (step, event_type,
+    n_users), step 1..K, n_users nonincreasing. Timestamps compare as
+    epoch micros (tz-free, the sessions.py discipline); same-instant
+    events cannot chain (strict >), so the result is independent of the
+    sort's tie order."""
+    if not steps or len(steps) < 1:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.struct(
+                # NTZ-safe cast (with_epoch_us discipline); only STRICT
+                # comparisons of these micros matter, so the session tz
+                # cannot change the funnel (a constant offset preserves >)
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                F.col(id_col).cast("long").alias("eid"),
+                F.col(type_col).alias("et"),
+            ).alias("e"))
+    )
+    per = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.aggregate(
+                "es",
+                F.struct(F.lit(0).alias("cur"),
+                         F.lit(-1).cast("long").alias("last")),
+                lambda acc, x: F.when(
+                    (acc["cur"] < F.lit(k))
+                    & (x["et"] == F.element_at(step_arr, acc["cur"] + 1))
+                    & (x["t"] > acc["last"]),
+                    F.struct(
+                        (acc["cur"] + 1).alias("cur"),
+                        x["t"].alias("last")),
+                ).otherwise(acc),
+            )["cur"].alias("max_step"))
+    )
+    return (
+        per.filter(F.col("max_step") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), "max_step")).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "step",
+            F.element_at(step_arr, F.col("step")).alias("event_type"),
+            "n_users")
+    )

@@ -120,3 +120,69 @@ def test_asof_rejects_colliding_payload(spark):
     df = spark.createDataFrame([(1, 0)], "user_id long, t_us long")
     with pytest.raises(ValueError):
         asof_join(df, df, "user_id", "t_us", ["t_us"])
+
+
+def _funnel_local(rows, steps):
+    """Greedy earliest ordered-funnel reference: rows = (user, t_us, type)."""
+    per = {}
+    for u, t, et in sorted(rows):
+        per.setdefault(u, []).append((t, et))
+    counts = {k: 0 for k in range(1, len(steps) + 1)}
+    for u, evs in per.items():
+        cur, last = 0, -1
+        for t, et in sorted(evs):
+            if cur < len(steps) and et == steps[cur] and t > last:
+                cur, last = cur + 1, t
+        for k in range(1, cur + 1):
+            counts[k] += 1
+    return counts
+
+
+def test_funnel_matches_local(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts)
+
+    steps = ["view", "click", "purchase"]
+    got = {r["step"]: (r["event_type"], r["n_users"])
+           for r in funnel_counts(events, steps).collect()}
+    rows = [(r["user_id"], r["t_us"], r["event_type"])
+            for r in events.select("user_id", "t_us", "event_type").collect()]
+    want = _funnel_local(rows, steps)
+    assert {k: v[1] for k, v in got.items()} == {
+        k: v for k, v in want.items() if v > 0}
+    for k, (et, _) in got.items():
+        assert et == steps[k - 1]
+    # funnel is monotone nonincreasing
+    ns = [got[k][1] for k in sorted(got)]
+    assert ns == sorted(ns, reverse=True)
+    assert ns and ns[0] > 0, "fixture produced an empty funnel — vacuous"
+
+
+def test_funnel_same_instant_cannot_chain(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts)
+
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        # u1: a,b at the SAME instant -> only step 1
+        (1, t0, 1, "a"), (2, t0, 1, "b"),
+        # u2: a then b strictly later -> step 2
+        (3, t0, 2, "a"), (4, "2024-01-01 00:00:01", 2, "b"),
+        # u3: b before a only -> step 1 (needs a first)
+        (5, t0, 3, "b"), (6, "2024-01-01 00:00:01", 3, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(ev, ["a", "b"]).collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_funnel_validation(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts)
+
+    with pytest.raises(ValueError):
+        funnel_counts(events, [])
