@@ -2058,6 +2058,34 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.redact_pii(_laced_docs(spark, sf_dir))
 
 
+def q_pii_redact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-time PII scrub: the laced corpus drained through a
+    file stream in micro-batches, each redacted via foreachBatch with the
+    shared replay guard. redact_pii is stateless per doc, so the output
+    minus batch_id must equal the one-shot batch redaction — symmetric
+    difference, empty-relation oracle (operators/pii.redact_pii_stream).
+    Stays OUT of bench (stream drain)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import pii as P
+
+    laced = _laced_docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="hbi_pii_stream_")
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    laced.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    laced.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(laced.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = P.redact_pii_stream(stream, f"{work}/out", f"{work}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "redact_pii_stream: availableNow drain exceeded 300s")
+    got = spark.read.parquet(f"{work}/out").drop("batch_id")
+    want = P.redact_pii(laced)
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 def q_pii_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII dashboard: kind totals + docs-with-any-PII count —
     the triage view for scrub-before-training decisions. One map-side
@@ -4808,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk_docs": q_bm25_topk_docs,
         "pii_redact": q_pii_redact,
+        "pii_redact_stream": q_pii_redact_stream,
         "pii_totals": q_pii_totals,
         "bpe_roundtrip_parity": q_bpe_roundtrip_parity,
         "bpe_char_conservation": q_bpe_char_conservation,
@@ -5475,6 +5504,11 @@ WHERE FALSE""",
        CAST(SUM(length(replace(text, ' ', ''))) AS BIGINT)
            AS total_token_chars
 FROM documents GROUP BY source""",
+        "pii_redact_stream": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS VARCHAR) AS clean_text, CAST(NULL AS INTEGER) AS n_url,
+       CAST(NULL AS INTEGER) AS n_email, CAST(NULL AS INTEGER) AS n_ipv4,
+       CAST(NULL AS INTEGER) AS n_phone
+WHERE FALSE""",
         "pii_redact": f"""WITH {_LACED_CTE}
 SELECT doc_id, {_pii_chain_sql()[0]} AS clean_text, {_pii_chain_sql()[1]}
 FROM laced""",

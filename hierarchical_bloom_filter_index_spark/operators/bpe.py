@@ -207,3 +207,30 @@ def bpe_decode(encoded: DataFrame) -> DataFrame:
         F.array_join(
             F.transform("words", lambda w: F.array_join(w, "")), " "
         ).alias("text"))
+
+
+def write_bpe_model(spark, path: str, merges: list[tuple[str, str]],
+                    stats: dict | None = None) -> None:
+    """Persist a trained BPE model: ``path/merges`` = (rank, left, right)
+    parquet (rank IS the application priority — readers must preserve
+    it), ``path/meta`` = the training stats. A tokenizer is a CONTRACT:
+    every later encode (ingest streams, new shards) must reuse the
+    pinned merges or token ids drift — the write_minhash_index
+    discipline."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    st = stats or {}
+    spark.createDataFrame(
+        [(int(st.get("distinct_words", -1)), int(st.get("trained_on", -1)),
+          int(st.get("dropped_words", -1)), len(merges))],
+        "distinct_words long, trained_on long, dropped_words long, "
+        "n_merges int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_bpe_model(spark, path: str) -> list[tuple[str, str]]:
+    """The pinned merge list, rank order restored."""
+    rows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

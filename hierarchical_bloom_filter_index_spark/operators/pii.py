@@ -97,3 +97,34 @@ def pii_totals_by_source(
                  (sum(F.col(f"n_{k}") for k in ks) > 0).cast("long")
              ).alias("n_docs_with_pii"))
     )
+
+
+def redact_pii_stream(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    kinds: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """STREAMING ingest-time PII scrub: arriving doc files drained through
+    a file stream, each micro-batch redacted via foreachBatch with the
+    shared replay guard (at-least-once -> exactly-once appends). redact_pii
+    is stateless per document, so the output minus batch_id equals the
+    batch run over everything ingested — the driver parity gate. Returns
+    the started availableNow query."""
+    from ..streaming.incremental import replay_guarded_append
+
+    ks = _check_kinds(kinds)
+
+    def _do(batch_df: DataFrame) -> DataFrame:
+        return redact_pii(batch_df, ks, text_col=text_col, id_col=id_col)
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: replay_guarded_append(out_path, bdf, bid, _do)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -104,3 +104,16 @@ def test_validation(spark, docs):
         B.bpe_train(docs, n_merges=0)
     with pytest.raises(ValueError):
         B.bpe_train(docs, n_merges=5, vocab_cap=0)
+
+
+def test_model_persistence_roundtrip(spark, docs, tmp_path):
+    merges, stats = B.bpe_train(docs, n_merges=40)
+    path = str(tmp_path / "model")
+    B.write_bpe_model(spark, path, merges, stats)
+    back = B.read_bpe_model(spark, path)
+    assert back == merges
+    a = sorted((r["doc_id"], tuple(r["tokens"]))
+               for r in B.bpe_encode(docs, merges).collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"]))
+               for r in B.bpe_encode(docs, back).collect())
+    assert a == b
