@@ -139,6 +139,18 @@ SWEEP = [
     "scrub_ingest_docs",
     "neardup_canonical_lsh",
     "short_doc_pruned",
+    # round-4j additions: BM25 on both axes (char-pattern via the index;
+    # word-level = one zero-shuffle scan + TakeOrdered — Caesar replicas
+    # shift the words, so growth isolates scan+score cost), PII redaction
+    # (pure codegen'd regexp fold — expect ~linear in text bytes; lacing
+    # keys on length(text) so it survives replica ids), and BPE
+    # train+encode (word table grows ~5x distinct words; encode linear).
+    # event_funnel / ivfpq need events/embeddings, absent from the scaled
+    # dirs — excluded by construction, not oversight.
+    "hbi_bm25_topk",
+    "bm25_topk_docs",
+    "pii_redact",
+    "bpe_char_conservation",
 ]
 
 
