@@ -2140,6 +2140,45 @@ def _funnel_oracle_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
+FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000  # 6h conversion window
+
+
+def q_event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HORIZON-BOUNDED funnel: each adjacent step gap <= 6h. Greedy
+    earliest matching is WRONG under a window (dead-end trap,
+    pytest-pinned) — every prefix runs an exact per-user backward
+    existence DP (np.searchsorted interval probes over the user's sorted
+    step times; one groupBy(user) exchange)
+    (operators/sessions.funnel_counts_windowed). DuckDB twin = per-prefix
+    EXISTS chain joins with epoch-micros gap conditions."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts_windowed)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts_windowed(ev, FUNNEL_STEPS, FUNNEL_WITHIN_US)
+
+
+def _funnel_windowed_oracle_sql() -> str:
+    steps, w = FUNNEL_STEPS, FUNNEL_WITHIN_US
+    parts = []
+    for p in range(1, len(steps) + 1):
+        joins, prev = [], "e1"
+        for i in range(2, p + 1):
+            joins.append(
+                f"JOIN events e{i} ON e{i}.user_id = e1.user_id "
+                f"AND e{i}.event_type = '{steps[i - 1]}' "
+                f"AND epoch_us(e{i}.ts) > epoch_us({prev}.ts) "
+                f"AND epoch_us(e{i}.ts) <= epoch_us({prev}.ts) + {w}")
+            prev = f"e{i}"
+        parts.append(
+            f"SELECT {p} AS step, '{steps[p - 1]}' AS event_type, "
+            f"CAST(COUNT(DISTINCT e1.user_id) AS BIGINT) AS n_users "
+            f"FROM events e1 {' '.join(joins)} "
+            f"WHERE e1.event_type = '{steps[0]}'")
+    return "\nUNION ALL\n".join(parts)
+
+
 BPE_MERGES = 60
 
 
@@ -4841,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip_parity": q_bpe_roundtrip_parity,
         "bpe_char_conservation": q_bpe_char_conservation,
         "event_funnel": q_event_funnel,
+        "event_funnel_windowed": q_event_funnel_windowed,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5496,6 +5536,7 @@ FROM big JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
         "event_funnel": _funnel_oracle_sql(),
+        "event_funnel_windowed": _funnel_windowed_oracle_sql(),
         "bpe_roundtrip_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS decoded, CAST(NULL AS VARCHAR) AS expected
 WHERE FALSE""",

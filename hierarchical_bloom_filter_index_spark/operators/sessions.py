@@ -162,9 +162,8 @@ def funnel_counts(
     at STRICTLY increasing timestamps (no horizon: greedy
     earliest-feasible matching is EXACT for unbounded ordered funnels —
     advancing on the first feasible occurrence never forecloses a later
-    completion; horizon-bounded funnels need the backward-DP treatment of
-    proximity.ordered_chain_search and are out of scope here, documented
-    not silent).
+    completion; for horizon-bounded conversion use funnel_counts_windowed,
+    whose backward DP handles the dead-end trap greedy falls into).
 
     Plan: filter to the step types FIRST (the scan drops every other
     event), ONE groupBy(user) building the per-user time-sorted event
@@ -211,6 +210,12 @@ def funnel_counts(
                 ).otherwise(acc),
             )["cur"].alias("max_step"))
     )
+    return _funnel_from_max_steps(per, step_arr)
+
+
+def _funnel_from_max_steps(per: DataFrame, step_arr) -> DataFrame:
+    """(step, event_type, n_users) from per-user max completed prefix —
+    the shared funnel tail (explode the prefix range, one small groupBy)."""
     return (
         per.filter(F.col("max_step") >= 1)
         .select(F.explode(F.sequence(F.lit(1), "max_step")).alias("step"))
@@ -221,3 +226,69 @@ def funnel_counts(
             F.element_at(step_arr, F.col("step")).alias("event_type"),
             "n_users")
     )
+
+
+def funnel_counts_windowed(
+    events: DataFrame,
+    steps: list[str],
+    within_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """HORIZON-BOUNDED ordered funnel: a user completes step prefix p iff
+    events of types steps[0..p] occur at strictly increasing timestamps
+    with EVERY adjacent gap <= ``within_us`` micros (the
+    within-X-of-previous-step conversion window). Greedy earliest matching
+    is WRONG here — an early step-j occurrence can dead-end while a later
+    one converts (the ordered-chain trap, proximity.ordered_chain_search)
+    — so each prefix runs an exact BACKWARD existence DP per user:
+    good_j(t) iff some good_{j+1} event lies in (t, t + within]; one
+    np.searchsorted interval probe per step, vectorized over the user's
+    events. Per-user state is its own event subsequence (the sessionize
+    contract); one groupBy(user) is the only exchange."""
+    import numpy as np
+    import pandas as pd
+
+    if not steps:
+        raise ValueError("funnel_counts_windowed: steps must be non-empty")
+    if within_us <= 0:
+        raise ValueError("funnel_counts_windowed: within_us must be > 0")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(type_col).alias("et"))
+    )
+    w = int(within_us)
+    sts = list(steps)
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = {s: np.sort(pdf.loc[pdf["et"] == s, "t"].to_numpy(np.int64))
+              for s in sts}
+        max_p = 0
+        for p in range(k, 0, -1):
+            good = ts[sts[p - 1]]
+            ok = len(good) > 0
+            for j in range(p - 2, -1, -1):
+                if not ok:
+                    break
+                t_j = ts[sts[j]]
+                # good_{j+1} time strictly inside (t, t + w]?
+                lo = np.searchsorted(good, t_j, side="right")
+                hi = np.searchsorted(good, t_j + w, side="right")
+                good = t_j[hi > lo]
+                ok = len(good) > 0
+            if ok:
+                max_p = p
+                break
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]],
+                             "max_step": [np.int32(max_p)]})
+
+    per = ev.groupBy("user_id").applyInPandas(
+        dp, schema="user_id long, max_step int")
+    return _funnel_from_max_steps(per, step_arr)

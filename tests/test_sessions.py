@@ -186,3 +186,83 @@ def test_funnel_validation(events):
 
     with pytest.raises(ValueError):
         funnel_counts(events, [])
+
+
+def _funnel_windowed_local(rows, steps, w):
+    """Brute-force reference: enumerate all chains (tiny fixtures only)."""
+    from itertools import product
+
+    per = {}
+    for u, t, et in rows:
+        per.setdefault(u, {}).setdefault(et, []).append(t)
+    counts = {k: 0 for k in range(1, len(steps) + 1)}
+    for u, by in per.items():
+        max_p = 0
+        for p in range(len(steps), 0, -1):
+            if any(s not in by for s in steps[:p]):
+                continue
+            for chain in product(*[sorted(by[s]) for s in steps[:p]]):
+                if all(0 < chain[i + 1] - chain[i] <= w
+                       for i in range(p - 1)):
+                    max_p = p
+                    break
+            if max_p:
+                break
+        for k in range(1, max_p + 1):
+            counts[k] += 1
+    return {k: v for k, v in counts.items() if v > 0}
+
+
+def test_funnel_windowed_dead_end_trap(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts_windowed)
+
+    # u1: early 'a' at t=0 dead-ends (b at 100 is outside w=10); the LATER
+    # a at t=95 converts via b@100, c@105 — greedy earliest would miss it
+    rows = [(1, 0, "a"), (1, 95, "a"), (1, 100, "b"), (1, 105, "c"),
+            # u2: a->b within w but c too far -> prefix 2
+            (2, 0, "a"), (2, 5, "b"), (2, 100, "c")]
+    ev = spark.createDataFrame(
+        [(i, u, t, et) for i, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, t long, event_type string"
+    ).select("event_id", "user_id",
+             F.timestamp_micros(F.col("t")).alias("ts"), "event_type")
+    got = {r["step"]: r["n_users"] for r in funnel_counts_windowed(
+        ev, ["a", "b", "c"], within_us=10).collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_funnel_windowed_matches_brute(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts_windowed)
+
+    steps, w = ["view", "click", "purchase"], 3 * 3600 * 1_000_000
+    got = {r["step"]: r["n_users"] for r in funnel_counts_windowed(
+        events, steps, within_us=w).collect()}
+    # brute reference on a 40-user slice (product enumeration explodes on
+    # the full fixture)
+    sub = events.filter(F.col("user_id") < 40)
+    rows = [(r["user_id"], r["t_us"], r["event_type"])
+            for r in sub.select("user_id", "t_us", "event_type").collect()]
+    want = _funnel_windowed_local(rows, steps, w)
+    got_sub = {r["step"]: r["n_users"] for r in funnel_counts_windowed(
+        sub, steps, within_us=w).collect()}
+    assert got_sub == want
+    # windowed counts can never exceed the unbounded funnel's
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts)
+    unb = {r["step"]: r["n_users"]
+           for r in funnel_counts(events, steps).collect()}
+    for k, v in got.items():
+        assert v <= unb[k]
+    assert got.get(3, 0) > 0, "fixture produced no 3-step conversions"
+
+
+def test_funnel_windowed_validation(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        funnel_counts_windowed)
+
+    with pytest.raises(ValueError):
+        funnel_counts_windowed(events, [], within_us=10)
+    with pytest.raises(ValueError):
+        funnel_counts_windowed(events, ["view"], within_us=0)
