@@ -2140,6 +2140,34 @@ def _funnel_oracle_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
+WCHUNK_SIZE, WCHUNK_OVERLAP = 12, 4
+
+
+def q_chunk_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window prep: fixed-size overlapping char chunks with
+    (doc_id, chunk_idx, char_start) provenance — one sequence+posexplode
+    projection, zero shuffles (operators/chunk.chunk_by_chars). VALUE
+    oracle: generate_series + substr in DuckDB."""
+    from hierarchical_bloom_filter_index_spark.operators.chunk import (
+        chunk_by_chars)
+
+    return chunk_by_chars(
+        _docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP)
+
+
+def q_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-window chunks (whitespace tokens, single-space rejoin — the
+    corpus word discipline) with word-offset provenance
+    (operators/chunk.chunk_by_words). VALUE oracle via DuckDB list
+    slicing."""
+    from hierarchical_bloom_filter_index_spark.operators.chunk import (
+        chunk_by_words)
+
+    return chunk_by_words(
+        _docs(spark, sf_dir), WCHUNK_SIZE, WCHUNK_OVERLAP)
+
+
 FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000  # 6h conversion window
 
 
@@ -4881,6 +4909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_char_conservation": q_bpe_char_conservation,
         "event_funnel": q_event_funnel,
         "event_funnel_windowed": q_event_funnel_windowed,
+        "chunk_chars": q_chunk_chars,
+        "chunk_words": q_chunk_words,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5537,6 +5567,33 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
+        "chunk_chars": f"""WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE length(text) > 0),
+s AS (SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                    {CHUNK_SIZE - CHUNK_OVERLAP})) AS st
+      FROM d)
+SELECT doc_id,
+       CAST(st // {CHUNK_SIZE - CHUNK_OVERLAP} AS INTEGER) AS chunk_idx,
+       CAST(st AS INTEGER) AS char_start,
+       substr(text, st + 1, {CHUNK_SIZE}) AS chunk
+FROM s""",
+        "chunk_words": f"""WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+w AS (SELECT doc_id, ws FROM d WHERE len(ws) > 0),
+s AS (SELECT doc_id, ws,
+             unnest(generate_series(0, greatest(len(ws) - 1, 0),
+                                    {WCHUNK_SIZE - WCHUNK_OVERLAP})) AS st
+      FROM w)
+SELECT doc_id,
+       CAST(st // {WCHUNK_SIZE - WCHUNK_OVERLAP} AS INTEGER) AS chunk_idx,
+       CAST(st AS INTEGER) AS word_start,
+       array_to_string(ws[st + 1 : st + {WCHUNK_SIZE}], ' ') AS chunk,
+       CAST(LEAST(len(ws) - st, {WCHUNK_SIZE}) AS INTEGER) AS n_words
+FROM s""",
         "bpe_roundtrip_parity": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
        CAST(NULL AS VARCHAR) AS decoded, CAST(NULL AS VARCHAR) AS expected
 WHERE FALSE""",
