@@ -2168,6 +2168,38 @@ def q_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), WCHUNK_SIZE, WCHUNK_OVERLAP)
 
 
+HIST_LO, HIST_HI, HIST_BINS, HIST_SCALE = 0.0, 20.0, 10, 100
+OUTLIER_K = 2
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact equi-width histogram of event values per type:
+    fixed-point scale once, then every bin edge is integer `div` math —
+    bit-identical cross-engine, no float width (operators/stats.
+    scaled_histogram). One map-side-combined groupBy."""
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        scaled_histogram)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scaled_histogram(ev, "value", HIST_LO, HIST_HI, HIST_BINS,
+                            HIST_SCALE, group_cols=("event_type",))
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev outlier flags per event type: |x - mean| > k*sigma
+    decided by the EXACT integer inequality (n*x - S)^2 > k^2*(n*Q - S^2)
+    — no division/sqrt/float in the decision, DECIMAL(38,0) sums
+    (operators/stats.group_outliers). Two-phase: one moments groupBy,
+    broadcast back, one flag projection."""
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        group_outliers)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value")
+    return group_outliers(ev, "value", k=OUTLIER_K,
+                          group_cols=("event_type",), scale=HIST_SCALE)
+
+
 FUNNEL_WITHIN_US = 6 * 3600 * 1_000_000  # 6h conversion window
 
 
@@ -4911,6 +4943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_windowed": q_event_funnel_windowed,
         "chunk_chars": q_chunk_chars,
         "chunk_words": q_chunk_words,
+        "value_histogram": q_value_histogram,
+        "value_outliers": q_value_outliers,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5567,6 +5601,32 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
+        "value_histogram": f"""WITH s AS (
+  SELECT event_type, CAST(round(value * {HIST_SCALE}) AS HUGEINT) AS x
+  FROM events),
+lo(v) AS (VALUES ({int(HIST_LO * HIST_SCALE)})),
+w(v) AS (VALUES ({(int(HIST_HI * HIST_SCALE) - int(HIST_LO * HIST_SCALE)) // HIST_BINS}))
+SELECT event_type,
+       CAST((x - lo.v) // w.v AS INTEGER) AS bin,
+       CAST(lo.v + ((x - lo.v) // w.v) * w.v AS BIGINT) AS bin_lo_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s, lo, w
+WHERE x >= lo.v AND x < {int(HIST_HI * HIST_SCALE)}
+GROUP BY event_type, bin, bin_lo_scaled""",
+        "value_outliers": f"""WITH s AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * {HIST_SCALE}) AS HUGEINT) AS x
+  FROM events),
+m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sm, SUM(x * x) AS q
+      FROM s GROUP BY event_type)
+SELECT s.event_id, s.event_type, s.value,
+       CAST(m.n AS BIGINT) AS group_n,
+       CAST(m.sm AS VARCHAR) AS group_sum_scaled,
+       CAST(m.q AS VARCHAR) AS group_sumsq_scaled
+FROM s JOIN m USING (event_type)
+WHERE (m.n * s.x - m.sm) * (m.n * s.x - m.sm)
+      > {OUTLIER_K * OUTLIER_K} * (m.n * m.q - m.sm * m.sm)""",
         "chunk_chars": f"""WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
   WHERE length(text) > 0),

@@ -1,0 +1,127 @@
+"""Exact distributional quality ops: histograms and outlier flags.
+
+Metric columns (event values, quality scores, lengths) need
+distributional QA before training: binned histograms per group and
+|x - mean| > k*sigma outlier flags. Both are implemented in EXACT
+integer arithmetic — the repo's no-libm discipline (tfidf_top_terms,
+collocations_pmi): fixed-point scale the values once, then every bin
+edge and every variance comparison is integer math that is bit-identical
+across engines, so the DuckDB twins are value equalities, not
+tolerances.
+
+The outlier trick: |x - mu| > k*sigma with mu = S/n, sigma^2 =
+(Q - S^2/n)/n (population variance over the group) cross-multiplies to
+
+    (n*x - S)^2 > k^2 * (n*Q - S^2)
+
+— every term an integer once x is fixed-point scaled. No division, no
+sqrt, no float in the decision. Sums are carried as DECIMAL(38,0) on
+the Spark side and HUGEINT in DuckDB, so the squares stay exact far past
+int64 (a 100 TB group's n*Q fits comfortably in 38 digits for any
+realistic metric scale).
+
+Plan shape: one map-side-combined groupBy for the (n, S, Q) moments,
+broadcast back (group cardinality rows), one flag projection — the
+two-phase aggregation pattern, no window exchange, no second scan
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _scaled(col, scale: int):
+    """round(col * scale) as exact DECIMAL(38,0) — the one float->int
+    crossing; identical in both engines for inputs that are exact
+    multiples of 1/scale (and HALF_UP == half-away on positives)."""
+    return F.round(F.col(col) * F.lit(int(scale))).cast(_DEC)
+
+
+def scaled_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-width histogram of ``round(col * scale)`` over [lo, hi):
+    (group..., bin, bin_lo_scaled, n). Bin assignment is pure integer
+    math — bin = (x - lo) * bins div (hi - lo) on the scaled axis — so
+    edges are deterministic and cross-engine exact (a float width would
+    put edge-landing values in different bins per engine). Rows outside
+    [lo, hi) are dropped (range QA belongs to the caller's filter).
+    One map-side-combined groupBy; output is (groups x bins) rows."""
+    if bins < 1:
+        raise ValueError("scaled_histogram: bins must be >= 1")
+    lo_s, hi_s = int(round(lo * scale)), int(round(hi * scale))
+    if hi_s <= lo_s:
+        raise ValueError("scaled_histogram: need hi > lo")
+    if (hi_s - lo_s) % bins != 0:
+        # fractional bin widths would force a decimal division whose
+        # engine-specific rounding can flip edge-landing values into the
+        # neighboring bin — refuse loudly, exact edges only
+        raise ValueError(
+            f"scaled_histogram: scaled range {hi_s - lo_s} must be "
+            f"divisible by bins {bins} (exact integer edges)")
+    width = (hi_s - lo_s) // bins
+    base = df.select(*group_cols, _scaled(col, scale).alias("_x"))
+    # `div` = exact integral quotient on decimals — no float, no decimal
+    # division rounding; bit-identical to DuckDB's //
+    bin_col = F.expr(f"CAST((_x - {lo_s}) div {width} AS INT)")
+    return (
+        base.filter((F.col("_x") >= F.lit(lo_s))
+                    & (F.col("_x") < F.lit(hi_s)))
+        .select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            *group_cols, "bin",
+            (F.lit(lo_s) + F.col("bin") * F.lit(width)).cast("long")
+            .alias("bin_lo_scaled"),
+            "n")
+    )
+
+
+def group_outliers(
+    df: DataFrame,
+    col: str,
+    k: int = 3,
+    group_cols: tuple[str, ...] = ("event_type",),
+    scale: int = 100,
+) -> DataFrame:
+    """Rows where |x - mean| > k * sigma WITHIN their group (population
+    sigma), decided by the exact integer inequality
+    (n*x - S)^2 > k^2 * (n*Q - S^2) — no division, sqrt, or float
+    anywhere in the decision, so the flag set is bit-identical across
+    engines. Returns the flagged rows with their group moments (n, and
+    the scaled sums S, Q as strings — DECIMAL(38,0) round-trips exactly
+    as text). k must be a positive integer (the inequality squares it
+    exactly)."""
+    if k < 1 or int(k) != k:
+        raise ValueError("group_outliers: k must be a positive integer")
+    if not group_cols:
+        raise ValueError("group_outliers: need at least one group col")
+    x = _scaled(col, scale).alias("_x")
+    base = df.select(*df.columns, x)
+    moments = (
+        base.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("_n"),
+             F.sum("_x").cast(_DEC).alias("_s"),
+             F.sum(F.col("_x") * F.col("_x")).cast(_DEC).alias("_q"))
+    )
+    j = base.join(F.broadcast(moments), on=list(group_cols))
+    lhs = (F.col("_n") * F.col("_x") - F.col("_s"))
+    rhs = F.lit(int(k * k)).cast(_DEC) * (
+        F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s"))
+    return (
+        j.filter(lhs * lhs > rhs)
+        .select(*df.columns,
+                F.col("_n").cast("long").alias("group_n"),
+                F.col("_s").cast("string").alias("group_sum_scaled"),
+                F.col("_q").cast("string").alias("group_sumsq_scaled"))
+    )
