@@ -2168,6 +2168,29 @@ def q_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), WCHUNK_SIZE, WCHUNK_OVERLAP)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user journeys: consecutive
+    event-type pair counts in (t, event_id) order — one window exchange
+    + a map-side pair count (operators/sessions.event_transitions)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        event_transitions)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, counted at
+    each later active-day offset (offset 0 = cohort size). Two map-side
+    aggregations + one user-keyed join, no window
+    (operators/sessions.cohort_retention)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        cohort_retention)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 HIST_LO, HIST_HI, HIST_BINS, HIST_SCALE = 0.0, 20.0, 10, 100
 OUTLIER_K = 2
 
@@ -4945,6 +4968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_words": q_chunk_words,
         "value_histogram": q_value_histogram,
         "value_outliers": q_value_outliers,
+        "event_transitions": q_event_transitions,
+        "cohort_retention": q_cohort_retention,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5601,6 +5626,23 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
+        "event_transitions": """WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events)
+SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type""",
+        "cohort_retention": """WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day - cohort_day AS INTEGER) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY 1, 2""",
         "value_histogram": f"""WITH s AS (
   SELECT event_type, CAST(round(value * {HIST_SCALE}) AS HUGEINT) AS x
   FROM events),

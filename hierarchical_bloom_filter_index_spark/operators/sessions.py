@@ -292,3 +292,55 @@ def funnel_counts_windowed(
     per = ev.groupBy("user_id").applyInPandas(
         dp, schema="user_id long, max_step int")
     return _funnel_from_max_steps(per, step_arr)
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov transition counts: (from_type, to_type, n) over each user's
+    consecutive event pairs in (t, event_id) order — the behavioral
+    fingerprint behind journey analysis and next-event prediction. ONE
+    window exchange (partitionBy user, the sessionize shape), then a
+    map-side-combined pair count. The (t, id) tie-break makes the pair
+    multiset a pure function of the table."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        F.col(id_col))
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: users grouped by FIRST-activity day; for each
+    (cohort_day, day_offset) the count of cohort users active exactly
+    day_offset days later (offset 0 = the cohort size). Two map-side
+    aggregations — distinct (user, day) activity and a per-user min —
+    joined on user; no window. Days are rendered yyyy-MM-dd strings off
+    the raw wall time (NTZ date_trunc — tz-free on both engines)."""
+    day = F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+    act = events.select(
+        F.col(user_col).alias("user_id"),
+        F.to_date(day).alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, on="user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

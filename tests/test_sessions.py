@@ -266,3 +266,48 @@ def test_funnel_windowed_validation(events):
         funnel_counts_windowed(events, [], within_us=10)
     with pytest.raises(ValueError):
         funnel_counts_windowed(events, ["view"], within_us=0)
+
+
+def test_event_transitions_matches_local(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        event_transitions)
+
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(events).collect()}
+    rows = sorted(
+        (r["user_id"], r["t_us"], r["event_id"], r["event_type"])
+        for r in events.select(
+            "user_id", "t_us", "event_id", "event_type").collect())
+    want = {}
+    prev = {}
+    for u, t, eid, et in rows:
+        if u in prev:
+            k = (prev[u], et)
+            want[k] = want.get(k, 0) + 1
+        prev[u] = et
+    assert got == want and got
+
+
+def test_cohort_retention_matches_local(events):
+    import datetime
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        cohort_retention)
+
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(events).collect()}
+    act = set()
+    for r in events.select("user_id", "t_us").collect():
+        d = datetime.datetime.fromtimestamp(
+            r["t_us"] / 1e6, datetime.timezone.utc).date()
+        act.add((r["user_id"], d))
+    first = {}
+    for u, d in act:
+        first[u] = min(first.get(u, d), d)
+    want = {}
+    for u, d in act:
+        k = (first[u].isoformat(), (d - first[u]).days)
+        want[k] = want.get(k, 0) + 1
+    assert got == want and got
+    # offset 0 rows total the user count
+    assert sum(v for (c, o), v in got.items() if o == 0) == len(first)
