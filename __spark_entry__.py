@@ -2191,6 +2191,44 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: per-doc bigram log-likelihood under
+    an add-0.5-smoothed model trained on the corpus word stream. Counts
+    are exact integers; each distinct bigram's ln P computed once
+    driver-side (glibc, bit-equal to DuckDB's) and fixed-point scaled to
+    nano-units, so per-doc sums are ORDER-FREE bigints — the twin is a
+    plain integer SUM, value equality (operators/lm.py)."""
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    lp, meta = lm.train_bigram_lm(d)
+    return lm.doc_lm_scores(d, lp, meta)
+
+
+_LM_ORACLE = """WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+pr AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i
+        FROM d WHERE len(ws) >= 2)),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM pr GROUP BY a, b),
+c1 AS (SELECT a, SUM(c) AS c1 FROM c2 GROUP BY a),
+vv AS (SELECT COUNT(DISTINCT w) AS v
+       FROM (SELECT unnest(ws) AS w FROM d)),
+sc AS (
+  SELECT pr.doc_id,
+         CAST(floor(ln((c2.c + 0.5e0) / (c1.c1 + 0.5e0 * vv.v))
+                    * 1e9 + 0.5e0) AS BIGINT) AS lp
+  FROM pr JOIN c2 USING (a, b) JOIN c1 USING (a), vv)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_pairs,
+       CAST(SUM(lp) AS BIGINT) AS logprob_x1e9,
+       CAST(SUM(lp) // COUNT(*) AS BIGINT) AS avg_logprob_x1e9
+FROM sc GROUP BY doc_id"""
+
+
 HIST_LO, HIST_HI, HIST_BINS, HIST_SCALE = 0.0, 20.0, 10, 100
 OUTLIER_K = 2
 
@@ -4970,6 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "event_transitions": q_event_transitions,
         "cohort_retention": q_cohort_retention,
+        "lm_doc_scores": q_lm_doc_scores,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5626,6 +5665,7 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "bm25_topk_docs": _word_bm25_oracle_sql(),
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
+        "lm_doc_scores": _LM_ORACLE,
         "event_transitions": """WITH o AS (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id

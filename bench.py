@@ -177,6 +177,9 @@ def main() -> None:
         "pii_redact",
         # BPE: train on the word table (one groupBy) + Arrow encode pass
         "bpe_char_conservation",
+        # bigram-LM quality scores: two count groupBys + broadcast-lookup
+        # Arrow scoring pass (fixed-point integer sums)
+        "lm_doc_scores",
         # Gopher repetition filters: top-bigram char fraction + duplicated
         # trigram char coverage (variable-length islands union)
         "doc_top_ngram_repetition",
