@@ -2168,6 +2168,41 @@ def q_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), WCHUNK_SIZE, WCHUNK_OVERLAP)
 
 
+def q_pipeline_clean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED ingest pipeline evidence: laced corpus -> PII redaction ->
+    BPE train+encode ON THE CLEAN TEXT -> per-source dashboard. The
+    chained VALUE oracle rides two conservation laws at once: token
+    chars == non-space chars OF THE REDACTED text (BPE conservation on
+    stage-2 input), and the PII counts are the stage-1 regexp fold — so
+    the equality breaks if EITHER stage drifts. Token COUNTS are
+    merge-dependent and stay suite-side (operators/pii.py +
+    operators/bpe.py composition)."""
+    from hierarchical_bloom_filter_index_spark.operators import bpe as B
+    from hierarchical_bloom_filter_index_spark.operators import pii as P
+
+    laced = _laced_docs(spark, sf_dir)
+    red = P.redact_pii(laced)
+    clean = red.select("doc_id", F.col("clean_text").alias("text"))
+    merges, _ = B.bpe_train(clean, n_merges=BPE_MERGES)
+    enc = B.bpe_encode(clean, merges)
+    per = enc.select(
+        "doc_id",
+        F.aggregate("tokens", F.lit(0),
+                    lambda a, t: a + F.length(t)).alias("tok_chars"))
+    pii_n = red.select(
+        "doc_id",
+        (F.col("n_url") + F.col("n_email") + F.col("n_ipv4")
+         + F.col("n_phone")).alias("n_pii"))
+    return (
+        per.join(pii_n, on="doc_id")
+        .join(laced.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("tok_chars").cast("long").alias("total_token_chars"),
+             F.sum("n_pii").cast("long").alias("n_pii"))
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over user journeys: consecutive
     event-type pair counts in (t, event_id) order — one window exchange
@@ -5009,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "cohort_retention": q_cohort_retention,
         "lm_doc_scores": q_lm_doc_scores,
+        "pipeline_clean_tokens": q_pipeline_clean_tokens,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5666,6 +5702,15 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
         "lm_doc_scores": _LM_ORACLE,
+        "pipeline_clean_tokens": f"""WITH {_LACED_CTE},
+red AS (SELECT doc_id, source, {_pii_chain_sql()[0]} AS clean_text,
+               {_pii_chain_sql()[1]}
+        FROM laced)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(replace(clean_text, ' ', ''))) AS BIGINT)
+           AS total_token_chars,
+       CAST(SUM(n_url + n_email + n_ipv4 + n_phone) AS BIGINT) AS n_pii
+FROM red GROUP BY source""",
         "event_transitions": """WITH o AS (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id

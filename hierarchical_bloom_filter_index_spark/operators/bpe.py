@@ -234,3 +234,37 @@ def read_bpe_model(spark, path: str) -> list[tuple[str, str]]:
     """The pinned merge list, rank order restored."""
     rows = spark.read.parquet(f"{path}/merges").orderBy("rank").collect()
     return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_encode_stream(
+    stream: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """INGEST-TIME tokenization: arriving doc files encoded per
+    micro-batch with the PINNED merges from ``model_path``
+    (write_bpe_model — the tokenizer contract: every batch must use the
+    same merges or token ids drift), appended via the shared replay
+    guard. Encoding is stateless per doc, so the output minus batch_id
+    equals the batch encode of everything ingested. Returns the started
+    availableNow query."""
+    from ..streaming.incremental import replay_guarded_append
+
+    spark = stream.sparkSession
+    merges = read_bpe_model(spark, model_path)
+
+    def _do(batch_df: DataFrame) -> DataFrame:
+        return bpe_encode(batch_df, merges, text_col=text_col,
+                          id_col=id_col)
+
+    return (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: replay_guarded_append(out_path, bdf, bid, _do)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

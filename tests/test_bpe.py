@@ -117,3 +117,34 @@ def test_model_persistence_roundtrip(spark, docs, tmp_path):
     b = sorted((r["doc_id"], tuple(r["tokens"]))
                for r in B.bpe_encode(docs, back).collect())
     assert a == b
+
+
+def test_encode_stream_parity_and_replay(spark, docs, tmp_path):
+    work = str(tmp_path)
+    merges, stats = B.bpe_train(docs, n_merges=30)
+    B.write_bpe_model(spark, f"{work}/model", merges, stats)
+    d = docs.select("doc_id", "text")
+    d.filter(F.col("doc_id").cast("long") % 2 == 0) \
+        .write.mode("overwrite").parquet(f"{work}/in")
+    d.filter(F.col("doc_id").cast("long") % 2 == 1) \
+        .write.mode("append").parquet(f"{work}/in")
+
+    def drain(chk):
+        stream = spark.readStream.schema(d.schema).option(
+            "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+        q = B.bpe_encode_stream(stream, f"{work}/model", f"{work}/out", chk)
+        assert q.awaitTermination(120)
+
+    drain(f"{work}/chk1")
+    got = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+                 for r in spark.read.parquet(f"{work}/out")
+                 .drop("batch_id").collect())
+    want = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+                  for r in B.bpe_encode(d, merges).collect())
+    assert got == want and got
+    # full-replay drill: fresh checkpoint redelivers; replay guard holds
+    drain(f"{work}/chk2")
+    again = sorted((r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+                   for r in spark.read.parquet(f"{work}/out")
+                   .drop("batch_id").collect())
+    assert again == got
