@@ -199,3 +199,33 @@ def test_ivf_emptied_list_removed(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{path}/lists/list_id={lid}")
     left = spark.read.parquet(f"{path}/lists")
     assert left.filter(F.col("list_id") == lid).count() == 0
+
+
+def test_window_sketch_index_takedown(spark, sf_dir, tmp_path):
+    """The sharded layout is schema-agnostic: the CMS window-sketch index
+    (per-doc blob rows) rides write/takedown/read unchanged — takedown ==
+    scratch filter byte-for-byte (doc-axis rows are per-doc pure)."""
+    from hierarchical_bloom_filter_index_spark.corpus import (
+        corpus_from_documents)
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index)
+
+    idx = build_cms_window_index(
+        corpus_from_documents(spark, sf_dir), CFG).cache()
+    idx.count()
+    path = str(tmp_path / "sk")
+    IO.write_index_doc_sharded(idx, path, id_col="doc_id")
+    removed = [r["doc_id"] for r in
+               idx.select("doc_id").distinct().orderBy("doc_id")
+               .limit(5).collect()]
+    assert IO.takedown_doc_index(spark, path, removed) > 0
+
+    def rows(d):
+        return sorted(
+            (r["doc_id"], r["level"], r["w_id"], bytes(r["sketch"]))
+            for r in d.collect())
+
+    back = IO.read_index_doc_sharded(spark, path)
+    expect = idx.filter(~F.col("doc_id").isin(removed))
+    assert rows(back) == rows(expect)
+    idx.unpersist()
