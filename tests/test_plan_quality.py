@@ -401,3 +401,39 @@ def test_repetition_plans_two_exchanges(spark):
     for op in (top_ngram_stats, dup_ngram_coverage):
         plan = _plan(op(docs, 2))
         assert _n_exchanges(plan) == 2, (op.__name__, plan)
+
+
+def test_zero_shuffle_scan_ops_plan_shape(spark):
+    """The 10th-session scan ops must stay ZERO-Exchange projections:
+    bm25_topk_docs (TakeOrderedAndProject, no decimal literals leaking
+    into the score), redact_pii, chunk_by_chars/words."""
+    from hierarchical_bloom_filter_index_spark.operators.chunk import (
+        chunk_by_chars, chunk_by_words,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        redact_pii,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        bm25_topk_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), f"alpha beta g{i} delta dup" if i % 3 == 0
+          else f"alpha beta g{i} delta") for i in range(40)],
+        "doc_id string, text string")
+
+    bm = _plan(bm25_topk_docs(docs, ["dup", "alpha"], k=5))
+    assert "TakeOrderedAndProject" in bm, bm
+    for plan in (
+        bm,
+        _plan(redact_pii(docs)),
+        _plan(chunk_by_chars(docs, 16, 4)),
+        _plan(chunk_by_words(docs, 4, 1)),
+    ):
+        n_ex = len([l for l in plan.splitlines()
+                    if l.lstrip().startswith("+- Exchange")])
+        assert n_ex == 0, plan
+    # the BM25 score must be pure DOUBLE arithmetic: a bare decimal
+    # literal would silently switch both engines to (different) decimal
+    # promotion rules
+    assert "decimal" not in bm.lower(), bm
