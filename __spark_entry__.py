@@ -3247,6 +3247,54 @@ def q_global_range_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# top-k for the certified range top-k queries: small enough that the k-th
+# exact count comfortably clears the merged MG residual bound on English
+# text (certification never refuses on the fixture), large enough that the
+# ranking exercises real tie-breaks
+RANGE_TOPK_K = 5
+
+
+def q_range_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-5 most frequent tokens of each queried leaf-window range
+    [a, b) per doc, (cnt DESC, token ASC) tie-break — SELF-CERTIFYING from
+    the Misra-Gries dyadic index: merged cover nodes expose every tracked
+    token plus the residual mass, one exact count over the range slice
+    (state bounded by k=32 candidates) decides, and the integer
+    certification inequality (k-th count * (k+1) > resid) proves no
+    untracked token could rank — refusing loudly otherwise, never silently
+    wrong. The TOP-K member of the dyadic range family."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_topk_tokens,
+    )
+
+    return range_topk_tokens(
+        _mg_index(spark, sf_dir), _corpus(spark, sf_dir), RANGE_QS,
+        RANGE_TOPK_K, CFG.leaf_span, CFG.deepest,
+    )
+
+
+def q_global_range_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT certified top-5 tokens of STREAM leaf-window ranges — global
+    twin of range_topk_tokens (candidates from the global MG index,
+    phase-aligned partials across doc boundaries; verification counts only
+    each doc's overlap with the range, never a stream rescan)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_mg_window_index,
+        global_range_topk_tokens,
+    )
+
+    key = ("gmg_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_mg_window_index(
+            gcorp, CFG.with_(axis="global"), k=32)
+    gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+    return global_range_topk_tokens(
+        _CACHE[key], gcorp, RANGE_QS_GLOBAL, RANGE_TOPK_K,
+        CFG.leaf_span, CFG.deepest,
+    )
+
+
 # k for the BottomK distinct-sample index: small enough that truncation is
 # exercised (a 256-token English slice has > 16 distinct chars), large
 # enough that short ranges keep their whole distinct set
@@ -4802,6 +4850,67 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, qids, k=5, n_planes=4, n_tables=16)
 
 
+# SemDeDup threshold: the synthetic embeddings are near-random (max
+# pairwise cosine ~0.51), so the "semantic near-dup" band sits at ~0.42
+# (27-34 pairs at sf0.001/0.01). Every pair's cosine clears the threshold
+# by >= 7e-4 on both fixtures (measured; float noise between numpy and
+# DuckDB's list_cosine_similarity is ~1e-15), so the >= cut decides
+# identically in both engines — tests/test_semantic_dedup.py guards the gap
+SEMDEDUP_T = 0.42
+
+# THE one SQL definition of the exact semantic pair graph — all three
+# SemDeDup twins compose it
+_SEM_PAIRS_CTE = f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_T}
+)"""
+
+
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-exact-cosine semantic dedup, Abbas et al.
+    2023) run at n_centroids=1 — a SINGLE cluster makes the operator
+    provably exhaustive, so the pair set is exact all-pairs cosine >=
+    threshold and the DuckDB brute-force twin VALUE-checks the whole
+    surface (ids and rounded cosines). The realistic clustered path is
+    gated by q_semantic_dedup_containment."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.semantic_dedup_pairs(emb, threshold=SEMDEDUP_T, n_centroids=1)
+
+
+def q_semantic_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-as-equality hard check for the CLUSTERED SemDeDup path
+    (the minhash_lsh_containment discipline): clustered pairs UNION (exact
+    pairs the clustering missed) must EQUAL the exact pair set — any false
+    positive (a reported pair below threshold, or an invented id) appears
+    as an extra row the oracle doesn't have. Recall is the part clustering
+    legitimately trades away and stays a pytest bound
+    (tests/test_semantic_dedup.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clustered = S.semantic_dedup_pairs(
+        emb, threshold=SEMDEDUP_T, n_centroids=8).select("id_a", "id_b")
+    exact = S.semantic_dedup_pairs(
+        emb, threshold=SEMDEDUP_T, n_centroids=1).select("id_a", "id_b")
+    missed = exact.join(clustered, ["id_a", "id_b"], "left_anti")
+    return clustered.unionByName(missed)
+
+
+def q_semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding table AFTER semantic dedup — connected components over
+    the exact semantic pair graph (edge-only star contraction), keep each
+    component's minimum vec_id plus every unpaired row. Run at
+    n_centroids=1 so the pair graph is the oracle-checked exact set; the
+    DuckDB twin recomputes components via recursive transitive closure."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.semantic_dedup_keep(emb, threshold=SEMDEDUP_T, n_centroids=1)
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded fingerprint SET — fully oracle-checked (the polynomial
     k-gram hash + sliding-min selection is engine-agnostic integer math)."""
@@ -4985,6 +5094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
         "global_range_heavy_hitters": q_global_range_heavy_hitters,
+        "range_topk_tokens": q_range_topk_tokens,
+        "global_range_topk_tokens": q_global_range_topk_tokens,
         "range_distinct_sample": q_range_distinct_sample,
         "global_range_distinct_sample": q_global_range_distinct_sample,
         "stream_sketch_totals": q_stream_sketch_totals,
@@ -5062,6 +5173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_takedown_parity": q_minhash_takedown_parity,
         "ivf_takedown_parity": q_ivf_takedown_parity,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup_exact": q_semantic_dedup_exact,
+        "semantic_dedup_containment": q_semantic_dedup_containment,
+        "semantic_dedup_canonical": q_semantic_dedup_canonical,
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
@@ -6098,6 +6212,23 @@ r AS (
 )
 SELECT query_id, vec_id, round(sim, 6) AS score, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5""",
+        # SemDeDup twins: exact brute-force cosine pair graph. The >= cut
+        # decides identically in both engines — every fixture pair clears
+        # the threshold by >= 7e-4 (tests/test_semantic_dedup.py guards)
+        "semantic_dedup_exact": f"""WITH {_SEM_PAIRS_CTE}
+SELECT id_a, id_b, round(c, 6) AS cosine FROM p""",
+        "semantic_dedup_containment": f"""WITH {_SEM_PAIRS_CTE}
+SELECT id_a, id_b FROM p""",
+        "semantic_dedup_canonical": f"""WITH RECURSIVE {_SEM_PAIRS_CTE},
+e2 AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM e2
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e2 ON r.v = e2.u
+),
+cc AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM cc WHERE vec_id <> cluster_id)""",
         "ann_cosine_topk_filtered": f"""WITH q AS (
   SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
   FROM embeddings ORDER BY vec_id LIMIT 10
@@ -6480,6 +6611,53 @@ cnt AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt
 FROM cnt WHERE cnt * {PHI_HH[1]} >= nr * {PHI_HH[0]}""",
+        # certified range top-k: plain exact top-k over the range slice —
+        # the Spark side's MG certification guarantees the sets coincide
+        "range_topk_tokens": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+sl AS (
+  SELECT doc_id, a, b,
+         tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS rt
+  FROM corpus, rq
+  WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0
+),
+cnt AS (SELECT doc_id, a, b, token, COUNT(*) AS cnt
+        FROM (SELECT doc_id, a, b, unnest(rt) AS token FROM sl)
+        GROUP BY doc_id, a, b, token),
+r AS (SELECT doc_id, a, b, token, cnt,
+             row_number() OVER (PARTITION BY doc_id, a, b
+                                ORDER BY cnt DESC, token ASC) AS rk
+      FROM cnt)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {RANGE_TOPK_K}""",
+        "global_range_topk_tokens": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS token
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+cnt AS (
+  SELECT rq.a, rq.b, f.token, COUNT(*) AS cnt
+  FROM flat f, rq
+  WHERE f.g >= rq.a * {CFG.leaf_span} AND f.g < rq.b * {CFG.leaf_span}
+  GROUP BY rq.a, rq.b, f.token
+),
+r AS (SELECT a, b, token, cnt,
+             row_number() OVER (PARTITION BY a, b
+                                ORDER BY cnt DESC, token ASC) AS rk
+      FROM cnt)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(token AS BIGINT) AS token, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= {RANGE_TOPK_K}""",
         # streamed sketch index totals: pure stream geometry — every level's
         # windows tile [0, N) dyadically with exact token counts
         "stream_sketch_totals": f"""WITH {CORPUS_CTE},

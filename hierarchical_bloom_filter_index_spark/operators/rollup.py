@@ -847,10 +847,19 @@ def range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
     aggregates ONLY candidate (doc, token) pairs (state bounded by k per
     range, not the range's distinct-token count)."""
     cand = range_heavy_candidates(mg_index, ranges, phi_num, phi_den, deepest)
+    sliced = _doc_range_slices(corpus, ranges, leaf_span)
+    return _heavy_verify(cand, sliced, phi_num, phi_den, _DOC_KEYS)
+
+
+def _doc_range_slices(corpus: DataFrame, ranges, leaf_span: int) -> DataFrame:
+    """(doc_id, a, b, rt, nr): each doc's token slice for every queried
+    leaf-window range [a, b) — the shared verification input of the
+    exact-from-candidates range queries (heavy hitters, top-k). Ranges are
+    deduped and broadcast; docs shorter than a*span drop out (nr = 0)."""
     uniq = list(dict.fromkeys((int(a), int(b)) for a, b in ranges))
     rng = F.broadcast(corpus.sparkSession.createDataFrame(uniq, "a long, b long"))
     span = int(leaf_span)
-    sliced = (
+    return (
         corpus.join(rng)
         .select(
             "doc_id", "a", "b",
@@ -861,7 +870,6 @@ def range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
         )
         .filter(F.col("nr") > 0)
     )
-    return _heavy_verify(cand, sliced, phi_num, phi_den, _DOC_KEYS)
 
 
 def _bk_merge_auto(flat, counts):
@@ -941,6 +949,18 @@ def global_range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
     (doc_offset arithmetic — corpus must carry with_global_offsets columns),
     and docs outside the range are filtered before the explode."""
     cand = global_range_heavy_candidates(mg_index, ranges, phi_num, phi_den, deepest)
+    sliced = _global_range_slices(corpus, ranges, leaf_span)
+    return _heavy_verify(cand, sliced, phi_num, phi_den, _GLOBAL_KEYS)
+
+
+def _global_range_slices(corpus: DataFrame, ranges, leaf_span: int) -> DataFrame:
+    """(a, b, nr, rt): each doc's OVERLAP with every queried STREAM
+    leaf-window range [a, b) — the global twin of _doc_range_slices. The
+    stream never materializes: each doc contributes only its overlap
+    (doc_offset arithmetic — corpus must carry with_global_offsets columns)
+    and docs outside the range are filtered before any explode. nr = the
+    range's total stream-token count, aggregated distributedly and joined
+    back on the (tiny) range key."""
     uniq = list(dict.fromkeys((int(a), int(b)) for a, b in ranges))
     rng = F.broadcast(corpus.sparkSession.createDataFrame(uniq, "a long, b long"))
     span = int(leaf_span)
@@ -960,11 +980,144 @@ def global_range_heavy_hitters(mg_index: DataFrame, corpus: DataFrame, ranges,
             (F.col("_hi") - F.col("_lo")).alias("_n_part"),
         )
     )
-    # n_range = total stream tokens in [a*span, b*span) = sum of per-doc
-    # overlaps — aggregated distributedly, joined back on the (tiny) range key
     nr = sliced.groupBy("a", "b").agg(F.sum("_n_part").alias("nr"))
-    sliced = sliced.join(F.broadcast(nr), ["a", "b"]).select("a", "b", "nr", "rt")
-    return _heavy_verify(cand, sliced, phi_num, phi_den, _GLOBAL_KEYS)
+    return sliced.join(F.broadcast(nr), ["a", "b"]).select("a", "b", "nr", "rt")
+
+
+# ---------------------------------------------------------------------------
+# Certified range TOP-K: the most frequent k_top tokens of a leaf-window
+# range, EXACT and self-certifying — merged MG cover nodes give every
+# tracked (token, underestimate) plus the residual mass; one exact count
+# over the range slice (state bounded by the tracked set, <= k per range)
+# then proves the cut: once the k-th exact count strictly exceeds
+# resid/(k+1), no untracked token (true count <= resid/(k+1)) can displace
+# a reported one, and the order among reported tokens is exact. Uncertifiable
+# ranges REFUSE loudly inside the task — never a silently-wrong ranking.
+# ---------------------------------------------------------------------------
+
+
+def _mg_range_tracked_fn(key_cols):
+    """Per (range key): merge the O(log) covering MG nodes (one flat
+    sum-then-prune call, order-free) and emit EVERY tracked token with its
+    underestimate plus the merged summary's residual mass and k+1 — the
+    certification inputs for range_topk_tokens. Raises when a non-empty
+    range tracks nothing (resid = n: no top-k could ever certify)."""
+    from ..sketches import spacesaving as mgk
+
+    def cand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            k = mgk.blob_k(flat[0])
+            tracked = mgk.tracked_blobs(mgk.merge_blob_groups(flat, counts, k))
+            for keys_, _cnts, n, _resid in tracked:
+                if n > 0 and len(keys_) == 0:
+                    raise ValueError(
+                        "range_topk_tokens: a non-empty range's merged MG "
+                        "summary tracks no tokens — nothing is certifiable; "
+                        "grow the index k"
+                    )
+            reps = np.asarray([len(t) for t, _, _, _ in tracked], dtype=np.int64)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            total = int(reps.sum())
+            out["token"] = (np.concatenate([t for t, _, _, _ in tracked])
+                            if total else np.empty(0, np.int64))
+            out["est_count"] = (np.concatenate([c for _, c, _, _ in tracked])
+                                if total else np.empty(0, np.int64))
+            out["resid"] = np.repeat(
+                np.asarray([r for _, _, _, r in tracked], dtype=np.int64), reps)
+            out["kp1"] = np.int64(k + 1)
+            yield out
+
+    return cand
+
+
+def _topk_cert_fn(key_cols, k_top: int):
+    """Per range group (<= k exact-counted candidate rows): rank by
+    (cnt DESC, token ASC), keep the top k_top, and CERTIFY — with residual
+    mass, every reported count must strictly beat resid/(k+1) and the group
+    must fill all k_top ranks; with resid == 0 the merged summary is exact
+    (nnz never exceeded k anywhere in the cover), so fewer than k_top rows
+    just means the range has fewer distinct tokens."""
+    keys = list(key_cols)
+
+    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        resid = int(pdf["resid"].iloc[0])
+        kp1 = int(pdf["kp1"].iloc[0])
+        pdf = pdf.sort_values(["cnt", "token"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        top = pdf.head(k_top)
+        if resid > 0 and (
+            len(top) < k_top
+            or not (top["cnt"].to_numpy(np.int64) * kp1 > resid).all()
+        ):
+            key = tuple(pdf[c].iloc[0] for c in keys)
+            raise ValueError(
+                f"range_topk_tokens cannot certify top-{k_top} for range "
+                f"{key}: an untracked token (count <= {resid // kp1}) could "
+                f"displace a reported one — grow the index k or lower k_top"
+            )
+        out = top[keys + ["token", "cnt"]].copy()
+        out["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return out
+
+    return rank
+
+
+_TRACKED_COLS = ", token long, est_count long, resid long, kp1 long"
+
+
+def _topk_verify(cand: DataFrame, sliced: DataFrame, k_top: int,
+                 key_cols, key_schema: str) -> DataFrame:
+    """EXACT certified top-k from the tracked-candidate superset: explode
+    the range slices, count ONLY tracked tokens (the inner join bounds the
+    aggregate state to <= k tokens per range), then rank + certify per
+    range. The per-range groups entering applyInPandas hold <= k rows."""
+    keys = list(key_cols)
+    ex = sliced.select(*keys, F.explode(F.col("rt").cast("array<long>")).alias("token"))
+    counted = (
+        ex.join(cand.select(*keys, "token", "resid", "kp1"), keys + ["token"])
+        .groupBy(*keys, "token", "resid", "kp1")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counted.groupBy(*keys).applyInPandas(
+        _topk_cert_fn(key_cols, int(k_top)),
+        schema=key_schema + ", token long, cnt long, rank long",
+    )
+
+
+def range_topk_tokens(mg_index: DataFrame, corpus: DataFrame, ranges,
+                      k_top: int, leaf_span: int, deepest: int) -> DataFrame:
+    """(doc_id, a, b, token, cnt, rank): the EXACT top-``k_top`` most
+    frequent tokens of each queried leaf-window range [a, b) per doc,
+    (cnt DESC, token ASC) tie-break — certified from the Misra-Gries dyadic
+    index: the O(log) covering nodes merge into a summary whose tracked set
+    provably contains every token that could rank (untracked counts are
+    bounded by resid/(k+1)); one exact count over the range slice decides
+    and the certification inequality is checked in exact integer arithmetic,
+    REFUSING loudly when the index k is too small to certify. The TOP-K
+    member of the dyadic range family (count/distinct/freq/quantile/
+    heavy-hitters/sample/top-k)."""
+    cand = _joined_range_groups(mg_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _mg_range_tracked_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + _TRACKED_COLS
+    )
+    sliced = _doc_range_slices(corpus, ranges, leaf_span)
+    return _topk_verify(cand, sliced, k_top, _DOC_KEYS, _DOC_KEY_SCHEMA)
+
+
+def global_range_topk_tokens(mg_index: DataFrame, corpus: DataFrame, ranges,
+                             k_top: int, leaf_span: int, deepest: int) -> DataFrame:
+    """(a, b, token, cnt, rank): EXACT certified top-k tokens of STREAM
+    leaf-window ranges — the global twin of range_topk_tokens (candidates
+    from the global MG index, phase-aligned partials across doc boundaries;
+    verification counts only each doc's overlap with the range, never a
+    stream rescan)."""
+    cand = _joined_range_groups(mg_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _mg_range_tracked_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + _TRACKED_COLS
+    )
+    sliced = _global_range_slices(corpus, ranges, leaf_span)
+    return _topk_verify(cand, sliced, k_top, _GLOBAL_KEYS, _GLOBAL_KEY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -515,6 +515,82 @@ def embedding_neardup_pairs(
     return paired.mapInPandas(score, schema="id_a long, id_b long, cosine double")
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    max_cluster: int | None = None,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate PAIRS (id_a < id_b,
+    cos >= threshold): k-means-cluster the embedding space (the IVF coarse
+    quantizer — deterministic, hash-ordered training sample), then exact
+    pairwise cosine WITHIN each cluster only (Abbas et al. 2023,
+    arXiv:2303.09540). Every reported pair is exactly scored — NO false
+    positives ever; recall < 1 is the cluster-granularity trade (a
+    cross-cluster near-dup pair is never examined). With ``n_centroids=1``
+    the operator degrades to exact all-pairs — the driver oracle trick.
+
+    Scale shape: all-pairs work is the sum of squared CLUSTER sizes (the
+    whole point vs a corpus-squared scan); each cluster's pair scan is one
+    in-memory matmul inside its own task. ``max_cluster`` drops degenerate
+    clusters WITH a warning (dedup.cap_bucket_sizes) — recall-only loss."""
+    from .dedup import cap_bucket_sizes
+
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    lists = ivf_assign(embeddings, cents, id_col, vec_col)
+    joined = embeddings.select(id_col, vec_col).join(lists, id_col)
+    joined = cap_bucket_sizes(joined, ["list_id"], max_cluster, "semantic_dedup_pairs")
+    thr = float(threshold)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({
+                "id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                "cosine": np.empty(0, np.float64)})
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.asarray([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col].to_numpy()[order]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+        return pd.DataFrame({
+            "id_a": ids[ia], "id_b": ids[ib],
+            "cosine": np.round(sims[ia, ib], 6)})
+
+    return joined.groupBy("list_id").applyInPandas(
+        pairs, schema="id_a long, id_b long, cosine double")
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    max_cluster: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The embedding table AFTER semantic dedup: connected components over
+    the semantic pair graph (edge-only star-contraction shuffles), keep the
+    minimum-id member of each component plus every unpaired row — the
+    SemDeDup keep-list composed from the engine's own dedup machinery
+    (dedup.neardup_canonical_corpus). Columns = ``embeddings``'s id column."""
+    from .dedup import neardup_canonical_corpus
+
+    pairs = semantic_dedup_pairs(
+        embeddings, threshold, n_centroids, max_cluster,
+        id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    return neardup_canonical_corpus(
+        embeddings.select(id_col), pairs, id_col=id_col,
+        left="id_a", right="id_b",
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -313,6 +313,26 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, k: int) -> list[by
     return out
 
 
+def tracked_blobs(blobs: list[bytes]
+                  ) -> list[tuple[np.ndarray, np.ndarray, int, int]]:
+    """Per blob: (keys, est_counts, n_total, resid) — the raw MG summary
+    content plus its certification inputs. ``resid = n_total - sum(est)``
+    is the total decrement mass: a key NOT in ``keys`` has true count
+    <= resid / (k+1), and a tracked key's true count lies in
+    [est, est + resid/(k+1)]. This is what lets a top-k query certify
+    itself post-verification: once the k-th EXACT count strictly exceeds
+    resid/(k+1), no untracked key can displace a reported one."""
+    out: list[tuple[np.ndarray, np.ndarray, int, int]] = []
+    for b in blobs:
+        b = bytes(b)
+        if b[0] != _MAGIC_MG:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected MisraGries)")
+        (n,) = struct.unpack_from("<q", b, _MG_N_OFF)
+        keys, cnts = _mg_entries(b)
+        out.append((keys.copy(), cnts.copy(), int(n), int(n) - int(cnts.sum())))
+    return out
+
+
 def heavy_candidate_blobs(blobs: list[bytes], phi_num: int, phi_den: int
                           ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per blob: candidate (keys, est_counts) covering EVERY key with true

@@ -248,3 +248,130 @@ def test_doc_axis_append_is_pure_union(spark, built):
         old.unpersist()
         appended.unpersist()
         scratch.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# certified range TOP-K: exact vs brute force (resid = 0 regime), exactness
+# UNDER pruning with the certification inequality engaged, loud refusal when
+# the index k cannot certify, short ranges with fewer distinct than k_top
+# ---------------------------------------------------------------------------
+def _brute_topk(tokens, a, b, span, k_top):
+    sl = np.asarray(tokens[a * span : b * span])
+    if len(sl) == 0:
+        return []
+    uniq, cnt = np.unique(sl, return_counts=True)
+    order = sorted(zip(uniq.tolist(), cnt.tolist()), key=lambda tc: (-tc[1], tc[0]))
+    return [(t, c, i + 1) for i, (t, c) in enumerate(order[:k_top])]
+
+
+def test_range_topk_exact_vs_brute_force(spark, built):
+    """k=256 >= any queried range's token count, so every merged summary is
+    an exact counter table (resid = 0) — the ranking must equal brute force
+    on every doc and range, including ranges with < k_top distinct tokens."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_topk_tokens,
+    )
+
+    corp, _ = built
+    idx = build_mg_window_index(corp, CFG, k=256)
+    try:
+        got = {(r["doc_id"], r["a"], r["b"], r["token"], r["cnt"], r["rank"])
+               for r in range_topk_tokens(idx, corp, RANGES, 5,
+                                          CFG.leaf_span, CFG.deepest).collect()}
+        want = set()
+        for r in corp.select("doc_id", "tokens").collect():
+            for a, b in RANGES:
+                for t, c, rk in _brute_topk(r["tokens"], a, b, CFG.leaf_span, 5):
+                    want.add((r["doc_id"], a, b, t, c, rk))
+        assert got == want and len(want) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_range_topk_certifies_under_pruning(spark):
+    """Skewed doc whose distinct count exceeds k: the merged cover summary
+    HAS residual mass (pruning engaged), yet the top-5 certify and equal
+    brute force; a second doc with 2 distinct tokens returns 2 ranked rows."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_topk_tokens,
+    )
+
+    rng = np.random.default_rng(5)
+    heavy = np.repeat(np.arange(5, dtype=np.int64), [100, 60, 40, 30, 20])
+    tail = np.arange(100, 106, dtype=np.int64)  # 6 singletons -> 11 distinct
+    toks = np.concatenate([heavy, tail])
+    rng.shuffle(toks)
+    corp = spark.createDataFrame(
+        [("d0", [int(t) for t in toks], len(toks), "s"),
+         ("d1", [7, 7, 7, 5], 4, "s")],
+        "doc_id string, tokens array<int>, n_tok long, source string")
+    k = 8  # < 11 distinct => merges prune, resid > 0
+    idx = build_mg_window_index(corp, CFG, k=k)
+    try:
+        rows = range_topk_tokens(idx, corp, [(0, 9)], 5,
+                                 CFG.leaf_span, CFG.deepest).collect()
+        got = {(r["doc_id"], r["token"], r["cnt"], r["rank"]) for r in rows}
+        want = {("d0", t, c, rk)
+                for t, c, rk in _brute_topk([int(t) for t in toks], 0, 9,
+                                            CFG.leaf_span, 5)}
+        want |= {("d1", t, c, rk)
+                 for t, c, rk in _brute_topk([7, 7, 7, 5], 0, 9,
+                                             CFG.leaf_span, 5)}
+        assert got == want
+        # the certification path was genuinely exercised: the merged root
+        # summary of d0's cover really carries residual mass
+        blobs = [bytes(r["sketch"]) for r in idx.filter(
+            (F.col("doc_id") == "d0") & (F.col("level") == CFG.deepest)
+        ).collect()]
+        merged = mg.merge_blob_groups(blobs, np.asarray([len(blobs)]), k)
+        _keys, _cnts, _n, resid = mg.tracked_blobs(merged)[0]
+        assert resid > 0
+    finally:
+        idx.unpersist()
+
+
+def test_range_topk_refuses_when_uncertifiable(spark):
+    """Near-uniform tokens with k far below the distinct count: no top-5 is
+    certifiable and the operator must raise, never return a wrong ranking."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_topk_tokens,
+    )
+
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, 4096, 288).astype(int).tolist()
+    corp = spark.createDataFrame(
+        [("d0", toks, len(toks), "s")],
+        "doc_id string, tokens array<int>, n_tok long, source string")
+    idx = build_mg_window_index(corp, CFG, k=8)
+    try:
+        with pytest.raises(Exception, match="cannot certify|tracks no tokens"):
+            range_topk_tokens(idx, corp, [(0, 9)], 5,
+                              CFG.leaf_span, CFG.deepest).collect()
+    finally:
+        idx.unpersist()
+
+
+def test_global_range_topk_vs_brute_force(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_topk_tokens,
+    )
+
+    corp, _ = built
+    gcorp = C.with_global_offsets(corp)
+    gidx = build_global_mg_window_index(gcorp, CFG.with_(axis="global"), k=256)
+    try:
+        stream = []
+        for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                        key=lambda x: x["doc_offset"]):
+            stream.extend(r["tokens"])
+        ranges = [(0, 6), (3, 97), (1, 2)]
+        got = {(r["a"], r["b"], r["token"], r["cnt"], r["rank"])
+               for r in global_range_topk_tokens(
+                   gidx, gcorp, ranges, 5, CFG.leaf_span, CFG.deepest).collect()}
+        want = set()
+        for a, b in ranges:
+            for t, c, rk in _brute_topk(stream, a, b, CFG.leaf_span, 5):
+                want.add((a, b, t, c, rk))
+        assert got == want and len(want) > 0
+    finally:
+        gidx.unpersist()
