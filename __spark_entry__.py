@@ -4911,6 +4911,85 @@ def q_semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_keep(emb, threshold=SEMDEDUP_T, n_centroids=1)
 
 
+# incremental-semantic threshold: the new-batch x corpus cross band is
+# thinner than the full pair graph's, so sit slightly lower for a
+# non-trivial pair count; gaps >= 5e-4 at both fixtures (measured)
+SEMDEDUP_INC_T = 0.40
+
+
+def _semantic_split(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    return new, old
+
+
+def _semantic_index(spark: SparkSession, sf_dir: str) -> str:
+    """Exhaustive (n_centroids=1) persisted IVF index over the corpus side
+    of the %7 split — written once per sf_dir, shared by the incremental
+    batch + stream queries."""
+    import tempfile
+
+    key = ("sem_ivf_index", sf_dir)
+    if key not in _CACHE:
+        _new, old = _semantic_split(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="hbi_semivf_") + "/ivf"
+        S.write_ivf_index(old, path, n_centroids=1)
+        _CACHE[key] = path
+    return _CACHE[key]
+
+
+def q_semantic_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup: the ingestion batch (%7 split) checked against
+    the PERSISTED IVF index of the rest of the corpus — corpus vectors are
+    never re-scanned wholesale; the batch side broadcasts and only the
+    probed inverted lists' files are read. With the index trained at
+    n_centroids=1 the probe is exhaustive, so the pair set is exact
+    batch x corpus cosine >= threshold and the DuckDB cross-join twin
+    VALUE-checks ids and rounded cosines
+    (operators/similarity.semantic_neardup_against_index)."""
+    new, _old = _semantic_split(spark, sf_dir)
+    return S.semantic_neardup_against_index(
+        spark, new, _semantic_index(spark, sf_dir),
+        threshold=SEMDEDUP_INC_T, nprobe=1,
+    )
+
+
+def q_semantic_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion semantic dedup: arriving embedding batches
+    drained through a file stream, each micro-batch checked against the
+    persisted IVF index via foreachBatch (shared replay-guarded append
+    sink). The final pair table must equal the one-shot batch check —
+    symmetric difference, empty oracle. Batch boundaries cannot change the
+    answer: each new vector's pairs depend only on itself + the static
+    index (operators/similarity.incremental_semantic_stream)."""
+    import tempfile
+
+    new, _old = _semantic_split(spark, sf_dir)
+    path = _semantic_index(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hbi_sem_stream_")
+    half = F.col("vec_id") % 2
+    new.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    new.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = S.incremental_semantic_stream(
+        stream, path, f"{work}/out", f"{work}/chk",
+        threshold=SEMDEDUP_INC_T, nprobe=1)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "semantic_incremental_stream: availableNow drain exceeded 300s")
+    try:
+        got = spark.read.parquet(f"{work}/out").drop("batch_id")
+    except Exception:  # zero pairs -> nothing was ever appended
+        got = spark.createDataFrame(
+            [], "new_id long, corpus_id long, cosine double")
+    want = S.semantic_neardup_against_index(
+        spark, new, path, threshold=SEMDEDUP_INC_T, nprobe=1)
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded fingerprint SET — fully oracle-checked (the polynomial
     k-gram hash + sliding-min selection is engine-agnostic integer math)."""
@@ -5176,6 +5255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_exact": q_semantic_dedup_exact,
         "semantic_dedup_containment": q_semantic_dedup_containment,
         "semantic_dedup_canonical": q_semantic_dedup_canonical,
+        "semantic_incremental_exact": q_semantic_incremental_exact,
+        "semantic_incremental_stream": q_semantic_incremental_stream,
         # relational / streaming
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
@@ -6219,6 +6300,23 @@ FROM r WHERE rk <= 5""",
 SELECT id_a, id_b, round(c, 6) AS cosine FROM p""",
         "semantic_dedup_containment": f"""WITH {_SEM_PAIRS_CTE}
 SELECT id_a, id_b FROM p""",
+        # incremental SemDeDup: exact batch x corpus cross pairs (the
+        # persisted exhaustive index makes the Spark probe provably
+        # complete); the stream twin is a symmetric difference vs the
+        # one-shot batch check (empty relation)
+        "semantic_incremental_exact": f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+o AS (SELECT * FROM e WHERE vec_id % 7 <> 0)
+SELECT n.vec_id AS new_id, o.vec_id AS corpus_id,
+       round(list_cosine_similarity(n.v, o.v), 6) AS cosine
+FROM n, o
+WHERE list_cosine_similarity(n.v, o.v) >= {SEMDEDUP_INC_T}""",
+        "semantic_incremental_stream": """SELECT CAST(NULL AS BIGINT) AS new_id,
+       CAST(NULL AS BIGINT) AS corpus_id, CAST(NULL AS DOUBLE) AS cosine
+WHERE FALSE""",
         "semantic_dedup_canonical": f"""WITH RECURSIVE {_SEM_PAIRS_CTE},
 e2 AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 reach(u, v) AS (

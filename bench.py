@@ -168,6 +168,9 @@ def main() -> None:
         "ann_cosine_topk",
         # filtered exact ANN: metadata predicate pushed to the corpus scan
         "ann_cosine_topk_filtered",
+        # SemDeDup containment gate: clustered semantic pairs + the exact
+        # twin + the anti-join equality check, all in one timing
+        "semantic_dedup_containment",
         "text_quality",
         "collocations_pmi",
         # skip-gram co-occurrence matrix + per-doc tf-idf keywords
@@ -240,6 +243,9 @@ def main() -> None:
         # EXACT range distinct-sample: bottom-k mergeability makes the
         # answer a value (first rep pays the BottomK rollup build, cached)
         "range_distinct_sample",
+        # EXACT self-certifying range top-k (MG tracked set + residual
+        # bound; exact verify over candidates only)
+        "range_topk_tokens",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state
@@ -250,6 +256,7 @@ def main() -> None:
         "hbi_global_pattern_batch_wide",
         "global_range_totals",
         "global_range_quantiles",
+        "global_range_topk_tokens",
         # anchored regex on the one-stream axis (global index cached above)
         "hbi_global_regex",
         # stream-offset slice search on the one-stream axis

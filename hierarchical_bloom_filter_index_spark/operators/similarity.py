@@ -454,6 +454,125 @@ def takedown_ivf_index(spark, path: str, vec_ids,
     return len(touched)
 
 
+def semantic_neardup_against_index(
+    spark,
+    new_emb: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    max_list: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL SemDeDup: (new_id, corpus_id, cosine) pairs between an
+    ingestion batch of embeddings and an ALREADY-INDEXED corpus (a
+    write_ivf_index layout) — the embedding twin of
+    dedup.neardup_against_index: the corpus is never re-embedded or
+    re-scanned wholesale per batch. Each new vector probes its ``nprobe``
+    nearest inverted lists from the STORED centroids; ONLY those lists'
+    parquet directories are read (partition pruning at the scan), and exact
+    cosine over the probed lists decides — reported pairs are never false
+    positives; recall < 1 is the probe-granularity trade (an index trained
+    at n_centroids=1 makes the probe exhaustive — the driver oracle trick).
+    A vec_id present on both sides is excluded (re-ingestion is not a
+    near-dup of itself).
+
+    Scale shape: the batch side (with its nprobe fan-out) BROADCASTS — an
+    ingestion batch is MBs next to a 100 TB corpus — so corpus vectors
+    never shuffle: the probed lists stream map-side through the broadcast
+    hash join into the Arrow scoring pass. ``max_list`` drops degenerate
+    lists (drop-with-log, the cap_bucket_sizes discipline; recall-only)."""
+    from .dedup import cap_bucket_sizes
+
+    cents = read_ivf_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(cents)
+    npb = min(int(nprobe), len(cents))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            order = np.argsort(-(mat @ c.T), axis=1)[:, :npb]
+            out = pdf[[id_col, vec_col]].loc[pdf.index.repeat(npb)].reset_index(drop=True)
+            out.columns = ["new_id", "nvec"]
+            out["list_id"] = order.ravel().astype(np.int32)
+            yield out
+
+    probes = new_emb.select(id_col, vec_col).mapInPandas(
+        assign, schema="new_id long, nvec array<float>, list_id int")
+    lids = sorted(r["list_id"] for r in probes.select("list_id").distinct().collect())
+    lists = cap_bucket_sizes(
+        read_ivf_lists(spark, path, lids), ["list_id"], max_list,
+        "semantic_neardup_against_index")
+    paired = (
+        F.broadcast(probes)
+        .join(lists, "list_id")
+        .filter(F.col("new_id") != F.col(id_col))
+        .select("new_id", "nvec", F.col(id_col).alias("corpus_id"),
+                F.col(vec_col).alias("cvec"))
+    )
+    thr = float(threshold)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["nvec"]])
+            vb = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            va = va / np.linalg.norm(va, axis=1, keepdims=True)
+            vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+            cos = (va * vb).sum(axis=1)
+            out = pdf[["new_id", "corpus_id"]].copy()
+            out["cosine"] = np.round(cos, 6)
+            yield out[cos >= thr]
+
+    # nprobe > 1 can find the same (new, corpus) pair via several probed
+    # lists of the same stored row only if ids collide across lists — they
+    # cannot (each corpus row lives in exactly one list) — so no distinct
+    return paired.mapInPandas(
+        score, schema="new_id long, corpus_id long, cosine double")
+
+
+def incremental_semantic_stream(
+    stream_emb: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    nprobe: int = 1,
+    max_list: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Structured-Streaming twin of semantic_neardup_against_index: each
+    micro-batch of arriving embeddings is checked against the persisted IVF
+    index and surviving pairs appended to ``out_path`` parquet. foreachBatch
+    is at-least-once, so the shared REPLAY GUARD probes the output for the
+    batch_id before appending (streaming/incremental.py discipline).
+    Cross-batch new-new pairs are out of scope by the same contract as the
+    batch op. Returns the StreamingQuery."""
+    from ..streaming.incremental import replay_guarded_append
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        replay_guarded_append(
+            out_path, batch_df, batch_id,
+            lambda b: semantic_neardup_against_index(
+                b.sparkSession, b, index_path, threshold, nprobe,
+                max_list, id_col, vec_col,
+            ),
+        )
+
+    return (
+        stream_emb.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

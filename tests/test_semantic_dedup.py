@@ -104,3 +104,98 @@ def test_degenerate_cluster_cap(spark):
     capped = S.semantic_dedup_pairs(emb, 0.99, n_centroids=1,
                                     max_cluster=5).collect()
     assert capped == []
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup vs the persisted IVF index: exhaustive at
+# n_centroids=1, sound under clustering, partition-pruned reads, and the
+# streaming twin equal to the one-shot batch check through a replay drill
+# ---------------------------------------------------------------------------
+INC_T = 0.40
+
+
+def _split(emb):
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    return new, old
+
+
+def _brute_cross(emb, thresh):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    mat = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    isnew = ids % 7 == 0
+    out = {}
+    for i in np.where(isnew)[0]:
+        for j in np.where(~isnew)[0]:
+            if sims[i, j] >= thresh:
+                out[(int(ids[i]), int(ids[j]))] = float(np.round(sims[i, j], 6))
+    return out
+
+
+def test_incremental_exact_vs_brute(spark, emb, tmp_path):
+    from hierarchical_bloom_filter_index_spark.operators import similarity as S2
+
+    new, old = _split(emb)
+    path = str(tmp_path / "ivf1")
+    S2.write_ivf_index(old, path, n_centroids=1)
+    got = {(r["new_id"], r["corpus_id"]): r["cosine"]
+           for r in S2.semantic_neardup_against_index(
+               spark, new, path, INC_T, nprobe=1).collect()}
+    want = _brute_cross(emb, INC_T)
+    assert got == want and len(want) > 3
+
+
+def test_incremental_clustered_sound_and_pruned(spark, emb, tmp_path):
+    """nprobe < n_centroids: pairs are a SUBSET of the exact cross set
+    (soundness), and the scan touches only the probed lists' files."""
+    from hierarchical_bloom_filter_index_spark.operators import similarity as S2
+
+    new, old = _split(emb)
+    path = str(tmp_path / "ivf4")
+    cents = S2.write_ivf_index(old, path, n_centroids=4)
+    got = {(r["new_id"], r["corpus_id"])
+           for r in S2.semantic_neardup_against_index(
+               spark, new, path, INC_T, nprobe=1).collect()}
+    assert got <= set(_brute_cross(emb, INC_T))
+    # one query vector probes exactly ONE list -> only that directory read
+    one = new.orderBy("vec_id").limit(1)
+    qv = np.asarray(one.collect()[0]["embedding"], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    lid = int(np.argmax(cents @ qv))
+    pruned = S2.read_ivf_lists(spark, path, [lid])
+    files = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert files and all(f"list_id={lid}" in f for f in files)
+
+
+def test_incremental_stream_equals_batch_with_replay(spark, emb, tmp_path):
+    """Two-file drain == one-shot batch; a second drain from a FRESH
+    checkpoint (full redelivery) leaves the output byte-identical — the
+    replay guard, not luck."""
+    from hierarchical_bloom_filter_index_spark.operators import similarity as S2
+
+    new, old = _split(emb)
+    path = str(tmp_path / "ivf_s")
+    S2.write_ivf_index(old, path, n_centroids=1)
+    inp = str(tmp_path / "in")
+    half = F.col("vec_id") % 2
+    new.filter(half == 0).write.mode("overwrite").parquet(inp)
+    new.filter(half == 1).write.mode("append").parquet(inp)
+    out = str(tmp_path / "out")
+
+    def drain(chk):
+        stream = spark.readStream.schema(new.schema).option(
+            "maxFilesPerTrigger", "1").parquet(inp)
+        q = S2.incremental_semantic_stream(stream, path, out, chk, INC_T, nprobe=1)
+        assert q.awaitTermination(300)
+
+    drain(str(tmp_path / "chk1"))
+    got = sorted(map(tuple, spark.read.parquet(out).drop("batch_id").collect()))
+    want = sorted(map(tuple, S2.semantic_neardup_against_index(
+        spark, new, path, INC_T, nprobe=1).collect()))
+    assert got == want and len(want) > 0
+    drain(str(tmp_path / "chk2"))  # full redelivery
+    again = sorted(map(tuple, spark.read.parquet(out).drop("batch_id").collect()))
+    assert again == got
