@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import HbiConfig
 from ..sketches import from_bytes
@@ -1033,57 +1033,51 @@ def _mg_range_tracked_fn(key_cols):
     return cand
 
 
-def _topk_cert_fn(key_cols, k_top: int):
-    """Per range group (<= k exact-counted candidate rows): rank by
-    (cnt DESC, token ASC), keep the top k_top, and CERTIFY — with residual
-    mass, every reported count must strictly beat resid/(k+1) and the group
-    must fill all k_top ranks; with resid == 0 the merged summary is exact
-    (nnz never exceeded k anywhere in the cover), so fewer than k_top rows
-    just means the range has fewer distinct tokens."""
-    keys = list(key_cols)
-
-    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
-        resid = int(pdf["resid"].iloc[0])
-        kp1 = int(pdf["kp1"].iloc[0])
-        pdf = pdf.sort_values(["cnt", "token"], ascending=[False, True],
-                              kind="mergesort").reset_index(drop=True)
-        top = pdf.head(k_top)
-        if resid > 0 and (
-            len(top) < k_top
-            or not (top["cnt"].to_numpy(np.int64) * kp1 > resid).all()
-        ):
-            key = tuple(pdf[c].iloc[0] for c in keys)
-            raise ValueError(
-                f"range_topk_tokens cannot certify top-{k_top} for range "
-                f"{key}: an untracked token (count <= {resid // kp1}) could "
-                f"displace a reported one — grow the index k or lower k_top"
-            )
-        out = top[keys + ["token", "cnt"]].copy()
-        out["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-        return out
-
-    return rank
-
-
 _TRACKED_COLS = ", token long, est_count long, resid long, kp1 long"
 
 
 def _topk_verify(cand: DataFrame, sliced: DataFrame, k_top: int,
-                 key_cols, key_schema: str) -> DataFrame:
+                 key_cols) -> DataFrame:
     """EXACT certified top-k from the tracked-candidate superset: explode
     the range slices, count ONLY tracked tokens (the inner join bounds the
-    aggregate state to <= k tokens per range), then rank + certify per
-    range. The per-range groups entering applyInPandas hold <= k rows."""
+    aggregate state to <= k tokens per range), rank by (cnt DESC, token
+    ASC) and CERTIFY — all JVM window functions (a per-group Python pass
+    here cost ~1 ms x one invocation per (doc, range) group, 10 s at
+    sf0.1). With residual mass every reported count must strictly beat
+    resid/(k+1) AND the group must fill all k_top ranks (an untracked
+    token could occupy a missing rank); violations raise IN the plan
+    (raise_error on the kept rows — never a silently wrong ranking). With
+    resid == 0 the merged summary is exact, so fewer than k_top rows just
+    means the range has fewer distinct tokens. row_number and the group
+    count share one window exchange (same partition keys)."""
     keys = list(key_cols)
+    k_top = int(k_top)
     ex = sliced.select(*keys, F.explode(F.col("rt").cast("array<long>")).alias("token"))
     counted = (
         ex.join(cand.select(*keys, "token", "resid", "kp1"), keys + ["token"])
         .groupBy(*keys, "token", "resid", "kp1")
         .agg(F.count("*").alias("cnt"))
     )
-    return counted.groupBy(*keys).applyInPandas(
-        _topk_cert_fn(key_cols, int(k_top)),
-        schema=key_schema + ", token long, cnt long, rank long",
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("_gn", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("rank") <= k_top)
+    )
+    viol = (F.col("resid") > 0) & (
+        (F.col("_gn") < k_top)
+        | ~(F.col("cnt") * F.col("kp1") > F.col("resid"))
+    )
+    msg = F.concat(
+        F.lit(f"range_topk_tokens cannot certify top-{k_top} for range ("),
+        F.concat_ws(", ", *[F.col(c).cast("string") for c in keys]),
+        F.lit("): an untracked token (count <= "),
+        (F.col("resid") / F.col("kp1")).cast("long").cast("string"),
+        F.lit(") could displace a reported one — grow the index k or lower k_top"),
+    )
+    return ranked.select(
+        *keys, "token", "cnt",
+        F.when(viol, F.raise_error(msg)).otherwise(F.col("rank")).alias("rank"),
     )
 
 
@@ -1103,7 +1097,7 @@ def range_topk_tokens(mg_index: DataFrame, corpus: DataFrame, ranges,
         _mg_range_tracked_fn(_DOC_KEYS), schema=_DOC_KEY_SCHEMA + _TRACKED_COLS
     )
     sliced = _doc_range_slices(corpus, ranges, leaf_span)
-    return _topk_verify(cand, sliced, k_top, _DOC_KEYS, _DOC_KEY_SCHEMA)
+    return _topk_verify(cand, sliced, k_top, _DOC_KEYS)
 
 
 def global_range_topk_tokens(mg_index: DataFrame, corpus: DataFrame, ranges,
@@ -1117,7 +1111,7 @@ def global_range_topk_tokens(mg_index: DataFrame, corpus: DataFrame, ranges,
         _mg_range_tracked_fn(_GLOBAL_KEYS), schema=_GLOBAL_KEY_SCHEMA + _TRACKED_COLS
     )
     sliced = _global_range_slices(corpus, ranges, leaf_span)
-    return _topk_verify(cand, sliced, k_top, _GLOBAL_KEYS, _GLOBAL_KEY_SCHEMA)
+    return _topk_verify(cand, sliced, k_top, _GLOBAL_KEYS)
 
 
 # ---------------------------------------------------------------------------
