@@ -2240,6 +2240,69 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.doc_lm_scores(d, lp, meta)
 
 
+def _lm_model_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted bigram model trained on the 4/5 split (docs %5 != 0) —
+    written once per sf_dir, shared by the incremental batch + stream
+    scoring queries."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    key = ("lm_model", sf_dir)
+    if key not in _CACHE:
+        train = _docs(spark, sf_dir).filter(_doc_num("doc_id") % 5 != 0)
+        path = tempfile.mkdtemp(prefix="hbi_lm_model_") + "/lm"
+        lm.write_lm_model(train, path)
+        _CACHE[key] = path
+    return _CACHE[key]
+
+
+def q_lm_incremental_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LM quality scoring: the ingestion batch (%5 == 0 split)
+    scored against the PERSISTED model of the rest of the corpus — the
+    corpus word stream is never re-counted per batch. Unseen bigrams take
+    the smoothed closed form (c2 = 0 with the stored context count), so the
+    model transfers to new text and the DuckDB LEFT-JOIN twin VALUE-checks
+    every score (ln glibc-shared; fixed-point nano-unit sums order-free)
+    (operators/lm.write_lm_model / score_against_lm)."""
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    batch = _docs(spark, sf_dir).filter(_doc_num("doc_id") % 5 == 0)
+    return lm.score_against_lm(spark, batch, _lm_model_path(spark, sf_dir))
+
+
+def q_lm_stream_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality scoring: arriving doc batches drained through a
+    file stream, each micro-batch scored against the persisted model via
+    foreachBatch (shared replay-guarded sink). The final score table must
+    equal the one-shot batch scoring — symmetric difference, empty oracle.
+    Batch boundaries cannot change a score: each doc scores against the
+    static model only (operators/lm.lm_score_stream)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    batch = _docs(spark, sf_dir).filter(_doc_num("doc_id") % 5 == 0)
+    model = _lm_model_path(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hbi_lm_stream_")
+    half = _doc_num("doc_id") % 2
+    batch.filter(half == 0).write.mode("overwrite").parquet(f"{work}/in")
+    batch.filter(half == 1).write.mode("append").parquet(f"{work}/in")
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{work}/in")
+    q = lm.lm_score_stream(stream, model, f"{work}/out", f"{work}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("lm_stream_scores: availableNow drain exceeded 300s")
+    try:
+        got = spark.read.parquet(f"{work}/out").drop("batch_id")
+    except Exception:  # empty batch set -> nothing appended
+        got = spark.createDataFrame(
+            [], "doc_id string, n_pairs int, logprob_x1e9 long, avg_logprob_x1e9 long")
+    want = lm.score_against_lm(spark, batch, model)
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 _LM_ORACLE = """WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -5234,6 +5297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "cohort_retention": q_cohort_retention,
         "lm_doc_scores": q_lm_doc_scores,
+        "lm_incremental_scores": q_lm_incremental_scores,
+        "lm_stream_scores": q_lm_stream_scores,
         "pipeline_clean_tokens": q_pipeline_clean_tokens,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
@@ -5897,6 +5962,39 @@ ORDER BY pmi_ratio DESC, gram ASC LIMIT 30""",
         "event_funnel": _funnel_oracle_sql(),
         "event_funnel_windowed": _funnel_windowed_oracle_sql(),
         "lm_doc_scores": _LM_ORACLE,
+        # incremental LM scoring: model counts from the 4/5 TRAIN split,
+        # scores over the 1/5 batch; unseen bigrams/contexts via LEFT JOIN
+        # + COALESCE (c2 -> 0, c1 -> 0) — the same smoothed closed form
+        "lm_incremental_scores": """WITH d0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did, doc_id % 5 = 0 AS is_batch,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+pr_t AS (
+  SELECT ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i
+        FROM d0 WHERE NOT is_batch AND len(ws) >= 2)),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM pr_t GROUP BY a, b),
+c1 AS (SELECT a, SUM(c) AS c1 FROM c2 GROUP BY a),
+vv AS (SELECT COUNT(DISTINCT w) AS v
+       FROM (SELECT unnest(ws) AS w FROM d0 WHERE NOT is_batch)),
+pr_b AS (
+  SELECT did AS doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT did, ws, unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i
+        FROM d0 WHERE is_batch AND len(ws) >= 2)),
+sc AS (
+  SELECT pr_b.doc_id,
+         CAST(floor(ln((COALESCE(c2.c, 0) + 0.5e0) /
+                       (COALESCE(c1.c1, 0) + 0.5e0 * vv.v))
+                    * 1e9 + 0.5e0) AS BIGINT) AS lp
+  FROM pr_b LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a), vv)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_pairs,
+       CAST(SUM(lp) AS BIGINT) AS logprob_x1e9,
+       CAST(SUM(lp) // COUNT(*) AS BIGINT) AS avg_logprob_x1e9
+FROM sc GROUP BY doc_id""",
+        "lm_stream_scores": """SELECT CAST(NULL AS VARCHAR) AS doc_id,
+       CAST(NULL AS INTEGER) AS n_pairs, CAST(NULL AS BIGINT) AS logprob_x1e9,
+       CAST(NULL AS BIGINT) AS avg_logprob_x1e9
+WHERE FALSE""",
         "pipeline_clean_tokens": f"""WITH {_LACED_CTE},
 red AS (SELECT doc_id, source, {_pii_chain_sql()[0]} AS clean_text,
                {_pii_chain_sql()[1]}

@@ -132,3 +132,124 @@ def doc_lm_scores(
         "doc_id", "n_pairs",
         F.col("s").alias("logprob_x1e9"),
         F.expr("s div n_pairs").alias("avg_logprob_x1e9"))
+
+
+# ---------------------------------------------------------------------------
+# persisted model + incremental scoring: train once on the corpus, score
+# every future ingestion batch / stream against the FIXED model — the
+# quality-filter twin of the incremental dedup/novelty surfaces
+# ---------------------------------------------------------------------------
+def write_lm_model(
+    docs: DataFrame,
+    path: str,
+    alpha: float = 0.5,
+    cap: int = 1 << 20,
+    text_col: str = "text",
+) -> dict:
+    """Persist the bigram model: ``path/bigrams`` holds the FULL exact
+    (a, b, c) count table (distributed parquet write — no driver collect at
+    write time; the deterministic ``cap`` is applied at READ, where the
+    scorer's broadcast table is built), ``path/meta`` pins (alpha, cap,
+    vocab, distinct_bigrams) — readers NEVER take model parameters from
+    callers (the write_minhash_index discipline: a mismatched alpha would
+    silently change every score). Returns the stats dict."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    base = docs.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i.cast("int")).alias("a"),
+                    F.element_at("ws", (i + 1).cast("int")).alias("b")))
+        ).alias("p")
+    ).select("p.a", "p.b")
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    c2.write.mode("overwrite").parquet(f"{path}/bigrams")
+    spark = docs.sparkSession
+    n_bigrams = spark.read.parquet(f"{path}/bigrams").count()
+    v = (docs.select(F.explode(ws).alias("w"))
+         .agg(F.countDistinct("w")).first()[0])
+    stats = {"vocab": int(v), "distinct_bigrams": int(n_bigrams),
+             "kept_bigrams": min(int(cap), int(n_bigrams)),
+             "dropped_bigrams": max(0, int(n_bigrams) - int(cap)),
+             "alpha": float(alpha)}
+    spark.createDataFrame(
+        [(float(alpha), int(cap), int(v), int(n_bigrams))],
+        "alpha double, cap long, vocab long, distinct_bigrams long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return stats
+
+
+def read_lm_model(spark, path: str) -> tuple[dict[tuple[str, str], float], dict]:
+    """({(a, b): ln P(b|a)}, meta) from a ``write_lm_model`` layout —
+    byte-identical to train_bigram_lm on the same corpus: the cap is the
+    same deterministic cut (count DESC, pair ASC), c1 sums the KEPT pairs,
+    and ln runs driver-side on the same integers (glibc, bit-stable)."""
+    m = spark.read.parquet(f"{path}/meta").first()
+    alpha, cap, v = float(m["alpha"]), int(m["cap"]), int(m["vocab"])
+    rows = (spark.read.parquet(f"{path}/bigrams")
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(cap).collect())
+    c2d = {(r["a"], r["b"]): int(r["c"]) for r in rows}
+    c1d: dict[str, int] = {}
+    for (a, _), c in c2d.items():
+        c1d[a] = c1d.get(a, 0) + c
+    lp = {
+        (a, b): math.log((c + alpha) / (c1d[a] + alpha * v))
+        for (a, b), c in c2d.items()
+    }
+    stats = {"vocab": v, "distinct_bigrams": int(m["distinct_bigrams"]),
+             "kept_bigrams": len(rows),
+             "dropped_bigrams": int(m["distinct_bigrams"]) - len(rows),
+             "alpha": alpha}
+    return lp, {"stats": stats, "c1": c1d, "v": v, "alpha": alpha}
+
+
+def score_against_lm(
+    spark,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL quality scoring: an ingestion batch scored against the
+    PERSISTED model — the corpus is never re-counted per batch. Unseen
+    bigrams score the smoothed closed form (c2 = 0 with the stored
+    context's c1, or 0 for an unseen context), so scores are a pure
+    function of (batch text, stored model) — batch-boundary independent by
+    construction, and SQL-oracle-checkable (ln is glibc-shared, the
+    fixed-point sum order-free)."""
+    lp, meta = read_lm_model(spark, path)
+    return doc_lm_scores(docs, lp, meta, text_col, id_col)
+
+
+def lm_score_stream(
+    stream_docs: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Structured-Streaming twin of score_against_lm: each arriving
+    micro-batch scored against the persisted model, scores appended via the
+    shared replay-guarded sink. The model is read ONCE (driver) and its
+    broadcast reused across batches. Returns the StreamingQuery."""
+    from ..streaming.incremental import replay_guarded_append
+
+    spark = stream_docs.sparkSession
+    lp, meta = read_lm_model(spark, model_path)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        replay_guarded_append(
+            out_path, batch_df, batch_id,
+            lambda b: doc_lm_scores(b, lp, meta, text_col, id_col),
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -151,6 +151,13 @@ SWEEP = [
     "bm25_topk_docs",
     "pii_redact",
     "bpe_char_conservation",
+    # round-4k additions: certified range top-k on both axes (MG cover-node
+    # candidates + bounded exact verify + JVM window rank — same shape as
+    # range_heavy_hitters, expect the same ~flat-to-linear growth; the
+    # semantic-dedup family reads embeddings, absent from the scaled dirs —
+    # its data-scaling evidence is scripts/measure_semantic_scaling.py)
+    "range_topk_tokens",
+    "global_range_topk_tokens",
 ]
 
 

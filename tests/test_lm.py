@@ -87,3 +87,67 @@ def test_cap_reported(docs):
     assert meta["stats"]["dropped_bigrams"] == \
         meta["stats"]["distinct_bigrams"] - 10
     assert len(lp) == 10
+
+
+# ---------------------------------------------------------------------------
+# persisted model + incremental scoring
+# ---------------------------------------------------------------------------
+def test_write_read_roundtrip_equals_train(spark, docs, model, tmp_path):
+    """read_lm_model reconstructs EXACTLY what train_bigram_lm returns on
+    the same corpus — same lp floats (same ints through the same glibc ln),
+    same c1/v/alpha — so persisted scoring == in-memory scoring."""
+    lp, meta = model
+    path = str(tmp_path / "lm")
+    stats = L.write_lm_model(docs, path)
+    lp2, meta2 = L.read_lm_model(spark, path)
+    assert lp2 == lp
+    assert meta2["c1"] == meta["c1"]
+    assert (meta2["v"], meta2["alpha"]) == (meta["v"], meta["alpha"])
+    assert stats == meta["stats"]
+
+
+def test_read_cap_is_deterministic_cut(spark, docs, model, tmp_path):
+    """A cap below the distinct-bigram count keeps the top bigrams by
+    (count DESC, pair ASC) — identical to training with that cap."""
+    path = str(tmp_path / "lm_cap")
+    L.write_lm_model(docs, path, cap=100)
+    lp_r, meta_r = L.read_lm_model(spark, path)
+    lp_t, meta_t = L.train_bigram_lm(docs, cap=100)
+    assert lp_r == lp_t and meta_r["c1"] == meta_t["c1"]
+    assert meta_r["stats"]["kept_bigrams"] == 100
+    assert meta_r["stats"]["dropped_bigrams"] > 0
+
+
+def test_incremental_scores_match_inmemory(spark, docs, tmp_path):
+    """score_against_lm on a batch the model never saw == doc_lm_scores
+    with the in-memory model trained on the same split (unseen bigrams
+    take the smoothed closed form on both paths)."""
+    train = docs.filter(F.col("doc_id").cast("long") % 5 != 0)
+    batch = docs.filter(F.col("doc_id").cast("long") % 5 == 0)
+    path = str(tmp_path / "lm_inc")
+    L.write_lm_model(train, path)
+    got = sorted(map(tuple, L.score_against_lm(spark, batch, path).collect()))
+    lp, meta = L.train_bigram_lm(train)
+    want = sorted(map(tuple, L.doc_lm_scores(batch, lp, meta).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_lm_stream_equals_batch(spark, docs, tmp_path):
+    train = docs.filter(F.col("doc_id").cast("long") % 5 != 0)
+    batch = docs.filter(F.col("doc_id").cast("long") % 5 == 0)
+    model_path = str(tmp_path / "lm_s")
+    L.write_lm_model(train, model_path)
+    inp = str(tmp_path / "in")
+    half = F.col("doc_id").cast("long") % 2
+    batch.filter(half == 0).write.mode("overwrite").parquet(inp)
+    batch.filter(half == 1).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", "1").parquet(inp)
+    q = L.lm_score_stream(stream, model_path, str(tmp_path / "out"),
+                          str(tmp_path / "chk"))
+    assert q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "out")).drop("batch_id").collect()))
+    want = sorted(map(tuple, L.score_against_lm(
+        spark, batch, model_path).collect()))
+    assert got == want and len(got) > 0

@@ -284,6 +284,14 @@ def test_range_topk_exact_vs_brute_force(spark, built):
                 for t, c, rk in _brute_topk(r["tokens"], a, b, CFG.leaf_span, 5):
                     want.add((r["doc_id"], a, b, t, c, rk))
         assert got == want and len(want) > 0
+        # plan shape: the rank window and the group-count window stack on
+        # ONE exchange (same partition keys) — no shuffle between them
+        plan = (range_topk_tokens(idx, corp, RANGES, 5, CFG.leaf_span,
+                                  CFG.deepest)
+                ._jdf.queryExecution().executedPlan().toString())
+        first = plan.index("Window [")
+        second = plan.index("Window [", first + 1)
+        assert "Exchange" not in plan[first:second]
     finally:
         idx.unpersist()
 
