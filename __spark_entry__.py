@@ -2303,6 +2303,60 @@ def q_lm_stream_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.exceptAll(want).unionByName(want.exceptAll(got))
 
 
+def _lm_tables_df(spark: SparkSession, path: str) -> DataFrame:
+    """One relation covering a persisted LM model's maintained state:
+    bigram counts + word counts, side-tagged — the parity gates diff it."""
+    bg = spark.read.parquet(f"{path}/bigrams").select(
+        F.lit("bg").alias("kind"), "a", "b", F.col("c").cast("long").alias("c"))
+    wd = spark.read.parquet(f"{path}/words").select(
+        F.lit("w").alias("kind"), F.col("w").alias("a"),
+        F.lit("").alias("b"), F.col("c").cast("long").alias("c"))
+    return bg.unionByName(wd)
+
+
+def q_lm_model_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for LM model maintenance: model(2/3) + append(1/3) must
+    equal the scratch retrain on the whole corpus TABLE-FOR-TABLE (bigram
+    and word counts are associative over disjoint doc sets — the strongest
+    parity available). Empty symmetric difference; empty-relation oracle
+    (operators/lm.append_lm_model)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    third = _doc_num("doc_id") % 3
+    base = tempfile.mkdtemp(prefix="hbi_lm_append_")
+    lm.write_lm_model(d.filter(third != 0), f"{base}/inc")
+    lm.append_lm_model(d.filter(third == 0), f"{base}/inc")
+    lm.write_lm_model(d, f"{base}/full")
+    a = _lm_tables_df(spark, f"{base}/inc")
+    b = _lm_tables_df(spark, f"{base}/full")
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
+def q_lm_model_remove_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for the LM takedown path (right-to-be-forgotten):
+    model(all) − remove(1/3) must equal the scratch retrain on the
+    remaining 2/3 — keywise subtraction, zero counts dropped, negative
+    counts refused loudly. Word-occurrence (not distinct) bookkeeping is
+    what makes the vocabulary exact after removal. Empty symmetric
+    difference; empty-relation oracle (operators/lm.remove_lm_model)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import lm
+
+    d = _docs(spark, sf_dir)
+    third = _doc_num("doc_id") % 3
+    base = tempfile.mkdtemp(prefix="hbi_lm_remove_")
+    lm.write_lm_model(d, f"{base}/inc")
+    lm.remove_lm_model(d.filter(third == 0), f"{base}/inc")
+    lm.write_lm_model(d.filter(third != 0), f"{base}/rest")
+    a = _lm_tables_df(spark, f"{base}/inc")
+    b = _lm_tables_df(spark, f"{base}/rest")
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 _LM_ORACLE = """WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -5299,6 +5353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_scores": q_lm_doc_scores,
         "lm_incremental_scores": q_lm_incremental_scores,
         "lm_stream_scores": q_lm_stream_scores,
+        "lm_model_append_parity": q_lm_model_append_parity,
+        "lm_model_remove_parity": q_lm_model_remove_parity,
         "pipeline_clean_tokens": q_pipeline_clean_tokens,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
@@ -5995,6 +6051,15 @@ FROM sc GROUP BY doc_id""",
        CAST(NULL AS INTEGER) AS n_pairs, CAST(NULL AS BIGINT) AS logprob_x1e9,
        CAST(NULL AS BIGINT) AS avg_logprob_x1e9
 WHERE FALSE""",
+        # LM model maintenance parity gates: append/remove must equal the
+        # scratch retrain table-for-table (counts associative) — symdiff,
+        # empty relation
+        "lm_model_append_parity": """SELECT CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       CAST(NULL AS BIGINT) AS c WHERE FALSE""",
+        "lm_model_remove_parity": """SELECT CAST(NULL AS VARCHAR) AS kind,
+       CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       CAST(NULL AS BIGINT) AS c WHERE FALSE""",
         "pipeline_clean_tokens": f"""WITH {_LACED_CTE},
 red AS (SELECT doc_id, source, {_pii_chain_sql()[0]} AS clean_text,
                {_pii_chain_sql()[1]}

@@ -139,22 +139,14 @@ def doc_lm_scores(
 # every future ingestion batch / stream against the FIXED model — the
 # quality-filter twin of the incremental dedup/novelty surfaces
 # ---------------------------------------------------------------------------
-def write_lm_model(
-    docs: DataFrame,
-    path: str,
-    alpha: float = 0.5,
-    cap: int = 1 << 20,
-    text_col: str = "text",
-) -> dict:
-    """Persist the bigram model: ``path/bigrams`` holds the FULL exact
-    (a, b, c) count table (distributed parquet write — no driver collect at
-    write time; the deterministic ``cap`` is applied at READ, where the
-    scorer's broadcast table is built), ``path/meta`` pins (alpha, cap,
-    vocab, distinct_bigrams) — readers NEVER take model parameters from
-    callers (the write_minhash_index discipline: a mismatched alpha would
-    silently change every score). Returns the stats dict."""
-    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
-    base = docs.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+def _words_col(text_col: str):
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+
+
+def _bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(a, b, c): exact bigram counts of the corpus word stream — one
+    explode into one map-side-combined groupBy."""
+    base = docs.select(_words_col(text_col).alias("ws")).filter(F.size("ws") >= 2)
     pairs = base.select(
         F.explode(
             F.transform(
@@ -164,21 +156,51 @@ def write_lm_model(
                     F.element_at("ws", (i + 1).cast("int")).alias("b")))
         ).alias("p")
     ).select("p.a", "p.b")
-    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
-    c2.write.mode("overwrite").parquet(f"{path}/bigrams")
-    spark = docs.sparkSession
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w, c): exact word OCCURRENCE counts — kept alongside the bigram
+    table so removals can maintain the vocabulary exactly (a distinct-count
+    alone cannot tell whether a removed doc's word survives elsewhere)."""
+    return (docs.select(F.explode(_words_col(text_col)).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+
+
+def _write_lm_meta(spark, path: str, alpha: float, cap: int) -> dict:
+    """Recompute meta from the stored tables (vocab = words rows,
+    distinct_bigrams = bigram rows) and overwrite ``path/meta``."""
+    v = spark.read.parquet(f"{path}/words").count()
     n_bigrams = spark.read.parquet(f"{path}/bigrams").count()
-    v = (docs.select(F.explode(ws).alias("w"))
-         .agg(F.countDistinct("w")).first()[0])
-    stats = {"vocab": int(v), "distinct_bigrams": int(n_bigrams),
-             "kept_bigrams": min(int(cap), int(n_bigrams)),
-             "dropped_bigrams": max(0, int(n_bigrams) - int(cap)),
-             "alpha": float(alpha)}
     spark.createDataFrame(
         [(float(alpha), int(cap), int(v), int(n_bigrams))],
         "alpha double, cap long, vocab long, distinct_bigrams long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    return stats
+    return {"vocab": int(v), "distinct_bigrams": int(n_bigrams),
+            "kept_bigrams": min(int(cap), int(n_bigrams)),
+            "dropped_bigrams": max(0, int(n_bigrams) - int(cap)),
+            "alpha": float(alpha)}
+
+
+def write_lm_model(
+    docs: DataFrame,
+    path: str,
+    alpha: float = 0.5,
+    cap: int = 1 << 20,
+    text_col: str = "text",
+) -> dict:
+    """Persist the bigram model: ``path/bigrams`` holds the FULL exact
+    (a, b, c) count table and ``path/words`` the exact word-occurrence
+    table (both distributed parquet writes — no driver collect at write
+    time; the deterministic ``cap`` is applied at READ, where the scorer's
+    broadcast table is built), ``path/meta`` pins (alpha, cap, vocab,
+    distinct_bigrams) — readers NEVER take model parameters from callers
+    (the write_minhash_index discipline: a mismatched alpha would silently
+    change every score). Returns the stats dict."""
+    spark = docs.sparkSession
+    _bigram_counts(docs, text_col).write.mode("overwrite").parquet(f"{path}/bigrams")
+    _word_counts(docs, text_col).write.mode("overwrite").parquet(f"{path}/words")
+    return _write_lm_meta(spark, path, alpha, cap)
 
 
 def read_lm_model(spark, path: str) -> tuple[dict[tuple[str, str], float], dict]:
@@ -253,3 +275,66 @@ def lm_score_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# model lifecycle maintenance: count tables are ASSOCIATIVE, so append is a
+# keywise sum and removal a keywise subtraction — an appended (or removed-
+# then-complement) model is BYTE-IDENTICAL to retraining from scratch, the
+# hardest parity gate available (the gram-df index discipline)
+# ---------------------------------------------------------------------------
+def _merge_lm_table(spark, path: str, sub: str, delta: DataFrame,
+                    keys: list[str], sign: int, what: str) -> None:
+    """Keywise signed merge of a stored count table with a delta: read the
+    current table, sum counts (delta negated for removals), REFUSE negative
+    results (removing docs never trained on would silently corrupt every
+    future score), drop exact zeros, localCheckpoint the merged frame
+    BEFORE the overwrite (Spark refuses to overwrite a path still feeding
+    the live plan — the append_gram_df_index lesson)."""
+    cur = spark.read.parquet(f"{path}/{sub}")
+    merged = (
+        cur.unionByName(delta.withColumn("c", F.col("c") * sign))
+        .groupBy(*keys).agg(F.sum("c").alias("c"))
+    )
+    neg = merged.filter(F.col("c") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"{what}: removal would drive a {sub} count below zero "
+            f"(e.g. {tuple(neg[0])}) — the removed docs were not all part "
+            f"of the trained model")
+    keep = merged.filter(F.col("c") > 0).localCheckpoint()
+    keep.write.mode("overwrite").parquet(f"{path}/{sub}")
+
+
+def append_lm_model(docs: DataFrame, path: str, text_col: str = "text") -> dict:
+    """PLANNED MAINTENANCE: fold a new doc batch's exact counts into the
+    persisted model — keywise sums, so the result is IDENTICAL to
+    retraining on the union (tested as table equality, the strongest gate).
+    alpha/cap stay pinned; meta's vocab/distinct are recomputed. NOT
+    replay-idempotent (appending the same batch twice double-counts) — the
+    streaming-scoring path never writes the model; maintenance is an
+    explicit operation, like append_gram_df_index."""
+    spark = docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    _merge_lm_table(spark, path, "bigrams", _bigram_counts(docs, text_col),
+                    ["a", "b"], 1, "append_lm_model")
+    _merge_lm_table(spark, path, "words", _word_counts(docs, text_col),
+                    ["w"], 1, "append_lm_model")
+    return _write_lm_meta(spark, path, float(m["alpha"]), int(m["cap"]))
+
+
+def remove_lm_model(docs: DataFrame, path: str, text_col: str = "text") -> dict:
+    """TAKEDOWN for the LM artifact (right-to-be-forgotten): subtract the
+    removed docs' exact counts — the result is IDENTICAL to retraining on
+    the complement. A word used elsewhere survives with its remaining
+    occurrences (the words table is occurrence counts, not a distinct set,
+    precisely so vocabulary maintenance is exact); counts hitting zero drop
+    out; a count going NEGATIVE refuses loudly (the docs were never in the
+    model). alpha/cap stay pinned; meta recomputed."""
+    spark = docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").first()
+    _merge_lm_table(spark, path, "bigrams", _bigram_counts(docs, text_col),
+                    ["a", "b"], -1, "remove_lm_model")
+    _merge_lm_table(spark, path, "words", _word_counts(docs, text_col),
+                    ["w"], -1, "remove_lm_model")
+    return _write_lm_meta(spark, path, float(m["alpha"]), int(m["cap"]))

@@ -151,3 +151,45 @@ def test_lm_stream_equals_batch(spark, docs, tmp_path):
     want = sorted(map(tuple, L.score_against_lm(
         spark, batch, model_path).collect()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# model lifecycle maintenance: append/remove == retrain from scratch
+# ---------------------------------------------------------------------------
+def _tables(spark, path):
+    bg = sorted(map(tuple, spark.read.parquet(f"{path}/bigrams").collect()))
+    wd = sorted(map(tuple, spark.read.parquet(f"{path}/words").collect()))
+    mt = spark.read.parquet(f"{path}/meta").first()
+    return bg, wd, (mt["alpha"], mt["cap"], mt["vocab"], mt["distinct_bigrams"])
+
+
+def test_append_equals_scratch(spark, docs, tmp_path):
+    third = F.col("doc_id").cast("long") % 3
+    a, b = docs.filter(third != 0), docs.filter(third == 0)
+    p1 = str(tmp_path / "m1")
+    L.write_lm_model(a, p1)
+    L.append_lm_model(b, p1)
+    p2 = str(tmp_path / "m2")
+    L.write_lm_model(docs, p2)
+    assert _tables(spark, p1) == _tables(spark, p2)
+    assert L.read_lm_model(spark, p1)[0] == L.read_lm_model(spark, p2)[0]
+
+
+def test_remove_equals_scratch_on_complement(spark, docs, tmp_path):
+    third = F.col("doc_id").cast("long") % 3
+    keep, gone = docs.filter(third != 0), docs.filter(third == 0)
+    p1 = str(tmp_path / "m1")
+    L.write_lm_model(docs, p1)
+    L.remove_lm_model(gone, p1)
+    p2 = str(tmp_path / "m2")
+    L.write_lm_model(keep, p2)
+    assert _tables(spark, p1) == _tables(spark, p2)
+
+
+def test_remove_foreign_docs_refuses(spark, docs, tmp_path):
+    third = F.col("doc_id").cast("long") % 3
+    p = str(tmp_path / "m")
+    L.write_lm_model(docs.filter(third != 0), p)
+    with pytest.raises(ValueError, match="below zero"):
+        # removing the whole corpus from a model trained on 2/3 of it
+        L.remove_lm_model(docs, p)
