@@ -2357,6 +2357,39 @@ def q_lm_model_remove_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_pipeline_curated_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE COMPOSED TRAINING-DATA PIPELINE, end to end in one oracle-checked
+    query: (1) exact dedup + benchmark decontamination (contamination.
+    clean_corpus — min-id keepers, broadcast bench grams), (2) bigram-LM
+    quality scores trained ON the cleaned corpus (lm.py fixed-point
+    nano-unit sums), (3) the C4-style cut — drop each source's bottom
+    decile by avg log-probability (sampling.drop_bottom_quantile, rational
+    cutoff), (4) the per-source curation report: surviving docs, bigram
+    pairs, total log-probability. Every stage is integer-exact, so the
+    DuckDB twin (the four stage twins composed in one WITH) VALUE-checks
+    the whole chain — any drift in dedup, decontamination, scoring, or the
+    quantile cut breaks the equality."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        contamination as X,
+        lm,
+        sampling,
+    )
+
+    docs, bench = _decon_inputs(spark, sf_dir)
+    full = _docs(spark, sf_dir)
+    clean = full.join(X.clean_corpus(docs, bench, DECON_N), "doc_id")
+    lp, meta = lm.train_bigram_lm(clean)
+    scored = lm.doc_lm_scores(clean, lp, meta).join(
+        full.select("doc_id", "source"), "doc_id")
+    kept = sampling.drop_bottom_quantile(
+        scored, "avg_logprob_x1e9", 1, 10, group_col="source")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("logprob_x1e9").cast("long").alias("logprob_x1e9"),
+    )
+
+
 _LM_ORACLE = """WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -5355,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_stream_scores": q_lm_stream_scores,
         "lm_model_append_parity": q_lm_model_append_parity,
         "lm_model_remove_parity": q_lm_model_remove_parity,
+        "pipeline_curated_report": q_pipeline_curated_report,
         "pipeline_clean_tokens": q_pipeline_clean_tokens,
         "lang_id_counts": q_lang_id_counts,
         "token_count": q_token_count,
@@ -6060,6 +6094,47 @@ WHERE FALSE""",
         "lm_model_remove_parity": """SELECT CAST(NULL AS VARCHAR) AS kind,
        CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
        CAST(NULL AS BIGINT) AS c WHERE FALSE""",
+        # the composed pipeline: the four stage twins in one WITH — dedup +
+        # decontamination keepers, LM trained on the CLEAN corpus, per-doc
+        # fixed-point scores, bottom-decile cut per source, final report
+        "pipeline_curated_report": f"""WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source FROM documents),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY text),
+{DECON_BG_CTE}, {DECON_CG_CTE}, cont AS (
+  SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g) WHERE cg.doc_id <> bg.bench_id),
+clean AS (
+  SELECT d.doc_id, d.source,
+         list_filter(string_split(d.text, ' '), x -> x != '') AS ws
+  FROM d JOIN keepers USING (doc_id)
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+pr AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i
+        FROM clean WHERE len(ws) >= 2)),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM pr GROUP BY a, b),
+c1 AS (SELECT a, SUM(c) AS c1 FROM c2 GROUP BY a),
+vv AS (SELECT COUNT(DISTINCT w) AS v
+       FROM (SELECT unnest(ws) AS w FROM clean)),
+sc AS (
+  SELECT pr.doc_id,
+         CAST(floor(ln((c2.c + 0.5e0) / (c1.c1 + 0.5e0 * vv.v))
+                    * 1e9 + 0.5e0) AS BIGINT) AS lp
+  FROM pr JOIN c2 USING (a, b) JOIN c1 USING (a), vv),
+scores AS (
+  SELECT sc.doc_id, c.source, COUNT(*) AS n_pairs, SUM(lp) AS s,
+         SUM(lp) // COUNT(*) AS avg_lp
+  FROM sc JOIN clean c USING (doc_id) GROUP BY sc.doc_id, c.source),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY avg_lp ASC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scores)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+       CAST(SUM(s) AS BIGINT) AS logprob_x1e9
+FROM r WHERE rk > (n * 1) // 10
+GROUP BY source""",
         "pipeline_clean_tokens": f"""WITH {_LACED_CTE},
 red AS (SELECT doc_id, source, {_pii_chain_sql()[0]} AS clean_text,
                {_pii_chain_sql()[1]}
