@@ -3309,6 +3309,20 @@ def _kll_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def _td_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic t-DIGEST rollup index (the second quantile sketch the
+    north_rule names — tail-accurate, fully deterministic), built once per
+    sf_dir and persisted; totals + range-quantile queries share it."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_td_window_index,
+    )
+
+    key = ("td_index", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = build_td_window_index(_corpus(spark, sf_dir), CFG, delta=100.0)
+    return _CACHE[key]
+
+
 def _mg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dyadic Misra-Gries rollup index (heavy-hitter analog of _cms_index),
     built once per sf_dir and persisted; totals + range-heavy-hitter queries
@@ -3545,6 +3559,57 @@ def q_global_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
         _CACHE[key] = build_global_kll_window_index(gcorp, CFG, k=200)
     return global_range_quantile_estimates(
+        _CACHE[key], RANGE_QS_GLOBAL, QUANTILES, CFG.deepest
+    ).select("a", "b", "q", F.round("est", 3).alias("est"))
+
+
+def q_td_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (doc, level, window) item counts read out of the t-DIGEST
+    quantile rollup — the n field counts exactly and merges add, so the
+    second quantile index's geometry AND coverage is SQL-checkable (same
+    closed form as cms_rollup_totals / kll_rollup_totals). Completes the
+    north_rule's named sketch set (Bloom/CMS/HLL/KLL/t-digest) as
+    oracle-gated window families."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        td_window_totals,
+    )
+
+    return td_window_totals(_td_index(spark, sf_dir))
+
+
+def q_range_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles over leaf-window RANGES [a, b) from the dyadic
+    t-digest index — the tail-accurate twin of range_quantiles, and unlike
+    KLL fully DETERMINISTIC (merges are order-free pure functions of the
+    cover-node content, so these estimate rows are reproducible bit-for-bit
+    run to run). Estimates are oracle-free (rank-error contracts in
+    tests/test_td_rollup.py); geometry + exact counts oracle-checked by
+    td_rollup_totals. All-docs (a, b) form."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_tdigest_quantiles,
+    )
+
+    return range_tdigest_quantiles(
+        _td_index(spark, sf_dir), RANGE_QS, QUANTILES, CFG.deepest
+    ).select("doc_id", "a", "b", "q", F.round("est", 3).alias("est"))
+
+
+def q_global_range_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles over STREAM leaf-window ranges from the global
+    t-digest index — phase-aligned partial digests merged into stream-window
+    nodes, doc boundaries invisible (and byte-equal to a from-scratch stream
+    build: content-pure merges). Oracle-free estimates; bounds in tests."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_td_window_index,
+        global_range_tdigest_quantiles,
+    )
+
+    key = ("gtd_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_td_window_index(
+            gcorp, CFG.with_(axis="global"), delta=100.0)
+    return global_range_tdigest_quantiles(
         _CACHE[key], RANGE_QS_GLOBAL, QUANTILES, CFG.deepest
     ).select("a", "b", "q", F.round("est", 3).alias("est"))
 
@@ -5305,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_window_rollup": q_cms_window_rollup,
         "cms_rollup_totals": q_cms_rollup_totals,
         "kll_rollup_totals": q_kll_rollup_totals,
+        "td_rollup_totals": q_td_rollup_totals,
         "mg_rollup_totals": q_mg_rollup_totals,
         "cs_rollup_totals": q_cs_rollup_totals,
         "range_f2": q_range_f2,
@@ -5320,6 +5386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_freq": q_range_freq,
         "range_signed_freq": q_range_signed_freq,
         "range_quantiles": q_range_quantiles,
+        "range_tdigest_quantiles": q_range_tdigest_quantiles,
+        "global_range_tdigest_quantiles": q_global_range_tdigest_quantiles,
         "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
         "global_range_heavy_hitters": q_global_range_heavy_hitters,
@@ -7042,6 +7110,8 @@ WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0""",
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]
+    # ... and so do the t-digest rollup's exact n fields
+    out["td_rollup_totals"] = out["cms_rollup_totals"]
     # ... and so do the Misra-Gries rollup's exact n_total fields
     out["mg_rollup_totals"] = out["cms_rollup_totals"]
     # ... and the signed count-sketch rollup's exact total header field

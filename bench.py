@@ -234,6 +234,9 @@ def main() -> None:
         # quantiles via the KLL rollup — its build is paid on first rep)
         "range_window_totals",
         "range_quantiles",
+        # quantile sibling #2: t-digest rollup (deterministic, tail-accurate;
+        # first rep pays its build, cached)
+        "range_tdigest_quantiles",
         "range_distinct",
         # range second moment (AMS family; first rep pays the cs rollup)
         "range_f2",
@@ -256,6 +259,7 @@ def main() -> None:
         "hbi_global_pattern_batch_wide",
         "global_range_totals",
         "global_range_quantiles",
+        "global_range_tdigest_quantiles",
         "global_range_topk_tokens",
         # anchored regex on the one-stream axis (global index cached above)
         "hbi_global_regex",

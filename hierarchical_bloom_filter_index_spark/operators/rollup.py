@@ -307,6 +307,39 @@ def build_kll_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 200) -> D
     )
 
 
+def build_td_window_index(corpus: DataFrame, cfg: HbiConfig, delta: float = 100.0) -> DataFrame:
+    """Approximate-quantile index #2: one t-DIGEST per (doc, level, window)
+    (Dunning & Ertl merging digest, the second quantile sketch the
+    north_rule names alongside KLL). Tail-accurate (k1 scale concentrates
+    centroids at q→0,1) and — unlike KLL — fully DETERMINISTIC: no RNG, and
+    sketches/tdigest._compact is an ORDER-FREE pure function of the child
+    centroid multiset, so every build path (leaf pass, append, global
+    partials, stream maintenance) yields byte-identical nodes. Nodes whose
+    window fits the raw regime (n <= tdigest._raw_max(delta)) are
+    additionally pure functions of the raw window multiset (sorted
+    singleton centroids). Item counts n stay EXACT (td_window_totals is
+    the SQL oracle). Same persistence contract as build_kll_window_index
+    (caller unpersists)."""
+    from ..sketches import tdigest as tdk
+
+    leaf_span = cfg.leaf_span
+    return _build_window_sketch_index(
+        corpus, cfg,
+        lambda toks: tdk.leaf_window_blobs(toks, leaf_span, delta),
+        lambda flat, counts: tdk.merge_blob_groups(flat, counts, delta),
+    )
+
+
+def td_window_totals(td_index: DataFrame) -> DataFrame:
+    """(doc_id, level, w_id, n_window) for EVERY level — EXACT (the t-digest
+    item count is exact and merges add), so the quantile-rollup geometry +
+    coverage is SQL-oracle-checkable, mirroring kll_window_totals."""
+    from ..sketches.tdigest import blob_totals
+
+    return _totals_reader(td_index, ("doc_id", "level", "w_id"), blob_totals,
+                          "doc_id string, level int, w_id long, n_window long")
+
+
 def build_mg_window_index(corpus: DataFrame, cfg: HbiConfig, k: int = 32) -> DataFrame:
     """HEAVY-HITTERS index: one Misra-Gries summary per (doc, level, window),
     built leaf-first then rolled up (flat sum-then-prune merges — see
@@ -743,9 +776,10 @@ def range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens,
     )
 
 
-def _kll_range_quant_fn(key_cols, qs):
-    from ..sketches.kll import merge_blob_groups, quantile_blobs
-
+def _quant_range_fn(key_cols, qs, merge_groups, quantile_blobs):
+    """Shared range-quantile readout: merge each range's O(log) covering
+    quantile sketches, answer every requested q from the merged node. The
+    kernel pair parameterizes the family (KLL or t-digest)."""
     qs = [float(q) for q in qs]
 
     def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -753,7 +787,7 @@ def _kll_range_quant_fn(key_cols, qs):
             if len(pdf) == 0:
                 continue
             flat, counts = _flatten_children(pdf)
-            merged = merge_blob_groups(flat, counts)
+            merged = merge_groups(flat, counts)
             ests = quantile_blobs(merged, qs)
             out = pdf[list(key_cols)].loc[pdf.index.repeat(len(qs))].reset_index(drop=True)
             out["q"] = np.tile(qs, len(pdf))
@@ -761,6 +795,19 @@ def _kll_range_quant_fn(key_cols, qs):
             yield out
 
     return est
+
+
+def _kll_range_quant_fn(key_cols, qs):
+    from ..sketches.kll import merge_blob_groups, quantile_blobs
+
+    return _quant_range_fn(key_cols, qs, merge_blob_groups, quantile_blobs)
+
+
+def _td_range_quant_fn(key_cols, qs):
+    from ..sketches.tdigest import merge_blob_groups, quantile_blobs
+
+    # delta derived from the blobs (readout path); mixed deltas refuse inside
+    return _quant_range_fn(key_cols, qs, merge_blob_groups, quantile_blobs)
 
 
 def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
@@ -773,6 +820,17 @@ def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> 
     quantile (KLL)."""
     return _joined_range_groups(kll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
         _kll_range_quant_fn(_DOC_KEYS, qs), schema=_DOC_KEY_SCHEMA + ", q double, est double"
+    )
+
+
+def range_tdigest_quantiles(td_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
+    """(doc_id, a, b, q, est) per queried leaf-window range and quantile from
+    the dyadic t-DIGEST index — the tail-accurate, byte-deterministic twin of
+    range_quantile_estimates (t-digest merges are content-pure, so the range
+    answer is reproducible run-to-run, unlike KLL's bound-only determinism).
+    Accepts (doc_id, a, b) triples or all-docs (a, b) pairs."""
+    return _joined_range_groups(td_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _td_range_quant_fn(_DOC_KEYS, qs), schema=_DOC_KEY_SCHEMA + ", q double, est double"
     )
 
 
@@ -1678,6 +1736,37 @@ def global_range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: i
     )
 
 
+def build_global_td_window_index(corpus: DataFrame, cfg: HbiConfig,
+                                 delta: float = 100.0) -> DataFrame:
+    """One t-digest per (level, STREAM window): quantiles of any dyadic
+    slice of the concatenated stream, doc boundaries invisible. Docs
+    contribute phase-aligned PARTIAL digests; _compact is an order-free
+    pure function of the merged centroid multiset, so leaf nodes are
+    byte-equal however the stream splits across docs and every maintenance
+    path (append, streaming deltas) reproduces the scratch build byte for
+    byte (stronger than the KLL twin's bound-preservation). Kernels
+    resolved through window_sketch_family (single source)."""
+    _s, _m, builder = window_sketch_family(cfg, "td", delta=delta)
+    return builder(corpus, cfg)
+
+
+def global_range_tdigest_quantiles(td_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
+    """(a, b, q, est) per STREAM leaf-window range and quantile — the global
+    twin of range_tdigest_quantiles."""
+    return _joined_range_groups(td_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _td_range_quant_fn(_GLOBAL_KEYS, qs), schema=_GLOBAL_KEY_SCHEMA + ", q double, est double"
+    )
+
+
+def global_td_window_totals(td_index: DataFrame) -> DataFrame:
+    """(level, w_id, n_window) — EXACT stream-window item counts from the
+    global t-digest index (merged partials add their exact counts)."""
+    from ..sketches.tdigest import blob_totals
+
+    return _totals_reader(td_index, ("level", "w_id"), blob_totals,
+                          "level int, w_id long, n_window long")
+
+
 def global_kll_window_totals(kll_index: DataFrame) -> DataFrame:
     """(level, w_id, n_window) — EXACT stream-window item counts from the
     global KLL index (merged partials add their exact counts)."""
@@ -1841,12 +1930,13 @@ def append_window_sketch_index(index: DataFrame, new_docs: DataFrame, cfg: HbiCo
         "cms": build_cms_window_index,
         "hll": build_hll_window_index,
         "kll": build_kll_window_index,
+        "td": build_td_window_index,
         "mg": build_mg_window_index,
         "bk": build_bk_window_index,
         "cs": build_cs_window_index,
     }
     if family not in builders:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk|cs)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|td|mg|bk|cs)")
     from pyspark import StorageLevel
 
     new_idx = builders[family](new_docs, cfg, **kw)
@@ -1891,6 +1981,15 @@ def window_sketch_family(cfg: HbiConfig, family: str, **kw):
         slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
             toks, slots, n_slots, kk, seed)
         merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts)
+    elif family == "td":
+        from ..sketches import tdigest as k
+
+        # t-digest is deterministic (no RNG) and _compact is content-pure —
+        # no seed; group merges are order-free byte-deterministic
+        delta = float(kw.pop("delta", 100.0))
+        slot_blobs = lambda toks, slots, n_slots: k.partial_blobs_by_slot(
+            toks, slots, n_slots, delta)
+        merge_groups = lambda flat, counts: k.merge_blob_groups(flat, counts, delta)
     elif family == "mg":
         from ..sketches import spacesaving as k
 
@@ -1918,7 +2017,7 @@ def window_sketch_family(cfg: HbiConfig, family: str, **kw):
         merge_groups = lambda flat, counts: k.cs_merge_blob_groups(
             flat, counts, depth, width, seed)
     else:
-        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|mg|bk|cs)")
+        raise ValueError(f"unknown window-sketch family {family!r} (cms|hll|kll|td|mg|bk|cs)")
     if kw:
         raise ValueError(f"unknown {family} window-sketch options: {sorted(kw)}")
 

@@ -23,6 +23,50 @@ def _k_scale(q: np.ndarray | float, delta: float):
     return delta / (2.0 * math.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
 
 
+def _compact(v: np.ndarray, w: np.ndarray, delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """THE canonical t-digest compaction: lexsort centroids by (mean, weight)
+    and greedily merge left-to-right while the k1-scale span stays <= 1.
+    A pure function of the centroid MULTISET (lexsort makes equal-(mean,
+    weight) centroids interchangeable), so any merge path that feeds the
+    same centroids through here yields byte-identical nodes — the window
+    family's determinism contract. Shared by the object path (TDigest._flush)
+    and the per-window kernels below."""
+    if len(v) == 0:
+        return v.astype(np.float64), w.astype(np.float64)
+    order = np.lexsort((w, v))
+    v, w = v[order], w[order]
+    total = w.sum()
+    out_m, out_w = [], []
+    cur_m, cur_w = v[0], w[0]
+    q_left = 0.0
+    k_left = _k_scale(q_left, delta)
+    for i in range(1, len(v)):
+        q_new = (q_left * total + cur_w + w[i]) / total
+        if _k_scale(q_new, delta) - k_left <= 1.0:
+            cur_m += (v[i] - cur_m) * (w[i] / (cur_w + w[i]))
+            cur_w += w[i]
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q_left += cur_w / total
+            k_left = _k_scale(q_left, delta)
+            cur_m, cur_w = v[i], w[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m, dtype=np.float64), np.asarray(out_w, dtype=np.float64)
+
+
+def _raw_max(delta: float) -> int:
+    """Largest n for which compacting n SINGLETON (weight-1) items is the
+    identity: the k1 slope is >= delta/pi everywhere, so a 2-item span costs
+    k-distance >= 2*delta/(pi*n); no greedy merge can fire while that
+    exceeds 1, i.e. n < 2*delta/pi. Inside this regime a node is just its
+    sorted raw values — packed directly, no greedy loop (the fast path every
+    leaf_span <= raw_max leaf takes; identity with the object path is
+    test-asserted, not assumed)."""
+    return int((2.0 * delta) / math.pi * (1.0 - 1e-12))
+
+
 class TDigest:
     MAGIC = _MAGIC
     __slots__ = ("delta", "means", "weights", "n", "_buf")
@@ -44,28 +88,7 @@ class TDigest:
         self._buf = []
         if len(v) == 0:
             return
-        order = np.argsort(v, kind="stable")
-        v, w = v[order], w[order]
-        total = w.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w = v[0], w[0]
-        q_left = 0.0
-        k_left = _k_scale(q_left, self.delta)
-        for i in range(1, len(v)):
-            q_new = (q_left * total + cur_w + w[i]) / total
-            if _k_scale(q_new, self.delta) - k_left <= 1.0:
-                cur_m += (v[i] - cur_m) * (w[i] / (cur_w + w[i]))
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q_left += cur_w / total
-                k_left = _k_scale(q_left, self.delta)
-                cur_m, cur_w = v[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m, dtype=np.float64)
-        self.weights = np.asarray(out_w, dtype=np.float64)
+        self.means, self.weights = _compact(v, w, self.delta)
 
     def update(self, values: np.ndarray) -> None:
         values = np.asarray(values, dtype=np.float64)
@@ -118,3 +141,150 @@ class TDigest:
         magic, (delta_milli, n), (means, weights) = base.unpack(buf)
         base.expect_magic(magic, _MAGIC, "TDigest")
         return cls(delta_milli / 1000.0, means, weights, n)
+
+
+# ---------------------------------------------------------------------------
+# Per-window t-digest kernels (the quantile analog of kll.leaf_window_blobs /
+# merge_blob_groups): one serialized digest per consecutive window of a value
+# array. Stronger determinism contract than the KLL family: t-digest has NO
+# RNG and ``_compact`` is a pure function of the centroid multiset, so EVERY
+# node — leaves AND rolled-up parents — is byte-deterministic and merge
+# ORDER-FREE (KLL parents are only bound-preserving). Leaves holding
+# n <= _raw_max(delta) values compact to exactly their sorted raw values
+# (singleton centroids), so the leaf pass is direct byte packing of sorted
+# slices — byte-identical to TDigest(delta).update(slice).to_bytes(),
+# asserted in tests. The stored item count n is EXACT and merges add, which
+# is what the SQL totals oracle checks; quantile error is the k1-scale
+# contract (q-quantile rank error O(q(1-q)/delta)), bound-checked in tests.
+# ---------------------------------------------------------------------------
+
+# wire offset of params[1] (= n) in base.pack([delta_milli, n]):
+# 4-byte header, then int64 params
+_TD_N_OFFSET = 4 + 8
+
+
+def _pack_node(v_sorted: np.ndarray, delta: float) -> bytes:
+    """Canonical node for a window's SORTED weight-1 values: raw singleton
+    centroids while n <= _raw_max(delta) (compaction provably cannot fire),
+    else the shared greedy compaction."""
+    n = len(v_sorted)
+    if n <= _raw_max(delta):
+        return base.pack(_MAGIC, [int(delta * 1000), n],
+                         [v_sorted, np.ones(n, dtype=np.float64)])
+    m, w = _compact(v_sorted, np.ones(n, dtype=np.float64), delta)
+    return base.pack(_MAGIC, [int(delta * 1000), n], [m, w])
+
+
+def leaf_window_blobs(values: np.ndarray, window: int, delta: float,
+                      phase: int = 0) -> list[bytes]:
+    """Serialized t-digests for every consecutive ``window``-value slice of
+    ``values``. ``phase`` = stream offset of values[0] within its window
+    (global-axis builds: blob i is the PARTIAL digest of stream window
+    first_w + i; partials of a window merge into its canonical node because
+    _compact is content-pure). NaN-free inputs required (int64 token casts):
+    direct packing skips the NaN filter TDigest.update applies — guarded,
+    not silently filtered."""
+    n = len(values)
+    if n == 0:
+        return []
+    vals = np.asarray(values, dtype=np.float64)
+    if np.isnan(vals).any():
+        raise ValueError("leaf_window_blobs: NaN input (route through TDigest.update)")
+    nw = (phase + n + window - 1) // window
+    out: list[bytes] = []
+    for i in range(nw):
+        lo = max(0, i * window - phase)
+        hi = min(n, (i + 1) * window - phase)
+        out.append(_pack_node(np.sort(vals[lo:hi]), delta))
+    return out
+
+
+def partial_blobs_by_slot(values: np.ndarray, slots: np.ndarray, n_slots: int,
+                          delta: float) -> list[bytes]:
+    """Serialized t-digests for an ARBITRARY per-value slot assignment
+    (cross-doc generalization of ``leaf_window_blobs`` — see
+    hll.partial_blobs_by_slot). One lexsort by (slot, value) sorts every
+    slot's slice in a single pass; blob i is the canonical node of the
+    values whose slot == i. NaN-free inputs required."""
+    vals = np.asarray(values, dtype=np.float64)
+    if np.isnan(vals).any():
+        raise ValueError("partial_blobs_by_slot: NaN input (route through TDigest.update)")
+    s = np.asarray(slots, dtype=np.int64)
+    order = np.lexsort((vals, s))
+    sv = vals[order]
+    counts = np.bincount(s, minlength=n_slots)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    return [_pack_node(sv[bounds[i] : bounds[i + 1]], delta) for i in range(n_slots)]
+
+
+def merge_blob_groups(blobs: list[bytes], counts: np.ndarray,
+                      delta: float | None = None) -> list[bytes]:
+    """Merge consecutive groups of serialized t-digests (group i = the next
+    ``counts[i]`` blobs). ORDER-FREE byte-deterministic: each group's
+    centroids concatenate and go through the content-pure ``_compact``
+    (single-blob groups pass through byte-identically, matching
+    rollup._merge_sparse). A group whose children are all still raw
+    singletons with total n <= _raw_max stays raw — so a window's node is
+    the same bytes whether built from the whole window or merged from any
+    split of it (the global build's doc-boundary partials). ``delta=None``
+    derives the parameter from the blobs themselves (readout paths); passing
+    it pins family consistency (build paths via window_sketch_family)."""
+    dm = None
+    out: list[bytes] = []
+    pos = 0
+    for c in counts:
+        c = int(c)
+        if c == 1:
+            out.append(bytes(blobs[pos]))
+            pos += 1
+            continue
+        ms, ws, n = [], [], 0
+        for b in blobs[pos : pos + c]:
+            magic, (delta_milli, bn), (m, w) = base.unpack(bytes(b))
+            base.expect_magic(magic, _MAGIC, "TDigest")
+            if dm is None:
+                dm = delta_milli
+                # compare in wire units: to_bytes truncates to millesimals
+                if delta is not None and dm != int(delta * 1000):
+                    raise ValueError(f"delta mismatch: blobs carry {dm / 1000.0}, caller passed {delta}")
+                delta = dm / 1000.0
+            elif delta_milli != dm:
+                raise ValueError("merge_blob_groups: mixed t-digest deltas")
+            ms.append(m)
+            ws.append(w)
+            n += bn
+        v = np.concatenate(ms)
+        w = np.concatenate(ws)
+        if n <= _raw_max(delta) and len(v) == n:
+            # all children raw (len == n ⟺ every centroid weight 1)
+            out.append(base.pack(_MAGIC, [int(delta * 1000), n],
+                                 [np.sort(v), np.ones(n, dtype=np.float64)]))
+        else:
+            m2, w2 = _compact(v, w, delta)
+            out.append(base.pack(_MAGIC, [int(delta * 1000), n], [m2, w2]))
+        pos += c
+    return out
+
+
+def blob_totals(blobs: list[bytes]) -> np.ndarray:
+    """EXACT item count of each blob's window (the n field counts every
+    update exactly; merges add) — SQL-oracle-checkable."""
+    import struct as _struct
+
+    out = np.empty(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] != _MAGIC:
+            raise ValueError(f"unknown sketch magic {b[0]} (expected TDigest)")
+        (out[i],) = _struct.unpack_from("<q", b, _TD_N_OFFSET)
+    return out
+
+
+def quantile_blobs(blobs: list[bytes], qs) -> np.ndarray:
+    """(len(blobs), len(qs)) quantile estimates — object path per blob
+    (sketch rows only; k1-scale accuracy contract)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    out = np.empty((len(blobs), len(qs)), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        out[i] = TDigest.from_bytes(bytes(b)).quantiles(qs)
+    return out

@@ -406,7 +406,19 @@ def test_structured_streaming_window_sketch_index(spark, tmp_path):
     idx_s, _tot_s = run("cs", "cs")
     ref_s = build_global_cs_window_index(with_global_offsets(full), cfg)
     assert _sstate(idx_s) == _sstate(ref_s)
-    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m, ref_b, ref_s):
+
+    # TD: byte-equal after one drain — t-digest merges are order-free pure
+    # functions of the centroid multiset (sketches/tdigest._compact), so the
+    # boundary re-merges and recomputed ancestors reproduce the scratch
+    # bytes exactly (the determinism KLL cannot promise)
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_td_window_index,
+    )
+
+    idx_t, _tot_t = run("td", "td")
+    ref_t = build_global_td_window_index(with_global_offsets(full), cfg)
+    assert _sstate(idx_t) == _sstate(ref_t)
+    for r in (ref2, ref_full, ref1, ref_h, ref_k, ref_m, ref_b, ref_s, ref_t):
         r.unpersist()
     full.unpersist()
 
