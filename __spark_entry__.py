@@ -3614,6 +3614,74 @@ def q_global_range_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("a", "b", "q", F.round("est", 3).alias("est"))
 
 
+def q_range_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rank queries (count of tokens <= v) over doc leaf-window ranges
+    — the INVERSE of the quantile family, answered from the CMS window
+    index's SPARSE-exact nodes: the O(log) covering nodes add linearly and
+    stay sparse on this corpus (distinct < sparse_max_nnz), so their sorted
+    (token, count) pairs enumerate the range content exactly and the rank is
+    a hard SQL equality (the same sparse-only exactness contract as
+    range_f2 — rank_blobs REFUSES dense nodes rather than estimating; the
+    t-digest range_tdigest_cdf is the dense-regime estimate fallback)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_rank_counts,
+    )
+
+    return range_rank_counts(
+        _cms_index(spark, sf_dir), RANGE_QS, PROBE_TOKENS, CFG.deepest
+    )
+
+
+def q_global_range_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stream-axis rank queries — global twin of range_rank (count of
+    stream tokens <= v per stream leaf-window range, doc boundaries
+    invisible; sparse-exact cover nodes, oracle equality)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_rank_counts,
+    )
+
+    return global_range_rank_counts(
+        _gcms_index(spark, sf_dir), RANGE_QS_GLOBAL, PROBE_TOKENS, CFG.deepest
+    )
+
+
+def q_range_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate CDF (fraction of range tokens <= v) over doc leaf-window
+    ranges from the dyadic t-digest index — the ESTIMATE twin of range_rank
+    for the dense regime where exact enumeration is impossible. Same
+    byte-deterministic cover-node merge as range_tdigest_quantiles;
+    rank-error bounds in tests/test_td_rollup.py, exact counts on the same
+    index oracle-gated by td_rollup_totals."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_tdigest_cdf,
+    )
+
+    return range_tdigest_cdf(
+        _td_index(spark, sf_dir), RANGE_QS, [float(t) for t in PROBE_TOKENS],
+        CFG.deepest,
+    ).select("doc_id", "a", "b", "v", F.round("est_cdf", 4).alias("est_cdf"))
+
+
+def q_global_range_tdigest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate CDF over STREAM leaf-window ranges from the global
+    t-digest index — inverse-quantile on the one-stream axis (cached by
+    global_range_tdigest_quantiles; estimates byte-deterministic)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_td_window_index,
+        global_range_tdigest_cdf,
+    )
+
+    key = ("gtd_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_td_window_index(
+            gcorp, CFG.with_(axis="global"), delta=100.0)
+    return global_range_tdigest_cdf(
+        _CACHE[key], RANGE_QS_GLOBAL, [float(t) for t in PROBE_TOKENS],
+        CFG.deepest,
+    ).select("a", "b", "v", F.round("est_cdf", 4).alias("est_cdf"))
+
+
 def q_stream_sketch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming-maintained GLOBAL CMS window-sketch index
     (streaming.incremental_global_window_sketch_stream): the corpus arrives
@@ -5388,6 +5456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_quantiles": q_range_quantiles,
         "range_tdigest_quantiles": q_range_tdigest_quantiles,
         "global_range_tdigest_quantiles": q_global_range_tdigest_quantiles,
+        "range_rank": q_range_rank,
+        "global_range_rank": q_global_range_rank,
+        "range_tdigest_cdf": q_range_tdigest_cdf,
+        "global_range_tdigest_cdf": q_global_range_tdigest_cdf,
         "range_membership": q_range_membership,
         "range_heavy_hitters": q_range_heavy_hitters,
         "global_range_heavy_hitters": q_global_range_heavy_hitters,
@@ -6697,6 +6769,45 @@ SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS BIGINT) AS n_tokens
 FROM corpus, rq
 WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0""",
+        # exact rank (count of tokens <= v) per (doc, range)-with-tokens x
+        # probe value — sparse-exact CMS cover nodes enumerate the range
+        "range_rank": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+pv(v) AS (VALUES {", ".join(f"({t})" for t in PROBE_TOKENS)}),
+sl AS (SELECT doc_id, a, b, tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS s
+       FROM corpus, rq
+       WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(v AS BIGINT) AS v,
+       CAST(len(list_filter(s, x -> x <= v)) AS BIGINT) AS rank_le
+FROM sl, pv""",
+        # global twin: exact stream-slice ranks (zero-count rows kept)
+        "global_range_rank": f"""WITH {CORPUS_CTE},
+tot AS (SELECT SUM(n_tok) AS n FROM corpus),
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS token
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+pv(v) AS (VALUES {", ".join(f"({t})" for t in PROBE_TOKENS)}),
+nr AS (SELECT a, b FROM rq, tot
+       WHERE LEAST(n, b * {CFG.leaf_span}) - LEAST(n, a * {CFG.leaf_span}) > 0),
+cnt AS (
+  SELECT nr.a, nr.b, pv.v, COUNT(*) AS c
+  FROM flat f, nr, pv
+  WHERE f.g >= nr.a * {CFG.leaf_span} AND f.g < nr.b * {CFG.leaf_span}
+    AND f.token <= pv.v
+  GROUP BY nr.a, nr.b, pv.v
+)
+SELECT CAST(nr.a AS BIGINT) AS a, CAST(nr.b AS BIGINT) AS b,
+       CAST(pv.v AS BIGINT) AS v, CAST(COALESCE(c, 0) AS BIGINT) AS rank_le
+FROM nr CROSS JOIN pv
+LEFT JOIN cnt ON cnt.a = nr.a AND cnt.b = nr.b AND cnt.v = pv.v""",
         # unbiased signed-freq: exact counts in the sparse regime — rows for
         # every (doc, range)-with-tokens x probe token, zeros included
         "range_signed_freq": f"""WITH {CORPUS_CTE},

@@ -237,6 +237,10 @@ def main() -> None:
         # quantile sibling #2: t-digest rollup (deterministic, tail-accurate;
         # first rep pays its build, cached)
         "range_tdigest_quantiles",
+        # inverse-quantile family: exact sparse-CMS rank + t-digest CDF
+        # estimate (cms/td indexes already cached above)
+        "range_rank",
+        "range_tdigest_cdf",
         "range_distinct",
         # range second moment (AMS family; first rep pays the cs rollup)
         "range_f2",
@@ -260,6 +264,8 @@ def main() -> None:
         "global_range_totals",
         "global_range_quantiles",
         "global_range_tdigest_quantiles",
+        "global_range_rank",
+        "global_range_tdigest_cdf",
         "global_range_topk_tokens",
         # anchored regex on the one-stream axis (global index cached above)
         "hbi_global_regex",

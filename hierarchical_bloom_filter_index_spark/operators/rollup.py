@@ -776,10 +776,13 @@ def range_signed_freq_estimates(cs_index: DataFrame, ranges, probe_tokens,
     )
 
 
-def _quant_range_fn(key_cols, qs, merge_groups, quantile_blobs):
-    """Shared range-quantile readout: merge each range's O(log) covering
-    quantile sketches, answer every requested q from the merged node. The
-    kernel pair parameterizes the family (KLL or t-digest)."""
+def _quant_range_fn(key_cols, qs, group_readout,
+                    probe_col: str = "q", out_col: str = "est"):
+    """Shared range-quantile/CDF readout: ``group_readout(flat, counts, qs)``
+    answers every requested probe per group of covering quantile-sketch
+    nodes. The kernel parameterizes the family (KLL merge-then-read, or
+    t-digest union readout) and the direction (quantile: q -> value;
+    cdf: value -> rank fraction — pass probe_col/out_col accordingly)."""
     qs = [float(q) for q in qs]
 
     def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -787,11 +790,10 @@ def _quant_range_fn(key_cols, qs, merge_groups, quantile_blobs):
             if len(pdf) == 0:
                 continue
             flat, counts = _flatten_children(pdf)
-            merged = merge_groups(flat, counts)
-            ests = quantile_blobs(merged, qs)
+            ests = group_readout(flat, counts, qs)
             out = pdf[list(key_cols)].loc[pdf.index.repeat(len(qs))].reset_index(drop=True)
-            out["q"] = np.tile(qs, len(pdf))
-            out["est"] = ests.ravel()
+            out[probe_col] = np.tile(qs, len(pdf))
+            out[out_col] = ests.ravel()
             yield out
 
     return est
@@ -800,14 +802,20 @@ def _quant_range_fn(key_cols, qs, merge_groups, quantile_blobs):
 def _kll_range_quant_fn(key_cols, qs):
     from ..sketches.kll import merge_blob_groups, quantile_blobs
 
-    return _quant_range_fn(key_cols, qs, merge_blob_groups, quantile_blobs)
+    return _quant_range_fn(
+        key_cols, qs,
+        lambda flat, counts, q: quantile_blobs(merge_blob_groups(flat, counts), q),
+    )
 
 
 def _td_range_quant_fn(key_cols, qs):
-    from ..sketches.tdigest import merge_blob_groups, quantile_blobs
+    # UNION readout: quantiles straight off the concatenated cover-node
+    # centroids — no greedy recompaction in the hot path (the per-group
+    # _compact python loop made this query ~5x its KLL sibling); estimate
+    # is finer-or-equal to merge-then-read and still deterministic
+    from ..sketches.tdigest import quantile_union_groups
 
-    # delta derived from the blobs (readout path); mixed deltas refuse inside
-    return _quant_range_fn(key_cols, qs, merge_blob_groups, quantile_blobs)
+    return _quant_range_fn(key_cols, qs, quantile_union_groups)
 
 
 def range_quantile_estimates(kll_index: DataFrame, ranges, qs, deepest: int) -> DataFrame:
@@ -831,6 +839,65 @@ def range_tdigest_quantiles(td_index: DataFrame, ranges, qs, deepest: int) -> Da
     Accepts (doc_id, a, b) triples or all-docs (a, b) pairs."""
     return _joined_range_groups(td_index, ranges, deepest, _DOC_KEYS).mapInPandas(
         _td_range_quant_fn(_DOC_KEYS, qs), schema=_DOC_KEY_SCHEMA + ", q double, est double"
+    )
+
+
+def _td_range_cdf_fn(key_cols, vs):
+    from ..sketches.tdigest import cdf_union_groups
+
+    return _quant_range_fn(key_cols, vs, cdf_union_groups,
+                           probe_col="v", out_col="est_cdf")
+
+
+def range_tdigest_cdf(td_index: DataFrame, ranges, vs, deepest: int) -> DataFrame:
+    """(doc_id, a, b, v, est_cdf) — INVERSE-quantile (rank/CDF) readout of
+    the dyadic t-digest index: estimated fraction of the range's tokens <= v
+    per queried leaf-window range and probe value. Same O(log) cover-node
+    merge as range_tdigest_quantiles, same byte-determinism; rank error is
+    the k1-scale contract. For an EXACT rank on enumerable (sparse-regime)
+    content use range_rank_counts on the CMS index instead."""
+    return _joined_range_groups(td_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _td_range_cdf_fn(_DOC_KEYS, vs),
+        schema=_DOC_KEY_SCHEMA + ", v double, est_cdf double",
+    )
+
+
+def _cms_range_rank_fn(key_cols, vs):
+    from ..sketches import cms as cms_kernels
+
+    vs_arr = np.asarray(sorted(int(v) for v in vs), dtype=np.int64)
+
+    def rk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            d, w, s = cms_kernels.blob_params(flat[0])
+            merged = cms_kernels.merge_blob_groups(flat, counts, d, w, s)
+            ranks = cms_kernels.rank_blobs(merged, vs_arr)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(len(vs_arr))].reset_index(drop=True)
+            out["v"] = np.tile(vs_arr, len(pdf))
+            out["rank_le"] = ranks.ravel()
+            yield out
+
+    return rk
+
+
+def range_rank_counts(cms_index: DataFrame, ranges, vs, deepest: int) -> DataFrame:
+    """(doc_id, a, b, v, rank_le) — EXACT count of tokens <= v in each
+    queried leaf-window range, from the CMS window index's SPARSE-exact
+    nodes (the O(log) covering nodes add linearly and stay sparse while the
+    range's distinct-token count <= sparse_max_nnz, so their sorted
+    (token, count) pairs enumerate the range content exactly — the same
+    sparse-only exactness contract as range_f2, and like it the readout
+    REFUSES loudly in the dense regime rather than estimating; the t-digest
+    range_tdigest_cdf is the estimate fallback there). Accepts (doc_id, a,
+    b) triples or all-docs (a, b) pairs."""
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _DOC_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
+        _cms_range_rank_fn(_DOC_KEYS, vs),
+        schema=_DOC_KEY_SCHEMA + ", v long, rank_le long",
     )
 
 
@@ -1755,6 +1822,28 @@ def global_range_tdigest_quantiles(td_index: DataFrame, ranges, qs, deepest: int
     twin of range_tdigest_quantiles."""
     return _joined_range_groups(td_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
         _td_range_quant_fn(_GLOBAL_KEYS, qs), schema=_GLOBAL_KEY_SCHEMA + ", q double, est double"
+    )
+
+
+def global_range_tdigest_cdf(td_index: DataFrame, ranges, vs, deepest: int) -> DataFrame:
+    """(a, b, v, est_cdf) per STREAM leaf-window range and probe value — the
+    global twin of range_tdigest_cdf (inverse quantile over the one-stream
+    axis, doc boundaries invisible)."""
+    return _joined_range_groups(td_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _td_range_cdf_fn(_GLOBAL_KEYS, vs),
+        schema=_GLOBAL_KEY_SCHEMA + ", v double, est_cdf double",
+    )
+
+
+def global_range_rank_counts(cms_index: DataFrame, ranges, vs, deepest: int) -> DataFrame:
+    """(a, b, v, rank_le) — EXACT count of stream tokens <= v in each queried
+    STREAM leaf-window range, the global twin of range_rank_counts (same
+    sparse-only exactness contract; refuses dense range nodes)."""
+    return _joined_range_groups(
+        cms_index, ranges, deepest, _GLOBAL_KEYS, partial_merge=_cms_merge_auto
+    ).mapInPandas(
+        _cms_range_rank_fn(_GLOBAL_KEYS, vs),
+        schema=_GLOBAL_KEY_SCHEMA + ", v long, rank_le long",
     )
 
 

@@ -422,6 +422,31 @@ def _sp_entries(b: bytes) -> tuple[np.ndarray, np.ndarray]:
     return toks, cnts
 
 
+def rank_blobs(blobs: list[bytes], vs: np.ndarray) -> np.ndarray:
+    """(len(blobs), len(vs)) EXACT ranks — count of tokens <= v per node —
+    defined ONLY for SPARSE-exact CMS nodes (magic 12), whose sorted
+    (token, count) pairs enumerate the window content exactly (linear
+    merges keep a merged range node sparse-exact while its nnz stays
+    <= sparse_max_nnz, so on a low-vocab corpus the answer is exact all
+    the way up the dyadic cover). REFUSES dense nodes loudly: a dense CMS
+    table cannot enumerate its keys, so an exact rank is unrecoverable —
+    callers fall back to a quantile-sketch CDF estimate (t-digest/KLL)
+    there, exactly like range_f2's sparse-only exactness contract."""
+    vs = np.asarray(vs, dtype=np.int64)
+    out = np.empty((len(blobs), len(vs)), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b)
+        if b[0] != _MAGIC_CMS_SP:
+            raise ValueError(
+                f"rank_blobs: node {i} is not sparse-exact (magic {b[0]}); "
+                "exact ranks need enumerable content — use the t-digest cdf estimate"
+            )
+        toks, cnts = _sp_entries(b)  # tokens sorted ascending (np.unique)
+        csum = np.concatenate([[0], np.cumsum(cnts)])
+        out[i] = csum[np.searchsorted(toks, vs, side="right")]
+    return out
+
+
 def blob_params(b: bytes) -> tuple[int, int, int]:
     """(depth, width, seed) of a dense OR sparse CMS/CS node blob."""
     b = bytes(b)

@@ -34,23 +34,32 @@ def _compact(v: np.ndarray, w: np.ndarray, delta: float) -> tuple[np.ndarray, np
     if len(v) == 0:
         return v.astype(np.float64), w.astype(np.float64)
     order = np.lexsort((w, v))
-    v, w = v[order], w[order]
-    total = w.sum()
-    out_m, out_w = [], []
-    cur_m, cur_w = v[0], w[0]
+    # scalar libm math in the greedy loop (same IEEE double ops in the same
+    # order as the numpy-scalar original, so bytes are unchanged — the byte-
+    # identity tests pin this); np scalar-call overhead made this loop the
+    # hot spot of builds
+    vl = v[order].astype(np.float64).tolist()
+    wl = w[order].astype(np.float64).tolist()
+    total = float(np.float64(w.sum()))
+    c = delta / (2.0 * math.pi)
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = vl[0], wl[0]
     q_left = 0.0
-    k_left = _k_scale(q_left, delta)
-    for i in range(1, len(v)):
-        q_new = (q_left * total + cur_w + w[i]) / total
-        if _k_scale(q_new, delta) - k_left <= 1.0:
-            cur_m += (v[i] - cur_m) * (w[i] / (cur_w + w[i]))
-            cur_w += w[i]
+    k_left = c * math.asin(-1.0)
+    for i in range(1, len(vl)):
+        q_new = (q_left * total + cur_w + wl[i]) / total
+        qc = 0.0 if q_new < 0.0 else (1.0 if q_new > 1.0 else q_new)
+        if c * math.asin(2.0 * qc - 1.0) - k_left <= 1.0:
+            cur_m += (vl[i] - cur_m) * (wl[i] / (cur_w + wl[i]))
+            cur_w += wl[i]
         else:
             out_m.append(cur_m)
             out_w.append(cur_w)
             q_left += cur_w / total
-            k_left = _k_scale(q_left, delta)
-            cur_m, cur_w = v[i], w[i]
+            ql = 0.0 if q_left < 0.0 else (1.0 if q_left > 1.0 else q_left)
+            k_left = c * math.asin(2.0 * ql - 1.0)
+            cur_m, cur_w = vl[i], wl[i]
     out_m.append(cur_m)
     out_w.append(cur_w)
     return np.asarray(out_m, dtype=np.float64), np.asarray(out_w, dtype=np.float64)
@@ -131,6 +140,35 @@ class TDigest:
 
     def quantiles(self, qs) -> np.ndarray:
         return np.asarray([self.quantile(q) for q in qs], dtype=np.float64)
+
+    def cdf(self, v: float) -> float:
+        """Estimated fraction of items <= v (inverse of ``quantile``: same
+        centroid-midpoint interpolation, so cdf(quantile(q)) ~= q away from
+        the edges). Midpoint convention at ties: v equal to one or more
+        centroid means counts half the tied mass. Rank error follows the
+        same k1-scale contract as quantile (O(q(1-q)/delta))."""
+        self._flush()
+        m, w = self.means, self.weights
+        if len(m) == 0:
+            return float("nan")
+        if v < m[0]:
+            return 0.0
+        if v > m[-1]:
+            return 1.0
+        total = w.sum()
+        if len(m) == 1:
+            return 0.5  # all mass at one centroid; midpoint convention
+        cum = np.cumsum(w) - w / 2.0
+        lo = int(np.searchsorted(m, v, side="left"))
+        hi = int(np.searchsorted(m, v, side="right"))
+        if lo < hi:
+            # v coincides with centroid mean(s) lo..hi-1: mass strictly
+            # before + half the tied group's mass
+            c0 = cum[lo] - w[lo] / 2.0
+            c1 = cum[hi - 1] + w[hi - 1] / 2.0
+            return float((c0 + c1) / (2.0 * total))
+        frac = (v - m[lo - 1]) / (m[lo] - m[lo - 1])
+        return float((cum[lo - 1] + frac * (cum[lo] - cum[lo - 1])) / total)
 
     def to_bytes(self) -> bytes:
         self._flush()
@@ -287,4 +325,116 @@ def quantile_blobs(blobs: list[bytes], qs) -> np.ndarray:
     out = np.empty((len(blobs), len(qs)), dtype=np.float64)
     for i, b in enumerate(blobs):
         out[i] = TDigest.from_bytes(bytes(b)).quantiles(qs)
+    return out
+
+
+def cdf_blobs(blobs: list[bytes], vs) -> np.ndarray:
+    """(len(blobs), len(vs)) CDF estimates (fraction of the blob's items
+    <= v) — the inverse-quantile readout; same determinism as every other
+    t-digest readout (pure function of the node bytes)."""
+    vs = np.asarray(vs, dtype=np.float64)
+    out = np.empty((len(blobs), len(vs)), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        d = TDigest.from_bytes(bytes(b))
+        out[i] = [d.cdf(v) for v in vs]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# UNION readouts: answer quantile/CDF queries directly over the CONCATENATED
+# centroid multiset of a group of nodes, skipping recompaction entirely. The
+# union is itself a valid t-digest centroid set — just finer than the
+# compacted one — so the estimate is at least as accurate as
+# merge-then-read, still a deterministic pure function of the node multiset,
+# and the hot range-readout path stays all-numpy (the greedy ``_compact``
+# python loop per (doc, range) group made range_tdigest_quantiles ~5x its
+# KLL sibling at sf0.1 before this). Build/maintenance paths keep
+# ``merge_blob_groups`` — stored nodes must stay canonical.
+# ---------------------------------------------------------------------------
+
+
+def _group_centroids(blobs: list[bytes], counts: np.ndarray):
+    """Yield (means_sorted, weights, n) per group of ``counts[i]`` blobs."""
+    pos = 0
+    for c in counts:
+        c = int(c)
+        ms, ws, n = [], [], 0
+        for b in blobs[pos : pos + c]:
+            magic, (_dm, bn), (m, w) = base.unpack(bytes(b))
+            base.expect_magic(magic, _MAGIC, "TDigest")
+            ms.append(m)
+            ws.append(w)
+            n += bn
+        pos += c
+        v = np.concatenate(ms)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="stable")
+        yield v[order], w[order], n
+
+
+def quantile_union_groups(blobs: list[bytes], counts: np.ndarray, qs) -> np.ndarray:
+    """(len(counts), len(qs)) quantile estimates per consecutive group —
+    centroid-midpoint interpolation (``TDigest.quantile`` semantics) over
+    the group's union centroid multiset."""
+    qs = np.asarray(qs, dtype=np.float64)
+    out = np.empty((len(counts), len(qs)), dtype=np.float64)
+    for i, (m, w, _n) in enumerate(_group_centroids(blobs, counts)):
+        if len(m) == 0:
+            out[i] = np.nan
+        elif len(m) == 1:
+            out[i] = m[0]
+        else:
+            # vectorized TDigest.quantile, same expression tree (bit-equal
+            # to the object path on single-node groups — np.interp rounds
+            # differently at the last ulp and would break that identity)
+            cum = np.cumsum(w) - w / 2.0
+            target = qs * w.sum()
+            idx = np.clip(np.searchsorted(cum, target), 1, len(m) - 1)
+            frac = (target - cum[idx - 1]) / (cum[idx] - cum[idx - 1])
+            est = m[idx - 1] + frac * (m[idx] - m[idx - 1])
+            est[target <= cum[0]] = m[0]   # object path: idx == 0
+            est[target > cum[-1]] = m[-1]  # object path: idx == len
+            out[i] = est
+    return out
+
+
+def cdf_union_groups(blobs: list[bytes], counts: np.ndarray, vs) -> np.ndarray:
+    """(len(counts), len(vs)) CDF estimates per consecutive group —
+    ``TDigest.cdf`` semantics (midpoint interpolation, half-mass at ties,
+    0/1 outside the centroid span) over the union centroid multiset."""
+    vs = np.asarray(vs, dtype=np.float64)
+    out = np.empty((len(counts), len(vs)), dtype=np.float64)
+    for i, (m, w, _n) in enumerate(_group_centroids(blobs, counts)):
+        if len(m) == 0:
+            out[i] = np.nan
+            continue
+        # collapse equal means so searchsorted tie logic sees unique keys
+        mu, inv = np.unique(m, return_inverse=True)
+        wu = np.bincount(inv, weights=w)
+        total = wu.sum()
+        if len(mu) == 1:
+            out[i] = np.where(vs < mu[0], 0.0, np.where(vs > mu[0], 1.0, 0.5))
+            continue
+        cw = np.cumsum(wu)
+        mid = cw - wu / 2.0
+        lo = np.searchsorted(mu, vs, side="left")
+        hi = np.searchsorted(mu, vs, side="right")
+        est = np.empty(len(vs), dtype=np.float64)
+        tie = lo < hi  # v equals a (unique) centroid mean
+        ti = lo[tie]
+        est[tie] = ((cw[ti] - wu[ti]) + cw[ti]) / (2.0 * total)
+        nt = ~tie
+        idx = lo[nt]
+        below = idx == 0
+        above = idx == len(mu)
+        mid_band = ~(below | above)
+        vals = np.zeros(nt.sum(), dtype=np.float64)
+        vals[above] = 1.0
+        if mid_band.any():
+            j = idx[mid_band]
+            vv = vs[nt][mid_band]
+            frac = (vv - mu[j - 1]) / (mu[j] - mu[j - 1])
+            vals[mid_band] = (mid[j - 1] + frac * (mid[j] - mid[j - 1])) / total
+        est[nt] = vals
+        out[i] = est
     return out

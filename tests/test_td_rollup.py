@@ -298,3 +298,145 @@ def test_global_append_equals_rebuild(spark, built):
         appended.unpersist()
         full.unpersist()
         gcorp.unpersist()
+
+# ---------------------------------------------------------------------------
+# Inverse-quantile family: t-digest CDF (estimate) + sparse-CMS exact rank
+# ---------------------------------------------------------------------------
+def _cdf_interval(values, v):
+    """Tie-aware empirical CDF interval of v: [P(x < v), P(x <= v)]."""
+    x = np.asarray(values, dtype=np.float64)
+    return (x < v).sum() / len(x), (x <= v).sum() / len(x)
+
+
+def test_cdf_inverse_and_bound():
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([rng.normal(0, 1, 2500), rng.exponential(4, 1500)])
+    blobs = td.leaf_window_blobs(vals, 32, DELTA)
+    deep = td.merge_blob_groups(blobs, np.array([len(blobs)]), DELTA)[0]
+    d = td.TDigest.from_bytes(deep)
+    # tie-aware rank bound at assorted probes incl. edges
+    for v in np.percentile(vals, [0.1, 1, 10, 50, 90, 99, 99.9]):
+        lo, hi = _cdf_interval(vals, v)
+        est = d.cdf(float(v))
+        assert lo - 0.02 <= est <= hi + 0.02, v
+    assert d.cdf(vals.min() - 1) == 0.0 and d.cdf(vals.max() + 1) == 1.0
+    # inverse consistency away from the edges
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        assert abs(d.cdf(d.quantile(q)) - q) <= 0.02, q
+    # kernel batch path == object path; empty blob -> NaN
+    probes = [-1.0, 0.0, 2.5]
+    got = td.cdf_blobs([deep], probes)[0]
+    assert got.tolist() == [d.cdf(v) for v in probes]
+    empty = td.partial_blobs_by_slot(np.empty(0, np.float64), np.empty(0, np.int64), 1, DELTA)
+    assert np.isnan(td.cdf_blobs(empty, [0.5])).all()
+    # raw-regime node: cdf midpoint convention is exactly (i + 0.5)/n at a
+    # distinct value, and ties average their midpoint span
+    raw = td._pack_node(np.array([1.0, 2.0, 2.0, 5.0]), DELTA)
+    r = td.TDigest.from_bytes(raw)
+    assert r.cdf(1.0) == pytest.approx(0.5 / 4)
+    assert r.cdf(2.0) == pytest.approx((1 + 3) / 2 / 4)
+    # between the last tied centroid (mean 2, midpoint-cum 2.5) and mean 5
+    assert r.cdf(3.0) == pytest.approx((2.5 + (3 - 2) / (5 - 2) * (3.5 - 2.5)) / 4)
+
+
+def test_range_cdf_vs_exact(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_tdigest_cdf,
+    )
+
+    corp, idx = built
+    tok = {r["doc_id"]: r["tokens"] for r in corp.collect()}
+    span = CFG.leaf_span
+    probes = [32.0, 101.0, 116.0]
+    got = range_tdigest_cdf(idx, RANGES, probes, CFG.deepest).collect()
+    assert got
+    for r in got:
+        sl = tok[r["doc_id"]][r["a"] * span : r["b"] * span]
+        if len(sl) == 0:
+            continue
+        lo, hi = _cdf_interval(sl, r["v"])
+        assert lo - 0.05 <= r["est_cdf"] <= hi + 0.05, (r["doc_id"], r["a"], r["b"], r["v"])
+
+
+def test_range_rank_exact_both_axes(spark, built):
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_cms_window_index,
+        build_global_cms_window_index,
+        global_range_rank_counts,
+        range_rank_counts,
+    )
+
+    corp, _ = built
+    probes = [32, 101, 116]
+    span = CFG.leaf_span
+    tok = {r["doc_id"]: r["tokens"] for r in corp.collect()}
+    cidx = build_cms_window_index(corp, CFG)
+    try:
+        got = range_rank_counts(cidx, RANGES, probes, CFG.deepest).collect()
+        assert got
+        for r in got:
+            sl = tok[r["doc_id"]][r["a"] * span : r["b"] * span]
+            assert r["rank_le"] == sum(1 for t in sl if t <= r["v"]), r
+        # every (doc-with-overlap, range, probe) is present — exactness is a
+        # statement about the full cross product, zero rows included
+        n_overlap = sum(1 for ts in tok.values() for a, b in RANGES
+                        if min(len(ts), b * span) - min(len(ts), a * span) > 0)
+        assert len(got) == n_overlap * len(probes)
+    finally:
+        cidx.unpersist()
+
+    gcorp = C.with_global_offsets(corp)
+    stream = []
+    for r in sorted(gcorp.select("doc_offset", "tokens").collect(),
+                    key=lambda x: x["doc_offset"]):
+        stream.extend(r["tokens"])
+    gidx = build_global_cms_window_index(gcorp, CFG.with_(axis="global"))
+    try:
+        granges = [(0, 6), (3, 97), (1, 2)]
+        ggot = global_range_rank_counts(gidx, granges, probes, CFG.deepest).collect()
+        assert ggot
+        for r in ggot:
+            sl = stream[r["a"] * span : r["b"] * span]
+            assert r["rank_le"] == sum(1 for t in sl if t <= r["v"]), r
+    finally:
+        gidx.unpersist()
+
+
+def test_rank_blobs_refuses_dense():
+    from hierarchical_bloom_filter_index_spark.sketches.cms import (
+        CountMinSketch,
+        rank_blobs,
+        sparse_max_nnz,
+    )
+
+    depth, width = 3, 256
+    sk = CountMinSketch(depth, width, seed=1)
+    sk.update(np.arange(sparse_max_nnz(depth, width) + 10, dtype=np.int64))
+    with pytest.raises(ValueError, match="not sparse-exact"):
+        rank_blobs([sk.to_bytes()], np.array([5]))
+
+
+def test_union_readouts_match_object_path_and_bounds():
+    """The union readouts (no recompaction — the hot range path) equal the
+    object path EXACTLY on single-node groups (union of one = the node;
+    np.interp == TDigest.quantile midpoint interpolation) and stay within
+    the rank bound on multi-node groups."""
+    rng = np.random.default_rng(23)
+    vals = rng.normal(0, 10, 500)
+    blobs = td.leaf_window_blobs(vals, 32, DELTA)
+    deep = td.merge_blob_groups(blobs, np.array([len(blobs)]), DELTA)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    assert np.array_equal(td.quantile_union_groups(deep, np.array([1]), qs),
+                          td.quantile_blobs(deep, qs))
+    probes = [-25.0, -3.2, 0.0, 4.4, 30.0, float(vals.min()) - 1, float(vals.max()) + 1]
+    assert np.array_equal(td.cdf_union_groups(deep, np.array([1]), probes),
+                          td.cdf_blobs(deep, probes))
+    # multi-node union: tie-aware rank bound holds in both directions
+    for q, est in zip(qs, td.quantile_union_groups(blobs, np.array([len(blobs)]), qs)[0]):
+        assert _rank_err(vals, est, q) <= 0.02, q
+    for v, est in zip(probes, td.cdf_union_groups(blobs, np.array([len(blobs)]), probes)[0]):
+        lo, hi = _cdf_interval(vals, v)
+        assert lo - 0.02 <= est <= hi + 0.02, v
+    # empty group -> NaN; group structure respected
+    two = td.quantile_union_groups(deep + deep, np.array([1, 1]), qs)
+    assert np.array_equal(two[0], two[1])
