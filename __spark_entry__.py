@@ -4154,6 +4154,27 @@ def q_docs_topn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirakis A-Res):
+    per source, the n docs with the smallest -ln(u)/w priority, weight =
+    length(text) + 1 — inclusion probability proportional to doc length,
+    the classic token-proportional mixture sample. Scores are BIT-EXACT
+    across engines (53-bit-mantissa u, glibc ln on both sides — see
+    operators/sampling._ares_score_udf), so this is a VALUE oracle over
+    (source, doc_id, rank, score), not a distribution check."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", (F.length("text") + 1).cast("double").alias("w"))
+    return weighted_sample_topn(
+        docs, "doc_id", "w", TOPN_PER_SOURCE, SAMPLE_SEED + 7,
+        strata_col="source",
+    ).select("source", "doc_id", F.col("ws_rank").alias("rank"),
+             F.col("ws_score").alias("score"))
+
+
 MIX_BUDGETS = {"src0": 3000, "src1": 1500, "src2": 0}
 MIX_DEFAULT_BUDGET = 2000
 EPOCH_NUM = 1
@@ -4407,6 +4428,25 @@ SELECT source, doc_id, rank FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY _h, doc_id)
               AS BIGINT) AS rank
   FROM doc_hash
+) WHERE rank <= {TOPN_PER_SOURCE}"""
+
+
+def _weighted_sample_oracle() -> str:
+    # A-Res twin: u from the 53-bit-mantissa trick (HUGEINT floor-div 2048,
+    # +1, exact double conversion, exact power-of-two division), ln = glibc
+    # (bit-equal to the Spark side's math.log), weight = length(text)+1
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED + 7)},
+pri AS (
+  SELECT dh.source, dh.doc_id,
+         -ln(CAST((dh._h // 2048) + 1 AS DOUBLE) / 9007199254740992.0)
+           / CAST(length(d.text) + 1 AS DOUBLE) AS score
+  FROM doc_hash dh JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, rank, score FROM (
+  SELECT source, doc_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id)
+              AS BIGINT) AS rank
+  FROM pri
 ) WHERE rank <= {TOPN_PER_SOURCE}"""
 
 
@@ -5426,6 +5466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "short_doc_pruned": q_short_doc_pruned,
         "dataset_splits": q_dataset_splits,
         "docs_topn_hash": q_docs_topn_hash,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "mixture_manifest_docs": q_mixture_manifest,
         "epoch_shard_stats": q_epoch_shard_stats,
         "packed_sequences": q_packed_sequences,
@@ -6496,6 +6537,7 @@ r AS (
 SELECT doc_id, source, n_chars FROM r WHERE rk > (n * 1) // 10""",
         "dataset_splits": _splits_oracle(),
         "docs_topn_hash": _topn_oracle(),
+        "weighted_sample_docs": _weighted_sample_oracle(),
         "mixture_manifest_docs": _mixture_oracle(),
         "epoch_shard_stats": _epoch_shards_oracle(),
         "packed_sequences": f"""WITH {CORPUS_CTE},

@@ -281,6 +281,7 @@ def main() -> None:
         "events_asof_purchase",
         # deterministic stratified sample (zero-shuffle narrow plan)
         "stratified_sample_docs",
+        "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)
         "short_doc_pruned",
         # corpus after near-dup clustering — the LSH-fed scale path (the

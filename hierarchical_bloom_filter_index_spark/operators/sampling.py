@@ -484,3 +484,71 @@ def drop_bottom_quantile(
         .filter(F.expr(f"__rk > (__n * {int(frac_num)}) div {int(frac_den)}"))
         .drop("__rk", "__n")
     )
+
+
+def _ares_score_udf(seed: int):
+    """A-Res priority score = -ln(u) / w (exponential with rate w) for
+    u = ((hash64(id, seed) >> 11) + 1) * 2^-53 — the 53-bit-mantissa trick
+    makes the int->double conversion EXACT (no rounding anywhere before the
+    log), so both engines see bit-identical u. The log itself runs through
+    glibc via per-element math.log: numpy's SIMD log rounds differently
+    from DuckDB's ln() on ~a third of inputs (measured), while
+    math.log == DuckDB ln bit-for-bit (the text.bm25 _dlit lesson). The
+    element loop is inside the Arrow batch (thousands of ns-scale calls
+    per batch, not a row-at-a-time Spark UDF); at 100 TB swap in np.log
+    and a gap-robust comparison contract if the last-ulp guarantee is ever
+    worth trading away."""
+    import math
+
+    @pandas_udf("double")
+    def score(ids: pd.Series, weights: pd.Series) -> pd.Series:
+        h = hash64(ids.to_numpy(dtype=np.int64), seed)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+        w = weights.to_numpy(dtype=np.float64)
+        if len(w) and (not np.isfinite(w).all() or (w <= 0.0).any()):
+            raise ValueError("weighted_sample_topn: weights must be positive and finite")
+        lnu = np.fromiter((math.log(x) for x in u), dtype=np.float64, count=len(u))
+        return pd.Series(-lnu / w)
+
+    return score
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int,
+    strata_col: str | None = None,
+    score_col: str = "ws_score",
+    rank_col: str = "ws_rank",
+) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirakis A-Res):
+    the n rows with the SMALLEST priority -ln(u)/w — inclusion probability
+    proportional to weight, exactly the reservoir scheme training mixtures
+    use to sample docs by quality/length scores. Like everything in this
+    module the sample is a pure function of (id, weight, seed): no RNG
+    state, reproducible across runs/partitionings/engines, and
+    VALUE-checkable cross-engine (bit-exact scores, see _ares_score_udf).
+
+    strata_col=None: global top-n — orderBy+limit, a TakeOrdered partial
+    per map task (never a full sort). With strata_col: one window exchange
+    keyed by stratum, rank_col is 1-based per stratum. Ties (astronomically
+    unlikely distinct-hash score ties) break on id so the boundary is
+    deterministic on both engines."""
+    if n <= 0:
+        raise ValueError(f"n must be positive: {n}")
+    scored = df.withColumn(
+        score_col, _ares_score_udf(seed)(F.col(id_col), F.col(weight_col)))
+    if strata_col is None:
+        return (
+            scored.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+            .limit(n)
+            .withColumn(rank_col, F.lit(None).cast("long"))
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= n)
+    )

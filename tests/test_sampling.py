@@ -354,3 +354,62 @@ def test_drop_bottom_quantile(spark, sf_dir):
     # plan: both windows must share ONE exchange
     plan = drop_bottom_quantile(df, "m", 1, 10, group_col="source")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_sample_topn(spark, sf_dir):
+    """A-Res weighted sampling: value-exact vs a local numpy/math
+    recomputation, repartition-invariant, weight-biased, refusals."""
+    import math
+
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", (F.length("text") + 1).cast("double").alias("w"))
+
+    def local_scores(rows, seed):
+        ids = np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+        h = hash64(ids, seed)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+        return {r["doc_id"]: -math.log(uu) / r["w"] for r, uu in zip(rows, u)}
+
+    rows = docs.collect()
+    sc = local_scores(rows, SEED)
+    n = 4
+    # stratified: rank/score/set all value-exact vs local recomputation
+    got = weighted_sample_topn(docs, "doc_id", "w", n, SEED,
+                               strata_col="source").collect()
+    assert got
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    want = {}
+    for s, ids in by_src.items():
+        ranked = sorted(ids, key=lambda i: (sc[i], i))[:n]
+        for k, i in enumerate(ranked, 1):
+            want[(s, i)] = k
+    assert {(r["source"], r["doc_id"]): r["ws_rank"] for r in got} == want
+    for r in got:
+        assert r["ws_score"] == sc[r["doc_id"]]  # bit-exact
+    # repartition invariance
+    got2 = weighted_sample_topn(docs.repartition(13), "doc_id", "w", n, SEED,
+                                strata_col="source").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+    # global form: TakeOrdered plan (no full sort), same as local top-n
+    g = weighted_sample_topn(docs, "doc_id", "w", n, SEED)
+    assert "TakeOrderedAndProject" in g._jdf.queryExecution().executedPlan().toString()
+    g_ids = sorted(r["doc_id"] for r in g.collect())
+    assert g_ids == sorted(sorted(sc, key=lambda i: (sc[i], i))[:n])
+    # weight bias: a doc with an overwhelming weight is (virtually) always
+    # in — its exponential score collapses toward 0
+    heavy = docs.withColumn(
+        "w", F.when(F.col("doc_id") == rows[0]["doc_id"], 1e15).otherwise(F.col("w")))
+    hg = weighted_sample_topn(heavy, "doc_id", "w", 1, SEED).collect()
+    assert hg[0]["doc_id"] == rows[0]["doc_id"]
+    # refusals: nonpositive n / nonpositive weights
+    with pytest.raises(ValueError, match="n must be positive"):
+        weighted_sample_topn(docs, "doc_id", "w", 0, SEED)
+    bad = docs.withColumn("w", F.lit(0.0))
+    with pytest.raises(Exception, match="positive and finite"):
+        weighted_sample_topn(bad, "doc_id", "w", 2, SEED).collect()
