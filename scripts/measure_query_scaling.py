@@ -158,6 +158,18 @@ SWEEP = [
     # its data-scaling evidence is scripts/measure_semantic_scaling.py)
     "range_topk_tokens",
     "global_range_topk_tokens",
+    # round-4l additions: the t-digest quantile family (union readout over
+    # O(log) cover nodes — expect ~flat like the KLL twin; first rep pays
+    # the index build, best-of-reps records the cached path) and the
+    # inverse-quantile pair: exact sparse-CMS rank + t-digest CDF.
+    # weighted_sample_docs hashes NUMERIC doc ids — excluded on the 'r{r}-'
+    # replica corpora like the other sampling queries.
+    "range_tdigest_quantiles",
+    "global_range_tdigest_quantiles",
+    "range_tdigest_cdf",
+    "global_range_tdigest_cdf",
+    "range_rank",
+    "global_range_rank",
 ]
 
 
