@@ -5358,6 +5358,34 @@ def q_hll_rollup_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_index(spark, sf_dir).select("doc_id", "level", "w_id")
 
 
+CHAR_COLLISION_THRESH = 80_000_000  # ~= top-decile collision on the fixture
+CHAR_MIN_DISTINCT = 4
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-ENTROPY QUALITY FILTER (exact-integer form): per doc, the
+    char-histogram diversity metrics — distinct chars, top char count, and
+    collision_x1e9 = floor(sum cnt^2 * 1e9 / n^2), the collision probability
+    (monotone inverse of Renyi-2 entropy). 'Low entropy' filters become
+    integer comparisons, so the DuckDB twin is an equality with NO float
+    tolerance and no libm ln() divergence (operators/text.
+    char_diversity_stats; zero shuffles — the histogram is doc-local)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return T.char_diversity_stats(docs)
+
+
+def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gibberish dashboard over the char-diversity metrics: doc
+    count, flagged count (collision above threshold OR tiny alphabet), max
+    collision and min distinct chars — the corpus-health rollup a pipeline
+    gates ingestion on (operators/text.low_diversity_report)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source")
+    return T.low_diversity_report(
+        docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -5547,6 +5575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_against_corpus": q_novelty_against_corpus,
         "simhash_neardup": q_simhash_neardup,
         "text_quality": q_text_quality,
+        "char_diversity": q_char_diversity,
+        "low_diversity_by_source": q_low_diversity_report,
         "collocations_pmi": q_collocations_pmi,
         "skipgram_cooccurrence": q_skipgram_cooccurrence,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -6455,6 +6485,35 @@ ORDER BY cnt DESC, center ASC, context ASC LIMIT {SKIPGRAM_K}""",
   CAST(((length(text) - len(string_split(text, ' ')) + 1) * 10000) // len(string_split(text, ' ')) AS BIGINT) AS avg_word_len_x1e4,
   CAST((({stop_occ}) * 10000) // len(string_split(text, ' ')) AS BIGINT) AS stopword_ratio_x1e4
 FROM documents""",
+        "char_diversity": """WITH hist AS (
+  SELECT d.doc_id, u.c, COUNT(*) AS cnt
+  FROM documents d, unnest(string_split(d.text, '')) AS u(c)
+  GROUP BY d.doc_id, u.c
+)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_chars,
+  CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+  CAST(MAX(cnt) AS BIGINT) AS top_char_count,
+  CAST(SUM(cnt * cnt) * 1000000000 // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS collision_x1e9
+FROM hist GROUP BY doc_id""",
+        "low_diversity_by_source": f"""WITH hist AS (
+  SELECT d.doc_id, u.c, COUNT(*) AS cnt
+  FROM documents d, unnest(string_split(d.text, '')) AS u(c)
+  GROUP BY d.doc_id, u.c
+), per_doc AS (
+  SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS dc,
+         SUM(cnt * cnt) * 1000000000 // (SUM(cnt) * SUM(cnt)) AS coll
+  FROM hist GROUP BY doc_id
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN p.coll >= {CHAR_COLLISION_THRESH}
+                  OR p.dc < {CHAR_MIN_DISTINCT} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged,
+  CAST(MAX(p.coll) AS BIGINT) AS max_collision_x1e9,
+  CAST(MIN(p.dc) AS BIGINT) AS min_distinct_chars,
+  CAST(SUM(p.n) AS BIGINT) AS n_chars
+FROM per_doc p JOIN documents d USING (doc_id) GROUP BY d.source""",
         "lang_id_counts": f"""WITH scored AS (
   SELECT {score_cols} FROM documents
 ), tagged AS (

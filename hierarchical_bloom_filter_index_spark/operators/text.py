@@ -643,3 +643,91 @@ def bm25_topk_docs(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+def char_diversity_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc CHARACTER-HISTOGRAM diversity metrics — the gibberish /
+    low-entropy filter a training-data pipeline runs before tokenization,
+    with every output an EXACT INTEGER so the DuckDB twin is an equality,
+    not a float tolerance:
+
+      * n_chars, distinct_chars, top_char_count — plain counts;
+      * collision_x1e9 = floor(sum_c cnt_c^2 * 1e9 / n^2) — the collision
+        probability (exp of negative Renyi-2 entropy). Monotone inverse of
+        entropy, so 'entropy < tau' filters are exactly 'collision > tau''
+        filters with NO log() in either engine (libm ln implementations
+        differ bit-wise; integer arithmetic cannot).
+
+    Plan shape: the histogram is doc-local, so this is ZERO shuffles — one
+    mapInPandas over the corpus scan; codepoints via the vectorized
+    utf-32-le view (no per-char Python loop), counts via np.unique. The
+    squared-sum times 1e9 can exceed int64 for multi-MB docs, so that
+    product is computed in Python ints and only the quotient (<= 1e9) is
+    materialized. Empty docs emit n_chars=0 with collision 0 (a defined,
+    cross-engine-stable convention; DuckDB twins filter n > 0 when the
+    fixture has no empty docs)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, dcs, tops, colls = [], [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+                n = len(cp)
+                if n == 0:
+                    ids.append(did); ns.append(0); dcs.append(0)
+                    tops.append(0); colls.append(0)
+                    continue
+                counts = np.unique(cp, return_counts=True)[1].astype(np.int64)
+                ss = int((counts * counts).sum())
+                ids.append(did)
+                ns.append(n)
+                dcs.append(len(counts))
+                tops.append(int(counts.max()))
+                colls.append(ss * 10**9 // (n * n))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_chars": ns, "distinct_chars": dcs,
+                 "top_char_count": tops, "collision_x1e9": colls},
+                dtype="int64" if not ids else None,
+            )
+
+    out_schema = (
+        "doc_id long, n_chars long, distinct_chars long, "
+        "top_char_count long, collision_x1e9 long"
+    )
+    return docs.select(F.col(id_col).cast("long").alias(id_col), text_col) \
+        .mapInPandas(stats, schema=out_schema)
+
+
+def low_diversity_report(
+    docs: DataFrame,
+    collision_thresh_x1e9: int,
+    min_distinct_chars: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source LOW-DIVERSITY dashboard over char_diversity_stats: doc
+    count, flagged count (collision above threshold OR distinct chars
+    below floor — the two gibberish signatures: one-char spam and tiny
+    alphabets), and the exact integer max collision / min distinct chars
+    per source. One zero-shuffle metrics pass + one groupBy(source)."""
+    stats = char_diversity_stats(
+        docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+    src = docs.select(F.col(id_col).cast("long").alias(id_col), source_col)
+    flagged = (F.col("collision_x1e9") >= int(collision_thresh_x1e9)) | (
+        F.col("distinct_chars") < int(min_distinct_chars))
+    return (
+        stats.join(src, on=id_col)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+            F.max("collision_x1e9").alias("max_collision_x1e9"),
+            F.min("distinct_chars").alias("min_distinct_chars"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
