@@ -3068,6 +3068,42 @@ def q_scrub_crossdoc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.scrub_cross_doc_spans(docs, SCRUB_N)
 
 
+SPECTRUM_LENGTHS = [12, 24, 48, 96]
+
+
+def q_dup_gram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATION SPECTRUM: cross-doc exact-duplication mass at gram
+    lengths 12/24/48/96 — (n_dup_grams, n_dup_positions, n_docs_with_dup)
+    per length, the curve that picks the substring-dedup n (Lee et al.
+    2022 §4.1 pick 50 tokens from exactly this tradeoff). One linear
+    gram-stats shuffle per point, single-row reduction before the driver
+    (operators/contamination.py:dup_gram_spectrum)."""
+    from hierarchical_bloom_filter_index_spark.operators import contamination as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    return X.dup_gram_spectrum(docs, SPECTRUM_LENGTHS)
+
+
+def _spectrum_oracle() -> str:
+    parts = []
+    for L in SPECTRUM_LENGTHS:
+        pos = (
+            f"SELECT doc_id, substring(text, CAST(i AS INT), {L}) AS gram\n"
+            f"  FROM (SELECT doc_id, text, unnest(generate_series(1, "
+            f"CAST(length(text) - {L - 1} AS BIGINT))) AS i\n"
+            f"        FROM documents WHERE length(text) >= {L})"
+        )
+        parts.append(f"""SELECT CAST({L} AS BIGINT) AS gram_len,
+  CAST(COUNT(DISTINCT p.gram) AS BIGINT) AS n_dup_grams,
+  CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+  CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_docs_with_dup
+FROM ({pos}) p
+JOIN (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ({pos}))
+      GROUP BY gram HAVING COUNT(*) >= 2) d USING (gram)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _scrub_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Persisted gram-df index of the CORPUS side (%5 split, n=SCRUB_N) —
     built once per session, shared by the batch and streaming ingest
@@ -5556,6 +5592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contaminating_grams": q_contaminating_grams,
         "contamination_spans": q_contamination_spans,
         "crossdoc_dup_spans": q_crossdoc_dup_spans,
+        "dup_gram_spectrum": q_dup_gram_spectrum,
         "scrub_crossdoc_docs": q_scrub_crossdoc_docs,
         "scrub_ingest_docs": q_scrub_ingest_docs,
         "scrub_ingest_stream": q_scrub_ingest_stream,
@@ -6160,6 +6197,7 @@ GROUP BY g ORDER BY n_pairs DESC, gram ASC LIMIT {DECON_TOPK}""",
   SELECT DISTINCT cp.doc_id, s FROM cp JOIN gs USING (g)
   WHERE gs.nd >= 2 AND cp.doc_id <> gs.keeper
 ), {_scrub_select_sql("rm", "d", SCRUB_N)}""",
+        "dup_gram_spectrum": _spectrum_oracle(),
         "scrub_ingest_docs": _SCRUB_INGEST_SQL,
         "scrub_ingest_stream": _SCRUB_INGEST_SQL,
         "gram_index_append_parity": """SELECT CAST(NULL AS BIGINT) AS bucket,

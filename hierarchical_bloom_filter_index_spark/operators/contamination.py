@@ -805,3 +805,55 @@ def contamination_pairs_indexed(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def dup_gram_spectrum(
+    docs: DataFrame,
+    lengths: list[int],
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DUPLICATION SPECTRUM: how much exact cross-document duplication
+    survives at each gram length — the measurement a pipeline runs BEFORE
+    picking the ``n`` for its substring-dedup pass (Lee et al. 2022 pick 50
+    BPE tokens by exactly this curve; too small scrubs boilerplate English,
+    too large misses real dups). Per requested length L, one row:
+
+      (gram_len, n_dup_grams, n_dup_positions, n_docs_with_dup)
+
+    where a dup gram is an L-char substring occurring in >= ``min_docs``
+    DISTINCT documents, and positions count EVERY occurrence of every dup
+    gram (the mass a scrub at that L would inspect).
+
+    Shapes: per L this is the cross_doc_dup_spans skeleton collapsed to
+    aggregates — positioned grams map-side (codegen'd sequence+substring),
+    ONE linear (gram, doc)-distinct groupBy (_dup_gram_stats), one
+    join-back bounded by one stats row per gram, then a full aggregate
+    that reduces to a single row before the driver. The spectrum is a
+    union of |lengths| such pipelines: linear in corpus size per point,
+    embarrassingly parallel across points. At 100 TB you run it on a
+    uniform doc sample first (sampling.stratified_sample_docs composes) —
+    the curve's SHAPE, not its absolute counts, picks n."""
+    ls = sorted(set(int(x) for x in lengths))
+    if not ls or ls[0] < 1:
+        raise ValueError("dup_gram_spectrum: lengths must be >= 1")
+    outs = []
+    for L in ls:
+        pos = positioned_gram_rows(docs, L, text_col, id_col)
+        dup = _dup_gram_stats(pos, min_docs, keeper=False)
+        hits = pos.join(dup, "gram")
+        outs.append(
+            hits.agg(
+                F.count_distinct("gram").alias("n_dup_grams"),
+                F.count(F.lit(1)).alias("n_dup_positions"),
+                F.count_distinct("doc_id").alias("n_docs_with_dup"),
+            ).select(
+                F.lit(L).cast("long").alias("gram_len"),
+                "n_dup_grams", "n_dup_positions", "n_docs_with_dup",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -516,3 +516,35 @@ def test_gram_index_remove(spark, docs, tmp_path):
         X.remove_gram_df_index(old, oldp)
     X.compact_gram_df_index(spark, oldp)
     X.remove_gram_df_index(new, oldp)  # now fine: new was folded in
+
+
+def test_dup_gram_spectrum_vs_local(spark, docs):
+    rows = docs.collect()
+
+    def local(L):
+        occ = {}  # gram -> (set(docs), n_positions)
+        for r in rows:
+            t = r["text"]
+            for i in range(len(t) - L + 1):
+                g = t[i:i + L]
+                d, c = occ.get(g, (set(), 0))
+                d.add(r["doc_id"])
+                occ[g] = (d, c + 1)
+        dup = {g: v for g, v in occ.items() if len(v[0]) >= 2}
+        docs_hit = set().union(*(v[0] for v in dup.values())) if dup else set()
+        return (len(dup), sum(v[1] for v in dup.values()), len(docs_hit))
+
+    got = {
+        r["gram_len"]: (r["n_dup_grams"], r["n_dup_positions"],
+                        r["n_docs_with_dup"])
+        for r in X.dup_gram_spectrum(docs, [8, 24, 2000]).collect()
+    }
+    assert set(got) == {8, 24, 2000}
+    for L in (8, 24):
+        assert got[L] == local(L)
+    # a length beyond every doc emits an explicit all-zero row, not nothing
+    assert got[2000] == (0, 0, 0)
+    # spectrum is monotone non-increasing in dup mass
+    assert got[8][1] >= got[24][1]
+    with pytest.raises(ValueError, match="lengths"):
+        X.dup_gram_spectrum(docs, [0])
