@@ -2214,6 +2214,24 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+PATH_PREFIX = 3
+PATH_K = 20
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATH ANALYSIS: top-20 user journey prefixes — each user's first 3
+    event types in (t, event_id) order joined '>', ranked (n_users DESC,
+    path ASC; unique key so the k-th boundary is deterministic). One
+    window exchange + prefix filter BEFORE the per-user aggregation +
+    TakeOrderedAndProject (operators/sessions.top_event_paths)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        top_event_paths)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return top_event_paths(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), PATH_PREFIX, PATH_K)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-activity day, counted at
     each later active-day offset (offset 0 = cohort size). Two map-side
@@ -5630,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "value_outliers": q_value_outliers,
         "event_transitions": q_event_transitions,
+        "top_event_paths": q_top_event_paths,
         "cohort_retention": q_cohort_retention,
         "lm_doc_scores": q_lm_doc_scores,
         "lm_incremental_scores": q_lm_incremental_scores,
@@ -6401,6 +6420,17 @@ FROM red GROUP BY source""",
 SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM o WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type""",
+        "top_event_paths": f"""WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {PATH_PREFIX} GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path ASC LIMIT {PATH_K}""",
         "cohort_retention": """WITH act AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
   FROM events),

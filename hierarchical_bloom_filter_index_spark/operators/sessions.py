@@ -344,3 +344,51 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    prefix_len: int = 3,
+    k: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PATH ANALYSIS: the top-k most common user JOURNEY PREFIXES — each
+    user's first ``prefix_len`` event types in (t, event_id) order, joined
+    '>' (users with fewer events contribute their full, shorter path), then
+    ranked (n_users DESC, path ASC). The (count, path) key is unique per
+    row, so the k-th boundary is deterministic cross-engine — the
+    pattern_topk_docs discipline.
+
+    Plan: ONE window exchange (row_number over the user timeline — the
+    sessionize/transition shape, state O(1) per row, never a per-user
+    collect of the unbounded history), the prefix filter BEFORE the
+    groupBy(user) so at most prefix_len rows per user reach the second
+    aggregation, and top-k is TakeOrderedAndProject (no global sort).
+    Per-user event skew is capped by the prefix filter; path cardinality
+    is bounded by |event types|^prefix_len, collapsed map-side."""
+    if prefix_len < 1 or k < 1:
+        raise ValueError("top_event_paths: prefix_len and k must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.col(id_col))
+    pref = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("et"),
+            F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= int(prefix_len))
+    )
+    paths = (
+        pref.groupBy("user_id")
+        .agg(F.array_join(
+            # rn is unique per user, so the sort fully determines the order
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "et"))),
+                lambda s: s["et"],
+            ), ">").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return paths.orderBy(F.desc("n_users"), F.asc("path")).limit(int(k))

@@ -311,3 +311,56 @@ def test_cohort_retention_matches_local(events):
     assert got == want and got
     # offset 0 rows total the user count
     assert sum(v for (c, o), v in got.items() if o == 0) == len(first)
+
+
+def test_top_event_paths_matches_pandas(events):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        top_event_paths,
+    )
+
+    pdf = events.select("user_id", "t_us", "event_id", "event_type").toPandas()
+    paths = (
+        pdf.sort_values(["user_id", "t_us", "event_id"])
+        .groupby("user_id")["event_type"]
+        .apply(lambda s: ">".join(s.head(3)))
+    )
+    counts = paths.value_counts()
+    want = sorted(
+        ((int(n), p) for p, n in counts.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [
+        (r["n_users"], r["path"])
+        for r in top_event_paths(events, 3, 20).collect()
+    ]
+    assert got == want
+
+
+def test_top_event_paths_short_users_and_ties(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        top_event_paths,
+    )
+    import pytest as _pt
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: full prefix a>b>c (4th event ignored)
+            (1, "2024-01-01 00:00:01", 1, "a"),
+            (2, "2024-01-01 00:00:02", 1, "b"),
+            (3, "2024-01-01 00:00:03", 1, "c"),
+            (4, "2024-01-01 00:00:04", 1, "zz"),
+            # user 2: only 2 events -> shorter path a>b
+            (5, "2024-01-01 00:00:01", 2, "a"),
+            (6, "2024-01-01 00:00:02", 2, "b"),
+            # user 3: same-ts tie broken by event_id: a then b
+            (8, "2024-01-01 00:00:05", 3, "b"),
+            (7, "2024-01-01 00:00:05", 3, "a"),
+            # user 4: single event
+            (9, "2024-01-01 00:00:09", 4, "c"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["path"]: r["n_users"] for r in top_event_paths(ev, 3, 10).collect()}
+    assert got == {"a>b>c": 1, "a>b": 2, "c": 1}
+    with _pt.raises(ValueError, match="prefix_len"):
+        top_event_paths(ev, 0, 5)
