@@ -1772,6 +1772,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select("doc_id", "cluster_id", "cluster_sz")
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTS over the near-dup pair graph: per doc, the number of
+    triangles it corners — the clique-vs-chain diagnostic a dedup pipeline
+    checks before collapsing a component to one keeper. Degree-ordered
+    orientation (Suri-Vassilvitskii): wedge work bounded O(m^1.5) total
+    regardless of hub skew, edges-only shuffles. Same oracle-checked
+    exact-Jaccard pair graph as dedup_clusters; the DuckDB twin enumerates
+    id-ordered triangles with two self-joins (operators/dedup.
+    triangle_counts)."""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    pairs = _jaccard_pairs_spark(spark, sf_dir, 400000).select("doc_a", "doc_b")
+    return triangle_counts(pairs)
+
+
 def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus AFTER near-dup clustering: docs in no pair + each
     component's min-id member — the manifest a dedup pipeline writes
@@ -3013,10 +3030,10 @@ cp AS (
                unnest(generate_series(1, CAST(length(text) - {SCRUB_N - 1} AS BIGINT))) AS i
         FROM d WHERE length(text) >= {SCRUB_N}))"""
 
-# the exact-Jaccard >= 0.4 pair graph + its recursive connected components
-# (cluster_id = component min) — shared by the dedup_clusters and
-# neardup_canonical_docs twins; callers prepend WITH RECURSIVE
-_JACCARD_CC_CTES = """sh AS (
+# the exact-Jaccard >= 0.4 pair graph (doc_a < doc_b, VARCHAR ids) —
+# shared head of the dedup_clusters / neardup_canonical_docs / triangle
+# twins
+_JACCARD_PAIR_CTES = """sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
   FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
                unnest(generate_series(1, CAST(length(text) - 4 AS BIGINT))) AS i
@@ -3030,7 +3047,11 @@ p AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sz sa ON sa.doc_id = doc_a
   JOIN sz sb ON sb.doc_id = doc_b
-  WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000),
+  WHERE (i * 1000000) // (sa.sz + sb.sz - i) >= 400000)"""
+
+# + its recursive connected components (cluster_id = component min);
+# callers prepend WITH RECURSIVE
+_JACCARD_CC_CTES = _JACCARD_PAIR_CTES + """,
 e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
 reach(u, v) AS (
   SELECT u, v FROM e
@@ -5621,6 +5642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "neardup_triangles": q_neardup_triangles,
         "neardup_canonical_docs": q_neardup_canonical_docs,
         "neardup_canonical_lsh": q_neardup_canonical_lsh,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -6266,6 +6288,17 @@ WHERE FALSE""",
         # components of the SAME pair graph as dedup_jaccard_pairs, via a
         # recursive transitive closure (fine at oracle scale; the Spark side
         # uses large-star/small-star contraction)
+        "neardup_triangles": f"""WITH {_JACCARD_PAIR_CTES},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM p e1 JOIN p e2 ON e2.doc_a = e1.doc_b
+  JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY doc_id""",
         "dedup_clusters": f"""WITH RECURSIVE {_JACCARD_CC_CTES}
 SELECT doc_id, cluster_id, CAST(c.cnt AS BIGINT) AS cluster_sz
 FROM cc JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM cc GROUP BY 1) c USING (cluster_id)""",

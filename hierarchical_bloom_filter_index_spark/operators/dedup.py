@@ -691,3 +691,61 @@ def neardup_canonical_corpus(
     return docs.join(
         losers, docs[id_col] == losers["__loser_id"], "left_anti"
     )
+
+
+def triangle_counts(pairs: DataFrame, left: str = "doc_a",
+                    right: str = "doc_b") -> DataFrame:
+    """Per-node TRIANGLE counts over an undirected pair graph — the local
+    clustering signal that separates a genuine duplicate CLIQUE (every
+    member pairs with every other: triangles everywhere) from a chain of
+    borderline matches linked by one hub (no triangles). Dedup pipelines
+    use it to decide whether a connected component is safe to collapse to
+    one keeper or needs human review. Returns (doc_id, n_triangles) for
+    every node in >= 1 triangle; each triangle credits all 3 corners.
+
+    Algorithm: degree-ordered edge orientation (Cohen / Suri-Vassilvitskii
+    MapReduce triangle counting) — every edge points from the lower
+    (degree, id) endpoint to the higher, making the graph a DAG where each
+    triangle has EXACTLY one node with two out-edges. Wedge generation is
+    a self-join on that apex node, bounded by sum(out_deg^2) <= O(m^1.5)
+    TOTAL regardless of skew — a hub of degree d contributes d wedges as a
+    spoke, not d^2, because its edges point INTO it. The closing-edge
+    check is one more equi-join. All joins are edge-keyed shuffles; no
+    adjacency list ever materializes per node."""
+    e = (
+        pairs.select(
+            F.least(F.col(left), F.col(right)).alias("u"),
+            F.greatest(F.col(left), F.col(right)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): a -> b with (d_a, a) < (d_b, b); carry both
+    # endpoint degrees so the wedge ordering below needs no extra join
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    ukey = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    vkey = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, vkey).otherwise(ukey).alias("bkey"),
+    )
+    w1 = oriented.select("a", F.col("b").alias("x"), F.col("bkey").alias("xk"))
+    w2 = oriented.select("a", F.col("b").alias("y"), F.col("bkey").alias("yk"))
+    wedges = w1.join(w2, "a").filter(F.col("xk") < F.col("yk")).select(
+        "a", "x", "y")
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select("x"))
+        .unionAll(tri.select("y"))
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"))

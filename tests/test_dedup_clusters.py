@@ -106,3 +106,63 @@ def test_neardup_canonical_corpus(spark):
     # empty pair graph: everything survives
     empty = spark.createDataFrame([], "doc_a string, doc_b string")
     assert neardup_canonical_corpus(docs, empty).count() == 6
+
+
+def _local_triangles(edges):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cnt = defaultdict(int)
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for x in (a, b, c):
+                        cnt[x] += 1
+    return dict(cnt)
+
+
+def test_triangle_counts_shapes(spark):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    # K4 clique (each corner in 3 triangles), a 4-chain (none), a star
+    # hub (none), a hub+closing edge (one), a duplicate+reversed edge,
+    # and a self-loop (dropped)
+    edges = [
+        ("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+        ("k2", "k3"), ("k2", "k4"), ("k3", "k4"),
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+        ("s0", "s1"), ("s0", "s2"), ("s0", "s3"), ("s0", "s4"),
+        ("s1", "s2"),              # closes ONE star triangle
+        ("k2", "k1"), ("k1", "k2"),  # dup + reversed
+        ("c1", "c1"),              # self loop
+    ]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == _local_triangles(edges)
+    assert got["k1"] == 3 and got["s0"] == 1 and "c1" not in got
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_triangle_counts_random_differential(spark, seed):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+    assert got == _local_triangles(edges)
