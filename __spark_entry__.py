@@ -3638,6 +3638,84 @@ def q_global_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "q", F.round("est", 3).alias("est"))
 
 
+# trim fractions for the certified trimmed-sum range queries: exact binary
+# doubles, so floor(q*n) / ceil(q*n) are bit-identical between Spark and
+# DuckDB (QUANTILES = 0.25/0.5/0.75 are exact too)
+TRIM_Q = (0.25, 0.75)
+
+
+def q_range_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT q-quantile token values (rank max(1, ceil(q*n)), ascending) of
+    leaf-window ranges [a, b) per doc — certified from the KLL dyadic index:
+    merged cover nodes BRACKET the true rank (quantile estimates at
+    q -+ rank_eps), one exact pass over the range slice with out-of-bracket
+    mass collapsed to sentinel buckets decides, refusing loudly if the
+    bracket missed. The order-statistics member of the exact-from-candidates
+    discipline (heavy hitters / top-k): an approximate index, an EXACT,
+    SQL-oracle-checked answer."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_exact_quantiles,
+    )
+
+    return range_exact_quantiles(
+        _kll_index(spark, sf_dir), _corpus(spark, sf_dir), RANGE_QS, QUANTILES,
+        CFG.leaf_span, CFG.deepest,
+    )
+
+
+def q_global_range_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT q-quantiles of STREAM leaf-window ranges — global twin of
+    range_exact_quantiles (brackets from the global KLL index's phase-aligned
+    partials; verification reads only each doc's overlap with the range)."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_kll_window_index,
+        global_range_exact_quantiles,
+    )
+
+    key = ("gkll_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_kll_window_index(gcorp, CFG, k=200)
+    gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+    return global_range_exact_quantiles(
+        _CACHE[key], gcorp, RANGE_QS_GLOBAL, QUANTILES, CFG.leaf_span, CFG.deepest,
+    )
+
+
+def q_range_trimmed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trimmed sum + count (ranks floor(0.25n)+1 .. floor(0.75n),
+    ascending) of leaf-window ranges per doc — the robust-statistics member
+    of the dyadic range family (interquartile mean = trimmed_sum / n_kept).
+    KLL cover nodes bracket both trim cuts; one exact integer pass decides,
+    refusing loudly on a missed bracket."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        range_trimmed_sum,
+    )
+
+    return range_trimmed_sum(
+        _kll_index(spark, sf_dir), _corpus(spark, sf_dir), RANGE_QS,
+        *TRIM_Q, CFG.leaf_span, CFG.deepest,
+    )
+
+
+def q_global_range_trimmed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trimmed sum of STREAM leaf-window ranges — global twin of
+    range_trimmed_sum."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_kll_window_index,
+        global_range_trimmed_sum,
+    )
+
+    key = ("gkll_index", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        _CACHE[key] = build_global_kll_window_index(gcorp, CFG, k=200)
+    gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+    return global_range_trimmed_sum(
+        _CACHE[key], gcorp, RANGE_QS_GLOBAL, *TRIM_Q, CFG.leaf_span, CFG.deepest,
+    )
+
+
 def q_td_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT (doc, level, window) item counts read out of the t-DIGEST
     quantile rollup — the n field counts exactly and merges add, so the
@@ -5598,6 +5676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_freq": q_range_freq,
         "range_signed_freq": q_range_signed_freq,
         "range_quantiles": q_range_quantiles,
+        "range_exact_quantiles": q_range_exact_quantiles,
+        "global_range_exact_quantiles": q_global_range_exact_quantiles,
+        "range_trimmed_sum": q_range_trimmed_sum,
+        "global_range_trimmed_sum": q_global_range_trimmed_sum,
         "range_tdigest_quantiles": q_range_tdigest_quantiles,
         "global_range_tdigest_quantiles": q_global_range_tdigest_quantiles,
         "range_rank": q_range_rank,
@@ -7277,6 +7359,89 @@ SELECT CAST(p.a1 AS BIGINT) AS a1, CAST(p.b1 AS BIGINT) AS b1,
 FROM present p
 LEFT JOIN ns ON ns.a1 = p.a1 AND ns.b1 = p.b1 AND ns.a2 = p.a2 AND ns.b2 = p.b2
 LEFT JOIN nm ON nm.a1 = p.a1 AND nm.b1 = p.b1 AND nm.a2 = p.a2 AND nm.b2 = p.b2""",
+        # certified-exact range quantiles: plain rank read over the sorted
+        # range slice — rank = GREATEST(1, CEIL(q * n)), 1-based ascending;
+        # the Spark side's bracket refusal guarantees the values coincide
+        "range_exact_quantiles": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+qs(q) AS (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILES)}),
+sl AS (
+  SELECT doc_id, a, b,
+         tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS rt,
+         LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) AS nr
+  FROM corpus, rq
+  WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0
+),
+ex AS (SELECT doc_id, a, b, nr, unnest(rt) AS token FROM sl),
+rk AS (SELECT doc_id, a, b, nr, token,
+       row_number() OVER (PARTITION BY doc_id, a, b ORDER BY token) AS rn FROM ex)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, q,
+       CAST(token AS BIGINT) AS q_value
+FROM rk JOIN qs ON rn = GREATEST(1, CAST(CEIL(q * nr) AS BIGINT))""",
+        "global_range_exact_quantiles": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, CAST(tokens[i] AS BIGINT) AS token
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+qs(q) AS (VALUES {", ".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILES)}),
+ex AS (SELECT rq.a, rq.b, f.token FROM flat f, rq
+       WHERE f.g >= rq.a * {CFG.leaf_span} AND f.g < rq.b * {CFG.leaf_span}),
+rk AS (SELECT a, b, token,
+       row_number() OVER (PARTITION BY a, b ORDER BY token) AS rn,
+       COUNT(*) OVER (PARTITION BY a, b) AS nr FROM ex)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, q,
+       CAST(token AS BIGINT) AS q_value
+FROM rk JOIN qs ON rn = GREATEST(1, CAST(CEIL(q * nr) AS BIGINT))""",
+        # certified-exact trimmed sums: kept ranks floor(q_lo*n)+1..floor(q_hi*n);
+        # equal values make within-run rank order irrelevant to the sum
+        "range_trimmed_sum": f"""WITH {CORPUS_CTE},
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)}),
+sl AS (
+  SELECT doc_id, a, b,
+         tokens[a * {CFG.leaf_span} + 1 : LEAST(n_tok, b * {CFG.leaf_span})] AS rt
+  FROM corpus, rq
+  WHERE LEAST(n_tok, b * {CFG.leaf_span}) - LEAST(n_tok, a * {CFG.leaf_span}) > 0
+),
+ex AS (SELECT doc_id, a, b, unnest(rt) AS token FROM sl),
+rk AS (SELECT doc_id, a, b, token,
+       row_number() OVER (PARTITION BY doc_id, a, b ORDER BY token) AS rn,
+       COUNT(*) OVER (PARTITION BY doc_id, a, b) AS nr FROM ex)
+SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(SUM(token) AS BIGINT) AS trimmed_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM rk
+WHERE rn >= CAST(FLOOR({TRIM_Q[0]} * nr) AS BIGINT) + 1
+  AND rn <= CAST(FLOOR({TRIM_Q[1]} * nr) AS BIGINT)
+GROUP BY doc_id, a, b""",
+        "global_range_trimmed_sum": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, CAST(tokens[i] AS BIGINT) AS token
+  FROM (SELECT o, tokens, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)}),
+ex AS (SELECT rq.a, rq.b, f.token FROM flat f, rq
+       WHERE f.g >= rq.a * {CFG.leaf_span} AND f.g < rq.b * {CFG.leaf_span}),
+rk AS (SELECT a, b, token,
+       row_number() OVER (PARTITION BY a, b ORDER BY token) AS rn,
+       COUNT(*) OVER (PARTITION BY a, b) AS nr FROM ex)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(SUM(token) AS BIGINT) AS trimmed_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM rk
+WHERE rn >= CAST(FLOOR({TRIM_Q[0]} * nr) AS BIGINT) + 1
+  AND rn <= CAST(FLOOR({TRIM_Q[1]} * nr) AS BIGINT)
+GROUP BY a, b""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

@@ -2144,3 +2144,262 @@ def expire_window_index(index: DataFrame, cfg: HbiConfig, min_leaf_w_id: int) ->
     return index.filter(
         F.expr(f"w_id >= shiftright(CAST({int(min_leaf_w_id)} AS BIGINT), {cfg.deepest} - level)")
     )
+
+
+# ---------------------------------------------------------------------------
+# CERTIFIED EXACT range quantiles / trimmed sums — the KLL index BRACKETS
+# the answer, one bounded exact pass DECIDES. The KLL cover-node merge gives
+# a value bracket [lo, hi] that contains the true rank-r element whenever
+# the published rank bound (+- eps*n) holds; the verification pass counts
+# below-bracket mass as ONE collapsed bucket and enumerates only in-bracket
+# values (aggregation state ~ O(eps * n_distinct) per range, never the
+# range's vocabulary), then reads the exact rank off a cumulative window.
+# If the bracket misses, the read lands on a sentinel bucket and the query
+# REFUSES loudly inside the plan — the same sketch-prunes /
+# verification-decides contract as range_topk_tokens and the Bloom cascade,
+# so the answer is a deterministic VALUE, SQL-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# sentinel bucket for above-bracket tokens: far beyond any token value but
+# small enough that long window sums over it cannot overflow
+_ABOVE_BRACKET = 1 << 62
+
+
+def _kll_range_bracket_fn(key_cols, qs, rank_eps: float):
+    """Per (range key): merge the O(log) covering KLL nodes (exact n,
+    bound-preserving ranks) and emit, for each requested quantile q, the
+    value bracket [lo, hi] = [quantile(q - rank_eps), quantile(q + rank_eps)]
+    (floor/ceil-widened to integers). A PRUNING device only — the exact
+    verification decides, and refuses if the bracket missed."""
+    from ..sketches.kll import merge_blob_groups, quantile_blobs
+
+    qs = [float(q) for q in qs]
+    lo_qs = [max(0.0, q - rank_eps) for q in qs]
+    hi_qs = [min(1.0, q + rank_eps) for q in qs]
+
+    def br(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            merged = merge_blob_groups(flat, counts)
+            lo = quantile_blobs(merged, lo_qs)
+            hi = quantile_blobs(merged, hi_qs)
+            out = pdf[list(key_cols)].loc[pdf.index.repeat(len(qs))].reset_index(drop=True)
+            out["q"] = np.tile(qs, len(pdf))
+            out["lo"] = np.floor(lo).astype(np.int64).ravel()
+            out["hi"] = np.ceil(hi).astype(np.int64).ravel()
+            yield out
+
+    return br
+
+
+def _bucketed_counts(bracket: DataFrame, sliced: DataFrame, keys: list,
+                     extra_keys: list) -> DataFrame:
+    """Shared verification input: explode the range slices, join each
+    token to its range's bracket, collapse below-bracket tokens to the -1
+    bucket and above-bracket tokens to the _ABOVE_BRACKET sentinel, and
+    count per bucket. Aggregation state per (range, q) is bounded by the
+    bracket's distinct-value count + 2 — the whole point of bracketing at
+    scale (the vocabulary never enters the aggregate)."""
+    ex = sliced.select(*keys, F.explode(F.col("rt").cast("array<long>")).alias("token"))
+    j = ex.join(bracket, keys)
+    bucket = (
+        F.when(F.col("token") < F.col("lo"), F.lit(-1).cast("long"))
+        .when(F.col("token") > F.col("hi"), F.lit(_ABOVE_BRACKET).cast("long"))
+        .otherwise(F.col("token"))
+    )
+    gkeys = keys + extra_keys
+    return (
+        j.select(*gkeys, bucket.alias("bucket"))
+        .groupBy(*gkeys, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _exact_quantile_verify(bracket: DataFrame, sliced: DataFrame, key_cols) -> DataFrame:
+    """EXACT quantile from a value bracket: cumulative counts over buckets
+    in value order give the exact rank boundaries; the answer is the first
+    bucket whose cumulative count reaches r = max(1, ceil(q * n)) (1-based
+    rank in ascending order, n = the range's exact token count). Landing on
+    a sentinel bucket means the bracket missed the true rank — raise IN the
+    plan, never a silently wrong value. The rank read and the group total
+    share one window exchange."""
+    keys = list(key_cols)
+    g = _bucketed_counts(bracket, sliced, keys, ["q"])
+    part = Window.partitionBy(*keys, "q")
+    wcum = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        g.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(part))
+        .withColumn("r", F.greatest(F.lit(1).cast("long"),
+                                    F.ceil(F.col("q") * F.col("n")).cast("long")))
+        .filter(F.col("cum") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(part.orderBy("bucket")))
+        .filter(F.col("rn") == 1)
+    )
+    viol = (F.col("bucket") == -1) | (F.col("bucket") == _ABOVE_BRACKET)
+    msg = F.concat(
+        F.lit("range_exact_quantiles: the KLL bracket missed the true rank for range ("),
+        F.concat_ws(", ", *[F.col(c).cast("string") for c in keys]),
+        F.lit(") at q="), F.col("q").cast("string"),
+        F.lit(" — widen rank_eps (the exact pass refuses rather than report a wrong value)"),
+    )
+    return ranked.select(
+        *keys, "q",
+        F.when(viol, F.raise_error(msg)).otherwise(F.col("bucket")).alias("q_value"),
+    )
+
+
+def range_exact_quantiles(kll_index: DataFrame, corpus: DataFrame, ranges, qs,
+                          leaf_span: int, deepest: int,
+                          rank_eps: float = 0.05) -> DataFrame:
+    """(doc_id, a, b, q, q_value): the EXACT q-quantile token value (element
+    at 1-based rank max(1, ceil(q*n)) in ascending order) of each queried
+    leaf-window range [a, b) per doc — certified from the KLL dyadic index:
+    the O(log) covering nodes merge into a valid KLL of the range whose
+    (q -+ rank_eps)-quantile estimates bracket the true value under the
+    published rank bound (~1.7/k, so the default 0.05 is a ~6x margin at
+    k=200); one exact pass over the range slice with below/above-bracket
+    mass collapsed to sentinels decides, REFUSING loudly if the bracket
+    missed. Extends the exact-from-candidates discipline (heavy hitters,
+    top-k) to ORDER STATISTICS: the approximate index yields an exact,
+    SQL-oracle-checkable answer. Accepts (doc_id, a, b) triples or all-docs
+    (a, b) pairs."""
+    bracket = _joined_range_groups(kll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _kll_range_bracket_fn(_DOC_KEYS, qs, rank_eps),
+        schema=_DOC_KEY_SCHEMA + ", q double, lo long, hi long",
+    )
+    sliced = _doc_range_slices(corpus, ranges, leaf_span)
+    return _exact_quantile_verify(bracket, sliced, _DOC_KEYS)
+
+
+def global_range_exact_quantiles(kll_index: DataFrame, corpus: DataFrame, ranges,
+                                 qs, leaf_span: int, deepest: int,
+                                 rank_eps: float = 0.05) -> DataFrame:
+    """(a, b, q, q_value): EXACT q-quantile of STREAM leaf-window ranges —
+    global twin of range_exact_quantiles (brackets from the global KLL
+    index's phase-aligned partials; verification counts only each doc's
+    overlap with the range, never a stream rescan)."""
+    bracket = _joined_range_groups(kll_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _kll_range_bracket_fn(_GLOBAL_KEYS, qs, rank_eps),
+        schema=_GLOBAL_KEY_SCHEMA + ", q double, lo long, hi long",
+    )
+    sliced = _global_range_slices(corpus, ranges, leaf_span)
+    return _exact_quantile_verify(bracket, sliced, _GLOBAL_KEYS)
+
+
+def _kll_range_bracket_pair_fn(key_cols, q_lo: float, q_hi: float, rank_eps: float):
+    """One bracket per range covering BOTH trim cut points:
+    [quantile(q_lo - eps), quantile(q_hi + eps)] — every rank in the kept
+    band [r1, r2] falls inside it when the KLL rank bound holds."""
+    from ..sketches.kll import merge_blob_groups, quantile_blobs
+
+    lo_q = max(0.0, float(q_lo) - rank_eps)
+    hi_q = min(1.0, float(q_hi) + rank_eps)
+
+    def br(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat, counts = _flatten_children(pdf)
+            merged = merge_blob_groups(flat, counts)
+            est = quantile_blobs(merged, [lo_q, hi_q])
+            out = pdf[list(key_cols)].copy().reset_index(drop=True)
+            out["lo"] = np.floor(est[:, 0]).astype(np.int64)
+            out["hi"] = np.ceil(est[:, 1]).astype(np.int64)
+            yield out
+
+    return br
+
+
+def _trimmed_sum_verify(bracket: DataFrame, sliced: DataFrame, key_cols,
+                        q_lo: float, q_hi: float) -> DataFrame:
+    """EXACT trimmed sum from a value bracket: keep ranks r1..r2 with
+    r1 = floor(q_lo*n)+1 and r2 = floor(q_hi*n) (1-based ascending). Each
+    bucket contributes value * |[cum-cnt+1, cum] ∩ [r1, r2]| — exact integer
+    arithmetic; a sentinel bucket overlapping the kept band means the
+    bracket missed a cut point and the query refuses. Equal values make the
+    within-run rank order irrelevant to the sum, so the answer is
+    deterministic and SQL-oracle-checkable."""
+    keys = list(key_cols)
+    g = _bucketed_counts(bracket, sliced, keys, [])
+    part = Window.partitionBy(*keys)
+    wcum = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        g.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(part))
+        .withColumn("r1", F.floor(F.lit(float(q_lo)) * F.col("n")).cast("long") + 1)
+        .withColumn("r2", F.floor(F.lit(float(q_hi)) * F.col("n")).cast("long"))
+        .withColumn(
+            "ov",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("cum"), F.col("r2"))
+                - F.greatest(F.col("cum") - F.col("cnt"), F.col("r1") - 1),
+            ),
+        )
+    )
+    sentinel = (F.col("bucket") == -1) | (F.col("bucket") == _ABOVE_BRACKET)
+    agg = d.groupBy(*keys).agg(
+        F.sum(F.when(sentinel, 0).otherwise(F.col("bucket") * F.col("ov"))).alias("trimmed_sum"),
+        F.sum(F.when(sentinel, 0).otherwise(F.col("ov"))).alias("n_kept"),
+        F.max(F.when(sentinel & (F.col("ov") > 0), 1).otherwise(0)).alias("_bad"),
+    )
+    msg = F.concat(
+        F.lit("range_trimmed_sum: the KLL bracket missed a trim cut for range ("),
+        F.concat_ws(", ", *[F.col(c).cast("string") for c in keys]),
+        F.lit(") — widen rank_eps (the exact pass refuses rather than report a wrong sum)"),
+    )
+    # refusal must win over the empty-band omission: a fully-missed bracket
+    # gives n_kept = 0 AND _bad = 1 — filter on n_kept alone would silently
+    # drop the row before the raise projects (caught by
+    # test_exact_quantile_bracket_miss_refuses)
+    return (
+        agg.filter((F.col("n_kept") > 0) | (F.col("_bad") == 1))
+        .select(
+            *keys,
+            F.when(F.col("_bad") == 1, F.raise_error(msg))
+            .otherwise(F.col("trimmed_sum")).alias("trimmed_sum"),
+            "n_kept",
+        )
+    )
+
+
+def range_trimmed_sum(kll_index: DataFrame, corpus: DataFrame, ranges,
+                      q_lo: float, q_hi: float, leaf_span: int, deepest: int,
+                      rank_eps: float = 0.05) -> DataFrame:
+    """(doc_id, a, b, trimmed_sum, n_kept): the EXACT sum (and count) of the
+    tokens ranked in (q_lo*n, q_hi*n] — ascending 1-based ranks
+    floor(q_lo*n)+1 .. floor(q_hi*n) — of each queried leaf-window range
+    per doc: the robust-statistics member of the dyadic range family
+    (trimmed mean = trimmed_sum / n_kept). The KLL cover-node merge brackets
+    both trim cut points; one exact pass with out-of-bracket mass collapsed
+    to sentinel buckets computes the banded sum in pure integer arithmetic,
+    refusing loudly if a cut point escaped the bracket. Ranges whose kept
+    band is empty (n too small) are omitted. Accepts (doc_id, a, b) triples
+    or all-docs (a, b) pairs."""
+    if not (0.0 <= q_lo < q_hi <= 1.0):
+        raise ValueError(f"require 0 <= q_lo < q_hi <= 1, got ({q_lo}, {q_hi})")
+    bracket = _joined_range_groups(kll_index, ranges, deepest, _DOC_KEYS).mapInPandas(
+        _kll_range_bracket_pair_fn(_DOC_KEYS, q_lo, q_hi, rank_eps),
+        schema=_DOC_KEY_SCHEMA + ", lo long, hi long",
+    )
+    sliced = _doc_range_slices(corpus, ranges, leaf_span)
+    return _trimmed_sum_verify(bracket, sliced, _DOC_KEYS, q_lo, q_hi)
+
+
+def global_range_trimmed_sum(kll_index: DataFrame, corpus: DataFrame, ranges,
+                             q_lo: float, q_hi: float, leaf_span: int,
+                             deepest: int, rank_eps: float = 0.05) -> DataFrame:
+    """(a, b, trimmed_sum, n_kept): EXACT trimmed sum of STREAM leaf-window
+    ranges — global twin of range_trimmed_sum (brackets from the global KLL
+    index; verification touches only each doc's overlap with the range)."""
+    if not (0.0 <= q_lo < q_hi <= 1.0):
+        raise ValueError(f"require 0 <= q_lo < q_hi <= 1, got ({q_lo}, {q_hi})")
+    bracket = _joined_range_groups(kll_index, ranges, deepest, _GLOBAL_KEYS).mapInPandas(
+        _kll_range_bracket_pair_fn(_GLOBAL_KEYS, q_lo, q_hi, rank_eps),
+        schema=_GLOBAL_KEY_SCHEMA + ", lo long, hi long",
+    )
+    sliced = _global_range_slices(corpus, ranges, leaf_span)
+    return _trimmed_sum_verify(bracket, sliced, _GLOBAL_KEYS, q_lo, q_hi)

@@ -917,3 +917,102 @@ def test_global_range_setops_vs_brute_force(spark, built):
         assert (eb, ei) == (0.0, 0.0) and eu == ea > 0
     finally:
         gidx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# CERTIFIED EXACT range quantiles / trimmed sums: KLL brackets, exact pass
+# decides, sentinel landing refuses — never a silently wrong order statistic
+# ---------------------------------------------------------------------------
+
+
+def test_range_exact_quantiles_both_axes(spark, built_kll):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_kll_window_index,
+        global_range_exact_quantiles,
+        global_range_trimmed_sum,
+        range_exact_quantiles,
+        range_trimmed_sum,
+    )
+
+    corp, idx = built_kll
+    span, deepest = CFG.leaf_span, CFG.deepest
+    qs = [0.1, 0.5, 0.9]
+    rqs = [(0, 4), (1, 7)]
+    docs = {r["doc_id"]: np.asarray(r["tokens"], dtype=np.int64)
+            for r in corp.collect()}
+    res = {(r["doc_id"], r["a"], r["b"], r["q"]): r["q_value"]
+           for r in range_exact_quantiles(
+               idx, corp, rqs, qs, span, deepest).collect()}
+    ts = {(r["doc_id"], r["a"], r["b"]): (r["trimmed_sum"], r["n_kept"])
+          for r in range_trimmed_sum(
+              idx, corp, rqs, 0.1, 0.9, span, deepest).collect()}
+    checked = 0
+    for d, toks in docs.items():
+        for a, b in rqs:
+            sl = np.sort(toks[a * span : b * span])
+            n = len(sl)
+            if n == 0:
+                assert all((d, a, b, q) not in res for q in qs)
+                continue
+            for q in qs:
+                r_ = max(1, int(np.ceil(q * n)))
+                assert res[(d, a, b, q)] == sl[r_ - 1]  # EXACT, not bounded
+                checked += 1
+            r1, r2 = int(np.floor(0.1 * n)) + 1, int(np.floor(0.9 * n))
+            if r2 >= r1:
+                assert ts[(d, a, b)] == (int(sl[r1 - 1 : r2].sum()), r2 - r1 + 1)
+            else:
+                assert (d, a, b) not in ts
+    assert checked >= 30
+
+    gcorp = with_global_offsets(corp)
+    gidx = build_global_kll_window_index(gcorp, CFG, k=200)
+    stream = np.concatenate(
+        [docs[d] for d in sorted(docs)])
+    grqs = [(0, 8), (3, 21)]
+    gres = {(r["a"], r["b"], r["q"]): r["q_value"]
+            for r in global_range_exact_quantiles(
+                gidx, gcorp, grqs, qs, span, deepest).collect()}
+    gts = {(r["a"], r["b"]): (r["trimmed_sum"], r["n_kept"])
+           for r in global_range_trimmed_sum(
+               gidx, gcorp, grqs, 0.1, 0.9, span, deepest).collect()}
+    for a, b in grqs:
+        sl = np.sort(stream[a * span : b * span])
+        n = len(sl)
+        for q in qs:
+            r_ = max(1, int(np.ceil(q * n)))
+            assert gres[(a, b, q)] == sl[r_ - 1]
+        r1, r2 = int(np.floor(0.1 * n)) + 1, int(np.floor(0.9 * n))
+        assert gts[(a, b)] == (int(sl[r1 - 1 : r2].sum()), r2 - r1 + 1)
+    gidx.unpersist()
+
+
+def test_exact_quantile_bracket_miss_refuses(spark, built_kll):
+    """A bracket that provably excludes the true rank must raise IN the plan
+    (sentinel landing), for both the quantile and the trimmed-sum readouts —
+    never return a silently wrong value."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        _doc_range_slices,
+        _exact_quantile_verify,
+        _trimmed_sum_verify,
+    )
+
+    corp, _idx = built_kll
+    span, rqs = CFG.leaf_span, [(0, 4)]
+    sliced = _doc_range_slices(corp, rqs, span)
+    one_doc = corp.select("doc_id").first()["doc_id"]
+    # bracket entirely BELOW every token (tokens are printable codepoints):
+    # the rank read lands on the above-bracket sentinel
+    bad = spark.createDataFrame(
+        [(one_doc, 0, 4, 0.5, -10, -5)],
+        "doc_id string, a long, b long, q double, lo long, hi long",
+    )
+    with pytest.raises(SparkRuntimeException, match="bracket missed"):
+        _exact_quantile_verify(bad, sliced, ("doc_id", "a", "b")).collect()
+    bad2 = spark.createDataFrame(
+        [(one_doc, 0, 4, -10, -5)], "doc_id string, a long, b long, lo long, hi long"
+    )
+    with pytest.raises(SparkRuntimeException, match="bracket missed"):
+        _trimmed_sum_verify(bad2, sliced, ("doc_id", "a", "b"), 0.25, 0.75).collect()
