@@ -2613,6 +2613,34 @@ def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS-per-table sketch profiling of relational columns: exact
+    scalars (n / nulls / min / max) + HLL distinct + Misra-Gries top value +
+    KLL quantiles computed as mergeable blob partials per Arrow batch and
+    folded treeAggregate-style (operators/profile.py). Every reported column
+    here is in the EXACT regime and the certificate is itself checked: the
+    merged HLL stays sparse (distinct <= 2^p/8 = 512) so n_distinct is
+    exact, and mg_resid == 0 is an oracle-checked output column (no MG
+    decrement happened, making top_value/top_count exact counts, min-value
+    tie-break). Quantile estimates are bound-checked in tests, not here."""
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        profile_columns,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = (
+        profile_columns(cust, ["c_nationkey"])
+        .unionByName(profile_columns(part, ["p_size"]))
+        .unionByName(profile_columns(li, ["l_linenumber", "l_quantity"]))
+    )
+    return prof.select(
+        "col_name", "n", "n_null", "min", "max", "n_distinct",
+        "top_value", "top_count", "mg_resid",
+    )
+
+
 def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational coverage: broadcast-joined fact/dim aggregate with
     integer-exact measures (float sums are order-dependent across engines)."""
@@ -5784,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental_exact": q_semantic_incremental_exact,
         "semantic_incremental_stream": q_semantic_incremental_stream,
         # relational / streaming
+        "table_profile": q_table_profile,
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "bloom_anti_lineitem": q_bloom_anti_lineitem,
@@ -7442,6 +7471,53 @@ FROM rk
 WHERE rn >= CAST(FLOOR({TRIM_Q[0]} * nr) AS BIGINT) + 1
   AND rn <= CAST(FLOOR({TRIM_Q[1]} * nr) AS BIGINT)
 GROUP BY a, b""",
+        "table_profile": """SELECT 'c_nationkey' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT) AS n_null,
+       CAST(MIN(c_nationkey) AS BIGINT) AS min, CAST(MAX(c_nationkey) AS BIGINT) AS max,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_distinct,
+       (SELECT CAST(c_nationkey AS BIGINT) FROM customer WHERE c_nationkey IS NOT NULL
+        GROUP BY c_nationkey ORDER BY COUNT(*) DESC, c_nationkey ASC LIMIT 1) AS top_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_nationkey IS NOT NULL
+        GROUP BY c_nationkey ORDER BY COUNT(*) DESC, c_nationkey ASC LIMIT 1) AS top_count,
+       CAST(0 AS BIGINT) AS mg_resid
+FROM customer
+UNION ALL
+SELECT 'p_size' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(p_size) AS BIGINT) AS n_null,
+       CAST(MIN(p_size) AS BIGINT) AS min, CAST(MAX(p_size) AS BIGINT) AS max,
+       CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_distinct,
+       (SELECT CAST(p_size AS BIGINT) FROM part WHERE p_size IS NOT NULL
+        GROUP BY p_size ORDER BY COUNT(*) DESC, p_size ASC LIMIT 1) AS top_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM part WHERE p_size IS NOT NULL
+        GROUP BY p_size ORDER BY COUNT(*) DESC, p_size ASC LIMIT 1) AS top_count,
+       CAST(0 AS BIGINT) AS mg_resid
+FROM part
+UNION ALL
+SELECT 'l_linenumber' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(l_linenumber) AS BIGINT) AS n_null,
+       CAST(MIN(l_linenumber) AS BIGINT) AS min, CAST(MAX(l_linenumber) AS BIGINT) AS max,
+       CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+       (SELECT CAST(l_linenumber AS BIGINT) FROM lineitem WHERE l_linenumber IS NOT NULL
+        GROUP BY l_linenumber ORDER BY COUNT(*) DESC, l_linenumber ASC LIMIT 1) AS top_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_linenumber IS NOT NULL
+        GROUP BY l_linenumber ORDER BY COUNT(*) DESC, l_linenumber ASC LIMIT 1) AS top_count,
+       CAST(0 AS BIGINT) AS mg_resid
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min, CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       (SELECT CAST(CAST(l_quantity AS BIGINT) AS BIGINT) FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY CAST(l_quantity AS BIGINT) ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC LIMIT 1) AS top_value,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity IS NOT NULL
+        GROUP BY CAST(l_quantity AS BIGINT) ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC LIMIT 1) AS top_count,
+       CAST(0 AS BIGINT) AS mg_resid
+FROM lineitem""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
