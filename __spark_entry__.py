@@ -2613,6 +2613,28 @@ def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
 
 
+def q_sketch_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven balanced range partitioning: boundaries for 8 buckets
+    of lineitem.l_extendedprice come from a ONE-PASS KLL merge (partials
+    sorted before the driver merge — deterministic for a fixed input
+    layout), bucket assignment is a pure codegen expression, and the output
+    carries an IN-PLAN balance certificate (any bucket outside
+    (1 +- 0.2) * n/8 raises — a refusal is the skew signal: salt or
+    hash-partition instead). rows-only BY DESIGN: the boundaries are KLL
+    sketch content (not SQL-derivable), so no DuckDB twin exists; the
+    balance bound and boundary determinism are pytest-pinned
+    (tests/test_sampling.py) and the certificate itself runs inside this
+    query's plan."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        certified_bucket_counts,
+        sketch_range_buckets,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bucketed, _bnds = sketch_range_buckets(li, "l_extendedprice", 8)
+    return certified_bucket_counts(bucketed, 8, max_rel_dev=0.2)
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-PASS-per-table sketch profiling of relational columns: exact
     scalars (n / nulls / min / max) + HLL distinct + Misra-Gries top value +
@@ -5813,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental_stream": q_semantic_incremental_stream,
         # relational / streaming
         "table_profile": q_table_profile,
+        "sketch_bucket_balance": q_sketch_bucket_balance,
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "bloom_anti_lineitem": q_bloom_anti_lineitem,

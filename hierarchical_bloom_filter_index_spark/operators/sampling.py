@@ -552,3 +552,107 @@ def weighted_sample_topn(
         scored.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-driven balanced RANGE partitioning: boundaries from a one-pass KLL
+# merge (not Spark's per-job reservoir sample, which re-draws every run),
+# bucket assignment as a pure codegen'd expression, and a certified balance
+# check that REFUSES on skew instead of silently writing a lopsided layout.
+# This is the explicit partitioning/skew lever the north_rule names: at
+# 100 TB the boundaries come from the same cheap sketch pass that profiles
+# the table, are deterministic for a fixed input layout, and can be
+# PERSISTED with the layout so later writers agree on bucket identity
+# (Spark's repartitionByRange cannot promise any of that).
+# ---------------------------------------------------------------------------
+
+
+def kll_column_boundaries(df: DataFrame, col: str, n_buckets: int,
+                          k: int = 200, seed: int = 0) -> list[float]:
+    """``n_buckets - 1`` range boundaries for ``col`` at the i/n_buckets
+    quantiles of a one-pass KLL merge: one blob per Arrow batch (tiny
+    partial table — the profile_columns discipline), collected and merged
+    driver-side. Partials are sorted lexicographically before the merge so
+    the boundaries are DETERMINISTIC for a fixed input file layout (KLL
+    merge bytes are order-dependent; the sort pins the order)."""
+    from ..sketches import kll as kllk
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def part(batches):
+        for pdf in batches:
+            v = pdf[col].dropna().to_numpy().astype(np.float64)
+            if len(v) == 0:
+                continue
+            yield pd.DataFrame(
+                {"kll": [kllk.leaf_window_blobs(v, len(v), k, seed)[0]]})
+
+    blobs = sorted(
+        bytes(r["kll"])
+        for r in df.select(col).mapInPandas(part, schema="kll binary").collect()
+    )
+    if not blobs:
+        raise ValueError(f"kll_column_boundaries: no non-null values in {col!r}")
+    merged = kllk.merge_blob_groups(blobs, np.asarray([len(blobs)], dtype=np.int64))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return [float(b) for b in kllk.quantile_blobs(merged, qs)[0]]
+
+
+def sketch_range_buckets(df: DataFrame, col: str, n_buckets: int,
+                         bucket_col: str = "bucket", k: int = 200,
+                         seed: int = 0) -> tuple[DataFrame, list[float]]:
+    """(df + bucket column, boundaries): bucket i holds rows with
+    boundaries[i-1] <= col < boundaries[i] (buckets 0..n_buckets-1; nulls
+    land in bucket 0). Assignment is a pure whole-stage-codegen expression
+    (a sum of n_buckets - 1 comparisons against inlined literals — no
+    shuffle, no UDF), so downstream writers can ``partitionBy(bucket_col)``
+    or ``repartition(n_buckets, bucket_col)`` a deterministic layout."""
+    bnds = kll_column_boundaries(df, col, n_buckets, k=k, seed=seed)
+    expr = F.lit(0).cast("long")
+    for b in bnds:
+        expr = expr + F.when(F.col(col) >= F.lit(b), 1).otherwise(0)
+    return df.withColumn(bucket_col, expr.cast("long")), bnds
+
+
+def certified_bucket_counts(bucketed: DataFrame, n_buckets: int,
+                            bucket_col: str = "bucket",
+                            max_rel_dev: float = 0.5) -> DataFrame:
+    """(bucket, n_rows) for a sketch-bucketed frame, with an in-plan BALANCE
+    CERTIFICATE: every bucket's count must lie within
+    (1 +- max_rel_dev) * n/n_buckets, else the query raises instead of
+    blessing a lopsided layout. A refusal is the SKEW SIGNAL — a value
+    heavier than n/n_buckets can never be range-balanced (all its copies
+    share a bucket); salt it (operators/skew.py) or hash-partition instead.
+    Missing buckets (possible under duplicate-collapsed boundaries) are
+    reported as zero rows and fail the same certificate."""
+    spark = bucketed.sparkSession
+    cats = spark.range(int(n_buckets)).select(F.col("id").alias(bucket_col))
+    counts = (
+        cats.join(bucketed.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("n_rows")),
+                  [bucket_col], "left")
+        .fillna(0, subset=["n_rows"])
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n_rows").over(w)
+    dev_ok = (
+        (F.col("n_rows") * F.lit(int(n_buckets))).cast("double")
+        >= tot.cast("double") * F.lit(1.0 - float(max_rel_dev))
+    ) & (
+        (F.col("n_rows") * F.lit(int(n_buckets))).cast("double")
+        <= tot.cast("double") * F.lit(1.0 + float(max_rel_dev))
+    )
+    msg = F.concat(
+        F.lit("certified_bucket_counts: bucket "),
+        F.col(bucket_col).cast("string"),
+        F.lit(" holds "), F.col("n_rows").cast("string"),
+        F.lit(" rows vs ideal "),
+        (tot / F.lit(int(n_buckets))).cast("long").cast("string"),
+        F.lit(" (+- "), F.lit(f"{float(max_rel_dev):g}"),
+        F.lit(") — a heavy value cannot be range-balanced; salt it "
+              "(operators/skew.py) or hash-partition instead"),
+    )
+    return counts.select(
+        F.when(~dev_ok, F.raise_error(msg)).otherwise(F.col(bucket_col)).alias(bucket_col),
+        "n_rows",
+    )

@@ -413,3 +413,50 @@ def test_weighted_sample_topn(spark, sf_dir):
     bad = docs.withColumn("w", F.lit(0.0))
     with pytest.raises(Exception, match="positive and finite"):
         weighted_sample_topn(bad, "doc_id", "w", 2, SEED).collect()
+
+
+# ---------------------------------------------------------------------------
+# Sketch-driven balanced range partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_range_buckets_balanced_and_deterministic(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        certified_bucket_counts,
+        kll_column_boundaries,
+        sketch_range_buckets,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # boundaries are a pure function of the input layout (partials sorted
+    # before the driver merge) — two runs must agree exactly
+    assert (kll_column_boundaries(li, "l_extendedprice", 8)
+            == kll_column_boundaries(li, "l_extendedprice", 8))
+    bucketed, bnds = sketch_range_buckets(li, "l_extendedprice", 8)
+    assert len(bnds) == 7 and bnds == sorted(bnds)
+    rows = {r["bucket"]: r["n_rows"]
+            for r in certified_bucket_counts(bucketed, 8, max_rel_dev=0.2).collect()}
+    n = sum(rows.values())
+    assert sorted(rows) == list(range(8))
+    for b, c in rows.items():  # KLL-bound balance, much tighter in practice
+        assert abs(c * 8 - n) <= 0.2 * n, (b, c)
+    # bucket assignment matches the boundaries exactly (pure expression)
+    import numpy as np
+    sample = bucketed.select("l_extendedprice", "bucket").limit(2000).collect()
+    for r in sample:
+        assert r["bucket"] == int(np.searchsorted(bnds, r["l_extendedprice"], "right"))
+
+
+def test_sketch_range_buckets_refuses_heavy_value(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        certified_bucket_counts,
+        sketch_range_buckets,
+    )
+
+    const = spark.range(1000).select(F.lit(5.0).alias("x"))
+    bucketed, _ = sketch_range_buckets(const, "x", 4)
+    with _pytest.raises(SparkRuntimeException, match="salt"):
+        certified_bucket_counts(bucketed, 4).collect()
