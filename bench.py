@@ -253,6 +253,10 @@ def main() -> None:
         # EXACT self-certifying range top-k (MG tracked set + residual
         # bound; exact verify over candidates only)
         "range_topk_tokens",
+        # CERTIFIED EXACT order statistics: KLL cover-node bracket + one
+        # exact bounded pass (refuses on a missed bracket, never wrong)
+        "range_exact_quantiles",
+        "range_trimmed_sum",
         "global_offsets",
         # the one-stream axis end-to-end: first rep pays the global index
         # build (cached thereafter), best-of-2 records the steady state
@@ -267,6 +271,8 @@ def main() -> None:
         "global_range_rank",
         "global_range_tdigest_cdf",
         "global_range_topk_tokens",
+        "global_range_exact_quantiles",
+        "global_range_trimmed_sum",
         # anchored regex on the one-stream axis (global index cached above)
         "hbi_global_regex",
         # stream-offset slice search on the one-stream axis
@@ -280,6 +286,10 @@ def main() -> None:
         "event_sessions",
         "events_asof_purchase",
         # deterministic stratified sample (zero-shuffle narrow plan)
+        # one-pass sketch profile of relational columns (exact-regime gates)
+        "table_profile",
+        # KLL-boundary balanced range bucketing + in-plan balance certificate
+        "sketch_bucket_balance",
         "stratified_sample_docs",
         "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)
