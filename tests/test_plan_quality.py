@@ -437,3 +437,57 @@ def test_zero_shuffle_scan_ops_plan_shape(spark):
     # literal would silently switch both engines to (different) decimal
     # promotion rules
     assert "decimal" not in bm.lower(), bm
+
+
+def test_exact_quantile_plan_shape(spark):
+    """The certified-exact quantile query must keep its 100x-survivable
+    shape: cover nodes reach the KLL index via a BROADCAST hash join (never
+    a shuffled join against the index), the verify side pays exactly TWO
+    shuffle exchanges (the token-explode and bracket sides of the verify
+    join), and the aggregation plus all four window ops REUSE the join's
+    (doc, range) partitioning — zero exchanges after the join."""
+    from hierarchical_bloom_filter_index_spark import corpus as C2
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_kll_window_index,
+        range_exact_quantiles,
+    )
+
+    corp = C2.generate_corpus(spark, sf=0.001, seed=2).cache()
+    idx = build_kll_window_index(corp, CFG, k=200).cache()
+    idx.count()
+    q = range_exact_quantiles(idx, corp, [(0, 4)], [0.5], CFG.leaf_span, CFG.deepest)
+    plan = _plan(q)
+    tree = [l for l in plan.splitlines()
+            if l.lstrip().startswith(("+-", ":-", ":  +-", "AdaptiveSparkPlan"))]
+    tree_txt = "\n".join(tree)
+    assert _n_exchanges(plan) == 2, plan          # verify-join sides only
+    assert "BroadcastHashJoin" in tree_txt, plan  # cover nodes broadcast
+    # the windows + aggregation must REUSE the verify join's partitioning:
+    # in the root-first tree, no Exchange may sit between the Window nodes
+    # and the SortMergeJoin they hang above
+    win_at = min(i for i, l in enumerate(tree) if "Window" in l)
+    smj_at = min(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+    assert win_at < smj_at, plan
+    assert not any("Exchange" in l for l in tree[win_at:smj_at]), plan
+    idx.unpersist(); corp.unpersist()
+
+
+def test_profile_and_bucket_plan_shapes(spark):
+    """profile_columns is a ONE-exchange plan (the per-column fold of the
+    tiny partial table); sketch bucket ASSIGNMENT is a zero-shuffle,
+    zero-Python narrow plan (pure codegen comparisons), so writers can lay
+    out 100 TB without any extra wide stage."""
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        profile_columns,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        sketch_range_buckets,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    prof = profile_columns(li, ["l_linenumber"])
+    assert _n_exchanges(_plan(prof)) == 1, _plan(prof)
+    bucketed, _ = sketch_range_buckets(li, "l_extendedprice", 4)
+    p = _plan(bucketed)
+    assert _n_exchanges(p) == 0, p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p
