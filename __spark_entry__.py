@@ -2613,6 +2613,73 @@ def q_positional_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.positional_fingerprint_column().alias("fp"))
 
 
+_PROFILE_PROJ = ["col_name", "n", "n_null", "min", "max", "n_distinct",
+                 "top_value", "top_count", "mg_resid"]
+
+
+def q_profile_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for incremental profile maintenance: base + replay-guarded
+    increments + compaction must read out the SAME profile as one scan of
+    the concatenated data — both symmetric differences returned (empty
+    oracle). Projected to the exact columns (quantile estimates are
+    batching-dependent within their bound BY DESIGN and excluded, like the
+    driver projection of table_profile)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        append_profile_increment,
+        compact_profile_state,
+        profile_columns,
+        read_profile,
+        write_profile_state,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_linenumber", "l_quantity"]
+    base = tempfile.mkdtemp(prefix="hbi_profinc_")
+    b = [li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i) for i in range(3)]
+    write_profile_state(b[0], cols, f"{base}/p")
+    append_profile_increment(b[1], f"{base}/p", 0)
+    append_profile_increment(b[2], f"{base}/p", 1)
+    compact_profile_state(spark, f"{base}/p")
+    inc = read_profile(spark, f"{base}/p").select(*_PROFILE_PROJ)
+    full = profile_columns(li, cols).select(*_PROFILE_PROJ)
+    return inc.exceptAll(full).unionByName(full.exceptAll(inc))
+
+
+def q_profile_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for STREAMING profile maintenance: the same table drained
+    as micro-batches through foreachBatch (replay-guarded partial appends)
+    must read out the batch profile exactly (empty-oracle symmetric
+    difference). Stays OUT of bench.py — the timing is a stream drain, not
+    a query."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        profile_columns,
+        profile_stream,
+        read_profile,
+        write_profile_state,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_linenumber", "l_quantity"]
+    base = tempfile.mkdtemp(prefix="hbi_profstream_")
+    write_profile_state(li.limit(0), cols, f"{base}/p")
+    half = F.pmod(F.col("l_orderkey"), F.lit(2))
+    li.filter(half == 0).write.mode("overwrite").parquet(f"{base}/in")
+    li.filter(half == 1).write.mode("append").parquet(f"{base}/in")
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", "1").parquet(f"{base}/in")
+    q = profile_stream(stream, f"{base}/p", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("profile_stream_parity: availableNow drain exceeded 300s")
+    got = read_profile(spark, f"{base}/p").select(*_PROFILE_PROJ)
+    full = profile_columns(li, cols).select(*_PROFILE_PROJ)
+    return got.exceptAll(full).unionByName(full.exceptAll(got))
+
+
 def q_sketch_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven balanced range partitioning: boundaries for 8 buckets
     of lineitem.l_extendedprice come from a ONE-PASS KLL merge (partials
@@ -5836,6 +5903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / streaming
         "table_profile": q_table_profile,
         "sketch_bucket_balance": q_sketch_bucket_balance,
+        "profile_incremental_parity": q_profile_incremental_parity,
+        "profile_stream_parity": q_profile_stream_parity,
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "bloom_anti_lineitem": q_bloom_anti_lineitem,
@@ -7541,6 +7610,20 @@ SELECT 'l_quantity' AS col_name,
         GROUP BY CAST(l_quantity AS BIGINT) ORDER BY COUNT(*) DESC, CAST(l_quantity AS BIGINT) ASC LIMIT 1) AS top_count,
        CAST(0 AS BIGINT) AS mg_resid
 FROM lineitem""",
+        # profile maintenance parity: incremental/stream state == one-scan
+        # profile, so the symmetric difference must be EMPTY
+        "profile_incremental_parity": """SELECT CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS n_null, CAST(NULL AS BIGINT) AS min,
+       CAST(NULL AS BIGINT) AS max, CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS top_value, CAST(NULL AS BIGINT) AS top_count,
+       CAST(NULL AS BIGINT) AS mg_resid
+WHERE FALSE""",
+        "profile_stream_parity": """SELECT CAST(NULL AS VARCHAR) AS col_name, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS n_null, CAST(NULL AS BIGINT) AS min,
+       CAST(NULL AS BIGINT) AS max, CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS top_value, CAST(NULL AS BIGINT) AS top_count,
+       CAST(NULL AS BIGINT) AS mg_resid
+WHERE FALSE""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

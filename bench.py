@@ -212,6 +212,9 @@ def main() -> None:
         # removal + the symmetric difference — parity gates, not queries)
         "gram_index_append_parity",
         "gram_index_remove_parity",
+        # incremental profile maintenance gate (base + increments + compact
+        # == one-scan profile; the STREAM twin stays out — it drains)
+        "profile_incremental_parity",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest

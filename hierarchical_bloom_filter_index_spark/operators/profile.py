@@ -155,13 +155,33 @@ def profile_columns(df: DataFrame, cols: list[str], hll_p: int = 12,
     the merged HLL is sparse; top_value/top_count exact iff mg_resid == 0
     (reported, so the caller never guesses); quantiles carry the KLL bound.
     """
+    return fold_profile_partials(
+        column_partials(df, cols, hll_p, mg_k, kll_k, seed), hll_p, mg_k)
+
+
+def column_partials(df: DataFrame, cols: list[str], hll_p: int = 12,
+                    mg_k: int = 64, kll_k: int = 200, seed: int = 0) -> DataFrame:
+    """Phase 1 alone: one partial row per (Arrow batch, column) — exact
+    scalars + HLL/MG/KLL blobs. This is the MERGEABLE STATE: any partition
+    of the input into batches yields partials that fold to the same profile
+    (bit-exact for the scalars and HLL; MG/KLL within their bounds, exact
+    in the exact regime), which is what the incremental/streaming profile
+    maintenance persists."""
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing}")
-    partials = df.select(*cols).mapInPandas(
+    return df.select(*cols).mapInPandas(
         _partials_fn(list(cols), hll_p, mg_k, kll_k, seed),
         schema=_PARTIAL_SCHEMA,
     )
+
+
+def fold_profile_partials(partials: DataFrame, hll_p: int = 12,
+                          mg_k: int = 64) -> DataFrame:
+    """Phase 2 alone: fold a partial table (any number of rows per column,
+    from any mix of scans/increments) into the profile — scalars in the JVM
+    (null-safe min/max/sum), sketch blobs in one Arrow readout via the
+    order-free merge kernels."""
     folded = partials.groupBy("col_name").agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
@@ -172,3 +192,126 @@ def profile_columns(df: DataFrame, cols: list[str], hll_p: int = 12,
         F.collect_list("kll").alias("klls"),   # scalars only
     )
     return folded.mapInPandas(_readout_fn(hll_p, mg_k), schema=PROFILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Persisted profile state + incremental / streaming maintenance: the partial
+# table IS the state (one tiny row per (increment batch, column)), appended
+# under the shared replay guard and folded on read — the same delta-commit
+# discipline as the gram-df index, with params pinned in meta so readers
+# never take geometry from callers.
+# ---------------------------------------------------------------------------
+
+_BASE_BATCH_ID = -1  # stream batch ids start at 0; the base write must not collide
+
+
+def _profile_meta(spark, path: str):
+    r = spark.read.parquet(f"{path}/meta").first()
+    return (r["cols"].split(","), int(r["hll_p"]), int(r["mg_k"]),
+            int(r["kll_k"]), int(r["seed"]))
+
+
+def write_profile_state(df: DataFrame, cols: list[str], path: str,
+                        hll_p: int = 12, mg_k: int = 64, kll_k: int = 200,
+                        seed: int = 0) -> None:
+    """Persist the mergeable profile state for ``df``: ``path/partials``
+    holds the phase-1 partial rows (batch_id = -1), ``path/meta`` pins
+    (cols, hll_p, mg_k, kll_k, seed) — increments MUST reuse them or the
+    merges are meaningless, so readers take params from meta, never from
+    callers (the minhash-index discipline)."""
+    spark = df.sparkSession
+    (column_partials(df, cols, hll_p, mg_k, kll_k, seed)
+     .withColumn("batch_id", F.lit(_BASE_BATCH_ID).cast("long"))
+     .write.mode("error").parquet(f"{path}/partials"))
+    spark.createDataFrame(
+        [(",".join(cols), int(hll_p), int(mg_k), int(kll_k), int(seed))],
+        "cols string, hll_p int, mg_k int, kll_k int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_profile_increment(new_df: DataFrame, path: str, batch_id: int) -> None:
+    """Fold a new data batch into the persisted profile: compute its partial
+    rows (params from meta) and append them under the shared replay guard
+    (streaming/incremental.replay_guarded_append — foreachBatch is
+    at-least-once; a redelivered batch_id is a no-op)."""
+    from ..streaming.incremental import replay_guarded_append
+
+    cols, hll_p, mg_k, kll_k, seed = _profile_meta(new_df.sparkSession, path)
+    replay_guarded_append(
+        f"{path}/partials", new_df, batch_id,
+        lambda b: column_partials(b, cols, hll_p, mg_k, kll_k, seed),
+    )
+
+
+def read_profile(spark, path: str) -> DataFrame:
+    """The profile of everything folded into the state so far — identical
+    to ``profile_columns`` over the concatenated data for every column in
+    the exact regime (scalars and HLL distinct are bit-exact under ANY
+    batching — canonical content-pure representations; MG exact while no
+    partial ever pruned; KLL quantile estimates are bound-preserving but
+    batching-dependent, so parity gates must project them out)."""
+    cols, hll_p, mg_k, _kll_k, _seed = _profile_meta(spark, path)
+    return fold_profile_partials(
+        spark.read.parquet(f"{path}/partials").drop("batch_id"), hll_p, mg_k)
+
+
+def compact_profile_state(spark, path: str) -> int:
+    """Fold the accumulated partial rows into ONE row per column (blobs
+    merged with the same order-free kernels the readout uses) and rewrite
+    ``path/partials``; returns the compacted row count. The compacted rows
+    keep batch_id = max(applied) so the replay guard still recognizes the
+    one batch at-least-once delivery can redeliver (the LAST uncommitted
+    one — checkpoint commits are monotone; like every compactor here, this
+    must not run concurrently with an active stream). Readouts after
+    compaction are byte-identical in the exact regime and bound-preserving
+    beyond (MG sum-then-prune / KLL merges lose nothing certifiable)."""
+    from ..sketches import hll as hllk
+    from ..sketches import kll as kllk
+    from ..sketches import spacesaving as mgk
+
+    cols, hll_p, mg_k, _kll_k, _seed = _profile_meta(spark, path)
+    pdf = spark.read.parquet(f"{path}/partials").toPandas()
+    if len(pdf) == 0:
+        return 0
+    rows = []
+    for c, g in pdf.groupby("col_name", sort=True):
+        def _merge(mod, blobs, *args):
+            blobs = [bytes(b) for b in blobs if b is not None]
+            if not blobs:
+                return None
+            return mod.merge_blob_groups(
+                blobs, np.asarray([len(blobs)], dtype=np.int64), *args)[0]
+        mn = g["mn"].dropna()
+        mx = g["mx"].dropna()
+        rows.append((
+            c, int(g["n"].sum()), int(g["n_null"].sum()),
+            int(mn.min()) if len(mn) else None,
+            int(mx.max()) if len(mx) else None,
+            _merge(hllk, g["hll"], hll_p),
+            _merge(mgk, g["mg"], mg_k),
+            _merge(kllk, g["kll"]),
+            int(pdf["batch_id"].max()),
+        ))
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["col_name", "n", "n_null", "mn", "mx",
+                                    "hll", "mg", "kll", "batch_id"])
+        .astype({"mn": "Int64", "mx": "Int64"}),
+        schema=_PARTIAL_SCHEMA + ", batch_id long",
+    ).localCheckpoint()  # sever lineage from the files the overwrite deletes
+    out.write.mode("overwrite").parquet(f"{path}/partials")
+    return len(rows)
+
+
+def profile_stream(stream_df: DataFrame, path: str, checkpoint: str):
+    """Structured Streaming profile maintenance: each micro-batch's partial
+    rows append to the persisted state (replay-guarded foreachBatch), so
+    ``read_profile`` always reflects everything drained so far. The state
+    must exist (write_profile_state) before the stream starts — params come
+    from meta. Returns the started query (availableNow drain)."""
+    return (
+        stream_df.writeStream
+        .foreachBatch(lambda b, bid: append_profile_increment(b, path, bid))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

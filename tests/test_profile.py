@@ -81,3 +81,51 @@ def test_profile_refuses_fractional_and_unknown(spark):
         profile_columns(df, ["x"]).collect()
     with pytest.raises(ValueError, match="unknown columns"):
         profile_columns(df, ["nope"])
+
+
+PROJ = ["col_name", "n", "n_null", "min", "max", "n_distinct",
+        "top_value", "top_count", "mg_resid"]
+
+
+def test_profile_incremental_and_stream_lifecycle(spark, tmp_path):
+    """Persisted partial state: base + replay-guarded increments fold to the
+    same profile as one scan of the concatenated data (exact columns —
+    quantile estimates are batching-dependent by bound and projected out);
+    redelivery is a no-op; compaction preserves the readout; the Structured
+    Streaming twin drains to the same state."""
+    from pyspark.sql import functions as F
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        append_profile_increment,
+        compact_profile_state,
+        profile_stream,
+        read_profile,
+        write_profile_state,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_linenumber", "l_quantity"]
+    full = sorted(map(tuple, profile_columns(li, cols).select(*PROJ).collect()))
+    b = [li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i) for i in range(3)]
+
+    p = str(tmp_path / "prof")
+    write_profile_state(b[0], cols, p)
+    append_profile_increment(b[1], p, 0)
+    append_profile_increment(b[2], p, 1)
+    got = sorted(map(tuple, read_profile(spark, p).select(*PROJ).collect()))
+    assert got == full
+    append_profile_increment(b[2], p, 1)  # at-least-once redelivery: no-op
+    assert sorted(map(tuple, read_profile(spark, p).select(*PROJ).collect())) == full
+    assert compact_profile_state(spark, p) == len(cols)
+    assert sorted(map(tuple, read_profile(spark, p).select(*PROJ).collect())) == full
+
+    # streaming twin over a file stream (empty base; params from meta)
+    p2, sdir, ckpt = str(tmp_path / "p2"), str(tmp_path / "in"), str(tmp_path / "ck")
+    write_profile_state(li.limit(0), cols, p2)
+    for i, part in enumerate(b):
+        part.write.parquet(f"{sdir}/f{i}")
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", "2").parquet(f"{sdir}/*")
+    q = profile_stream(stream, p2, ckpt)
+    assert q.awaitTermination(300), "profile stream drain exceeded 300s"
+    got_s = sorted(map(tuple, read_profile(spark, p2).select(*PROJ).collect()))
+    assert got_s == full
