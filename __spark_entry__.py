@@ -2617,6 +2617,38 @@ _PROFILE_PROJ = ["col_name", "n", "n_null", "min", "max", "n_distinct",
                  "top_value", "top_count", "mg_resid"]
 
 
+# column-range predicate served through the bucketed layout: covers the
+# middle of the l_extendedprice distribution so the bucket range genuinely
+# prunes directories on both sides
+BUCKET_RANGE = (20000.0, 35000.0)
+
+
+def q_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping through the sketch-bucketed LAYOUT: lineitem written
+    partitionBy(bucket) with KLL-derived boundaries; a column-range
+    predicate translates (via the persisted boundaries) into a PARTITION
+    filter that prunes whole bucket directories at plan time, and the exact
+    column predicate closes the contract — so the values equal a full-scan
+    filter (the oracle) while the scan opens only the covering buckets.
+    Pruning is plan-asserted in tests/test_sampling.py."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        read_bucket_pruned,
+        write_bucketed_layout,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = ("bucket_layout", sf_dir)
+    if key not in _CACHE:
+        base = tempfile.mkdtemp(prefix="hbi_bucketlay_")
+        write_bucketed_layout(li, "l_extendedprice", 8, f"{base}/lay")
+        _CACHE[key] = f"{base}/lay"
+    return read_bucket_pruned(spark, _CACHE[key], *BUCKET_RANGE).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
 def q_profile_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD GATE for incremental profile maintenance: base + replay-guarded
     increments + compaction must read out the SAME profile as one scan of
@@ -5903,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / streaming
         "table_profile": q_table_profile,
         "sketch_bucket_balance": q_sketch_bucket_balance,
+        "bucket_pruned_read": q_bucket_pruned_read,
         "profile_incremental_parity": q_profile_incremental_parity,
         "profile_stream_parity": q_profile_stream_parity,
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -7624,6 +7657,10 @@ WHERE FALSE""",
        CAST(NULL AS BIGINT) AS top_value, CAST(NULL AS BIGINT) AS top_count,
        CAST(NULL AS BIGINT) AS mg_resid
 WHERE FALSE""",
+        # bucket-pruned read == full-scan filter (pruning only prunes)
+        "bucket_pruned_read": """SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_extendedprice >= 20000.0 AND l_extendedprice < 35000.0""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

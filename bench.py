@@ -293,6 +293,9 @@ def main() -> None:
         "table_profile",
         # KLL-boundary balanced range bucketing + in-plan balance certificate
         "sketch_bucket_balance",
+        # data skipping through the bucketed layout (first rep writes the
+        # layout, cached after; partition filter prunes bucket dirs)
+        "bucket_pruned_read",
         "stratified_sample_docs",
         "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)

@@ -656,3 +656,47 @@ def certified_bucket_counts(bucketed: DataFrame, n_buckets: int,
         F.when(~dev_ok, F.raise_error(msg)).otherwise(F.col(bucket_col)).alias(bucket_col),
         "n_rows",
     )
+
+
+def write_bucketed_layout(df: DataFrame, col: str, n_buckets: int, path: str,
+                          k: int = 200, seed: int = 0) -> list[float]:
+    """Persist ``df`` laid out by its sketch range buckets: ``path/data`` is
+    parquet partitioned by the bucket column (one directory per bucket, so
+    a column-range predicate prunes whole directories), ``path/meta`` pins
+    (col, boundaries) — readers take the boundary-to-bucket translation
+    from meta, never from callers. Returns the boundaries. This is the
+    100 TB data-skipping story completed: the same one-pass KLL that
+    profiles the column decides the layout, deterministically."""
+    bucketed, bnds = sketch_range_buckets(df, col, n_buckets, k=k, seed=seed)
+    bucketed.write.partitionBy("bucket").mode("error").parquet(f"{path}/data")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(col, int(n_buckets), list(bnds))],
+        "col string, n_buckets int, boundaries array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return bnds
+
+
+def read_bucket_pruned(spark, path: str, lo: float, hi: float) -> DataFrame:
+    """Rows of a bucketed layout with ``lo <= col < hi`` — the bucket range
+    covering [lo, hi) comes from the persisted boundaries and lands in the
+    scan as a PARTITION filter (whole bucket directories never open); the
+    exact column predicate closes the contract (pruning only prunes — the
+    same slicing discipline as the range-sliced pattern index). Scans
+    ceil((hi-lo)/bucket_width)-ish directories out of n_buckets regardless
+    of table size."""
+    import bisect
+
+    if not (lo < hi):
+        raise ValueError(f"read_bucket_pruned: require lo < hi, got ({lo}, {hi})")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    col, bnds = meta["col"], list(meta["boundaries"])
+    b_lo = bisect.bisect_right(bnds, lo)   # bucket holding value lo
+    b_hi = bisect.bisect_right(bnds, hi)   # superset: hi is exclusive, but
+    # a boundary equal to hi still maps values just below it into b_hi - 1;
+    # the exact predicate below discards any over-read
+    return (
+        spark.read.parquet(f"{path}/data")
+        .filter((F.col("bucket") >= b_lo) & (F.col("bucket") <= b_hi))
+        .filter((F.col(col) >= F.lit(float(lo))) & (F.col(col) < F.lit(float(hi))))
+    )

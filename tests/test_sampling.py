@@ -460,3 +460,45 @@ def test_sketch_range_buckets_refuses_heavy_value(spark):
     bucketed, _ = sketch_range_buckets(const, "x", 4)
     with _pytest.raises(SparkRuntimeException, match="salt"):
         certified_bucket_counts(bucketed, 4).collect()
+
+
+def test_bucketed_layout_pruned_read(spark, sf_dir, tmp_path):
+    """The bucketed layout must serve a column-range predicate through a
+    PARTITION filter (whole bucket directories pruned at plan time) and
+    return exactly the rows of a full-scan filter — pruning only prunes."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        read_bucket_pruned,
+        write_bucketed_layout,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "lay")
+    bnds = write_bucketed_layout(li, "l_extendedprice", 8, path)
+    assert bnds == sorted(bnds) and len(bnds) == 7
+    lo, hi = 20000.0, 35000.0
+    pruned = read_bucket_pruned(spark, path, lo, hi)
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    got = sorted(map(tuple, pruned.select(*cols).collect()))
+    want = sorted(map(tuple, li.filter(
+        (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") < hi)
+    ).select(*cols).collect()))
+    assert got == want and len(got) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0], buf.getvalue()
+    # the predicate's bucket range genuinely excludes directories: the
+    # covering buckets hold strictly fewer rows than the table
+    import bisect
+    b_lo, b_hi = bisect.bisect_right(bnds, lo), bisect.bisect_right(bnds, hi)
+    assert (b_lo, b_hi) != (0, 7)
+    covered = spark.read.parquet(f"{path}/data").filter(
+        (F.col("bucket") >= b_lo) & (F.col("bucket") <= b_hi)).count()
+    assert covered < li.count()
+    with __import__("pytest").raises(ValueError, match="lo < hi"):
+        read_bucket_pruned(spark, path, 5.0, 5.0)
