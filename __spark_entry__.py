@@ -2649,6 +2649,23 @@ def q_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
+    per l_returnflag — partial rows per (Arrow batch, group, column), one
+    tiny-table fold, every certificate intact per group (HLL sparse-exact
+    distinct, mg_resid = 0 oracle-checked, min-value top tie-break). The
+    per-source data-health dashboard shape."""
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        grouped_profile_columns,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return grouped_profile_columns(li, "l_returnflag", ["l_quantity"]).select(
+        "grp", "col_name", "n", "n_null", "min", "max", "n_distinct",
+        "top_value", "top_count", "mg_resid",
+    )
+
+
 def q_profile_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD GATE for incremental profile maintenance: base + replay-guarded
     increments + compaction must read out the SAME profile as one scan of
@@ -5936,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "sketch_bucket_balance": q_sketch_bucket_balance,
         "bucket_pruned_read": q_bucket_pruned_read,
+        "grouped_profile": q_grouped_profile,
         "profile_incremental_parity": q_profile_incremental_parity,
         "profile_stream_parity": q_profile_stream_parity,
         "orders_lineitem_join": q_orders_lineitem_join,
@@ -7661,6 +7679,29 @@ WHERE FALSE""",
         "bucket_pruned_read": """SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
 WHERE l_extendedprice >= 20000.0 AND l_extendedprice < 35000.0""",
+        # grouped profile: exact per-group aggregates; top value = max count,
+        # min-value tie-break (same deterministic cut as the Spark readout)
+        "grouped_profile": """WITH v AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS val FROM lineitem
+),
+stats AS (
+  SELECT grp, COUNT(*) AS n, SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+         MIN(val) AS min, MAX(val) AS max, COUNT(DISTINCT val) AS n_distinct
+  FROM v GROUP BY grp
+),
+tops AS (
+  SELECT grp, val AS top_value, cnt AS top_count FROM (
+    SELECT grp, val, COUNT(*) AS cnt,
+           row_number() OVER (PARTITION BY grp ORDER BY COUNT(*) DESC, val ASC) AS rn
+    FROM v WHERE val IS NOT NULL GROUP BY grp, val
+  ) WHERE rn = 1
+)
+SELECT s.grp, 'l_quantity' AS col_name, CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_null AS BIGINT) AS n_null, CAST(s.min AS BIGINT) AS min,
+       CAST(s.max AS BIGINT) AS max, CAST(s.n_distinct AS BIGINT) AS n_distinct,
+       CAST(t.top_value AS BIGINT) AS top_value,
+       CAST(t.top_count AS BIGINT) AS top_count, CAST(0 AS BIGINT) AS mg_resid
+FROM stats s JOIN tops t USING (grp)""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

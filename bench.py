@@ -291,6 +291,7 @@ def main() -> None:
         # deterministic stratified sample (zero-shuffle narrow plan)
         # one-pass sketch profile of relational columns (exact-regime gates)
         "table_profile",
+        "grouped_profile",
         # KLL-boundary balanced range bucketing + in-plan balance certificate
         "sketch_bucket_balance",
         # data skipping through the bucketed layout (first rep writes the

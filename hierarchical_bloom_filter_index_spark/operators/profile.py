@@ -62,37 +62,49 @@ def _integral_values(s: pd.Series, col: str) -> tuple[np.ndarray, int]:
     return v.astype(np.int64), n_null
 
 
-def _partials_fn(cols: list[str], hll_p: int, mg_k: int, kll_k: int, seed: int):
+def _partials_fn(cols: list[str], hll_p: int, mg_k: int, kll_k: int, seed: int,
+                 group_col: str | None = None):
     from ..sketches import hll as hllk
     from ..sketches import kll as kllk
     from ..sketches import spacesaving as mgk
+
+    def col_rows(pdf: pd.DataFrame, prefix: tuple) -> list[tuple]:
+        rows = []
+        for c in cols:
+            v, n_null = _integral_values(pdf[c], c)
+            if len(v):
+                rows.append(prefix + (
+                    c, len(pdf), n_null, int(v.min()), int(v.max()),
+                    hllk.leaf_window_blobs(v, len(v), hll_p, seed)[0],
+                    mgk.leaf_window_blobs(v, len(v), mg_k)[0],
+                    kllk.leaf_window_blobs(
+                        v.astype(np.float64), len(v), kll_k, seed)[0],
+                ))
+            else:  # all-null batch: scalars only, no sketch partials
+                rows.append(prefix + (c, len(pdf), n_null,
+                                      None, None, None, None, None))
+        return rows
+
+    stat_cols = ["col_name", "n", "n_null", "mn", "mx", "hll", "mg", "kll"]
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rows = []
-            for c in cols:
-                v, n_null = _integral_values(pdf[c], c)
-                if len(v):
-                    rows.append((
-                        c, len(pdf), n_null, int(v.min()), int(v.max()),
-                        hllk.leaf_window_blobs(v, len(v), hll_p, seed)[0],
-                        mgk.leaf_window_blobs(v, len(v), mg_k)[0],
-                        kllk.leaf_window_blobs(
-                            v.astype(np.float64), len(v), kll_k, seed)[0],
-                    ))
-                else:  # all-null batch: scalars only, no sketch partials
-                    rows.append((c, len(pdf), n_null, None, None, None, None, None))
-            yield pd.DataFrame(
-                rows,
-                columns=["col_name", "n", "n_null", "mn", "mx", "hll", "mg", "kll"],
-            ).astype({"mn": "Int64", "mx": "Int64"})
+            if group_col is None:
+                rows, columns = col_rows(pdf, ()), stat_cols
+            else:
+                rows, columns = [], ["grp"] + stat_cols
+                for gval, gpdf in pdf.groupby(group_col, dropna=False, sort=True):
+                    g = None if pd.isna(gval) else str(gval)
+                    rows.extend(col_rows(gpdf, (g,)))
+            yield pd.DataFrame(rows, columns=columns).astype(
+                {"mn": "Int64", "mx": "Int64"})
 
     return part
 
 
-def _readout_fn(hll_p: int, mg_k: int):
+def _readout_fn(hll_p: int, mg_k: int, key_cols: tuple = ("col_name",)):
     from ..sketches import hll as hllk
     from ..sketches import kll as kllk
     from ..sketches import spacesaving as mgk
@@ -103,10 +115,11 @@ def _readout_fn(hll_p: int, mg_k: int):
                 continue
             rows = []
             for r in pdf.itertuples(index=False):
+                prefix = tuple(getattr(r, k) for k in key_cols)
                 hlls = [bytes(b) for b in r.hlls]
                 if not hlls:  # column entirely null
-                    rows.append((r.col_name, r.n, r.n_null, r.mn, r.mx,
-                                 0, None, None, 0, None, None, None))
+                    rows.append(prefix + (r.n, r.n_null, r.mn, r.mx,
+                                          0, None, None, 0, None, None, None))
                     continue
                 merged_h = hllk.merge_blob_groups(
                     hlls, np.asarray([len(hlls)], dtype=np.int64), hll_p)
@@ -126,11 +139,11 @@ def _readout_fn(hll_p: int, mg_k: int):
                     np.asarray([len(r.klls)], dtype=np.int64))
                 p25, p50, p75 = kllk.quantile_blobs(
                     merged_k, [0.25, 0.5, 0.75])[0]
-                rows.append((r.col_name, r.n, r.n_null, r.mn, r.mx,
-                             n_distinct, top_value, top_count, int(resid),
-                             float(p25), float(p50), float(p75)))
-            yield pd.DataFrame(rows, columns=[
-                "col_name", "n", "n_null", "min", "max", "n_distinct",
+                rows.append(prefix + (r.n, r.n_null, r.mn, r.mx,
+                                      n_distinct, top_value, top_count, int(resid),
+                                      float(p25), float(p50), float(p75)))
+            yield pd.DataFrame(rows, columns=list(key_cols) + [
+                "n", "n_null", "min", "max", "n_distinct",
                 "top_value", "top_count", "mg_resid", "p25", "p50", "p75",
             ]).astype({"top_value": "Int64", "top_count": "Int64",
                        "min": "Int64", "max": "Int64"})
@@ -160,7 +173,8 @@ def profile_columns(df: DataFrame, cols: list[str], hll_p: int = 12,
 
 
 def column_partials(df: DataFrame, cols: list[str], hll_p: int = 12,
-                    mg_k: int = 64, kll_k: int = 200, seed: int = 0) -> DataFrame:
+                    mg_k: int = 64, kll_k: int = 200, seed: int = 0,
+                    group_col: str | None = None) -> DataFrame:
     """Phase 1 alone: one partial row per (Arrow batch, column) — exact
     scalars + HLL/MG/KLL blobs. This is the MERGEABLE STATE: any partition
     of the input into batches yields partials that fold to the same profile
@@ -170,19 +184,23 @@ def column_partials(df: DataFrame, cols: list[str], hll_p: int = 12,
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing}")
-    return df.select(*cols).mapInPandas(
-        _partials_fn(list(cols), hll_p, mg_k, kll_k, seed),
-        schema=_PARTIAL_SCHEMA,
+    sel = list(cols) + ([group_col] if group_col else [])
+    schema = ("grp string, " if group_col else "") + _PARTIAL_SCHEMA
+    return df.select(*sel).mapInPandas(
+        _partials_fn(list(cols), hll_p, mg_k, kll_k, seed, group_col),
+        schema=schema,
     )
 
 
 def fold_profile_partials(partials: DataFrame, hll_p: int = 12,
-                          mg_k: int = 64) -> DataFrame:
+                          mg_k: int = 64,
+                          key_cols: tuple = ("col_name",)) -> DataFrame:
     """Phase 2 alone: fold a partial table (any number of rows per column,
     from any mix of scans/increments) into the profile — scalars in the JVM
     (null-safe min/max/sum), sketch blobs in one Arrow readout via the
-    order-free merge kernels."""
-    folded = partials.groupBy("col_name").agg(
+    order-free merge kernels. ``key_cols`` is ("grp", "col_name") for the
+    grouped form."""
+    folded = partials.groupBy(*key_cols).agg(
         F.sum("n").alias("n"),
         F.sum("n_null").alias("n_null"),
         F.min("mn").alias("mn"),
@@ -191,7 +209,24 @@ def fold_profile_partials(partials: DataFrame, hll_p: int = 12,
         F.collect_list("mg").alias("mgs"),     # all-null batches contribute
         F.collect_list("kll").alias("klls"),   # scalars only
     )
-    return folded.mapInPandas(_readout_fn(hll_p, mg_k), schema=PROFILE_SCHEMA)
+    schema = ("grp string, " if "grp" in key_cols else "") + PROFILE_SCHEMA
+    return folded.mapInPandas(_readout_fn(hll_p, mg_k, key_cols), schema=schema)
+
+
+def grouped_profile_columns(df: DataFrame, group_col: str, cols: list[str],
+                            hll_p: int = 12, mg_k: int = 64, kll_k: int = 200,
+                            seed: int = 0) -> DataFrame:
+    """Per-GROUP column profiles in the same one scan: (grp, col_name, ...
+    the profile_columns outputs) for every value of ``group_col`` (cast to
+    string; null group kept as a null grp). Partial rows are per (Arrow
+    batch, group, column), so the fold stays a tiny-table groupBy — the
+    per-source data-health dashboard shape at 100 TB (one scan, one small
+    shuffle, every sketch certificate intact per group)."""
+    if group_col not in df.columns:
+        raise ValueError(f"grouped_profile_columns: unknown group {group_col!r}")
+    return fold_profile_partials(
+        column_partials(df, cols, hll_p, mg_k, kll_k, seed, group_col=group_col),
+        hll_p, mg_k, key_cols=("grp", "col_name"))
 
 
 # ---------------------------------------------------------------------------

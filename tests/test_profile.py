@@ -129,3 +129,26 @@ def test_profile_incremental_and_stream_lifecycle(spark, tmp_path):
     assert q.awaitTermination(300), "profile stream drain exceeded 300s"
     got_s = sorted(map(tuple, read_profile(spark, p2).select(*PROJ).collect()))
     assert got_s == full
+
+
+def test_grouped_profile_matches_pandas(spark):
+    from hierarchical_bloom_filter_index_spark.operators.profile import (
+        grouped_profile_columns,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    prof = {(r["grp"], r["col_name"]): r.asDict()
+            for r in grouped_profile_columns(li, "l_returnflag", ["l_quantity"]).collect()}
+    pdf = li.select("l_returnflag", "l_quantity").toPandas()
+    for g, gp in pdf.groupby("l_returnflag"):
+        v = gp["l_quantity"].astype(np.int64)
+        p = prof[(str(g), "l_quantity")]
+        assert p["n"] == len(gp) and p["n_null"] == 0
+        assert (p["min"], p["max"]) == (v.min(), v.max())
+        assert p["n_distinct"] == v.nunique()     # sparse-exact per group
+        vc = v.value_counts()
+        top_cnt = int(vc.max())
+        top_val = int(min(vc[vc == top_cnt].index))
+        assert p["mg_resid"] == 0                 # per-batch-group distinct <= k
+        assert (p["top_value"], p["top_count"]) == (top_val, top_cnt)
+    assert len(prof) == pdf["l_returnflag"].nunique()
