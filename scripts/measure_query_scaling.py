@@ -170,6 +170,19 @@ SWEEP = [
     "global_range_tdigest_cdf",
     "range_rank",
     "global_range_rank",
+    # round-4m additions: CERTIFIED EXACT order statistics (KLL cover-node
+    # bracket + one bounded exact pass over the range slices — the verify
+    # side grows with docs-overlapping-the-range, cover work stays O(log)),
+    # the one-pass relational profiler and the KLL-boundary bucketing (both
+    # read the scaled relational replicas: values UNCHANGED across replicas
+    # so the exact regimes are preserved while rows grow 5x — expect ~scan-
+    # linear growth; boundaries/profiles stay constant-size outputs)
+    "range_exact_quantiles",
+    "global_range_exact_quantiles",
+    "range_trimmed_sum",
+    "global_range_trimmed_sum",
+    "table_profile",
+    "sketch_bucket_balance",
 ]
 
 
@@ -195,6 +208,29 @@ def build_scaled_docs(spark, reps: int, out_dir: str) -> None:
     out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
+def build_scaled_rel(spark, reps: int, out_dir: str) -> None:
+    """Replicate the relational tables the profiler/bucketing queries read:
+    keys offset per replica (uniqueness preserved), VALUE columns unchanged
+    — so per-column distinct counts / top values / boundaries are identical
+    at every scale (the exact regimes hold) while row counts grow ``reps``x.
+    """
+    from pyspark.sql import functions as F
+
+    for table, key, off in [("customer", "c_custkey", 10**7),
+                            ("part", "p_partkey", 10**7),
+                            ("lineitem", "l_orderkey", 10**9)]:
+        src = spark.read.parquet(f"{SRC}/{table}.parquet")
+        parts = [
+            src.withColumn(key, F.col(key) + F.lit(r * off)) if r else src
+            for r in range(reps)
+        ]
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        out.repartition(8).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet")
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     from pyspark.sql import SparkSession, functions as F
@@ -217,6 +253,8 @@ def main() -> None:
         d = SCALE_DIRS[k]
         if not os.path.exists(f"{d}/documents.parquet"):
             build_scaled_docs(spark, k, d)
+        if not os.path.exists(f"{d}/lineitem.parquet"):
+            build_scaled_rel(spark, k, d)
         points.append((f"{k}x", d))
 
     qmap = E.queries()
