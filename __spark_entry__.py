@@ -2220,6 +2220,20 @@ def q_pipeline_clean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT exponentially-decayed event counts per type (1-hour half-life,
+    40-half-life horizon): each event weighs 2^(39 - age_halflives), so the
+    sum is ONE BIGINT — no float accumulation order to disagree across
+    engines, unlike the textbook sum of 2^-d doubles. The recency-weighted
+    activity readout, now = max(ts) over the table (a pure function of the
+    data). operators/sessions.decayed_event_counts."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        decayed_event_counts)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return decayed_event_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix over user journeys: consecutive
     event-type pair counts in (t, event_id) order — one window exchange
@@ -5917,6 +5931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_words": q_chunk_words,
         "value_histogram": q_value_histogram,
         "value_outliers": q_value_outliers,
+        "decayed_event_counts": q_decayed_event_counts,
         "event_transitions": q_event_transitions,
         "top_event_paths": q_top_event_paths,
         "cohort_retention": q_cohort_retention,
@@ -7702,6 +7717,14 @@ SELECT s.grp, 'l_quantity' AS col_name, CAST(s.n AS BIGINT) AS n,
        CAST(t.top_value AS BIGINT) AS top_value,
        CAST(t.top_count AS BIGINT) AS top_count, CAST(0 AS BIGINT) AS mg_resid
 FROM stats s JOIN tops t USING (grp)""",
+        # exact integer-scaled exponential decay: weight = 2^(H-1-d) BIGINT,
+        # horizon d < H = 40 half-lives (contribution < 2^-40 beyond)
+        "decayed_event_counts": """WITH mx AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+d AS (SELECT event_type AS grp, (now_us - epoch_us(ts)) // 3600000000 AS d
+      FROM events, mx)
+SELECT grp, CAST(SUM(1::BIGINT << CAST(39 - d AS INT)) AS BIGINT) AS decayed_num,
+       CAST(COUNT(*) AS BIGINT) AS n_window, CAST(39 AS INT) AS scale_exp
+FROM d WHERE d < 40 GROUP BY grp""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

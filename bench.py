@@ -288,6 +288,8 @@ def main() -> None:
         # event-stream relational ops: sessionization + as-of join
         "event_sessions",
         "events_asof_purchase",
+        # exact integer-scaled exponential decay (one scan, one groupBy)
+        "decayed_event_counts",
         # deterministic stratified sample (zero-shuffle narrow plan)
         # one-pass sketch profile of relational columns (exact-regime gates)
         "table_profile",

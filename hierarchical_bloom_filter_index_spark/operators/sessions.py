@@ -392,3 +392,53 @@ def top_event_paths(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     return paths.orderBy(F.desc("n_users"), F.asc("path")).limit(int(k))
+
+
+def decayed_event_counts(
+    events: DataFrame,
+    group_col: str = "event_type",
+    half_life_us: int = 3_600_000_000,  # one hour
+    horizon_halflives: int = 40,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group, decayed_num, n_window, scale_exp): EXACT exponentially-
+    decayed event counts per group — each event aged d half-lives (integer
+    division against now = max(ts) over the table, so the reference point
+    is a pure function of the data) weighs 2^(H-1-d); the true decayed
+    count is decayed_num / 2^(H-1).
+
+    Exactness by construction: weights are BIGINT powers of two, so the sum
+    is one integer — no float accumulation order to disagree across engines
+    (SQL-oracle-checkable, unlike the textbook sum of 2^-d doubles). Events
+    older than H = ``horizon_halflives`` are dropped: their total possible
+    contribution is < n * 2^-H (~1e-12 of one event at the default 40),
+    which is the principled truncation that also keeps the sum inside
+    int64 (n * 2^(H-1) <= ~9.2e18 demands n <= ~3e7 per group at H=40 —
+    raise half_life or lower H for hotter groups). One scan, one groupBy:
+    the same shape as a plain count at 100 TB."""
+    if not (1 <= horizon_halflives <= 62):
+        raise ValueError(
+            f"horizon_halflives must be in [1, 62] (int64 weights), "
+            f"got {horizon_halflives}")
+    h = int(horizon_halflives)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    now = F.broadcast(
+        events.agg(F.max(t).alias("_now_us")))
+    d = F.expr(f"(_now_us - _t_us) div {int(half_life_us)}")
+    return (
+        events.select(F.col(group_col).alias("grp"), t.alias("_t_us"))
+        .join(now)
+        .withColumn("_d", d)
+        .filter(F.col("_d") < h)  # never negative: now = max(ts)
+        .select(
+            "grp",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({h} - 1 - _d AS INT))")
+            .alias("_w"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_w").alias("decayed_num"),
+            F.count(F.lit(1)).alias("n_window"),
+        )
+        .withColumn("scale_exp", F.lit(h - 1).cast("int"))
+    )

@@ -364,3 +364,31 @@ def test_top_event_paths_short_users_and_ties(spark):
     assert got == {"a>b>c": 1, "a>b": 2, "c": 1}
     with _pt.raises(ValueError, match="prefix_len"):
         top_event_paths(ev, 0, 5)
+
+
+def test_decayed_event_counts_exact(spark):
+    """Integer-scaled decay equals a brute float recomputation (scaled), the
+    horizon drops old events, and out-of-range horizons refuse."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        decayed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [("a", base - pd.Timedelta(hours=h)) for h in [0, 1, 1, 5, 39, 40, 100]]
+    rows += [("b", base - pd.Timedelta(hours=h)) for h in [2, 3]]
+    ev = spark.createDataFrame(pd.DataFrame(rows, columns=["event_type", "ts"]))
+    got = {r["grp"]: (r["decayed_num"], r["n_window"], r["scale_exp"])
+           for r in decayed_event_counts(ev).collect()}
+    # group a: ages 0,1,1,5,39 in horizon (40,100 dropped)
+    num_a = sum(2 ** (39 - d) for d in [0, 1, 1, 5, 39])
+    assert got["a"] == (num_a, 5, 39)
+    assert got["b"] == (2 ** 37 + 2 ** 36, 2, 39)
+    # scaled value equals the float definition
+    assert abs(got["a"][0] / 2 ** 39
+               - sum(0.5 ** d for d in [0, 1, 1, 5, 39])) < 1e-9
+    with _pytest.raises(ValueError, match="horizon_halflives"):
+        decayed_event_counts(ev, horizon_halflives=63)
