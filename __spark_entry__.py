@@ -4186,6 +4186,32 @@ def _gcms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def q_global_sketch_takedown_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT TAKEDOWN on the one-stream axis WITHOUT rebuild: docs with
+    n_tok % 5 == 0 are removed from the global CMS window index by LINEAR
+    SUBTRACTION (a negative index over only the removed docs at their
+    build-time offsets, node-wise subtract, emptied nodes dropped — stream
+    geometry retained, the removal story windows that mix documents
+    otherwise cannot have). Gate: EXACT range totals off the subtracted
+    index == SQL totals over the surviving tokens at their ORIGINAL stream
+    positions. Byte-level parity vs a scratch build is pinned in
+    tests/test_rollup.py."""
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        global_range_totals,
+        takedown_global_window_sketch_index,
+    )
+
+    key = ("gcms_takedown", sf_dir)
+    if key not in _CACHE:
+        gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+        removed = gcorp.filter(F.col("n_tok") % 5 == 0)
+        _CACHE[key] = takedown_global_window_sketch_index(
+            _gcms_index(spark, sf_dir), removed, CFG, "cms",
+            depth=3, width=256,
+        ).persist()
+    return global_range_totals(_CACHE[key], RANGE_QS_GLOBAL, CFG.deepest)
+
+
 def q_range_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SECOND FREQUENCY MOMENT (self-join size) over leaf-window ranges
     [a, b) from the dyadic signed count-sketch index: O(log) covering nodes
@@ -5876,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sketch_totals": q_stream_sketch_totals,
         "global_range_signed_freq": q_global_range_signed_freq,
         "global_range_totals": q_global_range_totals,
+        "global_sketch_takedown_totals": q_global_sketch_takedown_totals,
         "global_range_freq": q_global_range_freq,
         "global_range_quantiles": q_global_range_quantiles,
         "hops_representatives": q_hops_representatives,
@@ -7725,6 +7752,24 @@ d AS (SELECT event_type AS grp, (now_us - epoch_us(ts)) // 3600000000 AS d
 SELECT grp, CAST(SUM(1::BIGINT << CAST(39 - d AS INT)) AS BIGINT) AS decayed_num,
        CAST(COUNT(*) AS BIGINT) AS n_window, CAST(39 AS INT) AS scale_exp
 FROM d WHERE d < 40 GROUP BY grp""",
+        # takedown totals: remaining tokens at their ORIGINAL stream
+        # positions (docs with n_tok %% 5 == 0 removed, geometry retained)
+        "global_sketch_takedown_totals": f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus
+),
+flat AS (
+  SELECT o + i - 1 AS g, n_tok
+  FROM (SELECT o, n_tok, unnest(generate_series(1, CAST(n_tok AS BIGINT))) AS i FROM off)
+),
+rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS_GLOBAL)})
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM flat f, rq
+WHERE f.g >= a * {CFG.leaf_span} AND f.g < b * {CFG.leaf_span} AND f.n_tok % 5 <> 0
+GROUP BY a, b""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

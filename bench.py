@@ -269,6 +269,9 @@ def main() -> None:
         # the batch design point: 16 patterns, one cascade (~8x vs singles)
         "hbi_global_pattern_batch_wide",
         "global_range_totals",
+        # one-stream content takedown by linear subtraction (first rep pays
+        # the negative-index build + subtract; totals off the new index)
+        "global_sketch_takedown_totals",
         "global_range_quantiles",
         "global_range_tdigest_quantiles",
         "global_range_rank",

@@ -2403,3 +2403,69 @@ def global_range_trimmed_sum(kll_index: DataFrame, corpus: DataFrame, ranges,
     )
     sliced = _global_range_slices(corpus, ranges, leaf_span)
     return _trimmed_sum_verify(bracket, sliced, _GLOBAL_KEYS, q_lo, q_hi)
+
+
+def takedown_global_window_sketch_index(index: DataFrame, removed_docs: DataFrame,
+                                        cfg: HbiConfig, family: str = "cms",
+                                        **kw) -> DataFrame:
+    """CONTENT TAKEDOWN on a GLOBAL window-sketch index WITHOUT a rebuild —
+    the removal story the doc-axis takedown (sources/io doc-sharded layout)
+    cannot give the one-stream axis, because stream windows mix documents.
+    Only the LINEAR families admit it (cms: table(a+b) = table(a)+table(b);
+    cs: signed twin) — hll/kll/mg/bk/td merges are not invertible and
+    refuse.
+
+    Semantics: the stream GEOMETRY is retained — windows keep their ids and
+    every surviving doc its offset; the removed docs' tokens simply leave
+    every node that counted them (what a legal takedown needs at 10^12
+    tokens: the content becomes unfindable without re-offsetting the
+    stream). ``removed_docs`` MUST carry its BUILD-TIME ``doc_offset``
+    column — recomputing offsets on the filtered frame would land the
+    negative partials in the wrong windows, so a missing column refuses.
+
+    Shape: build a NEGATIVE index over only the removed docs (same
+    one-shuffle build as any global increment — touched windows only),
+    LEFT-join it onto the index on (level, w_id), subtract node-wise in one
+    Arrow pass, drop emptied nodes. Representation after subtraction:
+    sparse nodes stay BYTE-EQUAL to a scratch build over the surviving
+    content; dense nodes stay dense even when the survivor re-enters the
+    sparse range (pairs are unrecoverable from a table) — content-equal to
+    densify(scratch), which the parity test pins node by node."""
+    if family not in ("cms", "cs"):
+        raise ValueError(
+            f"takedown_global_window_sketch_index: only the LINEAR families "
+            f"(cms, cs) support removal, got {family!r}")
+    if "doc_offset" not in removed_docs.columns:
+        raise ValueError(
+            "takedown_global_window_sketch_index: removed_docs must carry its "
+            "BUILD-TIME doc_offset column (recomputed offsets would subtract "
+            "from the wrong windows)")
+    from ..sketches import cms as cmsk
+
+    slot_blobs, merge_groups, _b = window_sketch_family(cfg, family, **kw)
+    neg = _global_window_sketch_plan(removed_docs, cfg, slot_blobs, merge_groups)
+    sub = cmsk.cs_subtract_blobs if family == "cs" else cmsk.subtract_blobs
+    joined = index.join(
+        neg.select("level", "w_id", F.col("sketch").alias("_neg")),
+        ["level", "w_id"], "left",
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sk = [bytes(b) for b in pdf["sketch"]]
+            negs = list(pdf["_neg"])
+            touched = [i for i, nb in enumerate(negs) if nb is not None]
+            if touched:
+                d, w, s = cmsk.blob_params(sk[touched[0]])
+                subbed = sub([sk[i] for i in touched],
+                             [bytes(negs[i]) for i in touched], d, w, s)
+                for i, nb in zip(touched, subbed):
+                    sk[i] = nb
+            keep = np.flatnonzero(cmsk.window_totals(sk) > 0)
+            out = pdf.iloc[keep][["level", "w_id"]].reset_index(drop=True)
+            out["sketch"] = [sk[i] for i in keep]
+            yield out
+
+    return joined.mapInPandas(fn, schema=GLOBAL_SKETCH_SCHEMA)

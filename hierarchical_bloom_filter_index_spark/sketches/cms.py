@@ -753,3 +753,94 @@ def f2_blobs(blobs: list[bytes]) -> np.ndarray:
         else:
             raise ValueError(f"unknown sketch magic {b[0]} (expected a cs node)")
     return out
+
+
+def subtract_blobs(pos: list[bytes], neg: list[bytes], depth: int, width: int,
+                   seed: int, magic_dense: int = _MAGIC_CMS,
+                   magic_sparse: int = _MAGIC_CMS_SP,
+                   signed: bool = False) -> list[bytes]:
+    """Pairwise LINEAR REMOVAL: ``pos[i] - neg[i]`` — the content-takedown
+    primitive only the linear families (CMS add / CountSketch signed add)
+    admit. The caller's contract is that each neg node's content is a
+    SUBSET of its pos node's content (the takedown op builds neg from the
+    indexed corpus rows themselves, so this holds by construction); the
+    kernel refuses what it can detect: a neg token absent from a sparse pos
+    node, a sparse count or unsigned dense cell driven negative, or a
+    negative remaining total. (The dense cell guard is necessary, not
+    sufficient — collisions can mask over-removal; the contract, not the
+    guard, is the soundness argument.)
+
+    Representation: sparse - sparse stays sparse (exact pairs, zeros
+    dropped — byte-identical to a scratch build of the remaining content);
+    dense pos stays DENSE even if the remaining nnz re-enters the sparse
+    range (the pairs are unrecoverable from a table) — content-equal to
+    densify(scratch) byte for byte, which is what the parity tests pin.
+    A neg denser than its pos is impossible under the subset contract
+    (nnz is monotone) and refuses."""
+    if len(pos) != len(neg):
+        raise ValueError("subtract_blobs: pos/neg must pair up")
+    out: list[bytes] = []
+    for p_, n_ in zip(pos, neg):
+        p_, n_ = bytes(p_), bytes(n_)
+        p_sp, n_sp = p_[0] == magic_sparse, n_[0] == magic_sparse
+        for b, is_sp in ((p_, p_sp), (n_, n_sp)):
+            if is_sp:
+                _check_sp_blob(b, depth, width, seed)
+            else:
+                _check_cms_blob(b, depth, width, seed, magic_dense)
+        (p_tot,) = struct.unpack_from("<q", p_, _CMS_TOTAL_OFFSET)
+        (n_tot,) = struct.unpack_from("<q", n_, _CMS_TOTAL_OFFSET)
+        tot = p_tot - n_tot
+        if tot < 0:
+            raise ValueError(
+                f"subtract_blobs: removal total {n_tot} exceeds node total {p_tot}")
+        if p_sp and not n_sp:
+            raise ValueError(
+                "subtract_blobs: dense removal from a sparse node — the "
+                "removed content cannot exceed the indexed content (subset "
+                "contract violated)")
+        if p_sp:  # sparse - sparse: exact pair arithmetic
+            pt, pc = _sp_entries(p_)
+            nt, nc = _sp_entries(n_)
+            idx = np.searchsorted(pt, nt)
+            if len(nt) and ((idx >= len(pt)).any() or (pt[np.minimum(idx, len(pt) - 1)] != nt).any()):
+                raise ValueError(
+                    "subtract_blobs: removing a token the node never indexed")
+            new_c = pc.copy()
+            np.subtract.at(new_c, idx, nc)
+            if (new_c < 0).any():
+                raise ValueError(
+                    "subtract_blobs: removal count exceeds indexed count")
+            keep = new_c > 0
+            out.append(base.pack(
+                magic_sparse,
+                [depth, width, seed, int(tot), int(keep.sum())],
+                [pt[keep].copy(), new_c[keep].copy()]))
+            continue
+        table = np.frombuffer(
+            p_, dtype=np.int64, count=depth * width,
+            offset=_CMS_TABLE_OFFSET).copy()
+        if n_sp:
+            nt, nc = _sp_entries(n_)
+            for r in range(depth):
+                bk = (hash64(nt, seed + 1000003 * r) % _U64(width)).astype(np.int64)
+                w_cnt = nc * _cs_signs(nt, seed, r) if signed else nc
+                np.subtract.at(table, r * width + bk, w_cnt)
+        else:
+            ntab = np.frombuffer(n_, dtype=np.int64, count=depth * width,
+                                 offset=_CMS_TABLE_OFFSET)
+            table -= ntab
+        if not signed and (table < 0).any():
+            raise ValueError(
+                "subtract_blobs: a cell went negative — removing content "
+                "the node never indexed")
+        out.append(base.pack(magic_dense, [depth, width, seed, int(tot)], [table]))
+    return out
+
+
+def cs_subtract_blobs(pos: list[bytes], neg: list[bytes], depth: int,
+                      width: int, seed: int) -> list[bytes]:
+    """CountSketch twin of subtract_blobs (signed rows: cells may legally
+    go negative, so only the total and sparse-pair guards apply)."""
+    return subtract_blobs(pos, neg, depth, width, seed,
+                          _MAGIC_CS, _MAGIC_CS_SP, True)

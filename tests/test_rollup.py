@@ -1016,3 +1016,73 @@ def test_exact_quantile_bracket_miss_refuses(spark, built_kll):
     )
     with pytest.raises(SparkRuntimeException, match="bracket missed"):
         _trimmed_sum_verify(bad2, sliced, ("doc_id", "a", "b"), 0.25, 0.75).collect()
+
+
+# ---------------------------------------------------------------------------
+# Global window-sketch CONTENT TAKEDOWN (linear subtraction, no rebuild)
+# ---------------------------------------------------------------------------
+
+
+def test_global_cms_takedown_parity_both_regimes(spark):
+    from hierarchical_bloom_filter_index_spark.corpus import with_global_offsets
+    from hierarchical_bloom_filter_index_spark.operators.rollup import (
+        build_global_cms_window_index,
+        takedown_global_window_sketch_index,
+        window_sketch_family,
+        _global_window_sketch_plan,
+    )
+    from hierarchical_bloom_filter_index_spark.sketches import cms as cmsk
+
+    corp = with_global_offsets(C.generate_corpus(spark, sf=0.002, seed=12)).cache()
+    removed = corp.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0)
+    survivors = corp.join(removed.select("doc_id"), "doc_id", "left_anti")
+    assert 0 < removed.count() < corp.count()
+
+    def node_map(df):
+        return {(r["level"], r["w_id"]): bytes(r["sketch"]) for r in df.collect()}
+
+    # SPARSE regime (default width 256: every ASCII node sparse) — takedown
+    # must be BYTE-EQUAL to a scratch build over survivors at original offsets
+    idx = build_global_cms_window_index(corp, CFG)
+    after = node_map(takedown_global_window_sketch_index(idx, removed, CFG, "cms"))
+    scratch = node_map(build_global_cms_window_index(survivors, CFG))
+    assert after == scratch  # keysets AND bytes (emptied nodes dropped)
+    idx.unpersist()
+
+    # DENSE regime (width 16: max_nnz 24 < leaf distinct) — dense nodes stay
+    # dense; parity is byte-equality against densify(scratch) per node
+    sb, mg, _b = window_sketch_family(CFG, "cms", depth=3, width=16)
+    idx16 = _global_window_sketch_plan(corp, CFG, sb, mg)
+    after16 = node_map(takedown_global_window_sketch_index(
+        idx16, removed, CFG, "cms", depth=3, width=16))
+    scratch16 = node_map(_global_window_sketch_plan(survivors, CFG, sb, mg))
+    assert set(after16) == set(scratch16)
+    n_dense_kept = 0
+    for k, sv in scratch16.items():
+        got = after16[k]
+        if got == sv:
+            continue
+        assert got == cmsk.densify_blob(sv), k  # content-equal, denser form
+        n_dense_kept += 1
+    assert n_dense_kept > 0  # the regime was actually exercised
+
+    # cs (signed) twin rides the same kernel with sign-aware subtraction
+    sbc, mgc, _bc = window_sketch_family(CFG, "cs", depth=3, width=256)
+    idx_cs = _global_window_sketch_plan(corp, CFG, sbc, mgc)
+    after_cs = node_map(takedown_global_window_sketch_index(
+        idx_cs, removed, CFG, "cs", depth=3, width=256))
+    scratch_cs = node_map(_global_window_sketch_plan(survivors, CFG, sbc, mgc))
+    assert after_cs == scratch_cs
+
+    # refusals: non-linear family, missing build-time offsets, over-removal
+    idx2 = build_global_cms_window_index(corp, CFG)
+    with pytest.raises(ValueError, match="LINEAR"):
+        takedown_global_window_sketch_index(idx2, removed, CFG, "hll")
+    with pytest.raises(ValueError, match="doc_offset"):
+        takedown_global_window_sketch_index(idx2, removed.drop("doc_offset"), CFG)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from py4j.protocol import Py4JJavaError
+    doubled = removed.union(removed)  # removes content twice: must blow up
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)):
+        takedown_global_window_sketch_index(idx2, doubled, CFG, "cms").collect()
+    idx2.unpersist()
