@@ -4186,6 +4186,36 @@ def _gcms_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+def q_counting_takedown_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETABLE global Bloom index gate: a counting maintenance artifact
+    (sparse per-window hash-instance counters) whose bitset VIEW is
+    byte-equal to the ordinary global build; after a content takedown
+    (negative counting partials at build-time offsets, counter subtraction,
+    emptied nodes dropped) the view must STILL be byte-equal to a scratch
+    global build over the survivors — so every search surface serves from
+    the view unchanged, and takedown correctness reduces to this empty
+    symmetric difference (empty oracle). Bloom OR is not invertible;
+    counting is the classical deletability price, paid in the maintenance
+    artifact only (operators/build.py counting family)."""
+    from hierarchical_bloom_filter_index_spark.operators.build import (
+        _build_global_axis,
+        build_global_counting_index,
+        counting_index_view,
+        takedown_global_counting_index,
+    )
+
+    gcorp, _gidx, _gstats = _global_index(spark, sf_dir)
+    removed = gcorp.filter(F.col("n_tok") % 5 == 0)
+    survivors = gcorp.join(removed.select("doc_id"), "doc_id", "left_anti")
+    cnt = build_global_counting_index(gcorp, CFG)
+    after = counting_index_view(
+        takedown_global_counting_index(cnt, removed, CFG))
+    scratch = _build_global_axis(survivors, CFG)
+    cols = ["level", "w_id", "bloom", "n_items", "bits_set"]
+    a, b = after.select(*cols), scratch.select(*cols)
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_global_sketch_takedown_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT TAKEDOWN on the one-stream axis WITHOUT rebuild: docs with
     n_tok % 5 == 0 are removed from the global CMS window index by LINEAR
@@ -5903,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_range_signed_freq": q_global_range_signed_freq,
         "global_range_totals": q_global_range_totals,
         "global_sketch_takedown_totals": q_global_sketch_takedown_totals,
+        "counting_takedown_parity": q_counting_takedown_parity,
         "global_range_freq": q_global_range_freq,
         "global_range_quantiles": q_global_range_quantiles,
         "hops_representatives": q_hops_representatives,
@@ -7770,6 +7801,12 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM flat f, rq
 WHERE f.g >= a * {CFG.leaf_span} AND f.g < b * {CFG.leaf_span} AND f.n_tok % 5 <> 0
 GROUP BY a, b""",
+        # deletable-Bloom takedown: view == scratch-over-survivors, so the
+        # symmetric difference is EMPTY
+        "counting_takedown_parity": """SELECT CAST(NULL AS INTEGER) AS level,
+       CAST(NULL AS BIGINT) AS w_id, CAST(NULL AS BLOB) AS bloom,
+       CAST(NULL AS BIGINT) AS n_items, CAST(NULL AS BIGINT) AS bits_set
+WHERE FALSE""",
         "range_membership": f"""WITH {CORPUS_CTE},
 rq(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in RANGE_QS)})
 SELECT doc_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b

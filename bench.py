@@ -272,6 +272,8 @@ def main() -> None:
         # one-stream content takedown by linear subtraction (first rep pays
         # the negative-index build + subtract; totals off the new index)
         "global_sketch_takedown_totals",
+        # deletable-Bloom gate: counting view == scratch over survivors
+        "counting_takedown_parity",
         "global_range_quantiles",
         "global_range_tdigest_quantiles",
         "global_range_rank",

@@ -523,3 +523,253 @@ def compact_index(index: DataFrame, drop_below_level: int) -> DataFrame:
     dropFiltersUpToLp (tree/ImplicitTree.java:112-122, PMIndex/HBI.java:288-323).
     A predicate — Catalyst prunes the dropped rows at scan time."""
     return index.filter(F.col("level") >= drop_below_level)
+
+
+# ---------------------------------------------------------------------------
+# DELETABLE global Bloom index: a COUNTING maintenance artifact whose bitset
+# VIEW is byte-equal to the ordinary global index. Bloom OR-merges are not
+# invertible, so the bitset index alone cannot honor a takedown without a
+# full rebuild (and bounded rebuilds blow up at coarse levels — the root
+# window contains every surviving doc). The counting twin stores, per
+# (level, window), the SPARSE (bit position, hash-instance count) pairs of
+# every key occurrence (standard counting-Bloom discipline: all k positions
+# increment, duplicates among the k included — so removal subtracts exactly
+# what insertion added). Deletability costs the counter representation
+# (~8-16x the bitset at realistic fills; pairs, never dense arrays, so
+# coarse levels pay O(keys * k), not O(m)); the SERVING index is always the
+# derived view. The reference's eviction (PMIndex/HBI.java:209-211) is
+# whole-tree horizon expiry — content takedown is capability it does not
+# have on this axis at all.
+# ---------------------------------------------------------------------------
+
+_COUNTING_MAGIC = 20
+GLOBAL_COUNTING_SCHEMA = "level int, w_id long, counts binary, n_items long"
+
+
+def _pack_counting(m: int, k: int, seed: int, n_items: int,
+                   pos: np.ndarray, cnt: np.ndarray) -> bytes:
+    from ..sketches import base as _base
+
+    return _base.pack(_COUNTING_MAGIC, [m, k, seed, n_items],
+                      [pos.astype(np.int64), cnt.astype(np.int64)])
+
+
+def _unpack_counting(b: bytes):
+    from ..sketches import base as _base
+
+    magic, (m, k, seed, n_items), (pos, cnt) = _base.unpack(bytes(b))
+    _base.expect_magic(magic, _COUNTING_MAGIC, "CountingBloom")
+    return int(m), int(k), int(seed), int(n_items), pos, cnt
+
+
+def _global_axis_counting_partials(corpus: DataFrame, cfg: HbiConfig,
+                                   levels: list[int] | None = None) -> DataFrame:
+    """Counting twin of _global_axis_partials: SAME key stream, SAME gpos /
+    stride / stitching discipline, SAME per-level hash positions — but per
+    (level, window) the sparse (position, count) multiset of hash instances
+    instead of OR'd bits. Any drift between the two key pipelines would
+    break the view byte-equality the tests pin, so both go through
+    _batch_keys with identical arguments."""
+    if "doc_offset" not in corpus.columns:
+        from ..corpus import with_global_offsets
+
+        corpus = with_global_offsets(corpus)
+    if cfg.ngram > 1:
+        from ..corpus import stitch_stream_tail
+
+        corpus = stitch_stream_tail(corpus, cfg.ngram - 1, out_col="tokens",
+                                    min_doc_tokens=cfg.min_doc_tokens)
+    params = level_params(cfg)
+    levels = cfg.levels if levels is None else levels
+    spans = {L: cfg.span(L) for L in levels}
+    seeds = {L: level_seed(cfg, L) for L in levels}
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            offsets = pdf["doc_offset"].to_numpy()
+            doc_idx, pos, keys = _batch_keys(
+                pdf["tokens"], cfg, apply_stride=False, max_starts=pdf["n_tok"].to_numpy()
+            )
+            if len(keys) == 0:
+                continue
+            gpos = (offsets[doc_idx] + pos).astype(np.uint64)
+            if cfg.stride > 1:
+                sel = (gpos % np.uint64(cfg.stride)) == 0
+                gpos, keys = gpos[sel], keys[sel]
+                if len(keys) == 0:
+                    continue
+            h1, h2 = BloomFilter(8, 1, seeds[levels[0]])._hashes(keys)
+            out = {c: [] for c in ("level", "w_id", "counts", "n_items")}
+            for L in levels:
+                m, k = params[L]
+                proto = BloomFilter(m, k, seeds[L])
+                w = (gpos >> np.uint64(int(np.log2(spans[L])))).astype(np.int64)
+                uniq, group_ids = _monotone_groups(w)
+                bitpos = proto.positions_from_hashes(h1, h2)  # (n_keys, k)
+                lin = (np.repeat(group_ids.astype(np.int64), k) * int(m)
+                       + bitpos.ravel().astype(np.int64))
+                u_lin, u_cnt = np.unique(lin, return_counts=True)
+                grp = u_lin // int(m)
+                p_ = u_lin % int(m)
+                starts = np.searchsorted(grp, np.arange(len(uniq), dtype=np.int64))
+                bounds = np.append(starts, len(grp))
+                n_items = np.bincount(group_ids, minlength=len(uniq))
+                for g in range(len(uniq)):
+                    sl = slice(bounds[g], bounds[g + 1])
+                    out["level"].append(L)
+                    out["w_id"].append(int(uniq[g]))
+                    out["counts"].append(_pack_counting(
+                        m, k, seeds[L], int(n_items[g]), p_[sl], u_cnt[sl]))
+                    out["n_items"].append(int(n_items[g]))
+            yield pd.DataFrame(out)
+
+    spark_ctx = corpus.sparkSession.sparkContext
+    n_parts = max(spark_ctx.defaultParallelism, corpus.rdd.getNumPartitions())
+    balanced = corpus.select("doc_offset", "n_tok", "tokens").repartition(n_parts)
+    return balanced.mapInPandas(partials, schema=GLOBAL_COUNTING_SCHEMA)
+
+
+def _sum_counting_pairs(blobs: list[bytes], negate_after_first: bool = False):
+    """Sum (or subtract) sparse counting blobs: returns (m, k, seed,
+    n_items, pos, cnt) of the combined multiset. With ``negate_after_first``
+    every blob past the first SUBTRACTS; a position driven negative, or one
+    never indexed, refuses (removing content the index never counted)."""
+    m, k, seed, n_items, pos, cnt = _unpack_counting(blobs[0])
+    pos, cnt = pos.copy(), cnt.copy()
+    for b in blobs[1:]:
+        m2, k2, s2, ni2, p2, c2 = _unpack_counting(b)
+        if (m2, k2, s2) != (m, k, seed):
+            raise ValueError(
+                f"counting nodes incompatible: {(m2, k2, s2)} != {(m, k, seed)}")
+        if negate_after_first:
+            idx = np.searchsorted(pos, p2)
+            if len(p2) and ((idx >= len(pos)).any()
+                            or (pos[np.minimum(idx, len(pos) - 1)] != p2).any()):
+                raise ValueError(
+                    "counting takedown: removing a hash position the node "
+                    "never counted (subset contract violated)")
+            cnt = cnt.copy()
+            np.subtract.at(cnt, idx, c2)
+            if (cnt < 0).any():
+                raise ValueError(
+                    "counting takedown: a counter went negative — removal "
+                    "exceeds indexed content")
+            keep = cnt > 0
+            pos, cnt = pos[keep], cnt[keep]
+            n_items -= ni2
+            if n_items < 0:
+                raise ValueError("counting takedown: n_items went negative")
+        else:
+            allp = np.concatenate([pos, p2])
+            allc = np.concatenate([cnt, c2])
+            order = np.argsort(allp, kind="stable")
+            sp, sc = allp[order], allc[order]
+            new = np.concatenate(([True], sp[1:] != sp[:-1]))
+            starts = np.flatnonzero(new)
+            pos = sp[starts]
+            cnt = np.add.reduceat(sc, starts)
+            n_items += ni2
+    return m, k, seed, n_items, pos, cnt
+
+
+def build_global_counting_index(corpus: DataFrame, cfg: HbiConfig) -> DataFrame:
+    """The deletable maintenance artifact: one sparse counting node per
+    (level, STREAM window). Straddler partials merge by pair-sum (the same
+    one-shuffle shape as merge_global_rows)."""
+    partials = _global_axis_counting_partials(corpus, cfg)
+    agg = partials.groupBy("level", "w_id").agg(
+        F.collect_list("counts").alias("_c"))
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: [] for c in ("level", "w_id", "counts", "n_items")}
+            for lvl, wid, blobs in zip(pdf["level"], pdf["w_id"], pdf["_c"]):
+                if len(blobs) == 1:
+                    b = bytes(blobs[0])
+                    ni = _unpack_counting(b)[3]
+                else:
+                    m, k, s, ni, pos, cnt = _sum_counting_pairs(
+                        [bytes(b) for b in blobs])
+                    b = _pack_counting(m, k, s, ni, pos, cnt)
+                out["level"].append(lvl)
+                out["w_id"].append(wid)
+                out["counts"].append(b)
+                out["n_items"].append(ni)
+            yield pd.DataFrame(out)
+
+    return agg.mapInPandas(merge, schema=GLOBAL_COUNTING_SCHEMA)
+
+
+def counting_index_view(counting: DataFrame) -> DataFrame:
+    """The SERVING index: derive each node's bitset (position counted > 0
+    <=> bit set) — rows BYTE-EQUAL to the ordinary global build
+    (GLOBAL_INDEX_SCHEMA), so every existing search surface runs on the
+    view unchanged."""
+    def view(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: [] for c in ("level", "w_id", "bloom", "n_items", "bits_set")}
+            for lvl, wid, blob in zip(pdf["level"], pdf["w_id"], pdf["counts"]):
+                m, k, seed, n_items, pos, _cnt = _unpack_counting(bytes(blob))
+                bf = BloomFilter(m, k, seed)
+                upos = pos.astype(np.uint64)
+                np.bitwise_or.at(
+                    bf.words, (upos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (upos & np.uint64(63)))
+                bf.n_added = n_items
+                out["level"].append(lvl)
+                out["w_id"].append(wid)
+                out["bloom"].append(bf.to_bytes())
+                out["n_items"].append(n_items)
+                out["bits_set"].append(popcount_u64(bf.words))
+            yield pd.DataFrame(out)
+
+    return counting.mapInPandas(view, schema=GLOBAL_INDEX_SCHEMA)
+
+
+def takedown_global_counting_index(counting: DataFrame, removed_docs: DataFrame,
+                                   cfg: HbiConfig) -> DataFrame:
+    """CONTENT TAKEDOWN on the deletable global Bloom index: negative
+    counting partials over only the removed docs at their BUILD-TIME
+    offsets (missing doc_offset refuses — recomputed offsets would subtract
+    the wrong windows), pair-wise counter subtraction, emptied nodes
+    dropped. counting_index_view of the result is byte-equal to a scratch
+    global build over the survivors (pinned in tests/test_counting_bloom)."""
+    if "doc_offset" not in removed_docs.columns:
+        raise ValueError(
+            "takedown_global_counting_index: removed_docs must carry its "
+            "BUILD-TIME doc_offset column")
+    neg = build_global_counting_index(removed_docs, cfg)
+    joined = counting.join(
+        neg.select("level", "w_id", F.col("counts").alias("_neg")),
+        ["level", "w_id"], "left",
+    )
+
+    def sub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: [] for c in ("level", "w_id", "counts", "n_items")}
+            for lvl, wid, blob, nb in zip(pdf["level"], pdf["w_id"],
+                                          pdf["counts"], pdf["_neg"]):
+                if nb is None:
+                    ni = _unpack_counting(bytes(blob))[3]
+                    b = bytes(blob)
+                else:
+                    m, k, s, ni, pos, cnt = _sum_counting_pairs(
+                        [bytes(blob), bytes(nb)], negate_after_first=True)
+                    if ni == 0:
+                        continue  # emptied window: node leaves the index
+                    b = _pack_counting(m, k, s, ni, pos, cnt)
+                out["level"].append(lvl)
+                out["w_id"].append(wid)
+                out["counts"].append(b)
+                out["n_items"].append(ni)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(sub, schema=GLOBAL_COUNTING_SCHEMA)
