@@ -773,3 +773,51 @@ def takedown_global_counting_index(counting: DataFrame, removed_docs: DataFrame,
             yield pd.DataFrame(out)
 
     return joined.mapInPandas(sub, schema=GLOBAL_COUNTING_SCHEMA)
+
+
+def append_global_counting_index(counting: DataFrame, new_docs: DataFrame,
+                                 cfg: HbiConfig, n_so_far: int) -> DataFrame:
+    """insert() for the DELETABLE index: continue the stream at
+    ``n_so_far`` tokens, count the batch's hash instances, pair-sum into
+    the existing nodes — byte-equal to a scratch counting build over
+    old+new (counter addition is associative/commutative and old/new key
+    instances partition disjointly, the same argument as the Bloom OR
+    append). Unigram keys only: n-gram appends need the carried boundary
+    tail the Bloom stream state machinery owns
+    (streaming/incremental.append_increment_global) — refused here rather
+    than silently dropping boundary-crossing n-grams."""
+    if cfg.ngram > 1:
+        raise ValueError(
+            "append_global_counting_index: n-gram appends need the carried "
+            "boundary tail (see streaming.incremental.append_increment_global)"
+            " — build from scratch or keep ngram=1")
+    from ..corpus import with_global_offsets
+
+    batch = with_global_offsets(new_docs.drop("doc_offset") if "doc_offset"
+                                in new_docs.columns else new_docs)
+    batch = batch.withColumn(
+        "doc_offset", F.col("doc_offset") + F.lit(int(n_so_far)))
+    fresh = build_global_counting_index(batch, cfg)
+    both = counting.unionByName(fresh)
+    agg = both.groupBy("level", "w_id").agg(F.collect_list("counts").alias("_c"))
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: [] for c in ("level", "w_id", "counts", "n_items")}
+            for lvl, wid, blobs in zip(pdf["level"], pdf["w_id"], pdf["_c"]):
+                if len(blobs) == 1:
+                    b = bytes(blobs[0])
+                    ni = _unpack_counting(b)[3]
+                else:
+                    m, k, s, ni, pos, cnt = _sum_counting_pairs(
+                        [bytes(b) for b in blobs])
+                    b = _pack_counting(m, k, s, ni, pos, cnt)
+                out["level"].append(lvl)
+                out["w_id"].append(wid)
+                out["counts"].append(b)
+                out["n_items"].append(ni)
+            yield pd.DataFrame(out)
+
+    return agg.mapInPandas(merge, schema=GLOBAL_COUNTING_SCHEMA)

@@ -80,3 +80,27 @@ def test_counting_pair_kernel_guards():
     e = _pack_counting(128, 2, 7, 1, np.array([5]), np.array([1]))
     with pytest.raises(ValueError, match="incompatible"):
         _sum_counting_pairs([a, e])
+
+
+def test_counting_append_byte_equals_scratch(spark, gcorp):
+    from hierarchical_bloom_filter_index_spark.operators.build import (
+        append_global_counting_index,
+    )
+
+    docs = gcorp.orderBy("doc_id")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    cut = len(ids) // 2
+    old = gcorp.filter(F.col("doc_id").isin(ids[:cut]))
+    new = gcorp.filter(F.col("doc_id").isin(ids[cut:])).drop("doc_offset")
+    n_old = old.agg(F.sum("n_tok")).first()[0]
+    base = build_global_counting_index(old, CFG)
+    appended = append_global_counting_index(base, new, CFG, int(n_old))
+    scratch = build_global_counting_index(gcorp, CFG)
+
+    def cmap(df):
+        return {(r["level"], r["w_id"]): (bytes(r["counts"]), r["n_items"])
+                for r in df.collect()}
+
+    assert cmap(appended) == cmap(scratch)
+    with pytest.raises(ValueError, match="boundary tail"):
+        append_global_counting_index(base, new, CFG.with_(ngram=3), int(n_old))
