@@ -2851,6 +2851,48 @@ def q_bloom_anti_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-BASED JOIN-SIZE ESTIMATION (operators/joins.join_size_estimate):
+    |orders JOIN lineitem on orderkey| = <f_A, f_B> from ONE CountSketch
+    blob per side (two-phase build, tree fan-in — no row ever shuffles),
+    driver-side AMS inner product. Auto-sized width keeps both nodes in the
+    canonical SPARSE-EXACT regime at this corpus's key cardinality, so the
+    'estimate' IS the true cardinality — the oracle is the actual join
+    count. Dense-regime AMS error bounds live in tests/test_joins.py."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import (
+        join_size_estimate,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = join_size_estimate(orders, li, ("o_orderkey", "l_orderkey"),
+                             seed=CFG.seed)
+    if not res["exact"]:
+        raise AssertionError(
+            "join_size_estimate left the sparse-exact regime on the test "
+            "corpus — the integer oracle would be checking an estimate")
+    return spark.createDataFrame(
+        [(int(res["est_join_size"]), res["n_left"], res["n_right"])],
+        "est_join_size bigint, n_left bigint, n_right bigint",
+    )
+
+
+def q_custkey_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW F2 (operators/joins.key_skew_f2): second frequency moment
+    of orders.o_custkey — the SELF-join size sum_k f_k^2 that decides
+    salting before a shuffle — from one CountSketch blob, exact in the
+    sparse regime (loud failure if the corpus ever outgrows it)."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import key_skew_f2
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = key_skew_f2(orders, "o_custkey", seed=CFG.seed)
+    if not res["exact"]:
+        raise AssertionError(
+            "key_skew_f2 left the sparse-exact regime on the test corpus")
+    return spark.createDataFrame(
+        [(int(res["f2"]), res["n_rows"])], "f2 bigint, n_rows bigint")
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000
 
 
@@ -6032,6 +6074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lineitem_join": q_orders_lineitem_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "bloom_anti_lineitem": q_bloom_anti_lineitem,
+        "join_size_estimate": q_join_size_estimate,
+        "custkey_skew_f2": q_custkey_skew_f2,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
@@ -6978,6 +7022,15 @@ GROUP BY 1, 2""",
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')""",
+        "join_size_estimate": """SELECT
+       (SELECT COUNT(*) FROM orders o JOIN lineitem l
+        ON o.o_orderkey = l.l_orderkey) AS est_join_size,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL) AS n_left,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_right""",
+        "custkey_skew_f2": """SELECT CAST(SUM(c * c) AS BIGINT) AS f2,
+       CAST(SUM(c) AS BIGINT) AS n_rows
+FROM (SELECT COUNT(*) AS c FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY o_custkey)""",
         "bloom_anti_lineitem": """SELECT l_returnflag,
        COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

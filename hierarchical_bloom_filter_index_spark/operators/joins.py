@@ -184,3 +184,199 @@ def expected_candidate_bound(n_big: int, n_match: int, fpp: float) -> int:
     n_miss = max(0, n_big - n_match)
     mean = n_miss * fpp
     return n_match + int(math.ceil(mean + 3.0 * math.sqrt(max(mean, 1.0)) + 3.0))
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based JOIN-SIZE / KEY-SKEW estimation — the planner-side companion
+# of the joins above.  |A JOIN B on k| = <f_A, f_B>, the inner product of the
+# two key-frequency vectors (Alon-Matias-Szegedy generalized to join-size
+# estimation), and per-key skew is F2 = <f, f> (the self-join size).  Both
+# are answered from ONE CountSketch blob per side, built with the engine's
+# two-phase pattern (per-partition packed partials, tree fan-in of the
+# linear merge) — the raw keys never funnel anywhere.
+#
+# The canonical sparse/dense node rule (sketches/cms.py) makes this a
+# continuum: while a side's distinct-key count stays within the node's
+# sparse capacity the blob IS the exact frequency table and the answer is
+# EXACT (zero error — how the driver oracle checks it); past that the dense
+# AMS table answers with the published |err| = O(sqrt(F2_a*F2_b/width))
+# w.h.p. bound.  ``width=None`` auto-sizes for the exact regime from the
+# row counts (refusing past ``max_exact_bytes`` instead of silently
+# degrading); at true scale the caller pins a width and takes the estimate.
+#
+# Reference parity: the reference's count-sketch layer (countmin/
+# CountSketch.java estimate/merge) answers point frequencies; join-size /
+# F2 is the classic planning query the same linear sketch supports.
+# ---------------------------------------------------------------------------
+
+_CS_JOIN_SEED = 77
+_FLUSH_KEYS = 1 << 20
+
+
+def _key_expr(df: DataFrame, key_col: str) -> Column:
+    """int64 key view of a column: integral columns cast losslessly; other
+    types go through xxhash64 (collision odds ~ n^2/2^64 — negligible, but
+    the integral path is exact by construction)."""
+    dt = df.schema[key_col].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return F.col(key_col).cast("long")
+    return F.xxhash64(key_col)
+
+
+def _cs_key_partials(df: DataFrame, key_col: str, depth: int, width: int,
+                     seed: int) -> DataFrame:
+    """(sketch binary) rows: one canonical cs blob per ~_FLUSH_KEYS keys per
+    partition (bounded scratch; Arrow batches concatenated so tiny batches
+    don't fragment the partial set)."""
+    import numpy as np
+
+    from ..sketches.cms import cs_partial_blobs_by_slot
+
+    sel = df.where(F.col(key_col).isNotNull()).select(
+        _key_expr(df, key_col).alias("k"))
+
+    def gen(batches):
+        buf: list = []
+        total = 0
+
+        def flush():
+            keys = buf[0] if len(buf) == 1 else np.concatenate(buf)
+            blob = cs_partial_blobs_by_slot(
+                keys, np.zeros(len(keys), dtype=np.int64), 1,
+                depth, width, seed)[0]
+            return pd.DataFrame({"sketch": [blob]})
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf["k"].to_numpy(dtype="int64"))
+            total += len(buf[-1])
+            if total >= _FLUSH_KEYS:
+                yield flush()
+                buf, total = [], 0
+        if total:
+            yield flush()
+
+    return sel.mapInPandas(gen, "sketch binary")
+
+
+def cs_key_blob(df: DataFrame, key_col: str, depth: int, width: int,
+                seed: int = _CS_JOIN_SEED, fanout: int = 64) -> bytes:
+    """ONE canonical CountSketch blob over the non-null keys of ``key_col``
+    (duplicates counted — it summarizes the frequency VECTOR).  Tree fan-in
+    mirrors aggregates.sketch_aggregate: no task merges more than ~
+    n_partials/fanout blobs, the final reduce sees <= fanout."""
+    import numpy as np
+
+    from ..sketches.cms import cs_merge_blob_groups, cs_partial_blobs_by_slot
+
+    def merge_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = [bytes(b) for b in pdf["sketch"]]
+        merged = cs_merge_blob_groups(
+            blobs, np.array([len(blobs)], dtype=np.int64),
+            depth, width, seed)[0]
+        return pd.DataFrame({"_b": [int(pdf["_b"].iloc[0]) // fanout],
+                             "sketch": [merged]})
+
+    cur = _cs_key_partials(df, key_col, depth, width, seed).withColumn(
+        "_b", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(fanout)))
+    sch = "_b int, sketch binary"
+    cur = cur.select("_b", "sketch").groupBy("_b").applyInPandas(merge_b, sch)
+    cur = cur.withColumn("_b", F.lit(0)).groupBy("_b").applyInPandas(merge_b, sch)
+    rows = cur.select("sketch").collect()
+    if not rows:
+        # empty side: the canonical EMPTY sparse node (inner product 0)
+        return cs_partial_blobs_by_slot(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), 1,
+            depth, width, seed)[0]
+    return bytes(rows[0]["sketch"])
+
+
+def _exact_width(n_keys_bound: int, depth: int, max_exact_bytes: int) -> int:
+    """Width whose sparse capacity (depth*width/2) covers ``n_keys_bound``
+    distinct keys — the exact regime by construction (row count >= distinct
+    count, so the bound is safe)."""
+    if 16 * n_keys_bound > max_exact_bytes:
+        raise ValueError(
+            f"auto-sized exact blob would exceed {max_exact_bytes >> 20} MiB "
+            f"for ~{n_keys_bound} keys: pass an explicit width to take the "
+            "AMS estimate regime instead")
+    return 2 * ((max(n_keys_bound, 1) + depth - 1) // depth) + 16
+
+
+def _is_sparse(blob: bytes) -> bool:
+    from ..sketches.cms import _MAGIC_CS_SP
+    return bytes(blob)[0] == _MAGIC_CS_SP
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    on: str | tuple[str, str],
+    depth: int = 5,
+    width: int | None = None,
+    seed: int = _CS_JOIN_SEED,
+    fanout: int = 64,
+    max_exact_bytes: int = 64 << 20,
+) -> dict:
+    """Estimate ``|a INNER JOIN b ON key|`` without running the join: two
+    one-pass CountSketch blobs (shared depth/width/seed — required for the
+    AMS dot), one driver-side inner product.  NULL keys never join on
+    either engine, so both sides drop them.
+
+    Returns ``{"est_join_size", "exact", "n_left", "n_right", "depth",
+    "width"}``.  ``exact=True`` (both nodes sparse) means est_join_size is
+    the true join cardinality as an integer-valued float; otherwise it is
+    the unbiased AMS estimate within O(sqrt(F2_a*F2_b/width)) w.h.p.
+
+    Scale shape: two columnar scans, zero shuffles of data rows (only
+    sketch blobs move through the fan-in groupBys); the decision this
+    feeds — broadcast vs shuffle vs skew-salt — is exactly what a planner
+    wants BEFORE paying the exchange."""
+    from ..sketches.cms import cs_inner_product_blobs
+
+    left_col, right_col = _join_cols(on)
+    n_a = a.where(F.col(left_col).isNotNull()).count()
+    n_b = b.where(F.col(right_col).isNotNull()).count()
+    if width is None:
+        width = _exact_width(max(n_a, n_b), depth, max_exact_bytes)
+    ba = cs_key_blob(a, left_col, depth, width, seed, fanout)
+    bb = cs_key_blob(b, right_col, depth, width, seed, fanout)
+    est = float(cs_inner_product_blobs([ba], [bb])[0])
+    return {
+        "est_join_size": est,
+        "exact": _is_sparse(ba) and _is_sparse(bb),
+        "n_left": n_a,
+        "n_right": n_b,
+        "depth": depth,
+        "width": width,
+    }
+
+
+def key_skew_f2(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int | None = None,
+    seed: int = _CS_JOIN_SEED,
+    fanout: int = 64,
+    max_exact_bytes: int = 64 << 20,
+) -> dict:
+    """Second frequency moment of ``key_col`` (= the SELF-join size
+    sum_k f_k^2) from one CountSketch blob — the skew signal that decides
+    salting before a shuffle: f2/n is the mean key multiplicity, and a
+    uniform key set has f2 == n.  Exact in the sparse regime, AMS median
+    (Var <= 2*F2^2/width per row) in the dense one."""
+    from ..sketches.cms import f2_blobs
+
+    n = df.where(F.col(key_col).isNotNull()).count()
+    if width is None:
+        width = _exact_width(n, depth, max_exact_bytes)
+    blob = cs_key_blob(df, key_col, depth, width, seed, fanout)
+    return {
+        "f2": float(f2_blobs([blob])[0]),
+        "exact": _is_sparse(blob),
+        "n_rows": n,
+        "depth": depth,
+        "width": width,
+    }

@@ -98,3 +98,79 @@ def test_n_keys_hint_skips_count(spark):
     want = big.join(keys, on="rk", how="left_semi")
     assert bf.n_added == 100
     assert _rows(got, ["rk"]) == _rows(want, ["rk"])
+
+
+# ---------------------------------------------------------------------------
+# join-size / key-skew estimation
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.joins import (  # noqa: E402
+    join_size_estimate,
+    key_skew_f2,
+)
+
+
+@pytest.fixture(scope="module")
+def jframes(spark):
+    # a: keys 0..199 each repeated (k % 7) + 1 times, plus NULLs
+    a = spark.range(200).select((F.col("id") % 200).alias("k")).withColumn(
+        "reps", F.col("k") % 7 + 1).select(
+        F.explode(F.sequence(F.lit(1), F.col("reps"))).alias("_i"), "k"
+    ).select(F.when(F.col("k") == 13, F.lit(None)).otherwise(F.col("k")).alias("k"))
+    # b: keys 100..399 each twice
+    b = spark.range(300).select((F.col("id") + 100).alias("rk")).unionAll(
+        spark.range(300).select((F.col("id") + 100).alias("rk")))
+    return a.persist(), b.persist()
+
+
+def _true_join_size(a, b, left, right):
+    return (a.where(F.col(left).isNotNull())
+             .join(b, F.col(left) == F.col(right), "inner").count())
+
+
+def test_join_size_exact_regime(spark, jframes):
+    a, b = jframes
+    res = join_size_estimate(a, b, ("k", "rk"))
+    assert res["exact"] is True
+    assert res["est_join_size"] == float(_true_join_size(a, b, "k", "rk"))
+
+
+def test_join_size_empty_side(spark, jframes):
+    a, b = jframes
+    res = join_size_estimate(a, b.where(F.col("rk") < 0), ("k", "rk"))
+    assert res["exact"] is True and res["est_join_size"] == 0.0
+
+
+def test_join_size_dense_regime_bound(spark, jframes):
+    a, b = jframes
+    # force dense: sparse capacity depth*width/2 = 45 < 199 distinct keys
+    res = join_size_estimate(a, b, ("k", "rk"), depth=9, width=10)
+    assert res["exact"] is False
+    true = _true_join_size(a, b, "k", "rk")
+    f2a = key_skew_f2(a, "k")["f2"]
+    f2b = key_skew_f2(b, "rk")["f2"]
+    bound = 3.0 * (f2a * f2b / 10) ** 0.5
+    assert abs(res["est_join_size"] - true) <= bound
+
+
+def test_key_skew_f2_exact(spark, jframes):
+    a, _ = jframes
+    res = key_skew_f2(a, "k")
+    true = (a.where(F.col("k").isNotNull()).groupBy("k").count()
+             .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0])
+    assert res["exact"] is True and res["f2"] == float(true)
+    assert res["n_rows"] == a.where(F.col("k").isNotNull()).count()
+
+
+def test_join_size_string_keys(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("z",), (None,)], "s string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("w",)], "t string")
+    res = join_size_estimate(a, b, ("s", "t"))
+    assert res["exact"] is True
+    assert res["est_join_size"] == float(_true_join_size(a, b, "s", "t"))
+
+
+def test_join_size_autowidth_refusal(spark, jframes):
+    a, b = jframes
+    with pytest.raises(ValueError, match="explicit width"):
+        join_size_estimate(a, b, ("k", "rk"), max_exact_bytes=64)
