@@ -2893,6 +2893,92 @@ def q_custkey_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(res["f2"]), res["n_rows"])], "f2 bigint, n_rows bigint")
 
 
+# key-set statistics (operators/keystats.py) — planner stats between the
+# URGENT-orders customer set and the customer table
+OVERLAP_K = 128
+
+
+def _key_hash_ctes(seed: int, name: str, src_sql: str) -> str:
+    """CTE chain: ``src_sql`` (one BIGINT column ``key``, assumed distinct)
+    -> ``{name}(key, _h HUGEINT)`` with _h = hash64(key, seed), bit-exact vs
+    sketches.hashing.hash64 (same construction as _splitmix_ctes, keyed by
+    an arbitrary integer expression)."""
+    s = _seed_mix_const(seed)
+    s_signed = s - _P64 if s >= (1 << 63) else s
+    g, m1, m2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    xor_in = f"xor(CAST(key AS BIGINT), CAST({s_signed} AS BIGINT))"
+    return f"""{name}_src AS ({src_sql}),
+{name}_k AS (SELECT key, CAST({xor_in} AS HUGEINT)
+             + CASE WHEN {xor_in} < 0 THEN {_P64} ELSE 0 END AS h
+             FROM {name}_src),
+{name}_s0 AS (SELECT key, (h + {g}) % {_P64} AS _h0 FROM {name}_k),
+{name}_s1 AS (SELECT key, {_sql_mul64(_sql_xsr('_h0', 30), m1)} AS _h1 FROM {name}_s0),
+{name}_s2 AS (SELECT key, {_sql_mul64(_sql_xsr('_h1', 27), m2)} AS _h2 FROM {name}_s1),
+{name} AS (SELECT key, {_sql_xsr('_h2', 31)} AS _h FROM {name}_s2)"""
+
+
+_URGENT_KEYS_SQL = ("SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key "
+                    "FROM orders WHERE o_orderpriority = '1-URGENT'")
+_CUST_KEYS_SQL = "SELECT DISTINCT CAST(c_custkey AS BIGINT) AS key FROM customer"
+
+
+def q_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV KEY-OVERLAP (operators/keystats.key_overlap): how much of the
+    customer key space do URGENT orders touch?  Bottom-k Jaccard state
+    between the two columns' distinct-key sets — every output a
+    DETERMINISTIC VALUE (pure function of the key sets through the
+    seed-fixed priority hash), so the DuckDB twin re-derives bottom-k of
+    the union via the bit-exact HUGEINT SplitMix64 chain and the equality
+    is a hard value gate even though k << |union|."""
+    from hierarchical_bloom_filter_index_spark.operators.keystats import key_overlap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    res = key_overlap(urgent, "o_custkey", cust, "c_custkey", k=OVERLAP_K)
+    return spark.createDataFrame(
+        [(res["n_sample"], res["n_match"], res["est_jaccard"])],
+        "n_sample bigint, n_match bigint, est_jaccard double")
+
+
+def q_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL KEY SET ALGEBRA (operators/keystats.key_setops): |A|, |B|,
+    |A ∪ B|, |A ∩ B| between the URGENT-orders customer set and the
+    customer table from one HLL node per side (lossless register-max
+    union, inclusion-exclusion intersection).  Auto-sized p keeps both
+    nodes sparse-exact at this corpus's cardinality, so all four outputs
+    are exact integers — the oracle is plain COUNT(DISTINCT) algebra."""
+    from hierarchical_bloom_filter_index_spark.operators.keystats import key_setops
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    res = key_setops(urgent, "o_custkey", cust, "c_custkey")
+    if not res["exact"]:
+        raise AssertionError(
+            "key_setops left the sparse-exact regime on the test corpus")
+    return spark.createDataFrame(
+        [(int(res["est_a"]), int(res["est_b"]), int(res["est_union"]),
+          int(res["est_intersect"]))],
+        "n_a bigint, n_b bigint, n_union bigint, n_intersect bigint")
+
+
+def q_event_type_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COLUMN HEAVY VALUES (operators/keystats.column_heavy_hitters):
+    event types covering >= 1/5 of the event stream — Misra-Gries candidate
+    superset over hashed keys (integer for_phi sizing makes the certificate
+    unconditional; collisions only ADD candidates), one exact count over
+    the broadcast candidates decides with integer threshold arithmetic.
+    The 1/5 cut lands INSIDE this corpus's event-type distribution (some
+    types pass, some fail), so the oracle exercises both sides."""
+    from hierarchical_bloom_filter_index_spark.operators.keystats import (
+        column_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return column_heavy_hitters(ev, "event_type", 1, 5).orderBy("event_type")
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000
 
 
@@ -6076,6 +6162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti_lineitem": q_bloom_anti_lineitem,
         "join_size_estimate": q_join_size_estimate,
         "custkey_skew_f2": q_custkey_skew_f2,
+        "custkey_overlap": q_custkey_overlap,
+        "custkey_setops": q_custkey_setops,
+        "event_type_heavy": q_event_type_heavy,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
@@ -7031,6 +7120,33 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM (SELECT COUNT(*) AS c FROM orders
       WHERE o_custkey IS NOT NULL GROUP BY o_custkey)""",
+        "custkey_overlap": f"""WITH {_key_hash_ctes(29, 'uh',
+            f"{_URGENT_KEYS_SQL} UNION {_CUST_KEYS_SQL}")},
+bk AS (SELECT key FROM uh ORDER BY _h LIMIT {OVERLAP_K}),
+ak AS ({_URGENT_KEYS_SQL}), ck AS ({_CUST_KEYS_SQL}),
+m AS (SELECT COUNT(*) AS n_sample,
+             CAST(SUM(CASE WHEN bk.key IN (SELECT key FROM ak)
+                            AND bk.key IN (SELECT key FROM ck)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM bk)
+SELECT n_sample, n_match,
+       CAST(n_match AS DOUBLE) / n_sample AS est_jaccard FROM m""",
+        "custkey_setops": f"""WITH ak AS ({_URGENT_KEYS_SQL}),
+ck AS ({_CUST_KEYS_SQL})
+SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM ck) AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(*) FROM (SELECT key FROM ak UNION
+                                   SELECT key FROM ck)) AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM (SELECT key FROM ak INTERSECT
+                                   SELECT key FROM ck)) AS BIGINT) AS n_intersect""",
+        "event_type_heavy": """WITH tot AS (
+  SELECT COUNT(*) AS n FROM events WHERE event_type IS NOT NULL)
+SELECT event_type, COUNT(*) AS n_rows
+FROM events, tot
+WHERE event_type IS NOT NULL
+GROUP BY event_type, tot.n
+HAVING COUNT(*) * 5 >= tot.n
+ORDER BY event_type""",
         "bloom_anti_lineitem": """SELECT l_returnflag,
        COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
