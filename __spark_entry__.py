@@ -2663,6 +2663,101 @@ def q_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zonemap_range_layout(spark: SparkSession, sf_dir: str):
+    """lineitem range-clustered on l_orderkey (8 files) + its zone map,
+    built once per sf_dir."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+    )
+
+    key = ("zonemap_range", sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="hbi_zm_range_")
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .repartitionByRange(8, "l_orderkey")
+         .write.mode("overwrite").parquet(path))
+        zm = build_zone_map(
+            spark.read.parquet(path), stat_cols=("l_orderkey",)).persist()
+        zm.count()
+        _CACHE[key] = (path, zm)
+    return _CACHE[key]
+
+
+def q_zonemap_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL ZONE-MAP SKIPPING (operators/zonemap.py): the hierarchical
+    descend-or-skip discipline at the storage layer. lineitem is
+    range-clustered on l_orderkey; ONE zone-map row per file (min/max
+    envelope) lets the middle-eighth range predicate certify most files
+    non-matching before any is opened; the exact BETWEEN re-applied to the
+    pruned read closes the contract, so the aggregate equals the full-scan
+    oracle byte-for-byte. A hard in-query gate refuses if pruning didn't
+    actually skip files (the layout is clustered — it must)."""
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        prune_files,
+        read_pruned,
+    )
+
+    path, zm = _zonemap_range_layout(spark, sf_dir)
+    b = zm.agg(F.min("min_l_orderkey").alias("mn"),
+               F.max("max_l_orderkey").alias("mx"),
+               F.count(F.lit(1)).alias("nf")).first()
+    lo = b["mn"] + (b["mx"] - b["mn"]) // 4
+    hi = b["mn"] + 3 * (b["mx"] - b["mn"]) // 8
+    files = prune_files(zm, "l_orderkey", lo, hi)
+    if not (0 < len(files) < b["nf"]):
+        raise AssertionError(
+            f"zone map failed to skip files on a range-clustered layout "
+            f"({len(files)}/{b['nf']} kept)")
+    return (
+        read_pruned(spark, path, files)
+        .where(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
+def q_zonemap_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM POINT-LOOKUP PRUNING (operators/zonemap.py): documents
+    hash-clustered on doc_id with one Bloom filter per file; an IN-set probe
+    keeps only files whose filter reports some key maybe-present (no false
+    negatives — soundness is the Bloom contract), then the exact isin
+    predicate decides. This is the skip parquet min/max statistics cannot
+    express: a hash-clustered layout has useless envelopes but perfect
+    membership locality."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+        prune_files,
+        read_pruned,
+    )
+
+    key = ("zonemap_bloom", sf_dir)
+    if key not in _CACHE:
+        path = tempfile.mkdtemp(prefix="hbi_zm_bloom_")
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(8, "doc_id")
+         .write.mode("overwrite").parquet(path))
+        zm = build_zone_map(spark.read.parquet(path), bloom_col="doc_id").persist()
+        zm.count()
+        _CACHE[key] = (path, zm)
+    path, zm = _CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = [r["doc_id"] for r in
+           docs.where(F.col("doc_id") % 199 == 42).select("doc_id").collect()]
+    files = prune_files(zm, bloom_keys=ids)
+    if not files:
+        raise AssertionError("bloom prune dropped files holding probed keys")
+    return (
+        read_pruned(spark, path, files)
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", "n_chars")
+    )
+
+
 def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
     per l_returnflag — partial rows per (Arrow batch, group, column), one
@@ -6154,6 +6249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "sketch_bucket_balance": q_sketch_bucket_balance,
         "bucket_pruned_read": q_bucket_pruned_read,
+        "zonemap_pruned_range": q_zonemap_pruned_range,
+        "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
         "grouped_profile": q_grouped_profile,
         "profile_incremental_parity": q_profile_incremental_parity,
         "profile_stream_parity": q_profile_stream_parity,
@@ -7921,6 +8018,20 @@ WHERE FALSE""",
         "bucket_pruned_read": """SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
 WHERE l_extendedprice >= 20000.0 AND l_extendedprice < 35000.0""",
+        # zone-map-pruned reads == full-scan filters (pruning only prunes;
+        # the Spark side re-applies the exact predicate after the skip)
+        "zonemap_pruned_range": """WITH b AS (
+  SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 4
+                     AND b.mn + 3 * (b.mx - b.mn) // 8
+GROUP BY l_returnflag""",
+        "zonemap_bloom_lookup": """SELECT doc_id, n_chars
+FROM documents
+WHERE doc_id % 199 = 42""",
         # grouped profile: exact per-group aggregates; top value = max count,
         # min-value tie-break (same deterministic cut as the Spark readout)
         "grouped_profile": """WITH v AS (

@@ -1,0 +1,160 @@
+"""File-level zone maps + Bloom pruning — data skipping over parquet layouts.
+
+The hierarchical-Bloom pruning discipline (operators/route.py: probe a small
+summary, descend only into windows that might match, verify exactly) lifted
+to the STORAGE layer: one summary row per parquet file — row count, per-column
+min/max, and optionally a Bloom filter over a key column — lets a query
+decide which files can possibly contain matching rows BEFORE any of them is
+scanned.  At 100 TB this is the single biggest lever a scan has: a range
+predicate on a range-clustered layout or a point-lookup on a hash-clustered
+layout touches O(matching) files instead of O(all).
+
+Soundness contract (the same shape as every pruning surface in this engine):
+pruning only ever SKIPS files certified non-matching — range pruning keeps
+any file whose [min, max] envelope overlaps the query range, Bloom pruning
+keeps any file whose filter reports a probe key maybe-present (no false
+negatives by construction) — and the caller re-applies the EXACT predicate
+to the pruned read, so the result equals the full scan byte-for-byte; the
+zone map only buys speed.  Spark's own parquet row-group statistics do this
+within a scan; the zone map makes the file-level decision available to the
+engine itself (driver-side file lists feed ``spark.read.parquet(*files)``),
+works for Bloom point-lookups parquet stats cannot express, and persists as
+a tiny queryable table.
+
+Scale shape: the builder is ONE pass over the layout — per-file partial
+aggregates map-side, a groupBy on the file name that shuffles one tiny row
+(plus one Bloom blob) per file; the zone map itself is ~1 row per file, so
+pruning is a metadata operation (a filter over the zone-map table; only the
+surviving FILE NAMES are collected, never data).  Appending new files to a
+layout appends their zone-map rows (files are immutable — the map is
+append-only, like sources/io's segment metadata).
+
+Reference parity: the reference prunes windows through its Bloom hierarchy
+(query/BlockSearch.java descend-or-skip); this is the same decision applied
+to files of a distributed layout rather than windows of a token stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sketches.bloom import BloomFilter, design
+from .aggregates import sketch_aggregate
+from .joins import _key_expr
+
+_ZONE_SEED = 41
+
+
+def build_zone_map(
+    df: DataFrame,
+    stat_cols: tuple[str, ...] = (),
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
+    bloom_capacity: int | None = None,
+    seed: int = _ZONE_SEED,
+) -> DataFrame:
+    """ONE zone-map row per underlying parquet file of ``df``: ``(_file,
+    n_rows, min_<c>, max_<c> ...[, bloom])``.
+
+    ``df`` must be a file-backed frame (``spark.read.parquet``) — provenance
+    comes from ``input_file_name()``.  ``stat_cols`` get min/max envelopes
+    (JVM aggregates, map-side partials — the shuffle carries one row per
+    file).  ``bloom_col`` adds a per-file Bloom filter over the column's
+    int64 key view (lossless cast for integral columns, xxhash64 otherwise),
+    sized for ``bloom_capacity`` keys (default: 2x the mean file's rows —
+    an overfull file only degrades its FPR, never soundness: ``contains``
+    keeps no-false-negatives at any fill)."""
+    src = df.withColumn("_file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    stats = src.groupBy("_file").agg(*aggs)
+    if bloom_col is None:
+        return stats
+    if bloom_capacity is None:
+        n_files = max(len(df.inputFiles()), 1)
+        total = df.count()
+        bloom_capacity = max(64, (2 * total) // n_files)
+    m, k = design(bloom_capacity, bloom_fpp)
+    keys = src.where(F.col(bloom_col).isNotNull()).select(
+        "_file", _key_expr(df, bloom_col).alias("_k"))
+    blooms = sketch_aggregate(
+        keys, "_k", lambda: BloomFilter(m, k, seed), group_cols=("_file",)
+    ).withColumnRenamed("sketch", "bloom")
+    # a file with only NULL keys has no bloom row: empty filter (matches none)
+    return stats.join(blooms, "_file", "left")
+
+
+def _range_keep(zm: DataFrame, col: str, lo, hi) -> DataFrame:
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
+    return zm.where(keep)
+
+
+def prune_files(
+    zone_map: DataFrame,
+    range_col: str | None = None,
+    lo=None,
+    hi=None,
+    bloom_keys=None,
+) -> list[str]:
+    """File names that MIGHT contain rows matching the conjunction of a
+    closed range predicate (``lo <= range_col <= hi``; one-sided with
+    lo/hi None) and a Bloom membership predicate (``bloom col IN
+    bloom_keys``) — sound over-approximation, never under.
+
+    The range cut runs as a filter on the zone-map table; only the
+    surviving (file, bloom) rows are collected (~1 row per file — the file
+    list must reach the driver anyway to feed ``spark.read.parquet``).
+    ``bloom_keys`` are raw column values; they are hashed through the SAME
+    Spark expression the builder used (one driver-local tiny job), so
+    string keys probe bit-identically to how they were inserted."""
+    zm = zone_map
+    if range_col is not None:
+        zm = _range_keep(zm, range_col, lo, hi)
+    if bloom_keys is None:
+        return [r["_file"] for r in zm.select("_file").collect()]
+    if len(bloom_keys) == 0:
+        return []
+    spark = zone_map.sparkSession
+    kdf = spark.createDataFrame([(v,) for v in bloom_keys], ["v"])
+    hashed = np.array(
+        [r["k"] for r in kdf.select(_key_expr(kdf, "v").alias("k")).collect()],
+        dtype=np.int64)
+    out = []
+    for r in zm.select("_file", "bloom").collect():
+        if r["bloom"] is None:  # no non-null keys in this file
+            continue
+        bf = BloomFilter.from_bytes(bytes(r["bloom"]))
+        if bool(bf.contains(hashed).any()):
+            out.append(r["_file"])
+    return out
+
+
+def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Read only ``files`` of the layout at ``path`` (empty list -> the
+    layout's schema with zero rows).  The caller MUST re-apply the exact
+    predicate — pruning is an over-approximation by contract."""
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files)
+
+
+def write_zone_map(zone_map: DataFrame, path: str) -> None:
+    """Persist the zone map (tiny: ~1 row per data file)."""
+    zone_map.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_zone_map(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def append_zone_map(zone_map: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """Zone map of a layout after new files are added: files are immutable,
+    so maintenance is a pure union of the new files' rows."""
+    return zone_map.unionByName(new_rows, allowMissingColumns=True)

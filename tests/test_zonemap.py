@@ -1,0 +1,172 @@
+"""File-level zone maps (operators/zonemap.py): pruned reads equal full
+scans under the exact predicate, pruning actually skips files on clustered
+layouts, Bloom probes have no false negatives, lifecycle (persist/append)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+    append_zone_map,
+    build_zone_map,
+    prune_files,
+    read_pruned,
+    read_zone_map,
+    write_zone_map,
+)
+
+
+@pytest.fixture(scope="module")
+def layout(spark, sf_dir):
+    """lineitem range-clustered on l_orderkey into 8 files."""
+    path = tempfile.mkdtemp(prefix="hbi_zm_layout_")
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+     .repartitionByRange(8, "l_orderkey")
+     .write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    zm = build_zone_map(df, stat_cols=("l_orderkey",)).persist()
+    yield path, df, zm
+    zm.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def doc_layout(spark, sf_dir):
+    """documents hash-clustered on doc_id into 8 files, Bloom on doc_id."""
+    path = tempfile.mkdtemp(prefix="hbi_zm_docs_")
+    (spark.read.parquet(f"{sf_dir}/documents.parquet")
+     .repartition(8, "doc_id")
+     .write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    zm = build_zone_map(df, bloom_col="doc_id").persist()
+    yield path, df, zm
+    zm.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_zone_map_shape(spark, layout):
+    path, df, zm = layout
+    files = {r["_file"] for r in zm.collect()}
+    assert len(files) == len(df.inputFiles()) == 8
+    assert zm.agg(F.sum("n_rows")).first()[0] == df.count()
+    # envelopes hold
+    bad = (df.withColumn("_file", F.input_file_name())
+           .join(zm, "_file")
+           .where((F.col("l_orderkey") < F.col("min_l_orderkey"))
+                  | (F.col("l_orderkey") > F.col("max_l_orderkey"))))
+    assert bad.count() == 0
+
+
+def test_range_prune_equals_full_scan(spark, layout):
+    path, df, zm = layout
+    mn, mx = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    lo = mn + (mx - mn) // 4
+    hi = mn + 3 * (mx - mn) // 8
+    files = prune_files(zm, "l_orderkey", lo, hi)
+    assert 0 < len(files) < 8  # range-clustered layout must actually skip
+    pred = F.col("l_orderkey").between(lo, hi)
+    got = read_pruned(spark, path, files).where(pred)
+    want = df.where(pred)
+    cols = df.columns
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_one_sided_and_empty_ranges(spark, layout):
+    path, df, zm = layout
+    mn, mx = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    assert sorted(prune_files(zm, "l_orderkey", None, mx)) == sorted(
+        prune_files(zm))  # no-op bound keeps every file
+    files = prune_files(zm, "l_orderkey", mx + 1, None)
+    assert files == []
+    got = read_pruned(spark, path, files)
+    assert got.count() == 0 and got.columns == df.columns
+
+
+def test_bloom_prune_point_lookup(spark, doc_layout):
+    path, df, zm = doc_layout
+    ids = [r["doc_id"] for r in df.orderBy("doc_id").limit(5).collect()]
+    files = prune_files(zm, bloom_keys=ids)
+    # each id lives in one file; FPR can add a few, never drop one
+    assert 1 <= len(files) <= 8
+    pred = F.col("doc_id").isin(ids)
+    got = read_pruned(spark, path, files).where(pred)
+    want = df.where(pred)
+    assert _rows(got, ["doc_id", "n_chars"]) == _rows(want, ["doc_id", "n_chars"])
+    assert got.count() == 5
+
+
+def test_bloom_prune_absent_and_empty_keys(spark, doc_layout):
+    path, df, zm = doc_layout
+    absent = -987654321
+    files = prune_files(zm, bloom_keys=[absent])
+    # soundness: reading the (possibly empty) survivor set + exact predicate
+    got = read_pruned(spark, path, files).where(F.col("doc_id") == absent)
+    assert got.count() == 0
+    assert prune_files(zm, bloom_keys=[]) == []
+
+
+def test_bloom_prune_string_keys(spark, sf_dir):
+    """String bloom column: probe values hash through the SAME xxhash64
+    expression the builder used."""
+    path = tempfile.mkdtemp(prefix="hbi_zm_str_")
+    try:
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(4, "source").write.mode("overwrite").parquet(path))
+        df = spark.read.parquet(path)
+        zm = build_zone_map(df, bloom_col="source")
+        src = df.select("source").first()["source"]
+        files = prune_files(zm, bloom_keys=[src])
+        assert 1 <= len(files) <= 4
+        got = read_pruned(spark, path, files).where(F.col("source") == src)
+        want = df.where(F.col("source") == src)
+        assert got.count() == want.count() > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_combined_range_and_bloom(spark, sf_dir):
+    path = tempfile.mkdtemp(prefix="hbi_zm_comb_")
+    try:
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .repartitionByRange(6, "o_orderkey")
+         .write.mode("overwrite").parquet(path))
+        df = spark.read.parquet(path)
+        zm = build_zone_map(df, stat_cols=("o_orderkey",), bloom_col="o_custkey")
+        mn, mx = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        hi = mn + (mx - mn) // 3
+        cks = [r["o_custkey"] for r in df.limit(3).collect()]
+        files = prune_files(zm, "o_orderkey", None, hi, bloom_keys=cks)
+        pred = (F.col("o_orderkey") <= hi) & F.col("o_custkey").isin(cks)
+        got = read_pruned(spark, path, files).where(pred)
+        want = df.where(pred)
+        assert _rows(got, df.columns) == _rows(want, df.columns)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zone_map_persist_and_append(spark, layout, sf_dir):
+    path, df, zm = layout
+    zpath = tempfile.mkdtemp(prefix="hbi_zm_meta_")
+    extra = tempfile.mkdtemp(prefix="hbi_zm_extra_")
+    try:
+        write_zone_map(zm, zpath)
+        rt = read_zone_map(spark, zpath)
+        assert _rows(rt, ["_file", "n_rows"]) == _rows(zm, ["_file", "n_rows"])
+        # append: new files' rows union in; totals track the grown layout
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+         .coalesce(1).write.mode("overwrite").parquet(extra))
+        new_rows = build_zone_map(
+            spark.read.parquet(extra), stat_cols=("l_orderkey",))
+        grown = append_zone_map(rt, new_rows)
+        assert grown.count() == rt.count() + 1
+        assert grown.agg(F.sum("n_rows")).first()[0] == df.count() + 100
+    finally:
+        shutil.rmtree(zpath, ignore_errors=True)
+        shutil.rmtree(extra, ignore_errors=True)
