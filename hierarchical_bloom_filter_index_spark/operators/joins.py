@@ -380,3 +380,67 @@ def key_skew_f2(
         "depth": depth,
         "width": width,
     }
+
+
+def plan_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: str | tuple[str, str],
+    row_bytes: int = 100,
+    broadcast_max_bytes: int = 32 << 20,
+    skew_phi: tuple[int, int] = (1, 64),
+    estimate_size: bool = False,
+    seed: int = _CS_JOIN_SEED,
+) -> dict:
+    """JOIN-STRATEGY ADVISOR: the planning decision the sketch family exists
+    to feed, made from the engine's own statistics BEFORE any exchange is
+    paid.  Decision ladder (first match wins):
+
+    1. ``broadcast`` — some side's estimated bytes (non-null key rows x
+       ``row_bytes``) fit under ``broadcast_max_bytes``: ship it, no
+       shuffle at all.
+    2. ``salted_shuffle`` — either side has a key holding >= ``skew_phi``
+       (num/den) of its rows (EXACT, via keystats.column_heavy_hitters'
+       Misra-Gries superset + one verified count): a plain hash exchange
+       would send that key's rows to ONE reduce task, so the hot keys
+       (returned in ``hot_left``/``hot_right``) need salting
+       (operators/skew.py).  ``salt_buckets`` suggests the fan-out that
+       levels the heaviest key down to an average task's share.
+    3. ``shuffle`` — a plain co-partitioned hash join is fine.
+
+    ``estimate_size=True`` additionally runs ``join_size_estimate`` (two
+    CountSketch passes) and reports ``est_join_size`` — the output-explosion
+    early warning.  Returns a dict with the decision plus every piece of
+    evidence, so a caller can log WHY.  All inputs to the decision are
+    deterministic (exact counts, exact heavy keys, seed-fixed sketches) —
+    same data, same answer, any cluster size."""
+    from .keystats import column_heavy_hitters
+
+    left_col, right_col = _join_cols(on)
+    n_a = a.where(F.col(left_col).isNotNull()).count()
+    n_b = b.where(F.col(right_col).isNotNull()).count()
+    out: dict = {"n_left": n_a, "n_right": n_b}
+    if estimate_size:
+        out["est_join_size"] = join_size_estimate(
+            a, b, (left_col, right_col), seed=seed)["est_join_size"]
+    if min(n_a, n_b) * row_bytes <= broadcast_max_bytes:
+        out["strategy"] = "broadcast"
+        out["broadcast_side"] = "left" if n_a <= n_b else "right"
+        return out
+    num, den = skew_phi
+    hot_a = [(r[left_col], r["n_rows"])
+             for r in column_heavy_hitters(a, left_col, num, den).collect()]
+    hot_b = [(r[right_col], r["n_rows"])
+             for r in column_heavy_hitters(b, right_col, num, den).collect()]
+    out["hot_left"], out["hot_right"] = sorted(hot_a), sorted(hot_b)
+    if hot_a or hot_b:
+        hottest = max(c for _, c in hot_a + hot_b)
+        n_side = n_a if hot_a and (not hot_b or max(
+            (c for _, c in hot_a), default=0) >= max(
+            (c for _, c in hot_b), default=0)) else n_b
+        # level the heaviest key down to an average key-task's share
+        out["strategy"] = "salted_shuffle"
+        out["salt_buckets"] = max(2, int(math.ceil(hottest * den / n_side)))
+        return out
+    out["strategy"] = "shuffle"
+    return out

@@ -174,3 +174,45 @@ def test_join_size_autowidth_refusal(spark, jframes):
     a, b = jframes
     with pytest.raises(ValueError, match="explicit width"):
         join_size_estimate(a, b, ("k", "rk"), max_exact_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# join-strategy advisor
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.joins import plan_join  # noqa: E402
+
+
+def test_plan_join_broadcast(spark, jframes):
+    a, b = jframes
+    n_a = a.where(F.col("k").isNotNull()).count()
+    n_b = b.count()
+    res = plan_join(a, b, ("k", "rk"))  # both tiny: broadcast wins
+    assert res["strategy"] == "broadcast"
+    assert res["broadcast_side"] == ("left" if n_a <= n_b else "right")
+    assert res["n_left"] == n_a and res["n_right"] == n_b
+
+
+def test_plan_join_shuffle_uniform(spark, jframes):
+    a, b = jframes
+    res = plan_join(a, b, ("k", "rk"), broadcast_max_bytes=0, skew_phi=(1, 64))
+    # max key multiplicity is 7 on a, 2 on b — far under 1/64 of the rows
+    assert res["strategy"] == "shuffle"
+    assert res["hot_left"] == [] and res["hot_right"] == []
+
+
+def test_plan_join_salted_on_skew(spark):
+    hot = spark.createDataFrame(
+        [(0,) for _ in range(500)] + [(i,) for i in range(1, 501)], "k bigint")
+    dim = spark.createDataFrame([(i,) for i in range(400)], "rk bigint")
+    res = plan_join(hot, dim, ("k", "rk"),
+                    broadcast_max_bytes=0, skew_phi=(1, 4))
+    assert res["strategy"] == "salted_shuffle"
+    assert res["hot_left"] == [(0, 500)] and res["hot_right"] == []
+    assert res["salt_buckets"] == 2  # ceil(500 * 4 / 1000)
+
+
+def test_plan_join_estimate_size(spark, jframes):
+    a, b = jframes
+    res = plan_join(a, b, ("k", "rk"), estimate_size=True)
+    assert res["est_join_size"] == float(_true_join_size(a, b, "k", "rk"))
