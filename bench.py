@@ -295,6 +295,14 @@ def main() -> None:
         "events_asof_purchase",
         # exact integer-scaled exponential decay (one scan, one groupBy)
         "decayed_event_counts",
+        # planner statistics: sketch join-size (AMS dot), key-skew F2,
+        # KMV key overlap, HLL key set algebra, exact heavy values —
+        # all one-pass-per-side, only sketch blobs move
+        "join_size_estimate",
+        "custkey_skew_f2",
+        "custkey_overlap",
+        "custkey_setops",
+        "event_type_heavy",
         # deterministic stratified sample (zero-shuffle narrow plan)
         # one-pass sketch profile of relational columns (exact-regime gates)
         "table_profile",
@@ -304,6 +312,11 @@ def main() -> None:
         # data skipping through the bucketed layout (first rep writes the
         # layout, cached after; partition filter prunes bucket dirs)
         "bucket_pruned_read",
+        # file-level zone-map skipping (first rep writes the clustered
+        # layout + zone map, cached after; range envelope / per-file Bloom
+        # prune, exact predicate closes the contract)
+        "zonemap_pruned_range",
+        "zonemap_bloom_lookup",
         "stratified_sample_docs",
         "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)
