@@ -2758,6 +2758,50 @@ def q_zonemap_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonemap_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for STREAMING layout ingest + zone-map maintenance: docs
+    drained through a file stream land as per-batch sub-dirs while each
+    batch appends its files' zone-map rows (batch_id replay guard; data
+    write idempotent via overwrite-own-dir) — the LIVE map must equal a
+    scratch build over the ingested layout, per-file Bloom BYTES included
+    (capacity pinned on both sides). Symmetric difference returned — the
+    DuckDB twin is the empty relation (operators/zonemap.py)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+        read_layout,
+        read_zone_map,
+        zone_map_ingest_stream,
+    )
+
+    cap = 4096
+    base = tempfile.mkdtemp(prefix="hbi_zm_parity_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = F.col("doc_id") % 2
+    docs.where(half == 0).write.mode("overwrite").parquet(f"{base}/in")
+    docs.where(half == 1).write.mode("append").parquet(f"{base}/in")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+    q = zone_map_ingest_stream(
+        stream, f"{base}/lay", f"{base}/zm", f"{base}/chk",
+        stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=cap)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("zonemap_stream_parity: drain exceeded 300s")
+    live = read_zone_map(spark, f"{base}/zm")
+    if live.select("batch_id").distinct().count() < 2:
+        raise AssertionError("zonemap_stream_parity: expected >= 2 batches")
+    want = build_zone_map(
+        read_layout(spark, f"{base}/lay"), ("doc_id",),
+        bloom_col="doc_id", bloom_capacity=cap)
+    sel = lambda df: df.select(  # noqa: E731
+        "_file", "n_rows", "min_doc_id", "max_doc_id",
+        F.xxhash64("bloom").alias("bloom_h"))
+    a, b = sel(live), sel(want)
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
     per l_returnflag — partial rows per (Arrow batch, group, column), one
@@ -6251,6 +6295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pruned_read": q_bucket_pruned_read,
         "zonemap_pruned_range": q_zonemap_pruned_range,
         "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
+        "zonemap_stream_parity": q_zonemap_stream_parity,
         "grouped_profile": q_grouped_profile,
         "profile_incremental_parity": q_profile_incremental_parity,
         "profile_stream_parity": q_profile_stream_parity,
@@ -8032,6 +8077,11 @@ GROUP BY l_returnflag""",
         "zonemap_bloom_lookup": """SELECT doc_id, n_chars
 FROM documents
 WHERE doc_id % 199 = 42""",
+        # streaming zone-map maintenance == scratch build, symdiff EMPTY
+        "zonemap_stream_parity": """SELECT CAST(NULL AS VARCHAR) AS _file,
+       CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS min_doc_id,
+       CAST(NULL AS BIGINT) AS max_doc_id, CAST(NULL AS BIGINT) AS bloom_h
+WHERE FALSE""",
         # grouped profile: exact per-group aggregates; top value = max count,
         # min-value tie-break (same deterministic cut as the Spark readout)
         "grouped_profile": """WITH v AS (

@@ -141,8 +141,79 @@ def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     layout's schema with zero rows).  The caller MUST re-apply the exact
     predicate — pruning is an over-approximation by contract."""
     if not files:
-        return spark.read.parquet(path).where(F.lit(False))
+        return read_layout(spark, path).where(F.lit(False))
     return spark.read.parquet(*files)
+
+
+def read_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Full scan of a layout — flat dirs and the stream-ingested
+    ``b{batch_id}/`` sub-dir form alike (recursive lookup; the sub-dirs are
+    deliberately NOT key=value partition dirs, so the schema is identical
+    to what ``read_pruned`` returns for the same files)."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def zone_map_ingest_stream(
+    stream_df: DataFrame,
+    layout_dir: str,
+    zone_dir: str,
+    checkpoint_dir: str,
+    stat_cols: tuple[str, ...] = (),
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
+    bloom_capacity: int | None = None,
+    seed: int = _ZONE_SEED,
+):
+    """STREAMING layout ingest with zone-map maintenance: each micro-batch
+    lands as its own ``b{batch_id}/`` sub-dir of the layout and appends its
+    files' zone-map rows (tagged ``batch_id``) to ``zone_dir`` — so the
+    layout is queryable through ``prune_files``/``read_pruned`` the moment
+    the batch commits, with no rebuild ever.
+
+    Replay discipline (foreachBatch is at-least-once — the engine-wide
+    pattern of streaming/incremental.replay_guarded_append): the zone-map
+    append is guarded by a ``batch_id`` probe; the DATA write is idempotent
+    by construction (``mode=overwrite`` of the batch's own sub-dir — a torn
+    or redelivered batch replaces its dir wholesale, never duplicates).
+    Order matters: data first, then map rows — a crash in between replays
+    into the overwrite, and the map never references files that don't
+    exist.
+
+    ``bloom_capacity`` should be PINNED by the caller for a streamed layout
+    (per-batch auto-sizing would give each batch's files differently-sized
+    filters — still correct, since every blob self-describes its params,
+    but pinning keeps map rows comparable to a scratch rebuild).  Returns
+    the started query (availableNow drain; await + stop is the caller's
+    job)."""
+    from pyspark.errors import AnalysisException
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            done = (
+                spark.read.parquet(zone_dir)
+                .filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+            )
+        except AnalysisException:
+            done = False
+        if done:
+            return
+        bdir = f"{layout_dir}/b{batch_id}"
+        batch_df.write.mode("overwrite").parquet(bdir)
+        rows = build_zone_map(
+            spark.read.parquet(bdir), stat_cols, bloom_col,
+            bloom_fpp=bloom_fpp, bloom_capacity=bloom_capacity, seed=seed)
+        rows.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append").parquet(zone_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def write_zone_map(zone_map: DataFrame, path: str) -> None:

@@ -183,6 +183,24 @@ SWEEP = [
     "global_range_trimmed_sum",
     "table_profile",
     "sketch_bucket_balance",
+    # round-4n additions (14th session): planner statistics — sketch
+    # join-size / key-skew F2 (one CountSketch blob per side; the auto
+    # exact-width grows with rows, so blob bytes scale ~linearly while the
+    # plan stays two scans + blob fan-in), KMV key overlap + HLL key set
+    # algebra between orders/customer (replica key offsets preserve the
+    # per-replica FK overlap structure), exact column heavy values over
+    # replicated events (event_type untouched -> same answer at every
+    # scale), and the zone-map range read (first rep writes the 5x
+    # clustered layout + map, cached after; the pruned fraction is
+    # scale-invariant on a range-clustered layout). zonemap_bloom_lookup
+    # stays OUT: its probe rule keys on NUMERIC doc_id, absent on the
+    # 'r{r}-' replica corpora (same exclusion as the sampling queries).
+    "join_size_estimate",
+    "custkey_skew_f2",
+    "custkey_overlap",
+    "custkey_setops",
+    "event_type_heavy",
+    "zonemap_pruned_range",
 ]
 
 
@@ -216,14 +234,27 @@ def build_scaled_rel(spark, reps: int, out_dir: str) -> None:
     """
     from pyspark.sql import functions as F
 
-    for table, key, off in [("customer", "c_custkey", 10**7),
-                            ("part", "p_partkey", 10**7),
-                            ("lineitem", "l_orderkey", 10**9)]:
+    # (table, [(key, offset), ...]): orders offsets BOTH its own key and the
+    # customer FK by the matching replica offsets, so the per-replica
+    # orders->customer key-overlap structure (keystats queries) is preserved
+    # exactly; events offsets only event_id — event_type untouched, so the
+    # heavy-value distribution is scale-invariant.
+    for table, keys in [("customer", [("c_custkey", 10**7)]),
+                        ("part", [("p_partkey", 10**7)]),
+                        ("lineitem", [("l_orderkey", 10**9)]),
+                        ("orders", [("o_orderkey", 10**9),
+                                    ("o_custkey", 10**7)]),
+                        ("events", [("event_id", 10**9)])]:
+        if os.path.exists(f"{out_dir}/{table}.parquet"):
+            continue
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
-        parts = [
-            src.withColumn(key, F.col(key) + F.lit(r * off)) if r else src
-            for r in range(reps)
-        ]
+        parts = []
+        for r in range(reps):
+            d = src
+            for key, off in keys:
+                if r:
+                    d = d.withColumn(key, F.col(key) + F.lit(r * off))
+            parts.append(d)
         out = parts[0]
         for q in parts[1:]:
             out = out.unionByName(q)

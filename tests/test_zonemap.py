@@ -170,3 +170,65 @@ def test_zone_map_persist_and_append(spark, layout, sf_dir):
     finally:
         shutil.rmtree(zpath, ignore_errors=True)
         shutil.rmtree(extra, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest + zone-map maintenance
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.zonemap import (  # noqa: E402
+    read_layout,
+    zone_map_ingest_stream,
+)
+
+_ZM_CAP = 2048
+
+
+def _zm_rows(zm):
+    return sorted(
+        (r["_file"], r["n_rows"], r["min_doc_id"], r["max_doc_id"],
+         None if r["bloom"] is None else bytes(r["bloom"]))
+        for r in zm.collect())
+
+
+def test_zone_map_ingest_stream(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="hbi_zm_stream_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        half = F.col("doc_id") % 2
+        docs.where(half == 0).write.mode("overwrite").parquet(f"{base}/in")
+        docs.where(half == 1).write.mode("append").parquet(f"{base}/in")
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q = zone_map_ingest_stream(
+            stream, f"{base}/lay", f"{base}/zm", f"{base}/chk",
+            stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert q.awaitTermination(300)
+        live = read_zone_map(spark, f"{base}/zm")
+        assert live.select("batch_id").distinct().count() >= 2
+        # parity vs a scratch build over the ingested layout (same pinned
+        # capacity -> per-file bloom BYTES equal, not just stats)
+        want = build_zone_map(
+            read_layout(spark, f"{base}/lay"), ("doc_id",),
+            bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert _zm_rows(live.drop("batch_id")) == _zm_rows(want)
+        # the streamed layout is queryable through the pruning surface
+        ids = [r["doc_id"] for r in docs.limit(4).collect()]
+        files = prune_files(live, bloom_keys=ids)
+        got = read_pruned(spark, f"{base}/lay", files).where(
+            F.col("doc_id").isin(ids))
+        assert got.count() == 4
+        # full-replay drill: fresh checkpoint redelivers every batch; the
+        # batch_id guard + overwrite-own-dir idempotence leave everything
+        # byte-identical
+        before = _zm_rows(live.drop("batch_id"))
+        stream2 = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q2 = zone_map_ingest_stream(
+            stream2, f"{base}/lay", f"{base}/zm", f"{base}/chk2",
+            stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert q2.awaitTermination(300)
+        after = read_zone_map(spark, f"{base}/zm")
+        assert _zm_rows(after.drop("batch_id")) == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
