@@ -216,6 +216,39 @@ def zone_map_ingest_stream(
     )
 
 
+def expire_batches(spark: SparkSession, layout_dir: str, zone_dir: str,
+                   up_to_batch_id: int) -> int:
+    """RETENTION for a stream-ingested layout: drop every ``b{k}`` sub-dir
+    with ``k <= up_to_batch_id`` together with its zone-map rows — the
+    whole-block eviction the reference's ``expire`` performs on its oldest
+    tree (PMIndex/HBI.java:209-211), at batch granularity.
+
+    Crash ordering: the surviving zone-map rows are localCheckpoint'ed
+    (the map overwrite would otherwise delete files its own plan is still
+    reading), the MAP is rewritten FIRST, the data dirs deleted after — a
+    crash in between leaves unreferenced garbage dirs (harmless to every
+    zone-map-driven reader), never a map row pointing at a deleted file.
+    Must not run concurrently with an active ingest stream (same rule as
+    every compaction in this engine), and any LAZY plan still reading
+    ``zone_dir`` must be materialized (localCheckpoint/collect) before the
+    call — the overwrite deletes the files such a plan would re-read (the
+    engine-wide compaction trap).  Returns the number of expired batches."""
+    import shutil
+
+    zm = spark.read.parquet(zone_dir)
+    doomed = sorted(
+        r["batch_id"] for r in
+        zm.select("batch_id").distinct()
+          .where(F.col("batch_id") <= up_to_batch_id).collect())
+    if not doomed:
+        return 0
+    keep = zm.where(F.col("batch_id") > up_to_batch_id).localCheckpoint()
+    keep.write.mode("overwrite").parquet(zone_dir)
+    for k in doomed:
+        shutil.rmtree(f"{layout_dir}/b{k}", ignore_errors=True)
+    return len(doomed)
+
+
 def write_zone_map(zone_map: DataFrame, path: str) -> None:
     """Persist the zone map (tiny: ~1 row per data file)."""
     zone_map.coalesce(1).write.mode("overwrite").parquet(path)

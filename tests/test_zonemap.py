@@ -232,3 +232,48 @@ def test_zone_map_ingest_stream(spark, sf_dir):
         assert _zm_rows(after.drop("batch_id")) == before
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_expire_batches(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        expire_batches,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_expire_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        half = F.col("doc_id") % 2
+        docs.where(half == 0).write.mode("overwrite").parquet(f"{base}/in")
+        docs.where(half == 1).write.mode("append").parquet(f"{base}/in")
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q = zone_map_ingest_stream(
+            stream, f"{base}/lay", f"{base}/zm", f"{base}/chk",
+            stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert q.awaitTermination(300)
+        zm = read_zone_map(spark, f"{base}/zm")
+        batches = sorted(r["batch_id"] for r in
+                         zm.select("batch_id").distinct().collect())
+        assert len(batches) >= 2
+        cutoff = batches[0]
+        survivors_want = sorted(
+            r["doc_id"] for r in
+            read_pruned(spark, f"{base}/lay",
+                        prune_files(zm.where(F.col("batch_id") > cutoff)))
+            .select("doc_id").collect())
+        n = expire_batches(spark, f"{base}/lay", f"{base}/zm", cutoff)
+        assert n == 1
+        zm2 = read_zone_map(spark, f"{base}/zm")
+        assert sorted(r["batch_id"] for r in
+                      zm2.select("batch_id").distinct().collect()) == batches[1:]
+        # the zone map IS the catalog: surviving rows read exactly the
+        # surviving docs; the expired batch dir is gone from disk
+        got = sorted(r["doc_id"] for r in
+                     read_pruned(spark, f"{base}/lay", prune_files(zm2))
+                     .select("doc_id").collect())
+        assert got == survivors_want
+        assert not os.path.exists(f"{base}/lay/b{cutoff}")
+        # idempotent: nothing left at or below the cutoff
+        assert expire_batches(spark, f"{base}/lay", f"{base}/zm", cutoff) == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
