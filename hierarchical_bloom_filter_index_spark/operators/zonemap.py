@@ -65,6 +65,10 @@ def build_zone_map(
     sized for ``bloom_capacity`` keys (default: 2x the mean file's rows —
     an overfull file only degrades its FPR, never soundness: ``contains``
     keeps no-false-negatives at any fill)."""
+    if not df.inputFiles():
+        raise ValueError(
+            "build_zone_map needs a file-backed DataFrame (spark.read.parquet) "
+            "— input_file_name() is empty on in-memory/derived frames")
     src = df.withColumn("_file", F.input_file_name())
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in stat_cols:

@@ -277,3 +277,9 @@ def test_expire_batches(spark, sf_dir):
         assert expire_batches(spark, f"{base}/lay", f"{base}/zm", cutoff) == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_build_zone_map_refuses_derived_frames(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="file-backed"):
+        build_zone_map(df, stat_cols=("k",))
