@@ -284,8 +284,8 @@ def main() -> None:
         d = SCALE_DIRS[k]
         if not os.path.exists(f"{d}/documents.parquet"):
             build_scaled_docs(spark, k, d)
-        if not os.path.exists(f"{d}/lineitem.parquet"):
-            build_scaled_rel(spark, k, d)
+        # per-table existence checks live inside (tables added over time)
+        build_scaled_rel(spark, k, d)
         points.append((f"{k}x", d))
 
     qmap = E.queries()
