@@ -2719,6 +2719,32 @@ def q_zonemap_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonemap_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ACCELERATED RANGE COUNT (operators/zonemap.count_range):
+    COUNT over the middle three-quarters of the orderkey space — files
+    wholly inside the range are credited their non-null counts from the
+    zone map WITHOUT being opened; only the two boundary files are scanned
+    with the exact predicate. Exact by construction (the oracle is the
+    plain full-scan COUNT); an in-query gate refuses if no file was
+    metadata-credited (the range-clustered layout must contain some)."""
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        count_range,
+    )
+
+    path, zm = _zonemap_range_layout(spark, sf_dir)
+    b = zm.agg(F.min("min_l_orderkey").alias("mn"),
+               F.max("max_l_orderkey").alias("mx")).first()
+    lo = b["mn"] + (b["mx"] - b["mn"]) // 8
+    hi = b["mn"] + 7 * (b["mx"] - b["mn"]) // 8
+    n_contained = zm.where((F.col("min_l_orderkey") >= lo)
+                           & (F.col("max_l_orderkey") <= hi)).count()
+    if n_contained == 0:
+        raise AssertionError(
+            "no file wholly inside the range on a range-clustered layout")
+    n = count_range(spark, path, zm, "l_orderkey", lo, hi)
+    return spark.createDataFrame([(n,)], "n_matching bigint")
+
+
 def q_zonemap_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-FILE BLOOM POINT-LOOKUP PRUNING (operators/zonemap.py): documents
     hash-clustered on doc_id with one Bloom filter per file; an IN-set probe
@@ -6294,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bucket_balance": q_sketch_bucket_balance,
         "bucket_pruned_read": q_bucket_pruned_read,
         "zonemap_pruned_range": q_zonemap_pruned_range,
+        "zonemap_fast_count": q_zonemap_fast_count,
         "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
         "zonemap_stream_parity": q_zonemap_stream_parity,
         "grouped_profile": q_grouped_profile,
@@ -8077,6 +8104,12 @@ GROUP BY l_returnflag""",
         "zonemap_bloom_lookup": """SELECT doc_id, n_chars
 FROM documents
 WHERE doc_id % 199 = 42""",
+        "zonemap_fast_count": """WITH b AS (
+  SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+SELECT COUNT(*) AS n_matching
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
+                     AND b.mn + 7 * (b.mx - b.mn) // 8""",
         # streaming zone-map maintenance == scratch build, symdiff EMPTY
         "zonemap_stream_parity": """SELECT CAST(NULL AS VARCHAR) AS _file,
        CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS min_doc_id,

@@ -316,6 +316,7 @@ def main() -> None:
         # layout + zone map, cached after; range envelope / per-file Bloom
         # prune, exact predicate closes the contract)
         "zonemap_pruned_range",
+        "zonemap_fast_count",
         "zonemap_bloom_lookup",
         "stratified_sample_docs",
         "weighted_sample_docs",

@@ -74,6 +74,10 @@ def build_zone_map(
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+        # non-null count per stat column: what a metadata-only range count
+        # may credit for a wholly-contained file (n_rows would over-count
+        # rows whose column is NULL — a range predicate never matches those)
+        aggs.append(F.count(c).alias(f"nvals_{c}"))
     stats = src.groupBy("_file").agg(*aggs)
     if bloom_col is None:
         return stats
@@ -218,6 +222,46 @@ def zone_map_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def count_range(spark: SparkSession, path: str, zone_map: DataFrame,
+                col: str, lo=None, hi=None) -> int:
+    """EXACT ``COUNT(*) WHERE lo <= col <= hi`` answered mostly from
+    METADATA: a file whose [min, max] envelope lies WHOLLY inside the range
+    contributes its non-null count (``nvals_<col>``) without being opened;
+    only BOUNDARY files (envelope overlaps the range but isn't contained)
+    are scanned, with the exact predicate deciding row by row.  On a
+    range-clustered layout the boundary set is O(1) files regardless of
+    how wide the range is — the metadata answers the bulk.
+
+    Exactness: contained-file credit counts exactly the rows the predicate
+    would match there (every non-null value lies in [min, max] ⊆ [lo, hi];
+    NULLs never match a range predicate and are excluded from ``nvals``);
+    files whose envelope misses the range contain no matching rows (NULL
+    envelopes — all-null files — prune the same way); boundary files are
+    decided exactly.  The three sets partition the layout."""
+    zm = zone_map.select(
+        "_file", F.col(f"nvals_{col}").alias("_nv"),
+        F.col(f"min_{col}").alias("_mn"), F.col(f"max_{col}").alias("_mx"))
+    keep = F.lit(True)
+    contained = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col("_mx") >= F.lit(lo))
+        contained = contained & (F.col("_mn") >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (F.col("_mn") <= F.lit(hi))
+        contained = contained & (F.col("_mx") <= F.lit(hi))
+    rows = zm.where(keep).withColumn("_in", contained).collect()
+    meta_n = sum(r["_nv"] for r in rows if r["_in"])
+    boundary = [r["_file"] for r in rows if not r["_in"]]
+    if not boundary:
+        return int(meta_n)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return int(meta_n) + read_pruned(spark, path, boundary).where(pred).count()
 
 
 def expire_batches(spark: SparkSession, layout_dir: str, zone_dir: str,

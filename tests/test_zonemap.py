@@ -283,3 +283,52 @@ def test_build_zone_map_refuses_derived_frames(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="file-backed"):
         build_zone_map(df, stat_cols=("k",))
+
+
+# ---------------------------------------------------------------------------
+# metadata-accelerated range counts
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.zonemap import (  # noqa: E402
+    count_range,
+)
+
+
+def test_count_range_exact(spark, layout):
+    path, df, zm = layout
+    mn, mx = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    cases = [
+        (mn + (mx - mn) // 8, mn + 7 * (mx - mn) // 8),  # wide: contained files
+        (mn, mx),                                        # everything
+        (mx + 1, None),                                  # empty
+        (None, mn),                                      # one-sided
+        (mn + (mx - mn) // 2, mn + (mx - mn) // 2),      # point range
+    ]
+    for lo, hi in cases:
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col("l_orderkey") >= lo)
+        if hi is not None:
+            pred = pred & (F.col("l_orderkey") <= hi)
+        assert count_range(spark, path, zm, "l_orderkey", lo, hi) == \
+            df.where(pred).count(), (lo, hi)
+
+
+def test_count_range_with_nulls(spark, sf_dir):
+    """NULL key rows must not be credited by the metadata path."""
+    path = tempfile.mkdtemp(prefix="hbi_zm_null_")
+    try:
+        (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("o_custkey", F.when(F.col("o_orderkey") % 3 == 0,
+                                         F.col("o_custkey")))
+         .repartitionByRange(4, "o_custkey")
+         .write.mode("overwrite").parquet(path))
+        df = spark.read.parquet(path)
+        zm = build_zone_map(df, stat_cols=("o_custkey",))
+        mn, mx = df.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+        got = count_range(spark, path, zm, "o_custkey", mn, mx)
+        want = df.where(F.col("o_custkey").between(mn, mx)).count()
+        assert got == want
+        assert got < df.count()  # the NULLed rows are excluded
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
