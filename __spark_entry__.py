@@ -3058,6 +3058,36 @@ def q_custkey_skew_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(res["f2"]), res["n_rows"])], "f2 bigint, n_rows bigint")
 
 
+def q_shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED INTERVAL/POINT RANGE JOIN (operators/joins.interval_point_join):
+    shipments falling in each sampled order's 7-day window — a bare
+    inequality join that Spark would plan as BroadcastNestedLoop (O(n*m)
+    compares) runs instead as an EQUI-join on a bin column (intervals
+    explode to covering bins, each point lands in exactly one bin, the
+    exact BETWEEN closes the contract). Timestamps ride as epoch DAYS
+    (integral binning path — exact, timezone-free; the corpus dates are
+    midnights so day arithmetic equals the oracle's timestamp
+    arithmetic)."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import (
+        interval_point_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    iv = (orders.where(F.col("o_orderkey") % 997 == 0)
+          .select("o_orderkey",
+                  F.datediff(F.col("o_orderdate").cast("date"),
+                             F.lit("1970-01-01").cast("date")).alias("w_start"))
+          .withColumn("w_end", F.col("w_start") + 7))
+    pts = li.select(
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("ship_day"))
+    j = interval_point_join(pts, "ship_day", iv, "w_start", "w_end",
+                            bin_width=8)
+    return (j.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_shipments")))
+
+
 # key-set statistics (operators/keystats.py) — planner stats between the
 # URGENT-orders customer set and the customer table
 OVERLAP_K = 128
@@ -6334,6 +6364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custkey_overlap": q_custkey_overlap,
         "custkey_setops": q_custkey_setops,
         "event_type_heavy": q_event_type_heavy,
+        "shipments_in_order_window": q_shipments_in_order_window,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
@@ -7308,6 +7339,13 @@ SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
                                    SELECT key FROM ck)) AS BIGINT) AS n_union,
        CAST((SELECT COUNT(*) FROM (SELECT key FROM ak INTERSECT
                                    SELECT key FROM ck)) AS BIGINT) AS n_intersect""",
+        "shipments_in_order_window": """WITH iv AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 997 = 0)
+SELECT iv.o_orderkey, COUNT(*) AS n_shipments
+FROM iv JOIN lineitem l
+  ON l.l_shipdate >= iv.o_orderdate
+ AND l.l_shipdate <= iv.o_orderdate + INTERVAL 7 DAY
+GROUP BY iv.o_orderkey""",
         "event_type_heavy": """WITH tot AS (
   SELECT COUNT(*) AS n FROM events WHERE event_type IS NOT NULL)
 SELECT event_type, COUNT(*) AS n_rows

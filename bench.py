@@ -299,6 +299,9 @@ def main() -> None:
         # KMV key overlap, HLL key set algebra, exact heavy values —
         # all one-pass-per-side, only sketch blobs move
         "join_size_estimate",
+        # binned interval/point range join (equi-join on bins, never a
+        # BroadcastNestedLoop — plan-asserted in tests)
+        "shipments_in_order_window",
         "custkey_skew_f2",
         "custkey_overlap",
         "custkey_setops",

@@ -444,3 +444,75 @@ def plan_join(
         return out
     out["strategy"] = "shuffle"
     return out
+
+
+def _bin_expr(df: DataFrame, col: str, w: int) -> Column:
+    """Floor-division bin of a numeric column, exact for integral types at
+    any magnitude: (c - pmod(c, w)) / w — pmod is non-negative, so the
+    result is the mathematical floor for negatives too (bare `div`
+    truncates toward zero and would split bin -1 across the origin).
+    Fractional types take F.floor(c / w) (their magnitudes sit far below
+    the 2^53 double-precision cliff in any sane binning)."""
+    dt = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+    return F.floor(c / F.lit(w)).cast("long")
+
+
+def interval_point_join(
+    points: DataFrame,
+    pcol: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_width: int | None = None,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """INNER range join ``points.pcol BETWEEN intervals.start_col AND
+    intervals.end_col`` (closed ends) WITHOUT the cartesian trap: Spark
+    plans a bare inequality join as BroadcastNestedLoop/cartesian — O(n*m)
+    compares — while this runs as an EQUI-join on a bin column.
+
+    Binning: each interval explodes to the bins its span covers
+    (``sequence(bin(start), bin(end))``); each point lands in exactly ONE
+    bin, so every qualifying (point, interval) pair meets in exactly one
+    bin — no dedup needed — and the exact BETWEEN predicate closes the
+    contract.  Replication cost is ``len/width + 1`` rows per interval;
+    ``bin_width=None`` derives the classic optimum ~ the MEAN interval
+    length (one tiny agg), and any interval that would explode past
+    ``max_bins_per_interval`` bins refuses loudly (a degenerate
+    full-range interval would otherwise single-handedly quadratic the
+    join) — raise the width or cap such intervals upstream.
+
+    Columns: result = all point columns + all interval columns (name
+    collisions refused — alias upstream).  NULL points / NULL interval
+    ends never match (BETWEEN is NULL-rejecting on both engines).
+    Timestamps: convert to epoch days/micros first (integral path is
+    exact; keeps oracles timezone-free — the engine-wide discipline)."""
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column collision {sorted(overlap)}: alias before joining")
+    iv = intervals.where(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        & (F.col(start_col) <= F.col(end_col)))
+    if bin_width is None:
+        mean_len = iv.agg(
+            F.avg(F.col(end_col) - F.col(start_col))).first()[0]
+        bin_width = max(1, int(math.ceil(float(mean_len or 0))) + 1)
+    b0 = _bin_expr(iv, start_col, bin_width)
+    b1 = _bin_expr(iv, end_col, bin_width)
+    worst = iv.agg(F.max(b1 - b0 + 1)).first()[0]
+    if worst is not None and worst > max_bins_per_interval:
+        raise ValueError(
+            f"an interval spans {worst} bins at width {bin_width} "
+            f"(cap {max_bins_per_interval}): raise bin_width or cap the "
+            "interval lengths upstream")
+    iv_binned = iv.withColumn("_bin", F.explode(F.sequence(b0, b1)))
+    pt = points.where(F.col(pcol).isNotNull()).withColumn(
+        "_bin", _bin_expr(points, pcol, bin_width))
+    return (
+        pt.join(iv_binned, "_bin")
+        .where(F.col(pcol).between(F.col(start_col), F.col(end_col)))
+        .drop("_bin")
+    )

@@ -216,3 +216,89 @@ def test_plan_join_estimate_size(spark, jframes):
     a, b = jframes
     res = plan_join(a, b, ("k", "rk"), estimate_size=True)
     assert res["est_join_size"] == float(_true_join_size(a, b, "k", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# binned interval/point range join
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.joins import (  # noqa: E402
+    interval_point_join,
+)
+
+
+def _brute_interval(points, pcol, intervals, s, e):
+    return (points.where(F.col(pcol).isNotNull())
+            .join(intervals, F.col(pcol).between(F.col(s), F.col(e)))
+            .drop("_bin", "")).collect()
+
+
+@pytest.fixture(scope="module")
+def iframes(spark):
+    pts = spark.createDataFrame(
+        [(i, i * 3 % 101 - 50) for i in range(300)] + [(999, None)],
+        "pid bigint, p bigint")
+    iv = spark.createDataFrame(
+        [(j, j * 7 - 60, j * 7 - 60 + (j % 13)) for j in range(40)]
+        + [(100, 5, 3), (101, None, 10), (102, 2, None)],  # degenerate/NULL
+        "iid bigint, s bigint, e bigint")
+    return pts.persist(), iv.persist()
+
+
+def _pairs(df):
+    return sorted((r["pid"], r["iid"]) for r in df.collect())
+
+
+def test_interval_join_matches_brute(spark, iframes):
+    pts, iv = iframes
+    got = interval_point_join(pts, "p", iv, "s", "e")
+    want = (pts.where(F.col("p").isNotNull())
+            .join(iv, F.col("p").between(F.col("s"), F.col("e"))))
+    assert _pairs(got) == _pairs(want)
+    assert len(_pairs(got)) > 0
+    # negative values straddle bin 0: the floor (not truncate) binning is
+    # what makes this hold — and every pair appears exactly once
+    assert len(_pairs(got)) == len(set(_pairs(got)))
+
+
+def test_interval_join_explicit_width(spark, iframes):
+    pts, iv = iframes
+    for w in (1, 3, 64):
+        got = interval_point_join(pts, "p", iv, "s", "e", bin_width=w)
+        want = (pts.where(F.col("p").isNotNull())
+                .join(iv, F.col("p").between(F.col("s"), F.col("e"))))
+        assert _pairs(got) == _pairs(want), w
+
+
+def test_interval_join_refuses_bin_bomb(spark, iframes):
+    pts, iv = iframes
+    wide = iv.unionByName(spark.createDataFrame(
+        [(999, -100000, 100000)], "iid bigint, s bigint, e bigint"))
+    with pytest.raises(ValueError, match="raise bin_width"):
+        interval_point_join(pts, "p", wide, "s", "e",
+                            bin_width=1, max_bins_per_interval=1000)
+
+
+def test_interval_join_refuses_collisions(spark, iframes):
+    pts, iv = iframes
+    with pytest.raises(ValueError, match="collision"):
+        interval_point_join(pts, "p", iv.withColumnRenamed("s", "p"), "p", "e")
+
+
+def test_interval_join_double_path(spark):
+    pts = spark.createDataFrame([(i, i * 0.37 - 5,) for i in range(100)],
+                                "pid bigint, p double")
+    iv = spark.createDataFrame([(j, j * 1.1 - 6, j * 1.1 - 3.5) for j in range(30)],
+                               "iid bigint, s double, e double")
+    got = interval_point_join(pts, "p", iv, "s", "e")
+    want = pts.join(iv, F.col("p").between(F.col("s"), F.col("e")))
+    assert _pairs(got) == _pairs(want) != []
+
+
+def test_interval_join_plan_is_equi(spark, iframes):
+    """The point of the binning: Spark plans a bare inequality join as
+    BroadcastNestedLoop; the binned join must plan as a hash equi-join."""
+    pts, iv = iframes
+    plan = interval_point_join(
+        pts, "p", iv, "s", "e")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
