@@ -3088,6 +3088,32 @@ def q_shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_shipments")))
 
 
+def q_order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN (operators/joins.interval_overlap_join): which
+    sampled 7-day order windows overlap which (differently-sampled) 5-day
+    windows — the binned equi-join dedup-free trick: an overlapping pair
+    shares every bin of its overlap region, so only the bin holding the
+    overlap's LEFT EDGE keeps the pair (exactly-once by construction, no
+    distinct shuffle). Epoch-day arithmetic, exact-predicate contract."""
+    from hierarchical_bloom_filter_index_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = lambda c: F.datediff(  # noqa: E731
+        F.col(c).cast("date"), F.lit("1970-01-01").cast("date"))
+    a = (orders.where(F.col("o_orderkey") % 997 == 0)
+         .select(F.col("o_orderkey").alias("a_orderkey"),
+                 day("o_orderdate").alias("a_start"))
+         .withColumn("a_end", F.col("a_start") + 7))
+    b = (orders.where(F.col("o_orderkey") % 991 == 0)
+         .select(F.col("o_orderkey").alias("b_orderkey"),
+                 day("o_orderdate").alias("b_start"))
+         .withColumn("b_end", F.col("b_start") + 5))
+    j = interval_overlap_join(a, "a_start", "a_end", b, "b_start", "b_end")
+    return j.select("a_orderkey", "b_orderkey")
+
+
 # key-set statistics (operators/keystats.py) — planner stats between the
 # URGENT-orders customer set and the customer table
 OVERLAP_K = 128
@@ -6365,6 +6391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custkey_setops": q_custkey_setops,
         "event_type_heavy": q_event_type_heavy,
         "shipments_in_order_window": q_shipments_in_order_window,
+        "order_window_overlaps": q_order_window_overlaps,
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "events_asof_purchase": q_events_asof_purchase,
@@ -7339,6 +7366,16 @@ SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
                                    SELECT key FROM ck)) AS BIGINT) AS n_union,
        CAST((SELECT COUNT(*) FROM (SELECT key FROM ak INTERSECT
                                    SELECT key FROM ck)) AS BIGINT) AS n_intersect""",
+        "order_window_overlaps": """WITH a AS (
+  SELECT o_orderkey AS a_orderkey, o_orderdate AS a_s,
+         o_orderdate + INTERVAL 7 DAY AS a_e
+  FROM orders WHERE o_orderkey % 997 = 0),
+b AS (
+  SELECT o_orderkey AS b_orderkey, o_orderdate AS b_s,
+         o_orderdate + INTERVAL 5 DAY AS b_e
+  FROM orders WHERE o_orderkey % 991 = 0)
+SELECT a_orderkey, b_orderkey
+FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e""",
         "shipments_in_order_window": """WITH iv AS (
   SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 997 = 0)
 SELECT iv.o_orderkey, COUNT(*) AS n_shipments

@@ -302,6 +302,7 @@ def main() -> None:
         # binned interval/point range join (equi-join on bins, never a
         # BroadcastNestedLoop — plan-asserted in tests)
         "shipments_in_order_window",
+        "order_window_overlaps",
         "custkey_skew_f2",
         "custkey_overlap",
         "custkey_setops",

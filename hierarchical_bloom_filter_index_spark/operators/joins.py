@@ -516,3 +516,66 @@ def interval_point_join(
         .where(F.col(pcol).between(F.col(start_col), F.col(end_col)))
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    a_start: str,
+    a_end: str,
+    b: DataFrame,
+    b_start: str,
+    b_end: str,
+    bin_width: int | None = None,
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """INNER join of two interval sets on OVERLAP (closed ends:
+    ``a_start <= b_end AND b_start <= a_end``) as a binned EQUI-join.
+
+    Both sides explode to their covering bins and meet on the shared bin —
+    but an overlapping pair shares EVERY bin its overlap region spans, so
+    the join additionally keeps only the bin containing the overlap's LEFT
+    EDGE (``greatest(a_start, b_start)``), which lies in exactly one bin:
+    each qualifying pair survives exactly once, no dedup shuffle.  The
+    exact overlap predicate closes the contract; refusal/width/NULL rules
+    are ``interval_point_join``'s."""
+    overlap = set(a.columns) & set(b.columns)
+    if overlap:
+        raise ValueError(f"column collision {sorted(overlap)}: alias before joining")
+
+    def clean(df, s, e):
+        return df.where(F.col(s).isNotNull() & F.col(e).isNotNull()
+                        & (F.col(s) <= F.col(e)))
+
+    av, bv = clean(a, a_start, a_end), clean(b, b_start, b_end)
+    if bin_width is None:
+        mean_a = av.agg(F.avg(F.col(a_end) - F.col(a_start))).first()[0]
+        mean_b = bv.agg(F.avg(F.col(b_end) - F.col(b_start))).first()[0]
+        mean = max(float(mean_a or 0), float(mean_b or 0))
+        bin_width = max(1, int(math.ceil(mean)) + 1)
+
+    def binned(df, s, e, tag):
+        b0, b1 = _bin_expr(df, s, bin_width), _bin_expr(df, e, bin_width)
+        worst = df.agg(F.max(b1 - b0 + 1)).first()[0]
+        if worst is not None and worst > max_bins_per_interval:
+            raise ValueError(
+                f"a {tag}-side interval spans {worst} bins at width "
+                f"{bin_width} (cap {max_bins_per_interval}): raise bin_width "
+                "or cap the interval lengths upstream")
+        return df.withColumn("_bin", F.explode(F.sequence(b0, b1)))
+
+    ab, bb = binned(av, a_start, a_end, "a"), binned(bv, b_start, b_end, "b")
+    left_edge = F.greatest(F.col(a_start), F.col(b_start))
+    edge_bin = (
+        (left_edge - F.pmod(left_edge, F.lit(bin_width))) / F.lit(bin_width)
+    ).cast("long")
+    dt = a.schema[a_start].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        edge_bin = F.floor(left_edge / F.lit(bin_width)).cast("long")
+    return (
+        ab.join(bb.withColumnRenamed("_bin", "_bin_b"),
+                F.col("_bin") == F.col("_bin_b"))
+        .where((F.col(a_start) <= F.col(b_end))
+               & (F.col(b_start) <= F.col(a_end))
+               & (F.col("_bin") == edge_bin))
+        .drop("_bin", "_bin_b")
+    )

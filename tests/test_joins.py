@@ -302,3 +302,65 @@ def test_interval_join_plan_is_equi(spark, iframes):
     plan = interval_point_join(
         pts, "p", iv, "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join
+# ---------------------------------------------------------------------------
+
+from hierarchical_bloom_filter_index_spark.operators.joins import (  # noqa: E402
+    interval_overlap_join,
+)
+
+
+@pytest.fixture(scope="module")
+def oframes(spark):
+    a = spark.createDataFrame(
+        [(i, i * 5 - 40, i * 5 - 40 + (i % 11)) for i in range(60)]
+        + [(900, None, 5), (901, 9, 3)],
+        "aid bigint, a_s bigint, a_e bigint")
+    b = spark.createDataFrame(
+        [(j, j * 7 - 55, j * 7 - 55 + (j % 9) + 2) for j in range(45)],
+        "bid bigint, b_s bigint, b_e bigint")
+    return a.persist(), b.persist()
+
+
+def _opairs(df):
+    return sorted((r["aid"], r["bid"]) for r in df.collect())
+
+
+def test_overlap_join_matches_brute(spark, oframes):
+    a, b = oframes
+    got = interval_overlap_join(a, "a_s", "a_e", b, "b_s", "b_e")
+    want = (a.where(F.col("a_s").isNotNull() & (F.col("a_s") <= F.col("a_e")))
+            .join(b, (F.col("a_s") <= F.col("b_e"))
+                  & (F.col("b_s") <= F.col("a_e"))))
+    assert _opairs(got) == _opairs(want) != []
+    assert len(_opairs(got)) == len(set(_opairs(got)))  # exactly-once
+
+
+def test_overlap_join_widths(spark, oframes):
+    a, b = oframes
+    want = (a.where(F.col("a_s").isNotNull() & (F.col("a_s") <= F.col("a_e")))
+            .join(b, (F.col("a_s") <= F.col("b_e"))
+                  & (F.col("b_s") <= F.col("a_e"))))
+    for w in (1, 4, 100):
+        got = interval_overlap_join(a, "a_s", "a_e", b, "b_s", "b_e",
+                                    bin_width=w)
+        assert _opairs(got) == _opairs(want), w
+
+
+def test_overlap_join_plan_and_refusals(spark, oframes):
+    a, b = oframes
+    plan = interval_overlap_join(
+        a, "a_s", "a_e", b, "b_s", "b_e")._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a, "a_s", "a_e",
+                              b.withColumnRenamed("b_s", "a_s"), "a_s", "b_e")
+    wide = b.unionByName(spark.createDataFrame(
+        [(999, -100000, 100000)], "bid bigint, b_s bigint, b_e bigint"))
+    with pytest.raises(ValueError, match="raise bin_width"):
+        interval_overlap_join(a, "a_s", "a_e", wide, "b_s", "b_e",
+                              bin_width=1, max_bins_per_interval=500)
