@@ -2828,6 +2828,141 @@ def q_zonemap_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def _zorder_layout(spark: SparkSession, sf_dir: str):
+    """lineitem Z-ORDERED on (l_orderkey, l_partkey) — 32 files, 64
+    equi-depth buckets per column — plus its two-column zone map, built
+    once per sf_dir (operators/zorder.py)."""
+    import tempfile
+
+    key = ("zorder_layout", sf_dir)
+    if key not in _CACHE:
+        from hierarchical_bloom_filter_index_spark.operators.zorder import (
+            write_zorder_layout,
+        )
+
+        base = tempfile.mkdtemp(prefix="hbi_zorder_")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_zorder_layout(li, ["l_orderkey", "l_partkey"], 32,
+                            f"{base}/lay", bits_per_col=6)
+        _CACHE[key] = f"{base}/lay"
+    return _CACHE[key]
+
+
+def _zorder_bounds(spark: SparkSession, path: str, col: str):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_zone_map,
+    )
+
+    zm = read_zone_map(spark, f"{path}/zonemap")
+    b = zm.agg(F.min(f"min_{col}").alias("mn"),
+               F.max(f"max_{col}").alias("mx"),
+               F.count(F.lit(1)).alias("nf")).first()
+    return b["mn"], b["mx"], b["nf"]
+
+
+def q_zorder_pruned_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN DATA SKIPPING via Z-ORDER (operators/zorder.py): ONE
+    layout of lineitem, Morton-interleaved on (l_orderkey, l_partkey),
+    prunes files for range predicates on EITHER column — here the
+    SECONDARY column (l_partkey), exactly what a 1-D orderkey clustering
+    cannot skip on.  The zone-map envelope certifies non-matching files,
+    the exact BETWEEN closes the contract (equal to the full-scan oracle);
+    a hard in-query gate refuses if the partkey predicate didn't skip
+    files."""
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        prune_zorder_files,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_pruned,
+    )
+
+    path = _zorder_layout(spark, sf_dir)
+    mn, mx, nf = _zorder_bounds(spark, path, "l_partkey")
+    lo = mn + 3 * (mx - mn) // 8
+    hi = mn + (mx - mn) // 2
+    files, total = prune_zorder_files(spark, path, {"l_partkey": (lo, hi)})
+    if not (0 < len(files) < total):
+        raise AssertionError(
+            f"z-order failed to skip files on the secondary column "
+            f"({len(files)}/{total} kept)")
+    return (
+        read_pruned(spark, f"{path}/data", files)
+        .where(F.col("l_partkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
+def q_zorder_pruned_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Z-ordered layout pruned on its FIRST column (l_orderkey) —
+    both columns skip files from one clustering (the d-dim trade: each
+    column's envelopes are ~sqrt-loose vs a dedicated 1-D layout, but every
+    column gets them).  Exact predicate closes; in-query gate refuses a
+    no-skip prune."""
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        prune_zorder_files,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_pruned,
+    )
+
+    path = _zorder_layout(spark, sf_dir)
+    mn, mx, nf = _zorder_bounds(spark, path, "l_orderkey")
+    lo = mn + (mx - mn) // 4
+    hi = mn + 3 * (mx - mn) // 8
+    files, total = prune_zorder_files(spark, path, {"l_orderkey": (lo, hi)})
+    if not (0 < len(files) < total):
+        raise AssertionError(
+            f"z-order failed to skip files on the first column "
+            f"({len(files)}/{total} kept)")
+    return (
+        read_pruned(spark, f"{path}/data", files)
+        .where(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
+def q_zorder_pruned_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE two-column range over the Z-ordered layout: the kept
+    file set is the INTERSECTION of each column's survivors
+    (zonemap.prune_files_ranges), so the conjunction prunes at least as
+    hard as either conjunct — gate-asserted, then the exact predicates
+    decide (equal to the full-scan oracle)."""
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        prune_zorder_files,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_pruned,
+    )
+
+    path = _zorder_layout(spark, sf_dir)
+    omn, omx, _ = _zorder_bounds(spark, path, "l_orderkey")
+    pmn, pmx, _ = _zorder_bounds(spark, path, "l_partkey")
+    olo, ohi = omn + (omx - omn) // 4, omn + 3 * (omx - omn) // 4
+    plo, phi = pmn + (pmx - pmn) // 4, pmn + 3 * (pmx - pmn) // 4
+    ranges = {"l_orderkey": (olo, ohi), "l_partkey": (plo, phi)}
+    both, total = prune_zorder_files(spark, path, ranges)
+    f_o, _ = prune_zorder_files(spark, path, {"l_orderkey": (olo, ohi)})
+    f_p, _ = prune_zorder_files(spark, path, {"l_partkey": (plo, phi)})
+    if not (set(both) <= set(f_o) and set(both) <= set(f_p)):
+        raise AssertionError("conjunction survivors not an intersection")
+    if not (0 < len(both) <= min(len(f_o), len(f_p)) < total):
+        raise AssertionError(
+            f"conjunctive prune not tighter ({len(both)} vs "
+            f"{len(f_o)}/{len(f_p)} of {total})")
+    return (
+        read_pruned(spark, f"{path}/data", both)
+        .where(F.col("l_orderkey").between(olo, ohi)
+               & F.col("l_partkey").between(plo, phi))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+             F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
 def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
     per l_returnflag — partial rows per (Arrow batch, group, column), one
@@ -6377,6 +6512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pruned_read": q_bucket_pruned_read,
         "zonemap_pruned_range": q_zonemap_pruned_range,
         "zonemap_fast_count": q_zonemap_fast_count,
+        "zorder_pruned_partkey": q_zorder_pruned_partkey,
+        "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
+        "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
         "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
         "zonemap_stream_parity": q_zonemap_stream_parity,
         "grouped_profile": q_grouped_profile,
@@ -8185,6 +8323,38 @@ SELECT COUNT(*) AS n_matching
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # Z-order pruned reads == full-scan filters (pruning only prunes;
+        # the zone-map envelopes equal table-level min/max per column)
+        "zorder_pruned_partkey": """WITH b AS (
+  SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx FROM lineitem)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.mn + 3 * (b.mx - b.mn) // 8
+                    AND b.mn + (b.mx - b.mn) // 2
+GROUP BY l_returnflag""",
+        "zorder_pruned_orderkey": """WITH b AS (
+  SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+SELECT l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 4
+                     AND b.mn + 3 * (b.mx - b.mn) // 8
+GROUP BY l_linestatus""",
+        "zorder_pruned_conjunction": """WITH o AS (
+  SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem),
+p AS (
+  SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx FROM lineitem)
+SELECT COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem, o, p
+WHERE l_orderkey BETWEEN o.mn + (o.mx - o.mn) // 4
+                     AND o.mn + 3 * (o.mx - o.mn) // 4
+  AND l_partkey BETWEEN p.mn + (p.mx - p.mn) // 4
+                    AND p.mn + 3 * (p.mx - p.mn) // 4""",
         # streaming zone-map maintenance == scratch build, symdiff EMPTY
         "zonemap_stream_parity": """SELECT CAST(NULL AS VARCHAR) AS _file,
        CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS min_doc_id,

@@ -322,6 +322,12 @@ def main() -> None:
         "zonemap_pruned_range",
         "zonemap_fast_count",
         "zonemap_bloom_lookup",
+        # Z-order multi-column clustering: range predicates on EITHER
+        # column (and their conjunction) skip files of ONE layout (first
+        # rep writes the layout + two-column zone map, cached after)
+        "zorder_pruned_partkey",
+        "zorder_pruned_orderkey",
+        "zorder_pruned_conjunction",
         "stratified_sample_docs",
         "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)

@@ -144,6 +144,21 @@ def prune_files(
     return out
 
 
+def prune_files_ranges(zone_map: DataFrame, ranges: dict) -> list[str]:
+    """Conjunctive multi-column range pruning: file names whose envelope
+    overlaps EVERY ``col -> (lo, hi)`` range in ``ranges`` (closed ends;
+    one-sided with lo/hi None) — the sound over-approximation of an AND of
+    range predicates.  This is what a multi-dimensionally clustered layout
+    (operators/zorder.py) buys: each column's envelope is tight per file,
+    so each conjunct prunes independently and the kept set is the
+    intersection.  Same contract as ``prune_files``: the caller re-applies
+    the exact predicates to the pruned read."""
+    zm = zone_map
+    for col, (lo, hi) in ranges.items():
+        zm = _range_keep(zm, col, lo, hi)
+    return [r["_file"] for r in zm.select("_file").collect()]
+
+
 def read_pruned(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     """Read only ``files`` of the layout at ``path`` (empty list -> the
     layout's schema with zero rows).  The caller MUST re-apply the exact

@@ -1,0 +1,134 @@
+"""Z-order multi-column clustering (operators/zorder.py): interleave
+correctness, pruned-read parity with the full scan, and the point of the
+whole exercise — range predicates on EITHER clustered column (and their
+conjunction) actually skip files of the same single layout."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators.zorder import (
+    interleave_expr,
+    prune_zorder_files,
+    read_zorder_pruned,
+    write_zorder_layout,
+    zorder_value,
+)
+
+N = 40_000
+N_FILES = 32
+
+
+def _source(spark):
+    # two pseudo-independent uniform columns; a third payload column rides
+    return spark.range(N).select(
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7919 + 13) % 1009).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+@pytest.fixture(scope="module")
+def layout(spark):
+    base = tempfile.mkdtemp(prefix="hbi_zorder_")
+    path = f"{base}/lay"
+    bnds = write_zorder_layout(_source(spark), ["x", "y"], N_FILES, path,
+                               bits_per_col=5)
+    yield path, bnds
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _morton(bx: int, by: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((bx >> j) & 1) << (2 * j)
+        z |= ((by >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_interleave_matches_python(spark):
+    rows = [(bx, by) for bx in (0, 1, 5, 17, 31) for by in (0, 2, 9, 30, 31)]
+    df = spark.createDataFrame(rows, "bx long, by long")
+    got = df.select(
+        "bx", "by",
+        interleave_expr([F.col("bx"), F.col("by")], 5).alias("z"),
+    ).collect()
+    for r in got:
+        assert r["z"] == _morton(r["bx"], r["by"], 5), (r["bx"], r["by"])
+
+
+def test_zorder_value_refuses_single_column(spark):
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_value(_source(spark), ["x"])
+
+
+def _full_filter(spark, ranges):
+    df = _source(spark)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+    return df
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.select("x", "y", "payload").collect())
+
+
+@pytest.mark.parametrize("ranges", [
+    {"x": (200, 400)},
+    {"y": (100, 350)},
+    {"x": (200, 500), "y": (300, 700)},
+    {"x": (None, 120)},          # one-sided
+    {"y": (990, None)},
+    {"x": (5000, 6000)},         # empty: past the domain
+])
+def test_pruned_read_equals_full_scan(spark, layout, ranges):
+    path, _ = layout
+    got = _sorted_rows(read_zorder_pruned(spark, path, ranges))
+    want = _sorted_rows(_full_filter(spark, ranges))
+    assert got == want
+
+
+def test_both_columns_prune_and_conjunction_tightens(spark, layout):
+    path, _ = layout
+    fx, total = prune_zorder_files(spark, path, {"x": (400, 520)})
+    fy, _ = prune_zorder_files(spark, path, {"y": (400, 520)})
+    both, _ = prune_zorder_files(spark, path,
+                                 {"x": (400, 520), "y": (400, 520)})
+    assert total >= N_FILES // 2  # the range exchange produced a real layout
+    # EACH single-column eighth-ish range must skip files on the shared
+    # layout — the property a 1-D clustering cannot give the second column
+    assert 0 < len(fx) < total
+    assert 0 < len(fy) < total
+    assert len(both) <= min(len(fx), len(fy))
+    assert set(both) <= set(fx) and set(both) <= set(fy)
+
+
+def test_null_values_stay_sound(spark, layout):
+    # NULLs bucket to 0 wherever they land; the exact predicate excludes
+    # them, so parity holds on a layout containing NULL rows
+    base = tempfile.mkdtemp(prefix="hbi_zorder_null_")
+    try:
+        df = _source(spark).withColumn(
+            "y", F.when(F.col("payload") % 37 == 0, None).otherwise(F.col("y")))
+        write_zorder_layout(df, ["x", "y"], 8, f"{base}/lay", bits_per_col=4)
+        ranges = {"y": (100, 600)}
+        got = _sorted_rows(read_zorder_pruned(spark, f"{base}/lay", ranges))
+        want = sorted(
+            tuple(r) for r in
+            df.where(F.col("y").between(100, 600))
+            .select("x", "y", "payload").collect())
+        assert got == want
+        assert all(r[1] is not None for r in got)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_boundaries_deterministic(spark, layout):
+    path, bnds = layout
+    _, again = zorder_value(_source(spark), ["x", "y"], bits_per_col=5)
+    assert bnds == again
