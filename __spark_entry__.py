@@ -3319,6 +3319,23 @@ def q_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a bigint, n_b bigint, n_union bigint, n_intersect bigint")
 
 
+def q_customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE SIMILARITY SELF-JOIN (operators/fuzzyjoin.py): all
+    customer-name pairs within Levenshtein distance 1, found by the
+    SymSpell deletion-neighborhood equi-join (variants block, exact
+    levenshtein() decides — never a cross join).  The oracle IS the brute
+    force: DuckDB's levenshtein over all distinct-name pairs (with the
+    |len| band, a lower-bound prefilter that changes nothing), so equality
+    proves the blocking lost no pair and invented none."""
+    from hierarchical_bloom_filter_index_spark.operators.fuzzyjoin import (
+        edit_self_pairs,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit_self_pairs(
+        cust, "c_name", max_dist=1, out_cols=("name_a", "name_b", "dist"))
+
+
 def q_event_type_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT COLUMN HEAVY VALUES (operators/keystats.column_heavy_hitters):
     event types covering >= 1/5 of the event stream — Misra-Gries candidate
@@ -6526,6 +6543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "custkey_skew_f2": q_custkey_skew_f2,
         "custkey_overlap": q_custkey_overlap,
+        "customer_fuzzy_name_pairs": q_customer_fuzzy_name_pairs,
         "custkey_setops": q_custkey_setops,
         "event_type_heavy": q_event_type_heavy,
         "shipments_in_order_window": q_shipments_in_order_window,
@@ -7504,6 +7522,15 @@ SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
                                    SELECT key FROM ck)) AS BIGINT) AS n_union,
        CAST((SELECT COUNT(*) FROM (SELECT key FROM ak INTERSECT
                                    SELECT key FROM ck)) AS BIGINT) AS n_intersect""",
+        # edit-distance self-join: blocking must equal brute force exactly
+        "customer_fuzzy_name_pairs": """WITH v AS (
+  SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL)
+SELECT a.w AS name_a, b.w AS name_b,
+       CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+FROM v a JOIN v b
+  ON a.w < b.w
+ AND abs(length(a.w) - length(b.w)) <= 1
+ AND levenshtein(a.w, b.w) <= 1""",
         "order_window_overlaps": """WITH a AS (
   SELECT o_orderkey AS a_orderkey, o_orderdate AS a_s,
          o_orderdate + INTERVAL 7 DAY AS a_e

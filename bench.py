@@ -305,6 +305,9 @@ def main() -> None:
         "order_window_overlaps",
         "custkey_skew_f2",
         "custkey_overlap",
+        # SymSpell deletion-neighborhood edit-distance self-join (equi-join
+        # blocking + exact levenshtein verify — never a cross join)
+        "customer_fuzzy_name_pairs",
         "custkey_setops",
         "event_type_heavy",
         # deterministic stratified sample (zero-shuffle narrow plan)
