@@ -3336,6 +3336,43 @@ def q_customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "c_name", max_dist=1, out_cols=("name_a", "name_b", "dist"))
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF (operators/snapshot.py): added/removed/changed keys
+    between two corpus versions in ONE column-pruned full outer join — the
+    audit/worklist inverse of the engine's append/takedown surfaces.  The
+    'new' snapshot is derived deterministically from documents (drops,
+    edits, additions by doc_id residue) on BOTH engines; statuses are
+    exact NULL-safe column comparisons.  The hash comparison mode (what a
+    100 TB diff ships through the shuffle: key + 8 bytes per side) is
+    gate-checked in-query to agree with exact mode row-for-row."""
+    from hierarchical_bloom_filter_index_spark.operators.snapshot import (
+        snapshot_diff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.select("doc_id", "text", "lang", "source")
+    new = (
+        docs.where(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 11 == 5,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+            "lang", "source")
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 1).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                "lang", "source"))
+    )
+    cols = ["text", "lang", "source"]
+    exact = snapshot_diff(old, new, "doc_id", cols)
+    hashed = snapshot_diff(old, new, "doc_id", cols, method="hash")
+    if exact.exceptAll(hashed).unionAll(hashed.exceptAll(exact)).count() != 0:
+        raise AssertionError("snapshot_diff hash mode disagrees with exact mode")
+    return exact
+
+
 def q_event_type_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT COLUMN HEAVY VALUES (operators/keystats.column_heavy_hitters):
     event types covering >= 1/5 of the event stream — Misra-Gries candidate
@@ -6544,6 +6581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custkey_skew_f2": q_custkey_skew_f2,
         "custkey_overlap": q_custkey_overlap,
         "customer_fuzzy_name_pairs": q_customer_fuzzy_name_pairs,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "custkey_setops": q_custkey_setops,
         "event_type_heavy": q_event_type_heavy,
         "shipments_in_order_window": q_shipments_in_order_window,
@@ -7522,6 +7560,28 @@ SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
                                    SELECT key FROM ck)) AS BIGINT) AS n_union,
        CAST((SELECT COUNT(*) FROM (SELECT key FROM ak INTERSECT
                                    SELECT key FROM ck)) AS BIGINT) AS n_intersect""",
+        # snapshot diff: both engines derive the same 'new' snapshot from
+        # documents; statuses via NULL-safe comparison, unchanged excluded
+        "corpus_snapshot_diff": """WITH oldd AS (
+  SELECT doc_id, text, lang, source FROM documents),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text, lang, source
+  FROM documents WHERE doc_id % 13 = 1)
+SELECT doc_id, status FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text
+               AND o.lang IS NOT DISTINCT FROM n.lang
+               AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+WHERE status <> 'unchanged'""",
         # edit-distance self-join: blocking must equal brute force exactly
         "customer_fuzzy_name_pairs": """WITH v AS (
   SELECT DISTINCT c_name AS w FROM customer WHERE c_name IS NOT NULL)

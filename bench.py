@@ -215,6 +215,9 @@ def main() -> None:
         # incremental profile maintenance gate (base + increments + compact
         # == one-scan profile; the STREAM twin stays out — it drains)
         "profile_incremental_parity",
+        # snapshot audit: added/removed/changed keys in one pruned full
+        # outer join (exact mode + the in-query hash-mode parity gate)
+        "corpus_snapshot_diff",
         # token-budget training-shard manifest (offset prefix sums)
         "dataset_shards",
         # epoch-shuffled shard packing + per-source budget mixture manifest
