@@ -2828,6 +2828,70 @@ def q_zonemap_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_zonemap_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for zone-mapped layout COMPACTION: docs stream-ingested as
+    per-batch sub-dirs, then the two oldest batches merge into one c-dir
+    (operators/zonemap.compact_batches — data first, map overwrite second,
+    old dirs deleted last).  The symmetric difference returned is the union
+    of (a) the data diff: layout rows before vs after compaction (keyed by
+    doc_id — nothing lost or duplicated) and (b) the map diff: live map vs
+    a scratch build over the compacted layout, per-file Bloom bytes
+    included (pinned capacity).  DuckDB twin = the empty relation."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+        compact_batches,
+        read_layout,
+        read_zone_map,
+        zone_map_ingest_stream,
+    )
+
+    cap = 4096
+    base = tempfile.mkdtemp(prefix="hbi_zm_compact_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    third = F.col("doc_id") % 3
+    docs.where(third == 0).write.mode("overwrite").parquet(f"{base}/in")
+    docs.where(third == 1).write.mode("append").parquet(f"{base}/in")
+    docs.where(third == 2).write.mode("append").parquet(f"{base}/in")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+    q = zone_map_ingest_stream(
+        stream, f"{base}/lay", f"{base}/zm", f"{base}/chk",
+        stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=cap)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("zonemap_compact_parity: drain exceeded 300s")
+    zm = read_zone_map(spark, f"{base}/zm")
+    batches = sorted(r["batch_id"] for r in
+                     zm.select("batch_id").distinct().collect())
+    if len(batches) < 3:
+        raise AssertionError("zonemap_compact_parity: expected >= 3 batches")
+    data_before = read_layout(spark, f"{base}/lay").select(
+        "doc_id").localCheckpoint()
+    n = compact_batches(
+        spark, f"{base}/lay", f"{base}/zm", batches[1],
+        stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=cap)
+    if n != 2:
+        raise AssertionError(f"zonemap_compact_parity: compacted {n} != 2")
+    data_after = read_layout(spark, f"{base}/lay").select("doc_id")
+    d1, d2 = data_before.exceptAll(data_after), data_after.exceptAll(data_before)
+    data_diff = d1.unionByName(d2).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("data").alias("kind"))
+    live = read_zone_map(spark, f"{base}/zm")
+    want = build_zone_map(
+        read_layout(spark, f"{base}/lay"), ("doc_id",),
+        bloom_col="doc_id", bloom_capacity=cap)
+    sel = lambda df: df.select(  # noqa: E731
+        "_file", "n_rows", "min_doc_id", "max_doc_id",
+        F.xxhash64("bloom").alias("bloom_h"))
+    a, b = sel(live), sel(want)
+    map_diff = a.exceptAll(b).unionByName(b.exceptAll(a)).select(
+        F.col("_file").alias("key"), F.lit("map").alias("kind"))
+    return data_diff.unionByName(map_diff)
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str):
     """lineitem Z-ORDERED on (l_orderkey, l_partkey) — 32 files, 64
     equi-depth buckets per column — plus its two-column zone map, built
@@ -6566,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pruned_read": q_bucket_pruned_read,
         "zonemap_pruned_range": q_zonemap_pruned_range,
         "zonemap_fast_count": q_zonemap_fast_count,
+        "zonemap_compact_parity": q_zonemap_compact_parity,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8410,6 +8475,10 @@ SELECT COUNT(*) AS n_matching
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # layout compaction parity: data + map diffs both EMPTY
+        "zonemap_compact_parity": """SELECT CAST(NULL AS VARCHAR) AS key,
+       CAST(NULL AS VARCHAR) AS kind
+WHERE FALSE""",
         # Z-order pruned reads == full-scan filters (pruning only prunes;
         # the zone-map envelopes equal table-level min/max per column)
         "zorder_pruned_partkey": """WITH b AS (

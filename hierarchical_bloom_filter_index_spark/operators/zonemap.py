@@ -312,6 +312,72 @@ def expire_batches(spark: SparkSession, layout_dir: str, zone_dir: str,
     return len(doomed)
 
 
+def compact_batches(
+    spark: SparkSession,
+    layout_dir: str,
+    zone_dir: str,
+    up_to_batch_id: int,
+    stat_cols: tuple[str, ...] = (),
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
+    bloom_capacity: int | None = None,
+    seed: int = _ZONE_SEED,
+    target_files: int = 1,
+) -> int:
+    """COMPACTION for a stream-ingested layout: merge every batch dir with
+    ``batch_id <= up_to_batch_id`` into one ``c{up_to_batch_id}/`` dir of
+    ``target_files`` files and replace their zone-map rows with the merged
+    dir's (built with the SAME stat/bloom params the ingest pinned — pass
+    them again; rows carry ``batch_id = up_to_batch_id``, the keep-the-max
+    guard discipline of profile/gram-df compaction).  Small per-batch files
+    are the streaming tax; this pays it back without a full rebuild —
+    untouched batches' rows and files are byte-identical.
+
+    Crash ordering (the engine-wide compaction discipline): compacted DATA
+    first into a fresh dir (unreferenced until the map commits), then the
+    MAP overwrite (survivors localCheckpoint'ed — the overwrite deletes
+    files its own plan would re-read), old dirs deleted last — a crash
+    leaves garbage dirs, never a map row pointing at a deleted file.
+    Refuses if the target dir already exists (recompacting the same
+    boundary; pick a later one) and must not run concurrently with an
+    active ingest stream or pending replays — after compaction a replayed
+    old batch would probe its batch_id, find nothing, and double-ingest
+    (same contract as expire_batches).  Returns the number of batch dirs
+    compacted (0 = no-op)."""
+    import os
+    import shutil
+
+    zm = spark.read.parquet(zone_dir)
+    doomed = zm.where(F.col("batch_id") <= up_to_batch_id)
+    doomed_files = [r["_file"] for r in doomed.select("_file").collect()]
+    if not doomed_files:
+        return 0
+    n_batches = doomed.select("batch_id").distinct().count()
+    target = f"{layout_dir}/c{up_to_batch_id}"
+    if os.path.isdir(target):
+        raise ValueError(
+            f"compact_batches: {target} already exists — this boundary was "
+            "already compacted; pick a later up_to_batch_id")
+    spark.read.parquet(*doomed_files).coalesce(int(target_files)).write.mode(
+        "error").parquet(target)
+    new_rows = build_zone_map(
+        spark.read.parquet(target), stat_cols, bloom_col,
+        bloom_fpp=bloom_fpp, bloom_capacity=bloom_capacity, seed=seed,
+    ).withColumn("batch_id", F.lit(int(up_to_batch_id)).cast("long"))
+    keep = (
+        zm.where(F.col("batch_id") > up_to_batch_id)
+        .unionByName(new_rows, allowMissingColumns=True)
+        .localCheckpoint()
+    )
+    keep.write.mode("overwrite").parquet(zone_dir)
+    for d in sorted({os.path.dirname(f) for f in doomed_files}):
+        # _file values are Hadoop URIs (file:/...) — strip the scheme for
+        # the local filesystem delete
+        local = d[5:] if d.startswith("file:") else d
+        shutil.rmtree(local, ignore_errors=True)
+    return int(n_batches)
+
+
 def write_zone_map(zone_map: DataFrame, path: str) -> None:
     """Persist the zone map (tiny: ~1 row per data file)."""
     zone_map.coalesce(1).write.mode("overwrite").parquet(path)

@@ -279,6 +279,91 @@ def test_expire_batches(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_compact_batches(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        compact_batches,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_compact_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        third = F.col("doc_id") % 3
+        docs.where(third == 0).write.mode("overwrite").parquet(f"{base}/in")
+        docs.where(third == 1).write.mode("append").parquet(f"{base}/in")
+        docs.where(third == 2).write.mode("append").parquet(f"{base}/in")
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q = zone_map_ingest_stream(
+            stream, f"{base}/lay", f"{base}/zm", f"{base}/chk",
+            stat_cols=("doc_id",), bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert q.awaitTermination(300)
+        zm = read_zone_map(spark, f"{base}/zm")
+        batches = sorted(r["batch_id"] for r in
+                         zm.select("batch_id").distinct().collect())
+        assert len(batches) >= 3
+        all_before = sorted(
+            r["doc_id"] for r in
+            read_layout(spark, f"{base}/lay").select("doc_id").collect())
+        n_files_before = len(prune_files(zm))
+        cutoff = batches[1]  # merge the two oldest batches, keep the rest
+        n = compact_batches(
+            spark, f"{base}/lay", f"{base}/zm", cutoff,
+            stat_cols=("doc_id",), bloom_col="doc_id",
+            bloom_capacity=_ZM_CAP)
+        assert n == 2
+        zm2 = read_zone_map(spark, f"{base}/zm")
+        # DATA parity: nothing lost, nothing duplicated
+        all_after = sorted(
+            r["doc_id"] for r in
+            read_layout(spark, f"{base}/lay").select("doc_id").collect())
+        assert all_after == all_before
+        # fewer files; old dirs gone, compacted dir present
+        assert len(prune_files(zm2)) < n_files_before
+        assert os.path.isdir(f"{base}/lay/c{cutoff}")
+        assert not os.path.exists(f"{base}/lay/b{batches[0]}")
+        assert not os.path.exists(f"{base}/lay/b{batches[1]}")
+        # MAP parity vs a scratch build over the compacted layout (pinned
+        # capacity -> bloom bytes equal); batch_id keeps the max-guard rule
+        want = build_zone_map(
+            read_layout(spark, f"{base}/lay"), ("doc_id",),
+            bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert _zm_rows(zm2.drop("batch_id")) == _zm_rows(want)
+        assert sorted(r["batch_id"] for r in
+                      zm2.select("batch_id").distinct().collect()
+                      ) == sorted({cutoff, *batches[2:]})
+        # the compacted layout still serves point lookups via the map
+        ids = [r["doc_id"] for r in docs.limit(3).collect()]
+        got = read_pruned(
+            spark, f"{base}/lay", prune_files(zm2, bloom_keys=ids)
+        ).where(F.col("doc_id").isin(ids))
+        assert got.count() == 3
+        # same-boundary recompaction refuses (target dir exists)
+        with pytest.raises(ValueError, match="already compacted"):
+            compact_batches(spark, f"{base}/lay", f"{base}/zm", cutoff,
+                            stat_cols=("doc_id",), bloom_col="doc_id",
+                            bloom_capacity=_ZM_CAP)
+        # compacting everything (incl. the earlier c-dir) into a later
+        # boundary works and stays parity-clean
+        top = batches[-1]
+        assert compact_batches(
+            spark, f"{base}/lay", f"{base}/zm", top,
+            stat_cols=("doc_id",), bloom_col="doc_id",
+            bloom_capacity=_ZM_CAP) == len({cutoff, *batches[2:]})
+        zm3 = read_zone_map(spark, f"{base}/zm")
+        want3 = build_zone_map(
+            read_layout(spark, f"{base}/lay"), ("doc_id",),
+            bloom_col="doc_id", bloom_capacity=_ZM_CAP)
+        assert _zm_rows(zm3.drop("batch_id")) == _zm_rows(want3)
+        assert sorted(
+            r["doc_id"] for r in
+            read_layout(spark, f"{base}/lay").select("doc_id").collect()
+        ) == all_before
+        # below-cutoff no-op
+        assert compact_batches(spark, f"{base}/lay", f"{base}/zm", -1) == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_build_zone_map_refuses_derived_frames(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="file-backed"):
