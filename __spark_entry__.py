@@ -3027,6 +3027,53 @@ def q_zorder_pruned_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LIFECYCLE: a layout built from HALF of lineitem, the other
+    half APPENDED with the persisted boundaries (geometry from meta, never
+    recomputed — operators/zorder.append_zorder_layout), must answer a
+    partkey-range aggregate over the WHOLE table equal to the full-scan
+    oracle, with the pruned file set still skipping files (gated)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        append_zorder_layout,
+        prune_zorder_files,
+        write_zorder_layout,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_pruned,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = ("zorder_append", sf_dir)
+    if key not in _CACHE:
+        base = tempfile.mkdtemp(prefix="hbi_zorder_app_")
+        path = f"{base}/lay"
+        write_zorder_layout(li.where(F.col("l_orderkey") % 2 == 0),
+                            ["l_orderkey", "l_partkey"], 16, path,
+                            bits_per_col=6)
+        append_zorder_layout(li.where(F.col("l_orderkey") % 2 == 1),
+                             path, n_files=8)
+        _CACHE[key] = path
+    path = _CACHE[key]
+    b = li.agg(F.min("l_partkey").alias("mn"),
+               F.max("l_partkey").alias("mx")).first()
+    lo = b["mn"] + (b["mx"] - b["mn"]) // 2
+    hi = b["mn"] + 5 * (b["mx"] - b["mn"]) // 8
+    files, total = prune_zorder_files(spark, path, {"l_partkey": (lo, hi)})
+    if not (0 < len(files) < total):
+        raise AssertionError(
+            f"appended z-order layout failed to skip files "
+            f"({len(files)}/{total} kept)")
+    return (
+        read_pruned(spark, f"{path}/data", files)
+        .where(F.col("l_partkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
 def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
     per l_returnflag — partial rows per (Arrow batch, group, column), one
@@ -6634,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
+        "zorder_append_parity": q_zorder_append_parity,
         "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
         "zonemap_stream_parity": q_zonemap_stream_parity,
         "grouped_profile": q_grouped_profile,
@@ -8499,6 +8547,15 @@ FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 4
                      AND b.mn + 3 * (b.mx - b.mn) // 8
 GROUP BY l_linestatus""",
+        "zorder_append_parity": """WITH b AS (
+  SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx FROM lineitem)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.mn + (b.mx - b.mn) // 2
+                    AND b.mn + 5 * (b.mx - b.mn) // 8
+GROUP BY l_returnflag""",
         "zorder_pruned_conjunction": """WITH o AS (
   SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem),
 p AS (

@@ -334,6 +334,8 @@ def main() -> None:
         "zorder_pruned_partkey",
         "zorder_pruned_orderkey",
         "zorder_pruned_conjunction",
+        # append with meta-pinned boundaries; pruning still skips (gated)
+        "zorder_append_parity",
         "stratified_sample_docs",
         "weighted_sample_docs",
         # per-source bottom-decile quality cut (one window exchange)

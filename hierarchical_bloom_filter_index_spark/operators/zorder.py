@@ -136,6 +136,48 @@ def write_zorder_layout(
     return bnds
 
 
+def append_zorder_layout(
+    df: DataFrame, path: str, n_files: int = 1
+) -> dict[str, list[float]]:
+    """APPEND a batch to a Z-ordered layout without rebuilding: the batch is
+    curve-assigned with the layout's PERSISTED boundaries (readers never
+    take geometry from callers — the engine-wide meta-pinning discipline),
+    written as ``n_files`` new files under ``path/data``, and the zone map
+    grows by exactly the new files' envelope rows
+    (``zonemap.append_zone_map`` — files are immutable).  Drifted value
+    distributions only LOOSEN pruning (new data clusters by the old
+    boundaries' buckets), never correctness; re-write the layout when drift
+    makes envelopes useless.  Returns the pinned boundaries."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    cols = [r["col"] for r in meta]
+    bits = int(meta[0]["bits"])
+    bnds = {r["col"]: [float(b) for b in r["boundaries"]] for r in meta}
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"append batch lacks clustered columns {missing}")
+    old_files = set(spark.read.parquet(f"{path}/data").inputFiles())
+    z = interleave_expr([bucket_expr(c, bnds[c]) for c in cols], bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(int(n_files), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("append")
+        .parquet(f"{path}/data")
+    )
+    new_files = [f for f in spark.read.parquet(f"{path}/data").inputFiles()
+                 if f not in old_files]
+    rows = build_zone_map(spark.read.parquet(*new_files),
+                          stat_cols=tuple(cols))
+    from .zonemap import append_zone_map, read_zone_map as _rzm
+
+    merged = append_zone_map(_rzm(spark, f"{path}/zonemap"), rows)
+    merged = merged.localCheckpoint()  # the overwrite deletes its own input
+    write_zone_map(merged, f"{path}/zonemap")
+    return bnds
+
+
 def prune_zorder_files(
     spark: SparkSession, path: str, ranges: dict
 ) -> tuple[list[str], int]:

@@ -128,6 +128,38 @@ def test_null_values_stay_sound(spark, layout):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_append_layout(spark):
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        append_zorder_layout,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zorder_append_")
+    try:
+        src = _source(spark)
+        first = src.where(F.col("payload") % 2 == 0)
+        second = src.where(F.col("payload") % 2 == 1)
+        bnds = write_zorder_layout(first, ["x", "y"], 8, f"{base}/lay",
+                                   bits_per_col=4)
+        got_bnds = append_zorder_layout(second, f"{base}/lay", n_files=2)
+        assert got_bnds == bnds  # geometry pinned by meta, not recomputed
+        # parity over the full (appended) content on both columns
+        for ranges in ({"x": (200, 500)}, {"y": (100, 400)},
+                       {"x": (100, 800), "y": (200, 600)}):
+            got = _sorted_rows(read_zorder_pruned(spark, f"{base}/lay", ranges))
+            want = _sorted_rows(_full_filter(spark, ranges))
+            assert got == want
+        # the map grew by exactly the appended files
+        files, total = prune_zorder_files(spark, f"{base}/lay", {})
+        assert total == len(files)
+        assert total == len(
+            spark.read.parquet(f"{base}/lay/data").inputFiles())
+        # appending a batch missing a clustered column refuses
+        with pytest.raises(ValueError, match="lacks clustered columns"):
+            append_zorder_layout(second.drop("y"), f"{base}/lay")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_boundaries_deterministic(spark, layout):
     path, bnds = layout
     _, again = zorder_value(_source(spark), ["x", "y"], bits_per_col=5)
