@@ -1758,6 +1758,28 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_spark(spark, sf_dir, 400000)
 
 
+def q_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.9 over document WORD sets via PREFIX
+    FILTERING (dedup.jaccard_prefix_pairs — AllPairs/PPJoin): tokens
+    globally ordered rarest-first, only each set's short prefix indexed,
+    size filter + exact rational-arithmetic verification.  The
+    deterministic exact twin of the MinHash/LSH path; the oracle is the
+    brute-force DuckDB self-join, so equality proves the prefix blocking
+    lost no pair.  (This corpus' tiny synthetic vocabulary makes prefixes
+    maximally hot — the worst case for blocking — so like
+    dedup_jaccard_pairs it stays out of bench; real vocabularies are the
+    scale case, and the hot-prefix cap refuses degenerate ones loudly.)"""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = docs.where(F.length("text") > 0).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    return jaccard_prefix_pairs(sets, "doc_id", "toks", 0.9,
+                                max_bucket=None)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the exact-Jaccard pair graph: alternating
     large-star / small-star connected components (dedup.connected_components
@@ -6610,6 +6632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbi_pattern_facets": q_hbi_pattern_facets,
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "jaccard_prefix_docs": q_jaccard_prefix_docs,
         "dedup_clusters": q_dedup_clusters,
         "neardup_triangles": q_neardup_triangles,
         "neardup_canonical_docs": q_neardup_canonical_docs,
@@ -7163,6 +7186,21 @@ FROM ranked, qs WHERE rn = CAST(ceil(q * cnt) AS BIGINT)""",
         "dedup_exact_pairs": """SELECT CAST(a.doc_id AS VARCHAR) AS doc_a, CAST(b.doc_id AS VARCHAR) AS doc_b
 FROM documents a JOIN documents b
   ON a.text = b.text AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)""",
+        # exact prefix-filtered Jaccard join == brute force (t = 9/10,
+        # rational compare on both engines — no float boundary drift)
+        "jaccard_prefix_docs": """WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE length(text) > 0)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+       CAST(len(a.toks) + len(b.toks)
+            - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks)
+            - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE 10 * len(list_intersect(a.toks, b.toks))
+      >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))""",
         "dedup_jaccard_pairs": """WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh
   FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,

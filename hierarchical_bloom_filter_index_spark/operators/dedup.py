@@ -749,3 +749,116 @@ def triangle_counts(pairs: DataFrame, left: str = "doc_a",
     )
     return corners.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs Jaccard join via prefix filtering (AllPairs / PPJoin)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    max_bucket: int | None = 1_000_000,
+) -> DataFrame:
+    """EXACT all pairs with ``J(toks_a, toks_b) >= threshold`` — the
+    deterministic scale path the MinHash/LSH surfaces approximate, via
+    PREFIX FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs):
+
+    order every set's tokens by GLOBAL rarity (document frequency asc,
+    token asc — rarest first; the (df, tok) TUPLE is the total order, so no
+    contiguous global rank / single-partition pass is ever built), and
+    index only each set's first ``|x| - ceil(t*|x|) + 1`` tokens.  If
+    ``J >= t`` then ``|x ∩ y| >= ceil(t*max(|x|,|y|))`` (J >= t forces the
+    intersection over the union, which contains the larger set), and the
+    globally-SMALLEST common token must sit within the first
+    ``|s| - |x∩y| + 1`` positions of BOTH sets (all other common tokens
+    rank above it), i.e. inside both prefixes — so the prefix-token
+    equi-join loses no qualifying pair.  Size filter
+    ``ceil(t*|x|) <= |y| <= floor(|x|/t)`` (a J necessary condition) cuts
+    candidates before the verify; the exact intersection decides with
+    RATIONAL arithmetic (``inter * den >= num * uni`` with threshold =
+    num/den via Fraction(str(t)) — no float boundary drift between
+    engines).
+
+    Output: (id_col + '_a', id_col + '_b', n_inter, n_union, jaccard) with
+    a < b, each qualifying pair exactly once.  Duplicate tokens in a set
+    collapse; empty sets and NULL ids never pair.  ``max_bucket`` REFUSES
+    (loudly, never truncates — this surface is exact) when one prefix
+    token would block more than that many sets: a degenerate corpus makes
+    ANY token-sharing join quadratic, and the honest answers are a rarer
+    tokenization upstream or the LSH path.
+    """
+    from fractions import Fraction
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    a_id, b_id = f"{id_col}_a", f"{id_col}_b"
+    base = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.array_distinct(F.col(set_col)).alias("_toks"))
+        .withColumn("_s", F.size("_toks"))
+        .where(F.col("_s") > 0)
+    )
+    ex = base.select("_id", F.explode("_toks").alias("_tok"))
+    dfreq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # re-collect each set sorted by (df, tok); one shuffle join + one groupBy
+    ordered = (
+        ex.join(dfreq, "_tok")
+        .groupBy("_id")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
+            lambda x: x["_tok"]).alias("_ord"))
+        .withColumn("_s", F.size("_ord"))
+    )
+    # prefix length p = s - ceil(t*s) + 1  (ceil via exact integer `div` —
+    # float division would drift at large s, the engine-wide discipline)
+    ceil_ts = F.expr(f"(({num} * _s + {den} - 1) div {den})")
+    prefix = ordered.select(
+        "_id", "_s",
+        F.slice("_ord", 1, (F.col("_s") - ceil_ts + 1).cast("int")).alias("_p"),
+    ).select("_id", "_s", F.explode("_p").alias("_tok"))
+    if max_bucket is not None:
+        top = (prefix.groupBy("_tok").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.max("n")).first()[0])
+        if top is not None and top > max_bucket:
+            raise ValueError(
+                f"jaccard_prefix_pairs: a prefix token blocks {top} sets "
+                f"(cap {max_bucket}) — the candidate join would be quadratic "
+                "in that bucket; raise max_bucket knowingly, use a rarer "
+                "tokenization, or take the LSH path")
+    left = prefix.select(F.col("_id").alias(a_id), F.col("_s").alias("_sa"), "_tok")
+    right = prefix.select(F.col("_id").alias(b_id), F.col("_s").alias("_sb"), "_tok")
+    cand = (
+        left.join(right, "_tok")
+        .where((F.col(a_id) < F.col(b_id))
+               # size filter: ceil(t*sa) <= sb and ceil(t*sb) <= sa
+               & (F.lit(num) * F.col("_sa") <= F.lit(den) * F.col("_sb"))
+               & (F.lit(num) * F.col("_sb") <= F.lit(den) * F.col("_sa")))
+        .select(a_id, b_id)
+        .distinct()
+    )
+    ta = base.select(F.col("_id").alias(a_id), F.col("_toks").alias("_ta"),
+                     F.col("_s").alias("_na"))
+    tb = base.select(F.col("_id").alias(b_id), F.col("_toks").alias("_tb"),
+                     F.col("_s").alias("_nb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    uni = F.col("_na") + F.col("_nb") - F.col("_inter")
+    return (
+        cand.join(ta, a_id).join(tb, b_id)
+        .withColumn("_inter", inter)
+        .withColumn("_uni", uni)
+        .where(F.lit(den) * F.col("_inter") >= F.lit(num) * F.col("_uni"))
+        .select(
+            a_id, b_id,
+            F.col("_inter").cast("long").alias("n_inter"),
+            F.col("_uni").cast("long").alias("n_union"),
+            (F.col("_inter").cast("double") / F.col("_uni")).alias("jaccard"),
+        )
+    )
