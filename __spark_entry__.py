@@ -2914,6 +2914,52 @@ def q_zonemap_compact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data_diff.unionByName(map_diff)
 
 
+def q_zonemap_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE MERGE INTO a zone-mapped layout
+    (operators/zonemap.merge_into_layout): documents key-clustered on
+    doc_id; a source of updates (narrow key slab, text prefixed) plus
+    inserts (keys past the max) upserts by rewriting ONLY the files whose
+    key envelope can hold a source key — gate-asserted 0 < touched <
+    total.  Returns the merged layout's (doc_id, text): the oracle builds
+    the same MERGE result in SQL, so equality proves row-exact upsert
+    semantics end to end (replaced, inserted, untouched).  Rebuilt fresh
+    per call — merges mutate the layout."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+        merge_into_layout,
+        read_layout,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_upsert_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    (docs.repartitionByRange(8, "doc_id")
+     .write.mode("overwrite").parquet(f"{base}/lay"))
+    write_zone_map(
+        build_zone_map(spark.read.parquet(f"{base}/lay"),
+                       stat_cols=("doc_id",)),
+        f"{base}/zm")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    lo, hi = mx // 4, mx // 2
+    updates = docs.where(
+        F.col("doc_id").between(lo, hi) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
+    inserts = spark.range(5).select(
+        (F.lit(mx) + 10 + F.col("id")).alias("doc_id"),
+        F.concat(F.lit("ins "), F.col("id").cast("string")).alias("text"))
+    res = merge_into_layout(
+        spark, f"{base}/lay", f"{base}/zm",
+        updates.unionByName(inserts), "doc_id", stat_cols=("doc_id",))
+    if not (0 < res["n_files_touched"] < res["n_files_total"]):
+        raise AssertionError(
+            f"merge touched {res['n_files_touched']}/{res['n_files_total']} "
+            "files on a key-clustered layout — pruning failed")
+    return read_layout(spark, f"{base}/lay").select("doc_id", "text")
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str):
     """lineitem Z-ORDERED on (l_orderkey, l_partkey) — 32 files, 64
     equi-depth buckets per column — plus its two-column zone map, built
@@ -6701,6 +6747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_pruned_range": q_zonemap_pruned_range,
         "zonemap_fast_count": q_zonemap_fast_count,
         "zonemap_compact_parity": q_zonemap_compact_parity,
+        "zonemap_merge_upsert": q_zonemap_merge_upsert,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8561,6 +8608,20 @@ SELECT COUNT(*) AS n_matching
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # MERGE INTO == the same upsert computed relationally
+        "zonemap_merge_upsert": """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents),
+upd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN m // 4 AND m // 2 AND doc_id % 3 = 0
+              THEN 'UPD ' || text ELSE text END AS text
+  FROM documents, mx),
+ins AS (
+  SELECT m + 10 + i AS doc_id, 'ins ' || CAST(i AS VARCHAR) AS text
+  FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i))
+SELECT doc_id, text FROM upd
+UNION ALL
+SELECT doc_id, text FROM ins""",
         # layout compaction parity: data + map diffs both EMPTY
         "zonemap_compact_parity": """SELECT CAST(NULL AS VARCHAR) AS key,
        CAST(NULL AS VARCHAR) AS kind

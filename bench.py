@@ -328,6 +328,10 @@ def main() -> None:
         "zonemap_pruned_range",
         "zonemap_fast_count",
         "zonemap_bloom_lookup",
+        # copy-on-write MERGE INTO: rewrites only envelope-touched files
+        # (layout + map rebuilt fresh per rep — merges mutate; the timing
+        # IS the whole upsert, write + map maintenance included)
+        "zonemap_merge_upsert",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)

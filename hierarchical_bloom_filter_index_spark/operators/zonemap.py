@@ -378,6 +378,114 @@ def compact_batches(
     return int(n_batches)
 
 
+def merge_into_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    zone_map_path: str,
+    source: DataFrame,
+    key_col: str,
+    stat_cols: tuple[str, ...] = (),
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
+    bloom_capacity: int | None = None,
+    seed: int = _ZONE_SEED,
+    target_files: int = 1,
+) -> dict:
+    """COPY-ON-WRITE MERGE (upsert) into a zone-mapped layout — the
+    Delta/Iceberg ``MERGE INTO`` shape: rows of ``source`` REPLACE target
+    rows sharing their ``key_col`` and are INSERTED where unmatched, by
+    rewriting ONLY the files whose zone-map key envelope can contain a
+    source key.  On a key-clustered layout a batch of updates touches
+    O(its key range) files; everything else is untouched bytes — at 100 TB
+    that, not the join, is the whole game.
+
+    Mechanics: the tiny zone map (1 row/file) is broadcast against the
+    DISTINCT source keys (``min_key <= k <= max_key`` — sound: a file
+    whose envelope excludes every source key cannot hold a matched row);
+    only file NAMES are collected.  The rewrite is (touched rows
+    LEFT ANTI source keys) ∪ source, written to a fresh ``u{n}/`` sub-dir;
+    zone-map rows for the new files are built with the params passed
+    (pin the same stat/bloom geometry the layout uses).  Crash ordering:
+    new data first (unreferenced until the map commits), map overwrite
+    second (survivors localCheckpoint'ed), touched FILES deleted last.
+    NULL source keys are refused (MERGE on NULL is undefined on every
+    engine); duplicate source keys are refused too (two updates for one
+    key is a lost-update race — dedupe upstream, deterministically).
+    Returns ``{"n_files_touched", "n_files_total", "n_source_rows"}``.
+
+    Not for stream-guarded layouts mid-flight: like compaction/expire,
+    must not run concurrently with an active ingest stream; on maps
+    carrying ``batch_id`` the new rows take the current max (keep-the-max
+    guard discipline)."""
+    import os
+    import shutil
+
+    skeys = source.where(F.col(key_col).isNotNull()).select(key_col)
+    n_src = source.count()
+    if skeys.count() != n_src:
+        raise ValueError("merge_into_layout: NULL source keys are refused")
+    sdist = skeys.distinct()
+    if sdist.count() != n_src:
+        raise ValueError(
+            "merge_into_layout: duplicate source keys are refused — two "
+            "updates for one key is a lost-update race; dedupe upstream")
+    zm = read_zone_map(spark, zone_map_path)
+    if f"min_{key_col}" not in zm.columns:
+        raise ValueError(
+            f"merge_into_layout: zone map lacks min_/max_{key_col} "
+            "envelopes — build it with the key in stat_cols")
+    env = F.broadcast(zm.select(
+        "_file", F.col(f"min_{key_col}").alias("_mn"),
+        F.col(f"max_{key_col}").alias("_mx")))
+    touched = [r["_file"] for r in (
+        sdist.join(env, (F.col(key_col) >= F.col("_mn"))
+                   & (F.col(key_col) <= F.col("_mx")))
+        .select("_file").distinct().collect())]
+    n_total = zm.count()
+    if touched:
+        old = spark.read.parquet(*touched)
+        keep = old.join(sdist, key_col, "left_anti")
+        new_data = keep.unionByName(source.select(*old.columns))
+    else:
+        new_data = source
+    existing = [d for d in os.listdir(layout_dir)
+                if d.startswith("u") and d[1:].isdigit()]
+    nxt = max((int(d[1:]) for d in existing), default=-1) + 1
+    target = f"{layout_dir}/u{nxt}"
+    new_data.coalesce(int(target_files)).write.mode("error").parquet(target)
+    new_rows = build_zone_map(
+        spark.read.parquet(target), stat_cols, bloom_col,
+        bloom_fpp=bloom_fpp, bloom_capacity=bloom_capacity, seed=seed)
+    if "batch_id" in zm.columns:
+        top = zm.agg(F.max("batch_id")).first()[0]
+        new_rows = new_rows.withColumn(
+            "batch_id", F.lit(int(top if top is not None else 0)).cast("long"))
+    survivors = zm.where(~F.col("_file").isin(touched)) if touched else zm
+    merged_map = survivors.unionByName(
+        new_rows, allowMissingColumns=True).localCheckpoint()
+    merged_map.write.mode("overwrite").parquet(zone_map_path)
+    for f in touched:
+        local = f[5:] if f.startswith("file:") else f
+        try:
+            os.remove(local)
+        except FileNotFoundError:
+            pass
+    # a fully-rewritten SUB-dir may be left empty of parquet files; sweep
+    # such dirs (never the layout root — flat layouts put files there, and
+    # the fresh u-dir lives under it)
+    root = os.path.abspath(layout_dir)
+    for d in {os.path.dirname(f[5:] if f.startswith("file:") else f)
+              for f in touched}:
+        try:
+            if os.path.abspath(d) != root and not any(
+                    n.endswith(".parquet") for n in os.listdir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+    return {"n_files_touched": len(touched), "n_files_total": int(n_total),
+            "n_source_rows": int(n_src)}
+
+
 def write_zone_map(zone_map: DataFrame, path: str) -> None:
     """Persist the zone map (tiny: ~1 row per data file)."""
     zone_map.coalesce(1).write.mode("overwrite").parquet(path)

@@ -364,6 +364,85 @@ def test_compact_batches(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_merge_into_layout(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        merge_into_layout,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_merge_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        (docs.repartitionByRange(8, "doc_id")
+         .write.mode("overwrite").parquet(f"{base}/lay"))
+        write_zone_map(
+            build_zone_map(spark.read.parquet(f"{base}/lay"),
+                           stat_cols=("doc_id",)),
+            f"{base}/zm")
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        lo, hi = mx // 4, mx // 2  # narrow key slab -> few files touched
+        updates = docs.where(
+            F.col("doc_id").between(lo, hi) & (F.col("doc_id") % 3 == 0)
+        ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
+        inserts = spark.createDataFrame(
+            [(mx + 10 + i, f"ins {i}") for i in range(5)],
+            "doc_id long, text string")
+        source = updates.unionByName(inserts)
+        res = merge_into_layout(
+            spark, f"{base}/lay", f"{base}/zm", source, "doc_id",
+            stat_cols=("doc_id",))
+        assert 0 < res["n_files_touched"] < res["n_files_total"]
+        # MERGE semantics: updates replace, inserts append, rest untouched
+        want = sorted(
+            (r["doc_id"],
+             ("UPD " + r["text"]) if (lo <= r["doc_id"] <= hi
+                                      and r["doc_id"] % 3 == 0) else r["text"])
+            for r in docs.collect())
+        want += sorted((mx + 10 + i, f"ins {i}") for i in range(5))
+        got = sorted((r["doc_id"], r["text"]) for r in
+                     read_layout(spark, f"{base}/lay").collect())
+        assert got == sorted(want)
+        # live map == scratch build over the merged layout
+        live = read_zone_map(spark, f"{base}/zm")
+        scratch = build_zone_map(read_layout(spark, f"{base}/lay"),
+                                 stat_cols=("doc_id",))
+        key = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.select(
+                "_file", "n_rows", "min_doc_id", "max_doc_id").collect())
+        assert key(live) == key(scratch)
+        # the map still serves exact pruned reads
+        files = prune_files(live, "doc_id", lo, hi)
+        got_rng = sorted(
+            r["doc_id"] for r in
+            read_pruned(spark, f"{base}/lay", files)
+            .where(F.col("doc_id").between(lo, hi)).collect())
+        assert got_rng == sorted(
+            d for d, _ in want if lo <= d <= hi)
+        # refusals: NULL and duplicate source keys
+        with pytest.raises(ValueError, match="NULL source keys"):
+            merge_into_layout(
+                spark, f"{base}/lay", f"{base}/zm",
+                spark.createDataFrame([(None, "x")], "doc_id long, text string"),
+                "doc_id", stat_cols=("doc_id",))
+        with pytest.raises(ValueError, match="duplicate source keys"):
+            merge_into_layout(
+                spark, f"{base}/lay", f"{base}/zm",
+                spark.createDataFrame([(1, "x"), (1, "y")],
+                                      "doc_id long, text string"),
+                "doc_id", stat_cols=("doc_id",))
+        # pure-insert merge (keys beyond every envelope): zero files touched
+        far = spark.createDataFrame([(mx + 1000, "far")],
+                                    "doc_id long, text string")
+        res2 = merge_into_layout(
+            spark, f"{base}/lay", f"{base}/zm", far, "doc_id",
+            stat_cols=("doc_id",))
+        assert res2["n_files_touched"] == 0
+        assert read_layout(spark, f"{base}/lay").count() == len(want) + 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_build_zone_map_refuses_derived_frames(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="file-backed"):
