@@ -2960,6 +2960,57 @@ def q_zonemap_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_layout(spark, f"{base}/lay").select("doc_id", "text")
 
 
+def q_zonemap_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE RANGE DELETE + VACUUM over a zone-mapped layout
+    (operators/zonemap.delete_range_from_layout): documents key-clustered
+    on doc_id, the middle doc_id band deleted — interior files drop
+    METADATA-ONLY (gate-asserted > 0), only boundary files are rewritten.
+    Then a crash is simulated (an orphan data dir the map never committed)
+    and vacuum_layout reclaims it — gate: the full recursive scan equals
+    the map-driven read again.  Returns the surviving (doc_id, text); the
+    oracle is the plain SQL complement filter."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        build_zone_map,
+        delete_range_from_layout,
+        read_layout,
+        vacuum_layout,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_del_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    (docs.repartitionByRange(8, "doc_id")
+     .write.mode("overwrite").parquet(f"{base}/lay"))
+    write_zone_map(
+        build_zone_map(spark.read.parquet(f"{base}/lay"),
+                       stat_cols=("doc_id",)),
+        f"{base}/zm")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    lo, hi = mx // 8, 6 * mx // 8
+    res = delete_range_from_layout(
+        spark, f"{base}/lay", f"{base}/zm", "doc_id", lo, hi,
+        stat_cols=("doc_id",))
+    if res["n_files_dropped"] == 0:
+        raise AssertionError(
+            "no metadata-only file drops on a wide delete over a "
+            f"range-clustered layout ({res})")
+    # crash simulation: orphan dir on disk, never committed to the map
+    docs.limit(20).coalesce(1).write.parquet(f"{base}/lay/u99")
+    removed = vacuum_layout(spark, f"{base}/lay", f"{base}/zm")
+    if not removed:
+        raise AssertionError("vacuum found no orphan after a planted crash")
+    survivors = read_layout(spark, f"{base}/lay")
+    n_full = survivors.count()
+    n_map = docs.where(~F.col("doc_id").between(lo, hi)).count()
+    if n_full != n_map:
+        raise AssertionError(
+            f"post-vacuum full scan {n_full} != expected {n_map}")
+    return survivors.select("doc_id", "text")
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str):
     """lineitem Z-ORDERED on (l_orderkey, l_partkey) — 32 files, 64
     equi-depth buckets per column — plus its two-column zone map, built
@@ -6748,6 +6799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_fast_count": q_zonemap_fast_count,
         "zonemap_compact_parity": q_zonemap_compact_parity,
         "zonemap_merge_upsert": q_zonemap_merge_upsert,
+        "zonemap_delete_range": q_zonemap_delete_range,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8608,6 +8660,12 @@ SELECT COUNT(*) AS n_matching
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # copy-on-write range delete == the plain complement filter
+        "zonemap_delete_range": """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents)
+SELECT doc_id, text
+FROM documents, mx
+WHERE doc_id NOT BETWEEN m // 8 AND 6 * m // 8""",
         # MERGE INTO == the same upsert computed relationally
         "zonemap_merge_upsert": """WITH mx AS (
   SELECT MAX(doc_id) AS m FROM documents),

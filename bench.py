@@ -332,6 +332,9 @@ def main() -> None:
         # (layout + map rebuilt fresh per rep — merges mutate; the timing
         # IS the whole upsert, write + map maintenance included)
         "zonemap_merge_upsert",
+        # copy-on-write range delete (metadata-only interior drops) +
+        # orphan vacuum, layout rebuilt fresh per rep like the merge
+        "zonemap_delete_range",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)

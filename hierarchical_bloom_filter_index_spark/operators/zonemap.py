@@ -486,6 +486,152 @@ def merge_into_layout(
             "n_source_rows": int(n_src)}
 
 
+def delete_range_from_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    zone_map_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    stat_cols: tuple[str, ...] = (),
+    bloom_col: str | None = None,
+    bloom_fpp: float = 0.01,
+    bloom_capacity: int | None = None,
+    seed: int = _ZONE_SEED,
+    target_files: int = 1,
+) -> dict:
+    """COPY-ON-WRITE ``DELETE WHERE lo <= col <= hi`` (closed ends,
+    one-sided with None) over a zone-mapped layout, with the count_range
+    three-way split driving the I/O:
+
+    * files whose envelope MISSES the range are untouched (no read, no
+      write);
+    * files wholly CONTAINED in the range with no NULL ``col`` rows
+      (``nvals == n_rows`` — NULLs never match a range predicate and must
+      survive) are dropped METADATA-ONLY: the file is deleted and its map
+      row removed, zero rows read;
+    * BOUNDARY files (envelope overlaps but isn't contained, or contained
+      but holding NULL rows) are rewritten keeping the complement
+      (``col < lo OR col > hi OR col IS NULL``) into a fresh ``d{n}/``
+      sub-dir with new map rows.
+
+    On a range-clustered layout a wide delete is almost entirely
+    metadata-only — the same O(boundary) bound as count_range.  Crash
+    ordering: rewrite data first, map overwrite second, doomed files
+    deleted last (garbage dirs, never dangling map rows).  Same
+    no-concurrent-writers contract as merge/compact/expire.  Returns
+    ``{"n_files_dropped", "n_files_rewritten", "n_files_total"}``."""
+    import os
+    import shutil
+
+    zm = read_zone_map(spark, zone_map_path)
+    for need in (f"min_{col}", f"max_{col}", f"nvals_{col}"):
+        if need not in zm.columns:
+            raise ValueError(
+                f"delete_range_from_layout: zone map lacks {need} — build "
+                "it with the column in stat_cols")
+    keep = F.lit(True)
+    contained = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
+        contained = contained & (F.col(f"min_{col}") >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
+        contained = contained & (F.col(f"max_{col}") <= F.lit(hi))
+    rows = zm.select(
+        "_file", "n_rows", F.col(f"nvals_{col}").alias("_nv"),
+        keep.alias("_touch"),
+        (contained & (F.col(f"nvals_{col}") == F.col("n_rows"))).alias("_drop"),
+    ).collect()
+    n_total = len(rows)
+    dropped = [r["_file"] for r in rows if r["_touch"] and r["_drop"]]
+    boundary = [r["_file"] for r in rows if r["_touch"] and not r["_drop"]]
+    new_rows = None
+    if boundary:
+        surv = F.lit(False) | F.col(col).isNull()
+        if lo is not None:
+            surv = surv | (F.col(col) < F.lit(lo))
+        if hi is not None:
+            surv = surv | (F.col(col) > F.lit(hi))
+        existing = [d for d in os.listdir(layout_dir)
+                    if d.startswith("d") and d[1:].isdigit()]
+        nxt = max((int(d[1:]) for d in existing), default=-1) + 1
+        target = f"{layout_dir}/d{nxt}"
+        (spark.read.parquet(*boundary).where(surv)
+         .coalesce(int(target_files)).write.mode("error").parquet(target))
+        new_rows = build_zone_map(
+            spark.read.parquet(target), stat_cols, bloom_col,
+            bloom_fpp=bloom_fpp, bloom_capacity=bloom_capacity, seed=seed)
+        if "batch_id" in zm.columns:
+            top = zm.agg(F.max("batch_id")).first()[0]
+            new_rows = new_rows.withColumn(
+                "batch_id",
+                F.lit(int(top if top is not None else 0)).cast("long"))
+    doomed = dropped + boundary
+    survivors = zm.where(~F.col("_file").isin(doomed)) if doomed else zm
+    merged = (survivors.unionByName(new_rows, allowMissingColumns=True)
+              if new_rows is not None else survivors).localCheckpoint()
+    merged.write.mode("overwrite").parquet(zone_map_path)
+    root = os.path.abspath(layout_dir)
+    for f in doomed:
+        local = f[5:] if f.startswith("file:") else f
+        try:
+            os.remove(local)
+        except FileNotFoundError:
+            pass
+    for d in {os.path.dirname(f[5:] if f.startswith("file:") else f)
+              for f in doomed}:
+        try:
+            if os.path.abspath(d) != root and not any(
+                    n.endswith(".parquet") for n in os.listdir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+    return {"n_files_dropped": len(dropped),
+            "n_files_rewritten": len(boundary),
+            "n_files_total": int(n_total)}
+
+
+def vacuum_layout(spark: SparkSession, layout_dir: str,
+                  zone_map_path: str) -> list[str]:
+    """ORPHAN-FILE GC: delete every parquet data file under ``layout_dir``
+    that the zone map does not reference — the garbage that this module's
+    crash orderings deliberately leave behind (data written, crash before
+    the map commit).  Zone-map-driven readers never see orphans, but the
+    full recursive scan (``read_layout``) WOULD double-count them after a
+    crash-and-replay, and they hold disk — vacuum restores the invariant
+    that the map IS the layout.  Also sweeps sub-dirs left with no data
+    files.  Must not run concurrently with a writer (a just-written,
+    not-yet-committed dir looks exactly like garbage — same contract as
+    every compaction here).  Returns the removed file paths."""
+    import os
+    import shutil
+
+    zm = read_zone_map(spark, zone_map_path)
+    norm = lambda f: os.path.abspath(  # noqa: E731
+        f[5:] if f.startswith("file:") else f)
+    referenced = {norm(r["_file"]) for r in zm.select("_file").collect()}
+    removed = []
+    root = os.path.abspath(layout_dir)
+    for dirpath, _dirs, files in os.walk(root):
+        for n in files:
+            p = os.path.join(dirpath, n)
+            if n.endswith(".parquet") and os.path.abspath(p) not in referenced:
+                os.remove(p)
+                removed.append(p)
+    for dirpath, _dirs, _files in sorted(
+            (t[0], t[1], t[2]) for t in os.walk(root)):
+        if os.path.abspath(dirpath) == root:
+            continue
+        try:
+            if not any(n.endswith(".parquet")
+                       for _, _, fs in os.walk(dirpath) for n in fs):
+                shutil.rmtree(dirpath, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+    return removed
+
+
 def write_zone_map(zone_map: DataFrame, path: str) -> None:
     """Persist the zone map (tiny: ~1 row per data file)."""
     zone_map.coalesce(1).write.mode("overwrite").parquet(path)

@@ -201,6 +201,20 @@ SWEEP = [
     "custkey_setops",
     "event_type_heavy",
     "zonemap_pruned_range",
+    # round-4o additions (15th session): Z-order multi-column skipping
+    # (first rep writes the 5x layout + two-column map, cached after; the
+    # pruned FRACTION is ~scale-invariant on the curve, so growth isolates
+    # the clustered write amortized away + pruned-scan cost) and the
+    # SymSpell edit-distance self-join (replica c_name values are UNCHANGED
+    # -> distinct names constant while rows grow 5x: the distinct-first
+    # design should keep the join ~flat). corpus_snapshot_diff /
+    # zonemap_merge_upsert key on NUMERIC doc_id residues and are excluded
+    # on the 'r{r}-' replica corpora (the standing sampling-query
+    # exclusion); jaccard_prefix_docs stays out like dedup_jaccard_pairs
+    # (tiny-vocab corpus = deliberately degenerate blocking).
+    "zorder_pruned_partkey",
+    "zorder_pruned_conjunction",
+    "customer_fuzzy_name_pairs",
 ]
 
 

@@ -443,6 +443,102 @@ def test_merge_into_layout(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_delete_range_from_layout(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        delete_range_from_layout,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_delete_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        # plant NULL keys: they must SURVIVE any range delete
+        docs = docs.withColumn(
+            "doc_id", F.when(F.col("doc_id") % 41 == 0, None)
+            .otherwise(F.col("doc_id")))
+        (docs.repartitionByRange(8, "doc_id")
+         .write.mode("overwrite").parquet(f"{base}/lay"))
+        write_zone_map(
+            build_zone_map(spark.read.parquet(f"{base}/lay"),
+                           stat_cols=("doc_id",)),
+            f"{base}/zm")
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        lo, hi = mx // 8, 6 * mx // 8  # wide band -> interior files drop
+        res = delete_range_from_layout(
+            spark, f"{base}/lay", f"{base}/zm", "doc_id", lo, hi,
+            stat_cols=("doc_id",))
+        assert res["n_files_dropped"] > 0  # metadata-only drops happened
+        assert res["n_files_dropped"] + res["n_files_rewritten"] \
+            <= res["n_files_total"]
+        # NB sorted() can't order None doc_ids against ints — sort by str
+        want = sorted(
+            ((r["doc_id"], r["text"]) for r in docs.collect()
+             if r["doc_id"] is None or not (lo <= r["doc_id"] <= hi)),
+            key=str)
+        got = sorted(((r["doc_id"], r["text"]) for r in
+                      read_layout(spark, f"{base}/lay").collect()), key=str)
+        assert got == want
+        # live map == scratch build over the post-delete layout
+        live = read_zone_map(spark, f"{base}/zm")
+        scratch = build_zone_map(read_layout(spark, f"{base}/lay"),
+                                 stat_cols=("doc_id",))
+        key = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.select(
+                "_file", "n_rows", "min_doc_id", "max_doc_id",
+                "nvals_doc_id").collect())
+        assert key(live) == key(scratch)
+        # one-sided delete: everything above a cutoff goes
+        res2 = delete_range_from_layout(
+            spark, f"{base}/lay", f"{base}/zm", "doc_id", lo=7 * mx // 8,
+            stat_cols=("doc_id",))
+        got2 = sorted(
+            ((r["doc_id"], r["text"]) for r in
+             read_layout(spark, f"{base}/lay").collect()), key=str)
+        want2 = sorted(((d, t) for d, t in want
+                        if d is None or d < 7 * mx // 8), key=str)
+        assert got2 == want2
+        # missing stat column refuses
+        with pytest.raises(ValueError, match="lacks"):
+            delete_range_from_layout(
+                spark, f"{base}/lay", f"{base}/zm", "text", "a", "b")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_vacuum_layout(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        vacuum_layout,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_vacuum_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(f"{base}/lay")
+        write_zone_map(
+            build_zone_map(spark.read.parquet(f"{base}/lay"),
+                           stat_cols=("doc_id",)),
+            f"{base}/zm")
+        n_docs = docs.count()
+        # simulate a crash: data written to a sub-dir, map never committed
+        docs.limit(50).coalesce(1).write.parquet(f"{base}/lay/u99")
+        assert read_layout(spark, f"{base}/lay").count() == n_docs + 50
+        removed = vacuum_layout(spark, f"{base}/lay", f"{base}/zm")
+        assert removed and all("u99" in p for p in removed)
+        assert not os.path.exists(f"{base}/lay/u99")
+        # the map's files are untouched; full scan agrees with the map again
+        assert read_layout(spark, f"{base}/lay").count() == n_docs
+        zm = read_zone_map(spark, f"{base}/zm")
+        assert read_pruned(spark, f"{base}/lay",
+                           prune_files(zm)).count() == n_docs
+        # idempotent
+        assert vacuum_layout(spark, f"{base}/lay", f"{base}/zm") == []
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_build_zone_map_refuses_derived_frames(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="file-backed"):
