@@ -3193,6 +3193,69 @@ def q_zorder_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Z-ORDER INGEST (operators/zorder.zorder_ingest_stream):
+    half of lineitem seeds the layout, the other half streams in as
+    micro-batches curve-assigned with the PERSISTED boundaries (zone-map
+    batch_id replay guard; map commit is the append's last step).  After
+    the drain, a partkey-range aggregate over the pruned read must equal
+    the full-table oracle — the streamed layout answers for ALL of
+    lineitem.  Gates: >= 2 stream batches in the map; pruning still skips
+    files."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_pruned,
+        read_zone_map,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        prune_zorder_files,
+        write_zorder_layout,
+        zorder_ingest_stream,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = ("zorder_stream", sf_dir)
+    if key not in _CACHE:
+        base = tempfile.mkdtemp(prefix="hbi_zorder_stream_")
+        path = f"{base}/lay"
+        even = F.col("l_orderkey") % 2 == 0
+        write_zorder_layout(li.where(even), ["l_orderkey", "l_partkey"], 16,
+                            path, bits_per_col=6)
+        rest = li.where(~even)
+        half = F.col("l_linenumber") % 2 == 0
+        rest.where(half).write.mode("overwrite").parquet(f"{base}/in")
+        rest.where(~half).write.mode("append").parquet(f"{base}/in")
+        stream = (spark.readStream.schema(li.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q = zorder_ingest_stream(stream, path, f"{base}/chk", n_files=4)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("zorder_stream_ingest: drain exceeded 300s")
+        zm = read_zone_map(spark, f"{path}/zonemap")
+        if zm.where(F.col("batch_id").isNotNull()).select(
+                "batch_id").distinct().count() < 2:
+            raise AssertionError("zorder_stream_ingest: expected >= 2 batches")
+        _CACHE[key] = path
+    path = _CACHE[key]
+    b = li.agg(F.min("l_partkey").alias("mn"),
+               F.max("l_partkey").alias("mx")).first()
+    lo = b["mn"] + 5 * (b["mx"] - b["mn"]) // 8
+    hi = b["mn"] + 3 * (b["mx"] - b["mn"]) // 4
+    files, total = prune_zorder_files(spark, path, {"l_partkey": (lo, hi)})
+    if not (0 < len(files) < total):
+        raise AssertionError(
+            f"streamed z-order layout failed to skip files "
+            f"({len(files)}/{total} kept)")
+    return (
+        read_pruned(spark, f"{path}/data", files)
+        .where(F.col("l_partkey").between(lo, hi))
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+    )
+
+
 def q_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP sketch profiles in one scan: lineitem.l_quantity profiled
     per l_returnflag — partial rows per (Arrow batch, group, column), one
@@ -6804,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
         "zorder_append_parity": q_zorder_append_parity,
+        "zorder_stream_ingest": q_zorder_stream_ingest,
         "zonemap_bloom_lookup": q_zonemap_bloom_lookup,
         "zonemap_stream_parity": q_zonemap_stream_parity,
         "grouped_profile": q_grouped_profile,
@@ -8703,6 +8767,15 @@ SELECT l_linestatus,
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 4
                      AND b.mn + 3 * (b.mx - b.mn) // 8
+GROUP BY l_linestatus""",
+        "zorder_stream_ingest": """WITH b AS (
+  SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx FROM lineitem)
+SELECT l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.mn + 5 * (b.mx - b.mn) // 8
+                    AND b.mn + 3 * (b.mx - b.mn) // 4
 GROUP BY l_linestatus""",
         "zorder_append_parity": """WITH b AS (
   SELECT MIN(l_partkey) AS mn, MAX(l_partkey) AS mx FROM lineitem)

@@ -137,7 +137,8 @@ def write_zorder_layout(
 
 
 def append_zorder_layout(
-    df: DataFrame, path: str, n_files: int = 1
+    df: DataFrame, path: str, n_files: int = 1,
+    batch_id: int | None = None,
 ) -> dict[str, list[float]]:
     """APPEND a batch to a Z-ordered layout without rebuilding: the batch is
     curve-assigned with the layout's PERSISTED boundaries (readers never
@@ -170,12 +171,57 @@ def append_zorder_layout(
                  if f not in old_files]
     rows = build_zone_map(spark.read.parquet(*new_files),
                           stat_cols=tuple(cols))
+    if batch_id is not None:
+        rows = rows.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
     from .zonemap import append_zone_map, read_zone_map as _rzm
 
     merged = append_zone_map(_rzm(spark, f"{path}/zonemap"), rows)
     merged = merged.localCheckpoint()  # the overwrite deletes its own input
     write_zone_map(merged, f"{path}/zonemap")
     return bnds
+
+
+def zorder_ingest_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    n_files: int = 1,
+):
+    """STREAMING ingest into an EXISTING Z-ordered layout: each micro-batch
+    is curve-assigned with the persisted boundaries and appended
+    (``append_zorder_layout``), its zone-map rows tagged ``batch_id``.
+
+    Replay discipline (foreachBatch is at-least-once): the guard probes the
+    ZONE MAP for the batch_id before appending — the map overwrite is the
+    append's LAST step, so a redelivered committed batch is skipped.  A
+    crash BETWEEN the data append and the map commit leaves the batch's
+    files on disk but unmapped: the replay re-appends cleanly (the diff
+    against pre-append files never maps the orphans), map-driven readers
+    (``read_zorder_pruned``) stay exact throughout, and
+    ``zonemap.vacuum_layout(path + '/data', path + '/zonemap')`` reclaims
+    the orphans and restores full-recursive-scan parity.  Same
+    no-concurrent-writers contract as every maintenance surface here.
+    Returns the started query (availableNow; await + stop is the
+    caller's job)."""
+    from .zonemap import read_zone_map as _rzm
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        zm = _rzm(spark, f"{path}/zonemap")
+        if "batch_id" in zm.columns and (
+                zm.filter(F.col("batch_id") == batch_id).limit(1).count() > 0):
+            return
+        append_zorder_layout(batch_df, path, n_files=n_files,
+                             batch_id=batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def prune_zorder_files(

@@ -160,6 +160,53 @@ def test_append_layout(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_ingest_stream(spark):
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        zorder_ingest_stream,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        read_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zorder_stream_")
+    try:
+        src = _source(spark)
+        third = F.col("payload") % 3
+        write_zorder_layout(src.where(third == 0), ["x", "y"], 8,
+                            f"{base}/lay", bits_per_col=4)
+        src.where(third == 1).write.mode("overwrite").parquet(f"{base}/in")
+        src.where(third == 2).write.mode("append").parquet(f"{base}/in")
+        schema = spark.read.parquet(f"{base}/in").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q = zorder_ingest_stream(stream, f"{base}/lay", f"{base}/chk",
+                                 n_files=2)
+        assert q.awaitTermination(300)
+        zm = read_zone_map(spark, f"{base}/lay/zonemap")
+        assert zm.where(F.col("batch_id").isNotNull()).select(
+            "batch_id").distinct().count() >= 2
+        # pruned reads over the streamed layout == full filters
+        for ranges in ({"x": (300, 600)}, {"y": (100, 500)}):
+            got = _sorted_rows(read_zorder_pruned(spark, f"{base}/lay", ranges))
+            want = _sorted_rows(_full_filter(spark, ranges))
+            assert got == want
+        # replay drill: a fresh checkpoint redelivers every batch; the map
+        # guard skips them all, leaving map + data byte-identical
+        rows_before = sorted(map(tuple, zm.drop("batch_id").collect()))
+        n_before = spark.read.parquet(f"{base}/lay/data").count()
+        stream2 = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1").parquet(f"{base}/in"))
+        q2 = zorder_ingest_stream(stream2, f"{base}/lay", f"{base}/chk2",
+                                  n_files=2)
+        assert q2.awaitTermination(300)
+        zm2 = read_zone_map(spark, f"{base}/lay/zonemap")
+        rows_after = sorted(map(tuple, zm2.drop("batch_id").collect()))
+        assert rows_after == rows_before
+        assert spark.read.parquet(f"{base}/lay/data").count() == n_before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_boundaries_deterministic(spark, layout):
     path, bnds = layout
     _, again = zorder_value(_source(spark), ["x", "y"], bits_per_col=5)
