@@ -1794,6 +1794,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).select("doc_id", "cluster_id", "cluster_sz")
 
 
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test SPLITS (dedup.leakage_safe_splits): a
+    per-document hash split puts near-duplicates on both sides of the
+    train/test fence (the canonical held-out-loss contamination); here
+    every near-dup COMPONENT of the oracle-checked exact-Jaccard pair
+    graph is assigned as a unit — the split key is the component's
+    canonical representative, through the same u64 range-partitioned hash
+    as dataset_splits.  In-query gate: no component straddles splits.
+    Oracle: the recursive-CTE components + the bit-exact SplitMix64 twin
+    keyed by the representative."""
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        dedup_clusters,
+        leakage_safe_splits,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = _jaccard_pairs_spark(spark, sf_dir, 400000).select("doc_a", "doc_b")
+    out = leakage_safe_splits(docs, pairs, "doc_id", SPLIT_FRACS, SAMPLE_SEED)
+    cc = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    worst = (
+        out.join(cc, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k")).first()[0]
+    )
+    if worst is not None and worst != 1:
+        raise AssertionError(
+            f"a near-dup component straddles {worst} splits — leakage")
+    return out.select("doc_id", "split")
+
+
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRIANGLE COUNTS over the near-dup pair graph: per doc, the number of
     triangles it corners — the clique-vs-chain diagnostic a dedup pipeline
@@ -5641,6 +5672,30 @@ SELECT source, {case} AS split, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM doc_hash GROUP BY source, split"""
 
 
+def _leakage_splits_oracle() -> str:
+    """Recursive components of the exact-Jaccard pair graph; singleton docs
+    represent themselves; the representative (CAST to BIGINT) hashes
+    through the bit-exact SplitMix64 chain into the same cumulative-
+    fraction thresholds as dataset_splits."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        threshold_of,
+    )
+
+    names = list(SPLIT_FRACS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += SPLIT_FRACS[name]
+        whens.append(f"WHEN _h < {threshold_of(acc)} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return f"""WITH RECURSIVE {_JACCARD_CC_CTES},
+ad AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+rep AS (SELECT ad.doc_id, CAST(COALESCE(cc.cluster_id, ad.doc_id) AS BIGINT) AS key
+        FROM ad LEFT JOIN cc ON cc.doc_id = ad.doc_id),
+{_key_hash_ctes(SAMPLE_SEED, 'rh', 'SELECT DISTINCT key FROM rep')}
+SELECT rep.doc_id, {case} AS split
+FROM rep JOIN rh USING (key)"""
+
+
 def _topn_oracle() -> str:
     return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)}
 SELECT source, doc_id, rank FROM (
@@ -6793,6 +6848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_pairs": q_winnowing_pairs,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "jaccard_prefix_docs": q_jaccard_prefix_docs,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "dedup_clusters": q_dedup_clusters,
         "neardup_triangles": q_neardup_triangles,
         "neardup_canonical_docs": q_neardup_canonical_docs,
@@ -7975,6 +8031,7 @@ r AS (
   FROM d)
 SELECT doc_id, source, n_chars FROM r WHERE rk > (n * 1) // 10""",
         "dataset_splits": _splits_oracle(),
+        "leakage_safe_splits": _leakage_splits_oracle(),
         "docs_topn_hash": _topn_oracle(),
         "weighted_sample_docs": _weighted_sample_oracle(),
         "mixture_manifest_docs": _mixture_oracle(),

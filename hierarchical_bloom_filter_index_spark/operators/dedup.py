@@ -862,3 +862,43 @@ def jaccard_prefix_pairs(
             (F.col("_inter").cast("double") / F.col("_uni")).alias("jaccard"),
         )
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    splits: dict,
+    seed: int,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    out_col: str = "split",
+    rep_cast: str = "long",
+) -> DataFrame:
+    """CLUSTER-AWARE train/val/test assignment — the guard against the
+    best-documented form of benchmark leakage in LLM training data:
+    hashing each DOCUMENT id into a split puts near-duplicate documents on
+    both sides of the train/test fence, so held-out loss is silently
+    memorized.  Here every near-dup COMPONENT (connected_components over
+    the pair graph — large-star/small-star, edge-only shuffles) is
+    assigned as a unit: the split key is the component's canonical
+    representative (cluster_id = component min; singletons represent
+    themselves), pushed through the same deterministic u64 hash-space
+    range partition as ``sampling.split_column`` — so assignment is a pure
+    function of (component, seed): stable under dataset growth, identical
+    on any cluster size, and members of one component CANNOT straddle
+    splits (they share the key).
+
+    ``pairs`` is any near-dup pair table (exact Jaccard, LSH, semantic —
+    whatever the pipeline trusts); ``rep_cast`` is the dtype the
+    representative hashes through (ids castable to long keep the
+    SplitMix64 SQL twin available).  Returns ``docs`` + ``out_col``.
+    """
+    from .sampling import split_column
+
+    cc = dedup_clusters(pairs, left, right).select(
+        F.col("doc_id").alias(id_col), "cluster_id")
+    tagged = docs.join(cc, id_col, "left").withColumn(
+        "_rep", F.coalesce(F.col("cluster_id"), F.col(id_col)).cast(rep_cast))
+    return split_column(tagged, "_rep", splits, seed, out_col=out_col).drop(
+        "_rep", "cluster_id")

@@ -166,3 +166,44 @@ def test_triangle_counts_random_differential(spark, seed):
     got = {r["doc_id"]: r["n_triangles"]
            for r in triangle_counts(df).collect()}
     assert got == _local_triangles(edges)
+
+
+def test_leakage_safe_splits(spark):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        leakage_safe_splits,
+    )
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        split_column,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11)], "doc_a long, doc_b long")
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = leakage_safe_splits(docs, pairs, "doc_id", fr, seed=5)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got) == set(range(12))
+    # the leakage property: every component shares one split
+    assert got[1] == got[2] == got[3]
+    assert got[7] == got[8]
+    assert got[10] == got[11]
+    # equivalence to hashing the representative directly
+    rep = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+    reps = spark.createDataFrame(
+        [(i, rep.get(i, i)) for i in range(12)], "doc_id long, r long")
+    want = {r["doc_id"]: r["split"]
+            for r in split_column(reps, "r", fr, seed=5).collect()}
+    assert got == want
+    # deterministic across invocations
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_splits(
+        docs, pairs, "doc_id", fr, seed=5).collect()}
+    assert got == again
+    # string ids (numeric content) ride the same long-cast hash path
+    from pyspark.sql import functions as F
+
+    sdocs = docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+    spairs = pairs.select(F.col("doc_a").cast("string").alias("doc_a"),
+                          F.col("doc_b").cast("string").alias("doc_b"))
+    sgot = {int(r["doc_id"]): r["split"] for r in leakage_safe_splits(
+        sdocs, spairs, "doc_id", fr, seed=5).collect()}
+    assert sgot == got
