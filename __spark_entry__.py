@@ -2732,7 +2732,8 @@ def _zonemap_range_layout(spark: SparkSession, sf_dir: str):
          .repartitionByRange(8, "l_orderkey")
          .write.mode("overwrite").parquet(path))
         zm = build_zone_map(
-            spark.read.parquet(path), stat_cols=("l_orderkey",)).persist()
+            spark.read.parquet(path), stat_cols=("l_orderkey",),
+            sum_cols=("l_quantity",)).persist()
         zm.count()
         _CACHE[key] = (path, zm)
     return _CACHE[key]
@@ -2796,6 +2797,33 @@ def q_zonemap_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no file wholly inside the range on a range-clustered layout")
     n = count_range(spark, path, zm, "l_orderkey", lo, hi)
     return spark.createDataFrame([(n,)], "n_matching bigint")
+
+
+def q_zonemap_fast_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ACCELERATED RANGE SUM (operators/zonemap.sum_range):
+    SUM(l_quantity) over the middle three-quarters of the orderkey space —
+    wholly-contained files credit their per-file BIGINT sums without being
+    opened (NULL-free key rule), only boundary files scan.  Exact by the
+    count_range partition argument; the oracle is the plain full-scan
+    SUM.  In-query gate: some file was metadata-credited."""
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        sum_range,
+    )
+
+    path, zm = _zonemap_range_layout(spark, sf_dir)
+    b = zm.agg(F.min("min_l_orderkey").alias("mn"),
+               F.max("max_l_orderkey").alias("mx")).first()
+    lo = b["mn"] + (b["mx"] - b["mn"]) // 8
+    hi = b["mn"] + 7 * (b["mx"] - b["mn"]) // 8
+    n_credit = zm.where(
+        (F.col("min_l_orderkey") >= lo) & (F.col("max_l_orderkey") <= hi)
+        & (F.col("nvals_l_orderkey") == F.col("n_rows"))).count()
+    if n_credit == 0:
+        raise AssertionError(
+            "no metadata-credited file inside the range on a "
+            "range-clustered layout")
+    s = sum_range(spark, path, zm, "l_orderkey", "l_quantity", lo, hi)
+    return spark.createDataFrame([(s,)], "sum_qty bigint")
 
 
 def q_zonemap_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6916,6 +6944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_pruned_read": q_bucket_pruned_read,
         "zonemap_pruned_range": q_zonemap_pruned_range,
         "zonemap_fast_count": q_zonemap_fast_count,
+        "zonemap_fast_sum": q_zonemap_fast_sum,
         "zonemap_compact_parity": q_zonemap_compact_parity,
         "zonemap_merge_upsert": q_zonemap_merge_upsert,
         "zonemap_delete_range": q_zonemap_delete_range,
@@ -8778,6 +8807,12 @@ WHERE doc_id % 199 = 42""",
         "zonemap_fast_count": """WITH b AS (
   SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
 SELECT COUNT(*) AS n_matching
+FROM lineitem, b
+WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
+                     AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        "zonemap_fast_sum": """WITH b AS (
+  SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx FROM lineitem)
+SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",

@@ -327,6 +327,8 @@ def main() -> None:
         # prune, exact predicate closes the contract)
         "zonemap_pruned_range",
         "zonemap_fast_count",
+        # exact range SUM mostly from metadata (per-file BIGINT sums)
+        "zonemap_fast_sum",
         "zonemap_bloom_lookup",
         # copy-on-write MERGE INTO: rewrites only envelope-touched files
         # (layout + map rebuilt fresh per rep — merges mutate; the timing

@@ -53,6 +53,7 @@ def build_zone_map(
     bloom_fpp: float = 0.01,
     bloom_capacity: int | None = None,
     seed: int = _ZONE_SEED,
+    sum_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """ONE zone-map row per underlying parquet file of ``df``: ``(_file,
     n_rows, min_<c>, max_<c> ...[, bloom])``.
@@ -78,6 +79,12 @@ def build_zone_map(
         # may credit for a wholly-contained file (n_rows would over-count
         # rows whose column is NULL — a range predicate never matches those)
         aggs.append(F.count(c).alias(f"nvals_{c}"))
+    for c in sum_cols:
+        # per-file EXACT sum for metadata-accelerated range SUMs: BIGINT
+        # (order-free, overflow refuses loudly under ANSI) — integral-
+        # valued columns only; scale fractional columns to fixed point
+        # upstream. NULLs are ignored, matching SQL SUM over matched rows.
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"sum_{c}"))
     stats = src.groupBy("_file").agg(*aggs)
     if bloom_col is None:
         return stats
@@ -277,6 +284,51 @@ def count_range(spark: SparkSession, path: str, zone_map: DataFrame,
     if hi is not None:
         pred = pred & (F.col(col) <= F.lit(hi))
     return int(meta_n) + read_pruned(spark, path, boundary).where(pred).count()
+
+
+def sum_range(spark: SparkSession, path: str, zone_map: DataFrame,
+              range_col: str, sum_col: str, lo=None, hi=None) -> int:
+    """EXACT ``SUM(sum_col) WHERE lo <= range_col <= hi`` answered mostly
+    from METADATA — count_range's three-way split with the per-file
+    ``sum_<sum_col>`` credit: a file wholly contained in the range whose
+    ``range_col`` has NO NULLs (``nvals == n_rows`` — a NULL range key
+    never matches, but its sum_col value is baked into the file's sum)
+    credits its stored sum unopened; boundary/NULL-holding files are
+    scanned with the exact predicate.  Returns 0 when nothing matches
+    (COALESCE'd — the SQL twin should COALESCE too).  Exact by the same
+    partition argument as count_range; BIGINT arithmetic throughout."""
+    for need in (f"min_{range_col}", f"nvals_{range_col}", f"sum_{sum_col}"):
+        if need not in zone_map.columns:
+            raise ValueError(
+                f"sum_range: zone map lacks {need} — build with the range "
+                "column in stat_cols and the sum column in sum_cols")
+    zm = zone_map.select(
+        "_file", "n_rows", F.col(f"nvals_{range_col}").alias("_nv"),
+        F.col(f"min_{range_col}").alias("_mn"),
+        F.col(f"max_{range_col}").alias("_mx"),
+        F.col(f"sum_{sum_col}").alias("_sm"))
+    keep = F.lit(True)
+    contained = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col("_mx") >= F.lit(lo))
+        contained = contained & (F.col("_mn") >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (F.col("_mn") <= F.lit(hi))
+        contained = contained & (F.col("_mx") <= F.lit(hi))
+    contained = contained & (F.col("_nv") == F.col("n_rows"))
+    rows = zm.where(keep).withColumn("_in", contained).collect()
+    meta_sum = sum(r["_sm"] or 0 for r in rows if r["_in"])
+    boundary = [r["_file"] for r in rows if not r["_in"]]
+    if not boundary:
+        return int(meta_sum)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(range_col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(range_col) <= F.lit(hi))
+    scanned = (read_pruned(spark, path, boundary).where(pred)
+               .agg(F.sum(F.col(sum_col).cast("long"))).first()[0])
+    return int(meta_sum) + int(scanned or 0)
 
 
 def expire_batches(spark: SparkSession, layout_dir: str, zone_dir: str,

@@ -592,3 +592,67 @@ def test_count_range_with_nulls(spark, sf_dir):
         assert got < df.count()  # the NULLed rows are excluded
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_sum_range(spark):
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        sum_range,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_sum_")
+    try:
+        df = spark.range(10_000).select(
+            F.when(F.col("id") % 53 == 0, None)
+            .otherwise(F.col("id")).alias("k"),
+            F.when(F.col("id") % 29 == 0, None)
+            .otherwise((F.col("id") % 97).cast("double")).alias("v"))
+        (df.repartitionByRange(8, "k")
+         .write.mode("overwrite").parquet(f"{base}/lay"))
+        zm = build_zone_map(spark.read.parquet(f"{base}/lay"),
+                            stat_cols=("k",), sum_cols=("v",))
+        write_zone_map(zm, f"{base}/zm")
+        zm = read_zone_map(spark, f"{base}/zm")
+
+        def want(lo, hi):
+            d = df
+            if lo is not None:
+                d = d.where(F.col("k") >= lo)
+            if hi is not None:
+                d = d.where(F.col("k") <= hi)
+            r = d.agg(F.sum(F.col("v").cast("long"))).first()[0]
+            return int(r or 0)
+
+        for lo, hi in [(1000, 9000), (None, 4000), (7000, None),
+                       (0, 10_000), (50_000, 60_000), (None, None)]:
+            got = sum_range(spark, f"{base}/lay", zm, "k", "v", lo, hi)
+            assert got == want(lo, hi), (lo, hi)
+        with pytest.raises(ValueError, match="lacks"):
+            sum_range(spark, f"{base}/lay", zm, "k", "missing", 0, 1)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sum_range_metadata_credit(spark):
+    # no NULL keys -> interior files of a clustered layout credit unopened
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        sum_range,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_sumc_")
+    try:
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        (df.repartitionByRange(8, "k")
+         .write.mode("overwrite").parquet(f"{base}/lay"))
+        zm = build_zone_map(spark.read.parquet(f"{base}/lay"),
+                            stat_cols=("k",), sum_cols=("v",))
+        contained = zm.where(
+            (F.col("min_k") >= 500) & (F.col("max_k") <= 9500)).count()
+        assert contained > 0
+        got = sum_range(spark, f"{base}/lay", zm, "k", "v", 500, 9500)
+        want = df.where(F.col("k").between(500, 9500)).agg(
+            F.sum("v")).first()[0]
+        assert got == int(want)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
