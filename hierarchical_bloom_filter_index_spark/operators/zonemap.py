@@ -422,10 +422,21 @@ def compact_batches(
         .localCheckpoint()
     )
     keep.write.mode("overwrite").parquet(zone_dir)
+    root = os.path.abspath(layout_dir)
     for d in sorted({os.path.dirname(f) for f in doomed_files}):
         # _file values are Hadoop URIs (file:/...) — strip the scheme for
-        # the local filesystem delete
+        # the local filesystem delete; NEVER rmtree the layout root (a
+        # flat-laid file's parent IS the root, which now holds the c-dir)
         local = d[5:] if d.startswith("file:") else d
+        if os.path.abspath(local) == root:
+            for f in doomed_files:
+                fl = f[5:] if f.startswith("file:") else f
+                if os.path.dirname(os.path.abspath(fl)) == root:
+                    try:
+                        os.remove(fl)
+                    except FileNotFoundError:
+                        pass
+            continue
         shutil.rmtree(local, ignore_errors=True)
     return int(n_batches)
 

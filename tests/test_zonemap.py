@@ -656,3 +656,34 @@ def test_sum_range_metadata_credit(spark):
         assert got == int(want)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_batches_flat_root_safe(spark):
+    """A batch-tagged map over files lying DIRECTLY in the layout root:
+    compaction must delete only the doomed files, never rmtree the root
+    (which holds the fresh c-dir)."""
+    from hierarchical_bloom_filter_index_spark.operators.zonemap import (
+        compact_batches,
+        write_zone_map,
+    )
+
+    base = tempfile.mkdtemp(prefix="hbi_zm_flatc_")
+    try:
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        df.repartition(4).write.mode("overwrite").parquet(f"{base}/lay")
+        zm = build_zone_map(spark.read.parquet(f"{base}/lay"),
+                            stat_cols=("k",)).withColumn(
+            "batch_id", F.lit(0).cast("long"))
+        write_zone_map(zm, f"{base}/zm")
+        n = compact_batches(spark, f"{base}/lay", f"{base}/zm", 0,
+                            stat_cols=("k",))
+        assert n == 1
+        assert os.path.isdir(f"{base}/lay/c0")
+        got = sorted(r["k"] for r in
+                     read_layout(spark, f"{base}/lay").collect())
+        assert got == list(range(1000))
+        zm2 = read_zone_map(spark, f"{base}/zm")
+        assert zm2.count() == 1  # one compacted file
+        assert zm2.agg(F.sum("n_rows")).first()[0] == 1000
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
