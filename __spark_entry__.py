@@ -3070,6 +3070,56 @@ def q_zonemap_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "text")
 
 
+def q_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED TABLE with TIME TRAVEL (operators/vtable.py — the Iceberg
+    snapshot contract on parquet + zone maps): documents as snapshot v0,
+    an UPSERT commits v1 (only envelope-touched files rewritten, old files
+    kept), a range DELETE commits v2 (interior files leave the map
+    metadata-only).  ALL THREE snapshots are then read back and must equal
+    the SQL-reconstructed states — one result set tagged by version.
+    After collecting (localCheckpoint — expiry deletes files lazy plans
+    would re-read), snapshots < 2 are EXPIRED: gates assert versions
+    [2] remain, v2 re-reads to the same count, and expiry deleted files.
+    Rebuilt fresh per call (mutating)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    base = tempfile.mkdtemp(prefix="hbi_vtable_")
+    path = f"{base}/t"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    V.create_table(docs, path, stat_cols=("doc_id",), n_files=8)
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    updates = docs.where(
+        F.col("doc_id").between(mx // 4, mx // 2) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
+    inserts = spark.range(5).select(
+        (F.lit(mx) + 10 + F.col("id")).alias("doc_id"),
+        F.concat(F.lit("ins "), F.col("id").cast("string")).alias("text"))
+    r1 = V.upsert(spark, path, updates.unionByName(inserts), "doc_id")
+    if not (0 < r1["n_files_touched"] < r1["n_files_total"]):
+        raise AssertionError(f"vtable upsert pruning failed: {r1}")
+    r2 = V.delete_range(spark, path, "doc_id", 5 * mx // 8, 7 * mx // 8)
+    if r2["n_files_dropped"] == 0:
+        raise AssertionError(f"vtable delete made no metadata drops: {r2}")
+    out = None
+    for v in (0, 1, 2):
+        part = V.read_table(spark, path, v).select(
+            F.lit(v).cast("int").alias("version"), "doc_id", "text")
+        out = part if out is None else out.unionByName(part)
+    out = out.localCheckpoint()  # expiry deletes files the lazy plan reads
+    n2 = V.read_table(spark, path, 2).count()
+    res = V.expire_snapshots(spark, path, keep_from_version=2)
+    if res["n_versions_expired"] != 2 or res["n_files_deleted"] == 0:
+        raise AssertionError(f"vtable expiry did not engage: {res}")
+    if V.list_versions(path) != [2]:
+        raise AssertionError("expiry left wrong versions")
+    if V.read_table(spark, path, 2).count() != n2:
+        raise AssertionError("surviving snapshot changed under expiry")
+    return out
+
+
 def _zorder_layout(spark: SparkSession, sf_dir: str):
     """lineitem Z-ORDERED on (l_orderkey, l_partkey) — 32 files, 64
     equi-depth buckets per column — plus its two-column zone map, built
@@ -6948,6 +6998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_compact_parity": q_zonemap_compact_parity,
         "zonemap_merge_upsert": q_zonemap_merge_upsert,
         "zonemap_delete_range": q_zonemap_delete_range,
+        "vtable_time_travel": q_vtable_time_travel,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8816,6 +8867,24 @@ SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # three snapshots of the versioned table == their SQL
+        # reconstructions (v0 base, v1 upsert, v2 range delete)
+        "vtable_time_travel": """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents),
+v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN m // 4 AND m // 2 AND doc_id % 3 = 0
+              THEN 'UPD ' || text ELSE text END AS text
+  FROM documents, mx
+  UNION ALL
+  SELECT m + 10 + i AS doc_id, 'ins ' || CAST(i AS VARCHAR) AS text
+  FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i))
+SELECT CAST(0 AS INTEGER) AS version, doc_id, text FROM documents
+UNION ALL
+SELECT CAST(1 AS INTEGER), doc_id, text FROM v1
+UNION ALL
+SELECT CAST(2 AS INTEGER), v1.doc_id, v1.text
+FROM v1, mx WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8""",
         # copy-on-write range delete == the plain complement filter
         "zonemap_delete_range": """WITH mx AS (
   SELECT MAX(doc_id) AS m FROM documents)

@@ -337,6 +337,9 @@ def main() -> None:
         # copy-on-write range delete (metadata-only interior drops) +
         # orphan vacuum, layout rebuilt fresh per rep like the merge
         "zonemap_delete_range",
+        # versioned table: create + upsert + delete commits, 3 time-travel
+        # reads, snapshot expiry — the whole lifecycle per rep
+        "vtable_time_travel",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)

@@ -441,6 +441,26 @@ def compact_batches(
     return int(n_batches)
 
 
+def envelope_touched_files(zm: DataFrame, keys: DataFrame,
+                           key_col: str) -> list[str]:
+    """File names whose [min, max] key envelope can contain some key of
+    ``keys`` (one distinct-key column frame) — the tiny map broadcasts
+    against the keys, only file NAMES are collected.  Sound: a file whose
+    envelope excludes every key cannot hold a matching row; NULL-envelope
+    (all-NULL key) files never match non-null keys."""
+    if f"min_{key_col}" not in zm.columns:
+        raise ValueError(
+            f"zone map lacks min_/max_{key_col} envelopes — build it with "
+            "the key in stat_cols")
+    env = F.broadcast(zm.select(
+        "_file", F.col(f"min_{key_col}").alias("_mn"),
+        F.col(f"max_{key_col}").alias("_mx")))
+    return [r["_file"] for r in (
+        keys.join(env, (F.col(key_col) >= F.col("_mn"))
+                  & (F.col(key_col) <= F.col("_mx")))
+        .select("_file").distinct().collect())]
+
+
 def merge_into_layout(
     spark: SparkSession,
     layout_dir: str,
@@ -493,17 +513,7 @@ def merge_into_layout(
             "merge_into_layout: duplicate source keys are refused — two "
             "updates for one key is a lost-update race; dedupe upstream")
     zm = read_zone_map(spark, zone_map_path)
-    if f"min_{key_col}" not in zm.columns:
-        raise ValueError(
-            f"merge_into_layout: zone map lacks min_/max_{key_col} "
-            "envelopes — build it with the key in stat_cols")
-    env = F.broadcast(zm.select(
-        "_file", F.col(f"min_{key_col}").alias("_mn"),
-        F.col(f"max_{key_col}").alias("_mx")))
-    touched = [r["_file"] for r in (
-        sdist.join(env, (F.col(key_col) >= F.col("_mn"))
-                   & (F.col(key_col) <= F.col("_mx")))
-        .select("_file").distinct().collect())]
+    touched = envelope_touched_files(zm, sdist, key_col)
     n_total = zm.count()
     if touched:
         old = spark.read.parquet(*touched)
