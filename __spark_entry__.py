@@ -3070,17 +3070,10 @@ def q_zonemap_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "text")
 
 
-def q_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VERSIONED TABLE with TIME TRAVEL (operators/vtable.py — the Iceberg
-    snapshot contract on parquet + zone maps): documents as snapshot v0,
-    an UPSERT commits v1 (only envelope-touched files rewritten, old files
-    kept), a range DELETE commits v2 (interior files leave the map
-    metadata-only).  ALL THREE snapshots are then read back and must equal
-    the SQL-reconstructed states — one result set tagged by version.
-    After collecting (localCheckpoint — expiry deletes files lazy plans
-    would re-read), snapshots < 2 are EXPIRED: gates assert versions
-    [2] remain, v2 re-reads to the same count, and expiry deleted files.
-    Rebuilt fresh per call (mutating)."""
+def _vtable_fixture(spark: SparkSession, sf_dir: str):
+    """Fresh versioned table: v0 = documents, v1 = upsert (UPD band +
+    inserts), v2 = range delete — with the pruning gates asserted.
+    Returns (path, mx). Built per call: vtable ops commit new snapshots."""
     import tempfile
 
     from hierarchical_bloom_filter_index_spark.operators import vtable as V
@@ -3103,6 +3096,35 @@ def q_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = V.delete_range(spark, path, "doc_id", 5 * mx // 8, 7 * mx // 8)
     if r2["n_files_dropped"] == 0:
         raise AssertionError(f"vtable delete made no metadata drops: {r2}")
+    return path, mx
+
+
+def q_vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIT between SNAPSHOTS (vtable.diff_versions = snapshot_diff over
+    two time-travel reads): what the upsert+delete actually did between
+    v0 and v2 — UPD-band survivors read ``changed``, deleted-band docs
+    ``removed``, inserts ``added``.  Oracle reconstructs v2 relationally
+    and diffs it against v0 in SQL."""
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    path, _mx = _vtable_fixture(spark, sf_dir)
+    return V.diff_versions(spark, path, 0, 2, "doc_id", ["text"])
+
+
+def q_vtable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED TABLE with TIME TRAVEL (operators/vtable.py — the Iceberg
+    snapshot contract on parquet + zone maps): documents as snapshot v0,
+    an UPSERT commits v1 (only envelope-touched files rewritten, old files
+    kept), a range DELETE commits v2 (interior files leave the map
+    metadata-only).  ALL THREE snapshots are then read back and must equal
+    the SQL-reconstructed states — one result set tagged by version.
+    After collecting (localCheckpoint — expiry deletes files lazy plans
+    would re-read), snapshots < 2 are EXPIRED: gates assert versions
+    [2] remain, v2 re-reads to the same count, and expiry deleted files.
+    Rebuilt fresh per call (mutating)."""
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    path, _mx = _vtable_fixture(spark, sf_dir)
     out = None
     for v in (0, 1, 2):
         part = V.read_table(spark, path, v).select(
@@ -6999,6 +7021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_merge_upsert": q_zonemap_merge_upsert,
         "zonemap_delete_range": q_zonemap_delete_range,
         "vtable_time_travel": q_vtable_time_travel,
+        "vtable_version_diff": q_vtable_version_diff,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8867,6 +8890,29 @@ SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # diff between snapshots == the SQL FULL OUTER JOIN of v0 vs the
+        # reconstructed v2 (text-only compare; unchanged excluded)
+        "vtable_version_diff": """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents),
+v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN m // 4 AND m // 2 AND doc_id % 3 = 0
+              THEN 'UPD ' || text ELSE text END AS text
+  FROM documents, mx
+  UNION ALL
+  SELECT m + 10 + i AS doc_id, 'ins ' || CAST(i AS VARCHAR) AS text
+  FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
+v2 AS (
+  SELECT v1.doc_id, v1.text FROM v1, mx
+  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8)
+SELECT doc_id, status FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+WHERE status <> 'unchanged'""",
         # three snapshots of the versioned table == their SQL
         # reconstructions (v0 base, v1 upsert, v2 range delete)
         "vtable_time_travel": """WITH mx AS (

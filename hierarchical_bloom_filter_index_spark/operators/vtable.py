@@ -251,6 +251,27 @@ def delete_range(
             "n_files_rewritten": len(boundary)}
 
 
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    id_col: str,
+    compare_cols: list[str],
+    method: str = "exact",
+) -> DataFrame:
+    """WHAT CHANGED between two snapshots — ``snapshot.snapshot_diff``
+    over two time-travel reads: (id, added/removed/changed).  The audit
+    view a versioned table exists to answer ('what did that upsert/delete
+    actually do'), and the incremental-processing worklist (re-index
+    changed+added, take down removed) between any two committed states."""
+    from .snapshot import snapshot_diff
+
+    return snapshot_diff(
+        read_table(spark, path, v_old), read_table(spark, path, v_new),
+        id_col, compare_cols, method=method)
+
+
 def expire_snapshots(spark: SparkSession, path: str,
                      keep_from_version: int) -> dict:
     """RETENTION: drop every snapshot manifest with version <
