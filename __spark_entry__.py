@@ -3080,16 +3080,19 @@ def _vtable_fixture(spark: SparkSession, sf_dir: str):
 
     base = tempfile.mkdtemp(prefix="hbi_vtable_")
     path = f"{base}/t"
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text")
-    V.create_table(docs, path, stat_cols=("doc_id",), n_files=8)
+    nch = lambda df: df.withColumn(  # noqa: E731 — n_chars tracks text
+        "n_chars", F.length("text").cast("int"))
+    docs = nch(spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"))
+    V.create_table(docs, path, stat_cols=("doc_id",),
+                   sum_cols=("n_chars",), n_files=8)
     mx = docs.agg(F.max("doc_id")).first()[0]
-    updates = docs.where(
+    updates = nch(docs.where(
         F.col("doc_id").between(mx // 4, mx // 2) & (F.col("doc_id") % 3 == 0)
-    ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
-    inserts = spark.range(5).select(
+    ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text")))
+    inserts = nch(spark.range(5).select(
         (F.lit(mx) + 10 + F.col("id")).alias("doc_id"),
-        F.concat(F.lit("ins "), F.col("id").cast("string")).alias("text"))
+        F.concat(F.lit("ins "), F.col("id").cast("string")).alias("text")))
     r1 = V.upsert(spark, path, updates.unionByName(inserts), "doc_id")
     if not (0 < r1["n_files_touched"] < r1["n_files_total"]):
         raise AssertionError(f"vtable upsert pruning failed: {r1}")
@@ -3097,6 +3100,38 @@ def _vtable_fixture(spark: SparkSession, sf_dir: str):
     if r2["n_files_dropped"] == 0:
         raise AssertionError(f"vtable delete made no metadata drops: {r2}")
     return path, mx
+
+
+def q_vtable_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA ANALYTICS THROUGH TIME TRAVEL (vtable.table_count_range /
+    table_sum_range): exact range COUNT + SUM(n_chars) over the SAME
+    doc_id band at each of the three snapshots — answered mostly from
+    each version's map (contained files credit nvals/sums unopened), no
+    history scan.  The three (version, n, sum) rows differ by exactly
+    what each commit did (UPD lengthens texts in-range at v1, the delete
+    band removes part of the range at v2); oracle = the per-version SQL
+    reconstructions aggregated.  In-query gate: v0 credits some file
+    from metadata alone."""
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    path, mx = _vtable_fixture(spark, sf_dir)
+    lo, hi = mx // 3, 2 * mx // 3
+    zm0 = V.table_map(spark, path, 0)
+    n_credit = zm0.where(
+        (F.col("min_doc_id") >= lo) & (F.col("max_doc_id") <= hi)
+        & (F.col("nvals_doc_id") == F.col("n_rows"))).count()
+    if n_credit == 0:
+        raise AssertionError("no metadata-credited file at v0")
+    rows = []
+    for v in (0, 1, 2):
+        rows.append((
+            v,
+            V.table_count_range(spark, path, "doc_id", lo, hi, version=v),
+            V.table_sum_range(spark, path, "doc_id", "n_chars", lo, hi,
+                              version=v),
+        ))
+    return spark.createDataFrame(
+        rows, "version int, n_docs bigint, sum_chars bigint")
 
 
 def q_vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7022,6 +7057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_delete_range": q_zonemap_delete_range,
         "vtable_time_travel": q_vtable_time_travel,
         "vtable_version_diff": q_vtable_version_diff,
+        "vtable_fast_stats": q_vtable_fast_stats,
         "zorder_pruned_partkey": q_zorder_pruned_partkey,
         "zorder_pruned_orderkey": q_zorder_pruned_orderkey,
         "zorder_pruned_conjunction": q_zorder_pruned_conjunction,
@@ -8890,6 +8926,32 @@ SELECT CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
 FROM lineitem, b
 WHERE l_orderkey BETWEEN b.mn + (b.mx - b.mn) // 8
                      AND b.mn + 7 * (b.mx - b.mn) // 8""",
+        # per-snapshot metadata COUNT+SUM over one doc_id band == the SQL
+        # aggregates over each reconstructed version
+        "vtable_fast_stats": """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents),
+v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN m // 4 AND m // 2 AND doc_id % 3 = 0
+              THEN 'UPD ' || text ELSE text END AS text
+  FROM documents, mx
+  UNION ALL
+  SELECT m + 10 + i AS doc_id, 'ins ' || CAST(i AS VARCHAR) AS text
+  FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
+v2 AS (
+  SELECT v1.doc_id, v1.text FROM v1, mx
+  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8)
+SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+FROM documents, mx WHERE doc_id BETWEEN m // 3 AND 2 * m // 3
+UNION ALL
+SELECT CAST(1 AS INTEGER), COUNT(*),
+       CAST(SUM(LENGTH(text)) AS BIGINT)
+FROM v1, mx WHERE doc_id BETWEEN m // 3 AND 2 * m // 3
+UNION ALL
+SELECT CAST(2 AS INTEGER), COUNT(*),
+       CAST(SUM(LENGTH(text)) AS BIGINT)
+FROM v2, mx WHERE doc_id BETWEEN m // 3 AND 2 * m // 3""",
         # diff between snapshots == the SQL FULL OUTER JOIN of v0 vs the
         # reconstructed v2 (text-only compare; unchanged excluded)
         "vtable_version_diff": """WITH mx AS (

@@ -251,6 +251,28 @@ def delete_range(
             "n_files_rewritten": len(boundary)}
 
 
+def table_count_range(spark: SparkSession, path: str, col: str,
+                      lo=None, hi=None, version: int | None = None) -> int:
+    """EXACT range COUNT over a SNAPSHOT, mostly from metadata
+    (zonemap.count_range against that version's map) — analytics through
+    time travel without scanning history."""
+    from .zonemap import count_range
+
+    return count_range(spark, f"{path}/data",
+                       table_map(spark, path, version), col, lo, hi)
+
+
+def table_sum_range(spark: SparkSession, path: str, col: str, sum_col: str,
+                    lo=None, hi=None, version: int | None = None) -> int:
+    """EXACT range SUM over a SNAPSHOT from per-file sums
+    (zonemap.sum_range; the table must have been created with the column
+    in ``sum_cols``)."""
+    from .zonemap import sum_range
+
+    return sum_range(spark, f"{path}/data",
+                     table_map(spark, path, version), col, sum_col, lo, hi)
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,
