@@ -128,3 +128,32 @@ def test_pure_insert_and_null_rows(spark):
         assert len(left) == df.where(F.col("k").isNull()).count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_metadata_stats_and_diff_through_versions(spark):
+    base = tempfile.mkdtemp(prefix="hbi_vtable_stats_")
+    try:
+        path = f"{base}/t"
+        df = _base(spark)
+        V.create_table(df, path, stat_cols=("k",), sum_cols=("v",), n_files=8)
+        updates = df.where(F.col("k").between(800, 1200)).select(
+            "k", (F.col("v") + 500).alias("v"))
+        V.upsert(spark, path, updates, "k")
+        lo, hi = 500, 3500
+        for ver, frame in ((0, df),
+                           (1, df.where(~F.col("k").between(800, 1200))
+                            .unionByName(updates))):
+            want_n = frame.where(F.col("k").between(lo, hi)).count()
+            want_s = int(frame.where(F.col("k").between(lo, hi))
+                         .agg(F.sum("v")).first()[0])
+            assert V.table_count_range(spark, path, "k", lo, hi,
+                                       version=ver) == want_n
+            assert V.table_sum_range(spark, path, "k", "v", lo, hi,
+                                     version=ver) == want_s
+        # diff_versions: exactly the updated keys read 'changed'
+        d = {r["k"]: r["status"] for r in V.diff_versions(
+            spark, path, 0, 1, "k", ["v"]).collect()}
+        assert set(d.values()) == {"changed"}
+        assert set(d) == set(range(800, 1201))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
