@@ -340,6 +340,8 @@ def main() -> None:
         # versioned table: create + upsert + delete commits, 3 time-travel
         # reads, snapshot expiry — the whole lifecycle per rep
         "vtable_time_travel",
+        # per-snapshot metadata COUNT/SUM through time travel
+        "vtable_fast_stats",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)
