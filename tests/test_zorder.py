@@ -211,3 +211,49 @@ def test_boundaries_deterministic(spark, layout):
     path, bnds = layout
     _, again = zorder_value(_source(spark), ["x", "y"], bits_per_col=5)
     assert bnds == again
+
+
+def test_three_column_curve(spark):
+    """d=3: the interleave/boundary machinery is dimension-generic — every
+    clustered column of a single 3-col layout prunes files, parity holds."""
+    from hierarchical_bloom_filter_index_spark.operators.zorder import (
+        interleave_expr as _ix,
+    )
+
+    # interleave correctness at d=3 vs python
+    def morton3(b, bits):
+        z = 0
+        for j in range(bits):
+            for i in range(3):
+                z |= ((b[i] >> j) & 1) << (3 * j + i)
+        return z
+
+    rows = [(a, b, c) for a in (0, 3, 7) for b in (1, 5, 6) for c in (0, 2, 7)]
+    df3 = spark.createDataFrame(rows, "ba long, bb long, bc long")
+    for r in df3.select("ba", "bb", "bc", _ix(
+            [F.col("ba"), F.col("bb"), F.col("bc")], 3).alias("z")).collect():
+        assert r["z"] == morton3((r["ba"], r["bb"], r["bc"]), 3)
+
+    base = tempfile.mkdtemp(prefix="hbi_zorder3_")
+    try:
+        src = spark.range(60_000).select(
+            (F.col("id") % 499).alias("x"),
+            ((F.col("id") * 7919 + 13) % 503).alias("y"),
+            ((F.col("id") * 104729 + 7) % 509).alias("w"),
+            F.col("id").alias("payload"))
+        write_zorder_layout(src, ["x", "y", "w"], 64, f"{base}/lay",
+                            bits_per_col=4)
+        for col in ("x", "y", "w"):
+            files, total = prune_zorder_files(
+                spark, f"{base}/lay", {col: (100, 160)})
+            assert 0 < len(files) < total, col
+            got = sorted(
+                tuple(r) for r in read_zorder_pruned(
+                    spark, f"{base}/lay", {col: (100, 160)})
+                .select("x", "y", "w", "payload").collect())
+            want = sorted(
+                tuple(r) for r in src.where(F.col(col).between(100, 160))
+                .select("x", "y", "w", "payload").collect())
+            assert got == want, col
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
