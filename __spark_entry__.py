@@ -30,6 +30,7 @@ from hierarchical_bloom_filter_index_spark.operators import (
     window_membership,
 )
 from hierarchical_bloom_filter_index_spark.operators import dedup as D
+from hierarchical_bloom_filter_index_spark.operators import drift as DR
 from hierarchical_bloom_filter_index_spark.operators import similarity as S
 from hierarchical_bloom_filter_index_spark.operators import text as T
 from hierarchical_bloom_filter_index_spark.operators.aggregates import (
@@ -6797,6 +6798,59 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus drift: exact pairwise TVD between source token distributions
+# ---------------------------------------------------------------------------
+TVD_PAIR = ("src0", "src1")
+TVD_TOPK = 20
+
+
+def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between every source's unigram
+    token distribution: numerator sum|c_a*N_b - c_b*N_a| carried as exact
+    DECIMAL(38,0) integers (HUGEINT in the twin) so `tvd_num` is a value
+    equality, one float division at the end. Tokens private to one side
+    enter via a closed-form correction — the inner token join never
+    materializes the full outer matrix (operators/drift.pairwise_tvd)."""
+    counts = DR.group_token_counts(_corpus(spark, sf_dir))
+    return DR.pairwise_tvd(counts)
+
+
+def q_tvd_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: top-20 tokens driving TVD(src0, src1), ordered by the
+    exact integer contribution with token ASC tie-break (deterministic
+    k-th boundary); tvd_share sums to the pair's TVD over all tokens
+    (operators/drift.tvd_contributors)."""
+    counts = DR.group_token_counts(_corpus(spark, sf_dir))
+    return DR.tvd_contributors(counts, TVD_PAIR[0], TVD_PAIR[1], k=TVD_TOPK)
+
+
+def q_token_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift maintenance parity gate: the corpus drained through
+    a file stream as replay-guarded per-batch count deltas
+    (operators/drift.token_counts_stream), then the re-aggregated readout
+    must equal the batch `group_token_counts` — counts are integer-
+    mergeable so any batch split sums to the same table. Returns the
+    symmetric difference (empty oracle)."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_drift_stream_")
+    half = _doc_num("doc_id") % 2
+    docs.filter(half == 0).coalesce(2).write.mode("overwrite").parquet(
+        f"{base}/in")
+    docs.filter(half == 1).coalesce(2).write.mode("append").parquet(
+        f"{base}/in")
+    q = DR.token_counts_stream(
+        spark, f"{base}/in", f"{base}/chk", f"{base}/out")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("token_drift_stream: availableNow drain exceeded 300s")
+    streamed = DR.read_group_token_counts(spark, f"{base}/out")
+    batch = DR.group_token_counts(_corpus(spark, sf_dir))
+    return streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+
+
+# ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -7086,6 +7140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "events_dedup_stream": q_events_dedup_stream,
         "streaming_state_by_source": q_streaming_state_by_source,
+        # corpus drift: exact pairwise TVD + attribution + streamed counts
+        "source_token_tvd": q_source_token_tvd,
+        "tvd_top_tokens": q_tvd_top_tokens,
+        "token_drift_stream": q_token_drift_stream,
     }
 
 
@@ -9332,4 +9390,53 @@ FROM (SELECT tokens, n_tok,
 WHERE tokens[i : i + {_m} - 1] = {_pat_sql(PAT_PRESENT)}
   AND i + {_m + COMPL_ELL - 1} <= n_tok
 GROUP BY completion ORDER BY n DESC, completion ASC LIMIT {COMPL_K}"""
+
+    # --- corpus drift: exact TVD numerators in HUGEINT (DECIMAL twin) ---
+    _tvd_num = ("COALESCE(i.inum, 0) + (p.na - COALESCE(i.sa, 0)) * p.nb"
+                " + (p.nb - COALESCE(i.sb, 0)) * p.na")
+    out["source_token_tvd"] = f"""WITH {CORPUS_CTE},
+tok AS (SELECT source AS grp, unnest(tokens) AS token FROM corpus),
+cnt AS (SELECT grp, token, CAST(count(*) AS HUGEINT) AS c
+        FROM tok GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(c) AS HUGEINT) AS n FROM cnt GROUP BY 1),
+inner_agg AS (
+  SELECT ca.grp AS ga, cb.grp AS gb,
+         SUM(ABS(ca.c * tb.n - cb.c * ta.n)) AS inum,
+         SUM(ca.c) AS sa, SUM(cb.c) AS sb, COUNT(*) AS sh
+  FROM cnt ca
+  JOIN cnt cb ON cb.token = ca.token AND ca.grp < cb.grp
+  JOIN tot ta ON ta.grp = ca.grp
+  JOIN tot tb ON tb.grp = cb.grp
+  GROUP BY 1, 2),
+pairs AS (SELECT a.grp AS ga, a.n AS na, b.grp AS gb, b.n AS nb
+          FROM tot a JOIN tot b ON a.grp < b.grp)
+SELECT p.ga AS source_a, p.gb AS source_b,
+       CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       CAST(COALESCE(i.sh, 0) AS BIGINT) AS shared_tokens,
+       CAST({_tvd_num} AS VARCHAR) AS tvd_num,
+       CAST({_tvd_num} AS DOUBLE) / CAST(2 * p.na * p.nb AS DOUBLE) AS tvd
+FROM pairs p LEFT JOIN inner_agg i ON i.ga = p.ga AND i.gb = p.gb"""
+
+    _ta, _tb = TVD_PAIR
+    out["tvd_top_tokens"] = f"""WITH {CORPUS_CTE},
+tok AS (SELECT source AS grp, unnest(tokens) AS token FROM corpus
+        WHERE source IN ('{_ta}', '{_tb}')),
+cnt AS (SELECT token,
+               CAST(SUM(CASE WHEN grp = '{_ta}' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+               CAST(SUM(CASE WHEN grp = '{_tb}' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+               CAST(SUM(cb) AS HUGEINT) AS nb FROM cnt)
+SELECT CAST(c.token AS INT) AS token,
+       CAST(c.ca AS BIGINT) AS cnt_a, CAST(c.cb AS BIGINT) AS cnt_b,
+       CAST(ABS(c.ca * t.nb - c.cb * t.na) AS VARCHAR) AS contrib,
+       CAST(ABS(c.ca * t.nb - c.cb * t.na) AS DOUBLE)
+         / CAST(2 * t.na * t.nb AS DOUBLE) AS tvd_share
+FROM cnt c, tot t
+ORDER BY ABS(c.ca * t.nb - c.cb * t.na) DESC, c.token ASC
+LIMIT {TVD_TOPK}"""
+
+    out["token_drift_stream"] = """SELECT CAST(NULL AS VARCHAR) AS grp,
+       CAST(NULL AS INTEGER) AS token, CAST(NULL AS BIGINT) AS cnt
+WHERE FALSE"""
     return out

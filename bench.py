@@ -298,6 +298,11 @@ def main() -> None:
         "events_asof_purchase",
         # exact integer-scaled exponential decay (one scan, one groupBy)
         "decayed_event_counts",
+        # corpus drift: exact pairwise TVD between all sources' token
+        # distributions (one counts shuffle + group-bounded token join)
+        # + top-k attribution for one pair
+        "source_token_tvd",
+        "tvd_top_tokens",
         # planner statistics: sketch join-size (AMS dot), key-skew F2,
         # KMV key overlap, HLL key set algebra, exact heavy values —
         # all one-pass-per-side, only sketch blobs move

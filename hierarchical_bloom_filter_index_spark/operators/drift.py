@@ -1,0 +1,209 @@
+"""Exact corpus drift: total-variation distance between grouped token
+distributions, with per-token attribution and an incrementally
+maintained streaming twin.
+
+Training-data pipelines need drift monitoring — "did source X's token
+mix shift between snapshots / does source A look like source B" — and
+the usual divergences (KL, JS) force floating-point logs whose sum
+order differs across engines. Total variation distance does not:
+
+    TVD(P_a, P_b) = (1/2) * sum_t |p_a(t) - p_b(t)|
+                  = ( sum_t |c_a(t)*N_b - c_b(t)*N_a| ) / (2*N_a*N_b)
+
+with c_g(t) the raw token counts and N_g the group totals — the
+numerator is a SUM OF NON-NEGATIVE INTEGERS (order-free, exact), and
+the single final division is deterministic. Carried as DECIMAL(38,0)
+on the Spark side / HUGEINT in DuckDB (the stats.py discipline), the
+numerator is a value-equality across engines, not a tolerance.
+
+Shapes (design-for-100-TB):
+- ``group_token_counts``: ONE map-side-combined groupBy over the
+  exploded corpus — the only pass that touches token data. Its output
+  is at most |vocab| x |groups| rows (a real BPE vocab ~1e5-1e6 and
+  thousands of sources is still a few 1e8 rows of 3 columns — small
+  relative to the corpus; persist it when fanning out to many pairs).
+- ``pairwise_tvd``: never materializes the full outer token x pair
+  matrix. An INNER self-join on token covers shared tokens; tokens
+  private to one side contribute sum(c_a) = N_a - (shared mass), so the
+  correction is a closed form of the inner aggregates — disjoint
+  vocabularies need no join rows at all (their TVD is exactly 1).
+  Join key is `token` with at most |groups| rows per side per key, so
+  the worst key fans out to |groups|^2 pairs — bounded by the group
+  dimension, not the data.
+- ``tvd_contributors``: conditional aggregation (one shuffle) + top-k
+  via orderBy/limit (TakeOrderedAndProject — no global sort).
+- Counts are trivially mergeable (integer sums), so the streaming twin
+  is `replay_guarded_append` of per-batch count deltas; the readout
+  re-aggregates base+deltas and feeds the SAME pairwise_tvd.
+
+At true 10^12-token scale the DECIMAL(38,0) products c*N stay exact
+(c, N < 1e15 -> products < 1e30 < 1e38); the float `tvd` column is the
+one rounded value and `tvd_num` (exact integer as text) is the
+hard-compare column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def group_token_counts(corpus: DataFrame, group_col: str = "source") -> DataFrame:
+    """(grp, token, cnt) — exact unigram counts per group. One
+    map-side-combined groupBy over the exploded token arrays."""
+    return (
+        corpus.select(F.col(group_col).alias("grp"),
+                      F.explode("tokens").alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def group_totals(counts: DataFrame) -> DataFrame:
+    """(grp, n) — total token mass per group (tiny: one row per group)."""
+    return counts.groupBy("grp").agg(F.sum("cnt").cast(_DEC).alias("n"))
+
+
+def pairwise_tvd(counts: DataFrame) -> DataFrame:
+    """Total-variation distance between every unordered pair of groups'
+    token distributions: (source_a, source_b, n_a, n_b, shared_tokens,
+    tvd_num, tvd).
+
+    ``tvd_num`` is the exact integer numerator sum|c_a*N_b - c_b*N_a|
+    (DECIMAL(38,0) rendered as text — round-trips exactly); ``tvd`` =
+    tvd_num / (2*N_a*N_b) as the one float. Tokens present in only one
+    group are handled by the closed-form correction (see module doc),
+    so a pair with disjoint vocabularies — zero inner-join rows — comes
+    out at exactly 1.0."""
+    tot = group_totals(counts)
+    c = counts.join(F.broadcast(tot), "grp").select(
+        "grp", "token", F.col("cnt").cast(_DEC).alias("c"), "n")
+    a, b = c.alias("a"), c.alias("b")
+    inner = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.grp") < F.col("b.grp")))
+        .groupBy(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+        .agg(
+            F.sum(F.abs(F.col("a.c") * F.col("b.n")
+                        - F.col("b.c") * F.col("a.n"))).alias("inum"),
+            F.sum("a.c").alias("sa"),
+            F.sum("b.c").alias("sb"),
+            F.count(F.lit(1)).cast("long").alias("shared_tokens"),
+        )
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = ta.join(tb, F.col("ta.grp") < F.col("tb.grp")).select(
+        F.col("ta.grp").alias("ga"), F.col("ta.n").alias("na"),
+        F.col("tb.grp").alias("gb"), F.col("tb.n").alias("nb"))
+    z = F.lit(0).cast(_DEC)
+    num = (F.coalesce(F.col("inum"), z)
+           + (F.col("na") - F.coalesce(F.col("sa"), z)) * F.col("nb")
+           + (F.col("nb") - F.coalesce(F.col("sb"), z)) * F.col("na"))
+    return (
+        pairs.join(inner, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.coalesce(F.col("shared_tokens"), F.lit(0).cast("long"))
+            .alias("shared_tokens"),
+            num.cast(_DEC).cast("string").alias("tvd_num"),
+            (num.cast("double")
+             / (F.lit(2).cast(_DEC) * F.col("na") * F.col("nb"))
+             .cast("double")).alias("tvd"),
+        )
+    )
+
+
+def tvd_contributors(counts: DataFrame, grp_a: str, grp_b: str,
+                     k: int = 20) -> DataFrame:
+    """Top-k tokens driving TVD(grp_a, grp_b): (token, cnt_a, cnt_b,
+    contrib, tvd_share) ordered by (contrib DESC, token ASC) — the
+    deterministic tie-break makes the k-th boundary reproducible.
+    ``contrib`` = |c_a*N_b - c_b*N_a| exact (text); ``tvd_share`` =
+    contrib / (2*N_a*N_b), so sum over ALL tokens of tvd_share = tvd."""
+    if k < 1:
+        raise ValueError("tvd_contributors: k must be >= 1")
+    two = counts.filter(F.col("grp").isin([grp_a, grp_b]))
+    per_tok = two.groupBy("token").agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == grp_a, F.col("cnt"))),
+                   F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce(F.sum(F.when(F.col("grp") == grp_b, F.col("cnt"))),
+                   F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    tots = two.groupBy().agg(
+        F.coalesce(F.sum(F.when(F.col("grp") == grp_a, F.col("cnt"))),
+                   F.lit(0)).cast(_DEC).alias("na"),
+        F.coalesce(F.sum(F.when(F.col("grp") == grp_b, F.col("cnt"))),
+                   F.lit(0)).cast(_DEC).alias("nb"),
+    )
+    contrib = F.abs(F.col("cnt_a").cast(_DEC) * F.col("nb")
+                    - F.col("cnt_b").cast(_DEC) * F.col("na"))
+    return (
+        per_tok.join(F.broadcast(tots))
+        .select(
+            "token", "cnt_a", "cnt_b",
+            contrib.cast(_DEC).alias("_contrib"),
+            (contrib.cast("double")
+             / (F.lit(2).cast(_DEC) * F.col("na") * F.col("nb"))
+             .cast("double")).alias("tvd_share"),
+        )
+        .orderBy(F.col("_contrib").desc(), F.col("token").asc())
+        .limit(int(k))
+        .select("token", "cnt_a", "cnt_b",
+                F.col("_contrib").cast("string").alias("contrib"),
+                "tvd_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming maintenance: counts are integer-mergeable, so the stream is
+# the generic replay-guarded delta append + a re-aggregating readout
+# ---------------------------------------------------------------------------
+_DOCS_SCHEMA = ("doc_id string, text string, lang string, source string")
+
+
+def token_counts_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    out_path: str,
+    group_col: str = "source",
+):
+    """Structured Streaming maintenance of the drift count table:
+    documents-shaped parquet files land in ``input_path``; each
+    micro-batch appends its own (grp, token, cnt) partial counts (plus
+    batch_id) to ``out_path`` via the shared replay-guarded foreachBatch
+    discipline. Counts are integer-mergeable, so partials from any batch
+    split sum to the batch run — ``read_group_token_counts`` is the one
+    readout. Returns the started availableNow query (caller awaits)."""
+    from ..functions import codepoint_tokens
+    from ..streaming.incremental import replay_guarded_append
+
+    def build(batch_df: DataFrame) -> DataFrame:
+        corpus = batch_df.select(
+            codepoint_tokens("text").alias("tokens"), F.col(group_col))
+        return group_token_counts(corpus, group_col)
+
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(input_path)
+    return (
+        stream.writeStream
+        .foreachBatch(lambda df, bid: replay_guarded_append(
+            out_path, df, bid, build))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_group_token_counts(spark: SparkSession, out_path: str) -> DataFrame:
+    """Readout for the streamed count table: re-aggregate the per-batch
+    partials into the exact (grp, token, cnt) counts — byte-identical to
+    a batch `group_token_counts` over the union of all delivered docs."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("grp", "token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -1,0 +1,131 @@
+"""Drift family: exact pairwise TVD, attribution, streaming counts."""
+
+import os
+from fractions import Fraction
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators import drift as DR
+
+
+def _mk_corpus(spark, rows):
+    return spark.createDataFrame(
+        [(d, toks, len(toks), src) for d, toks, src in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def _brute_tvd(docs_a, docs_b):
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for t in docs_a:
+        ca.update(t)
+    for t in docs_b:
+        cb.update(t)
+    na, nb = sum(ca.values()), sum(cb.values())
+    num = sum(abs(ca.get(t, 0) * nb - cb.get(t, 0) * na)
+              for t in set(ca) | set(cb))
+    return Fraction(num, 2 * na * nb), num
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [
+        ("a0", [1, 1, 2, 3, 5], "A"),
+        ("a1", [1, 2, 2, 4], "A"),
+        ("b0", [1, 3, 3, 3, 7], "B"),
+        ("b1", [2, 7, 7], "B"),
+        ("c0", [90, 91, 92, 92], "C"),  # disjoint from A and B
+        ("d0", [1, 1, 2, 3, 5], "D"),
+        ("d1", [1, 2, 2, 4], "D"),      # identical multiset to A
+    ]
+    corpus = _mk_corpus(spark, rows)
+    counts = DR.group_token_counts(corpus)
+    return rows, counts
+
+
+def test_pairwise_tvd_matches_brute_force(small):
+    rows, counts = small
+    got = {(r["source_a"], r["source_b"]): r
+           for r in DR.pairwise_tvd(counts).collect()}
+    assert len(got) == 6  # C(4,2)
+    by_src = {}
+    for _, toks, src in rows:
+        by_src.setdefault(src, []).append(toks)
+    for (a, b), r in got.items():
+        frac, num = _brute_tvd(by_src[a], by_src[b])
+        assert int(r["tvd_num"]) == num, (a, b)
+        assert r["tvd"] == pytest.approx(float(frac), abs=1e-15)
+        assert r["n_a"] == sum(len(t) for t in by_src[a])
+        assert r["n_b"] == sum(len(t) for t in by_src[b])
+
+
+def test_identical_and_disjoint_extremes(small):
+    _, counts = small
+    got = {(r["source_a"], r["source_b"]): r
+           for r in DR.pairwise_tvd(counts).collect()}
+    assert got[("A", "D")]["tvd"] == 0.0
+    assert int(got[("A", "D")]["tvd_num"]) == 0
+    # C shares no tokens with A or B: TVD exactly 1, zero shared tokens
+    for pair in (("A", "C"), ("B", "C")):
+        assert got[pair]["tvd"] == 1.0
+        assert got[pair]["shared_tokens"] == 0
+
+
+def test_contributors_sum_to_tvd_and_order(small):
+    rows, counts = small
+    full = DR.tvd_contributors(counts, "A", "B", k=100).collect()
+    pair = DR.pairwise_tvd(counts).filter(
+        (F.col("source_a") == "A") & (F.col("source_b") == "B")
+    ).collect()[0]
+    assert sum(int(r["contrib"]) for r in full) == int(pair["tvd_num"])
+    assert sum(r["tvd_share"] for r in full) == pytest.approx(
+        pair["tvd"], abs=1e-12)
+    contribs = [(int(r["contrib"]), r["token"]) for r in full]
+    assert contribs == sorted(contribs, key=lambda c: (-c[0], c[1]))
+    top2 = DR.tvd_contributors(counts, "A", "B", k=2).collect()
+    assert [r["token"] for r in top2] == [r["token"] for r in full[:2]]
+
+
+def test_counts_group_col_and_refusals(spark, small):
+    _, counts = small
+    with pytest.raises(ValueError):
+        DR.tvd_contributors(counts, "A", "B", k=0)
+
+
+def test_token_counts_stream_matches_batch(spark, tmp_path):
+    docs = [
+        ("d%d" % i, "abcabc"[: 3 + (i % 3)], "en", "s%d" % (i % 2))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id string, text string, lang string, source string")
+    inp, chk, out = (str(tmp_path / p) for p in ("in", "chk", "out"))
+    # file source watches the flat directory; drops are append writes
+    df.coalesce(1).write.mode("append").parquet(inp)
+    q = DR.token_counts_stream(spark, inp, chk, out)
+    assert q.awaitTermination(300)
+    more = spark.createDataFrame(
+        [("dx", "zzzy", "en", "s1")],
+        "doc_id string, text string, lang string, source string")
+    more.coalesce(1).write.mode("append").parquet(inp)
+    q2 = DR.token_counts_stream(spark, inp, chk, out)
+    assert q2.awaitTermination(300)
+
+    from hierarchical_bloom_filter_index_spark.functions import codepoint_tokens
+
+    all_docs = df.unionByName(more)
+    batch = DR.group_token_counts(
+        all_docs.select(codepoint_tokens("text").alias("tokens"), "source"))
+    streamed = DR.read_group_token_counts(spark, out)
+    sym = streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+    assert sym.count() == 0
+    # drift readout built on the streamed counts agrees with batch TVD
+    tb = {(r["source_a"], r["source_b"]): r["tvd_num"]
+          for r in DR.pairwise_tvd(batch).collect()}
+    ts = {(r["source_a"], r["source_b"]): r["tvd_num"]
+          for r in DR.pairwise_tvd(streamed).collect()}
+    assert tb == ts
