@@ -6797,6 +6797,59 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_catalog_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG layer gate (operators/catalog.py): documents registered as
+    a NAMED table, upserted + range-deleted into three snapshots; an
+    immutable TAG pins v0 and a BRANCH points at v1. Gates, in-query:
+    (1) reads by tag/branch are row-identical to time-travel reads of the
+    versions they resolve to; (2) retention REFUSES while the tag pins
+    v0 (refs are promises); (3) after drop_ref + expiry, v0 is gone, the
+    branch still reads exactly v1. Returns the union of the three
+    symmetric differences (empty oracle)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import catalog as CG
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    root = tempfile.mkdtemp(prefix="hbi_catalog_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    CG.create_catalog_table(docs, root, "docs", stat_cols=("doc_id",))
+    path = CG.table_path(root, "docs")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    updates = docs.where(
+        F.col("doc_id").between(mx // 4, mx // 2) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
+    V.upsert(spark, path, updates, "doc_id")                    # v1
+    V.delete_range(spark, path, "doc_id", 5 * mx // 8, 7 * mx // 8)  # v2
+    CG.create_tag(root, "docs", "rel0", version=0)
+    CG.set_branch(root, "docs", "stable", version=1)
+
+    def symdiff(a: DataFrame, b: DataFrame) -> DataFrame:
+        a, b = a.select("doc_id", "text"), b.select("doc_id", "text")
+        return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+    d_tag = symdiff(CG.load_table(spark, root, "docs", "tag.rel0"),
+                    V.read_table(spark, path, 0)).localCheckpoint()
+    d_br = symdiff(CG.load_table(spark, root, "docs", "branch.stable"),
+                   V.read_table(spark, path, 1))
+    try:
+        CG.expire_table_snapshots(spark, root, "docs", keep_from_version=1)
+        raise AssertionError("catalog_table_ops: expiry ignored the pinned tag")
+    except ValueError:
+        pass
+    CG.drop_ref(root, "docs", "tag.rel0")
+    CG.expire_table_snapshots(spark, root, "docs", keep_from_version=1)
+    try:
+        V.read_table(spark, path, 0)
+        raise AssertionError("catalog_table_ops: expired v0 still readable")
+    except ValueError:
+        pass
+    d_post = symdiff(CG.load_table(spark, root, "docs", "branch.stable"),
+                     V.read_table(spark, path, 1))
+    return d_tag.unionByName(d_br).unionByName(d_post)
+
+
 # ---------------------------------------------------------------------------
 # corpus drift: exact pairwise TVD between source token distributions
 # ---------------------------------------------------------------------------
@@ -7144,6 +7197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_tvd": q_source_token_tvd,
         "tvd_top_tokens": q_tvd_top_tokens,
         "token_drift_stream": q_token_drift_stream,
+        # named-table catalog: tags/branches + ref-pinned retention
+        "catalog_table_ops": q_catalog_table_ops,
     }
 
 
@@ -9438,5 +9493,9 @@ LIMIT {TVD_TOPK}"""
 
     out["token_drift_stream"] = """SELECT CAST(NULL AS VARCHAR) AS grp,
        CAST(NULL AS INTEGER) AS token, CAST(NULL AS BIGINT) AS cnt
+WHERE FALSE"""
+
+    out["catalog_table_ops"] = """SELECT CAST(NULL AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS text
 WHERE FALSE"""
     return out

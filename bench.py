@@ -347,6 +347,9 @@ def main() -> None:
         "vtable_time_travel",
         # per-snapshot metadata COUNT/SUM through time travel
         "vtable_fast_stats",
+        # named-table catalog: tag/branch reads == time travel, ref-pinned
+        # retention refusal, post-expiry branch parity (whole lifecycle)
+        "catalog_table_ops",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)
