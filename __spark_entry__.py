@@ -6797,6 +6797,36 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+ORDERS_CONS = [
+    ("not_null", "o_orderkey"),
+    ("unique", "o_orderkey"),
+    ("in_range", "o_totalprice", 0.0, 250000.0),
+    ("accepted_values", "o_orderstatus", ["O", "F"]),
+    ("regex_match", "o_orderpriority", "[0-3]-[A-Z ]+"),
+    ("row_count_between", 1, 1000000000),
+    ("fk", "o_custkey", "customer_dim", "c_custkey"),
+]
+
+
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: all five scalar
+    constraints ride ONE aggregate over ONE scan (plan-asserted in
+    tests), unique is one groupBy, the fk orphan check one LEFT ANTI
+    broadcast join against a deliberately-thinned customer dim (so the
+    violation count is non-zero and the oracle is a real equality).
+    Exact integer violation counts per constraint
+    (operators/expectations.check_constraints)."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        expectations as EXP,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 3 != 0)
+    return EXP.check_constraints(orders, ORDERS_CONS,
+                                 dims={"customer_dim": dim})
+
+
 def q_catalog_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CATALOG layer gate (operators/catalog.py): documents registered as
     a NAMED table, upserted + range-deleted into three snapshots; an
@@ -7199,6 +7229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift_stream": q_token_drift_stream,
         # named-table catalog: tags/branches + ref-pinned retention
         "catalog_table_ops": q_catalog_table_ops,
+        # declarative data-quality expectations (exact violation counts)
+        "orders_expectations": q_orders_expectations,
     }
 
 
@@ -9498,4 +9530,39 @@ WHERE FALSE"""
     out["catalog_table_ops"] = """SELECT CAST(NULL AS BIGINT) AS doc_id,
        CAST(NULL AS VARCHAR) AS text
 WHERE FALSE"""
+
+    from hierarchical_bloom_filter_index_spark.operators import (
+        expectations as EXP,
+    )
+
+    _cn = [EXP.constraint_name(c) for c in ORDERS_CONS]
+    out["orders_expectations"] = f"""WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT c AS "constraint", v AS violations, n AS n_rows, v = 0 AS passed
+FROM (
+  SELECT '{_cn[0]}' AS c, CAST((SELECT count(*) FROM orders
+    WHERE o_orderkey IS NULL) AS BIGINT) AS v, n FROM base
+  UNION ALL SELECT '{_cn[1]}', CAST(COALESCE((SELECT sum(cnt - 1)
+    FROM (SELECT count(*) AS cnt FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+    WHERE cnt > 1), 0) AS BIGINT), n FROM base
+  UNION ALL SELECT '{_cn[2]}', CAST((SELECT count(*) FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND (o_totalprice < 0.0 OR o_totalprice > 250000.0)) AS BIGINT),
+    n FROM base
+  UNION ALL SELECT '{_cn[3]}', CAST((SELECT count(*) FROM orders
+    WHERE o_orderstatus IS NOT NULL
+      AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT), n FROM base
+  UNION ALL SELECT '{_cn[4]}', CAST((SELECT count(*) FROM orders
+    WHERE o_orderpriority IS NOT NULL
+      AND NOT regexp_full_match(o_orderpriority, '[0-3]-[A-Z ]+'))
+    AS BIGINT), n FROM base
+  UNION ALL SELECT '{_cn[5]}', CAST(CASE WHEN (SELECT n FROM base)
+    BETWEEN 1 AND 1000000000 THEN 0 ELSE 1 END AS BIGINT), n FROM base
+  UNION ALL SELECT '{_cn[6]}', CAST((SELECT count(*) FROM orders o
+    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey))
+    AS BIGINT), n FROM base
+) ORDER BY c"""
     return out

@@ -303,6 +303,9 @@ def main() -> None:
         # + top-k attribution for one pair
         "source_token_tvd",
         "tvd_top_tokens",
+        # declarative data-quality gate: 5 scalar constraints in ONE
+        # aggregate pass + unique groupBy + fk anti-broadcast
+        "orders_expectations",
         # planner statistics: sketch join-size (AMS dot), key-skew F2,
         # KMV key overlap, HLL key set algebra, exact heavy values —
         # all one-pass-per-side, only sketch blobs move

@@ -1,0 +1,177 @@
+"""Declarative data-quality expectations: a constraint list validated in
+as few passes as the constraint types allow, with exact violation counts.
+
+A pipeline gates ingestion on "o_orderkey is unique, o_totalprice in
+[0, 1e6], o_custkey references customer, row count in bounds" — the
+dbt-test / Great-Expectations surface. Everything here is EXACT integer
+counting, so the DuckDB twins are value equalities.
+
+Pass structure (design-for-100-TB):
+- ALL scalar constraints (not_null / in_range / accepted_values /
+  regex_match / row_count_between) compile into ONE aggregate over ONE
+  scan — a SUM(CASE WHEN violated) per constraint plus the row count,
+  map-side combined, one row out. Adding a scalar constraint adds an
+  expression, not a pass.
+- Each `unique` constraint is one map-side-combined groupBy on its
+  column (duplicate mass = sum(cnt-1) over groups with cnt>1 — the
+  number of rows you would have to delete to make it unique).
+- Each `fk` constraint is one LEFT ANTI broadcast join against the
+  DISTINCT referenced keys (dimension side by contract; NULLs are
+  not_null's business, fk counts only non-null orphans).
+
+Constraint tuples:
+    ("not_null", col)
+    ("in_range", col, lo, hi)            # non-null rows outside [lo, hi]
+    ("accepted_values", col, [v, ...])   # non-null rows not in the list
+    ("regex_match", col, pattern)        # non-null rows NOT fully matching
+                                         # (Java/RE2 agreement subset — no
+                                         # lookaround/backrefs, see pii.py)
+    ("row_count_between", lo, hi)        # violations = 0 or 1
+    ("unique", col)
+    ("fk", col, dim_name, dim_col)       # dims={"dim_name": DataFrame}
+
+Output: one row per constraint —
+    (constraint, violations, n_rows, passed)
+ordered deterministically by the constraint string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["check_constraints", "constraint_name"]
+
+
+def constraint_name(c: tuple) -> str:
+    kind = c[0]
+    if kind == "row_count_between":
+        return f"row_count_between({c[1]}, {c[2]})"
+    if kind in ("not_null", "unique"):
+        return f"{kind}({c[1]})"
+    if kind == "in_range":
+        return f"in_range({c[1]}, {c[2]}, {c[3]})"
+    if kind == "accepted_values":
+        vals = ", ".join(str(v) for v in c[2])
+        return f"accepted_values({c[1]}, [{vals}])"
+    if kind == "regex_match":
+        return f"regex_match({c[1]}, {c[2]})"
+    if kind == "fk":
+        return f"fk({c[1]} -> {c[2]}.{c[3]})"
+    raise ValueError(f"unknown constraint kind {kind!r}")
+
+
+def _scalar_violation(c: tuple):
+    """The per-row 'violated' predicate for single-scan constraints."""
+    kind = c[0]
+    if kind == "not_null":
+        return F.col(c[1]).isNull()
+    if kind == "in_range":
+        col, lo, hi = F.col(c[1]), c[2], c[3]
+        return col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi)))
+    if kind == "accepted_values":
+        col = F.col(c[1])
+        return col.isNotNull() & ~col.isin(list(c[2]))
+    if kind == "regex_match":
+        col = F.col(c[1])
+        return col.isNotNull() & ~col.rlike(f"^(?:{c[2]})$")
+    return None
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: list[tuple],
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """(constraint, violations, n_rows, passed) — exact counts, one row
+    per constraint, ordered by constraint name. See the module doc for
+    the pass structure; an empty constraint list refuses (a vacuous
+    'all green' report is a bug magnet)."""
+    if not constraints:
+        raise ValueError("check_constraints: empty constraint list")
+    dims = dims or {}
+    names = [constraint_name(c) for c in constraints]
+    if len(set(names)) != len(names):
+        raise ValueError("check_constraints: duplicate constraints")
+
+    scalars: list[tuple[str, object]] = []   # (name, predicate)
+    rc_bounds: list[tuple[str, int, int]] = []
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in constraints:
+        kind = c[0]
+        pred = _scalar_violation(c)
+        if pred is not None:
+            alias = f"_v{len(scalars)}"
+            scalars.append((constraint_name(c), alias))
+            aggs.append(
+                F.coalesce(F.sum(pred.cast("long")), F.lit(0))
+                .cast("long").alias(alias))
+        elif kind == "row_count_between":
+            rc_bounds.append((constraint_name(c), int(c[1]), int(c[2])))
+        elif kind == "fk":
+            if c[2] not in dims:
+                raise ValueError(f"fk constraint references unknown dim "
+                                 f"{c[2]!r} — pass it via dims=")
+        elif kind != "unique":
+            raise ValueError(f"unknown constraint kind {kind!r}")
+
+    scalar_row = df.agg(*aggs)
+
+    parts: list[DataFrame] = []
+    if scalars or rc_bounds:
+        exprs = [
+            F.struct(F.lit(nm).alias("constraint"),
+                     F.col(alias).alias("violations"))
+            for nm, alias in scalars
+        ] + [
+            F.struct(
+                F.lit(nm).alias("constraint"),
+                F.when((F.col("_n_rows") >= F.lit(lo))
+                       & (F.col("_n_rows") <= F.lit(hi)), F.lit(0))
+                .otherwise(F.lit(1)).cast("long").alias("violations"))
+            for nm, lo, hi in rc_bounds
+        ]
+        parts.append(
+            scalar_row.select(
+                F.explode(F.array(*exprs)).alias("_c"), "_n_rows")
+            .select(F.col("_c.constraint").alias("constraint"),
+                    F.col("_c.violations").alias("violations"), "_n_rows"))
+
+    n_rows_1 = scalar_row.select("_n_rows")
+    for c in constraints:
+        if c[0] == "unique":
+            dup_mass = (
+                df.where(F.col(c[1]).isNotNull())
+                .groupBy(c[1]).agg(F.count(F.lit(1)).alias("_cnt"))
+                .where(F.col("_cnt") > 1)
+                .agg(F.coalesce(F.sum(F.col("_cnt") - 1), F.lit(0))
+                     .cast("long").alias("violations"))
+            )
+            parts.append(
+                dup_mass.crossJoin(n_rows_1).select(
+                    F.lit(constraint_name(c)).alias("constraint"),
+                    "violations", "_n_rows"))
+        elif c[0] == "fk":
+            _, col, dim_name, dim_col = c
+            keys = dims[dim_name].select(
+                F.col(dim_col).alias(col)).distinct()
+            orphans = (
+                df.select(col).where(F.col(col).isNotNull())
+                .join(F.broadcast(keys), col, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            )
+            parts.append(
+                orphans.crossJoin(n_rows_1).select(
+                    F.lit(constraint_name(c)).alias("constraint"),
+                    "violations", "_n_rows"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select(
+            "constraint",
+            "violations",
+            F.col("_n_rows").alias("n_rows"),
+            (F.col("violations") == 0).alias("passed"))
+        .orderBy("constraint")
+    )

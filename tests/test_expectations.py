@@ -1,0 +1,87 @@
+"""Expectations family (operators/expectations.py): exact violation
+counts, one-scan scalar pass, guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hierarchical_bloom_filter_index_spark.operators import expectations as EX
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rows = [
+        (1, 10.0, "A", "x1"),
+        (2, 20.0, "B", "x2"),
+        (2, -5.0, "C", "x3"),     # dup id, below range, bad status
+        (None, 5000.0, "A", "y4"),  # null id, above range
+        (5, 50.0, "B", None),     # null code
+        (5, 60.0, "A", "zz"),     # dup id, bad code format
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, amount double, status string, code string")
+    dim = spark.createDataFrame([(1,), (2,), (99,)], "ref_id bigint")
+    return df, dim
+
+
+CONS = [
+    ("not_null", "id"),
+    ("unique", "id"),
+    ("in_range", "amount", 0.0, 1000.0),
+    ("accepted_values", "status", ["A", "B"]),
+    ("regex_match", "code", "[a-z][0-9]"),
+    ("row_count_between", 1, 100),
+    ("fk", "id", "refs", "ref_id"),
+]
+
+
+def test_exact_violation_counts(spark, data):
+    df, dim = data
+    out = {r["constraint"]: r for r in
+           EX.check_constraints(df, CONS, dims={"refs": dim}).collect()}
+    assert len(out) == 7
+    assert all(r["n_rows"] == 6 for r in out.values())
+    assert out["not_null(id)"]["violations"] == 1
+    assert out["unique(id)"]["violations"] == 2      # one extra 2, one extra 5
+    assert out["in_range(amount, 0.0, 1000.0)"]["violations"] == 2
+    assert out["accepted_values(status, [A, B])"]["violations"] == 1
+    assert out["regex_match(code, [a-z][0-9])"]["violations"] == 1  # 'zz'
+    assert out["row_count_between(1, 100)"]["violations"] == 0
+    # fk: non-null ids not in {1,2,99} -> the two 5s
+    assert out["fk(id -> refs.ref_id)"]["violations"] == 2
+    assert out["fk(id -> refs.ref_id)"]["passed"] is False
+    assert out["row_count_between(1, 100)"]["passed"] is True
+    names = [r for r in out]
+    assert names == sorted(names)
+
+
+def test_row_count_violation_and_all_green(spark, data):
+    df, _ = data
+    out = {r["constraint"]: r for r in EX.check_constraints(
+        df, [("row_count_between", 10, 20)]).collect()}
+    assert out["row_count_between(10, 20)"]["violations"] == 1
+    clean = df.where(F.col("id") == 1)
+    out2 = EX.check_constraints(
+        clean, [("not_null", "id"), ("unique", "id")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in out2)
+
+
+def test_scalar_pass_is_one_aggregate(spark, data):
+    df, _ = data
+    scal = [("not_null", "id"), ("in_range", "amount", 0.0, 1000.0),
+            ("accepted_values", "status", ["A", "B"]),
+            ("row_count_between", 1, 100)]
+    plan = EX.check_constraints(df, scal)._jdf.queryExecution().executedPlan().toString()
+    # one global aggregate: exactly one exchange (to the single partition)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_guards(spark, data):
+    df, dim = data
+    with pytest.raises(ValueError):
+        EX.check_constraints(df, [])
+    with pytest.raises(ValueError):
+        EX.check_constraints(df, [("not_null", "id"), ("not_null", "id")])
+    with pytest.raises(ValueError):
+        EX.check_constraints(df, [("fk", "id", "missing", "x")])
+    with pytest.raises(ValueError):
+        EX.check_constraints(df, [("mystery", "id")])
