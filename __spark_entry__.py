@@ -6797,6 +6797,22 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift family on a RELATIONAL categorical: pairwise TVD between
+    every pair of DAYS' event-type distributions (30 days -> 435 pairs) —
+    the monitoring query that flags a day whose event mix shifted.
+    pairwise_tvd is agnostic to what 'token' is (join/group key only), so
+    the same exact-integer machinery serves event types as well as
+    codepoints (operators/drift.pairwise_tvd). ts is TIMESTAMP_NTZ: day
+    bucketing is pure wall time, no session-timezone dependence."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("grp"),
+                   F.col("event_type").alias("token"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return DR.pairwise_tvd(counts)
+
+
 ORDERS_CONS = [
     ("not_null", "o_orderkey"),
     ("unique", "o_orderkey"),
@@ -7231,6 +7247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_table_ops": q_catalog_table_ops,
         # declarative data-quality expectations (exact violation counts)
         "orders_expectations": q_orders_expectations,
+        # drift on a relational categorical: day-pair TVD of event types
+        "event_type_drift": q_event_type_drift,
     }
 
 
@@ -9530,6 +9548,33 @@ WHERE FALSE"""
     out["catalog_table_ops"] = """SELECT CAST(NULL AS BIGINT) AS doc_id,
        CAST(NULL AS VARCHAR) AS text
 WHERE FALSE"""
+
+    out["event_type_drift"] = """WITH
+tok AS (SELECT strftime(ts, '%Y-%m-%d') AS grp, event_type AS token
+        FROM events),
+cnt AS (SELECT grp, token, CAST(count(*) AS HUGEINT) AS c
+        FROM tok GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(c) AS HUGEINT) AS n FROM cnt GROUP BY 1),
+inner_agg AS (
+  SELECT ca.grp AS ga, cb.grp AS gb,
+         SUM(ABS(ca.c * tb.n - cb.c * ta.n)) AS inum,
+         SUM(ca.c) AS sa, SUM(cb.c) AS sb, COUNT(*) AS sh
+  FROM cnt ca
+  JOIN cnt cb ON cb.token = ca.token AND ca.grp < cb.grp
+  JOIN tot ta ON ta.grp = ca.grp
+  JOIN tot tb ON tb.grp = cb.grp
+  GROUP BY 1, 2),
+pairs AS (SELECT a.grp AS ga, a.n AS na, b.grp AS gb, b.n AS nb
+          FROM tot a JOIN tot b ON a.grp < b.grp)
+SELECT p.ga AS source_a, p.gb AS source_b,
+       CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       CAST(COALESCE(i.sh, 0) AS BIGINT) AS shared_tokens,
+       CAST(COALESCE(i.inum, 0) + (p.na - COALESCE(i.sa, 0)) * p.nb
+            + (p.nb - COALESCE(i.sb, 0)) * p.na AS VARCHAR) AS tvd_num,
+       CAST(COALESCE(i.inum, 0) + (p.na - COALESCE(i.sa, 0)) * p.nb
+            + (p.nb - COALESCE(i.sb, 0)) * p.na AS DOUBLE)
+         / CAST(2 * p.na * p.nb AS DOUBLE) AS tvd
+FROM pairs p LEFT JOIN inner_agg i ON i.ga = p.ga AND i.gb = p.gb"""
 
     from hierarchical_bloom_filter_index_spark.operators import (
         expectations as EXP,

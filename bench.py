@@ -303,6 +303,9 @@ def main() -> None:
         # + top-k attribution for one pair
         "source_token_tvd",
         "tvd_top_tokens",
+        # same machinery on a relational categorical: 435 day-pairs of
+        # event-type distributions
+        "event_type_drift",
         # declarative data-quality gate: 5 scalar constraints in ONE
         # aggregate pass + unique groupBy + fk anti-broadcast
         "orders_expectations",
