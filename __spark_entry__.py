@@ -6797,6 +6797,21 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_source_doclen_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS drift: pairwise two-sample Kolmogorov-Smirnov distance
+    between every pair of sources' doc-LENGTH distributions, from
+    per-group KLL sketches (operators/drift.grouped_ks; kernel
+    sketches/kll.ks_distance, |est - true| <= eps_a + eps_b). k=1024
+    exceeds the per-source doc counts at every sweep scale, so the
+    sketches stay UNCOMPACTED and the estimate is the EXACT two-sample
+    KS — which is what makes a value oracle possible here (the compacted
+    regime's contract is the rank bound, tested in pytest). If a scale
+    ever pushes a source past k docs, this oracle breaks BY DESIGN:
+    estimates take over."""
+    corp = _corpus(spark, sf_dir).select("source", "n_tok")
+    return DR.grouped_ks(corp, "n_tok", "source", k=1024, seed=CFG.seed)
+
+
 def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift family on a RELATIONAL categorical: pairwise TVD between
     every pair of DAYS' event-type distributions (30 days -> 435 pairs) —
@@ -7249,6 +7264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_expectations": q_orders_expectations,
         # drift on a relational categorical: day-pair TVD of event types
         "event_type_drift": q_event_type_drift,
+        # continuous drift: source-pair KS over doc lengths (KLL path,
+        # exact in the uncompacted regime)
+        "source_doclen_ks": q_source_doclen_ks,
     }
 
 
@@ -9575,6 +9593,27 @@ SELECT p.ga AS source_a, p.gb AS source_b,
             + (p.nb - COALESCE(i.sb, 0)) * p.na AS DOUBLE)
          / CAST(2 * p.na * p.nb AS DOUBLE) AS tvd
 FROM pairs p LEFT JOIN inner_agg i ON i.ga = p.ga AND i.gb = p.gb"""
+
+    out["source_doclen_ks"] = f"""WITH {CORPUS_CTE},
+lens AS (SELECT source AS grp, n_tok AS v FROM corpus),
+tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM lens GROUP BY 1),
+pairs AS (SELECT a.grp AS ga, a.n AS na, b.grp AS gb, b.n AS nb
+          FROM tot a JOIN tot b ON a.grp < b.grp),
+pts AS (SELECT DISTINCT p.ga, p.gb, l.v
+        FROM pairs p JOIN lens l ON l.grp IN (p.ga, p.gb)),
+ks AS (SELECT pt.ga, pt.gb,
+         MAX(ABS(
+           CAST((SELECT count(*) FROM lens l
+                 WHERE l.grp = pt.ga AND l.v <= pt.v) AS DOUBLE)
+             / CAST(p.na AS DOUBLE)
+         - CAST((SELECT count(*) FROM lens l
+                 WHERE l.grp = pt.gb AND l.v <= pt.v) AS DOUBLE)
+             / CAST(p.nb AS DOUBLE))) AS ks
+       FROM pts pt JOIN pairs p ON p.ga = pt.ga AND p.gb = pt.gb
+       GROUP BY 1, 2)
+SELECT p.ga AS source_a, p.gb AS source_b, p.na AS n_a, p.nb AS n_b,
+       k.ks AS ks
+FROM pairs p JOIN ks k ON k.ga = p.ga AND k.gb = p.gb"""
 
     from hierarchical_bloom_filter_index_spark.operators import (
         expectations as EXP,

@@ -306,6 +306,9 @@ def main() -> None:
         # same machinery on a relational categorical: 435 day-pairs of
         # event-type distributions
         "event_type_drift",
+        # continuous drift: source-pair KS over doc lengths from grouped
+        # KLL sketches (one sketch pass; pairwise readout driver-side)
+        "source_doclen_ks",
         # declarative data-quality gate: 5 scalar constraints in ONE
         # aggregate pass + unique groupBy + fk anti-broadcast
         "orders_expectations",

@@ -207,3 +207,36 @@ def read_group_token_counts(spark: SparkSession, out_path: str) -> DataFrame:
         .groupBy("grp", "token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def grouped_ks(df: DataFrame, value_col: str, group_col: str = "source",
+               k: int = 200, seed: int = 0) -> DataFrame:
+    """CONTINUOUS drift: pairwise two-sample Kolmogorov-Smirnov distance
+    between every pair of groups' value distributions, estimated from
+    per-group KLL sketches — (source_a, source_b, n_a, n_b, ks).
+
+    One distributed pass builds a KLL per group (mapInPandas partials +
+    tree fan-in via aggregates.sketch_aggregate — only sketch blobs
+    shuffle); the pairwise readout runs driver-side over the collected
+    per-group sketches (tiny by the group-dimension contract, like
+    pairwise_tvd's totals). |ks - true KS| <= eps_a + eps_b (the KLL
+    normalized rank errors; kernel doc in sketches/kll.ks_distance) —
+    an ESTIMATE op: its contract is that bound, tested in pytest, not a
+    SQL oracle (KLL bytes are batching-dependent)."""
+    from ..sketches import KLL
+    from ..sketches.kll import ks_distance
+    from .aggregates import grouped_sketches, sketch_aggregate
+
+    spark = df.sparkSession
+    sk = grouped_sketches(sketch_aggregate(
+        df.select(F.col(group_col).cast("string").alias("grp"),
+                  F.col(value_col).cast("double").alias("v")),
+        "v", lambda: KLL(k=int(k), seed=int(seed)), group_cols=("grp",)))
+    groups = sorted(g for (g,) in sk)
+    rows = [
+        (ga, gb, int(sk[(ga,)].n), int(sk[(gb,)].n),
+         ks_distance(sk[(ga,)], sk[(gb,)]))
+        for i, ga in enumerate(groups) for gb in groups[i + 1:]
+    ]
+    return spark.createDataFrame(
+        rows, "source_a string, source_b string, n_a long, n_b long, ks double")

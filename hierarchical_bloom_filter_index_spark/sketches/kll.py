@@ -271,3 +271,31 @@ def quantile_blobs(blobs: list[bytes], qs) -> np.ndarray:
     for i, b in enumerate(blobs):
         out[i] = KLL.from_bytes(bytes(b)).quantiles(qs)
     return out
+
+
+def ks_distance(a: "KLL", b: "KLL") -> float:
+    """Two-sample Kolmogorov-Smirnov statistic estimated from two KLL
+    sketches: sup_x |F_a(x) - F_b(x)| over the empirical step CDFs the
+    sketches encode. The sup of a difference of right-continuous step
+    functions is attained at a stored point of one of them, so scanning
+    the union of stored items is exact FOR THE SKETCHED CDFs; each
+    sketched CDF is within its sketch's normalized rank error eps of the
+    true one, hence |estimate - true KS| <= eps_a + eps_b (triangle
+    inequality on the sup norm). Uncompacted sketches (n <= capacity)
+    store every item with weight 1, so the estimate is then the EXACT
+    two-sample KS. Refuses empty sketches (KS of nothing is undefined)."""
+    if a.n == 0 or b.n == 0:
+        raise ValueError("ks_distance: empty sketch")
+    va, wa = a._weighted_items()
+    vb, wb = b._weighted_items()
+    xs = np.unique(np.concatenate([va, vb]))
+    ca = np.concatenate([[0.0], np.cumsum(wa, dtype=np.float64)])
+    cb = np.concatenate([[0.0], np.cumsum(wb, dtype=np.float64)])
+    fa = ca[np.searchsorted(va, xs, side="right")] / float(ca[-1])
+    fb = cb[np.searchsorted(vb, xs, side="right")] / float(cb[-1])
+    return float(np.max(np.abs(fa - fb)))
+
+
+def ks_distance_blobs(blob_a: bytes, blob_b: bytes) -> float:
+    return ks_distance(KLL.from_bytes(bytes(blob_a)),
+                       KLL.from_bytes(bytes(blob_b)))

@@ -129,3 +129,73 @@ def test_token_counts_stream_matches_batch(spark, tmp_path):
     ts = {(r["source_a"], r["source_b"]): r["tvd_num"]
           for r in DR.pairwise_tvd(streamed).collect()}
     assert tb == ts
+
+
+# ---------------------------------------------------------------------------
+# KS distance (continuous drift)
+# ---------------------------------------------------------------------------
+def _brute_ks(a, b):
+    import numpy as np
+
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    xs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, xs, side="right") / len(a)
+    fb = np.searchsorted(b, xs, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_ks_exact_when_uncompacted():
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.sketches import KLL
+    from hierarchical_bloom_filter_index_spark.sketches.kll import ks_distance
+
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(0, 1, 150), rng.normal(0.5, 1, 120)
+    ka, kb = KLL(k=200, seed=1), KLL(k=200, seed=2)
+    ka.update(a)
+    kb.update(b)
+    assert ka.compactions == 0 and kb.compactions == 0
+    assert ks_distance(ka, kb) == pytest.approx(_brute_ks(a, b), abs=1e-12)
+    # identical distributions -> 0
+    kc = KLL(k=200, seed=3)
+    kc.update(a)
+    assert ks_distance(ka, kc) == 0.0
+    with pytest.raises(ValueError):
+        ks_distance(ka, KLL(k=200))
+
+
+def test_ks_bound_when_compacted():
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.sketches import KLL
+    from hierarchical_bloom_filter_index_spark.sketches.kll import ks_distance
+
+    rng = np.random.default_rng(11)
+    a, b = rng.normal(0, 1, 60_000), rng.normal(0.3, 1.4, 50_000)
+    ka, kb = KLL(k=200, seed=1), KLL(k=200, seed=2)
+    for chunk in np.array_split(a, 7):
+        ka.update(chunk)
+    for chunk in np.array_split(b, 5):
+        kb.update(chunk)
+    assert ka.compactions > 0 and kb.compactions > 0
+    est, true = ks_distance(ka, kb), _brute_ks(a, b)
+    assert abs(est - true) <= 0.04  # eps_a + eps_b at k=200 (0.02 each)
+
+
+def test_grouped_ks_matches_object_path(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(f"g{i % 3}", float(v)) for i, v in enumerate(rng.normal(0, 1, 900))]
+    df = spark.createDataFrame(rows, "source string, val double")
+    got = {(r["source_a"], r["source_b"]): r
+           for r in DR.grouped_ks(df, "val", "source", k=400, seed=5).collect()}
+    assert set(got) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for (ga, gb), r in got.items():
+        assert r["n_a"] == len(by_g[ga]) and r["n_b"] == len(by_g[gb])
+        # k=400 > group sizes: uncompacted -> exact two-sample KS
+        assert r["ks"] == pytest.approx(_brute_ks(by_g[ga], by_g[gb]), abs=1e-12)
