@@ -6797,6 +6797,45 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_expectations_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality gate parity: orders drained through a file
+    stream in two drops, every micro-batch validated by the SAME
+    check_constraints pass (replay-guarded per-batch report append);
+    for ADDITIVE constraint kinds the per-batch violation/n_rows sums
+    must equal the whole-corpus report exactly
+    (operators/expectations.expectations_stream). Returns the symmetric
+    difference of (constraint, violations, n_rows) (empty oracle)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators import (
+        expectations as EXP,
+    )
+
+    adds = [c for c in ORDERS_CONS if c[0] in EXP.ADDITIVE_KINDS]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 3 != 0)
+    base = tempfile.mkdtemp(prefix="hbi_expstream_")
+    half = F.col("o_orderkey") % 2
+    orders.where(half == 0).coalesce(2).write.mode("overwrite").parquet(
+        f"{base}/in")
+    orders.where(half == 1).coalesce(2).write.mode("append").parquet(
+        f"{base}/in")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in orders.schema.fields)
+    q = EXP.expectations_stream(
+        spark, f"{base}/in", f"{base}/chk", f"{base}/out", adds, schema,
+        dims={"customer_dim": dim})
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "expectations_stream_parity: availableNow drain exceeded 300s")
+    streamed = EXP.read_expectation_totals(spark, f"{base}/out")
+    batch = EXP.check_constraints(orders, adds, dims={"customer_dim": dim}
+                                  ).select("constraint", "violations", "n_rows")
+    return streamed.exceptAll(batch).unionByName(batch.exceptAll(streamed))
+
+
 def q_source_doclen_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS drift: pairwise two-sample Kolmogorov-Smirnov distance
     between every pair of sources' doc-LENGTH distributions, from
@@ -7267,6 +7306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # continuous drift: source-pair KS over doc lengths (KLL path,
         # exact in the uncompacted regime)
         "source_doclen_ks": q_source_doclen_ks,
+        # streamed per-batch quality reports sum to the batch report
+        "expectations_stream_parity": q_expectations_stream_parity,
     }
 
 
@@ -9565,6 +9606,11 @@ WHERE FALSE"""
 
     out["catalog_table_ops"] = """SELECT CAST(NULL AS BIGINT) AS doc_id,
        CAST(NULL AS VARCHAR) AS text
+WHERE FALSE"""
+
+    out["expectations_stream_parity"] = """SELECT
+       CAST(NULL AS VARCHAR) AS "constraint",
+       CAST(NULL AS BIGINT) AS violations, CAST(NULL AS BIGINT) AS n_rows
 WHERE FALSE"""
 
     out["event_type_drift"] = """WITH

@@ -175,3 +175,62 @@ def check_constraints(
             (F.col("violations") == 0).alias("passed"))
         .orderBy("constraint")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming: per-micro-batch constraint reports
+# ---------------------------------------------------------------------------
+#: constraint kinds whose violation counts ADD across batch splits —
+#: per-batch reports sum to the whole-corpus report for exactly these.
+#: `unique` and `row_count_between` are whole-dataset properties: a
+#: duplicate straddling two batches is invisible per-batch BY DESIGN
+#: (cross-batch uniqueness belongs to a keyed state store / the gram-df
+#: style index, not a stateless per-batch gate).
+ADDITIVE_KINDS = ("not_null", "in_range", "accepted_values", "regex_match",
+                  "fk")
+
+
+def expectations_stream(
+    spark,
+    input_path: str,
+    checkpoint_path: str,
+    out_path: str,
+    constraints: list[tuple],
+    schema: str,
+    dims: dict[str, DataFrame] | None = None,
+):
+    """Structured Streaming data-quality gate: every micro-batch of a
+    file stream is validated with the SAME check_constraints pass and
+    its report rows (plus batch_id) appended via the shared
+    replay-guarded foreachBatch discipline — at-least-once redelivery
+    cannot double-count a batch. ``dims`` are static frames (stream-
+    static broadcast inside the batch job). Per-batch reports are the
+    monitoring surface; for ADDITIVE_KINDS their violation/n_rows sums
+    equal the whole-corpus report (the parity gate). Returns the started
+    availableNow query."""
+    from ..streaming.incremental import replay_guarded_append
+
+    def build(batch_df: DataFrame) -> DataFrame:
+        return check_constraints(batch_df, constraints, dims=dims)
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return (
+        stream.writeStream
+        .foreachBatch(lambda df, bid: replay_guarded_append(
+            out_path, df, bid, build))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_expectation_totals(spark, out_path: str) -> DataFrame:
+    """Fold the per-batch reports: (constraint, violations, n_rows) —
+    sums across batches. Equal to the whole-corpus report for
+    ADDITIVE_KINDS constraints."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("constraint")
+        .agg(F.sum("violations").cast("long").alias("violations"),
+             F.sum("n_rows").cast("long").alias("n_rows"))
+    )

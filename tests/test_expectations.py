@@ -85,3 +85,34 @@ def test_guards(spark, data):
         EX.check_constraints(df, [("fk", "id", "missing", "x")])
     with pytest.raises(ValueError):
         EX.check_constraints(df, [("mystery", "id")])
+
+
+def test_expectations_stream_additive_parity(spark, data, tmp_path):
+    df, dim = data
+    adds = [("not_null", "id"), ("in_range", "amount", 0.0, 1000.0),
+            ("accepted_values", "status", ["A", "B"]),
+            ("regex_match", "code", "[a-z][0-9]"),
+            ("fk", "id", "refs", "ref_id")]
+    inp, chk, out = (str(tmp_path / p) for p in ("in", "chk", "out"))
+    schema = "id bigint, amount double, status string, code string"
+    df.limit(3).coalesce(1).write.mode("append").parquet(inp)
+    q = EX.expectations_stream(spark, inp, chk, out, adds, schema,
+                               dims={"refs": dim})
+    assert q.awaitTermination(300)
+    # second drop + a REPLAY drill: fresh drain over the same checkpoint
+    df.exceptAll(df.limit(3)).coalesce(1).write.mode("append").parquet(inp)
+    q2 = EX.expectations_stream(spark, inp, chk, out, adds, schema,
+                                dims={"refs": dim})
+    assert q2.awaitTermination(300)
+    totals = {r["constraint"]: r for r in
+              EX.read_expectation_totals(spark, out).collect()}
+    batch = {r["constraint"]: r for r in
+             EX.check_constraints(df, adds, dims={"refs": dim}).collect()}
+    assert set(totals) == set(batch)
+    for name, b in batch.items():
+        assert totals[name]["violations"] == b["violations"], name
+        assert totals[name]["n_rows"] == b["n_rows"], name
+    # per-batch reports exist for both batches
+    bids = sorted(set(r["batch_id"] for r in
+                      spark.read.parquet(out).select("batch_id").collect()))
+    assert len(bids) == 2
