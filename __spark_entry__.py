@@ -6797,6 +6797,30 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_snapshot_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT x TIME TRAVEL: pairwise TVD between the token distributions
+    of the versioned table's three snapshots — 'how much did that
+    upsert/delete shift the corpus mix', answered with exact integer
+    numerators over time-travel reads (operators/drift.pairwise_tvd over
+    vtable.read_table(version=k)). Oracle reconstructs each version
+    relationally (the vtable_fast_stats CTEs) and runs the same TVD
+    algebra."""
+    from hierarchical_bloom_filter_index_spark.functions import (
+        codepoint_tokens,
+    )
+    from hierarchical_bloom_filter_index_spark.operators import vtable as V
+
+    path, _mx = _vtable_fixture(spark, sf_dir)
+    parts = [
+        V.read_table(spark, path, v).select(
+            F.lit(str(v)).alias("source"),
+            codepoint_tokens("text").alias("tokens"))
+        for v in (0, 1, 2)
+    ]
+    allv = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return DR.pairwise_tvd(DR.group_token_counts(allv, "source"))
+
+
 def q_expectations_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING data-quality gate parity: orders drained through a file
     stream in two drops, every micro-batch validated by the SAME
@@ -7308,6 +7332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_doclen_ks": q_source_doclen_ks,
         # streamed per-batch quality reports sum to the batch report
         "expectations_stream_parity": q_expectations_stream_parity,
+        # drift x time travel: TVD between the vtable's three snapshots
+        "snapshot_token_drift": q_snapshot_token_drift,
     }
 
 
@@ -9612,6 +9638,51 @@ WHERE FALSE"""
        CAST(NULL AS VARCHAR) AS "constraint",
        CAST(NULL AS BIGINT) AS violations, CAST(NULL AS BIGINT) AS n_rows
 WHERE FALSE"""
+
+    out["snapshot_token_drift"] = """WITH mx AS (
+  SELECT MAX(doc_id) AS m FROM documents),
+v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id BETWEEN m // 4 AND m // 2 AND doc_id % 3 = 0
+              THEN 'UPD ' || text ELSE text END AS text
+  FROM documents, mx
+  UNION ALL
+  SELECT m + 10 + i AS doc_id, 'ins ' || CAST(i AS VARCHAR) AS text
+  FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
+v2 AS (
+  SELECT v1.doc_id, v1.text FROM v1, mx
+  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8),
+allv AS (
+  SELECT '0' AS grp, text FROM documents
+  UNION ALL SELECT '1', text FROM v1
+  UNION ALL SELECT '2', text FROM v2),
+tok AS (SELECT grp,
+               unnest(list_transform(string_split(text, ''),
+                                     c -> ascii(c))) AS token
+        FROM allv),
+cnt AS (SELECT grp, token, CAST(count(*) AS HUGEINT) AS c
+        FROM tok GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(c) AS HUGEINT) AS n FROM cnt GROUP BY 1),
+inner_agg AS (
+  SELECT ca.grp AS ga, cb.grp AS gb,
+         SUM(ABS(ca.c * tb.n - cb.c * ta.n)) AS inum,
+         SUM(ca.c) AS sa, SUM(cb.c) AS sb, COUNT(*) AS sh
+  FROM cnt ca
+  JOIN cnt cb ON cb.token = ca.token AND ca.grp < cb.grp
+  JOIN tot ta ON ta.grp = ca.grp
+  JOIN tot tb ON tb.grp = cb.grp
+  GROUP BY 1, 2),
+pairs AS (SELECT a.grp AS ga, a.n AS na, b.grp AS gb, b.n AS nb
+          FROM tot a JOIN tot b ON a.grp < b.grp)
+SELECT p.ga AS source_a, p.gb AS source_b,
+       CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       CAST(COALESCE(i.sh, 0) AS BIGINT) AS shared_tokens,
+       CAST(COALESCE(i.inum, 0) + (p.na - COALESCE(i.sa, 0)) * p.nb
+            + (p.nb - COALESCE(i.sb, 0)) * p.na AS VARCHAR) AS tvd_num,
+       CAST(COALESCE(i.inum, 0) + (p.na - COALESCE(i.sa, 0)) * p.nb
+            + (p.nb - COALESCE(i.sb, 0)) * p.na AS DOUBLE)
+         / CAST(2 * p.na * p.nb AS DOUBLE) AS tvd
+FROM pairs p LEFT JOIN inner_agg i ON i.ga = p.ga AND i.gb = p.gb"""
 
     out["event_type_drift"] = """WITH
 tok AS (SELECT strftime(ts, '%Y-%m-%d') AS grp, event_type AS token

@@ -359,6 +359,8 @@ def main() -> None:
         # named-table catalog: tag/branch reads == time travel, ref-pinned
         # retention refusal, post-expiry branch parity (whole lifecycle)
         "catalog_table_ops",
+        # drift x time travel: TVD between three vtable snapshots
+        "snapshot_token_drift",
         # Z-order multi-column clustering: range predicates on EITHER
         # column (and their conjunction) skip files of ONE layout (first
         # rep writes the layout + two-column zone map, cached after)
