@@ -6797,6 +6797,38 @@ def q_low_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CHAR_COLLISION_THRESH, CHAR_MIN_DISTINCT)
 
 
+def q_token_counts_takedown_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN parity for the drift count table: the corpus drained
+    through the count stream, then every doc_id % 3 == 0 document
+    removed by LINEAR SUBTRACTION (negative delta, batch_id=-removal_id,
+    idempotent under replay — re-run in-query); the readout must equal
+    the batch counts of the SURVIVING docs exactly
+    (operators/drift.remove_token_counts). Empty-symdiff oracle."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.functions import (
+        codepoint_tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_drift_takedown_")
+    docs.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
+    q = DR.token_counts_stream(
+        spark, f"{base}/in", f"{base}/chk", f"{base}/out")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "token_counts_takedown_parity: availableNow drain exceeded 300s")
+    gone = docs.where(_doc_num("doc_id") % 3 == 0)
+    DR.remove_token_counts(f"{base}/out", gone, removal_id=1)
+    DR.remove_token_counts(f"{base}/out", gone, removal_id=1)  # replay no-op
+    keep = docs.where(_doc_num("doc_id") % 3 != 0)
+    want = DR.group_token_counts(
+        keep.select(codepoint_tokens("text").alias("tokens"), "source"))
+    got = DR.read_group_token_counts(spark, f"{base}/out")
+    return got.exceptAll(want).unionByName(want.exceptAll(got))
+
+
 def q_snapshot_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DRIFT x TIME TRAVEL: pairwise TVD between the token distributions
     of the versioned table's three snapshots — 'how much did that
@@ -7334,6 +7366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_stream_parity": q_expectations_stream_parity,
         # drift x time travel: TVD between the vtable's three snapshots
         "snapshot_token_drift": q_snapshot_token_drift,
+        # count-table takedown by signed negative deltas (idempotent)
+        "token_counts_takedown_parity": q_token_counts_takedown_parity,
     }
 
 
@@ -9627,6 +9661,11 @@ ORDER BY ABS(c.ca * t.nb - c.cb * t.na) DESC, c.token ASC
 LIMIT {TVD_TOPK}"""
 
     out["token_drift_stream"] = """SELECT CAST(NULL AS VARCHAR) AS grp,
+       CAST(NULL AS INTEGER) AS token, CAST(NULL AS BIGINT) AS cnt
+WHERE FALSE"""
+
+    out["token_counts_takedown_parity"] = """SELECT
+       CAST(NULL AS VARCHAR) AS grp,
        CAST(NULL AS INTEGER) AS token, CAST(NULL AS BIGINT) AS cnt
 WHERE FALSE"""
 

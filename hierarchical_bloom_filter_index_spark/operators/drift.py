@@ -200,13 +200,50 @@ def token_counts_stream(
 
 def read_group_token_counts(spark: SparkSession, out_path: str) -> DataFrame:
     """Readout for the streamed count table: re-aggregate the per-batch
-    partials into the exact (grp, token, cnt) counts — byte-identical to
-    a batch `group_token_counts` over the union of all delivered docs."""
-    return (
+    partials (appends AND removal deltas) into the exact (grp, token,
+    cnt) counts — byte-identical to a batch `group_token_counts` over
+    delivered-minus-removed docs. Tokens removed to zero drop; a
+    NEGATIVE total means someone removed content that was never counted
+    and raises IN THE PLAN (a silently clamped count would poison every
+    TVD built on it)."""
+    msg = F.lit("read_group_token_counts: negative total — removal of "
+                "never-counted content (check removal inputs)")
+    tot = (
         spark.read.parquet(out_path)
         .groupBy("grp", "token")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+    return (
+        tot.select(
+            "grp", "token",
+            F.when(F.col("cnt") < 0, F.raise_error(msg).cast("long"))
+            .otherwise(F.col("cnt")).alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def remove_token_counts(out_path: str, docs: DataFrame, removal_id: int,
+                        group_col: str = "source") -> None:
+    """Content TAKEDOWN from the drift count table by LINEAR SUBTRACTION:
+    append the removed documents' counts NEGATED, tagged batch_id =
+    -removal_id. Counts are signed-mergeable, so the readout equals a
+    scratch rebuild over the surviving corpus (the lm.py / global-CMS
+    takedown discipline). ``removal_id`` is caller-chosen and >= 1 —
+    negative ids are disjoint from the stream's micro-batch ids, so the
+    SAME replay guard makes removals idempotent (re-running a removal is
+    a no-op, not a double subtraction)."""
+    if removal_id < 1:
+        raise ValueError("remove_token_counts: removal_id must be >= 1")
+    from ..functions import codepoint_tokens
+    from ..streaming.incremental import replay_guarded_append
+
+    def build(batch_df: DataFrame) -> DataFrame:
+        corpus = batch_df.select(
+            codepoint_tokens("text").alias("tokens"), F.col(group_col))
+        return group_token_counts(corpus, group_col).select(
+            "grp", "token", (-F.col("cnt")).cast("long").alias("cnt"))
+
+    replay_guarded_append(out_path, docs, -int(removal_id), build)
 
 
 def grouped_ks(df: DataFrame, value_col: str, group_col: str = "source",

@@ -199,3 +199,35 @@ def test_grouped_ks_matches_object_path(spark):
         assert r["n_a"] == len(by_g[ga]) and r["n_b"] == len(by_g[gb])
         # k=400 > group sizes: uncompacted -> exact two-sample KS
         assert r["ks"] == pytest.approx(_brute_ks(by_g[ga], by_g[gb]), abs=1e-12)
+
+
+def test_remove_token_counts_takedown(spark, tmp_path):
+    docs = [("d%d" % i, "hello" if i % 2 else "world", "en", "s%d" % (i % 2))
+            for i in range(8)]
+    df = spark.createDataFrame(
+        docs, "doc_id string, text string, lang string, source string")
+    inp, chk, out = (str(tmp_path / p) for p in ("in", "chk", "out"))
+    df.coalesce(1).write.mode("append").parquet(inp)
+    q = DR.token_counts_stream(spark, inp, chk, out)
+    assert q.awaitTermination(300)
+
+    from hierarchical_bloom_filter_index_spark.functions import codepoint_tokens
+
+    gone = df.where(F.col("doc_id").isin(["d0", "d1", "d2"]))
+    DR.remove_token_counts(out, gone, removal_id=1)
+    DR.remove_token_counts(out, gone, removal_id=1)  # idempotent replay
+    keep = df.exceptAll(gone)
+    want = DR.group_token_counts(
+        keep.select(codepoint_tokens("text").alias("tokens"), "source"))
+    got = DR.read_group_token_counts(spark, out)
+    sym = got.exceptAll(want).unionByName(want.exceptAll(got))
+    assert sym.count() == 0
+    with pytest.raises(ValueError):
+        DR.remove_token_counts(out, gone, removal_id=0)
+    # removing never-counted content -> the readout refuses loudly
+    ghost = spark.createDataFrame(
+        [("gx", "qqqqqqqq", "en", "s0")],
+        "doc_id string, text string, lang string, source string")
+    DR.remove_token_counts(out, ghost, removal_id=2)
+    with pytest.raises(Exception, match="negative total"):
+        DR.read_group_token_counts(spark, out).collect()
