@@ -75,7 +75,14 @@ def pairwise_tvd(counts: DataFrame) -> DataFrame:
     tvd_num / (2*N_a*N_b) as the one float. Tokens present in only one
     group are handled by the closed-form correction (see module doc),
     so a pair with disjoint vocabularies — zero inner-join rows — comes
-    out at exactly 1.0."""
+    out at exactly 1.0.
+
+    The counts input feeds FOUR subtrees (totals, both self-join sides,
+    shared-mass sums); an unmaterialized plan would re-run the corpus
+    explode+groupBy once per subtree — localCheckpoint it (tiny by the
+    vocab x groups contract), so the corpus is scanned ONCE however wide
+    the pair fan-out."""
+    counts = counts.localCheckpoint()
     tot = group_totals(counts)
     c = counts.join(F.broadcast(tot), "grp").select(
         "grp", "token", F.col("cnt").cast(_DEC).alias("c"), "n")
@@ -126,7 +133,8 @@ def tvd_contributors(counts: DataFrame, grp_a: str, grp_b: str,
     contrib / (2*N_a*N_b), so sum over ALL tokens of tvd_share = tvd."""
     if k < 1:
         raise ValueError("tvd_contributors: k must be >= 1")
-    two = counts.filter(F.col("grp").isin([grp_a, grp_b]))
+    # two subtrees (per-token pivot + totals) — one corpus pass, not two
+    two = counts.filter(F.col("grp").isin([grp_a, grp_b])).localCheckpoint()
     per_tok = two.groupBy("token").agg(
         F.coalesce(F.sum(F.when(F.col("grp") == grp_a, F.col("cnt"))),
                    F.lit(0)).cast("long").alias("cnt_a"),
