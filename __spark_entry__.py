@@ -6953,6 +6953,25 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  dims={"customer_dim": dim})
 
 
+def q_profile_learned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO DATA CONTRACT: profile orders' key columns in one scan
+    (operators/profile.profile_columns), mint constraints from the
+    profile's EXACT fields only (operators/expectations.
+    suggest_constraints — estimate-backed fields suggest nothing), then
+    validate the learned contract with check_constraints on the same
+    snapshot. The oracle re-derives the identical suggestions from SQL
+    aggregates (conditional rows: not_null only when the null count is
+    0) and recomputes every violation count exactly."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        expectations as EXP,
+    )
+    from hierarchical_bloom_filter_index_spark.operators import profile as PR
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = PR.profile_columns(orders, ["o_orderkey", "o_custkey"])
+    return EXP.check_constraints(orders, EXP.suggest_constraints(prof))
+
+
 def q_catalog_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CATALOG layer gate (operators/catalog.py): documents registered as
     a NAMED table, upserted + range-deleted into three snapshots; an
@@ -7368,6 +7387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_token_drift": q_snapshot_token_drift,
         # count-table takedown by signed negative deltas (idempotent)
         "token_counts_takedown_parity": q_token_counts_takedown_parity,
+        # auto data contract: profile -> suggested constraints -> report
+        "profile_learned_contract": q_profile_learned_contract,
     }
 
 
@@ -9677,6 +9698,38 @@ WHERE FALSE"""
        CAST(NULL AS VARCHAR) AS "constraint",
        CAST(NULL AS BIGINT) AS violations, CAST(NULL AS BIGINT) AS n_rows
 WHERE FALSE"""
+
+    out["profile_learned_contract"] = """WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         count(*) - count(o_orderkey) AS nn_ok,
+         MIN(o_orderkey) AS mn_ok, MAX(o_orderkey) AS mx_ok,
+         count(*) - count(o_custkey) AS nn_ck,
+         MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck
+  FROM orders)
+SELECT c AS "constraint", v AS violations, n AS n_rows, v = 0 AS passed
+FROM (
+  SELECT 'not_null(o_orderkey)' AS c, CAST(nn_ok AS BIGINT) AS v, n
+  FROM s WHERE nn_ok = 0
+  UNION ALL
+  SELECT 'not_null(o_custkey)', CAST(nn_ck AS BIGINT), n
+  FROM s WHERE nn_ck = 0
+  UNION ALL
+  SELECT 'in_range(o_orderkey, ' || CAST(mn_ok AS VARCHAR) || ', '
+           || CAST(mx_ok AS VARCHAR) || ')',
+         CAST((SELECT count(*) FROM orders, s
+               WHERE o_orderkey IS NOT NULL
+                 AND (o_orderkey < mn_ok OR o_orderkey > mx_ok)) AS BIGINT),
+         n
+  FROM s WHERE mn_ok IS NOT NULL
+  UNION ALL
+  SELECT 'in_range(o_custkey, ' || CAST(mn_ck AS VARCHAR) || ', '
+           || CAST(mx_ck AS VARCHAR) || ')',
+         CAST((SELECT count(*) FROM orders, s
+               WHERE o_custkey IS NOT NULL
+                 AND (o_custkey < mn_ck OR o_custkey > mx_ck)) AS BIGINT),
+         n
+  FROM s WHERE mn_ck IS NOT NULL
+) ORDER BY c"""
 
     out["snapshot_token_drift"] = """WITH mx AS (
   SELECT MAX(doc_id) AS m FROM documents),

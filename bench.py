@@ -312,6 +312,8 @@ def main() -> None:
         # declarative data-quality gate: 5 scalar constraints in ONE
         # aggregate pass + unique groupBy + fk anti-broadcast
         "orders_expectations",
+        # auto data contract: profile -> exact-field suggestions -> report
+        "profile_learned_contract",
         # planner statistics: sketch join-size (AMS dot), key-skew F2,
         # KMV key overlap, HLL key set algebra, exact heavy values —
         # all one-pass-per-side, only sketch blobs move

@@ -234,3 +234,31 @@ def read_expectation_totals(spark, out_path: str) -> DataFrame:
         .agg(F.sum("violations").cast("long").alias("violations"),
              F.sum("n_rows").cast("long").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# auto data contracts: suggest constraints from a profile
+# ---------------------------------------------------------------------------
+def suggest_constraints(profile_df: DataFrame) -> list[tuple]:
+    """AUTO DATA CONTRACT from a column profile (operators/profile.py):
+    mint constraints ONLY from the profile's EXACT fields — not_null(col)
+    iff n_null == 0, in_range(col, min, max) whenever min/max exist. The
+    estimate-backed fields deliberately suggest NOTHING: a unique
+    constraint minted from an HLL n_distinct that is off by one would
+    assert something false about the very snapshot it was learned from
+    (and top_value/MG can only name one value, never the accepted set).
+    The suggestions are validated by check_constraints — learn the
+    contract on snapshot A, enforce on snapshot B; violations are the
+    drift signal, ordered deterministically by column name."""
+    rows = profile_df.select("col_name", "n", "n_null", "min", "max").collect()
+    out: list[tuple] = []
+    for r in sorted(rows, key=lambda r: r["col_name"]):
+        if r["n"] > 0 and r["n_null"] == 0:
+            out.append(("not_null", r["col_name"]))
+        if r["min"] is not None and r["max"] is not None:
+            out.append(("in_range", r["col_name"], int(r["min"]),
+                        int(r["max"])))
+    if not out:
+        raise ValueError("suggest_constraints: profile yields no "
+                         "constraints (empty table?)")
+    return out

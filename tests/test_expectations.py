@@ -116,3 +116,24 @@ def test_expectations_stream_additive_parity(spark, data, tmp_path):
     bids = sorted(set(r["batch_id"] for r in
                       spark.read.parquet(out).select("batch_id").collect()))
     assert len(bids) == 2
+
+
+def test_suggest_constraints_from_profile(spark):
+    from hierarchical_bloom_filter_index_spark.operators import profile as PR
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, None), (4, 7)], "a bigint, b bigint")
+    prof = PR.profile_columns(df, ["a", "b"])
+    cons = EX.suggest_constraints(prof)
+    # a: no nulls -> not_null + range; b: has a null -> range only
+    assert cons == [("not_null", "a"), ("in_range", "a", 1, 4),
+                    ("in_range", "b", 5, 9)]
+    # learned contract validates green on its own snapshot
+    rep = EX.check_constraints(df, cons).collect()
+    assert all(r["passed"] for r in rep)
+    # and flags drift on a shifted snapshot
+    shifted = spark.createDataFrame([(9, 5), (None, 6)], "a bigint, b bigint")
+    rep2 = {r["constraint"]: r["violations"]
+            for r in EX.check_constraints(shifted, cons).collect()}
+    assert rep2["not_null(a)"] == 1
+    assert rep2["in_range(a, 1, 4)"] == 1
