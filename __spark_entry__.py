@@ -6953,6 +6953,26 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  dims={"customer_dim": dim})
 
 
+def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL routing (operators/expectations.quarantine): every
+    violating orders row with the sorted '|'-joined names of the
+    constraints it breaks — the actionable side of the expectations
+    report (clean rows route on, these route to quarantine WITH
+    reasons). Scalar checks are projections, unique is one window
+    count, fk one broadcast left join; the oracle rebuilds the same
+    reason lists per row in SQL."""
+    from hierarchical_bloom_filter_index_spark.operators import (
+        expectations as EXP,
+    )
+
+    cons = [c for c in ORDERS_CONS if c[0] != "row_count_between"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 3 != 0)
+    q = EXP.quarantine(orders, cons, dims={"customer_dim": dim})
+    return q.where(F.col("violated") != "").select("o_orderkey", "violated")
+
+
 def q_profile_learned_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUTO DATA CONTRACT: profile orders' key columns in one scan
     (operators/profile.profile_columns), mint constraints from the
@@ -7389,6 +7409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_takedown_parity": q_token_counts_takedown_parity,
         # auto data contract: profile -> suggested constraints -> report
         "profile_learned_contract": q_profile_learned_contract,
+        # row-level quarantine routing with attached reasons
+        "orders_quarantine": q_orders_quarantine,
     }
 
 
@@ -9730,6 +9752,30 @@ FROM (
          n
   FROM s WHERE mn_ck IS NOT NULL
 ) ORDER BY c"""
+
+    out["orders_quarantine"] = """SELECT o_orderkey, violated FROM (
+  SELECT o_orderkey,
+    array_to_string(list_sort(list_filter([
+      CASE WHEN o_orderkey IS NULL THEN 'not_null(o_orderkey)' END,
+      CASE WHEN o_orderkey IS NOT NULL
+            AND COUNT(*) OVER (PARTITION BY o_orderkey) > 1
+           THEN 'unique(o_orderkey)' END,
+      CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 250000.0)
+           THEN 'in_range(o_totalprice, 0.0, 250000.0)' END,
+      CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F')
+           THEN 'accepted_values(o_orderstatus, [O, F])' END,
+      CASE WHEN o_orderpriority IS NOT NULL
+            AND NOT regexp_full_match(o_orderpriority, '[0-3]-[A-Z ]+')
+           THEN 'regex_match(o_orderpriority, [0-3]-[A-Z ]+)' END,
+      CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+             SELECT 1 FROM customer c
+             WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
+           THEN 'fk(o_custkey -> customer_dim.c_custkey)' END
+    ], x -> x IS NOT NULL)), '|') AS violated
+  FROM orders o)
+WHERE violated <> ''"""
 
     out["snapshot_token_drift"] = """WITH mx AS (
   SELECT MAX(doc_id) AS m FROM documents),

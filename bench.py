@@ -314,6 +314,8 @@ def main() -> None:
         "orders_expectations",
         # auto data contract: profile -> exact-field suggestions -> report
         "profile_learned_contract",
+        # row-level quarantine routing (projection + window + broadcast)
+        "orders_quarantine",
         # planner statistics: sketch join-size (AMS dot), key-skew F2,
         # KMV key overlap, HLL key set algebra, exact heavy values —
         # all one-pass-per-side, only sketch blobs move

@@ -262,3 +262,64 @@ def suggest_constraints(profile_df: DataFrame) -> list[tuple]:
         raise ValueError("suggest_constraints: profile yields no "
                          "constraints (empty table?)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# row-level routing: quarantine
+# ---------------------------------------------------------------------------
+def quarantine(
+    df: DataFrame,
+    constraints: list[tuple],
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Row-level routing — every row annotated with ``violated``: the
+    SORTED '|'-joined names of the constraints it breaks (empty string =
+    clean, route to the pipeline; else route to quarantine with the
+    reasons attached). Scalar constraints stay projections; each
+    `unique` adds one window count over its column (rows of duplicate
+    groups all flag — the report counts kept-one-delete-rest, but a
+    ROUTER cannot pick a survivor, that's dedup's job); each `fk` adds
+    one broadcast left join. `row_count_between` is dataset-level and
+    refuses here (a row cannot violate it)."""
+    if not constraints:
+        raise ValueError("quarantine: empty constraint list")
+    dims = dims or {}
+    from pyspark.sql import Window
+
+    out = df
+    flags = []
+    for i, c in enumerate(constraints):
+        kind = c[0]
+        name = constraint_name(c)
+        pred = _scalar_violation(c)
+        if pred is not None:
+            pass  # projection, no plumbing
+        elif kind == "unique":
+            w = Window.partitionBy(c[1])
+            flag = f"_uq{i}"
+            out = out.withColumn(
+                flag, F.col(c[1]).isNotNull()
+                & (F.count(F.lit(1)).over(w) > 1))
+            pred = F.col(flag)
+        elif kind == "fk":
+            _, col, dim_name, dim_col = c
+            if dim_name not in dims:
+                raise ValueError(f"fk constraint references unknown dim "
+                                 f"{dim_name!r} — pass it via dims=")
+            flag = f"_fk{i}"
+            keys = dims[dim_name].select(
+                F.col(dim_col).alias(col)).distinct().withColumn(
+                    flag, F.lit(True))
+            out = out.join(F.broadcast(keys), col, "left")
+            pred = F.col(col).isNotNull() & F.col(flag).isNull()
+        elif kind == "row_count_between":
+            raise ValueError(
+                "quarantine: row_count_between is dataset-level — a row "
+                "cannot violate it; keep it in check_constraints")
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        flags.append(F.when(pred, F.lit(name)))
+    violated = F.array_join(
+        F.array_sort(F.filter(F.array(*flags), lambda x: x.isNotNull())),
+        "|")
+    return out.select(*df.columns, violated.alias("violated"))

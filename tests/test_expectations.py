@@ -137,3 +137,28 @@ def test_suggest_constraints_from_profile(spark):
             for r in EX.check_constraints(shifted, cons).collect()}
     assert rep2["not_null(a)"] == 1
     assert rep2["in_range(a, 1, 4)"] == 1
+
+
+def test_quarantine_row_routing(spark, data):
+    df, dim = data
+    cons = [c for c in CONS if c[0] != "row_count_between"]
+    rows = {r["code"]: r["violated"] for r in
+            EX.quarantine(df, cons, dims={"refs": dim}).collect()}
+    assert rows["x1"] == ""  # (1, 10.0, A, x1) is clean
+    assert rows["x2"] == "unique(id)"  # dup id 2, fk ok
+    assert set(rows["x3"].split("|")) == {
+        "unique(id)", "in_range(amount, 0.0, 1000.0)",
+        "accepted_values(status, [A, B])"}
+    assert set(rows["y4"].split("|")) == {
+        "not_null(id)", "in_range(amount, 0.0, 1000.0)"}
+    # the two 5s: dup + fk orphan (+ null code is NOT a regex violation)
+    assert set(rows[None].split("|")) == {"unique(id)", "fk(id -> refs.ref_id)"}
+    assert set(rows["zz"].split("|")) == {
+        "unique(id)", "fk(id -> refs.ref_id)", "regex_match(code, [a-z][0-9])"}
+    # clean split == rows with empty marker; counts consistent
+    q = EX.quarantine(df, cons, dims={"refs": dim})
+    assert q.filter(F.col("violated") == "").count() == 1
+    with pytest.raises(ValueError):
+        EX.quarantine(df, [("row_count_between", 1, 10)])
+    with pytest.raises(ValueError):
+        EX.quarantine(df, [])
