@@ -103,6 +103,33 @@ def main() -> None:
             worst = max(worst, err)
         out[name] = {"worst_rank_err": round(worst, 6), "bound": bound, "pass": bool(worst <= bound)}
 
+    # KS distance between two KLL sketches: |est - exact two-sample KS|
+    # <= eps_a + eps_b (sup-norm triangle inequality over the sketched
+    # CDFs) — measured on the corpus doc-length split into halves by
+    # xxhash64 parity, through the distributed aggregate
+    from pyspark.sql import functions as F
+    from hierarchical_bloom_filter_index_spark.sketches.kll import ks_distance
+
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    ka = collect_sketch(sketch_aggregate(
+        corp.where(half == 0), "n_tok", lambda: KLL(k=200, seed=5)))
+    kb = collect_sketch(sketch_aggregate(
+        corp.where(half == 1), "n_tok", lambda: KLL(k=200, seed=6)))
+    la = np.sort(np.asarray(
+        [r["n_tok"] for r in corp.where(half == 0).select("n_tok").collect()]))
+    lb = np.sort(np.asarray(
+        [r["n_tok"] for r in corp.where(half == 1).select("n_tok").collect()]))
+    xs = np.unique(np.concatenate([la, lb]))
+    exact_ks = float(np.max(np.abs(
+        np.searchsorted(la, xs, side="right") / len(la)
+        - np.searchsorted(lb, xs, side="right") / len(lb))))
+    ks_est = ks_distance(ka, kb)
+    ks_bound = 0.04  # eps_a + eps_b at k=200
+    out["ks"] = {"estimate": round(ks_est, 6), "exact": round(exact_ks, 6),
+                 "abs_err": round(abs(ks_est - exact_ks), 6),
+                 "bound": ks_bound,
+                 "pass": bool(abs(ks_est - exact_ks) <= ks_bound)}
+
     # Misra-Gries: exact total, underestimate-only within err_bound, and the
     # heavy-hitter superset guarantee — all through the distributed aggregate
     from hierarchical_bloom_filter_index_spark.sketches import MisraGries
