@@ -6930,6 +6930,7 @@ ORDERS_CONS = [
     ("accepted_values", "o_orderstatus", ["O", "F"]),
     ("regex_match", "o_orderpriority", "[0-3]-[A-Z ]+"),
     ("row_count_between", 1, 1000000000),
+    ("freshness", "o_orderdate", "2001-01-01 00:00:00"),
     ("fk", "o_custkey", "customer_dim", "c_custkey"),
 ]
 
@@ -6965,7 +6966,8 @@ def q_orders_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         expectations as EXP,
     )
 
-    cons = [c for c in ORDERS_CONS if c[0] != "row_count_between"]
+    cons = [c for c in ORDERS_CONS
+            if c[0] not in ("row_count_between", "freshness")]
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
         F.col("c_custkey") % 3 != 0)
@@ -9898,7 +9900,10 @@ FROM (
     AS BIGINT), n FROM base
   UNION ALL SELECT '{_cn[5]}', CAST(CASE WHEN (SELECT n FROM base)
     BETWEEN 1 AND 1000000000 THEN 0 ELSE 1 END AS BIGINT), n FROM base
-  UNION ALL SELECT '{_cn[6]}', CAST((SELECT count(*) FROM orders o
+  UNION ALL SELECT '{_cn[6]}', CAST(CASE WHEN (SELECT MAX(o_orderdate)
+    FROM orders) >= TIMESTAMP '2001-01-01 00:00:00' THEN 0 ELSE 1 END
+    AS BIGINT), n FROM base
+  UNION ALL SELECT '{_cn[7]}', CAST((SELECT count(*) FROM orders o
     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
       SELECT 1 FROM customer c
       WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey))

@@ -27,6 +27,11 @@ Constraint tuples:
                                          # (Java/RE2 agreement subset — no
                                          # lookaround/backrefs, see pii.py)
     ("row_count_between", lo, hi)        # violations = 0 or 1
+    ("freshness", col, min_max)          # MAX(col) >= min_max (wall-time
+                                         # literal for timestamps — both
+                                         # engines compare NTZ wall time,
+                                         # no session-tz dependence);
+                                         # violations = 0 or 1
     ("unique", col)
     ("fk", col, dim_name, dim_col)       # dims={"dim_name": DataFrame}
 
@@ -46,6 +51,8 @@ def constraint_name(c: tuple) -> str:
     kind = c[0]
     if kind == "row_count_between":
         return f"row_count_between({c[1]}, {c[2]})"
+    if kind == "freshness":
+        return f"freshness({c[1]}, {c[2]})"
     if kind in ("not_null", "unique"):
         return f"{kind}({c[1]})"
     if kind == "in_range":
@@ -95,6 +102,7 @@ def check_constraints(
 
     scalars: list[tuple[str, object]] = []   # (name, predicate)
     rc_bounds: list[tuple[str, int, int]] = []
+    fresh: list[tuple[str, str]] = []        # (name, max alias)
     aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
     for c in constraints:
         kind = c[0]
@@ -107,6 +115,16 @@ def check_constraints(
                 .cast("long").alias(alias))
         elif kind == "row_count_between":
             rc_bounds.append((constraint_name(c), int(c[1]), int(c[2])))
+        elif kind == "freshness":
+            alias = f"_fr{len(fresh)}"
+            fresh.append((constraint_name(c), alias))
+            # MAX rides the same single aggregate; the threshold compare
+            # happens on the one-row result. Literal cast to the COLUMN's
+            # type — timestamps compare as wall time on both engines.
+            aggs.append(
+                (F.max(F.col(c[1]))
+                 >= F.lit(c[2]).cast(df.schema[c[1]].dataType))
+                .alias(alias))
         elif kind == "fk":
             if c[2] not in dims:
                 raise ValueError(f"fk constraint references unknown dim "
@@ -117,7 +135,7 @@ def check_constraints(
     scalar_row = df.agg(*aggs)
 
     parts: list[DataFrame] = []
-    if scalars or rc_bounds:
+    if scalars or rc_bounds or fresh:
         exprs = [
             F.struct(F.lit(nm).alias("constraint"),
                      F.col(alias).alias("violations"))
@@ -129,6 +147,13 @@ def check_constraints(
                        & (F.col("_n_rows") <= F.lit(hi)), F.lit(0))
                 .otherwise(F.lit(1)).cast("long").alias("violations"))
             for nm, lo, hi in rc_bounds
+        ] + [
+            # NULL max (all-null / empty column) is NOT fresh
+            F.struct(
+                F.lit(nm).alias("constraint"),
+                F.when(F.coalesce(F.col(alias), F.lit(False)), F.lit(0))
+                .otherwise(F.lit(1)).cast("long").alias("violations"))
+            for nm, alias in fresh
         ]
         parts.append(
             scalar_row.select(
@@ -312,10 +337,10 @@ def quarantine(
                     flag, F.lit(True))
             out = out.join(F.broadcast(keys), col, "left")
             pred = F.col(col).isNotNull() & F.col(flag).isNull()
-        elif kind == "row_count_between":
+        elif kind in ("row_count_between", "freshness"):
             raise ValueError(
-                "quarantine: row_count_between is dataset-level — a row "
-                "cannot violate it; keep it in check_constraints")
+                f"quarantine: {kind} is dataset-level — a row cannot "
+                "violate it; keep it in check_constraints")
         else:
             raise ValueError(f"unknown constraint kind {kind!r}")
         flags.append(F.when(pred, F.lit(name)))

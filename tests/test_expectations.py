@@ -162,3 +162,23 @@ def test_quarantine_row_routing(spark, data):
         EX.quarantine(df, [("row_count_between", 1, 10)])
     with pytest.raises(ValueError):
         EX.quarantine(df, [])
+
+
+def test_freshness_constraint(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-03-01 12:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    out = {r["constraint"]: r for r in EX.check_constraints(df, [
+        ("freshness", "ts", "2024-02-01 00:00:00"),
+        ("freshness", "ts", "2024-06-01 00:00:00"),
+    ]).collect()}
+    assert out["freshness(ts, 2024-02-01 00:00:00)"]["violations"] == 0
+    assert out["freshness(ts, 2024-06-01 00:00:00)"]["violations"] == 1
+    # all-null column is never fresh
+    nulls = spark.createDataFrame([(None,), (None,)], "ts string").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"))
+    out2 = EX.check_constraints(
+        nulls, [("freshness", "ts", "2024-01-01 00:00:00")]).collect()
+    assert out2[0]["violations"] == 1
+    with pytest.raises(ValueError):
+        EX.quarantine(df, [("freshness", "ts", "2024-01-01 00:00:00")])
