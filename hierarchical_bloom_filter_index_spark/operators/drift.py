@@ -285,3 +285,27 @@ def grouped_ks(df: DataFrame, value_col: str, group_col: str = "source",
     ]
     return spark.createDataFrame(
         rows, "source_a string, source_b string, n_a long, n_b long, ks double")
+
+
+def compact_token_counts(spark: SparkSession, out_path: str) -> int:
+    """Fold the accumulated count deltas (appends + removals) into ONE
+    row per (grp, token) and rewrite ``out_path``; returns the compacted
+    row count. Zero totals drop (their content is fully removed),
+    negative totals REFUSE (same contract as the readout — compacting
+    corruption away would hide it forever). Compacted rows keep
+    batch_id = max(applied) so the replay guard still recognizes the one
+    batch at-least-once delivery can redeliver; like every compactor
+    here, must not run concurrently with an active stream. The plan is
+    localCheckpoint'ed before the overwrite (it deletes the files the
+    lazy plan reads — the standing compaction trap)."""
+    src = spark.read.parquet(out_path)
+    max_bid = src.agg(F.max("batch_id")).first()[0]
+    if max_bid is None:
+        return 0
+    folded = (
+        read_group_token_counts(spark, out_path)
+        .withColumn("batch_id", F.lit(int(max_bid)).cast("long"))
+        .localCheckpoint()
+    )
+    folded.write.mode("overwrite").parquet(out_path)
+    return folded.count()

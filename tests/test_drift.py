@@ -231,3 +231,30 @@ def test_remove_token_counts_takedown(spark, tmp_path):
     DR.remove_token_counts(out, ghost, removal_id=2)
     with pytest.raises(Exception, match="negative total"):
         DR.read_group_token_counts(spark, out).collect()
+
+
+def test_compact_token_counts(spark, tmp_path):
+    docs = [("d%d" % i, "abcd"[: 2 + i % 3], "en", "s%d" % (i % 2))
+            for i in range(9)]
+    df = spark.createDataFrame(
+        docs, "doc_id string, text string, lang string, source string")
+    inp, chk, out = (str(tmp_path / p) for p in ("in", "chk", "out"))
+    df.coalesce(1).write.mode("append").parquet(inp)
+    q = DR.token_counts_stream(spark, inp, chk, out)
+    assert q.awaitTermination(300)
+    gone = df.where(F.col("doc_id") == "d0")
+    DR.remove_token_counts(out, gone, removal_id=1)
+    want = sorted(tuple(r) for r in
+                  DR.read_group_token_counts(spark, out).collect())
+    n = DR.compact_token_counts(spark, out)
+    assert n == len(want)
+    got = sorted(tuple(r) for r in
+                 DR.read_group_token_counts(spark, out).collect())
+    assert got == want
+    # the replay guard still sees the folded history: a fresh drain over
+    # a NEW checkpoint re-delivers batch 0, the guard must skip it
+    q2 = DR.token_counts_stream(spark, inp, str(tmp_path / "chk2"), out)
+    assert q2.awaitTermination(300)
+    got2 = sorted(tuple(r) for r in
+                  DR.read_group_token_counts(spark, out).collect())
+    assert got2 == want
