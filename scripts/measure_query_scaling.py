@@ -215,6 +215,24 @@ SWEEP = [
     "zorder_pruned_partkey",
     "zorder_pruned_conjunction",
     "customer_fuzzy_name_pairs",
+    # 16th-session additions — drift + quality families. Replica notes:
+    # sources are UNCHANGED on the replica corpora (per-source token mass
+    # grows 5x; Caesar shifts widen each source's alphabet toward the
+    # 128-token cap), events keep their 30 days (counts 5x), orders
+    # replicas offset o_orderkey/o_custkey consistently. The TVD counts
+    # shuffle is the one linear term; pair readouts are group-bounded.
+    # source_doclen_ks leaves the uncompacted-exact regime past k=1024
+    # docs/source (5x = 1250) — the timing measures the sketch path
+    # either way, the value oracle applies at sf0.01 only. The
+    # catalog/vtable/stream drift queries key on NUMERIC doc_id residues
+    # or drain streams: standing exclusion.
+    "source_token_tvd",
+    "tvd_top_tokens",
+    "source_doclen_ks",
+    "event_type_drift",
+    "orders_expectations",
+    "orders_quarantine",
+    "profile_learned_contract",
 ]
 
 
