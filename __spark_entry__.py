@@ -6907,6 +6907,22 @@ def q_source_doclen_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.grouped_ks(corp, "n_tok", "source", k=1024, seed=CFG.seed)
 
 
+def q_doc_atypicality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY OUTLIERS: the 20 most distributionally ATYPICAL docs —
+    highest TVD between a doc's own token distribution and its source's
+    corpus-wide one (gibberish inside a clean source scores high;
+    operators/drift.doc_group_tvd — exact integer numerators, no
+    doc-doc join anywhere, one linear (grp, token) join). Deterministic
+    (tvd DESC, doc_id ASC) order; both engines compute the identical
+    doubles from identical integers."""
+    corp = _corpus(spark, sf_dir)
+    return (
+        DR.doc_group_tvd(corp)
+        .orderBy(F.col("tvd").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift family on a RELATIONAL categorical: pairwise TVD between
     every pair of DAYS' event-type distributions (30 days -> 435 pairs) —
@@ -7413,6 +7429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_learned_contract": q_profile_learned_contract,
         # row-level quarantine routing with attached reasons
         "orders_quarantine": q_orders_quarantine,
+        # per-doc distributional atypicality vs own source (quality outliers)
+        "doc_atypicality_topk": q_doc_atypicality_topk,
     }
 
 
@@ -9754,6 +9772,32 @@ FROM (
          n
   FROM s WHERE mn_ck IS NOT NULL
 ) ORDER BY c"""
+
+    out["doc_atypicality_topk"] = f"""WITH {CORPUS_CTE},
+cnt AS (SELECT grp, token, CAST(count(*) AS HUGEINT) AS c
+        FROM (SELECT source AS grp, unnest(tokens) AS token FROM corpus)
+        GROUP BY 1, 2),
+tot AS (SELECT grp, CAST(SUM(c) AS HUGEINT) AS n FROM cnt GROUP BY 1),
+dt AS (SELECT doc_id, grp, n_tok, token, CAST(count(*) AS HUGEINT) AS cd
+       FROM (SELECT doc_id, source AS grp, n_tok,
+                    unnest(tokens) AS token FROM corpus)
+       GROUP BY 1, 2, 3, 4),
+agg AS (SELECT dt.doc_id, dt.grp, dt.n_tok,
+               SUM(ABS(dt.cd * t.n - c.c * CAST(dt.n_tok AS HUGEINT)))
+                 AS inum,
+               SUM(c.c) AS s_cov, MIN(t.n) AS ng
+        FROM dt
+        JOIN cnt c ON c.grp = dt.grp AND c.token = dt.token
+        JOIN tot t ON t.grp = dt.grp
+        GROUP BY 1, 2, 3)
+SELECT doc_id, grp, CAST(n_tok AS INT) AS n_tok,
+       CAST(inum + (ng - s_cov) * CAST(n_tok AS HUGEINT) AS VARCHAR)
+         AS tvd_num,
+       CAST(inum + (ng - s_cov) * CAST(n_tok AS HUGEINT) AS DOUBLE)
+         / CAST(2 * CAST(n_tok AS HUGEINT) * ng AS DOUBLE) AS tvd
+FROM agg
+ORDER BY tvd DESC, doc_id ASC
+LIMIT 20"""
 
     out["orders_quarantine"] = """SELECT o_orderkey, violated FROM (
   SELECT o_orderkey,

@@ -303,6 +303,8 @@ def main() -> None:
         # + top-k attribution for one pair
         "source_token_tvd",
         "tvd_top_tokens",
+        # per-doc distributional atypicality (linear join, no doc-doc pair)
+        "doc_atypicality_topk",
         # same machinery on a relational categorical: 435 day-pairs of
         # event-type distributions
         "event_type_drift",

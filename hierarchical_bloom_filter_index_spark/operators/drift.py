@@ -309,3 +309,53 @@ def compact_token_counts(spark: SparkSession, out_path: str) -> int:
     )
     folded.write.mode("overwrite").parquet(out_path)
     return folded.count()
+
+
+def doc_group_tvd(corpus: DataFrame, group_col: str = "source") -> DataFrame:
+    """Distributional ATYPICALITY of every document against its own
+    group's corpus-wide token distribution: (doc_id, grp, n_tok,
+    tvd_num, tvd) where tvd = TVD(doc's token distribution, group's).
+    A gibberish page inside a clean source — or a doc in the wrong
+    language — scores high; typical docs score low. Same exact-integer
+    algebra as pairwise_tvd with the doc as the 'a' side:
+
+        num = sum_{t in doc} |c_d(t)*N_g - c_g(t)*n_d|
+              + (N_g - sum_{t in doc} c_g(t)) * n_d     (group-only mass)
+        tvd = num / (2 * n_d * N_g)
+
+    Shapes: one (grp, token) counts shuffle (shared with pairwise_tvd),
+    one (doc, token) explode+groupBy, one linear join on (grp, token),
+    one per-doc aggregate — everything map-side-combinable, no
+    quadratic term anywhere (the doc never joins other docs)."""
+    counts = group_token_counts(corpus, group_col).localCheckpoint()
+    tot = group_totals(counts)
+    doc_tok = (
+        corpus.select(F.col("doc_id"), F.col(group_col).alias("grp"),
+                      F.col("n_tok"), F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "grp", "n_tok", "token")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("cd"))
+    )
+    j = (
+        doc_tok.join(counts.withColumnRenamed("cnt", "cg"), ["grp", "token"])
+        .join(F.broadcast(tot), "grp")
+        .withColumn("cg", F.col("cg").cast(_DEC))
+    )
+    nd = F.col("n_tok").cast(_DEC)
+    per_doc = (
+        j.groupBy("doc_id", "grp", "n_tok")
+        .agg(
+            F.sum(F.abs(F.col("cd") * F.col("n") - F.col("cg") * nd))
+            .alias("inum"),
+            F.sum("cg").alias("s_cov"),
+            F.first("n").alias("n_g"),
+        )
+    )
+    num = (F.col("inum")
+           + (F.col("n_g") - F.col("s_cov")) * F.col("n_tok").cast(_DEC))
+    return per_doc.select(
+        "doc_id", "grp", "n_tok",
+        num.cast(_DEC).cast("string").alias("tvd_num"),
+        (num.cast("double")
+         / (F.lit(2).cast(_DEC) * F.col("n_tok").cast(_DEC) * F.col("n_g"))
+         .cast("double")).alias("tvd"),
+    )

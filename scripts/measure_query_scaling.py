@@ -228,6 +228,7 @@ SWEEP = [
     # or drain streams: standing exclusion.
     "source_token_tvd",
     "tvd_top_tokens",
+    "doc_atypicality_topk",
     "source_doclen_ks",
     "event_type_drift",
     "orders_expectations",

@@ -258,3 +258,27 @@ def test_compact_token_counts(spark, tmp_path):
     got2 = sorted(tuple(r) for r in
                   DR.read_group_token_counts(spark, out).collect())
     assert got2 == want
+
+
+def test_doc_group_tvd_matches_brute_force(spark, small):
+    rows, _counts = small
+    corpus = _mk_corpus(spark, rows)
+    got = {r["doc_id"]: r for r in DR.doc_group_tvd(corpus).collect()}
+    assert set(got) == {d for d, _, _ in rows}
+    from collections import Counter
+
+    by_src = {}
+    for _, toks, src in rows:
+        by_src.setdefault(src, Counter()).update(toks)
+    for d, toks, src in rows:
+        cg, cd = by_src[src], Counter(toks)
+        ng, nd = sum(cg.values()), len(toks)
+        num = sum(abs(cd.get(t, 0) * ng - cg.get(t, 0) * nd)
+                  for t in set(cd) | set(cg))
+        r = got[d]
+        assert int(r["tvd_num"]) == num, d
+        assert r["tvd"] == pytest.approx(num / (2 * nd * ng), abs=1e-15)
+        assert r["grp"] == src and r["n_tok"] == nd
+    # a doc identical to its whole group would score 0; doc == half its
+    # group scores low; sanity: all scores in [0, 1)
+    assert all(0 <= r["tvd"] < 1 for r in got.values())
