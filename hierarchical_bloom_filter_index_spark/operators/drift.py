@@ -294,21 +294,31 @@ def compact_token_counts(spark: SparkSession, out_path: str) -> int:
     negative totals REFUSE (same contract as the readout — compacting
     corruption away would hide it forever). Compacted rows keep
     batch_id = max(applied) so the replay guard still recognizes the one
-    batch at-least-once delivery can redeliver; like every compactor
-    here, must not run concurrently with an active stream. The plan is
+    batch at-least-once delivery can redeliver; every APPLIED REMOVAL id
+    additionally keeps a zero-count marker row (cnt=0 adds nothing to
+    any sum and the readout drops zero totals), because the removal
+    guard probes its own -removal_id — folding the markers away would
+    make a retried removal double-subtract. Like every compactor here,
+    must not run concurrently with an active stream. The plan is
     localCheckpoint'ed before the overwrite (it deletes the files the
     lazy plan reads — the standing compaction trap)."""
     src = spark.read.parquet(out_path)
     max_bid = src.agg(F.max("batch_id")).first()[0]
     if max_bid is None:
         return 0
+    markers = (
+        src.select("batch_id").where(F.col("batch_id") < 0).distinct()
+        .select(F.lit("").alias("grp"), F.lit(-1).alias("token"),
+                F.lit(0).cast("long").alias("cnt"), "batch_id")
+    )
     folded = (
         read_group_token_counts(spark, out_path)
         .withColumn("batch_id", F.lit(int(max_bid)).cast("long"))
+        .unionByName(markers)
         .localCheckpoint()
     )
     folded.write.mode("overwrite").parquet(out_path)
-    return folded.count()
+    return folded.where(F.col("cnt") != 0).count()
 
 
 def doc_group_tvd(corpus: DataFrame, group_col: str = "source") -> DataFrame:

@@ -281,6 +281,9 @@ def suggest_constraints(profile_df: DataFrame) -> list[tuple]:
         if r["n"] > 0 and r["n_null"] == 0:
             out.append(("not_null", r["col_name"]))
         if r["min"] is not None and r["max"] is not None:
+            # profile min/max are LONG by PROFILE_SCHEMA (the profiler
+            # only accepts integral columns), so int() is a no-op cast,
+            # never a truncation
             out.append(("in_range", r["col_name"], int(r["min"]),
                         int(r["max"])))
     if not out:

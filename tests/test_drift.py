@@ -282,3 +282,23 @@ def test_doc_group_tvd_matches_brute_force(spark, small):
     # a doc identical to its whole group would score 0; doc == half its
     # group scores low; sanity: all scores in [0, 1)
     assert all(0 <= r["tvd"] < 1 for r in got.values())
+
+
+def test_removal_replay_after_compaction(spark, tmp_path):
+    docs = [("d%d" % i, "abc", "en", "s0") for i in range(4)]
+    df = spark.createDataFrame(
+        docs, "doc_id string, text string, lang string, source string")
+    inp, chk, out = (str(tmp_path / p) for p in ("in", "chk", "out"))
+    df.coalesce(1).write.mode("append").parquet(inp)
+    q = DR.token_counts_stream(spark, inp, chk, out)
+    assert q.awaitTermination(300)
+    gone = df.where(F.col("doc_id") == "d0")
+    DR.remove_token_counts(out, gone, removal_id=7)
+    want = sorted(tuple(r) for r in
+                  DR.read_group_token_counts(spark, out).collect())
+    DR.compact_token_counts(spark, out)
+    # a retried removal AFTER compaction must still be a no-op
+    DR.remove_token_counts(out, gone, removal_id=7)
+    got = sorted(tuple(r) for r in
+                 DR.read_group_token_counts(spark, out).collect())
+    assert got == want
