@@ -3097,7 +3097,12 @@ def _vtable_fixture(spark: SparkSession, sf_dir: str):
     r1 = V.upsert(spark, path, updates.unionByName(inserts), "doc_id")
     if not (0 < r1["n_files_touched"] < r1["n_files_total"]):
         raise AssertionError(f"vtable upsert pruning failed: {r1}")
-    r2 = V.delete_range(spark, path, "doc_id", 5 * mx // 8, 7 * mx // 8)
+    # band DELIBERATELY misaligned with the 8-file range boundaries
+    # (k/8 edges): repartitionByRange samples with a session-history-
+    # dependent seed (rdd.id), so an edge-aligned band made the
+    # metadata-drop gate a coin flip on boundary jitter — [0.6, 0.9]
+    # gives the two interior files a ±2.5%-of-range margin
+    r2 = V.delete_range(spark, path, "doc_id", 3 * mx // 5, 9 * mx // 10)
     if r2["n_files_dropped"] == 0:
         raise AssertionError(f"vtable delete made no metadata drops: {r2}")
     return path, mx
@@ -7034,7 +7039,7 @@ def q_catalog_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").between(mx // 4, mx // 2) & (F.col("doc_id") % 3 == 0)
     ).select("doc_id", F.concat(F.lit("UPD "), F.col("text")).alias("text"))
     V.upsert(spark, path, updates, "doc_id")                    # v1
-    V.delete_range(spark, path, "doc_id", 5 * mx // 8, 7 * mx // 8)  # v2
+    V.delete_range(spark, path, "doc_id", 3 * mx // 5, 9 * mx // 10)  # v2
     CG.create_tag(root, "docs", "rel0", version=0)
     CG.set_branch(root, "docs", "stable", version=1)
 
@@ -9285,7 +9290,7 @@ v1 AS (
   FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
 v2 AS (
   SELECT v1.doc_id, v1.text FROM v1, mx
-  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8)
+  WHERE v1.doc_id NOT BETWEEN 3 * m // 5 AND 9 * m // 10)
 SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_docs,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
 FROM documents, mx WHERE doc_id BETWEEN m // 3 AND 2 * m // 3
@@ -9311,7 +9316,7 @@ v1 AS (
   FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
 v2 AS (
   SELECT v1.doc_id, v1.text FROM v1, mx
-  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8)
+  WHERE v1.doc_id NOT BETWEEN 3 * m // 5 AND 9 * m // 10)
 SELECT doc_id, status FROM (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
          CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -9337,7 +9342,7 @@ UNION ALL
 SELECT CAST(1 AS INTEGER), doc_id, text FROM v1
 UNION ALL
 SELECT CAST(2 AS INTEGER), v1.doc_id, v1.text
-FROM v1, mx WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8""",
+FROM v1, mx WHERE v1.doc_id NOT BETWEEN 3 * m // 5 AND 9 * m // 10""",
         # copy-on-write range delete == the plain complement filter
         "zonemap_delete_range": """WITH mx AS (
   SELECT MAX(doc_id) AS m FROM documents)
@@ -9835,7 +9840,7 @@ v1 AS (
   FROM mx, (SELECT UNNEST(generate_series(0, 4)) AS i)),
 v2 AS (
   SELECT v1.doc_id, v1.text FROM v1, mx
-  WHERE v1.doc_id NOT BETWEEN 5 * m // 8 AND 7 * m // 8),
+  WHERE v1.doc_id NOT BETWEEN 3 * m // 5 AND 9 * m // 10),
 allv AS (
   SELECT '0' AS grp, text FROM documents
   UNION ALL SELECT '1', text FROM v1
