@@ -9907,19 +9907,25 @@ pairs AS (SELECT a.grp AS ga, a.n AS na, b.grp AS gb, b.n AS nb
           FROM tot a JOIN tot b ON a.grp < b.grp),
 pts AS (SELECT DISTINCT p.ga, p.gb, l.v
         FROM pairs p JOIN lens l ON l.grp IN (p.ga, p.gb)),
-ks AS (SELECT pt.ga, pt.gb,
-         MAX(ABS(
-           CAST((SELECT count(*) FROM lens l
-                 WHERE l.grp = pt.ga AND l.v <= pt.v) AS DOUBLE)
-             / CAST(p.na AS DOUBLE)
-         - CAST((SELECT count(*) FROM lens l
-                 WHERE l.grp = pt.gb AND l.v <= pt.v) AS DOUBLE)
-             / CAST(p.nb AS DOUBLE))) AS ks
-       FROM pts pt JOIN pairs p ON p.ga = pt.ga AND p.gb = pt.gb
-       GROUP BY 1, 2)
+diffs AS (SELECT pt.ga, pt.gb, pt.v,
+            ABS(
+              CAST((SELECT count(*) FROM lens l
+                    WHERE l.grp = pt.ga AND l.v <= pt.v) AS DOUBLE)
+                / CAST(p.na AS DOUBLE)
+            - CAST((SELECT count(*) FROM lens l
+                    WHERE l.grp = pt.gb AND l.v <= pt.v) AS DOUBLE)
+                / CAST(p.nb AS DOUBLE)) AS d
+          FROM pts pt JOIN pairs p ON p.ga = pt.ga AND p.gb = pt.gb),
+ks AS (SELECT ga, gb, MAX(d) AS ks FROM diffs GROUP BY 1, 2),
+arg AS (SELECT dd.ga, dd.gb, MIN(dd.v) AS ks_x
+        FROM diffs dd JOIN ks k2
+          ON k2.ga = dd.ga AND k2.gb = dd.gb AND dd.d = k2.ks
+        GROUP BY 1, 2)
 SELECT p.ga AS source_a, p.gb AS source_b, p.na AS n_a, p.nb AS n_b,
-       k.ks AS ks
-FROM pairs p JOIN ks k ON k.ga = p.ga AND k.gb = p.gb"""
+       k.ks AS ks, CAST(a.ks_x AS DOUBLE) AS ks_x
+FROM pairs p
+JOIN ks k ON k.ga = p.ga AND k.gb = p.gb
+JOIN arg a ON a.ga = p.ga AND a.gb = p.gb"""
 
     from hierarchical_bloom_filter_index_spark.operators import (
         expectations as EXP,

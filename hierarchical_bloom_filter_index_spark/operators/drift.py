@@ -269,7 +269,7 @@ def grouped_ks(df: DataFrame, value_col: str, group_col: str = "source",
     an ESTIMATE op: its contract is that bound, tested in pytest, not a
     SQL oracle (KLL bytes are batching-dependent)."""
     from ..sketches import KLL
-    from ..sketches.kll import ks_distance
+    from ..sketches.kll import ks_statistic
     from .aggregates import grouped_sketches, sketch_aggregate
 
     spark = df.sparkSession
@@ -280,11 +280,12 @@ def grouped_ks(df: DataFrame, value_col: str, group_col: str = "source",
     groups = sorted(g for (g,) in sk)
     rows = [
         (ga, gb, int(sk[(ga,)].n), int(sk[(gb,)].n),
-         ks_distance(sk[(ga,)], sk[(gb,)]))
+         *ks_statistic(sk[(ga,)], sk[(gb,)]))
         for i, ga in enumerate(groups) for gb in groups[i + 1:]
     ]
     return spark.createDataFrame(
-        rows, "source_a string, source_b string, n_a long, n_b long, ks double")
+        rows, "source_a string, source_b string, n_a long, n_b long, "
+              "ks double, ks_x double")
 
 
 def compact_token_counts(spark: SparkSession, out_path: str) -> int:

@@ -284,6 +284,14 @@ def ks_distance(a: "KLL", b: "KLL") -> float:
     inequality on the sup norm). Uncompacted sketches (n <= capacity)
     store every item with weight 1, so the estimate is then the EXACT
     two-sample KS. Refuses empty sketches (KS of nothing is undefined)."""
+    return ks_statistic(a, b)[0]
+
+
+def ks_statistic(a: "KLL", b: "KLL") -> tuple[float, float]:
+    """(ks, x) — the statistic plus the SMALLEST stored point attaining
+    the sup (np.argmax over ascending points = first occurrence), so the
+    attribution is deterministic and cross-engine reproducible: 'the
+    distributions diverge most at/below x'."""
     if a.n == 0 or b.n == 0:
         raise ValueError("ks_distance: empty sketch")
     va, wa = a._weighted_items()
@@ -293,7 +301,9 @@ def ks_distance(a: "KLL", b: "KLL") -> float:
     cb = np.concatenate([[0.0], np.cumsum(wb, dtype=np.float64)])
     fa = ca[np.searchsorted(va, xs, side="right")] / float(ca[-1])
     fb = cb[np.searchsorted(vb, xs, side="right")] / float(cb[-1])
-    return float(np.max(np.abs(fa - fb)))
+    d = np.abs(fa - fb)
+    i = int(np.argmax(d))
+    return float(d[i]), float(xs[i])
 
 
 def ks_distance_blobs(blob_a: bytes, blob_b: bytes) -> float:

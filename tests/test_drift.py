@@ -134,14 +134,20 @@ def test_token_counts_stream_matches_batch(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # KS distance (continuous drift)
 # ---------------------------------------------------------------------------
-def _brute_ks(a, b):
+def _brute_ks_stat(a, b):
     import numpy as np
 
     a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
     xs = np.unique(np.concatenate([a, b]))
     fa = np.searchsorted(a, xs, side="right") / len(a)
     fb = np.searchsorted(b, xs, side="right") / len(b)
-    return float(np.max(np.abs(fa - fb)))
+    d = np.abs(fa - fb)
+    i = int(np.argmax(d))
+    return float(d[i]), float(xs[i])
+
+
+def _brute_ks(a, b):
+    return _brute_ks_stat(a, b)[0]
 
 
 def test_ks_exact_when_uncompacted():
@@ -198,7 +204,9 @@ def test_grouped_ks_matches_object_path(spark):
     for (ga, gb), r in got.items():
         assert r["n_a"] == len(by_g[ga]) and r["n_b"] == len(by_g[gb])
         # k=400 > group sizes: uncompacted -> exact two-sample KS
-        assert r["ks"] == pytest.approx(_brute_ks(by_g[ga], by_g[gb]), abs=1e-12)
+        ks, ks_x = _brute_ks_stat(by_g[ga], by_g[gb])
+        assert r["ks"] == pytest.approx(ks, abs=1e-12)
+        assert r["ks_x"] == pytest.approx(ks_x, abs=1e-12)
 
 
 def test_remove_token_counts_takedown(spark, tmp_path):
