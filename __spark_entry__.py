@@ -7122,6 +7122,174 @@ def q_token_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking (operators/cdc.py)
+# ---------------------------------------------------------------------------
+CDC_W, CDC_BITS = 8, 5
+CDC_SEED = CFG.seed + 41
+
+
+def _cdc_chunks_cte() -> str:
+    """CTE chain ``docsrc -> chunks(doc_id VARCHAR, source, chunk_idx INT,
+    char_start BIGINT, chunk)`` replaying operators/cdc.chunk_starts in
+    DuckDB: the degree-7 FNV-prime polynomial over each 8-char window
+    (HUGEINT mod-2^64), the bit-exact SplitMix64 chain
+    (_key_hash_ctes), cut-after-e0 iff hash % 2^bits == 0, islands via
+    LEAD over the start set.  Docs shorter than the window fall through
+    with the single start=1 row (no poly rows exist).
+
+    The polynomial/hash/chunk CTEs are forced MATERIALIZED: DuckDB 1.0
+    INLINES plain CTEs per reference, and re-inlining the SplitMix64
+    expression chain through the boundary join turned a 0.5 s oracle
+    into a >16 min one (measured) — materialization pins each stage to
+    one evaluation."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import _weights
+
+    w, bits = CDC_W, CDC_BITS
+    ws = _weights(w)
+    poly_terms = " + ".join(
+        f"CAST(unicode(substr(text, s + {j}, 1)) AS HUGEINT)"
+        f" * CAST({int(ws[j])} AS HUGEINT)" for j in range(w))
+    return f"""docsrc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text
+  FROM documents WHERE length(text) > 0),
+cdcpoly AS MATERIALIZED (
+  SELECT doc_id, s, n, ({poly_terms}) % {_P64} AS keyu
+  FROM (SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(1, CAST(length(text) - {w} + 1 AS BIGINT))) AS s
+        FROM docsrc WHERE length(text) >= {w})),
+cdcpolyb AS MATERIALIZED (
+  SELECT doc_id, s, n,
+         CAST(keyu - CASE WHEN keyu >= {1 << 63} THEN {_P64} ELSE 0 END
+              AS BIGINT) AS keyb
+  FROM cdcpoly),
+{_key_hash_ctes(CDC_SEED, 'cdch', 'SELECT DISTINCT keyb AS key FROM cdcpolyb')},
+cdchm AS MATERIALIZED (SELECT key, _h FROM cdch),
+cdcstarts AS (
+  SELECT doc_id, 1 AS st FROM docsrc
+  UNION ALL
+  SELECT p.doc_id, p.s + {w} AS st
+  FROM cdcpolyb p JOIN cdchm ON cdchm.key = p.keyb
+  WHERE cdchm._h % {1 << bits} = 0 AND p.s + {w} <= p.n),
+cdcspans AS (
+  SELECT doc_id, st,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1
+              AS INTEGER) AS chunk_idx,
+         LEAD(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt
+  FROM cdcstarts),
+chunks AS MATERIALIZED (
+  SELECT s.doc_id, d.source, s.chunk_idx,
+         CAST(s.st - 1 AS BIGINT) AS char_start,
+         substr(d.text, s.st,
+                COALESCE(s.nxt, length(d.text) + 1) - s.st) AS chunk
+  FROM cdcspans s JOIN docsrc d ON d.doc_id = s.doc_id)"""
+
+
+def q_cdc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (operators/cdc.cdc_chunks): edit-stable
+    chunk boundaries from a rolling FNV-polynomial + SplitMix64 cut
+    rule, one Arrow scan, zero shuffles.  VALUE-checked: the DuckDB twin
+    re-derives every boundary through the bit-exact HUGEINT SplitMix64
+    chain, so spans AND chunk payloads must match char-for-char.
+    Replica-safe deterministic sub-corpus (length(text) % 17 == 0)."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import cdc_chunks
+
+    docs = _docs(spark, sf_dir).filter(F.length("text") % 17 == 0)
+    ch = cdc_chunks(docs, window=CDC_W, mask_bits=CDC_BITS, seed=CDC_SEED)
+    return ch.select(
+        "doc_id", "chunk_idx", "char_start",
+        F.length("chunk").alias("chunk_len"), "chunk")
+
+
+def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-STORE DEDUP ACCOUNTING (operators/cdc.cdc_dedup_stats):
+    per-source total vs distinct chunk bytes over the CDC chunking of
+    the whole corpus — the storage-side dedup ratio document-level
+    fingerprints can't see.  All outputs exact integers (oracle = the
+    same chunk CTE grouped two ways)."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_dedup_stats)
+
+    ch = cdc_chunks(_docs(spark, sf_dir), window=CDC_W, mask_bits=CDC_BITS,
+                    seed=CDC_SEED)
+    return cdc_dedup_stats(ch)
+
+
+def q_cdc_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL NEAR-DUP CANDIDATES (operators/cdc.cdc_shared_chunk_
+    pairs): doc pairs sharing >= 2 distinct chunk contents, joined on
+    xxhash64(chunk) 8-byte keys with exact in-bucket verification.
+    Oracle = distinct (doc, chunk) self-join on the replayed chunk
+    table."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_shared_chunk_pairs)
+
+    ch = cdc_chunks(_docs(spark, sf_dir), window=CDC_W, mask_bits=CDC_BITS,
+                    seed=CDC_SEED)
+    return cdc_shared_chunk_pairs(ch, min_shared=2)
+
+
+VOCAB_N = 16
+
+
+def q_source_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE (operators/text.vocab_coverage): per-source
+    running-word coverage + distinct OOV types against the corpus's own
+    top-16 word vocabulary (word_vocab's (cnt DESC, word ASC) total
+    order makes the vocab SET deterministic).  Broadcast vocab join; all
+    outputs exact integers."""
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        vocab_coverage, word_vocab)
+
+    docs = _docs(spark, sf_dir)
+    return vocab_coverage(docs, word_vocab(docs, VOCAB_N))
+
+
+def q_oov_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP OOV TERMS (operators/text.oov_top_terms): per source, the 3
+    most frequent words OUTSIDE the top-16 vocabulary — what a tokenizer
+    retrain should add first.  (cnt DESC, word ASC) tie-break pins the
+    per-source top-k set on both engines."""
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        oov_top_terms, word_vocab)
+
+    docs = _docs(spark, sf_dir)
+    return oov_top_terms(docs, word_vocab(docs, VOCAB_N), k=3)
+
+
+def q_doclen_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIERS (operators/stats.mad_outlier_stats): per-source
+    doc-length outlier counts under |x - median| > 2.5 * MAD, decided by
+    the exact integer cross-product 2*dev*k_den > k_num*mad2 on the
+    DOUBLED order-statistic scale (med2 = lower+upper middle — exact
+    even-n medians with no x.5 float).  The robust twin of the
+    mean/sigma rule in group_outliers; oracle re-derives the same order
+    statistics via ROW_NUMBER (never the engine's median(), which
+    returns an averaged DOUBLE)."""
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        mad_outlier_stats)
+
+    docs = _docs(spark, sf_dir).select(
+        "source", F.length("text").alias("doclen"))
+    return mad_outlier_stats(docs, "doclen", ("source",), k_num=5, k_den=2)
+
+
+def q_cdc_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIR-GRAPH STRUCTURE (operators/graph.graph_stats): nodes, edges,
+    EXACT TRIANGLES (degree-ordered orientation — each triangle found
+    once at its lowest-ranked vertex, out-degrees O(sqrt(m)) so the
+    wedge self-join survives power-law hubs), max degree and wedge count
+    over the CDC shared-chunk near-dup graph.  Oracle = plain 3-way
+    self-join on the replayed pair table (a < b < c canonical)."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_shared_chunk_pairs)
+    from hierarchical_bloom_filter_index_spark.operators.graph import graph_stats
+
+    ch = cdc_chunks(_docs(spark, sf_dir), window=CDC_W, mask_bits=CDC_BITS,
+                    seed=CDC_SEED)
+    return graph_stats(cdc_shared_chunk_pairs(ch, min_shared=2))
+
+
+# ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -7436,6 +7604,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quarantine": q_orders_quarantine,
         # per-doc distributional atypicality vs own source (quality outliers)
         "doc_atypicality_topk": q_doc_atypicality_topk,
+        # content-defined chunking: edit-stable boundaries, chunk-store dedup
+        "cdc_chunk_spans": q_cdc_chunk_spans,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
+        "cdc_shared_pairs": q_cdc_shared_pairs,
+        # exact triangles/degrees over the shared-chunk near-dup graph
+        "cdc_graph_stats": q_cdc_graph_stats,
+        # vocabulary coverage / OOV analysis (tokenizer health)
+        "source_vocab_coverage": q_source_vocab_coverage,
+        "oov_top_terms": q_oov_top_terms,
+        # robust per-group outliers: exact integer median/MAD rule
+        "doclen_mad_outliers": q_doclen_mad_outliers,
     }
 
 
@@ -9964,4 +10143,111 @@ FROM (
       WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey))
     AS BIGINT), n FROM base
 ) ORDER BY c"""
+
+    out["cdc_chunk_spans"] = f"""WITH {_cdc_chunks_cte()}
+SELECT c.doc_id, c.chunk_idx, c.char_start,
+       CAST(length(c.chunk) AS INTEGER) AS chunk_len, c.chunk
+FROM chunks c JOIN docsrc d ON d.doc_id = c.doc_id
+WHERE length(d.text) % 17 = 0"""
+
+    out["cdc_dedup_stats"] = f"""WITH {_cdc_chunks_cte()},
+tot AS (SELECT source, COUNT(*) AS n_chunks,
+               CAST(SUM(length(chunk)) AS BIGINT) AS total_chars
+        FROM chunks GROUP BY source),
+dst AS (SELECT source, COUNT(*) AS n_distinct_chunks,
+               CAST(SUM(length(chunk)) AS BIGINT) AS distinct_chars
+        FROM (SELECT DISTINCT source, chunk FROM chunks) GROUP BY source)
+SELECT t.source, t.n_chunks, t.total_chars,
+       d.n_distinct_chunks, d.distinct_chars
+FROM tot t JOIN dst d ON d.source = t.source"""
+
+    out["cdc_shared_pairs"] = f"""WITH {_cdc_chunks_cte()},
+dc AS (SELECT DISTINCT doc_id, chunk FROM chunks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM dc a JOIN dc b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+
+    # doc_id comparisons are lexicographic VARCHAR on BOTH engines (the
+    # Spark side's least/greatest over _docs' string ids), so the a<b
+    # canonicalization and the a<b<c triangle enumeration agree.
+    out["cdc_graph_stats"] = f"""WITH {_cdc_chunks_cte()},
+dc AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+pe AS (SELECT a.doc_id AS a, b.doc_id AS b
+       FROM dc a JOIN dc b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT node, COUNT(*) AS degree
+        FROM (SELECT a AS node FROM pe UNION ALL SELECT b FROM pe)
+        GROUP BY node)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pe) AS n_edges,
+       (SELECT COUNT(*) FROM pe e1
+        JOIN pe e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN pe e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles,
+       (SELECT COALESCE(MAX(degree), 0) FROM deg) AS max_degree,
+       (SELECT CAST(COALESCE(SUM((degree * (degree - 1)) // 2), 0) AS BIGINT)
+        FROM deg) AS sum_wedges"""
+
+    _WORDS_CTE = """words AS (
+  SELECT source, t.w AS word
+  FROM documents, UNNEST(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS t(w)),
+vocab AS (
+  SELECT word FROM (SELECT word, COUNT(*) AS c FROM words
+                    GROUP BY word ORDER BY c DESC, word ASC LIMIT 16))"""
+
+    out["source_vocab_coverage"] = f"""WITH {_WORDS_CTE},
+marked AS (SELECT w.source, w.word, v.word IS NOT NULL AS inv
+           FROM words w LEFT JOIN vocab v ON v.word = w.word),
+occ AS (SELECT source, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN inv THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_covered
+        FROM marked GROUP BY source),
+typ AS (SELECT source, COUNT(*) AS n_types,
+               CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_oov_types
+        FROM (SELECT DISTINCT source, word, inv FROM marked)
+        GROUP BY source)
+SELECT o.source, o.n_tokens, o.n_covered, t.n_types, t.n_oov_types
+FROM occ o JOIN typ t ON t.source = o.source"""
+
+    out["oov_top_terms"] = f"""WITH {_WORDS_CTE},
+oovc AS (SELECT source, word, COUNT(*) AS cnt
+         FROM words w
+         WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.word = w.word)
+         GROUP BY 1, 2)
+SELECT source, word, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, word ASC) AS rn
+  FROM oovc)
+WHERE rn <= 3"""
+
+    # exact order statistics via ROW_NUMBER — DuckDB's median() averages
+    # the two middles into a DOUBLE; the doubled-scale integer twin below
+    # is what mad_outlier_stats computes
+    out["doclen_mad_outliers"] = """WITH b AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS x FROM documents),
+r AS (SELECT source, x,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n FROM b),
+m AS (SELECT source, MAX(n) AS n,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM r GROUP BY source),
+d AS (SELECT b.source, ABS(2 * b.x - m.med2) AS dev FROM b
+      JOIN m ON m.source = b.source),
+r2 AS (SELECT source, dev,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS n FROM d),
+m2 AS (SELECT source,
+              CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev ELSE 0 END)
+                   + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev ELSE 0 END)
+                   AS BIGINT) AS mad2
+       FROM r2 GROUP BY source),
+fl AS (SELECT d.source,
+              CAST(SUM(CASE WHEN 2 * d.dev * 2 > 5 * m2.mad2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM d JOIN m2 ON m2.source = d.source GROUP BY d.source)
+SELECT m.source, m.n, m.med2, m2.mad2, fl.n_outliers
+FROM m JOIN m2 ON m2.source = m.source JOIN fl ON fl.source = m.source"""
     return out

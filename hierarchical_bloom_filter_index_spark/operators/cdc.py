@@ -1,0 +1,200 @@
+"""Content-defined chunking (CDC) and chunk-level deduplication.
+
+Fixed-size chunking (operators/chunk.py) breaks identity under insertion:
+one added character shifts every later chunk boundary, so storage/dedup
+systems use CONTENT-DEFINED boundaries — a cut is declared wherever a
+rolling hash of the last ``window`` characters lands in a sparse set, so
+an edit only disturbs the chunks it touches (the classic LBFS/rsync
+design; same role as the reference's fixed token windows but
+edit-stable).  Chunk-level dedup is the storage-side complement of the
+document-level dedup family (operators/dedup.py): two near-identical
+documents share almost all their chunks even when no document-level
+fingerprint matches.
+
+Boundary rule (STATELESS, so it is a pure function of content and every
+engine can replay it):
+
+    key(e)   = sum_{j=0..w-1} codepoint(text[e-w+1+j]) * B^(w-1-j)  mod 2^64
+    cut after char e  iff  hash64(key(e), seed) & (2^mask_bits - 1) == 0
+
+with B the public FNV-1a 64-bit prime (0x100000001B3) and ``hash64`` the
+repo-wide seeded SplitMix64 (sketches/hashing.py), which already has a
+bit-exact DuckDB HUGEINT twin (__spark_entry__._key_hash_ctes) — so the
+driver gates on chunk spans are VALUE equalities.  Expected chunk length
+is ~2^mask_bits characters.  No min/max chunk clamp: a clamp makes each
+boundary depend on the previous one (sequential state) and would break
+both the stateless SQL twin and edit-locality; degenerate 1-char chunks
+are possible and allowed (documented, deterministic).
+
+Invariants (tested):
+- concat(chunks of doc) == text, char_start strictly increasing;
+- docs shorter than ``window`` form one whole-text chunk; empty docs
+  produce NO chunks (operators/chunk.py discipline);
+- boundaries are a pure function of (text, window, mask_bits, seed) —
+  identical across partitionings, replicas and engines;
+- edit-locality: appending a suffix never changes cuts that end more
+  than ``window-1`` chars before the old end.
+
+Scale shape: the chunker is one Arrow pass (mapInPandas; per-doc numpy
+polynomial + one vectorized hash64 — no per-char Python), zero shuffles.
+Dedup stats shuffle (source, chunk) once; chunk payloads are ~2^mask_bits
+chars so the shuffle rows stay small.  At 100 TB the group keys can be
+pre-bucketed by xxhash64(chunk) exactly like dedup.dedup_exact_pairs if
+chunk texts ever grow past a cache line.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..sketches.hashing import hash64
+
+_P64 = 1 << 64
+_FNV_PRIME = 0x100000001B3
+
+
+def _weights(window: int) -> np.ndarray:
+    return np.array(
+        [pow(_FNV_PRIME, window - 1 - j, _P64) for j in range(window)],
+        dtype=np.uint64)
+
+
+def _check_params(window: int, mask_bits: int) -> None:
+    if window < 2:
+        raise ValueError(f"cdc: window must be >= 2, got {window}")
+    if not (1 <= mask_bits <= 32):
+        raise ValueError(f"cdc: need 1 <= mask_bits <= 32, got {mask_bits}")
+
+
+def chunk_starts(text: str, window: int, mask_bits: int, seed: int) -> list[int]:
+    """0-based chunk start offsets for one document (the boundary rule
+    above; first chunk always starts at 0).  The single-doc kernel the
+    distributed pass and the tests share."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n < window:
+        return [0]
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    w = _weights(window)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            acc += cps[j:n - window + 1 + j] * w[j]
+    h = hash64(acc, seed)
+    mask = np.uint64((1 << mask_bits) - 1)
+    ends = np.flatnonzero((h & mask) == 0) + (window - 1)  # 0-based end chars
+    return [0] + [int(e) + 1 for e in ends if int(e) + 1 < n]
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    mask_bits: int = 5,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, chunk_idx, char_start, chunk): content-defined
+    chunks of every document.  One mapInPandas scan, zero shuffles."""
+    _check_params(window, mask_bits)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (f"doc_id {id_type}, source string, chunk_idx int, "
+              f"char_start bigint, chunk string")
+    cols = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            srcs: list = []
+            idxs: list = []
+            starts_out: list = []
+            chunks: list = []
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                if text is None:
+                    continue
+                starts = chunk_starts(text, window, mask_bits, seed)
+                n = len(text)
+                for k, s in enumerate(starts):
+                    e = starts[k + 1] if k + 1 < len(starts) else n
+                    ids.append(did)
+                    srcs.append(src)
+                    idxs.append(k)
+                    starts_out.append(s)
+                    chunks.append(text[s:e])
+            if ids:  # empty-yield guard: see pyspark-empty-pandas-batch-arrow-trap
+                yield pd.DataFrame({
+                    "doc_id": ids,
+                    "source": srcs,
+                    "chunk_idx": np.asarray(idxs, dtype=np.int32),
+                    "char_start": np.asarray(starts_out, dtype=np.int64),
+                    "chunk": chunks,
+                })
+
+    return cols.mapInPandas(gen, schema)
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Per-source chunk-store dedup accounting over a ``cdc_chunks``
+    output: (source, n_chunks, total_chars, n_distinct_chunks,
+    distinct_chars).  total_chars always equals the source's corpus
+    chars (concat invariant); distinct_chars is what a chunk store would
+    actually hold — the dedup win is the gap.  All four outputs exact
+    integers.  Two aggregations sharing the chunk scan; the distinct leg
+    shuffles (source, chunk) once."""
+    per_src = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"))
+    dist = (
+        chunks.select("source", "chunk").distinct()
+        .groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.length("chunk")).alias("distinct_chars")))
+    return per_src.join(dist, "source")
+
+
+def cdc_global_dedup(chunks: DataFrame) -> DataFrame:
+    """Corpus-wide single-row twin of :func:`cdc_dedup_stats` — the
+    numbers a shared (cross-source) chunk store would see."""
+    tot = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"))
+    dist = chunks.select("chunk").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.length("chunk")).alias("distinct_chars"))
+    return tot.crossJoin(dist)
+
+
+def cdc_shared_chunk_pairs(
+    chunks: DataFrame,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least
+    ``min_shared`` DISTINCT chunk contents — chunk-level near-dup
+    candidates (the CDC analogue of contamination_pairs' shared grams).
+    Join key is the chunk CONTENT via xxhash64 (8-byte shuffle keys),
+    verified exactly by grouping on the chunk string itself within the
+    hash bucket; per-chunk doc lists cap nothing here (chunk sharing is
+    the signal), so ubiquitous chunks make this quadratic BY DESIGN —
+    callers at scale should pre-filter with a document-frequency cap the
+    way dedup.ngram_jaccard_pairs does."""
+    d = (chunks.select("doc_id", F.xxhash64("chunk").alias("h"), "chunk")
+         .distinct())
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared)))
+    return pairs

@@ -1,0 +1,102 @@
+"""Graph metrics over similarity/near-dup PAIR graphs.
+
+The dedup family emits edge lists (exact-Jaccard pairs, LSH near-dup
+pairs, CDC shared-chunk pairs) and already clusters them
+(dedup.connected_components).  This module adds the structural metrics a
+curation pipeline reads before deciding what to drop: degree statistics
+(how duplicated is the most-duplicated doc?) and the triangle count (are
+near-dup clusters cliques — true duplicates — or sparse chains of
+borderline pairs?).
+
+Triangle counting uses the degree-ordered orientation (Schank/Wagner,
+the standard distributed formulation, also the MapReduce NodeIterator++
+design of Suri & Vassilvitskii): every undirected edge {u, v} is
+directed from the endpoint with the smaller (degree, id) to the larger,
+so each triangle {a, b, c} (ranked a < b < c) contributes exactly one
+wedge (b, c) at its lowest-ranked vertex a and is found by joining that
+wedge against the oriented edge b -> c.  Out-degrees under this
+orientation are O(sqrt(m)), which is precisely the skew bound that makes
+the wedge self-join survive power-law degree distributions at 100 TB —
+a hub of degree d contributes d^2 wedges undirected but only
+out_deg^2 <= m oriented.  Everything is DataFrame joins/aggregations
+(two shuffles for degrees + orientation, one self-join for wedges, one
+semi-join to close them); no driver-side graph state.
+
+All outputs are exact integers, so the driver twins are plain SQL
+3-way-join equalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_edges(edges: DataFrame, a_col: str = "doc_a",
+                    b_col: str = "doc_b") -> DataFrame:
+    """Undirected edge list as distinct (a, b) with a < b; self-loops
+    dropped.  The normalization every metric below assumes."""
+    a, b = F.col(a_col), F.col(b_col)
+    return (edges
+            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def degree_table(edges: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b") -> DataFrame:
+    """(node, degree) over the canonical edge set."""
+    e = canonical_edges(edges, a_col, b_col)
+    ends = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node")))
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def triangle_count(edges: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b") -> int:
+    """Exact triangle count via degree-ordered orientation (see module
+    docstring).  Returns a Python int (the count is a scalar)."""
+    e = canonical_edges(edges, a_col, b_col).localCheckpoint()
+    deg = degree_table(e, "a", "b")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    ranked = e.join(da, "a").join(db, "b")
+    # orient low (degree, id) -> high (degree, id); ties broken by id,
+    # and a/b are already distinct so the order is total
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+    oriented = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                      & (F.col("o1.dst") < F.col("o2.dst")))
+              .select(F.col("o1.dst").alias("u"), F.col("o2.dst").alias("v")))
+    # close the wedge against the UNDIRECTED edge set: the u-v edge's own
+    # orientation depends on u and v's ranks, not the wedge apex's
+    closing = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    return wedges.join(closing, ["u", "v"], "left_semi").count()
+
+
+def graph_stats(edges: DataFrame, a_col: str = "doc_a",
+                b_col: str = "doc_b") -> DataFrame:
+    """One-row (n_nodes, n_edges, n_triangles, max_degree, sum_wedges)
+    structural summary of a pair graph.  sum_wedges = sum over nodes of
+    C(deg, 2) — the denominator of the global clustering coefficient
+    (3*triangles / wedges), kept integer so the oracle stays exact."""
+    spark = edges.sparkSession
+    e = canonical_edges(edges, a_col, b_col).localCheckpoint()
+    deg = degree_table(e, "a", "b")
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        # integer div: float /2 would round at large degree products
+        F.expr("sum((degree * (degree - 1)) div 2)")
+         .cast("bigint").alias("sum_wedges")).collect()[0]
+    n_edges = e.count()
+    tri = triangle_count(e, "a", "b")
+    return spark.createDataFrame(
+        [(int(row.n_nodes or 0), int(n_edges), int(tri),
+          int(row.max_degree or 0), int(row.sum_wedges or 0))],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+        "max_degree bigint, sum_wedges bigint")

@@ -731,3 +731,76 @@ def low_diversity_report(
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV analysis
+# ---------------------------------------------------------------------------
+def word_vocab(docs: DataFrame, top_n: int, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the corpus's top_n words by occurrence — the
+    deterministic (cnt DESC, word ASC) total order makes the vocabulary
+    SET a pure function of the corpus, so both the coverage join below
+    and its SQL twin re-derive the same vocab.  One groupBy (map-side
+    combined) + a TakeOrdered limit; the result is vocabulary-sized and
+    meant to be broadcast."""
+    if top_n < 1:
+        raise ValueError("word_vocab: top_n must be >= 1")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    return (
+        docs.select(F.explode(ws).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(int(top_n)))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source vocabulary coverage against a (word, ...) vocab table:
+    (source, n_tokens, n_covered, n_types, n_oov_types).  The tokenizer
+    health check of a training-data pipeline — what fraction of running
+    words a fixed vocabulary covers, and how many distinct out-of-vocab
+    types each source contributes.  All outputs exact integers; the
+    vocab side is broadcast (vocabulary-sized by contract), so the only
+    wide exchanges are the two per-source aggregations."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    words = docs.select(F.col(source_col).alias("source"),
+                        F.explode(ws).alias("word"))
+    v = F.broadcast(vocab.select("word", F.lit(1).alias("_inv")))
+    marked = words.join(v, "word", "left")
+    occ = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNotNull(), 1).otherwise(0)
+              ).alias("n_covered"))
+    types = (marked.select("source", "word", "_inv").distinct()
+             .groupBy("source").agg(
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)
+                       ).alias("n_oov_types")))
+    return occ.join(types, "source")
+
+
+def oov_top_terms(
+    docs: DataFrame,
+    vocab: DataFrame,
+    k: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, word, cnt): per source, the top-k out-of-vocabulary words
+    by count — what a tokenizer retrain should add first.  (cnt DESC,
+    word ASC) tie-break makes the per-source top-k SET deterministic.
+    Vocab broadcast anti-join, one groupBy, one per-source window."""
+    if k < 1:
+        raise ValueError("oov_top_terms: k must be >= 1")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    words = docs.select(F.col(source_col).alias("source"),
+                        F.explode(ws).alias("word"))
+    oov = words.join(F.broadcast(vocab.select("word")), "word", "left_anti")
+    cnt = oov.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    return (cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(k)).drop("rn"))

@@ -1,0 +1,144 @@
+"""Content-defined chunking (operators/cdc.py): boundary determinism,
+reconstruction, edit-locality, dedup accounting."""
+
+import numpy as np
+import pytest
+
+from hierarchical_bloom_filter_index_spark.operators.cdc import (
+    cdc_chunks,
+    cdc_dedup_stats,
+    cdc_global_dedup,
+    cdc_shared_chunk_pairs,
+    chunk_starts,
+    _FNV_PRIME,
+    _P64,
+)
+from hierarchical_bloom_filter_index_spark.sketches.hashing import hash64
+
+W, BITS, SEED = 8, 4, 41
+
+
+def _brute_starts(text, window=W, bits=BITS, seed=SEED):
+    """Per-position scalar re-derivation of the boundary rule."""
+    n = len(text)
+    if n == 0:
+        return []
+    if n < window:
+        return [0]
+    starts = [0]
+    for e in range(window - 1, n):
+        key = 0
+        for j in range(window):
+            key = (key + ord(text[e - window + 1 + j])
+                   * pow(_FNV_PRIME, window - 1 - j, _P64)) % _P64
+        h = int(hash64(np.array([key], dtype=np.uint64), seed)[0])
+        if h & ((1 << bits) - 1) == 0 and e + 1 < n:
+            starts.append(e + 1)
+    return starts
+
+
+TEXTS = [
+    "",
+    "ab",
+    "x" * 7,
+    "hash join table scan filter sort merge " * 8,
+    "the quick brown fox jumps over the lazy dog " * 5,
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "unicode éè€ tail with enough length to chunk 你好 world " * 4,
+]
+
+
+def test_kernel_matches_brute_force():
+    for t in TEXTS:
+        assert chunk_starts(t, W, BITS, SEED) == _brute_starts(t), t[:30]
+
+
+def test_reconstruction_and_monotone():
+    for t in TEXTS:
+        starts = chunk_starts(t, W, BITS, SEED)
+        if not t:
+            assert starts == []
+            continue
+        assert starts[0] == 0
+        assert starts == sorted(set(starts))
+        pieces = [t[s:e] for s, e in zip(starts, starts[1:] + [len(t)])]
+        assert "".join(pieces) == t
+        assert all(pieces)  # never an empty chunk
+
+
+def test_edit_locality_append():
+    """Appending a suffix never moves cuts ending > window-1 chars before
+    the old end — the property fixed-size chunking lacks."""
+    base = "sort merge join hash scan filter value column " * 6
+    ext = base + " appended tail content here"
+    a = chunk_starts(base, W, BITS, SEED)
+    b = chunk_starts(ext, W, BITS, SEED)
+    stable = [s for s in a if s <= len(base) - W]
+    assert b[: len(stable)] == stable
+
+
+def test_short_and_empty_docs():
+    assert chunk_starts("", W, BITS, SEED) == []
+    assert chunk_starts("abc", W, BITS, SEED) == [0]  # < window: one chunk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, TEXTS[i % len(TEXTS)] + f" doc{i} suffix padding words", f"s{i % 3}")
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_spark_chunks_match_kernel(spark, docs):
+    out = cdc_chunks(docs, window=W, mask_bits=BITS, seed=SEED).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.char_start, r.chunk))
+    for did, text, _src in docs.collect():
+        starts = chunk_starts(text, W, BITS, SEED)
+        exp = [(k, s, text[s:(starts[k + 1] if k + 1 < len(starts) else len(text))])
+               for k, s in enumerate(starts)]
+        assert sorted(got.get(did, [])) == exp
+
+
+def test_partitioning_invariance(spark, docs):
+    a = cdc_chunks(docs.repartition(1), window=W, mask_bits=BITS, seed=SEED)
+    b = cdc_chunks(docs.repartition(7, "source"), window=W, mask_bits=BITS, seed=SEED)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dedup_stats_exact(spark, docs):
+    chunks = cdc_chunks(docs, window=W, mask_bits=BITS, seed=SEED)
+    pdf = chunks.toPandas()
+    stats = {r["source"]: r for _, r in cdc_dedup_stats(chunks).toPandas().iterrows()}
+    for src, grp in pdf.groupby("source"):
+        r = stats[src]
+        assert r["n_chunks"] == len(grp)
+        assert r["total_chars"] == grp["chunk"].str.len().sum()
+        uniq = grp["chunk"].drop_duplicates()
+        assert r["n_distinct_chunks"] == len(uniq)
+        assert r["distinct_chars"] == uniq.str.len().sum()
+    g = cdc_global_dedup(chunks).collect()[0]
+    assert g.n_chunks == len(pdf)
+    assert g.n_distinct_chunks == pdf["chunk"].nunique()
+
+
+def test_shared_chunk_pairs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 4, "s"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta " * 4 + "tail!", "s"),
+        (2, "completely different content with no overlap at all here", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    chunks = cdc_chunks(docs, window=W, mask_bits=BITS, seed=SEED)
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in cdc_shared_chunk_pairs(chunks, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
+
+
+def test_param_validation(spark, docs):
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, window=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, mask_bits=0)
