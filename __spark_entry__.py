@@ -7228,6 +7228,74 @@ def q_cdc_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_shared_chunk_pairs(ch, min_shared=2)
 
 
+def q_chunk_store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED CHUNK STORE (operators/cdc.write_chunk_store): the
+    corpus's chunk reference counts written parquet partitioned by
+    pmod(xxhash64(chunk), 64), then the per-source dedup accounting read
+    back FROM THE STORE.  Oracle = the scratch cdc_dedup_stats SQL — a
+    hard value gate that the persisted representation loses nothing."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        chunk_store_stats, write_chunk_store)
+
+    base = tempfile.mkdtemp(prefix="hbi_chunkstore_")
+    write_chunk_store(_docs(spark, sf_dir), f"{base}/cs", window=CDC_W,
+                      mask_bits=CDC_BITS, seed=CDC_SEED)
+    return chunk_store_stats(spark, f"{base}/cs")
+
+
+def _chunk_split(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    is_new = _doc_num("doc_id") % 5 == 0
+    return docs.filter(is_new), docs.filter(~is_new)
+
+
+def q_chunk_store_append_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD GATE for incremental chunk-store maintenance: store(old) +
+    append(new) must equal the scratch store over old ∪ new row-for-row
+    — chunk ref-counts are additive over disjoint doc sets and the
+    append rewrites only the touched bucket dirs (dynamic partition
+    overwrite).  Empty symmetric difference; empty-relation oracle."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        append_chunk_store, read_chunk_store, write_chunk_store)
+
+    new, old = _chunk_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_chunkappend_")
+    write_chunk_store(old, f"{base}/inc", window=CDC_W, mask_bits=CDC_BITS,
+                      seed=CDC_SEED)
+    append_chunk_store(new, f"{base}/inc")
+    write_chunk_store(_docs(spark, sf_dir), f"{base}/full", window=CDC_W,
+                      mask_bits=CDC_BITS, seed=CDC_SEED)
+    a = read_chunk_store(spark, f"{base}/inc")
+    b = read_chunk_store(spark, f"{base}/full")
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
+def q_chunk_store_remove_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION twin: store(all) − remove(new) must equal the scratch
+    store over old — the touched-buckets merge with negated counts,
+    zero-ref chunks dropped, emptied bucket dirs deleted, negative refs
+    refused.  Empty symmetric difference; empty-relation oracle."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        read_chunk_store, remove_chunk_store, write_chunk_store)
+
+    new, old = _chunk_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_chunkremove_")
+    write_chunk_store(_docs(spark, sf_dir), f"{base}/all", window=CDC_W,
+                      mask_bits=CDC_BITS, seed=CDC_SEED)
+    remove_chunk_store(new, f"{base}/all")
+    write_chunk_store(old, f"{base}/oldonly", window=CDC_W,
+                      mask_bits=CDC_BITS, seed=CDC_SEED)
+    a = read_chunk_store(spark, f"{base}/all")
+    b = read_chunk_store(spark, f"{base}/oldonly")
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
 VOCAB_N = 16
 
 
@@ -7615,6 +7683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_top_terms": q_oov_top_terms,
         # robust per-group outliers: exact integer median/MAD rule
         "doclen_mad_outliers": q_doclen_mad_outliers,
+        # persisted chunk store: build / append / remove lifecycle
+        "chunk_store_stats": q_chunk_store_stats,
+        "chunk_store_append_parity": q_chunk_store_append_parity,
+        "chunk_store_remove_parity": q_chunk_store_remove_parity,
     }
 
 
@@ -10250,4 +10322,14 @@ fl AS (SELECT d.source,
        FROM d JOIN m2 ON m2.source = d.source GROUP BY d.source)
 SELECT m.source, m.n, m.med2, m2.mad2, fl.n_outliers
 FROM m JOIN m2 ON m2.source = m.source JOIN fl ON fl.source = m.source"""
+
+    # the persisted store must reproduce the scratch accounting exactly
+    out["chunk_store_stats"] = out["cdc_dedup_stats"]
+
+    _CHUNK_EMPTY = """SELECT CAST(NULL AS BIGINT) AS bucket,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS chunk,
+       CAST(NULL AS BIGINT) AS n_refs
+WHERE FALSE"""
+    out["chunk_store_append_parity"] = _CHUNK_EMPTY
+    out["chunk_store_remove_parity"] = _CHUNK_EMPTY
     return out

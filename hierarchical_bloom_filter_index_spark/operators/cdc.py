@@ -198,3 +198,150 @@ def cdc_shared_chunk_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared)))
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# persisted chunk store: build / append / remove lifecycle
+# ---------------------------------------------------------------------------
+def write_chunk_store(
+    docs: DataFrame,
+    path: str,
+    window: int = 8,
+    mask_bits: int = 5,
+    seed: int = 0,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> None:
+    """Persist the corpus's chunk reference-count table — (bucket, source,
+    chunk, n_refs) parquet PARTITIONED BY bucket = pmod(xxhash64(chunk),
+    n_buckets) — so ingestion batches can be dedup-accounted without
+    rescanning the corpus (the gram-df index discipline,
+    operators/contamination.write_gram_df_index).  ``path/meta`` pins
+    (window, mask_bits, seed, n_buckets); maintenance calls NEVER take
+    geometry from callers — a mismatched chunking would silently corrupt
+    every count.  ONE repartition by bucket keeps one writer task per
+    directory."""
+    spark = docs.sparkSession
+    ch = cdc_chunks(docs, window, mask_bits, seed, text_col, id_col, source_col)
+    tab = (ch.groupBy("source", "chunk")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+           .withColumn("bucket",
+                       F.pmod(F.xxhash64("chunk"), F.lit(int(n_buckets)))))
+    tab.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket").parquet(f"{path}/refs")
+    spark.createDataFrame(
+        [(int(window), int(mask_bits), int(seed), int(n_buckets))],
+        "window int, mask_bits int, seed bigint, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _chunk_store_delta(docs: DataFrame, meta: dict, negate: bool,
+                       text_col: str, id_col: str,
+                       source_col: str) -> DataFrame:
+    ch = cdc_chunks(docs, meta["window"], meta["mask_bits"], meta["seed"],
+                    text_col, id_col, source_col)
+    cnt = F.count(F.lit(1))
+    return (ch.groupBy("source", "chunk")
+            .agg(((-cnt) if negate else cnt).cast("long").alias("n_refs"))
+            .withColumn("bucket", F.pmod(F.xxhash64("chunk"),
+                                         F.lit(int(meta["n_buckets"])))))
+
+
+def _merge_chunk_store(spark, path: str, delta: DataFrame, sign: int) -> int:
+    """Signed touched-bucket merge (the _merge_gram_df_buckets shape):
+    union delta with the base rows of the touched buckets only, sum
+    per (bucket, source, chunk), localCheckpoint BEFORE the dynamic
+    partition overwrite (Spark cannot overwrite a path still feeding
+    the plan).  Removal: negative merged counts raise (doc set never /
+    differently counted), zeros drop, emptied bucket dirs are rmtree'd
+    by hand (dynamic overwrite only replaces partitions PRESENT in the
+    written data).  Returns buckets rewritten."""
+    buckets = [int(r["bucket"])
+               for r in delta.select("bucket").distinct().collect()]
+    if not buckets:
+        return 0
+    old = spark.read.parquet(f"{path}/refs").filter(
+        F.col("bucket").isin(buckets)).select(
+        F.col("bucket").cast("long").alias("bucket"), "source", "chunk",
+        "n_refs")
+    merged = (
+        delta.select("bucket", "source", "chunk", "n_refs").unionByName(old)
+        .groupBy("bucket", "source", "chunk")
+        .agg(F.sum("n_refs").cast("long").alias("n_refs"))
+        .select("source", "chunk", "n_refs", "bucket")
+        .repartition("bucket")
+        .localCheckpoint())
+    emptied: list[int] = []
+    if sign < 0:
+        if merged.filter(F.col("n_refs") < 0).limit(1).count() > 0:
+            raise ValueError(
+                "remove_chunk_store: removal would drive a chunk's n_refs "
+                "negative — the doc set was never (or differently) counted")
+        merged = merged.filter(F.col("n_refs") > 0)
+        present = {int(r["bucket"])
+                   for r in merged.select("bucket").distinct().collect()}
+        emptied = [b for b in buckets if b not in present]
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(f"{path}/refs"))
+    if emptied:
+        import shutil
+
+        for b in emptied:
+            shutil.rmtree(f"{path}/refs/bucket={b}", ignore_errors=True)
+    return len(buckets)
+
+
+def append_chunk_store(new_docs: DataFrame, path: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source") -> int:
+    """INCREMENTAL chunk-store maintenance: chunk the batch with the
+    PINNED geometry and merge its (source, chunk) counts into the
+    touched buckets only.  Counts are additive over disjoint doc sets,
+    so append(C, B) == rebuild(C ∪ B) row-for-row (a driver hard gate)
+    and appends associate.  The ingest contract is doc disjointness —
+    re-appending an already-counted doc double-counts (exact dedup is
+    the caller's gate).  Not concurrent-safe with readers of the
+    touched buckets."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return _merge_chunk_store(
+        spark, path,
+        _chunk_store_delta(new_docs, meta, False, text_col, id_col,
+                           source_col), 1)
+
+
+def remove_chunk_store(removed_docs: DataFrame, path: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source") -> int:
+    """RETENTION twin of append_chunk_store: un-count departing docs
+    (takedown / TTL) by the same merge with negated counts.  Refuses on
+    any negative result; chunks reaching 0 refs drop; emptied bucket
+    directories are deleted."""
+    spark = removed_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    return _merge_chunk_store(
+        spark, path,
+        _chunk_store_delta(removed_docs, meta, True, text_col, id_col,
+                           source_col), -1)
+
+
+def read_chunk_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/refs").select(
+        F.col("bucket").cast("long").alias("bucket"), "source", "chunk",
+        "n_refs")
+
+
+def chunk_store_stats(spark, path: str) -> DataFrame:
+    """Per-source dedup accounting straight from the persisted store —
+    same shape and (for a store holding exactly corpus C) same VALUES as
+    cdc_dedup_stats(cdc_chunks(C)): the parity the driver gates on
+    across build/append/remove."""
+    refs = read_chunk_store(spark, path)
+    return refs.groupBy("source").agg(
+        F.sum("n_refs").alias("n_chunks"),
+        F.sum(F.col("n_refs") * F.length("chunk")).alias("total_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.length("chunk")).alias("distinct_chars"))

@@ -142,3 +142,67 @@ def test_param_validation(spark, docs):
         cdc_chunks(docs, window=1)
     with pytest.raises(ValueError):
         cdc_chunks(docs, mask_bits=0)
+
+
+# ---------------------------------------------------------------------------
+# persisted chunk store lifecycle
+# ---------------------------------------------------------------------------
+def _store_rows(spark, path):
+    from hierarchical_bloom_filter_index_spark.operators.cdc import read_chunk_store
+    return sorted(map(tuple, read_chunk_store(spark, path).collect()))
+
+
+def test_chunk_store_build_append_remove(spark, docs, tmp_path):
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        append_chunk_store, cdc_chunks, cdc_dedup_stats, chunk_store_stats,
+        remove_chunk_store, write_chunk_store)
+
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    inc, full, oldonly = (str(tmp_path / p) for p in ("inc", "full", "old"))
+    write_chunk_store(old, inc, window=W, mask_bits=BITS, seed=SEED, n_buckets=8)
+    n_touched = append_chunk_store(new, inc)
+    assert n_touched > 0
+    write_chunk_store(docs, full, window=W, mask_bits=BITS, seed=SEED, n_buckets=8)
+    assert _store_rows(spark, inc) == _store_rows(spark, full)
+
+    # stats through the store == stats from scratch chunks
+    a = sorted(map(tuple, chunk_store_stats(spark, full).collect()))
+    b = sorted(map(tuple, cdc_dedup_stats(
+        cdc_chunks(docs, W, BITS, SEED)).collect()))
+    assert a == b
+
+    # removal restores the old-only store byte-for-byte
+    assert remove_chunk_store(new, full) > 0
+    write_chunk_store(old, oldonly, window=W, mask_bits=BITS, seed=SEED, n_buckets=8)
+    assert _store_rows(spark, full) == _store_rows(spark, oldonly)
+
+
+def test_chunk_store_remove_refuses_uncounted(spark, docs, tmp_path):
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        remove_chunk_store, write_chunk_store)
+
+    path = str(tmp_path / "s")
+    write_chunk_store(docs.filter("doc_id < 5"), path,
+                      window=W, mask_bits=BITS, seed=SEED, n_buckets=4)
+    alien = spark.createDataFrame(
+        [(999, "text never counted in this store at all", "sX")],
+        "doc_id bigint, text string, source string")
+    with pytest.raises(Exception, match="negative|never"):
+        remove_chunk_store(alien, path)
+
+
+def test_chunk_store_append_associates(spark, docs, tmp_path):
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        append_chunk_store, write_chunk_store)
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = docs.filter("doc_id < 10")
+    b1 = docs.filter("doc_id >= 10 and doc_id < 25")
+    b2 = docs.filter("doc_id >= 25")
+    write_chunk_store(base, a, window=W, mask_bits=BITS, seed=SEED, n_buckets=8)
+    write_chunk_store(base, b, window=W, mask_bits=BITS, seed=SEED, n_buckets=8)
+    append_chunk_store(b1, a)
+    append_chunk_store(b2, a)
+    append_chunk_store(b1.unionByName(b2), b)
+    assert _store_rows(spark, a) == _store_rows(spark, b)
