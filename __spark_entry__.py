@@ -7296,6 +7296,45 @@ def q_chunk_store_remove_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).unionByName(b.exceptAll(a))
 
 
+def q_chunk_store_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING chunk-store ingest gate: base store on the old half, the
+    new half arrives as a file stream (exactly-once delta commits via
+    the batch_id _SUCCESS probe), then the LIVE table (base + deltas)
+    must equal the scratch store over the full corpus — and stay equal
+    after compaction folds the deltas into the bucket layout.  Empty
+    symmetric difference; empty-relation oracle.  OUT of bench.py: the
+    timing is a stream drain, not a query."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        chunk_store_ingest_stream, chunk_store_table, compact_chunk_store,
+        read_chunk_store, write_chunk_store)
+
+    new, old = _chunk_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_chunkstream_")
+    write_chunk_store(old, f"{base}/inc", window=CDC_W, mask_bits=CDC_BITS,
+                      seed=CDC_SEED)
+    new.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
+    stream = spark.readStream.schema(new.schema).parquet(f"{base}/in")
+    q = chunk_store_ingest_stream(stream, f"{base}/inc", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "chunk_store_stream_parity: availableNow drain exceeded 300s")
+    write_chunk_store(_docs(spark, sf_dir), f"{base}/full", window=CDC_W,
+                      mask_bits=CDC_BITS, seed=CDC_SEED)
+    live = chunk_store_table(spark, f"{base}/inc")
+    full = read_chunk_store(spark, f"{base}/full")
+    pre = live.exceptAll(full).unionByName(full.exceptAll(live))
+    # materialize BEFORE compaction: the lazy symdiff plan re-reads delta
+    # files compaction deletes (the standing compaction trap)
+    pre = pre.localCheckpoint()
+    compact_chunk_store(spark, f"{base}/inc")
+    post_live = read_chunk_store(spark, f"{base}/inc")
+    post = post_live.exceptAll(full).unionByName(full.exceptAll(post_live))
+    return pre.unionByName(post)
+
+
 VOCAB_N = 16
 
 
@@ -7687,6 +7726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_store_stats": q_chunk_store_stats,
         "chunk_store_append_parity": q_chunk_store_append_parity,
         "chunk_store_remove_parity": q_chunk_store_remove_parity,
+        "chunk_store_stream_parity": q_chunk_store_stream_parity,
     }
 
 
@@ -10332,4 +10372,5 @@ FROM m JOIN m2 ON m2.source = m.source JOIN fl ON fl.source = m.source"""
 WHERE FALSE"""
     out["chunk_store_append_parity"] = _CHUNK_EMPTY
     out["chunk_store_remove_parity"] = _CHUNK_EMPTY
+    out["chunk_store_stream_parity"] = _CHUNK_EMPTY
     return out

@@ -383,6 +383,25 @@ def main() -> None:
         # exact-Jaccard-fed oracle twin rides the quadratic pair graph and
         # stays OUT of the bench, like dedup_jaccard_pairs)
         "neardup_canonical_lsh",
+        # content-defined chunking: edit-stable boundaries (one Arrow
+        # pass, zero shuffles) + chunk-store dedup accounting
+        "cdc_chunk_spans",
+        "cdc_dedup_stats",
+        # chunk-level near-dup pair graph + its exact structure metrics
+        # (degree-ordered-orientation triangle counting)
+        "cdc_shared_pairs",
+        "cdc_graph_stats",
+        # persisted chunk store: the whole write+read accounting per rep,
+        # then the append/remove maintenance parity gates (the stream
+        # twin stays OUT — it drains)
+        "chunk_store_stats",
+        "chunk_store_append_parity",
+        "chunk_store_remove_parity",
+        # tokenizer health: running-word coverage + per-source OOV terms
+        "source_vocab_coverage",
+        "oov_top_terms",
+        # robust per-group outliers (exact integer median/MAD rule)
+        "doclen_mad_outliers",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -319,7 +319,14 @@ def remove_chunk_store(removed_docs: DataFrame, path: str,
     """RETENTION twin of append_chunk_store: un-count departing docs
     (takedown / TTL) by the same merge with negated counts.  Refuses on
     any negative result; chunks reaching 0 refs drop; emptied bucket
-    directories are deleted."""
+    directories are deleted.  Refuses while delta commits are pending —
+    the removal rewrites the BASE, and a later compaction would re-add
+    what the deltas hold."""
+    import glob as _glob
+
+    if _glob.glob(f"{path}/delta/batch=*"):
+        raise ValueError(
+            "remove_chunk_store: pending delta commits — compact first")
     spark = removed_docs.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
     return _merge_chunk_store(
@@ -345,3 +352,97 @@ def chunk_store_stats(spark, path: str) -> DataFrame:
         F.sum(F.col("n_refs") * F.length("chunk")).alias("total_chars"),
         F.count(F.lit(1)).alias("n_distinct_chunks"),
         F.sum(F.length("chunk")).alias("distinct_chars"))
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest: exactly-once delta commits + compaction
+# ---------------------------------------------------------------------------
+def append_chunk_store_delta(new_docs: DataFrame, path: str,
+                             batch_id: int, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             source_col: str = "source") -> bool:
+    """EXACTLY-ONCE delta commit of an ingestion batch's chunk counts
+    into ``path/delta/batch={id}`` — the _SUCCESS probe IS the replay
+    guard (foreachBatch is at-least-once; this write is the commit's
+    ONLY effect, so redelivery skips; a torn no-_SUCCESS dir is simply
+    overwritten by the retry).  The read-merge-overwrite of
+    append_chunk_store is NOT replay-idempotent and belongs to planned
+    maintenance, never streams (the gram-df discipline,
+    operators/contamination.append_gram_df_delta)."""
+    import os
+
+    dest = f"{path}/delta/batch={int(batch_id)}"
+    if os.path.exists(f"{dest}/_SUCCESS"):
+        return False
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    delta = _chunk_store_delta(new_docs, meta, False, text_col, id_col,
+                               source_col)
+    if delta.isEmpty():
+        return False
+    delta.select("source", "chunk", "n_refs", "bucket").write.mode(
+        "overwrite").parquet(dest)
+    return True
+
+
+def chunk_store_table(spark, path: str) -> DataFrame:
+    """The LIVE chunk-ref table: compacted base plus pending delta
+    commits summed per (bucket, source, chunk) — THE read-side
+    definition chunk_store_stats_live composes.  With no pending deltas
+    the plan is exactly the base read."""
+    import glob as _glob
+
+    base = read_chunk_store(spark, path)
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return base
+    d = spark.read.parquet(*deltas).select(
+        F.col("bucket").cast("long").alias("bucket"), "source", "chunk",
+        "n_refs")
+    return (base.unionByName(d)
+            .groupBy("bucket", "source", "chunk")
+            .agg(F.sum("n_refs").cast("long").alias("n_refs")))
+
+
+def chunk_store_ingest_stream(stream: DataFrame, path: str,
+                              checkpoint_path: str, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              source_col: str = "source"):
+    """STREAMING chunk-store maintenance: one exactly-once delta commit
+    per micro-batch; readers see base + deltas live (chunk_store_table);
+    compact_chunk_store folds the tail back into the bucket layout.
+    Returns the started availableNow query."""
+    return (stream.writeStream.foreachBatch(
+        lambda bdf, bid: append_chunk_store_delta(
+            bdf, path, bid, text_col, id_col, source_col))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start())
+
+
+def compact_chunk_store(spark, path: str) -> int:
+    """Fold pending delta commits into the bucket-partitioned base
+    (touched buckets only, dynamic partition overwrite) and drop the
+    delta dirs; the live table is identical before and after by
+    construction.  NOT concurrent-safe with an active stream or reader
+    of the touched buckets.  Returns delta commits folded."""
+    import glob as _glob
+    import shutil
+
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return 0
+    d = spark.read.parquet(*deltas)
+    buckets = [int(r["bucket"])
+               for r in d.select("bucket").distinct().collect()]
+    merged = (chunk_store_table(spark, path)
+              .filter(F.col("bucket").isin(buckets))
+              .select("source", "chunk", "n_refs", "bucket")
+              .repartition("bucket")
+              .localCheckpoint())
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(f"{path}/refs"))
+    for dd in deltas:
+        shutil.rmtree(dd)
+    return len(deltas)

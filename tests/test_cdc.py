@@ -206,3 +206,48 @@ def test_chunk_store_append_associates(spark, docs, tmp_path):
     append_chunk_store(b2, a)
     append_chunk_store(b1.unionByName(b2), b)
     assert _store_rows(spark, a) == _store_rows(spark, b)
+
+
+def test_chunk_store_stream_ingest(spark, docs, tmp_path):
+    import glob
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        append_chunk_store_delta, chunk_store_ingest_stream,
+        chunk_store_table, compact_chunk_store, remove_chunk_store,
+        write_chunk_store)
+
+    base_docs = docs.filter("doc_id < 20")
+    s1 = docs.filter("doc_id >= 20 and doc_id < 30")
+    s2 = docs.filter("doc_id >= 30")
+    path, full = str(tmp_path / "store"), str(tmp_path / "full")
+    write_chunk_store(base_docs, path, window=W, mask_bits=BITS, seed=SEED,
+                      n_buckets=8)
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    s1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    s2.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    q = chunk_store_ingest_stream(stream, path, chk)
+    assert q.awaitTermination(180)
+
+    write_chunk_store(docs, full, window=W, mask_bits=BITS, seed=SEED,
+                      n_buckets=8)
+    live = sorted(map(tuple, chunk_store_table(spark, path).collect()))
+    assert live == _store_rows(spark, full)
+
+    # base rewrite refused while deltas pend
+    with pytest.raises(ValueError, match="pending"):
+        remove_chunk_store(s1, path)
+
+    # replay drill: re-committing an existing batch id is a no-op
+    committed = sorted(glob.glob(f"{path}/delta/batch=*"))
+    assert committed
+    bid = int(committed[0].rsplit("=", 1)[1])
+    assert append_chunk_store_delta(s1, path, bid) is False
+    assert sorted(map(tuple, chunk_store_table(spark, path).collect())) == live
+
+    # compaction folds deltas; live table identical before/after
+    assert compact_chunk_store(spark, path) >= 1
+    assert not glob.glob(f"{path}/delta/batch=*")
+    assert sorted(map(tuple, chunk_store_table(spark, path).collect())) == live
+    assert _store_rows(spark, path) == live
