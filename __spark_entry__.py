@@ -7335,6 +7335,34 @@ def q_chunk_store_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.unionByName(post)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL PATH MINING (operators/sessions.session_paths): the 10
+    most common session event-type sequences (first 8 events, '|'
+    joined) over 6h-gap sessions — (t_us, event_id) ordering makes each
+    path a pure function of the data, (n DESC, path ASC) pins the top-k
+    boundary.  Oracle = the session CTE + list(... ORDER BY) slice."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        session_paths, with_epoch_us)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return session_paths(ev, SESSION_GAP_US, k=10, max_len=8,
+                         order_cols=("event_id",))
+
+
+def q_event_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING TIME-SERIES AGG (operators/sessions.rolling_daily_counts):
+    per-type daily event counts + fixed-point value sums with a trailing
+    7-day RANGE-frame rolling sum — integer epoch days, so gaps age out
+    exactly and every output is a BIGINT both engines reproduce."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_daily_counts, with_epoch_us)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return rolling_daily_counts(ev, 7)
+
+
 VOCAB_N = 16
 
 
@@ -7378,6 +7406,18 @@ def q_doclen_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "source", F.length("text").alias("doclen"))
     return mad_outlier_stats(docs, "doclen", ("source",), k_num=5, k_den=2)
+
+
+def q_cdc_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-store accounting (operators/cdc.cdc_global_dedup)
+    — what a SHARED (cross-source) chunk store would hold; the dedup win
+    over the per-source stats is the cross-source chunk reuse."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_global_dedup)
+
+    ch = cdc_chunks(_docs(spark, sf_dir), window=CDC_W, mask_bits=CDC_BITS,
+                    seed=CDC_SEED)
+    return cdc_global_dedup(ch)
 
 
 def q_cdc_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7715,6 +7755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_spans": q_cdc_chunk_spans,
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "cdc_shared_pairs": q_cdc_shared_pairs,
+        "cdc_global_stats": q_cdc_global_stats,
         # exact triangles/degrees over the shared-chunk near-dup graph
         "cdc_graph_stats": q_cdc_graph_stats,
         # vocabulary coverage / OOV analysis (tokenizer health)
@@ -7727,6 +7768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_store_append_parity": q_chunk_store_append_parity,
         "chunk_store_remove_parity": q_chunk_store_remove_parity,
         "chunk_store_stream_parity": q_chunk_store_stream_parity,
+        # behavioral path mining + rolling time-series aggregates
+        "session_paths": q_session_paths,
+        "event_rolling_daily": q_event_rolling_daily,
     }
 
 
@@ -10273,6 +10317,16 @@ SELECT t.source, t.n_chunks, t.total_chars,
        d.n_distinct_chunks, d.distinct_chars
 FROM tot t JOIN dst d ON d.source = t.source"""
 
+    out["cdc_global_stats"] = f"""WITH {_cdc_chunks_cte()},
+tot AS (SELECT COUNT(*) AS n_chunks,
+               CAST(SUM(length(chunk)) AS BIGINT) AS total_chars
+        FROM chunks),
+dst AS (SELECT COUNT(*) AS n_distinct_chunks,
+               CAST(SUM(length(chunk)) AS BIGINT) AS distinct_chars
+        FROM (SELECT DISTINCT chunk FROM chunks))
+SELECT t.n_chunks, t.total_chars, d.n_distinct_chunks, d.distinct_chars
+FROM tot t, dst d"""
+
     out["cdc_shared_pairs"] = f"""WITH {_cdc_chunks_cte()},
 dc AS (SELECT DISTINCT doc_id, chunk FROM chunks)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -10373,4 +10427,41 @@ WHERE FALSE"""
     out["chunk_store_append_parity"] = _CHUNK_EMPTY
     out["chunk_store_remove_parity"] = _CHUNK_EMPTY
     out["chunk_store_stream_parity"] = _CHUNK_EMPTY
+
+    out["session_paths"] = f"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+x AS (
+  SELECT user_id, event_id, event_type, t_us,
+         CASE WHEN LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) IS NULL
+                OR t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM e),
+y AS (
+  SELECT user_id, event_id, event_type, t_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM x),
+p AS (
+  SELECT user_id, session_idx,
+         array_to_string(list(event_type ORDER BY t_us, event_id)[1:8],
+                         '|') AS path
+  FROM y GROUP BY user_id, session_idx)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10"""
+
+    out["event_rolling_daily"] = """WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+d AS (SELECT event_type, day, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sum_scaled
+      FROM e GROUP BY 1, 2)
+SELECT event_type, day, n, sum_scaled,
+       CAST(SUM(n) OVER w AS BIGINT) AS roll_n,
+       CAST(SUM(sum_scaled) OVER w AS BIGINT) AS roll_sum_scaled
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
     return out

@@ -176,18 +176,38 @@ def cdc_global_dedup(chunks: DataFrame) -> DataFrame:
 def cdc_shared_chunk_pairs(
     chunks: DataFrame,
     min_shared: int = 2,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): document pairs sharing at least
     ``min_shared`` DISTINCT chunk contents — chunk-level near-dup
     candidates (the CDC analogue of contamination_pairs' shared grams).
     Join key is the chunk CONTENT via xxhash64 (8-byte shuffle keys),
     verified exactly by grouping on the chunk string itself within the
-    hash bucket; per-chunk doc lists cap nothing here (chunk sharing is
-    the signal), so ubiquitous chunks make this quadratic BY DESIGN —
-    callers at scale should pre-filter with a document-frequency cap the
-    way dedup.ngram_jaccard_pairs does."""
+    hash bucket.  A chunk shared by k docs emits k^2 pairs, so a
+    ubiquitous chunk (tiny-vocab corpora, boilerplate) is a single-key
+    shuffle bomb at scale — ``max_chunk_df`` drops chunks appearing in
+    MORE than that many distinct docs from pair generation (the
+    dedup.ngram_jaccard_pairs / winnowing max_fp_df discipline: a
+    boilerplate chunk says nothing about pairwise similarity anyway).
+    The cut is logged via one extra count, never silent; None keeps the
+    exact all-pairs semantics (the oracle contract)."""
     d = (chunks.select("doc_id", F.xxhash64("chunk").alias("h"), "chunk")
          .distinct())
+    if max_chunk_df is not None:
+        if max_chunk_df < 2:
+            raise ValueError("cdc_shared_chunk_pairs: max_chunk_df must "
+                             "be >= 2 (pairs need 2 docs)")
+        df_tab = d.groupBy("h", "chunk").agg(
+            F.count(F.lit(1)).alias("_df"))
+        hot = df_tab.filter(F.col("_df") > int(max_chunk_df))
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cdc_shared_chunk_pairs: dropping %d chunks with df > %d "
+                "from pair generation", n_hot, max_chunk_df)
+        d = d.join(hot.select("h", "chunk"), ["h", "chunk"], "left_anti")
     a, b = d.alias("a"), d.alias("b")
     pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h"))

@@ -442,3 +442,74 @@ def decayed_event_counts(
         )
         .withColumn("scale_exp", F.lit(h - 1).cast("int"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_us: int,
+    k: int,
+    max_len: int = 8,
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(path, n_sessions): the top-k most common session event-type
+    SEQUENCES — behavioral path mining over gap-based sessions.  Within
+    a session, events order by (t, *order_cols) (pass a unique tiebreak
+    so the path string is a pure function of the data); the first
+    ``max_len`` types join with '|'.  Top-k by (n_sessions DESC, path
+    ASC) — a deterministic boundary both engines reproduce.  Plan: the
+    sessionize window exchange, one (key, session) groupBy whose
+    collect_list is session-bounded, one path groupBy, TakeOrdered."""
+    if k < 1 or max_len < 1:
+        raise ValueError("session_paths: k and max_len must be >= 1")
+    tagged = with_sessions(events, gap_us, key_col, t_col, order_cols)
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col(t_col).alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(type_col).alias("_ty"))))
+    per_sess = tagged.groupBy(key_col, "session_idx").agg(
+        F.array_join(
+            F.slice(F.transform(ordered, lambda x: x["_ty"]), 1, max_len),
+            "|").alias("path"))
+    return (per_sess.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), F.asc("path"))
+            .limit(int(k)))
+
+
+def rolling_daily_counts(
+    events: DataFrame,
+    window_days: int,
+    type_col: str = "event_type",
+    t_col: str = "t_us",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """(event_type, day, n, sum_scaled, roll_n, roll_sum_scaled):
+    per-type daily totals plus a trailing ``window_days``-day rolling
+    sum — the time-series health dashboard over the event stream.  Days
+    are integer epoch days off the epoch-micros column (UTC-pinned by
+    the with_epoch_us discipline), values fixed-point scaled once
+    (stats._scaled's HALF_UP == half-away-on-positives contract), so
+    every output is an exact BIGINT and the RANGE-frame window is
+    integer arithmetic on both engines.  GAPS MATTER: the frame is
+    RANGE over the day number, so missing days genuinely age out of
+    the trailing window (a ROWS frame would silently stretch it).
+    One groupBy + one window exchange on (type)."""
+    if window_days < 1:
+        raise ValueError("rolling_daily_counts: window_days must be >= 1")
+    day = F.expr(f"{t_col} div 86400000000").alias("day")
+    scaled = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    daily = (events.select(F.col(type_col).alias("event_type"), day,
+                           scaled.alias("_v"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_v").alias("sum_scaled")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    return daily.select(
+        "event_type", "day", "n", "sum_scaled",
+        F.sum("n").over(w).alias("roll_n"),
+        F.sum("sum_scaled").over(w).alias("roll_sum_scaled"))

@@ -234,6 +234,30 @@ SWEEP = [
     "orders_expectations",
     "orders_quarantine",
     "profile_learned_contract",
+    # 17th-session additions — CDC + vocab + robust stats. Replica notes:
+    # Caesar shifts move chunk CONTENTS, so each replica carries its own
+    # chunk-dedup/pair structure (chunks, distinct chunks, shared pairs
+    # all ~5x; the pair-graph join is content-bucketed, never cross-
+    # replica). cdc_chunk_spans selects on length(text) % 17 (length
+    # preserved by the shift — replica-safe); chunk_store_stats times the
+    # whole write+read accounting per rep (a mutating-fixture query like
+    # zonemap_merge_upsert — its parity twins stay out with the other
+    # gates). Vocab/OOV: per-replica alphabets widen the word space ~5x
+    # while per-source shape is preserved. doclen MAD: lengths unchanged,
+    # rows 5x per source — two window exchanges over 5x data.
+    "cdc_chunk_spans",
+    "cdc_dedup_stats",
+    "cdc_shared_pairs",
+    "cdc_graph_stats",
+    "chunk_store_stats",
+    "source_vocab_coverage",
+    "oov_top_terms",
+    "doclen_mad_outliers",
+    # events replicate with offset event_ids over the same 30 days:
+    # per-day counts scale 5x (rolling frames unchanged); replicas share
+    # user_ids so sessions densify — both time the window-exchange shape
+    "session_paths",
+    "event_rolling_daily",
 ]
 
 

@@ -251,3 +251,28 @@ def test_chunk_store_stream_ingest(spark, docs, tmp_path):
     assert not glob.glob(f"{path}/delta/batch=*")
     assert sorted(map(tuple, chunk_store_table(spark, path).collect())) == live
     assert _store_rows(spark, path) == live
+
+
+def test_shared_pairs_df_cap(spark):
+    # one boilerplate chunk shared by ALL docs must not force k^2 pairs
+    boiler = "zqxwvutsrqponmlk jihgfedcba zyxw "  # long enough to chunk
+    rows = [(i, boiler + f"unique tail {i} " * 3, "s") for i in range(12)]
+    rows += [(100, "alpha beta gamma delta " * 6, "s"),
+             (101, "alpha beta gamma delta " * 6 + "x", "s")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_shared_chunk_pairs)
+
+    chunks = cdc_chunks(docs, window=W, mask_bits=BITS, seed=SEED)
+    full = {tuple(r[:2]) for r in
+            cdc_shared_chunk_pairs(chunks, min_shared=1).collect()}
+    capped = {tuple(r[:2]) for r in
+              cdc_shared_chunk_pairs(chunks, min_shared=1,
+                                     max_chunk_df=4).collect()}
+    assert capped <= full
+    # the 100/101 near-dup pair survives (their shared chunks are rare)
+    assert (100, 101) in capped
+    # boilerplate-only pairs are gone
+    assert len(capped) < len(full)
+    with pytest.raises(ValueError):
+        cdc_shared_chunk_pairs(chunks, max_chunk_df=1)

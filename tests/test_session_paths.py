@@ -1,0 +1,110 @@
+"""session_paths / rolling_daily_counts (operators/sessions.py) vs
+pure-python brute force."""
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from hierarchical_bloom_filter_index_spark.operators.sessions import (
+    rolling_daily_counts,
+    session_paths,
+)
+
+GAP = 1000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    t = 0
+    for i in range(400):
+        t += rng.choice([10, 100, 1500, 5000])  # gaps straddle GAP
+        rows.append((i, rng.randrange(12), t + rng.randrange(3),
+                     rng.choice("abcde"), rng.randrange(-500, 500) / 100))
+    return spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+
+
+def _sessions(rows, gap):
+    by_u = defaultdict(list)
+    for eid, u, t, ty, v in rows:
+        by_u[u].append((t, eid, ty))
+    out = []
+    for u, evs in by_u.items():
+        evs.sort()
+        cur = []
+        prev = None
+        for t, eid, ty in evs:
+            if prev is not None and t - prev > gap:
+                out.append(cur)
+                cur = []
+            cur.append(ty)
+            prev = t
+        out.append(cur)
+    return out
+
+
+def test_session_paths_match_brute(spark, events):
+    rows = [tuple(r) for r in events.collect()]
+    paths = Counter("|".join(s[:4]) for s in _sessions(rows, GAP))
+    exp = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    got = [(r.path, r.n_sessions) for r in
+           session_paths(events, GAP, k=6, max_len=4,
+                         order_cols=("event_id",)).collect()]
+    assert got == exp
+
+
+def test_session_paths_tie_order_deterministic(spark):
+    # two events at the SAME t_us: event_id must break the tie
+    rows = [(1, 7, 100, "b", 0.0), (0, 7, 100, "a", 0.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    got = session_paths(ev, GAP, k=1, order_cols=("event_id",)).collect()
+    assert got[0].path == "a|b"
+
+
+def test_rolling_daily_counts_match_brute(spark, events):
+    # stretch the fixture's ~660ms of activity over ~15 real days so the
+    # RANGE frame sees both dense runs and gaps
+    ev = events.withColumn("t_us", events.t_us * 2_000_000)
+    rows = [tuple(r) for r in ev.collect()]
+    daily = defaultdict(lambda: [0, 0])
+    for eid, u, t, ty, v in rows:
+        key = (ty, t // 86_400_000_000)
+        daily[key][0] += 1
+        daily[key][1] += round(v * 100)
+    got = {(r.event_type, r.day): r for r in
+           rolling_daily_counts(ev, 3, t_col="t_us").collect()}
+    assert set(got) == set(daily)
+    for (ty, d), (n, s) in daily.items():
+        r = got[(ty, d)]
+        assert (r.n, r.sum_scaled) == (n, s)
+        rn = sum(daily[(ty, dd)][0] for dd in range(d - 2, d + 1)
+                 if (ty, dd) in daily)
+        rs = sum(daily[(ty, dd)][1] for dd in range(d - 2, d + 1)
+                 if (ty, dd) in daily)
+        assert (r.roll_n, r.roll_sum_scaled) == (rn, rs), (ty, d)
+
+
+def test_rolling_gaps_age_out(spark):
+    us = 86_400_000_000
+    rows = [(0, 1, 0 * us + 5, "a", 1.0),
+            (1, 1, 1 * us + 5, "a", 1.0),
+            (2, 1, 9 * us + 5, "a", 1.0)]  # 8-day gap: window must reset
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    got = {r.day: r.roll_n for r in rolling_daily_counts(ev, 7).collect()}
+    assert got == {0: 1, 1: 2, 9: 1}
+
+
+def test_validation(spark, events):
+    with pytest.raises(ValueError):
+        session_paths(events, GAP, k=0)
+    with pytest.raises(ValueError):
+        rolling_daily_counts(events, 0)
