@@ -7420,6 +7420,20 @@ def q_cdc_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_global_dedup(ch)
 
 
+def q_cdc_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED CHUNK-LEVEL NEAR-DUP RETRIEVAL (operators/cdc.cdc_topk_
+    similar_pairs): top-20 doc pairs by chunk-set Jaccard —
+    jaccard_x1e9 integer-exact, (jaccard DESC, doc_a, doc_b) pins the
+    k-th boundary so the SET is deterministic.  TakeOrdered, no global
+    sort."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_topk_similar_pairs)
+
+    ch = cdc_chunks(_docs(spark, sf_dir), window=CDC_W, mask_bits=CDC_BITS,
+                    seed=CDC_SEED)
+    return cdc_topk_similar_pairs(ch, k=20)
+
+
 def q_cdc_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAIR-GRAPH STRUCTURE (operators/graph.graph_stats): nodes, edges,
     EXACT TRIANGLES (degree-ordered orientation — each triangle found
@@ -7756,6 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_stats": q_cdc_dedup_stats,
         "cdc_shared_pairs": q_cdc_shared_pairs,
         "cdc_global_stats": q_cdc_global_stats,
+        "cdc_topk_similar": q_cdc_topk_similar,
         # exact triangles/degrees over the shared-chunk near-dup graph
         "cdc_graph_stats": q_cdc_graph_stats,
         # vocabulary coverage / OOV analysis (tokenizer health)
@@ -10326,6 +10341,21 @@ dst AS (SELECT COUNT(*) AS n_distinct_chunks,
         FROM (SELECT DISTINCT chunk FROM chunks))
 SELECT t.n_chunks, t.total_chars, d.n_distinct_chunks, d.distinct_chars
 FROM tot t, dst d"""
+
+    out["cdc_topk_similar"] = f"""WITH {_cdc_chunks_cte()},
+dc AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM dc GROUP BY doc_id),
+pe AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       FROM dc a JOIN dc b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT doc_a, doc_b, n_shared, n_union,
+       (n_shared * 1000000000) // n_union AS jaccard_x1e9
+FROM (SELECT p.doc_a, p.doc_b, p.n_shared,
+             sa.n + sb.n - p.n_shared AS n_union
+      FROM pe p JOIN sz sa ON sa.doc_id = p.doc_a
+                JOIN sz sb ON sb.doc_id = p.doc_b)
+ORDER BY jaccard_x1e9 DESC, doc_a ASC, doc_b ASC
+LIMIT 20"""
 
     out["cdc_shared_pairs"] = f"""WITH {_cdc_chunks_cte()},
 dc AS (SELECT DISTINCT doc_id, chunk FROM chunks)

@@ -388,9 +388,11 @@ def main() -> None:
         "cdc_chunk_spans",
         "cdc_dedup_stats",
         # chunk-level near-dup pair graph + its exact structure metrics
-        # (degree-ordered-orientation triangle counting)
+        # (degree-ordered-orientation triangle counting) + ranked
+        # chunk-Jaccard retrieval
         "cdc_shared_pairs",
         "cdc_graph_stats",
+        "cdc_topk_similar",
         # persisted chunk store: the whole write+read accounting per rep,
         # then the append/remove maintenance parity gates (the stream
         # twin stays OUT — it drains)

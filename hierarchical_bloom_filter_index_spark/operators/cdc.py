@@ -466,3 +466,38 @@ def compact_chunk_store(spark, path: str) -> int:
     for dd in deltas:
         shutil.rmtree(dd)
     return len(deltas)
+
+
+def cdc_topk_similar_pairs(
+    chunks: DataFrame,
+    k: int,
+    min_shared: int = 2,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, n_union, jaccard_x1e9): the top-k doc
+    pairs by CHUNK-SET Jaccard — ranked chunk-level near-dup retrieval.
+    jaccard_x1e9 = (n_shared * 10^9) div n_union is integer-exact, and
+    (jaccard DESC, doc_a ASC, doc_b ASC) pins the k-th boundary, so the
+    top-k SET is a pure function of the corpus on both engines.
+    Candidate pairs come from cdc_shared_chunk_pairs; per-doc chunk-set
+    sizes join in from the UNCAPPED distinct sets, so with a
+    ``max_chunk_df`` cap the surviving pairs' n_shared (and so jaccard)
+    is a LOWER BOUND (hot chunks still count in |A|, |B| but not in the
+    intersection) — exact when the cap is None (the oracle contract).
+    TakeOrdered limit — no global sort."""
+    if k < 1:
+        raise ValueError("cdc_topk_similar_pairs: k must be >= 1")
+    pairs = cdc_shared_chunk_pairs(chunks, min_shared, max_chunk_df)
+    sizes = (chunks.select("doc_id", "chunk").distinct()
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))
+    return (pairs.join(na, "doc_a").join(nb, "doc_b")
+            .select(
+                "doc_a", "doc_b", "n_shared",
+                (F.col("_na") + F.col("_nb") - F.col("n_shared"))
+                .alias("n_union"))
+            .withColumn("jaccard_x1e9",
+                        F.expr("(n_shared * 1000000000) div n_union"))
+            .orderBy(F.desc("jaccard_x1e9"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(int(k)))

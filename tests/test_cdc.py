@@ -276,3 +276,30 @@ def test_shared_pairs_df_cap(spark):
     assert len(capped) < len(full)
     with pytest.raises(ValueError):
         cdc_shared_chunk_pairs(chunks, max_chunk_df=1)
+
+
+def test_topk_similar_pairs(spark):
+    from fractions import Fraction
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, cdc_topk_similar_pairs)
+
+    rows = [(i, TEXTS[3] + f" tail{i} " * (i % 4), "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    chunks = cdc_chunks(docs, window=W, mask_bits=BITS, seed=SEED)
+    pdf = chunks.toPandas()
+    sets = {d: set(g["chunk"]) for d, g in pdf.groupby("doc_id")}
+    brute = []
+    for a in sets:
+        for b in sets:
+            if a < b:
+                sh = len(sets[a] & sets[b])
+                un = len(sets[a] | sets[b])
+                if sh >= 2:
+                    brute.append((sh * 10**9 // un, a, b, sh, un))
+    brute.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = [(r.jaccard_x1e9, r.doc_a, r.doc_b, r.n_shared, r.n_union)
+           for r in cdc_topk_similar_pairs(chunks, k=5).collect()]
+    assert got == [(j, a, b, sh, un) for j, a, b, sh, un in brute[:5]]
+    with pytest.raises(ValueError):
+        cdc_topk_similar_pairs(chunks, k=0)
