@@ -7363,6 +7363,24 @@ def q_event_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_daily_counts(ev, 7)
 
 
+def q_event_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING DISTINCT (operators/sessions.rolling_distinct_daily):
+    trailing 7-day distinct users per event type from per-day HLL nodes
+    — distinct is NOT additive across days, so the rolling answer is
+    the lossless union of the window's day sketches.  At this corpus's
+    cardinalities every node stays sparse-EXACT (p=12: 512-key sparse
+    cap vs ~150 users), so both counts are exact integers and the
+    oracle is plain COUNT(DISTINCT) over the day range; a dense node
+    would flip `exact` false and fail the gate BY DESIGN (the estimate
+    regime has no SQL twin — its contract is the HLL bound, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_distinct_daily, with_epoch_us)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return rolling_distinct_daily(ev, 7, p=12, seed=CFG.seed + 47)
+
+
 VOCAB_N = 16
 
 
@@ -7786,6 +7804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # behavioral path mining + rolling time-series aggregates
         "session_paths": q_session_paths,
         "event_rolling_daily": q_event_rolling_daily,
+        # rolling distinct via lossless HLL day-node unions (sparse-exact)
+        "event_rolling_distinct": q_event_rolling_distinct,
     }
 
 
@@ -10494,4 +10514,19 @@ SELECT event_type, day, n, sum_scaled,
 FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+    # exact because every HLL day node is sparse at this cardinality —
+    # the Spark side's `exact` column asserts the regime in-query
+    out["event_rolling_distinct"] = """WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+d AS (SELECT DISTINCT event_type, day FROM e)
+SELECT d.event_type, d.day,
+       (SELECT COUNT(DISTINCT user_id) FROM e
+        WHERE e.event_type = d.event_type AND e.day = d.day) AS n_distinct,
+       (SELECT COUNT(DISTINCT user_id) FROM e
+        WHERE e.event_type = d.event_type
+          AND e.day BETWEEN d.day - 6 AND d.day) AS roll_distinct,
+       TRUE AS exact
+FROM d"""
     return out

@@ -404,6 +404,10 @@ def main() -> None:
         "oov_top_terms",
         # robust per-group outliers (exact integer median/MAD rule)
         "doclen_mad_outliers",
+        # behavioral paths + rolling aggregates + HLL rolling distinct
+        "session_paths",
+        "event_rolling_daily",
+        "event_rolling_distinct",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -513,3 +513,111 @@ def rolling_daily_counts(
         "event_type", "day", "n", "sum_scaled",
         F.sum("n").over(w).alias("roll_n"),
         F.sum("sum_scaled").over(w).alias("roll_sum_scaled"))
+
+
+def rolling_distinct_daily(
+    events: DataFrame,
+    window_days: int,
+    p: int = 12,
+    seed: int = 0,
+    type_col: str = "event_type",
+    t_col: str = "t_us",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(event_type, day, n_distinct, roll_distinct, exact): per-type
+    daily DISTINCT keys plus the trailing ``window_days``-day rolling
+    distinct — the metric a plain rolling SUM cannot give (distinct is
+    not additive across days: the same user on Monday and Tuesday must
+    count once in the week).  The mergeable-sketch answer: one
+    canonical HLL node per (type, day) (sparse-exact while the day's
+    distinct set fits sparse_max_nnz(p) = 2^p/8), then each rolling
+    answer is the LOSSLESS register-max/set union of its window's day
+    nodes — day blobs are built once and reused by every window that
+    covers them, the classic sliding-window sketch design.  ``exact``
+    is True iff every node involved stayed sparse, in which case BOTH
+    outputs are exact integers (the driver-oracle regime at test
+    scale); dense nodes degrade to the published ±1.04/sqrt(2^p) HLL
+    bound, never an error.
+
+    Plan: one Arrow partial pass (per-batch (type, day) factorize →
+    partial_blobs_by_slot), one (type, day) merge groupBy, one RANGE
+    window collecting the covering day blobs (gaps age out exactly —
+    the frame is over the day NUMBER), one Arrow readout merging each
+    window's list.  Blob bytes move, never key sets (dense cap 2^p
+    bytes/node)."""
+    import pandas as pd
+
+    from ..sketches import hll as H
+
+    if window_days < 1:
+        raise ValueError("rolling_distinct_daily: window_days must be >= 1")
+    day = F.expr(f"{t_col} div 86400000000").alias("day")
+    base = events.select(F.col(type_col).alias("event_type"), day,
+                         F.col(key_col).cast("bigint").alias("_k"))
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(
+                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
+                sort=False)
+            blobs = H.partial_blobs_by_slot(
+                pdf["_k"].to_numpy(), codes.astype(np.int64), len(uniques),
+                p, seed)
+            yield pd.DataFrame({
+                "event_type": [t for t, _ in uniques],
+                "day": [int(d) for _, d in uniques],
+                "blob": blobs})
+
+    part = base.mapInPandas(partials,
+                            "event_type string, day bigint, blob binary")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        blobs = [bytes(b) for b in pdf["blob"]]
+        merged = H.merge_blob_groups(blobs, np.array([len(blobs)]), p)[0]
+        out = pdf.iloc[[0]].copy()
+        out["blob"] = [merged]
+        return out
+
+    daily = part.groupBy("event_type", "day").applyInPandas(
+        merge_group, "event_type string, day bigint, blob binary")
+
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    windowed = daily.select(
+        "event_type", "day", "blob",
+        F.collect_list("blob").over(w).alias("_wblobs"))
+
+    def readout(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            own = [bytes(b) for b in pdf["blob"]]
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, lst in enumerate(pdf["_wblobs"]):
+                bs = [bytes(b) for b in lst]
+                counts[i] = len(bs)
+                flat.extend(bs)
+            merged = H.merge_blob_groups(flat, counts, p)
+            n_day = np.rint(H.estimate_blobs(own, p)).astype(np.int64)
+            n_roll = np.rint(H.estimate_blobs(merged, p)).astype(np.int64)
+            exact = [H.is_sparse_blob(a) and H.is_sparse_blob(b)
+                     for a, b in zip(own, merged)]
+            yield pd.DataFrame({
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "n_distinct": n_day,
+                "roll_distinct": n_roll,
+                "exact": exact})
+
+    return windowed.mapInPandas(
+        readout, "event_type string, day bigint, n_distinct bigint, "
+                 "roll_distinct bigint, exact boolean")

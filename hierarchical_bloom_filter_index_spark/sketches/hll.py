@@ -349,3 +349,13 @@ def merge_blob_groups(blobs: list[bytes], counts: np.ndarray, p: int) -> list[by
         else:
             out.append(base.pack(_MAGIC, [p, seed], [acc[drow[g]]]))
     return out
+
+
+def is_sparse_blob(b: bytes) -> bool:
+    """True iff the node stores its exact distinct set (estimates from it
+    are zero-error).  The public regime probe callers use to CLAIM
+    exactness (keystats.key_setops, sessions.rolling_distinct_daily)."""
+    b = bytes(b)
+    if b[0] not in (_MAGIC, _MAGIC_HLL_SP):
+        raise ValueError(f"unknown sketch magic {b[0]} (expected HyperLogLog)")
+    return b[0] == _MAGIC_HLL_SP

@@ -258,6 +258,10 @@ SWEEP = [
     # user_ids so sessions densify — both time the window-exchange shape
     "session_paths",
     "event_rolling_daily",
+    # HLL day-node rolling distinct: replicas keep user_ids, so distinct
+    # counts are scale-invariant while event rows grow 5x — the timing
+    # isolates the partial-pass + window-merge shape
+    "event_rolling_distinct",
 ]
 
 

@@ -108,3 +108,54 @@ def test_validation(spark, events):
         session_paths(events, GAP, k=0)
     with pytest.raises(ValueError):
         rolling_daily_counts(events, 0)
+
+
+def test_rolling_distinct_daily_exact_regime(spark):
+    import random
+    from collections import defaultdict
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_distinct_daily)
+
+    rng = random.Random(5)
+    us = 86_400_000_000
+    rows = []
+    for i in range(3000):
+        d = rng.randrange(20)
+        if rng.random() < 0.15:
+            d = rng.choice([0, 1, 9])  # gaps + dense days
+        rows.append((i, rng.randrange(80), d * us + rng.randrange(us),
+                     rng.choice("xyz"), 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    W_DAYS = 4
+    got = {(r.event_type, r.day): r for r in
+           rolling_distinct_daily(ev, W_DAYS, p=12, seed=9).collect()}
+    per_day = defaultdict(set)
+    for eid, u, t, ty, v in rows:
+        per_day[(ty, t // us)].add(u)
+    assert set(got) == set(per_day)
+    for (ty, d), users in per_day.items():
+        r = got[(ty, d)]
+        roll = set().union(*[per_day.get((ty, dd), set())
+                             for dd in range(d - W_DAYS + 1, d + 1)])
+        assert r.exact, (ty, d)
+        assert (r.n_distinct, r.roll_distinct) == (len(users), len(roll)), (ty, d)
+
+
+def test_rolling_distinct_daily_dense_regime_bound(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_distinct_daily)
+
+    # 5000 distinct keys >> sparse_max_nnz(8) = 32 -> dense, ±1.04/sqrt(256)
+    rows = [(i, i, (i % 3) * 86_400_000_000 + i, "t", 0.0)
+            for i in range(5000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    out = rolling_distinct_daily(ev, 3, p=8, seed=9).collect()
+    last = max(out, key=lambda r: r.day)
+    assert not last.exact
+    # generous 4-sigma envelope on the 3-day union (all 5000 keys)
+    assert abs(last.roll_distinct - 5000) <= 4 * 1.04 / (256 ** 0.5) * 5000
