@@ -7363,6 +7363,25 @@ def q_event_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_daily_counts(ev, 7)
 
 
+def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL NOVELTY vs the PERSISTED store (operators/cdc.chunk_
+    novelty_against_store): store built on the old corpus half, the new
+    half scored per-doc — distinct chunks, chunks already in the store,
+    known chars.  The store read prunes to the batch's chunk buckets
+    (partition filter).  VALUE oracle: the same split replayed in SQL
+    (trailing-digit doc selector, the replica-safe discipline)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        chunk_novelty_against_store, write_chunk_store)
+
+    new, old = _chunk_split(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hbi_chunknov_")
+    write_chunk_store(old, f"{base}/cs", window=CDC_W, mask_bits=CDC_BITS,
+                      seed=CDC_SEED)
+    return chunk_novelty_against_store(new, f"{base}/cs")
+
+
 def q_event_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLING DISTINCT (operators/sessions.rolling_distinct_daily):
     trailing 7-day distinct users per event type from per-day HLL nodes
@@ -7801,6 +7820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_store_append_parity": q_chunk_store_append_parity,
         "chunk_store_remove_parity": q_chunk_store_remove_parity,
         "chunk_store_stream_parity": q_chunk_store_stream_parity,
+        # chunk-level novelty of an ingestion batch vs the persisted store
+        "chunk_novelty": q_chunk_novelty,
         # behavioral path mining + rolling time-series aggregates
         "session_paths": q_session_paths,
         "event_rolling_daily": q_event_rolling_daily,
@@ -10474,6 +10495,21 @@ FROM m JOIN m2 ON m2.source = m.source JOIN fl ON fl.source = m.source"""
        CAST(NULL AS VARCHAR) AS source, CAST(NULL AS VARCHAR) AS chunk,
        CAST(NULL AS BIGINT) AS n_refs
 WHERE FALSE"""
+    out["chunk_novelty"] = f"""WITH {_cdc_chunks_cte()},
+tagged AS (
+  SELECT c.doc_id, c.chunk,
+         CAST(regexp_extract(c.doc_id, '([0-9]+)$', 1) AS BIGINT) % 5 = 0
+           AS is_new
+  FROM (SELECT DISTINCT doc_id, chunk FROM chunks) c),
+oldset AS (SELECT DISTINCT chunk FROM tagged WHERE NOT is_new)
+SELECT t.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_known_chunks,
+       CAST(SUM(CASE WHEN o.chunk IS NOT NULL THEN length(t.chunk)
+                     ELSE 0 END) AS BIGINT) AS known_chars
+FROM tagged t LEFT JOIN oldset o ON o.chunk = t.chunk
+WHERE t.is_new GROUP BY t.doc_id"""
+
     out["chunk_store_append_parity"] = _CHUNK_EMPTY
     out["chunk_store_remove_parity"] = _CHUNK_EMPTY
     out["chunk_store_stream_parity"] = _CHUNK_EMPTY

@@ -399,6 +399,8 @@ def main() -> None:
         "chunk_store_stats",
         "chunk_store_append_parity",
         "chunk_store_remove_parity",
+        # batch novelty vs the persisted store (bucket-partition-pruned)
+        "chunk_novelty",
         # tokenizer health: running-word coverage + per-source OOV terms
         "source_vocab_coverage",
         "oov_top_terms",

@@ -501,3 +501,41 @@ def cdc_topk_similar_pairs(
                         F.expr("(n_shared * 1000000000) div n_union"))
             .orderBy(F.desc("jaccard_x1e9"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(int(k)))
+
+
+def chunk_novelty_against_store(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_known_chunks, known_chars): per ingestion
+    doc, how much of its DISTINCT chunk set already exists in the
+    persisted chunk store — chunk-level novelty scoring without
+    rescanning the corpus (the novelty_against_index discipline).
+    Chunking uses the PINNED store geometry; the store read prunes to
+    exactly the bucket partitions the batch's chunks hash into
+    (partition filter on the pmod(xxhash64) column the writer used), so
+    a small batch reads a small slice of a 100 TB store.  All outputs
+    exact integers; 'known' means present in ANY source."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    dch = (cdc_chunks(new_docs, meta["window"], meta["mask_bits"],
+                      meta["seed"], text_col, id_col, source_col)
+           .select("doc_id", "chunk").distinct()
+           .withColumn("bucket", F.pmod(F.xxhash64("chunk"),
+                                        F.lit(int(meta["n_buckets"])))))
+    buckets = [int(r["bucket"])
+               for r in dch.select("bucket").distinct().collect()]
+    store = (chunk_store_table(spark, path)
+             .filter(F.col("bucket").isin(buckets))
+             .select("bucket", "chunk").distinct()
+             .withColumn("_known", F.lit(True)))
+    joined = dch.join(store, ["bucket", "chunk"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_known"), 1).otherwise(0)
+              ).alias("n_known_chunks"),
+        F.sum(F.when(F.col("_known"), F.length("chunk")).otherwise(0)
+              ).alias("known_chars"))

@@ -303,3 +303,29 @@ def test_topk_similar_pairs(spark):
     assert got == [(j, a, b, sh, un) for j, a, b, sh, un in brute[:5]]
     with pytest.raises(ValueError):
         cdc_topk_similar_pairs(chunks, k=0)
+
+
+def test_chunk_novelty_values_and_pruning(spark, docs, tmp_path):
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        cdc_chunks, chunk_novelty_against_store, write_chunk_store)
+
+    old = docs.filter("doc_id < 25")
+    new = docs.filter("doc_id >= 25")
+    path = str(tmp_path / "cs")
+    write_chunk_store(old, path, window=W, mask_bits=BITS, seed=SEED,
+                      n_buckets=16)
+    out = chunk_novelty_against_store(new, path)
+    # brute force from scratch chunk sets
+    old_set = set(cdc_chunks(old, W, BITS, SEED).toPandas()["chunk"])
+    new_pdf = cdc_chunks(new, W, BITS, SEED).toPandas()
+    got = {r.doc_id: r for r in out.collect()}
+    for did, grp in new_pdf.groupby("doc_id"):
+        cs = set(grp["chunk"])
+        known = {c for c in cs if c in old_set}
+        r = got[did]
+        assert (r.n_chunks, r.n_known_chunks) == (len(cs), len(known))
+        assert r.known_chars == sum(len(c) for c in known)
+    # the store read must prune bucket partitions (never a full-store scan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
+        "PartitionFilters")[1][:200]
