@@ -7382,6 +7382,28 @@ def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_novelty_against_store(new, f"{base}/cs")
 
 
+def q_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITION GATE: sessionize × robust order statistics — per user
+    cohort (user_id % 4; event replicas keep user_ids so the cohorts are
+    scale-stable), the exact med2/mad2/outlier-count of session
+    DURATIONS (t_end - t_start, epoch micros).  Every stage integer:
+    the session summary, the doubled-scale medians, the rational-k MAD
+    rule (k = 3).  Oracle = the session CTE + ROW_NUMBER order
+    statistics."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        sessionize, with_epoch_us)
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        mad_outlier_stats)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    sess = sessionize(ev, SESSION_GAP_US, order_cols=("event_id",))
+    dur = sess.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        (F.col("t_end") - F.col("t_start")).alias("dur_us"))
+    return mad_outlier_stats(dur, "dur_us", ("cohort",), k_num=3)
+
+
 def q_event_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLING DISTINCT (operators/sessions.rolling_distinct_daily):
     trailing 7-day distinct users per event type from per-day HLL nodes
@@ -7827,6 +7849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rolling_daily": q_event_rolling_daily,
         # rolling distinct via lossless HLL day-node unions (sparse-exact)
         "event_rolling_distinct": q_event_rolling_distinct,
+        # composition: sessionize x exact median/MAD over durations
+        "session_duration_stats": q_session_duration_stats,
     }
 
 
@@ -10550,6 +10574,33 @@ SELECT event_type, day, n, sum_scaled,
 FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+    out["session_duration_stats"] = f"""WITH s AS ({_SESSIONS_ORACLE}),
+b AS (SELECT user_id % 4 AS cohort, t_end - t_start AS x FROM s),
+r AS (SELECT cohort, x,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort) AS n FROM b),
+m AS (SELECT cohort, MAX(n) AS n,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM r GROUP BY cohort),
+d AS (SELECT b.cohort, ABS(2 * b.x - m.med2) AS dev FROM b
+      JOIN m ON m.cohort = b.cohort),
+r2 AS (SELECT cohort, dev,
+              ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY dev) AS rn,
+              COUNT(*) OVER (PARTITION BY cohort) AS n FROM d),
+m2 AS (SELECT cohort,
+              CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev ELSE 0 END)
+                   + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev ELSE 0 END)
+                   AS BIGINT) AS mad2
+       FROM r2 GROUP BY cohort),
+fl AS (SELECT d.cohort,
+              CAST(SUM(CASE WHEN 2 * d.dev > 3 * m2.mad2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM d JOIN m2 ON m2.cohort = d.cohort GROUP BY d.cohort)
+SELECT m.cohort, m.n, m.med2, m2.mad2, fl.n_outliers
+FROM m JOIN m2 ON m2.cohort = m.cohort JOIN fl ON fl.cohort = m.cohort"""
 
     # exact because every HLL day node is sparse at this cardinality —
     # the Spark side's `exact` column asserts the regime in-query

@@ -410,6 +410,8 @@ def main() -> None:
         "session_paths",
         "event_rolling_daily",
         "event_rolling_distinct",
+        # sessionize x exact median/MAD composition over durations
+        "session_duration_stats",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -262,6 +262,7 @@ SWEEP = [
     # counts are scale-invariant while event rows grow 5x — the timing
     # isolates the partial-pass + window-merge shape
     "event_rolling_distinct",
+    "session_duration_stats",
 ]
 
 
