@@ -7382,6 +7382,22 @@ def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_novelty_against_store(new, f"{base}/cs")
 
 
+def q_rolling_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CERTIFIED EXACT SLIDING-WINDOW HEAVY HITTERS (operators/sessions.
+    rolling_heavy_users): who generated >= 1/50 of each event type's
+    trailing-7-day events — per-day Misra-Gries nodes, window-union
+    candidate supersets cut by the exact integer certificate (refusing
+    loudly if k can't certify phi; k=51 makes refusal impossible), one
+    bounded exact counting pass decides.  The range_heavy_hitters
+    discipline on the time axis.  Oracle = brute per-window counts."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_heavy_users, with_epoch_us)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return rolling_heavy_users(ev, 7, 1, 50)
+
+
 def q_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSITION GATE: sessionize × robust order statistics — per user
     cohort (user_id % 4; event replicas keep user_ids so the cohorts are
@@ -7851,6 +7867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rolling_distinct": q_event_rolling_distinct,
         # composition: sessionize x exact median/MAD over durations
         "session_duration_stats": q_session_duration_stats,
+        # certified exact sliding-window heavy hitters (MG day nodes)
+        "rolling_heavy_users": q_rolling_heavy_users,
     }
 
 
@@ -10601,6 +10619,20 @@ fl AS (SELECT d.cohort,
        FROM d JOIN m2 ON m2.cohort = d.cohort GROUP BY d.cohort)
 SELECT m.cohort, m.n, m.med2, m2.mad2, fl.n_outliers
 FROM m JOIN m2 ON m2.cohort = m.cohort JOIN fl ON fl.cohort = m.cohort"""
+
+    out["rolling_heavy_users"] = """WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+dom AS (SELECT DISTINCT event_type, day FROM e),
+cnt AS (SELECT d.event_type, d.day, e2.user_id, COUNT(*) AS cnt
+        FROM dom d JOIN e e2 ON e2.event_type = d.event_type
+                            AND e2.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2, 3),
+tot AS (SELECT event_type, day, CAST(SUM(cnt) AS BIGINT) AS n_window
+        FROM cnt GROUP BY 1, 2)
+SELECT c.event_type, c.day, c.user_id, c.cnt, t.n_window
+FROM cnt c JOIN tot t ON t.event_type = c.event_type AND t.day = c.day
+WHERE c.cnt * 50 >= t.n_window"""
 
     # exact because every HLL day node is sparse at this cardinality —
     # the Spark side's `exact` column asserts the regime in-query

@@ -412,6 +412,9 @@ def main() -> None:
         "event_rolling_distinct",
         # sessionize x exact median/MAD composition over durations
         "session_duration_stats",
+        # certified exact sliding-window heavy hitters (MG day nodes +
+        # integer certificate + bounded exact verify)
+        "rolling_heavy_users",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

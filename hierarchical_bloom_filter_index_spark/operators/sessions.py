@@ -621,3 +621,130 @@ def rolling_distinct_daily(
     return windowed.mapInPandas(
         readout, "event_type string, day bigint, n_distinct bigint, "
                  "roll_distinct bigint, exact boolean")
+
+
+def rolling_heavy_users(
+    events: DataFrame,
+    window_days: int,
+    phi_num: int,
+    phi_den: int,
+    k: int | None = None,
+    type_col: str = "event_type",
+    t_col: str = "t_us",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(event_type, day, user_id, cnt, n_window): EXACT phi-heavy keys of
+    every trailing ``window_days`` window — who generated >= phi of each
+    type's events this week — via the certified sketch-then-verify
+    design of operators/rollup.range_heavy_hitters lifted to the time
+    axis.  One Misra-Gries node per (type, day) (mergeable,
+    sum-then-prune merges with the association-free residual bound);
+    each window's candidate set is cut from the UNION of its day nodes
+    by the exact integer rule est*(k+1)+resid >= phi*n*(k+1)
+    (spacesaving.heavy_candidate_blobs — a GUARANTEED superset, refusing
+    loudly when k is too small for phi; default k = phi_den//phi_num + 1
+    makes refusal impossible); one exact counting pass over candidates
+    only decides.  The verify join is bounded by k keys per window —
+    never a per-user window aggregation — and daily MG nodes are built
+    once and shared by every covering window.  All outputs exact
+    integers (heavy = cnt*phi_den >= phi_num*n_window, n_window the
+    exact window total)."""
+    import pandas as pd
+
+    from ..sketches import spacesaving as SS
+
+    if window_days < 1:
+        raise ValueError("rolling_heavy_users: window_days must be >= 1")
+    if phi_num <= 0 or phi_den <= 0 or phi_num > phi_den:
+        raise ValueError(
+            f"rolling_heavy_users: phi must be in (0, 1]: {phi_num}/{phi_den}")
+    if k is None:
+        k = phi_den // phi_num + 1
+    day = F.expr(f"{t_col} div 86400000000").alias("day")
+    base = events.select(F.col(type_col).alias("event_type"), day,
+                         F.col(key_col).cast("bigint").alias("_k"))
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(
+                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
+                sort=False)
+            blobs = SS.partial_blobs_by_slot(
+                pdf["_k"].to_numpy(), codes.astype(np.int64), len(uniques), k)
+            yield pd.DataFrame({
+                "event_type": [t for t, _ in uniques],
+                "day": [int(d) for _, d in uniques],
+                "blob": blobs})
+
+    part = base.mapInPandas(partials,
+                            "event_type string, day bigint, blob binary")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        blobs = [bytes(b) for b in pdf["blob"]]
+        merged = SS.merge_blob_groups(blobs, np.array([len(blobs)]), k)[0]
+        out = pdf.iloc[[0]].copy()
+        out["blob"] = [merged]
+        return out
+
+    daily = part.groupBy("event_type", "day").applyInPandas(
+        merge_group, "event_type string, day bigint, blob binary")
+
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    windowed = daily.select(
+        "event_type", "day",
+        F.collect_list("blob").over(w).alias("_wblobs"))
+
+    def cand_out(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, lst in enumerate(pdf["_wblobs"]):
+                bs = [bytes(b) for b in lst]
+                counts[i] = len(bs)
+                flat.extend(bs)
+            merged = SS.merge_blob_groups(flat, counts, k)
+            cands = SS.heavy_candidate_blobs(merged, phi_num, phi_den)
+            et, dy, us = [], [], []
+            for (ty, d), (keys, _c) in zip(
+                    zip(pdf["event_type"], pdf["day"]), cands):
+                for u in keys:
+                    et.append(ty)
+                    dy.append(int(d))
+                    us.append(int(u))
+            if et:
+                yield pd.DataFrame({"event_type": et, "day": dy,
+                                    "user_id": us})
+
+    cand = windowed.mapInPandas(
+        cand_out, "event_type string, day bigint, user_id bigint")
+
+    # exact verify: events fan out to their covering windows, restricted
+    # to the (bounded, broadcast) candidate table before any aggregation
+    ev_w = base.select(
+        "event_type",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.lit(int(window_days) - 1))).alias("day"),
+        F.col("_k").alias("user_id"))
+    exact = (ev_w.join(F.broadcast(cand), ["event_type", "day", "user_id"])
+             .groupBy("event_type", "day", "user_id")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    daily_n = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("_n"))
+    totals = daily_n.select(
+        "event_type", "day", F.sum("_n").over(w).alias("n_window"))
+    return (exact.join(totals, ["event_type", "day"])
+            .filter(F.col("cnt") * F.lit(int(phi_den))
+                    >= F.lit(int(phi_num)) * F.col("n_window"))
+            .select("event_type", "day", "user_id", "cnt", "n_window"))

@@ -263,6 +263,9 @@ SWEEP = [
     # isolates the partial-pass + window-merge shape
     "event_rolling_distinct",
     "session_duration_stats",
+    # MG day nodes + bounded verify: replicas keep user_ids, counts 5x,
+    # the same users stay heavy — candidate sets scale-invariant
+    "rolling_heavy_users",
 ]
 
 

@@ -159,3 +159,53 @@ def test_rolling_distinct_daily_dense_regime_bound(spark):
     assert not last.exact
     # generous 4-sigma envelope on the 3-day union (all 5000 keys)
     assert abs(last.roll_distinct - 5000) <= 4 * 1.04 / (256 ** 0.5) * 5000
+
+
+def test_rolling_heavy_users_matches_brute(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_heavy_users)
+
+    rng = random.Random(17)
+    us = 86_400_000_000
+    rows = []
+    for i in range(4000):
+        # zipf-ish users: heavy hitters exist but aren't universal
+        u = min(int(rng.paretovariate(1.2)), 60)
+        d = rng.randrange(12)
+        rows.append((i, u, d * us + rng.randrange(us), rng.choice("pq"), 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    W_DAYS, PN, PD = 3, 1, 12
+    got = sorted((r.event_type, r.day, r.user_id, r.cnt, r.n_window)
+                 for r in rolling_heavy_users(ev, W_DAYS, PN, PD).collect())
+    per_day = defaultdict(Counter)
+    for eid, u, t, ty, v in rows:
+        per_day[(ty, t // us)][u] += 1
+    exp = []
+    for (ty, d) in per_day:
+        win = Counter()
+        for dd in range(d - W_DAYS + 1, d + 1):
+            win.update(per_day.get((ty, dd), Counter()))
+        n = sum(win.values())
+        for u, c in win.items():
+            if c * PD >= PN * n:
+                exp.append((ty, d, u, c, n))
+    assert got == sorted(exp)
+    assert got  # non-trivial fixture
+
+
+def test_rolling_heavy_users_refuses_small_k(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_heavy_users)
+
+    rows = [(i, i % 40, i, "t", 0.0) for i in range(400)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    with pytest.raises(Exception, match="certify|phi"):
+        # k=3 cannot certify phi=1/20 on a 40-distinct-user day
+        rolling_heavy_users(ev, 2, 1, 20, k=3).collect()
