@@ -7382,6 +7382,19 @@ def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_novelty_against_store(new, f"{base}/cs")
 
 
+def q_label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT EMBEDDING CENTROIDS (operators/similarity.grouped_centroid_
+    sums): per-label per-dimension centroid numerators as ORDER-FREE
+    integer sums (floor onto the 2^-20 fixed-point grid before summing —
+    float accumulation is never cross-engine reproducible, this is).
+    Oracle = the same floor/sum in SQL over the unnested vectors."""
+    from hierarchical_bloom_filter_index_spark.operators.similarity import (
+        grouped_centroid_sums)
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return grouped_centroid_sums(embs)
+
+
 def q_rolling_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CERTIFIED EXACT SLIDING-WINDOW HEAVY HITTERS (operators/sessions.
     rolling_heavy_users): who generated >= 1/50 of each event type's
@@ -7869,6 +7882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_duration_stats": q_session_duration_stats,
         # certified exact sliding-window heavy hitters (MG day nodes)
         "rolling_heavy_users": q_rolling_heavy_users,
+        # order-free integer embedding centroids per label
+        "label_centroid_sums": q_label_centroid_sums,
     }
 
 
@@ -10619,6 +10634,15 @@ fl AS (SELECT d.cohort,
        FROM d JOIN m2 ON m2.cohort = d.cohort GROUP BY d.cohort)
 SELECT m.cohort, m.n, m.med2, m2.mad2, fl.n_outliers
 FROM m JOIN m2 ON m2.cohort = m.cohort JOIN fl ON fl.cohort = m.cohort"""
+
+    out["label_centroid_sums"] = """WITH v AS (
+  SELECT label AS grp, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x
+  FROM (SELECT label, embedding,
+               unnest(generate_series(1, CAST(len(embedding) AS BIGINT))) AS i
+        FROM embeddings))
+SELECT grp, dim, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_scaled
+FROM v GROUP BY grp, dim"""
 
     out["rolling_heavy_users"] = """WITH e AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id

@@ -415,6 +415,8 @@ def main() -> None:
         # certified exact sliding-window heavy hitters (MG day nodes +
         # integer certificate + bounded exact verify)
         "rolling_heavy_users",
+        # order-free integer embedding centroids (one explode + groupBy)
+        "label_centroid_sums",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

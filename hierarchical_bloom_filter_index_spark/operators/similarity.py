@@ -1086,3 +1086,31 @@ def ivfpq_topk_persisted(
     bq = spark.sparkContext.broadcast((qmap, coarse, books))
     return _adc_pool_rerank(
         lists, probes, bq, embeddings, qmap, k, rerank, id_col, vec_col)
+
+
+def grouped_centroid_sums(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale_pow2: int = 20,
+) -> DataFrame:
+    """(group, dim, n, sum_scaled): exact per-group embedding centroid
+    NUMERATORS — sum over vectors of floor(x * 2^scale_pow2) per
+    dimension, with the count to divide by.  Floating-point centroid
+    averages are accumulation-order-dependent (never cross-engine
+    reproducible); flooring each float32 onto a power-of-two fixed-point
+    grid FIRST makes the sum an order-free integer, bit-identical on
+    every engine and partitioning (the repo's no-float-accumulation
+    discipline; 2^-20 grid error is ~1e-6 per element, far below any
+    embedding's own noise).  One posexplode + one map-side-combined
+    groupBy — (groups x dims) output rows."""
+    dim = F.posexplode(F.col(vec_col))
+    scale = float(1 << int(scale_pow2))
+    base = embs.select(F.col(group_col).alias("grp"), dim)
+    return (base.select(
+                "grp", F.col("pos").alias("dim"),
+                F.floor(F.col("col").cast("double") * F.lit(scale))
+                .alias("_v"))
+            .groupBy("grp", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_v").alias("sum_scaled")))
