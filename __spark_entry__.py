@@ -7382,6 +7382,23 @@ def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_novelty_against_store(new, f"{base}/cs")
 
 
+def q_rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING QUANTILES (operators/sessions.rolling_value_quantiles):
+    trailing-7-day p50/p90/p99 of event values per type from mergeable
+    KLL day nodes — rational-rank readout (r = max(1, ceil(num*n/den)))
+    so the uncompacted regime is the EXACT order statistic the oracle
+    reproduces with ROW_NUMBER.  k=1024 holds every sf0.01 window
+    uncompacted; a compacted node flips `exact` false and fails the
+    gate BY DESIGN (the estimate regime's contract is the KLL rank
+    bound, tested)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_value_quantiles, with_epoch_us)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return rolling_value_quantiles(ev, 7, k=1024, seed=CFG.seed + 53)
+
+
 def q_label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT EMBEDDING CENTROIDS (operators/similarity.grouped_centroid_
     sums): per-label per-dimension centroid numerators as ORDER-FREE
@@ -7884,6 +7901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_heavy_users": q_rolling_heavy_users,
         # order-free integer embedding centroids per label
         "label_centroid_sums": q_label_centroid_sums,
+        # rolling KLL quantiles (rational ranks; uncompacted = exact)
+        "rolling_value_quantiles": q_rolling_value_quantiles,
     }
 
 
@@ -10634,6 +10653,26 @@ fl AS (SELECT d.cohort,
        FROM d JOIN m2 ON m2.cohort = d.cohort GROUP BY d.cohort)
 SELECT m.cohort, m.n, m.med2, m2.mad2, fl.n_outliers
 FROM m JOIN m2 ON m2.cohort = m.cohort JOIN fl ON fl.cohort = m.cohort"""
+
+    out["rolling_value_quantiles"] = """WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value
+  FROM events),
+dom AS (SELECT DISTINCT event_type, day FROM e),
+wv AS (SELECT d.event_type, d.day, e2.value,
+              ROW_NUMBER() OVER (PARTITION BY d.event_type, d.day
+                                 ORDER BY e2.value) AS rn,
+              COUNT(*) OVER (PARTITION BY d.event_type, d.day) AS n
+       FROM dom d JOIN e e2 ON e2.event_type = d.event_type
+                           AND e2.day BETWEEN d.day - 6 AND d.day)
+SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n_window,
+       SUM(CASE WHEN rn = GREATEST((1 * n + 1) // 2, 1)
+                THEN value ELSE 0 END) AS q_1_2,
+       SUM(CASE WHEN rn = GREATEST((9 * n + 9) // 10, 1)
+                THEN value ELSE 0 END) AS q_9_10,
+       SUM(CASE WHEN rn = GREATEST((99 * n + 99) // 100, 1)
+                THEN value ELSE 0 END) AS q_99_100,
+       TRUE AS exact
+FROM wv GROUP BY event_type, day"""
 
     out["label_centroid_sums"] = """WITH v AS (
   SELECT label AS grp, i - 1 AS dim,

@@ -417,6 +417,8 @@ def main() -> None:
         "rolling_heavy_users",
         # order-free integer embedding centroids (one explode + groupBy)
         "label_centroid_sums",
+        # rolling KLL value quantiles (the third rolling-sketch member)
+        "rolling_value_quantiles",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -748,3 +748,99 @@ def rolling_heavy_users(
             .filter(F.col("cnt") * F.lit(int(phi_den))
                     >= F.lit(int(phi_num)) * F.col("n_window"))
             .select("event_type", "day", "user_id", "cnt", "n_window"))
+
+
+def rolling_value_quantiles(
+    events: DataFrame,
+    window_days: int,
+    qs: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    k: int = 1024,
+    seed: int = 0,
+    type_col: str = "event_type",
+    t_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, day, n_window, q_..., exact): trailing-window VALUE
+    quantiles per type from mergeable KLL day nodes — the third member
+    of the rolling-sketch trio (distinct = HLL, heavy = MG, quantiles =
+    KLL).  Quantile ranks use the RATIONAL rule r = max(1,
+    ceil(num*n/den)) (kll.quantile_blobs_rational), so while every node
+    stays uncompacted (n_window <= capacity — the driver-gate regime)
+    each answer is the EXACT order statistic an engine reproduces with
+    ROW_NUMBER; compacted nodes flip ``exact`` false and degrade to the
+    KLL rank bound, never an error.  Day nodes built once, shared by
+    every covering window; gaps age out via the RANGE frame."""
+    import pandas as pd
+
+    from ..sketches import kll as K
+
+    if window_days < 1:
+        raise ValueError("rolling_value_quantiles: window_days must be >= 1")
+    qcols = [f"q_{num}_{den}" for num, den in qs]
+    day = F.expr(f"{t_col} div 86400000000").alias("day")
+    base = events.select(F.col(type_col).alias("event_type"), day,
+                         F.col(value_col).cast("double").alias("_v"))
+
+    def partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(
+                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
+                sort=False)
+            blobs = K.partial_blobs_by_slot(
+                pdf["_v"].to_numpy(), codes.astype(np.int64), len(uniques),
+                k, seed)
+            yield pd.DataFrame({
+                "event_type": [t for t, _ in uniques],
+                "day": [int(d) for _, d in uniques],
+                "blob": blobs})
+
+    part = base.mapInPandas(partials,
+                            "event_type string, day bigint, blob binary")
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        blobs = [bytes(b) for b in pdf["blob"]]
+        merged = K.merge_blob_groups(blobs, np.array([len(blobs)]))[0]
+        out = pdf.iloc[[0]].copy()
+        out["blob"] = [merged]
+        return out
+
+    daily = part.groupBy("event_type", "day").applyInPandas(
+        merge_group, "event_type string, day bigint, blob binary")
+
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    windowed = daily.select(
+        "event_type", "day",
+        F.collect_list("blob").over(w).alias("_wblobs"))
+
+    def readout(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[bytes] = []
+            counts = np.empty(len(pdf), dtype=np.int64)
+            for i, lst in enumerate(pdf["_wblobs"]):
+                bs = [bytes(b) for b in lst]
+                counts[i] = len(bs)
+                flat.extend(bs)
+            merged = K.merge_blob_groups(flat, counts)
+            vals, exact, ns = K.quantile_blobs_rational(merged, list(qs))
+            cols = {"event_type": pdf["event_type"], "day": pdf["day"],
+                    "n_window": ns}
+            for j, c in enumerate(qcols):
+                cols[c] = vals[:, j]
+            cols["exact"] = exact
+            yield pd.DataFrame(cols)
+
+    schema = ("event_type string, day bigint, n_window bigint, "
+              + ", ".join(f"{c} double" for c in qcols)
+              + ", exact boolean")
+    return windowed.mapInPandas(readout, schema)

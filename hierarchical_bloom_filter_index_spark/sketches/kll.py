@@ -309,3 +309,38 @@ def ks_statistic(a: "KLL", b: "KLL") -> tuple[float, float]:
 def ks_distance_blobs(blob_a: bytes, blob_b: bytes) -> float:
     return ks_distance(KLL.from_bytes(bytes(blob_a)),
                        KLL.from_bytes(bytes(blob_b)))
+
+
+def quantile_blobs_rational(blobs: list[bytes],
+                            qs: list[tuple[int, int]]
+                            ) -> tuple[np.ndarray, list[bool], np.ndarray]:
+    """Quantiles at RATIONAL ranks with exact integer target arithmetic:
+    for q = num/den, the returned value sits at stored-weight rank
+    r = max(1, ceil(num * n / den)) — the same rule as ``quantile`` but
+    with the q*n target computed in integers, so an engine replaying
+    ceil(num*n/den) in SQL lands on the SAME rank (a float 0.9*n can
+    round to either side of an integer boundary; the rational form
+    can't).  Returns (values[len(blobs) x len(qs)], exact_flags, n):
+    exact[i] is True iff blob i never compacted — every item stored at
+    weight 1, making each answer the EXACT order statistic; otherwise
+    the KLL rank bound applies."""
+    qs = [(int(a), int(b)) for a, b in qs]
+    for a, b in qs:
+        if b <= 0 or a < 0 or a > b:
+            raise ValueError(f"quantile_blobs_rational: bad q {a}/{b}")
+    out = np.full((len(blobs), len(qs)), np.nan, dtype=np.float64)
+    exact: list[bool] = []
+    ns = np.zeros(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        sk = KLL.from_bytes(bytes(b))
+        v, w = sk._weighted_items()
+        exact.append(int(sk.compactions) == 0)
+        ns[i] = int(sk.n)
+        if len(v) == 0:
+            continue
+        cum = np.cumsum(w.astype(np.int64))
+        for j, (num, den) in enumerate(qs):
+            t = max((num * ns[i] + den - 1) // den, 1)
+            idx = int(np.searchsorted(cum, t, side="left"))
+            out[i, j] = float(v[min(idx, len(v) - 1)])
+    return out, exact, ns

@@ -266,6 +266,10 @@ SWEEP = [
     # MG day nodes + bounded verify: replicas keep user_ids, counts 5x,
     # the same users stay heavy — candidate sets scale-invariant
     "rolling_heavy_users",
+    # KLL day nodes leave the uncompacted regime past ~1024 values/window
+    # (5x = ~3300): the timing measures the sketch path either way, the
+    # value oracle applies at sf0.01 only (the source_doclen_ks pattern)
+    "rolling_value_quantiles",
 ]
 
 

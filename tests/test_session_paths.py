@@ -209,3 +209,50 @@ def test_rolling_heavy_users_refuses_small_k(spark):
     with pytest.raises(Exception, match="certify|phi"):
         # k=3 cannot certify phi=1/20 on a 40-distinct-user day
         rolling_heavy_users(ev, 2, 1, 20, k=3).collect()
+
+
+def test_rolling_value_quantiles_exact_regime(spark):
+    import random
+    from collections import defaultdict
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_value_quantiles)
+
+    rng = random.Random(23)
+    us = 86_400_000_000
+    rows = [(i, 0, rng.randrange(10) * us + rng.randrange(us), rng.choice("ab"),
+             round(rng.uniform(-50, 50), 2)) for i in range(2500)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    W_DAYS = 3
+    got = {(r.event_type, r.day): r for r in
+           rolling_value_quantiles(ev, W_DAYS, k=4096, seed=3).collect()}
+    per_day = defaultdict(list)
+    for eid, u, t, ty, v in rows:
+        per_day[(ty, t // us)].append(v)
+    for (ty, d), _ in per_day.items():
+        win = sorted(sum([per_day.get((ty, dd), [])
+                          for dd in range(d - W_DAYS + 1, d + 1)], []))
+        n = len(win)
+        r = got[(ty, d)]
+        assert r.exact and r.n_window == n
+        for (num, den), col in [((1, 2), "q_1_2"), ((9, 10), "q_9_10"),
+                                ((99, 100), "q_99_100")]:
+            rk = max((num * n + den - 1) // den, 1)
+            assert getattr(r, col) == win[rk - 1], (ty, d, col)
+
+
+def test_rolling_value_quantiles_compacted_bound(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        rolling_value_quantiles)
+
+    # one day, 20000 values >> k=256 -> compacted; check the rank bound
+    rows = [(i, 0, i, "t", float(i)) for i in range(20000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    r = rolling_value_quantiles(ev, 2, k=256, seed=3).collect()[0]
+    assert not r.exact and r.n_window == 20000
+    # k=256 normalized rank error ~1.77/k; allow a generous 5x envelope
+    assert abs(r.q_1_2 - 10000) <= 5 * (1.77 / 256) * 20000
