@@ -7382,6 +7382,27 @@ def q_chunk_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_novelty_against_store(new, f"{base}/cs")
 
 
+def q_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CURATION PIPELINE GATE: exact dedup (min-doc_id keeper
+    per distinct text) -> quality filter (150 <= chars <= 400) ->
+    token-budget shard packing (the with_global_offsets prefix sum, no
+    global sort) -> per-shard manifest (shard_id, n_docs, n_tokens).
+    Every stage deterministic, so the whole CHAIN is one SQL equality —
+    the 'a user can run their pipeline here' gate, not a single-op one."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        token_budget_shards)
+
+    docs = _docs(spark, sf_dir)
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    corpus = _corpus(spark, sf_dir).drop("doc_offset")
+    filt = (corpus.join(keep.select("doc_id"), "doc_id")
+            .filter(F.col("n_tok").between(150, 400)))
+    sh = token_budget_shards(filt, 5000)
+    return (sh.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens")))
+
+
 def q_rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLING QUANTILES (operators/sessions.rolling_value_quantiles):
     trailing-7-day p50/p90/p99 of event values per type from mergeable
@@ -7903,6 +7924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sums": q_label_centroid_sums,
         # rolling KLL quantiles (rational ranks; uncompacted = exact)
         "rolling_value_quantiles": q_rolling_value_quantiles,
+        # end-to-end pipeline: dedup -> quality filter -> shard manifest
+        "curation_pipeline_manifest": q_curation_pipeline_manifest,
     }
 
 
@@ -10653,6 +10676,21 @@ fl AS (SELECT d.cohort,
        FROM d JOIN m2 ON m2.cohort = d.cohort GROUP BY d.cohort)
 SELECT m.cohort, m.n, m.med2, m2.mad2, fl.n_outliers
 FROM m JOIN m2 ON m2.cohort = m.cohort JOIN fl ON fl.cohort = m.cohort"""
+
+    out["curation_pipeline_manifest"] = """WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS n_tok
+  FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY text),
+filt AS (SELECT c.doc_id, c.n_tok FROM c JOIN keep USING (doc_id)
+         WHERE c.n_tok BETWEEN 150 AND 400),
+off AS (SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS o
+        FROM filt)
+SELECT CAST(o // 5000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM off GROUP BY 1"""
 
     out["rolling_value_quantiles"] = """WITH e AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day, value

@@ -419,6 +419,8 @@ def main() -> None:
         "label_centroid_sums",
         # rolling KLL value quantiles (the third rolling-sketch member)
         "rolling_value_quantiles",
+        # end-to-end curation chain: dedup -> filter -> shard manifest
+        "curation_pipeline_manifest",
     ]
     qmap = E.queries()
     # one throwaway routed query: first execution in a session pays codegen +

@@ -270,6 +270,9 @@ SWEEP = [
     # (5x = ~3300): the timing measures the sketch path either way, the
     # value oracle applies at sf0.01 only (the source_doclen_ks pattern)
     "rolling_value_quantiles",
+    # whole-pipeline chain (dedup keeps replica-0 copies of each text;
+    # Caesar replicas add their own distinct texts -> kept set ~5x)
+    "curation_pipeline_manifest",
 ]
 
 
