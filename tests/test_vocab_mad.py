@@ -110,3 +110,27 @@ def test_mad_validation(spark, docs):
         mad_outlier_stats(docs, "doc_id", ("source",), 0)
     with pytest.raises(ValueError):
         group_median2(docs, "doc_id", ())
+
+
+def test_grouped_centroid_sums_order_free(spark):
+    import random
+
+    from hierarchical_bloom_filter_index_spark.operators.similarity import (
+        grouped_centroid_sums)
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    a = sorted(map(tuple, grouped_centroid_sums(df.repartition(1)).collect()))
+    b = sorted(map(tuple, grouped_centroid_sums(
+        df.repartition(13, "vec_id")).collect()))
+    assert a == b
+    # exact vs python floor on the same float32 values
+    import numpy as np
+    pdf = df.toPandas()
+    for (grp, dim, n, s) in a:
+        vals = [np.float32(r[dim]) for r, l in zip(pdf["embedding"], pdf["label"])
+                if l == grp]
+        assert n == len(vals)
+        assert s == sum(int(np.floor(float(v) * (1 << 20))) for v in vals)
