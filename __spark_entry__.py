@@ -7595,6 +7595,11 @@ FORCE_OUTPUT_COLS = {
     "scrub_ingest_docs": "clean_text",
     # pure projection: count() would prune the regexp fold away entirely
     "pii_redact": "clean_text",
+    # unique-key LEFT join vs the store: eliminated under bare count()
+    "chunk_novelty": "n_known_chunks",
+    # the rolling-window columns are pruned (and the Window dropped)
+    # when only the row count is observed
+    "event_rolling_daily": "roll_n",
 }
 
 

@@ -442,7 +442,7 @@ def main() -> None:
             if name in force_col:
                 r = df.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.length(force_col[name])).alias("s")).first()
+                    F.sum(F.length(F.col(force_col[name]).cast("string"))).alias("s")).first()
                 n = r["n"]
             else:
                 n = df.count()

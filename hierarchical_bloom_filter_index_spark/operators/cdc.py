@@ -148,13 +148,16 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
     distinct_chars).  total_chars always equals the source's corpus
     chars (concat invariant); distinct_chars is what a chunk store would
     actually hold — the dedup win is the gap.  All four outputs exact
-    integers.  Two aggregations sharing the chunk scan; the distinct leg
-    shuffles (source, chunk) once."""
-    per_src = chunks.groupBy("source").agg(
+    integers.  The chunk pass is materialized ONCE (localCheckpoint —
+    two aggregation subtrees share no CSE in Spark, so the expensive
+    Arrow chunking would otherwise run twice; the drift counts-input
+    lesson); the distinct leg shuffles (source, chunk) once."""
+    ch = chunks.select("source", "chunk").localCheckpoint()
+    per_src = ch.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk")).alias("total_chars"))
     dist = (
-        chunks.select("source", "chunk").distinct()
+        ch.distinct()
         .groupBy("source").agg(
             F.count(F.lit(1)).alias("n_distinct_chunks"),
             F.sum(F.length("chunk")).alias("distinct_chars")))
@@ -163,20 +166,32 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
 
 def cdc_global_dedup(chunks: DataFrame) -> DataFrame:
     """Corpus-wide single-row twin of :func:`cdc_dedup_stats` — the
-    numbers a shared (cross-source) chunk store would see."""
-    tot = chunks.agg(
+    numbers a shared (cross-source) chunk store would see.  Same
+    materialize-once discipline."""
+    ch = chunks.select("chunk").localCheckpoint()
+    tot = ch.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk")).alias("total_chars"))
-    dist = chunks.select("chunk").distinct().agg(
+    dist = ch.distinct().agg(
         F.count(F.lit(1)).alias("n_distinct_chunks"),
         F.sum(F.length("chunk")).alias("distinct_chars"))
     return tot.crossJoin(dist)
+
+
+def _doc_chunk_set(chunks: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h=xxhash64(chunk), chunk) rows, materialized
+    once — the shared input of every pair/similarity/novelty surface
+    (each fans out into 2+ subtrees; without the checkpoint the Arrow
+    chunking pass re-executes per subtree)."""
+    return (chunks.select("doc_id", F.xxhash64("chunk").alias("h"), "chunk")
+            .distinct().localCheckpoint())
 
 
 def cdc_shared_chunk_pairs(
     chunks: DataFrame,
     min_shared: int = 2,
     max_chunk_df: int | None = None,
+    _d: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): document pairs sharing at least
     ``min_shared`` DISTINCT chunk contents — chunk-level near-dup
@@ -191,8 +206,7 @@ def cdc_shared_chunk_pairs(
     boilerplate chunk says nothing about pairwise similarity anyway).
     The cut is logged via one extra count, never silent; None keeps the
     exact all-pairs semantics (the oracle contract)."""
-    d = (chunks.select("doc_id", F.xxhash64("chunk").alias("h"), "chunk")
-         .distinct())
+    d = _d if _d is not None else _doc_chunk_set(chunks)
     if max_chunk_df is not None:
         if max_chunk_df < 2:
             raise ValueError("cdc_shared_chunk_pairs: max_chunk_df must "
@@ -487,9 +501,9 @@ def cdc_topk_similar_pairs(
     TakeOrdered limit — no global sort."""
     if k < 1:
         raise ValueError("cdc_topk_similar_pairs: k must be >= 1")
-    pairs = cdc_shared_chunk_pairs(chunks, min_shared, max_chunk_df)
-    sizes = (chunks.select("doc_id", "chunk").distinct()
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    d = _doc_chunk_set(chunks)  # one chunking pass feeds pairs AND sizes
+    pairs = cdc_shared_chunk_pairs(chunks, min_shared, max_chunk_df, _d=d)
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))
     return (pairs.join(na, "doc_a").join(nb, "doc_b")
@@ -521,11 +535,14 @@ def chunk_novelty_against_store(
     exact integers; 'known' means present in ANY source."""
     spark = new_docs.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    # materialize the batch's chunking once: the bucket collect AND the
+    # store join both consume it (two jobs otherwise)
     dch = (cdc_chunks(new_docs, meta["window"], meta["mask_bits"],
                       meta["seed"], text_col, id_col, source_col)
            .select("doc_id", "chunk").distinct()
            .withColumn("bucket", F.pmod(F.xxhash64("chunk"),
-                                        F.lit(int(meta["n_buckets"])))))
+                                        F.lit(int(meta["n_buckets"]))))
+           .localCheckpoint())
     buckets = [int(r["bucket"])
                for r in dch.select("bucket").distinct().collect()]
     store = (chunk_store_table(spark, path)

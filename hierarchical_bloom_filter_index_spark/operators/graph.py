@@ -56,7 +56,14 @@ def triangle_count(edges: DataFrame, a_col: str = "doc_a",
     """Exact triangle count via degree-ordered orientation (see module
     docstring).  Returns a Python int (the count is a scalar)."""
     e = canonical_edges(edges, a_col, b_col).localCheckpoint()
-    deg = degree_table(e, "a", "b")
+    return _triangle_count_canonical(e, degree_table(e, "a", "b"))
+
+
+def _triangle_count_canonical(e: DataFrame, deg: DataFrame) -> int:
+    """Triangle count over an ALREADY canonical (a < b, distinct,
+    materialized) edge frame with its degree table — the shared body, so
+    graph_stats never re-canonicalizes / re-checkpoints / re-counts
+    degrees over edges it already processed."""
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
     ranked = e.join(da, "a").join(db, "b")
@@ -86,7 +93,7 @@ def graph_stats(edges: DataFrame, a_col: str = "doc_a",
     (3*triangles / wedges), kept integer so the oracle stays exact."""
     spark = edges.sparkSession
     e = canonical_edges(edges, a_col, b_col).localCheckpoint()
-    deg = degree_table(e, "a", "b")
+    deg = degree_table(e, "a", "b").localCheckpoint()  # feeds agg + orient
     row = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.max("degree").alias("max_degree"),
@@ -94,7 +101,7 @@ def graph_stats(edges: DataFrame, a_col: str = "doc_a",
         F.expr("sum((degree * (degree - 1)) div 2)")
          .cast("bigint").alias("sum_wedges")).collect()[0]
     n_edges = e.count()
-    tri = triangle_count(e, "a", "b")
+    tri = _triangle_count_canonical(e, deg)
     return spark.createDataFrame(
         [(int(row.n_nodes or 0), int(n_edges), int(tri),
           int(row.max_degree or 0), int(row.sum_wedges or 0))],

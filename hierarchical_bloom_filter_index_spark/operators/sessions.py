@@ -500,7 +500,7 @@ def rolling_daily_counts(
     One groupBy + one window exchange on (type)."""
     if window_days < 1:
         raise ValueError("rolling_daily_counts: window_days must be >= 1")
-    day = F.expr(f"{t_col} div 86400000000").alias("day")
+    day = _epoch_day(t_col).alias("day")
     scaled = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
     daily = (events.select(F.col(type_col).alias("event_type"), day,
                            scaled.alias("_v"))
@@ -513,6 +513,92 @@ def rolling_daily_counts(
         "event_type", "day", "n", "sum_scaled",
         F.sum("n").over(w).alias("roll_n"),
         F.sum("sum_scaled").over(w).alias("roll_sum_scaled"))
+
+
+_DAY_US = 86_400_000_000
+
+
+def _epoch_day(t_col: str):
+    """FLOOR-division epoch day of an epoch-micros column — `div` alone
+    truncates toward zero and merges days -1 and 0 at the origin (the
+    joins._bin_expr lesson); the pmod correction matches DuckDB's
+    flooring `//` for pre-1970 timestamps too."""
+    return F.expr(
+        f"(({t_col}) - pmod(({t_col}), {_DAY_US})) div {_DAY_US}")
+
+
+def _daily_sketch_nodes(base: DataFrame, partial_fn, merge_many) -> DataFrame:
+    """(event_type, day, blob): ONE canonical sketch node per (type, day)
+    from a ``(event_type, day, _x)`` frame — the scaffolding all three
+    rolling-sketch ops share.  Partial pass: per Arrow batch, factorize
+    (type, day) and call the vectorized ``partial_fn(values, codes,
+    n_groups)``.  Merge pass: repartition by the group keys, then ONE
+    vectorized ``merge_many(flat_blobs, counts)`` call per PARTITION
+    over its sorted rows — never a per-tiny-group applyInPandas (the
+    11th-session ~1ms/group lesson); partition batches are CONCATENATED
+    first so no group straddles an Arrow batch split (the standing
+    rollup trap)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes, uniques = pd.factorize(
+                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
+                sort=False)
+            blobs = partial_fn(pdf["_x"].to_numpy(), codes.astype(np.int64),
+                               len(uniques))
+            yield pd.DataFrame({
+                "event_type": [t for t, _ in uniques],
+                "day": [int(d) for _, d in uniques],
+                "blob": blobs})
+
+    part = base.mapInPandas(partials,
+                            "event_type string, day bigint, blob binary")
+
+    def merge_partition(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["event_type", "day"], kind="stable",
+                              ignore_index=True)
+        keys = pd.Series(list(zip(pdf["event_type"], pdf["day"])))
+        codes, uniques = pd.factorize(keys, sort=False)  # sorted order kept
+        counts = np.bincount(codes, minlength=len(uniques))
+        merged = merge_many([bytes(b) for b in pdf["blob"]], counts)
+        yield pd.DataFrame({
+            "event_type": [t for t, _ in uniques],
+            "day": [int(d) for _, d in uniques],
+            "blob": merged})
+
+    return part.repartition("event_type", "day").mapInPandas(
+        merge_partition, "event_type string, day bigint, blob binary")
+
+
+def _windowed_blobs(daily: DataFrame, window_days: int) -> DataFrame:
+    """(event_type, day, blob, _wblobs): each day node plus the list of
+    nodes its trailing RANGE window covers (gaps age out exactly)."""
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
+    return daily.select(
+        "event_type", "day", "blob",
+        F.collect_list("blob").over(w).alias("_wblobs"))
+
+
+def _flatten_window_lists(pdf):
+    """(flat blob list, per-row counts) of a ``_wblobs`` column."""
+    import numpy as np
+
+    flat: list[bytes] = []
+    counts = np.empty(len(pdf), dtype=np.int64)
+    for i, lst in enumerate(pdf["_wblobs"]):
+        bs = [bytes(b) for b in lst]
+        counts[i] = len(bs)
+        flat.extend(bs)
+    return flat, counts
 
 
 def rolling_distinct_daily(
@@ -539,59 +625,23 @@ def rolling_distinct_daily(
     scale); dense nodes degrade to the published ±1.04/sqrt(2^p) HLL
     bound, never an error.
 
-    Plan: one Arrow partial pass (per-batch (type, day) factorize →
-    partial_blobs_by_slot), one (type, day) merge groupBy, one RANGE
-    window collecting the covering day blobs (gaps age out exactly —
-    the frame is over the day NUMBER), one Arrow readout merging each
-    window's list.  Blob bytes move, never key sets (dense cap 2^p
-    bytes/node)."""
+    Plan: one Arrow partial pass, one repartition-merge (one vectorized
+    kernel call per partition — see _daily_sketch_nodes), one RANGE
+    window, one Arrow readout.  Blob bytes move, never key sets."""
     import pandas as pd
 
     from ..sketches import hll as H
 
     if window_days < 1:
         raise ValueError("rolling_distinct_daily: window_days must be >= 1")
-    day = F.expr(f"{t_col} div 86400000000").alias("day")
-    base = events.select(F.col(type_col).alias("event_type"), day,
-                         F.col(key_col).cast("bigint").alias("_k"))
-
-    def partials(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes, uniques = pd.factorize(
-                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
-                sort=False)
-            blobs = H.partial_blobs_by_slot(
-                pdf["_k"].to_numpy(), codes.astype(np.int64), len(uniques),
-                p, seed)
-            yield pd.DataFrame({
-                "event_type": [t for t, _ in uniques],
-                "day": [int(d) for _, d in uniques],
-                "blob": blobs})
-
-    part = base.mapInPandas(partials,
-                            "event_type string, day bigint, blob binary")
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        blobs = [bytes(b) for b in pdf["blob"]]
-        merged = H.merge_blob_groups(blobs, np.array([len(blobs)]), p)[0]
-        out = pdf.iloc[[0]].copy()
-        out["blob"] = [merged]
-        return out
-
-    daily = part.groupBy("event_type", "day").applyInPandas(
-        merge_group, "event_type string, day bigint, blob binary")
-
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rangeBetween(-(int(window_days) - 1), 0))
-    windowed = daily.select(
-        "event_type", "day", "blob",
-        F.collect_list("blob").over(w).alias("_wblobs"))
+    base = events.select(F.col(type_col).alias("event_type"),
+                         _epoch_day(t_col).alias("day"),
+                         F.col(key_col).cast("bigint").alias("_x"))
+    daily = _daily_sketch_nodes(
+        base,
+        lambda v, s, n: H.partial_blobs_by_slot(v, s, n, p, seed),
+        lambda blobs, counts: H.merge_blob_groups(blobs, counts, p))
+    windowed = _windowed_blobs(daily, window_days)
 
     def readout(batches):
         import numpy as np
@@ -600,12 +650,7 @@ def rolling_distinct_daily(
             if len(pdf) == 0:
                 continue
             own = [bytes(b) for b in pdf["blob"]]
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, lst in enumerate(pdf["_wblobs"]):
-                bs = [bytes(b) for b in lst]
-                counts[i] = len(bs)
-                flat.extend(bs)
+            flat, counts = _flatten_window_lists(pdf)
             merged = H.merge_blob_groups(flat, counts, p)
             n_day = np.rint(H.estimate_blobs(own, p)).astype(np.int64)
             n_roll = np.rint(H.estimate_blobs(merged, p)).astype(np.int64)
@@ -644,11 +689,12 @@ def rolling_heavy_users(
     (spacesaving.heavy_candidate_blobs — a GUARANTEED superset, refusing
     loudly when k is too small for phi; default k = phi_den//phi_num + 1
     makes refusal impossible); one exact counting pass over candidates
-    only decides.  The verify join is bounded by k keys per window —
-    never a per-user window aggregation — and daily MG nodes are built
-    once and shared by every covering window.  All outputs exact
-    integers (heavy = cnt*phi_den >= phi_num*n_window, n_window the
-    exact window total)."""
+    only decides.  The verify side SEMI-JOINS the event stream on the
+    distinct candidate (type, user) pairs BEFORE the window fan-out, so
+    only candidate traffic is ever multiplied window_days-fold, and the
+    per-window aggregation is bounded by k keys — never a per-user
+    window aggregation.  All outputs exact integers (heavy =
+    cnt*phi_den >= phi_num*n_window, n_window the exact window total)."""
     import pandas as pd
 
     from ..sketches import spacesaving as SS
@@ -660,59 +706,20 @@ def rolling_heavy_users(
             f"rolling_heavy_users: phi must be in (0, 1]: {phi_num}/{phi_den}")
     if k is None:
         k = phi_den // phi_num + 1
-    day = F.expr(f"{t_col} div 86400000000").alias("day")
-    base = events.select(F.col(type_col).alias("event_type"), day,
-                         F.col(key_col).cast("bigint").alias("_k"))
-
-    def partials(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes, uniques = pd.factorize(
-                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
-                sort=False)
-            blobs = SS.partial_blobs_by_slot(
-                pdf["_k"].to_numpy(), codes.astype(np.int64), len(uniques), k)
-            yield pd.DataFrame({
-                "event_type": [t for t, _ in uniques],
-                "day": [int(d) for _, d in uniques],
-                "blob": blobs})
-
-    part = base.mapInPandas(partials,
-                            "event_type string, day bigint, blob binary")
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        blobs = [bytes(b) for b in pdf["blob"]]
-        merged = SS.merge_blob_groups(blobs, np.array([len(blobs)]), k)[0]
-        out = pdf.iloc[[0]].copy()
-        out["blob"] = [merged]
-        return out
-
-    daily = part.groupBy("event_type", "day").applyInPandas(
-        merge_group, "event_type string, day bigint, blob binary")
-
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rangeBetween(-(int(window_days) - 1), 0))
-    windowed = daily.select(
-        "event_type", "day",
-        F.collect_list("blob").over(w).alias("_wblobs"))
+    base = events.select(F.col(type_col).alias("event_type"),
+                         _epoch_day(t_col).alias("day"),
+                         F.col(key_col).cast("bigint").alias("_x"))
+    daily = _daily_sketch_nodes(
+        base,
+        lambda v, s, n: SS.partial_blobs_by_slot(v, s, n, k),
+        lambda blobs, counts: SS.merge_blob_groups(blobs, counts, k))
+    windowed = _windowed_blobs(daily, window_days).drop("blob")
 
     def cand_out(batches):
-        import numpy as np
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, lst in enumerate(pdf["_wblobs"]):
-                bs = [bytes(b) for b in lst]
-                counts[i] = len(bs)
-                flat.extend(bs)
+            flat, counts = _flatten_window_lists(pdf)
             merged = SS.merge_blob_groups(flat, counts, k)
             cands = SS.heavy_candidate_blobs(merged, phi_num, phi_den)
             et, dy, us = [], [], []
@@ -727,21 +734,29 @@ def rolling_heavy_users(
                                     "user_id": us})
 
     cand = windowed.mapInPandas(
-        cand_out, "event_type string, day bigint, user_id bigint")
+        cand_out, "event_type string, day bigint, user_id bigint"
+    ).localCheckpoint()  # feeds two joins below; bounded by k keys/window
 
-    # exact verify: events fan out to their covering windows, restricted
-    # to the (bounded, broadcast) candidate table before any aggregation
-    ev_w = base.select(
+    # exact verify: restrict the stream to candidate (type, user) traffic
+    # FIRST (distinct candidate users are k-bounded), then fan each
+    # surviving event out to its covering windows
+    cand_users = cand.select("event_type",
+                             F.col("user_id").alias("_x")).distinct()
+    ev_c = base.join(F.broadcast(cand_users), ["event_type", "_x"],
+                     "left_semi")
+    ev_w = ev_c.select(
         "event_type",
         F.explode(F.sequence(
             F.col("day"),
             F.col("day") + F.lit(int(window_days) - 1))).alias("day"),
-        F.col("_k").alias("user_id"))
+        F.col("_x").alias("user_id"))
     exact = (ev_w.join(F.broadcast(cand), ["event_type", "day", "user_id"])
              .groupBy("event_type", "day", "user_id")
              .agg(F.count(F.lit(1)).alias("cnt")))
     daily_n = base.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("_n"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rangeBetween(-(int(window_days) - 1), 0))
     totals = daily_n.select(
         "event_type", "day", F.sum("_n").over(w).alias("n_window"))
     return (exact.join(totals, ["event_type", "day"])
@@ -777,60 +792,20 @@ def rolling_value_quantiles(
     if window_days < 1:
         raise ValueError("rolling_value_quantiles: window_days must be >= 1")
     qcols = [f"q_{num}_{den}" for num, den in qs]
-    day = F.expr(f"{t_col} div 86400000000").alias("day")
-    base = events.select(F.col(type_col).alias("event_type"), day,
-                         F.col(value_col).cast("double").alias("_v"))
-
-    def partials(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes, uniques = pd.factorize(
-                pd.Series(list(zip(pdf["event_type"], pdf["day"]))),
-                sort=False)
-            blobs = K.partial_blobs_by_slot(
-                pdf["_v"].to_numpy(), codes.astype(np.int64), len(uniques),
-                k, seed)
-            yield pd.DataFrame({
-                "event_type": [t for t, _ in uniques],
-                "day": [int(d) for _, d in uniques],
-                "blob": blobs})
-
-    part = base.mapInPandas(partials,
-                            "event_type string, day bigint, blob binary")
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        blobs = [bytes(b) for b in pdf["blob"]]
-        merged = K.merge_blob_groups(blobs, np.array([len(blobs)]))[0]
-        out = pdf.iloc[[0]].copy()
-        out["blob"] = [merged]
-        return out
-
-    daily = part.groupBy("event_type", "day").applyInPandas(
-        merge_group, "event_type string, day bigint, blob binary")
-
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rangeBetween(-(int(window_days) - 1), 0))
-    windowed = daily.select(
-        "event_type", "day",
-        F.collect_list("blob").over(w).alias("_wblobs"))
+    base = events.select(F.col(type_col).alias("event_type"),
+                         _epoch_day(t_col).alias("day"),
+                         F.col(value_col).cast("double").alias("_x"))
+    daily = _daily_sketch_nodes(
+        base,
+        lambda v, s, n: K.partial_blobs_by_slot(v, s, n, k, seed),
+        lambda blobs, counts: K.merge_blob_groups(blobs, counts))
+    windowed = _windowed_blobs(daily, window_days).drop("blob")
 
     def readout(batches):
-        import numpy as np
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            flat: list[bytes] = []
-            counts = np.empty(len(pdf), dtype=np.int64)
-            for i, lst in enumerate(pdf["_wblobs"]):
-                bs = [bytes(b) for b in lst]
-                counts[i] = len(bs)
-                flat.extend(bs)
+            flat, counts = _flatten_window_lists(pdf)
             merged = K.merge_blob_groups(flat, counts)
             vals, exact, ns = K.quantile_blobs_rational(merged, list(qs))
             cols = {"event_type": pdf["event_type"], "day": pdf["day"],

@@ -213,9 +213,17 @@ def mad_outlier_rows(
 ) -> DataFrame:
     """The row-level twin of :func:`mad_outlier_stats`: the input rows
     whose value violates the MAD rule within their group, with the
-    group's (n, med2, mad2) attached.  Same exact integer decision."""
+    group's (n, med2, mad2) attached.  Same exact integer decision.
+    Input columns named _x/_dev/n/med2/mad2 are REFUSED (they collide
+    with the working/output columns — a silent duplicate would make the
+    final select ambiguous)."""
     if k_num < 1 or k_den < 1:
         raise ValueError("mad_outlier_rows: k_num and k_den must be >= 1")
+    clash = {"_x", "_dev", "n", "med2", "mad2"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"mad_outlier_rows: input columns {sorted(clash)} collide with "
+            "the op's working/output names — rename them first")
     g = list(group_cols)
     base = df.select(*df.columns, F.col(col).cast("bigint").alias("_x"))
     med = group_median2(base, "_x", group_cols)

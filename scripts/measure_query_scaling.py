@@ -404,7 +404,7 @@ def main() -> None:
                 if name in force_col:
                     n = df.agg(
                         F.count(F.lit(1)).alias("n"),
-                        F.sum(F.length(force_col[name])).alias("s"),
+                        F.sum(F.length(F.col(force_col[name]).cast("string"))).alias("s"),
                     ).first()["n"]
                 else:
                     n = df.count()
