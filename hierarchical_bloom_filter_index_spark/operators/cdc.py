@@ -91,6 +91,52 @@ def chunk_starts(text: str, window: int, mask_bits: int, seed: int) -> list[int]
     return [0] + [int(e) + 1 for e in ends if int(e) + 1 < n]
 
 
+def batch_chunk_starts(texts: list[str], window: int, mask_bits: int,
+                       seed: int) -> list[list[int]]:
+    """chunk_starts for a whole BATCH of documents in one vectorized
+    pass: every doc's codepoints concatenate into one stream, the
+    polynomial and the seeded hash run ONCE over all positions, and
+    each doc reads its boundary mask back as a slice — per-doc Python
+    shrinks to a mask slice + chunk-list build.  Windows never cross a
+    doc boundary because only positions with a full in-doc window are
+    sliced.  Byte-identical to per-doc chunk_starts (tested) — the
+    per-doc kernel measured 0.60 N->4N core efficiency at 37M chars
+    purely on ~40us/doc numpy dispatch overhead; this shape restores
+    compute-bound scaling (the partial_blobs_by_slot discipline)."""
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    if total == 0:
+        return [[] if n == 0 else [0] for n in lens]
+    cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                        dtype=np.uint32).astype(np.uint64)
+    w = _weights(window)
+    n_keys = total - window + 1
+    boundary = None
+    if n_keys > 0:
+        acc = np.zeros(n_keys, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                acc += cps[j:n_keys + j] * w[j]
+        h = hash64(acc, seed)
+        mask = np.uint64((1 << mask_bits) - 1)
+        boundary = (h & mask) == 0  # boundary[j]: cut after char j+window-1
+    out: list[list[int]] = []
+    for i, n in enumerate(lens):
+        n = int(n)
+        if n == 0:
+            out.append([])
+            continue
+        if n < window:
+            out.append([0])
+            continue
+        o = int(offs[i])
+        ends = np.flatnonzero(boundary[o:o + n - window + 1]) + (window - 1)
+        out.append([0] + [int(e) + 1 for e in ends if int(e) + 1 < n])
+    return out
+
+
 def cdc_chunks(
     docs: DataFrame,
     window: int = 8,
@@ -101,7 +147,9 @@ def cdc_chunks(
     source_col: str = "source",
 ) -> DataFrame:
     """(doc_id, source, chunk_idx, char_start, chunk): content-defined
-    chunks of every document.  One mapInPandas scan, zero shuffles."""
+    chunks of every document.  One mapInPandas scan, zero shuffles;
+    boundaries batch-vectorized across the Arrow batch's docs
+    (batch_chunk_starts)."""
     _check_params(window, mask_bits)
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = (f"doc_id {id_type}, source string, chunk_idx int, "
@@ -113,15 +161,19 @@ def cdc_chunks(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = [(did, src, t) for did, src, t in
+                    zip(pdf["doc_id"], pdf["source"], pdf["text"])
+                    if t is not None]
+            if not rows:
+                continue
+            all_starts = batch_chunk_starts([t for _, _, t in rows],
+                                            window, mask_bits, seed)
             ids: list = []
             srcs: list = []
             idxs: list = []
             starts_out: list = []
             chunks: list = []
-            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
-                if text is None:
-                    continue
-                starts = chunk_starts(text, window, mask_bits, seed)
+            for (did, src, text), starts in zip(rows, all_starts):
                 n = len(text)
                 for k, s in enumerate(starts):
                     e = starts[k + 1] if k + 1 < len(starts) else n

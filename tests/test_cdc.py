@@ -329,3 +329,14 @@ def test_chunk_novelty_values_and_pruning(spark, docs, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
         "PartitionFilters")[1][:200]
+
+
+def test_batch_kernel_matches_per_doc():
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        batch_chunk_starts)
+
+    batch = TEXTS + ["", "ab", "x" * 7, TEXTS[3] + "tail", "你好" * 30]
+    got = batch_chunk_starts(batch, W, BITS, SEED)
+    assert got == [chunk_starts(t, W, BITS, SEED) for t in batch]
+    # all-short batch (no valid window anywhere)
+    assert batch_chunk_starts(["ab", "", "xyz"], W, BITS, SEED) == [[0], [], [0]]
