@@ -7420,6 +7420,46 @@ def q_rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_value_quantiles(ev, 7, k=1024, seed=CFG.seed + 53)
 
 
+def q_rolling_distinct_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DAY-NODE MAINTENANCE GATE (operators/sessions.write_day_
+    node_store family): base store on two thirds of the events, the rest
+    arrives as a file stream (exactly-once delta commits via the
+    batch_id _SUCCESS probe), and the store-served rolling distinct must
+    equal the batch builder over ALL events — sketch nodes are
+    mergeable, so base + deltas is exact by construction — before AND
+    after compaction.  Empty symmetric difference; empty-relation
+    oracle.  OUT of bench.py (stream drain)."""
+    import tempfile
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        compact_day_nodes, day_node_stream, rolling_distinct_daily,
+        rolling_distinct_from_store, with_epoch_us, write_day_node_store)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    old = ev.filter(F.col("event_id") % 3 != 0)
+    new = ev.filter(F.col("event_id") % 3 == 0)
+    base = tempfile.mkdtemp(prefix="hbi_daynodes_")
+    write_day_node_store(old, f"{base}/store", family="hll", p=12,
+                         seed=CFG.seed + 47)
+    new.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
+    q = day_node_stream(
+        spark.readStream.schema(new.schema).parquet(f"{base}/in"),
+        f"{base}/store", f"{base}/chk")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "rolling_distinct_stream_parity: drain exceeded 300s")
+    batch = rolling_distinct_daily(ev, 7, p=12, seed=CFG.seed + 47)
+    live = rolling_distinct_from_store(spark, f"{base}/store", 7)
+    pre = live.exceptAll(batch).unionByName(batch.exceptAll(live))
+    pre = pre.localCheckpoint()  # compaction deletes files the lazy plan reads
+    compact_day_nodes(spark, f"{base}/store")
+    post_live = rolling_distinct_from_store(spark, f"{base}/store", 7)
+    post = post_live.exceptAll(batch).unionByName(batch.exceptAll(post_live))
+    return pre.unionByName(post)
+
+
 def q_label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT EMBEDDING CENTROIDS (operators/similarity.grouped_centroid_
     sums): per-label per-dimension centroid numerators as ORDER-FREE
@@ -7931,6 +7971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_value_quantiles": q_rolling_value_quantiles,
         # end-to-end pipeline: dedup -> quality filter -> shard manifest
         "curation_pipeline_manifest": q_curation_pipeline_manifest,
+        # streaming day-node maintenance (exactly-once deltas + compaction)
+        "rolling_distinct_stream_parity": q_rolling_distinct_stream_parity,
     }
 
 
@@ -10725,6 +10767,12 @@ FROM wv GROUP BY event_type, day"""
         FROM embeddings))
 SELECT grp, dim, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_scaled
 FROM v GROUP BY grp, dim"""
+
+    out["rolling_distinct_stream_parity"] = """SELECT
+  CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS day,
+  CAST(NULL AS BIGINT) AS n_distinct, CAST(NULL AS BIGINT) AS roll_distinct,
+  CAST(NULL AS BOOLEAN) AS exact
+WHERE FALSE"""
 
     out["rolling_heavy_users"] = """WITH e AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id

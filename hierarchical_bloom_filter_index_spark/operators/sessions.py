@@ -557,6 +557,18 @@ def _daily_sketch_nodes(base: DataFrame, partial_fn, merge_many) -> DataFrame:
 
     part = base.mapInPandas(partials,
                             "event_type string, day bigint, blob binary")
+    return _merge_day_nodes(part, merge_many)
+
+
+def _merge_day_nodes(part: DataFrame, merge_many) -> DataFrame:
+    """Fold a (event_type, day, blob) PARTIAL-node frame to one canonical
+    node per group: repartition by the group keys, then ONE vectorized
+    ``merge_many`` call per partition over its sorted rows (concat the
+    partition's Arrow batches first — a group must not straddle a batch
+    split).  Shared by the in-memory builders and the persisted
+    day-node store's read side."""
+    import numpy as np
+    import pandas as pd
 
     def merge_partition(batches):
         chunks = [pdf for pdf in batches if len(pdf)]
@@ -601,6 +613,39 @@ def _flatten_window_lists(pdf):
     return flat, counts
 
 
+def _distinct_readout(windowed: DataFrame, p: int) -> DataFrame:
+    """(event_type, day, n_distinct, roll_distinct, exact) readout over a
+    _windowed_blobs frame of HLL day nodes — shared by the in-memory
+    builder and the persisted-store server."""
+    import pandas as pd
+
+    from ..sketches import hll as H
+
+    def readout(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            own = [bytes(b) for b in pdf["blob"]]
+            flat, counts = _flatten_window_lists(pdf)
+            merged = H.merge_blob_groups(flat, counts, p)
+            n_day = np.rint(H.estimate_blobs(own, p)).astype(np.int64)
+            n_roll = np.rint(H.estimate_blobs(merged, p)).astype(np.int64)
+            exact = [H.is_sparse_blob(a) and H.is_sparse_blob(b)
+                     for a, b in zip(own, merged)]
+            yield pd.DataFrame({
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "n_distinct": n_day,
+                "roll_distinct": n_roll,
+                "exact": exact})
+
+    return windowed.mapInPandas(
+        readout, "event_type string, day bigint, n_distinct bigint, "
+                 "roll_distinct bigint, exact boolean")
+
+
 def rolling_distinct_daily(
     events: DataFrame,
     window_days: int,
@@ -641,31 +686,7 @@ def rolling_distinct_daily(
         base,
         lambda v, s, n: H.partial_blobs_by_slot(v, s, n, p, seed),
         lambda blobs, counts: H.merge_blob_groups(blobs, counts, p))
-    windowed = _windowed_blobs(daily, window_days)
-
-    def readout(batches):
-        import numpy as np
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            own = [bytes(b) for b in pdf["blob"]]
-            flat, counts = _flatten_window_lists(pdf)
-            merged = H.merge_blob_groups(flat, counts, p)
-            n_day = np.rint(H.estimate_blobs(own, p)).astype(np.int64)
-            n_roll = np.rint(H.estimate_blobs(merged, p)).astype(np.int64)
-            exact = [H.is_sparse_blob(a) and H.is_sparse_blob(b)
-                     for a, b in zip(own, merged)]
-            yield pd.DataFrame({
-                "event_type": pdf["event_type"],
-                "day": pdf["day"],
-                "n_distinct": n_day,
-                "roll_distinct": n_roll,
-                "exact": exact})
-
-    return windowed.mapInPandas(
-        readout, "event_type string, day bigint, n_distinct bigint, "
-                 "roll_distinct bigint, exact boolean")
+    return _distinct_readout(_windowed_blobs(daily, window_days), p)
 
 
 def rolling_heavy_users(
@@ -819,3 +840,161 @@ def rolling_value_quantiles(
               + ", ".join(f"{c} double" for c in qcols)
               + ", exact boolean")
     return windowed.mapInPandas(readout, schema)
+
+
+# ---------------------------------------------------------------------------
+# persisted day-node store: the rolling-sketch family's lifecycle
+# ---------------------------------------------------------------------------
+def _day_node_kernels(meta: dict):
+    """(partial_fn, merge_many) for a pinned day-node store geometry —
+    family + params come from META, never callers (the chunk-store /
+    minhash discipline)."""
+    fam = meta["family"]
+    if fam == "hll":
+        from ..sketches import hll as H
+
+        p, seed = int(meta["p"]), int(meta["seed"])
+        return (lambda v, s, n: H.partial_blobs_by_slot(v, s, n, p, seed),
+                lambda blobs, counts: H.merge_blob_groups(blobs, counts, p))
+    if fam == "mg":
+        from ..sketches import spacesaving as SS
+
+        k = int(meta["k"])
+        return (lambda v, s, n: SS.partial_blobs_by_slot(v, s, n, k),
+                lambda blobs, counts: SS.merge_blob_groups(blobs, counts, k))
+    if fam == "kll":
+        from ..sketches import kll as K
+
+        k, seed = int(meta["k"]), int(meta["seed"])
+        return (lambda v, s, n: K.partial_blobs_by_slot(v, s, n, k, seed),
+                lambda blobs, counts: K.merge_blob_groups(blobs, counts))
+    raise ValueError(f"day-node store: unknown family {fam!r}")
+
+
+def _day_node_base(events: DataFrame, meta: dict) -> DataFrame:
+    cast = "double" if meta["family"] == "kll" else "bigint"
+    return events.select(
+        F.col(meta["type_col"]).alias("event_type"),
+        _epoch_day(meta["t_col"]).alias("day"),
+        F.col(meta["key_col"]).cast(cast).alias("_x"))
+
+
+def write_day_node_store(
+    events: DataFrame,
+    path: str,
+    family: str = "hll",
+    p: int = 12,
+    k: int = 256,
+    seed: int = 0,
+    type_col: str = "event_type",
+    t_col: str = "t_us",
+    key_col: str = "user_id",
+) -> None:
+    """Persist the (event_type, day, blob) daily sketch-node table the
+    rolling family reads — sketch nodes are MERGEABLE, so the table is
+    incrementally maintainable: new events land as delta commits
+    (day_node_delta), readers merge base + deltas (read_day_nodes), and
+    compaction folds the tail (compact_day_nodes).  ``path/meta`` pins
+    (family, p/k/seed, column roles); maintenance never takes geometry
+    from callers."""
+    spark = events.sparkSession
+    meta = {"family": family, "p": int(p), "k": int(k), "seed": int(seed),
+            "type_col": type_col, "t_col": t_col, "key_col": key_col}
+    partial_fn, merge_many = _day_node_kernels(meta)
+    daily = _daily_sketch_nodes(_day_node_base(events, meta), partial_fn,
+                                merge_many)
+    daily.write.mode("overwrite").parquet(f"{path}/nodes")
+    spark.createDataFrame(
+        [(family, int(p), int(k), int(seed), type_col, t_col, key_col)],
+        "family string, p int, k int, seed bigint, type_col string, "
+        "t_col string, key_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _day_node_meta(spark, path: str) -> dict:
+    return spark.read.parquet(f"{path}/meta").first().asDict()
+
+
+def day_node_delta(events: DataFrame, path: str, batch_id: int) -> bool:
+    """EXACTLY-ONCE delta commit of a batch's day nodes into
+    ``path/delta/batch={id}`` — the batch_id _SUCCESS probe is the
+    replay guard (foreachBatch is at-least-once; this write is the
+    commit's only effect, so redelivery skips; torn dirs are
+    overwritten by the retry).  Partial nodes are SKETCH nodes, so the
+    read-side merge with the base is exact by mergeability."""
+    import os
+
+    dest = f"{path}/delta/batch={int(batch_id)}"
+    if os.path.exists(f"{dest}/_SUCCESS"):
+        return False
+    spark = events.sparkSession
+    meta = _day_node_meta(spark, path)
+    partial_fn, merge_many = _day_node_kernels(meta)
+    daily = _daily_sketch_nodes(_day_node_base(events, meta), partial_fn,
+                                merge_many)
+    if daily.isEmpty():
+        return False
+    daily.write.mode("overwrite").parquet(dest)
+    return True
+
+
+def day_node_stream(stream: DataFrame, path: str, checkpoint_path: str):
+    """STREAMING day-node maintenance: one exactly-once delta commit per
+    micro-batch; readers see base + deltas live through read_day_nodes.
+    Returns the started availableNow query."""
+    return (stream.writeStream.foreachBatch(
+        lambda bdf, bid: day_node_delta(bdf, path, bid))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start())
+
+
+def read_day_nodes(spark, path: str) -> DataFrame:
+    """The LIVE day-node table: base plus pending delta commits folded
+    per (event_type, day) through the family's merge kernel — THE one
+    read-side definition every rolling readout composes.  With no
+    pending deltas the plan is exactly the base read."""
+    import glob as _glob
+
+    base = spark.read.parquet(f"{path}/nodes")
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return base
+    meta = _day_node_meta(spark, path)
+    _, merge_many = _day_node_kernels(meta)
+    d = spark.read.parquet(*deltas).select("event_type", "day", "blob")
+    return _merge_day_nodes(base.unionByName(d), merge_many)
+
+
+def compact_day_nodes(spark, path: str) -> int:
+    """Fold pending deltas into the base (live table identical before
+    and after; localCheckpoint before the overwrite — the base rewrite
+    deletes files the lazy plan reads).  NOT concurrent-safe with an
+    active stream.  Returns delta commits folded."""
+    import glob as _glob
+    import shutil
+
+    deltas = sorted(_glob.glob(f"{path}/delta/batch=*"))
+    if not deltas:
+        return 0
+    merged = read_day_nodes(spark, path).localCheckpoint()
+    merged.write.mode("overwrite").parquet(f"{path}/nodes")
+    for dd in deltas:
+        shutil.rmtree(dd)
+    return len(deltas)
+
+
+def rolling_distinct_from_store(spark, path: str,
+                                window_days: int) -> DataFrame:
+    """rolling_distinct_daily served FROM the persisted day-node store
+    (family must be 'hll') — byte-for-byte the same answers as the
+    batch builder over the equivalent event set, because both read
+    canonical mergeable nodes (the driver parity gate)."""
+    meta = _day_node_meta(spark, path)
+    if meta["family"] != "hll":
+        raise ValueError(
+            f"rolling_distinct_from_store: store family {meta['family']!r} "
+            "is not 'hll'")
+    p = int(meta["p"])
+    return _distinct_readout(
+        _windowed_blobs(read_day_nodes(spark, path), window_days), p)

@@ -256,3 +256,56 @@ def test_rolling_value_quantiles_compacted_bound(spark):
     assert not r.exact and r.n_window == 20000
     # k=256 normalized rank error ~1.77/k; allow a generous 5x envelope
     assert abs(r.q_1_2 - 10000) <= 5 * (1.77 / 256) * 20000
+
+
+def test_day_node_store_lifecycle(spark, tmp_path):
+    import glob
+    import random
+
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        compact_day_nodes, day_node_delta, day_node_stream,
+        read_day_nodes, rolling_distinct_daily, rolling_distinct_from_store,
+        write_day_node_store)
+
+    rng = random.Random(31)
+    us = 86_400_000_000
+    rows = [(i, rng.randrange(70), rng.randrange(15) * us + rng.randrange(us),
+             rng.choice("mn"), 0.0) for i in range(3000)]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, t_us bigint, "
+              "event_type string, value double")
+    old = ev.filter("event_id % 3 != 0")
+    new = ev.filter("event_id % 3 = 0")
+    path = str(tmp_path / "store")
+    write_day_node_store(old, path, family="hll", p=12, seed=7)
+
+    # stream the new half in as delta commits
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    new.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    q = day_node_stream(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in_dir), path, chk)
+    assert q.awaitTermination(180)
+
+    batch_ans = sorted(map(tuple,
+                           rolling_distinct_daily(ev, 4, p=12, seed=7).collect()))
+    live = sorted(map(tuple,
+                      rolling_distinct_from_store(spark, path, 4).collect()))
+    assert live == batch_ans
+
+    # replay drill: recommitting an existing batch id is a no-op
+    committed = sorted(glob.glob(f"{path}/delta/batch=*"))
+    assert committed
+    bid = int(committed[0].rsplit("=", 1)[1])
+    assert day_node_delta(new, path, bid) is False
+
+    # compaction: live table identical before/after, deltas gone
+    assert compact_day_nodes(spark, path) >= 1
+    assert not glob.glob(f"{path}/delta/batch=*")
+    assert sorted(map(tuple,
+                      rolling_distinct_from_store(spark, path, 4).collect())) \
+        == batch_ans
+    # base now holds one canonical node per group
+    nodes = read_day_nodes(spark, path)
+    assert nodes.groupBy("event_type", "day").count().filter(
+        "count > 1").count() == 0
