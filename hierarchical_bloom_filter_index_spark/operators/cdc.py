@@ -308,8 +308,14 @@ def write_chunk_store(
     (window, mask_bits, seed, n_buckets); maintenance calls NEVER take
     geometry from callers — a mismatched chunking would silently corrupt
     every count.  ONE repartition by bucket keeps one writer task per
-    directory."""
+    directory.  An EMPTY corpus is REFUSED: a refs dir with zero parquet
+    files fails schema inference on every later read — the bricked-
+    work_dir trap the streaming paths guard against (review finding)."""
     spark = docs.sparkSession
+    if docs.filter(F.length(text_col) > 0).limit(1).isEmpty():
+        raise ValueError(
+            "write_chunk_store: corpus has no non-empty documents — an "
+            "empty refs dir would be unreadable (no inferable schema)")
     ch = cdc_chunks(docs, window, mask_bits, seed, text_col, id_col, source_col)
     tab = (ch.groupBy("source", "chunk")
            .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
@@ -464,6 +470,10 @@ def append_chunk_store_delta(new_docs: DataFrame, path: str,
     meta = spark.read.parquet(f"{path}/meta").first().asDict()
     delta = _chunk_store_delta(new_docs, meta, False, text_col, id_col,
                                source_col)
+    # localCheckpoint BEFORE the emptiness probe: isEmpty + write on the
+    # lazy frame would run the full chunking pass twice per micro-batch
+    # (review finding).
+    delta = delta.localCheckpoint(eager=True)
     if delta.isEmpty():
         return False
     delta.select("source", "chunk", "n_refs", "bucket").write.mode(

@@ -207,6 +207,17 @@ def minhash_signatures(
 
     Vectorized: one (n_shingles, n_perm) hash matrix per doc via seeded
     SplitMix64 re-mixing of the base shingle hashes — no per-row Python.
+    The per-doc matrix (~len(text) x n_perm) is deliberately the unit of
+    work: it fits L2 and a round-5 experiment showed a cross-doc
+    reduceat-batched variant 2x SLOWER at these shapes (segment-min along
+    axis 0 defeats the contiguous inner loop).
+
+    The (id, text) projection is REBALANCED before the Arrow pass when the
+    source has fewer partitions than the session's parallelism: the
+    documents table often arrives as one small parquet file, which silently
+    serialized the whole CPU-heavy signature pass onto one core (measured
+    ~1.7 s of the old 2.6 s call at sf0.1; the _build_global_axis lesson).
+    Well-partitioned inputs are left untouched — no shuffle added at scale.
     """
     perm_seeds = splitmix64(np.arange(n_perm, dtype=np.uint64) ^ _U64(seed * 0x9E3779B1))
 
@@ -221,7 +232,11 @@ def minhash_signatures(
                 out_sigs.append(mat.min(axis=0).astype(np.int64))
             yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(sigs, schema="doc_id string, sig array<long>")
+    src = docs.select(id_col, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(sigs, schema="doc_id string, sig array<long>")
 
 
 def band_buckets(sig: DataFrame, bands: int, n_perm: int) -> DataFrame:

@@ -932,6 +932,10 @@ def day_node_delta(events: DataFrame, path: str, batch_id: int) -> bool:
     partial_fn, merge_many = _day_node_kernels(meta)
     daily = _daily_sketch_nodes(_day_node_base(events, meta), partial_fn,
                                 merge_many)
+    # localCheckpoint BEFORE the emptiness probe: isEmpty + write on the
+    # lazy frame would run the full Arrow partial-sketch pass twice per
+    # micro-batch (review finding).
+    daily = daily.localCheckpoint(eager=True)
     if daily.isEmpty():
         return False
     daily.write.mode("overwrite").parquet(dest)

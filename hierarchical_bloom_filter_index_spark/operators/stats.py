@@ -130,6 +130,23 @@ def group_outliers(
 # ---------------------------------------------------------------------------
 # robust (median / MAD) statistics — exact integer order statistics
 # ---------------------------------------------------------------------------
+def _integral_bigint(col: str):
+    """``col`` as bigint, REFUSING fractional values in-plan.  The MAD
+    family's docstrings promise integral input; a silent toward-zero
+    truncation (review finding) would return plausible but wrong
+    medians/flags on a float metric column — the profile family's
+    _integral_values discipline, applied here.  NULLs pass through
+    (they sort to one end and never take a middle rank)."""
+    xi = F.col(col).cast("bigint")
+    bad = F.col(col).cast("double") != xi.cast("double")
+    return F.when(
+        bad,
+        F.raise_error(F.concat(
+            F.lit(f"integral column required: '{col}' holds fractional "
+                  "value "), F.col(col).cast("string"))).cast("bigint"),
+    ).otherwise(xi)
+
+
 def group_median2(
     df: DataFrame,
     col: str,
@@ -152,7 +169,7 @@ def group_median2(
         raise ValueError("group_median2: need at least one group col")
     w = Window.partitionBy(*group_cols)
     base = (
-        df.select(*group_cols, F.col(col).cast("bigint").alias("_x"))
+        df.select(*group_cols, _integral_bigint(col).alias("_x"))
         .withColumn("_rn", F.row_number().over(w.orderBy(F.asc("_x"))))
         .withColumn("_n", F.count(F.lit(1)).over(w)))
     lo = F.expr("(_n + 1) div 2")
@@ -184,12 +201,13 @@ def mad_outlier_stats(
     across engines (the mean/sigma rule in group_outliers breaks on
     heavy-tailed metrics; this is its robust twin).  Two window
     exchanges (one per median pass) + two broadcast joins of
-    group-cardinality tables.  Input column must be integral (cast to
-    bigint); |x| must stay below ~2^61/k_den for the cross-product."""
+    group-cardinality tables.  Input column must be integral (fractional
+    values are REFUSED in-plan, never truncated); |x| must stay below
+    ~2^61/k_den for the cross-product."""
     if k_num < 1 or k_den < 1:
         raise ValueError("mad_outlier_stats: k_num and k_den must be >= 1")
     g = list(group_cols)
-    base = df.select(*g, F.col(col).cast("bigint").alias("_x"))
+    base = df.select(*g, _integral_bigint(col).alias("_x"))
     med = group_median2(base, "_x", group_cols)
     dev = (base.join(F.broadcast(med), on=g)
            .select(*g, F.abs(2 * F.col("_x") - F.col("med2")).alias("_dev")))
@@ -225,7 +243,7 @@ def mad_outlier_rows(
             f"mad_outlier_rows: input columns {sorted(clash)} collide with "
             "the op's working/output names — rename them first")
     g = list(group_cols)
-    base = df.select(*df.columns, F.col(col).cast("bigint").alias("_x"))
+    base = df.select(*df.columns, _integral_bigint(col).alias("_x"))
     med = group_median2(base, "_x", group_cols)
     with_med = base.join(F.broadcast(med), on=g)
     dev_df = with_med.select(*g, F.abs(2 * F.col("_x") - F.col("med2"))

@@ -773,12 +773,16 @@ def _in_vocab(wcnt: DataFrame, vocab: DataFrame):
     in-vocab.  The vocab is vocabulary-sized by contract: small vocabs
     inline as an isin literal list (no join at all — the predicate rides
     the aggregation scan); larger ones broadcast-join.  Either way no
-    shuffle is added."""
-    words = [r["word"] for r in vocab.select("word").collect()]
+    shuffle is added.  The vocab is treated as a SET: duplicate word rows
+    are collapsed up front, so the broadcast-join path cannot multiply
+    (source, word) rows (isin is naturally duplicate-immune; the join
+    path wasn't)."""
+    words = [r["word"] for r in vocab.select("word").distinct().collect()]
     if len(words) <= _VOCAB_INLINE_MAX:
         return wcnt.withColumn("_inv", F.col("word").isin(words)), words
     marked = wcnt.join(
-        F.broadcast(vocab.select("word", F.lit(True).alias("_inv"))),
+        F.broadcast(vocab.select("word").distinct()
+                    .withColumn("_inv", F.lit(True))),
         "word", "left").withColumn("_inv", F.coalesce("_inv", F.lit(False)))
     return marked, words
 

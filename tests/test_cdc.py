@@ -340,3 +340,19 @@ def test_batch_kernel_matches_per_doc():
     assert got == [chunk_starts(t, W, BITS, SEED) for t in batch]
     # all-short batch (no valid window anywhere)
     assert batch_chunk_starts(["ab", "", "xyz"], W, BITS, SEED) == [[0], [], [0]]
+
+
+def test_write_chunk_store_refuses_empty_corpus(spark, tmp_path):
+    """Review fix: an empty corpus would write a refs dir with no parquet
+    files — unreadable forever (no inferable schema). Refuse loudly."""
+    from hierarchical_bloom_filter_index_spark.operators.cdc import (
+        write_chunk_store)
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, text string, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        write_chunk_store(empty, str(tmp_path / "cs"))
+    blank = spark.createDataFrame(
+        [("0", "", "s0")], "doc_id string, text string, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        write_chunk_store(blank, str(tmp_path / "cs2"))

@@ -91,3 +91,30 @@ def test_stream_replay_guard(split, spark, tmp_path):
     got2 = spark.read.parquet(f"{work}/out").drop("batch_id")
     assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, got1.collect()))
     shutil.rmtree(f"{work}/out", ignore_errors=True)
+
+
+def test_batched_signatures_match_per_doc_reference(split):
+    """minhash_signatures (whatever its kernel/partitioning) is
+    byte-identical to the straightforward per-doc reference — pins the
+    wire contract across kernel experiments (round 5 tried and reverted
+    a cross-doc reduceat batch; the rebalance must not change values)."""
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        _U64, char_shingle_hashes)
+    from hierarchical_bloom_filter_index_spark.sketches.hashing import (
+        splitmix64)
+
+    docs, _, _ = split
+    n_perm, shingle_n, seed = 64, 5, 42
+    sig = {r["doc_id"]: np.array(r["sig"])
+           for r in D.minhash_signatures(
+               docs.limit(200), n_perm, shingle_n, seed).collect()}
+    perm_seeds = splitmix64(
+        np.arange(n_perm, dtype=np.uint64) ^ _U64(seed * 0x9E3779B1))
+    rows = docs.limit(200).collect()
+    assert len(sig) == len(rows)
+    for r in rows:
+        h = char_shingle_hashes(r["text"], shingle_n)
+        ref = splitmix64(h[:, None] ^ perm_seeds[None, :]).min(axis=0)
+        assert (sig[r["doc_id"]].astype(np.uint64) == ref).all(), r["doc_id"]

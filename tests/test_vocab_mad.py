@@ -134,3 +134,43 @@ def test_grouped_centroid_sums_order_free(spark):
                 if l == grp]
         assert n == len(vals)
         assert s == sum(int(np.floor(float(v) * (1 << 20))) for v in vals)
+
+
+def test_mad_refuses_fractional_input(spark):
+    """Review fix: fractional metric values must REFUSE in-plan, never
+    truncate toward zero into plausible-but-wrong medians."""
+    from pyspark.sql.utils import PythonException
+    import py4j.protocol
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.5), (1, "g", 2.0), (2, "g", 3.0)],
+        "id bigint, g string, x double")
+    with pytest.raises(Exception) as ei:
+        mad_outlier_stats(df, "x", ("g",), 3).collect()
+    assert "integral column required" in str(ei.value)
+    # integral-valued doubles pass (the cast is lossless there)
+    ok = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0), (2, "g", 9.0)],
+        "id bigint, g string, x double")
+    r = mad_outlier_stats(ok, "x", ("g",), 3).collect()[0]
+    assert r.med2 == 4
+
+
+def test_vocab_duplicate_rows_are_a_set(spark, docs):
+    """Review fix: duplicate vocab rows must not multiply (source, word)
+    rows through the >4096-word broadcast-join path; both paths treat
+    the vocab as a set."""
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        _VOCAB_INLINE_MAX, vocab_coverage)
+
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("alpha",)], "word string")
+    base = {r["source"]: r.asDict() for r in
+            vocab_coverage(docs, vocab).collect()}
+    # pad the vocab past the inline cap with junk words (+ more dups)
+    junk = [(f"zz{i}",) for i in range(_VOCAB_INLINE_MAX + 8)]
+    big = vocab.unionByName(spark.createDataFrame(
+        junk + [("beta",)], "word string"))
+    joined = {r["source"]: r.asDict() for r in
+              vocab_coverage(docs, big).collect()}
+    assert base == joined
