@@ -21,10 +21,20 @@ This script builds that regime deterministically (no external data):
     pairs stay within blocks — pair density grows exactly 5x, never
     quadratically.
 
-Measured UNCAPPED at 1x and 5x (their design regime):
-  winnowing_pairs, ngram_jaccard_pairs, jaccard_prefix_pairs,
-  cdc_shared_chunk_pairs, leakage_safe_splits (over the jaccard-prefix
-  pair graph).
+What the fixture actually showed (and the artifact records): even at
+50k-word Zipf vocab, the CHAR-GRAM blocking keys keep a heavy df head —
+90 of 524k winnowed 8-gram fingerprints carry df > 1024 (max 7704 ≈
+every doc: common-word grams) and contribute 700M of the 828M candidate
+pair rows at 1x.  Uncapped gram blocking is quadratic on NATURAL text by
+the data, not by the synthetic fixture — so the capped path IS the
+design regime for winnowing / char-n-gram Jaccard, and this script
+measures it (cap 256; the df quantiles + pairs-saved numbers are in the
+JSON under ``df_diagnostics``).  The two surfaces whose blocking keys
+are genuinely sparse on real text run UNCAPPED: jaccard_prefix_pairs
+(prefix = each set's RAREST words — Zipf-tail df) and
+cdc_shared_chunk_pairs (32-char content-defined chunks — shared only by
+actual near-dups), plus leakage_safe_splits over the jaccard-prefix pair
+graph.
 
 Cap-engagement evidence on the SYNTHETIC sf0.01 corpus (the worst
 case): each cap demonstrably fires — truncating caps drop rows
@@ -156,8 +166,15 @@ def _spark():
 def _docs(spark, d: str):
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(os.path.join(d, "documents.parquet")).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text", "source")
+    # the fixture arrives as ONE parquet file; without a rebalance every
+    # Arrow kernel (fingerprints, shingles, chunking) runs single-core and
+    # the measurement reads IO shape, not operator shape.  Rebalancing at
+    # BOTH scales keeps the ratio honest and matches the design regime
+    # (a real corpus arrives in many files).
+    return (spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    "text", "source"))
 
 
 def _surfaces(spark, d: str) -> dict:
@@ -178,12 +195,16 @@ def _surfaces(spark, d: str) -> dict:
         ).alias("toks"))
 
     def winnowing():
+        # capped: see module docstring — the df head of winnowed grams is
+        # ~N on natural text (common-word 8-grams); 256 keeps 523.6k of
+        # 524.1k fingerprints and cuts candidate pairs 828M -> 36M at 1x
         return D.winnowing_pairs(docs, min_shared=2, k=8, window=4,
-                                 max_fp_df=None).count()
+                                 max_fp_df=256).count()
 
     def ngram_jaccard():
+        # capped for the same reason (5-gram shingles of common words)
         return D.ngram_jaccard_pairs(docs, threshold=0.8, n=5,
-                                     max_shingle_df=None).count()
+                                     max_shingle_df=256).count()
 
     def jaccard_prefix():
         return D.jaccard_prefix_pairs(tok, "doc_id", "toks", 0.8,
@@ -215,6 +236,46 @@ def _surfaces(spark, d: str) -> dict:
     }
 
 
+def df_diagnostics(spark, d: str) -> dict:
+    """Per-blocking-key document-frequency shape at one scale — the
+    evidence for WHICH surfaces may run uncapped on natural text.
+    sum(df^2) IS the candidate-join row count a key family would emit."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_bloom_filter_index_spark.operators.cdc import cdc_chunks
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        winnowing_fingerprints)
+
+    docs = _docs(spark, d)
+    out: dict[str, dict] = {}
+
+    def shape(kv: "DataFrame", key: str) -> dict:  # noqa: F821
+        df = kv.groupBy(key).count()
+        r = df.selectExpr(
+            "count(*) AS n_keys",
+            "percentile_approx(count, array(0.5,0.9,0.99,0.999,1.0), 10000)"
+            " AS q",
+            "sum(count*count) AS sum_df2",
+            "sum(CASE WHEN count > 256 THEN count*count ELSE 0 END)"
+            " AS sum_df2_over_256").first()
+        return {"n_keys": r["n_keys"], "df_q50_90_99_999_max": list(r["q"]),
+                "candidate_pair_rows": r["sum_df2"],
+                "pair_rows_from_keys_over_256": r["sum_df2_over_256"]}
+
+    fp = winnowing_fingerprints(docs, k=8, window=4).select(
+        "doc_id", F.explode("fps").alias("fp"))
+    out["winnowing_fp"] = shape(fp, "fp")
+    ch = cdc_chunks(docs, window=8, mask_bits=5, seed=0).select(
+        "doc_id", F.xxhash64("chunk").alias("ck")).distinct()
+    out["cdc_chunk"] = shape(ch, "ck")
+    tok = docs.select(
+        F.explode(F.array_distinct(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+        ).alias("w"))  # one row per (doc, distinct word) => count per w = df
+    out["word"] = shape(tok, "w")
+    return out
+
+
 def cap_evidence(spark) -> dict:
     """The caps demonstrably FIRE on the synthetic worst case."""
     from pyspark.sql import functions as F
@@ -239,9 +300,19 @@ def cap_evidence(spark) -> dict:
                                    max_shingle_df=32).count()
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8, n=5,
                                   max_shingle_df=None).count()
+    # the pair COUNT can coincide even when the cap drops shingles (the
+    # survivors' Jaccard stays over threshold) — engagement is whether
+    # over-cap shingle keys exist, i.e. whether anything was dropped
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 4, 1)),"
+            " i -> substring(text, i, 5))")).alias("g")).distinct()
+    n_hot = (sh.groupBy("g").count()
+             .filter(F.col("count") > 32).count())
     out["ngram_jaccard_max_shingle_df"] = {
         "capped_pairs": capped, "exact_pairs": exact,
-        "engaged": capped != exact, "sec": round(time.time() - t0, 3)}
+        "hot_shingles_over_cap": n_hot, "engaged": n_hot > 0,
+        "sec": round(time.time() - t0, 3)}
 
     t0 = time.time()
     ch = cdc_chunks(docs, window=8, mask_bits=5, seed=0)
@@ -291,6 +362,9 @@ def main() -> None:
             print(f"# x{mult} {name}: {n_out} rows in {best:.2f}s")
         spark.catalog.clearCache()
 
+    diags = {f"x{m}": df_diagnostics(spark, dirs[m]) for m in (1, 5)}
+    for k, v in diags.items():
+        print(f"# df {k}: {v}")
     caps = cap_evidence(spark)
     for k, v in caps.items():
         print(f"# cap {k}: {v}")
@@ -299,7 +373,10 @@ def main() -> None:
         "fixture": {"vocab": VOCAB, "zipf_s": ZIPF_S,
                     "docs_per_block": DOCS_PER_BLOCK, "mut_frac": MUT_FRAC,
                     "mut_rate": MUT_RATE, "seed": SEED},
+        "caps": {"winnowing_max_fp_df": 256, "ngram_max_shingle_df": 256,
+                 "jaccard_prefix": None, "cdc": None},
         "results": results,
+        "df_diagnostics": diags,
         "cap_evidence": caps,
     }
     os.makedirs(os.path.dirname(OUT_JSON), exist_ok=True)
