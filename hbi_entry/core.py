@@ -2008,6 +2008,91 @@ def _chunk_split(spark: SparkSession, sf_dir: str):
 VOCAB_N = 16
 
 
+# SimHash Hamming-pair oracle parameters: shingle width, hash seed, and the
+# Hamming radius of the pair query (pigeonhole banding with max_hamming+1
+# chunks is EXACT — candidates are a superset, the bit_count filter decides)
+SIMHASH_N, SIMHASH_SEED, SIMHASH_D = 4, 7, 3
+
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_M1, _SM_M2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+
+def _sql_splitmix(col: str) -> str:
+    """splitmix64(col) for a HUGEINT col in [0, 2^64) — the seed-free
+    finalizer (sketches/hashing.splitmix64), composed from the same
+    _sql_mul64/_sql_xsr primitives the seeded twin uses."""
+    h0 = f"((({col}) + {_SM_GOLDEN}) % {_P64})"
+    h1 = _sql_mul64(_sql_xsr(h0, 30), _SM_M1)
+    h2 = _sql_mul64(_sql_xsr(h1, 27), _SM_M2)
+    return _sql_xsr(h2, 31)
+
+
+def _sql_hash64(col: str, seed: int) -> str:
+    """hash64(col, seed) for a HUGEINT col in [0, 2^64) — xor the per-seed
+    mix constant on the signed BIGINT view, then splitmix64 (bit-exact vs
+    sketches/hashing.hash64; same construction as _key_hash_ctes, usable
+    as a single inline expression)."""
+    s = _seed_mix_const(seed)
+    s_signed = s - _P64 if s >= (1 << 63) else s
+    signed = (f"CAST(({col}) - CASE WHEN ({col}) >= {1 << 63} THEN {_P64} "
+              f"ELSE 0 END AS BIGINT)")
+    x = f"xor({signed}, CAST({s_signed} AS BIGINT))"
+    ux = f"(CAST({x} AS HUGEINT) + CASE WHEN {x} < 0 THEN {_P64} ELSE 0 END)"
+    return _sql_splitmix(ux)
+
+
+def _simhash_pairs_oracle() -> str:
+    """DuckDB twin of dedup.simhash_near_pairs on the _CONTAINMENT_DOMAIN
+    sub-corpus: recompute every 64-bit SimHash signature from scratch in SQL
+    (char-substr shingles == the kernel's byte windows on ASCII docs; packed
+    big-endian -> splitmix64 -> seeded hash64, bit-exact vs the numpy chain
+    in dedup.char_shingle_hashes/simhash_signatures — DISTINCT before or
+    after hashing is equivalent because splitmix64 is a bijection), then
+    exact all-pairs Hamming via bit_count(xor) on the signed BIGINT view
+    (DuckDB's bit_count counts two's-complement bits, verified -1 -> 64).
+    The per-doc bit sums use 64 SUM aggregates in ONE GROUP BY instead of a
+    64x row fan-out; sign rule `2*cnt_b > n` == the kernel's `acc > 0`."""
+    n = SIMHASH_N
+    pack = " + ".join(
+        f"ord(substr(text, i + {j}, 1)) * {256 ** (n - 1 - j)}" for j in range(n)
+    )
+    cnts = ",\n  ".join(
+        f"SUM(CAST((h // {1 << b}) % 2 AS BIGINT)) AS c{b}" for b in range(64)
+    )
+    word = " + ".join(
+        f"CASE WHEN 2*c{b} > n THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""WITH dom AS (
+  -- VARCHAR doc ids up front: the Spark side's doc_id is string, so the
+  -- a < b pair orientation below must be the STRING order on both engines
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE length(text) >= 5 AND strlen(text) = length(text)),
+sh AS (
+  SELECT DISTINCT doc_id, CAST({pack} AS HUGEINT) AS key
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, CAST(length(text) - {n - 1} AS BIGINT))) AS i
+        FROM dom)
+),
+keys AS (SELECT DISTINCT key FROM sh),
+h1 AS MATERIALIZED (SELECT key, {_sql_splitmix('key')} AS sm FROM keys),
+h2 AS MATERIALIZED (SELECT key, {_sql_hash64('sm', SIMHASH_SEED)} AS h FROM h1),
+acc AS (
+  SELECT s.doc_id, COUNT(*) AS n, {cnts}
+  FROM sh s JOIN h2 h USING (key)
+  GROUP BY s.doc_id
+),
+sig AS (SELECT doc_id, {word} AS uw FROM acc),
+sw AS (SELECT doc_id,
+              CAST(uw - CASE WHEN uw >= {1 << 63} THEN CAST({_P64} AS HUGEINT)
+                        ELSE 0 END AS BIGINT) AS simhash
+       FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sw a JOIN sw b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_D}"""
+
+
 # Queries whose plan ends in a unique-key LEFT JOIN: Spark 4 eliminates
 # that join under a bare .count() (the whole pipeline collapses to the
 # corpus scan — measured 0.2s for 5.3s of real work), so timing harnesses

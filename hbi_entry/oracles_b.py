@@ -1107,6 +1107,9 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     greatest = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
     first_max = " ".join(f"WHEN s_{l} = g THEN '{l}'" for l in langs)
     out["bloom_rollup_geometry"] = out["index_geometry"]
+    # SimHash lifted to VALUE-checked: the uncapped pigeonhole banding is
+    # exact, and the twin recomputes every signature bit-for-bit in SQL
+    out["simhash_hamming_pairs"] = _simhash_pairs_oracle()
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]

@@ -1127,6 +1127,22 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, max_bucket=10_000)
 
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-checked SimHash surface: all pairs with signature Hamming
+    distance <= SIMHASH_D on the _CONTAINMENT_DOMAIN sub-corpus (where the
+    byte- and char-shingle definitions coincide). UNCAPPED, so the
+    pigeonhole chunk banding is exact — any pair within distance d agrees
+    on >= 1 of the d+1 chunks, and the bit_count filter decides; the DuckDB
+    twin recomputes every signature from scratch (packed shingles ->
+    splitmix64 -> seeded hash64, bit-exact) and brute-forces all pairs
+    (operators/dedup.py:simhash_near_pairs; the shipped capped/
+    domain-unrestricted path stays covered by simhash_neardup)."""
+    docs = _docs(spark, sf_dir).filter(_CONTAINMENT_DOMAIN)
+    return D.simhash_near_pairs(
+        docs, max_hamming=SIMHASH_D, shingle_n=SIMHASH_N, seed=SIMHASH_SEED,
+        max_bucket=None)
+
+
 def q_incremental_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD GATE for incremental dedup: near-dup pairs of a new ingestion
     batch vs the PERSISTED corpus MinHash index (corpus never re-shingled)
