@@ -2093,6 +2093,39 @@ FROM sw a JOIN sw b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_D}"""
 
 
+PR_ITERS, PR_DAMPING, PR_SCALE = 5, (85, 100), 10**12
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin of q_custsupp_pagerank: the same edge derivation and the
+    same integer fixed-point recurrence, unrolled to PR_ITERS CTE stages
+    (every operation is a floor over non-negative BIGINTs, so Spark `div`
+    == DuckDB `//` and the scores are hash-equal)."""
+    num, den = PR_DAMPING
+    parts = [f"""WITH eraw AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS u,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ed AS (SELECT u, v FROM eraw UNION ALL SELECT v AS u, u AS v FROM eraw),
+nodes AS (SELECT DISTINCT u AS node
+          FROM (SELECT u FROM ed UNION ALL SELECT v FROM ed)),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes),
+s0 AS (SELECT node, CAST({PR_SCALE} // cnt AS BIGINT) AS s FROM nodes, nn)"""]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""c{i} AS (
+  SELECT ed.v AS node, SUM(s.s // deg.d) AS m
+  FROM s{i - 1} s JOIN deg ON deg.u = s.node JOIN ed ON ed.u = s.node
+  GROUP BY ed.v),
+s{i} AS (
+  SELECT nodes.node,
+         CAST(({PR_SCALE} * {den - num}) // ({den} * nn.cnt)
+              + ({num} * COALESCE(c.m, 0)) // {den} AS BIGINT) AS s
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON c.node = nodes.node)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, s AS score FROM s{PR_ITERS}")
+
+
 # Queries whose plan ends in a unique-key LEFT JOIN: Spark 4 eliminates
 # that join under a bare .count() (the whole pipeline collapses to the
 # corpus scan — measured 0.2s for 5.3s of real work), so timing harnesses

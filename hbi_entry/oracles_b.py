@@ -1110,6 +1110,8 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     # SimHash lifted to VALUE-checked: the uncapped pigeonhole banding is
     # exact, and the twin recomputes every signature bit-for-bit in SQL
     out["simhash_hamming_pairs"] = _simhash_pairs_oracle()
+    # integer fixed-point PageRank: identical floor recurrence both engines
+    out["custsupp_pagerank"] = _pagerank_oracle_sql()
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]

@@ -1793,4 +1793,27 @@ def q_doclen_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(docs, "doclen", ("source",), k_num=5, k_den=2)
 
 
+def q_custsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER PAGERANK over the customer-supplier trade graph: distinct
+    (custkey, suppkey) pairs from lineitem x orders, undirected (both
+    directions), PR_ITERS power iterations in pure BIGINT fixed-point —
+    per-node emit is floor(s/deg) computed ONCE per round, in-messages are
+    order-free integer sums, so the scores are hash-exact vs the DuckDB
+    unrolled-CTE twin (operators/graph.pagerank_scaled; float PageRank
+    could never be — parallel float sums re-associate)."""
+    from hierarchical_bloom_filter_index_spark.operators.graph import pagerank_scaled
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    e = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("u"),
+                 F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("v"))
+         .distinct())
+    ed = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank_scaled(ed, iters=PR_ITERS, damping=PR_DAMPING,
+                           scale=PR_SCALE)
+
+
 __all__ = [k for k in list(globals()) if not k.startswith('__')]

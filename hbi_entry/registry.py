@@ -374,6 +374,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_top_terms": q_oov_top_terms,
         # robust per-group outliers: exact integer median/MAD rule
         "doclen_mad_outliers": q_doclen_mad_outliers,
+        "custsupp_pagerank": q_custsupp_pagerank,
         # persisted chunk store: build / append / remove lifecycle
         "chunk_store_stats": q_chunk_store_stats,
         "chunk_store_append_parity": q_chunk_store_append_parity,

@@ -85,6 +85,71 @@ def _triangle_count_canonical(e: DataFrame, deg: DataFrame) -> int:
     return wedges.join(closing, ["u", "v"], "left_semi").count()
 
 
+def pagerank_scaled(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Deterministic fixed-iteration PageRank over a DIRECTED edge list,
+    in pure BIGINT fixed-point arithmetic — (node, score) with score on a
+    ``scale`` denominator after ``iters`` power iterations.
+
+    Float PageRank is accumulation-order-dependent (parallel float sums
+    re-associate), so a float twin can never be hash-equal cross-engine.
+    This one is exact: per iteration each node emits
+    ``c_u = floor(s_u / outdeg_u)`` once (a pure function of the previous
+    state), in-messages are INTEGER sums (order-free), and the update is
+    ``s'_v = floor(scale*(den-num) / (den*n)) + floor(num * sum_v / den)``
+    with damping = num/den — every operation a floor over non-negative
+    integers, identical in Spark `div` and DuckDB `//`. Multi-edges count
+    multiply (pass a distinct frame for the simple-graph semantics);
+    dangling nodes (no out-edges) keep receiving the teleport base while
+    their own mass leaks, the standard "lost mass" variant — deterministic
+    either way, documented rather than redistributed.
+
+    Scale shape: the edge list is repartitioned by src ONCE and persisted —
+    each iteration is one src-partitioned join (contributions onto edges)
+    plus one groupBy(dst) shuffle, i.e. edge-only shuffles, O(iters)
+    rounds, no driver-side graph state; the per-round frontier is
+    localCheckpoint'ed (the connected-components iterative-lineage
+    discipline). Reference analog: none (the reference has no graph ops) —
+    this serves the curation pipeline's centrality readout over similarity
+    graphs and relational entity graphs."""
+    if iters < 0:
+        raise ValueError("pagerank_scaled: iters must be >= 0")
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError("pagerank_scaled: damping must satisfy 0 < num < den")
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .repartition("u").persist())
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionAll(e.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select("node", F.lit(0).cast("bigint").alias("score"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    base = (scale * (den - num)) // (den * n)
+    scores = nodes.select("node", F.lit(scale // n).cast("bigint").alias("s"))
+    for _ in range(iters):
+        contrib = (scores.join(deg, scores["node"] == deg["u"])
+                   .select("u", F.expr("s div d").alias("c")))
+        msgs = (e.join(contrib, "u")
+                .groupBy("v").agg(F.sum("c").alias("m")))
+        scores = (nodes.join(msgs, nodes["node"] == msgs["v"], "left")
+                  .select("node",
+                          (F.lit(base)
+                           + F.expr(f"({num} * coalesce(m, 0)) div {den}"))
+                          .cast("bigint").alias("s"))
+                  .localCheckpoint())
+    e.unpersist()
+    return scores.select("node", F.col("s").alias("score"))
+
+
 def graph_stats(edges: DataFrame, a_col: str = "doc_a",
                 b_col: str = "doc_b") -> DataFrame:
     """One-row (n_nodes, n_edges, n_triangles, max_degree, sum_wedges)

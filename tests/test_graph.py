@@ -79,3 +79,80 @@ def test_canonical_edges(spark):
                                "doc_a bigint, doc_b bigint")
     assert canonical_edges(df).collect() == [("1", "2")] or \
         [tuple(r) for r in canonical_edges(df).collect()] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# pagerank_scaled
+# ---------------------------------------------------------------------------
+def _pr_brute(edges, iters, num, den, scale):
+    """Pure-python reference of the integer fixed-point recurrence."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    outdeg, adj = {}, []
+    for u, v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+        adj.append((u, v))
+    base = (scale * (den - num)) // (den * n)
+    s = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        c = {u: s[u] // d for u, d in outdeg.items()}
+        msg = {v: 0 for v in nodes}
+        for u, v in adj:
+            msg[v] += c[u]
+        s = {v: base + (num * msg[v]) // den for v in nodes}
+    return s
+
+
+PR_CASES = [
+    [("a", "b"), ("b", "a")],  # 2-cycle
+    [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+    # dangling node d (no out-edges): mass leaks, teleport base remains
+    [("a", "b"), ("b", "d"), ("a", "d")],
+    # multi-edge counts multiply
+    [("a", "b"), ("a", "b"), ("b", "a")],
+    # star hub
+    [(f"n{i}", "hub") for i in range(12)] + [("hub", "n0")],
+]
+
+
+@pytest.mark.parametrize("case", PR_CASES)
+def test_pagerank_matches_brute(spark, case):
+    from hierarchical_bloom_filter_index_spark.operators.graph import pagerank_scaled
+
+    df = spark.createDataFrame(case, "u string, v string")
+    got = {r["node"]: r["score"]
+           for r in pagerank_scaled(df, iters=4, damping=(85, 100),
+                                    scale=10**9).collect()}
+    assert got == _pr_brute(case, 4, 85, 100, 10**9)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Scores are a pure function of the multiset of edges — any input
+    partitioning gives byte-identical results (integer sums are order-free)."""
+    from hierarchical_bloom_filter_index_spark.operators.graph import pagerank_scaled
+
+    case = [(f"u{i % 7}", f"u{(i * 3 + 1) % 7}") for i in range(40)]
+    df1 = spark.createDataFrame(case, "u string, v string").repartition(1)
+    df2 = spark.createDataFrame(case[::-1], "u string, v string").repartition(13)
+    a = sorted(map(tuple, pagerank_scaled(df1, iters=3).collect()))
+    b = sorted(map(tuple, pagerank_scaled(df2, iters=3).collect()))
+    assert a == b
+
+
+def test_pagerank_refusals(spark):
+    from hierarchical_bloom_filter_index_spark.operators.graph import pagerank_scaled
+
+    df = spark.createDataFrame([("a", "b")], "u string, v string")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_scaled(df, iters=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_scaled(df, damping=(100, 100))
+
+
+def test_pagerank_empty(spark):
+    from hierarchical_bloom_filter_index_spark.operators.graph import pagerank_scaled
+
+    df = spark.createDataFrame([], "u string, v string")
+    assert pagerank_scaled(df, iters=2).count() == 0
