@@ -871,10 +871,12 @@ TFIDF_K = 3
 WBM25_TERMS, WBM25_K, WBM25_K1, WBM25_B = ["dup", "vector", "key"], 10, 1.2, 0.75
 
 
-def _word_bm25_oracle_sql() -> str:
-    """DuckDB twin of q_bm25_topk_docs: idf/avgdl computed in SQL (bit-equal
-    to the Python precompute — same libm), score fragment mirrors
-    operators/text._bm25_score_sql's op order exactly."""
+def _wbm25_scored_cte() -> str:
+    """The shared word-BM25 CTE chain (w/st/i/s, ending in relation
+    s(doc_id, dl, score)): idf/avgdl computed in SQL (bit-equal to the
+    Python precompute — same libm), score fragment mirrors
+    operators/text._bm25_score_sql's op order exactly. Shared by the BM25
+    oracle and the RRF-fusion oracle."""
     from hierarchical_bloom_filter_index_spark.operators.text import _dlit
 
     k1p1, k1l = _dlit(WBM25_K1 + 1.0), _dlit(WBM25_K1)
@@ -892,7 +894,7 @@ def _word_bm25_oracle_sql() -> str:
         f"({tf.format(t=t)} + {k1l} * ({b1} + {bl} * dl / avgdl)))"
         for i, t in enumerate(ts))
     hit = " + ".join(tf.format(t=t) for t in ts)
-    return f"""WITH w AS (
+    return f"""w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          list_filter(string_split(text, ' '), x -> x != '') AS ws,
          CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
@@ -903,12 +905,47 @@ st AS (SELECT COUNT(*) AS n, {dfs},
        FROM w),
 i AS (SELECT avgdl, {idfs} FROM st),
 s AS (SELECT doc_id, dl, round({score}, 6) AS score
-      FROM w, i WHERE ({hit}) > 0)
+      FROM w, i WHERE ({hit}) > 0)"""
+
+
+def _word_bm25_oracle_sql() -> str:
+    """DuckDB twin of q_bm25_topk_docs over the shared scored CTE."""
+    return f"""WITH {_wbm25_scored_cte()}
 SELECT doc_id, dl, score
 FROM (SELECT doc_id, dl, score,
              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
       FROM s)
 WHERE rk <= {WBM25_K}"""
+
+
+RRF_K, RRF_TOPK, RRF_SCALE = 60, 10, 10**12
+
+
+def _rrf_oracle_sql() -> str:
+    """DuckDB twin of q_hybrid_retrieval_rrf: BM25 top-10 (shared scored
+    CTE, the proven bit-exact ranking) and exact term-tf top-10 ranked by
+    ROW_NUMBER, fused with integer floor(scale/(k+rank)) contributions —
+    the float 1/(k+r) sum would be order-dependent, the fixed-point one
+    is hash-equal (operators/text.rrf_fuse)."""
+    ts = sorted(WBM25_TERMS)
+    tfsum = " + ".join(f"len(list_filter(ws, x -> x = '{t}'))" for t in ts)
+    return f"""WITH {_wbm25_scored_cte()},
+r1 AS (SELECT doc_id, rk FROM (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+         FROM s) WHERE rk <= {WBM25_K}),
+t AS (SELECT doc_id, CAST({tfsum} AS BIGINT) AS tf FROM w
+      WHERE ({tfsum}) > 0),
+r2 AS (SELECT doc_id, rk FROM (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS rk
+         FROM t) WHERE rk <= {WBM25_K}),
+u AS (SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rk) AS c FROM r1
+      UNION ALL
+      SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rk) AS c FROM r2),
+f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM u GROUP BY doc_id)
+SELECT doc_id, rrf_score, n_lists FROM f
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {RRF_TOPK}"""
 
 
 def _laced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

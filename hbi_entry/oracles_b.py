@@ -1112,6 +1112,8 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["simhash_hamming_pairs"] = _simhash_pairs_oracle()
     # integer fixed-point PageRank: identical floor recurrence both engines
     out["custsupp_pagerank"] = _pagerank_oracle_sql()
+    # integer reciprocal-rank fusion of two deterministic rankings
+    out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]

@@ -256,6 +256,30 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), WBM25_TERMS, k=WBM25_K, k1=WBM25_K1, b=WBM25_B)
 
 
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL: reciprocal-rank fusion of two deterministic
+    rankings — word BM25 (bit-exact scores) and exact term-frequency — in
+    pure integer arithmetic (floor(scale/(k+rank)) contributions, order-
+    free BIGINT sums), top-10 by (rrf_score DESC, doc_id ASC)
+    (operators/text.rrf_fuse / term_tf_topk_docs). The composition point
+    for multi-signal retrieval: the rankers carry the scan cost, the fuse
+    is a union + groupBy over top-N lists."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    r1 = T.bm25_topk_docs(docs, WBM25_TERMS, k=WBM25_K, k1=WBM25_K1,
+                          b=WBM25_B)
+    r2 = T.term_tf_topk_docs(docs, WBM25_TERMS, k=WBM25_K)
+    # rank = row_number over the already-limited top-k frames (tiny), in
+    # each ranking's own deterministic order
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w2 = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    return T.rrf_fuse(
+        [r1.select("doc_id", F.row_number().over(w1).alias("rank")),
+         r2.select("doc_id", F.row_number().over(w2).alias("rank"))],
+        k=RRF_K, topk=RRF_TOPK, scale=RRF_SCALE)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the laced corpus: per-doc clean text + per-kind
     match counts, all JVM regexp_count/regexp_replace (zero shuffles, one

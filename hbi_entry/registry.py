@@ -251,6 +251,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_cooccurrence": q_skipgram_cooccurrence,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_topk_docs": q_bm25_topk_docs,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
         "pii_redact": q_pii_redact,
         "pii_redact_stream": q_pii_redact_stream,
         "pii_totals": q_pii_totals,

@@ -645,6 +645,82 @@ def bm25_topk_docs(
     )
 
 
+def term_tf_topk_docs(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by EXACT total term-occurrence count — the
+    lexical-recall twin of bm25_topk_docs (no idf, no length norm; same
+    raw single-space word split, same validations, same zero-shuffle
+    TakeOrderedAndProject shape). (doc_id, tf) with ties at rank k broken
+    (tf DESC, doc_id ASC); integer-exact, so the cross-engine twin is an
+    equality."""
+    if k < 1:
+        raise ValueError("term_tf_topk_docs: k must be >= 1")
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("term_tf_topk_docs: terms must be non-empty, unique")
+    for t in terms:
+        if (not t) or (" " in t) or ("'" in t):
+            raise ValueError(f"term_tf_topk_docs: bad term {t!r}")
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, " "), lambda w: w != F.lit(""))
+    tf = " + ".join(
+        f"size(filter(ws, x -> x = '{w}'))" for w in sorted(terms))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .select("doc_id", F.expr(tf).cast("bigint").alias("tf"))
+        .filter(F.col("tf") > 0)
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 10**12,
+) -> DataFrame:
+    """RECIPROCAL-RANK FUSION of ranked retrieval lists (Cormack et al.) in
+    pure integer arithmetic: each list contributes floor(scale / (k +
+    rank)) per doc (rank 1-based; absent docs contribute nothing), fused
+    score = the order-free BIGINT sum — the float 1/(k+r) sum would be
+    accumulation-order-dependent cross-engine, the fixed-point one is
+    hash-exact. Returns (doc_id, rrf_score, n_lists) top-``topk`` by
+    (rrf_score DESC, doc_id ASC) — a deterministic boundary, and
+    TakeOrderedAndProject (no global sort).
+
+    Scale shape: input rankings are top-N lists (driver-small by
+    construction); the fuse is one union + one groupBy over ~N*lists rows.
+    The heavy work lives in the rankers (BM25 scan, index cascade, ANN) —
+    this is their composition point."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or topk < 1:
+        raise ValueError("rrf_fuse: k and topk must be >= 1")
+    contribs = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"{scale} div ({k} + {rank_col})").cast("bigint").alias("_c"))
+        for r in rankings
+    ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionAll(c)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum("_c").alias("rrf_score"),
+             F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(int(topk))
+    )
+
+
 def char_diversity_stats(
     docs: DataFrame,
     text_col: str = "text",

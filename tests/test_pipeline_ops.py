@@ -676,3 +676,57 @@ def test_bm25_validation(spark, docs):
         T.bm25_topk_docs(docs, ["ok"], k=0)
     with pytest.raises(ValueError):
         T.bm25_topk_docs(docs, ["ok"], k=3, b=1.5)
+
+
+# ---------------------------------------------------------------------------
+# term_tf_topk_docs + rrf_fuse (hybrid retrieval)
+# ---------------------------------------------------------------------------
+def test_term_tf_topk_docs_vs_local(spark, docs):
+    terms, k = ["dup", "key", "vector"], 8
+    got = [(r["doc_id"], r["tf"])
+           for r in T.term_tf_topk_docs(docs, terms, k=k).collect()]
+    tf = {}
+    for r in docs.collect():
+        ws = [x for x in r["text"].split(" ") if x != ""]
+        t = sum(ws.count(w) for w in terms)
+        if t > 0:
+            tf[r["doc_id"]] = t
+    want = sorted(tf.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert got == want and got, "ranking mismatch or vacuous fixture"
+
+
+def test_rrf_fuse_vs_local(spark):
+    r1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "doc_id string, rank int")
+    r2 = spark.createDataFrame(
+        [("b", 1), ("d", 2)], "doc_id string, rank int")
+    got = {(r["doc_id"], r["rrf_score"], r["n_lists"])
+           for r in T.rrf_fuse([r1, r2], k=60, topk=4,
+                               scale=10**6).collect()}
+    s = 10**6
+    want = {
+        ("a", s // 61, 1),
+        ("b", s // 62 + s // 61, 2),
+        ("c", s // 63, 1),
+        ("d", s // 62, 1),
+    }
+    assert got == want
+
+
+def test_rrf_fuse_topk_boundary_deterministic(spark):
+    # two docs with EQUAL fused score at the boundary: doc_id ASC decides
+    r1 = spark.createDataFrame(
+        [("x", 1), ("y", 1)], "doc_id string, rank int")
+    got = [r["doc_id"]
+           for r in T.rrf_fuse([r1], k=60, topk=1, scale=10**6).collect()]
+    assert got == ["x"]
+
+
+def test_rrf_fuse_validation(spark):
+    r = spark.createDataFrame([("a", 1)], "doc_id string, rank int")
+    with pytest.raises(ValueError):
+        T.rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        T.rrf_fuse([r], k=0)
+    with pytest.raises(ValueError):
+        T.term_tf_topk_docs(r, ["a", "a"])
