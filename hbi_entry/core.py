@@ -1648,6 +1648,36 @@ SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
 FROM c WHERE prior < bud"""
 
 
+TEMP_BUDGET = 6000
+
+
+def _temperature_mixture_oracle() -> str:
+    """Twin of q_temperature_mixture: per-source budgets recomputed in SQL
+    (exact isqrt = corrected FLOOR(SQRT(double)); integer floor splits of
+    the total budget), then the same SplitMix64 hash-order prefix window
+    as _mixture_oracle."""
+    return f"""WITH {_doc_hash_ctes(SAMPLE_SEED)},
+tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+        FROM documents GROUP BY source),
+w0 AS (SELECT source, t,
+              CAST(FLOOR(SQRT(CAST(t AS DOUBLE))) AS BIGINT) AS r FROM tot),
+w1 AS (SELECT source, t,
+              CASE WHEN (r + 1) * (r + 1) <= t THEN r + 1
+                   WHEN r * r > t THEN r - 1 ELSE r END AS w FROM w0),
+sw AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM w1),
+bud AS (SELECT source, ({TEMP_BUDGET} * w) // s AS bud FROM w1, sw),
+j AS (SELECT dh.doc_id, dh.source, d.n_chars, dh._h, b.bud
+      FROM doc_hash dh JOIN documents d USING (doc_id)
+      JOIN bud b ON b.source = dh.source),
+c AS (SELECT doc_id, source, n_chars, bud,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY _h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM j)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       CAST(prior + n_chars AS BIGINT) AS cum_weight
+FROM c WHERE prior < bud"""
+
+
 def _epoch_shards_oracle() -> str:
     from hierarchical_bloom_filter_index_spark.operators.sampling import (
         epoch_seed,

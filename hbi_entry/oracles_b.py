@@ -1114,6 +1114,8 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["custsupp_pagerank"] = _pagerank_oracle_sql()
     # integer reciprocal-rank fusion of two deterministic rankings
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
+    # temperature mixture: budgets recomputed in SQL (exact isqrt)
+    out["temperature_mixture_docs"] = _temperature_mixture_oracle()
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]

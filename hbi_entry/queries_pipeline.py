@@ -1013,6 +1013,30 @@ def q_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-WEIGHTED MIXTURE (the T5 / multilingual n^alpha
+    discipline at alpha = 1/2): per-source budgets derived from corpus
+    char totals via the EXACT integer square root (float sqrt corrected —
+    pow alone flips near perfect squares), then the same bucketed
+    greedy-prefix manifest as mixture_manifest_docs
+    (operators/sampling.temperature_mixture_manifest). Budgets are pure
+    integer functions of the totals, so the whole manifest is VALUE-checked
+    against the SplitMix64 window twin with budgets recomputed in SQL."""
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        temperature_mixture_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    return temperature_mixture_manifest(
+        docs, "doc_id", "source", "n_chars", TEMP_BUDGET, SAMPLE_SEED,
+        alpha=(1, 2),
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("weight"), "cum_weight",
+    )
+
+
 def q_epoch_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPOCH-SHUFFLED SHARD PACKING: epoch 1's deterministic permutation
     key (fixed-width hex of hash64(doc_id, epoch_seed) — lexicographic ==

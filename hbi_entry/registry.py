@@ -155,6 +155,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_topn_hash": q_docs_topn_hash,
         "weighted_sample_docs": q_weighted_sample_docs,
         "mixture_manifest_docs": q_mixture_manifest,
+        "temperature_mixture_docs": q_temperature_mixture,
         "epoch_shard_stats": q_epoch_shard_stats,
         "packed_sequences": q_packed_sequences,
         "doc_top_ngram_repetition": q_doc_top_ngram_repetition,

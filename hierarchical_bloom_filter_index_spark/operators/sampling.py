@@ -408,6 +408,71 @@ def mixture_manifest(
     )
 
 
+def _iroot(n: int, q: int) -> int:
+    """Exact integer q-th root: floor(n**(1/q)) over arbitrary-precision
+    ints (the float seed is corrected, so results are exact at any
+    magnitude — float pow alone flips near perfect powers)."""
+    if n < 0 or q < 1:
+        raise ValueError(f"_iroot: need n >= 0, q >= 1 ({n}, {q})")
+    if n == 0 or q == 1:
+        return n
+    x = max(1, int(round(n ** (1.0 / q))))
+    while x ** q > n:
+        x -= 1
+    while (x + 1) ** q <= n:
+        x += 1
+    return x
+
+
+def temperature_budgets(
+    totals: dict[str, int], total_budget: int, alpha: tuple[int, int] = (1, 2)
+) -> dict[str, int]:
+    """Per-stratum budgets under TEMPERATURE reweighting (the T5 /
+    multilingual-LM n^alpha discipline): stratum weight w_s =
+    floor(tot_s^(p/q)) via the exact integer root, budget_s =
+    floor(total_budget * w_s / sum w) — flattening toward uniform as
+    alpha -> 0, proportional at alpha = 1. Pure integer arithmetic end to
+    end, so budgets (and any manifest built on them) are a deterministic
+    function of the totals, reproducible cross-engine."""
+    p, q = alpha
+    if not (0 < p <= q):
+        raise ValueError(f"temperature_budgets: need 0 < p <= q, got {alpha}")
+    if total_budget < 0:
+        raise ValueError("temperature_budgets: total_budget must be >= 0")
+    w = {s: _iroot(int(t) ** p, q) for s, t in totals.items()}
+    sw = sum(w.values())
+    if sw == 0:
+        return {s: 0 for s in totals}
+    return {s: (total_budget * ws) // sw for s, ws in w.items()}
+
+
+def temperature_mixture_manifest(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    total_budget: int,
+    seed: int,
+    alpha: tuple[int, int] = (1, 2),
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """mixture_manifest with budgets DERIVED from the data: one tiny
+    per-stratum totals job (|strata| rows to the driver — domains, not
+    documents), temperature_budgets, then the bucketed greedy-prefix
+    selection. Strata absent from the totals cannot appear in df, so
+    default_budget never engages (0 for safety)."""
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col).cast("long")))
+        .collect()
+    }
+    budgets = temperature_budgets(totals, total_budget, alpha)
+    return mixture_manifest(
+        df, id_col, strata_col, weight_col, budgets, seed,
+        default_budget=0, bucket_bits=bucket_bits)
+
+
 # epoch mixing constant: odd, so epoch -> eseed is a bijection mod 2^64
 _EPOCH_MIX = 0x632BE59BD9B4E019
 

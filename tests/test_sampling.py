@@ -502,3 +502,62 @@ def test_bucketed_layout_pruned_read(spark, sf_dir, tmp_path):
     assert covered < li.count()
     with __import__("pytest").raises(ValueError, match="lo < hi"):
         read_bucket_pruned(spark, path, 5.0, 5.0)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture (n^alpha budgets via exact integer roots)
+# ---------------------------------------------------------------------------
+def test_iroot_exact():
+    import math
+
+    from hierarchical_bloom_filter_index_spark.operators.sampling import _iroot
+
+    for n in list(range(0, 200)) + [10**12 - 1, 10**12, 10**12 + 1,
+                                    (3**20) ** 2, (3**20) ** 2 - 1]:
+        assert _iroot(n, 2) == math.isqrt(n), n
+    # cube roots around exact cubes (the float-pow flip zone)
+    for b in (7, 10**5, 12345):
+        for n in (b**3 - 1, b**3, b**3 + 1):
+            r = _iroot(n, 3)
+            assert r**3 <= n < (r + 1) ** 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _iroot(-1, 2)
+
+
+def test_temperature_budgets_properties():
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    totals = {"a": 10000, "b": 100, "c": 0}
+    # alpha=1 is proportional; alpha=1/2 flattens toward uniform
+    prop = temperature_budgets(totals, 10100, alpha=(1, 1))
+    assert prop == {"a": 10000, "b": 100, "c": 0}
+    half = temperature_budgets(totals, 10100, alpha=(1, 2))
+    assert half["c"] == 0 and half["a"] + half["b"] <= 10100
+    # w = (100, 10, 0) -> a gets 10x b, not 100x
+    assert half["a"] == 10 * half["b"] or abs(half["a"] - 10 * half["b"]) <= 10
+    import pytest as _pt
+    with _pt.raises(ValueError, match="0 < p <= q"):
+        temperature_budgets(totals, 100, alpha=(3, 2))
+    assert temperature_budgets({"x": 0}, 100) == {"x": 0}
+
+
+def test_temperature_mixture_matches_explicit_budgets(spark, sf_dir):
+    from hierarchical_bloom_filter_index_spark.operators.sampling import (
+        mixture_manifest,
+        temperature_budgets,
+        temperature_mixture_manifest,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.length("text").alias("w"))
+    totals = {r[0]: int(r[1]) for r in
+              d.groupBy("source").agg(F.sum("w")).collect()}
+    budgets = temperature_budgets(totals, 5000, alpha=(1, 2))
+    want = sorted(map(tuple, mixture_manifest(
+        d, "doc_id", "source", "w", budgets, seed=11).collect()))
+    got = sorted(map(tuple, temperature_mixture_manifest(
+        d, "doc_id", "source", "w", 5000, seed=11, alpha=(1, 2)).collect()))
+    assert got == want and got
