@@ -1650,6 +1650,8 @@ FROM c WHERE prior < bud"""
 
 TEMP_BUDGET = 6000
 
+LEXCOS_MOD, LEXCOS_T = 5, (4, 5)
+
 
 def _temperature_mixture_oracle() -> str:
     """Twin of q_temperature_mixture: per-source budgets recomputed in SQL

@@ -1116,6 +1116,26 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # exact integer-cosine pair join (HUGEINT squared inequality)
+    out["lexical_cosine_pairs"] = f"""WITH dom AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE doc_id % {LEXCOS_MOD} = 0),
+wc AS (SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM (SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+             FROM dom)
+       GROUP BY doc_id, w),
+nrm AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS n2
+        FROM wc GROUP BY doc_id),
+d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+      FROM wc a JOIN wc b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, dot, na.n2 AS na2, nb.n2 AS nb2
+FROM d JOIN nrm na ON na.doc_id = d.doc_a
+       JOIN nrm nb ON nb.doc_id = d.doc_b
+WHERE CAST(dot * {LEXCOS_T[1]} AS HUGEINT) * CAST(dot * {LEXCOS_T[1]} AS HUGEINT)
+      >= CAST({LEXCOS_T[0] * LEXCOS_T[0]} AS HUGEINT) * na.n2 * nb.n2"""
     # the KLL quantile rollup's exact item counts have the same closed form
     # as the CMS totals (identical dyadic geometry, exact counts per window)
     out["kll_rollup_totals"] = out["cms_rollup_totals"]

@@ -245,6 +245,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_against_corpus": q_novelty_against_corpus,
         "simhash_neardup": q_simhash_neardup,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "text_quality": q_text_quality,
         "char_diversity": q_char_diversity,
         "low_diversity_by_source": q_low_diversity_report,

@@ -580,6 +580,66 @@ def simhash_near_pairs(
     return cand.select("doc_a", "doc_b", "hamming")
 
 
+def lexical_cosine_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (4, 5),
+    max_word_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT weighted-cosine near-dup pairs over word-COUNT vectors — the
+    magnitude-aware twin of the set-based family (jaccard counts presence,
+    cosine counts repetition): pairs (doc_a < doc_b) with
+    cos(a, b) >= t_num/t_den, decided WITHOUT float sqrt via the squared
+    integer inequality  (dot * t_den)^2 >= t_num^2 * |a|^2 * |b|^2
+    (both sides DECIMAL(38,0) — bigint products of two squared norms
+    overflow; sign-safe since every factor is non-negative). Output
+    (doc_a, doc_b, dot, na2, nb2) — all exact integers, so the cross-
+    engine twin is an equality, not a float tolerance.
+
+    Word semantics: RAW single-space split with empties dropped (the
+    bm25/tfidf corpus discipline). Candidates share >= 1 word after the
+    ``max_word_df`` cap (hot ubiquitous words are dropped from CANDIDATE
+    GENERATION only — a stopword-dominated pair can still be found through
+    its other shared words; losing only those pairs whose every shared
+    word is hot costs recall, never precision — the winnowing max_fp_df
+    discipline, logged via cap_bucket_sizes). None = exact/oracle path.
+
+    Scale shape: one explode + one (doc, word) groupBy builds the sparse
+    vectors; the pair surface is a word-bucketed self-join bounded by
+    sum df^2 — cap-bounded at scale like every blocking surface here; the
+    threshold filter runs on the grouped dot, never on per-word rows."""
+    t_num, t_den = threshold
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"lexical_cosine_pairs: need 0 < t_num <= t_den, got {threshold}")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    wc = (docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+          .localCheckpoint())  # feeds norms + both join sides
+    norms = wc.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
+    cand = cap_bucket_sizes(wc, ["word"], max_word_df, "lexical_cosine_pairs")
+    a, b = cand.alias("a"), cand.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    dec = "decimal(38,0)"
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .filter(
+            (F.col("dot").cast(dec) * t_den) * (F.col("dot").cast(dec) * t_den)
+            >= F.lit(t_num * t_num).cast(dec)
+            * F.col("na2").cast(dec) * F.col("nb2").cast(dec))
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters: pairs -> connected components -> canonical doc
 # ---------------------------------------------------------------------------

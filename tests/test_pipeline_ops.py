@@ -730,3 +730,84 @@ def test_rrf_fuse_validation(spark):
         T.rrf_fuse([r], k=0)
     with pytest.raises(ValueError):
         T.term_tf_topk_docs(r, ["a", "a"])
+
+
+# ---------------------------------------------------------------------------
+# lexical_cosine_pairs (exact integer weighted cosine)
+# ---------------------------------------------------------------------------
+def test_lexical_cosine_pairs_vs_brute(spark):
+    import math
+
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        lexical_cosine_pairs,
+    )
+
+    rows = [
+        ("d1", "a a b c"),
+        ("d2", "a a b c"),          # identical counts -> cos 1
+        ("d3", "a b"),
+        ("d4", "x y z"),            # disjoint from d1-d3
+        ("d5", "a a a b b c c"),    # scaled-ish of d1
+        ("d6", ""),                 # empty doc: no words, no pairs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    t_num, t_den = 9, 10
+    got = sorted(map(tuple, lexical_cosine_pairs(
+        docs, threshold=(t_num, t_den)).collect()))
+
+    vecs = {}
+    for did, txt in rows:
+        ws = [w for w in txt.split(" ") if w]
+        if ws:
+            v = {}
+            for w in ws:
+                v[w] = v.get(w, 0) + 1
+            vecs[did] = v
+    want = []
+    ids = sorted(vecs)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            dot = sum(c * vecs[db].get(w, 0) for w, c in vecs[da].items())
+            if dot == 0:
+                continue  # no shared word -> no candidate row
+            na2 = sum(c * c for c in vecs[da].values())
+            nb2 = sum(c * c for c in vecs[db].values())
+            if (dot * t_den) ** 2 >= t_num**2 * na2 * nb2:
+                want.append((da, db, dot, na2, nb2))
+    assert got == sorted(want) and got
+    # sanity vs float cosine: every kept pair really is >= 0.9
+    for da, db, dot, na2, nb2 in got:
+        assert dot / math.sqrt(na2 * nb2) >= 0.9 - 1e-12
+
+
+def test_lexical_cosine_cap_engages(spark, caplog):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        lexical_cosine_pairs,
+    )
+
+    # 'hot' appears in every doc; 'k0'..'k4' pair up two near-identical docs
+    rows = [(f"h{i}", "hot") for i in range(20)] + [
+        ("p1", "hot k0 k1 k2 k3 k4"),
+        ("p2", "hot k0 k1 k2 k3 k4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in lexical_cosine_pairs(
+                docs, threshold=(1, 2), max_word_df=10).collect())
+    # the hot word's buckets are dropped; p1-p2 still found via k0..k4
+    assert got == [("p1", "p2")]
+    assert any("lexical_cosine_pairs" in r.message for r in caplog.records)
+
+
+def test_lexical_cosine_validation(spark):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        lexical_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame([("d", "a")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="t_num"):
+        lexical_cosine_pairs(docs, threshold=(3, 2))
