@@ -1116,6 +1116,11 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # stateful-streaming sessionization parity: empty symmetric difference
+    out["session_stream_parity"] = """SELECT
+  CAST(NULL AS VARCHAR) AS user_id, CAST(NULL AS BIGINT) AS t_start,
+  CAST(NULL AS BIGINT) AS t_end, CAST(NULL AS BIGINT) AS n_events
+WHERE FALSE"""
     # exact integer-cosine pair join (HUGEINT squared inequality)
     out["lexical_cosine_pairs"] = f"""WITH dom AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents

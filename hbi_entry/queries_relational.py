@@ -1176,6 +1176,51 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, SESSION_GAP_US, order_cols=("event_id",))
 
 
+def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL-STREAMING sessionization parity (streaming/stateful.
+    session_state_stream): the event stream drained through
+    applyInPandasWithState + EventTimeTimeout must emit EXACTLY the batch
+    sessionize sessions whose end + gap is at or below the stream's final
+    watermark (= the global max event time after the availableNow no-data
+    batch; later sessions are still provably growable and stay open).
+    Returns the symmetric difference (empty oracle). Stream drain — keep
+    OUT of bench."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        sessionize,
+        with_epoch_us,
+    )
+    from hierarchical_bloom_filter_index_spark.streaming.stateful import (
+        session_state_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    base = _tmpdir(prefix="hbi_sessstream_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in ev.schema.fields)
+    stream = spark.readStream.schema(schema).parquet(f"{base}/in")
+    q = (
+        session_state_stream(stream, SESSION_GAP_US)
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("session_stream_parity: drain exceeded 300s")
+    got = spark.read.parquet(f"{base}/out")
+    batch = sessionize(with_epoch_us(ev), SESSION_GAP_US)
+    max_ts = batch.agg(F.max("t_end")).first()[0]
+    want = (batch.filter(F.col("t_end") + SESSION_GAP_US <= max_ts)
+            .select(F.col("user_id").cast("string").alias("user_id"),
+                    "t_start", "t_end", "n_events"))
+    return got.exceptAll(want).unionAll(want.exceptAll(got))
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN: each error event gains the latest STRICTLY-prior
     purchase of the same user (union-tag + last(ignorenulls) over one

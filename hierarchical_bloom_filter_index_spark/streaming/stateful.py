@@ -18,13 +18,108 @@ from typing import Any, Callable, Iterator, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sketches import from_bytes
 
 OUTPUT_SCHEMA = "source string, n_docs long, n_tokens long, estimate double, sketch binary"
 STATE_SCHEMA = "sketch binary, n_docs long, n_tokens long"
+
+SESSION_OUT_SCHEMA = "user_id string, t_start long, t_end long, n_events long"
+SESSION_STATE_SCHEMA = "s long, e long, n long"
+
+
+def session_state_stream(
+    events_stream: DataFrame,
+    gap_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+):
+    """STATEFUL STREAMING SESSIONIZATION — event-time gap sessions
+    assembled with applyInPandasWithState + EventTimeTimeout, emitting
+    CLOSED sessions only (append semantics, any sink).
+
+    Contract (the strict-gap boundary of operators/sessions.sessionize):
+    successive events of a key belong to one session while t - prev <=
+    gap_us. Per micro-batch, a key's new events are merged into its open
+    session; every session closed by a MID-STREAM gap is emitted
+    immediately, and the still-open tail session is kept as state with an
+    event-time timeout at end + gap — when the watermark passes it, the
+    session provably cannot grow (later events would be late) and is
+    emitted by the timeout invocation. A key whose open session is
+    already expired vs the current watermark closes inline (Spark refuses
+    timeout timestamps at-or-below the watermark).
+
+    Determinism: with delay='0 seconds' and a single availableNow batch,
+    the emitted set is exactly the batch sessionize minus each key's LAST
+    session (watermark starts at 0, so no timeout fires) — the driver
+    parity gate's contract. Output rows are (user_id, t_start, t_end,
+    n_events) in epoch MICROS, schema-aligned with the batch twin.
+
+    Scale: state is three longs per key; per-batch work is one sort of the
+    key's new events inside the Arrow group — no shuffle beyond the
+    groupBy, no unbounded state (every session eventually times out)."""
+    ev = (
+        events_stream
+        .withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", delay)
+        .select(F.col(key_col).cast("string").alias("user_id"), "_ts",
+                F.unix_micros(F.col("_ts")).alias("_t_us"))
+    )
+    gap_ms = gap_us // 1000
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "t_start": [s],
+                                "t_end": [e], "n_events": [n]})
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["_t_us"])
+        ts.sort()
+        open_ses = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            if open_ses is None:
+                open_ses = (t, t, 1)
+            elif t - open_ses[1] <= gap_us:
+                open_ses = (open_ses[0], t, open_ses[2] + 1)
+            else:
+                closed.append(open_ses)
+                open_ses = (t, t, 1)
+        # open_ses is not None here: hasTimedOut=False with no new rows
+        # cannot happen for a group that never stored state, and a data
+        # invocation always leaves at least one event in the tail
+        wm = state.getCurrentWatermarkMs()
+        timeout_ms = open_ses[1] // 1000 + gap_ms
+        if timeout_ms <= wm:
+            # already expired vs the watermark: no later event can extend
+            # it (it would be late) — close inline, clear state
+            closed.append(open_ses)
+            state.remove()
+        else:
+            state.update(open_ses)
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(closed),
+                 "t_start": [c[0] for c in closed],
+                 "t_end": [c[1] for c in closed],
+                 "n_events": [c[2] for c in closed]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
 
 
 def sketch_state_stream(
