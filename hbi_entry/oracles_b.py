@@ -1116,6 +1116,16 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # exact ppm percentile ranks (rank()-1 strictly-below semantics)
+    out["doclen_percentiles"] = """WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(length(text) AS BIGINT) AS doclen
+  FROM documents)
+SELECT doc_id, source, doclen,
+       CAST(((RANK() OVER (PARTITION BY source ORDER BY doclen ASC) - 1)
+             * 1000000)
+            // COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS pct_x1e6
+FROM d"""
     # stateful-streaming sessionization parity: empty symmetric difference
     out["session_stream_parity"] = """SELECT
   CAST(NULL AS VARCHAR) AS user_id, CAST(NULL AS BIGINT) AS t_start,

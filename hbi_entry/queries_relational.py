@@ -1838,6 +1838,20 @@ def q_doclen_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(docs, "doclen", ("source",), k_num=5, k_den=2)
 
 
+def q_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source percentile ranks of doc length in ppm — the score
+    normalization step before cross-source quality cuts (rank() ties count
+    rows strictly below; rank and group count share ONE window exchange —
+    operators/stats.percentile_rank)."""
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        percentile_rank,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("doclen"))
+    return percentile_rank(docs, "doclen", ("source",))
+
+
 def q_custsupp_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTEGER PAGERANK over the customer-supplier trade graph: distinct
     (custkey, suppkey) pairs from lineitem x orders, undirected (both

@@ -55,6 +55,10 @@ _REGISTRY_PRIORITY = [
     "event_sessions", "source_doclen_ks", "events_asof_purchase",
     "session_paths", "event_rolling_distinct", "table_profile",
     "orders_quarantine",
+    # round-5 session additions: graph centrality, hybrid retrieval,
+    # value-checked SimHash, stateful-streaming sessionization gate
+    "custsupp_pagerank", "hybrid_retrieval_rrf", "simhash_hamming_pairs",
+    "session_stream_parity",
 ]
 
 
@@ -379,6 +383,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robust per-group outliers: exact integer median/MAD rule
         "doclen_mad_outliers": q_doclen_mad_outliers,
         "custsupp_pagerank": q_custsupp_pagerank,
+        "doclen_percentiles": q_doclen_percentiles,
         # persisted chunk store: build / append / remove lifecycle
         "chunk_store_stats": q_chunk_store_stats,
         "chunk_store_append_parity": q_chunk_store_append_parity,

@@ -254,3 +254,38 @@ def mad_outlier_rows(
         .filter(F.abs(2 * F.col("_x") - F.col("med2")) * 2 * F.lit(int(k_den))
                 > F.lit(int(k_num)) * F.col("mad2"))
         .select(*df.columns, "n", "med2", "mad2"))
+
+
+def percentile_rank(
+    df: DataFrame,
+    metric_col: str,
+    group_cols: tuple[str, ...] = (),
+    out_col: str = "pct_x1e6",
+) -> DataFrame:
+    """Per-group EXACT percentile rank in parts-per-million:
+    ``out_col = floor(1e6 * n_strictly_below / n)`` — the quality-score
+    normalization a curation pipeline runs before cross-source threshold
+    cuts (a raw score means different things per source; its within-source
+    percentile is comparable). Ties share a value (rank() semantics: every
+    tied row counts the rows STRICTLY below it), min rank is 0, max is
+    < 1e6 — all integers, so the cross-engine twin is an equality.
+
+    Plan: rank() and the group count share ONE window exchange
+    (drop_bottom_quantile's shape — both windows partition identically, so
+    Catalyst inserts a single hash exchange). The metric must be integral
+    (the MAD-family discipline — a float metric would need its own
+    total-order contract); refusal is in-plan via _integral_bigint.
+    Ungrouped form = one global window; always group at scale."""
+    from pyspark.sql import Window
+
+    part = list(group_cols)
+    w = Window.partitionBy(*part).orderBy(F.col("_pm").asc())
+    wn = Window.partitionBy(*part)
+    return (
+        df.select(*df.columns, _integral_bigint(metric_col).alias("_pm"))
+        .withColumn("__rk", F.rank().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(out_col,
+                    F.expr("((__rk - 1) * 1000000) div __n").cast("bigint"))
+        .drop("_pm", "__rk", "__n")
+    )

@@ -277,6 +277,22 @@ SWEEP = [
     # whole-pipeline chain (dedup keeps replica-0 copies of each text;
     # Caesar replicas add their own distinct texts -> kept set ~5x)
     "curation_pipeline_manifest",
+    # round-5 additions (19th session). custsupp_pagerank: the relational
+    # replicas offset custkeys but SHARE l_suppkey, so the 5x graph has 5x
+    # customers + 5x edges into the same suppliers (hub-densifying — the
+    # honest adversarial shape for an iterative edge-shuffle op).
+    # hybrid_retrieval_rrf: two corpus-scan rankings + a 20-row fuse;
+    # expect ~scan growth. simhash_hamming_pairs: Caesar replicas make
+    # cross-replica shingles (hence signatures) disjoint — true pairs 5x,
+    # chunk buckets stay thin (5x rows over 2^16 values/chunk).
+    # lexical_cosine_pairs: per-replica word vocabularies disjoint, so
+    # candidate buckets and pairs both grow 5x (sum df^2 linear).
+    # temperature_mixture_docs / session_stream_parity stay OUT: numeric-id
+    # hashing exclusion / stream-drain exclusion (standing rules).
+    "custsupp_pagerank",
+    "hybrid_retrieval_rrf",
+    "simhash_hamming_pairs",
+    "lexical_cosine_pairs",
 ]
 
 

@@ -91,3 +91,54 @@ def test_validation(events):
         group_outliers(events, "value", k=0)
     with pytest.raises(ValueError):
         group_outliers(events, "value", k=2, group_cols=())
+
+
+# ---------------------------------------------------------------------------
+# percentile_rank
+# ---------------------------------------------------------------------------
+def test_percentile_rank_vs_brute(spark):
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        percentile_rank,
+    )
+
+    rows = [("a", "g1", 10), ("b", "g1", 20), ("c", "g1", 20), ("d", "g1", 30),
+            ("e", "g2", 5), ("f", "g2", 7)]
+    df = spark.createDataFrame(rows, "id string, g string, m long")
+    got = {(r["id"], r["pct_x1e6"])
+           for r in percentile_rank(df, "m", ("g",)).collect()}
+    want = set()
+    by_g = {}
+    for i, g, m in rows:
+        by_g.setdefault(g, []).append((i, m))
+    for g, ms in by_g.items():
+        n = len(ms)
+        for i, m in ms:
+            below = sum(1 for _, m2 in ms if m2 < m)
+            want.add((i, (below * 1_000_000) // n))
+    assert got == want
+    # ties share the strictly-below count; max is < 1e6
+    assert dict(got)["b"] == dict(got)["c"] == 250_000
+    assert max(p for _, p in got) < 1_000_000
+
+
+def test_percentile_rank_one_exchange(spark):
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        percentile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "g", i % 17) for i in range(100)], "id string, g string, m long")
+    plan = percentile_rank(df, "m", ("g",))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_percentile_rank_refuses_fractional(spark):
+    import pytest as _pt
+
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        percentile_rank,
+    )
+
+    df = spark.createDataFrame([("a", "g", 1.5)], "id string, g string, m double")
+    with _pt.raises(Exception):
+        percentile_rank(df, "m", ("g",)).collect()
