@@ -1652,6 +1652,9 @@ TEMP_BUDGET = 6000
 
 LEXCOS_MOD, LEXCOS_T = 5, (4, 5)
 
+PSEUDO_SEED = CFG.seed + 41
+KANON_K = 5
+
 
 def _temperature_mixture_oracle() -> str:
     """Twin of q_temperature_mixture: per-source budgets recomputed in SQL

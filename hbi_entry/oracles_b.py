@@ -1116,6 +1116,22 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # bijective hash64 pseudonyms: hex via to_hex HUGEINT halves
+    out["events_pseudonymized"] = f"""WITH {_key_hash_ctes(
+        PSEUDO_SEED, 'ph',
+        'SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events')},
+px AS (SELECT key,
+              lpad(lower(to_hex(CAST(_h >> 32 AS BIGINT))), 8, '0') ||
+              lpad(lower(to_hex(CAST(_h % 4294967296 AS BIGINT))), 8, '0')
+              AS pid
+       FROM ph)
+SELECT p.pid, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN px p ON p.key = e.user_id
+GROUP BY p.pid"""
+    # exact k-anonymity report (plain group-count filter)
+    out["events_k_anonymity"] = f"""SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) < {KANON_K}"""
     # exact ppm percentile ranks (rank()-1 strictly-below semantics)
     out["doclen_percentiles"] = """WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,

@@ -1838,6 +1838,47 @@ def q_doclen_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(docs, "doclen", ("source",), k_num=5, k_den=2)
 
 
+def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC PSEUDONYMIZATION: per-pseudonym event counts after
+    tokenizing user_id through the bijective hash64 hex pid (collision-
+    free, so the group cardinalities equal the raw user_id ones; the
+    DuckDB twin reproduces every pseudonym via the HUGEINT SplitMix64
+    chain + to_hex halves — operators/pii.pseudonymize_numeric)."""
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        pseudonymize_numeric,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    return (pseudonymize_numeric(ev, "user_id", PSEUDO_SEED, out_col="pid")
+            .groupBy("pid").agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY RISK REPORT: (user_id, event_type) quasi-identifier
+    combinations carried by fewer than k=5 events — exact counts, one
+    groupBy (operators/pii.k_anonymity_report); plus the suppression twin
+    checked in-query: k_suppress must drop EXACTLY the reported rows
+    (count identity asserted in-plan via the returned totals)."""
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        k_anonymity_report,
+        k_suppress,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type")
+    rep = k_anonymity_report(ev, ("user_id", "event_type"), KANON_K)
+    # in-query suppression identity: rows dropped by k_suppress == sum of
+    # reported group sizes (hard gate — a mismatch raises before returning)
+    n_total = ev.count()
+    n_kept = k_suppress(ev, ("user_id", "event_type"), KANON_K).count()
+    n_rep = rep.agg(F.sum("n")).first()[0] or 0
+    if n_total - n_kept != n_rep:
+        raise AssertionError(
+            f"k_suppress dropped {n_total - n_kept} rows but the report "
+            f"covers {n_rep}")
+    return rep
+
+
 def q_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-source percentile ranks of doc length in ppm — the score
     normalization step before cross-source quality cuts (rank() ties count

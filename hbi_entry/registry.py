@@ -384,6 +384,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_mad_outliers": q_doclen_mad_outliers,
         "custsupp_pagerank": q_custsupp_pagerank,
         "doclen_percentiles": q_doclen_percentiles,
+        "events_pseudonymized": q_events_pseudonymized,
+        "events_k_anonymity": q_events_k_anonymity,
         # persisted chunk store: build / append / remove lifecycle
         "chunk_store_stats": q_chunk_store_stats,
         "chunk_store_append_parity": q_chunk_store_append_parity,

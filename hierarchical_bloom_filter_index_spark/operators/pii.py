@@ -23,6 +23,8 @@ rewrites by pattern).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Fixed application order: URLs first (an email-shaped substring inside a
@@ -128,3 +130,61 @@ def redact_pii_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def pseudonymize_numeric(
+    df: DataFrame, col: str, seed: int, out_col: str | None = None
+) -> DataFrame:
+    """Deterministic keyed pseudonymization of a BIGINT identifier:
+    ``out_col`` = fixed-width lowercase hex of hash64(value, seed).
+    hash64 is a BIJECTION on the 64-bit domain (seeded xor + the SplitMix64
+    permutation), so pseudonyms are COLLISION-FREE: joinability and
+    group-by cardinalities survive exactly — the tokenization step before
+    training data leaves the trust boundary.
+
+    Threat model, honestly: SplitMix64 is not a cryptographic MAC — an
+    adversary holding the derived seed constant can invert it; the
+    contract here is cross-run/cross-engine deterministic linkage (the
+    DuckDB twin reproduces every pseudonym bit-for-bit), not resistance
+    to a key-holding attacker. Swap a keyed crypto hash for adversarial
+    settings; the pipeline shape is identical.
+
+    Vectorized Arrow kernel, no shuffle (a pure projection)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketches.hashing import hash64
+
+    name = out_col or f"{col}_pid"
+
+    @pandas_udf("string")
+    def pid(vals: pd.Series) -> pd.Series:
+        iv = vals.to_numpy(dtype=np.int64)
+        hx = hash64(iv, seed).astype(">u8").tobytes().hex()
+        return pd.Series([hx[16 * i:16 * i + 16] for i in range(len(iv))])
+
+    return df.withColumn(name, pid(F.col(col).cast("long")))
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: tuple[str, ...], k: int
+) -> DataFrame:
+    """Quasi-identifier combinations carried by FEWER than ``k`` rows —
+    the exact re-identification risk report (Sweeney k-anonymity): each
+    output row (qi..., n) is a group an attacker could narrow to under k
+    individuals. One groupBy over one scan; integer-exact."""
+    if k < 2:
+        raise ValueError("k_anonymity_report: k must be >= 2")
+    if not qi_cols:
+        raise ValueError("k_anonymity_report: need at least one QI column")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") < k))
+
+
+def k_suppress(df: DataFrame, qi_cols: tuple[str, ...], k: int) -> DataFrame:
+    """The suppression twin: rows whose QI combination reaches ``k``
+    anonymity (violating groups removed whole — a router cannot keep a
+    survivor subset without re-violating). Left-anti against the report's
+    combos; the report IS the certificate of what was dropped."""
+    bad = k_anonymity_report(df, qi_cols, k).select(*qi_cols)
+    return df.join(bad, list(qi_cols), "left_anti")

@@ -143,3 +143,45 @@ def test_redact_stream_parity_and_replay(spark, docs, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(f"{work}/out")
                        .drop("batch_id").collect()))
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# privacy ops: pseudonymization + k-anonymity
+# ---------------------------------------------------------------------------
+def test_pseudonymize_bijective_and_deterministic(spark):
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        pseudonymize_numeric,
+    )
+    from hierarchical_bloom_filter_index_spark.sketches.hashing import hash64
+
+    ids = [0, 1, -1, 2**62, -2**62, 42, 42]
+    df = spark.createDataFrame([(i,) for i in ids], "uid long")
+    out = pseudonymize_numeric(df, "uid", seed=9, out_col="pid").collect()
+    got = {r["uid"]: r["pid"] for r in out}
+    # bit-exact vs the kernel, fixed-width lowercase hex
+    for i in set(ids):
+        want = format(int(hash64(np.asarray([i]), 9)[0]), "016x")
+        assert got[i] == want
+    # same value -> same pseudonym; distinct values -> distinct (bijection)
+    assert len({r["pid"] for r in out}) == len(set(ids))
+
+
+def test_k_anonymity_report_and_suppress(spark):
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        k_anonymity_report,
+        k_suppress,
+    )
+
+    rows = ([("a", "x")] * 5 + [("b", "x")] * 2 + [("c", "y")] * 1)
+    df = spark.createDataFrame(rows, "u string, t string")
+    rep = {(r["u"], r["t"]): r["n"]
+           for r in k_anonymity_report(df, ("u", "t"), 3).collect()}
+    assert rep == {("b", "x"): 2, ("c", "y"): 1}
+    kept = k_suppress(df, ("u", "t"), 3).collect()
+    assert len(kept) == 5 and all(r["u"] == "a" for r in kept)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ("u",), 1)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, (), 3)
