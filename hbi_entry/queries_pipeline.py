@@ -1179,9 +1179,11 @@ def q_lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted-cosine pairs (cos >= 4/5) over word-count vectors on
     the doc_id % 5 sub-corpus — the magnitude-aware dedup twin; decided by
     the squared integer inequality in DECIMAL(38,0) (no float sqrt, no
-    tolerance), uncapped here so the pair surface is exact (quadratic BY
-    DESIGN like dedup_jaccard_pairs — max_word_df is the scale path; keep
-    out of bench/sweeps) (operators/dedup.lexical_cosine_pairs)."""
+    tolerance), uncapped here so the pair surface is exact. Out of BENCH
+    (tiny-vocab corpus = blocking's worst case); it IS in the replica
+    scaling sweep, where per-replica Caesar vocabularies are disjoint and
+    pair growth is linear — on natural shared-vocab corpora max_word_df
+    is the scale path (operators/dedup.lexical_cosine_pairs)."""
     docs = _docs(spark, sf_dir).filter(_doc_num("doc_id") % LEXCOS_MOD == 0)
     return D.lexical_cosine_pairs(docs, threshold=LEXCOS_T, max_word_df=None)
 

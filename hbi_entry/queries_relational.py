@@ -1212,13 +1212,42 @@ def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("session_stream_parity: drain exceeded 300s")
-    got = spark.read.parquet(f"{base}/out")
-    batch = sessionize(with_epoch_us(ev), SESSION_GAP_US)
+    try:
+        got = spark.read.parquet(f"{base}/out")
+    except Exception:
+        # zero closed sessions -> the sink wrote no data files (the
+        # empty-parquet-dir schema-inference trap): empty result, not a
+        # crash
+        got = spark.createDataFrame(
+            [], "user_id string, t_start long, t_end long, n_events long")
+    batch = sessionize(with_epoch_us(ev), SESSION_GAP_US).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "session_idx", "t_start", "t_end", "n_events")
+    # Emission semantics: every NON-last session of a user is closed by the
+    # gap to the user's next event (always emitted in a full drain); a
+    # user's LAST session is emitted iff its event-time timeout fired vs
+    # the final watermark. Spark fires timeouts STRICTLY after the (ms-
+    # truncated) timeout stamp, so last sessions whose end + gap sits
+    # within a few ms of the global max event time are boundary-ambiguous:
+    # exclude that band from BOTH sides instead of encoding the exact
+    # truncation chain (band width 10ms >> the +2ms stamp slack).
     max_ts = batch.agg(F.max("t_end")).first()[0]
-    want = (batch.filter(F.col("t_end") + SESSION_GAP_US <= max_ts)
-            .select(F.col("user_id").cast("string").alias("user_id"),
-                    "t_start", "t_end", "n_events"))
-    return got.exceptAll(want).unionAll(want.exceptAll(got))
+    last = (batch.groupBy("user_id")
+            .agg(F.max("session_idx").alias("session_idx")))
+    is_last = F.col("_is_last").isNotNull()
+    tagged = batch.join(
+        last.withColumn("_is_last", F.lit(1)),
+        ["user_id", "session_idx"], "left")
+    band = is_last & (F.col("t_end") + SESSION_GAP_US + 10_000 > max_ts) \
+        & (F.col("t_end") + SESSION_GAP_US - 10_000 <= max_ts)
+    fires = F.col("t_end") + SESSION_GAP_US + 10_000 <= max_ts
+    want = (tagged.filter(~band & (~is_last | fires))
+            .select("user_id", "t_start", "t_end", "n_events"))
+    band_rows = (tagged.filter(band)
+                 .select("user_id", "t_start", "t_end", "n_events"))
+    got_f = got.join(band_rows, ["user_id", "t_start", "t_end", "n_events"],
+                     "left_anti")
+    return got_f.exceptAll(want).unionAll(want.exceptAll(got_f))
 
 
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -598,34 +598,46 @@ def lexical_cosine_pairs(
     engine twin is an equality, not a float tolerance.
 
     Word semantics: RAW single-space split with empties dropped (the
-    bm25/tfidf corpus discipline). Candidates share >= 1 word after the
-    ``max_word_df`` cap (hot ubiquitous words are dropped from CANDIDATE
-    GENERATION only — a stopword-dominated pair can still be found through
-    its other shared words; losing only those pairs whose every shared
-    word is hot costs recall, never precision — the winnowing max_fp_df
-    discipline, logged via cap_bucket_sizes). None = exact/oracle path.
+    bm25/tfidf corpus discipline). The ``max_word_df`` cap drops hot
+    ubiquitous words from CANDIDATE GENERATION ONLY — candidate pairs are
+    the distinct pairs sharing >= 1 surviving word (the winnowing
+    max_fp_df discipline, logged via cap_bucket_sizes), and the dot
+    product is then recomputed EXACTLY over the candidates from the
+    UNCAPPED vectors, so every emitted (dot, na2, nb2) is the true value
+    and the threshold test never sees a truncated dot. The only loss is
+    recall of pairs whose EVERY shared word is hot. None = exact path.
 
     Scale shape: one explode + one (doc, word) groupBy builds the sparse
-    vectors; the pair surface is a word-bucketed self-join bounded by
-    sum df^2 — cap-bounded at scale like every blocking surface here; the
-    threshold filter runs on the grouped dot, never on per-word rows."""
+    vectors; candidate generation is a word-bucketed self-join bounded by
+    sum df^2 over surviving words (cap-bounded at scale like every
+    blocking surface here); the exact-dot verify joins only the candidate
+    pairs back to the vectors — bounded by pairs x doc vocabulary."""
     t_num, t_den = threshold
     if not (0 < t_num <= t_den):
         raise ValueError(f"lexical_cosine_pairs: need 0 < t_num <= t_den, got {threshold}")
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
     wc = (docs.select(F.col(id_col).alias("doc_id"), F.explode(ws).alias("word"))
           .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
-          .localCheckpoint())  # feeds norms + both join sides
+          .localCheckpoint())  # feeds norms + candidates + both verify sides
     norms = wc.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
     cand = cap_bucket_sizes(wc, ["word"], max_word_df, "lexical_cosine_pairs")
     a, b = cand.alias("a"), cand.alias("b")
-    dots = (
+    pairs = (
         a.join(b, (F.col("a.word") == F.col("b.word"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = wc.select(F.col("doc_id").alias("doc_a"), "word",
+                   F.col("cnt").alias("_ca"))
+    pb = wc.select(F.col("doc_id").alias("doc_b"), "word",
+                   F.col("cnt").alias("_cb"))
+    dots = (
+        pairs.join(pa, "doc_a").join(pb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))

@@ -158,9 +158,14 @@ def pseudonymize_numeric(
 
     @pandas_udf("string")
     def pid(vals: pd.Series) -> pd.Series:
-        iv = vals.to_numpy(dtype=np.int64)
+        # NULL -> NULL (SQL convention): Arrow hands a nullable long batch
+        # to pandas as float64 + NaN, which to_numpy(int64) would crash on
+        mask = vals.isna().to_numpy()
+        iv = vals.fillna(0).to_numpy(dtype=np.int64)
         hx = hash64(iv, seed).astype(">u8").tobytes().hex()
-        return pd.Series([hx[16 * i:16 * i + 16] for i in range(len(iv))])
+        out = [None if mask[i] else hx[16 * i:16 * i + 16]
+               for i in range(len(iv))]
+        return pd.Series(out, dtype=object)
 
     return df.withColumn(name, pid(F.col(col).cast("long")))
 

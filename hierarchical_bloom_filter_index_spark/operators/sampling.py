@@ -416,7 +416,18 @@ def _iroot(n: int, q: int) -> int:
         raise ValueError(f"_iroot: need n >= 0, q >= 1 ({n}, {q})")
     if n == 0 or q == 1:
         return n
-    x = max(1, int(round(n ** (1.0 / q))))
+    # integer Newton: from any x0 >= root, x_{k+1} = ((q-1)x + n//x^(q-1))//q
+    # decreases monotonically to floor(n^(1/q)) and terminates when it
+    # stops decreasing — no float anywhere (a float seed overflows past
+    # 1e308, and a ±1-stepping correction from a 2x-off seed would walk
+    # ~root/2 iterations: both bugs this replaces)
+    x = 1 << ((n.bit_length() + q - 1) // q)  # 2^ceil(b/q) >= n^(1/q)
+    while True:
+        y = ((q - 1) * x + n // x ** (q - 1)) // q
+        if y >= x:
+            break
+        x = y
+    # safety fix-ups (at most one step each by the Newton invariant)
     while x ** q > n:
         x -= 1
     while (x + 1) ** q <= n:

@@ -273,16 +273,26 @@ def percentile_rank(
     Plan: rank() and the group count share ONE window exchange
     (drop_bottom_quantile's shape — both windows partition identically, so
     Catalyst inserts a single hash exchange). The metric must be integral
-    (the MAD-family discipline — a float metric would need its own
-    total-order contract); refusal is in-plan via _integral_bigint.
+    AND non-null, both refused in-plan: _integral_bigint catches
+    fractional values, and a NULL metric raises rather than silently
+    taking an engine-dependent end of the sort (Spark windows sort NULLs
+    first, DuckDB's RANK defaults NULLS LAST — a pass-through would
+    inflate every strictly-below count differently per engine).
     Ungrouped form = one global window; always group at scale."""
     from pyspark.sql import Window
 
     part = list(group_cols)
     w = Window.partitionBy(*part).orderBy(F.col("_pm").asc())
     wn = Window.partitionBy(*part)
+    metric = F.when(
+        F.col(metric_col).isNull(),
+        F.raise_error(F.lit(
+            f"percentile_rank: NULL in metric column {metric_col!r} — "
+            "rank semantics for NULLs are engine-dependent; filter or "
+            "impute first")),
+    ).otherwise(_integral_bigint(metric_col))
     return (
-        df.select(*df.columns, _integral_bigint(metric_col).alias("_pm"))
+        df.select(*df.columns, metric.alias("_pm"))
         .withColumn("__rk", F.rank().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))
         .withColumn(out_col,

@@ -68,7 +68,6 @@ def session_state_stream(
         .select(F.col(key_col).cast("string").alias("user_id"), "_ts",
                 F.unix_micros(F.col("_ts")).alias("_t_us"))
     )
-    gap_ms = gap_us // 1000
 
     def update(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -89,7 +88,15 @@ def session_state_stream(
             if open_ses is None:
                 open_ses = (t, t, 1)
             elif t - open_ses[1] <= gap_us:
-                open_ses = (open_ses[0], t, open_ses[2] + 1)
+                # with a nonzero delay an ADMITTED event may be older than
+                # the stored tail (t < e, or even < s): it merges into the
+                # open session without regressing its span — min/max, never
+                # overwrite (an event older than the open span belongs to
+                # an already-emitted session under batch semantics; merging
+                # it here is the standard streaming late-data compromise,
+                # exact at delay='0 seconds')
+                open_ses = (min(open_ses[0], t), max(open_ses[1], t),
+                            open_ses[2] + 1)
             else:
                 closed.append(open_ses)
                 open_ses = (t, t, 1)
@@ -97,10 +104,16 @@ def session_state_stream(
         # cannot happen for a group that never stored state, and a data
         # invocation always leaves at least one event in the tail
         wm = state.getCurrentWatermarkMs()
-        timeout_ms = open_ses[1] // 1000 + gap_ms
+        # strictly-after close time in ms: ceil((end+gap)/1000)+1 — the +1
+        # absorbs the watermark's own ms truncation, so no event that is
+        # both ADMITTED (t >= wm) and IN-GAP (t <= end+gap) can exist once
+        # the timeout is reachable; a bare end//1000 + gap//1000 double-
+        # truncation could fire ~2ms early and split a session
+        timeout_ms = (open_ses[1] + gap_us) // 1000 + 2
         if timeout_ms <= wm:
             # already expired vs the watermark: no later event can extend
-            # it (it would be late) — close inline, clear state
+            # it (it would be late) — close inline, clear state (Spark
+            # refuses setTimeoutTimestamp at-or-below the watermark)
             closed.append(open_ses)
             state.remove()
         else:

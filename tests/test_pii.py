@@ -185,3 +185,14 @@ def test_k_anonymity_report_and_suppress(spark):
         k_anonymity_report(df, ("u",), 1)
     with pytest.raises(ValueError):
         k_anonymity_report(df, (), 3)
+
+
+def test_pseudonymize_null_passthrough(spark):
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        pseudonymize_numeric,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "uid long")
+    out = {r["uid"]: r["pid"]
+           for r in pseudonymize_numeric(df, "uid", seed=3, out_col="pid").collect()}
+    assert out[None] is None and out[1] is not None and out[2] is not None

@@ -803,6 +803,25 @@ def test_lexical_cosine_cap_engages(spark, caplog):
     assert any("lexical_cosine_pairs" in r.message for r in caplog.records)
 
 
+def test_lexical_cosine_cap_keeps_exact_dot(spark):
+    from hierarchical_bloom_filter_index_spark.operators.dedup import (
+        lexical_cosine_pairs,
+    )
+
+    # the cap affects CANDIDATE GENERATION only: the emitted dot must be
+    # the TRUE dot product (hot word included), not the capped one
+    rows = [(f"h{i}", "hot") for i in range(20)] + [
+        ("p1", "hot hot hot k0"),
+        ("p2", "hot hot hot k0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = lexical_cosine_pairs(docs, threshold=(1, 2), max_word_df=10).collect()
+    pair = [r for r in out if r["doc_a"] == "p1"]
+    assert len(pair) == 1
+    # true dot = 3*3 + 1*1 = 10; capped-frame dot would read 1
+    assert pair[0]["dot"] == 10 and pair[0]["na2"] == 10 and pair[0]["nb2"] == 10
+
+
 def test_lexical_cosine_validation(spark):
     from hierarchical_bloom_filter_index_spark.operators.dedup import (
         lexical_cosine_pairs,

@@ -561,3 +561,14 @@ def test_temperature_mixture_matches_explicit_budgets(spark, sf_dir):
     got = sorted(map(tuple, temperature_mixture_manifest(
         d, "doc_id", "source", "w", 5000, seed=11, alpha=(1, 2)).collect()))
     assert got == want and got
+
+
+def test_iroot_huge_n_no_float_overflow():
+    from hierarchical_bloom_filter_index_spark.operators.sampling import _iroot
+
+    b = 10**80
+    for q in (2, 3, 7):
+        n = b**q
+        for m in (n - 1, n, n + 1):
+            r = _iroot(m, q)
+            assert r**q <= m < (r + 1) ** q

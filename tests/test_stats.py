@@ -142,3 +142,16 @@ def test_percentile_rank_refuses_fractional(spark):
     df = spark.createDataFrame([("a", "g", 1.5)], "id string, g string, m double")
     with _pt.raises(Exception):
         percentile_rank(df, "m", ("g",)).collect()
+
+
+def test_percentile_rank_refuses_null(spark):
+    import pytest as _pt
+
+    from hierarchical_bloom_filter_index_spark.operators.stats import (
+        percentile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "g", 1), ("b", "g", None)], "id string, g string, m long")
+    with _pt.raises(Exception, match="NULL"):
+        percentile_rank(df, "m", ("g",)).collect()
