@@ -1655,6 +1655,50 @@ LEXCOS_MOD, LEXCOS_T = 5, (4, 5)
 PSEUDO_SEED = CFG.seed + 41
 KANON_K = 5
 
+# ladder chosen to straddle the growth region: the char-token vocab
+# saturates within a few hundred stream tokens on this corpus
+VG_NS = (8, 32, 128, 512, 120_000)
+FC_KS = (1, 4, 16, 64, 256)
+
+
+def _vocab_growth_oracle() -> str:
+    vals = ", ".join(f"({int(n)})" for n in VG_NS)
+    return f"""WITH {CORPUS_CTE},
+off AS (
+  SELECT tokens,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM corpus),
+flat AS (
+  SELECT o + i - 1 AS g, tokens[i] AS t
+  FROM (SELECT o, tokens,
+               unnest(generate_series(1, CAST(len(tokens) AS BIGINT))) AS i
+        FROM off)),
+fo AS (SELECT t, MIN(g) AS fg FROM flat GROUP BY t),
+ns(n_tokens) AS (VALUES {vals})
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN fg < n_tokens THEN 1 END) AS BIGINT) AS n_types
+FROM ns CROSS JOIN fo GROUP BY n_tokens"""
+
+
+def _freq_coverage_oracle() -> str:
+    vals = ", ".join(f"({int(k)})" for k in FC_KS)
+    return f"""WITH {CORPUS_CTE},
+c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(tokens) AS t FROM corpus) GROUP BY t),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t ASC) AS rk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, t ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+ks(k) AS (VALUES {vals})
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COALESCE(MAX(CASE WHEN rk <= k THEN cum END), 0) AS BIGINT)
+         AS covered_tokens,
+       tot.total_tokens
+FROM ks CROSS JOIN r CROSS JOIN tot
+GROUP BY k, tot.total_tokens"""
+
 
 def _temperature_mixture_oracle() -> str:
     """Twin of q_temperature_mixture: per-source budgets recomputed in SQL

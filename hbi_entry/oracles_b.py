@@ -1116,6 +1116,9 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # corpus statistics curves: exact integers, broadcast-ladder shapes
+    out["vocab_growth_curve"] = _vocab_growth_oracle()
+    out["freq_coverage_curve"] = _freq_coverage_oracle()
     # bijective hash64 pseudonyms: hex via to_hex HUGEINT halves
     out["events_pseudonymized"] = f"""WITH {_key_hash_ctes(
         PSEUDO_SEED, 'ph',

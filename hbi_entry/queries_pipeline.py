@@ -1175,6 +1175,22 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3, max_bucket=10_000)
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW CURVE: distinct token types within the first n stream
+    tokens per ladder point — exact first-occurrence positions through the
+    deterministic global-offset pass, one min-per-type shuffle, broadcast
+    ladder join (operators/text.vocabulary_growth)."""
+    return T.vocabulary_growth(_corpus(spark, sf_dir), list(VG_NS))
+
+
+def q_freq_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-COVERAGE CURVE: exact corpus token mass carried by the k
+    most frequent types ((cnt DESC, tok ASC) tie-break makes every ladder
+    boundary deterministic) — the tokenizer-vocab sizing readout
+    (operators/text.frequency_coverage)."""
+    return T.frequency_coverage(_corpus(spark, sf_dir), list(FC_KS))
+
+
 def q_lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted-cosine pairs (cos >= 4/5) over word-count vectors on
     the doc_id % 5 sub-corpus — the magnitude-aware dedup twin; decided by

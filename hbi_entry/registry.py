@@ -250,6 +250,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
+        "vocab_growth_curve": q_vocab_growth,
+        "freq_coverage_curve": q_freq_coverage,
         "text_quality": q_text_quality,
         "char_diversity": q_char_diversity,
         "low_diversity_by_source": q_low_diversity_report,

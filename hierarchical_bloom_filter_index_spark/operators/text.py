@@ -907,3 +907,79 @@ def oov_top_terms(
             .select("source", "word", "cnt")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= int(k)).drop("rn"))
+
+
+def vocabulary_growth(
+    corpus: DataFrame,
+    ns: list[int],
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """HEAPS-LAW CURVE, exact: (n_tokens, n_types) — how many distinct
+    token TYPES appear in the first n tokens of the concatenated stream
+    (``order_col`` order) for each ladder point n. The corpus-statistics
+    readout behind vocabulary-size planning (tokenizer budgets, OOV-rate
+    projections): types(n) = #{types whose FIRST occurrence position < n}.
+
+    Shape: one deterministic global-offset pass (with_global_offsets —
+    never a single-partition window), one posexplode + min(gpos) per type
+    (the one linear shuffle, map-side combined), then a broadcast ladder
+    join over the TYPES table (vocab-sized, not corpus-sized). Every
+    number is an exact integer."""
+    from ..corpus import with_global_offsets
+
+    if not ns or any(int(n) < 0 for n in ns) or len(set(ns)) != len(ns):
+        raise ValueError("vocabulary_growth: ns must be distinct and >= 0")
+    offs = with_global_offsets(corpus, order_col=order_col)
+    first = (
+        offs.select("doc_offset", F.posexplode(tokens_col).alias("pos", "tok"))
+        .select((F.col("doc_offset") + F.col("pos")).alias("g"), "tok")
+        .groupBy("tok").agg(F.min("g").alias("fg"))
+    )
+    spark = corpus.sparkSession
+    ladder = spark.createDataFrame([(int(n),) for n in ns], "n_tokens long")
+    return (
+        F.broadcast(ladder).join(first, F.col("fg") < F.col("n_tokens"),
+                                 "left")
+        .groupBy("n_tokens")
+        .agg(F.count("fg").alias("n_types"))
+    )
+
+
+def frequency_coverage(
+    corpus: DataFrame, ks: list[int], tokens_col: str = "tokens"
+) -> DataFrame:
+    """FREQUENCY-COVERAGE CURVE, exact: (k, covered_tokens, total_tokens)
+    — the corpus token mass carried by the k most frequent types
+    (frequency DESC, token ASC tie-break, so the k-th boundary is
+    deterministic and the cross-engine twin an equality). The tokenizer-
+    vocab sizing readout (what fraction of the stream does a 32k vocab
+    cover?).
+
+    Shape: one explode + type-count groupBy (linear, map-side combined),
+    then rank + running sum over the TYPES table — a vocab-sized global
+    window (documented: fine for curve reports even at 100 TB corpora
+    with ~1e8 types; the certified heavy-hitters family is the scale path
+    for top-k QUERIES), and a broadcast ladder join."""
+    if not ks or any(int(k) < 1 for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError("frequency_coverage: ks must be distinct and >= 1")
+    from pyspark.sql import Window
+
+    counts = (
+        corpus.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
+    tot = counts.agg(F.sum("cnt").alias("total_tokens"))
+    spark = corpus.sparkSession
+    ladder = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    cov = (
+        F.broadcast(ladder).join(ranked, F.col("rk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.max("cum"), F.lit(0)).alias("covered_tokens"))
+    )
+    return cov.crossJoin(F.broadcast(tot))
