@@ -1212,12 +1212,14 @@ def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("session_stream_parity: drain exceeded 300s")
-    try:
+    import glob as _glob
+
+    # probe for data files instead of a bare except: ONLY the zero-
+    # closed-sessions case (no part files -> schema inference fails) maps
+    # to an empty result; a torn/corrupt sink must still raise
+    if _glob.glob(f"{base}/out/*.parquet"):
         got = spark.read.parquet(f"{base}/out")
-    except Exception:
-        # zero closed sessions -> the sink wrote no data files (the
-        # empty-parquet-dir schema-inference trap): empty result, not a
-        # crash
+    else:
         got = spark.createDataFrame(
             [], "user_id string, t_start long, t_end long, n_events long")
     batch = sessionize(with_epoch_us(ev), SESSION_GAP_US).select(

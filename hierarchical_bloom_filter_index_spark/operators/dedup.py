@@ -623,22 +623,34 @@ def lexical_cosine_pairs(
         F.sum(F.col("cnt") * F.col("cnt")).alias("n2"))
     cand = cap_bucket_sizes(wc, ["word"], max_word_df, "lexical_cosine_pairs")
     a, b = cand.alias("a"), cand.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.word") == F.col("b.word"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pa = wc.select(F.col("doc_id").alias("doc_a"), "word",
-                   F.col("cnt").alias("_ca"))
-    pb = wc.select(F.col("doc_id").alias("doc_b"), "word",
-                   F.col("cnt").alias("_cb"))
-    dots = (
-        pairs.join(pa, "doc_a").join(pb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
-    )
+    capped_join = a.join(
+        b, (F.col("a.word") == F.col("b.word"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+    if max_word_df is None:
+        # exact path: cand == wc, so the self-join aggregate IS the true
+        # dot — no distinct / re-join round trip needed
+        dots = (capped_join
+                .groupBy(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot")))
+    else:
+        # capped path: the cap bounds CANDIDATE GENERATION only — the dot
+        # is recomputed exactly over the candidate pairs from the UNCAPPED
+        # vectors (a capped-frame dot would silently truncate hot-word
+        # mass and could reject true pairs)
+        pairs = (capped_join
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"))
+                 .distinct())
+        pa = wc.select(F.col("doc_id").alias("doc_a"), "word",
+                       F.col("cnt").alias("_ca"))
+        pb = wc.select(F.col("doc_id").alias("doc_b"), "word",
+                       F.col("cnt").alias("_cb"))
+        dots = (
+            pairs.join(pa, "doc_a").join(pb, ["doc_b", "word"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
+        )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     dec = "decimal(38,0)"

@@ -158,16 +158,21 @@ def pseudonymize_numeric(
 
     @pandas_udf("string")
     def pid(vals: pd.Series) -> pd.Series:
-        # NULL -> NULL (SQL convention): Arrow hands a nullable long batch
-        # to pandas as float64 + NaN, which to_numpy(int64) would crash on
-        mask = vals.isna().to_numpy()
-        iv = vals.fillna(0).to_numpy(dtype=np.int64)
+        iv = vals.to_numpy(dtype=np.int64)
         hx = hash64(iv, seed).astype(">u8").tobytes().hex()
-        out = [None if mask[i] else hx[16 * i:16 * i + 16]
-               for i in range(len(iv))]
-        return pd.Series(out, dtype=object)
+        return pd.Series([hx[16 * i:16 * i + 16] for i in range(len(iv))])
 
-    return df.withColumn(name, pid(F.col(col).cast("long")))
+    # NULL -> NULL handled at the PLAN level, never inside the UDF: a
+    # nullable long batch reaches pandas as float64 + NaN, which both
+    # crashes to_numpy(int64) AND silently rounds |id| > 2^53 for every
+    # OTHER value in the batch (a value's pseudonym must not depend on its
+    # batch neighbors). coalesce keeps the Arrow path int64; the outer
+    # when() restores the NULLs.
+    c = F.col(col).cast("long")
+    return df.withColumn(
+        name,
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .otherwise(pid(F.coalesce(c, F.lit(0)))))
 
 
 def k_anonymity_report(

@@ -930,7 +930,12 @@ def vocabulary_growth(
 
     if not ns or any(int(n) < 0 for n in ns) or len(set(ns)) != len(ns):
         raise ValueError("vocabulary_growth: ns must be distinct and >= 0")
-    offs = with_global_offsets(corpus, order_col=order_col)
+    # offsets must be in the SAME units as the exploded positions:
+    # with_global_offsets prefix-sums the frame's n_tok column, so pin it
+    # to size(tokens_col) rather than trusting the caller's n_tok (which
+    # on the standard corpus is the CHAR count — wrong for a word column)
+    offs = with_global_offsets(
+        corpus.withColumn("n_tok", F.size(tokens_col)), order_col=order_col)
     first = (
         offs.select("doc_offset", F.posexplode(tokens_col).alias("pos", "tok"))
         .select((F.col("doc_offset") + F.col("pos")).alias("g"), "tok")

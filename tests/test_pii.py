@@ -196,3 +196,24 @@ def test_pseudonymize_null_passthrough(spark):
     out = {r["uid"]: r["pid"]
            for r in pseudonymize_numeric(df, "uid", seed=3, out_col="pid").collect()}
     assert out[None] is None and out[1] is not None and out[2] is not None
+
+
+def test_pseudonymize_large_ids_with_nulls_exact(spark):
+    import numpy as np
+
+    from hierarchical_bloom_filter_index_spark.operators.pii import (
+        pseudonymize_numeric,
+    )
+    from hierarchical_bloom_filter_index_spark.sketches.hashing import hash64
+
+    # ids above 2^53 in the SAME frame as a NULL: the float64+NaN Arrow
+    # path would round them before hashing — the plan-level NULL handling
+    # must keep the int64 path exact
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame([(big,), (big - 1,), (None,)], "uid long")
+    got = {r["uid"]: r["pid"]
+           for r in pseudonymize_numeric(df, "uid", seed=5, out_col="pid").collect()}
+    for v in (big, big - 1):
+        want = format(int(hash64(np.asarray([v]), 5)[0]), "016x")
+        assert got[v] == want, v
+    assert got[None] is None and got[big] != got[big - 1]

@@ -878,3 +878,19 @@ def test_frequency_coverage_vs_brute(spark):
     # ties: 7 and 9 counts are 3 and 5 -> order 9,7,2,1; k=2 covers 8? no:
     # 5+3=8; sanity-pin the deterministic boundary
     assert got[2] == (8, total)
+
+
+def test_vocabulary_growth_word_tokens_ignore_char_n_tok(spark):
+    from hierarchical_bloom_filter_index_spark.operators.text import (
+        vocabulary_growth,
+    )
+
+    # n_tok deliberately WRONG (char-scale) for the word column: offsets
+    # must come from size(tokens_col), not the frame's n_tok
+    rows = [("d1", ["a", "b", "a"], 999), ("d2", ["c", "a"], 777)]
+    corp = spark.createDataFrame(
+        rows, "doc_id string, tokens array<string>, n_tok int")
+    got = {r["n_tokens"]: r["n_types"]
+           for r in vocabulary_growth(corp, [1, 3, 4, 5]).collect()}
+    stream = ["a", "b", "a", "c", "a"]
+    assert got == {n: len(set(stream[:n])) for n in [1, 3, 4, 5]}
