@@ -1658,6 +1658,8 @@ KANON_K = 5
 # ladder chosen to straddle the growth region: the char-token vocab
 # saturates within a few hundred stream tokens on this corpus
 VG_NS = (8, 32, 128, 512, 120_000)
+
+ATTR_WINDOW_US = 12 * 3600 * 1_000_000
 FC_KS = (1, 4, 16, 64, 256)
 
 

@@ -1116,6 +1116,23 @@ def _oracles_tail(out: dict[str, str]) -> dict[str, str]:
     out["hybrid_retrieval_rrf"] = _rrf_oracle_sql()
     # temperature mixture: budgets recomputed in SQL (exact isqrt)
     out["temperature_mixture_docs"] = _temperature_mixture_oracle()
+    # first-touch attribution: exact integer-micros window join
+    out["purchase_attribution"] = f"""WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+conv AS (SELECT CAST(event_id AS BIGINT) AS conv_id, user_id,
+                CAST(t AS BIGINT) AS t_conv
+         FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT CAST(event_id AS BIGINT) AS touch_id, user_id,
+               CAST(t AS BIGINT) AS t_touch
+        FROM e WHERE event_type = 'click'),
+m AS (SELECT c.conv_id, t.touch_id, t.t_touch,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+               ORDER BY t.t_touch ASC, t.touch_id ASC) AS rk
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+        AND t.t_touch >= c.t_conv - {ATTR_WINDOW_US}
+        AND t.t_touch < c.t_conv)
+SELECT c.conv_id, c.user_id, c.t_conv, m.touch_id, m.t_touch
+FROM conv c LEFT JOIN (SELECT * FROM m WHERE rk = 1) m USING (conv_id)"""
     # corpus statistics curves: exact integers, broadcast-ladder shapes
     out["vocab_growth_curve"] = _vocab_growth_oracle()
     out["freq_coverage_curve"] = _freq_coverage_oracle()

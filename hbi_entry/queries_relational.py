@@ -1252,6 +1252,25 @@ def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got_f.exceptAll(want).unionAll(want.exceptAll(got_f))
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH ATTRIBUTION: every purchase gains the EARLIEST click of
+    the same user within the 12h lookback (strictly before; (t, id) struct
+    min = deterministic tie-break), unattributed purchases kept with NULL
+    touch columns. Runs as a (user, bin) EQUI-join through
+    interval_point_join — never a range join
+    (operators/sessions.attribution_touches; the last-touch twin of
+    events_asof_purchase's as-of join)."""
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        attribution_touches,
+        with_epoch_us,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_epoch_us(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return attribution_touches(ev, "click", "purchase", ATTR_WINDOW_US,
+                               mode="first")
+
+
 def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN: each error event gains the latest STRICTLY-prior
     purchase of the same user (union-tag + last(ignorenulls) over one

@@ -342,6 +342,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "event_sessions": q_event_sessions,
         "session_stream_parity": q_session_stream_parity,
+        "purchase_attribution": q_purchase_attribution,
         "events_asof_purchase": q_events_asof_purchase,
         "events_hourly_stream": q_events_hourly_stream,
         "events_dedup_stream": q_events_dedup_stream,

@@ -468,6 +468,7 @@ def interval_point_join(
     end_col: str,
     bin_width: int | None = None,
     max_bins_per_interval: int = 4096,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """INNER range join ``points.pcol BETWEEN intervals.start_col AND
     intervals.end_col`` (closed ends) WITHOUT the cartesian trap: Spark
@@ -485,12 +486,22 @@ def interval_point_join(
     full-range interval would otherwise single-handedly quadratic the
     join) — raise the width or cap such intervals upstream.
 
+    ``keys``: equi-join columns present on BOTH sides (e.g. user_id) —
+    joined alongside the bin, so per-key workloads (attribution, per-user
+    windows) shuffle on (key, bin) instead of colliding every key's rows
+    in shared time bins (the bin-occupancy blowup at scale).
+
     Columns: result = all point columns + all interval columns (name
-    collisions refused — alias upstream).  NULL points / NULL interval
-    ends never match (BETWEEN is NULL-rejecting on both engines).
-    Timestamps: convert to epoch days/micros first (integral path is
-    exact; keeps oracles timezone-free — the engine-wide discipline)."""
-    overlap = set(points.columns) & set(intervals.columns)
+    collisions outside ``keys`` refused — alias upstream).  NULL points /
+    NULL interval ends never match (BETWEEN is NULL-rejecting on both
+    engines).  Timestamps: convert to epoch days/micros first (integral
+    path is exact; keeps oracles timezone-free — the engine-wide
+    discipline)."""
+    keys = tuple(keys)
+    missing = [k for k in keys if k not in points.columns or k not in intervals.columns]
+    if missing:
+        raise ValueError(f"keys {missing} must exist on both sides")
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
     if overlap:
         raise ValueError(f"column collision {sorted(overlap)}: alias before joining")
     iv = intervals.where(
@@ -512,7 +523,7 @@ def interval_point_join(
     pt = points.where(F.col(pcol).isNotNull()).withColumn(
         "_bin", _bin_expr(points, pcol, bin_width))
     return (
-        pt.join(iv_binned, "_bin")
+        pt.join(iv_binned, ["_bin", *keys])
         .where(F.col(pcol).between(F.col(start_col), F.col(end_col)))
         .drop("_bin")
     )

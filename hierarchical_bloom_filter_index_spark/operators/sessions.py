@@ -1002,3 +1002,54 @@ def rolling_distinct_from_store(spark, path: str,
     p = int(meta["p"])
     return _distinct_readout(
         _windowed_blobs(read_day_nodes(spark, path), window_days), p)
+
+
+def attribution_touches(
+    events: DataFrame,
+    touch_type: str,
+    conv_type: str,
+    window_us: int,
+    mode: str = "last",
+    key_col: str = "user_id",
+    t_col: str = "t_us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MARKETING-STYLE TOUCH ATTRIBUTION: every ``conv_type`` event gains
+    the first- or last-touch ``touch_type`` event of the same key within
+    the lookback window (t_conv - window_us <= t_touch < t_conv, strictly
+    before). Unattributed conversions survive with NULL touch columns.
+
+    Shape: each touch becomes the interval [t+1, t+window] of conversion
+    times it can influence; the match runs through joins.interval_point_join
+    keyed by (key, bin) — a binned EQUI-join, never a Spark range join
+    (BroadcastNestedLoop at scale) — and the pick is one (t, id)-struct
+    min/max per conversion (deterministic tie-break), then a left join
+    back to keep the unattributed. All epoch-micros BIGINT arithmetic, so
+    the cross-engine twin is an equality."""
+    from .joins import interval_point_join
+
+    if mode not in ("first", "last"):
+        raise ValueError(f"attribution_touches: mode must be first|last, got {mode!r}")
+    if window_us < 1:
+        raise ValueError("attribution_touches: window_us must be >= 1")
+    conv = events.filter(F.col(type_col) == conv_type).select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).cast("long").alias("conv_id"),
+        F.col(t_col).cast("long").alias("t_conv"))
+    touch = events.filter(F.col(type_col) == touch_type).select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).cast("long").alias("touch_id"),
+        F.col(t_col).cast("long").alias("t_touch"),
+        (F.col(t_col).cast("long") + 1).alias("_s"),
+        (F.col(t_col).cast("long") + window_us).alias("_e"))
+    matched = interval_point_join(
+        conv, "t_conv", touch, "_s", "_e", bin_width=window_us + 1,
+        keys=("user_id",))
+    pick = F.min if mode == "first" else F.max
+    best = (matched.groupBy("conv_id")
+            .agg(pick(F.struct("t_touch", "touch_id")).alias("_b"))
+            .select("conv_id", F.col("_b.touch_id").alias("touch_id"),
+                    F.col("_b.t_touch").alias("t_touch")))
+    return conv.join(best, "conv_id", "left").select(
+        "conv_id", "user_id", "t_conv", "touch_id", "t_touch")

@@ -392,3 +392,60 @@ def test_decayed_event_counts_exact(spark):
                - sum(0.5 ** d for d in [0, 1, 1, 5, 39])) < 1e-9
     with _pytest.raises(ValueError, match="horizon_halflives"):
         decayed_event_counts(ev, horizon_halflives=63)
+
+
+# ---------------------------------------------------------------------------
+# attribution_touches
+# ---------------------------------------------------------------------------
+def test_attribution_first_and_last_vs_brute(spark):
+    from hierarchical_bloom_filter_index_spark.operators.sessions import (
+        attribution_touches,
+    )
+
+    W = 100
+    rows = [
+        # (event_id, user, type, t)
+        (1, "u1", "click", 10), (2, "u1", "click", 50),
+        (3, "u1", "purchase", 60),           # first=1 (10>=60-100), last=2
+        (4, "u1", "purchase", 111),          # window [11,110]: only t=50 -> 2
+        (5, "u2", "click", 200),
+        (6, "u2", "purchase", 200),          # strictly-before: NOT attributed
+        (7, "u2", "purchase", 300),          # 200 >= 300-100 -> 5
+        (8, "u3", "purchase", 40),           # no clicks at all
+        (9, "u4", "click", 400), (10, "u4", "click", 400),
+        (11, "u4", "purchase", 410),         # tie at t=400 -> min id 9 / max id 10
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, t_us long")
+    first = {r["conv_id"]: r["touch_id"]
+             for r in attribution_touches(ev, "click", "purchase", W,
+                                          mode="first").collect()}
+    last = {r["conv_id"]: r["touch_id"]
+            for r in attribution_touches(ev, "click", "purchase", W,
+                                         mode="last").collect()}
+    assert first == {3: 1, 4: 2, 6: None, 7: 5, 8: None, 11: 9}
+    assert last == {3: 2, 4: 2, 6: None, 7: 5, 8: None, 11: 10}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode"):
+        attribution_touches(ev, "click", "purchase", W, mode="best")
+    with _pt.raises(ValueError, match="window_us"):
+        attribution_touches(ev, "click", "purchase", 0)
+
+
+def test_interval_point_join_keys(spark):
+    from hierarchical_bloom_filter_index_spark.operators.joins import (
+        interval_point_join,
+    )
+
+    pts = spark.createDataFrame(
+        [("a", 5), ("b", 5)], "k string, p long")
+    ivs = spark.createDataFrame(
+        [("a", 0, 10), ("b", 6, 10)], "k string, s long, e long")
+    got = sorted((r["k"], r["p"]) for r in
+                 interval_point_join(pts, "p", ivs, "s", "e",
+                                     bin_width=4, keys=("k",)).collect())
+    # without keys, ("b",5) would match a's interval through the shared bin
+    assert got == [("a", 5)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="must exist"):
+        interval_point_join(pts, "p", ivs, "s", "e", keys=("zz",))
