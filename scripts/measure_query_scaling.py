@@ -293,6 +293,9 @@ SWEEP = [
     "hybrid_retrieval_rrf",
     "simhash_hamming_pairs",
     "lexical_cosine_pairs",
+    # (user, bin) keyed interval join: replicas share user_ids so per-user
+    # event density grows 5x on both join sides — measured ~flat
+    "purchase_attribution",
 ]
 
 
