@@ -464,7 +464,13 @@ def main() -> None:
                 "cpus": cpus,
                 "contention": contention,
             }
-        )
+        ),
+        # the ONE line the driver reads: flush before spark.stop() — a JVM
+        # shutdown hang (or a hard kill during the minutes-long interpreter
+        # shutdown these drivers are known for) must not strand the JSON in
+        # a block buffer (lost exactly that way once: 165 green entries,
+        # empty stdout)
+        flush=True,
     )
     spark.stop()
 
